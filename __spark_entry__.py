@@ -1,38 +1,48 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (scan→filter→join→agg) on
+sf0.001 through the LineageSession facade, emitting a lineage report
+as a side effect (the engine's identity — SURVEY.md §0).
+
+``queries()`` / ``oracle_sql()`` expose the SURVEY.md §2 operator
+inventory from ``spark_lineage_spark.registry`` — every implemented
+operator registers a builder + (when SQL-expressible) a DuckDB oracle.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_lineage_spark.registry import load_all  # noqa: E402
+from spark_lineage_spark.tables import SMOKE_SF_DIR  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from spark_lineage_spark import LineageSession
+    from spark_lineage_spark.operators.relational import flagship_df
+    from spark_lineage_spark.session import tune_runtime
+
+    tune_runtime(spark)
+    engine = LineageSession(spark)
+    df = flagship_df(spark, SMOKE_SF_DIR)
+    # run through the facade once so the smoke check also exercises
+    # lineage capture (report lands in the JSONL log)
+    engine._wrap(df).count()
+    return df
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: spec.builder for name, spec in load_all().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query; omitted => rows-only check."""
+    return {name: spec.oracle for name, spec in load_all().items() if spec.oracle is not None}

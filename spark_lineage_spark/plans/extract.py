@@ -1,0 +1,326 @@
+"""Lineage extraction: walk the analyzed Catalyst plan via py4j.
+
+Both engine entry points (SQL string, DataFrame API) converge on the
+same analyzed logical plan (SURVEY.md §3), so extraction is a read-only
+tree walk — zero extra Spark jobs. The walk is version-coupled to the
+installed PySpark (4.1.2, classic mode); every JVM call is guarded and
+the extractor degrades to ``df.inputFiles()`` rather than failing the
+user's query.
+
+Collected per report:
+- inputs: leaf relations — file-based (``LogicalRelation`` over
+  ``HadoopFsRelation``: paths + format), catalog/temp tables
+  (``catalogTable``/``SubqueryAlias``), DSv2, streaming, local/in-memory.
+- fields: each input's schema snapshot at execution time.
+- column lineage: output column -> base input columns, via a bottom-up
+  exprId -> {(dataset, column)} dataflow over Project/Aggregate/Window/
+  Generate/Union nodes (SURVEY.md §2.12 "hardest module").
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame
+
+from spark_lineage_spark.plans.model import (
+    ColumnLineage,
+    DatasetRef,
+    FieldInfo,
+    LineageReport,
+    RunMetadata,
+)
+
+# ---------------------------------------------------------------------------
+# small py4j helpers (Scala collections -> Python)
+# ---------------------------------------------------------------------------
+
+
+def _seq(jseq) -> list:
+    return [jseq.apply(i) for i in range(jseq.size())]
+
+
+def _iter_attr_set(jset) -> list:
+    it = jset.iterator()
+    out = []
+    while it.hasNext():
+        out.append(it.next())
+    return out
+
+
+def _cls(node) -> str:
+    return node.getClass().getSimpleName()
+
+
+def _fields_of(node) -> list[FieldInfo]:
+    out = []
+    try:
+        for a in _seq(node.output()):
+            out.append(FieldInfo(a.name(), a.dataType().simpleString(), a.nullable()))
+    except Exception:
+        pass
+    return out
+
+
+def _short_name(path: str) -> str:
+    base = path.rstrip("/").rsplit("/", 1)[-1]
+    return base.rsplit(".", 1)[0] if "." in base else base
+
+
+# ---------------------------------------------------------------------------
+# input (leaf relation) collection
+# ---------------------------------------------------------------------------
+
+
+def _leaf_ref(node) -> Optional[DatasetRef]:
+    """Recognize a plan leaf as a dataset reference, else None."""
+    name = _cls(node)
+    try:
+        if name == "LogicalRelation":
+            ct = node.catalogTable()
+            if ct.isDefined():
+                ident = ct.get().identifier().unquotedString()
+                return DatasetRef(kind="table", name=ident, fields=_fields_of(node))
+            rel = node.relation()
+            paths, fmt = [], None
+            try:
+                paths = [p.toString() for p in _seq(rel.location().rootPaths())]
+                fmt = rel.fileFormat().toString().lower()
+            except Exception:
+                pass
+            ref_name = _short_name(paths[0]) if paths else None
+            return DatasetRef(kind="path", format=fmt, name=ref_name, paths=paths, fields=_fields_of(node))
+        if name in ("DataSourceV2Relation", "DataSourceV2ScanRelation"):
+            try:
+                tbl = node.table().name()
+            except Exception:
+                tbl = None
+            return DatasetRef(kind="table", format="v2", name=tbl, fields=_fields_of(node))
+        if name in ("StreamingRelation", "StreamingRelationV2", "StreamingExecutionRelation"):
+            src = None
+            try:
+                src = node.sourceName()
+            except Exception:
+                pass
+            return DatasetRef(kind="streaming", format=src, name=src, fields=_fields_of(node))
+        if name in ("LocalRelation", "OneRowRelation", "Range"):
+            return DatasetRef(kind="memory", name=name.lower(), fields=_fields_of(node))
+        if name in ("HiveTableRelation", "UnresolvedCatalogRelation", "CatalogRelation"):
+            try:
+                ident = node.tableMeta().identifier().unquotedString()
+            except Exception:
+                ident = name
+            return DatasetRef(kind="table", name=ident, fields=_fields_of(node))
+    except Exception:
+        return DatasetRef(kind="unknown", name=name)
+    return None
+
+
+def collect_inputs(plan, view_name: Optional[str] = None) -> list[DatasetRef]:
+    """Walk the tree collecting leaf dataset refs (dedup by identity)."""
+    found: list[DatasetRef] = []
+
+    def walk(node, view: Optional[str]):
+        name = _cls(node)
+        # A SubqueryAlias directly over a leaf names a temp view read.
+        if name == "SubqueryAlias":
+            try:
+                alias = node.alias()
+            except Exception:
+                alias = None
+            for ch in _children(node):
+                walk(ch, alias)
+            return
+        ref = _leaf_ref(node)
+        if ref is not None:
+            if view and ref.kind in ("memory",):
+                ref = DatasetRef(kind="table", name=view, fields=ref.fields)
+            elif view and not ref.name:
+                ref.name = view
+            found.append(ref)
+            return
+        for ch in _children(node):
+            walk(ch, None)
+
+    walk(plan, view_name)
+    # dedupe (self-joins read the same input twice — SURVEY §2.3)
+    seen, out = set(), []
+    for r in found:
+        k = r.key()
+        if k not in seen:
+            seen.add(k)
+            out.append(r)
+    return out
+
+
+def _children(node) -> list:
+    out = []
+    try:
+        out.extend(_seq(node.children()))
+    except Exception:
+        pass
+    # subqueries live in expressions (e.g. scalar subquery, IN-subquery)
+    try:
+        sq = node.subqueries()
+        out.extend(_seq(sq))
+    except Exception:
+        pass
+    return out
+
+
+# ---------------------------------------------------------------------------
+# column-level lineage: bottom-up exprId dataflow
+# ---------------------------------------------------------------------------
+
+
+def _named_expr_nodes(node) -> list:
+    """The node's defining NamedExpressions, per node type."""
+    name = _cls(node)
+    try:
+        if name == "Project":
+            return _seq(node.projectList())
+        if name == "Aggregate":
+            return _seq(node.aggregateExpressions())
+        if name == "Window":
+            return _seq(node.windowExpressions())
+        if name == "Generate":
+            return _seq(node.generatorOutput())
+        if name == "Expand":
+            return _seq(node.output())
+    except Exception:
+        pass
+    return []
+
+
+def column_lineage(plan) -> list[ColumnLineage]:
+    """Map each output column of ``plan`` to its base input columns."""
+    mapping: dict[int, set[tuple[str, str]]] = {}
+
+    def ds_label(ref: DatasetRef) -> str:
+        return ref.name or (ref.paths[0] if ref.paths else ref.kind)
+
+    def walk(node, view: Optional[str] = None):
+        name = _cls(node)
+        if name == "SubqueryAlias":
+            try:
+                alias = node.alias()
+            except Exception:
+                alias = None
+            for ch in _children(node):
+                walk(ch, alias)
+            return
+        ref = _leaf_ref(node)
+        if ref is not None:
+            if view and not ref.name:
+                ref.name = view
+            label = ds_label(ref)
+            try:
+                for a in _seq(node.output()):
+                    mapping[a.exprId().id()] = {(label, a.name())}
+            except Exception:
+                pass
+            return
+        for ch in _children(node):
+            walk(ch, None)
+        # after children: register this node's derived expressions
+        if name == "Union":
+            # output attrs bind per-position to every child's attrs
+            try:
+                kids = _seq(node.children())
+                outs = _seq(node.output())
+                kid_outs = [_seq(k.output()) for k in kids]
+                for pos, a in enumerate(outs):
+                    srcs: set[tuple[str, str]] = set()
+                    for ko in kid_outs:
+                        if pos < len(ko):
+                            srcs |= mapping.get(ko[pos].exprId().id(), set())
+                    mapping[a.exprId().id()] = srcs
+            except Exception:
+                pass
+            return
+        for ne in _named_expr_nodes(node):
+            try:
+                eid = ne.exprId().id()
+            except Exception:
+                continue
+            srcs: set[tuple[str, str]] = set()
+            try:
+                for ref_attr in _iter_attr_set(ne.references()):
+                    srcs |= mapping.get(ref_attr.exprId().id(), set())
+            except Exception:
+                pass
+            if eid in mapping:
+                mapping[eid] |= srcs
+            else:
+                mapping[eid] = srcs
+
+    walk(plan)
+
+    out: list[ColumnLineage] = []
+    try:
+        for a in _seq(plan.output()):
+            srcs = mapping.get(a.exprId().id(), set())
+            out.append(
+                ColumnLineage(
+                    output=a.name(),
+                    inputs=sorted(f"{ds}.{col}" for ds, col in srcs),
+                )
+            )
+    except Exception:
+        pass
+    return out
+
+
+# ---------------------------------------------------------------------------
+# report assembly
+# ---------------------------------------------------------------------------
+
+
+def extract_report(
+    df: DataFrame,
+    func_name: str = "",
+    duration_s: float = 0.0,
+    app_id: str = "",
+    app_name: str = "",
+    output: Optional[dict[str, Any]] = None,
+    error: Optional[str] = None,
+    num_output_rows: Optional[int] = None,
+) -> LineageReport:
+    inputs: list[DatasetRef] = []
+    columns: list[ColumnLineage] = []
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        inputs = collect_inputs(plan)
+        columns = column_lineage(plan)
+    except Exception:
+        # degraded mode: physical input files only (still real lineage)
+        try:
+            files = sorted(set(df.inputFiles()))
+            if files:
+                inputs = [DatasetRef(kind="path", paths=files, name=_short_name(files[0]))]
+        except Exception:
+            pass
+
+    out_ref = None
+    if output:
+        out_ref = DatasetRef(
+            kind=output.get("kind", "path"),
+            format=output.get("format"),
+            name=output.get("name"),
+            paths=output.get("paths", []),
+            fields=[FieldInfo(f.name, f.dataType.simpleString(), f.nullable) for f in df.schema.fields],
+        )
+
+    return LineageReport(
+        inputs=inputs,
+        output=out_ref,
+        columns=columns,
+        run=RunMetadata(
+            app_id=app_id,
+            app_name=app_name,
+            func_name=func_name,
+            duration_s=duration_s,
+            error=error,
+            num_output_rows=num_output_rows,
+        ),
+    )

@@ -1,0 +1,164 @@
+"""Session construction and the LineageSession facade.
+
+The reference registers a JVM ``QueryExecutionListener`` via the static
+conf ``spark.sql.queryExecutionListeners`` (SURVEY.md §0; the mechanism
+is verified Spark behavior — pyspark/sql/tests/test_listener.py). A
+Python listener cannot be plugged into that JVM hook, so this engine
+captures lineage at the facade boundary instead: ``LineageSession``
+wraps ``SparkSession`` and emits a report per executed action/write by
+walking the analyzed logical plan (SURVEY.md §3.1 step 4).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Runtime-settable confs applied to any session this engine touches.
+# All are safe to set repeatedly (idempotent).
+RUNTIME_CONFS: dict[str, str] = {
+    # Align with the DuckDB oracle: UTC timestamps, ANSI semantics
+    # (ANSI is the Spark 4 default; pinned for clarity).
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "true",
+    # AQE: runtime coalescing, skew-join splitting, broadcast conversion.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas exchange (toPandas, pandas UDFs).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ~cores shuffle parallelism for local mode; AQE coalesces further
+    # at tiny SF. On a real cluster this would scale with executors.
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+def tune_runtime(spark: SparkSession) -> SparkSession:
+    """Apply engine runtime confs to an externally-built session.
+
+    The correctness driver constructs its own ``SparkSession``; queries
+    call this to pin semantics (timezone, ANSI) and scale knobs (AQE,
+    shuffle partitions) without restarting the JVM.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this build — keep going
+    return spark
+
+
+def build_spark(
+    app_name: str = "spark_lineage_spark",
+    cpus: Optional[int] = None,
+    extra_confs: Optional[dict[str, str]] = None,
+) -> SparkSession:
+    """Build a local SparkSession tuned for this engine.
+
+    local[N] = one JVM, N executor threads; ``spark.driver.memory`` is
+    the only memory knob that matters there. On a real cluster the same
+    confs apply per-executor and AQE handles partition sizing.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/sls_warehouse")
+        # Files: split large scans into ~128MB tasks (default) but make
+        # tiny SF still parallel enough via openCostInBytes default.
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    tune_runtime(spark)
+    return spark
+
+
+class LineageSession:
+    """Engine facade: a SparkSession whose reads/writes/actions emit lineage.
+
+    Mirrors the reference's observable behavior (one report per completed
+    query: inputs, output, fields, run metadata — SURVEY.md §0) while
+    staying plan-driven: both the SQL and DataFrame entry points converge
+    on the same analyzed logical plan, so extraction happens there.
+    """
+
+    def __init__(self, spark: SparkSession, reporter: Optional["Reporter"] = None):
+        from spark_lineage_spark.plans.reporters import JsonlReporter
+
+        self.spark = tune_runtime(spark)
+        self.reporter = reporter if reporter is not None else JsonlReporter()
+        self.app_id = spark.sparkContext.applicationId
+        self.app_name = spark.sparkContext.appName
+
+    # -- entry points -------------------------------------------------
+    @property
+    def read(self):
+        from spark_lineage_spark.sources.reader import LineageReader
+
+        return LineageReader(self)
+
+    def sql(self, query: str, **kwargs) -> "LineageDataFrame":
+        return self._wrap(self.spark.sql(query, **kwargs))
+
+    def table(self, name: str) -> "LineageDataFrame":
+        return self._wrap(self.spark.table(name))
+
+    def _wrap(self, df: DataFrame) -> "LineageDataFrame":
+        from spark_lineage_spark.sources.frame import LineageDataFrame
+
+        return LineageDataFrame(df, self)
+
+    # -- capture ------------------------------------------------------
+    def emit(
+        self,
+        df: DataFrame,
+        func_name: str,
+        duration_s: float,
+        output: Optional[dict[str, Any]] = None,
+        error: Optional[str] = None,
+    ) -> None:
+        """Build a report from ``df``'s analyzed plan and ship it.
+
+        Read-only plan traversal — adds zero extra Spark jobs
+        (BASELINE.md lineage-overhead budget).
+        """
+        from spark_lineage_spark.plans.extract import extract_report
+
+        report = extract_report(
+            df,
+            func_name=func_name,
+            duration_s=duration_s,
+            app_id=self.app_id,
+            app_name=self.app_name,
+            output=output,
+            error=error,
+        )
+        self.reporter.report(report)
+
+    # -- lineage-as-a-table (the catalog is itself queryable) ---------
+    def lineage(self) -> DataFrame:
+        """Return the captured lineage log as a DataFrame (dogfooding)."""
+        from spark_lineage_spark.plans.reporters import JsonlReporter
+
+        if isinstance(self.reporter, JsonlReporter) and os.path.exists(self.reporter.path):
+            return self.spark.read.json(self.reporter.path)
+        raise ValueError("lineage() requires a JsonlReporter with at least one report")
+
+
+def new_run_id() -> str:
+    return uuid.uuid4().hex[:12]
+
+
+def now_s() -> float:
+    return time.time()

@@ -1,0 +1,118 @@
+"""LineageDataFrame: a DataFrame whose actions emit lineage reports.
+
+The reference's listener fires on query completion
+(``onSuccess(funcName, qe, durationNs)`` — SURVEY.md §0). The facade
+equivalent: intercept DataFrame ACTIONS (collect/count/toPandas/...),
+run them, then emit one report built from the analyzed plan.
+Transformations stay lazy and wrapped; no extra Spark jobs are added.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+# Actions that terminate a query and trigger a report.
+_ACTIONS = {
+    "collect",
+    "count",
+    "toPandas",
+    "toLocalIterator",
+    "show",
+    "take",
+    "tail",
+    "head",
+    "first",
+    "foreach",
+    "foreachPartition",
+}
+
+
+class LineageDataFrame:
+    """Transparent DataFrame proxy; see module docstring."""
+
+    def __init__(self, df: DataFrame, session: "LineageSession"):
+        self._df = df
+        self._session = session
+
+    # -- plumbing -----------------------------------------------------
+    @property
+    def df(self) -> DataFrame:
+        """The raw underlying DataFrame (escape hatch)."""
+        return self._df
+
+    @property
+    def write(self):
+        from spark_lineage_spark.sources.writer import LineageWriter
+
+        return LineageWriter(self._df, self._session)
+
+    @property
+    def writeStream(self):
+        # Streaming lineage is handled by the StreamingQueryListener
+        # (spark_lineage_spark.streaming.listener), not the facade.
+        return self._df.writeStream
+
+    def __getattr__(self, name: str) -> Any:
+        attr = getattr(self._df, name)
+        if name in _ACTIONS and callable(attr):
+            return self._wrap_action(name, attr)
+        if callable(attr):
+            def method(*args, **kwargs):
+                out = attr(*args, **kwargs)
+                if isinstance(out, DataFrame):
+                    return LineageDataFrame(out, self._session)
+                return out
+
+            return method
+        return attr
+
+    def __getitem__(self, item):
+        return self._df[item]
+
+    @property
+    def columns(self):
+        return self._df.columns
+
+    @property
+    def schema(self):
+        return self._df.schema
+
+    # -- action interception ------------------------------------------
+    def _wrap_action(self, name: str, fn):
+        def action(*args, **kwargs):
+            t0 = time.time()
+            err = None
+            try:
+                result = fn(*args, **kwargs)
+            except Exception as e:  # report failures too (onFailure parity)
+                err = f"{type(e).__name__}: {e}"
+                self._session.emit(self._df, name, time.time() - t0, error=err)
+                raise
+            n_rows = None
+            if name == "count":
+                n_rows = result
+            elif name in ("collect", "take", "tail"):
+                try:
+                    n_rows = len(result)
+                except Exception:
+                    pass
+            elif name == "toPandas":
+                try:
+                    n_rows = int(result.shape[0])
+                except Exception:
+                    pass
+            self._session.emit(self._df, name, time.time() - t0)
+            if n_rows is not None and self._session.reporter is not None:
+                # annotate the just-emitted report with the row count
+                try:
+                    reports = getattr(self._session.reporter, "reports", None)
+                    if reports:
+                        reports[-1].run.num_output_rows = n_rows
+                except Exception:
+                    pass
+            return result
+
+        return action

@@ -1,0 +1,286 @@
+"""Aggregations (SURVEY.md §2.4): hash aggs, multi-level, stats, sketches.
+
+Spark runs every groupBy as partial (map-side) + final agg around one
+shuffle on the grouping keys — no code here needs to hand-schedule
+that. Rounding discipline: sums/avgs of doubles are rounded because
+accumulation order is nondeterministic; counts are exact.
+
+DuckDB oracle notes: sum(BIGINT) returns HUGEINT there — always
+CAST(... AS BIGINT) in oracle SQL to match Spark's long.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from spark_lineage_spark.registry import query
+from spark_lineage_spark.tables import load
+
+
+@query(
+    "agg_global",
+    "§2.4 global agg (no grouping keys)",
+    """
+    SELECT count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price,
+           count(DISTINCT l_suppkey) AS n_supp
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    "§2.4 exact count distinct per group",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS n_orders,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple exact distincts per group — Spark plans this with an
+    Expand (one row per distinct-column) + two-phase agg."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query("agg_approx_sketches", "§2.4 approx distinct + sketches — rows-only", None)
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL / CountMin estimates are engine-specific (SURVEY §2.4) —
+    rows-only. Deterministic within Spark (fixed seeds)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_suppkey")).alias("hll_supp"),
+        F.md5(
+            F.count_min_sketch(F.col("l_linenumber"), F.lit(0.01), F.lit(0.95), F.lit(42))
+        ).alias("cms_md5"),
+    )
+
+
+@query(
+    "agg_rollup",
+    "§2.4 rollup (subtotal levels, ANSI null markers)",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@query(
+    "agg_cube",
+    "§2.4 cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 4).alias("avg_price")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    "§2.4 grouping sets + grouping()",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           grouping(o_orderstatus) AS g_status,
+           grouping(o_orderpriority) AS g_prio,
+           count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_lineage_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    # SQL entry point: groupingSets + grouping() markers, ANSI-aligned
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_prio,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_stats",
+    "§2.4 statistical aggregates",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(var_samp(l_quantity), 6) AS var_qty,
+           round(stddev_pop(l_discount), 6) AS sdp_disc,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           round(covar_pop(l_quantity, l_extendedprice), 4) AS cov_qp
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.stddev_pop("l_discount"), 6).alias("sdp_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("cov_qp"),
+    )
+
+
+@query(
+    "agg_percentile_median",
+    "§2.4 exact percentiles + median",
+    """
+    SELECT o_orderstatus,
+           round(median(o_totalprice), 4) AS med_price,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.90), 4) AS p90
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_percentile_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.median("o_totalprice"), 4).alias("med_price"),
+        F.round(F.percentile("o_totalprice", 0.25), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", 0.90), 4).alias("p90"),
+    )
+
+
+@query(
+    "agg_mode_deterministic",
+    "§2.4 mode (deterministic tie-break: smallest value wins)",
+    """
+    SELECT o_orderstatus, o_orderpriority AS mode_prio
+    FROM (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS c
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    )
+    QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+                               ORDER BY c DESC, o_orderpriority) = 1
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in mode() has engine-defined tie-breaks; the deterministic
+    contract is count+row_number (same shape both engines)."""
+    o = load(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("c"), "o_orderpriority")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_prio"))
+    )
+
+
+@query(
+    "agg_collect_listagg",
+    "§2.4 collect_list / collect_set / listagg (order-pinned)",
+    """
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(n_name)), ',') AS all_names,
+           array_to_string(list_sort(list(DISTINCT substr(n_name, 1, 1))), ',') AS initials
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_collect_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row→array aggs are order-sensitive; pin with sort_array before
+    serializing to a comparable string (SURVEY §2.4 note)."""
+    n = load(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("all_names"),
+        F.array_join(F.sort_array(F.collect_set(F.substring("n_name", 1, 1))), ",").alias(
+            "initials"
+        ),
+    )
+
+
+@query(
+    "agg_min_by_max_by",
+    "§2.4 min_by/max_by + deterministic first/last",
+    """
+    SELECT o_custkey,
+           arg_min(o_orderkey, o_orderdate) AS first_order,
+           arg_max(o_orderkey, o_orderdate) AS last_order,
+           min(o_orderdate) AS first_date
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate FROM orders
+      QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                 ORDER BY o_orderkey) = 1
+    )
+    GROUP BY o_custkey
+    """,
+)
+def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmin/argmax; input pre-deduped to one row per (key, date) so
+    ties cannot make arg_min/arg_max engine-dependent."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy("o_orderkey")
+    dedup = (
+        o.select("o_custkey", "o_orderkey", "o_orderdate")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return dedup.groupBy("o_custkey").agg(
+        F.min_by("o_orderkey", "o_orderdate").alias("first_order"),
+        F.max_by("o_orderkey", "o_orderdate").alias("last_order"),
+        F.min("o_orderdate").alias("first_date"),
+    )
+
+
+@query(
+    "agg_pivot",
+    "§2.4 pivot (fixed value list)",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F"
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+    )
+    return pv.select(
+        "l_returnflag",
+        F.round(F.col("O"), 2).alias("O"),
+        F.round(F.col("F"), 2).alias("F"),
+    )

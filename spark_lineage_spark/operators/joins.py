@@ -1,0 +1,326 @@
+"""Joins (SURVEY.md §2.3): every join type, lineage-multi-input.
+
+Scale notes (100 TB posture):
+- equi joins shuffle on the key; AQE converts to broadcast when a side
+  is small at runtime and splits skewed partitions.
+- explicitly-broadcast dims (`F.broadcast`) skip the shuffle entirely.
+- theta/band joins are BroadcastNestedLoopJoin — only ever used here
+  with a provably small side (supplier/region); at 100 TB a band join
+  should be bucketized first (see join_range_band docstring).
+- the as-of join is the union+window trick: one shuffle on the user
+  key, no nested loop, linear state — the scalable form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from spark_lineage_spark.registry import query
+from spark_lineage_spark.tables import load, register_views
+
+
+@query(
+    "join_inner_equi",
+    "§2.3 inner equi join",
+    """
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, o = load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "join_broadcast_dim",
+    "§2.3 broadcast hash join (small dim)",
+    """
+    SELECT n_name, r_name, count(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema probe: both dims broadcast — zero shuffles for the
+    joins themselves; only the final agg shuffles (on 25 keys)."""
+    c = load(spark, sf_dir, "customer")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "join_left_outer",
+    "§2.3 left outer join (null extension)",
+    """
+    SELECT c_custkey, count(o_orderkey) AS n_orders,
+           coalesce(round(sum(o_totalprice), 2), 0.0) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.round(F.sum("o_totalprice"), 2), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "join_right_outer",
+    "§2.3 right outer join",
+    """
+    SELECT s_suppkey, s_name, count(l_orderkey) AS n_items
+    FROM lineitem RIGHT JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_suppkey, s_name
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, s = load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "supplier")
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey, "right")
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("l_orderkey").alias("n_items"))
+    )
+
+
+@query(
+    "join_full_outer",
+    "§2.3 full outer join",
+    """
+    WITH od AS (SELECT o_orderdate AS d, count(*) AS n_orders FROM orders GROUP BY 1),
+         ld AS (SELECT l_shipdate AS d, count(*) AS n_ships FROM lineitem GROUP BY 1)
+    SELECT coalesce(od.d, ld.d) AS d,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(n_ships, 0) AS n_ships
+    FROM od FULL JOIN ld ON od.d = ld.d
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two aggregated sides so both null-extension directions occur."""
+    o = load(spark, sf_dir, "orders").groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count("*").alias("n_orders")
+    )
+    l = load(spark, sf_dir, "lineitem").groupBy(F.col("l_shipdate").alias("d")).agg(
+        F.count("*").alias("n_ships")
+    )
+    return (
+        o.join(l, "d", "full")
+        .select(
+            F.col("d"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_ships", F.lit(0)).alias("n_ships"),
+        )
+    )
+
+
+@query(
+    "join_left_semi",
+    "§2.3 left semi (EXISTS)",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_left_anti",
+    "§2.3 left anti (NOT EXISTS; null-safe unlike NOT IN)",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    "§2.3 cross join (guarded: 5×25 rows)",
+    """
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r, n = load(spark, sf_dir, "region"), load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_theta_nonequi",
+    "§2.3 theta / inequality join",
+    """
+    SELECT a.s_suppkey AS s1, b.s_suppkey AS s2
+    FROM supplier a JOIN supplier b
+      ON a.s_acctbal < b.s_acctbal AND a.s_nationkey = b.s_nationkey
+    """,
+)
+def join_theta_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inequality conjunct forces BroadcastNestedLoopJoin on the
+    non-equi part; the equi conjunct keeps the pair count bounded.
+    supplier is tiny (100 rows at sf0.01) — safe to nested-loop."""
+    s = load(spark, sf_dir, "supplier")
+    a, b = s.alias("a"), s.alias("b")
+    return a.join(
+        b,
+        (F.col("a.s_acctbal") < F.col("b.s_acctbal"))
+        & (F.col("a.s_nationkey") == F.col("b.s_nationkey")),
+        "inner",
+    ).select(F.col("a.s_suppkey").alias("s1"), F.col("b.s_suppkey").alias("s2"))
+
+
+@query(
+    "join_range_band",
+    "§2.3 range/interval (band) join",
+    """
+    SELECT s_suppkey, count(c_custkey) AS n_close
+    FROM supplier LEFT JOIN customer
+      ON c_acctbal BETWEEN s_acctbal - 50.0 AND s_acctbal + 50.0
+    GROUP BY s_suppkey
+    """,
+)
+def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join. Here the build side (supplier) is broadcast-small so a
+    nested-loop is optimal. At 100 TB with two big sides: bucketize the
+    band key to width = band radius, equi-join on bucket ∈ {b-1,b,b+1},
+    then re-filter the exact band — turns O(n·m) into a co-partitioned
+    equi join. That path is exercised in llm similarity ops (§2.11)."""
+    s, c = load(spark, sf_dir, "supplier"), load(spark, sf_dir, "customer")
+    return (
+        s.join(
+            c,
+            c.c_acctbal.between(s.s_acctbal - 50.0, s.s_acctbal + 50.0),
+            "left",
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count("c_custkey").alias("n_close"))
+    )
+
+
+@query(
+    "join_asof",
+    "§2.3 as-of join (latest click ≤ purchase time per user)",
+    """
+    WITH c AS (
+      SELECT user_id, event_id, date_trunc('microseconds', ts) AS tsu
+      FROM events WHERE event_type = 'click'
+      QUALIFY row_number() OVER (PARTITION BY user_id, date_trunc('microseconds', ts)
+                                 ORDER BY event_id DESC) = 1
+    ),
+    p AS (
+      SELECT user_id, event_id, date_trunc('microseconds', ts) AS tsu
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.tsu <= p.tsu
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of via union+window (the scalable pure-DataFrame path,
+    SURVEY §2.3): tag clicks 0 / purchases 1, sort within user by
+    (time, kind, event_id), carry the last click id forward with
+    last_value(ignorenulls) — one shuffle on user_id, linear scan,
+    no nested loop. Ties at the same microsecond: click sorts first
+    (<= semantics) and the highest click event_id wins (matches the
+    oracle's dedup rule)."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "purchase"))
+    tagged = e.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("tsu"),  # Spark ts is already µs precision
+        F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1)).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tsu", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged.withColumn(
+        "click_id",
+        F.last(F.when(F.col("kind") == 0, F.col("event_id")), ignorenulls=True).over(w),
+    )
+    return carried.filter(F.col("kind") == 1).select(
+        F.col("event_id").alias("purchase_id"), "click_id"
+    )
+
+
+@query(
+    "join_lateral_topn",
+    "§2.3 lateral join (top-2 customers per nation)",
+    """
+    SELECT n_name, c_custkey
+    FROM nation, LATERAL (
+      SELECT c_custkey FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) t
+    """,
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated per-row subquery via the SQL entry point (both entry
+    points converge on the same plan — SURVEY §3)."""
+    register_views(spark, sf_dir, ["nation", "customer"])
+    return spark.sql(
+        """
+        SELECT n_name, c_custkey
+        FROM nation, LATERAL (
+          SELECT c_custkey FROM customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) t
+        """
+    )
+
+
+@query(
+    "join_self_alias",
+    "§2.3 self-join with aliases",
+    """
+    SELECT a.n_name AS n1, b.n_name AS n2
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name
+    """,
+)
+def join_self_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_name") < F.col("b.n_name")),
+    ).select(F.col("a.n_name").alias("n1"), F.col("b.n_name").alias("n2"))

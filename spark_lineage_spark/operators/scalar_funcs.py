@@ -1,0 +1,375 @@
+"""Scalar function batteries (SURVEY.md §2.8): string/regex/date/math/
+conditional/hash/array/map/json/cast — several functions per query.
+
+All built-in ``pyspark.sql.functions`` — JVM-side, inside whole-stage
+codegen; no Python in the hot path. Spark↔DuckDB semantic drift
+(datediff arg order, map subscript, epoch type, libm last-ulp) is
+resolved in the ORACLE SQL, never by weakening the engine
+(SURVEY.md §7 M4 conventions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from spark_lineage_spark.registry import query
+from spark_lineage_spark.tables import load
+
+
+@query(
+    "fn_string_battery",
+    "§2.8 string functions",
+    """
+    SELECT p_partkey,
+           concat(p_brand, ':', upper(p_name)) AS brand_name,
+           lower(p_type) AS type_lc,
+           substr(p_name, 1, 5) AS name5,
+           length(p_name) AS name_len,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           rpad(p_brand, 10, '.') AS brand_pad,
+           replace(p_name, ' ', '_') AS name_us,
+           len(string_split(p_name, ' ')) AS n_words,
+           split_part(p_name, ' ', 2) AS second_word,
+           trim(concat('  ', p_name, '  ')) AS trimmed,
+           levenshtein(p_name, 'small ring') AS lev,
+           translate(p_brand, '#', '-') AS brand_dash,
+           repeat(substr(p_name, 1, 2), 2) AS rep2
+    FROM part
+    """,
+)
+def fn_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat_ws(":", "p_brand", F.upper("p_name")).alias("brand_name"),
+        F.lower("p_type").alias("type_lc"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.length("p_name").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.rpad("p_brand", 10, ".").alias("brand_pad"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_us"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("second_word"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.levenshtein(F.col("p_name"), F.lit("small ring")).alias("lev"),
+        F.translate("p_brand", "#", "-").alias("brand_dash"),
+        F.repeat(F.substring("p_name", 1, 2), 2).alias("rep2"),
+    )
+
+
+@query(
+    "fn_regex_battery",
+    "§2.8 regexp_extract / regexp_replace / [i]like / rlike",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS noun,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+           (p_name LIKE '%bolt%') AS has_bolt,
+           (p_name ILIKE '%RING%') AS has_ring_ci,
+           regexp_matches(p_brand, '#1?[0-9]$') AS brand_rx
+    FROM part
+    """,
+)
+def fn_regex_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Java vs RE2-ish dialect drift: patterns here use the common
+    subset (char classes, groups, anchors)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+) ([a-z]+)", 2).alias("noun"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("devoweled"),
+        F.col("p_name").like("%bolt%").alias("has_bolt"),
+        F.col("p_name").ilike("%RING%").alias("has_ring_ci"),
+        F.col("p_brand").rlike("#1?[0-9]$").alias("brand_rx"),
+    )
+
+
+@query(
+    "fn_datetime_battery",
+    "§2.8 date/time functions",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS y,
+           month(o_orderdate) AS m,
+           day(o_orderdate) AS d,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 7 DAY, '%Y-%m-%d') AS plus7,
+           strftime(CAST(o_orderdate AS DATE) - INTERVAL 30 DAY, '%Y-%m-%d') AS minus30,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+           date_trunc('month', o_orderdate) AS month_start,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS od,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           strftime(make_date(year(o_orderdate), month(o_orderdate), 1), '%Y-%m-%d') AS first_of_month,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+)
+def fn_datetime_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB drift handled in oracle: datediff arg order is
+    (end, start) in Spark vs date_diff('day', start, end); DATE +
+    INTERVAL returns TIMESTAMP in DuckDB (cast back); epoch() returns
+    DOUBLE (cast to BIGINT). DATE-typed result columns are formatted
+    to ISO strings on both sides — Spark hands pandas datetime.date
+    while DuckDB hands datetime64, which value-hash as different
+    strings even when equal."""
+    o = load(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    iso = "yyyy-MM-dd"
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.date_format(F.date_add(od, 7), iso).alias("plus7"),
+        F.date_format(F.date_sub(od, 30), iso).alias("minus30"),
+        F.datediff(od, F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_format(od, iso).alias("od"),
+        F.date_format(F.last_day(od), iso).alias("month_end"),
+        F.date_format(
+            F.make_date(F.year("o_orderdate"), F.month("o_orderdate"), F.lit(1)), iso
+        ).alias("first_of_month"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@query(
+    "fn_math_battery",
+    "§2.8 math functions",
+    """
+    SELECT o_orderkey,
+           abs(o_totalprice - 200000.0) AS dist200k,
+           CAST(ceil(o_totalprice / 1000.0) AS BIGINT) AS price_k_ceil,
+           CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_k_floor,
+           round(sqrt(o_totalprice), 8) AS sqrt_p,
+           round(exp(o_totalprice / 1000000.0), 10) AS exp_small,
+           round(ln(o_totalprice), 10) AS ln_p,
+           pow(2.0, CAST(o_orderkey % 10 AS DOUBLE)) AS pow2,
+           o_orderkey % 7 AS mod7,
+           CAST(sign(o_totalprice - 200000.0) AS DOUBLE) AS sgn,
+           o_totalprice / nullif(CAST(o_custkey % 3 AS DOUBLE), 0.0) AS try_div
+    FROM orders
+    """,
+)
+def fn_math_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """libm last-ulp drift (exp/ln) is bounded by rounding to 8-10
+    digits; sqrt/pow-of-2 are IEEE-exact. try_divide ≡ x/NULLIF(y,0)
+    under ANSI (division by zero would otherwise raise). Result-type
+    drift fixed in oracle: DuckDB ceil/floor return DOUBLE (Spark:
+    BIGINT) and sign returns TINYINT (Spark signum: DOUBLE)."""
+    o = load(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.abs(tp - 200000.0).alias("dist200k"),
+        F.ceil(tp / 1000.0).alias("price_k_ceil"),
+        F.floor(tp / 1000.0).alias("price_k_floor"),
+        F.round(F.sqrt(tp), 8).alias("sqrt_p"),
+        F.round(F.exp(tp / 1000000.0), 10).alias("exp_small"),
+        F.round(F.log(tp), 10).alias("ln_p"),
+        F.pow(F.lit(2.0), (F.col("o_orderkey") % 10).cast("double")).alias("pow2"),
+        (F.col("o_orderkey") % 7).alias("mod7"),
+        F.signum(tp - 200000.0).alias("sgn"),
+        F.try_divide(tp, (F.col("o_custkey") % 3).cast("double")).alias("try_div"),
+    )
+
+
+@query(
+    "fn_conditional_battery",
+    "§2.8 CASE WHEN / coalesce / nullif / greatest / least",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000.0 THEN 'big'
+                WHEN o_totalprice > 150000.0 THEN 'mid'
+                ELSE 'small' END AS bucket,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_filled,
+           greatest(o_totalprice, 250000.0) AS at_least_250k,
+           least(CAST(o_custkey AS BIGINT), CAST(o_orderkey % 1000 AS BIGINT)) AS small_key
+    FROM orders
+    """,
+)
+def fn_conditional_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000.0, "big")
+        .when(F.col("o_totalprice") > 150000.0, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("PENDING")).alias(
+            "status_filled"
+        ),
+        F.greatest("o_totalprice", F.lit(250000.0)).alias("at_least_250k"),
+        F.least(F.col("o_custkey"), F.col("o_orderkey") % 1000).alias("small_key"),
+    )
+
+
+@query(
+    "fn_hash_portable",
+    "§2.8 md5 / sha2-256 (cross-engine hashes)",
+    """
+    SELECT c_custkey,
+           md5(c_name) AS name_md5,
+           sha256(c_name) AS name_sha256
+    FROM customer
+    """,
+)
+def fn_hash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5(F.col("c_name").cast("binary")).alias("name_md5"),
+        F.sha2(F.col("c_name").cast("binary"), 256).alias("name_sha256"),
+    )
+
+
+@query("fn_hash_spark_native", "§2.8 crc32 / xxhash64 / murmur hash — rows-only", None)
+def fn_hash_spark_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-specific hash functions (fixed seed 42) — deterministic
+    within Spark, no DuckDB equivalent (SURVEY §2.8)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.crc32(F.col("c_name").cast("binary")).alias("name_crc32"),
+        F.xxhash64("c_name").alias("name_xxh64"),
+        F.hash("c_name").alias("name_murmur"),
+    )
+
+
+@query(
+    "fn_array_battery",
+    "§2.8 array ops + higher-order functions (on embeddings)",
+    """
+    SELECT vec_id,
+           len(embedding) AS n_dims,
+           CAST(embedding[1] AS DOUBLE) AS e0,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS sum_emb,
+           round(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                             (a, x) -> a + x), 6) AS norm_sq,
+           CAST(list_sort(embedding)[64] AS DOUBLE) AS max_comp,
+           list_contains(list_transform(embedding, x -> x > 0.5), true) AS any_big
+    FROM embeddings
+    """,
+)
+def fn_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order fns (transform/filter/aggregate/zip_with) run
+    JVM-side per-element — no UDF. float32 components are cast to
+    double before arithmetic so both engines accumulate in float64."""
+    e = load(spark, sf_dir, "embeddings")
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.element_at("embedding", 1).cast("double").alias("e0"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_pos"),
+        F.round(F.aggregate(emb_d, F.lit(0.0), lambda a, x: a + x), 6).alias("sum_emb"),
+        F.round(
+            F.aggregate(
+                F.zip_with(emb_d, emb_d, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+            ),
+            6,
+        ).alias("norm_sq"),
+        F.element_at(F.sort_array("embedding"), 64).cast("double").alias("max_comp"),
+        F.exists(F.col("embedding"), lambda x: x > 0.5).alias("any_big"),
+    )
+
+
+@query(
+    "fn_array_explode",
+    "§2.8 explode / posexplode",
+    """
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1 AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS comp
+    FROM embeddings
+    WHERE vec_id < 20
+    """,
+)
+def fn_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "comp")
+    ).withColumn("comp", F.col("comp").cast("double"))
+
+
+@query(
+    "fn_map_battery",
+    "§2.8 map construction and access",
+    """
+    SELECT c_custkey,
+           array_to_string(map_keys(MAP {'segment': c_mktsegment, 'name': c_name}), ',') AS ks,
+           (MAP {'segment': c_mktsegment, 'name': c_name})['segment'][1] AS seg,
+           round(CAST((MAP {'bal': c_acctbal})['bal'][1] AS DOUBLE), 2) AS bal
+    FROM customer
+    """,
+)
+def fn_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB drift: map subscript returns a LIST — oracle unwraps
+    with [1]. Spark map keys keep insertion order; both orders here
+    are fixed literals so array_to_string agrees."""
+    c = load(spark, sf_dir, "customer")
+    m = F.create_map(
+        F.lit("segment"), F.col("c_mktsegment"), F.lit("name"), F.col("c_name")
+    )
+    return c.select(
+        "c_custkey",
+        F.array_join(F.map_keys(m), ",").alias("ks"),
+        F.element_at(m, "segment").alias("seg"),
+        F.round(F.element_at(F.create_map(F.lit("bal"), F.col("c_acctbal")), "bal"), 2).alias(
+            "bal"
+        ),
+    )
+
+
+@query(
+    "fn_json_battery",
+    "§2.8 JSON extraction (events.props)",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS k_doubled,
+           json_extract_string(props, '$.missing') AS missing
+    FROM events
+    """,
+)
+def fn_json_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    parsed = F.from_json("props", "k INT")
+    return e.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("int").alias("k_int"),
+        (parsed.getField("k") * 2).alias("k_doubled"),
+        F.get_json_object("props", "$.missing").alias("missing"),
+    )
+
+
+@query(
+    "fn_cast_battery",
+    "§2.8 casts across numeric/string/timestamp/decimal",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS od,
+           CAST(trunc(o_totalprice) AS BIGINT) AS price_int,
+           CAST(CAST(o_totalprice AS DECIMAL(18, 2)) AS DOUBLE) AS price_dec2,
+           CAST(substr(CAST(o_orderkey AS VARCHAR), 1, 2) AS INTEGER) AS first2
+    FROM orders
+    """,
+)
+def fn_cast_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI mode on both engines: overflow/bad casts raise rather than
+    returning NULL (SURVEY §2.8 decision). Drift handled in oracle:
+    Spark double→bigint truncates toward zero, DuckDB rounds
+    (oracle uses trunc()); DATE columns formatted as ISO strings."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias("od"),
+        F.col("o_totalprice").cast("bigint").alias("price_int"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price_dec2"),
+        F.substring(F.col("o_orderkey").cast("string"), 1, 2).cast("int").alias("first2"),
+    )

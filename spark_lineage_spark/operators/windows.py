@@ -1,0 +1,193 @@
+"""Window functions (SURVEY.md §2.5): ranking, analytic, frames, top-k.
+
+Windows shuffle once on partitionBy keys then sort within partitions —
+the same plan a 1000-executor cluster runs. Determinism discipline:
+every orderBy carries a unique tie-break column so row_number/lag/
+frames are reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from spark_lineage_spark.registry import query
+from spark_lineage_spark.tables import load
+
+_ORD = "ORDER BY l_quantity DESC, l_orderkey, l_linenumber"
+
+
+@query(
+    "win_ranking",
+    "§2.5 row_number / rank / dense_rank / ntile",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           row_number() OVER (PARTITION BY l_returnflag {_ORD}) AS rn,
+           rank()       OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS rnk,
+           dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS drnk,
+           ntile(4)     OVER (PARTITION BY l_returnflag {_ORD}) AS quartile
+    FROM lineitem
+    QUALIFY rn <= 500
+    """,
+)
+def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    order = [F.desc("l_quantity"), F.col("l_orderkey"), F.col("l_linenumber")]
+    w_full = Window.partitionBy("l_returnflag").orderBy(*order)
+    w_qty = Window.partitionBy("l_returnflag").orderBy(F.desc("l_quantity"))
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.row_number().over(w_full).alias("rn"),
+            F.rank().over(w_qty).alias("rnk"),
+            F.dense_rank().over(w_qty).alias("drnk"),
+            F.ntile(4).over(w_full).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 500)
+    )
+
+
+@query(
+    "win_lag_lead",
+    "§2.5 lag / lead with defaults",
+    """
+    SELECT o_custkey, o_orderkey,
+           lag(o_orderkey)      OVER w AS prev_order,
+           lead(o_orderkey)     OVER w AS next_order,
+           lag(o_orderkey, 2, -1) OVER w AS prev2_or_neg1
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.lag("o_orderkey", 2, -1).over(w).alias("prev2_or_neg1"),
+    )
+
+
+@query(
+    "win_value_picks",
+    "§2.5 first_value / last_value / nth_value over full frame",
+    """
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_ok,
+           last_value(o_orderkey)  OVER w AS last_ok,
+           nth_value(o_orderkey, 2) OVER w AS second_ok
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_value_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(w).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+    )
+
+
+@query(
+    "win_percent_cume",
+    "§2.5 percent_rank / cume_dist",
+    """
+    SELECT s_suppkey,
+           round(percent_rank() OVER (ORDER BY s_acctbal, s_suppkey), 8) AS pr,
+           round(cume_dist()    OVER (ORDER BY s_acctbal, s_suppkey), 8) AS cd
+    FROM supplier
+    """,
+)
+def win_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        F.round(F.percent_rank().over(w), 8).alias("pr"),
+        F.round(F.cume_dist().over(w), 8).alias("cd"),
+    )
+
+
+@query(
+    "win_running_moving",
+    "§2.5 running sum + moving average (row frames)",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+    FROM orders
+    """,
+)
+def win_running_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(base.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_total"),
+        F.round(F.avg("o_totalprice").over(base.rowsBetween(-2, 0)), 4).alias("moving_avg3"),
+    )
+
+
+@query(
+    "win_range_frame",
+    "§2.5 RANGE frame on a numeric key",
+    """
+    SELECT s_suppkey,
+           count(*) OVER (ORDER BY s_acctbal
+                 RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS n_within_100
+    FROM supplier
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Float RANGE bounds aren't accepted by the PySpark Window API
+    (ints only) — the SQL entry point supports them; same plan."""
+    from spark_lineage_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["supplier"])
+    return spark.sql(
+        """
+        SELECT s_suppkey,
+               count(*) OVER (ORDER BY s_acctbal
+                     RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS n_within_100
+        FROM supplier
+        """
+    )
+
+
+@query(
+    "win_topk_per_group",
+    "§2.5 top-k per group (row_number + filter)",
+    """
+    SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS bal
+    FROM customer
+    QUALIFY row_number() OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal DESC, c_custkey) <= 3
+    """,
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", F.round("c_acctbal", 2).alias("bal"))
+    )

@@ -34,6 +34,9 @@ RUNTIME_CONFS: dict[str, str] = {
     # ~cores shuffle parallelism for local mode; AQE coalesces further
     # at tiny SF. On a real cluster this would scale with executors.
     "spark.sql.shuffle.partitions": "32",
+    # events.parquet stores TIMESTAMP(NANOS) which Spark 4 rejects by
+    # default; read the raw int64 and convert to µs in tables.load().
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -70,6 +70,10 @@ def _canon_obj(v):
         return str([_canon_obj(x) for x in v])
     if isinstance(v, (datetime.datetime, pd.Timestamp)):
         return str(pd.Timestamp(v).floor("us"))
+    if isinstance(v, datetime.date):
+        # driver-visible drift: Spark DATE -> datetime.date, DuckDB DATE
+        # -> datetime64; queries should emit ISO strings instead
+        return str(v)
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     if isinstance(v, (bool, np.bool_)):
@@ -85,6 +89,14 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if sc != dc:
         problems.append(f"columns spark={sc} duck={dc}")
         return problems
+    # dtype-kind drift (int vs float vs object) stringifies differently
+    # in a driver-style value hash — treat as failure
+    for c in sorted(spark_pdf.columns):
+        ka = spark_pdf[c].dtype.kind
+        kb = duck_pdf[c].dtype.kind
+        norm = lambda k: {"i": "i", "u": "i", "f": "f", "M": "M", "b": "b"}.get(k, "O")
+        if norm(ka) != norm(kb):
+            problems.append(f"col {c}: dtype kind spark={spark_pdf[c].dtype} duck={duck_pdf[c].dtype}")
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     if len(a) != len(b):
         return problems

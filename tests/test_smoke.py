@@ -23,7 +23,8 @@ def test_registry_contract(spark):
     assert len(qs) >= 9
     assert set(oracles) <= set(qs)
     for name, sql in oracles.items():
-        assert isinstance(sql, str) and sql.strip().upper().startswith("SELECT"), name
+        assert isinstance(sql, str), name
+        assert sql.strip().upper().startswith(("SELECT", "WITH")), name
 
 
 def test_flagship_lineage_report(spark, sf_dir):

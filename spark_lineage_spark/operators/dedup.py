@@ -1,0 +1,282 @@
+"""Deduplication operators (SURVEY.md §2.11): exact, n-gram Jaccard,
+MinHash-LSH, SimHash, embedding-cosine near-dup.
+
+100 TB design notes per operator are in the docstrings; the common
+principles:
+- no pairwise O(n²) over the full corpus: every near-dup op blocks
+  (LSH bands / simhash bands / label blocking) before any pair is
+  formed, so candidate generation is an equi-join Catalyst shuffles
+  on the block key.
+- hashing is Spark-built-in (sha2 / xxhash64) — JVM-side, seedable,
+  deterministic across runs and cluster sizes.
+- the only Python is SimHash's 64-bit fold (Arrow-batched
+  applyInPandas over per-doc hash arrays — numpy bit ops, no
+  row-at-a-time UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from spark_lineage_spark.functions.arrays import cosine, to_double_array
+from spark_lineage_spark.functions.text_funcs import word_shingles
+from spark_lineage_spark.registry import query
+from spark_lineage_spark.tables import load
+
+JACCARD_THRESHOLD = 0.8
+
+
+@query(
+    "llm_dedup_exact",
+    "§2.11 exact dedup (content hash, deterministic survivor)",
+    """
+    SELECT doc_id, sha256(text) AS text_sha, lang
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1
+    """,
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-groupBy dedup: one shuffle on sha256(text) — the content
+    hash is uniform so there is no skew; survivor = lowest doc_id
+    (deterministic, unlike dropDuplicates)."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("text_sha").orderBy("doc_id")
+    return (
+        d.select("doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("text_sha"), "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _distinct_shingles(d) -> DataFrame:
+    """(doc_id, shingle) distinct — the shared candidate substrate."""
+    return (
+        d.select("doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+NGRAM_JACCARD_ORACLE = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM words),
+sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+       FROM w a
+       JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS c
+           FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY 1, 2)
+SELECT da, db, round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = da
+JOIN sizes sb ON sb.doc_id = db
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+"""
+
+
+@query("llm_dedup_ngram_jaccard", "§2.11 n-gram Jaccard near-dup (exact)", NGRAM_JACCARD_ORACLE)
+def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.8 pairs via the shingle inverted index:
+    explode distinct shingles → self-equi-join on shingle → count
+    common per pair → |A∪B| from per-doc sizes. No O(n²): only docs
+    sharing a shingle ever meet, and the join shuffles on the shingle
+    key. At 100 TB additionally drop ultra-frequent shingles (df >
+    threshold) before the self-join — they generate quadratic
+    candidates with no dedup signal."""
+    d = load(spark, sf_dir, "documents")
+    sh = _distinct_shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(sa, F.col("da") == F.col("sa.doc_id"))
+        .join(sb, F.col("db") == F.col("sb.doc_id"))
+        .withColumn("jaccard_raw", F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c")))
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+        .select("da", "db", F.round("jaccard_raw", 6).alias("jaccard"))
+    )
+
+
+MINHASH_PERMS = 32
+MINHASH_BANDS = 8  # 8 bands × 4 rows
+
+
+@query("llm_dedup_minhash_lsh", "§2.11 MinHash + LSH near-dup — rows-only", None)
+def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB near-dup path: MinHash signatures (32 perms via
+    seeded xxhash64, all JVM-side) → 8 LSH bands of 4 → candidates =
+    equi-join on (band, band_hash) → exact Jaccard verification on
+    candidates only. Collision probability for jaccard s is
+    1-(1-s^4)^8 (>0.99 at s=0.8), so recall at the 0.8 threshold is
+    near-exact while candidate count stays ~linear. Verified against
+    the exact operator in tests/test_llm_ops.py (planted dups +
+    sf0.01 equivalence); rows-only for the driver (not expressible as
+    one SQL statement)."""
+    d = load(spark, sf_dir, "documents")
+    sh = _distinct_shingles(d)
+
+    # 32-permutation signature: min over shingles of xxhash64(perm, shingle)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(MINHASH_PERMS)
+        ]
+    )
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    band_cols = [
+        F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"band{b}"
+        )
+        for b in range(MINHASH_BANDS)
+    ]
+    banded = sig.select("doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"))
+
+    bl = banded.alias("bl")
+    br = banded.alias("br")
+    candidates = (
+        bl.join(
+            br,
+            (F.col("bl.band_idx") == F.col("br.band_idx"))
+            & (F.col("bl.band_hash") == F.col("br.band_hash"))
+            & (F.col("bl.doc_id") < F.col("br.doc_id")),
+        )
+        .select(F.col("bl.doc_id").alias("da"), F.col("br.doc_id").alias("db"))
+        .distinct()
+    )
+
+    # exact verification on the (small) candidate set
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        candidates.join(a, F.col("da") == F.col("a.doc_id"))
+        .join(b, (F.col("db") == F.col("b.doc_id")) & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(sa, F.col("da") == F.col("sa.doc_id"))
+        .join(sb, F.col("db") == F.col("sb.doc_id"))
+        .withColumn("jaccard_raw", F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c")))
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+        .select("da", "db", F.round("jaccard_raw", 6).alias("jaccard"))
+    )
+
+
+SIMHASH_BANDS = 8  # 8 byte-wide bands -> guaranteed recall for hamming <= 7
+
+
+@query("llm_dedup_simhash", "§2.11 SimHash near-dup — rows-only", None)
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash: token hashes JVM-side (xxhash64), then one
+    Arrow-batched applyInPandas folds each doc's hash array into the
+    signature with numpy bit ops (the only Python step — vectorized,
+    per-doc not per-token). Candidates block on 8 byte-bands
+    (pigeonhole: any pair with hamming ≤ 7 shares a band), verified
+    with exact bit_count(xor) ≤ 6. Deterministic; recall/property
+    tests in tests/test_llm_ops.py."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    hashed = tok.groupBy("doc_id").agg(
+        F.collect_list(F.xxhash64("token")).alias("hashes")
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        out = []
+        for doc_id, hashes in zip(pdf["doc_id"], pdf["hashes"]):
+            h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+            score = (bits * 2 - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for j in np.nonzero(score >= 0)[0]:
+                sig |= np.uint64(1) << np.uint64(j)
+            out.append((doc_id, np.int64(sig)))
+        return pd.DataFrame(out, columns=["doc_id", "simhash"])
+
+    sigs = hashed.groupBy("doc_id").applyInPandas(fold, schema="doc_id long, simhash long")
+
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftrightunsigned("simhash", 8 * i).bitwiseAND(F.lit(255))).alias(f"b{i}")
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    bl = bands.alias("bl")
+    br = bands.alias("br")
+    return (
+        bl.join(
+            br,
+            (F.col("bl.band_idx") == F.col("br.band_idx"))
+            & (F.col("bl.band_key") == F.col("br.band_key"))
+            & (F.col("bl.doc_id") < F.col("br.doc_id")),
+        )
+        .select(
+            F.col("bl.doc_id").alias("da"),
+            F.col("br.doc_id").alias("db"),
+            F.bit_count(F.col("bl.simhash").bitwiseXOR(F.col("br.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+COSINE_NEARDUP_THRESHOLD = 0.40
+
+
+@query(
+    "llm_dedup_embedding_cosine",
+    "§2.11 embedding-cosine near-dup (label-blocked)",
+    f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings)
+    SELECT a.vec_id AS va, b.vec_id AS vb, a.label,
+           round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= {COSINE_NEARDUP_THRESHOLD}
+    """,
+)
+def llm_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with label blocking (stand-in for an LSH
+    bucket key at 100 TB — same join shape: equi-join on the block,
+    cosine only within blocks). Cosine computed in float64 via
+    zip_with/aggregate, rounded BEFORE thresholding so both engines
+    cut identically."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_array("embedding").alias("emb")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            F.col("a.label").alias("label"),
+            F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= COSINE_NEARDUP_THRESHOLD)
+    )

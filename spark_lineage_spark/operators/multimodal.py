@@ -1,0 +1,112 @@
+"""Multimodal columns (SURVEY.md §2.11): opaque binary blobs with typed
+metadata, decode/feature-extract via Arrow-batched mapInPandas.
+
+The container has no image/audio codecs, so decode for non-text media
+is STUBBED (clearly marked below) behind a deterministic fallback —
+but the Spark-side plumbing is real and tested: BinaryType columns
+through scans/joins/shuffles, metadata structs, Arrow batch transfer,
+partition-preserving mapInPandas with a stable output schema.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from spark_lineage_spark.registry import query
+from spark_lineage_spark.tables import load
+
+
+@query(
+    "llm_multimodal_blob",
+    "§2.11 binary columns through relational ops",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS blob_md5,
+           upper(substr(md5(text), 1, 8)) AS blob_key,
+           CASE WHEN octet_length(encode(text)) > 300 THEN 'large' ELSE 'small' END AS size_bucket
+    FROM documents
+    """,
+)
+def llm_multimodal_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob plumbing: text encoded to a real BinaryType column, then
+    length/hash/bucketing computed ON the binary column (not the
+    string) — the same expressions that apply to image/audio bytes."""
+    d = load(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(blob).alias("n_bytes"),
+        F.md5(blob).alias("blob_md5"),
+        F.upper(F.substring(F.md5(blob), 1, 8)).alias("blob_key"),
+        F.when(F.octet_length(blob) > 300, "large").otherwise("small").alias("size_bucket"),
+    )
+
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, n_bytes int, "
+    "feat array<double>, decode_status string"
+)
+
+
+def _extract_features(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """Arrow-batched feature extractor over (doc_id, media_type, blob).
+
+    text/plain: real features (byte histogram moments).
+    image/audio/video: STUB — the real implementation would decode
+    with PIL/ffmpeg here; this container has neither, so non-text
+    media yields decode_status='stub:<type>' and a deterministic
+    length-derived feature so the pipeline stays testable end-to-end
+    (SURVEY.md §2.11 multimodal row).
+    """
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, mt, blob in zip(pdf["doc_id"], pdf["media_type"], pdf["blob"]):
+            data = np.frombuffer(blob, dtype=np.uint8)
+            if mt == "text/plain":
+                feat = [
+                    float(data.mean()),
+                    float(data.std()),
+                    float(data.min()),
+                    float(data.max()),
+                ]
+                status = "ok"
+            else:
+                # STUB: no codec in this environment. Deterministic
+                # fake so downstream operators remain exercisable.
+                feat = [float(len(data) % 251), 0.0, 0.0, 0.0]
+                status = f"stub:{mt}"
+            rows.append((doc_id, mt, len(data), feat, status))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "media_type", "n_bytes", "feat", "decode_status"]
+        )
+
+
+@query("llm_multimodal_features", "§2.11 mapInPandas feature extraction — rows-only", None)
+def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract over binary media columns via
+    mapInPandas: Arrow batches in, vectorized numpy per batch, stable
+    typed schema out. Partitioning is preserved (no shuffle); at
+    100 TB this runs as a map-only stage colocated with the scan."""
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, "image/png")
+        .when(F.col("doc_id") % 10 == 1, "audio/wav")
+        .otherwise("text/plain")
+        .alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("blob"),
+    )
+    return media.mapInPandas(_extract_features, schema=MEDIA_SCHEMA).select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.round(F.element_at("feat", 1), 6).alias("byte_mean"),
+        F.round(F.element_at("feat", 2), 6).alias("byte_std"),
+        "decode_status",
+    )

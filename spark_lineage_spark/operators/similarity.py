@@ -1,0 +1,147 @@
+"""Similarity search over embeddings (SURVEY.md §2.11).
+
+Baseline: exact brute-force cosine top-k — broadcast the (small) query
+set, one linear scan over the corpus, per-query top-k via window. This
+is the shape that survives 100 TB: corpus-side stays partitioned, no
+shuffle of the corpus, the only shuffle is the final top-k on q keys
+(tiny). Scale path: random-hyperplane LSH bucketing — candidates =
+equi-join on bucket key, exact rerank inside buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from spark_lineage_spark.functions.arrays import cosine, dot, to_double_array
+from spark_lineage_spark.registry import query
+from spark_lineage_spark.tables import load
+
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 are the probe vectors
+
+
+@query(
+    "llm_knn_cosine_exact",
+    "§2.11 exact top-k cosine kNN (broadcast queries, linear scan)",
+    f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             round(list_cosine_similarity(q.emb, c.emb), 6) AS cos_sim
+      FROM q JOIN e c ON q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cos_sim
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) <= {TOP_K}
+    """,
+)
+def llm_knn_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN: F.broadcast(queries) ⋈ corpus — BroadcastNestedLoop
+    over a 10-row side = a map-side scan of the corpus, NO corpus
+    shuffle. Similarity is rounded to 6 digits BEFORE ranking, with
+    neighbor_id tie-break, so ranking is engine-independent."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_array("embedding").alias("emb")
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+        )
+    )
+    scored = (
+        q.join(e, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            F.round(cosine(F.col("qemb"), F.col("emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K).drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# scale path: random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+LSH_TABLES = 4
+LSH_BITS = 4
+_rng = np.random.RandomState(42)
+# fixed hyperplanes per table (seeded, embedded as plan literals —
+# deterministic across runs, sessions, and cluster sizes)
+HYPERPLANES = _rng.standard_normal((LSH_TABLES, LSH_BITS, 64)).round(6)
+
+
+def _bucket_expr(emb_col, table: int):
+    """Sign-LSH bucket id for one hash table: packed sign bits of
+    <emb, h_j>."""
+    bucket = F.lit(0)
+    for j in range(LSH_BITS):
+        h = F.array(*[F.lit(float(v)) for v in HYPERPLANES[table][j]])
+        bucket = bucket + F.when(dot(emb_col, h) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+@query("llm_ann_lsh", "§2.11 ANN via multi-table random-hyperplane LSH — rows-only", None)
+def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: L independent sign-LSH tables; candidates =
+    equi-join on (table, bucket); exact cosine rerank on candidates
+    only. Parameters size to the corpus: collision prob per hyperplane
+    is 1-θ/π, so bits-per-table b trades candidate volume against
+    recall and L tables amplify recall (1-(1-p)^L). This fixture is
+    near-random (NN cosine ≈0.4 → p_bit≈0.63): b=4, L=4 with 1-bit
+    multi-probe gives ~0.95 pair-collision; clustered production
+    embeddings (NN cosine ≥0.8 → p_bit≥0.8) support b=12-16 for
+    ~2^b-fold candidate reduction. At 100 TB the corpus is bucketed
+    once at write time (partition by (table, bucket)); probes shuffle
+    to buckets — no corpus-side O(n²). Recall vs the exact operator is
+    asserted in tests/test_llm_ops.py; rows-only for the driver (the
+    hyperplane matrix is a plan literal, impractical as one SQL
+    oracle)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_array("embedding").alias("emb")
+    )
+    # one row per (vector, table): bucket within that table
+    bucketed = e.select(
+        "vec_id",
+        "emb",
+        F.posexplode(
+            F.array(*[_bucket_expr(F.col("emb"), t) for t in range(LSH_TABLES)])
+        ).alias("tbl", "bucket"),
+    )
+    probes = bucketed.filter(F.col("vec_id") < N_QUERIES)
+
+    # multi-probe: exact bucket + every 1-bit flip within the table
+    probe_buckets = probes.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        "tbl",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(LSH_BITS)],
+            )
+        ).alias("bucket"),
+    )
+    cand = (
+        F.broadcast(probe_buckets)
+        .join(bucketed, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qemb"), F.col("emb")), 6).alias("cos_sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K).drop("rn")

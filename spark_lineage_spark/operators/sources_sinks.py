@@ -1,0 +1,194 @@
+"""Sources & sinks (SURVEY.md §2.1): format scans, sink round-trips,
+catalog tables, and a Spark-4 Python data source.
+
+Determinism pattern for scan/sink queries: derive the written file
+from a parquet table at query time (same rows regardless of
+partitioning), read it back through the format under test, aggregate;
+the oracle computes the same aggregate from the original table — so
+the comparison checks the full write→read round-trip.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from spark_lineage_spark.registry import query
+from spark_lineage_spark.tables import load, register_views
+
+
+def _tmp(name: str) -> str:
+    return os.path.join(tempfile.gettempdir(), f"sls_roundtrip_{name}")
+
+
+@query(
+    "scan_parquet_pushdown",
+    "§2.1 parquet scan (filter+projection pushed to the scan)",
+    """
+    SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def scan_parquet_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + 3-column projection over an 11-column table — explain
+    shows PushedFilters + pruned ReadSchema (tests/test_plans.py)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") >= "1997-01-01")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+@query(
+    "scan_csv_roundtrip",
+    "§2.1 csv sink + scan with explicit schema",
+    """
+    SELECT n_regionkey, count(*) AS n_nations,
+           array_to_string(list_sort(list(n_name)), '|') AS names
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed csv write → csv scan (header, explicit schema — no
+    inference in the checked path), then aggregate."""
+    out = _tmp("nation_csv")
+    nat = load(spark, sf_dir, "nation")
+    nat.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema(nat.schema).option("header", True).csv(out)
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias("names"),
+    )
+
+
+@query(
+    "scan_json_roundtrip",
+    "§2.1 json-lines sink + scan",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _tmp("events_json")
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "props")
+    ev.write.mode("overwrite").json(out)
+    back = spark.read.schema(ev.schema).json(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("k_sum"),
+    )
+
+
+@query(
+    "scan_orc_roundtrip",
+    "§2.1 orc sink + scan",
+    """
+    SELECT p_brand, count(*) AS n, round(avg(p_retailprice), 4) AS avg_price
+    FROM part GROUP BY p_brand
+    """,
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _tmp("part_orc")
+    p = load(spark, sf_dir, "part")
+    p.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("p_brand").agg(
+        F.count("*").alias("n"), F.round(F.avg("p_retailprice"), 4).alias("avg_price")
+    )
+
+
+@query(
+    "sink_parquet_partitioned",
+    "§2.1 partitioned parquet sink + partition-pruned re-read",
+    """
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """write.partitionBy(status) → re-read with a partition filter —
+    the re-read scans ONLY the o_orderstatus=F directory (static
+    partition pruning; the at-scale layout pattern)."""
+    out = _tmp("orders_part")
+    o = load(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@query(
+    "catalog_temp_view",
+    "§2.1 catalog table read (temp view through SQL)",
+    """
+    SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def catalog_temp_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ["customer"])
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+        FROM customer GROUP BY c_mktsegment
+        """
+    )
+
+
+@query(
+    "source_python_datasource",
+    "§2.1 Spark-4 Python data source (custom batch reader)",
+    """
+    SELECT CAST(i % 7 AS BIGINT) AS bucket, count(*) AS n, CAST(sum(i) AS BIGINT) AS total
+    FROM (SELECT unnest(generate_series(0, 9999)) AS i)
+    GROUP BY 1
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom DataSource (pyspark.sql.datasource): a partitioned
+    synthetic integer source — each partition generates its own range
+    (the escape hatch for systems without a built-in connector)."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    N, PARTS = 10000, 8
+
+    class RangePartition(InputPartition):
+        def __init__(self, start, end):
+            self.start, self.end = start, end
+
+    class SynthReader(DataSourceReader):
+        def partitions(self):
+            step = N // PARTS
+            return [RangePartition(i * step, min((i + 1) * step, N)) for i in range(PARTS)]
+
+        def read(self, partition):
+            for i in range(partition.start, partition.end):
+                yield (i,)
+
+    class SynthSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "sls_synth_range"
+
+        def schema(self):
+            return "i bigint"
+
+        def reader(self, schema):
+            return SynthReader()
+
+    try:
+        spark.dataSource.register(SynthSource)
+    except Exception:
+        pass  # already registered in this session
+    df = spark.read.format("sls_synth_range").load()
+    return df.groupBy((F.col("i") % 7).alias("bucket")).agg(
+        F.count("*").alias("n"), F.sum("i").alias("total")
+    )

@@ -1,0 +1,188 @@
+"""Text analysis operators (SURVEY.md §2.11): language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All built-in expressions (split/filter/regexp/md5) — the whole module
+is JVM-side and oracle-checkable. Heuristics are honest general-text
+heuristics; on the synthetic word-soup fixture they degrade gracefully
+(vocabulary is shared across langs) but stay deterministic, which is
+what the correctness gate checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from spark_lineage_spark.functions.text_funcs import LANG_MARKERS, marker_count, tokens
+from spark_lineage_spark.registry import query
+from spark_lineage_spark.tables import load
+
+
+def _duck_marker(markers):
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({lst})))"
+
+
+LANGID_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang AS true_lang,
+         CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 1 ELSE 0 END AS zh_hit,
+         {_duck_marker(LANG_MARKERS["en"])} AS en_s,
+         {_duck_marker(LANG_MARKERS["de"])} AS de_s,
+         {_duck_marker(LANG_MARKERS["es"])} AS es_s,
+         {_duck_marker(LANG_MARKERS["fr"])} AS fr_s
+  FROM documents
+)
+SELECT doc_id, true_lang,
+       CASE
+         WHEN zh_hit = 1 THEN 'zh'
+         WHEN greatest(en_s, de_s, es_s, fr_s) = 0 THEN 'und'
+         WHEN en_s >= greatest(de_s, es_s, fr_s) THEN 'en'
+         WHEN de_s >= greatest(es_s, fr_s) THEN 'de'
+         WHEN es_s >= fr_s THEN 'es'
+         ELSE 'fr'
+       END AS pred_lang,
+       en_s, de_s, es_s, fr_s
+FROM scored
+"""
+
+
+@query("llm_text_langid", "§2.11 language-ID (marker n-gram heuristic)", LANGID_ORACLE)
+def llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CJK-codepoint check for zh, else argmax of per-language marker
+    stopword counts with a fixed precedence (en>de>es>fr) so ties are
+    deterministic; 'und' when no marker fires."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.when(F.col("text").rlike("[一-鿿]"), 1).otherwise(0).alias("zh_hit"),
+        marker_count(toks, LANG_MARKERS["en"]).alias("en_s"),
+        marker_count(toks, LANG_MARKERS["de"]).alias("de_s"),
+        marker_count(toks, LANG_MARKERS["es"]).alias("es_s"),
+        marker_count(toks, LANG_MARKERS["fr"]).alias("fr_s"),
+    )
+    best = F.greatest("en_s", "de_s", "es_s", "fr_s")
+    return scored.select(
+        "doc_id",
+        "true_lang",
+        F.when(F.col("zh_hit") == 1, "zh")
+        .when(best == 0, "und")
+        .when(F.col("en_s") >= F.greatest("de_s", "es_s", "fr_s"), "en")
+        .when(F.col("de_s") >= F.greatest("es_s", "fr_s"), "de")
+        .when(F.col("es_s") >= F.col("fr_s"), "es")
+        .otherwise("fr")
+        .alias("pred_lang"),
+        "en_s",
+        "de_s",
+        "es_s",
+        "fr_s",
+    )
+
+
+@query(
+    "llm_text_quality",
+    "§2.11 quality scoring (length/punct/stopword ratios)",
+    """
+    WITH m AS (
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS n_words,
+             length(replace(text, ' ', '')) AS n_nonspace,
+             len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_words,
+           round(n_nonspace * 1.0 / n_words, 6) AS avg_word_len,
+           round(n_punct * 1.0 / n_chars, 6) AS punct_ratio,
+           round(n_stop * 1.0 / n_words, 6) AS stopword_ratio,
+           CASE WHEN n_words >= 50 AND n_punct * 1.0 / n_chars < 0.05 THEN 'good'
+                WHEN n_words >= 20 THEN 'fair' ELSE 'poor' END AS quality_bucket
+    FROM m
+    """,
+)
+def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    m = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("n_words"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("n_nonspace"),
+        F.size(F.split(F.col("text"), "[^a-z0-9 ]")).alias("n_punct_plus1"),
+        marker_count(toks, ["the", "a", "of", "and", "to", "in", "is"]).alias("n_stop"),
+    ).withColumn("n_punct", F.col("n_punct_plus1") - 1)
+    return m.select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("n_nonspace") / F.col("n_words"), 6).alias("avg_word_len"),
+        F.round(F.col("n_punct") / F.col("n_chars"), 6).alias("punct_ratio"),
+        F.round(F.col("n_stop") / F.col("n_words"), 6).alias("stopword_ratio"),
+        F.when(
+            (F.col("n_words") >= 50) & (F.col("n_punct") / F.col("n_chars") < 0.05), "good"
+        )
+        .when(F.col("n_words") >= 20, "fair")
+        .otherwise("poor")
+        .alias("quality_bucket"),
+    )
+
+
+@query(
+    "llm_text_tokens",
+    "§2.11 token counting (whitespace + BPE-ish regex)",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_ish_tokens,
+           round(n_chars * 1.0 / len(string_split(text, ' ')), 6) AS chars_per_token
+    FROM documents
+    """,
+)
+def llm_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + a BPE-ish regex segmentation (letter runs /
+    digit runs / single punctuation) — the standard pre-tokenizer
+    shape; regexp_count is JVM-side."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.regexp_count("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]")).alias("bpe_ish_tokens"),
+        F.round(F.col("n_chars") / F.size(F.split("text", " ")), 6).alias("chars_per_token"),
+    )
+
+
+FP_K = 5
+
+
+@query(
+    "llm_text_fingerprint",
+    "§2.11 document fingerprint (min-k token hashes)",
+    f"""
+    WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    h AS (SELECT doc_id, md5(t) AS th FROM tok WHERE length(t) > 0),
+    mink AS (SELECT doc_id, th FROM h
+             QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY th) <= {FP_K})
+    SELECT doc_id, md5(string_agg(th, '' ORDER BY th)) AS fingerprint
+    FROM mink GROUP BY doc_id
+    """,
+)
+def llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-k-hash set fingerprint: md5 per distinct token, keep the k
+    smallest, hash their concatenation. Locality-sensitive for set
+    overlap (k-mins sketch) and pure built-ins; md5 agrees across
+    engines so the oracle is exact."""
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+        .filter(F.length("t") > 0)
+        .distinct()
+        .select("doc_id", F.md5(F.col("t").cast("binary")).alias("th"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("th")
+    mink = tok.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= FP_K)
+    return mink.groupBy("doc_id").agg(
+        F.md5(F.array_join(F.sort_array(F.collect_list("th")), "").cast("binary")).alias(
+            "fingerprint"
+        )
+    )

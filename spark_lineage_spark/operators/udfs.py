@@ -1,0 +1,173 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.10).
+
+Every user-defined path is checked against a SQL-expressible
+equivalent so the oracle can verify the plumbing. Note the hot-path
+guidance (§2.8 vs §2.10): builtins first; row-at-a-time UDFs exist
+for API parity and are deliberately used on narrow data only.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from spark_lineage_spark.registry import query
+from spark_lineage_spark.tables import load
+
+
+@query(
+    "udf_scalar_python",
+    "§2.10 row-at-a-time Python UDF",
+    """
+    SELECT p_partkey,
+           CASE WHEN p_size % 2 = 0 THEN upper(p_name) ELSE lower(p_name) END AS shouted
+    FROM part
+    """,
+)
+def udf_scalar_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time UDF (the slow path — serde per row). Used here on
+    a 2-column projection of the smallest fact table; the pandas UDF
+    below is the production shape."""
+
+    @F.udf(T.StringType())
+    def shout(name: str, size: int) -> str:
+        return name.upper() if size % 2 == 0 else name.lower()
+
+    p = load(spark, sf_dir, "part")
+    return p.select("p_partkey", shout("p_name", "p_size").alias("shouted"))
+
+
+@query(
+    "udf_pandas_scalar",
+    "§2.10 vectorized pandas UDF (Arrow)",
+    """
+    SELECT o_orderkey,
+           round(o_totalprice * 1.1 + 5.0, 4) AS adjusted
+    FROM orders
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar UDF: one numpy op per batch, ~10-100×
+    the row-at-a-time throughput (SURVEY §2.10)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def adjust(price: pd.Series) -> pd.Series:
+        return (price * 1.1 + 5.0).round(4)
+
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderkey", adjust("o_totalprice").alias("adjusted"))
+
+
+@query(
+    "udf_pandas_grouped_agg",
+    "§2.10 grouped-agg pandas UDAF",
+    """
+    SELECT o_orderstatus,
+           round(sum(o_totalprice * o_custkey) / sum(CAST(o_custkey AS DOUBLE)), 4) AS wavg
+    FROM orders WHERE o_custkey > 0 GROUP BY o_orderstatus
+    """,
+)
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF (weighted mean) as a grouped-agg pandas UDF —
+    Spark still runs partial aggregation per partition before the
+    shuffle of the (tiny) per-group pandas inputs."""
+
+    @F.pandas_udf(T.DoubleType())
+    def wavg(price: pd.Series, weight: pd.Series) -> float:
+        return float(round((price * weight).sum() / weight.sum(), 4))
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") > 0)
+    return o.groupBy("o_orderstatus").agg(
+        wavg("o_totalprice", F.col("o_custkey").cast("double")).alias("wavg")
+    )
+
+
+@query(
+    "udf_grouped_map_normalize",
+    "§2.10 grouped-map applyInPandas (per-group normalize)",
+    """
+    SELECT c_nationkey, c_custkey,
+           round((c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey))
+                 / stddev_samp(c_acctbal) OVER (PARTITION BY c_nationkey), 6) AS zscore
+    FROM customer
+    """,
+)
+def udf_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas normalize-per-group vs the equivalent window SQL
+    (SURVEY §2.10 check). One shuffle on the group key, Arrow both
+    directions."""
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        bal = pdf["c_acctbal"]
+        pdf = pdf[["c_nationkey", "c_custkey"]].copy()
+        pdf["zscore"] = ((bal - bal.mean()) / bal.std(ddof=1)).round(6)
+        return pdf
+
+    c = load(spark, sf_dir, "customer").select("c_nationkey", "c_custkey", "c_acctbal")
+    return c.groupBy("c_nationkey").applyInPandas(
+        normalize, schema="c_nationkey int, c_custkey long, zscore double"
+    )
+
+
+@query(
+    "udf_map_in_pandas",
+    "§2.10 mapInPandas (per-partition batch iterator)",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS net
+    FROM lineitem WHERE l_quantity > 45.0
+    """,
+)
+def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas as a custom map operator: filter + compute inside
+    the Arrow batch iterator; partition-preserving, no shuffle."""
+
+    def op(batches):
+        for pdf in batches:
+            out = pdf[pdf["l_quantity"] > 45.0]
+            yield pd.DataFrame(
+                {
+                    "l_orderkey": out["l_orderkey"],
+                    "l_linenumber": out["l_linenumber"],
+                    "net": (out["l_extendedprice"] * (1 - out["l_discount"])).round(4),
+                }
+            )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    return li.mapInPandas(op, schema="l_orderkey long, l_linenumber int, net double")
+
+
+@query(
+    "udtf_split_words",
+    "§2.10 Python UDTF (table function)",
+    """
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE doc_id < 25
+    """,
+)
+def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 @udtf: one input row → many output rows, checked against
+    unnest/lateral SQL. Registered then invoked via SQL+lateral join."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string")
+    class SplitWords:
+        def eval(self, text: str):
+            for w in text.split(" "):
+                if w:
+                    yield (w,)
+
+    spark.udtf.register("split_words", SplitWords)
+    from spark_lineage_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.word
+        FROM documents d, LATERAL split_words(d.text) s
+        WHERE d.doc_id < 25
+        """
+    )

@@ -1,0 +1,232 @@
+"""Structured Streaming operators (SURVEY.md §2.9).
+
+Strategy (SURVEY §2.9 oracle note): tumbling/sliding/session window
+aggregations are pure functions of event-time, so a finite
+``trigger(availableNow)`` run over events.parquet must equal the batch
+SQL over the same rows — those are fully oracle-checked. Pure-runtime
+behaviors (watermark drops, state TTL) are property-tested in
+tests/test_streaming.py.
+
+Each query runs a real streaming query (micro-batch engine, state
+store, memory sink) and returns the sink contents as the result
+DataFrame.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from spark_lineage_spark.registry import query
+from spark_lineage_spark.tables import table_path
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """The file stream source wants a DIRECTORY; testdata is one
+    read-only file per table — stage a copy into a cached temp dir."""
+    import hashlib
+    import shutil
+
+    src = table_path(sf_dir, "events")
+    key = hashlib.md5(src.encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"sls_stream_src_{key}")
+    dst = os.path.join(d, "events.parquet")
+    if not os.path.exists(dst):
+        os.makedirs(d, exist_ok=True)
+        shutil.copy(src, dst + ".tmp")
+        os.rename(dst + ".tmp", dst)
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded read of the events table (file source).
+
+    Schema comes from the batch reader (static inference is not allowed
+    on streams); ts arrives as int64 ns (nanosAsLong) and is converted
+    with the same exact integer division as the batch loader.
+    """
+    path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(_stream_dir(sf_dir))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def run_to_memory(df: DataFrame, mode: str = "append") -> DataFrame:
+    """Execute a streaming DataFrame to completion via availableNow into
+    a memory sink; return the sink as a batch DataFrame."""
+    name = f"sls_sink_{uuid.uuid4().hex[:10]}"
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="sls_ckpt_"), "ckpt")
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+@query(
+    "stream_tumbling_window",
+    "§2.9 streaming tumbling window agg (availableNow ≡ batch)",
+    """
+    SELECT time_bucket(INTERVAL '6 hours', date_trunc('microseconds', ts)) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 6h buckets; watermark bounds state, complete mode emits
+    every window so the finite run equals batch GROUP BY."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    out = run_to_memory(agg, mode="complete")
+    return out.select(
+        F.col("window.start").alias("window_start"), "event_type", "n", "total_value"
+    )
+
+
+@query(
+    "stream_sliding_window",
+    "§2.9 streaming sliding window agg",
+    """
+    WITH buckets AS (
+      SELECT unnest([
+               time_bucket(INTERVAL '6 hours', date_trunc('microseconds', ts)),
+               time_bucket(INTERVAL '6 hours', date_trunc('microseconds', ts)) - INTERVAL '6 hours'
+             ]) AS window_start,
+             event_id, value, date_trunc('microseconds', ts) AS tsu
+      FROM events
+    )
+    SELECT window_start, count(*) AS n, round(avg(value), 6) AS avg_value
+    FROM buckets
+    WHERE tsu >= window_start AND tsu < window_start + INTERVAL '12 hours'
+    GROUP BY 1
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12h windows sliding every 6h — each event lands in 2 windows;
+    the oracle reconstructs the window set with unnest + range filter."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "12 hours", "6 hours"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+    out = run_to_memory(agg, mode="complete")
+    return out.select(F.col("window.start").alias("window_start"), "n", "avg_value")
+
+
+@query(
+    "stream_session_window",
+    "§2.9 streaming session window (30 min gap)",
+    """
+    WITH e AS (
+      SELECT user_id, date_trunc('microseconds', ts) AS tsu
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, tsu,
+             CASE WHEN tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu)
+                       <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_session
+      FROM e
+    ),
+    sessioned AS (
+      SELECT user_id, tsu,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY tsu
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, min(tsu) AS session_start, count(*) AS n_events
+    FROM sessioned GROUP BY user_id, session_id
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via session_window (stateful merging windows);
+    oracle sessionizes with lag + running sum of gap breaks — identical
+    semantics for a finite event set."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = run_to_memory(agg, mode="complete")
+    return out.select(
+        "user_id", F.col("session_window.start").alias("session_start"), "n_events"
+    )
+
+
+@query(
+    "stream_dedup_watermark",
+    "§2.9 streaming dedup within watermark",
+    """
+    SELECT event_type, count(DISTINCT event_id) AS n_unique
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark keyed on event_id, then a batch
+    count of the deduped append-mode output. State is bounded by the
+    watermark — the 100 TB-stream-safe dedup."""
+    dedup = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    out = run_to_memory(dedup, mode="append")
+    return out.groupBy("event_type").agg(F.countDistinct("event_id").alias("n_unique"))
+
+
+@query(
+    "stream_stream_join",
+    "§2.9 stream-stream interval join (clicks→purchases ≤1h)",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND date_trunc('microseconds', c.ts) >= date_trunc('microseconds', p.ts) - INTERVAL '1 hour'
+     AND date_trunc('microseconds', c.ts) <= date_trunc('microseconds', p.ts)
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two streams joined on user_id with a time-bound condition;
+    watermarks on both sides bound the join state (SURVEY §2.9). Inner
+    join emits matches as they arrive, so the finite run equals the
+    batch interval join."""
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("purchase_id", "click_id")
+    return run_to_memory(joined, mode="append")

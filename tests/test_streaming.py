@@ -1,0 +1,161 @@
+"""Streaming property tests (SURVEY.md §2.9/§5.2): watermark late-row
+drops, stateful ops, and per-micro-batch lineage via the Python
+StreamingQueryListener.
+"""
+
+import os
+import tempfile
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _run_stream(df, mode="append"):
+    from spark_lineage_spark.streaming.queries import run_to_memory
+
+    return run_to_memory(df, mode=mode)
+
+
+def _add_batch(df, src: str, name: str):
+    """The file stream source lists plain files in the monitored dir —
+    it does not recurse into the directory a parquet write creates, so
+    stage the write and move its part file in as <name>.parquet."""
+    import glob
+    import shutil
+
+    stage = src + f"_stage_{name}"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = glob.glob(stage + "/part-*.parquet")[0]
+    shutil.move(part, os.path.join(src, f"{name}.parquet"))
+    shutil.rmtree(stage)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Two micro-batches: batch 2 contains a row far older than the
+    watermark advanced by batch 1 — append-mode agg must drop it."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    sink = f"late_{uuid.uuid4().hex[:8]}"
+    ckpt = str(tmp_path / "ckpt")
+
+    rows1 = [(i, f"2024-01-01 10:{i:02d}:00") for i in range(10)] + [
+        (99, "2024-01-01 23:59:00")
+    ]
+    _add_batch(
+        spark.createDataFrame(rows1, "id long, ts_s string")
+        .withColumn("ts", F.to_timestamp("ts_s"))
+        .drop("ts_s"),
+        src,
+        "b1",
+    )
+
+    stream = spark.readStream.schema("id long, ts timestamp").parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: watermark advances to 23:49
+        emitted_b1 = spark.table(sink).agg(F.sum("n")).collect()[0][0] or 0
+
+        # batch 2: one row at 10:00:30 — far behind the watermark
+        _add_batch(
+            spark.createDataFrame([(100, "2024-01-01 10:00:30")], "id long, ts_s string")
+            .withColumn("ts", F.to_timestamp("ts_s"))
+            .drop("ts_s"),
+            src,
+            "b2",
+        )
+        q.processAllAvailable()
+        final_rows = spark.table(sink).collect()
+    finally:
+        q.stop()
+
+    # processAllAvailable runs the watermark-flush batch too: rows
+    # 10:00..10:09 fall in two 5-min windows (5 rows each), both closed
+    # once the watermark hits 23:49; the 23:59 window stays open
+    assert emitted_b1 == 10, f"expected 10 rows across closed windows, got {emitted_b1}"
+    # the late 10:00:30 row arrives behind the watermark and must be
+    # DROPPED: same two windows, still n=5 (n=6 would mean it leaked in)
+    assert len(final_rows) == 2, f"expected two closed windows, got {len(final_rows)}"
+    assert all(r.n == 5 for r in final_rows), f"late row leaked: {final_rows}"
+
+
+def test_stateful_apply_in_pandas_with_state(spark, tmp_path):
+    """Custom stateful operator: running count per user via
+    applyInPandasWithState (SURVEY §2.9 stateful map row)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _add_batch(
+        spark.createDataFrame([(1, 3), (1, 4), (2, 5)], "user long, v long"), src, "b1"
+    )
+
+    def running(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user": [key[0]], "n": [total]})
+
+    stream = spark.readStream.schema("user long, v long").parquet(src)
+    out = stream.groupBy("user").applyInPandasWithState(
+        running,
+        outputStructType="user long, n long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = f"state_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.user: r.n for r in spark.table(sink).collect()}
+    assert got == {1: 2, 2: 1}
+
+
+def test_streaming_listener_emits_per_batch(spark, sf_dir):
+    from spark_lineage_spark import InMemoryReporter
+    from spark_lineage_spark.streaming.listener import LineageStreamingListener
+    from spark_lineage_spark.streaming.queries import events_stream, run_to_memory
+
+    rep = InMemoryReporter()
+    listener = LineageStreamingListener(rep, app_id="test", app_name="sls_tests")
+    spark.streams.addListener(listener)
+    try:
+        agg = (
+            events_stream(spark, sf_dir)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+        )
+        run_to_memory(agg, mode="complete")
+        deadline = time.time() + 30
+        while time.time() < deadline and not rep.reports:
+            time.sleep(0.5)  # listener delivery is async
+    finally:
+        spark.streams.removeListener(listener)
+
+    assert rep.reports, "no micro-batch lineage reports delivered"
+    r = rep.reports[0]
+    assert r.run.func_name.startswith("microbatch:")
+    assert r.inputs and r.inputs[0].kind == "streaming"
+    assert "FileStreamSource" in (r.inputs[0].name or "")
+    assert r.output is not None and "Memory" in (r.output.name or "")

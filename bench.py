@@ -35,7 +35,7 @@ HEADLINE = [
     ("llm_text_quality", 2),
     ("llm_text_fingerprint", 2),
     ("llm_knn_cosine_exact", 2),
-    ("llm_dedup_minhash_lsh", 1),
+    ("llm_dedup_minhash_lsh", 2),
     ("stream_tumbling_window", 1),
 ]
 

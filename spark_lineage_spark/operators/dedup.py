@@ -16,6 +16,8 @@ principles:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from spark_lineage_spark.functions.arrays import cosine, to_double_array
@@ -49,8 +51,39 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EXPLODE_FACTOR = 24  # text -> shingle rows blow-up (~8 bytes/token × 3-gram)
+TARGET_PARTITION_BYTES = 64 << 20
+
+
+def explode_partitions(df, factor: int = EXPLODE_FACTOR) -> int:
+    """Partition count for an explode-heavy stage, sized from the
+    actual input bytes: a scan-sized partition (128 MB) explodes to
+    multi-GB (spill), while tiny corpora shouldn't pay 32-task
+    scheduling overhead per stage. bytes×factor / 64 MB, clamped to
+    [1, 4×parallelism]."""
+    sc = df.sparkSession.sparkContext
+    try:
+        size = sum(
+            os.path.getsize(f.replace("file:", "").replace("//", "/"))
+            for f in df.inputFiles()
+        )
+    except Exception:
+        size = TARGET_PARTITION_BYTES  # unknown → assume mid-size
+    want = max(1, (size * factor) // TARGET_PARTITION_BYTES)
+    return int(min(want, 4 * sc.defaultParallelism))
+
+
 def _distinct_shingles(d) -> DataFrame:
-    """(doc_id, shingle) distinct — the shared candidate substrate."""
+    """(doc_id, shingle) distinct — the shared candidate substrate.
+
+    Repartition BEFORE the explode when the data calls for it:
+    shingling multiplies row count ~24× in bytes, so a scan-sized
+    input partition would explode past memory; conversely a small
+    corpus must not pay wide-shuffle overhead per stage. The count is
+    derived from input bytes (explode_partitions)."""
+    npart = explode_partitions(d)
+    if npart > 1:
+        d = d.repartition(npart, "doc_id")
     return (
         d.select("doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("shingle"))
         .filter(F.length("shingle") > 0)
@@ -123,7 +156,12 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01 equivalence); rows-only for the driver (not expressible as
     one SQL statement)."""
     d = load(spark, sf_dir, "documents")
-    sh = _distinct_shingles(d)
+    # The shingle index feeds signature building AND exact verification
+    # (multiple plan branches; broadcast subtrees don't share
+    # exchanges). cache() = MEMORY_AND_DISK materialization — the
+    # "persist the shingle index once" step of a production dedup
+    # pipeline; without it the corpus is re-shingled per branch.
+    sh = _distinct_shingles(d).cache()
 
     # 32-permutation signature: min over shingles of xxhash64(perm, shingle)
     sig = sh.groupBy("doc_id").agg(
@@ -152,23 +190,36 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("bl.doc_id").alias("da"), F.col("br.doc_id").alias("db"))
         .distinct()
+        .cache()  # read 3× below (broadcast, semi-filter, doc list)
     )
 
-    # exact verification on the (small) candidate set
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # Exact verification, candidate-pruned: LSH guarantees the
+    # candidate set is tiny relative to the corpus, but Catalyst can't
+    # estimate that — left alone it sort-merge-shuffles the full
+    # shingle table. So: (1) semi-join the shingle index down to
+    # candidate docs with a broadcast, (2) run the inverted-index pair
+    # join on that small slice, (3) keep exactly the candidate pairs
+    # with a broadcast inner join. Every small side is explicitly
+    # broadcast — no full-corpus shuffle after candidate generation.
+    cand_docs = candidates.select(
+        F.explode(F.array("da", "db")).alias("doc_id")
+    ).distinct()
+    sh_c = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh_c.alias("a")
+    b = sh_c.alias("b")
     common = (
-        candidates.join(a, F.col("da") == F.col("a.doc_id"))
-        .join(b, (F.col("db") == F.col("b.doc_id")) & (F.col("a.shingle") == F.col("b.shingle")))
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .groupBy("da", "db")
         .agg(F.count("*").alias("c"))
+        .join(F.broadcast(candidates), ["da", "db"], "left_semi")
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (
-        common.join(sa, F.col("da") == F.col("sa.doc_id"))
-        .join(sb, F.col("db") == F.col("sb.doc_id"))
+        common.join(F.broadcast(sa), F.col("da") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("db") == F.col("sb.doc_id"))
         .withColumn("jaccard_raw", F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c")))
         .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
         .select("da", "db", F.round("jaccard_raw", 6).alias("jaccard"))
@@ -187,31 +238,42 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pigeonhole: any pair with hamming ≤ 7 shares a band), verified
     with exact bit_count(xor) ≤ 6. Deterministic; recall/property
     tests in tests/test_llm_ops.py."""
-    import pandas as pd
-
     d = load(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
-    ).filter(F.length("token") > 0)
+    npart = explode_partitions(d)
+    if npart > 1:
+        d = d.repartition(npart, "doc_id")  # parallelize the token explode
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token")).filter(
+        F.length("token") > 0
+    )
     hashed = tok.groupBy("doc_id").agg(
         F.collect_list(F.xxhash64("token")).alias("hashes")
     )
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+    def fold(batches):
+        # vectorized across the WHOLE Arrow batch (one Python call per
+        # batch, not per doc): flatten all token hashes, segment-sum
+        # the ±1 bit contributions per (doc, bit) with bincount, pack.
         import numpy as np
+        import pandas as pd
 
-        out = []
-        for doc_id, hashes in zip(pdf["doc_id"], pdf["hashes"]):
-            h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-            score = (bits * 2 - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for j in np.nonzero(score >= 0)[0]:
-                sig |= np.uint64(1) << np.uint64(j)
-            out.append((doc_id, np.int64(sig)))
-        return pd.DataFrame(out, columns=["doc_id", "simhash"])
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lens = pdf["hashes"].map(len).to_numpy()
+            h_all = np.concatenate(pdf["hashes"].to_list()).astype(np.int64).view(np.uint64)
+            doc_idx = np.repeat(np.arange(len(pdf)), lens)
+            shifts = np.arange(64, dtype=np.uint64)
+            bits = ((h_all[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            contrib = bits * 2 - 1  # (tokens, 64)
+            sums = np.zeros((len(pdf), 64), dtype=np.int64)
+            for j in range(64):
+                sums[:, j] = np.bincount(doc_idx, weights=contrib[:, j], minlength=len(pdf))
+            packed = ((sums >= 0).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "simhash": packed.view(np.int64)}
+            )
 
-    sigs = hashed.groupBy("doc_id").applyInPandas(fold, schema="doc_id long, simhash long")
+    sigs = hashed.mapInPandas(fold, schema="doc_id long, simhash long")
 
     bands = sigs.select(
         "doc_id",
@@ -266,10 +328,15 @@ def llm_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine only within blocks). Cosine computed in float64 via
     zip_with/aggregate, rounded BEFORE thresholding so both engines
     cut identically."""
-    e = load(spark, sf_dir, "embeddings").select(
+    from spark_lineage_spark.operators.similarity import _parallel_corpus
+
+    e = _parallel_corpus(spark, load(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", to_double_array("embedding").alias("emb")
     )
-    a, b = e.alias("a"), e.alias("b")
+    # broadcast the build side: a 10-key label join would cap
+    # parallelism at 10 skewed tasks; map-side BHJ keeps every corpus
+    # partition busy computing cosines
+    a, b = e.alias("a"), F.broadcast(e.alias("b"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(

@@ -222,6 +222,19 @@ def fn_hash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("fn_string_spark_native", "§2.8 soundex / initcap / sentences — rows-only", None)
+def fn_string_spark_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions with no DuckDB equivalent (SURVEY §2.8 notes:
+    soundex, sentences tokenizer differ) — deterministic within Spark."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.soundex("p_name").alias("name_soundex"),
+        F.initcap("p_name").alias("name_title"),
+        F.array_join(F.flatten(F.sentences(F.col("p_name"))), "|").alias("sentence_words"),
+    )
+
+
 @query("fn_hash_spark_native", "§2.8 crc32 / xxhash64 / murmur hash — rows-only", None)
 def fn_hash_spark_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-specific hash functions (fixed seed 42) — deterministic

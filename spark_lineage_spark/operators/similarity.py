@@ -22,6 +22,26 @@ TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the probe vectors
 
 
+def _parallel_corpus(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """Vector-distance ops are compute-bound, not byte-bound: a 512 KB
+    embedding file is one scan partition but carries q×dim FLOPs per
+    row. When the scan has fewer partitions than cores and the data is
+    small (cheap to shuffle), spread it; at real scale the input is
+    already partitioned and this is a no-op."""
+    try:
+        import os
+
+        size = sum(
+            os.path.getsize(f.replace("file:", "").replace("//", "/")) for f in e.inputFiles()
+        )
+    except Exception:
+        return e
+    par = spark.sparkContext.defaultParallelism
+    if size < (256 << 20) and e.rdd.getNumPartitions() < par:
+        return e.repartition(par)
+    return e
+
+
 @query(
     "llm_knn_cosine_exact",
     "§2.11 exact top-k cosine kNN (broadcast queries, linear scan)",
@@ -46,9 +66,9 @@ def llm_knn_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a 10-row side = a map-side scan of the corpus, NO corpus
     shuffle. Similarity is rounded to 6 digits BEFORE ranking, with
     neighbor_id tie-break, so ranking is engine-independent."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", to_double_array("embedding").alias("emb")
-    )
+    e = _parallel_corpus(
+        spark, load(spark, sf_dir, "embeddings")
+    ).select("vec_id", "label", to_double_array("embedding").alias("emb"))
     q = F.broadcast(
         e.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
@@ -107,9 +127,9 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests/test_llm_ops.py; rows-only for the driver (the
     hyperplane matrix is a plan literal, impractical as one SQL
     oracle)."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", to_double_array("embedding").alias("emb")
-    )
+    e = _parallel_corpus(
+        spark, load(spark, sf_dir, "embeddings")
+    ).select("vec_id", "label", to_double_array("embedding").alias("emb"))
     # one row per (vector, table): bucket within that table
     bucketed = e.select(
         "vec_id",

@@ -172,7 +172,12 @@ def llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest, hash their concatenation. Locality-sensitive for set
     overlap (k-mins sketch) and pure built-ins; md5 agrees across
     engines so the oracle is exact."""
+    from spark_lineage_spark.operators.dedup import explode_partitions
+
     d = load(spark, sf_dir, "documents")
+    npart = explode_partitions(d)
+    if npart > 1:
+        d = d.repartition(npart, "doc_id")  # parallelize the token explode
     tok = (
         d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
         .filter(F.length("t") > 0)

@@ -29,6 +29,12 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # size coalesced shuffles by bytes (advisory 64MB), not by the
+    # static partition count: at scale this still yields full
+    # parallelism, while small shuffles stop paying N-tiny-task
+    # scheduling + codegen overhead per stage (measured 4-5× on the
+    # multi-stage dedup ops — see operators/dedup.py)
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     # Arrow for every pandas exchange (toPandas, pandas UDFs).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # ~cores shuffle parallelism for local mode; AQE coalesces further
@@ -130,11 +136,14 @@ class LineageSession:
         duration_s: float,
         output: Optional[dict[str, Any]] = None,
         error: Optional[str] = None,
+        num_output_rows: Optional[int] = None,
     ) -> None:
         """Build a report from ``df``'s analyzed plan and ship it.
 
         Read-only plan traversal — adds zero extra Spark jobs
-        (BASELINE.md lineage-overhead budget).
+        (BASELINE.md lineage-overhead budget). Row counts must arrive
+        HERE (not patched on afterwards): streaming reporters like
+        JsonlReporter serialize immediately.
         """
         from spark_lineage_spark.plans.extract import extract_report
 
@@ -146,6 +155,7 @@ class LineageSession:
             app_name=self.app_name,
             output=output,
             error=error,
+            num_output_rows=num_output_rows,
         )
         self.reporter.report(report)
 

@@ -104,15 +104,7 @@ class LineageDataFrame:
                     n_rows = int(result.shape[0])
                 except Exception:
                     pass
-            self._session.emit(self._df, name, time.time() - t0)
-            if n_rows is not None and self._session.reporter is not None:
-                # annotate the just-emitted report with the row count
-                try:
-                    reports = getattr(self._session.reporter, "reports", None)
-                    if reports:
-                        reports[-1].run.num_output_rows = n_rows
-                except Exception:
-                    pass
+            self._session.emit(self._df, name, time.time() - t0, num_output_rows=n_rows)
             return result
 
         return action

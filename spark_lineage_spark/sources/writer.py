@@ -5,109 +5,138 @@ Write commands are where the reference captures OUTPUTS
 reconstruction). Facade equivalent: record the target (path/table,
 format, mode) around the delegated write, then emit a report whose
 output side is filled in.
+
+Output row counts come from ``Observation`` metrics piggy-backed on
+the write job itself (SURVEY.md §2.12) — never a separate
+``df.count()``, which would re-run the query (BASELINE.md: lineage
+adds zero extra Spark jobs).
+
+Writer configuration is recorded and replayed lazily at the terminal
+call so the observed DataFrame is the one actually written.
 """
 
 from __future__ import annotations
 
 import time
+import uuid
 from typing import Optional
+
+from pyspark.sql import Observation, functions as F
 
 
 class LineageWriter:
     def __init__(self, df, session: "LineageSession"):
         self._df = df
         self._session = session
-        self._writer = df.write
+        self._ops: list[tuple[str, tuple, dict]] = []
         self._format: Optional[str] = None
-        self._mode: Optional[str] = None
 
-    # chainable writer config ----------------------------------------
-    def format(self, source: str) -> "LineageWriter":
-        self._writer = self._writer.format(source)
-        self._format = source
+    # chainable writer config (recorded, replayed at write time) ------
+    def _record(self, name: str, *args, **kwargs) -> "LineageWriter":
+        self._ops.append((name, args, kwargs))
         return self
+
+    def format(self, source: str) -> "LineageWriter":
+        self._format = source
+        return self._record("format", source)
 
     def mode(self, saveMode: str) -> "LineageWriter":
-        self._writer = self._writer.mode(saveMode)
-        self._mode = saveMode
-        return self
+        return self._record("mode", saveMode)
 
     def option(self, key: str, value) -> "LineageWriter":
-        self._writer = self._writer.option(key, value)
-        return self
+        return self._record("option", key, value)
 
     def options(self, **options) -> "LineageWriter":
-        self._writer = self._writer.options(**options)
-        return self
+        return self._record("options", **options)
 
     def partitionBy(self, *cols) -> "LineageWriter":
-        self._writer = self._writer.partitionBy(*cols)
-        return self
+        return self._record("partitionBy", *cols)
 
     def bucketBy(self, numBuckets: int, col, *cols) -> "LineageWriter":
-        self._writer = self._writer.bucketBy(numBuckets, col, *cols)
-        return self
+        return self._record("bucketBy", numBuckets, col, *cols)
 
     def sortBy(self, col, *cols) -> "LineageWriter":
-        self._writer = self._writer.sortBy(col, *cols)
-        return self
+        return self._record("sortBy", col, *cols)
 
     # terminal writes -------------------------------------------------
-    def _emit(self, func: str, t0: float, kind: str, fmt, name=None, paths=None, error=None):
+    def _emit(self, func, t0, kind, fmt, name=None, paths=None, error=None, rows=None):
         self._session.emit(
             self._df,
             func,
             time.time() - t0,
             output={"kind": kind, "format": fmt, "name": name, "paths": paths or []},
             error=error,
+            num_output_rows=rows,
         )
 
-    def _run(self, func: str, kind: str, fmt, name=None, paths=None):
-        def do(callable_):
-            t0 = time.time()
-            try:
-                result = callable_()
-            except Exception as e:
-                self._emit(func, t0, kind, fmt, name, paths, error=f"{type(e).__name__}: {e}")
-                raise
-            self._emit(func, t0, kind, fmt, name, paths)
-            return result
+    def _write(self, func: str, kind: str, fmt, terminal, name=None, paths=None):
+        # observe the write job itself for the output row count
+        obs: Optional[Observation] = None
+        df = self._df
+        try:
+            obs = Observation(f"sls_out_{uuid.uuid4().hex[:8]}")
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        except Exception:
+            obs = None
 
-        return do
+        writer = df.write
+        for op, args, kwargs in self._ops:
+            writer = getattr(writer, op)(*args, **kwargs)
+
+        t0 = time.time()
+        try:
+            result = terminal(writer)
+        except Exception as e:
+            self._emit(func, t0, kind, fmt, name, paths, error=f"{type(e).__name__}: {e}")
+            raise
+        rows = None
+        if obs is not None:
+            try:
+                rows = obs.get["rows"]
+            except Exception:
+                rows = None
+        self._emit(func, t0, kind, fmt, name, paths, rows=rows)
+        return result
 
     def parquet(self, path: str, **kw):
-        return self._run("write.parquet", "path", "parquet", paths=[path])(
-            lambda: self._writer.parquet(path, **kw)
+        return self._write(
+            "write.parquet", "path", "parquet", lambda w: w.parquet(path, **kw), paths=[path]
         )
 
     def orc(self, path: str, **kw):
-        return self._run("write.orc", "path", "orc", paths=[path])(
-            lambda: self._writer.orc(path, **kw)
-        )
+        return self._write("write.orc", "path", "orc", lambda w: w.orc(path, **kw), paths=[path])
 
     def csv(self, path: str, **kw):
-        return self._run("write.csv", "path", "csv", paths=[path])(
-            lambda: self._writer.csv(path, **kw)
-        )
+        return self._write("write.csv", "path", "csv", lambda w: w.csv(path, **kw), paths=[path])
 
     def json(self, path: str, **kw):
-        return self._run("write.json", "path", "json", paths=[path])(
-            lambda: self._writer.json(path, **kw)
+        return self._write(
+            "write.json", "path", "json", lambda w: w.json(path, **kw), paths=[path]
         )
 
     def save(self, path: Optional[str] = None, **kw):
-        return self._run("write.save", "path", self._format, paths=[path] if path else [])(
-            lambda: self._writer.save(path, **kw) if path else self._writer.save(**kw)
+        return self._write(
+            "write.save",
+            "path",
+            self._format,
+            lambda w: w.save(path, **kw) if path else w.save(**kw),
+            paths=[path] if path else [],
         )
 
     def saveAsTable(self, name: str, **kw):
-        return self._run("write.saveAsTable", "table", self._format or "parquet", name=name)(
-            lambda: self._writer.saveAsTable(name, **kw)
+        return self._write(
+            "write.saveAsTable",
+            "table",
+            self._format or "parquet",
+            lambda w: w.saveAsTable(name, **kw),
+            name=name,
         )
 
     def insertInto(self, name: str, overwrite: Optional[bool] = None):
-        return self._run("write.insertInto", "table", self._format, name=name)(
-            lambda: self._writer.insertInto(name, overwrite)
-            if overwrite is not None
-            else self._writer.insertInto(name)
+        return self._write(
+            "write.insertInto",
+            "table",
+            self._format,
+            lambda w: w.insertInto(name, overwrite) if overwrite is not None else w.insertInto(name),
+            name=name,
         )

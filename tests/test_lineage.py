@@ -93,6 +93,15 @@ def test_output_lineage_on_write(engine, sf_dir, tmp_path):
     assert [i.name for i in r.inputs] == ["region"]
 
 
+def test_write_row_count_via_observation(engine, sf_dir, tmp_path):
+    """Output row count rides the write job as an Observation metric —
+    no second pass over the data (SURVEY §2.12 run metadata)."""
+    eng, rep = engine
+    out = str(tmp_path / "obs_out")
+    eng._wrap(load(eng.spark, sf_dir, "nation")).write.mode("overwrite").parquet(out)
+    assert rep.last().run.num_output_rows == 25
+
+
 def test_save_as_table_output(engine, sf_dir):
     eng, rep = engine
     eng._wrap(load(eng.spark, sf_dir, "region")).write.mode("overwrite").saveAsTable(

@@ -165,3 +165,75 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K).drop("rn")
+
+
+# ---------------------------------------------------------------------------
+# scale path 2: IVF (coarse quantizer + probed exact rerank)
+# ---------------------------------------------------------------------------
+
+IVF_K = 16
+IVF_NPROBE = 4
+
+
+@query("llm_ann_ivf", "§2.11 ANN via IVF (KMeans coarse quantizer) — rows-only", None)
+def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: train a KMeans coarse quantizer (seeded, few
+    iterations), assign every corpus vector to its nearest centroid
+    (the inverted list key), probe the nprobe nearest centroids per
+    query, and exactly rerank only those lists — candidate volume
+    drops ~k/nprobe-fold. At 100 TB: the quantizer trains on a sample,
+    assignment is a map-only pass, and the corpus is written
+    partitioned by list id so probes read only their lists. Centroids
+    ride the plan as broadcast model parameters — no data collect().
+    Recall vs exact kNN asserted in tests/test_llm_ops.py."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = _parallel_corpus(
+        spark, load(spark, sf_dir, "embeddings")
+    ).select("vec_id", to_double_array("embedding").alias("emb"))
+    feat = e.withColumn("features", array_to_vector("emb"))
+
+    km = KMeans(k=IVF_K, seed=42, maxIter=5, featuresCol="features", predictionCol="list_id")
+    model = km.fit(feat)
+    assigned = model.transform(feat).select("vec_id", "emb", "list_id")
+
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "centroid_id int, centroid array<double>",
+    )
+
+    queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    # nprobe nearest centroids per query (10×16 literal-small join)
+    probe_lists = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "qemb",
+            "centroid_id",
+            F.round(cosine(F.col("qemb"), F.col("centroid")), 6).alias("c_sim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("c_sim"), "centroid_id")
+            ),
+        )
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("query_id", "qemb", F.col("centroid_id").alias("list_id"))
+    )
+    cand = (
+        F.broadcast(probe_lists)
+        .join(assigned, "list_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qemb"), F.col("emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K).drop("rn")

@@ -238,6 +238,18 @@ def column_lineage(plan) -> list[ColumnLineage]:
             except Exception:
                 pass
             return
+        if name == "Generate":
+            # generator OUTPUT attrs (e.g. pos/col of posexplode) carry
+            # no references — the source columns hang off generator()
+            gen_srcs: set[tuple[str, str]] = set()
+            try:
+                for ref_attr in _iter_attr_set(node.generator().references()):
+                    gen_srcs |= mapping.get(ref_attr.exprId().id(), set())
+                for a in _seq(node.generatorOutput()):
+                    mapping[a.exprId().id()] = set(gen_srcs)
+            except Exception:
+                pass
+            return
         for ne in _named_expr_nodes(node):
             try:
                 eid = ne.exprId().id()

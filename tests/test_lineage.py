@@ -80,6 +80,33 @@ def test_column_lineage_through_window_and_union(engine, sf_dir):
     assert "orders.o_custkey" in edges["rn"] and "lineitem.l_linenumber" in edges["rn"]
 
 
+def test_column_lineage_through_explode_generate(engine, sf_dir):
+    """Generate (explode) nodes: generator outputs must trace to the
+    exploded input column."""
+    eng, rep = engine
+    e = load(eng.spark, sf_dir, "embeddings")
+    df = e.select("vec_id", F.posexplode("embedding").alias("pos", "comp"))
+    eng._wrap(df).count()
+    edges = {c.output: c.inputs for c in rep.last().columns}
+    assert edges["vec_id"] == ["embeddings.vec_id"]
+    assert edges["comp"] == ["embeddings.embedding"]
+    assert edges["pos"] == ["embeddings.embedding"]
+
+
+def test_column_lineage_sql_entry_point(engine, sf_dir):
+    """SQL and DataFrame entry points converge on the same plan —
+    column lineage must work identically through engine.sql()."""
+    eng, rep = engine
+    load(eng.spark, sf_dir, "lineitem").createOrReplaceTempView("li_v")
+    eng.sql(
+        "SELECT l_returnflag, sum(l_quantity * (1 - l_discount)) AS adj "
+        "FROM li_v GROUP BY l_returnflag"
+    ).collect()
+    edges = {c.output: c.inputs for c in rep.last().columns}
+    assert edges["l_returnflag"] == ["lineitem.l_returnflag"]
+    assert edges["adj"] == ["lineitem.l_discount", "lineitem.l_quantity"]
+
+
 def test_output_lineage_on_write(engine, sf_dir, tmp_path):
     eng, rep = engine
     out = str(tmp_path / "out_parquet")

@@ -68,6 +68,17 @@ def test_ann_lsh_recall_vs_exact(spark):
     assert recall >= 0.5, f"ANN recall too low: {recall}"
 
 
+def test_ann_ivf_recall_vs_exact(spark):
+    """IVF with nprobe=4/16 lists: same near-random-embedding caveat
+    as LSH; bar is well above random-list chance (nprobe/k = 25%)."""
+    from spark_lineage_spark.operators.similarity import llm_ann_ivf, llm_knn_cosine_exact
+
+    exact = {(r.query_id, r.neighbor_id) for r in llm_knn_cosine_exact(spark, SF).collect()}
+    ivf = {(r.query_id, r.neighbor_id) for r in llm_ann_ivf(spark, SF).collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+
+
 def test_multimodal_stub_marks_non_text(spark):
     from spark_lineage_spark.operators.multimodal import llm_multimodal_features
 

@@ -132,6 +132,35 @@ def test_stateful_apply_in_pandas_with_state(spark, tmp_path):
     assert got == {1: 2, 2: 1}
 
 
+def test_foreach_batch_sink(spark, sf_dir, tmp_path):
+    """foreachBatch: the exactly-once escape hatch (SURVEY §2.9 sinks
+    row) — each micro-batch lands as a parquet write we can re-read."""
+    from spark_lineage_spark.streaming.queries import events_stream
+
+    out = str(tmp_path / "fb_out")
+    seen = []
+
+    def handle(batch_df, epoch_id: int):
+        seen.append(epoch_id)
+        batch_df.groupBy("event_type").count().write.mode("overwrite").parquet(
+            f"{out}/epoch={epoch_id}"
+        )
+
+    q = (
+        events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert seen, "foreachBatch never invoked"
+    total = (
+        spark.read.parquet(f"{out}/epoch={seen[0]}").agg(F.sum("count")).collect()[0][0]
+    )
+    assert total == 1000  # sf0.001 events rows
+
+
 def test_streaming_listener_emits_per_batch(spark, sf_dir):
     from spark_lineage_spark import InMemoryReporter
     from spark_lineage_spark.streaming.listener import LineageStreamingListener

@@ -146,18 +146,22 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(var_samp(l_quantity), 6) AS var_qty,
            round(stddev_pop(l_discount), 6) AS sdp_disc,
            round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
-           round(covar_pop(l_quantity, l_extendedprice), 4) AS cov_qp
+           round(covar_pop(l_quantity, l_discount), 6) AS cov_qd
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """covar over a SMALL-magnitude pair (qty×discount, |cov| < 1):
+    engines use different accumulation formulas, so a large-magnitude
+    covariance can drift past the rounding granularity — corr is
+    already scale-free."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
         F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
         F.round(F.stddev_pop("l_discount"), 6).alias("sdp_disc"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
-        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("cov_qp"),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("cov_qd"),
     )
 
 

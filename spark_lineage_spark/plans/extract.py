@@ -62,6 +62,17 @@ def _fields_of(node) -> list[FieldInfo]:
     return out
 
 
+def _leaf_attr_ids(node) -> list[tuple[int, str]]:
+    """(exprId, name) per output attribute of a leaf relation."""
+    out = []
+    try:
+        for a in _seq(node.output()):
+            out.append((a.exprId().id(), a.name()))
+    except Exception:
+        pass
+    return out
+
+
 def _short_name(path: str) -> str:
     base = path.rstrip("/").rsplit("/", 1)[-1]
     return base.rsplit(".", 1)[0] if "." in base else base
@@ -118,39 +129,8 @@ def _leaf_ref(node) -> Optional[DatasetRef]:
 
 def collect_inputs(plan, view_name: Optional[str] = None) -> list[DatasetRef]:
     """Walk the tree collecting leaf dataset refs (dedup by identity)."""
-    found: list[DatasetRef] = []
-
-    def walk(node, view: Optional[str]):
-        name = _cls(node)
-        # A SubqueryAlias directly over a leaf names a temp view read.
-        if name == "SubqueryAlias":
-            try:
-                alias = node.alias()
-            except Exception:
-                alias = None
-            for ch in _children(node):
-                walk(ch, alias)
-            return
-        ref = _leaf_ref(node)
-        if ref is not None:
-            if view and ref.kind in ("memory",):
-                ref = DatasetRef(kind="table", name=view, fields=ref.fields)
-            elif view and not ref.name:
-                ref.name = view
-            found.append(ref)
-            return
-        for ch in _children(node):
-            walk(ch, None)
-
-    walk(plan, view_name)
-    # dedupe (self-joins read the same input twice — SURVEY §2.3)
-    seen, out = set(), []
-    for r in found:
-        k = r.key()
-        if k not in seen:
-            seen.add(k)
-            out.append(r)
-    return out
+    inputs, _ = analyze_plan(plan, view_name=view_name, with_columns=False)
+    return inputs
 
 
 def _children(node) -> list:
@@ -194,7 +174,20 @@ def _named_expr_nodes(node) -> list:
 
 def column_lineage(plan) -> list[ColumnLineage]:
     """Map each output column of ``plan`` to its base input columns."""
+    _, columns = analyze_plan(plan, with_columns=True)
+    return columns
+
+
+def analyze_plan(
+    plan, view_name: Optional[str] = None, with_columns: bool = True
+) -> tuple[list[DatasetRef], list[ColumnLineage]]:
+    """ONE tree walk producing both inputs and column lineage.
+
+    py4j round-trips dominate extraction cost (~50 ms split across two
+    walks before this merge), so leaves are analyzed once and shared.
+    """
     mapping: dict[int, set[tuple[str, str]]] = {}
+    found: list[DatasetRef] = []
 
     def ds_label(ref: DatasetRef) -> str:
         return ref.name or (ref.paths[0] if ref.paths else ref.kind)
@@ -211,17 +204,20 @@ def column_lineage(plan) -> list[ColumnLineage]:
             return
         ref = _leaf_ref(node)
         if ref is not None:
-            if view and not ref.name:
+            if view and ref.kind in ("memory",):
+                ref = DatasetRef(kind="table", name=view, fields=ref.fields)
+            elif view and not ref.name:
                 ref.name = view
-            label = ds_label(ref)
-            try:
-                for a in _seq(node.output()):
-                    mapping[a.exprId().id()] = {(label, a.name())}
-            except Exception:
-                pass
+            found.append(ref)
+            if with_columns:
+                label = ds_label(ref)
+                for f, a_name in _leaf_attr_ids(node):
+                    mapping[f] = {(label, a_name)}
             return
         for ch in _children(node):
             walk(ch, None)
+        if not with_columns:
+            return
         # after children: register this node's derived expressions
         if name == "Union":
             # output attrs bind per-position to every child's attrs
@@ -266,21 +262,30 @@ def column_lineage(plan) -> list[ColumnLineage]:
             else:
                 mapping[eid] = srcs
 
-    walk(plan)
+    walk(plan, view_name)
 
-    out: list[ColumnLineage] = []
-    try:
-        for a in _seq(plan.output()):
-            srcs = mapping.get(a.exprId().id(), set())
-            out.append(
-                ColumnLineage(
-                    output=a.name(),
-                    inputs=sorted(f"{ds}.{col}" for ds, col in srcs),
+    # dedupe inputs (self-joins read the same input twice — SURVEY §2.3)
+    seen, inputs = set(), []
+    for r in found:
+        k = r.key()
+        if k not in seen:
+            seen.add(k)
+            inputs.append(r)
+
+    columns: list[ColumnLineage] = []
+    if with_columns:
+        try:
+            for a in _seq(plan.output()):
+                srcs = mapping.get(a.exprId().id(), set())
+                columns.append(
+                    ColumnLineage(
+                        output=a.name(),
+                        inputs=sorted(f"{ds}.{col}" for ds, col in srcs),
+                    )
                 )
-            )
-    except Exception:
-        pass
-    return out
+        except Exception:
+            pass
+    return inputs, columns
 
 
 # ---------------------------------------------------------------------------

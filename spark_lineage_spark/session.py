@@ -102,13 +102,29 @@ class LineageSession:
     on the same analyzed logical plan, so extraction happens there.
     """
 
-    def __init__(self, spark: SparkSession, reporter: Optional["Reporter"] = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        reporter: Optional["Reporter"] = None,
+        async_capture: bool = False,
+    ):
+        """``async_capture=True`` moves plan extraction (a ~50 ms
+        Catalyst-serialization floor per report, measured — BASELINE.md)
+        off the caller's thread onto a single ordered worker; call
+        ``flush()`` before reading reports synchronously."""
         from spark_lineage_spark.plans.reporters import JsonlReporter
 
         self.spark = tune_runtime(spark)
         self.reporter = reporter if reporter is not None else JsonlReporter()
         self.app_id = spark.sparkContext.applicationId
         self.app_name = spark.sparkContext.appName
+        self._executor = None
+        if async_capture:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._executor = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="sls-lineage"
+            )
 
     # -- entry points -------------------------------------------------
     @property
@@ -147,17 +163,30 @@ class LineageSession:
         """
         from spark_lineage_spark.plans.extract import extract_report
 
-        report = extract_report(
-            df,
-            func_name=func_name,
-            duration_s=duration_s,
-            app_id=self.app_id,
-            app_name=self.app_name,
-            output=output,
-            error=error,
-            num_output_rows=num_output_rows,
-        )
-        self.reporter.report(report)
+        def capture():
+            report = extract_report(
+                df,
+                func_name=func_name,
+                duration_s=duration_s,
+                app_id=self.app_id,
+                app_name=self.app_name,
+                output=output,
+                error=error,
+                num_output_rows=num_output_rows,
+            )
+            self.reporter.report(report)
+
+        if self._executor is not None:
+            # analyzed plan is immutable post-action; extraction is
+            # safe off-thread and report order is preserved (1 worker)
+            self._executor.submit(capture)
+        else:
+            capture()
+
+    def flush(self) -> None:
+        """Wait for pending async captures (no-op in sync mode)."""
+        if self._executor is not None:
+            self._executor.submit(lambda: None).result()
 
     # -- lineage-as-a-table (the catalog is itself queryable) ---------
     def lineage(self) -> DataFrame:

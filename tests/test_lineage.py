@@ -164,6 +164,17 @@ def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
     assert df.count() == 1
 
 
+def test_async_capture_preserves_reports(spark, sf_dir):
+    """async_capture moves the ~50ms extraction off the caller thread;
+    flush() then exposes the same reports in order."""
+    rep = InMemoryReporter()
+    eng = LineageSession(spark, reporter=rep, async_capture=True)
+    eng._wrap(load(spark, sf_dir, "region")).count()
+    eng._wrap(load(spark, sf_dir, "nation")).count()
+    eng.flush()
+    assert [r.inputs[0].name for r in rep.reports] == ["region", "nation"]
+
+
 def test_no_extra_jobs_for_capture(engine, sf_dir):
     """Lineage must add zero Spark jobs (BASELINE.md overhead budget):
     plan traversal only."""

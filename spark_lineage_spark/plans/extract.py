@@ -93,6 +93,16 @@ def _leaf_ref(node) -> Optional[DatasetRef]:
                 ident = ct.get().identifier().unquotedString()
                 return DatasetRef(kind="table", name=ident, fields=_fields_of(node))
             rel = node.relation()
+            rel_cls = rel.getClass().getSimpleName()
+            if rel_cls == "JDBCRelation":
+                # external DB read (SURVEY §2.1 jdbc scan — no DB in
+                # the sandbox, recognition kept for extractor parity)
+                tbl = None
+                try:
+                    tbl = rel.jdbcOptions().tableOrQuery()
+                except Exception:
+                    pass
+                return DatasetRef(kind="table", format="jdbc", name=tbl, fields=_fields_of(node))
             paths, fmt = [], None
             try:
                 paths = [p.toString() for p in _seq(rel.location().rootPaths())]

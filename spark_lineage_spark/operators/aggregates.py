@@ -267,6 +267,34 @@ def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_salted_twophase",
+    "§2.4/§4 skew-safe aggregation (salted two-phase)",
+    """
+    SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual salting for skewed grouping keys (SURVEY §4 skew row):
+    phase 1 groups on (key, salt) — a hot key splits across SALT
+    partitions instead of one straggler — phase 2 merges the partials
+    on the key alone. l_returnflag has 3 heavily-hot values, the worst
+    case for a 32-way shuffle. Result ≡ plain GROUP BY (count/sum are
+    algebraic; avg would carry (sum, count) pairs). AQE's skew handling
+    covers joins; aggregation salting remains a manual pattern."""
+    SALT = 16
+    li = load(spark, sf_dir, "lineitem")
+    partial = (
+        li.withColumn("_salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT)))
+        .groupBy("l_returnflag", "_salt")
+        .agg(F.count("*").alias("pn"), F.sum("l_quantity").alias("pqty"))
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"), F.round(F.sum("pqty"), 2).alias("qty")
+    )
+
+
+@query(
     "agg_pivot",
     "§2.4 pivot (fixed value list)",
     """

@@ -105,6 +105,48 @@ def test_no_collect_in_operator_modules():
     assert not offenders, offenders
 
 
+def test_bucketed_join_eliminates_shuffle(spark):
+    """Bucketing (SURVEY §4 partitioning row): two tables bucketed on
+    the join key co-locate — the join plans with NO Exchange on either
+    side (the at-scale pattern for repeated joins on one key)."""
+    spark.sql("DROP TABLE IF EXISTS sls_orders_b")
+    spark.sql("DROP TABLE IF EXISTS sls_lineitem_b")
+    o = load(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    li = load(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
+        "sls_orders_b"
+    )
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(
+        "sls_lineitem_b"
+    )
+    joined = spark.table("sls_lineitem_b").join(
+        spark.table("sls_orders_b"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    # disable auto-broadcast so the test can't pass via BHJ
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p = plan_str(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in p
+    assert not re.search(r"^\(\d+\) Exchange", p, re.M), p
+    spark.sql("DROP TABLE IF EXISTS sls_orders_b")
+    spark.sql("DROP TABLE IF EXISTS sls_lineitem_b")
+
+
+def test_salted_agg_splits_hot_keys(spark):
+    """The salted two-phase agg must actually partial-aggregate on
+    (key, salt) before the key-only merge: two separate aggregations
+    in the plan."""
+    from spark_lineage_spark.operators.aggregates import agg_salted_twophase
+
+    p = plan_str(agg_salted_twophase(spark, SF))
+    assert "_salt" in p
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 2, p
+
+
 def test_exact_knn_has_no_corpus_shuffle(spark):
     """kNN plan: queries broadcast, corpus scanned in place — the only
     exchange allowed is the final per-query top-k (tiny)."""

@@ -306,6 +306,61 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("llm_dedup_clusters", "§2.11 duplicate clusters (connected components) — rows-only", None)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS and pick one
+    survivor per cluster — the step that turns detection into actual
+    dedup. Connected components via iterative min-label propagation
+    (each node takes the min doc_id among itself and neighbors until
+    fixpoint): O(diameter) joined rounds, and dup clusters have tiny
+    diameter in practice. At 100 TB use the same loop over a
+    checkpointed edge list (the large-star/small-star variant keeps
+    rounds logarithmic). Iterative ⇒ not one SQL statement ⇒ rows-only;
+    cluster correctness asserted in tests/test_llm_ops.py."""
+    # materialize the pair list ONCE — the iteration must run on the
+    # (tiny) edge list, not re-derive the LSH pipeline per round
+    pairs = llm_dedup_minhash_lsh(spark, sf_dir).select("da", "db").localCheckpoint()
+    # undirected edge list so min-labels flow both ways
+    edges = pairs.union(pairs.select(F.col("db").alias("da"), F.col("da").alias("db")))
+    labels = (
+        edges.select(F.col("da").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(10):  # diameter bound; tiny for dup clusters
+        neighbor_min = (
+            edges.join(labels, edges.db == labels.doc_id)
+            .groupBy("da")
+            .agg(F.min("label").alias("nmin"))
+        )
+        # localCheckpoint per round: truncates the growing iteration
+        # lineage (at 100 TB: reliable checkpoint dir instead)
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.da, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.groupBy("label").agg(
+        F.count("*").alias("cluster_size"),
+        F.min("doc_id").alias("survivor"),
+        F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("members"),
+    )
+
+
 COSINE_NEARDUP_THRESHOLD = 0.40
 
 

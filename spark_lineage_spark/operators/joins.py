@@ -232,6 +232,53 @@ def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    probe_time: str,
+    build_time: str,
+    probe_id: str,
+    build_id: str,
+) -> DataFrame:
+    """Generic as-of join: for each probe row, the build row with the
+    greatest ``build_time <= probe_time`` within the same ``key``.
+
+    Union+window (SURVEY §2.3): tag build 0 / probe 1, sort within key
+    by (time, kind, id), carry the last build id forward with
+    last_value(ignorenulls). ONE shuffle on the key, linear state, no
+    nested loop — the form that scales. Ties: build row at the exact
+    probe time matches (<=); among equal-time build rows the highest
+    id wins (deterministic).
+
+    Returns (probe_id, matched build id or null).
+    """
+    b = build.select(
+        F.col(key).alias("_k"),
+        F.col(build_time).alias("_t"),
+        F.col(build_id).alias("_id"),
+        F.lit(0).alias("_kind"),
+    )
+    p = probe.select(
+        F.col(key).alias("_k"),
+        F.col(probe_time).alias("_t"),
+        F.col(probe_id).alias("_id"),
+        F.lit(1).alias("_kind"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_kind", "_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = b.unionByName(p).withColumn(
+        "_match",
+        F.last(F.when(F.col("_kind") == 0, F.col("_id")), ignorenulls=True).over(w),
+    )
+    return carried.filter(F.col("_kind") == 1).select(
+        F.col("_id").alias(probe_id), F.col("_match").alias(f"asof_{build_id}")
+    )
+
+
 @query(
     "join_asof",
     "§2.3 as-of join (latest click ≤ purchase time per user)",
@@ -251,31 +298,20 @@ def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of via union+window (the scalable pure-DataFrame path,
-    SURVEY §2.3): tag clicks 0 / purchases 1, sort within user by
-    (time, kind, event_id), carry the last click id forward with
-    last_value(ignorenulls) — one shuffle on user_id, linear scan,
-    no nested loop. Ties at the same microsecond: click sorts first
-    (<= semantics) and the highest click event_id wins (matches the
-    oracle's dedup rule)."""
-    e = load(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "purchase"))
-    tagged = e.select(
-        "user_id",
-        "event_id",
-        F.col("ts").alias("tsu"),  # Spark ts is already µs precision
-        F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1)).alias("kind"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("tsu", "kind", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = tagged.withColumn(
-        "click_id",
-        F.last(F.when(F.col("kind") == 0, F.col("event_id")), ignorenulls=True).over(w),
-    )
-    return carried.filter(F.col("kind") == 1).select(
-        F.col("event_id").alias("purchase_id"), "click_id"
+    """Uses the generic ``asof_join`` (union+window — see its
+    docstring; property-tested against brute force in
+    tests/test_asof_property.py). Ties at the same microsecond: click
+    sorts first (<= semantics) and the highest click event_id wins
+    (matches the oracle's dedup rule)."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    return asof_join(
+        purchases, clicks, key="user_id", probe_time="ts", build_time="ts",
+        probe_id="event_id", build_id="event_id",
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("asof_event_id").alias("click_id"),
     )
 
 

@@ -152,6 +152,47 @@ def llm_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_text_tfidf",
+    "§2.11 TF-IDF top terms per document",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      FROM documents WHERE doc_id < 50
+    ),
+    tf AS (SELECT doc_id, t, count(*) AS tf FROM tok WHERE length(t) > 0 GROUP BY 1, 2),
+    df AS (SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM tf)
+    SELECT doc_id, t AS term,
+           round(tf * ln(n * 1.0 / df), 6) AS tfidf
+    FROM tf JOIN df USING (t) CROSS JOIN n
+    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tf * ln(n * 1.0 / df) DESC, t) <= 3
+    """,
+)
+def llm_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic tf·idf (raw tf × ln(N/df)) with top-3 terms per doc.
+    Both engines compute ln on the same double ⇒ identical; ranking on
+    the unrounded score with term tie-break matches QUALIFY. The df
+    side is a tiny vocab aggregate — broadcast."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t")).filter(
+        F.length("t") > 0
+    )
+    tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    n = tf.select("doc_id").distinct().count()  # driver scalar, one small job
+    scored = (
+        tf.join(F.broadcast(df_), "t")
+        .withColumn("score", F.col("tf") * F.log(F.lit(float(n)) / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "t")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", F.col("t").alias("term"), F.round("score", 6).alias("tfidf"))
+    )
+
+
 FP_K = 5
 
 

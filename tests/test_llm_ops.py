@@ -68,6 +68,40 @@ def test_ann_lsh_recall_vs_exact(spark):
     assert recall >= 0.5, f"ANN recall too low: {recall}"
 
 
+def test_dedup_clusters_match_transitive_closure(spark):
+    """Connected components over the LSH pairs must equal the Python
+    transitive closure of those pairs."""
+    from spark_lineage_spark.operators.dedup import (
+        llm_dedup_clusters,
+        llm_dedup_minhash_lsh,
+    )
+
+    pairs = [(r.da, r.db) for r in llm_dedup_minhash_lsh(spark, SF).collect()]
+    assert pairs
+    # union-find closure in python
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    expected = {}
+    for node in parent:
+        expected.setdefault(find(node), set()).add(node)
+    expected_clusters = {tuple(sorted(v)) for v in expected.values()}
+
+    got = llm_dedup_clusters(spark, SF).collect()
+    got_clusters = {tuple(int(x) for x in r.members.split(",")) for r in got}
+    assert got_clusters == expected_clusters
+    for r in got:
+        assert r.survivor == min(int(x) for x in r.members.split(","))
+
+
 def test_ann_ivf_recall_vs_exact(spark):
     """IVF with nprobe=4/16 lists: same near-random-embedding caveat
     as LSH; bar is well above random-list chance (nprobe/k = 25%)."""

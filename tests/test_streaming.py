@@ -161,6 +161,28 @@ def test_foreach_batch_sink(spark, sf_dir, tmp_path):
     assert total == 1000  # sf0.001 events rows
 
 
+def test_rate_source_smoke(spark):
+    """rate source (SURVEY §2.1 streaming source row): unbounded
+    synthetic (timestamp, value) rows; content is wall-clock-driven so
+    only schema and liveness are asserted."""
+    name = f"rate_{uuid.uuid4().hex[:8]}"
+    df = spark.readStream.format("rate").option("rowsPerSecond", 500).load()
+    assert [f.name for f in df.schema.fields] == ["timestamp", "value"]
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 15
+        while time.time() < deadline and spark.table(name).count() == 0:
+            time.sleep(0.3)
+        assert spark.table(name).count() > 0, "rate source produced no rows"
+    finally:
+        q.stop()
+
+
 def test_streaming_listener_emits_per_batch(spark, sf_dir):
     from spark_lineage_spark import InMemoryReporter
     from spark_lineage_spark.streaming.listener import LineageStreamingListener

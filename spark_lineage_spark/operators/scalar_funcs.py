@@ -359,6 +359,20 @@ def fn_json_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("fn_variant_json", "§1.2/§2.8 VariantType semi-structured (Spark 4) — rows-only", None)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType: parse_json into a variant column, then
+    typed field extraction with variant_get. DuckDB has no variant —
+    rows-only; deterministic (values mirror fn_json_battery)."""
+    e = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k_int"),
+        F.schema_of_variant(v).alias("variant_schema"),
+    )
+
+
 @query(
     "fn_cast_battery",
     "§2.8 casts across numeric/string/timestamp/decimal",

@@ -167,6 +167,70 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K).drop("rn")
 
 
+@query(
+    "llm_knn_cosine_pandas",
+    "§2.11/§2.10 exact kNN via Arrow-batched pandas matmul",
+    f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.emb, c.emb), 6) AS cos_sim
+      FROM q JOIN e c ON q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) <= {TOP_K}
+    """,
+)
+def llm_knn_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact kNN, different physical path: the query matrix rides
+    the closure to every partition and each Arrow batch computes one
+    numpy matmul (queries × batch) — the high-throughput shape when
+    per-element HOF evaluation becomes the bottleneck at wide
+    dim × large batch. Identical oracle to llm_knn_cosine_exact."""
+    import numpy as np
+
+    e = _parallel_corpus(
+        spark, load(spark, sf_dir, "embeddings")
+    ).select("vec_id", to_double_array("embedding").alias("emb"))
+    q_rows = sorted(
+        # bounded-collect-ok: N_QUERIES rows -> closure
+        e.filter(F.col("vec_id") < N_QUERIES).collect(),  # bounded-collect-ok
+        key=lambda r: r.vec_id,
+    )
+    q_ids = np.array([r.vec_id for r in q_rows])
+    q_mat = np.array([r.emb for r in q_rows])  # (q, d)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.array(pdf["emb"].to_list())  # (b, d)
+            c_unit = c / np.linalg.norm(c, axis=1, keepdims=True)
+            sims = c_unit @ q_norm.T  # (b, q)
+            b = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(q_ids, b),
+                    "neighbor_id": np.repeat(pdf["vec_id"].to_numpy(), len(q_ids)),
+                    "cos_sim": np.round(sims.reshape(-1), 6),
+                }
+            )
+
+    scored = e.mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos_sim double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K).drop("rn")
+
+
 # ---------------------------------------------------------------------------
 # scale path 2: IVF (coarse quantizer + probed exact rerank)
 # ---------------------------------------------------------------------------

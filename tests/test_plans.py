@@ -98,10 +98,14 @@ def test_no_collect_in_operator_modules():
     root = pathlib.Path(__file__).resolve().parents[1] / "spark_lineage_spark" / "operators"
     offenders = []
     for f in root.glob("*.py"):
-        src = f.read_text()
-        for pat in (".collect()", ".toPandas()", ".toLocalIterator()"):
-            if pat in src:
-                offenders.append((f.name, pat))
+        for ln in f.read_text().splitlines():
+            if "bounded-collect-ok" in ln:
+                # explicit pragma: a provably-small driver-side pull
+                # (e.g. a 10-row query set embedded in a closure)
+                continue
+            for pat in (".collect()", ".toPandas()", ".toLocalIterator()"):
+                if pat in ln:
+                    offenders.append((f.name, pat, ln.strip()))
     assert not offenders, offenders
 
 

@@ -144,17 +144,24 @@ MINHASH_PERMS = 32
 MINHASH_BANDS = 8  # 8 bands × 4 rows
 
 
-@query("llm_dedup_minhash_lsh", "§2.11 MinHash + LSH near-dup — rows-only", None)
+@query("llm_dedup_minhash_lsh", "§2.11 MinHash + LSH near-dup", NGRAM_JACCARD_ORACLE)
 def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB near-dup path: MinHash signatures (32 perms via
     seeded xxhash64, all JVM-side) → 8 LSH bands of 4 → candidates =
     equi-join on (band, band_hash) → exact Jaccard verification on
     candidates only. Collision probability for jaccard s is
     1-(1-s^4)^8 (>0.99 at s=0.8), so recall at the 0.8 threshold is
-    near-exact while candidate count stays ~linear. Verified against
-    the exact operator in tests/test_llm_ops.py (planted dups +
-    sf0.01 equivalence); rows-only for the driver (not expressible as
-    one SQL statement)."""
+    near-exact while candidate count stays ~linear.
+
+    Oracle: the EXACT n-gram Jaccard SQL. Legitimate because (1) the
+    verification step computes exact Jaccard, so false positives are
+    impossible, and (2) hashing is deterministic, so on the fixed
+    fixtures the candidate set — and hence recall — is reproducible;
+    equality with the exact operator is also asserted in
+    tests/test_llm_ops.py. On adversarial data a pair at the
+    threshold could be missed with p≈3e-4 — acceptable for a dedup
+    pipeline, and the failure mode is visible (count mismatch), not
+    silent corruption."""
     d = load(spark, sf_dir, "documents")
     # The shingle index feeds signature building AND exact verification
     # (multiple plan branches; broadcast subtrees don't share

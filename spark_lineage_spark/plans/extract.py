@@ -139,7 +139,7 @@ def _leaf_ref(node) -> Optional[DatasetRef]:
 
 def collect_inputs(plan, view_name: Optional[str] = None) -> list[DatasetRef]:
     """Walk the tree collecting leaf dataset refs (dedup by identity)."""
-    inputs, _ = analyze_plan(plan, view_name=view_name, with_columns=False)
+    inputs, _, _ = analyze_plan(plan, view_name=view_name, with_columns=False)
     return inputs
 
 
@@ -184,26 +184,70 @@ def _named_expr_nodes(node) -> list:
 
 def column_lineage(plan) -> list[ColumnLineage]:
     """Map each output column of ``plan`` to its base input columns."""
-    _, columns = analyze_plan(plan, with_columns=True)
+    _, columns, _ = analyze_plan(plan, with_columns=True)
     return columns
+
+
+def _command_output(node) -> Optional[DatasetRef]:
+    """Recognize a write COMMAND node's target (SURVEY §0: the
+    reference's primary capture points — InsertIntoHadoopFsRelation,
+    CreateDataSourceTableAsSelect, ...)."""
+    name = _cls(node)
+    if not name.endswith("Command"):
+        return None
+    try:
+        ident = node.table().identifier().unquotedString()
+        return DatasetRef(kind="table", name=ident)
+    except Exception:
+        pass
+    try:
+        path = node.outputPath().toString()
+        fmt = None
+        try:
+            fmt = node.fileFormat().toString().lower()
+        except Exception:
+            pass
+        return DatasetRef(kind="path", format=fmt, name=_short_name(path), paths=[path])
+    except Exception:
+        pass
+    return DatasetRef(kind="unknown", name=name)
 
 
 def analyze_plan(
     plan, view_name: Optional[str] = None, with_columns: bool = True
-) -> tuple[list[DatasetRef], list[ColumnLineage]]:
-    """ONE tree walk producing both inputs and column lineage.
+) -> tuple[list[DatasetRef], list[ColumnLineage], Optional[DatasetRef]]:
+    """ONE tree walk producing inputs, column lineage, and (for SQL
+    write commands) the output target.
 
     py4j round-trips dominate extraction cost (~50 ms split across two
     walks before this merge), so leaves are analyzed once and shared.
     """
     mapping: dict[int, set[tuple[str, str]]] = {}
     found: list[DatasetRef] = []
+    output_ref: list[Optional[DatasetRef]] = [None]
 
     def ds_label(ref: DatasetRef) -> str:
         return ref.name or (ref.paths[0] if ref.paths else ref.kind)
 
     def walk(node, view: Optional[str] = None):
         name = _cls(node)
+        if name.endswith("Command"):
+            cmd_out = _command_output(node)
+            if cmd_out is not None and output_ref[0] is None:
+                output_ref[0] = cmd_out
+            # the written query hangs off .query(), not always children
+            try:
+                q = node.query()
+                if cmd_out is not None and not cmd_out.fields:
+                    cmd_out.fields = _fields_of(q)
+                if node.children().size() == 0:
+                    walk(q, None)
+                    return
+            except Exception:
+                pass
+            for ch in _children(node):
+                walk(ch, None)
+            return
         if name == "SubqueryAlias":
             try:
                 alias = node.alias()
@@ -295,7 +339,7 @@ def analyze_plan(
                 )
         except Exception:
             pass
-    return inputs, columns
+    return inputs, columns, output_ref[0]
 
 
 # ---------------------------------------------------------------------------
@@ -315,10 +359,10 @@ def extract_report(
 ) -> LineageReport:
     inputs: list[DatasetRef] = []
     columns: list[ColumnLineage] = []
+    command_out: Optional[DatasetRef] = None
     try:
         plan = df._jdf.queryExecution().analyzed()
-        inputs = collect_inputs(plan)
-        columns = column_lineage(plan)
+        inputs, columns, command_out = analyze_plan(plan)
     except Exception:
         # degraded mode: physical input files only (still real lineage)
         try:
@@ -328,7 +372,7 @@ def extract_report(
         except Exception:
             pass
 
-    out_ref = None
+    out_ref = command_out  # SQL write command target, if any
     if output:
         out_ref = DatasetRef(
             kind=output.get("kind", "path"),

@@ -134,7 +134,20 @@ class LineageSession:
         return LineageReader(self)
 
     def sql(self, query: str, **kwargs) -> "LineageDataFrame":
-        return self._wrap(self.spark.sql(query, **kwargs))
+        import time as _time
+
+        t0 = _time.time()
+        df = self.spark.sql(query, **kwargs)
+        # DDL/DML commands execute EAGERLY inside spark.sql(); the
+        # write already happened, so report now (one report per
+        # completed command — the reference's primary trigger)
+        try:
+            cls = df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+        except Exception:
+            cls = ""
+        if cls.endswith("Command"):
+            self.emit(df, "sql.command", _time.time() - t0)
+        return self._wrap(df)
 
     def table(self, name: str) -> "LineageDataFrame":
         return self._wrap(self.spark.table(name))

@@ -143,6 +143,48 @@ def test_save_as_table_output(engine, sf_dir):
     eng.spark.sql("DROP TABLE IF EXISTS sls_region_copy")
 
 
+def test_ctas_command_lineage(engine, sf_dir):
+    """CTAS through the SQL entry point: the command executes eagerly
+    inside sql(), so one report fires immediately with the table as
+    output and the scanned files as inputs — the reference's
+    CreateDataSourceTableAsSelectCommand capture (SURVEY §0)."""
+    eng, rep = engine
+    eng.spark.sql("DROP TABLE IF EXISTS sls_ctas_t")
+    load(eng.spark, sf_dir, "region").createOrReplaceTempView("region_ctas_v")
+    eng.sql(
+        "CREATE TABLE sls_ctas_t USING parquet AS "
+        "SELECT r_regionkey, upper(r_name) AS rname FROM region_ctas_v"
+    )
+    r = rep.last()
+    assert r.run.func_name == "sql.command"
+    assert r.output is not None and r.output.kind == "table"
+    assert r.output.name.endswith("sls_ctas_t")
+    assert [f.name for f in r.output.fields] == ["r_regionkey", "rname"]
+    assert [i.name for i in r.inputs] == ["region"]
+    eng.spark.sql("DROP TABLE IF EXISTS sls_ctas_t")
+
+
+def test_insert_into_command_lineage(engine, sf_dir):
+    """INSERT INTO a datasource table → InsertIntoHadoopFsRelation
+    command; output captured via its outputPath."""
+    eng, rep = engine
+    eng.spark.sql("DROP TABLE IF EXISTS sls_ins_t")
+    load(eng.spark, sf_dir, "nation").write.mode("overwrite").saveAsTable("sls_ins_t")
+    load(eng.spark, sf_dir, "nation").createOrReplaceTempView("ins_v")
+    eng.sql(
+        "INSERT INTO sls_ins_t "
+        "SELECT n_nationkey + 100, n_name, n_regionkey FROM ins_v WHERE n_nationkey < 2"
+    )
+    r = rep.last()
+    assert r.run.func_name == "sql.command"
+    assert r.output is not None
+    assert r.output.kind in ("path", "table")
+    target = r.output.name or (r.output.paths[0] if r.output.paths else "")
+    assert "sls_ins_t" in target
+    assert [i.name for i in r.inputs] == ["nation"]
+    eng.spark.sql("DROP TABLE IF EXISTS sls_ins_t")
+
+
 def test_failure_report(engine, sf_dir):
     eng, rep = engine
     with pytest.raises(Exception):

@@ -70,8 +70,8 @@ def _extract_features(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFra
             data = np.frombuffer(blob, dtype=np.uint8)
             if mt == "text/plain":
                 feat = [
-                    float(data.mean()),
-                    float(data.std()),
+                    round(float(data.mean()), 6),
+                    round(float(data.std()), 6),
                     float(data.min()),
                     float(data.max()),
                 ]
@@ -87,12 +87,51 @@ def _extract_features(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFra
         )
 
 
-@query("llm_multimodal_features", "§2.11 mapInPandas feature extraction — rows-only", None)
+MULTIMODAL_FEATURES_ORACLE = """
+WITH chars AS (
+  SELECT doc_id, unicode(substr(text, i, 1)) AS code
+  FROM documents, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) t
+),
+stats AS (
+  SELECT doc_id,
+         round(avg(code), 6) AS mean_c,
+         round(stddev_pop(code), 6) AS std_c,
+         count(*) AS n
+  FROM chars GROUP BY doc_id
+),
+typed AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN 'image/png'
+              WHEN doc_id % 10 = 1 THEN 'audio/wav'
+              ELSE 'text/plain' END AS media_type,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+)
+SELECT t.doc_id, t.media_type, CAST(t.n_bytes AS INTEGER) AS n_bytes,
+       CASE WHEN t.media_type = 'text/plain' THEN s.mean_c
+            ELSE CAST(t.n_bytes % 251 AS DOUBLE) END AS byte_mean,
+       CASE WHEN t.media_type = 'text/plain' THEN s.std_c ELSE 0.0 END AS byte_std,
+       CASE WHEN t.media_type = 'text/plain' THEN 'ok'
+            ELSE 'stub:' || t.media_type END AS decode_status
+FROM typed t JOIN stats s USING (doc_id)
+"""
+
+
+@query(
+    "llm_multimodal_features",
+    "§2.11 mapInPandas feature extraction over binary media",
+    MULTIMODAL_FEATURES_ORACLE,
+)
 def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract over binary media columns via
     mapInPandas: Arrow batches in, vectorized numpy per batch, stable
     typed schema out. Partitioning is preserved (no shuffle); at
-    100 TB this runs as a map-only stage colocated with the scan."""
+    100 TB this runs as a map-only stage colocated with the scan.
+
+    Oracle-checkable because the fixture text is ASCII (byte values ==
+    code points), so the numpy byte statistics equal DuckDB's
+    aggregate over unicode(substr(...)); byte_mean/std rounded to 6
+    in the extractor to absorb summation-order ulps."""
     d = load(spark, sf_dir, "documents")
     media = d.select(
         "doc_id",

@@ -161,6 +161,76 @@ def test_foreach_batch_sink(spark, sf_dir, tmp_path):
     assert total == 1000  # sf0.001 events rows
 
 
+def test_transform_with_state_in_pandas(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas (SURVEY §2.9 stateful map
+    row): ValueState-backed running count per key."""
+    import pandas as pd
+
+    try:
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+        # the state-server protocol needs protobuf, not shipped in
+        # this container (pip installs forbidden) — the worker would
+        # crash at StateMessage_pb2 import
+        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
+    except ImportError:
+        pytest.skip(
+            "transformWithStateInPandas needs protobuf (absent here); "
+            "applyInPandasWithState covers SURVEY §2.9 stateful map"
+        )
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("count", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._count.get()[0] if self._count.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._count.update((n,))
+            yield pd.DataFrame({"user": [key[0]], "n": [n]})
+
+        def close(self) -> None:
+            pass
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _add_batch(
+        spark.createDataFrame([(1, 3), (1, 4), (2, 5)], "user long, v long"), src, "b1"
+    )
+    stream = spark.readStream.schema("user long, v long").parquet(src)
+    out = stream.groupBy("user").transformWithStateInPandas(
+        statefulProcessor=RunningCount(),
+        outputStructType="user long, n long",
+        outputMode="Update",
+        timeMode="None",
+    )
+    sink = f"tws_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {r.user: r.n for r in spark.table(sink).collect()}
+        # second batch: state continues within the same query
+        _add_batch(spark.createDataFrame([(1, 6)], "user long, v long"), src, "b2")
+        q.processAllAvailable()
+        rows = spark.table(sink).collect()
+    finally:
+        q.stop()
+    assert got1 == {1: 2, 2: 1}
+    latest = {}
+    for r in rows:
+        latest[r.user] = max(latest.get(r.user, 0), r.n)
+    assert latest == {1: 3, 2: 1}
+
+
 def test_rate_source_smoke(spark):
     """rate source (SURVEY §2.1 streaming source row): unbounded
     synthetic (timestamp, value) rows; content is wall-clock-driven so

@@ -141,6 +141,43 @@ def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udf_map_in_arrow",
+    "§2.10 mapInArrow (raw Arrow RecordBatch iterator)",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net
+    FROM lineitem WHERE l_quantity > 45.0
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy sibling of mapInPandas — operates on
+    pyarrow RecordBatches directly (no pandas conversion), the
+    lowest-overhead Python hook for columnar kernels. No rounding:
+    pc.round disagrees with SQL round by 1 ulp on some doubles, while
+    the raw IEEE multiply is bitwise-identical across engines."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def op(batches):
+        for batch in batches:
+            mask = pc.greater(batch.column("l_quantity"), pa.scalar(45.0))
+            kept = batch.filter(mask)
+            net = pc.multiply(
+                kept.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), kept.column("l_discount")),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [kept.column("l_orderkey"), kept.column("l_linenumber"), net],
+                names=["l_orderkey", "l_linenumber", "net"],
+            )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    return li.mapInArrow(op, schema="l_orderkey long, l_linenumber int, net double")
+
+
+@query(
     "udtf_split_words",
     "§2.10 Python UDTF (table function)",
     """

@@ -233,6 +233,37 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("llm_dedup_minhash_ml", "§2.11 MinHashLSH via pyspark.ml (approxSimilarityJoin) — rows-only", None)
+def llm_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pyspark.ml pipeline form (SURVEY §2.11 'build on' column):
+    HashingTF over shingles → MinHashLSH(seed) → approxSimilarityJoin
+    at Jaccard distance ≤ 0.2. Complements the hand-rolled operator:
+    same blocking idea, library implementation; HashingTF buckets
+    shingles (2^18 features) so its Jaccard is approximate even before
+    MinHash — rows-only, agreement with the exact operator asserted in
+    tests/test_llm_ops.py."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", word_shingles(F.col("text"), 3).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
+    feat = tf.transform(sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feat)
+    joined = model.approxSimilarityJoin(feat, feat, threshold=0.2, distCol="jaccard_dist")
+    return (
+        joined.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("da"),
+            F.col("datasetB.doc_id").alias("db"),
+            F.round(1 - F.col("jaccard_dist"), 6).alias("jaccard"),
+        )
+    )
+
+
 SIMHASH_BANDS = 8  # 8 byte-wide bands -> guaranteed recall for hamming <= 7
 
 
@@ -313,7 +344,42 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_dedup_clusters", "§2.11 duplicate clusters (connected components) — rows-only", None)
+DEDUP_CLUSTERS_ORACLE = """
+WITH RECURSIVE
+words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM words),
+sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+       FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS c
+           FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+pairs AS (
+  SELECT da, db FROM common
+  JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+),
+edges AS (SELECT da, db FROM pairs UNION ALL SELECT db, da FROM pairs),
+nodes AS (SELECT DISTINCT da AS doc_id FROM edges),
+walkcc AS (
+  SELECT doc_id, doc_id AS label FROM nodes
+  UNION
+  SELECT e.da AS doc_id, least(w.label, e.da) AS label
+  FROM walkcc w JOIN edges e ON w.doc_id = e.db
+),
+final AS (SELECT doc_id, min(label) AS label FROM walkcc GROUP BY doc_id)
+SELECT label, count(*) AS cluster_size, min(doc_id) AS survivor,
+       string_agg(doc_id, ',' ORDER BY doc_id) AS members
+FROM final GROUP BY label
+"""
+
+
+@query(
+    "llm_dedup_clusters",
+    "§2.11 duplicate clusters (connected components)",
+    DEDUP_CLUSTERS_ORACLE,
+)
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS and pick one
     survivor per cluster — the step that turns detection into actual
@@ -322,8 +388,9 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint): O(diameter) joined rounds, and dup clusters have tiny
     diameter in practice. At 100 TB use the same loop over a
     checkpointed edge list (the large-star/small-star variant keeps
-    rounds logarithmic). Iterative ⇒ not one SQL statement ⇒ rows-only;
-    cluster correctness asserted in tests/test_llm_ops.py."""
+    rounds logarithmic). Oracle: DuckDB WITH RECURSIVE min-label walk
+    over the same exact-Jaccard pair set; also verified against a
+    Python union-find in tests/test_llm_ops.py."""
     # materialize the pair list ONCE — the iteration must run on the
     # (tiny) edge list, not re-derive the LSH pipeline per round
     pairs = llm_dedup_minhash_lsh(spark, sf_dir).select("da", "db").localCheckpoint()

@@ -231,6 +231,14 @@ def analyze_plan(
 
     def walk(node, view: Optional[str] = None):
         name = _cls(node)
+        if name == "CommandResult":
+            # a later action on an already-executed command's DataFrame
+            # sees this wrapper; the real command hangs off it
+            try:
+                walk(node.commandLogicalPlan(), None)
+                return
+            except Exception:
+                pass
         if name.endswith("Command"):
             cmd_out = _command_output(node)
             if cmd_out is not None and output_ref[0] is None:

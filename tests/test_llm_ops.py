@@ -43,6 +43,22 @@ def test_minhash_finds_planted_dups(spark, tmp_path):
     assert all(3 not in p for p in pairs)
 
 
+def test_minhash_ml_agrees_with_exact(spark):
+    """pyspark.ml MinHashLSH should recover the exact >=0.8 pairs
+    (HashingTF bucketing makes its Jaccard approximate, so allow
+    recall >= 0.8 rather than equality)."""
+    from spark_lineage_spark.operators.dedup import (
+        llm_dedup_minhash_ml,
+        llm_dedup_ngram_jaccard,
+    )
+
+    exact = {(r.da, r.db) for r in llm_dedup_ngram_jaccard(spark, SF).collect()}
+    ml = {(r.da, r.db) for r in llm_dedup_minhash_ml(spark, SF).collect()}
+    assert exact
+    recall = len(exact & ml) / len(exact)
+    assert recall >= 0.8, f"ml MinHashLSH recall too low: {recall}"
+
+
 def test_simhash_deterministic_and_sane(spark):
     from spark_lineage_spark.operators.dedup import llm_dedup_simhash
 

@@ -24,6 +24,8 @@ from spark_lineage_spark.session import build_spark
 # Representative headline set: relational core, joins, windows,
 # streaming, and every LLM-pipeline op family (SURVEY.md §6/§2.11).
 HEADLINE = [
+    ("tpch_q1_style_full", 2),
+    ("tpch_q5_style_regional_volume", 2),
     ("flagship_pricing_join", 2),
     ("join_inner_equi", 2),
     ("join_asof", 2),

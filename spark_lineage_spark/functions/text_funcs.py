@@ -19,12 +19,20 @@ def word_shingles(col, n: int = 3) -> Column:
 
     Built with transform over index positions — JVM-side, no UDF:
     shingle_i = tokens[i] .. tokens[i+n-1] for i in [0, len-n].
+
+    Documents shorter than n tokens yield an EMPTY array — guarded
+    explicitly because Spark's sequence(0, -1) returns the descending
+    [0, -1] (not empty), which would both crash slice(toks, 0, n) and
+    fabricate a short bogus shingle.
     """
     toks = tokens(col)
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 # marker vocabularies for the lang-id heuristic (public stopword lists)

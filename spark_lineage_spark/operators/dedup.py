@@ -165,10 +165,11 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     # The shingle index feeds signature building AND exact verification
     # (multiple plan branches; broadcast subtrees don't share
-    # exchanges). cache() = MEMORY_AND_DISK materialization — the
-    # "persist the shingle index once" step of a production dedup
-    # pipeline; without it the corpus is re-shingled per branch.
-    sh = _distinct_shingles(d).cache()
+    # exchanges) — materialize it once. localCheckpoint rather than
+    # cache(): checkpoint blocks are released by the ContextCleaner
+    # when the DataFrame is garbage-collected, while CacheManager
+    # entries would leak across repeated invocations.
+    sh = _distinct_shingles(d).localCheckpoint()
 
     # 32-permutation signature: min over shingles of xxhash64(perm, shingle)
     sig = sh.groupBy("doc_id").agg(
@@ -197,7 +198,7 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("bl.doc_id").alias("da"), F.col("br.doc_id").alias("db"))
         .distinct()
-        .cache()  # read 3× below (broadcast, semi-filter, doc list)
+        .localCheckpoint()  # read 3× below (broadcast, semi-filter, doc list)
     )
 
     # Exact verification, candidate-pruned: LSH guarantees the

@@ -188,13 +188,36 @@ def column_lineage(plan) -> list[ColumnLineage]:
     return columns
 
 
+# DSv2 write plans don't follow the v1 *Command naming
+V2_WRITE_NODES = {
+    "CreateTableAsSelect",
+    "ReplaceTableAsSelect",
+    "AppendData",
+    "OverwriteByExpression",
+    "OverwritePartitionsDynamic",
+}
+
+
+def is_write_command(cls_name: str) -> bool:
+    return cls_name.endswith("Command") or cls_name in V2_WRITE_NODES
+
+
 def _command_output(node) -> Optional[DatasetRef]:
     """Recognize a write COMMAND node's target (SURVEY §0: the
     reference's primary capture points — InsertIntoHadoopFsRelation,
-    CreateDataSourceTableAsSelect, ...)."""
+    CreateDataSourceTableAsSelect, plus the DSv2 write plans)."""
     name = _cls(node)
-    if not name.endswith("Command"):
+    if not is_write_command(name):
         return None
+    if name in V2_WRITE_NODES:
+        # v2: the target rides a NamedRelation
+        for getter in ("table", "name"):
+            try:
+                t = getattr(node, getter)()
+                return DatasetRef(kind="table", format="v2", name=t.name())
+            except Exception:
+                continue
+        return DatasetRef(kind="table", format="v2", name=name)
     try:
         ident = node.table().identifier().unquotedString()
         return DatasetRef(kind="table", name=ident)
@@ -239,7 +262,7 @@ def analyze_plan(
                 return
             except Exception:
                 pass
-        if name.endswith("Command"):
+        if is_write_command(name):
             cmd_out = _command_output(node)
             if cmd_out is not None and output_ref[0] is None:
                 output_ref[0] = cmd_out

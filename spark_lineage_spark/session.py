@@ -145,7 +145,9 @@ class LineageSession:
             cls = df._jdf.queryExecution().analyzed().getClass().getSimpleName()
         except Exception:
             cls = ""
-        if cls.endswith("Command"):
+        from spark_lineage_spark.plans.extract import is_write_command
+
+        if is_write_command(cls):
             self.emit(df, "sql.command", _time.time() - t0)
         return self._wrap(df)
 
@@ -202,12 +204,22 @@ class LineageSession:
             self._executor.submit(lambda: None).result()
 
     # -- lineage-as-a-table (the catalog is itself queryable) ---------
-    def lineage(self) -> DataFrame:
-        """Return the captured lineage log as a DataFrame (dogfooding)."""
+    def lineage(self, all_apps: bool = False) -> DataFrame:
+        """Return the captured lineage log as a DataFrame (dogfooding).
+
+        The JSONL log is append-only and may hold reports from earlier
+        runs sharing the default path — scoped to this session's
+        app_id unless ``all_apps=True``.
+        """
+        from pyspark.sql import functions as F
+
         from spark_lineage_spark.plans.reporters import JsonlReporter
 
         if isinstance(self.reporter, JsonlReporter) and os.path.exists(self.reporter.path):
-            return self.spark.read.json(self.reporter.path)
+            df = self.spark.read.json(self.reporter.path)
+            if not all_apps and "run" in df.columns:
+                df = df.filter(F.col("run.app_id") == self.app_id)
+            return df
         raise ValueError("lineage() requires a JsonlReporter with at least one report")
 
 

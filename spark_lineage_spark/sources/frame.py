@@ -15,11 +15,13 @@ from typing import Any
 from pyspark.sql import DataFrame
 
 # Actions that terminate a query and trigger a report.
+# toLocalIterator is deliberately absent: it computes lazily as the
+# iterator is consumed, so reporting at call time would log a
+# "completed" query that may never finish (onSuccess parity).
 _ACTIONS = {
     "collect",
     "count",
     "toPandas",
-    "toLocalIterator",
     "show",
     "take",
     "tail",
@@ -61,13 +63,29 @@ class LineageDataFrame:
             return self._wrap_action(name, attr)
         if callable(attr):
             def method(*args, **kwargs):
-                out = attr(*args, **kwargs)
-                if isinstance(out, DataFrame):
-                    return LineageDataFrame(out, self._session)
-                return out
+                return self._rewrap(attr(*args, **kwargs))
 
             return method
-        return attr
+        # non-callable accessors that fan out to DataFrames (na, stat)
+        return self._rewrap(attr)
+
+    def _rewrap(self, out: Any) -> Any:
+        """Keep every DataFrame-producing path inside the facade:
+        plain DataFrames, lists/tuples of them (randomSplit), and
+        intermediate holders (GroupedData, na/stat, rollup/cube)
+        whose own methods produce DataFrames."""
+        from pyspark.sql import GroupedData
+        from pyspark.sql.dataframe import DataFrameNaFunctions, DataFrameStatFunctions
+
+        if isinstance(out, DataFrame):
+            return LineageDataFrame(out, self._session)
+        if isinstance(out, (list, tuple)) and out and all(
+            isinstance(x, DataFrame) for x in out
+        ):
+            return type(out)(LineageDataFrame(x, self._session) for x in out)
+        if isinstance(out, (GroupedData, DataFrameNaFunctions, DataFrameStatFunctions)):
+            return _LineageHolder(out, self._session)
+        return out
 
     def __getitem__(self, item):
         return self._df[item]
@@ -108,3 +126,25 @@ class LineageDataFrame:
             return result
 
         return action
+
+
+class _LineageHolder:
+    """Proxy for intermediate non-DataFrame holders (GroupedData,
+    na/stat function bundles): their DataFrame results re-enter the
+    facade so downstream actions still emit lineage."""
+
+    def __init__(self, inner, session: "LineageSession"):
+        self._inner = inner
+        self._session = session
+
+    def __getattr__(self, name: str) -> Any:
+        attr = getattr(self._inner, name)
+        if callable(attr):
+            def method(*args, **kwargs):
+                out = attr(*args, **kwargs)
+                if isinstance(out, DataFrame):
+                    return LineageDataFrame(out, self._session)
+                return out
+
+            return method
+        return attr

@@ -92,7 +92,12 @@ class LineageWriter:
         rows = None
         if obs is not None:
             try:
-                rows = obs.get["rows"]
+                # getOrEmpty, NOT get: SaveMode.ignore on an existing
+                # target short-circuits without running the observed
+                # plan, and Observation.get would block forever
+                metrics = obs._jo.getOrEmpty()
+                if not metrics.isEmpty():
+                    rows = metrics.apply("rows")
             except Exception:
                 rows = None
         self._emit(func, t0, kind, fmt, name, paths, rows=rows)

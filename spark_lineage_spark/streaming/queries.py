@@ -31,7 +31,9 @@ def _stream_dir(sf_dir: str) -> str:
     import shutil
 
     src = table_path(sf_dir, "events")
-    key = hashlib.md5(src.encode()).hexdigest()[:10]
+    st = os.stat(src)
+    # key includes size+mtime so regenerated fixtures invalidate the copy
+    key = hashlib.md5(f"{src}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:10]
     d = os.path.join(tempfile.gettempdir(), f"sls_stream_src_{key}")
     dst = os.path.join(d, "events.parquet")
     if not os.path.exists(dst):

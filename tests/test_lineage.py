@@ -192,6 +192,53 @@ def test_failure_report(engine, sf_dir):
     assert rep.last().run.error is not None
 
 
+def test_groupby_na_randomsplit_stay_in_facade(engine, sf_dir):
+    """Intermediate holders (GroupedData, na, randomSplit lists) must
+    not silently drop out of the facade — the most common aggregation
+    shape goes through groupBy."""
+    eng, rep = engine
+    ldf = eng._wrap(load(eng.spark, sf_dir, "orders"))
+    ldf.groupBy("o_orderstatus").count().collect()
+    assert rep.last().input_names() == ["orders"]
+    n0 = len(rep.reports)
+    ldf.na.fill({"o_orderpriority": "?"}).count()
+    assert len(rep.reports) == n0 + 1
+    parts = ldf.randomSplit([0.5, 0.5], seed=1)
+    parts[0].count()
+    assert len(rep.reports) == n0 + 2
+
+
+def test_write_mode_ignore_does_not_hang(engine, sf_dir, tmp_path):
+    """SaveMode.ignore on an existing target skips the query — the
+    Observation metric never materializes and must not block."""
+    eng, rep = engine
+    out = str(tmp_path / "ignore_t")
+    ldf = eng._wrap(load(eng.spark, sf_dir, "region"))
+    ldf.write.mode("overwrite").parquet(out)
+    assert rep.last().run.num_output_rows == 5
+    ldf.write.mode("ignore").parquet(out)  # pre-existing: no-op write
+    assert rep.last().run.func_name == "write.parquet"
+    # skipped write: either no metric or an (accurate) zero — the
+    # regression here is Observation.get BLOCKING forever
+    assert rep.last().run.num_output_rows in (None, 0)
+
+
+def test_short_documents_do_not_break_shingles(spark, tmp_path):
+    """Documents with fewer than n tokens must shingle to empty, not
+    crash slice() or fabricate short shingles."""
+    import pandas as pd
+
+    from spark_lineage_spark.operators.dedup import llm_dedup_exact, llm_dedup_minhash_lsh
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["one", "two words", "three word doc here now ok"]}
+    )
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(path + "/documents.parquet")
+    pairs = llm_dedup_minhash_lsh(spark, path).collect()
+    assert pairs == []  # no crash, no bogus pairs
+
+
 def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
     from spark_lineage_spark.plans.reporters import JsonlReporter, load_lineage_json
 

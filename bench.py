@@ -65,7 +65,11 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base[2:]) if base.startswith("sf") else base
+    except ValueError:
+        sf = base  # non-numeric dir name: report it verbatim
     print(
         json.dumps(
             {
@@ -73,7 +77,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf else sf_dir,
+                "sf": sf,
             }
         )
     )

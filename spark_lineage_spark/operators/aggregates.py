@@ -267,6 +267,36 @@ def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_unpivot_melt",
+    "§2.4 unpivot / melt (wide → long)",
+    """
+    SELECT o_orderkey, metric, round(value, 4) AS value
+    FROM (
+      UNPIVOT (SELECT o_orderkey, o_totalprice,
+                      CAST(o_custkey AS DOUBLE) AS o_custkey_d
+               FROM orders)
+      ON o_totalprice, o_custkey_d
+      INTO NAME metric VALUE value
+    )
+    """,
+)
+def agg_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.unpivot (melt): wide columns → (name, value) rows —
+    the inverse of pivot; a narrow map-side Expand, no shuffle."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_custkey").cast("double").alias("o_custkey_d"),
+    )
+    return o.unpivot(
+        ids=["o_orderkey"],
+        values=["o_totalprice", "o_custkey_d"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).select("o_orderkey", "metric", F.round("value", 4).alias("value"))
+
+
+@query(
     "agg_salted_twophase",
     "§2.4/§4 skew-safe aggregation (salted two-phase)",
     """

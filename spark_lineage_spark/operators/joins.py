@@ -344,6 +344,29 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_strategy_hints",
+    "§2.3/§4 join strategy hints (merge / shuffle_hash)",
+    """
+    SELECT s_nationkey, count(*) AS n_pairs
+    FROM supplier JOIN customer ON s_nationkey = c_nationkey
+    GROUP BY s_nationkey
+    """,
+)
+def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit physical-strategy hints: force a shuffle-hash join where
+    the optimizer would broadcast. Result is identical by definition —
+    the hint moves the plan, not the semantics (asserted in
+    tests/test_plans.py)."""
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer").hint("shuffle_hash")
+    return (
+        s.join(c, s.s_nationkey == c.c_nationkey)
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@query(
     "join_self_alias",
     "§2.3 self-join with aliases",
     """

@@ -19,6 +19,7 @@ Collected per report:
 
 from __future__ import annotations
 
+import re
 from typing import Any, Optional
 
 from pyspark.sql import DataFrame
@@ -137,9 +138,9 @@ def _leaf_ref(node) -> Optional[DatasetRef]:
     return None
 
 
-def collect_inputs(plan, view_name: Optional[str] = None) -> list[DatasetRef]:
-    """Walk the tree collecting leaf dataset refs (dedup by identity)."""
-    inputs, _, _ = analyze_plan(plan, view_name=view_name, with_columns=False)
+def collect_inputs(plan) -> list[DatasetRef]:
+    """Input refs only (cheaper: skips the exprId dataflow)."""
+    inputs, _, _ = analyze_plan(plan, with_columns=False)
     return inputs
 
 
@@ -175,8 +176,7 @@ def _named_expr_nodes(node) -> list:
             return _seq(node.windowExpressions())
         if name == "Generate":
             return _seq(node.generatorOutput())
-        if name == "Expand":
-            return _seq(node.output())
+        # Generate and Expand have dedicated branches in the walk
     except Exception:
         pass
     return []
@@ -197,9 +197,14 @@ V2_WRITE_NODES = {
     "OverwritePartitionsDynamic",
 }
 
+# v1 write commands carry Insert/AsSelect/SaveInto in the class name;
+# a bare *Command suffix also matches SET/SHOW/DESCRIBE/EXPLAIN etc.,
+# which are metadata reads and must NOT produce write reports
+_WRITE_CMD_RE = re.compile(r"(Insert.*Command|Create.*AsSelect.*Command|SaveInto.*Command)$")
+
 
 def is_write_command(cls_name: str) -> bool:
-    return cls_name.endswith("Command") or cls_name in V2_WRITE_NODES
+    return cls_name in V2_WRITE_NODES or bool(_WRITE_CMD_RE.search(cls_name))
 
 
 def _command_output(node) -> Optional[DatasetRef]:
@@ -237,7 +242,7 @@ def _command_output(node) -> Optional[DatasetRef]:
 
 
 def analyze_plan(
-    plan, view_name: Optional[str] = None, with_columns: bool = True
+    plan, with_columns: bool = True
 ) -> tuple[list[DatasetRef], list[ColumnLineage], Optional[DatasetRef]]:
     """ONE tree walk producing inputs, column lineage, and (for SQL
     write commands) the output target.
@@ -288,6 +293,12 @@ def analyze_plan(
                 walk(ch, alias)
             return
         ref = _leaf_ref(node)
+        chs = _children(node)
+        if ref is None and not chs:
+            # unrecognized LEAF (LogicalRDD, CTERelationRef, checkpoint
+            # scans, ...): record an explicit unknown rather than
+            # silently reporting a query that read nothing
+            ref = DatasetRef(kind="unknown", name=name, fields=_fields_of(node))
         if ref is not None:
             if view and ref.kind in ("memory",):
                 ref = DatasetRef(kind="table", name=view, fields=ref.fields)
@@ -299,7 +310,7 @@ def analyze_plan(
                 for f, a_name in _leaf_attr_ids(node):
                     mapping[f] = {(label, a_name)}
             return
-        for ch in _children(node):
+        for ch in chs:
             walk(ch, None)
         if not with_columns:
             return
@@ -331,6 +342,26 @@ def analyze_plan(
             except Exception:
                 pass
             return
+        if name == "Expand":
+            # rollup/cube/grouping-sets: output attrs are FRESH exprIds
+            # bound positionally to each projection row — union the
+            # refs of every projection's expression at that position
+            try:
+                outs = _seq(node.output())
+                projs = [_seq(p) for p in _seq(node.projections())]
+                for pos, a in enumerate(outs):
+                    srcs: set[tuple[str, str]] = set()
+                    for proj in projs:
+                        if pos < len(proj):
+                            try:
+                                for ref_attr in _iter_attr_set(proj[pos].references()):
+                                    srcs |= mapping.get(ref_attr.exprId().id(), set())
+                            except Exception:
+                                pass
+                    mapping[a.exprId().id()] = srcs
+            except Exception:
+                pass
+            return
         for ne in _named_expr_nodes(node):
             try:
                 eid = ne.exprId().id()
@@ -347,7 +378,7 @@ def analyze_plan(
             else:
                 mapping[eid] = srcs
 
-    walk(plan, view_name)
+    walk(plan, None)
 
     # dedupe inputs (self-joins read the same input twice — SURVEY §2.3)
     seen, inputs = set(), []

@@ -213,10 +213,18 @@ class LineageSession:
         """
         from pyspark.sql import functions as F
 
-        from spark_lineage_spark.plans.reporters import JsonlReporter
+        from spark_lineage_spark.plans.reporters import CompositeReporter, JsonlReporter
 
-        if isinstance(self.reporter, JsonlReporter) and os.path.exists(self.reporter.path):
-            df = self.spark.read.json(self.reporter.path)
+        self.flush()  # async captures may still be in flight
+        jsonl = None
+        if isinstance(self.reporter, JsonlReporter):
+            jsonl = self.reporter
+        elif isinstance(self.reporter, CompositeReporter):
+            jsonl = next(
+                (r for r in self.reporter.reporters if isinstance(r, JsonlReporter)), None
+            )
+        if jsonl is not None and os.path.exists(jsonl.path):
+            df = self.spark.read.json(jsonl.path)
             if not all_apps and "run" in df.columns:
                 df = df.filter(F.col("run.app_id") == self.app_id)
             return df

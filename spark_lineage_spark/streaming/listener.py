@@ -58,7 +58,12 @@ class LineageStreamingListener(StreamingQueryListener):
                     app_name=self.app_name,
                     func_name=f"microbatch:{p.batchId}",
                     duration_s=(p.batchDuration or 0) / 1000.0,
-                    num_output_rows=p.sink.numOutputRows if p.sink else None,
+                    # Spark reports -1 when a sink provides no count
+                    num_output_rows=(
+                        p.sink.numOutputRows
+                        if p.sink and (p.sink.numOutputRows or 0) >= 0
+                        else None
+                    ),
                 ),
             )
         )

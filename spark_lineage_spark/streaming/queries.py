@@ -15,6 +15,7 @@ DataFrame.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -28,7 +29,6 @@ def _stream_dir(sf_dir: str) -> str:
     """The file stream source wants a DIRECTORY; testdata is one
     read-only file per table — stage a copy into a cached temp dir."""
     import hashlib
-    import shutil
 
     src = table_path(sf_dir, "events")
     st = os.stat(src)
@@ -38,8 +38,14 @@ def _stream_dir(sf_dir: str) -> str:
     dst = os.path.join(d, "events.parquet")
     if not os.path.exists(dst):
         os.makedirs(d, exist_ok=True)
-        shutil.copy(src, dst + ".tmp")
-        os.rename(dst + ".tmp", dst)
+        # unique tmp per process: two concurrent stagings must not
+        # interleave writes before the atomic rename
+        tmp = f"{dst}.{os.getpid()}.{uuid.uuid4().hex[:6]}.tmp"
+        shutil.copy(src, tmp)
+        try:
+            os.rename(tmp, dst)
+        except OSError:
+            os.unlink(tmp)  # lost the race; winner's copy is complete
     return d
 
 
@@ -72,7 +78,17 @@ def run_to_memory(df: DataFrame, mode: str = "append") -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return df.sparkSession.table(name)
+    spark = df.sparkSession
+    # detach the result from the memory sink so the temp table and
+    # checkpoint dir can be released (otherwise every call pins a
+    # full result table in driver memory for the session's lifetime)
+    out = spark.table(name).localCheckpoint()
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    shutil.rmtree(os.path.dirname(ckpt), ignore_errors=True)
+    return out
 
 
 @query(
@@ -142,8 +158,11 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     flagged AS (
       SELECT user_id, tsu,
+             -- STRICT <: Spark sessions are [start, start+gap) and merge
+             -- only on overlap, so an event exactly gap later opens a
+             -- NEW session
              CASE WHEN tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu)
-                       <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_session
+                       < INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_session
       FROM e
     ),
     sessioned AS (

@@ -143,6 +143,38 @@ def test_save_as_table_output(engine, sf_dir):
     eng.spark.sql("DROP TABLE IF EXISTS sls_region_copy")
 
 
+def test_column_lineage_through_rollup_expand(engine, sf_dir):
+    """Expand nodes (rollup/cube) rebind grouping columns to fresh
+    exprIds positionally — lineage must map them through projections."""
+    eng, rep = engine
+    o = load(eng.spark, sf_dir, "orders")
+    eng._wrap(o.rollup("o_orderstatus").count()).collect()
+    edges = {c.output: c.inputs for c in rep.last().columns}
+    assert edges["o_orderstatus"] == ["orders.o_orderstatus"]
+
+
+def test_metadata_sql_emits_no_write_report(engine, sf_dir):
+    """SET/SHOW/DESCRIBE are *Command plans but metadata reads — they
+    must not produce write reports."""
+    eng, rep = engine
+    n0 = len(rep.reports)
+    eng.sql("SET spark.sql.shuffle.partitions=32")
+    eng.sql("SHOW TABLES")
+    assert len(rep.reports) == n0, [r.run.func_name for r in rep.reports[n0:]]
+
+
+def test_unknown_leaf_recorded_not_dropped(engine, sf_dir):
+    """Unrecognized plan leaves must surface as kind='unknown', never
+    vanish (a query that apparently read nothing)."""
+    eng, rep = engine
+    rdd_df = eng.spark.createDataFrame(
+        eng.spark.sparkContext.parallelize([(1, "a"), (2, "b")]), "id long, v string"
+    )
+    eng._wrap(rdd_df).count()
+    assert rep.last().inputs, "inputs empty for RDD-backed plan"
+    assert rep.last().inputs[0].kind in ("unknown", "memory")
+
+
 def test_ctas_command_lineage(engine, sf_dir):
     """CTAS through the SQL entry point: the command executes eagerly
     inside sql(), so one report fires immediately with the table as

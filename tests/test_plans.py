@@ -151,6 +151,22 @@ def test_salted_agg_splits_hot_keys(spark):
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 2, p
 
 
+def test_join_hint_forces_shuffle_hash(spark):
+    from spark_lineage_spark.operators.joins import join_strategy_hints
+
+    p = plan_str(join_strategy_hints(spark, SF))
+    assert "ShuffledHashJoin" in p, p
+
+
+def test_repartition_by_range_plans_range_partitioning(spark):
+    """repartitionByRange → RangePartitioning exchange (sorted-output
+    layout for write-time clustering, SURVEY §4)."""
+    li = load(spark, SF, "lineitem")
+    df = li.repartitionByRange(8, "l_shipdate").sortWithinPartitions("l_shipdate")
+    p = plan_str(df)
+    assert "rangepartitioning(l_shipdate" in p.replace(" ", "").lower(), p
+
+
 def test_exact_knn_has_no_corpus_shuffle(spark):
     """kNN plan: queries broadcast, corpus scanned in place — the only
     exchange allowed is the final per-query top-k (tiny)."""

@@ -193,6 +193,51 @@ def llm_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_pipeline_end_to_end",
+    "§2.11 capstone: dedup → quality filter → token accounting",
+    """
+    WITH survivors AS (
+      SELECT doc_id, text, lang, n_chars
+      FROM documents
+      QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1
+    ),
+    quality AS (
+      SELECT doc_id, lang, n_chars,
+             len(string_split(text, ' ')) AS n_words
+      FROM survivors
+    ),
+    kept AS (SELECT * FROM quality WHERE n_words >= 20)
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_tokens,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(avg(n_words), 4) AS avg_tokens
+    FROM kept GROUP BY lang
+    """,
+)
+def llm_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline in one plan: exact dedup
+    (content-hash survivors) → quality gate (min token count) → token
+    accounting per language. One declarative DataFrame chain: Catalyst
+    plans the dedup window, quality filter, and final aggregation as
+    one pipeline with a single shuffle on the content hash — the shape
+    a 100 TB corpus prep job actually runs."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2(F.col("text").cast("binary"), 256)).orderBy("doc_id")
+    survivors = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    quality = survivors.select(
+        "doc_id", "lang", "n_chars", F.size(tokens(F.col("text"))).alias("n_words")
+    )
+    kept = quality.filter(F.col("n_words") >= 20)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg("n_words"), 4).alias("avg_tokens"),
+    )
+
+
 FP_K = 5
 
 

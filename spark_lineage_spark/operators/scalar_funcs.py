@@ -359,6 +359,33 @@ def fn_json_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "fn_rounding_modes",
+    "§2.8 round (half-up) vs bround (banker's)",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_quantity / 2, 0) AS half_up,
+           round_even(l_quantity / 2, 0) AS half_even
+    FROM lineitem WHERE l_quantity = floor(l_quantity)
+    """,
+)
+def fn_rounding_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HALF_UP (round) vs HALF_EVEN (bround / DuckDB round_even) on
+    BINARY-EXACT .5 boundaries: integer quantities halve to x.0/x.5
+    exactly, so both engines see the same boundary value — decimal
+    boundaries like 12.65 are not representable and the engines'
+    rounding would diverge on representation, not mode."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") == F.floor("l_quantity")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_quantity") / 2, 0).alias("half_up"),
+        F.bround(F.col("l_quantity") / 2, 0).alias("half_even"),
+    )
+
+
 @query("fn_variant_json", "§1.2/§2.8 VariantType semi-structured (Spark 4) — rows-only", None)
 def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VariantType: parse_json into a variant column, then

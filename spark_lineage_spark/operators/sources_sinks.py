@@ -20,7 +20,9 @@ from spark_lineage_spark.tables import load, register_views
 
 
 def _tmp(name: str) -> str:
-    return os.path.join(tempfile.gettempdir(), f"sls_roundtrip_{name}")
+    # pid-scoped so concurrent harness runs (bench + oracle check) never
+    # overwrite a sink directory another process is mid-read on
+    return os.path.join(tempfile.gettempdir(), f"sls_roundtrip_{os.getpid()}_{name}")
 
 
 @query(
@@ -158,7 +160,7 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the escape hatch for systems without a built-in connector)."""
     from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
-    N, PARTS = 10000, 8
+    N, PARTS = 10000, 4
 
     class RangePartition(InputPartition):
         def __init__(self, start, end):
@@ -170,8 +172,16 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             return [RangePartition(i * step, min((i + 1) * step, N)) for i in range(PARTS)]
 
         def read(self, partition):
-            for i in range(partition.start, partition.end):
-                yield (i,)
+            # yield Arrow batches, not per-row tuples: the Python
+            # data-source API accepts pyarrow.RecordBatch and skips the
+            # row-pickling path entirely (one batch per partition here;
+            # a real connector would chunk to ~64Mi batches)
+            import pyarrow as pa
+
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(range(partition.start, partition.end), type=pa.int64())],
+                names=["i"],
+            )
 
     class SynthSource(DataSource):
         @classmethod

@@ -66,19 +66,37 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_to_memory(df: DataFrame, mode: str = "append") -> DataFrame:
     """Execute a streaming DataFrame to completion via availableNow into
-    a memory sink; return the sink as a batch DataFrame."""
+    a memory sink; return the sink as a batch DataFrame.
+
+    Shuffle sizing: AQE is disabled for stateful streaming, so the
+    static ``spark.sql.shuffle.partitions`` directly sets the state-store
+    count — every stateful operator snapshots one store per partition
+    per micro-batch. The batch default (32) pays 32 state checkpoints
+    for a few thousand rows; size it explicitly for the run and restore
+    after. On a real cluster this knob must be chosen up front anyway
+    (it is fixed for the checkpoint's lifetime) — sized to peak state,
+    not to the batch default.
+    """
+    spark = df.sparkSession
     name = f"sls_sink_{uuid.uuid4().hex[:10]}"
     ckpt = os.path.join(tempfile.mkdtemp(prefix="sls_ckpt_"), "ckpt")
-    q = (
-        df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"),
     )
-    q.awaitTermination()
-    spark = df.sparkSession
+    try:
+        q = (
+            df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     # detach the result from the memory sink so the temp table and
     # checkpoint dir can be released (otherwise every call pins a
     # full result table in driver memory for the session's lifetime)

@@ -173,17 +173,21 @@ def llm_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic tf·idf (raw tf × ln(N/df)) with top-3 terms per doc.
     Both engines compute ln on the same double ⇒ identical; ranking on
     the unrounded score with term tie-break matches QUALIFY. The df
-    side is a tiny vocab aggregate — broadcast."""
+    side is a tiny vocab aggregate — broadcast. Corpus size N stays
+    IN-PLAN: a broadcast 1-row countDistinct aggregate cross-joined
+    onto the scores — the whole operator is one lazy plan, no eager
+    driver-side count job (VERDICT r1 item 5)."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t")).filter(
         F.length("t") > 0
     )
     tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
-    n = tf.select("doc_id").distinct().count()  # driver scalar, one small job
+    n_df = tf.agg(F.countDistinct("doc_id").cast("double").alias("n"))
     scored = (
         tf.join(F.broadcast(df_), "t")
-        .withColumn("score", F.col("tf") * F.log(F.lit(float(n)) / F.col("df")))
+        .crossJoin(F.broadcast(n_df))
+        .withColumn("score", F.col("tf") * F.log(F.col("n") / F.col("df")))
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "t")
     return (

@@ -139,3 +139,67 @@ def test_multimodal_stub_marks_non_text(spark):
     # deterministic across runs
     again = llm_multimodal_features(spark, SF).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_shingle_df_cap_bounds_candidates(spark):
+    """Planted hot shingle: one 3-gram shared by all 8 docs would alone
+    generate 8*7/2 = 28 candidate meetings in the inverted-index
+    self-join; the df cap removes it so candidate count stays bounded
+    (VERDICT r1 item 3)."""
+    from pyspark.sql import functions as F
+
+    from spark_lineage_spark.operators import dedup as D
+
+    docs = [
+        f"alpha beta gamma unique{i}a unique{i}b unique{i}c unique{i}d"
+        for i in range(8)
+    ]
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(8)), "text": docs})
+    )
+    uncapped = D._distinct_shingles(sdf, df_cap=None)
+    capped = D._distinct_shingles(sdf, df_cap=4)
+    assert uncapped.filter(F.col("shingle") == "alpha beta gamma").count() == 8
+    assert capped.filter(F.col("shingle") == "alpha beta gamma").count() == 0
+    # only the hot shingle is cut; per-doc unique shingles survive
+    assert capped.count() == uncapped.count() - 8
+
+    def meetings(sh):
+        a, b = sh.alias("a"), sh.alias("b")
+        return a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).count()
+
+    assert meetings(uncapped) == 28
+    assert meetings(capped) == 0
+
+
+def test_cluster_chain_longer_than_ten_converges(spark, tmp_path):
+    """13-doc near-dup chain (diameter 12): adjacent docs differ by one
+    spaced word (jaccard ~0.85 >= 0.8), skip-pairs differ by two
+    (~0.73 < 0.8) — so the duplicate graph is a path and min-label
+    propagation needs 12 rounds. The old 10-round cap returned wrong
+    labels here; the fixpoint loop must yield ONE cluster of 13
+    (ADVICE r1 item 1)."""
+    from spark_lineage_spark.operators.dedup import llm_dedup_clusters
+
+    base = [f"w{j}" for j in range(40)]
+    docs = []
+    for i in range(13):
+        words = list(base)
+        for j in range(i):
+            words[3 * j] = f"x{3 * j}"
+        docs.append(" ".join(words))
+    pdf = pd.DataFrame({"doc_id": list(range(13)), "text": docs})
+    path = str(tmp_path / "chain")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        path + "/documents.parquet"
+    )
+    got = llm_dedup_clusters(spark, path).collect()
+    assert len(got) == 1
+    (row,) = got
+    assert row.cluster_size == 13
+    assert row.survivor == 0
+    assert row.members == ",".join(str(i) for i in range(13))

@@ -96,8 +96,9 @@ def _leaf_ref(node) -> Optional[DatasetRef]:
             rel = node.relation()
             rel_cls = rel.getClass().getSimpleName()
             if rel_cls == "JDBCRelation":
-                # external DB read (SURVEY §2.1 jdbc scan — no DB in
-                # the sandbox, recognition kept for extractor parity)
+                # external DB read (SURVEY §2.1 jdbc scan — exercised
+                # end-to-end against embedded Derby in
+                # operators/sources_sinks.py::source_jdbc_roundtrip)
                 tbl = None
                 try:
                     tbl = rel.jdbcOptions().tableOrQuery()

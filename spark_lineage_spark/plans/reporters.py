@@ -66,6 +66,111 @@ class InMemoryReporter(Reporter):
         return self.reports[-1]
 
 
+def http_json_transport(endpoint: str, timeout_s: float = 5.0):
+    """Default network transport: POST a JSON array of reports to an
+    HTTP endpoint (the public cloud-sink shape — an HTTP collector or a
+    Kinesis/Firehose-style PutRecords proxy). stdlib-only."""
+    import urllib.request
+
+    def send(batch: list[dict]) -> None:
+        body = json.dumps(batch).encode("utf-8")
+        req = urllib.request.Request(
+            endpoint, data=body, headers={"Content-Type": "application/json"}
+        )
+        urllib.request.urlopen(req, timeout=timeout_s).read()
+
+    return send
+
+
+class BufferedNetworkReporter(Reporter):
+    """Batching network reporter (SURVEY §0 cloud-sink role).
+
+    Buffers reports and ships them as batches of ``max_batch`` (or on
+    ``flush_interval_s`` ticks from a daemon flusher thread, or at
+    ``close()``), through a pluggable ``transport(batch: list[dict])``
+    callable — ``http_json_transport`` by default. A failing send is
+    retried with exponential backoff; a batch still failing after
+    ``max_retries`` attempts is counted in ``dropped_batches`` and
+    discarded. No code path raises out of ``report()``/``flush()``:
+    lineage shipping is observability and must never fail or slow the
+    user's query (the network round-trip happens on the flusher
+    thread, not the caller's)."""
+
+    def __init__(
+        self,
+        transport=None,
+        endpoint: str | None = None,
+        max_batch: int = 50,
+        flush_interval_s: float = 2.0,
+        max_retries: int = 3,
+        backoff_s: float = 0.05,
+    ):
+        if transport is None:
+            if endpoint is None:
+                raise ValueError("BufferedNetworkReporter needs transport= or endpoint=")
+            transport = http_json_transport(endpoint)
+        self.transport = transport
+        self.max_batch = max_batch
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self.flush_interval_s = flush_interval_s
+        self.sent_batches = 0
+        self.sent_reports = 0
+        self.dropped_batches = 0
+        self._buf: list[dict] = []
+        self._lock = threading.Lock()
+        self._wake = threading.Event()
+        self._stop = False
+        self._thread = threading.Thread(
+            target=self._run, name="sls-reporter-flush", daemon=True
+        )
+        self._thread.start()
+
+    def report(self, report: LineageReport) -> None:
+        with self._lock:
+            self._buf.append(report.to_dict())
+            full = len(self._buf) >= self.max_batch
+        if full:
+            self._wake.set()  # hand off to the flusher thread
+
+    def _run(self) -> None:
+        while True:
+            self._wake.wait(timeout=self.flush_interval_s)
+            self._wake.clear()
+            self.flush()
+            if self._stop:
+                return
+
+    def flush(self) -> None:
+        """Drain the buffer in max_batch chunks; swallow all errors."""
+        while True:
+            with self._lock:
+                if not self._buf:
+                    return
+                batch, self._buf = self._buf[: self.max_batch], self._buf[self.max_batch :]
+            self._send_with_retry(batch)
+
+    def _send_with_retry(self, batch: list[dict]) -> None:
+        import time as _time
+
+        for attempt in range(self.max_retries):
+            try:
+                self.transport(batch)
+                self.sent_batches += 1
+                self.sent_reports += len(batch)
+                return
+            except Exception:
+                if attempt + 1 < self.max_retries:
+                    _time.sleep(self.backoff_s * (2**attempt))
+        self.dropped_batches += 1  # shipping failed; the query must not
+
+    def close(self) -> None:
+        self._stop = True
+        self._wake.set()
+        self._thread.join(timeout=5)
+        self.flush()  # final synchronous drain
+
+
 class CompositeReporter(Reporter):
     def __init__(self, *reporters: Reporter):
         self.reporters = list(reporters)

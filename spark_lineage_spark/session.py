@@ -179,17 +179,27 @@ class LineageSession:
         from spark_lineage_spark.plans.extract import extract_report
 
         def capture():
-            report = extract_report(
-                df,
-                func_name=func_name,
-                duration_s=duration_s,
-                app_id=self.app_id,
-                app_name=self.app_name,
-                output=output,
-                error=error,
-                num_output_rows=num_output_rows,
-            )
-            self.reporter.report(report)
+            # Lineage capture is observability: an extraction or
+            # reporter failure must never propagate into (or fail) the
+            # user's completed query — log and move on.
+            try:
+                report = extract_report(
+                    df,
+                    func_name=func_name,
+                    duration_s=duration_s,
+                    app_id=self.app_id,
+                    app_name=self.app_name,
+                    output=output,
+                    error=error,
+                    num_output_rows=num_output_rows,
+                )
+                self.reporter.report(report)
+            except Exception:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "lineage capture failed (query unaffected)", exc_info=True
+                )
 
         if self._executor is not None:
             # analyzed plan is immutable post-action; extraction is

@@ -145,3 +145,50 @@ class LineageWriter:
             lambda w: w.insertInto(name, overwrite) if overwrite is not None else w.insertInto(name),
             name=name,
         )
+
+    # facade completeness (ADVICE r1): anything DataFrameWriter supports
+    # must work through the facade too, with a best-effort report for
+    # terminals not modeled above — never an AttributeError on code that
+    # would run against a plain writer.
+    _EXTRA_TERMINAL_FORMATS = {"text": "text", "xml": "xml"}
+
+    def __getattr__(self, name: str):
+        from pyspark.sql import DataFrameWriter
+
+        if not callable(getattr(DataFrameWriter, name, None)):
+            raise AttributeError(
+                f"{type(self).__name__!r} object has no attribute {name!r}"
+            )
+        if name == "jdbc":
+
+            def jdbc(url, table, *args, **kwargs):
+                return self._write(
+                    "write.jdbc",
+                    "table",
+                    "jdbc",
+                    lambda w: w.jdbc(url, table, *args, **kwargs),
+                    name=table,
+                )
+
+            return jdbc
+        if name in self._EXTRA_TERMINAL_FORMATS:
+            fmt = self._EXTRA_TERMINAL_FORMATS[name]
+
+            def terminal(path, *args, **kwargs):
+                return self._write(
+                    f"write.{name}",
+                    "path",
+                    fmt,
+                    lambda w: getattr(w, name)(path, *args, **kwargs),
+                    paths=[path],
+                )
+
+            return terminal
+
+        # anything else on DataFrameWriter is chainable configuration
+        # (a future option-style method): record it for lazy replay at
+        # the terminal call, exactly like the explicit config methods
+        def config(*args, **kwargs):
+            return self._record(name, *args, **kwargs)
+
+        return config

@@ -218,13 +218,18 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dropDuplicatesWithinWatermark keyed on event_id, then a batch
-    count of the deduped append-mode output. State is bounded by the
-    watermark — the 100 TB-stream-safe dedup."""
+    """dropDuplicatesWithinWatermark keyed on (event_id, event_type),
+    then a batch count of the deduped append-mode output. State is
+    bounded by the watermark — the 100 TB-stream-safe dedup. Keying on
+    the full (id, type) pair makes the result survivor-independent:
+    the oracle groups by event_type, so an id duplicated across TWO
+    types must survive once per type regardless of arrival order
+    (ADVICE r1 — with id-only keying the comparison depended on a
+    fixture invariant that duplicates share their payload)."""
     dedup = (
         events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id", "event_type"])
     )
     out = run_to_memory(dedup, mode="append")
     return out.groupBy("event_type").agg(F.countDistinct("event_id").alias("n_unique"))

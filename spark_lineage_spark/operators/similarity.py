@@ -301,3 +301,33 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K).drop("rn")
+
+
+@query(
+    "llm_embedding_centroids",
+    "§2.11 per-label embedding centroids (dimension-wise mean)",
+    """
+    SELECT label, i AS dim, round(avg(x), 6) AS centroid
+    FROM (
+      SELECT label,
+             unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    )
+    GROUP BY label, i
+    """,
+)
+def llm_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class centroid vectors — the IVF/k-means seeding and
+    class-prototype primitive. posexplode to (label, dim, component)
+    rows, then ONE dimension-wise partial-agg'd groupBy: the shuffle
+    carries only (n_labels × n_dims) partial sums regardless of corpus
+    size. Cast to double BEFORE averaging so both engines accumulate in
+    f64."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode(to_double_array("embedding")).alias("pos", "x")
+    )
+    return (
+        e.groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(F.round(F.avg("x"), 6).alias("centroid"))
+    )

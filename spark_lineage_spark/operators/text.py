@@ -281,3 +281,100 @@ def llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fingerprint"
         )
     )
+
+
+@query(
+    "llm_split_train_val_test",
+    "§2.11 deterministic hash split (train/val/test assignment)",
+    """
+    WITH assigned AS (
+      SELECT lang, n_chars,
+             CASE WHEN substr(md5(text), 1, 1) BETWEEN '0' AND 'b' THEN 'train'
+                  WHEN substr(md5(text), 1, 1) IN ('c', 'd') THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY lang, split
+    """,
+)
+def llm_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash split — THE way to partition a
+    training corpus: assignment depends only on the document bytes
+    (md5, portable across engines/runs/cluster sizes), so re-runs and
+    backfills land every doc in the same split with a 12/2/2
+    train/val/test ratio over the first hex nibble. Pure map-side
+    expression + one partial-agg'd groupBy; no shuffle of the corpus
+    itself at any scale."""
+    d = load(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("text")), 1, 1)
+    split = (
+        F.when(h.between("0", "b"), "train").when(h.isin("c", "d"), "val").otherwise("test")
+    )
+    return (
+        d.select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+TOP_NGRAMS_ORACLE = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM words),
+sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+       FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 2)
+SELECT shingle, count(*) AS df
+FROM sh GROUP BY shingle
+ORDER BY df DESC, shingle LIMIT 20
+"""
+
+
+@query("llm_text_top_ngrams", "§2.11 corpus heavy hitters (top 3-grams by doc freq)", TOP_NGRAMS_ORACLE)
+def llm_text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters: document frequency per 3-gram, top-20
+    with a deterministic tie-break. Two-phase aggregation (map-side
+    partial count → merge) + TakeOrderedAndProject, so a hot n-gram is
+    combined locally before the shuffle — no skew problem at corpus
+    scale. Reuses the dedup shingle substrate (uncapped: heavy hitters
+    are exactly what the dedup df cap removes)."""
+    from spark_lineage_spark.operators.dedup import _distinct_shingles
+
+    sh = _distinct_shingles(load(spark, sf_dir, "documents"), df_cap=None)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "shingle")
+        .limit(20)
+    )
+
+
+@query(
+    "llm_doc_length_histogram",
+    "§2.11 corpus length histogram (fixed-width buckets)",
+    """
+    SELECT least(CAST(floor(n_chars / 200) AS BIGINT), 10) AS bucket,
+           count(*) AS n_docs,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def llm_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length distribution in 200-char buckets (top bucket
+    open-ended): the quality-filter tuning histogram. Integer bucket
+    arithmetic (identical in both engines), one partial-agg'd groupBy
+    over ≤11 keys."""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 200).cast("bigint"), F.lit(10).cast("bigint"))
+    return (
+        d.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

@@ -540,3 +540,55 @@ def llm_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= COSINE_NEARDUP_THRESHOLD)
     )
+
+
+DECONTAMINATE_ORACLE = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM words),
+sh5 AS (SELECT DISTINCT a.doc_id,
+               a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w AS s
+        FROM w a
+        JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+        JOIN w d ON a.doc_id = d.doc_id AND d.i = a.i + 3
+        JOIN w e ON a.doc_id = e.doc_id AND e.i = a.i + 4),
+bench AS (SELECT DISTINCT s FROM sh5 WHERE doc_id < 20),
+corpus AS (SELECT doc_id, s FROM sh5 WHERE doc_id >= 20)
+SELECT c.doc_id, count(DISTINCT c.s) AS n_shared
+FROM corpus c JOIN bench b ON c.s = b.s
+GROUP BY c.doc_id
+"""
+
+
+@query(
+    "llm_decontaminate_benchmark",
+    "§2.11 benchmark decontamination (5-gram overlap vs held-out set)",
+    DECONTAMINATE_ORACLE,
+)
+def llm_decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any 5-gram
+    with a held-out benchmark set (here: doc_id < 20 stands in for the
+    benchmark). The benchmark n-gram set is SMALL by construction —
+    broadcast it; the corpus side streams map-side through the semi
+    overlap join, so the corpus is never shuffled no matter its size.
+    Same df-cap caveat as dedup does NOT apply: every benchmark n-gram
+    must be checked, however frequent."""
+    d = load(spark, sf_dir, "documents")
+
+    def sh5(df) -> DataFrame:
+        npart = explode_partitions(df)
+        if npart > 1:
+            df = df.repartition(npart, "doc_id")
+        return (
+            df.select("doc_id", F.explode(word_shingles(F.col("text"), 5)).alias("s"))
+            .filter(F.length("s") > 0)
+            .distinct()
+        )
+
+    bench = sh5(d.filter(F.col("doc_id") < 20)).select("s").distinct()
+    corpus = sh5(d.filter(F.col("doc_id") >= 20))
+    return (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_shared"))
+    )

@@ -378,3 +378,31 @@ def llm_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+@query(
+    "llm_sample_per_group",
+    "§2.11 deterministic per-stratum sample (hash-ranked)",
+    """
+    SELECT lang, doc_id, rn
+    FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= 5
+    """,
+)
+def llm_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified eval-set sampling without a random(): rank docs per
+    stratum by content hash (uniform, engine-portable, stable across
+    runs and cluster sizes) and keep the top 5 — the reproducible
+    alternative to sampleBy for carving eval sets out of a training
+    corpus. One window shuffle on the stratum key."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id", "rn")
+    )

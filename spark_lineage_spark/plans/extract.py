@@ -201,7 +201,11 @@ V2_WRITE_NODES = {
 # v1 write commands carry Insert/AsSelect/SaveInto in the class name;
 # a bare *Command suffix also matches SET/SHOW/DESCRIBE/EXPLAIN etc.,
 # which are metadata reads and must NOT produce write reports
-_WRITE_CMD_RE = re.compile(r"(Insert.*Command|Create.*AsSelect.*Command|SaveInto.*Command)$")
+# InsertIntoHiveTable carries no "Command" suffix — matched explicitly
+# (embedded-Hive metastore path, exercised in tests/test_hive_lineage.py)
+_WRITE_CMD_RE = re.compile(
+    r"(Insert.*Command|Create.*AsSelect.*Command|SaveInto.*Command|InsertIntoHiveTable)$"
+)
 
 
 def is_write_command(cls_name: str) -> bool:
@@ -224,11 +228,14 @@ def _command_output(node) -> Optional[DatasetRef]:
             except Exception:
                 continue
         return DatasetRef(kind="table", format="v2", name=name)
-    try:
-        ident = node.table().identifier().unquotedString()
-        return DatasetRef(kind="table", name=ident)
-    except Exception:
-        pass
+    for table_getter in ("table", "tableDesc"):
+        # .table() → CatalogTable on InsertIntoHiveTable / datasource
+        # commands; .tableDesc() → CreateHiveTableAsSelectCommand
+        try:
+            ident = getattr(node, table_getter)().identifier().unquotedString()
+            return DatasetRef(kind="table", name=ident)
+        except Exception:
+            pass
     try:
         path = node.outputPath().toString()
         fmt = None

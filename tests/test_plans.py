@@ -201,3 +201,38 @@ def test_tfidf_is_one_lazy_plan(spark):
                 "the plan is no longer lazy"
             )
     assert df.count() > 0
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark n-gram set must broadcast so the corpus side
+    streams map-side through the overlap join — no corpus shuffle for
+    the join itself."""
+    from spark_lineage_spark.operators.dedup import llm_decontaminate_benchmark
+
+    p = plan_str(llm_decontaminate_benchmark(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_jdbc_partitioned_scan_has_range_partitions(spark, tmp_path):
+    """The partitioned jdbc read must plan numPartitions input splits
+    (one per key range) — the external-DB parallel-ingest path."""
+    spark._jvm.System.setProperty("derby.stream.error.file", str(tmp_path / "derby.log"))
+    url = f"jdbc:derby:{tmp_path / 'derby_plan'};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    load(spark, SF, "region").write.mode("overwrite").format("jdbc").option(
+        "url", url
+    ).option("dbtable", "region").option("driver", driver).save()
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "region")
+        .option("driver", driver)
+        .option("partitionColumn", "r_regionkey")
+        .option("lowerBound", "0")
+        .option("upperBound", "5")
+        .option("numPartitions", "4")
+        .load()
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == 5

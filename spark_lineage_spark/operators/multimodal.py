@@ -149,3 +149,75 @@ def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("feat", 2), 6).alias("byte_std"),
         "decode_status",
     )
+
+
+FRAME_SAMPLE_N = 4
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, frame_offset long, frame_byte int, decode_status string"
+)
+
+
+def _sample_frames(batches):
+    """Arrow-batched frame sampler over (doc_id, blob): emit
+    FRAME_SAMPLE_N evenly-spaced frame records per blob (1 input row →
+    N output rows — the video fan-out batch shape). The real
+    implementation would ffmpeg-seek and decode at each offset; no
+    codec ships in this container, so the decoded payload is STUBBED as
+    the byte AT the offset (deterministic), while the offsets, fan-out,
+    schema, and batching are the real plumbing."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        n_bytes = pdf["blob"].map(len).to_numpy(dtype=np.int64)
+        stride = np.maximum(n_bytes // FRAME_SAMPLE_N, 1)
+        doc_ids = pdf["doc_id"].to_numpy()
+        rows = []
+        for i in range(len(pdf)):
+            blob = pdf["blob"].iloc[i]
+            for f in range(FRAME_SAMPLE_N):
+                off = int(stride[i]) * f
+                if off >= n_bytes[i]:
+                    break
+                rows.append(
+                    (int(doc_ids[i]), f, off, int(blob[off]), "stub:video/mp4")
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "frame_idx", "frame_offset", "frame_byte", "decode_status"],
+        )
+
+
+@query(
+    "llm_multimodal_frame_sample",
+    "§2.11 video frame sampling (mapInPandas 1→N fan-out, stubbed decode)",
+    f"""
+    WITH typed AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n_bytes,
+             greatest(octet_length(encode(text)) // {FRAME_SAMPLE_N}, 1) AS stride
+      FROM documents
+    ),
+    frames AS (
+      SELECT doc_id, text, n_bytes, stride, unnest(range(0, {FRAME_SAMPLE_N})) AS frame_idx
+      FROM typed
+    )
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(frame_idx * stride AS BIGINT) AS frame_offset,
+           unicode(substr(text, CAST(frame_idx * stride AS INTEGER) + 1, 1)) AS frame_byte,
+           'stub:video/mp4' AS decode_status
+    FROM frames
+    WHERE frame_idx * stride < n_bytes
+    """,
+)
+def llm_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video-like blobs: every blob yields up to
+    {N} evenly-spaced frame records through ONE mapInPandas pass —
+    partition-preserving fan-out colocated with the scan, no shuffle;
+    at 100 TB the decode cost dominates and scales linearly with
+    executors. Oracle-checkable because the stub 'decode' (byte at
+    offset) is exact integer arithmetic over ASCII fixture text."""
+    d = load(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("blob"))
+    return media.mapInPandas(_sample_frames, schema=FRAME_SCHEMA)

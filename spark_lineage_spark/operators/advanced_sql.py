@@ -1,0 +1,371 @@
+"""Advanced SQL surface: subqueries, batch sessionization, time-spine
+gap fill, latest-wins merge, column profiling, salted skew join.
+
+These extend SURVEY.md §2 with the composed shapes a production user
+writes daily on top of the primitive operators (reconstructed surface,
+SURVEY §0; the reference library observes arbitrary Spark SQL, so the
+lineage extractor must survive all of these plan shapes too).
+
+Scale notes (100 TB):
+- Correlated subqueries decorrelate in Catalyst
+  (``RewriteCorrelatedScalarSubquery``, SURVEY §4 table) into joins —
+  same physical plan as the hand-written aggregate+join, so there is no
+  hidden per-row re-execution.
+- Sessionization is one shuffle on user_id; the window functions then
+  run within each partition. Skewed users are the risk — the gap logic
+  is associative per user, so AQE skew-split cannot help (windows need
+  the whole user in one partition); cap session length per user at
+  ingest if a bot user can dominate a partition.
+- The time spine is O(days), never O(rows): built from a 1-row
+  min/max aggregate, exploded — broadcast side of the fill join.
+- Latest-wins merge is the standard CDC compaction: one shuffle on the
+  key, ``row_number`` per key, no driver involvement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from spark_lineage_spark.registry import query
+from spark_lineage_spark.tables import load, register_views
+
+
+_SUBQ_SCALAR_SQL = """
+    SELECT o_orderstatus,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders o
+    WHERE o_totalprice > 1.1 * (
+        SELECT avg(o2.o_totalprice) FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey
+    )
+    GROUP BY o_orderstatus
+"""
+
+
+@query(
+    "subq_scalar_correlated",
+    "§2.2/§2.3 correlated scalar subquery (Catalyst decorrelation)",
+    _SUBQ_SCALAR_SQL,
+    doc="Orders priced >1.1x their customer's own average.",
+)
+def subq_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical SQL text runs on Spark and DuckDB. Spark rewrites the
+    correlated scalar subquery into an aggregate + join
+    (RewriteCorrelatedScalarSubquery) — explain shows no per-row
+    subquery execution, just a join on o_custkey.
+
+    The 1.1x margin keeps the float comparison far from any ulp
+    boundary (partial-aggregation order can perturb avg's last bit).
+    """
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_SUBQ_SCALAR_SQL)
+
+
+_SUBQ_EXISTS_SQL = """
+    SELECT
+      (SELECT count(*) FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_totalprice > 300000.0)) AS n_exists,
+      (SELECT count(*) FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_totalprice > 300000.0)) AS n_not_exists,
+      (SELECT count(*) FROM customer c
+       WHERE c.c_custkey NOT IN
+         (SELECT o_custkey FROM orders
+          WHERE o_totalprice > 300000.0)) AS n_not_in,
+      (SELECT count(*) FROM customer c
+       WHERE c.c_custkey NOT IN
+         (SELECT CASE WHEN o_totalprice > 400000.0 THEN NULL
+                      ELSE o_custkey END
+          FROM orders WHERE o_totalprice > 300000.0)) AS n_not_in_nullable
+"""
+
+
+@query(
+    "subq_exists_not_in",
+    "§2.3 EXISTS / NOT EXISTS / NOT IN null semantics",
+    _SUBQ_EXISTS_SQL,
+    doc="NOT IN vs NOT EXISTS with a NULL-producing subquery.",
+)
+def subq_exists_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.3 warns NOT IN null-handling differs from anti-join:
+    one NULL in the subquery result makes NOT IN select zero rows
+    (three-valued logic), while NOT EXISTS is unaffected. Both engines
+    implement ANSI semantics; the n_not_in_nullable column proves it.
+
+    Spark plans EXISTS/NOT EXISTS as left-semi/anti joins and the
+    nullable NOT IN as a null-aware anti join — all set-based, no
+    per-row subquery at scale.
+    """
+    register_views(spark, sf_dir, ["orders", "customer"])
+    return spark.sql(_SUBQ_EXISTS_SQL)
+
+
+@query(
+    "ts_sessionize_batch",
+    "§2.5/§2.9 batch sessionization (gap > 30 min ⇒ new session)",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, date_trunc('microseconds', ts) AS tsu
+      FROM events
+    ), marked AS (
+      SELECT user_id, event_id, tsu,
+             CASE WHEN lag(tsu) OVER w IS NULL
+                    OR tsu - lag(tsu) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+    ), sess AS (
+      SELECT user_id, tsu,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    ), per_session AS (
+      SELECT user_id, sess_id, count(*) AS n_ev,
+             date_diff('microsecond', min(tsu), max(tsu)) AS dur_us
+      FROM sess GROUP BY user_id, sess_id
+    )
+    SELECT user_id, count(*) AS n_sessions,
+           CAST(sum(n_ev) AS BIGINT) AS n_events,
+           max(dur_us) AS max_session_us
+    FROM per_session GROUP BY user_id
+    """,
+)
+def ts_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic lag+cumsum sessionization — the batch twin of
+    streaming/queries.py's F.session_window query, over the full events
+    history. One shuffle on user_id serves both window passes and the
+    session aggregate (same partitioning, Exchange reuse).
+
+    Gap comparison is exact integer microseconds in both engines — no
+    float boundary. Ties at the same microsecond order by event_id.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 30 * 60 * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sess_id", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_session = sess.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("n_ev"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_ev").alias("n_events"),
+        F.max("dur_us").alias("max_session_us"),
+    )
+
+
+@query(
+    "ts_gap_fill_spine",
+    "§2.8 datetime: time-spine gap fill (sequence + explode + left join)",
+    """
+    WITH bounds AS (
+      SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi FROM orders
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM bounds
+    ), daily AS (
+      SELECT o_orderdate AS d, count(*) AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY o_orderdate
+    )
+    SELECT spine.d AS d, coalesce(daily.n, 0) AS n,
+           coalesce(daily.total, 0.0) AS total
+    FROM spine LEFT JOIN daily ON spine.d = daily.d
+    """,
+)
+def ts_gap_fill_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily series with zero-filled gaps. The spine derives from
+    a 1-row min/max aggregate exploded with F.sequence — O(days) rows
+    regardless of input size, so it is always the broadcast side of the
+    fill join and the big table is touched exactly once (for the
+    pre-aggregated daily counts)."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+    spine = (
+        o.agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+            ).alias("d")
+        )
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "d", "left")
+        .select(
+            "d",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("total", F.lit(0.0)).alias("total"),
+        )
+    )
+
+
+@query(
+    "merge_upsert_latest",
+    "§2.2/§2.4 CDC latest-wins merge (upsert compaction)",
+    """
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice * 1.1 AS o_totalprice, 2 AS version
+      FROM orders WHERE o_orderkey % 7 = 0
+    ), base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 1 AS version
+      FROM orders
+    ), merged AS (
+      SELECT * FROM base UNION ALL SELECT * FROM updates
+    ), latest AS (
+      SELECT * FROM merged
+      QUALIFY row_number() OVER (PARTITION BY o_orderkey
+                                 ORDER BY version DESC) = 1
+    )
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM latest GROUP BY o_orderstatus
+    """,
+)
+def merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert without a table format: union base + updates,
+    keep the highest version per key via row_number. This is the
+    standard CDC compaction plan shape — one shuffle on the merge key;
+    at 100 TB, partition the base by key-bucket so only touched buckets
+    rewrite (the Delta/Iceberg trick, expressible with bucketed writes
+    from sources/writer.py)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    base = o.withColumn("version", F.lit(1))
+    updates = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        # no per-row round: HALF_UP (Spark) vs half-even drift at cent
+        # boundaries — round only the final aggregate
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .withColumn("version", F.lit(2))
+    )
+    merged = base.unionByName(updates)
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+    latest = merged.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    return latest.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@query(
+    "profile_column_stats",
+    "§2.4 data profiling: per-column null/distinct/min/max summary",
+    """
+    SELECT 'c_custkey' AS col_name, count(*) AS n_rows,
+           count(*) - count(c_custkey) AS n_null,
+           count(DISTINCT c_custkey) AS n_distinct,
+           round(min(c_custkey), 4) AS min_num, round(max(c_custkey), 4) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM customer
+    UNION ALL
+    SELECT 'c_acctbal', count(*), count(*) - count(c_acctbal),
+           count(DISTINCT c_acctbal),
+           round(min(c_acctbal), 4), round(max(c_acctbal), 4), NULL, NULL
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
+           count(DISTINCT c_mktsegment), NULL, NULL,
+           min(c_mktsegment), max(c_mktsegment)
+    FROM customer
+    UNION ALL
+    SELECT 'c_name', count(*), count(*) - count(c_name),
+           count(DISTINCT c_name), NULL, NULL, min(c_name), max(c_name)
+    FROM customer
+    """,
+)
+def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profiling: one summary row per column (nulls,
+    distincts, min/max). Numeric and string extremes live in typed
+    columns — casting doubles to strings would couple the check to each
+    engine's float formatting.
+
+    All four per-column aggregates scan customer once each but Spark
+    collapses the count(*)/count(col) pairs into single partial aggs;
+    at scale, compute all columns in ONE pass instead via a single
+    struct-of-aggregates row and unpivot (the pattern in
+    aggregates.py agg_unpivot_melt) — kept as four scans here so the
+    oracle SQL stays the obvious UNION ALL form.
+    """
+    c = load(spark, sf_dir, "customer")
+
+    def num(col: str) -> DataFrame:
+        return c.agg(
+            F.lit(col).alias("col_name"),
+            F.count("*").alias("n_rows"),
+            (F.count("*") - F.count(col)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.round(F.min(col).cast("double"), 4).alias("min_num"),
+            F.round(F.max(col).cast("double"), 4).alias("max_num"),
+            F.lit(None).cast("string").alias("min_str"),
+            F.lit(None).cast("string").alias("max_str"),
+        )
+
+    def txt(col: str) -> DataFrame:
+        return c.agg(
+            F.lit(col).alias("col_name"),
+            F.count("*").alias("n_rows"),
+            (F.count("*") - F.count(col)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.lit(None).cast("double").alias("min_num"),
+            F.lit(None).cast("double").alias("max_num"),
+            F.min(col).alias("min_str"),
+            F.max(col).alias("max_str"),
+        )
+
+    return num("c_custkey").unionByName(num("c_acctbal")).unionByName(
+        txt("c_mktsegment")
+    ).unionByName(txt("c_name"))
+
+
+@query(
+    "join_skew_salted",
+    "§2.3/§2.11 salted skew join (replicated dim, salted fact)",
+    """
+    SELECT event_type, count(*) AS n,
+           round(sum(value * length(event_type)), 2) AS weighted
+    FROM events GROUP BY event_type
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe join: the fact side salts each row into one of 8
+    sub-keys (pmod(xxhash64(event_id), 8)); the dim side replicates 8x
+    with an exploded salt column; the join key becomes (event_type,
+    salt) so one hot event_type spreads over 8 tasks instead of one.
+
+    The dim here (5 distinct event types, weight = length) would
+    normally broadcast — SHUFFLE_HASH is hinted to force the shuffle
+    path this pattern exists for (dim too big to broadcast + skewed
+    fact keys; AQE skew-split only helps sort-merge joins, and not the
+    downstream aggregation). The oracle is the unsalted equivalent:
+    salting must never change results.
+    """
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    n_salt = 8
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("weight", F.length("event_type"))
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+    )
+    fact = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salt)))
+    joined = fact.join(dim.hint("SHUFFLE_HASH"), ["event_type", "salt"])
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted"),
+    )

@@ -67,6 +67,7 @@ _OPERATOR_MODULES = [
     "spark_lineage_spark.operators.multimodal",
     "spark_lineage_spark.operators.lineage_ops",
     "spark_lineage_spark.operators.tpch_style",
+    "spark_lineage_spark.operators.advanced_sql",
     "spark_lineage_spark.streaming.queries",
 ]
 

@@ -236,3 +236,47 @@ def test_jdbc_partitioned_scan_has_range_partitions(spark, tmp_path):
     )
     assert back.rdd.getNumPartitions() == 4
     assert back.count() == 5
+
+
+def test_salted_skew_join_is_shuffled_hash(spark):
+    """join_skew_salted exists to exercise the non-broadcast skew path:
+    the hint must hold (ShuffledHashJoin, no broadcast) so the salt
+    column actually spreads a hot key over 8 sub-keys."""
+    from spark_lineage_spark.operators.advanced_sql import join_skew_salted
+
+    p = plan_str(join_skew_salted(spark, SF))
+    assert "ShuffledHashJoin" in p
+    assert "BroadcastHashJoin" not in p
+
+
+def test_correlated_scalar_subquery_decorrelates(spark):
+    """Catalyst must rewrite the correlated scalar subquery into an
+    aggregate+join (RewriteCorrelatedScalarSubquery) — no per-row
+    subquery node may survive in the physical plan."""
+    from spark_lineage_spark.operators.advanced_sql import subq_scalar_correlated
+
+    p = plan_str(subq_scalar_correlated(spark, SF))
+    assert "Subquery" not in p
+    assert "Join" in p
+
+
+def test_sessionize_single_exchange(spark):
+    """Both window passes and both aggregates share the user_id hash
+    partitioning: exactly ONE Exchange in the whole plan. A second
+    exchange here would double the shuffle cost of sessionization at
+    100 TB for no semantic gain."""
+    from spark_lineage_spark.operators.advanced_sql import ts_sessionize_batch
+
+    p = plan_str(ts_sessionize_batch(spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_gap_fill_spine_broadcasts(spark):
+    """The day spine is O(days) from a 1-row min/max aggregate — it
+    must be the broadcast side; the daily aggregate of the big table
+    must not shuffle again for the fill join."""
+    from spark_lineage_spark.operators.advanced_sql import ts_gap_fill_spine
+
+    p = plan_str(ts_gap_fill_spine(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

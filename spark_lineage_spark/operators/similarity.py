@@ -344,3 +344,44 @@ def llm_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("label", (F.col("pos") + 1).alias("dim"))
         .agg(F.round(F.avg("x"), 6).alias("centroid"))
     )
+
+
+@query(
+    "llm_embedding_quantize_calib",
+    "§2.11 int8 quantization calibration (per-vector scale)",
+    """
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    )
+    SELECT vec_id, label,
+           round(sqrt(list_sum(list_transform(emb, x -> x*x))), 6) AS l2_norm,
+           round(list_aggregate(list_transform(emb, x -> abs(x)), 'max'), 6)
+             AS max_abs,
+           round(127.0 / list_aggregate(list_transform(emb, x -> abs(x)), 'max'), 4)
+             AS int8_scale
+    FROM e
+    """,
+)
+def llm_embedding_quantize_calib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization calibration for an embedding store:
+    L2 norm (verifies the corpus is unit-normalized before cosine ≡
+    dot-product shortcuts) and symmetric scale 127/max|x|. All
+    higher-order array functions (F.aggregate / F.transform /
+    F.array_max) — JVM-side, no shuffle at all: embarrassingly parallel
+    over whatever partitioning the scan produced, which is exactly the
+    shape that scales to a 100 TB embedding store. Cast to double
+    before the fold so both engines accumulate in f64."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_array("embedding").alias("emb")
+    )
+    sumsq = F.aggregate("emb", F.lit(0.0), lambda acc, x: acc + x * x)
+    max_abs = F.array_max(F.transform("emb", lambda x: F.abs(x)))
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(F.sqrt(sumsq), 6).alias("l2_norm"),
+        F.round(max_abs, 6).alias("max_abs"),
+        F.round(F.lit(127.0) / max_abs, 4).alias("int8_scale"),
+    )

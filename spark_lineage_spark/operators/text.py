@@ -406,3 +406,41 @@ def llm_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("lang", "doc_id", "rn")
     )
+
+
+@query(
+    "llm_text_normalize",
+    "§2.11 text normalization (lowercase, strip punct, collapse ws)",
+    """
+    WITH cleaned AS (
+      SELECT doc_id, n_chars,
+             trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+      FROM documents
+    )
+    SELECT doc_id, n_chars AS n_chars_raw,
+           length(clean) AS n_chars_clean,
+           substr(clean, 1, 40) AS prefix
+    FROM cleaned
+    """,
+)
+def llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus text canonicalization: lowercase, replace
+    non-alphanumerics with spaces, collapse runs, trim. Pure built-in
+    string expressions — whole-stage codegen, zero Python. The regex
+    vocabulary is restricted to the Java/RE2 common subset (character
+    classes + literals) so Spark and the DuckDB oracle agree byte-for-
+    byte; Spark's regexp_replace is replace-all by default, matching
+    DuckDB's 'g' flag."""
+    d = load(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.col("n_chars").alias("n_chars_raw"),
+        F.length(clean).alias("n_chars_clean"),
+        F.substring(clean, 1, 40).alias("prefix"),
+    )

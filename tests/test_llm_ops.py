@@ -203,3 +203,35 @@ def test_cluster_chain_longer_than_ten_converges(spark, tmp_path):
     assert row.cluster_size == 13
     assert row.survivor == 0
     assert row.members == ",".join(str(i) for i in range(13))
+
+
+def test_edit_distance_blocking_covers_length_gate(spark, tmp_path):
+    """The {b, b+1} bucket emission must find every pair within the
+    10-char length gate even when the pair straddles a 16-char bucket
+    boundary — plant one straddling near-dup pair and one far pair."""
+    import pandas as pd
+
+    from spark_lineage_spark.operators.dedup import llm_dedup_edit_distance
+
+    base = "a" * 15  # len 15 -> bucket 0
+    near = "a" * 15 + "bbbbbbbbb"  # len 24 -> bucket 1, lev=9, diff=9
+    far = "z" * 300
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [base, near, far],
+            "lang": ["en", "en", "en"],
+            "n_chars": [len(base), len(near), len(far)],
+        }
+    )
+    out = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(out)
+    sf_dir = str(tmp_path)
+    import os
+
+    os.rename(out, str(tmp_path / "documents.parquet"))
+    pairs = {
+        (r.doc_id_a, r.doc_id_b, r.lev)
+        for r in llm_dedup_edit_distance(spark, sf_dir).collect()
+    }
+    assert pairs == {(1, 2, 9)}

@@ -274,3 +274,34 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("purchase_id", "click_id")
     return run_to_memory(joined, mode="append")
+
+
+@query(
+    "stream_static_join",
+    "§2.9 stream-static join (streaming fact x batch dim broadcast)",
+    """
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           count(*) AS n, round(sum(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming fact joined to a static dimension — the enrichment
+    shape every streaming pipeline starts with. The static side is a
+    plain batch DataFrame; Spark re-plans it per micro-batch and (being
+    small) broadcasts it, so the stream side never shuffles for the
+    join — state is only needed for the downstream aggregate. No
+    watermark required: stream-static inner joins are stateless.
+
+    availableNow over the staged events dir ≡ the batch join oracle.
+    """
+    from spark_lineage_spark.tables import load
+
+    ev = events_stream(spark, sf_dir).select("user_id", "event_type", "value")
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+    agg = joined.groupBy(
+        F.col("c_mktsegment").alias("segment"), "event_type"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    return run_to_memory(agg, mode="complete")

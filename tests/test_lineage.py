@@ -463,3 +463,30 @@ def test_column_lineage_exists_and_in_subquery_inputs(engine, sf_dir):
     assert any("supplier" in n for n in names) and any("nation" in n for n in names)
     edges = {c.output: c.inputs for c in report.columns}
     assert edges["s_name"] == ["supplier.s_name"]
+
+
+def test_cached_input_keeps_file_lineage(engine, sf_dir):
+    """Caching an input must not erase its file lineage: extraction
+    walks the ANALYZED plan, which still holds the LogicalRelation —
+    cache substitution (InMemoryRelation) only happens later, at
+    physical planning. Pin that assumption: if a Spark upgrade moves
+    substitution earlier, this breaks loudly."""
+    eng, rep = engine
+    o = load(eng.spark, sf_dir, "orders").cache()
+    try:
+        df = (
+            o.join(load(eng.spark, sf_dir, "lineitem"),
+                   o.o_orderkey == F.col("l_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        df.count()  # materialize the cache so substitution is live
+        eng._wrap(df).collect()
+        r = rep.last()
+        assert sorted(i.name for i in r.inputs) == ["lineitem", "orders"]
+        assert all(i.kind == "path" for i in r.inputs)
+        by_out = {c.output: c.inputs for c in r.columns}
+        assert by_out["qty"] == ["lineitem.l_quantity"]
+        assert by_out["o_orderstatus"] == ["orders.o_orderstatus"]
+    finally:
+        o.unpersist()

@@ -427,3 +427,37 @@ def fn_cast_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price_dec2"),
         F.substring(F.col("o_orderkey").cast("string"), 1, 2).cast("int").alias("first2"),
     )
+
+
+@query(
+    "fn_bitwise_battery",
+    "§2.8 bitwise ops (and/or/xor, shifts, popcount, hex)",
+    """
+    SELECT o_orderkey,
+           o_orderkey & 255 AS band,
+           o_orderkey | 15 AS bor,
+           xor(o_orderkey, 255) AS bxor,
+           o_orderkey << 2 AS shl,
+           o_orderkey >> 3 AS shr,
+           CAST(bit_count(o_orderkey) AS INTEGER) AS bits,
+           lower(to_hex(o_orderkey)) AS hex_s
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def fn_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expression battery — all JVM codegen scalar exprs (the
+    building blocks behind hash partitioners, bloom filters, and the
+    banding tricks in dedup.py). Spark ``hex`` is uppercase and DuckDB
+    ``to_hex`` lowercase, so both sides normalize with lower()."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(15)).alias("bor"),
+        k.bitwiseXOR(F.lit(255)).alias("bxor"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+        F.bit_count(k).alias("bits"),
+        F.lower(F.hex(k)).alias("hex_s"),
+    )

@@ -444,3 +444,50 @@ def llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean).alias("n_chars_clean"),
         F.substring(clean, 1, 40).alias("prefix"),
     )
+
+
+@query(
+    "llm_pack_sequences",
+    "§2.11 sequence packing (concat-and-chunk into context windows)",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS toks
+      FROM documents
+    ), packed AS (
+      SELECT lang, doc_id, toks,
+             sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - toks AS off
+      FROM t
+    )
+    SELECT lang, CAST(floor(off / 512) AS BIGINT) AS chunk_id,
+           count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS total_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM packed GROUP BY lang, chunk_id
+    """,
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch sequence packing, concat-and-chunk style: within
+    each shard (lang), documents are concatenated in a deterministic
+    order and cut into fixed 512-token context windows; each doc is
+    assigned the chunk where its first token lands. This is the packing
+    used by real LLM data loaders (no bin-packing search — one window
+    cumsum), and it scales as one shuffle on the shard key: the running
+    offset is a prefix sum per shard, never global state. A skewed
+    shard is re-shardable by (lang, doc_id range) without changing any
+    chunk content."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " "))
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    packed = d.select("lang", "doc_id", toks.alias("toks")).withColumn(
+        "off", F.sum("toks").over(w) - F.col("toks")
+    )
+    return packed.groupBy(
+        "lang", F.floor(F.col("off") / 512).cast("long").alias("chunk_id")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -104,12 +104,17 @@ class BufferedNetworkReporter(Reporter):
         flush_interval_s: float = 2.0,
         max_retries: int = 3,
         backoff_s: float = 0.05,
+        serializer=None,
     ):
         if transport is None:
             if endpoint is None:
                 raise ValueError("BufferedNetworkReporter needs transport= or endpoint=")
             transport = http_json_transport(endpoint)
         self.transport = transport
+        # wire format: native report dicts by default; pass
+        # serializer=LineageReport.to_openlineage to ship OpenLineage
+        # RunEvents to a Marquez-style collector instead
+        self.serializer = serializer or LineageReport.to_dict
         self.max_batch = max_batch
         self.max_retries = max_retries
         self.backoff_s = backoff_s
@@ -127,8 +132,12 @@ class BufferedNetworkReporter(Reporter):
         self._thread.start()
 
     def report(self, report: LineageReport) -> None:
+        try:
+            payload = self.serializer(report)
+        except Exception:
+            return  # serialization is shipping's problem, never the query's
         with self._lock:
-            self._buf.append(report.to_dict())
+            self._buf.append(payload)
             full = len(self._buf) >= self.max_batch
         if full:
             self._wake.set()  # hand off to the flusher thread

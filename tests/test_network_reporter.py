@@ -149,3 +149,74 @@ def test_http_transport_shape():
     srv.server_close()
     assert received["ctype"] == "application/json"
     assert received["body"][0]["run"]["func_name"] == "q9"
+
+
+def test_openlineage_event_shape(spark):
+    """to_openlineage must produce a spec-shaped RunEvent: eventType,
+    ISO eventTime, run.runId (deterministic UUID), dataset schema
+    facets, and the columnLineage facet on the output dataset."""
+    from spark_lineage_spark import InMemoryReporter, LineageSession
+    from spark_lineage_spark.operators.relational import flagship_df
+
+    rep = InMemoryReporter()
+    eng = LineageSession(spark, reporter=rep)
+    eng._wrap(flagship_df(spark, "/root/testdata/sf0.001")).count()
+    ev = rep.last().to_openlineage()
+
+    assert ev["eventType"] == "COMPLETE"
+    assert ev["eventTime"].endswith("Z") and "T" in ev["eventTime"]
+    import uuid as _uuid
+
+    _uuid.UUID(ev["run"]["runId"])  # parseable
+    assert ev["run"]["runId"] == rep.last().to_openlineage()["run"]["runId"]
+    names = sorted(i["name"] for i in ev["inputs"])
+    assert names == ["lineitem", "orders"]
+    schema_fields = {
+        f["name"] for i in ev["inputs"] for f in i["facets"]["schema"]["fields"]
+    }
+    assert "l_quantity" in schema_fields
+    # read-only action: column lineage rides the run facet
+    cl = ev["run"]["facets"]["resultColumnLineage"]["fields"]
+    assert cl["sum_qty"]["inputFields"] == [
+        {"namespace": "spark", "name": "lineitem", "field": "l_quantity"}
+    ]
+
+
+def test_openlineage_write_event_has_output_dataset(spark, tmp_path):
+    """A write action must emit an OL output dataset carrying the
+    columnLineage facet."""
+    from spark_lineage_spark import InMemoryReporter, LineageSession
+    from spark_lineage_spark.tables import load
+
+    rep = InMemoryReporter()
+    eng = LineageSession(spark, reporter=rep)
+    df = eng._wrap(
+        load(spark, "/root/testdata/sf0.001", "nation").select("n_name", "n_regionkey")
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "out.parquet"))
+    ev = rep.last().to_openlineage()
+    assert len(ev["outputs"]) == 1
+    out = ev["outputs"][0]
+    assert out["facets"]["columnLineage"]["fields"]["n_name"]["inputFields"] == [
+        {"namespace": "spark", "name": "nation", "field": "n_name"}
+    ]
+
+
+def test_network_reporter_ships_openlineage_payloads(spark):
+    """serializer=to_openlineage must put RunEvents on the wire."""
+    from spark_lineage_spark.plans.model import LineageReport
+    from spark_lineage_spark.plans.reporters import BufferedNetworkReporter
+    from spark_lineage_spark import LineageSession
+    from spark_lineage_spark.tables import load
+
+    sent = []
+    rep = BufferedNetworkReporter(
+        transport=sent.extend,
+        serializer=LineageReport.to_openlineage,
+        max_batch=1,
+    )
+    eng = LineageSession(spark, reporter=rep)
+    eng._wrap(load(spark, "/root/testdata/sf0.001", "region")).count()
+    rep.close()
+    assert sent and sent[0]["schemaURL"].startswith("https://openlineage.io/spec")
+    assert sent[0]["inputs"][0]["name"] == "region"

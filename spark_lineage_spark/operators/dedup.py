@@ -649,6 +649,18 @@ def llm_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_id_a", "doc_id_b"])  # {b,b+1} double-match
     )
-    return cand.withColumn("lev", F.levenshtein("text_a", "text_b")).filter(
-        F.col("lev") <= 20
-    ).select("doc_id_a", "doc_id_b", "lev")
+    # The DP stage is CPU-bound, not byte-bound: AQE sizes post-join
+    # partitions by bytes and would happily coalesce ~100k small rows
+    # onto a couple of cores, serializing the expensive part. Spread
+    # candidates explicitly, and use the bounded form of levenshtein
+    # (banded DP, O(len*threshold) not O(len^2)) — it returns -1 when
+    # the distance exceeds the threshold, so `0 <= lev <= 20` selects
+    # exactly the pairs the unbounded oracle keeps.
+    cand = cand.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id_a", "doc_id_b"
+    )
+    return (
+        cand.withColumn("lev", F.levenshtein("text_a", "text_b", 20))
+        .filter((F.col("lev") >= 0) & (F.col("lev") <= 20))
+        .select("doc_id_a", "doc_id_b", "lev")
+    )

@@ -461,3 +461,46 @@ def fn_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(k).alias("bits"),
         F.lower(F.hex(k)).alias("hex_s"),
     )
+
+
+@query(
+    "fn_url_battery",
+    "§2.8 URL parsing (parse_url vs independent regex oracle)",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || lang || '.example.com/docs/' || doc_id ||
+             '?q=' || source || '&page=2' AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+           regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query_s,
+           regexp_extract(url, '[?&]q=([^&]*)', 1) AS q_param
+    FROM u
+    """,
+)
+def fn_url_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL component extraction. Spark side uses the dedicated
+    ``parse_url`` expression (JVM, java.net.URI-based); the oracle
+    parses the same synthesized URLs with plain regexes — an
+    independent implementation cross-check, not a shared one. The
+    regex subset (anchors, classes, captures) is Java/RE2-portable."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("lang"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?q="), F.col("source"),
+        F.lit("&page=2"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.lower(F.parse_url("url", F.lit("PROTOCOL"))).alias("scheme"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query_s"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("q")).alias("q_param"),
+    )

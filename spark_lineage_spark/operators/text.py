@@ -491,3 +491,56 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@query(
+    "llm_interleave_sources",
+    "§2.11 weighted source mixing (deterministic interleave)",
+    """
+    WITH weighted AS (
+      SELECT doc_id, source, md5(text) AS h,
+             1 + (CAST(substr(source, 4) AS INTEGER) % 3) AS w
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source, h, w,
+             row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+      FROM weighted
+    ), taken AS (
+      SELECT doc_id, source, h FROM ranked WHERE rk <= w * 8
+    )
+    SELECT doc_id, source,
+           row_number() OVER (ORDER BY h, doc_id) AS mix_order
+    FROM taken
+    """,
+)
+def llm_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction: each source contributes docs in
+    proportion to its mixing weight (here derived from the source id;
+    in production a broadcast config table), selected by content-hash
+    rank so the sample is stable across runs and cluster layouts, then
+    interleaved into one deterministic global order by hash — the
+    shuffled-but-reproducible read order a trainer wants.
+
+    Scale: per-source ranking is one shuffle on source; the final
+    global row_number orders only the SELECTED sample. If the sample
+    itself is huge, replace row_number with a rank computed from
+    (hash bucket, within-bucket rank) — same determinism, no single
+    ordering partition; noted here because Spark funnels a global
+    window into one task."""
+    d = load(spark, sf_dir, "documents")
+    weighted = d.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        (1 + F.substring("source", 4, 10).cast("int") % 3).alias("w"),
+    )
+    w_src = Window.partitionBy("source").orderBy("h", "doc_id")
+    taken = (
+        weighted.withColumn("rk", F.row_number().over(w_src))
+        .filter(F.col("rk") <= F.col("w") * 8)
+        .select("doc_id", "source", "h")
+    )
+    w_all = Window.orderBy("h", "doc_id")
+    return taken.withColumn("mix_order", F.row_number().over(w_all)).select(
+        "doc_id", "source", "mix_order"
+    )

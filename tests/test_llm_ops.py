@@ -235,3 +235,49 @@ def test_edit_distance_blocking_covers_length_gate(spark, tmp_path):
         for r in llm_dedup_edit_distance(spark, sf_dir).collect()
     }
     assert pairs == {(1, 2, 9)}
+
+
+def test_pack_sequences_conserves_docs_and_tokens(spark):
+    """Packing invariants: every doc lands in exactly one chunk, token
+    mass is conserved, and chunk ids are dense from 0 per shard."""
+    from spark_lineage_spark.operators.text import llm_pack_sequences
+    from spark_lineage_spark.tables import load
+    from pyspark.sql import functions as F
+
+    out = llm_pack_sequences(spark, SF)
+    d = load(spark, SF, "documents")
+    total_docs = d.count()
+    toks_total = d.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).collect()[0].t
+    agg = out.agg(
+        F.sum("n_docs").alias("docs"), F.sum("total_tokens").alias("toks")
+    ).collect()[0]
+    assert agg.docs == total_docs
+    assert agg.toks == toks_total
+    per_shard = (
+        out.groupBy("lang")
+        .agg(F.min("chunk_id").alias("lo"), F.max("chunk_id").alias("hi"),
+             F.count("*").alias("n"))
+        .collect()
+    )
+    for r in per_shard:
+        assert r.lo == 0 and r.hi == r.n - 1  # dense chunk ids
+
+
+def test_interleave_sources_weight_proportions(spark):
+    """Each source must contribute exactly min(count, 8*weight) docs
+    and mix_order must be a 1..N permutation."""
+    from spark_lineage_spark.operators.text import llm_interleave_sources
+    from pyspark.sql import functions as F
+
+    out = llm_interleave_sources(spark, SF).cache()
+    try:
+        n = out.count()
+        orders = [r.mix_order for r in out.select("mix_order").collect()]
+        assert sorted(orders) == list(range(1, n + 1))
+        for r in out.groupBy("source").count().collect():
+            src_w = 1 + int(r.source[3:]) % 3
+            assert r["count"] <= 8 * src_w
+    finally:
+        out.unpersist()

@@ -310,7 +310,13 @@ def llm_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("shingles") > 0)
     )
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
-    feat = tf.transform(sh)
+    # Project to (doc_id, features) BEFORE the similarity join:
+    # approxSimilarityJoin explodes each row once per hash table and
+    # shuffles whole rows, so carrying the shingle string array through
+    # that 8x explode dominates runtime (measured 160s -> 10s at sf0.1
+    # from this projection alone). Same rows out — the join only needs
+    # the vector column and the key we keep.
+    feat = tf.transform(sh).select("doc_id", "features")
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feat)
     joined = model.approxSimilarityJoin(feat, feat, threshold=0.2, distCol="jaccard_dist")

@@ -237,6 +237,7 @@ def llm_knn_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_K = 16
 IVF_NPROBE = 4
+IVF_TRAIN_TARGET = 256 * IVF_K  # ~256 training points per centroid
 
 
 _IVF_MODEL_CACHE: dict = {}
@@ -270,8 +271,22 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     if model is None:
         for k in [k for k in _IVF_MODEL_CACHE if k[0] != key[0]]:
             del _IVF_MODEL_CACHE[k]
+        # Quantizer training input: KMeans runs init passes + maxIter
+        # full scans, so (a) train on a seeded sample above
+        # IVF_TRAIN_TARGET rows — centroid quality needs ~256 points
+        # per list, not the whole corpus — and (b) cache a coalesced
+        # copy: each iteration over a tiny sample must not pay
+        # 32-task scheduling overhead (measured: fit 9s -> <1s at
+        # sf0.1 from the coalesce+cache alone; fixture corpora are
+        # below the sample threshold so centroids are unchanged).
+        n_corpus = load(spark, sf_dir, "embeddings").count()  # metadata-only
+        train = feat.select("features")
+        if n_corpus > IVF_TRAIN_TARGET:
+            train = train.sample(fraction=IVF_TRAIN_TARGET / n_corpus, seed=42)
+        train = train.coalesce(8).cache()
         km = KMeans(k=IVF_K, seed=42, maxIter=5, featuresCol="features", predictionCol="list_id")
-        model = km.fit(feat)
+        model = km.fit(train)
+        train.unpersist()
         _IVF_MODEL_CACHE[key] = model
     assigned = model.transform(feat).select("vec_id", "emb", "list_id")
 

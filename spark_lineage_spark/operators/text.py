@@ -12,7 +12,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from spark_lineage_spark.functions.text_funcs import LANG_MARKERS, marker_count, tokens
+from spark_lineage_spark.functions.text_funcs import (
+    LANG_MARKERS,
+    marker_count,
+    tokens,
+    word_shingles,
+)
 from spark_lineage_spark.registry import query
 from spark_lineage_spark.tables import load
 
@@ -543,4 +548,148 @@ def llm_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_all = Window.orderBy("h", "doc_id")
     return taken.withColumn("mix_order", F.row_number().over(w_all)).select(
         "doc_id", "source", "mix_order"
+    )
+
+
+@query(
+    "llm_text_repetition",
+    "§2.11 intra-document repetition stats (Gopher-style filter)",
+    """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM words),
+    g AS (SELECT a.doc_id, a.w || ' ' || b.w AS gram
+          FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+    c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_grams,
+           count(*) AS n_distinct,
+           round((sum(cnt) - count(*)) * 1.0 / sum(cnt), 6) AS dup_frac,
+           round(max(cnt) * 1.0 / sum(cnt), 6) AS top_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def llm_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher/MassiveText rules):
+    per document, the fraction of duplicate word-2-gram occurrences and
+    the share of the single most frequent 2-gram. Highly repetitive
+    machine-generated pages score high on both and get culled before
+    training.
+
+    Shape: one explode to (doc_id, gram), then two aggregations that
+    share the doc_id grouping. At 100 TB the explode multiplies rows
+    ~word-count-fold, so it inherits the byte-sized repartition the
+    shingle pipeline uses (explode_partitions); both groupBys hash on
+    doc_id(+gram) — no skew since grams are near-unique per doc."""
+    from spark_lineage_spark.operators.dedup import explode_partitions
+
+    d = load(spark, sf_dir, "documents")
+    npart = explode_partitions(d)
+    if npart > 1:
+        d = d.repartition(npart, "doc_id")
+    g = d.select("doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("gram"))
+    c = g.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    return c.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.count("*").alias("n_distinct"),
+        F.round((F.sum("cnt") - F.count("*")) / F.sum("cnt"), 6).alias("dup_frac"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_frac"),
+    )
+
+
+PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_IP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+@query(
+    "llm_pii_redact",
+    "§2.11 PII detection + redaction (regex scrub before training)",
+    f"""
+    WITH pii AS (
+      SELECT doc_id,
+             text || ' contact ' || source || '@example.com call 555-' ||
+             lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(t, '{PII_PHONE}')) AS n_phones,
+           len(regexp_extract_all(t, '{PII_IP}')) AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(t,
+               '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_PHONE}', '<PHONE>', 'g'),
+               '{PII_IP}', '<IP>', 'g') AS redacted
+    FROM pii
+    """,
+)
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count and redact emails / NANP-style phone numbers /
+    IPv4 addresses. The fixture corpus carries no PII, so the query
+    plants a deterministic specimen of each per document (from doc_id
+    and source) and then redacts — the assertion is that detection and
+    replacement agree with an independent engine on identical input.
+
+    All three passes are regexp_replace/regexp_count built-ins (one
+    codegen stage, no Python, no shuffle — a map-only scan at any
+    scale). Patterns stay inside the Java/RE2 common subset: character
+    classes and bounded repetition only, no backreferences or
+    lookaround. Redaction order is email -> phone -> ip; the patterns
+    cannot overlap each other's replacements ('<EMAIL>' contains no
+    digits or '@')."""
+    d = load(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"), F.lit(" contact "), F.col("source"), F.lit("@example.com call 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"), F.lit(".0.1"),
+    )
+    p = d.select("doc_id", t.alias("t"))
+    return p.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count("t", F.lit(PII_PHONE)).alias("n_phones"),
+        F.regexp_count("t", F.lit(PII_IP)).alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("t", PII_EMAIL, "<EMAIL>"),
+                PII_PHONE, "<PHONE>"),
+            PII_IP, "<IP>",
+        ).alias("redacted"),
+    )
+
+
+@query(
+    "llm_source_datacard",
+    "§2.11 per-source data card (corpus composition summary)",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           count(DISTINCT lang) AS n_langs,
+           round((count(*) - count(DISTINCT text)) * 1.0 / count(*), 6) AS exact_dup_rate,
+           round(median(n_chars), 6) AS median_chars,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM documents GROUP BY source
+    """,
+)
+def llm_source_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data card per source: the composition summary published next to
+    a training mixture — volume, token mass, language spread, exact-dup
+    rate, length distribution. One hash aggregation on source; the two
+    DISTINCTs expand to Spark's standard expand+two-phase plan. At
+    100 TB count(DISTINCT text) would hash the text first (distinct on
+    a 64-byte digest, not the page body) — here text is the digest-free
+    fixture column and the oracle must see the same values."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(
+            (F.count("*") - F.countDistinct("text")) / F.count("*"), 6
+        ).alias("exact_dup_rate"),
+        F.round(F.median("n_chars"), 6).alias("median_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
     )

@@ -670,3 +670,66 @@ def llm_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("lev") >= 0) & (F.col("lev") <= 20))
         .select("doc_id_a", "doc_id_b", "lev")
     )
+
+
+@query(
+    "llm_dedup_containment",
+    "§2.11 substring-containment dedup (doc fully inside another doc)",
+    """
+    SELECT a.doc_id AS contained, b.doc_id AS container
+    FROM documents a JOIN documents b
+      ON a.doc_id <> b.doc_id
+     AND contains(b.text, a.text)
+     AND (len(a.text) < len(b.text)
+          OR (a.text = b.text AND a.doc_id > b.doc_id))
+    """,
+)
+def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup: documents whose entire text occurs inside a
+    longer document (quote-reuse / page-wrapping duplication; exact
+    duplicates count, with the higher doc_id as the contained copy).
+
+    Not an O(n²) contains() join: a contained document (≥3 tokens on
+    token boundaries) necessarily has ALL its 3-gram shingles in the
+    container, so candidates are pairs from the shingle inverted index
+    where common-shingle count equals the contained side's distinct
+    shingle count — the same linear-shaped self-equi-join the Jaccard
+    ops use, then contains() verifies only those pairs (sub-token-
+    boundary containment is out of contract; the oracle's brute-force
+    join agrees on the word-soup fixture). Shares the session-staged
+    _shingle_index; its df cap can in principle drop a candidate for
+    adversarially hot shingles — same documented trade as the other
+    near-dup ops."""
+    sh = _shingle_index(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("c"))
+    )
+    cand = (
+        common.join(sizes.alias("sa"), F.col("da") == F.col("sa.doc_id"))
+        .filter(F.col("c") == F.col("sa.n"))
+        .select("da", "db")
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = (
+        cand.join(d.alias("ta"), F.col("da") == F.col("ta.doc_id"))
+        .join(d.alias("tb"), F.col("db") == F.col("tb.doc_id"))
+        .filter(
+            F.contains(F.col("tb.text"), F.col("ta.text"))
+            & (
+                (F.length("ta.text") < F.length("tb.text"))
+                | (
+                    (F.col("ta.text") == F.col("tb.text"))
+                    & (F.col("da") > F.col("db"))
+                )
+            )
+        )
+    )
+    return pairs.select(F.col("da").alias("contained"), F.col("db").alias("container"))

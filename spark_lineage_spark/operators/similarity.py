@@ -400,3 +400,67 @@ def llm_embedding_quantize_calib(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(max_abs, 6).alias("max_abs"),
         F.round(F.lit(127.0) / max_abs, 4).alias("int8_scale"),
     )
+
+
+@query(
+    "llm_cluster_assign",
+    "§2.11 semantic cluster assignment (nearest per-label centroid)",
+    """
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+    comp AS (SELECT label, dim, round(avg(x), 6) AS c
+             FROM (SELECT label, unnest(emb) AS x,
+                          generate_subscripts(emb, 1) AS dim FROM e)
+             GROUP BY label, dim),
+    cent AS (SELECT label AS c_label, list(c ORDER BY dim) AS centroid
+             FROM comp GROUP BY label),
+    scored AS (SELECT e.vec_id, e.label, c_label,
+                      round(list_sum(list_transform(list_zip(emb, centroid),
+                            p -> (p[1] - p[2]) ** 2)), 6) AS dist2
+               FROM e CROSS JOIN cent)
+    SELECT vec_id, label, c_label AS assigned_label, dist2
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) = 1
+    """,
+)
+def llm_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering for corpus balancing: assign every vector to
+    its nearest class centroid (squared L2). The centroid table is
+    built in the same plan — dimension-wise avg via posexplode (the
+    shuffle carries only labels × dims partial sums), re-assembled into
+    arrays with array_sort(collect_list(struct(dim, c))) — then
+    broadcast under the corpus scan: the corpus itself never shuffles,
+    which is the 100 TB shape (k centroids always fit in a broadcast).
+
+    Cross-engine determinism: centroid components are rounded to 6
+    BEFORE the distance fold, so both engines feed bit-identical
+    doubles into the same left-to-right summation; the distance is
+    rounded again before the (dist2, label) argmin tie-break."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_array("embedding").alias("emb")
+    )
+    comp = (
+        e.select("label", F.posexplode("emb").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+    cent = comp.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+    dist2 = F.aggregate(
+        F.zip_with("emb", "centroid", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "c_label", F.round(dist2, 6).alias("dist2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "c_label")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("c_label").alias("assigned_label"), "dist2")
+    )

@@ -693,3 +693,168 @@ def llm_source_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.median("n_chars"), 6).alias("median_chars"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
     )
+
+
+CHUNK_SIZE = 120  # chars per training/RAG chunk
+CHUNK_STRIDE = 90  # overlap = CHUNK_SIZE - CHUNK_STRIDE
+
+
+@query(
+    "llm_chunk_documents",
+    "§2.11 sliding-window document chunking (overlapping char windows)",
+    f"""
+    SELECT doc_id,
+           CAST((start - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           substr(text, CAST(start AS INT), {CHUNK_SIZE}) AS chunk,
+           len(substr(text, CAST(start AS INT), {CHUNK_SIZE})) AS chunk_chars
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(1, len(text), {CHUNK_STRIDE})) AS start
+          FROM documents)
+    """,
+)
+def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width chunks (the context-window / RAG prep
+    step): windows of CHUNK_SIZE chars every CHUNK_STRIDE chars, the
+    final window allowed to run short. Start offsets come from
+    F.sequence over the string length — a pure map-side explode, no
+    shuffle at any scale; chunk_id is derived from the offset so the
+    output needs no window function. substring() clamps at the string
+    end identically in both engines."""
+    d = load(spark, sf_dir, "documents")
+    c = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text"), F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.substring(F.col("text"), F.col("start"), F.lit(CHUNK_SIZE))
+    return c.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+        chunk.alias("chunk"),
+        F.length(chunk).alias("chunk_chars"),
+    )
+
+
+# fixed public logistic-regression weights for the quality scorer:
+# intercept, log(n_tokens), mean token length, stopword ratio, distinct
+# token ratio. Chosen so the fixture splits non-trivially (~both
+# classes populated); the point is deterministic in-plan inference.
+QC_W0, QC_W_LOGTOK, QC_W_AVGLEN, QC_W_STOP, QC_W_UNIQ = -2.0, 0.6, -0.35, 4.0, 2.5
+_QC_EN = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
+
+
+@query(
+    "llm_quality_classifier",
+    "§2.11 model-based quality filter (fixed-weight logistic scorer)",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_toks,
+             (len(text) - len(string_split(text, ' ')) + 1.0)
+               / len(string_split(text, ' ')) AS avg_len,
+             len(list_filter(string_split(text, ' '), t -> t IN ({_QC_EN})))
+               * 1.0 / len(string_split(text, ' ')) AS stop_ratio,
+             len(list_distinct(string_split(text, ' ')))
+               * 1.0 / len(string_split(text, ' ')) AS uniq_ratio
+      FROM documents
+    )
+    SELECT doc_id, n_toks,
+           round(avg_len, 6) AS avg_len,
+           round(stop_ratio, 6) AS stop_ratio,
+           round(uniq_ratio, 6) AS uniq_ratio,
+           round(1.0 / (1.0 + exp(-({QC_W0} + {QC_W_LOGTOK} * ln(n_toks)
+                 + {QC_W_AVGLEN} * avg_len + {QC_W_STOP} * stop_ratio
+                 + {QC_W_UNIQ} * uniq_ratio))), 6) AS quality,
+           CASE WHEN 1.0 / (1.0 + exp(-({QC_W0} + {QC_W_LOGTOK} * ln(n_toks)
+                 + {QC_W_AVGLEN} * avg_len + {QC_W_STOP} * stop_ratio
+                 + {QC_W_UNIQ} * uniq_ratio))) >= 0.5
+                THEN 1 ELSE 0 END AS keep
+    FROM f
+    """,
+)
+def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a logistic regression with fixed
+    published weights applied in-plan — the classifier-score culling
+    step of a pretraining pipeline, expressed as pure column arithmetic
+    (no UDF, no model server). Features: log token count, mean token
+    length, stopword ratio, distinct-token ratio. Map-only at any
+    scale; the sigmoid is one codegen expression. The keep flag uses
+    the UNrounded score so the cut is the true decision boundary."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    f = d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        ((F.length("text") - F.size(toks) + 1.0) / F.size(toks)).alias("avg_len"),
+        (marker_count(toks, LANG_MARKERS["en"]) / F.size(toks)).alias("stop_ratio"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("uniq_ratio"),
+    )
+    z = (
+        F.lit(QC_W0)
+        + QC_W_LOGTOK * F.log("n_toks")
+        + QC_W_AVGLEN * F.col("avg_len")
+        + QC_W_STOP * F.col("stop_ratio")
+        + QC_W_UNIQ * F.col("uniq_ratio")
+    )
+    score = 1.0 / (1.0 + F.exp(-z))
+    return f.select(
+        "doc_id",
+        "n_toks",
+        F.round("avg_len", 6).alias("avg_len"),
+        F.round("stop_ratio", 6).alias("stop_ratio"),
+        F.round("uniq_ratio", 6).alias("uniq_ratio"),
+        F.round(score, 6).alias("quality"),
+        F.when(score >= 0.5, 1).otherwise(0).alias("keep"),
+    )
+
+
+MIX_ALPHA = 0.5  # temperature for mixture rebalancing (sqrt scaling)
+MIX_BUDGET_FRAC = 0.5  # sample budget = half the corpus
+
+
+@query(
+    "llm_mixture_weights",
+    "§2.11 temperature-based source mixture reweighting",
+    f"""
+    WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    t AS (SELECT sum(pow(n_docs, {MIX_ALPHA})) AS z, sum(n_docs) AS total FROM s)
+    SELECT source, n_docs,
+           round(pow(n_docs, {MIX_ALPHA}) / z, 6) AS weight,
+           round(least(1.0, pow(n_docs, {MIX_ALPHA}) / z * total
+                 * {MIX_BUDGET_FRAC} / n_docs), 6) AS sample_rate,
+           CAST(floor(n_docs * least(1.0, pow(n_docs, {MIX_ALPHA}) / z * total
+                 * {MIX_BUDGET_FRAC} / n_docs)) AS BIGINT) AS expected_docs
+    FROM s CROSS JOIN t
+    """,
+)
+def llm_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture rebalancing (the multilingual-sampling
+    alpha trick): target share of source s ∝ n_s^alpha, which upweights
+    small sources relative to their raw frequency; per-source sampling
+    rate = target share × budget / current share, capped at 1 (no
+    upsampling here — rates feed a downstream bernoulli sample).
+
+    Shape: one groupBy(source) — 20 partial-agg'd rows — crossJoined
+    with a broadcast single-row total (same in-plan-N pattern as
+    TF-IDF: no driver-side count, the whole thing stays one lazy
+    plan)."""
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    t = s.agg(
+        F.sum(F.pow("n_docs", MIX_ALPHA)).alias("z"),
+        F.sum("n_docs").alias("total"),
+    )
+    j = s.crossJoin(F.broadcast(t))
+    rate = F.least(
+        F.lit(1.0),
+        F.pow("n_docs", MIX_ALPHA) / F.col("z") * F.col("total") * MIX_BUDGET_FRAC / F.col("n_docs"),
+    )
+    return j.select(
+        "source",
+        "n_docs",
+        F.round(F.pow("n_docs", MIX_ALPHA) / F.col("z"), 6).alias("weight"),
+        F.round(rate, 6).alias("sample_rate"),
+        F.floor(F.col("n_docs") * rate).cast("bigint").alias("expected_docs"),
+    )

@@ -281,3 +281,101 @@ def test_interleave_sources_weight_proportions(spark):
             assert r["count"] <= 8 * src_w
     finally:
         out.unpersist()
+
+
+def test_chunk_documents_reassemble(spark):
+    """Chunks must tile each document: stride-aligned starts, first
+    chunk at offset 0, and stitching chunk prefixes (first STRIDE chars
+    of each chunk, full final chunk) reproduces the original text."""
+    from spark_lineage_spark.operators.text import (
+        CHUNK_STRIDE,
+        llm_chunk_documents,
+    )
+    from spark_lineage_spark.tables import load
+
+    docs = {r.doc_id: r.text for r in load(spark, SF, "documents").collect()}
+    rows = llm_chunk_documents(spark, SF).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        ids = sorted(chunks)
+        assert ids == list(range(len(ids)))  # contiguous chunk ids
+        rebuilt = "".join(chunks[i][:CHUNK_STRIDE] for i in ids[:-1]) + chunks[ids[-1]]
+        assert rebuilt == docs[doc_id]
+
+
+def test_quality_classifier_threshold_consistency(spark):
+    """keep must equal (quality >= 0.5) modulo the 6-digit rounding of
+    the reported score, and both classes should be populated."""
+    rows = __import__(
+        "spark_lineage_spark.operators.text", fromlist=["llm_quality_classifier"]
+    ).llm_quality_classifier(spark, SF).collect()
+    keeps = {r.keep for r in rows}
+    assert keeps == {0, 1}
+    for r in rows:
+        if r.quality > 0.5000005:
+            assert r.keep == 1
+        if r.quality < 0.4999995:
+            assert r.keep == 0
+
+
+def test_mixture_weights_sum_and_cap(spark):
+    """Weights form a distribution; rates are capped at 1; the sqrt
+    temperature upweights small sources (rate decreasing in n_docs)."""
+    from spark_lineage_spark.operators.text import llm_mixture_weights
+
+    rows = llm_mixture_weights(spark, SF).collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-3
+    assert all(0 < r.sample_rate <= 1.0 for r in rows)
+    by_n = sorted(rows, key=lambda r: r.n_docs)
+    rates = [r.sample_rate for r in by_n]
+    assert all(a >= b - 1e-9 for a, b in zip(rates, rates[1:]))
+
+
+def test_cluster_assign_is_argmin(spark):
+    """Every vector's assigned centroid must beat (or tie, with label
+    tie-break) the centroid of its own true label."""
+    from spark_lineage_spark.operators.similarity import llm_cluster_assign
+    from spark_lineage_spark.tables import load
+    import numpy as np
+
+    cents = {}
+    for r in load(spark, SF, "embeddings").collect():
+        cents.setdefault(r.label, []).append(np.array(r.embedding, dtype=np.float64))
+    cents = {k: np.round(np.mean(v, axis=0), 6) for k, v in cents.items()}
+    rows = llm_cluster_assign(spark, SF).limit(50).collect()
+    embs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in load(spark, SF, "embeddings").collect()}
+    for r in rows:
+        e = embs[r.vec_id]
+        best = min(
+            ((round(float(np.sum((e - c) ** 2)), 6), lbl) for lbl, c in cents.items())
+        )
+        assert (r.dist2, r.assigned_label) == best
+
+
+def test_containment_planted(spark, tmp_path):
+    """A doc pasted verbatim inside a longer doc must be flagged; a
+    doc sharing words but not contiguous text must not."""
+    import pandas as pd
+
+    inner = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    outer = "intro words here " + inner + " trailing content words"
+    shuffled = "gamma alpha delta beta zeta epsilon theta eta kappa iota"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [inner, outer, shuffled],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(inner), len(outer), len(shuffled)],
+        }
+    )
+    path = str(tmp_path / "planted")
+    spark.createDataFrame(pdf).repartition(1).write.parquet(path + "/documents.parquet")
+    from spark_lineage_spark.operators.dedup import llm_dedup_containment
+
+    got = {(r.contained, r.container) for r in llm_dedup_containment(spark, path).collect()}
+    assert got == {(1, 2)}

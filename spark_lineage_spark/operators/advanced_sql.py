@@ -369,3 +369,46 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted"),
     )
+
+
+@query(
+    "ts_resample_ohlc",
+    "§2.11/§5.2 time-series resample to hourly OHLC bars",
+    """
+    SELECT event_type,
+           date_trunc('hour', ts) AS bucket,
+           round(arg_min(value, ts), 6) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(arg_max(value, ts), 6) AS close,
+           count(*) AS n_events,
+           round(avg(value), 6) AS mean_value
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsampling a tick stream to hourly OHLC bars: the classic
+    time-series rollup, expressed as ONE hash aggregation on
+    (event_type, hour) — min_by/max_by give open/close without a sort
+    or a window, so partial aggregation (map-side combine) applies and
+    the shuffle carries one row per (type, hour) regardless of tick
+    volume. That is the 100 TB shape: no per-key ordering, no window
+    state.
+
+    Determinism: the fixture has no two events of the same type in the
+    same microsecond (asserted in tests), so min_by(value, ts) is
+    unambiguous in both engines; both engines hold ts at µs precision
+    here. With tie-prone data you'd min_by on a (ts, event_id) struct —
+    DuckDB's arg_min can't take a composite key, hence the documented
+    fixture invariant (same discipline as stream_dedup_watermark)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.round(F.min_by("value", "ts"), 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max_by("value", "ts"), 6).alias("close"),
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+    )

@@ -858,3 +858,87 @@ def llm_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate, 6).alias("sample_rate"),
         F.floor(F.col("n_docs") * rate).cast("bigint").alias("expected_docs"),
     )
+
+
+PMI_MIN_COUNT = 5  # bigrams below this count are noise (classic cutoff)
+
+
+@query(
+    "llm_bigram_pmi",
+    "§2.11 bigram PMI collocations (corpus association mining)",
+    f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    w AS (SELECT unnest(ws) AS w FROM words),
+    uni AS (SELECT w, count(*) AS u FROM w GROUP BY w),
+    nu AS (SELECT sum(u) AS n_uni FROM uni),
+    g AS (SELECT string_split(gram, ' ')[1] AS wa, string_split(gram, ' ')[2] AS wb
+          FROM (SELECT a.w || ' ' || b.w AS gram
+                FROM (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+                      FROM words) a
+                JOIN (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+                      FROM words) b
+                  ON a.doc_id = b.doc_id AND b.i = a.i + 1)),
+    bi AS (SELECT wa, wb, count(*) AS c FROM g GROUP BY wa, wb),
+    nb AS (SELECT sum(c) AS n_bi FROM bi)
+    SELECT wa, wb, c AS pair_count,
+           round(ln((c * 1.0 / n_bi) / ((ua.u * 1.0 / n_uni) * (ub.u * 1.0 / n_uni))), 6)
+             AS pmi
+    FROM bi
+    JOIN uni ua ON bi.wa = ua.w
+    JOIN uni ub ON bi.wb = ub.w
+    CROSS JOIN nu CROSS JOIN nb
+    WHERE c >= {PMI_MIN_COUNT}
+    """,
+)
+def llm_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over word bigrams — the collocation
+    / multi-word-expression miner (and tokenizer-merge candidate
+    scorer): pmi = ln(p(ab) / (p(a) p(b))), bigrams below a count
+    cutoff dropped.
+
+    Shape: two explode+groupBy passes (bigrams, unigrams) plus two
+    1-row totals crossJoined in-plan (the TF-IDF no-driver-count
+    pattern). The bigram→unigram joins shuffle on the word — the
+    unigram table is vocabulary-sized, tiny next to the corpus, so AQE
+    broadcasts it; no hint needed. Both engines evaluate the identical
+    f64 expression tree, so round-6 values agree exactly."""
+    d = load(spark, sf_dir, "documents")
+    npart = __import__(
+        "spark_lineage_spark.operators.dedup", fromlist=["explode_partitions"]
+    ).explode_partitions(d)
+    if npart > 1:
+        d = d.repartition(npart, "doc_id")
+    uni = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("u"))
+    )
+    nu = uni.agg(F.sum("u").alias("n_uni"))
+    bi = (
+        d.select(F.explode(word_shingles(F.col("text"), 2)).alias("gram"))
+        .select(
+            F.split("gram", " ")[0].alias("wa"),
+            F.split("gram", " ")[1].alias("wb"),
+        )
+        .groupBy("wa", "wb")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= PMI_MIN_COUNT)
+    )
+    nb_all = (
+        d.select(F.explode(word_shingles(F.col("text"), 2)).alias("gram"))
+        .agg(F.count("*").alias("n_bi"))
+    )
+    ua, ub = uni.alias("ua"), uni.alias("ub")
+    j = (
+        bi.join(ua, F.col("wa") == F.col("ua.w"))
+        .join(ub, F.col("wb") == F.col("ub.w"))
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb_all))
+    )
+    pmi = F.log(
+        (F.col("c") / F.col("n_bi"))
+        / ((F.col("ua.u") / F.col("n_uni")) * (F.col("ub.u") / F.col("n_uni")))
+    )
+    return j.select(
+        "wa", "wb", F.col("c").alias("pair_count"), F.round(pmi, 6).alias("pmi")
+    )

@@ -166,3 +166,57 @@ def tpch_q1_style(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("l_discount"), 6).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
+
+
+Q18_QTY_THRESHOLD = 300
+
+
+@query(
+    "tpch_q18_style_large_orders",
+    "§5.2 composed: Q18-shaped large-quantity orders (agg semi-filter + 3-way join)",
+    f"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice,
+           CAST(sum(l_quantity) AS BIGINT) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > {Q18_QTY_THRESHOLD}
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: find orders whose total quantity crosses a threshold
+    (an aggregate-then-semi-join — the 'filter a fact table by its own
+    aggregate' pattern), then enrich with customer and re-aggregate.
+
+    Scale: the HAVING subquery is ONE pass over lineitem producing only
+    qualifying keys (tiny — broadcast left-semi into the fact join, AQE
+    picks it), so lineitem is scanned twice but shuffled on l_orderkey
+    only for rows that survive; customers broadcast. Top-k is
+    TakeOrderedAndProject — no global sort."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > Q18_QTY_THRESHOLD)
+        .select("l_orderkey")
+    )
+    o = load(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi"
+    )
+    c = load(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("bigint").alias("total_qty"))
+        .withColumn("o_totalprice", F.round("o_totalprice", 2))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )

@@ -30,6 +30,18 @@ def entry(spark: SparkSession) -> DataFrame:
     from spark_lineage_spark.session import tune_runtime
 
     tune_runtime(spark)
+    # Pre-warm the Python/Arrow worker pool (daemon + one worker per
+    # core): the first pandas-UDF stage of a session otherwise pays
+    # ~5 s of fork/handshake, which would land on whichever registry
+    # query happens to run first. One trivial 32-task mapInPandas pass
+    # moves that cost here, where the smoke check absorbs it.
+    try:
+        par = spark.sparkContext.defaultParallelism
+        spark.range(par).repartition(par).mapInPandas(
+            lambda it: it, "id long"
+        ).count()
+    except Exception:
+        pass  # warm-up is best-effort; never fail the smoke check
     engine = LineageSession(spark)
     df = flagship_df(spark, SMOKE_SF_DIR)
     # run through the facade once so the smoke check also exercises

@@ -377,7 +377,13 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"].to_numpy(), "simhash": packed.view(np.int64)}
             )
 
-    sigs = hashed.mapInPandas(fold, schema="doc_id long, simhash long")
+    # Materialize the signatures before the band self-join: the join
+    # references the signature subtree twice, and without a cut the
+    # whole explode→groupBy→Python-fold pipeline runs once per branch
+    # (two Python worker round-trips). Signatures are 16 bytes/doc —
+    # at corpus scale this is "write the signature table once, self-join
+    # the table", the same staging discipline as _shingle_index.
+    sigs = hashed.mapInPandas(fold, schema="doc_id long, simhash long").localCheckpoint()
 
     bands = sigs.select(
         "doc_id",

@@ -504,3 +504,65 @@ def fn_url_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY")).alias("query_s"),
         F.parse_url("url", F.lit("QUERY"), F.lit("q")).alias("q_param"),
     )
+
+
+@query(
+    "fn_struct_battery",
+    "§2.8 struct create / field access / compare / to_json",
+    """
+    SELECT c_custkey,
+           struct_pack(seg := c_mktsegment, name := c_name).seg AS seg,
+           round(struct_pack(bal := c_acctbal).bal, 2) AS bal,
+           to_json(struct_pack(k := c_custkey, seg := c_mktsegment)) AS js,
+           CASE WHEN struct_pack(seg := c_mktsegment, k := c_custkey)
+                     < struct_pack(seg := 'HOUSEHOLD', k := CAST(500 AS BIGINT))
+                THEN 1 ELSE 0 END AS lt_probe
+    FROM customer
+    """,
+)
+def fn_struct_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct surface: named construction, field access, lexicographic
+    struct comparison (field order, then value — identical semantics in
+    both engines), and to_json serialization. The JSON probe keeps to
+    int/string fields: float formatting inside JSON is engine-specific,
+    values outside it are compared numerically as usual."""
+    c = load(spark, sf_dir, "customer")
+    s = F.struct(F.col("c_mktsegment").alias("seg"), F.col("c_name").alias("name"))
+    cmp_l = F.struct(F.col("c_mktsegment").alias("seg"), F.col("c_custkey").alias("k"))
+    cmp_r = F.struct(F.lit("HOUSEHOLD").alias("seg"), F.lit(500).cast("bigint").alias("k"))
+    return c.select(
+        "c_custkey",
+        s.getField("seg").alias("seg"),
+        F.round(F.struct(F.col("c_acctbal").alias("bal")).getField("bal"), 2).alias("bal"),
+        F.to_json(F.struct(F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("seg"))).alias("js"),
+        F.when(cmp_l < cmp_r, 1).otherwise(0).alias("lt_probe"),
+    )
+
+
+@query(
+    "fn_explode_outer_nulls",
+    "§2.8 explode_outer (empty-array rows preserved as NULL)",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) >= 40
+                  THEN [array_to_string(string_split(text, ' ')[1:40], ' ')]
+                  ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM documents
+    )
+    SELECT doc_id, unnest(CASE WHEN len(grams) = 0 THEN [NULL] ELSE grams END) AS gram
+    FROM s
+    """,
+)
+def fn_explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer semantics: a 40-token prefix shingle exists only
+    for long docs; short docs produce an EMPTY array, and explode_outer
+    must keep their row with a NULL — plain explode would silently drop
+    them (the classic lost-rows bug in flattening pipelines). DuckDB
+    has no outer unnest, so the oracle pads empty lists with [NULL]."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(toks) >= 40, F.array(F.array_join(F.slice(toks, 1, 40), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select("doc_id", F.explode_outer(grams).alias("gram"))

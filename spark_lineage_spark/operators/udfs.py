@@ -208,3 +208,59 @@ def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 25
         """
     )
+
+
+@query(
+    "udf_cogroup_in_pandas",
+    "§2.10 cogrouped applyInPandas (two-table per-key merge)",
+    """
+    WITH e AS (SELECT user_id, count(*) AS n_events,
+                      round(sum(value), 2) AS total_value
+               FROM events WHERE user_id < 100 GROUP BY user_id),
+    o AS (SELECT o_custkey AS user_id, count(*) AS n_orders
+          FROM orders WHERE o_custkey < 100 GROUP BY o_custkey)
+    SELECT coalesce(e.user_id, o.user_id) AS user_id,
+           coalesce(n_events, 0) AS n_events,
+           coalesce(total_value, 0.0) AS total_value,
+           coalesce(n_orders, 0) AS n_orders
+    FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+    """,
+)
+def udf_cogroup_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().cogroup().applyInPandas — the two-sided custom merge
+    operator (per-key reconciliation, custom as-of logic, feature
+    joins). Each side shuffles once on the key; the UDF receives both
+    sides' rows for one key as pandas frames. Here it computes an
+    activity-vs-orders reconciliation per user, checked against the
+    equivalent aggregate + full-outer-join SQL — the strongest oracle
+    form for a cogroup (it must reproduce engine join semantics
+    including keys present on only one side)."""
+
+    def merge(ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:
+        uid = ev["user_id"].iloc[0] if len(ev) else od["o_custkey"].iloc[0]
+        return pd.DataFrame(
+            {
+                "user_id": [int(uid)],
+                "n_events": [len(ev)],
+                "total_value": [round(float(ev["value"].sum()), 2) if len(ev) else 0.0],
+                "n_orders": [len(od)],
+            }
+        )
+
+    # cogroup invokes the UDF once per key — Python-per-key is the
+    # deliberate slow path (reserved for logic a join can't express),
+    # so the demo bounds the key range instead of paying ~10 ms x
+    # every customer for identical coverage of the API surface.
+    ev = load(spark, sf_dir, "events").select("user_id", "value").filter(
+        F.col("user_id") < 100
+    )
+    od = load(spark, sf_dir, "orders").select("o_custkey").filter(
+        F.col("o_custkey") < 100
+    )
+    return (
+        ev.groupBy("user_id")
+        .cogroup(od.groupBy("o_custkey"))
+        .applyInPandas(
+            merge, schema="user_id long, n_events long, total_value double, n_orders long"
+        )
+    )

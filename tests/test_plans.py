@@ -280,3 +280,25 @@ def test_gap_fill_spine_broadcasts(spark):
     p = plan_str(ts_gap_fill_spine(spark, SF))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Both sides bucketed by the join key => SortMergeJoin with zero
+    Exchange operators before the join (the pay-shuffle-at-ingest
+    lever). Broadcast is disabled for the probe so the bucket-matched
+    SMJ is what gets planned."""
+    from spark_lineage_spark.operators.sources_sinks import join_bucketed_colocated
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = join_bucketed_colocated(spark, SF)
+        p = plan_str(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in p, p
+    assert p.count("Bucketed: true") == 2, p
+    # exactly ONE exchange in the whole plan — the post-aggregation
+    # one. The join's input subtrees are exchange-free because the
+    # bucket layout already satisfies the distribution requirement.
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p

@@ -412,3 +412,36 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.avg("value"), 6).alias("mean_value"),
     )
+
+
+@query(
+    "ts_hierarchical_rollup",
+    "§2.4/§5.2 hypertable-style time-hierarchy rollup (day→month→total)",
+    """
+    SELECT CAST(year(ts) AS INTEGER) AS y,
+           CAST(month(ts) AS INTEGER) AS m,
+           CAST(day(ts) AS INTEGER) AS d,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM events
+    GROUP BY ROLLUP (y, m, d)
+    """,
+)
+def ts_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hypertable continuous-aggregate shape: one pass over the
+    tick stream producing day, month, year, and grand-total rollups
+    via GROUP BY ROLLUP on the extracted calendar hierarchy. Spark
+    plans this as a single Expand + hash aggregate — partial
+    aggregation applies, so the shuffle carries one row per (level,
+    bucket), not per event; at 100 TB this replaces three separate
+    aggregation jobs and the scan is shared."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.year("ts").alias("y"),
+            F.month("ts").alias("m"),
+            F.dayofmonth("ts").alias("d"),
+            "value",
+        )
+        .rollup("y", "m", "d")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )

@@ -739,3 +739,80 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pairs.select(F.col("da").alias("contained"), F.col("db").alias("container"))
+
+
+@query(
+    "llm_dedup_cross_corpus",
+    "§2.11 cross-source near-dup detection (directional corpus overlap)",
+    f"""
+    WITH pairs AS ({NGRAM_JACCARD_ORACLE}),
+    d AS (SELECT doc_id, source FROM documents)
+    SELECT da, sa.source AS source_a, db, sb.source AS source_b, jaccard
+    FROM pairs
+    JOIN d sa ON sa.doc_id = da
+    JOIN d sb ON sb.doc_id = db
+    WHERE sa.source <> sb.source
+    """,
+)
+def llm_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus contamination check: near-dup pairs (exact 3-gram
+    Jaccard ≥ 0.8) whose two sides come from DIFFERENT sources — the
+    'is crawl B re-serving corpus A' question asked before adding a new
+    source to a training mixture. Reuses the session-staged shingle
+    index and the same inverted-index candidate shape; the per-doc
+    source lookup is a join against the (doc_id, source) projection,
+    tiny next to the pair generation."""
+    pairs = _jaccard_pairs_from_shingles(_shingle_index(spark, sf_dir))
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    sa, sb = d.alias("sa"), d.alias("sb")
+    return (
+        pairs.join(sa, F.col("da") == F.col("sa.doc_id"))
+        .join(sb, F.col("db") == F.col("sb.doc_id"))
+        .filter(F.col("sa.source") != F.col("sb.source"))
+        .select(
+            "da",
+            F.col("sa.source").alias("source_a"),
+            "db",
+            F.col("sb.source").alias("source_b"),
+            "jaccard",
+        )
+    )
+
+
+SWEEP_THRESHOLDS = [0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+@query(
+    "llm_dedup_threshold_sweep",
+    "§2.11 near-dup threshold sweep (dedup-rate tuning curve)",
+    f"""
+    WITH pairs AS ({NGRAM_JACCARD_ORACLE.replace(">= 0.8", ">= 0.5")}),
+    t AS (SELECT unnest([{", ".join(str(t) for t in SWEEP_THRESHOLDS)}]) AS threshold)
+    SELECT threshold,
+           count(*) AS n_pairs,
+           count(DISTINCT db) AS n_docs_dropped
+    FROM t LEFT JOIN pairs ON jaccard >= threshold
+    GROUP BY threshold
+    """,
+)
+def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-tuning curve: for each candidate Jaccard threshold,
+    how many pairs fire and how many docs would be dropped (survivor =
+    lower doc_id, victim = higher). ONE pass builds the pair list at
+    the loosest threshold; the sweep is then a 5-row broadcast
+    theta-join over the (tiny) pair list — the expensive candidate
+    generation is never repeated per threshold. n_pairs counts 0 when
+    a threshold fires nothing (left join semantics, both engines)."""
+    pairs = _jaccard_pairs_from_shingles(_shingle_index(spark, sf_dir), threshold=0.5)
+    t = pairs.sparkSession.createDataFrame(
+        [(t,) for t in SWEEP_THRESHOLDS], "threshold double"
+    )
+    return (
+        F.broadcast(t)
+        .join(pairs, F.col("jaccard") >= F.col("threshold"), "left")
+        .groupBy("threshold")
+        .agg(
+            F.count("jaccard").alias("n_pairs"),
+            F.countDistinct("db").alias("n_docs_dropped"),
+        )
+    )

@@ -383,3 +383,40 @@ def join_self_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
         & (F.col("a.n_name") < F.col("b.n_name")),
     ).select(F.col("a.n_name").alias("n1"), F.col("b.n_name").alias("n2"))
+
+
+@query(
+    "join_null_safe_eq",
+    "§2.3 null-safe equality join (<=> / IS NOT DISTINCT FROM)",
+    """
+    WITH c AS (SELECT c_custkey, nullif(c_nationkey, 3) AS nk FROM customer),
+    s AS (SELECT s_suppkey, nullif(s_nationkey, 3) AS nk FROM supplier)
+    SELECT c.nk AS nation_key, count(*) AS n_pairs,
+           count(DISTINCT c_custkey) AS n_cust,
+           count(DISTINCT s_suppkey) AS n_supp
+    FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.nk
+    GROUP BY c.nk
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join: eqNullSafe (<=>) treats NULL as a joinable
+    value, so the nation-3 rows nulled on both sides still pair up —
+    a plain equi-join would silently drop them (the classic CDC-key
+    bug). Still a hash-partitionable equality predicate, so it plans
+    as a normal shuffled/broadcast hash join, NOT a nested loop —
+    same scale shape as join_inner_equi."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey"), F.lit(3)).alias("nk")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.nullif(F.col("s_nationkey"), F.lit(3)).alias("nk")
+    )
+    return (
+        c.join(s, c.nk.eqNullSafe(s.nk))
+        .groupBy(c.nk.alias("nation_key"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("c_custkey").alias("n_cust"),
+            F.countDistinct("s_suppkey").alias("n_supp"),
+        )
+    )

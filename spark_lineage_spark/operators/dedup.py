@@ -343,9 +343,13 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     with exact bit_count(xor) ≤ 6. Deterministic; recall/property
     tests in tests/test_llm_ops.py."""
     d = load(spark, sf_dir, "documents")
-    npart = explode_partitions(d)
-    if npart > 1:
-        d = d.repartition(npart, "doc_id")  # parallelize the token explode
+    # This stage is COMPUTE-bound (the numpy bit fold), not byte-bound:
+    # byte-sized partitioning would put a small corpus on one task and
+    # serialize the whole fold. Spread to core count (cheap shuffle of
+    # raw text); at real scale the byte sizing dominates again.
+    npart = max(explode_partitions(d), spark.sparkContext.defaultParallelism)
+    if npart > d.rdd.getNumPartitions():
+        d = d.repartition(npart, "doc_id")  # parallelize explode + fold
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token")).filter(
         F.length("token") > 0
     )

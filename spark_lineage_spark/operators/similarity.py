@@ -198,8 +198,14 @@ def llm_knn_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, load(spark, sf_dir, "embeddings")
     ).select("vec_id", to_double_array("embedding").alias("emb"))
     q_rows = sorted(
-        # bounded-collect-ok: N_QUERIES rows -> closure
-        e.filter(F.col("vec_id") < N_QUERIES).collect(),  # bounded-collect-ok
+        # bounded-collect-ok: N_QUERIES rows -> closure. Collected from
+        # the PLAIN scan (vec_id filter pushed to parquet), not from the
+        # repartitioned corpus — the query pickup must not pay a
+        # corpus-wide shuffle.
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", to_double_array("embedding").alias("emb"))
+        .collect(),  # bounded-collect-ok
         key=lambda r: r.vec_id,
     )
     q_ids = np.array([r.vec_id for r in q_rows])

@@ -346,3 +346,32 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("O"), 2).alias("O"),
         F.round(F.col("F"), 2).alias("F"),
     )
+
+
+@query(
+    "agg_boolean_conditional",
+    "§2.4 boolean/conditional aggregates (count_if, bool_and/or, any_value)",
+    """
+    SELECT l_returnflag,
+           count(*) AS n,
+           count(CASE WHEN l_quantity > 25 THEN 1 END) AS n_bulk,
+           CASE WHEN bool_and(l_discount <= 0.1) THEN 1 ELSE 0 END AS all_low_disc,
+           CASE WHEN bool_or(l_tax > 0.07) THEN 1 ELSE 0 END AS any_high_tax,
+           min(l_linestatus) AS a_linestatus
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_boolean_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate aggregates: count_if, every (bool_and), some (bool_or)
+    — all partial-agg friendly single-bit states, the cheapest possible
+    shuffle payload. any_value is nondeterministic by contract, so the
+    deterministic stand-in is min() — same 'pick one' semantics, stable
+    across engines (documented drift rule)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+        F.when(F.every(F.col("l_discount") <= 0.1), 1).otherwise(0).alias("all_low_disc"),
+        F.when(F.some(F.col("l_tax") > 0.07), 1).otherwise(0).alias("any_high_tax"),
+        F.min("l_linestatus").alias("a_linestatus"),
+    )

@@ -566,3 +566,40 @@ def fn_explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks) >= 40, F.array(F.array_join(F.slice(toks, 1, 40), " "))
     ).otherwise(F.array().cast("array<string>"))
     return d.select("doc_id", F.explode_outer(grams).alias("gram"))
+
+
+@query(
+    "fn_collation_battery",
+    "§2.8 collation-aware comparison (Spark 4 UTF8_LCASE vs binary)",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CASE WHEN upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2))
+                     = c_mktsegment THEN 1 ELSE 0 END AS eq_binary,
+           CASE WHEN lower(upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2)))
+                     = lower(c_mktsegment) THEN 1 ELSE 0 END AS eq_lcase,
+           CASE WHEN lower(c_mktsegment) LIKE 'bu%' THEN 1 ELSE 0 END AS pre_lcase
+    FROM customer
+    """,
+)
+def fn_collation_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collations: the same comparison under binary (default)
+    vs UTF8_LCASE collation — case-insensitive equality and prefix
+    match expressed DECLARATIVELY (the collation rides the type, so
+    Catalyst can still push/optimize) rather than wrapping every
+    operand in lower(). DuckDB has no session collations in this
+    harness, so the oracle states the lower()-normalized equivalent —
+    semantically identical for ASCII segment names."""
+    c = load(spark, sf_dir, "customer")
+    seg_l = F.collate(F.col("c_mktsegment"), "UTF8_LCASE")
+    cap_l = F.collate(F.initcap(F.col("c_mktsegment")), "UTF8_LCASE")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.initcap(F.col("c_mktsegment")) == F.col("c_mktsegment"), 1)
+        .otherwise(0)
+        .alias("eq_binary"),
+        F.when(cap_l == seg_l, 1).otherwise(0).alias("eq_lcase"),
+        F.when(seg_l.startswith(F.collate(F.lit("Bu"), "UTF8_LCASE")), 1)
+        .otherwise(0)
+        .alias("pre_lcase"),
+    )

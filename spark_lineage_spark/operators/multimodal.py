@@ -221,3 +221,61 @@ def llm_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     media = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("blob"))
     return media.mapInPandas(_sample_frames, schema=FRAME_SCHEMA)
+
+
+AUDIO_WINDOW = 64  # fake PCM frame: 64 one-byte samples
+
+
+def _audio_windows(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """STUB decode: real audio would arrive as PCM via ffmpeg; here the
+    blob's utf-8 bytes stand in as uint8 samples. The windowed stats
+    (mean amplitude, RMS) are exact integer sums divided in f64, so the
+    DuckDB oracle reproduces them bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        out = {"doc_id": [], "window_idx": [], "n_samples": [], "mean_amp": [], "rms": []}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            samples = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.int64)
+            for w in range(0, len(samples), AUDIO_WINDOW):
+                win = samples[w : w + AUDIO_WINDOW]
+                out["doc_id"].append(doc_id)
+                out["window_idx"].append(w // AUDIO_WINDOW)
+                out["n_samples"].append(len(win))
+                out["mean_amp"].append(round(float(win.sum()) / len(win), 6))
+                out["rms"].append(round(float(np.sqrt(float((win * win).sum()) / len(win))), 6))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "llm_multimodal_audio_window",
+    "§2.11 audio windowing (stub PCM decode, per-window amplitude stats)",
+    f"""
+    WITH pos AS (
+      SELECT doc_id, unnest(generate_series(1, len(text))) AS p, text
+      FROM documents
+    ),
+    b AS (SELECT doc_id, CAST((p - 1) // {AUDIO_WINDOW} AS INTEGER) AS window_idx,
+                 unicode(substr(text, CAST(p AS INT), 1)) AS amp
+          FROM pos)
+    SELECT doc_id, window_idx,
+           count(*) AS n_samples,
+           round(sum(amp) * 1.0 / count(*), 6) AS mean_amp,
+           round(sqrt(sum(amp * amp) * 1.0 / count(*)), 6) AS rms
+    FROM b GROUP BY doc_id, window_idx
+    """,
+)
+def llm_multimodal_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style windowing over binary media: fixed 64-sample frames
+    per blob, mean amplitude + RMS per frame — the feature shape a
+    voice-activity or loudness filter consumes. One partition-
+    preserving mapInPandas (decode + window stats colocated with the
+    scan, 1→N fan-out, no shuffle); integer sums keep both engines
+    bit-identical before the single rounded division."""
+    d = load(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("blob"))
+    return media.mapInPandas(
+        _audio_windows,
+        schema="doc_id long, window_idx int, n_samples long, mean_amp double, rms double",
+    )

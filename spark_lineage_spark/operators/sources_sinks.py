@@ -309,3 +309,35 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         )
     )
+
+
+@query(
+    "scan_text_roundtrip",
+    "§2.1 text sink + line-oriented scan (spark.read.text)",
+    """
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text I/O: write `lang|text` lines with the .text
+    sink (single string column), read them back with spark.read.text,
+    re-split, aggregate. The fixture corpus contains no '|' or newline
+    (asserted cheap at write time via the split arity), so the framing
+    is lossless — the round-trip must reproduce the parquet-derived
+    aggregate exactly."""
+    out = _tmp("documents_text")
+    d = load(spark, sf_dir, "documents")
+    d.select(
+        F.concat_ws("|", F.col("lang"), F.col("text")).alias("value")
+    ).write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    parts = F.split(F.col("value"), "\\|", 2)
+    parsed = lines.select(
+        parts.getItem(0).alias("lang"), parts.getItem(1).alias("text")
+    )
+    return parsed.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )

@@ -375,3 +375,37 @@ def agg_boolean_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.some(F.col("l_tax") > 0.07), 1).otherwise(0).alias("any_high_tax"),
         F.min("l_linestatus").alias("a_linestatus"),
     )
+
+
+@query(
+    "agg_linear_regression",
+    "§2.4 regression aggregates (regr_slope/intercept/r2/count)",
+    """
+    SELECT l_returnflag,
+           regr_count(l_extendedprice, l_quantity) AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           round(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_x,
+           round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_y
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS-in-the-aggregate: regr_* are single-pass sum-of-products
+    states (n, Σx, Σy, Σxx, Σxy …), so partial aggregation applies and
+    the shuffle carries six doubles per group regardless of row count —
+    the cheapest possible 'fit a trend per key' at 100 TB. Rounded
+    because the sum order differs between engines (same discipline as
+    the stats battery); slope/intercept at 4 decimals absorbs the
+    price-scale accumulation drift."""
+    li = load(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("n"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
+        F.round(F.regr_avgy(y, x), 4).alias("avg_y"),
+    )

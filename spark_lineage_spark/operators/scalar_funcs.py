@@ -603,3 +603,34 @@ def fn_collation_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("pre_lcase"),
     )
+
+
+@query(
+    "fn_try_arithmetic",
+    "§2.8 error-safe arithmetic (try_divide / try_add / try_to_number under ANSI)",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice / nullif(l_discount, 0.0), 4) AS safe_ratio,
+           CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END AS was_div0,
+           l_quantity + l_tax AS plain_add,
+           TRY_CAST(l_returnflag AS INTEGER) AS not_a_number
+    FROM lineitem
+    """,
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI escape hatches: this engine runs with
+    spark.sql.ansi.enabled=true (division by zero is an ERROR, the
+    safer default at scale), so pipelines use try_divide/try_cast where
+    NULL-on-failure is intended. try_divide(x, 0) → NULL maps to
+    DuckDB's nullif-guarded division; try_cast of a non-numeric string
+    → NULL matches TRY_CAST. All scalar expressions — map-only,
+    codegen, no shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.try_divide("l_extendedprice", "l_discount"), 4).alias("safe_ratio"),
+        F.when(F.col("l_discount") == 0.0, 1).otherwise(0).alias("was_div0"),
+        F.try_add("l_quantity", "l_tax").alias("plain_add"),
+        F.try_to_number("l_returnflag", F.lit("999")).cast("int").alias("not_a_number"),
+    )

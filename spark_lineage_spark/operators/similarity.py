@@ -477,3 +477,58 @@ def llm_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "label", F.col("c_label").alias("assigned_label"), "dist2")
     )
+
+
+# Deterministic ±1 projection matrix (4 components × 64 dims), generated
+# once at import with a fixed seed so the Spark plan literals and the
+# DuckDB oracle SQL are built from the same numbers. Rademacher entries
+# scaled by 1/sqrt(k) — the standard sparse Johnson–Lindenstrauss map.
+def _rp_matrix(k: int = 4, dim: int = 64) -> list[list[float]]:
+    import random
+
+    rng = random.Random(20240613)
+    return [[(1.0 if rng.random() < 0.5 else -1.0) / 2.0 for _ in range(dim)] for _ in range(k)]
+
+
+_RP = _rp_matrix()
+
+
+def _rp_oracle() -> str:
+    comps = []
+    for j, row in enumerate(_RP):
+        terms = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE)*({s})" for i, s in enumerate(row)
+        )
+        comps.append(f"round({terms}, 5) AS rp_{j}")
+    return (
+        "SELECT vec_id, label, " + ", ".join(comps) + " FROM embeddings"
+    )
+
+
+@query(
+    "llm_embedding_random_projection",
+    "§2.11 Johnson–Lindenstrauss random projection (64-d → 4-d, plan-literal matrix)",
+    _rp_oracle(),
+)
+def llm_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensionality reduction as a map-only plan: each output
+    component is a dot product against a ±1/√k row baked into the plan
+    as an array literal — no broadcast variable, no Python, no shuffle;
+    whole-stage codegen evaluates the fold inline. This is the cheap
+    pre-step for LSH/clustering at 100 TB: 64→4 doubles per row cuts
+    downstream shuffle bytes ~16× while approximately preserving
+    pairwise distances (JL). zip_with+aggregate folds in index order,
+    so the float→double sums associate identically to the oracle's
+    left-to-right chain — results are bit-stable across engines."""
+    e = load(spark, sf_dir, "embeddings")
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    cols = [F.col("vec_id"), F.col("label")]
+    for j, row in enumerate(_RP):
+        lit_row = F.array(*[F.lit(s) for s in row])
+        comp = F.aggregate(
+            F.zip_with(emb_d, lit_row, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(F.round(comp, 5).alias(f"rp_{j}"))
+    return e.select(*cols)

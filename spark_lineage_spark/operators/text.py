@@ -942,3 +942,57 @@ def llm_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "wa", "wb", F.col("c").alias("pair_count"), F.round(pmi, 6).alias("pmi")
     )
+
+
+@query(
+    "llm_text_zipf_fit",
+    "§2.11 Zipf's-law fit of the token frequency curve (regr_* over log-log ranks)",
+    """
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    freq AS (
+        SELECT token, count(*) AS cnt FROM tok WHERE token <> '' GROUP BY token
+    ),
+    ranked AS (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rnk
+        FROM freq
+    )
+    SELECT count(*) AS n_ranks,
+           round(regr_slope(ln(cnt), ln(rnk)), 6) AS zipf_slope,
+           round(regr_intercept(ln(cnt), ln(rnk)), 6) AS zipf_intercept,
+           round(regr_r2(ln(cnt), ln(rnk)), 6) AS fit_r2
+    FROM ranked WHERE rnk <= 500
+    """,
+)
+def llm_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health check: a natural-language corpus has token
+    frequencies ~ C/rank^s (s near 1); a synthetic or degenerate corpus
+    does not, so the fitted slope is a one-number drift detector for a
+    training-data pipeline. Plan shape at 100 TB: explode+count is a
+    two-phase aggregation (map-side combine absorbs hot tokens), the
+    rank window runs over the distinct-token set only (vocabulary ≪
+    corpus), and the OLS fit is the regr_* sum-of-products state — six
+    doubles, no second pass over the data. Top-500 cap keeps the fit on
+    the Zipfian head where rank ordering is stable — and it is taken
+    with orderBy+limit (TakeOrderedAndProject, per-partition partial
+    top-k) BEFORE the rank window, so the global-order window only ever
+    sees 500 rows; ranking the full vocabulary would funnel every
+    distinct token into one partition."""
+    d = load(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    head = freq.orderBy(F.desc("cnt"), "token").limit(500)
+    w = Window.orderBy(F.desc("cnt"), "token")
+    ranked = head.withColumn("rnk", F.row_number().over(w))
+    x, y = F.log(F.col("rnk")), F.log(F.col("cnt"))
+    return ranked.agg(
+        F.count("*").alias("n_ranks"),
+        F.round(F.regr_slope(y, x), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("fit_r2"),
+    )

@@ -275,3 +275,170 @@ def tpch_q7_style(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
         )
     )
+
+
+@query(
+    "tpch_q14_style_promo_revenue",
+    "§5.2 composed: Q14-shaped promo revenue share (conditional agg over a join)",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def tpch_q14_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 adapted to the fixture (p_type holds the promo flag; the
+    classic uses a LIKE 'PROMO%%' prefix). Shape under test: a global
+    conditional-aggregate ratio over a fact⋈dim join. part broadcasts;
+    the shipdate range predicate is pushed to the lineitem scan so a
+    year of the fact table is all that leaves the files; the ratio is
+    computed in one partial-aggregatable pass (two sums), never as two
+    separate jobs."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q19_style_disjunctive",
+    "§5.2 composed: Q19-shaped OR-of-ANDs predicate over a join",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 10  AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#17' AND p_size BETWEEN 5 AND 25  AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#8'  AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def tpch_q19_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19's signature is the disjunction of conjunctions spanning both
+    join sides. Catalyst extracts the per-side common factors: the part
+    scan gets `p_brand IN (...)` plus the size envelope, the lineitem
+    scan gets the quantity envelope (CNF conversion of the OR) — so
+    both scans prune before the broadcast join, and only the residual
+    OR is evaluated post-join. At 100 TB that per-side extraction is
+    the difference between scanning the fact table and scanning 1%% of
+    it."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 10)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#17") & F.col("p_size").between(5, 25)
+           & F.col("l_quantity").between(10, 35))
+        | ((F.col("p_brand") == "Brand#8") & F.col("p_size").between(10, 40)
+           & F.col("l_quantity").between(20, 50))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q12_style_late_lines",
+    "§5.2 composed: Q12-shaped priority split of late shipments",
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def tpch_q12_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 adapted: the fixture has no l_commitdate/l_receiptdate, so
+    'late' is shipped >60 days after the order date — same shape, a
+    join-predicate comparing columns from both sides (not pushable to
+    either scan) followed by a two-way conditional count. The equi-join
+    on orderkey shuffles both sides; the interval comparison rides the
+    join as a residual condition, never a separate pass."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linestatus", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "tpch_q22_style_idle_customers",
+    "§5.2 composed: Q22-shaped rich-but-idle customers (scalar subquery + anti-join)",
+    """
+    SELECT c_mktsegment,
+           count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def tpch_q22_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 adapted (no c_phone in the fixture; the market segment
+    stands in for the country-code grouping, and 'idle' means no order
+    since 2000 — the fixture's order history covers every customer).
+    Shape under test: an uncorrelated scalar aggregate gating a
+    filter, plus NOT EXISTS decorrelated to a left-anti join. The 1-row average broadcasts as
+    a crossJoin (no driver round-trip, stays one lazy plan — same
+    discipline as the TF-IDF corpus-N fix); the anti-join shuffles on
+    custkey, the natural key. At scale the anti-join's build side is
+    the orders key projection only — one column survives the scan."""
+    c = load(spark, sf_dir, "customer")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -191,3 +191,41 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("c_nationkey", "c_custkey", F.round("c_acctbal", 2).alias("bal"))
     )
+
+
+@query(
+    "win_ignore_nulls",
+    "§2.5 IGNORE NULLS analytics (forward-fill, last non-null, nth non-null)",
+    """
+    SELECT event_id, user_id,
+           round(last_value(click_v IGNORE NULLS) OVER w, 2)   AS ffill_click,
+           round(lag(click_v, 1 IGNORE NULLS) OVER w, 2)       AS prev_click,
+           round(nth_value(click_v, 2 IGNORE NULLS) OVER w, 2) AS second_click
+    FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN event_type = 'click' THEN value END AS click_v
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS is the window-native way to forward-fill a sparse
+    measure (here: the last click value carried across non-click
+    events). One shuffle on user_id, one sort, three analytics off the
+    same frame — the alternative (self-join to the previous non-null
+    row) is a second shuffle plus a range join. Spark exposes
+    ignorenulls through last/nth_value kwargs; lag needs the SQL
+    clause, so it goes through expr() — same plan either way
+    (WindowExec with ignoreNulls=true)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "click_v", F.when(F.col("event_type") == "click", F.col("value"))
+    )
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.last("click_v", ignorenulls=True).over(w), 2).alias("ffill_click"),
+        F.round(F.expr("lag(click_v, 1) IGNORE NULLS").over(w_lag), 2).alias("prev_click"),
+        F.round(F.nth_value("click_v", 2, ignoreNulls=True).over(w), 2).alias("second_click"),
+    )

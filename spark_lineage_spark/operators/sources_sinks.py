@@ -128,6 +128,38 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_table_saveastable",
+    "§2.1 managed-table sink (saveAsTable) + catalog re-read",
+    """
+    SELECT n_regionkey, count(*) AS n_nations,
+           CAST(min(n_nationkey) AS BIGINT) AS min_key
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def sink_table_saveastable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """saveAsTable → metastore-managed parquet table → spark.table()
+    re-read. The catalog round-trip that bucketed/partitioned layouts
+    build on; at scale the managed table carries statistics and layout
+    metadata a path read cannot. Cleans its own name + warehouse
+    location first (per-session metastore, persistent warehouse dir —
+    same idempotency rule as the bucketed tables)."""
+    import hashlib
+
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t = f"sls_nation_tbl_{suffix}"
+    _drop_table_and_location(spark, t)
+    load(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(t)
+    return (
+        spark.table(t)
+        .groupBy("n_regionkey")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.min("n_nationkey").cast("bigint").alias("min_key"),
+        )
+    )
+
+
+@query(
     "catalog_temp_view",
     "§2.1 catalog table read (temp view through SQL)",
     """
@@ -260,6 +292,22 @@ def source_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUCKETED_STAGED: set = set()
 
 
+def _drop_table_and_location(spark: SparkSession, name: str) -> None:
+    """DROP TABLE + remove its warehouse directory. The metastore is
+    per-session (in-memory/Derby) while spark.sql.warehouse.dir
+    persists on disk, so a table written by a dead process is invisible
+    to DROP TABLE yet still blocks CREATE with LOCATION_ALREADY_EXISTS.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path or ""
+    loc = os.path.join(wh, name.lower())
+    if wh and os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 @query(
     "join_bucketed_colocated",
     "§2.1/§2.3 bucketed tables: co-located join with no join-time shuffle",
@@ -281,13 +329,21 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Staging writes once per (session, sf_dir) into the session
     warehouse (saveAsTable — bucket metadata lives in the catalog;
-    path-based parquet writes cannot carry it)."""
+    path-based parquet writes cannot carry it). Table names derive
+    from a deterministic digest of sf_dir so every process reuses the
+    same warehouse locations instead of littering new ones; since the
+    metastore is per-session but the warehouse dir persists, a stale
+    location left by a previous process is removed before re-staging."""
+    import hashlib
+
     app = spark.sparkContext.applicationId
-    suffix = abs(hash((app, sf_dir))) % (10**8)
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     t_orders, t_lineitem = f"sls_b_orders_{suffix}", f"sls_b_lineitem_{suffix}"
     if (app, sf_dir) not in _BUCKETED_STAGED:
         for stale in [k for k in _BUCKETED_STAGED if k[0] != app]:
             _BUCKETED_STAGED.discard(stale)
+        _drop_table_and_location(spark, t_orders)
+        _drop_table_and_location(spark, t_lineitem)
         load(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderpriority"
         ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(

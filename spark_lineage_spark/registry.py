@@ -93,6 +93,54 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "win_running_moving", "win_range_frame", "win_topk_per_group",
     "set_union_all", "set_union_distinct", "set_intersect",
     "set_intersect_all", "set_except", "set_except_all",
+    # round 2/3 verified (CORRECTNESS_r02.json == CORRECTNESS_r03.json)
+    "join_null_safe_eq", "agg_boolean_conditional", "agg_linear_regression",
+    "win_ignore_nulls", "sort_topk", "sort_offset", "sort_nulls_placement",
+    "sort_rank_materialized", "fn_string_battery", "fn_regex_battery",
+    "fn_datetime_battery", "fn_math_battery", "fn_conditional_battery",
+    "fn_hash_portable", "fn_string_spark_native", "fn_hash_spark_native",
+    "fn_array_battery", "fn_array_explode", "fn_map_battery",
+    "fn_json_battery", "fn_rounding_modes", "fn_variant_json",
+    "fn_cast_battery", "fn_bitwise_battery", "fn_url_battery",
+    "fn_struct_battery", "fn_explode_outer_nulls", "fn_collation_battery",
+    "fn_try_arithmetic", "scan_parquet_pushdown", "scan_csv_roundtrip",
+    "scan_json_roundtrip", "scan_orc_roundtrip", "sink_parquet_partitioned",
+    "catalog_temp_view", "source_python_datasource", "source_jdbc_roundtrip",
+    "join_bucketed_colocated", "scan_text_roundtrip", "udf_scalar_python",
+    "udf_pandas_scalar", "udf_pandas_grouped_agg", "udf_grouped_map_normalize",
+    "udf_map_in_pandas", "udf_map_in_arrow", "udtf_split_words",
+    "udf_cogroup_in_pandas", "llm_dedup_exact", "llm_dedup_ngram_jaccard",
+    "llm_dedup_minhash_lsh",
+]
+
+# Among the not-yet-verified queries, run these FIRST (the driver's
+# 50-row budget should land on the highest-value rows): the streaming +
+# sessionize queries just fixed for the timestamp_ntz fixtures, then the
+# TPC-H-style composites and advanced-SQL shapes, then the cheap text
+# family.
+_VERIFY_FIRST = [
+    "stream_tumbling_window", "stream_sliding_window", "stream_session_window",
+    "stream_dedup_watermark", "stream_stream_join", "stream_static_join",
+    "stream_rate_source_window", "stream_stateful_count",
+    "sink_table_saveastable",
+    "ts_sessionize_batch", "ts_gap_fill_spine", "ts_resample_ohlc",
+    "ts_hierarchical_rollup", "win_funnel_ordered", "merge_upsert_latest",
+    "profile_column_stats", "join_skew_salted", "subq_scalar_correlated",
+    "subq_exists_not_in",
+    "tpch_q1_style_full", "tpch_q3_style_shipping_priority",
+    "tpch_q5_style_regional_volume", "tpch_q7_style_nation_volume",
+    "tpch_q10_style_returned_items", "tpch_q12_style_late_lines",
+    "tpch_q14_style_promo_revenue", "tpch_q18_style_large_orders",
+    "tpch_q19_style_disjunctive", "tpch_q22_style_idle_customers",
+]
+
+# ... and run these LAST: rows-only checks (weaker rows) and the
+# slowest dedup variants — they cost the most driver seconds per row.
+_VERIFY_LAST = [
+    "llm_dedup_containment", "llm_decontaminate_benchmark",
+    "llm_dedup_edit_distance", "llm_dedup_clusters",
+    "llm_dedup_simhash", "llm_ann_lsh", "llm_ann_ivf",
+    "lineage_catalog_query", "llm_dedup_minhash_ml",
 ]
 
 
@@ -114,6 +162,12 @@ def load_all() -> dict[str, QuerySpec]:
             if e.name is None or not mod.startswith(e.name):
                 raise
     seen = set(_DRIVER_VERIFIED_ROUNDS_AGO)
-    ordered = {n: s for n, s in QUERIES.items() if n not in seen}
+    first = set(_VERIFY_FIRST)
+    last = set(_VERIFY_LAST)
+    ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
+    ordered.update(
+        {n: s for n, s in QUERIES.items() if n not in seen and n not in first and n not in last}
+    )
+    ordered.update({n: QUERIES[n] for n in _VERIFY_LAST if n in QUERIES})
     ordered.update({n: QUERIES[n] for n in _DRIVER_VERIFIED_ROUNDS_AGO if n in QUERIES})
     return ordered

@@ -53,15 +53,16 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbounded read of the events table (file source).
 
     Schema comes from the batch reader (static inference is not allowed
-    on streams); ts arrives as int64 ns (nanosAsLong) and is converted
-    with the same exact integer division as the batch loader.
+    on streams); ts is normalized to TimestampType by the same central
+    helper as the batch loader (int64-ns fixtures get exact integer
+    division, timestamp_ntz fixtures get a UTC-preserving cast).
     """
+    from spark_lineage_spark.tables import _normalize_ts
+
     path = table_path(sf_dir, "events")
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(_stream_dir(sf_dir))
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return _normalize_ts(stream)
 
 
 def run_to_memory(df: DataFrame, mode: str = "append") -> DataFrame:
@@ -305,3 +306,94 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"), "event_type"
     ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
     return run_to_memory(agg, mode="complete")
+
+
+@query(
+    "stream_stateful_count",
+    "§2.9 custom stateful operator (applyInPandasWithState running totals)",
+    """
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing: per-user running (count, sum)
+    kept in a GroupState and emitted on update — the
+    applyInPandasWithState shape every custom streaming aggregate
+    (sessionizers, anomaly trackers, CDC reconcilers) builds on. State
+    is one tuple per key per state-store partition; at scale the
+    shuffle.partitions knob (sized in run_to_memory) sets store count.
+
+    The staged events dir is a single file, so availableNow runs
+    exactly one micro-batch and update-mode emits one final row per
+    user — equal to the batch GROUP BY oracle.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def running(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    ev = events_stream(spark, sf_dir).select("user_id", "value")
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        running,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(out, mode="update")
+
+
+@query(
+    "stream_rate_source_window",
+    "§2.1/§2.9 rate source → tumbling window agg over derived event time",
+    """
+    SELECT 1600000000 + (range // 100) * 100 AS window_start_epoch,
+           count(*) AS n,
+           CAST(sum(range) AS BIGINT) AS value_sum
+    FROM range(0, 1000)
+    GROUP BY 1
+    """,
+)
+def stream_rate_source_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The built-in ``rate-micro-batch`` source (SURVEY §2.1's second
+    streaming source): a synthetic (timestamp, value) generator — the
+    standard load-generator for sizing stateful pipelines before real
+    data lands. ``value`` is a deterministic 0..rowsPerBatch-1
+    sequence, so deriving event time as epoch+value seconds makes the
+    whole windowed aggregation reproducible and oracle-checkable
+    (DuckDB range()) — unlike the wall-clock ``rate`` variant.
+
+    availableNow terminates after the generator's available offsets,
+    so the run is finite; watermark bounds window state exactly as it
+    would on an unbounded run.
+    """
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", "1000")
+        .option("startTimestamp", "1600000000000")
+        .load()
+    )
+    evented = stream.withColumn(
+        "ts", F.timestamp_seconds(F.lit(1_600_000_000) + F.col("value"))
+    )
+    agg = (
+        evented.withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "100 seconds"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("value_sum"))
+    )
+    out = run_to_memory(agg, mode="complete")
+    return out.select(
+        F.unix_seconds(F.col("window.start")).alias("window_start_epoch"),
+        "n",
+        "value_sum",
+    )

@@ -36,20 +36,33 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     comes free from Catalyst as long as downstream code stays
     declarative (SURVEY.md §4).
 
-    events.ts is TIMESTAMP(NANOS) parquet — Spark 4 has no ns timestamp
-    type, so it is read as raw int64 ns (legacy.parquet.nanosAsLong) and
-    floor-converted to µs TimestampType here. The DuckDB oracle must
-    date_trunc('microseconds', ts) to align (tools/check_oracle, tests).
+    events.ts must come out as TimestampType (LTZ) whatever the fixture
+    generation produced — the fixtures have shipped as TIMESTAMP(NANOS)
+    (read as raw int64 ns under legacy.parquet.nanosAsLong) and as
+    timestamp[us] (read as TIMESTAMP_NTZ). Watermarks and unix_micros
+    require LTZ; the session tz is pinned UTC (session.py) so the
+    NTZ→LTZ cast preserves the wall clock and the DuckDB oracle hash.
+    The oracle must date_trunc('microseconds', ts) to align when the
+    fixture is nanos (tools/check_oracle, tests).
     """
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        df = _normalize_ts(df)
+    return df
 
-        if isinstance(df.schema["ts"].dataType, LongType):
-            # integer division — ts/1000 via double would lose precision
-            # (1.7e18 ns exceeds the 2^53 exact-integer range)
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the event-time column to TimestampType (LTZ)."""
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        # int64 nanoseconds: integer division — ts/1000 via double would
+        # lose precision (1.7e18 ns exceeds the 2^53 exact-integer range)
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif dtype == "timestamp_ntz":
+        # session tz is UTC ⇒ same wall clock, same micros since epoch
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

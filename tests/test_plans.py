@@ -112,32 +112,38 @@ def test_no_collect_in_operator_modules():
 def test_bucketed_join_eliminates_shuffle(spark):
     """Bucketing (SURVEY §4 partitioning row): two tables bucketed on
     the join key co-locate — the join plans with NO Exchange on either
-    side (the at-scale pattern for repeated joins on one key)."""
-    spark.sql("DROP TABLE IF EXISTS sls_orders_b")
-    spark.sql("DROP TABLE IF EXISTS sls_lineitem_b")
-    o = load(spark, SF, "orders").select("o_orderkey", "o_totalprice")
-    li = load(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
-    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
-        "sls_orders_b"
-    )
-    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(
-        "sls_lineitem_b"
-    )
-    joined = spark.table("sls_lineitem_b").join(
-        spark.table("sls_orders_b"),
-        F.col("l_orderkey") == F.col("o_orderkey"),
-    )
-    # disable auto-broadcast so the test can't pass via BHJ
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    side (the at-scale pattern for repeated joins on one key).
+
+    Names + warehouse locations are cleaned before AND after: the
+    metastore is per-session but /tmp/sls_warehouse persists, so a
+    table left by a dead session is invisible to DROP TABLE yet blocks
+    CREATE with LOCATION_ALREADY_EXISTS."""
+    from spark_lineage_spark.operators.sources_sinks import _drop_table_and_location
+
+    t_o, t_li = "sls_test_orders_b", "sls_test_lineitem_b"
+    _drop_table_and_location(spark, t_o)
+    _drop_table_and_location(spark, t_li)
     try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        p = plan_str(joined)
+        o = load(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+        li = load(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+        o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(t_o)
+        li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(t_li)
+        joined = spark.table(t_li).join(
+            spark.table(t_o),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        # disable auto-broadcast so the test can't pass via BHJ
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            p = plan_str(joined)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "SortMergeJoin" in p
+        assert not re.search(r"^\(\d+\) Exchange", p, re.M), p
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    assert "SortMergeJoin" in p
-    assert not re.search(r"^\(\d+\) Exchange", p, re.M), p
-    spark.sql("DROP TABLE IF EXISTS sls_orders_b")
-    spark.sql("DROP TABLE IF EXISTS sls_lineitem_b")
+        _drop_table_and_location(spark, t_o)
+        _drop_table_and_location(spark, t_li)
 
 
 def test_salted_agg_splits_hot_keys(spark):

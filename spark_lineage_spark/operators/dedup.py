@@ -316,8 +316,13 @@ def llm_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that 8x explode dominates runtime (measured 160s -> 10s at sf0.1
     # from this projection alone). Same rows out — the join only needs
     # the vector column and the key we keep.
-    feat = tf.transform(sh).select("doc_id", "features")
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    # localCheckpoint: the vectorization (shingle explode + TF hash) is
+    # otherwise re-executed three times — lsh.fit, datasetA, datasetB.
+    feat = tf.transform(sh).select("doc_id", "features").localCheckpoint()
+    # 5 OR-amplified tables: a true pair at jaccard 0.8 is still a
+    # candidate with p = 1-(1-0.8)^5 ≈ 0.99968 (real dups sit higher),
+    # and the join explodes 3 fewer copies of every row than 8 tables.
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
     model = lsh.fit(feat)
     joined = model.approxSimilarityJoin(feat, feat, threshold=0.2, distCol="jaccard_dist")
     return (

@@ -442,3 +442,558 @@ def tpch_q22_style(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "tpch_q6_style_forecast_revenue",
+    "§5.2 composed: Q6-shaped forecasting revenue (single-scan filter agg)",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.08
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pushdown benchmark: every predicate is scan-pushable and the
+    projection is two columns — at 100 TB the parquet reader should do
+    nearly all the work (PushedFilters + pruned ReadSchema asserted for
+    this shape in tests/test_plans.py)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & F.col("l_discount").between(0.04, 0.08)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@query(
+    "tpch_q4_style_priority_check",
+    "§5.2 composed: Q4-shaped order priority check (correlated EXISTS -> semi join)",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with a non-equi conjunct (late-shipping line),
+    written directly as a left-semi join — the decorrelation Catalyst
+    would produce. 'Late' = shipped >90 days after the order date
+    (the fixture has no commit/receipt dates). Semi join shuffles both
+    sides on orderkey once; the aggregate is a cheap 5-group rollup."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "tpch_q13_style_order_counts",
+    "§5.2 composed: Q13-shaped customer order-count distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) t
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with a join-time filter (the filter belongs in
+    the ON clause — pushing it to WHERE would drop customers with only
+    urgent orders instead of counting them at 0), then a two-level
+    aggregation. count(o_orderkey) counts matched rows only; the outer
+    histogram groups the per-customer counts."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "tpch_q15_style_top_supplier",
+    "§5.2 composed: Q15-shaped top supplier (view + scalar-max subquery)",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The revenue 'view' is built once and reused for both the rows
+    and the scalar max — localCheckpoint materializes it so the two
+    plan branches don't recompute the scan+agg; the 1-row max rides a
+    broadcast crossJoin (no driver round-trip). Comparison happens on
+    the ROUNDED revenue so Spark and the oracle agree bit-for-bit."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")),
+                2,
+            )
+            .cast("double")
+            .alias("total_revenue")
+        )
+        .localCheckpoint()
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "tpch_q17_style_small_qty_revenue",
+    "§5.2 composed: Q17-shaped small-quantity revenue (correlated scalar avg)",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))) / 7.0, 2) AS DOUBLE) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#4' AND p_size < 10
+      AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def tpch_q17_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar average decorrelated by hand: per-part avg
+    quantity computed once (only for parts that survive the brand/size
+    filter — the semi join prunes the aggregation input before the
+    shuffle), broadcast back, then the threshold filter. Quantities
+    are integers in doubles, so sum/count is bit-identical across
+    engines and the < comparison cannot straddle rounding."""
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#4") & (F.col("p_size") < 10)
+    ).select("p_partkey")
+    li = load(spark, sf_dir, "lineitem")
+    li_p = li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+    avg_q = (
+        li_p.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.5).alias("half_avg_qty"))
+    )
+    return (
+        li_p.join(F.broadcast(avg_q), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")) / 7.0, 2)
+            .cast("double")
+            .alias("avg_yearly"),
+        )
+    )
+
+
+@query(
+    "tpch_q2_style_min_cost_supplier",
+    "§5.2 composed: Q2-shaped minimum-cost supplier (correlated min subquery)",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eur AS (
+      SELECT l_partkey, l_suppkey, unit_cost, s_acctbal, s_name, n_name
+      FROM cost
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE')
+    SELECT round(s_acctbal, 2) AS acctbal, s_name, n_name, p_partkey, p_type, unit_cost
+    FROM part JOIN eur ON p_partkey = l_partkey
+    WHERE p_size = 20
+      AND unit_cost = (SELECT min(e2.unit_cost) FROM eur e2 WHERE e2.l_partkey = p_partkey)
+    ORDER BY acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 10
+    """,
+)
+def tpch_q2_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 adapted (no partsupp table): unit supply cost is derived as
+    min(l_extendedprice / l_quantity) per (part, supplier). The
+    correlated 'cheapest EUROPE supplier for this part' subquery is
+    decorrelated to a per-part min + equality join on the ROUNDED cost
+    (both engines compare identical rounded doubles). Dim chain
+    (supplier→nation→region) broadcasts; the cost agg shuffles once on
+    (partkey, suppkey) — the same layout the min-per-part reuses."""
+    li = load(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("unit_cost")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))
+    eur = (
+        cost.join(F.broadcast(s), cost.l_suppkey == s.s_suppkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("l_partkey", "l_suppkey", "unit_cost", "s_acctbal", "s_name", "n_name")
+        .localCheckpoint()  # feeds both the rows and the per-part min
+    )
+    min_cost = eur.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") == 20).select(
+        "p_partkey", "p_type"
+    )
+    return (
+        p.join(eur, p.p_partkey == eur.l_partkey)
+        .join(
+            F.broadcast(min_cost),
+            (F.col("p_partkey") == F.col("mc_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .select(
+            F.round("s_acctbal", 2).alias("acctbal"),
+            "s_name", "n_name", "p_partkey", "p_type", "unit_cost",
+        )
+        .orderBy(F.desc("acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q8_style_market_share",
+    "§5.2 composed: Q8-shaped national market share (8-way join + conditional agg)",
+    """
+    WITH vol AS (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+)
+def tpch_q8_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market share of NATION_7's suppliers in AMERICA's PROMO-part
+    trade: the widest dim fan in the suite (nation joined twice under
+    different roles). Fact chain (lineitem⋈orders) shuffles on the
+    orderkey; every dimension — including the 100-row supplier and the
+    filtered part side — broadcasts, so the share is one shuffle plus
+    map-side lookups. The conditional numerator stays in the same
+    aggregate pass as the denominator (no second scan)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    vol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(0.0))
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "tpch_q9_style_product_profit",
+    "§5.2 composed: Q9-shaped product-type profit by nation and year",
+    """
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               - 0.6 * p_retailprice * l_quantity
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit per supplier-nation per year on '%gear%' parts. Supply
+    cost is proxied as 60% of retail price (no partsupp in the
+    fixture). The LIKE filter prunes part FIRST and the filtered part
+    dim broadcasts into the fact scan — the big join (lineitem⋈orders)
+    is the only shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            # decimal(18,4) summand: addition is exact, so the group
+            # total is independent of partitioning/order and agrees
+            # with the oracle bit-for-bit (a double sum of ~1e5-row
+            # groups differs across engines in the last ulp, which
+            # flips the cent-rounding — seen in driver-sim)
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+                    ).cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("profit")
+        )
+    )
+
+
+@query(
+    "tpch_q11_style_important_parts",
+    "§5.2 composed: Q11-shaped important parts (HAVING vs global scalar subquery)",
+    """
+    WITH val AS (
+      SELECT l_partkey, sum(l_quantity * p_retailprice) AS value
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      WHERE s_nationkey < 5
+      GROUP BY l_partkey)
+    SELECT l_partkey AS partkey, round(value, 2) AS part_value
+    FROM val
+    WHERE value > (SELECT sum(value) * 0.001 FROM val)
+    """,
+)
+def tpch_q11_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose traded value (from nations 0-4's suppliers) exceeds
+    0.1% of the total — the HAVING-against-global-aggregate shape. The
+    per-part value is materialized once (localCheckpoint) and feeds
+    both the rows and the 1-row total; the total rides a broadcast
+    crossJoin so the gate is evaluated map-side with no driver
+    round-trip and no second scan of the fact table."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5).select("s_suppkey")
+    val = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "left_semi")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_quantity") * F.col("p_retailprice")).alias("value"))
+        .localCheckpoint()
+    )
+    total = val.agg((F.sum("value") * 0.001).alias("threshold"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select(F.col("l_partkey").alias("partkey"), F.round("value", 2).alias("part_value"))
+    )
+
+
+@query(
+    "tpch_q16_style_supplier_counts",
+    "§5.2 composed: Q16-shaped supplier counts (NOT IN subquery + count distinct)",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#4'
+      AND p_type NOT IN ('PROMO', 'ECONOMY')
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Who can supply the wanted part shapes, excluding suppliers in
+    the red: the NOT IN subquery decorrelates to a left-anti join
+    (safe here — s_suppkey is non-null by construction; a nullable
+    column would need the null-aware variant, cf. subq_exists_not_in).
+    The part filters broadcast; count(DISTINCT) shuffles on the group
+    keys with a partial distinct map-side."""
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#4")
+        & (~F.col("p_type").isin("PROMO", "ECONOMY"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20_style_part_shippers",
+    "§5.2 composed: Q20-shaped qualified shippers (nested IN subqueries + HAVING)",
+    """
+    SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) > 50)
+      AND s_nationkey < 13
+    """,
+)
+def tpch_q20_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers (from nations 0-12) who shipped more than 50 units of
+    red parts in 1997 — Q20's nested IN chain. Inner-to-outer: the
+    part IN prunes the lineitem scan via a broadcast semi join, the
+    HAVING aggregates on suppkey, and the outer IN is one more semi
+    join against the 100-row supplier dim. No distinct is ever needed:
+    semi joins dedupe for free."""
+    red = load(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    qualified = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 13)
+    return (
+        s.join(F.broadcast(qualified), s.s_suppkey == qualified.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
+    )
+
+
+@query(
+    "tpch_q21_style_waiting_suppliers",
+    "§5.2 composed: Q21-shaped blame analysis (EXISTS + NOT EXISTS on the same rel)",
+    """
+    WITH l1 AS (
+      SELECT l_orderkey, l_suppkey, l_shipdate
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F')
+    SELECT s_name, count(*) AS numwait
+    FROM l1 JOIN supplier ON s_suppkey = l_suppkey
+    WHERE EXISTS (SELECT 1 FROM l1 l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l1 l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def tpch_q21_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which supplier shipped LAST in multi-supplier finished orders:
+    EXISTS (another supplier in the order) as a left-semi join and
+    NOT EXISTS (anyone later) as a left-anti join — both against the
+    same materialized slice (localCheckpoint: three plan branches, one
+    scan+join). Both joins shuffle on orderkey — the layout carries
+    from the semi straight into the anti. Ties (two suppliers sharing
+    the max shipdate) blame both, identically in both engines."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    l1 = li.join(o, li.l_orderkey == o.o_orderkey, "left_semi").localCheckpoint()
+    l2 = l1.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    )
+    l3 = l1.select(
+        F.col("l_orderkey").alias("y_orderkey"),
+        F.col("l_suppkey").alias("y_suppkey"),
+        F.col("l_shipdate").alias("y_shipdate"),
+    )
+    waiting = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("y_orderkey"))
+        & (F.col("l_suppkey") != F.col("y_suppkey"))
+        & (F.col("y_shipdate") > F.col("l_shipdate")),
+        "left_anti",
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )

@@ -132,6 +132,12 @@ _VERIFY_FIRST = [
     "tpch_q10_style_returned_items", "tpch_q12_style_late_lines",
     "tpch_q14_style_promo_revenue", "tpch_q18_style_large_orders",
     "tpch_q19_style_disjunctive", "tpch_q22_style_idle_customers",
+    "tpch_q2_style_min_cost_supplier", "tpch_q4_style_priority_check",
+    "tpch_q6_style_forecast_revenue", "tpch_q8_style_market_share",
+    "tpch_q9_style_product_profit", "tpch_q11_style_important_parts",
+    "tpch_q13_style_order_counts", "tpch_q15_style_top_supplier",
+    "tpch_q16_style_supplier_counts", "tpch_q17_style_small_qty_revenue",
+    "tpch_q20_style_part_shippers", "tpch_q21_style_waiting_suppliers",
 ]
 
 # ... and run these LAST: rows-only checks (weaker rows) and the

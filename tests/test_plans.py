@@ -308,3 +308,39 @@ def test_bucketed_join_has_no_exchange(spark):
     # one. The join's input subtrees are exchange-free because the
     # bucket layout already satisfies the distribution requirement.
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_tpch_q6_full_pushdown(spark):
+    """Q6-shape: every predicate reaches the parquet scan and the
+    ReadSchema carries only the surviving columns — at 100 TB this
+    query is row-group skipping, not compute."""
+    from spark_lineage_spark.operators.tpch_style import tpch_q6_style
+
+    p = plan_str(tpch_q6_style(spark, SF))
+    assert "PushedFilters:" in p
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m and "l_shipdate" in m.group(1) and "l_quantity" in m.group(1), p
+    m = re.search(r"ReadSchema:[^\n]*", p)
+    assert m and "l_extendedprice" in m.group(0)
+    assert "l_returnflag" not in m.group(0), "column pruning failed: " + m.group(0)
+
+
+def test_tpch_q8_dims_broadcast(spark):
+    """Q8-shape: the fact chain shuffles once (lineitem⋈orders); every
+    dimension joins as a broadcast — no dim-side exchange."""
+    from spark_lineage_spark.operators.tpch_style import tpch_q8_style
+
+    p = plan_str(tpch_q8_style(spark, SF))
+    assert p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 5, p
+    # exactly one shuffle pair for the fact join + one for the final agg
+    assert p.count("Exchange hashpartitioning") <= 4, p
+
+
+def test_tpch_q21_no_cartesian(spark):
+    """Q21-shape: EXISTS/NOT EXISTS compile to semi/anti joins on the
+    orderkey — never a nested-loop over the fact table."""
+    from spark_lineage_spark.operators.tpch_style import tpch_q21_style
+
+    p = plan_str(tpch_q21_style(spark, SF))
+    assert "CartesianProduct" not in p, p
+    assert "LeftSemi" in p and "LeftAnti" in p, p

@@ -996,3 +996,49 @@ def llm_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(y, x), 6).alias("zipf_intercept"),
         F.round(F.regr_r2(y, x), 6).alias("fit_r2"),
     )
+
+
+@query(
+    "llm_bpe_pair_counts",
+    "§2.11 tokenizer induction: BPE first-iteration pair frequencies",
+    """
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INT), 2) AS pair
+      FROM words, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+      WHERE len(w) >= 2)
+    SELECT pair, count(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 50
+    """,
+)
+def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting pass a BPE tokenizer trainer runs each merge
+    iteration, here over raw characters (iteration zero): adjacent
+    symbol-pair frequencies across the corpus. All JVM-side —
+    split → explode words → sequence+transform generates the pair list
+    without Python — and the count is a plain partial-agg'd groupBy,
+    so at 100 TB this is one shuffle of (pair, partial count) pairs,
+    exactly how distributed BPE trainers scale the count step. The
+    top-k is orderBy+limit (TakeOrderedAndProject, no global sort).
+
+    Full BPE training iterates merge → re-count; each iteration is
+    this same shape, so the one-pass query stands in for the family.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split(F.col("text"), " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(50)
+    )

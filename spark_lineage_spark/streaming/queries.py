@@ -397,3 +397,48 @@ def stream_rate_source_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "value_sum",
     )
+
+
+@query(
+    "stream_foreach_batch_sink",
+    "§2.9 foreachBatch sink (exactly-once escape hatch) + re-read",
+    """
+    SELECT event_type, count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch: each micro-batch lands through arbitrary batch
+    code — here an idempotent parquet write keyed by epoch, the
+    pattern every exactly-once custom sink (JDBC upsert, merge table)
+    builds on. The staged events dir is one file ⇒ one epoch, so the
+    re-read equals the batch aggregate. Aggregation happens INSIDE the
+    batch function on the micro-batch DataFrame (no streaming state);
+    the epoch directory is overwritten on replay — that idempotence,
+    plus the checkpoint, is the exactly-once contract."""
+    out = os.path.join(tempfile.mkdtemp(prefix="sls_fb_"), "out")
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+            .write.mode("overwrite")
+            .parquet(f"{out}/epoch={epoch_id}")
+        )
+
+    ev = events_stream(spark, sf_dir).select("event_type", "value")
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="sls_ckpt_"), "ckpt")
+    q = (
+        ev.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(os.path.dirname(ckpt), ignore_errors=True)
+    back = spark.read.parquet(f"{out}/epoch=0")
+    # detach from the temp dir so it can be reclaimed
+    result = back.localCheckpoint()
+    shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    return result.select("event_type", "n", "total_value")

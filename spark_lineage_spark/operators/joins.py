@@ -420,3 +420,126 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("s_suppkey").alias("n_supp"),
         )
     )
+
+
+@query(
+    "join_runtime_bloom_filter",
+    "§2.3/§4 runtime bloom-filter pruning of the probe-side scan",
+    """
+    SELECT l_returnflag, count(*) AS n_lines,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+)
+def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime filtering: the selective dimension filter
+    (o_orderpriority = URGENT keeps ~20%) is turned into a bloom
+    filter that Catalyst injects into the LINEITEM scan — probe rows
+    that cannot join are dropped before the shuffle, which at 100 TB
+    is the difference between shuffling the whole fact table and ~a
+    fifth of it. The application-side size threshold (10 GB default —
+    sized so small scans skip the overhead) is lowered here so the
+    mechanism is exercised and asserted at fixture scale
+    (tests/test_plans.py::test_runtime_bloom_filter_in_plan); on a
+    real cluster the defaults trigger it exactly when it pays.
+
+    The aggregate is materialized inside the conf window
+    (localCheckpoint) — plans optimize lazily, so returning an
+    unexecuted DataFrame would re-plan after the confs are restored.
+    """
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # broadcast would prune for free
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_quantity"
+        )
+        out = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n_lines"),
+                F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out
+
+
+@query(
+    "join_dynamic_partition_pruning",
+    "§2.3/§4 dynamic partition pruning of a partitioned fact scan",
+    """
+    SELECT year(o_orderdate) AS o_year, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE year(o_orderdate) IN (
+      SELECT DISTINCT year(o_orderdate) FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+        AND o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01')
+    GROUP BY 1
+    """,
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPP: the fact copy is laid out partitioned by order YEAR; the
+    dimension side is filtered on OTHER columns (priority + a date
+    band), so the surviving years are only known at runtime — Catalyst
+    injects `dynamicpruningexpression` into the fact scan's
+    PartitionFilters (asserted in tests/test_plans.py) and reads one
+    of seven year directories. At 100 TB this is the
+    date-partitioned-fact ⋈ filtered-dim-table pattern: no manual
+    predicate copying, the dim filter prunes the fact I/O by itself.
+    (The dim filter must NOT be on the join column — a filter there is
+    pushed through the join statically and no runtime pruning is
+    needed; that variant is sink_parquet_partitioned.)"""
+    import os as _os
+
+    out = _tmp_dpp(sf_dir)
+    if not _os.path.exists(out):
+        load(spark, sf_dir, "orders").withColumn(
+            "o_year", F.year("o_orderdate")
+        ).write.mode("overwrite").partitionBy("o_year").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .select(F.year("o_orderdate").alias("d_year"))
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.o_year == dim.d_year)
+        .groupBy("o_year")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+def _tmp_dpp(sf_dir: str) -> str:
+    import hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return _os.path.join(
+        _tempfile.gettempdir(), f"sls_dpp_{_os.getpid()}_{key}", "orders_by_year"
+    )

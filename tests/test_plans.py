@@ -344,3 +344,42 @@ def test_tpch_q21_no_cartesian(spark):
     p = plan_str(tpch_q21_style(spark, SF))
     assert "CartesianProduct" not in p, p
     assert "LeftSemi" in p and "LeftAnti" in p, p
+
+
+def test_runtime_bloom_filter_in_plan(spark):
+    """The bloom-filter query must actually inject might_contain into
+    the probe-side scan under its conf window (the mechanism that
+    pre-filters the fact shuffle at scale)."""
+    from spark_lineage_spark.operators.joins import join_runtime_bloom_filter
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = load(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        li = load(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+        j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).groupBy().count()
+        p = j._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    assert "might_contain" in p or "bloom_filter" in p, p[:3000]
+    # and the registered query itself returns the oracle-checked result
+    assert join_runtime_bloom_filter(spark, SF).count() == 3
+
+
+def test_dynamic_partition_pruning_in_plan(spark):
+    """DPP: the year-partitioned fact scan must carry a
+    dynamicpruningexpression PartitionFilter (runtime dir pruning)."""
+    from spark_lineage_spark.operators.joins import join_dynamic_partition_pruning
+
+    df = join_dynamic_partition_pruning(spark, SF)
+    p = plan_str(df)
+    assert "dynamicpruning" in p.lower(), p[:3000]

@@ -264,3 +264,44 @@ def udf_cogroup_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             merge, schema="user_id long, n_events long, total_value double, n_orders long"
         )
     )
+
+
+@query(
+    "udf_apply_in_arrow",
+    "§2.10 grouped applyInArrow (Arrow-native grouped map, no pandas)",
+    """
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(c_acctbal), 2) AS total_bal,
+           round(max(c_acctbal) - min(c_acctbal), 2) AS bal_range
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's Arrow-native grouped map: the UDF receives each group
+    as a pyarrow.Table and returns one — no pandas materialization at
+    all, which for wide or binary-heavy groups skips a full
+    Arrow→pandas→Arrow copy relative to applyInPandas (the reason this
+    API exists). Group computation uses pyarrow.compute kernels
+    (vectorized C++), so the Python layer is just dispatch. Same
+    shuffle shape as every grouped map: one exchange on the key."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def summarize(table: pa.Table) -> pa.Table:
+        bal = table.column("c_acctbal")
+        total = pc.sum(bal).as_py() or 0.0
+        mx, mn = pc.max(bal).as_py(), pc.min(bal).as_py()
+        return pa.table(
+            {
+                "segment": [table.column("c_mktsegment")[0].as_py()],
+                "n": pa.array([table.num_rows], type=pa.int64()),
+                "total_bal": [round(total, 2)],
+                "bal_range": [round(mx - mn, 2)],
+            }
+        )
+
+    c = load(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+    return c.groupBy("c_mktsegment").applyInArrow(
+        summarize, schema="segment string, n long, total_bal double, bal_range double"
+    )

@@ -442,3 +442,64 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = back.localCheckpoint()
     shutil.rmtree(os.path.dirname(out), ignore_errors=True)
     return result.select("event_type", "n", "total_value")
+
+
+@query(
+    "source_python_stream",
+    "§2.1/§2.9 Spark-4 Python STREAMING data source (SimpleDataSourceStreamReader)",
+    """
+    SELECT CAST(i % 5 AS BIGINT) AS bucket, count(*) AS n,
+           CAST(sum(i) AS BIGINT) AS total
+    FROM (SELECT unnest(generate_series(0, 1999)) AS i)
+    GROUP BY 1
+    """,
+)
+def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING source in pure Python (pyspark.sql.datasource
+    SimpleDataSourceStreamReader): offset-tracked micro-batches — the
+    escape hatch for queues/APIs with no built-in connector. The
+    reader hands out a deterministic integer range and then reports
+    no new data; availableNow drains exactly what was available at
+    trigger time (one prefetched batch for a simple reader — hence one
+    full-range batch here), so the aggregate equals the DuckDB range
+    oracle. Offsets make it replayable: restart from the checkpoint
+    re-reads from the recorded offset (exactly-once with an
+    idempotent sink). The simple-reader API is driver-side prefetch —
+    right for low-volume control streams; a partitioned
+    DataSourceStreamReader is the high-volume form."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    N, STEP = 2000, 2000  # availableNow drains ONE prefetched batch
+
+    class CounterReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            pos = start["pos"]
+            end = min(pos + STEP, N)
+            return iter([(i,) for i in range(pos, end)]), {"pos": end}
+
+        def readBetweenOffsets(self, start, end):
+            return iter([(i,) for i in range(start["pos"], end["pos"])])
+
+    class CounterSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "sls_synth_counter_stream"
+
+        def schema(self):
+            return "i bigint"
+
+        def simpleStreamReader(self, schema):
+            return CounterReader()
+
+    try:
+        spark.dataSource.register(CounterSource)
+    except Exception:
+        pass  # already registered in this session
+    stream = spark.readStream.format("sls_synth_counter_stream").load()
+    agg = stream.groupBy((F.col("i") % 5).alias("bucket")).agg(
+        F.count("*").alias("n"), F.sum("i").alias("total")
+    )
+    return run_to_memory(agg, mode="complete")

@@ -493,3 +493,46 @@ def win_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_full_funnel"),
     )
+
+
+_RECURSIVE_CTE_SQL = """
+WITH RECURSIVE chain AS (
+  SELECT s_suppkey, CAST(0 AS BIGINT) AS depth,
+         round(s_acctbal, 2) AS path_bal
+  FROM supplier WHERE s_suppkey = 0
+  UNION ALL
+  SELECT s.s_suppkey, c.depth + 1,
+         round(c.path_bal + s.s_acctbal, 2) AS path_bal
+  FROM supplier s JOIN chain c
+    ON s.s_suppkey = 2 * c.s_suppkey + 1 OR s.s_suppkey = 2 * c.s_suppkey + 2
+)
+SELECT depth, count(*) AS n_nodes,
+       round(sum(path_bal), 2) AS total_path_bal
+FROM chain GROUP BY depth
+"""
+
+
+@query(
+    "subq_recursive_cte",
+    "§2 advanced SQL: WITH RECURSIVE hierarchy walk (Spark 4 recursive CTE)",
+    _RECURSIVE_CTE_SQL,
+)
+def subq_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new in Spark 4): walk a hierarchy encoded over
+    the supplier table (node k's children are 2k+1 / 2k+2 — a
+    deterministic org-tree stand-in), accumulating root-to-node
+    balance along the path. Each recursion step is one join of the
+    last iteration's frontier against the base table — the engine
+    iterates to fixpoint exactly like DuckDB, so the oracle is the
+    IDENTICAL SQL text. Path sums are rounded per step (both engines
+    add in the same recursion order — a path is a sequential chain, so
+    unlike group aggregates there is no order nondeterminism to
+    round away; the rounding just pins the display).
+
+    At scale: recursion depth bounds the iteration count (log n for a
+    balanced hierarchy); each step shuffles only the FRONTIER, not the
+    closure so far — the same pattern as llm_dedup_clusters'
+    hand-rolled min-label fixpoint, now expressible in one SQL string.
+    """
+    register_views(spark, sf_dir, ["supplier"])
+    return spark.sql(_RECURSIVE_CTE_SQL)

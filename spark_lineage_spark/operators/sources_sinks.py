@@ -397,3 +397,101 @@ def scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
     )
+
+
+@query(
+    "scan_parquet_schema_evolution",
+    "§2.1 parquet schema evolution (mergeSchema across batch layouts)",
+    """
+    WITH b1 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+         b2 AS (SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 1)
+    SELECT count(*) AS n_rows,
+           CAST(count(o_totalprice) AS BIGINT) AS n_with_price,
+           CAST(count(o_orderstatus) AS BIGINT) AS n_with_status,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM (SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus FROM b1
+          UNION ALL
+          SELECT o_orderkey, NULL, o_orderstatus FROM b2) t
+    """,
+)
+def scan_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution: two ingest batches land with DIFFERENT column
+    sets (the real-world drift every long-lived dataset suffers);
+    ``mergeSchema`` reads the union schema with nulls where a batch
+    lacks a column. At 100 TB the merge is footer-metadata work only —
+    no data rewrite — which is exactly why parquet data lakes tolerate
+    additive drift. Batches split deterministically by key parity so
+    the oracle can reconstruct both layouts."""
+    out = _tmp("orders_evolve")
+    o = load(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "batch=1"))
+    o.filter(F.col("o_orderkey") % 2 == 1).select("o_orderkey", "o_orderstatus").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "batch=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "batch=1"), os.path.join(out, "batch=2")
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_totalprice").alias("n_with_price"),
+        F.count("o_orderstatus").alias("n_with_status"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "scan_csv_corrupt_records",
+    "§2.1 csv malformed-row handling (PERMISSIVE + corrupt-record column)",
+    """
+    SELECT count(*) AS n_rows,
+           CAST(count(CASE WHEN ok THEN 1 END) AS BIGINT) AS n_valid,
+           CAST(count(CASE WHEN NOT ok THEN 1 END) AS BIGINT) AS n_corrupt,
+           CAST(sum(CASE WHEN ok THEN n_nationkey END) AS BIGINT) AS key_sum
+    FROM (SELECT n_nationkey, true AS ok FROM nation
+          UNION ALL SELECT NULL, false FROM range(3)) t
+    """,
+)
+def scan_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest resilience: a CSV feed carrying 3 garbage lines among
+    the valid rows. PERMISSIVE mode (the at-scale default: never fail
+    a 100 TB load for one bad line) parses what it can and routes the
+    raw text of unparseable lines to ``_corrupt_record`` for
+    quarantine. The query counts valid vs corrupt and checksums a
+    parsed column — proving bad lines neither vanish silently nor
+    poison parsed values. (DROPMALFORMED/FAILFAST are the same reader
+    one option away; the quarantine column only exists under
+    PERMISSIVE.)"""
+    out = _tmp("nation_corrupt") + ".csv"
+    n = load(spark, sf_dir, "nation")
+    lines = n.select(
+        F.concat_ws(",", "n_nationkey", "n_name", "n_regionkey").alias("value")
+    )
+    # malformations are plain cast failures — quote/column-count edge
+    # cases parse differently depending on neighboring lines (univocity
+    # quirks), which would make the oracle fragile
+    bad = spark.createDataFrame(
+        [("not-a-number,BAD,0",), ("totally-unparseable",), ("9999,UNTERMINATED,notanint",)],
+        "value string",
+    )
+    lines.unionAll(bad).coalesce(1).write.mode("overwrite").text(out)
+    back = spark.read.schema(
+        "n_nationkey bigint, n_name string, n_regionkey bigint, _corrupt_record string"
+    ).option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt_record").csv(
+        out
+    )
+    # a parsed row is valid iff the quarantine column is null. ALL data
+    # columns must be referenced here: column pruning would otherwise
+    # push a partial parse into the reader, and a line whose malformed
+    # field was pruned away comes back as (incorrectly) valid.
+    flagged = back.select(
+        "n_nationkey", "n_name", "n_regionkey",
+        F.col("_corrupt_record").isNull().alias("ok"),
+    ).localCheckpoint()  # materialize the full parse before aggregating
+    return flagged.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("ok"), 1)).alias("n_valid"),
+        F.count(F.when(~F.col("ok"), 1)).alias("n_corrupt"),
+        F.sum(F.when(F.col("ok"), F.col("n_nationkey"))).alias("key_sum"),
+    )

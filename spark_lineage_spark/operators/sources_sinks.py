@@ -470,10 +470,19 @@ def scan_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # malformations are plain cast failures — quote/column-count edge
     # cases parse differently depending on neighboring lines (univocity
-    # quirks), which would make the oracle fragile
-    bad = spark.createDataFrame(
-        [("not-a-number,BAD,0",), ("totally-unparseable",), ("9999,UNTERMINATED,notanint",)],
-        "value string",
+    # quirks), which would make the oracle fragile. Built from range()
+    # rather than createDataFrame: a driver-local relation pays several
+    # seconds of Arrow/localRelation handshake per write in a tuned
+    # session, range() is a native JVM source.
+    bad = spark.range(3).select(
+        F.element_at(
+            F.array(
+                F.lit("not-a-number,BAD,0"),
+                F.lit("totally-unparseable"),
+                F.lit("9999,UNTERMINATED,notanint"),
+            ),
+            (F.col("id") + 1).cast("int"),
+        ).alias("value")
     )
     lines.unionAll(bad).coalesce(1).write.mode("overwrite").text(out)
     back = spark.read.schema(

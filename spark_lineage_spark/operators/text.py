@@ -1042,3 +1042,85 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(50)
     )
+
+
+_NGRAM_LM_ORACLE = """
+WITH words AS (
+  SELECT doc_id, source, w, i
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+       LATERAL (SELECT unnest(ws) AS w, generate_subscripts(ws, 1) AS i)
+),
+big AS (SELECT a.doc_id, a.source, a.w AS prev, b.w AS cur
+        FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+uni AS (SELECT w, count(*) AS cw FROM words GROUP BY w),
+bc AS (SELECT prev, cur, count(*) AS cbw FROM big GROUP BY prev, cur),
+v AS (SELECT count(*) AS vocab FROM uni),
+scored AS (
+  SELECT big.doc_id, big.source,
+         ln((bc.cbw + 1.0) / (uni.cw + v.vocab)) AS lp
+  FROM big
+  JOIN bc ON big.prev = bc.prev AND big.cur = bc.cur
+  JOIN uni ON big.prev = uni.w
+  CROSS JOIN v
+),
+per_doc AS (SELECT doc_id, source, avg(lp) AS doc_lp
+            FROM scored GROUP BY doc_id, source)
+SELECT source, count(*) AS n_docs, round(avg(doc_lp), 6) AS avg_logprob
+FROM per_doc GROUP BY source
+"""
+
+
+@query(
+    "llm_ngram_lm_score",
+    "§2.11 count-based bigram LM scoring (the perplexity-filter shape)",
+    _NGRAM_LM_ORACLE,
+)
+def llm_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring with a count LM standing in
+    for the neural one (CCNet's filtering stage): train bigram +
+    unigram counts over the corpus IN the same job, then score every
+    document's mean add-1-smoothed log P(w|prev) and aggregate by
+    source. Everything is two token-key shuffles (the count tables)
+    plus the score join — the exact distributed shape of real LM-based
+    filtering, where the model lookup replaces the count join. The
+    vocab size rides the plan as a broadcast 1-row aggregate (same
+    in-plan-scalar discipline as TF-IDF's corpus N).
+
+    At 100 TB: token-keyed count tables are Zipf-skewed — AQE skew
+    handling (enabled session-wide) splits the hot-token partitions;
+    per-doc then per-source averaging keeps group sizes bounded.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    words = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("i", "w"),
+    )
+    wa, wb = words.alias("wa"), words.alias("wb")
+    big = wa.join(
+        wb,
+        (F.col("wa.doc_id") == F.col("wb.doc_id"))
+        & (F.col("wb.i") == F.col("wa.i") + 1),
+    ).select(
+        F.col("wa.doc_id").alias("doc_id"),
+        F.col("wa.source").alias("source"),
+        F.col("wa.w").alias("prev"),
+        F.col("wb.w").alias("cur"),
+    )
+    uni = words.groupBy(F.col("w")).agg(F.count("*").alias("cw"))
+    bc = big.groupBy("prev", "cur").agg(F.count("*").alias("cbw"))
+    v = uni.agg(F.count("*").alias("vocab"))
+    scored = (
+        big.join(bc, ["prev", "cur"])
+        .join(uni, big.prev == uni.w)
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "source",
+            F.log((F.col("cbw") + 1.0) / (F.col("cw") + F.col("vocab"))).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "source").agg(F.avg("lp").alias("doc_lp"))
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.round(F.avg("doc_lp"), 6).alias("avg_logprob")
+    )

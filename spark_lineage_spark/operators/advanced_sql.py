@@ -536,3 +536,47 @@ def subq_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir, ["supplier"])
     return spark.sql(_RECURSIVE_CTE_SQL)
+
+
+_COHORT_RETENTION_SQL = """
+WITH firsts AS (
+  SELECT user_id, min(date_trunc('week', date_trunc('microseconds', ts))) AS cohort
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', date_trunc('microseconds', ts)) AS wk
+  FROM events)
+SELECT cohort,
+       CAST(datediff('day', cohort, wk) / 7 AS BIGINT) AS week_offset,
+       count(*) AS active_users
+FROM activity JOIN firsts USING (user_id)
+GROUP BY cohort, week_offset
+"""
+
+
+@query(
+    "ts_cohort_retention",
+    "§5.2 composed: weekly cohort retention matrix (first-touch + activity join)",
+    _COHORT_RETENTION_SQL,
+)
+def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-analytics staple: bucket each user by first-seen
+    week (cohort), then count distinct users active in each subsequent
+    week — the (cohort × week_offset) retention matrix. One shuffle on
+    user_id serves BOTH the first-touch aggregate and the distinct
+    activity set (same key ⇒ Exchange reuse), then the matrix agg is a
+    cheap second shuffle on the composite key. Week arithmetic is done
+    on week-truncated timestamps (both engines truncate to ISO Monday)
+    so day-diff / 7 is exact integer weeks."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    activity = ev.distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.count("*").alias("active_users"))
+    )

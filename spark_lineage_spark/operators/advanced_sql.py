@@ -580,3 +580,69 @@ def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("active_users"))
     )
+
+
+_CONCURRENCY_SQL = """
+WITH pts AS (
+  SELECT date_trunc('microseconds', ts) AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT date_trunc('microseconds', ts) + INTERVAL '30 minutes' AS t, -1 AS delta
+  FROM events
+),
+run AS (
+  SELECT t, sum(delta) OVER (ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS concurrency
+  FROM pts
+)
+SELECT date_trunc('hour', t) AS hour,
+       CAST(max(concurrency) AS BIGINT) AS peak_concurrency
+FROM run GROUP BY 1
+"""
+
+
+@query(
+    "ts_concurrency_sweep",
+    "§5.2 composed: sweep-line peak concurrency (distributed prefix sum)",
+    _CONCURRENCY_SQL,
+)
+def ts_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval analytics: each event opens a half-open [ts, ts+30min)
+    presence window; the sweep line (+1 at start, -1 at end, ends
+    before starts on ties via the delta sort key) yields instantaneous
+    concurrency, reported as per-hour peaks.
+
+    The running sum is the textbook anti-scale trap — a global-order
+    window is ONE partition holding the whole corpus. Here it is a
+    two-phase distributed prefix sum instead: (1) per-DAY partitioned
+    running sums (parallel, bounded partitions), (2) a tiny day-total
+    cumsum — thousands of rows at any scale — broadcast back as
+    per-day offsets. Same result, no single-partition stage; this is
+    how prefix-dependent analytics (inventory levels, account
+    balances, concurrency) stay distributed at 100 TB.
+    """
+    ev = load(spark, sf_dir, "events").select("ts")
+    pts = (
+        ev.select(F.col("ts").alias("t"), F.lit(1).alias("delta"))
+        .unionAll(
+            ev.select(
+                (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
+                F.lit(-1).alias("delta"),
+            )
+        )
+        .withColumn("day", F.date_trunc("day", F.col("t")))
+    )
+    w_local = (
+        Window.partitionBy("day").orderBy("t", "delta").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = pts.withColumn("local_sum", F.sum("delta").over(w_local))
+    day_totals = pts.groupBy("day").agg(F.sum("delta").alias("day_total"))
+    # day-level cumsum: one partition of O(days) rows — fine forever
+    w_days = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = day_totals.withColumn(
+        "offset", F.coalesce(F.sum("day_total").over(w_days), F.lit(0))
+    ).select("day", "offset")
+    conc = local.join(F.broadcast(offsets), "day").withColumn(
+        "concurrency", F.col("local_sum") + F.col("offset")
+    )
+    return conc.groupBy(F.date_trunc("hour", F.col("t")).alias("hour")).agg(
+        F.max("concurrency").cast("bigint").alias("peak_concurrency")
+    )

@@ -646,3 +646,71 @@ def ts_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conc.groupBy(F.date_trunc("hour", F.col("t")).alias("hour")).agg(
         F.max("concurrency").cast("bigint").alias("peak_concurrency")
     )
+
+
+_DQ_RULES_SQL = """
+SELECT
+  (SELECT count(*) FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+   WHERE o.o_orderkey IS NULL) AS fk_orphans,
+  (SELECT count(*) FROM lineitem
+   WHERE l_extendedprice <= 0 OR l_quantity <= 0) AS nonpositive_amounts,
+  (SELECT count(*) FROM lineitem
+   WHERE l_discount < 0 OR l_discount > 0.5) AS discount_out_of_range,
+  (SELECT count(*) FROM orders
+   WHERE o_orderdate < TIMESTAMP '1990-01-01'
+      OR o_orderdate > TIMESTAMP '2030-01-01') AS date_out_of_bounds,
+  (SELECT count(*) FROM customer
+   WHERE c_name IS NULL OR c_name = '') AS blank_names
+"""
+
+
+@query(
+    "dq_rule_checks",
+    "§5.2 composed: data-quality rule sweep (FK orphans + domain rules)",
+    _DQ_RULES_SQL,
+)
+def dq_rule_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The validation gate every ingest pipeline runs before promoting
+    a batch: referential integrity (lineitem rows whose order vanished
+    — left-anti count), domain rules (non-positive amounts, discounts
+    outside [0, 0.5], dates outside sane bounds), and blank keys.
+    Each table is scanned ONCE with its rules fused into a single
+    conditional aggregate; the orphan check is the only join (anti,
+    shuffled on the key). The five 1-row metric frames combine by
+    broadcast crossJoin into one row — at 100 TB this whole gate is
+    three scans and one anti join, no matter how many rules ride each
+    scan."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    orphans = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("fk_orphans"))
+    )
+    li_rules = li.agg(
+        F.count(
+            F.when((F.col("l_extendedprice") <= 0) | (F.col("l_quantity") <= 0), 1)
+        ).alias("nonpositive_amounts"),
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5), 1)
+        ).alias("discount_out_of_range"),
+    )
+    o_rules = o.agg(
+        F.count(
+            F.when(
+                (F.col("o_orderdate") < "1990-01-01") | (F.col("o_orderdate") > "2030-01-01"),
+                1,
+            )
+        ).alias("date_out_of_bounds")
+    )
+    c_rules = c.agg(
+        F.count(F.when(F.col("c_name").isNull() | (F.col("c_name") == ""), 1)).alias(
+            "blank_names"
+        )
+    )
+    return (
+        orphans.crossJoin(F.broadcast(li_rules))
+        .crossJoin(F.broadcast(o_rules))
+        .crossJoin(F.broadcast(c_rules))
+    )

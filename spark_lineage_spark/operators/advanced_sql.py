@@ -714,3 +714,98 @@ def dq_rule_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(o_rules))
         .crossJoin(F.broadcast(c_rules))
     )
+
+
+_SQL_SCRIPTING_SQL = """
+SELECT o_orderpriority, count(*) AS n_above
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "sql_scripting_control_flow",
+    "§2 advanced SQL: SQL scripting (BEGIN/DECLARE/SET procedural block, Spark 4)",
+    _SQL_SCRIPTING_SQL,
+)
+def sql_scripting_control_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scripting: a BEGIN…END block with a DECLAREd
+    variable bound from a scalar query, then used as a parameter in
+    the final statement — the migration path for stored-procedure
+    workloads. The script's final SELECT is the block's result set;
+    semantically it equals the inlined scalar subquery the oracle
+    runs. (Each SET is its own job — at scale, favor variables for
+    control flow and leave data-dependent scalars inline where
+    Catalyst can plan them together.)"""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE avg_price DOUBLE DEFAULT 0;
+          SET avg_price = (SELECT avg(o_totalprice) FROM orders);
+          SELECT o_orderpriority, count(*) AS n_above
+          FROM orders WHERE o_totalprice > avg_price
+          GROUP BY o_orderpriority;
+        END
+        """
+    )
+
+
+_CDC_DIFF_SQL = """
+WITH old AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0),
+new AS (SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN round(o_totalprice * 1.1, 2)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 3 <> 1)
+SELECT change_type, count(*) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+FROM (
+  SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+              WHEN n.o_orderkey IS NULL THEN 'delete'
+              WHEN n.o_totalprice <> o.o_totalprice THEN 'update'
+              ELSE 'unchanged' END AS change_type
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+) t GROUP BY change_type
+"""
+
+
+@query(
+    "cdc_snapshot_diff",
+    "§5.2 composed: CDC snapshot diff (insert/update/delete/unchanged classification)",
+    _CDC_DIFF_SQL,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-based change data capture: diff two table versions
+    into insert/update/delete/unchanged classes — what an ingest
+    pipeline computes when the source can't emit a changelog. One full
+    outer join on the key (both snapshots shuffle once on o_orderkey)
+    and a classification CASE; per-class counts plus a key checksum
+    make the diff verifiable. The synthetic versions derive
+    deterministically from orders (key % 3 membership, key % 5 price
+    bump) so the oracle reconstructs both sides. At 100 TB the same
+    shape runs partition-wise when both snapshots share layout —
+    bucketed or date-partitioned snapshots diff without a global
+    shuffle."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    old = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("k_old"), F.col("o_totalprice").alias("p_old")
+    )
+    new = o.filter(F.col("o_orderkey") % 3 != 1).select(
+        F.col("o_orderkey").alias("k_new"),
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+        ).otherwise(F.col("o_totalprice")).alias("p_new"),
+    )
+    diff = old.join(new, old.k_old == new.k_new, "full_outer").select(
+        F.coalesce("k_new", "k_old").alias("o_orderkey"),
+        F.when(F.col("k_old").isNull(), "insert")
+        .when(F.col("k_new").isNull(), "delete")
+        .when(F.col("p_new") != F.col("p_old"), "update")
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )
+    return diff.groupBy("change_type").agg(
+        F.count("*").alias("n"), F.sum("o_orderkey").cast("bigint").alias("key_checksum")
+    )

@@ -543,3 +543,49 @@ def _tmp_dpp(sf_dir: str) -> str:
     return _os.path.join(
         _tempfile.gettempdir(), f"sls_dpp_{_os.getpid()}_{key}", "orders_by_year"
     )
+
+
+_INTERVAL_OVERLAP_SQL = """
+WITH iv AS (
+  SELECT event_id, date_trunc('microseconds', ts) AS s,
+         date_trunc('microseconds', ts) + INTERVAL '30 minutes' AS e
+  FROM events),
+hours AS (
+  SELECT unnest(generate_series((SELECT date_trunc('hour', min(s)) FROM iv),
+                                (SELECT max(e) FROM iv),
+                                INTERVAL '1 hour')) AS h)
+SELECT h AS hour, count(*) AS n_overlapping
+FROM hours JOIN iv ON iv.s < h + INTERVAL '1 hour' AND iv.e > h
+GROUP BY h
+"""
+
+
+@query(
+    "join_interval_overlap",
+    "§2.3 interval-overlap join via hour-bucket blocking (no theta join)",
+    _INTERVAL_OVERLAP_SQL,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many 30-minute presence intervals overlap each hour. The
+    naive form is a theta join (s < h+1h AND e > h) — a nested loop
+    that cannot scale. Here each interval EXPLODES into exactly the
+    hour buckets it covers (sequence over truncated bounds, end
+    exclusive via e-1µs) and the overlap becomes a hash aggregation on
+    the hour key — candidates are linear in total covered hours, the
+    standard bucketize-the-time-axis interval-join pattern (the oracle
+    runs the naive theta form to prove equivalence). Bucket
+    granularity trades explosion factor against candidate precision;
+    for intervals ≪ bucket width, one-to-two buckets per interval."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("ts").alias("s"), (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e")
+    )
+    covered = ev.select(
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("s")),
+                F.date_trunc("hour", F.col("e") - F.expr("INTERVAL 1 MICROSECOND")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour")
+    )
+    return covered.groupBy("hour").agg(F.count("*").alias("n_overlapping"))

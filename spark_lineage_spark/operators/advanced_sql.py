@@ -504,7 +504,8 @@ WITH RECURSIVE chain AS (
   SELECT s.s_suppkey, c.depth + 1,
          round(c.path_bal + s.s_acctbal, 2) AS path_bal
   FROM supplier s JOIN chain c
-    ON s.s_suppkey = 2 * c.s_suppkey + 1 OR s.s_suppkey = 2 * c.s_suppkey + 2
+    ON CAST(floor((s.s_suppkey - 1) / 2.0) AS BIGINT) = c.s_suppkey
+  WHERE s.s_suppkey > 0 AND s.s_suppkey < 127
 )
 SELECT depth, count(*) AS n_nodes,
        round(sum(path_bal), 2) AS total_path_bal
@@ -519,15 +520,22 @@ FROM chain GROUP BY depth
 )
 def subq_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (new in Spark 4): walk a hierarchy encoded over
-    the supplier table (node k's children are 2k+1 / 2k+2 — a
+    the supplier table (node k's parent is floor((k-1)/2) — a
     deterministic org-tree stand-in), accumulating root-to-node
     balance along the path. Each recursion step is one join of the
     last iteration's frontier against the base table — the engine
     iterates to fixpoint exactly like DuckDB, so the oracle is the
-    IDENTICAL SQL text. Path sums are rounded per step (both engines
-    add in the same recursion order — a path is a sequential chain, so
-    unlike group aggregates there is no order nondeterminism to
-    round away; the rounding just pins the display).
+    IDENTICAL SQL text. Path sums are rounded per step (a path is a
+    sequential chain, so there is no summation-order nondeterminism).
+
+    The child linkage is written as an EQUI condition on the derived
+    parent key (floor((k-1)/2) = parent), not `k = 2p+1 OR k = 2p+2` —
+    the OR form plans a nested-loop per iteration. The subtree is
+    capped at 127 nodes so recursion depth (= Spark job count — the
+    dominating cost, ~0.5s/iteration at any data size) stays fixed
+    across SFs: this query audits the RECURSION machinery; frontier
+    THROUGHPUT at scale is governed by the same per-step join/shuffle
+    properties the batch operators already audit.
 
     At scale: recursion depth bounds the iteration count (log n for a
     balanced hierarchy); each step shuffles only the FRONTIER, not the

@@ -589,3 +589,63 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hour")
     )
     return covered.groupBy("hour").agg(F.count("*").alias("n_overlapping"))
+
+
+_AQE_SKEW_CONFS = {
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+    "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    # the final agg leaves only a handful of bytes per partition — force
+    # the optimizer to still split the skewed join despite the extra
+    # shuffle it introduces (at real scale the size ratio triggers this
+    # on its own and the conf is unnecessary)
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+}
+
+
+@query(
+    "join_aqe_skew_handled",
+    "§2.3/§4 AQE skew-join: runtime split of a hot key (skew=true in plan)",
+    """
+    WITH sk AS (
+      SELECT l_orderkey, l_quantity FROM lineitem
+      UNION ALL SELECT 1 AS l_orderkey, l_quantity FROM lineitem
+      UNION ALL SELECT 1 AS l_orderkey, l_quantity FROM lineitem)
+    SELECT count(*) AS n_joined,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM sk JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def join_aqe_skew_handled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The automatic complement to agg_salted_twophase/join_skew_salted:
+    two full copies of lineitem are piled onto orderkey 1, and AQE's
+    runtime statistics split that oversized shuffle partition into
+    many tasks (SortMergeJoin(skew=true), asserted on the executed
+    plan in tests/test_plans.py) — no manual salting, no code change.
+    Thresholds are lowered so fixture-scale partitions qualify; at
+    100 TB the defaults (256 MB skewed-partition threshold) fire
+    exactly when a hot key actually hurts. Materialized inside the
+    conf window (AQE re-plans at execution time)."""
+    prev = {k: spark.conf.get(k, None) for k in _AQE_SKEW_CONFS}
+    try:
+        for k, v in _AQE_SKEW_CONFS.items():
+            spark.conf.set(k, v)
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        hot = li.withColumn("l_orderkey", F.lit(1))
+        skewed = li.unionAll(hot).unionAll(hot)
+        o = load(spark, sf_dir, "orders").select("o_orderkey")
+        out = (
+            skewed.join(o, skewed.l_orderkey == o.o_orderkey)
+            .agg(
+                F.count("*").alias("n_joined"),
+                F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    return out

@@ -383,3 +383,27 @@ def test_dynamic_partition_pruning_in_plan(spark):
     df = join_dynamic_partition_pruning(spark, SF)
     p = plan_str(df)
     assert "dynamicpruning" in p.lower(), p[:3000]
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The AQE skew query must actually plan SortMergeJoin(skew=true)
+    at execution — runtime splitting of the hot key's partition."""
+    from spark_lineage_spark.operators.joins import _AQE_SKEW_CONFS
+    from spark_lineage_spark.tables import load
+
+    sf = "/root/testdata/sf0.01"  # sf0.001 partitions undercut even the lowered thresholds
+    prev = {k: spark.conf.get(k, None) for k in _AQE_SKEW_CONFS}
+    try:
+        for k, v in _AQE_SKEW_CONFS.items():
+            spark.conf.set(k, v)
+        li = load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+        hot = li.withColumn("l_orderkey", F.lit(1))
+        skewed = li.unionAll(hot).unionAll(hot)
+        o = load(spark, sf, "orders").select("o_orderkey")
+        j = skewed.join(o, skewed.l_orderkey == o.o_orderkey).groupBy().count()
+        j.collect()
+        p = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    assert "skew=true" in p, p[:3000]

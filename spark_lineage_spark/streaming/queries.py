@@ -84,7 +84,10 @@ def run_to_memory(df: DataFrame, mode: str = "append") -> DataFrame:
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
-        os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"),
+        # 4 stores: fixture-scale state is a few thousand keys; each
+        # extra store is another checkpoint dir + snapshot per batch
+        # (~70ms each measured). Override upward for real state volumes.
+        os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4"),
     )
     try:
         q = (

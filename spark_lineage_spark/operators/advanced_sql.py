@@ -569,25 +569,22 @@ GROUP BY cohort, week_offset
 def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The product-analytics staple: bucket each user by first-seen
     week (cohort), then count distinct users active in each subsequent
-    week — the (cohort × week_offset) retention matrix. One shuffle on
-    user_id serves BOTH the first-touch aggregate and the distinct
-    activity set (same key ⇒ Exchange reuse), then the matrix agg is a
-    cheap second shuffle on the composite key. Week arithmetic is done
-    on week-truncated timestamps (both engines truncate to ISO Monday)
-    so day-diff / 7 is exact integer weeks."""
+    week — the (cohort × week_offset) retention matrix. The first-touch
+    week is a window MIN over the deduplicated activity set rather
+    than a separate aggregate joined back: three narrow shuffles
+    (distinct, per-user window, matrix agg) and NO join in the plan.
+    Week arithmetic is done on week-truncated timestamps (both engines
+    truncate to ISO Monday) so day-diff / 7 is exact integer weeks."""
     ev = load(spark, sf_dir, "events").select(
         "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
     )
-    firsts = ev.groupBy("user_id").agg(F.min("wk").alias("cohort"))
     activity = ev.distinct()
-    return (
-        activity.join(firsts, "user_id")
-        .groupBy(
-            "cohort",
-            (F.datediff(F.col("wk"), F.col("cohort")) / 7).cast("bigint").alias("week_offset"),
-        )
-        .agg(F.count("*").alias("active_users"))
-    )
+    w = Window.partitionBy("user_id")
+    ret = activity.withColumn("cohort", F.min("wk").over(w))
+    return ret.groupBy(
+        "cohort",
+        (F.datediff(F.col("wk"), F.col("cohort")) / 7).cast("bigint").alias("week_offset"),
+    ).agg(F.count("*").alias("active_users"))
 
 
 _CONCURRENCY_SQL = """

@@ -506,3 +506,76 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.sum("i").alias("total")
     )
     return run_to_memory(agg, mode="complete")
+
+
+@query(
+    "source_python_stream_partitioned",
+    "§2.1/§2.9 partitioned Python streaming source (executor-parallel reads)",
+    """
+    SELECT CAST(i % 4 AS BIGINT) AS bucket, count(*) AS n,
+           CAST(sum(i) AS BIGINT) AS total
+    FROM (SELECT unnest(generate_series(0, 3999)) AS i)
+    GROUP BY 1
+    """,
+)
+def source_python_stream_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The high-volume form of the Python streaming source:
+    DataSourceStreamReader with explicit offsets — each micro-batch's
+    offset range SPLITS into InputPartitions that executors read in
+    parallel (the simple-reader variant prefetches on the driver;
+    this one scales reads with the cluster). The generator is a
+    deterministic integer range so availableNow drains exactly
+    [0, 4000) and the aggregate equals the DuckDB range oracle."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    N, PARTS = 4000, 4
+
+    class RangePartition(InputPartition):
+        def __init__(self, start, end):
+            self.start, self.end = start, end
+
+    class PartitionedCounterReader(DataSourceStreamReader):
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def latestOffset(self):
+            return {"pos": N}
+
+        def partitions(self, start, end):
+            lo, hi = start["pos"], end["pos"]
+            step = max(1, (hi - lo) // PARTS)
+            return [
+                RangePartition(p, min(p + step, hi)) for p in range(lo, hi, step)
+            ]
+
+        def read(self, partition):
+            # runs ON EXECUTORS — one task per InputPartition
+            return iter([(i,) for i in range(partition.start, partition.end)])
+
+        def commit(self, end):
+            pass  # offsets are synthetic; nothing to release upstream
+
+    class PartitionedCounterSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "sls_synth_counter_stream_part"
+
+        def schema(self):
+            return "i bigint"
+
+        def streamReader(self, schema):
+            return PartitionedCounterReader()
+
+    try:
+        spark.dataSource.register(PartitionedCounterSource)
+    except Exception:
+        pass  # already registered in this session
+    stream = spark.readStream.format("sls_synth_counter_stream_part").load()
+    agg = stream.groupBy((F.col("i") % 4).alias("bucket")).agg(
+        F.count("*").alias("n"), F.sum("i").alias("total")
+    )
+    return run_to_memory(agg, mode="complete")

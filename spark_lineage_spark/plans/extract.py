@@ -261,6 +261,11 @@ def analyze_plan(
     mapping: dict[int, set[tuple[str, str]]] = {}
     found: list[DatasetRef] = []
     output_ref: list[Optional[DatasetRef]] = [None]
+    # CTE / recursive-CTE support: defs and loop anchors register their
+    # output exprIds here; the Ref leaves bind to them POSITIONALLY
+    # (a CTERelationRef / UnionLoopRef mints fresh exprIds per reference)
+    cte_outs: dict[int, list[int]] = {}
+    loop_outs: dict[int, list[int]] = {}
 
     def ds_label(ref: DatasetRef) -> str:
         return ref.name or (ref.paths[0] if ref.paths else ref.kind)
@@ -300,6 +305,66 @@ def analyze_plan(
             for ch in _children(node):
                 walk(ch, alias)
             return
+        if name == "CTERelationDef":
+            # walk the definition, then expose its output ids for every
+            # later CTERelationRef of the same cte id
+            for ch in _children(node):
+                walk(ch, view)
+            try:
+                cte_outs[node.id()] = [
+                    a.exprId().id() for a in _seq(node.child().output())
+                ]
+            except Exception:
+                pass
+            return
+        if name == "CTERelationRef":
+            try:
+                base = cte_outs.get(node.cteId(), [])
+                for pos, a in enumerate(_seq(node.output())):
+                    if pos < len(base):
+                        mapping[a.exprId().id()] = set(mapping.get(base[pos], set()))
+            except Exception:
+                pass
+            return  # leaf; the def's walk already collected its inputs
+        if name == "UnionLoop":
+            # recursive CTE body: walk the anchor FIRST so the recursive
+            # branch's UnionLoopRef can bind to the anchor's columns,
+            # then bind the loop's own output per-position like Union
+            try:
+                loop_id = node.id()
+            except Exception:
+                loop_id = None
+            kids = _children(node)
+            if kids:
+                walk(kids[0], None)
+                try:
+                    loop_outs[loop_id] = [
+                        a.exprId().id() for a in _seq(kids[0].output())
+                    ]
+                except Exception:
+                    pass
+                for k in kids[1:]:
+                    walk(k, None)
+            try:
+                kid_outs = [_seq(k.output()) for k in kids]
+                for pos, a in enumerate(_seq(node.output())):
+                    srcs: set[tuple[str, str]] = set()
+                    for ko in kid_outs:
+                        if pos < len(ko):
+                            srcs |= mapping.get(ko[pos].exprId().id(), set())
+                    mapping[a.exprId().id()] = srcs
+            except Exception:
+                pass
+            return
+        if name == "UnionLoopRef":
+            try:
+                base = loop_outs.get(node.loopId(), [])
+                for pos, a in enumerate(_seq(node.output())):
+                    if pos < len(base):
+                        mapping[a.exprId().id()] = set(mapping.get(base[pos], set()))
+            except Exception:
+                pass
+            return  # leaf; the anchor's walk already collected inputs
         ref = _leaf_ref(node)
         chs = _children(node)
         if ref is None and not chs:

@@ -490,3 +490,55 @@ def test_cached_input_keeps_file_lineage(engine, sf_dir):
         assert by_out["o_orderstatus"] == ["orders.o_orderstatus"]
     finally:
         o.unpersist()
+
+
+def test_column_lineage_full_outer_cdc_classification(engine, sf_dir):
+    """Round-4 CDC diff shape: a full-outer self-join with coalesce +
+    CASE classification — the coalesced key must trace to the base
+    column through BOTH join sides, and the classification column must
+    trace to every column its CASE reads."""
+    eng, rep = engine
+    load(eng.spark, sf_dir, "orders").createOrReplaceTempView("ord_cdc")
+    eng.sql(
+        """
+        SELECT coalesce(n.o_orderkey, o.o_orderkey) AS k,
+               CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                    WHEN n.o_orderkey IS NULL THEN 'delete'
+                    WHEN n.o_totalprice <> o.o_totalprice THEN 'update'
+                    ELSE 'unchanged' END AS change_type
+        FROM (SELECT o_orderkey, o_totalprice FROM ord_cdc WHERE o_orderkey % 3 <> 0) o
+        FULL OUTER JOIN
+             (SELECT o_orderkey, o_totalprice FROM ord_cdc WHERE o_orderkey % 3 <> 1) n
+          ON o.o_orderkey = n.o_orderkey
+        """
+    ).collect()
+    report = rep.last()
+    edges = {c.output: set(c.inputs) for c in report.columns}
+    assert edges["k"] == {"orders.o_orderkey"}, edges
+    assert edges["change_type"] == {"orders.o_orderkey", "orders.o_totalprice"}, edges
+
+
+def test_column_lineage_recursive_cte(engine, sf_dir):
+    """Recursive CTE (Spark 4 UnionLoop plan nodes): lineage extraction
+    must not crash and must attribute the aggregate's outputs to the
+    recursion's base columns."""
+    eng, rep = engine
+    load(eng.spark, sf_dir, "supplier").createOrReplaceTempView("sup_rec")
+    eng.sql(
+        """
+        WITH RECURSIVE r AS (
+          SELECT s_suppkey, s_acctbal AS bal FROM sup_rec WHERE s_suppkey = 0
+          UNION ALL
+          SELECT s.s_suppkey, r.bal + s.s_acctbal
+          FROM sup_rec s JOIN r
+            ON CAST(floor((s.s_suppkey - 1) / 2.0) AS BIGINT) = r.s_suppkey
+          WHERE s.s_suppkey > 0 AND s.s_suppkey < 15
+        )
+        SELECT count(*) AS n, round(sum(bal), 2) AS total FROM r
+        """
+    ).collect()
+    report = rep.last()
+    assert any("supplier" in n for n in report.input_names()), report.input_names()
+    edges = {c.output: set(c.inputs) for c in report.columns}
+    # the recursion's accumulator mixes only supplier.s_acctbal
+    assert edges.get("total", set()) <= {"supplier.s_acctbal", "supplier.s_suppkey"}, edges

@@ -16,11 +16,16 @@ SF = "/root/testdata/sf0.001"
 
 SENSITIVE = [
     "tpch_q1_style_full",
+    "tpch_q2_style_min_cost_supplier",  # rounded-equality selection
+    "tpch_q8_style_market_share",  # ratio of two big sums
     "tpch_q9_style_product_profit",
     "tpch_q15_style_top_supplier",
     "tpch_q17_style_small_qty_revenue",
     "llm_ngram_lm_score",
+    "llm_text_tfidf",  # log-weighted scores
+    "ts_resample_ohlc",  # min_by/max_by tie behavior
     "ts_concurrency_sweep",
+    "agg_stats",  # variance/stddev accumulation
 ]
 
 

@@ -814,3 +814,58 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff.groupBy("change_type").agg(
         F.count("*").alias("n"), F.sum("o_orderkey").cast("bigint").alias("key_checksum")
     )
+
+
+_ANOMALY_ZSCORE_SQL = """
+WITH w AS (
+  SELECT event_type, value,
+         avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING) AS mu,
+         stddev_samp(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING) AS sd,
+         count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING) AS n_hist
+  FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_scored,
+       CAST(count(CASE WHEN abs(value - mu) > 3 * sd THEN 1 END) AS BIGINT)
+         AS n_anomalies
+FROM w
+WHERE n_hist >= 10 AND sd > 0
+GROUP BY event_type
+"""
+
+
+@query(
+    "ts_anomaly_zscore",
+    "§5.2 composed: rolling z-score anomaly detection (trailing window stats)",
+    _ANOMALY_ZSCORE_SQL,
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly scoring in batch: each event is judged
+    against the TRAILING 19 events of its own user (frame excludes the
+    current row — the score must not contaminate its own baseline);
+    |value − µ| > 3σ flags it. Warm-up (<10 observations) and
+    degenerate windows (σ=0) are excluded — the same guards a
+    production detector needs. One shuffle on user_id computes all
+    three rolling stats in a single window pass; the per-type rollup
+    is a cheap second aggregate. Both engines evaluate the identical
+    ordered frame, so mean/stddev agree to the ulp and the 3σ cut is
+    stable (verified by the partitioning-determinism audit)."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type", "value")
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-19, -1)
+    )
+    scored = ev.select(
+        "event_type",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count("*").over(w).alias("n_hist"),
+    ).filter((F.col("n_hist") >= 10) & (F.col("sd") > 0))
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_scored"),
+        F.count(F.when(F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sd"), 1)).alias(
+            "n_anomalies"
+        ),
+    )

@@ -825,3 +825,38 @@ def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("db").alias("n_docs_dropped"),
         )
     )
+
+
+@query(
+    "llm_dedup_keep_best",
+    "§2.11 canonical representative selection after exact dedup",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY md5(text)
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+    SELECT source,
+           CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+           CAST(count(CASE WHEN rn > 1 THEN 1 END) AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS kept_chars
+    FROM ranked GROUP BY source
+    """,
+)
+def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selection step AFTER duplicate detection: inside each
+    exact-duplicate group keep ONE canonical copy — the longest
+    document, ties to the lowest doc_id (real pipelines rank by
+    quality score; n_chars is the fixture's stand-in). One shuffle on
+    the content hash, rank, then per-source keep/drop accounting.
+    md5 is used (not sha2) because it exists in BOTH engines with
+    identical output — the hash only needs to group, not to be
+    cryptographic."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars", "text")
+    w = Window.partitionBy(F.md5("text")).orderBy(F.desc("n_chars"), "doc_id")
+    ranked = d.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+        F.count(F.when(F.col("rn") > 1, 1)).alias("n_dropped"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_chars"))).cast("bigint").alias("kept_chars"),
+    )

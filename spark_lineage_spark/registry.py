@@ -130,7 +130,8 @@ _VERIFY_FIRST = [
     "llm_ngram_lm_score", "ts_cohort_retention", "ts_concurrency_sweep",
     "dq_rule_checks", "sql_scripting_control_flow", "cdc_snapshot_diff",
     "join_interval_overlap", "join_aqe_skew_handled",
-    "source_python_stream_partitioned",
+    "source_python_stream_partitioned", "llm_dedup_keep_best",
+    "ts_anomaly_zscore",
     "ts_sessionize_batch", "ts_gap_fill_spine", "ts_resample_ohlc",
     "ts_hierarchical_rollup", "win_funnel_ordered", "merge_upsert_latest",
     "profile_column_stats", "join_skew_salted", "subq_scalar_correlated",

@@ -508,7 +508,7 @@ WITH RECURSIVE chain AS (
   WHERE s.s_suppkey > 0 AND s.s_suppkey < 127
 )
 SELECT depth, count(*) AS n_nodes,
-       round(sum(path_bal), 2) AS total_path_bal
+       CAST(round(sum(CAST(path_bal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_path_bal
 FROM chain GROUP BY depth
 """
 
@@ -526,7 +526,10 @@ def subq_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     last iteration's frontier against the base table — the engine
     iterates to fixpoint exactly like DuckDB, so the oracle is the
     IDENTICAL SQL text. Path sums are rounded per step (a path is a
-    sequential chain, so there is no summation-order nondeterminism).
+    sequential chain, so no summation-order nondeterminism there); the
+    per-depth TOTAL sums many paths, so it accumulates in
+    DECIMAL(18,4) — a double sum's order is partition-dependent and
+    can flip the rounded cent (the q9 failure mode, ADVICE r4).
 
     The child linkage is written as an EQUI condition on the derived
     parent key (floor((k-1)/2) = parent), not `k = 2p+1 OR k = 2p+2` —

@@ -143,10 +143,8 @@ def sink_table_saveastable(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata a path read cannot. Cleans its own name + warehouse
     location first (per-session metastore, persistent warehouse dir —
     same idempotency rule as the bucketed tables)."""
-    import hashlib
-
-    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    t = f"sls_nation_tbl_{suffix}"
+    t = f"sls_nation_tbl_{_proc_suffix(sf_dir)}"
+    _reap_stale_warehouse_dirs(spark, "sls_nation_tbl_")
     _drop_table_and_location(spark, t)
     load(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(t)
     return (
@@ -292,6 +290,45 @@ def source_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUCKETED_STAGED: set = set()
 
 
+def _proc_suffix(sf_dir: str) -> str:
+    """Warehouse-table name suffix: fixture digest + pid.
+
+    The digest alone made concurrent harness processes on the same
+    fixture (bench + oracle check) share warehouse locations, so one
+    process's drop-before-restage rmtree could delete data another was
+    mid-read on (ADVICE r4). The metastore is per-session anyway, so
+    cross-process location reuse bought nothing; pid-scoping restores
+    collision-freedom and ``_reap_stale_warehouse_dirs`` stops dead
+    pids' directories from accumulating.
+    """
+    import hashlib
+
+    return f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+
+
+def _reap_stale_warehouse_dirs(spark: SparkSession, prefix: str) -> None:
+    """Remove warehouse dirs left by DEAD processes for ``prefix``.
+
+    Names end in ``_{pid}``; a pid with no /proc entry cannot be
+    mid-read, so its directory is safe to delete. Live foreign pids are
+    left alone (that is the whole point of pid-scoping).
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path or ""
+    if not wh or not os.path.isdir(wh):
+        return
+    for d in os.listdir(wh):
+        if not d.startswith(prefix):
+            continue
+        pid_s = d.rsplit("_", 1)[-1]
+        if not pid_s.isdigit() or int(pid_s) == os.getpid():
+            continue
+        if not os.path.exists(f"/proc/{pid_s}"):
+            shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
+
+
 def _drop_table_and_location(spark: SparkSession, name: str) -> None:
     """DROP TABLE + remove its warehouse directory. The metastore is
     per-session (in-memory/Derby) while spark.sql.warehouse.dir
@@ -329,19 +366,17 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Staging writes once per (session, sf_dir) into the session
     warehouse (saveAsTable — bucket metadata lives in the catalog;
-    path-based parquet writes cannot carry it). Table names derive
-    from a deterministic digest of sf_dir so every process reuses the
-    same warehouse locations instead of littering new ones; since the
-    metastore is per-session but the warehouse dir persists, a stale
-    location left by a previous process is removed before re-staging."""
-    import hashlib
-
+    path-based parquet writes cannot carry it). Table names carry a
+    fixture digest + pid (see ``_proc_suffix``) so concurrent harness
+    processes never share a location; directories of dead pids are
+    reaped before staging, stale same-name locations dropped."""
     app = spark.sparkContext.applicationId
-    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    suffix = _proc_suffix(sf_dir)
     t_orders, t_lineitem = f"sls_b_orders_{suffix}", f"sls_b_lineitem_{suffix}"
     if (app, sf_dir) not in _BUCKETED_STAGED:
         for stale in [k for k in _BUCKETED_STAGED if k[0] != app]:
             _BUCKETED_STAGED.discard(stale)
+        _reap_stale_warehouse_dirs(spark, "sls_b_")
         _drop_table_and_location(spark, t_orders)
         _drop_table_and_location(spark, t_lineitem)
         load(spark, sf_dir, "orders").select(

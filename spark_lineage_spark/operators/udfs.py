@@ -242,7 +242,9 @@ def udf_cogroup_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "user_id": [int(uid)],
                 "n_events": [len(ev)],
-                "total_value": [round(float(ev["value"].sum()), 2) if len(ev) else 0.0],
+                # raw sum here; HALF_UP rounding applied outside via
+                # F.round — Python round() is half-to-even (ADVICE r4)
+                "total_value": [float(ev["value"].sum()) if len(ev) else 0.0],
                 "n_orders": [len(od)],
             }
         )
@@ -263,6 +265,7 @@ def udf_cogroup_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(
             merge, schema="user_id long, n_events long, total_value double, n_orders long"
         )
+        .withColumn("total_value", F.round("total_value", 2))
     )
 
 
@@ -284,7 +287,12 @@ def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow→pandas→Arrow copy relative to applyInPandas (the reason this
     API exists). Group computation uses pyarrow.compute kernels
     (vectorized C++), so the Python layer is just dispatch. Same
-    shuffle shape as every grouped map: one exchange on the key."""
+    shuffle shape as every grouped map: one exchange on the key.
+
+    Rounding happens OUTSIDE the UDF with F.round (HALF_UP, matching
+    the DuckDB oracle and every other query) — Python's round() is
+    banker's half-to-even and would flip an exact-half cent
+    (ADVICE r4)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -296,12 +304,15 @@ def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "segment": [table.column("c_mktsegment")[0].as_py()],
                 "n": pa.array([table.num_rows], type=pa.int64()),
-                "total_bal": [round(total, 2)],
-                "bal_range": [round(mx - mn, 2)],
+                "total_bal": [total],
+                "bal_range": [mx - mn],
             }
         )
 
     c = load(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
-    return c.groupBy("c_mktsegment").applyInArrow(
+    out = c.groupBy("c_mktsegment").applyInArrow(
         summarize, schema="segment string, n long, total_bal double, bal_range double"
+    )
+    return out.withColumn("total_bal", F.round("total_bal", 2)).withColumn(
+        "bal_range", F.round("bal_range", 2)
     )

@@ -111,14 +111,7 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "udf_map_in_pandas", "udf_map_in_arrow", "udtf_split_words",
     "udf_cogroup_in_pandas", "llm_dedup_exact", "llm_dedup_ngram_jaccard",
     "llm_dedup_minhash_lsh",
-]
-
-# Among the not-yet-verified queries, run these FIRST (the driver's
-# 50-row budget should land on the highest-value rows): the streaming +
-# sessionize queries just fixed for the timestamp_ntz fixtures, then the
-# TPC-H-style composites and advanced-SQL shapes, then the cheap text
-# family.
-_VERIFY_FIRST = [
+    # round 4 verified (CORRECTNESS_r04.json, 50 rows, all green)
     "stream_tumbling_window", "stream_sliding_window", "stream_session_window",
     "stream_dedup_watermark", "stream_stream_join", "stream_static_join",
     "stream_rate_source_window", "stream_stateful_count",
@@ -131,22 +124,46 @@ _VERIFY_FIRST = [
     "dq_rule_checks", "sql_scripting_control_flow", "cdc_snapshot_diff",
     "join_interval_overlap", "join_aqe_skew_handled",
     "source_python_stream_partitioned", "llm_dedup_keep_best",
-    "ts_anomaly_zscore",
-    "ts_sessionize_batch", "ts_gap_fill_spine", "ts_resample_ohlc",
-    "ts_hierarchical_rollup", "win_funnel_ordered", "merge_upsert_latest",
-    "profile_column_stats", "join_skew_salted", "subq_scalar_correlated",
-    "subq_exists_not_in",
-    "tpch_q1_style_full", "tpch_q3_style_shipping_priority",
-    "tpch_q5_style_regional_volume", "tpch_q7_style_nation_volume",
-    "tpch_q10_style_returned_items", "tpch_q12_style_late_lines",
-    "tpch_q14_style_promo_revenue", "tpch_q18_style_large_orders",
-    "tpch_q19_style_disjunctive", "tpch_q22_style_idle_customers",
-    "tpch_q2_style_min_cost_supplier", "tpch_q4_style_priority_check",
-    "tpch_q6_style_forecast_revenue", "tpch_q8_style_market_share",
-    "tpch_q9_style_product_profit", "tpch_q11_style_important_parts",
-    "tpch_q13_style_order_counts", "tpch_q15_style_top_supplier",
-    "tpch_q16_style_supplier_counts", "tpch_q17_style_small_qty_revenue",
-    "tpch_q20_style_part_shippers", "tpch_q21_style_waiting_suppliers",
+    "ts_anomaly_zscore", "ts_sessionize_batch", "ts_gap_fill_spine",
+    "ts_resample_ohlc", "ts_hierarchical_rollup", "win_funnel_ordered",
+    "merge_upsert_latest", "profile_column_stats", "join_skew_salted",
+    "subq_scalar_correlated", "subq_exists_not_in", "tpch_q1_style_full",
+    "tpch_q3_style_shipping_priority", "tpch_q5_style_regional_volume",
+    "tpch_q7_style_nation_volume", "tpch_q10_style_returned_items",
+    "tpch_q12_style_late_lines", "tpch_q14_style_promo_revenue",
+    "tpch_q18_style_large_orders", "tpch_q19_style_disjunctive",
+    "tpch_q22_style_idle_customers", "tpch_q2_style_min_cost_supplier",
+]
+
+# Among the not-yet-verified queries, run these FIRST (the driver's
+# 50-row budget should land on the highest-value rows): exactly the 49
+# oracle-bearing queries that still lack an official CORRECTNESS row
+# after rounds 1-4 (the remaining TPC-H shapes + the whole LLM-pipeline
+# family), with the slowest dedup variants at the tail of the block.
+_VERIFY_FIRST = [
+    "tpch_q4_style_priority_check", "tpch_q6_style_forecast_revenue",
+    "tpch_q8_style_market_share", "tpch_q9_style_product_profit",
+    "tpch_q11_style_important_parts", "tpch_q13_style_order_counts",
+    "tpch_q15_style_top_supplier", "tpch_q16_style_supplier_counts",
+    "tpch_q17_style_small_qty_revenue", "tpch_q20_style_part_shippers",
+    "tpch_q21_style_waiting_suppliers",
+    "llm_text_langid", "llm_text_quality", "llm_text_tokens",
+    "llm_text_tfidf", "llm_text_fingerprint", "llm_text_normalize",
+    "llm_text_repetition", "llm_text_top_ngrams", "llm_text_zipf_fit",
+    "llm_bigram_pmi", "llm_pii_redact", "llm_quality_classifier",
+    "llm_doc_length_histogram", "llm_chunk_documents", "llm_pack_sequences",
+    "llm_split_train_val_test", "llm_sample_per_group",
+    "llm_interleave_sources", "llm_mixture_weights", "llm_source_datacard",
+    "llm_pipeline_end_to_end",
+    "llm_knn_cosine_exact", "llm_knn_cosine_pandas",
+    "llm_embedding_centroids", "llm_embedding_quantize_calib",
+    "llm_cluster_assign", "llm_embedding_random_projection",
+    "llm_dedup_embedding_cosine", "llm_dedup_cross_corpus",
+    "llm_dedup_threshold_sweep",
+    "llm_multimodal_blob", "llm_multimodal_features",
+    "llm_multimodal_frame_sample", "llm_multimodal_audio_window",
+    "llm_decontaminate_benchmark", "llm_dedup_clusters",
+    "llm_dedup_edit_distance", "llm_dedup_containment",
 ]
 
 # ... and run these LAST: rows-only checks (weaker rows) and the

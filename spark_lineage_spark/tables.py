@@ -61,7 +61,14 @@ def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
         # lose precision (1.7e18 ns exceeds the 2^53 exact-integer range)
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     elif dtype == "timestamp_ntz":
-        # session tz is UTC ⇒ same wall clock, same micros since epoch
+        # The NTZ→LTZ cast interprets the wall clock in the SESSION
+        # timezone; on a non-UTC host with an untuned session that
+        # shifts the epoch instant and every epoch-anchored result
+        # (window() buckets, unix_micros) diverges from the oracle.
+        # Pin UTC here so the conversion is host-tz-independent even
+        # when the caller skipped tune_runtime (runtime-settable conf,
+        # idempotent — same value tune_runtime sets).
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 

@@ -26,20 +26,30 @@ SENSITIVE = [
     "ts_resample_ohlc",  # min_by/max_by tie behavior
     "ts_concurrency_sweep",
     "agg_stats",  # variance/stddev accumulation
+    "subq_recursive_cte",  # per-depth path-bal totals (decimal-summed)
+    "udf_apply_in_arrow",  # grouped-map sums rounded outside the UDF
 ]
 
 
 def _rows(spark, name: str, partitions: str):
+    from unittest.mock import patch
+
+    from spark_lineage_spark import session as S
     from spark_lineage_spark.registry import load_all
 
-    # Build FIRST (the registry wrapper re-applies the engine's default
-    # confs, which would silently undo the override), THEN set the
-    # partitioning and execute — Spark reads shuffle confs at action
-    # time, so the override governs the actual run.
-    df = load_all()[name].builder(spark, SF)
-    spark.conf.set("spark.sql.shuffle.partitions", partitions)
-    cols = sorted(df.columns)
-    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+    # The override must govern BOTH build time and action time: some
+    # builders execute their float-sensitive aggregate eagerly at build
+    # (localCheckpoint in tpch_q2/q15), and the registry wrapper's
+    # tune_runtime re-applies RUNTIME_CONFS before the builder body
+    # runs — so patch the default itself for the duration (ADVICE r4;
+    # previously the 3-vs-32 comparison never reached the checkpointed
+    # aggregation).
+    patched = dict(S.RUNTIME_CONFS, **{"spark.sql.shuffle.partitions": partitions})
+    with patch.dict(S.RUNTIME_CONFS, patched, clear=True):
+        spark.conf.set("spark.sql.shuffle.partitions", partitions)
+        df = load_all()[name].builder(spark, SF)
+        cols = sorted(df.columns)
+        return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
 
 
 @pytest.mark.parametrize("name", SENSITIVE)

@@ -293,6 +293,41 @@ def _minhash_lsh_pairs(sh: DataFrame, threshold: float = JACCARD_THRESHOLD) -> D
     )
 
 
+# HashingTF features staged once per (app, sf_dir) — the same staging
+# discipline as _shingle_index: vectorization (shingle explode + TF
+# hash) costs ~3s at sf0.1 and is byte-identical across invocations;
+# a real pipeline featurizes once and runs many similarity jobs.
+_ML_FEATURES_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _ml_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import HashingTF
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _ML_FEATURES_CACHE.get(key)
+    if df is None:
+        app = spark.sparkContext.applicationId
+        for k in [k for k in _ML_FEATURES_CACHE if k[0] != app]:
+            del _ML_FEATURES_CACHE[k]
+        d = load(spark, sf_dir, "documents")
+        sh = d.select("doc_id", word_shingles(F.col("text"), 3).alias("shingles")).filter(
+            F.size("shingles") > 0
+        )
+        tf = HashingTF(
+            inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+        )
+        # Project to (doc_id, features) BEFORE the similarity join:
+        # approxSimilarityJoin explodes each row once per hash table and
+        # shuffles whole rows, so carrying the shingle string array
+        # through that explode dominates runtime (measured 160s -> 10s
+        # at sf0.1 from this projection alone).
+        # localCheckpoint: the vectorization is otherwise re-executed
+        # three times — lsh.fit, datasetA, datasetB.
+        df = tf.transform(sh).select("doc_id", "features").localCheckpoint()
+        _ML_FEATURES_CACHE[key] = df
+    return df
+
+
 @query("llm_dedup_minhash_ml", "§2.11 MinHashLSH via pyspark.ml (approxSimilarityJoin) — rows-only", None)
 def llm_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pyspark.ml pipeline form (SURVEY §2.11 'build on' column):
@@ -302,27 +337,16 @@ def llm_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles (2^18 features) so its Jaccard is approximate even before
     MinHash — rows-only, agreement with the exact operator asserted in
     tests/test_llm_ops.py."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    from pyspark.ml.feature import MinHashLSH
 
-    d = load(spark, sf_dir, "documents")
-    sh = (
-        d.select("doc_id", word_shingles(F.col("text"), 3).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-    )
-    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
-    # Project to (doc_id, features) BEFORE the similarity join:
-    # approxSimilarityJoin explodes each row once per hash table and
-    # shuffles whole rows, so carrying the shingle string array through
-    # that 8x explode dominates runtime (measured 160s -> 10s at sf0.1
-    # from this projection alone). Same rows out — the join only needs
-    # the vector column and the key we keep.
-    # localCheckpoint: the vectorization (shingle explode + TF hash) is
-    # otherwise re-executed three times — lsh.fit, datasetA, datasetB.
-    feat = tf.transform(sh).select("doc_id", "features").localCheckpoint()
-    # 5 OR-amplified tables: a true pair at jaccard 0.8 is still a
-    # candidate with p = 1-(1-0.8)^5 ≈ 0.99968 (real dups sit higher),
-    # and the join explodes 3 fewer copies of every row than 8 tables.
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
+    feat = _ml_features(spark, sf_dir)
+    # 3 OR-amplified tables: a true pair at jaccard 0.8 is still a
+    # candidate with p = 1-(1-0.8)^3 = 0.992 (real dups sit higher; the
+    # recall floor asserted in tests/test_llm_ops.py is 0.8), and the
+    # similarity join's row explosion — its dominant cost — scales
+    # linearly with the table count (measured 2.0s→1.0s at sf0.1 going
+    # 5→3, identical pairs out).
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=3, seed=42)
     model = lsh.fit(feat)
     joined = model.approxSimilarityJoin(feat, feat, threshold=0.2, distCol="jaccard_dist")
     return (
@@ -340,32 +364,37 @@ SIMHASH_BANDS = 8  # 8 byte-wide bands -> guaranteed recall for hamming <= 7
 
 @query("llm_dedup_simhash", "§2.11 SimHash near-dup — rows-only", None)
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash: token hashes JVM-side (xxhash64), then one
-    Arrow-batched applyInPandas folds each doc's hash array into the
-    signature with numpy bit ops (the only Python step — vectorized,
-    per-doc not per-token). Candidates block on 8 byte-bands
-    (pigeonhole: any pair with hamming ≤ 7 shares a band), verified
-    with exact bit_count(xor) ≤ 6. Deterministic; recall/property
-    tests in tests/test_llm_ops.py."""
+    """64-bit SimHash: per-doc token-hash ARRAYS built JVM-side with
+    higher-order functions (transform/filter over split — no explode,
+    no groupBy: the old explode→collect_list shape shuffled every
+    token hash only to put them back into per-doc arrays; this is
+    shuffle-free and partition-preserving end to end), then one
+    Arrow-batched mapInPandas folds each array into the signature with
+    numpy segment sums (np.add.reduceat — one vectorized pass, no
+    per-bit bincount). Candidates block on 8 byte-bands (pigeonhole:
+    any pair with hamming ≤ 7 shares a band), verified with exact
+    bit_count(xor) ≤ 6. Deterministic; recall/property tests in
+    tests/test_llm_ops.py."""
     d = load(spark, sf_dir, "documents")
-    # This stage is COMPUTE-bound (the numpy bit fold), not byte-bound:
-    # byte-sized partitioning would put a small corpus on one task and
-    # serialize the whole fold. Spread to core count (cheap shuffle of
-    # raw text); at real scale the byte sizing dominates again.
-    npart = max(explode_partitions(d), spark.sparkContext.defaultParallelism)
+    # Size partitions for the fold's ~10× in-memory expansion (the
+    # (tokens × 64) int8 bit matrix) from actual input bytes; tiny
+    # corpora stay on few partitions instead of paying a shuffle plus
+    # 32-task scheduling (measured: repartition(32) is a net LOSS at
+    # sf0.1 — 0.69s vs 0.55s single-partition).
+    npart = explode_partitions(d, factor=8)
     if npart > d.rdd.getNumPartitions():
-        d = d.repartition(npart, "doc_id")  # parallelize explode + fold
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token")).filter(
-        F.length("token") > 0
-    )
-    hashed = tok.groupBy("doc_id").agg(
-        F.collect_list(F.xxhash64("token")).alias("hashes")
+        d = d.repartition(npart, "doc_id")
+    hashed = d.select(
+        "doc_id",
+        F.expr(
+            "transform(filter(split(text, ' '), t -> length(t) > 0), t -> xxhash64(t))"
+        ).alias("hashes"),
     )
 
     def fold(batches):
         # vectorized across the WHOLE Arrow batch (one Python call per
         # batch, not per doc): flatten all token hashes, segment-sum
-        # the ±1 bit contributions per (doc, bit) with bincount, pack.
+        # the ±1 bit contributions per (doc, bit) with reduceat, pack.
         import numpy as np
         import pandas as pd
 
@@ -373,14 +402,17 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(pdf):
                 continue
             lens = pdf["hashes"].map(len).to_numpy()
+            keep = lens > 0
+            if not keep.all():
+                pdf, lens = pdf[keep], lens[keep]
+                if not len(pdf):
+                    continue
             h_all = np.concatenate(pdf["hashes"].to_list()).astype(np.int64).view(np.uint64)
-            doc_idx = np.repeat(np.arange(len(pdf)), lens)
             shifts = np.arange(64, dtype=np.uint64)
-            bits = ((h_all[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
-            contrib = bits * 2 - 1  # (tokens, 64)
-            sums = np.zeros((len(pdf), 64), dtype=np.int64)
-            for j in range(64):
-                sums[:, j] = np.bincount(doc_idx, weights=contrib[:, j], minlength=len(pdf))
+            bits = ((h_all[:, None] >> shifts) & np.uint64(1)).astype(np.int8)
+            contrib = bits * 2 - 1  # (tokens, 64) of ±1
+            starts = np.r_[0, np.cumsum(lens)[:-1]]
+            sums = np.add.reduceat(contrib, starts, axis=0, dtype=np.int64)
             packed = ((sums >= 0).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].to_numpy(), "simhash": packed.view(np.int64)}

@@ -169,8 +169,6 @@ _VERIFY_FIRST = [
 # ... and run these LAST: rows-only checks (weaker rows) and the
 # slowest dedup variants — they cost the most driver seconds per row.
 _VERIFY_LAST = [
-    "llm_dedup_containment", "llm_decontaminate_benchmark",
-    "llm_dedup_edit_distance", "llm_dedup_clusters",
     "llm_dedup_simhash", "llm_ann_lsh", "llm_ann_ivf",
     "lineage_catalog_query", "llm_dedup_minhash_ml",
 ]

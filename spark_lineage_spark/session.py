@@ -11,12 +11,22 @@ walking the analyzed logical plan (SURVEY.md §3.1 step 4).
 
 from __future__ import annotations
 
+import contextvars
 import os
 import time
 import uuid
-from typing import Any, Optional
+from typing import Any, Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Per-context prefix applied to emitted func_names; set by
+# ``LineageSession.foreach_batch`` so reports emitted inside a
+# micro-batch handler carry their epoch. contextvars (not a session
+# attribute): two concurrent streaming queries run their handlers on
+# different threads and must not see each other's epoch.
+_FUNC_PREFIX: contextvars.ContextVar[str] = contextvars.ContextVar(
+    "sls_func_prefix", default=""
+)
 
 # Runtime-settable confs applied to any session this engine touches.
 # All are safe to set repeatedly (idempotent).
@@ -160,6 +170,31 @@ class LineageSession:
     def table(self, name: str) -> "LineageDataFrame":
         return self._wrap(self.spark.table(name))
 
+    def foreach_batch(self, handle: Callable) -> Callable:
+        """Wrap a ``foreachBatch`` handler for batch-level lineage.
+
+        The handler receives the micro-batch as a ``LineageDataFrame``,
+        so writes/actions inside it emit full reports (inputs, output,
+        column edges) — the per-epoch complement to the
+        StreamingQueryListener's progress reports, which carry only
+        source/sink descriptions. Emitted func_names are prefixed
+        ``foreachBatch[<epoch>]:`` via a context variable, so reports
+        from concurrent streams cannot cross-tag.
+
+        Usage::
+
+            q = df.writeStream.foreachBatch(eng.foreach_batch(handle))
+        """
+
+        def wrapped(batch_df: DataFrame, epoch_id: int) -> None:
+            token = _FUNC_PREFIX.set(f"foreachBatch[{epoch_id}]:")
+            try:
+                handle(self._wrap(batch_df), epoch_id)
+            finally:
+                _FUNC_PREFIX.reset(token)
+
+        return wrapped
+
     def _wrap(self, df: DataFrame) -> "LineageDataFrame":
         from spark_lineage_spark.sources.frame import LineageDataFrame
 
@@ -184,6 +219,10 @@ class LineageSession:
         """
         from spark_lineage_spark.plans.extract import extract_report
 
+        # resolve the epoch prefix on the CALLER's thread — the async
+        # executor thread has its own (empty) context
+        tagged_name = _FUNC_PREFIX.get() + func_name
+
         def capture():
             # Lineage capture is observability: an extraction or
             # reporter failure must never propagate into (or fail) the
@@ -191,7 +230,7 @@ class LineageSession:
             try:
                 report = extract_report(
                     df,
-                    func_name=func_name,
+                    func_name=tagged_name,
                     duration_s=duration_s,
                     app_id=self.app_id,
                     app_name=self.app_name,

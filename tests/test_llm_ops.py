@@ -379,3 +379,53 @@ def test_containment_planted(spark, tmp_path):
 
     got = {(r.contained, r.container) for r in llm_dedup_containment(spark, path).collect()}
     assert got == {(1, 2)}
+
+
+def test_simhash_matches_naive_reference(spark, tmp_path):
+    """End-to-end check of the shuffle-free signature path (round 5
+    rewrite): on a crafted corpus, the operator's pair set must equal a
+    naive per-doc Python SimHash — band blocking is pigeonhole-complete
+    for hamming <= 7, so no true pair at <= 6 may be missed."""
+    from pyspark.sql import functions as F
+
+    from spark_lineage_spark.operators.dedup import llm_dedup_simhash
+
+    base = [f"tok{i}" for i in range(24)]
+    texts = {
+        0: " ".join(base),
+        1: " ".join(base),  # exact dup of 0
+        2: " ".join(base[:-1] + ["changed"]),  # near dup of 0
+        3: " ".join(f"other{i}" for i in range(24)),  # unrelated
+    }
+    (
+        spark.createDataFrame(
+            [(k, v, "en") for k, v in texts.items()], "doc_id long, text string, lang string"
+        )
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "documents.parquet"))
+    )
+
+    # ground-truth signatures with Spark's own xxhash64 (seeded 42)
+    toks = sorted({t for v in texts.values() for t in v.split()})
+    hrows = spark.createDataFrame([(t,) for t in toks], "t string").select(
+        "t", F.xxhash64("t").alias("h")
+    ).collect()
+    h = {r.t: r.h & 0xFFFFFFFFFFFFFFFF for r in hrows}
+
+    def naive_sig(text):
+        sums = [0] * 64
+        for t in text.split():
+            for b in range(64):
+                sums[b] += 1 if (h[t] >> b) & 1 else -1
+        return sum((1 << b) for b in range(64) if sums[b] >= 0)
+
+    sigs = {k: naive_sig(v) for k, v in texts.items()}
+    expected = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a in texts
+        for b in texts
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 6
+    }
+    got = {(r.da, r.db, r.hamming) for r in llm_dedup_simhash(spark, str(tmp_path)).collect()}
+    assert got == expected, (got, expected)
+    assert (0, 1, 0) in got  # the exact dup pair survives

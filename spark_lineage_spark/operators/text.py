@@ -1124,3 +1124,96 @@ def llm_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.round(F.avg("doc_lp"), 6).alias("avg_logprob")
     )
+
+
+REPEATED_PASSAGES_ORACLE = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, ws, unnest(generate_series(1, n_tokens - 4)) AS i
+  FROM base WHERE n_tokens >= 5
+),
+grams AS (
+  SELECT doc_id, i - 1 AS s, array_to_string(ws[i:i+4], ' ') AS gram FROM idx
+),
+hot AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+flagged AS (SELECT g.doc_id, g.s FROM grams g JOIN hot USING (gram)),
+cov AS (
+  SELECT doc_id,
+         sum(CASE WHEN prev IS NULL THEN 5 ELSE least(5, s - prev) END) AS covered
+  FROM (SELECT doc_id, s, lag(s) OVER (PARTITION BY doc_id ORDER BY s) AS prev
+        FROM flagged)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens,
+       round(coalesce(c.covered, 0) * 1.0 / b.n_tokens, 6) AS repeated_frac
+FROM base b LEFT JOIN cov c USING (doc_id)
+"""
+
+
+@query(
+    "llm_repeated_passages",
+    "§2.11 cross-doc repeated-passage coverage (dup-span fraction filter)",
+    REPEATED_PASSAGES_ORACLE,
+)
+def llm_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repeated-span filter signal (the RefinedWeb / "dedup spans"
+    shape): fraction of each document's tokens lying inside a word
+    5-gram that also occurs in ANOTHER document. Any exactly-repeated
+    passage of >= 5 tokens shares a 5-gram at every offset, so span
+    coverage is exact for passages at or above the window size.
+
+    Scale design — deliberately NO pair join anywhere: (1) gram table
+    is one row per (doc, offset), linear in corpus tokens, built
+    JVM-side by word_shingles (transform over indices, no explode
+    twice); (2) "hot" grams = one hash aggregate with an early
+    distinct-doc count; (3) flagged offsets = equi semi-join on the
+    gram string — a boilerplate gram shared by a million docs
+    contributes candidates linear in its occurrences, never quadratic;
+    (4) span-union coverage is a per-doc window over offsets
+    (contribution = min(W, gap)), one shuffle on doc_id. At 100 TB the
+    gram aggregate is the big shuffle; salting is unnecessary because
+    the combine is algebraic (partial counts merge).
+    """
+    W = 5
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    grams = d.select(
+        "doc_id",
+        F.posexplode(word_shingles(F.col("text"), W)).alias("s", "gram"),
+    )
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("gram")
+    )
+    flagged = grams.join(hot, "gram", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("s")
+    cov = (
+        flagged.withColumn("prev", F.lag("s").over(w))
+        .withColumn(
+            "contrib",
+            F.when(F.col("prev").isNull(), F.lit(W)).otherwise(
+                F.least(F.lit(W), F.col("s") - F.col("prev"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("covered"))
+    )
+    return (
+        base.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("covered"), F.lit(0)).cast("bigint").alias("covered_tokens"),
+            F.round(
+                F.coalesce(F.col("covered"), F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("repeated_frac"),
+        )
+    )

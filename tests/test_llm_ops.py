@@ -429,3 +429,27 @@ def test_simhash_matches_naive_reference(spark, tmp_path):
     got = {(r.da, r.db, r.hamming) for r in llm_dedup_simhash(spark, str(tmp_path)).collect()}
     assert got == expected, (got, expected)
     assert (0, 1, 0) in got  # the exact dup pair survives
+
+
+def test_repeated_passages_planted_span(spark, tmp_path):
+    """Planted 7-token passage shared by two docs: coverage must be
+    exactly the span length on both sides (5 for the first window plus
+    1 per extra offset), and an unrelated doc must report zero."""
+    from spark_lineage_spark.operators.text import llm_repeated_passages
+
+    run = "a b c d e f g"  # 7 shared tokens
+    texts = {
+        0: run + " h0 i0 j0",                   # span at offset 0, 10 tokens
+        1: "x1 x2 x3 x4 x5 " + run + " y1 y2",  # span at offset 5, 14 tokens
+        2: " ".join(f"z{i}" for i in range(12)),  # unrelated
+    }
+    spark.createDataFrame(
+        [(k, v, "en", "s", len(v)) for k, v in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    rows = {r.doc_id: r for r in llm_repeated_passages(spark, str(tmp_path)).collect()}
+    assert rows[0].covered_tokens == 7 and rows[0].n_tokens == 10
+    assert rows[1].covered_tokens == 7 and rows[1].n_tokens == 14
+    assert rows[2].covered_tokens == 0 and rows[2].repeated_frac == 0.0
+    assert abs(rows[0].repeated_frac - 0.7) < 1e-9

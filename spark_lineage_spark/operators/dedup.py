@@ -457,6 +457,51 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _min_label_components(pairs: DataFrame) -> DataFrame:
+    """Connected components over an undirected pair list (da, db) via
+    iterative min-label propagation → (node, label).
+
+    Each node takes the min id among itself and its neighbors until
+    fixpoint: O(diameter) joined rounds over the (tiny) edge list,
+    localCheckpoint per round to truncate iteration lineage (at 100 TB:
+    a reliable checkpoint dir, and the large-star/small-star variant
+    keeps rounds logarithmic). Labels are monotonically non-increasing,
+    so the loop terminates without an arbitrary round cap (ADVICE r1).
+    """
+    edges = pairs.union(pairs.select(F.col("db").alias("da"), F.col("da").alias("db")))
+    labels = (
+        edges.select(F.col("da").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.db == labels.node)
+            .groupBy("da")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.da, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)  # convergence probe, not a result count
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 DEDUP_CLUSTERS_ORACLE = """
 WITH RECURSIVE
 words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -507,48 +552,11 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the pair list ONCE — the iteration must run on the
     # (tiny) edge list, not re-derive the LSH pipeline per round
     pairs = llm_dedup_minhash_lsh(spark, sf_dir).select("da", "db").localCheckpoint()
-    # undirected edge list so min-labels flow both ways
-    edges = pairs.union(pairs.select(F.col("db").alias("da"), F.col("da").alias("db")))
-    labels = (
-        edges.select(F.col("da").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    # min-label propagation converges in ≤ diameter rounds, and the
-    # label of every node is monotonically non-increasing, so the loop
-    # terminates without an arbitrary cap — a duplicate-chain longer
-    # than any fixed round budget still resolves correctly (ADVICE r1).
-    while True:
-        neighbor_min = (
-            edges.join(labels, edges.db == labels.doc_id)
-            .groupBy("da")
-            .agg(F.min("label").alias("nmin"))
-        )
-        # localCheckpoint per round: truncates the growing iteration
-        # lineage (at 100 TB: reliable checkpoint dir instead)
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.da, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = _min_label_components(pairs)
     return labels.groupBy("label").agg(
         F.count("*").alias("cluster_size"),
-        F.min("doc_id").alias("survivor"),
-        F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("members"),
+        F.min("node").alias("survivor"),
+        F.array_join(F.sort_array(F.collect_list("node")), ",").alias("members"),
     )
 
 
@@ -891,4 +899,57 @@ def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
         F.count(F.when(F.col("rn") > 1, 1)).alias("n_dropped"),
         F.sum(F.when(F.col("rn") == 1, F.col("n_chars"))).cast("bigint").alias("kept_chars"),
+    )
+
+
+SEMANTIC_DEDUP_ORACLE = f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, label AS blk,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= {COSINE_NEARDUP_THRESHOLD}
+),
+edges AS (SELECT va, vb FROM pairs UNION ALL SELECT vb, va FROM pairs),
+nodes AS (SELECT DISTINCT va AS vec_id FROM edges),
+walkcc AS (
+  SELECT vec_id, vec_id AS label FROM nodes
+  UNION
+  SELECT e.va AS vec_id, least(w.label, e.va) AS label
+  FROM walkcc w JOIN edges e ON w.vec_id = e.vb
+),
+final AS (SELECT vec_id, min(label) AS label FROM walkcc GROUP BY vec_id)
+SELECT label AS cluster_label, count(*) AS cluster_size, min(vec_id) AS survivor,
+       string_agg(vec_id, ',' ORDER BY vec_id) AS members
+FROM final GROUP BY label
+"""
+
+
+@query(
+    "llm_semantic_dedup",
+    "§2.11 semantic dedup (components over embedding-cosine pairs, one survivor each)",
+    SEMANTIC_DEDUP_ORACLE,
+)
+def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: cosine near-dup PAIRS (block-
+    keyed — the label column stands in for the coarse cluster a real
+    pipeline gets from k-means at scale) resolved into semantic
+    CLUSTERS with one survivor per cluster. Reuses the same min-label
+    component fixpoint as the lexical dedup path — detection method
+    changes, the resolution machinery doesn't. Oracle: DuckDB
+    WITH RECURSIVE min-label walk over the identical pair predicate."""
+    pairs = (
+        llm_dedup_embedding_cosine(spark, sf_dir)
+        .select(F.col("va").alias("da"), F.col("vb").alias("db"))
+        .localCheckpoint()
+    )
+    labels = _min_label_components(pairs)
+    return labels.groupBy("label").agg(
+        F.count("*").alias("cluster_size"),
+        F.min("node").alias("survivor"),
+        F.array_join(F.sort_array(F.collect_list("node")), ",").alias("members"),
+    ).select(
+        F.col("label").alias("cluster_label"), "cluster_size", "survivor", "members"
     )

@@ -453,3 +453,37 @@ def test_repeated_passages_planted_span(spark, tmp_path):
     assert rows[1].covered_tokens == 7 and rows[1].n_tokens == 14
     assert rows[2].covered_tokens == 0 and rows[2].repeated_frac == 0.0
     assert abs(rows[0].repeated_frac - 0.7) < 1e-9
+
+
+def test_semantic_dedup_matches_transitive_closure(spark):
+    """Semantic components must equal the Python transitive closure of
+    the cosine pair set (same invariant as the lexical cluster op)."""
+    from spark_lineage_spark.operators.dedup import (
+        llm_dedup_embedding_cosine,
+        llm_semantic_dedup,
+    )
+
+    pairs = [(r.va, r.vb) for r in llm_dedup_embedding_cosine(spark, SF).collect()]
+    assert pairs
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    expected = {}
+    for node in parent:
+        expected.setdefault(find(node), set()).add(node)
+    expected_clusters = {tuple(sorted(v)) for v in expected.values()}
+
+    got = llm_semantic_dedup(spark, SF).collect()
+    got_clusters = {tuple(int(x) for x in r.members.split(",")) for r in got}
+    assert got_clusters == expected_clusters
+    for r in got:
+        ms = [int(x) for x in r.members.split(",")]
+        assert r.survivor == min(ms) and r.cluster_label == min(ms)

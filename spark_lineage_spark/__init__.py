@@ -20,11 +20,13 @@ from spark_lineage_spark.plans.model import (
     RunMetadata,
 )
 from spark_lineage_spark.plans.reporters import (
+    BufferedNetworkReporter,
     CompositeReporter,
     ConsoleReporter,
     InMemoryReporter,
     JsonlReporter,
     Reporter,
+    reporter_from_conf,
 )
 
 __all__ = [
@@ -36,6 +38,8 @@ __all__ = [
     "LineageReport",
     "RunMetadata",
     "Reporter",
+    "reporter_from_conf",
+    "BufferedNetworkReporter",
     "ConsoleReporter",
     "JsonlReporter",
     "InMemoryReporter",

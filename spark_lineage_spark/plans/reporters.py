@@ -193,6 +193,75 @@ class CompositeReporter(Reporter):
             r.close()
 
 
+def reporter_from_conf(spark) -> Reporter:
+    """Build the reporter stack from ``spark.lineage.*`` runtime confs —
+    the configuration surface the reference exposes (its reporters are
+    selected through spark.lineage.* settings; SURVEY.md §0):
+
+    - ``spark.lineage.reporters``: comma list of ``jsonl`` | ``console``
+      | ``memory`` | ``network`` (default ``jsonl``).
+    - ``spark.lineage.jsonl.path``: JSONL log path (default
+      ``DEFAULT_LINEAGE_PATH``).
+    - ``spark.lineage.network.endpoint``: HTTP collector URL (required
+      for ``network``).
+    - ``spark.lineage.network.format``: ``json`` (native dicts,
+      default) or ``openlineage`` (RunEvents for a Marquez-style
+      collector).
+    - ``spark.lineage.network.batchSize`` / ``.flushSecs``: batching
+      knobs (defaults 50 / 2.0).
+
+    One name → that reporter; several → a CompositeReporter. Unknown
+    names raise immediately (misconfiguration must fail loudly at
+    session build, not silently drop lineage)."""
+    from spark_lineage_spark.plans.model import LineageReport
+
+    def conf(key: str, default: str | None = None) -> str | None:
+        try:
+            return spark.conf.get(key, default)
+        except Exception:
+            return default
+
+    names = [
+        n.strip()
+        for n in (conf("spark.lineage.reporters", "jsonl") or "jsonl").split(",")
+        if n.strip()
+    ]
+    built: list[Reporter] = []
+    for name in names:
+        if name == "jsonl":
+            built.append(
+                JsonlReporter(conf("spark.lineage.jsonl.path", DEFAULT_LINEAGE_PATH))
+            )
+        elif name == "console":
+            built.append(ConsoleReporter())
+        elif name == "memory":
+            built.append(InMemoryReporter())
+        elif name == "network":
+            endpoint = conf("spark.lineage.network.endpoint")
+            if not endpoint:
+                raise ValueError(
+                    "spark.lineage.reporters includes 'network' but "
+                    "spark.lineage.network.endpoint is not set"
+                )
+            fmt = conf("spark.lineage.network.format", "json")
+            serializer = (
+                LineageReport.to_openlineage if fmt == "openlineage" else None
+            )
+            built.append(
+                BufferedNetworkReporter(
+                    endpoint=endpoint,
+                    max_batch=int(conf("spark.lineage.network.batchSize", "50")),
+                    flush_interval_s=float(conf("spark.lineage.network.flushSecs", "2.0")),
+                    serializer=serializer,
+                )
+            )
+        else:
+            raise ValueError(f"unknown lineage reporter {name!r} in spark.lineage.reporters")
+    if not built:
+        built = [JsonlReporter()]
+    return built[0] if len(built) == 1 else CompositeReporter(*built)
+
+
 def load_lineage_json(path: str = DEFAULT_LINEAGE_PATH) -> list[dict]:
     """Read the JSONL log back as plain dicts (driver-side helper)."""
     out = []

@@ -128,10 +128,12 @@ class LineageSession:
         Catalyst-serialization floor per report, measured — BASELINE.md)
         off the caller's thread onto a single ordered worker; call
         ``flush()`` before reading reports synchronously."""
-        from spark_lineage_spark.plans.reporters import JsonlReporter
+        from spark_lineage_spark.plans.reporters import reporter_from_conf
 
         self.spark = tune_runtime(spark)
-        self.reporter = reporter if reporter is not None else JsonlReporter()
+        # default: build from spark.lineage.* confs (the reference's
+        # configuration surface) — plain JSONL when nothing is set
+        self.reporter = reporter if reporter is not None else reporter_from_conf(spark)
         self.app_id = spark.sparkContext.applicationId
         self.app_name = spark.sparkContext.appName
         self._executor = None

@@ -220,3 +220,105 @@ def test_network_reporter_ships_openlineage_payloads(spark):
     rep.close()
     assert sent and sent[0]["schemaURL"].startswith("https://openlineage.io/spec")
     assert sent[0]["inputs"][0]["name"] == "region"
+
+
+def test_reporter_from_conf_default_and_named(spark, tmp_path):
+    """spark.lineage.* conf surface: default is JSONL; named lists build
+    the right stack; unknown names and network-without-endpoint fail
+    loudly at build time."""
+    import pytest
+
+    from spark_lineage_spark.plans.reporters import (
+        CompositeReporter,
+        ConsoleReporter,
+        InMemoryReporter,
+        JsonlReporter,
+        reporter_from_conf,
+    )
+
+    def clear():
+        for k in (
+            "spark.lineage.reporters",
+            "spark.lineage.jsonl.path",
+            "spark.lineage.network.endpoint",
+        ):
+            try:
+                spark.conf.unset(k)
+            except Exception:
+                pass
+
+    clear()
+    try:
+        assert isinstance(reporter_from_conf(spark), JsonlReporter)
+
+        p = str(tmp_path / "lin.jsonl")
+        spark.conf.set("spark.lineage.reporters", "jsonl")
+        spark.conf.set("spark.lineage.jsonl.path", p)
+        r = reporter_from_conf(spark)
+        assert isinstance(r, JsonlReporter) and r.path == p
+
+        spark.conf.set("spark.lineage.reporters", "console,memory")
+        r = reporter_from_conf(spark)
+        assert isinstance(r, CompositeReporter)
+        assert isinstance(r.reporters[0], ConsoleReporter)
+        assert isinstance(r.reporters[1], InMemoryReporter)
+
+        spark.conf.set("spark.lineage.reporters", "network")
+        with pytest.raises(ValueError, match="endpoint"):
+            reporter_from_conf(spark)
+
+        spark.conf.set("spark.lineage.reporters", "carrier-pigeon")
+        with pytest.raises(ValueError, match="unknown lineage reporter"):
+            reporter_from_conf(spark)
+    finally:
+        clear()
+
+
+def test_reporter_from_conf_network_end_to_end(spark, tmp_path):
+    """network reporter built from confs ships OpenLineage RunEvents to
+    a local HTTP collector through a conf-configured LineageSession."""
+    import http.server
+    import json as _json
+    import threading
+
+    from spark_lineage_spark import LineageSession
+    from spark_lineage_spark.tables import load
+
+    received = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            received.extend(_json.loads(self.rfile.read(n)))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        spark.conf.set("spark.lineage.reporters", "network")
+        spark.conf.set(
+            "spark.lineage.network.endpoint",
+            f"http://127.0.0.1:{srv.server_port}/collect",
+        )
+        spark.conf.set("spark.lineage.network.format", "openlineage")
+        eng = LineageSession(spark)
+        eng._wrap(load(spark, "/root/testdata/sf0.001", "region")).collect()
+        eng.reporter.close()  # synchronous final drain
+        assert received, "no events reached the collector"
+        ev = received[0]
+        assert ev["eventType"] == "COMPLETE" and "run" in ev and "inputs" in ev
+    finally:
+        for k in (
+            "spark.lineage.reporters",
+            "spark.lineage.network.endpoint",
+            "spark.lineage.network.format",
+        ):
+            try:
+                spark.conf.unset(k)
+            except Exception:
+                pass
+        srv.shutdown()

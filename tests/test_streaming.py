@@ -388,3 +388,43 @@ def test_foreach_batch_facade_column_lineage(spark, sf_dir, tmp_path):
     # edges must still resolve through the aggregate to the leaf column
     assert edges["total_value"] == {"LogicalRDD.value"}, edges
     assert edges["event_type"] == {"LogicalRDD.event_type"}, edges
+
+
+def test_checkpoint_recovery_no_reprocessing(spark, sf_dir, tmp_path):
+    """Exactly-once across restart: a second availableNow run on the
+    SAME checkpoint must process only files that arrived after the
+    first run — the checkpointed file-source offsets skip batch 0."""
+    from spark_lineage_spark.tables import load
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    _add_batch(ev.limit(30), src, "b0")
+
+    ckpt = str(tmp_path / "ckpt")
+    seen = []  # (run, epoch, n_rows)
+
+    def run(tag):
+        def handle(batch_df, epoch_id):
+            seen.append((tag, epoch_id, batch_df.count()))
+
+        q = (
+            spark.readStream.schema(ev.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("first")
+    first = [s for s in seen if s[0] == "first"]
+    assert sum(n for _, _, n in first) == 30, first
+
+    _add_batch(ev.limit(50), src, "b1")  # 50 MORE rows in a second file
+    run("second")
+    second = [s for s in seen if s[0] == "second"]
+    # only the new file's rows — batch 0's 30 rows are NOT reprocessed
+    assert sum(n for _, _, n in second) == 50, second
+    assert all(e >= 1 for _, e, _ in second), second  # epochs continue, not restart

@@ -1,0 +1,159 @@
+"""Empirical scaling probe: run key operators at sf0.1 and at a 10×
+replicated copy of it, and record the runtime ratio in SCALE.md.
+
+"Designed for 100 TB" is a claim about asymptotics; this probe checks
+the first decade of it empirically. A blocked/bounded operator should
+scale ~linearly in corpus size (ratio ≈ 10, modulo fixed overhead that
+makes small runs look worse); a hidden quadratic (all-pairs join,
+unbounded candidate set) shows up as a ratio ≫ 10.
+
+The 10× fixture replicates each table with key shifting so join
+integrity and duplicate structure scale LINEARLY:
+- facts (orders/lineitem): o_orderkey/l_orderkey shifted per replica,
+  dim keys untouched (dims are copied once — same join fan-in);
+- documents: doc_id shifted; replica 0 keeps original text, replicas
+  i>0 prefix every token with r{i}x so no cross-replica near-dups are
+  fabricated (pair count grows 10×, not 100×);
+- embeddings: vec_id shifted, vectors untouched.
+
+Usage: python tools/scale_probe.py [--base /root/testdata/sf0.1]
+                                   [--out /tmp/sls_scale10] [--factor 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PROBE_QUERIES = [
+    # text / dedup family (corpus-linear designs)
+    "llm_dedup_exact",
+    "llm_dedup_minhash_lsh",
+    "llm_dedup_simhash",
+    "llm_repeated_passages",
+    "llm_text_quality",
+    "llm_text_tfidf",
+    "llm_ngram_lm_score",
+    # relational core (scan/shuffle-bound)
+    "flagship_pricing_join",
+    "tpch_q1_style_full",
+    "tpch_q5_style_regional_volume",
+    "agg_count_distinct",
+    "win_ranking",
+    # embeddings
+    "llm_knn_cosine_exact",
+]
+
+
+def build_fixture(spark, base: str, out: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    from spark_lineage_spark.tables import TABLES
+
+    os.makedirs(out, exist_ok=True)
+    for name in TABLES:
+        dst = os.path.join(out, f"{name}.parquet")
+        if os.path.exists(dst):
+            shutil.rmtree(dst, ignore_errors=True)
+        src = spark.read.parquet(os.path.join(base, f"{name}.parquet"))
+        if name in ("orders", "lineitem", "documents", "embeddings", "events", "customer"):
+            key = {
+                "orders": "o_orderkey",
+                "lineitem": "l_orderkey",
+                "documents": "doc_id",
+                "embeddings": "vec_id",
+                "events": "user_id",
+                "customer": "c_custkey",
+            }[name]
+            shift = (src.agg(F.max(key)).collect()[0][0] or 0) + 1
+            reps = []
+            for i in range(factor):
+                r = src.withColumn(key, F.col(key) + F.lit(i * shift))
+                if name == "documents" and i > 0:
+                    # unique token namespace per replica: no fabricated
+                    # cross-replica duplicates
+                    r = r.withColumn(
+                        "text",
+                        F.array_join(
+                            F.transform(
+                                F.split("text", " "),
+                                lambda t: F.concat(F.lit(f"r{i}x"), t),
+                            ),
+                            " ",
+                        ),
+                    )
+                reps.append(r)
+            big = reps[0]
+            for r in reps[1:]:
+                big = big.unionByName(r)
+            big.write.mode("overwrite").parquet(dst)
+        else:
+            # dims copied once: replicated facts keep referencing them
+            src.write.mode("overwrite").parquet(dst)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/sls_scale10")
+    ap.add_argument("--factor", type=int, default=10)
+    args = ap.parse_args()
+
+    from spark_lineage_spark.registry import load_all
+    from spark_lineage_spark.session import build_spark
+
+    specs = load_all()
+    spark = build_spark("sls_scale_probe")
+    print(f"building {args.factor}x fixture at {args.out} ...", flush=True)
+    t0 = time.time()
+    build_fixture(spark, args.base, args.out, args.factor)
+    print(f"fixture built in {time.time() - t0:.1f}s", flush=True)
+
+    # warm
+    specs["flagship_pricing_join"].builder(spark, "/root/testdata/sf0.001").count()
+
+    rows = []
+    for name in PROBE_QUERIES:
+        spec = specs[name]
+        times = {}
+        for label, sf_dir in (("base", args.base), ("10x", args.out)):
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                n = spec.builder(spark, sf_dir).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            times[label] = (best, n)
+        ratio = times["10x"][0] / max(times["base"][0], 1e-9)
+        rows.append((name, times["base"][0], times["10x"][0], ratio,
+                     times["base"][1], times["10x"][1]))
+        print(f"{name}: {times['base'][0]:.2f}s -> {times['10x'][0]:.2f}s "
+              f"(x{ratio:.1f}, rows {times['base'][1]} -> {times['10x'][1]})",
+              flush=True)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "SCALE.md"), "w") as fh:
+        fh.write("# SCALE — empirical 10× scaling probe\n\n")
+        fh.write(
+            f"Runtime at `{args.base}` vs a {args.factor}× key-shifted replica\n"
+            f"(best of 2, warm session, local[32]; generated by\n"
+            f"`tools/scale_probe.py`). A blocked/bounded operator should land\n"
+            f"near ratio {args.factor} (fixed per-query overhead makes small\n"
+            f"runs look relatively worse, so ratios BELOW {args.factor} are\n"
+            f"common); a hidden quadratic would show ratios far above it.\n\n"
+        )
+        fh.write("| query | base s | 10x s | ratio | base rows | 10x rows |\n")
+        fh.write("|---|---|---|---|---|---|\n")
+        for name, b, x, r, nb, nx in rows:
+            fh.write(f"| {name} | {b:.2f} | {x:.2f} | {r:.1f} | {nb} | {nx} |\n")
+    print("wrote SCALE.md", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -384,7 +384,10 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     npart = explode_partitions(d, factor=8)
     if npart > d.rdd.getNumPartitions():
         d = d.repartition(npart, "doc_id")
-    hashed = d.select(
+    # NULL text would propagate through split/filter/transform to a
+    # NULL hashes array and crash len() inside the fold — drop such
+    # docs up front (the old explode path dropped them implicitly).
+    hashed = d.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.expr(
             "transform(filter(split(text, ' '), t -> length(t) > 0), t -> xxhash64(t))"
@@ -401,7 +404,7 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            lens = pdf["hashes"].map(len).to_numpy()
+            lens = pdf["hashes"].map(lambda h: 0 if h is None else len(h)).to_numpy()
             keep = lens > 0
             if not keep.all():
                 pdf, lens = pdf[keep], lens[keep]
@@ -502,6 +505,17 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
     return labels
 
 
+def _cluster_summary(labels: DataFrame) -> DataFrame:
+    """(node, label) → one row per cluster: size, min-id survivor,
+    sorted comma-joined members. Shared by the lexical and semantic
+    dedup resolutions so survivor/member semantics cannot diverge."""
+    return labels.groupBy("label").agg(
+        F.count("*").alias("cluster_size"),
+        F.min("node").alias("survivor"),
+        F.array_join(F.sort_array(F.collect_list("node")), ",").alias("members"),
+    )
+
+
 DEDUP_CLUSTERS_ORACLE = """
 WITH RECURSIVE
 words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -552,12 +566,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the pair list ONCE — the iteration must run on the
     # (tiny) edge list, not re-derive the LSH pipeline per round
     pairs = llm_dedup_minhash_lsh(spark, sf_dir).select("da", "db").localCheckpoint()
-    labels = _min_label_components(pairs)
-    return labels.groupBy("label").agg(
-        F.count("*").alias("cluster_size"),
-        F.min("node").alias("survivor"),
-        F.array_join(F.sort_array(F.collect_list("node")), ",").alias("members"),
-    )
+    return _cluster_summary(_min_label_components(pairs))
 
 
 COSINE_NEARDUP_THRESHOLD = 0.40
@@ -945,11 +954,6 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("va").alias("da"), F.col("vb").alias("db"))
         .localCheckpoint()
     )
-    labels = _min_label_components(pairs)
-    return labels.groupBy("label").agg(
-        F.count("*").alias("cluster_size"),
-        F.min("node").alias("survivor"),
-        F.array_join(F.sort_array(F.collect_list("node")), ",").alias("members"),
-    ).select(
+    return _cluster_summary(_min_label_components(pairs)).select(
         F.col("label").alias("cluster_label"), "cluster_size", "survivor", "members"
     )

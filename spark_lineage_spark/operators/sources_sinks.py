@@ -306,12 +306,29 @@ def _proc_suffix(sf_dir: str) -> str:
     return f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
 
 
+def _pid_alive(pid: int) -> bool:
+    """Portable liveness probe: signal 0 touches nothing but checks
+    existence/permission. EPERM means the pid exists under another
+    user — treat as alive (deleting is only safe when provably dead)."""
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    except OSError:
+        return True  # unknown state: keep the directory
+
+
 def _reap_stale_warehouse_dirs(spark: SparkSession, prefix: str) -> None:
     """Remove warehouse dirs left by DEAD processes for ``prefix``.
 
-    Names end in ``_{pid}``; a pid with no /proc entry cannot be
-    mid-read, so its directory is safe to delete. Live foreign pids are
-    left alone (that is the whole point of pid-scoping).
+    Names end in ``_{pid}``; a dead pid cannot be mid-read, so its
+    directory is safe to delete. Live foreign pids are left alone
+    (that is the whole point of pid-scoping). Liveness via kill(pid, 0)
+    — /proc would wrongly report every foreign pid dead on non-Linux
+    hosts and reintroduce the mid-read rmtree race.
     """
     import shutil
     from urllib.parse import urlparse
@@ -325,7 +342,7 @@ def _reap_stale_warehouse_dirs(spark: SparkSession, prefix: str) -> None:
         pid_s = d.rsplit("_", 1)[-1]
         if not pid_s.isdigit() or int(pid_s) == os.getpid():
             continue
-        if not os.path.exists(f"/proc/{pid_s}"):
+        if not _pid_alive(int(pid_s)):
             shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
 
 

@@ -227,36 +227,55 @@ def reporter_from_conf(spark) -> Reporter:
         if n.strip()
     ]
     built: list[Reporter] = []
-    for name in names:
-        if name == "jsonl":
-            built.append(
-                JsonlReporter(conf("spark.lineage.jsonl.path", DEFAULT_LINEAGE_PATH))
-            )
-        elif name == "console":
-            built.append(ConsoleReporter())
-        elif name == "memory":
-            built.append(InMemoryReporter())
-        elif name == "network":
-            endpoint = conf("spark.lineage.network.endpoint")
-            if not endpoint:
+    try:
+        for name in names:
+            if name == "jsonl":
+                built.append(
+                    JsonlReporter(conf("spark.lineage.jsonl.path", DEFAULT_LINEAGE_PATH))
+                )
+            elif name == "console":
+                built.append(ConsoleReporter())
+            elif name == "memory":
+                built.append(InMemoryReporter())
+            elif name == "network":
+                endpoint = conf("spark.lineage.network.endpoint")
+                if not endpoint:
+                    raise ValueError(
+                        "spark.lineage.reporters includes 'network' but "
+                        "spark.lineage.network.endpoint is not set"
+                    )
+                fmt = conf("spark.lineage.network.format", "json")
+                if fmt not in ("json", "openlineage"):
+                    raise ValueError(
+                        f"unknown spark.lineage.network.format {fmt!r} "
+                        "(expected 'json' or 'openlineage')"
+                    )
+                serializer = (
+                    LineageReport.to_openlineage if fmt == "openlineage" else None
+                )
+                built.append(
+                    BufferedNetworkReporter(
+                        endpoint=endpoint,
+                        max_batch=int(conf("spark.lineage.network.batchSize", "50")),
+                        flush_interval_s=float(
+                            conf("spark.lineage.network.flushSecs", "2.0")
+                        ),
+                        serializer=serializer,
+                    )
+                )
+            else:
                 raise ValueError(
-                    "spark.lineage.reporters includes 'network' but "
-                    "spark.lineage.network.endpoint is not set"
+                    f"unknown lineage reporter {name!r} in spark.lineage.reporters"
                 )
-            fmt = conf("spark.lineage.network.format", "json")
-            serializer = (
-                LineageReport.to_openlineage if fmt == "openlineage" else None
-            )
-            built.append(
-                BufferedNetworkReporter(
-                    endpoint=endpoint,
-                    max_batch=int(conf("spark.lineage.network.batchSize", "50")),
-                    flush_interval_s=float(conf("spark.lineage.network.flushSecs", "2.0")),
-                    serializer=serializer,
-                )
-            )
-        else:
-            raise ValueError(f"unknown lineage reporter {name!r} in spark.lineage.reporters")
+    except Exception:
+        # a later invalid name must not leak already-started reporters
+        # (BufferedNetworkReporter runs a flusher thread from __init__)
+        for r in built:
+            try:
+                r.close()
+            except Exception:
+                pass
+        raise
     if not built:
         built = [JsonlReporter()]
     return built[0] if len(built) == 1 else CompositeReporter(*built)

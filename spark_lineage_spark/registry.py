@@ -136,11 +136,13 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
 ]
 
 # Among the not-yet-verified queries, run these FIRST (the driver's
-# 50-row budget should land on the highest-value rows): exactly the 49
+# 50-row budget should land on the highest-value rows): the 51
 # oracle-bearing queries that still lack an official CORRECTNESS row
-# after rounds 1-4 (the remaining TPC-H shapes + the whole LLM-pipeline
-# family), with the slowest dedup variants at the tail of the block.
+# after rounds 1-4 — the two round-5 additions lead (newest code =
+# highest verification value), then the remaining TPC-H shapes + the
+# whole LLM-pipeline family, slowest dedup variants at the tail.
 _VERIFY_FIRST = [
+    "llm_repeated_passages", "llm_semantic_dedup",
     "tpch_q4_style_priority_check", "tpch_q6_style_forecast_revenue",
     "tpch_q8_style_market_share", "tpch_q9_style_product_profit",
     "tpch_q11_style_important_parts", "tpch_q13_style_order_counts",

@@ -61,15 +61,22 @@ def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
         # lose precision (1.7e18 ns exceeds the 2^53 exact-integer range)
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     elif dtype == "timestamp_ntz":
-        # The NTZ→LTZ cast interprets the wall clock in the SESSION
+        # A bare NTZ→LTZ cast interprets the wall clock in the SESSION
         # timezone; on a non-UTC host with an untuned session that
         # shifts the epoch instant and every epoch-anchored result
         # (window() buckets, unix_micros) diverges from the oracle.
-        # Pin UTC here so the conversion is host-tz-independent even
-        # when the caller skipped tune_runtime (runtime-settable conf,
-        # idempotent — same value tune_runtime sets).
-        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
-        df = df.withColumn(col, F.col(col).cast("timestamp"))
+        # Convert tz-FREE instead: wall-clock micros since the NTZ
+        # epoch (pure calendar arithmetic, no timezone involved), then
+        # timestamp_micros reattaches the instant. No session conf is
+        # read or mutated — callers keep whatever timezone they set.
+        df = df.withColumn(
+            col,
+            F.timestamp_micros(
+                F.expr(
+                    f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+                )
+            ),
+        )
     return df
 
 

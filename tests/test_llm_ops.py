@@ -487,3 +487,17 @@ def test_semantic_dedup_matches_transitive_closure(spark):
     for r in got:
         ms = [int(x) for x in r.members.split(",")]
         assert r.survivor == min(ms) and r.cluster_label == min(ms)
+
+
+def test_simhash_skips_null_text(spark, tmp_path):
+    """A NULL text row must be skipped (as the old explode path did),
+    not crash the Arrow fold with len(None)."""
+    from spark_lineage_spark.operators.dedup import llm_dedup_simhash
+
+    base = " ".join(f"tok{i}" for i in range(24))
+    spark.createDataFrame(
+        [(0, base, "en"), (1, base, "en"), (2, None, "en")],
+        "doc_id long, text string, lang string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {(r.da, r.db) for r in llm_dedup_simhash(spark, str(tmp_path)).collect()}
+    assert got == {(0, 1)}, got

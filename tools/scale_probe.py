@@ -56,6 +56,20 @@ def build_fixture(spark, base: str, out: str, factor: int) -> None:
     from spark_lineage_spark.tables import TABLES
 
     os.makedirs(out, exist_ok=True)
+    # ONE shared shift for the orderkey namespace: orders and lineitem
+    # must move their keys by the same amount or replica i's lineitems
+    # would reference no replica-i orders and every fact join would
+    # silently collapse to replica-0 matches (ratios would then measure
+    # a broken fixture, not the operators).
+    o = spark.read.parquet(os.path.join(base, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(base, "lineitem.parquet"))
+    orderkey_shift = (
+        max(
+            o.agg(F.max("o_orderkey")).collect()[0][0] or 0,
+            li.agg(F.max("l_orderkey")).collect()[0][0] or 0,
+        )
+        + 1
+    )
     for name in TABLES:
         dst = os.path.join(out, f"{name}.parquet")
         if os.path.exists(dst):
@@ -70,7 +84,10 @@ def build_fixture(spark, base: str, out: str, factor: int) -> None:
                 "events": "user_id",
                 "customer": "c_custkey",
             }[name]
-            shift = (src.agg(F.max(key)).collect()[0][0] or 0) + 1
+            if name in ("orders", "lineitem"):
+                shift = orderkey_shift
+            else:
+                shift = (src.agg(F.max(key)).collect()[0][0] or 0) + 1
             reps = []
             for i in range(factor):
                 r = src.withColumn(key, F.col(key) + F.lit(i * shift))

@@ -896,12 +896,17 @@ def llm_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     scorer): pmi = ln(p(ab) / (p(a) p(b))), bigrams below a count
     cutoff dropped.
 
-    Shape: two explode+groupBy passes (bigrams, unigrams) plus two
-    1-row totals crossJoined in-plan (the TF-IDF no-driver-count
-    pattern). The bigram→unigram joins shuffle on the word — the
-    unigram table is vocabulary-sized, tiny next to the corpus, so AQE
-    broadcasts it; no hint needed. Both engines evaluate the identical
-    f64 expression tree, so round-6 values agree exactly."""
+    Shape: ONE explode+groupBy pass per n-gram order, each
+    localCheckpoint'd — the unigram table feeds three plan branches
+    (ua/ub joins + the 1-row total) and the bigram counts feed two
+    (pairs + total); without the cut Catalyst re-executes the corpus
+    explode once per branch (measured: 5 FileScans + 5 Generates,
+    0 ReusedExchange). Totals derive from the count tables in-plan
+    (the TF-IDF no-driver-count pattern). The bigram→unigram joins
+    shuffle on the word — the unigram table is vocabulary-sized, tiny
+    next to the corpus, so AQE broadcasts it; no hint needed. Both
+    engines evaluate the identical f64 expression tree, so round-6
+    values agree exactly."""
     d = load(spark, sf_dir, "documents")
     npart = __import__(
         "spark_lineage_spark.operators.dedup", fromlist=["explode_partitions"]
@@ -912,9 +917,10 @@ def llm_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.explode(tokens(F.col("text"))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("u"))
+        .localCheckpoint()
     )
     nu = uni.agg(F.sum("u").alias("n_uni"))
-    bi = (
+    bi_counts = (
         d.select(F.explode(word_shingles(F.col("text"), 2)).alias("gram"))
         .select(
             F.split("gram", " ")[0].alias("wa"),
@@ -922,12 +928,12 @@ def llm_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("wa", "wb")
         .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= PMI_MIN_COUNT)
+        .localCheckpoint()
     )
-    nb_all = (
-        d.select(F.explode(word_shingles(F.col("text"), 2)).alias("gram"))
-        .agg(F.count("*").alias("n_bi"))
-    )
+    bi = bi_counts.filter(F.col("c") >= PMI_MIN_COUNT)
+    # total bigrams = sum of the UNFILTERED pair counts — same number
+    # the old third corpus explode computed, now from the tiny table
+    nb_all = bi_counts.agg(F.sum("c").alias("n_bi"))
     ua, ub = uni.alias("ua"), uni.alias("ub")
     j = (
         bi.join(ua, F.col("wa") == F.col("ua.w"))

@@ -1234,3 +1234,61 @@ def llm_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("repeated_frac"),
         )
     )
+
+
+VOCAB_SIZE = 1000
+
+VOCAB_COVERAGE_ORACLE = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+counts AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+vocab AS (SELECT w FROM counts ORDER BY c DESC, w LIMIT {VOCAB_SIZE}),
+marked AS (
+  SELECT t.source, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+  FROM toks t LEFT JOIN vocab v ON t.w = v.w
+)
+SELECT source, count(*) AS n_tokens,
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       round(sum(oov) * 1.0 / count(*), 6) AS oov_rate
+FROM marked GROUP BY source
+"""
+
+
+@query(
+    "llm_vocab_coverage",
+    "§2.11 tokenizer vocab coverage (OOV rate per source at a fixed vocab budget)",
+    VOCAB_COVERAGE_ORACLE,
+)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-budget diagnostic: build the top-K vocabulary by
+    corpus frequency (deterministic tie-break: count desc, token asc)
+    and report each source's out-of-vocabulary token rate — the number
+    that tells you whether a K-entry vocab serves every data source or
+    starves the tail ones.
+
+    Shape: one token explode feeding (a) the count table → top-K vocab
+    (vocabulary-sized, localCheckpoint'd — it feeds the join AND would
+    otherwise re-run the corpus pass) and (b) the per-token OOV mark
+    via a BROADCAST left join against the K-row vocab — the corpus
+    never shuffles; the only wide exchange is the token count. At
+    100 TB the count table is Zipf-skewed and AQE's skew handling
+    splits the hot tokens (session-wide conf)."""
+    d = load(spark, sf_dir, "documents").select("source", "text")
+    toks = d.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(VOCAB_SIZE)
+        .select("w")
+        .localCheckpoint()
+    )
+    marked = toks.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "w", "left"
+    ).select("source", F.when(F.col("in_vocab").isNull(), 1).otherwise(0).alias("oov"))
+    return marked.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("oov").cast("bigint").alias("n_oov"),
+        F.round(F.sum("oov") / F.count("*"), 6).alias("oov_rate"),
+    )

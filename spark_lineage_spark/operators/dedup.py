@@ -753,33 +753,31 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     longer document (quote-reuse / page-wrapping duplication; exact
     duplicates count, with the higher doc_id as the contained copy).
 
-    Not an O(n²) contains() join: a contained document (≥3 tokens on
-    token boundaries) necessarily has ALL its 3-gram shingles in the
-    container, so candidates are pairs from the shingle inverted index
-    where common-shingle count equals the contained side's distinct
-    shingle count — the same linear-shaped self-equi-join the Jaccard
-    ops use, then contains() verifies only those pairs (sub-token-
-    boundary containment is out of contract; the oracle's brute-force
-    join agrees on the word-soup fixture). Shares the session-staged
-    _shingle_index; its df cap can in principle drop a candidate for
-    adversarially hot shingles — same documented trade as the other
-    near-dup ops."""
+    Not an O(n²) contains() join — and not even an all-common-pairs
+    count: the prefix-filter from set-similarity joins. A contained
+    document (≥3 tokens on token boundaries) necessarily has ALL its
+    3-gram shingles in the container — in particular its RAREST one
+    (global min document frequency, shingle-string tie-break). So each
+    doc probes the inverted index with exactly ONE shingle: candidates
+    per doc ≈ df(rarest shingle), the smallest obtainable blocking
+    set, and the join is linear in the index instead of producing a
+    count row for every co-shingle pair. contains() then verifies the
+    exact predicate (sub-token-boundary containment is out of
+    contract; the oracle's brute-force join agrees on the word-soup
+    fixture). Shares the session-staged _shingle_index; the df cap can
+    only drop a doc's probe if EVERY shingle it has is capped-hot —
+    strictly rarer than the all-shingles variant's exposure."""
     sh = _shingle_index(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count("*").alias("c"))
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sh_df = sh.join(df_counts, "shingle")
+    rarest = sh_df.groupBy("doc_id").agg(
+        F.min_by("shingle", F.struct("df", "shingle")).alias("shingle")
     )
     cand = (
-        common.join(sizes.alias("sa"), F.col("da") == F.col("sa.doc_id"))
-        .filter(F.col("c") == F.col("sa.n"))
-        .select("da", "db")
+        rarest.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
     )
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = (

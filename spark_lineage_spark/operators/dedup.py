@@ -154,26 +154,41 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
 
 
 def _jaccard_pairs_from_shingles(sh: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
-    """Exact Jaccard ≥ threshold pairs from a (doc_id, shingle) index:
-    self-equi-join on shingle → count common per pair → |A∪B| from
-    per-doc sizes. Only docs sharing a shingle ever meet."""
+    """Exact Jaccard ≥ threshold pairs from a (doc_id, shingle) index,
+    candidates via the PPJoin PREFIX FILTER: order each doc's shingles
+    by global rarity (document frequency asc, shingle asc — one total
+    order shared by all docs) and probe the inverted index with only
+    the first ⌊(1-t)·n⌋+1 of them. If J(A,B) ≥ t the two prefixes must
+    intersect (if they didn't, A and B would disagree on more than a
+    (1-t) fraction of either set), so recall is exactly 1 — this is a
+    pure candidate reduction, ~5× fewer probe rows at t=0.8 and far
+    fewer candidate pairs (rare shingles collide rarely). Exact
+    verification on candidates only (shared with the MinHash path)."""
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count("*").alias("c"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    pref = (
+        sh.join(df_counts, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        # +1e-9 guards float dust: (1-0.8)*5 evaluates to 0.99999…,
+        # which would floor to 0 and UNDER-size the prefix (missed
+        # pairs); over-sizing by one is merely a few extra candidates
+        .filter(F.col("pos") <= F.floor((1 - threshold) * F.col("n") + 1e-9) + 1)
+        .select("doc_id", "shingle")
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    return (
-        common.join(sa, F.col("da") == F.col("sa.doc_id"))
-        .join(sb, F.col("db") == F.col("sb.doc_id"))
-        .withColumn("jaccard_raw", F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c")))
-        .filter(F.col("jaccard_raw") >= threshold)
-        .select("da", "db", F.round("jaccard_raw", 6).alias("jaccard"))
+    a, b = pref.alias("a"), pref.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+        .localCheckpoint()  # read 3× by the verify stage
     )
+    return _verify_exact_jaccard(sh, candidates, threshold)
 
 
 @query("llm_dedup_ngram_jaccard", "§2.11 n-gram Jaccard near-dup (exact)", NGRAM_JACCARD_ORACLE)
@@ -252,20 +267,24 @@ def _minhash_lsh_pairs(sh: DataFrame, threshold: float = JACCARD_THRESHOLD) -> D
         )
         .select(F.col("bl.doc_id").alias("da"), F.col("br.doc_id").alias("db"))
         .distinct()
-        .localCheckpoint()  # read 3× below (broadcast, semi-filter, doc list)
+        .localCheckpoint()  # read 3× by the verify stage
     )
+    return _verify_exact_jaccard(sh, candidates, threshold)
 
-    # Exact verification, candidate-pruned: LSH guarantees the
-    # candidate set is tiny relative to the corpus, but Catalyst can't
-    # estimate that — left alone it sort-merge-shuffles the full
-    # shingle table. So: (1) semi-join the shingle index down to
-    # candidate docs, (2) run the inverted-index pair join on that
-    # small slice, (3) keep exactly the candidate pairs with an inner
-    # semi-join. The small sides are broadcast ONLY while the
-    # materialized candidate count stays under CANDIDATE_BROADCAST_MAX
-    # (known for free after the checkpoint) — at adversarial duplicate
-    # density the verify stage degrades to plain shuffle joins instead
-    # of OOMing the driver (VERDICT r1 item 6).
+
+def _verify_exact_jaccard(sh: DataFrame, candidates: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of a CHECKPOINTED candidate pair
+    list, shared by the LSH-banded and prefix-filtered candidate
+    generators. Candidate sets are tiny relative to the corpus, but
+    Catalyst can't estimate that — left alone it sort-merge-shuffles
+    the full shingle table. So: (1) semi-join the shingle index down
+    to candidate docs, (2) run the inverted-index pair join on that
+    small slice, (3) keep exactly the candidate pairs with an inner
+    semi-join. The small sides are broadcast ONLY while the
+    materialized candidate count stays under CANDIDATE_BROADCAST_MAX
+    (known for free after the checkpoint) — at adversarial duplicate
+    density the verify stage degrades to plain shuffle joins instead
+    of OOMing the driver (VERDICT r1 item 6)."""
     n_cand = candidates.count()  # cheap: counts checkpointed blocks
     maybe_b = F.broadcast if n_cand <= CANDIDATE_BROADCAST_MAX else (lambda df: df)
     cand_docs = candidates.select(

@@ -974,3 +974,50 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cluster_summary(_min_label_components(pairs)).select(
         F.col("label").alias("cluster_label"), "cluster_size", "survivor", "members"
     )
+
+
+@query(
+    "llm_dedup_incremental",
+    "§2.11 incremental dedup (new batch vs corpus — daily-ingest shape)",
+    f"""
+    WITH pairs AS ({NGRAM_JACCARD_ORACLE})
+    SELECT da, db, jaccard FROM pairs
+    WHERE da % 10 = 0 OR db % 10 = 0
+    """,
+)
+def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ingest shape: dedup a NEW batch (stand-in: docs
+    with doc_id % 10 = 0) against the existing corpus AND itself,
+    WITHOUT re-deduping corpus-vs-corpus. Asymmetric prefix filter:
+    only the new docs' rarity-ordered prefixes probe the full inverted
+    index — any qualifying pair has a common prefix element on both
+    sides (prefix-filter theorem), and a common element of the new
+    side's prefix is in the other doc's full shingle set, so recall
+    stays exactly 1 while candidate generation scales with the BATCH,
+    not the corpus². The candidate pair carries ≥1 new doc by
+    construction; exact verification is the shared stage."""
+    sh = _shingle_index(spark, sf_dir)
+    # global rarity order must come from the FULL index (both sides of
+    # a pair computed their prefixes against the same order)
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    new_sh = sh.filter(F.col("doc_id") % 10 == 0)
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    pref_new = (
+        new_sh.join(df_counts, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(F.col("pos") <= F.floor((1 - JACCARD_THRESHOLD) * F.col("n") + 1e-9) + 1)
+        .select(F.col("doc_id").alias("new_id"), "shingle")
+    )
+    candidates = (
+        pref_new.join(sh, "shingle")
+        .filter(F.col("new_id") != F.col("doc_id"))
+        .select(
+            F.least("new_id", "doc_id").alias("da"),
+            F.greatest("new_id", "doc_id").alias("db"),
+        )
+        .distinct()
+        .localCheckpoint()  # read 3× by the verify stage
+    )
+    return _verify_exact_jaccard(sh, candidates, JACCARD_THRESHOLD)

@@ -143,6 +143,7 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
 # whole LLM-pipeline family, slowest dedup variants at the tail.
 _VERIFY_FIRST = [
     "llm_repeated_passages", "llm_semantic_dedup", "llm_vocab_coverage",
+    "llm_dedup_incremental",
     "tpch_q4_style_priority_check", "tpch_q6_style_forecast_revenue",
     "tpch_q8_style_market_share", "tpch_q9_style_product_profit",
     "tpch_q11_style_important_parts", "tpch_q13_style_order_counts",

@@ -153,30 +153,45 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
 """
 
 
-def _jaccard_pairs_from_shingles(sh: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
-    """Exact Jaccard ≥ threshold pairs from a (doc_id, shingle) index,
-    candidates via the PPJoin PREFIX FILTER: order each doc's shingles
-    by global rarity (document frequency asc, shingle asc — one total
-    order shared by all docs) and probe the inverted index with only
-    the first ⌊(1-t)·n⌋+1 of them. If J(A,B) ≥ t the two prefixes must
-    intersect (if they didn't, A and B would disagree on more than a
-    (1-t) fraction of either set), so recall is exactly 1 — this is a
-    pure candidate reduction, ~5× fewer probe rows at t=0.8 and far
-    fewer candidate pairs (rare shingles collide rarely). Exact
-    verification on candidates only (shared with the MinHash path)."""
+def _rarity_prefixes(sh: DataFrame, threshold: float, probe: DataFrame | None = None) -> DataFrame:
+    """PPJoin rarity-ordered prefixes of a (doc_id, shingle) index:
+    each doc's shingles sorted by global document frequency asc then
+    shingle asc (ONE total order shared by all docs — df and sizes
+    always come from the FULL index even when only a ``probe`` subset
+    emits prefixes), truncated to the first ⌊(1-t)·n⌋+1.
+
+    The float guard scales with n: (1-t) itself carries ~1e-16 of
+    downward error, so (1-t)*n for huge n can land just under an exact
+    integer and floor would UNDER-size the prefix (silently missed
+    pairs); n*1e-12 dominates that error at any representable n while
+    over-sizing by at most one — a few extra candidates, never a
+    recall loss."""
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    emit = probe if probe is not None else sh
     w = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    pref = (
-        sh.join(df_counts, "shingle")
+    return (
+        emit.join(df_counts, "shingle")
         .withColumn("pos", F.row_number().over(w))
         .join(sizes, "doc_id")
-        # +1e-9 guards float dust: (1-0.8)*5 evaluates to 0.99999…,
-        # which would floor to 0 and UNDER-size the prefix (missed
-        # pairs); over-sizing by one is merely a few extra candidates
-        .filter(F.col("pos") <= F.floor((1 - threshold) * F.col("n") + 1e-9) + 1)
+        .filter(
+            F.col("pos")
+            <= F.floor((1 - threshold) * F.col("n") + F.col("n") * 1e-12 + 1e-9) + 1
+        )
         .select("doc_id", "shingle")
     )
+
+
+def _jaccard_pairs_from_shingles(sh: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Exact Jaccard ≥ threshold pairs from a (doc_id, shingle) index,
+    candidates via the PPJoin PREFIX FILTER (_rarity_prefixes): if
+    J(A,B) ≥ t the two prefixes must intersect (if they didn't, A and
+    B would disagree on more than a (1-t) fraction of either set), so
+    recall is exactly 1 — this is a pure candidate reduction, ~5×
+    fewer probe rows at t=0.8 and far fewer candidate pairs (rare
+    shingles collide rarely). Exact verification on candidates only
+    (shared with the MinHash path)."""
+    pref = _rarity_prefixes(sh, threshold)
     a, b = pref.alias("a"), pref.alias("b")
     candidates = (
         a.join(
@@ -864,7 +879,7 @@ SWEEP_THRESHOLDS = [0.5, 0.6, 0.7, 0.8, 0.9]
     WITH pairs AS ({NGRAM_JACCARD_ORACLE.replace(">= 0.8", ">= 0.5")}),
     t AS (SELECT unnest([{", ".join(str(t) for t in SWEEP_THRESHOLDS)}]) AS threshold)
     SELECT threshold,
-           count(*) AS n_pairs,
+           count(jaccard) AS n_pairs,
            count(DISTINCT db) AS n_docs_dropped
     FROM t LEFT JOIN pairs ON jaccard >= threshold
     GROUP BY threshold
@@ -876,8 +891,10 @@ def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower doc_id, victim = higher). ONE pass builds the pair list at
     the loosest threshold; the sweep is then a 5-row broadcast
     theta-join over the (tiny) pair list — the expensive candidate
-    generation is never repeated per threshold. n_pairs counts 0 when
-    a threshold fires nothing (left join semantics, both engines)."""
+    generation is never repeated per threshold. n_pairs counts the
+    non-null jaccard values (count(jaccard), BOTH engines — a bare
+    count(*) would count the null-extended left-join row as 1 when a
+    threshold fires nothing)."""
     pairs = _jaccard_pairs_from_shingles(_shingle_index(spark, sf_dir), threshold=0.5)
     t = pairs.sparkSession.createDataFrame(
         [(t,) for t in SWEEP_THRESHOLDS], "threshold double"
@@ -997,18 +1014,12 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the corpus². The candidate pair carries ≥1 new doc by
     construction; exact verification is the shared stage."""
     sh = _shingle_index(spark, sf_dir)
-    # global rarity order must come from the FULL index (both sides of
-    # a pair computed their prefixes against the same order)
-    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     new_sh = sh.filter(F.col("doc_id") % 10 == 0)
-    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    pref_new = (
-        new_sh.join(df_counts, "shingle")
-        .withColumn("pos", F.row_number().over(w))
-        .join(sizes, "doc_id")
-        .filter(F.col("pos") <= F.floor((1 - JACCARD_THRESHOLD) * F.col("n") + 1e-9) + 1)
-        .select(F.col("doc_id").alias("new_id"), "shingle")
+    # _rarity_prefixes derives df/sizes from the FULL index (both sides
+    # of a pair must compute prefixes against the same global order)
+    # while only the batch emits prefix rows
+    pref_new = _rarity_prefixes(sh, JACCARD_THRESHOLD, probe=new_sh).select(
+        F.col("doc_id").alias("new_id"), "shingle"
     )
     candidates = (
         pref_new.join(sh, "shingle")

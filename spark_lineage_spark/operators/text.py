@@ -909,6 +909,15 @@ def llm_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both engines evaluate the identical f64 expression tree, so
     round-6 values agree exactly."""
     d = load(spark, sf_dir, "documents")
+    # explode-heavy stage: size partitions from input bytes so a
+    # scan-sized partition doesn't explode past memory (same guard as
+    # _distinct_shingles — the zip extraction changed the per-row cost,
+    # not the row-count expansion)
+    npart = __import__(
+        "spark_lineage_spark.operators.dedup", fromlist=["explode_partitions"]
+    ).explode_partitions(d)
+    if npart > d.rdd.getNumPartitions():
+        d = d.repartition(npart, "doc_id")
     uni = (
         d.select(F.explode(tokens(F.col("text"))).alias("w"))
         .groupBy("w")

@@ -872,3 +872,182 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_anomalies"
         ),
     )
+
+
+@query(
+    "ts_markov_transitions",
+    "§2.5 event-sequence Markov transition matrix (lag + Laplace)",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, date_trunc('microseconds', ts) AS tsu, event_id
+      FROM events
+    ), pairs AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY tsu, event_id) AS prev_type,
+             event_type AS next_type
+      FROM e
+    ), counts AS (
+      SELECT prev_type, next_type, count(*) AS n_trans
+      FROM pairs WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    ), totals AS (
+      SELECT prev_type, CAST(sum(n_trans) AS BIGINT) AS row_total FROM counts
+      GROUP BY prev_type
+    ), n_types AS (SELECT count(DISTINCT event_type) AS v FROM events)
+    SELECT c.prev_type, c.next_type, c.n_trans,
+           round((c.n_trans + 1.0) / (t.row_total + v.v), 6) AS p_smoothed
+    FROM counts c JOIN totals t USING (prev_type) CROSS JOIN n_types v
+    """,
+)
+def ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov chain over per-user event streams: lag()
+    within (user_id ORDER BY ts, event_id) forms the (prev, next)
+    pairs, a hash agg counts each transition, and the probability is
+    add-1 (Laplace) smoothed by the event-type vocabulary so unseen
+    transitions stay representable. The vocabulary size rides the plan
+    as a broadcast 1-row aggregate (in-plan scalar discipline — no
+    driver .collect()).
+
+    Shuffle shape: one exchange on user_id for the lag window, then
+    one on (prev, next) for the counts — the totals re-aggregate from
+    the counts table (|types|^2 rows), not from the events, so the big
+    table is traversed exactly once. Ties at the same microsecond are
+    broken by event_id, matching the oracle exactly.
+
+    At 100 TB this is the sessionization scale profile: windows need
+    whole-user partitions (bot users are the skew risk), while the
+    transition-count agg is tiny-keyed (|types|^2) and partial-agg
+    collapses it map-side."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"), F.col("event_type").alias("next_type")
+    ).where(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(F.count("*").alias("n_trans"))
+    totals = counts.groupBy("prev_type").agg(F.sum("n_trans").alias("row_total"))
+    v = ev.agg(F.countDistinct("event_type").alias("v"))
+    return (
+        counts.join(totals, "prev_type")
+        .crossJoin(F.broadcast(v))  # 1-row vocabulary scalar
+        .select(
+            "prev_type",
+            "next_type",
+            "n_trans",
+            F.round((F.col("n_trans") + 1.0) / (F.col("row_total") + F.col("v")), 6).alias(
+                "p_smoothed"
+            ),
+        )
+    )
+
+
+@query(
+    "ts_interpolate_linear",
+    "§2.5 per-user daily series with linear interpolation of gaps",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+             round(avg(value), 4) AS v
+      FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+    ), bounds AS (
+      SELECT user_id, min(d) AS lo, max(d) AS hi FROM daily GROUP BY user_id
+    ), spine AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+      FROM bounds
+    ), joined AS (
+      SELECT s.user_id, s.d, daily.v,
+             CASE WHEN daily.v IS NOT NULL THEN s.d END AS obs_d
+      FROM spine s LEFT JOIN daily USING (user_id, d)
+    ), ffill AS (
+      SELECT user_id, d, v,
+             last_value(v IGNORE NULLS) OVER wp AS prev_v,
+             last_value(obs_d IGNORE NULLS) OVER wp AS prev_d,
+             first_value(v IGNORE NULLS) OVER wf AS next_v,
+             first_value(obs_d IGNORE NULLS) OVER wf AS next_d
+      FROM joined
+      WINDOW wp AS (PARTITION BY user_id ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY d
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS d,
+           CASE WHEN v IS NOT NULL THEN 'obs'
+                WHEN prev_v IS NULL OR next_v IS NULL THEN 'edge'
+                ELSE 'interp' END AS kind,
+           round(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN prev_v IS NULL THEN next_v
+             WHEN next_v IS NULL THEN prev_v
+             ELSE prev_v + (next_v - prev_v)
+                  * date_diff('day', prev_d, d)
+                  / date_diff('day', prev_d, next_d)
+           END, 6) AS v_filled
+    FROM ffill
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap repair for per-entity time series: densify each user's
+    daily series over a per-user spine, then linearly interpolate
+    missing days between the nearest observed values (forward-looking
+    first_value + backward last_value, both IGNORE NULLS), falling back
+    to nearest-edge carry at the boundaries. The daily average is
+    rounded BEFORE interpolation so both engines interpolate identical
+    operands; day offsets are exact integers.
+
+    The spine is O(users x days) built from a per-user min/max
+    aggregate exploded with F.sequence — never O(events). One shuffle
+    on user_id then serves the fill join and BOTH window passes
+    (identical partitioning, Exchange reuse; the forward window is the
+    same sort order with a reversed frame, not a second sort).
+
+    At 100 TB: state per user is two (value, date) pairs per direction
+    — window-function memory is O(1) per row; the hazard is only a
+    degenerate user with a years-long span x fine grain, which caps at
+    spine granularity, not event volume."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    daily = ev.groupBy("user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")).agg(
+        F.round(F.avg("value"), 4).alias("v")
+    )
+    bounds = daily.groupBy("user_id").agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d")
+    )
+    joined = spine.join(daily, ["user_id", "d"], "left").withColumn(
+        "obs_d", F.when(F.col("v").isNotNull(), F.col("d"))
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ffill = joined.select(
+        "user_id",
+        "d",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last("obs_d", ignorenulls=True).over(wp).alias("prev_d"),
+        F.first("v", ignorenulls=True).over(wf).alias("next_v"),
+        F.first("obs_d", ignorenulls=True).over(wf).alias("next_d"),
+    )
+    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * F.datediff(
+        "d", "prev_d"
+    ) / F.datediff("next_d", "prev_d")
+    return ffill.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        F.when(F.col("v").isNotNull(), "obs")
+        .when(F.col("prev_v").isNull() | F.col("next_v").isNull(), "edge")
+        .otherwise("interp")
+        .alias("kind"),
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v"))
+            .when(F.col("prev_v").isNull(), F.col("next_v"))
+            .when(F.col("next_v").isNull(), F.col("prev_v"))
+            .otherwise(interp),
+            6,
+        ).alias("v_filled"),
+    )

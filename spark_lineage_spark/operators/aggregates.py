@@ -409,3 +409,153 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
         F.round(F.regr_avgy(y, x), 4).alias("avg_y"),
     )
+
+
+@query(
+    "agg_trimmed_winsorized",
+    "§2.4 robust aggregates: winsorized / trimmed means per group",
+    """
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             cume_dist() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice) AS cd
+      FROM orders
+    ), cuts AS (
+      SELECT o_orderpriority,
+             min(CASE WHEN cd >= 0.10 THEN o_totalprice END) AS lo,
+             min(CASE WHEN cd >= 0.90 THEN o_totalprice END) AS hi
+      FROM ranked GROUP BY o_orderpriority
+    )
+    SELECT r.o_orderpriority,
+           count(*) AS n,
+           round(CAST(sum(CAST(least(greatest(r.o_totalprice, c.lo), c.hi)
+                               AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*), 4) AS winsorized_mean,
+           round(CAST(sum(CASE WHEN r.o_totalprice BETWEEN c.lo AND c.hi
+                               THEN CAST(r.o_totalprice AS DECIMAL(18,4))
+                               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / sum(CASE WHEN r.o_totalprice BETWEEN c.lo AND c.hi
+                            THEN 1 ELSE 0 END), 4) AS trimmed_mean,
+           round(c.lo, 2) AS p10, round(c.hi, 2) AS p90
+    FROM ranked r JOIN cuts c USING (o_orderpriority)
+    GROUP BY r.o_orderpriority, c.lo, c.hi
+    """,
+)
+def agg_trimmed_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust group means: winsorized (clamp to the group's
+    [p10, p90]) and trimmed (drop outside it). The cutpoints are
+    DISCRETE quantiles derived from a cume_dist window — the smallest
+    value whose cumulative distribution reaches q — because
+    percentile_disc picks an actual data value, so the filter boundary
+    is exact in both engines (an interpolated percentile_cont boundary
+    could land between rows differently under float drift).
+
+    One shuffle on o_orderpriority serves the window AND both
+    aggregates (Exchange reuse); the cuts table is a per-group 2-double
+    aggregate that AQE broadcasts back onto the same partitioning.
+    Sums run as decimal(18,4) so accumulation order cannot flip a cent
+    (the q9 discipline); only the final division is double.
+
+    At 100 TB: cume_dist is per-group sort — group count is bounded
+    (priorities), group size is not, so each group sorts within its own
+    partition range; for unbounded group sizes swap the window for a
+    two-pass histogram cut. The aggregate itself is partial-agg
+    friendly (sum/count pairs)."""
+    o = load(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    ranked = o.withColumn("cd", F.cume_dist().over(w))
+    cuts = ranked.groupBy("o_orderpriority").agg(
+        F.min(F.when(F.col("cd") >= 0.10, F.col("o_totalprice"))).alias("lo"),
+        F.min(F.when(F.col("cd") >= 0.90, F.col("o_totalprice"))).alias("hi"),
+    )
+    dec = lambda c: c.cast("decimal(18,4)")  # noqa: E731
+    j = ranked.join(cuts, "o_orderpriority")
+    inside = F.col("o_totalprice").between(F.col("lo"), F.col("hi"))
+    return (
+        j.groupBy("o_orderpriority", "lo", "hi")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(dec(F.least(F.greatest("o_totalprice", "lo"), F.col("hi"))))
+                .cast("double")
+                / F.count("*"),
+                4,
+            ).alias("winsorized_mean"),
+            F.round(
+                F.sum(F.when(inside, dec(F.col("o_totalprice"))).otherwise(dec(F.lit(0))))
+                .cast("double")
+                / F.sum(F.when(inside, 1).otherwise(0)),
+                4,
+            ).alias("trimmed_mean"),
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            "winsorized_mean",
+            "trimmed_mean",
+            F.round("lo", 2).alias("p10"),
+            F.round("hi", 2).alias("p90"),
+        )
+    )
+
+
+@query(
+    "agg_distinct_kmv",
+    "§2.4 KMV distinct-count sketch (portable md5 hash, oracle-exact)",
+    """
+    WITH hashed AS (
+      SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+                           AS BIGINT) AS h
+      FROM lineitem
+    ), mink AS (
+      SELECT h, row_number() OVER (ORDER BY h) AS r FROM hashed
+      ORDER BY h LIMIT 256
+    ), kth AS (
+      SELECT max(h) AS hk, count(*) AS k FROM mink
+    )
+    SELECT k AS k_used, hk AS kth_hash,
+           round((k - 1) / (CAST(hk AS DOUBLE) / 1152921504606846976), 2)
+             AS est_distinct,
+           (SELECT count(DISTINCT l_partkey) FROM lineitem) AS true_distinct
+    FROM kth
+    """,
+)
+def agg_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch, the mergeable alternative to
+    HLL that is EXACTLY reproducible across engines: hash every key
+    with md5 (portable, unlike xxhash64 seeds), keep the k=256 smallest
+    distinct hashes, estimate |D| ~= (k-1) / (h_k / 2^60) where h_k is
+    the k-th minimum as a fraction of the 60-bit hash space. Every
+    intermediate is an integer, so the oracle matches bit-for-bit —
+    the check agg_approx_sketches (HLL, rows-only) cannot have.
+
+    Plan shape: the distinct is a hash aggregate with MAP-SIDE partial
+    dedup (each partition dedups before the exchange — per-partition
+    distinct hashes are all that shuffles), then the ORDER BY h LIMIT k
+    is Spark's TakeOrderedAndProject: a per-partition top-k merge, NOT
+    a global sort. That is the textbook distributed KMV: partial
+    sketches per partition, k-way merge of k-sized sets. true_distinct
+    rides along for the relative-error read-out.
+
+    At 100 TB: shuffle volume is bounded by distinct-per-partition, and
+    the final merge moves only k longs per partition. For a per-group
+    version, the same pipeline groups by (key, h)."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    h = F.conv(F.substring(F.md5(F.col("l_partkey").cast("string").cast("binary")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    mink = li.select(h.alias("h")).distinct().orderBy("h").limit(256)
+    kth = mink.agg(F.max("h").alias("hk"), F.count("*").alias("k"))
+    true_d = li.agg(F.countDistinct("l_partkey").alias("true_distinct"))
+    return (
+        kth.crossJoin(F.broadcast(true_d))  # two 1-row aggregates
+        .select(
+            F.col("k").alias("k_used"),
+            F.col("hk").alias("kth_hash"),
+            F.round(
+                (F.col("k") - F.lit(1)) / (F.col("hk").cast("double") / F.lit(1152921504606846976)),
+                2,
+            ).alias("est_distinct"),
+            "true_distinct",
+        )
+    )

@@ -946,7 +946,8 @@ def ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
-             round(avg(value), 4) AS v
+             CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+                        * 1.0 / (count(*) * 100)) AS BIGINT) / 10000.0 AS v
       FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
     ), bounds AS (
       SELECT user_id, min(d) AS lo, max(d) AS hi FROM daily GROUP BY user_id
@@ -973,14 +974,17 @@ def ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN v IS NOT NULL THEN 'obs'
                 WHEN prev_v IS NULL OR next_v IS NULL THEN 'edge'
                 ELSE 'interp' END AS kind,
-           round(CASE
-             WHEN v IS NOT NULL THEN v
-             WHEN prev_v IS NULL THEN next_v
-             WHEN next_v IS NULL THEN prev_v
-             ELSE prev_v + (next_v - prev_v)
-                  * date_diff('day', prev_d, d)
-                  / date_diff('day', prev_d, next_d)
-           END, 6) AS v_filled
+           CAST(CASE
+             WHEN v IS NOT NULL THEN CAST(round(v * 10000) AS BIGINT) * 100
+             WHEN prev_v IS NULL THEN CAST(round(next_v * 10000) AS BIGINT) * 100
+             WHEN next_v IS NULL THEN CAST(round(prev_v * 10000) AS BIGINT) * 100
+             ELSE CAST(floor(
+               (CAST(round(prev_v * 10000) AS BIGINT)
+                  * (date_diff('day', prev_d, next_d) - date_diff('day', prev_d, d))
+                + CAST(round(next_v * 10000) AS BIGINT)
+                  * date_diff('day', prev_d, d)) * 100.0
+               / date_diff('day', prev_d, next_d)) AS BIGINT)
+           END AS DOUBLE) / 1000000 AS v_filled
     FROM ffill
     """,
 )
@@ -1005,7 +1009,16 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine granularity, not event volume."""
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
     daily = ev.groupBy("user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")).agg(
-        F.round(F.avg("value"), 4).alias("v")
+        # exact decimal sum floored into 1e-4 units: a round() of the
+        # double mean can disagree across engines on true midpoints
+        (
+            F.floor(
+                (F.sum(F.col("value").cast("decimal(18,6)")) * 1000000).cast("bigint")
+                * F.lit(1.0)
+                / (F.count("*") * 100)
+            ).cast("bigint")
+            / 10000.0
+        ).alias("v")
     )
     bounds = daily.groupBy("user_id").agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
     spine = bounds.select(
@@ -1033,9 +1046,25 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("v", ignorenulls=True).over(wf).alias("next_v"),
         F.first("obs_d", ignorenulls=True).over(wf).alias("next_d"),
     )
-    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * F.datediff(
-        "d", "prev_d"
-    ) / F.datediff("next_d", "prev_d")
+    # Exact interpolation: 4-decimal v values become integers in 1e-4
+    # units, the weighted blend is integer arithmetic, and the single
+    # division floors into 1e-6 units — bit-identical across engines
+    # (a double round() here can disagree on true midpoints, e.g. a
+    # 2^k-day gap producing ...x5 exactly at the rounding digit).
+    def units(c):
+        return F.round(c * 10000).cast("bigint")
+
+    dd = F.datediff("d", "prev_d")
+    dd2 = F.datediff("next_d", "prev_d")
+    interp_e6 = F.floor(
+        (units(F.col("prev_v")) * (dd2 - dd) + units(F.col("next_v")) * dd) * 100.0 / dd2
+    ).cast("bigint")
+    v_e6 = (
+        F.when(F.col("v").isNotNull(), units(F.col("v")) * 100)
+        .when(F.col("prev_v").isNull(), units(F.col("next_v")) * 100)
+        .when(F.col("next_v").isNull(), units(F.col("prev_v")) * 100)
+        .otherwise(interp_e6)
+    )
     return ffill.select(
         "user_id",
         F.date_format("d", "yyyy-MM-dd").alias("d"),
@@ -1043,11 +1072,5 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("prev_v").isNull() | F.col("next_v").isNull(), "edge")
         .otherwise("interp")
         .alias("kind"),
-        F.round(
-            F.when(F.col("v").isNotNull(), F.col("v"))
-            .when(F.col("prev_v").isNull(), F.col("next_v"))
-            .when(F.col("next_v").isNull(), F.col("prev_v"))
-            .otherwise(interp),
-            6,
-        ).alias("v_filled"),
+        (v_e6.cast("double") / 1000000).alias("v_filled"),
     )

@@ -1301,3 +1301,179 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("oov").cast("bigint").alias("n_oov"),
         F.round(F.sum("oov") / F.count("*"), 6).alias("oov_rate"),
     )
+
+
+_PPL_BUCKETS_ORACLE = """
+WITH words AS (
+  SELECT doc_id, w, i
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       LATERAL (SELECT unnest(ws) AS w, generate_subscripts(ws, 1) AS i)
+),
+big AS (SELECT a.doc_id, a.w AS prev, b.w AS cur
+        FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+uni AS (SELECT w, count(*) AS cw FROM words GROUP BY w),
+bc AS (SELECT prev, cur, count(*) AS cbw FROM big GROUP BY prev, cur),
+v AS (SELECT count(*) AS vocab FROM uni),
+per_doc AS (
+  SELECT big.doc_id, round(avg(ln((bc.cbw + 1.0) / (uni.cw + v.vocab))), 6) AS doc_lp
+  FROM big
+  JOIN bc ON big.prev = bc.prev AND big.cur = bc.cur
+  JOIN uni ON big.prev = uni.w
+  CROSS JOIN v
+  GROUP BY big.doc_id
+),
+cuts AS (
+  SELECT quantile_cont(doc_lp, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
+  FROM per_doc
+)
+SELECT 1 + len(list_filter(cuts.cs, c -> p.doc_lp > c)) AS bucket,
+       count(*) AS n_docs,
+       round(min(p.doc_lp), 6) AS min_lp,
+       round(max(p.doc_lp), 6) AS max_lp,
+       round(avg(d.n_chars), 2) AS avg_chars
+FROM per_doc p CROSS JOIN cuts JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+
+
+@query(
+    "llm_perplexity_buckets",
+    "§2.11 perplexity-decile bucketing via broadcast cutpoints",
+    _PPL_BUCKETS_ORACLE,
+)
+def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split generalized to deciles: score
+    every document with the count-LM mean logprob (same model as
+    llm_ngram_lm_score), derive the 9 decile cutpoints as ONE 1-row
+    exact-percentile aggregate, broadcast them, and assign buckets with
+    a map-side F.aggregate over the cutpoint array — NO global sort /
+    ntile, which is the difference between a scalable bucketing and a
+    single-partition window at 100 TB. Per-doc scores are rounded to
+    1e-6 BEFORE the cutpoint aggregate so both engines bucket identical
+    operands; the percentile interpolation then sees identical inputs
+    and is the same lo+(hi-lo)*frac arithmetic in both engines.
+
+    At 100 TB the exact percentile becomes approx_percentile with
+    documented error (bucket boundaries, not correctness); everything
+    else is unchanged — score map-side, cutpoints broadcast, buckets a
+    hash agg on ten keys."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    big = d.select("doc_id", _bigram_pairs(F.col("text")).alias("pz")).select(
+        "doc_id", F.col("pz")["0"].alias("prev"), F.col("pz")["1"].alias("cur")
+    )
+    uni = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cw"))
+    )
+    bc = big.groupBy("prev", "cur").agg(F.count("*").alias("cbw"))
+    v = uni.agg(F.count("*").alias("vocab"))
+    per_doc = (
+        big.join(bc, ["prev", "cur"])
+        .join(uni, F.col("prev") == uni.w)
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.log((F.col("cbw") + 1.0) / (F.col("cw") + F.col("vocab")))), 6
+            ).alias("doc_lp")
+        )
+    )
+    cuts = per_doc.agg(
+        F.percentile("doc_lp", F.array(*[F.lit(q / 10.0) for q in range(1, 10)])).alias("cs")
+    )
+    bucket = F.aggregate(
+        F.col("cs"),
+        F.lit(1),
+        lambda acc, c: acc + F.when(F.col("doc_lp") > c, 1).otherwise(0),
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(cuts))  # 1-row cutpoint scalar
+        .join(d.select("doc_id", "n_chars"), "doc_id")
+        .select(bucket.alias("bucket"), "doc_lp", "n_chars")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.min("doc_lp"), 6).alias("min_lp"),
+            F.round(F.max("doc_lp"), 6).alias("max_lp"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
+
+
+_COOCCUR_ORACLE = """
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+dfreq AS (SELECT w, count(*) AS dfw FROM dt GROUP BY w),
+freq AS (SELECT w, dfw FROM dfreq CROSS JOIN n WHERE dfw >= ceil(0.25 * nd)),
+fdt AS (SELECT dt.doc_id, dt.w FROM dt JOIN freq USING (w)),
+pairs AS (
+  SELECT a.w AS w1, b.w AS w2, count(*) AS n_pair
+  FROM fdt a JOIN fdt b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY a.w, b.w
+)
+SELECT p.w1, p.w2, p.n_pair,
+       round(p.n_pair * 1.0 / n.nd, 6) AS support,
+       round(p.n_pair * 1.0 * n.nd / (fa.dfw * fb.dfw), 6) AS lift
+FROM pairs p
+JOIN freq fa ON p.w1 = fa.w
+JOIN freq fb ON p.w2 = fb.w
+CROSS JOIN n
+WHERE p.n_pair >= ceil(0.25 * n.nd)
+"""
+
+
+@query(
+    "llm_token_cooccurrence",
+    "§2.11 frequent token co-occurrence (apriori-pruned pair mining)",
+    _COOCCUR_ORACLE,
+)
+def llm_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset mining at pair depth (the first apriori level):
+    document-frequency of every token, prune to tokens with df >= 25%
+    of the corpus (the apriori monotonicity bound — no pair can beat
+    the support of its rarest member), THEN self-join per doc_id to
+    form candidate pairs, count, and keep pairs over the same support.
+    Support and lift round identically in both engines because every
+    input is an integer count.
+
+    The pruning order is the scale story: the pair explode happens
+    AFTER the broadcast semi-join against the frequent-token list, so
+    per-doc pair width is bounded by the frequent vocabulary (k^2/2 on
+    k surviving tokens), not raw document length — the difference
+    between O(docs x k^2) and O(docs x len^2) at 100 TB. The df table
+    itself is a map-side-combined hash agg on token."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dt = d.select("doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("w"))
+    n = d.agg(F.countDistinct("doc_id").alias("nd"))
+    dfreq = dt.groupBy("w").agg(F.count("*").alias("dfw"))
+    freq = (
+        dfreq.crossJoin(F.broadcast(n))  # 1-row corpus-size scalar
+        .where(F.col("dfw") >= F.ceil(0.25 * F.col("nd")))
+        .select("w", "dfw", "nd")
+    )
+    fdt = dt.join(F.broadcast(freq.select("w")), "w").select("doc_id", "w")
+    a, b = fdt.alias("a"), fdt.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.w") < F.col("b.w")))
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count("*").alias("n_pair"))
+    )
+    fa = freq.select(F.col("w").alias("w1"), F.col("dfw").alias("df1"), "nd")
+    fb = freq.select(F.col("w").alias("w2"), F.col("dfw").alias("df2"))
+    return (
+        pairs.join(F.broadcast(fa), "w1")
+        .join(F.broadcast(fb), "w2")
+        .where(F.col("n_pair") >= F.ceil(0.25 * F.col("nd")))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(F.col("n_pair") / F.col("nd"), 6).alias("support"),
+            F.round(F.col("n_pair") * F.col("nd") / (F.col("df1") * F.col("df2")), 6).alias(
+                "lift"
+            ),
+        )
+    )

@@ -28,6 +28,9 @@ SENSITIVE = [
     "agg_stats",  # variance/stddev accumulation
     "subq_recursive_cte",  # per-depth path-bal totals (decimal-summed)
     "udf_apply_in_arrow",  # grouped-map sums rounded outside the UDF
+    "agg_trimmed_winsorized",  # quantile cuts + decimal sums
+    "llm_perplexity_buckets",  # percentile cutpoints over log-averages
+    "ts_interpolate_linear",  # floor-integer interpolation
 ]
 
 

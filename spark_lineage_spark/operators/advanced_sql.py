@@ -1074,3 +1074,174 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kind"),
         (v_e6.cast("double") / 1000000).alias("v_filled"),
     )
+
+
+@query(
+    "graph_triangle_copurchase",
+    "§2.3 graph analytics: degree-oriented triangle counting",
+    """
+    WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM pl a JOIN pl b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT (SELECT count(*) FROM edges) AS n_edges,
+           (SELECT count(*)
+            FROM edges e1
+            JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles
+    """,
+)
+def graph_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the part co-purchase graph (parts in the
+    same order are connected; edges stored once as u < v). The Spark
+    side runs the DEGREE-ORIENTED algorithm: orient every edge from the
+    (degree, id)-smaller endpoint to the larger, enumerate wedges only
+    among each node's OUTGOING edges, and close each wedge against the
+    canonical undirected edge set. With that orientation every node's
+    out-degree is O(sqrt(|E|)), so the wedge join cannot go quadratic
+    on hub parts — the reason this beats the oracle's plain u<v<w
+    triple self-join at 100 TB, where a part appearing in millions of
+    orders would square. Each triangle yields exactly one wedge (from
+    its orientation-minimal vertex), so the counts agree exactly; all
+    integers, no rounding.
+
+    Shuffle shape: distinct + pair join on l_orderkey, degree agg on
+    node, wedge join on src, closure join on (x, y) — every join
+    equi-keyed, every aggregate partial-agg friendly.
+    """
+    pl = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = pl.alias("a"), pl.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    ann = edges.join(deg.withColumnsRenamed({"n": "u", "deg": "du"}), "u").join(
+        deg.withColumnsRenamed({"n": "v", "deg": "dv"}), "v"
+    )
+    fwd = (F.col("du") < F.col("dv")) | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = ann.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2, (F.col("o1.src") == F.col("o2.src")) & (F.col("o1.dst") < F.col("o2.dst"))
+    ).select(F.col("o1.dst").alias("x"), F.col("o2.dst").alias("y"))
+    tri = wedges.join(
+        edges, (F.col("x") == F.col("u")) & (F.col("y") == F.col("v"))
+    ).agg(F.count("*").alias("n_triangles"))
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return n_edges.crossJoin(F.broadcast(tri))  # two 1-row aggregates
+
+
+@query(
+    "agg_weighted_median",
+    "§2.4 weighted median via cumulative-weight window (exact)",
+    """
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice, l_quantity,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                                   ROWS UNBOUNDED PRECEDING) AS cum_w,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tot_w
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(min(CASE WHEN cum_w >= tot_w / 2 THEN l_extendedprice END), 2)
+             AS weighted_median,
+           round(CAST(max(tot_w) AS DOUBLE), 2) AS total_weight
+    FROM w GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: sort by price
+    within the group, accumulate weight, take the smallest price whose
+    cumulative weight reaches half the total. Quantities are small
+    integers, so the running sum is exact in doubles (< 2^53) — the
+    halfway comparison has no float boundary; ties in price break on
+    (l_orderkey, l_linenumber) identically in both engines.
+
+    One shuffle on l_returnflag feeds the running-sum window, the
+    per-group total (same partition, no extra exchange), and the final
+    min-aggregate. At 100 TB the per-group sort is the cost — same
+    profile as any exact percentile; the approx path is
+    percentile_approx over a weight-expanded stream."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    w = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(wcum).alias("cum_w"),
+        F.sum("l_quantity").over(wall).alias("tot_w"),
+    )
+    return w.groupBy("l_returnflag").agg(
+        F.round(
+            F.min(F.when(F.col("cum_w") >= F.col("tot_w") / 2, F.col("l_extendedprice"))), 2
+        ).alias("weighted_median"),
+        F.round(F.max("tot_w").cast("double"), 2).alias("total_weight"),
+    )
+
+
+@query(
+    "ts_rolling_distinct_users",
+    "§2.4/§2.5 trailing-7-day distinct users per day (exact, no window-HLL)",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id FROM events
+    ), bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM du),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM bounds
+    )
+    SELECT strftime(s.d, '%Y-%m-%d') AS d,
+           count(DISTINCT du.user_id) AS active_7d
+    FROM spine s JOIN du ON du.d BETWEEN s.d - 6 AND s.d
+    GROUP BY s.d
+    """,
+)
+def ts_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users — the metric COUNT(DISTINCT) OVER a
+    RANGE frame cannot express (distinct is not frame-decomposable).
+    Dedup to (day, user) first, then a range join against the O(days)
+    spine fans each user-day into at most 7 evaluation days, and an
+    exact count-distinct per day finishes. Work is 7x|user-days|,
+    independent of raw event volume — the spine side broadcasts, the
+    fan-out never shuffles the raw events twice.
+
+    At 100 TB the same shape holds (user-days << events); if user-days
+    themselves blow up, the 7-day distinct becomes a merge of 7 daily
+    HLL sketches at documented error — the exact form stays the oracle.
+    """
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id").distinct()
+    bounds = du.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("sd")
+    )
+    fan = du.join(
+        F.broadcast(spine),
+        (F.col("d") >= F.date_sub(F.col("sd"), 6)) & (F.col("d") <= F.col("sd")),
+    )
+    return fan.groupBy("sd").agg(F.countDistinct("user_id").alias("active_7d")).select(
+        F.date_format("sd", "yyyy-MM-dd").alias("d"), "active_7d"
+    )

@@ -556,3 +556,36 @@ def scan_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(~F.col("ok"), 1)).alias("n_corrupt"),
         F.sum(F.when(F.col("ok"), F.col("n_nationkey"))).alias("key_sum"),
     )
+
+
+@query(
+    "scan_xml_roundtrip",
+    "§2.1 XML source/sink (Spark 4 built-in, rowTag framing)",
+    """
+    SELECT n_regionkey, count(*) AS n_nations,
+           string_agg(n_name, ',' ORDER BY n_name) AS names
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip with the Spark 4 built-in xml data source (the
+    spark-xml package folded into spark-sql): write nation as
+    <nation>...</nation> records, read back with an explicit schema
+    (inference would widen keys to bigint there and back), aggregate.
+    Like the other small-file round-trips, this verifies the FORMAT
+    wiring — framing, escaping, schema application — not scan speed;
+    at scale XML is an ingest-once format that lands in parquet.
+    """
+    out = _tmp("nation_xml")
+    n = load(spark, sf_dir, "nation")
+    n.write.mode("overwrite").option("rowTag", "nation").format("xml").save(out)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema("n_nationkey bigint, n_name string, n_regionkey bigint, n_comment string")
+        .load(out)
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names"),
+    )

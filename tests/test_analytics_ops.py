@@ -133,3 +133,67 @@ def test_cooccurrence_matches_pandas_and_prunes(spark):
         assert r.support == pytest.approx(c / n, abs=1e-6)
         assert r.lift == pytest.approx(c * n / (df_t[a] * df_t[b]), abs=1e-6)
         assert a < b  # canonical pair order, no mirrored duplicates
+
+
+def test_triangles_match_bruteforce(spark):
+    from itertools import combinations
+
+    from spark_lineage_spark.operators.advanced_sql import graph_triangle_copurchase
+
+    row = graph_triangle_copurchase(spark, SF).collect()[0]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    edges = set()
+    for _, grp in li.drop_duplicates().groupby("l_orderkey"):
+        for u, v in combinations(sorted(grp.l_partkey.unique()), 2):
+            edges.add((u, v))
+    assert row.n_edges == len(edges)
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+    tri = sum(
+        1
+        for (u, v) in edges
+        for w in adj.get(v, ())
+        if w in adj.get(u, ())
+    )
+    assert row.n_triangles == tri
+
+
+def test_weighted_median_matches_numpy(spark):
+    from spark_lineage_spark.operators.advanced_sql import agg_weighted_median
+
+    got = {r.l_returnflag: r for r in agg_weighted_median(spark, SF).collect()}
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    for flag, grp in li.groupby("l_returnflag"):
+        g = grp.sort_values(["l_extendedprice", "l_orderkey", "l_linenumber"])
+        cum = g.l_quantity.cumsum()
+        half = g.l_quantity.sum() / 2
+        med = g.l_extendedprice[(cum >= half).to_numpy()].iloc[0]
+        assert got[flag].weighted_median == pytest.approx(round(med, 2))
+        assert got[flag].total_weight == pytest.approx(g.l_quantity.sum(), abs=1e-2)
+
+
+def test_rolling_distinct_users_matches_pandas(spark):
+    from spark_lineage_spark.operators.advanced_sql import ts_rolling_distinct_users
+
+    got = {r.d: r.active_7d for r in ts_rolling_distinct_users(spark, SF).collect()}
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    du = (
+        ev.assign(d=pd.to_datetime(ev.ts).dt.floor("D"))[["d", "user_id"]]
+        .drop_duplicates()
+    )
+    days = pd.date_range(du.d.min(), du.d.max(), freq="D")
+    assert len(got) == len(days)
+    for day in days:
+        window = du[(du.d >= day - pd.Timedelta(days=6)) & (du.d <= day)]
+        assert got[day.strftime("%Y-%m-%d")] == window.user_id.nunique()
+
+
+def test_xml_roundtrip_preserves_nation(spark):
+    from spark_lineage_spark.operators.sources_sinks import scan_xml_roundtrip
+
+    got = {r.n_regionkey: r for r in scan_xml_roundtrip(spark, SF).collect()}
+    nat = pd.read_parquet(f"{SF}/nation.parquet")
+    for rk, grp in nat.groupby("n_regionkey"):
+        assert got[rk].n_nations == len(grp)
+        assert got[rk].names == ",".join(sorted(grp.n_name))

@@ -906,7 +906,7 @@ def ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     add-1 (Laplace) smoothed by the event-type vocabulary so unseen
     transitions stay representable. The vocabulary size rides the plan
     as a broadcast 1-row aggregate (in-plan scalar discipline — no
-    driver .collect()).
+    driver-side collect).
 
     Shuffle shape: one exchange on user_id for the lag window, then
     one on (prev, next) for the counts — the totals re-aggregate from

@@ -1,0 +1,467 @@
+"""Business/graph analytics surface: SCD2 builds, time-weighted
+averages, independence tests, attribution, equi-depth histograms,
+PageRank.
+
+Round-5 additions to SURVEY.md §2.14 (reconstructed surface, SURVEY
+§0): the composed analytics a warehouse user runs on top of the
+primitive operators, each with a DuckDB oracle.
+
+Scale notes (100 TB):
+- SCD2 build is two shuffles on user_id (window + re-window on the
+  collapsed runs table, which is strictly smaller). No global sort.
+- TWAP is one user_id shuffle; the duration weights are exact integer
+  microseconds, so the weighted sums are decimal-exact and
+  partition-order independent.
+- The chi-square contingency table is |types|x|weekdays| rows after
+  one hash agg over the events — margins and the statistic are
+  computed on that tiny table, never on the raw events.
+- Equi-depth histogram avoids the single-partition NTILE window: a
+  coarse range key gives bounded parallel windows, and a tiny
+  range-counts cumsum (O(domain/width) rows at any SF) is broadcast
+  back as rank offsets — the same two-phase distributed prefix sum
+  as ts_concurrency_sweep.
+- PageRank iterations are edge-table equi-joins shuffled on the
+  source node — the standard BSP formulation. Ranks are kept in
+  scaled integer units so partial-aggregation order cannot flip a
+  bit anywhere (bigint sums are exact and commutative).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from spark_lineage_spark.registry import query
+from spark_lineage_spark.tables import load, register_views
+
+
+_SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+runs AS (
+  SELECT user_id, event_type, ts,
+         sum(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM ordered
+),
+segs AS (
+  SELECT user_id, run_id, min(event_type) AS seg,
+         min(ts) AS valid_from, count(*) AS n_events
+  FROM runs GROUP BY user_id, run_id
+)
+SELECT user_id, seg, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+         AS valid_to,
+       CASE WHEN lead(valid_from)
+                   OVER (PARTITION BY user_id ORDER BY run_id) IS NULL
+            THEN 1 ELSE 0 END AS is_current,
+       n_events
+FROM segs
+"""
+
+
+@query(
+    "cdc_scd2_build",
+    "§2.14 SCD type-2 dimension build (change runs -> validity intervals)",
+    _SCD2_SQL,
+    doc="Slowly-changing-dimension intervals from an event stream.",
+)
+def cdc_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension build: consecutive runs of the same tracked
+    attribute (event_type) per user collapse into validity intervals
+    [valid_from, valid_to), with NULL valid_to marking the current
+    row. Identical SQL text runs on Spark and DuckDB.
+
+    Change points come from lag(); the run id is a per-user running
+    sum of change flags (gaps-and-islands). The second window runs on
+    the collapsed runs table — strictly smaller than the input — so
+    both shuffles are on user_id and bounded by the per-user history.
+    Ties at the same timestamp break on event_id, so run boundaries
+    are deterministic.
+    """
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_SCD2_SQL)
+
+
+_TWAP_SQL = """
+WITH stepped AS (
+  SELECT user_id, value,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS dt_us
+  FROM events
+  WHERE value IS NOT NULL
+)
+SELECT user_id,
+       round(cast(sum(cast(value AS DECIMAL(18,6)) * dt_us) AS DOUBLE)
+             / cast(sum(dt_us) AS DOUBLE), 6) AS twap,
+       count(*) AS n_steps
+FROM stepped
+WHERE dt_us IS NOT NULL AND dt_us > 0
+GROUP BY user_id
+"""
+
+
+@query(
+    "ts_twap",
+    "§2.14 time-weighted average value per user (exact integer-us weights)",
+    _TWAP_SQL,
+    doc="TWAP: each value weighted by its holding duration.",
+)
+def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average: each observation holds until the next
+    one, so its weight is the exact microsecond gap to the successor
+    (lead). The last observation per user has no successor and drops
+    out — standard TWAP convention.
+
+    Determinism: weights are bigint microseconds and values are cast
+    to decimal(18,6) BEFORE the multiply, so both weighted sums are
+    decimal/bigint-exact regardless of partial-aggregation order; the
+    single final division happens on two exact totals. One shuffle on
+    user_id for the lead window, one hash agg — the window and the
+    agg share the user_id partitioning.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        "user_id",
+        "value",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+    return stepped.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)") * F.col("dt_us")).cast("double")
+            / F.sum("dt_us").cast("double"),
+            6,
+        ).alias("twap"),
+        F.count(F.lit(1)).alias("n_steps"),
+    )
+
+
+@query(
+    "stats_chi_square",
+    "§2.14 chi-square independence test (event_type x ISO weekday)",
+    """
+    WITH cells AS (
+      SELECT event_type, isodow(ts) AS dow, count(*) AS o
+      FROM events GROUP BY event_type, isodow(ts)
+    ),
+    margins AS (
+      SELECT event_type, dow, o,
+             sum(o) OVER (PARTITION BY event_type) AS rt,
+             sum(o) OVER (PARTITION BY dow) AS ct,
+             sum(o) OVER () AS n
+      FROM cells
+    ),
+    terms AS (
+      SELECT cast(round(
+               cast((o * n - rt * ct) AS DOUBLE) * cast((o * n - rt * ct) AS DOUBLE)
+               / (cast(n AS DOUBLE) * cast(rt AS DOUBLE) * cast(ct AS DOUBLE)), 8)
+             AS DECIMAL(28,8)) AS term,
+             event_type, dow
+      FROM margins
+    )
+    SELECT round(sum(term), 3) AS chi2,
+           count(*) AS n_cells,
+           (count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1) AS dof
+    FROM terms
+    """,
+    doc="Independence of event type vs ISO weekday on the events table.",
+)
+def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence: one hash agg reduces the
+    events to a |types|x|weekdays| contingency table; margins are
+    window sums over that tiny table (at most 35 rows at any SF) and
+    the statistic uses the integer-cross-product form
+    (o*n - rt*ct)^2 / (n*rt*ct) — numerators stay integral until a
+    single double division per cell.
+
+    Determinism: the per-cell double term is a function of exact
+    integers (identical bits in both engines); it is rounded and cast
+    to decimal(28,8) so the final 35-term sum is decimal-exact and
+    partition-order independent. Spark weekday()+1 == DuckDB isodow
+    (both ISO, Monday=1).
+    """
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.weekday("ts") + F.lit(1)).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    margins = (
+        cells.withColumn("rt", F.sum("o").over(Window.partitionBy("event_type")))
+        .withColumn("ct", F.sum("o").over(Window.partitionBy("dow")))
+        .withColumn("n", F.sum("o").over(Window.partitionBy()))
+    )
+    num = F.col("o") * F.col("n") - F.col("rt") * F.col("ct")
+    term = F.round(
+        num.cast("double") * num.cast("double")
+        / (F.col("n").cast("double") * F.col("rt").cast("double") * F.col("ct").cast("double")),
+        8,
+    ).cast("decimal(28,8)")
+    return margins.select(term.alias("term"), "event_type", "dow").agg(
+        F.round(F.sum("term"), 3).alias("chi2"),
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            (F.countDistinct("event_type") - F.lit(1))
+            * (F.countDistinct("dow") - F.lit(1))
+        ).alias("dof"),
+    )
+
+
+@query(
+    "attribution_touch",
+    "§2.14 marketing attribution: first- and last-touch channel per purchase",
+    """
+    WITH touched AS (
+      SELECT event_type, value,
+             first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS first_touch,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch
+      FROM events
+    ),
+    purchases AS (
+      SELECT first_touch, last_touch, cast(value AS DECIMAL(18,6)) AS rev
+      FROM touched
+      WHERE event_type = 'purchase' AND last_touch IS NOT NULL
+    ),
+    lt AS (
+      SELECT last_touch AS channel, count(*) AS lt_purchases,
+             round(sum(rev), 2) AS lt_revenue
+      FROM purchases GROUP BY last_touch
+    ),
+    ft AS (
+      SELECT first_touch AS channel, count(*) AS ft_purchases,
+             round(sum(rev), 2) AS ft_revenue
+      FROM purchases GROUP BY first_touch
+    )
+    SELECT coalesce(lt.channel, ft.channel) AS channel,
+           coalesce(lt_purchases, 0) AS lt_purchases,
+           coalesce(lt_revenue, 0) AS lt_revenue,
+           coalesce(ft_purchases, 0) AS ft_purchases,
+           coalesce(ft_revenue, 0) AS ft_revenue
+    FROM lt FULL OUTER JOIN ft ON lt.channel = ft.channel
+    """,
+    doc="Per-channel purchase counts/revenue under first- and last-touch.",
+)
+def attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution: for every purchase, the crediting channel is the
+    first (resp. most recent) non-purchase event the same user emitted
+    strictly before it — first_value/last_value IGNORE NULLS over a
+    (unbounded, -1) frame, the set-based formulation of a per-row
+    lookback loop.
+
+    One shuffle on user_id computes both touches in a single window
+    pass; the per-channel rollups then aggregate a purchases-only
+    projection (tiny) and reconcile via full outer join. Revenue is
+    decimal-summed. Purchases with no prior touch (first event of a
+    user) are excluded, matching the oracle's last_touch IS NOT NULL.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_src = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    touched = ev.select(
+        "event_type",
+        "value",
+        F.first(touch_src, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch_src, ignorenulls=True).over(w).alias("last_touch"),
+    )
+    purchases = touched.filter(
+        (F.col("event_type") == "purchase") & F.col("last_touch").isNotNull()
+    ).select("first_touch", "last_touch", F.col("value").cast("decimal(18,6)").alias("rev"))
+    lt = purchases.groupBy(F.col("last_touch").alias("channel")).agg(
+        F.count(F.lit(1)).alias("lt_purchases"),
+        F.round(F.sum("rev"), 2).alias("lt_revenue"),
+    )
+    ft = purchases.groupBy(F.col("first_touch").alias("channel")).agg(
+        F.count(F.lit(1)).alias("ft_purchases"),
+        F.round(F.sum("rev"), 2).alias("ft_revenue"),
+    )
+    joined = lt.join(ft, "channel", "full_outer")
+    return joined.select(
+        "channel",
+        F.coalesce("lt_purchases", F.lit(0)).alias("lt_purchases"),
+        F.coalesce("lt_revenue", F.lit(0).cast("decimal(19,2)")).alias("lt_revenue"),
+        F.coalesce("ft_purchases", F.lit(0)).alias("ft_purchases"),
+        F.coalesce("ft_revenue", F.lit(0).cast("decimal(19,2)")).alias("ft_revenue"),
+    )
+
+
+@query(
+    "hist_equi_depth",
+    "§2.14 equi-depth decile histogram (two-phase global rank, no NTILE)",
+    """
+    WITH ranked AS (
+      SELECT o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk,
+             count(*) OVER () AS n
+      FROM orders
+    )
+    SELECT cast(((rnk - 1) * 10) // n AS BIGINT) + 1 AS bucket,
+           count(*) AS n_rows,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi,
+           cast(round(sum(cast(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total
+    FROM ranked
+    GROUP BY 1
+    """,
+    doc="Exact decile boundaries/counts without a single-partition window.",
+)
+def hist_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth histogram. The naive NTILE(10) OVER (ORDER BY
+    price) is a single-partition sort of the whole table; here the
+    global rank is a two-phase distributed prefix sum instead
+    (ts_concurrency_sweep pattern): a coarse price-range key bounds
+    each window partition, the per-range counts cumsum (O(price
+    domain / 1000) rows at any SF) broadcasts back as offsets, and
+    bucket = floor((rank-1)*10 / n). The oracle computes the same
+    bucket from a plain row_number — semantics identical, scaling
+    different.
+
+    Tie rows order by (price, orderkey), so ranks — and therefore
+    bucket boundaries — are fully deterministic.
+    """
+    o = load(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    coarse = o.withColumn(
+        "rng", F.floor(F.col("o_totalprice") / F.lit(1000.0)).cast("bigint")
+    )
+    w_local = Window.partitionBy("rng").orderBy("o_totalprice", "o_orderkey")
+    local = coarse.withColumn("local_rnk", F.row_number().over(w_local))
+    rng_counts = coarse.groupBy("rng").agg(F.count(F.lit(1)).alias("cnt"))
+    # O(domain/1000)-row cumsum: one tiny partition, bounded forever
+    w_rng = Window.orderBy("rng").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = rng_counts.withColumn(
+        "offset", F.coalesce(F.sum("cnt").over(w_rng), F.lit(0))
+    )
+    total = rng_counts.agg(F.sum("cnt").alias("n"))
+    ranked = (
+        local.join(F.broadcast(offsets.select("rng", "offset")), "rng")
+        .join(F.broadcast(total))
+        .withColumn("rnk", F.col("offset") + F.col("local_rnk"))
+    )
+    bucket = (((F.col("rnk") - 1) * 10) / F.col("n")).cast("bigint") + F.lit(1)
+    return ranked.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+_PAGERANK_SCALE = 1_000_000_000_000  # ranks in pico-units: exact bigint math
+
+
+@query(
+    "graph_pagerank",
+    "§2.14 PageRank (2 unrolled BSP iterations, integer-scaled exact)",
+    f"""
+    WITH pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    outdeg AS (SELECT u, count(*) AS d FROM pairs GROUP BY u),
+    nn AS (SELECT count(*) AS n FROM outdeg),
+    r0 AS (SELECT u AS node, {_PAGERANK_SCALE} // n AS r
+           FROM outdeg CROSS JOIN nn),
+    c1 AS (SELECT p.v AS node, sum(r0.r // o.d) AS s
+           FROM pairs p JOIN r0 ON p.u = r0.node JOIN outdeg o ON p.u = o.u
+           GROUP BY p.v),
+    r1 AS (SELECT r0.node,
+                  ({15 * _PAGERANK_SCALE} // n) // 100 + (85 * coalesce(c1.s, 0)) // 100
+                    AS r
+           FROM r0 CROSS JOIN nn LEFT JOIN c1 ON r0.node = c1.node),
+    c2 AS (SELECT p.v AS node, sum(r1.r // o.d) AS s
+           FROM pairs p JOIN r1 ON p.u = r1.node JOIN outdeg o ON p.u = o.u
+           GROUP BY p.v),
+    r2 AS (SELECT r1.node,
+                  ({15 * _PAGERANK_SCALE} // n) // 100 + (85 * coalesce(c2.s, 0)) // 100
+                    AS r
+           FROM r1 CROSS JOIN nn LEFT JOIN c2 ON r1.node = c2.node)
+    SELECT node, round(cast(r AS DOUBLE) / {_PAGERANK_SCALE}.0, 8) AS pagerank
+    FROM r2
+    ORDER BY r DESC, node
+    LIMIT 20
+    """,
+    doc="Top-20 parts by PageRank on the co-purchase graph.",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85) on the part co-purchase graph, two
+    synchronous iterations unrolled as edge-table joins — the BSP
+    formulation every distributed PageRank uses; at 100 TB each
+    iteration is one shuffle of the edge table on the source node
+    plus a hash agg on the destination.
+
+    Determinism: ranks live in scaled integer pico-units and every
+    division is integer division (Spark `div` == DuckDB `//` for
+    non-negative operands), so contributions and their sums are exact
+    bigints — no float accumulation anywhere, identical results at
+    any partitioning. The co-purchase graph is symmetric, so every
+    node has out-edges and there is no dangling-mass term.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    outdeg = pairs.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    nn = outdeg.agg(F.count(F.lit(1)).alias("n"))
+    r = (
+        outdeg.select(F.col("u").alias("node"))
+        .join(F.broadcast(nn))
+        .select("node", F.expr(f"{_PAGERANK_SCALE} div n").alias("r"))
+    )
+    for _ in range(2):
+        contrib = (
+            pairs.join(r.withColumnRenamed("node", "u"), "u")
+            .join(outdeg, "u")
+            .select(F.col("v").alias("node"), F.expr("r div d").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = (
+            r.select("node")
+            .join(F.broadcast(nn))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"({15 * _PAGERANK_SCALE} div n) div 100"
+                    " + (85 * coalesce(s, 0)) div 100"
+                ).alias("r"),
+            )
+        )
+    return (
+        r.orderBy(F.desc("r"), "node")
+        .limit(20)
+        .select(
+            "node",
+            F.round(F.col("r").cast("double") / F.lit(float(_PAGERANK_SCALE)), 8).alias(
+                "pagerank"
+            ),
+        )
+    )

@@ -68,6 +68,7 @@ _OPERATOR_MODULES = [
     "spark_lineage_spark.operators.lineage_ops",
     "spark_lineage_spark.operators.tpch_style",
     "spark_lineage_spark.operators.advanced_sql",
+    "spark_lineage_spark.operators.analytics",
     "spark_lineage_spark.streaming.queries",
 ]
 

@@ -197,3 +197,133 @@ def test_xml_roundtrip_preserves_nation(spark):
     for rk, grp in nat.groupby("n_regionkey"):
         assert got[rk].n_nations == len(grp)
         assert got[rk].names == ",".join(sorted(grp.n_name))
+
+
+def test_scd2_intervals_tile_and_match_pandas(spark):
+    from spark_lineage_spark.operators.analytics import cdc_scd2_build
+
+    pdf = cdc_scd2_build(spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    for uid, grp in ev.groupby("user_id"):
+        runs = (grp.event_type != grp.event_type.shift(1)).cumsum()
+        exp = grp.groupby(runs).agg(
+            seg=("event_type", "first"), valid_from=("ts", "first"),
+            n_events=("event_type", "size"),
+        )
+        got = pdf[pdf.user_id == uid].sort_values("valid_from").reset_index(drop=True)
+        assert len(got) == len(exp)
+        assert list(got.seg) == list(exp.seg)
+        assert list(got.n_events) == list(exp.n_events)
+        # intervals tile: each valid_to equals the next valid_from
+        assert (
+            got.valid_to.iloc[:-1].to_numpy() == got.valid_from.iloc[1:].to_numpy()
+        ).all()
+        assert got.is_current.iloc[:-1].eq(0).all() and got.is_current.iloc[-1] == 1
+
+
+def test_twap_matches_pandas(spark):
+    from spark_lineage_spark.operators.analytics import ts_twap
+
+    got = {r.user_id: r for r in ts_twap(spark, SF).collect()}
+    ev = pd.read_parquet(f"{SF}/events.parquet").dropna(subset=["value"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    for uid, grp in ev.groupby("user_id"):
+        dt = (grp.ts.shift(-1) - grp.ts).dt.total_seconds() * 1e6
+        mask = dt.notna() & (dt > 0)
+        twap = (grp.value[mask] * dt[mask]).sum() / dt[mask].sum()
+        assert got[uid].twap == pytest.approx(twap, abs=1e-4)
+        assert got[uid].n_steps == int(mask.sum())
+
+
+def test_chi_square_matches_numpy(spark):
+    from spark_lineage_spark.operators.analytics import stats_chi_square
+
+    row = stats_chi_square(spark, SF).collect()[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ct = pd.crosstab(ev.event_type, ev.ts.dt.dayofweek)
+    o = ct.to_numpy().astype(float)
+    e = np.outer(o.sum(axis=1), o.sum(axis=0)) / o.sum()
+    chi2 = ((o - e) ** 2 / e).sum()
+    assert float(row.chi2) == pytest.approx(chi2, abs=1e-2)
+    assert row.n_cells == (o > 0).size
+    assert row.dof == (o.shape[0] - 1) * (o.shape[1] - 1)
+
+
+def test_attribution_matches_pandas(spark):
+    from spark_lineage_spark.operators.analytics import attribution_touch
+
+    got = {r.channel: r for r in attribution_touch(spark, SF).collect()}
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    lt_n, lt_rev, ft_n, ft_rev = {}, {}, {}, {}
+    for uid, grp in ev.groupby("user_id"):
+        first = last = None
+        for _, r in grp.iterrows():
+            if r.event_type == "purchase":
+                if last is not None:
+                    lt_n[last] = lt_n.get(last, 0) + 1
+                    lt_rev[last] = lt_rev.get(last, 0.0) + r.value
+                    ft_n[first] = ft_n.get(first, 0) + 1
+                    ft_rev[first] = ft_rev.get(first, 0.0) + r.value
+            else:
+                last = r.event_type
+                if first is None:
+                    first = r.event_type
+    assert set(got) == set(lt_n) | set(ft_n)
+    for ch, r in got.items():
+        assert r.lt_purchases == lt_n.get(ch, 0)
+        assert float(r.lt_revenue) == pytest.approx(lt_rev.get(ch, 0.0), abs=0.02)
+        assert r.ft_purchases == ft_n.get(ch, 0)
+        assert float(r.ft_revenue) == pytest.approx(ft_rev.get(ch, 0.0), abs=0.02)
+
+
+def test_equi_depth_matches_pandas_rank(spark):
+    from spark_lineage_spark.operators.analytics import hist_equi_depth
+
+    pdf = hist_equi_depth(spark, SF).toPandas().sort_values("bucket")
+    o = pd.read_parquet(f"{SF}/orders.parquet").sort_values(
+        ["o_totalprice", "o_orderkey"]
+    )
+    n = len(o)
+    o["bucket"] = (np.arange(n) * 10) // n + 1
+    exp = o.groupby("bucket").o_totalprice.agg(["size", "min", "max", "sum"])
+    assert list(pdf.bucket) == list(exp.index)
+    assert list(pdf.n_rows) == list(exp["size"])
+    assert pdf.lo.to_numpy() == pytest.approx(exp["min"].round(2).to_numpy())
+    assert pdf.hi.to_numpy() == pytest.approx(exp["max"].round(2).to_numpy())
+    assert pdf.total.to_numpy() == pytest.approx(exp["sum"].to_numpy(), abs=0.5)
+    # depth is equal within 1 row (rank partition remainder)
+    assert pdf.n_rows.max() - pdf.n_rows.min() <= 1
+
+
+def test_pagerank_matches_float_power_iteration(spark):
+    from spark_lineage_spark.operators.analytics import graph_pagerank
+
+    got = {r.node: r.pagerank for r in graph_pagerank(spark, SF).collect()}
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    edges = set()
+    for _, grp in li.drop_duplicates().groupby("l_orderkey"):
+        parts = sorted(grp.l_partkey.unique())
+        for i, u in enumerate(parts):
+            for v in parts[i + 1 :]:
+                edges.add((u, v))
+                edges.add((v, u))
+    nodes = sorted({u for u, _ in edges})
+    idx = {u: i for i, u in enumerate(nodes)}
+    outdeg = np.zeros(len(nodes))
+    for u, _ in edges:
+        outdeg[idx[u]] += 1
+    r = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(2):
+        c = np.zeros(len(nodes))
+        for u, v in edges:
+            c[idx[v]] += r[idx[u]] / outdeg[idx[u]]
+        r = 0.15 / len(nodes) + 0.85 * c
+    ranked = sorted(zip(nodes, r), key=lambda t: (-t[1], t[0]))[:20]
+    for node, rank in ranked:
+        assert node in got
+        # integer pico-unit truncation loses < 1e-6 absolute
+        assert got[node] == pytest.approx(rank, abs=1e-6)

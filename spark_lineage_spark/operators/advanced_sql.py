@@ -1109,41 +1109,68 @@ def graph_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers, no rounding.
 
     Shuffle shape: distinct + pair join on l_orderkey, degree agg on
-    node, wedge join on src, closure join on (x, y) — every join
-    equi-keyed, every aggregate partial-agg friendly.
+    node, adjacency collect_list on src, two equi-joins of the edge
+    table against the O(nodes) adjacency table, one global sum —
+    every join equi-keyed, every aggregate partial-agg friendly.
     """
-    pl = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a, b = pl.alias("a"), pl.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
+    from spark_lineage_spark.operators.analytics import (
+        copurchase_edges,
+        small_node_count,
     )
+
+    # shared checkpointed edge build (groupBy + combination explode —
+    # one shuffle, no lineitem self-join); edges feed four consumers
+    edges = copurchase_edges(spark, sf_dir)
+    bc = F.broadcast if small_node_count(spark, sf_dir) else (lambda df: df)
     deg = (
         edges.select(F.col("u").alias("n"))
         .unionAll(edges.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count("*").alias("deg"))
     )
-    ann = edges.join(deg.withColumnsRenamed({"n": "u", "deg": "du"}), "u").join(
-        deg.withColumnsRenamed({"n": "v", "deg": "dv"}), "v"
+    # deg is node-sized (<= |part|): broadcast both annotation joins
+    ann = edges.join(bc(deg.withColumnsRenamed({"n": "u", "deg": "du"})), "u").join(
+        bc(deg.withColumnsRenamed({"n": "v", "deg": "dv"})), "v"
     )
     fwd = (F.col("du") < F.col("dv")) | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
     oriented = ann.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
     )
-    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
-    wedges = o1.join(
-        o2, (F.col("o1.src") == F.col("o2.src")) & (F.col("o1.dst") < F.col("o2.dst"))
-    ).select(F.col("o1.dst").alias("x"), F.col("o2.dst").alias("y"))
-    tri = wedges.join(
-        edges, (F.col("x") == F.col("u")) & (F.col("y") == F.col("v"))
-    ).agg(F.count("*").alias("n_triangles"))
+    # Per-edge adjacency intersection instead of materializing the
+    # wedge set: for each oriented edge (src,dst), triangles close on
+    # the common OUT-neighbors of both endpoints, so
+    # |N+(src) ∩ N+(dst)| summed over edges counts each triangle
+    # exactly once (at its orientation-minimal vertex). Same O(sum
+    # d_out^2) work as wedge enumeration, but it stays inside
+    # whole-stage codegen as array_intersect over <=O(sqrt(E))-sized
+    # sorted arrays — no 30M-row wedge shuffle (that variant measured
+    # 40-60 s at sf0.1; this one ~8 s).
+    adj = oriented.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    # the adjacency table has one row per node (<= |part|, a dimension
+    # cardinality) with O(sqrt(E)) entries each; broadcast it so the
+    # closure is two map-side hash joins with zero array shuffle.
+    # Size guard: parquet-metadata row count of the part dimension
+    # (no data scan) — past ~2M nodes fall back to shuffle joins.
+    adj = bc(adj)
+    # the closure stage is CPU-bound (array_intersect per edge) but
+    # byte-light, so AQE's size-based coalescing would starve it of
+    # parallelism — spread the edges across the full core count first
+    closed = (
+        oriented.repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+        .join(adj.withColumnsRenamed({"src": "u2", "nbrs": "na"}),
+              F.col("src") == F.col("u2"))
+        .join(adj.withColumnsRenamed({"src": "v2", "nbrs": "nb"}),
+              F.col("dst") == F.col("v2"), "left")
+        .select(
+            F.size(
+                F.array_intersect(
+                    F.col("na"), F.coalesce(F.col("nb"), F.array().cast("array<bigint>"))
+                )
+            ).alias("n_common")
+        )
+    )
+    tri = closed.agg(F.sum("n_common").alias("n_triangles"))
     n_edges = edges.agg(F.count("*").alias("n_edges"))
     return n_edges.crossJoin(F.broadcast(tri))  # two 1-row aggregates
 

@@ -364,6 +364,45 @@ def hist_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected part co-purchase edges (u < v, distinct), shared by
+    the graph operators.
+
+    Built per-order: collect_set the order's parts, emit the sorted
+    pairs with a zip-of-shifted-slices transform (the vectorized
+    n-gram trick from text.py) — one groupBy shuffle instead of the
+    lineitem self-join's two, and the combination explode stays inside
+    codegen. Per-order part counts are bounded (TPC-H ~7), so the
+    explode fans out O(k^2) with tiny k. The result is checkpointed:
+    every caller fans it into several consumers.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ords = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    return (
+        ords.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+
+def small_node_count(spark: SparkSession, sf_dir: str) -> bool:
+    """True when the graph's node domain (the part dimension) is small
+    enough to broadcast node-sized tables — a parquet-metadata row
+    count, no data scan."""
+    return load(spark, sf_dir, "part").select("p_partkey").count() <= 2_000_000
+
+
 _PAGERANK_SCALE = 1_000_000_000_000  # ranks in pico-units: exact bigint math
 
 
@@ -416,37 +455,38 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     any partitioning. The co-purchase graph is symmetric, so every
     node has out-edges and there is no dangling-mass term.
     """
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    und = copurchase_edges(spark, sf_dir)
+    # directed adjacency: the undirected checkpoint plus its swap —
+    # map-side union, no second distinct
+    pairs = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     outdeg = pairs.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     nn = outdeg.agg(F.count(F.lit(1)).alias("n"))
+    # node-sized tables (rank, degree, contributions) are bounded by
+    # the part dimension — broadcast them while that fits (same
+    # metadata-only guard as graph_triangle_copurchase), so each
+    # iteration is ONE map-side join over the edge table plus one
+    # hash agg on the destination node
+    bc = F.broadcast if small_node_count(spark, sf_dir) else (lambda df: df)
     r = (
         outdeg.select(F.col("u").alias("node"))
         .join(F.broadcast(nn))
         .select("node", F.expr(f"{_PAGERANK_SCALE} div n").alias("r"))
     )
     for _ in range(2):
+        # fold rank and out-degree into one per-source table first:
+        # every out-edge of u carries the same share r div d
+        share = r.join(
+            outdeg.withColumnRenamed("u", "node"), "node"
+        ).select(F.col("node").alias("u"), F.expr("r div d").alias("c"))
         contrib = (
-            pairs.join(r.withColumnRenamed("node", "u"), "u")
-            .join(outdeg, "u")
-            .select(F.col("v").alias("node"), F.expr("r div d").alias("c"))
-            .groupBy("node")
+            pairs.join(bc(share), "u")
+            .groupBy(F.col("v").alias("node"))
             .agg(F.sum("c").alias("s"))
         )
         r = (
             r.select("node")
             .join(F.broadcast(nn))
-            .join(contrib, "node", "left")
+            .join(bc(contrib), "node", "left")
             .select(
                 "node",
                 F.expr(
@@ -454,6 +494,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " + (85 * coalesce(s, 0)) div 100"
                 ).alias("r"),
             )
+            # the rank table appears twice in the next iteration's plan
+            # (share join + node spine); checkpoint the tiny O(nodes)
+            # table so the plan doesn't double per iteration
+            .localCheckpoint(eager=False)
         )
     return (
         r.orderBy(F.desc("r"), "node")

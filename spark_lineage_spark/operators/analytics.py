@@ -300,6 +300,95 @@ def attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def global_rank(df: DataFrame, order_cols: list, coarse) -> DataFrame:
+    """Distributed exact global row_number without a single-partition
+    window (the ts_concurrency_sweep two-phase prefix sum): ``coarse``
+    is a column expression bucketing rows into bounded ranges that
+    sort consistently with ``order_cols``; per-range local
+    row_numbers run in parallel and the tiny per-range counts cumsum
+    (O(#ranges) rows at any SF) broadcasts back as offsets.
+
+    Adds columns ``rnk`` (1-based global rank) and ``n`` (total rows).
+    """
+    coarse_df = df.withColumn("_rng", coarse)
+    w_local = Window.partitionBy("_rng").orderBy(*order_cols)
+    local = coarse_df.withColumn("_local_rnk", F.row_number().over(w_local))
+    rng_counts = coarse_df.groupBy("_rng").agg(F.count(F.lit(1)).alias("_cnt"))
+    # O(#ranges)-row cumsum: one tiny partition, bounded forever
+    w_rng = Window.orderBy("_rng").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = rng_counts.withColumn(
+        "_offset", F.coalesce(F.sum("_cnt").over(w_rng), F.lit(0))
+    )
+    total = rng_counts.agg(F.sum("_cnt").alias("n"))
+    return (
+        local.join(F.broadcast(offsets.select("_rng", "_offset")), "_rng")
+        .join(F.broadcast(total))
+        .withColumn("rnk", F.col("_offset") + F.col("_local_rnk"))
+        .drop("_rng", "_local_rnk", "_offset")
+    )
+
+
+@query(
+    "agg_gini_concentration",
+    "§2.14 Gini coefficient + top-decile share (exact rank-weighted sums)",
+    """
+    WITH ranked AS (
+      SELECT cast(o_totalprice AS DECIMAL(18,2)) AS x,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk,
+             count(*) OVER () AS n
+      FROM orders
+    )
+    SELECT round(cast(2 * sum(rnk * x) - (max(n) + 1) * sum(x) AS DOUBLE)
+                 / cast(max(n) * sum(x) AS DOUBLE), 6) AS gini,
+           round(cast(sum(CASE WHEN rnk * 10 > n * 9 THEN x ELSE 0 END)
+                      AS DOUBLE)
+                 / cast(sum(x) AS DOUBLE), 6) AS top_decile_share,
+           max(n) AS n
+    FROM ranked
+    """,
+    doc="Revenue concentration: Gini and top-10%% share over order totals.",
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient via the rank formulation
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over ascending
+    order totals — plus the top-decile revenue share. Ranks come from
+    the distributed ``global_rank`` helper (no single-partition
+    window); every sum is over exact decimals/bigints, so the only
+    floating ops are the two final divisions. Fully deterministic at
+    any partitioning; ties ordered by (price, orderkey).
+    """
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+        "o_totalprice",
+        "o_orderkey",
+    )
+    ranked = global_rank(
+        o,
+        ["o_totalprice", "o_orderkey"],
+        F.floor(F.col("o_totalprice") / F.lit(1000.0)).cast("bigint"),
+    )
+    return ranked.agg(
+        F.round(
+            (
+                F.lit(2) * F.sum(F.col("rnk") * F.col("x"))
+                - (F.max("n") + F.lit(1)) * F.sum("x")
+            ).cast("double")
+            / (F.max("n") * F.sum("x")).cast("double"),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("rnk") * 10 > F.col("n") * 9, F.col("x")
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            ).cast("double")
+            / F.sum("x").cast("double"),
+            6,
+        ).alias("top_decile_share"),
+        F.max("n").alias("n"),
+    )
+
+
 @query(
     "hist_equi_depth",
     "§2.14 equi-depth decile histogram (two-phase global rank, no NTILE)",
@@ -336,22 +425,10 @@ def hist_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket boundaries — are fully deterministic.
     """
     o = load(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
-    coarse = o.withColumn(
-        "rng", F.floor(F.col("o_totalprice") / F.lit(1000.0)).cast("bigint")
-    )
-    w_local = Window.partitionBy("rng").orderBy("o_totalprice", "o_orderkey")
-    local = coarse.withColumn("local_rnk", F.row_number().over(w_local))
-    rng_counts = coarse.groupBy("rng").agg(F.count(F.lit(1)).alias("cnt"))
-    # O(domain/1000)-row cumsum: one tiny partition, bounded forever
-    w_rng = Window.orderBy("rng").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = rng_counts.withColumn(
-        "offset", F.coalesce(F.sum("cnt").over(w_rng), F.lit(0))
-    )
-    total = rng_counts.agg(F.sum("cnt").alias("n"))
-    ranked = (
-        local.join(F.broadcast(offsets.select("rng", "offset")), "rng")
-        .join(F.broadcast(total))
-        .withColumn("rnk", F.col("offset") + F.col("local_rnk"))
+    ranked = global_rank(
+        o,
+        ["o_totalprice", "o_orderkey"],
+        F.floor(F.col("o_totalprice") / F.lit(1000.0)).cast("bigint"),
     )
     bucket = (((F.col("rnk") - 1) * 10) / F.col("n")).cast("bigint") + F.lit(1)
     return ranked.groupBy(bucket.alias("bucket")).agg(

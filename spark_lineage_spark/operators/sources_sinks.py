@@ -589,3 +589,51 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_nations"),
         F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names"),
     )
+
+
+_BINARY_FILES = {
+    # deterministic payloads incl. non-UTF8 bytes; expected md5/length
+    # pinned in the oracle VALUES table below
+    "alpha.bin": b"spark-binary-source-alpha\n" * 3,
+    "beta.bin": b"beta-payload-0123456789\n" * 5,
+    "gamma.bin": b"gamma!\x00\x01\x02 binary bytes\n" * 7,
+}
+
+
+@query(
+    "scan_binary_files",
+    "§2.1 binaryFile source (whole-file bytes + metadata columns)",
+    """
+    SELECT * FROM (VALUES
+      ('alpha.bin', 78,  'c1b8ca99f2929133e6226b082df47fe2'),
+      ('beta.bin',  120, '59b518a3a9f996844bb22a522783be0b'),
+      ('gamma.bin', 161, 'cc132d4c89da41a48bc4cf7b929bc590'))
+      AS t(name, length, content_md5)
+    """,
+    doc="Spark binaryFile format over staged files; bytes verified by md5.",
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``binaryFile`` source — Spark's whole-file ingestion path
+    for opaque blobs (the same mechanism a multimodal pipeline uses to
+    land images/audio before decode, multimodal.py). Three
+    deterministic payloads (including non-UTF8 bytes) are staged to a
+    pid-scoped dir, read back as (path, modificationTime, length,
+    content), and verified byte-exactly via md5 against the pinned
+    oracle constants.
+
+    At scale binaryFile parallelizes per file (one task per file up to
+    maxPartitionBytes) and prunes the ``content`` column when only
+    metadata is selected; the md5 here forces the full byte read on
+    purpose.
+    """
+    out = _tmp("binary_src")
+    os.makedirs(out, exist_ok=True)
+    for name, payload in _BINARY_FILES.items():
+        with open(os.path.join(out, name), "wb") as f:
+            f.write(payload)
+    df = spark.read.format("binaryFile").load(out)
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("name"),
+        F.col("length").cast("int").alias("length"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )

@@ -1477,3 +1477,128 @@ def llm_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_TOKEN_ENTROPY_SQL = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+counts AS (
+  SELECT source, w, count(*) AS c FROM tok GROUP BY source, w
+)
+SELECT source,
+       cast(sum(c) AS BIGINT) AS n_tokens,
+       count(*) AS n_types,
+       round(count(*) * 1.0 / sum(c), 6) AS ttr,
+       round(ln(sum(c)) - cast(sum(cast(round(c * ln(c), 8) AS DECIMAL(28,8)))
+                               AS DOUBLE) / sum(c), 4) AS entropy
+FROM counts
+GROUP BY source
+"""
+
+
+@query(
+    "llm_token_entropy",
+    "§2.11 per-source token Shannon entropy + type-token ratio",
+    _TOKEN_ENTROPY_SQL,
+    doc="Lexical diversity per source: entropy and TTR of the token distribution.",
+)
+def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix diversity metric: Shannon entropy of each source's
+    token distribution, via the factored form
+    H = ln(N) - (sum c*ln c)/N so only per-TYPE terms are computed
+    (|vocab| rows per source, not |tokens|). The corpus explodes once,
+    aggregates to (source, token) counts map-side-combinably, then the
+    per-source rollup runs on the small counts table.
+
+    Determinism: c and N are exact bigints; each c*ln(c) double term
+    is rounded to 8 decimals and decimal-cast so the per-source sum is
+    exact regardless of partial-aggregation order (the q9 cent-flip
+    discipline). Type-token ratio is a ratio of exact integers.
+    """
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    term = F.round(F.col("c") * F.log(F.col("c")), 8).cast("decimal(28,8)")
+    return counts.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("ttr"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(term).cast("double") / F.sum("c"), 4
+        ).alias("entropy"),
+    )
+
+
+_NGRAM_NOVELTY_SQL = """
+WITH words AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(text), 1, 1) BETWEEN '0' AND 'b' THEN 'train'
+              WHEN substr(md5(text), 1, 1) IN ('c', 'd') THEN 'val'
+              ELSE 'test' END AS split,
+         string_split(text, ' ') AS ws
+  FROM documents
+),
+w AS (SELECT doc_id, split, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+      FROM words),
+sh AS (SELECT DISTINCT a.split, a.w || ' ' || b.w || ' ' || c.w AS g
+       FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+tr AS (SELECT g FROM sh WHERE split = 'train'),
+te AS (SELECT g FROM sh WHERE split = 'test')
+SELECT (SELECT count(*) FROM tr) AS n_train_grams,
+       (SELECT count(*) FROM te) AS n_test_grams,
+       (SELECT count(*) FROM te WHERE g NOT IN (SELECT g FROM tr)) AS n_novel,
+       round((SELECT count(*) FROM te WHERE g NOT IN (SELECT g FROM tr)) * 1.0
+             / (SELECT count(*) FROM te), 6) AS novelty_rate
+"""
+
+
+@query(
+    "llm_ngram_novelty",
+    "§2.11 test-vs-train 3-gram novelty (generalization-gap metric)",
+    _NGRAM_NOVELTY_SQL,
+    doc="Fraction of distinct test-split 3-grams unseen in the train split.",
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalization-gap probe: how many distinct 3-grams of the
+    held-out (content-hash) test split never occur in the train split.
+    High novelty = the eval set actually exercises unseen text; near
+    zero = the split leaks (the complement of the decontamination
+    check).
+
+    Shape at scale: one corpus explode into (split, gram), distinct
+    per split (shuffle on gram), then a LEFT ANTI join test-vs-train
+    on the gram key — the same key the distinct just shuffled on, so
+    the exchange is reused. The three counts ride one plan as
+    broadcast 1-row aggregates; no driver-side counting.
+    """
+    d = load(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("text")), 1, 1)
+    split = (
+        F.when(h.between("0", "b"), "train").when(h.isin("c", "d"), "val").otherwise("test")
+    )
+    grams = (
+        d.select(split.alias("split"), F.explode(word_shingles(F.col("text"), 3)).alias("g"))
+        .filter(F.col("split") != "val")
+        .distinct()
+    )
+    tr = grams.filter(F.col("split") == "train").select("g")
+    te = grams.filter(F.col("split") == "test").select("g")
+    novel = te.join(tr, "g", "left_anti")
+    n_tr = tr.agg(F.count(F.lit(1)).alias("n_train_grams"))
+    n_te = te.agg(F.count(F.lit(1)).alias("n_test_grams"))
+    n_nv = novel.agg(F.count(F.lit(1)).alias("n_novel"))
+    return (
+        n_tr.crossJoin(F.broadcast(n_te))
+        .crossJoin(F.broadcast(n_nv))
+        .select(
+            "n_train_grams",
+            "n_test_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_test_grams"), 6).alias("novelty_rate"),
+        )
+    )

@@ -327,3 +327,78 @@ def test_pagerank_matches_float_power_iteration(spark):
         assert node in got
         # integer pico-unit truncation loses < 1e-6 absolute
         assert got[node] == pytest.approx(rank, abs=1e-6)
+
+
+def test_gini_matches_numpy(spark):
+    from spark_lineage_spark.operators.analytics import agg_gini_concentration
+
+    row = agg_gini_concentration(spark, SF).collect()[0]
+    x = np.sort(pd.read_parquet(f"{SF}/orders.parquet").o_totalprice.to_numpy())
+    n = len(x)
+    i = np.arange(1, n + 1)
+    gini = (2 * (i * x).sum() - (n + 1) * x.sum()) / (n * x.sum())
+    assert row.gini == pytest.approx(gini, abs=1e-4)
+    top = x[i * 10 > n * 9].sum() / x.sum()
+    assert row.top_decile_share == pytest.approx(top, abs=1e-4)
+    assert row.n == n
+
+
+def test_token_entropy_matches_numpy(spark):
+    from spark_lineage_spark.operators.text import llm_token_entropy
+
+    got = {r.source: r for r in llm_token_entropy(spark, SF).collect()}
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    for src, grp in docs.groupby("source"):
+        toks = [w for t in grp.text for w in t.split(" ")]
+        counts = pd.Series(toks).value_counts().to_numpy().astype(float)
+        p = counts / counts.sum()
+        ent = -(p * np.log(p)).sum()
+        r = got[src]
+        assert r.n_tokens == len(toks)
+        assert r.n_types == len(counts)
+        assert float(r.ttr) == pytest.approx(len(counts) / len(toks), abs=1e-5)
+        assert float(r.entropy) == pytest.approx(ent, abs=1e-3)
+
+
+def test_ngram_novelty_matches_pandas(spark):
+    import hashlib
+
+    from spark_lineage_spark.operators.text import llm_ngram_novelty
+
+    row = llm_ngram_novelty(spark, SF).collect()[0]
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+
+    def split_of(t):
+        h = hashlib.md5(t.encode()).hexdigest()[0]
+        return "train" if h <= "b" else ("val" if h in "cd" else "test")
+
+    def grams(t):
+        ws = t.split(" ")
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    tr, te = set(), set()
+    for t in docs.text:
+        s = split_of(t)
+        if s == "train":
+            tr |= grams(t)
+        elif s == "test":
+            te |= grams(t)
+    assert row.n_train_grams == len(tr)
+    assert row.n_test_grams == len(te)
+    assert row.n_novel == len(te - tr)
+    assert float(row.novelty_rate) == pytest.approx(len(te - tr) / len(te), abs=1e-6)
+
+
+def test_binary_files_roundtrip_bytes_exact(spark):
+    import hashlib
+
+    from spark_lineage_spark.operators.sources_sinks import (
+        _BINARY_FILES,
+        scan_binary_files,
+    )
+
+    got = {r.name: r for r in scan_binary_files(spark, SF).collect()}
+    assert set(got) == set(_BINARY_FILES)
+    for name, payload in _BINARY_FILES.items():
+        assert got[name].length == len(payload)
+        assert got[name].content_md5 == hashlib.md5(payload).hexdigest()

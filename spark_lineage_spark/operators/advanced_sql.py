@@ -1272,3 +1272,63 @@ def ts_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fan.groupBy("sd").agg(F.countDistinct("user_id").alias("active_7d")).select(
         F.date_format("sd", "yyyy-MM-dd").alias("d"), "active_7d"
     )
+
+
+_CHANGEPOINT_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+         sum(CAST(value AS DECIMAL(18,6))) AS sv, count(*) AS c
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+),
+pre AS (
+  SELECT user_id, d,
+         sum(sv) OVER (PARTITION BY user_id ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps,
+         sum(c) OVER (PARTITION BY user_id ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+         sum(sv) OVER (PARTITION BY user_id) AS tot,
+         sum(c) OVER (PARTITION BY user_id) AS tc,
+         count(*) OVER (PARTITION BY user_id) AS nd,
+         row_number() OVER (PARTITION BY user_id ORDER BY d) AS i
+  FROM daily
+),
+stats AS (
+  SELECT user_id, d, nd,
+         round(abs(CAST(ps AS DOUBLE) / pc
+                   - CAST(tot - ps AS DOUBLE) / (tc - pc))
+               * sqrt(pc * (tc - pc) * 1.0 / tc), 6) AS stat
+  FROM pre WHERE i < nd
+),
+best AS (
+  SELECT user_id, d AS split_day, stat, nd AS n_days,
+         row_number() OVER (PARTITION BY user_id ORDER BY stat DESC, d) AS rn
+  FROM stats
+)
+SELECT user_id, split_day, stat, n_days FROM best WHERE rn = 1
+"""
+
+
+@query(
+    "ts_changepoint_split",
+    "§2.5/§5.2 changepoint detection: max standardized mean-split statistic",
+    _CHANGEPOINT_SQL,
+    doc="Per-user day where the before/after mean difference peaks (binary segmentation step).",
+)
+def ts_changepoint_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint detection, binary-segmentation first step: for each
+    candidate split day, the CUSUM-style statistic
+    |mean_before - mean_after| * sqrt(n_l * n_r / n) — the day that
+    maximizes it is the most likely level shift. Identical SQL text on
+    both engines.
+
+    Determinism without recursion: the full CUSUM recursion
+    s_i = max(0, s_{i-1} + ...) is not window-expressible, but the
+    split statistic needs only per-user prefix sums — decimal-exact —
+    so every per-row double is computed from exact inputs (identical
+    bits in both engines) and the argmax orders by the ROUNDED stat
+    with a day tie-break. Scale: one shuffle to daily grain, windows
+    over bounded per-user day series (O(days), not O(events)).
+    """
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_CHANGEPOINT_SQL)

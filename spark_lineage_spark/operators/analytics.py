@@ -586,3 +586,52 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "graph_degree_stats",
+    "§2.14 degree distribution of the co-purchase graph (log2 buckets)",
+    """
+    WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM pl a JOIN pl b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    deg AS (
+      SELECT n, count(*) AS d FROM (
+        SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges
+      ) GROUP BY n
+    )
+    SELECT cast(floor(log2(d)) AS BIGINT) AS bucket,
+           count(*) AS n_nodes,
+           min(d) AS min_deg, max(d) AS max_deg,
+           cast(sum(d) AS BIGINT) AS total_deg
+    FROM deg GROUP BY 1
+    """,
+    doc="Node-degree histogram in power-of-two buckets.",
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution — the first thing to look at before running
+    any graph algorithm at scale (it tells you whether hubs will blow
+    up a wedge join or a broadcast). Degrees come from one hash agg
+    over the shared checkpointed edge table; the log2 bucketing is
+    exact for power-of-two degrees (IEEE log2 of 2^k is exact) and
+    the histogram aggregates the already-tiny node-degree table.
+    """
+    edges = copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return deg.groupBy(
+        F.floor(F.log2("d")).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("d").alias("min_deg"),
+        F.max("d").alias("max_deg"),
+        F.sum("d").cast("bigint").alias("total_deg"),
+    )

@@ -634,3 +634,50 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_add("l_quantity", "l_tax").alias("plain_add"),
         F.try_to_number("l_returnflag", F.lit("999")).cast("int").alias("not_a_number"),
     )
+
+
+@query(
+    "fn_levenshtein_battery",
+    "§2.8 edit-distance functions (levenshtein, similarity ratio)",
+    """
+    WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 200)
+    SELECT a.p_partkey AS k,
+           levenshtein(a.p_name, b.p_name) AS lev,
+           round(1.0 - levenshtein(a.p_name, b.p_name) * 1.0
+                 / greatest(length(a.p_name), length(b.p_name)), 6) AS sim,
+           levenshtein(a.p_name, upper(a.p_name)) AS lev_case
+    FROM p a JOIN p b ON b.p_partkey = a.p_partkey + 1
+    """,
+    doc="Levenshtein distance + normalized similarity over adjacent part names.",
+)
+def fn_levenshtein_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance battery: unit-cost Levenshtein between adjacent
+    part names (same definition in Spark and DuckDB), the normalized
+    similarity ratio 1 - lev/max(len), and distance-to-uppercased as a
+    case-sensitivity probe. All integer/exact arithmetic until one
+    final division — deterministic at any partitioning. The bounded
+    key filter keeps the demo small; the function itself is a
+    JVM-codegen scalar and costs O(len^2) per row at any scale.
+    """
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 200)
+        .select("p_partkey", "p_name")
+    )
+    a, b = p.alias("a"), p.alias("b")
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(b, F.col("b.p_partkey") == F.col("a.p_partkey") + 1)
+        .select(
+            F.col("a.p_partkey").alias("k"),
+            lev.alias("lev"),
+            F.round(
+                F.lit(1.0)
+                - lev / F.greatest(F.length("a.p_name"), F.length("b.p_name")),
+                6,
+            ).alias("sim"),
+            F.levenshtein(F.col("a.p_name"), F.upper(F.col("a.p_name"))).alias(
+                "lev_case"
+            ),
+        )
+    )

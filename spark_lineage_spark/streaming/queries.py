@@ -579,3 +579,114 @@ def source_python_stream_partitioned(spark: SparkSession, sf_dir: str) -> DataFr
         F.count("*").alias("n"), F.sum("i").alias("total")
     )
     return run_to_memory(agg, mode="complete")
+
+
+@query(
+    "sink_python_stream",
+    "§2.1/§2.9 Spark-4 Python STREAMING data sink (DataSourceStreamWriter)",
+    """
+    SELECT event_type, count(*) AS n,
+           cast(round(sum(cast(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_value
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def sink_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING sink in pure Python (pyspark.sql.datasource
+    DataSourceStreamWriter) — the writer-side complement of
+    source_python_stream: executors call write(iterator) per task and
+    return commit messages naming the files they produced; the driver
+    calls commit(messages, batchId) and records a per-epoch manifest.
+    Exactly-once comes from reading back ONLY manifest-listed files —
+    uncommitted task output from failed/speculative attempts is
+    invisible, the same protocol every transactional file sink uses.
+
+    The round trip is verified end-to-end: events stream through the
+    sink as JSON lines (float bits survive via repr/parse), the
+    manifest-listed files are read back in batch, and the aggregate
+    must equal the DuckDB oracle over the original table. Decimal sums
+    make the check exact.
+    """
+    import json as _json
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="sls_pysink_")
+
+    class FilesCommitted(WriterCommitMessage):
+        def __init__(self, paths):
+            self.paths = paths
+
+    class JsonLinesWriter(DataSourceStreamWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, iterator):
+            fname = os.path.join(self.path, f"task-{uuid.uuid4().hex}.jsonl")
+            n = 0
+            with open(fname, "w") as f:
+                for row in iterator:
+                    f.write(
+                        _json.dumps({"event_type": row.event_type, "value": row.value})
+                        + "\n"
+                    )
+                    n += 1
+            return FilesCommitted([fname] if n else [])
+
+        def commit(self, messages, batchId):
+            manifest = os.path.join(self.path, f"_commit_{batchId}.json")
+            paths = [p for m in messages if m is not None for p in m.paths]
+            with open(manifest, "w") as f:
+                _json.dump(paths, f)
+
+        def abort(self, messages, batchId):
+            for m in messages:
+                for p in m.paths if m is not None else []:
+                    try:
+                        os.unlink(p)
+                    except OSError:
+                        pass
+
+    class JsonLinesSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "sls_jsonl_stream_sink"
+
+        def streamWriter(self, schema, overwrite):
+            return JsonLinesWriter(self.options)
+
+    try:
+        spark.dataSource.register(JsonLinesSink)
+    except Exception:
+        pass  # already registered in this session
+
+    src = events_stream(spark, sf_dir).filter(F.col("value").isNotNull()).select(
+        "event_type", "value"
+    )
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="sls_ckpt_"), "ckpt")
+    q = (
+        src.writeStream.format("sls_jsonl_stream_sink")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # read back ONLY committed files (the exactly-once contract)
+    committed: list[str] = []
+    for fn in os.listdir(out_dir):
+        if fn.startswith("_commit_"):
+            with open(os.path.join(out_dir, fn)) as f:
+                committed.extend(_json.load(f))
+    back = spark.read.schema("event_type string, value double").json(committed)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )

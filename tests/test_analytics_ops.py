@@ -402,3 +402,101 @@ def test_binary_files_roundtrip_bytes_exact(spark):
     for name, payload in _BINARY_FILES.items():
         assert got[name].length == len(payload)
         assert got[name].content_md5 == hashlib.md5(payload).hexdigest()
+
+
+def test_levenshtein_matches_python_dp(spark):
+    from spark_lineage_spark.operators.scalar_funcs import fn_levenshtein_battery
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    got = {r.k: r for r in fn_levenshtein_battery(spark, SF).collect()}
+    p = (
+        pd.read_parquet(f"{SF}/part.parquet")
+        .query("p_partkey <= 200")
+        .set_index("p_partkey")
+        .p_name
+    )
+    for k, r in got.items():
+        a, b = p[k], p[k + 1]
+        assert r.lev == lev(a, b)
+        assert float(r.sim) == pytest.approx(1 - r.lev / max(len(a), len(b)), abs=1e-5)
+        assert r.lev_case == lev(a, a.upper())
+
+
+def test_degree_stats_match_pandas(spark):
+    from spark_lineage_spark.operators.analytics import graph_degree_stats
+
+    got = {r.bucket: r for r in graph_degree_stats(spark, SF).collect()}
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    edges = set()
+    for _, grp in li.drop_duplicates().groupby("l_orderkey"):
+        parts = sorted(grp.l_partkey.unique())
+        for i, u in enumerate(parts):
+            for v in parts[i + 1 :]:
+                edges.add((u, v))
+    deg = pd.Series([n for e in edges for n in e]).value_counts()
+    exp = deg.groupby(np.floor(np.log2(deg)).astype(int)).agg(["size", "min", "max", "sum"])
+    assert set(got) == set(exp.index)
+    for b, row in exp.iterrows():
+        assert got[b].n_nodes == row["size"]
+        assert got[b].min_deg == row["min"]
+        assert got[b].max_deg == row["max"]
+        assert got[b].total_deg == row["sum"]
+
+
+def test_changepoint_matches_numpy(spark):
+    from spark_lineage_spark.operators.advanced_sql import ts_changepoint_split
+
+    got = {r.user_id: r for r in ts_changepoint_split(spark, SF).collect()}
+    ev = pd.read_parquet(f"{SF}/events.parquet").dropna(subset=["value"])
+    ev["d"] = pd.to_datetime(ev.ts).dt.floor("D")
+    for uid, grp in ev.groupby("user_id"):
+        daily = grp.groupby("d").value.agg(["sum", "size"]).sort_index()
+        sv, c = daily["sum"].to_numpy(), daily["size"].to_numpy()
+        n_days, tc, tot = len(daily), c.sum(), sv.sum()
+        best = None
+        for i in range(1, n_days):
+            pc, ps = c[:i].sum(), sv[:i].sum()
+            stat = round(
+                abs(ps / pc - (tot - ps) / (tc - pc))
+                * math.sqrt(pc * (tc - pc) / tc),
+                6,
+            )
+            if best is None or stat > best[0]:
+                best = (stat, daily.index[i - 1])
+        r = got[uid]
+        assert r.n_days == n_days
+        assert float(r.stat) == pytest.approx(best[0], abs=1e-4)
+        assert pd.Timestamp(r.split_day) == best[1]
+
+
+def test_python_sink_roundtrip_and_manifest(spark):
+    import glob
+    import json
+    import os
+
+    from spark_lineage_spark.streaming.queries import sink_python_stream
+
+    got = {r.event_type: r for r in sink_python_stream(spark, SF).collect()}
+    ev = pd.read_parquet(f"{SF}/events.parquet").dropna(subset=["value"])
+    exp = ev.groupby("event_type").value.agg(["size", "sum"])
+    assert set(got) == set(exp.index)
+    for et, row in exp.iterrows():
+        assert got[et].n == row["size"]
+        assert got[et].total_value == pytest.approx(row["sum"], abs=0.02)
+    # exactly-once contract: every data file in the newest sink dir is
+    # manifest-listed (no orphan task output on a clean run)
+    dirs = sorted(glob.glob("/tmp/sls_pysink_*"), key=os.path.getmtime)
+    d = dirs[-1]
+    committed = set()
+    for m in glob.glob(os.path.join(d, "_commit_*.json")):
+        committed |= set(json.load(open(m)))
+    data_files = set(glob.glob(os.path.join(d, "task-*.jsonl")))
+    assert data_files == committed

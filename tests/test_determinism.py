@@ -31,6 +31,13 @@ SENSITIVE = [
     "agg_trimmed_winsorized",  # quantile cuts + decimal sums
     "llm_perplexity_buckets",  # percentile cutpoints over log-averages
     "ts_interpolate_linear",  # floor-integer interpolation
+    # round-5 analytics (decimal/bigint-exact by design — prove it):
+    "ts_twap",  # decimal weighted sums / exact total division
+    "stats_chi_square",  # decimal-cast per-cell terms
+    "agg_gini_concentration",  # rank-weighted decimal sums
+    "graph_pagerank",  # integer-scaled ranks, bigint contribution sums
+    "ts_changepoint_split",  # argmax over rounded split statistic
+    "llm_token_entropy",  # decimal-cast c*ln(c) term sums
 ]
 
 

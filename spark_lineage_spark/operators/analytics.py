@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from spark_lineage_spark.plans.extract import lineage_checkpoint_lazy
 from spark_lineage_spark.registry import query
 from spark_lineage_spark.tables import load, register_views
 
@@ -469,7 +470,7 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("e.u", "e.v")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(lineage_checkpoint_lazy)
     )
 
 
@@ -574,7 +575,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the rank table appears twice in the next iteration's plan
             # (share join + node spine); checkpoint the tiny O(nodes)
             # table so the plan doesn't double per iteration
-            .localCheckpoint(eager=False)
+            .transform(lineage_checkpoint_lazy)
         )
     return (
         r.orderBy(F.desc("r"), "node")
@@ -635,3 +636,78 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("d").alias("max_deg"),
         F.sum("d").cast("bigint").alias("total_deg"),
     )
+
+
+def _scd2_frame(ev: DataFrame) -> DataFrame:
+    """DataFrame-API twin of _SCD2_SQL over an arbitrary events slice."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+        F.sum(
+            F.when(
+                F.lag("event_type").over(w).isNull()
+                | (F.lag("event_type").over(w) != F.col("event_type")),
+                1,
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("run_id"),
+    )
+    segs = marked.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("seg"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("run_id")
+    nxt = F.lead("valid_from").over(w2)
+    return segs.select(
+        "user_id",
+        "seg",
+        "valid_from",
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+        "n_events",
+    )
+
+
+@query(
+    "cdc_scd2_incremental",
+    "§2.14 incremental SCD2 maintenance (recompute touched users only)",
+    _SCD2_SQL,
+    doc="Daily-batch SCD2 upkeep; oracle is the full-data rebuild.",
+)
+def cdc_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production SCD2 shape: a standing dimension built from
+    history plus a new event batch (here: the last third of the
+    fixture window). Instead of rebuilding the world, only TOUCHED
+    users — those present in the batch — are recomputed over their
+    full event history; everyone else's intervals are reused verbatim
+    from the standing dimension. The DuckDB oracle is the FULL-data
+    rebuild, so the driver hash-check proves the incremental result is
+    byte-identical to a from-scratch one (runs that straddle the batch
+    boundary must extend, not split — the bug this construction is
+    designed to catch).
+
+    Scale: the recompute cost follows the batch's user set (left-semi
+    join on user_id), not the corpus; the untouched dimension passes
+    through with one left-anti join. This is how a 100 TB dimension
+    stays maintainable under daily ingest.
+    """
+    ev = load(spark, sf_dir, "events")
+    split = F.lit("2024-01-20").cast("timestamp")
+    hist = ev.filter(F.col("ts") < split)
+    batch = ev.filter(F.col("ts") >= split)
+    touched = batch.select("user_id").distinct()
+    standing = _scd2_frame(hist)
+    untouched = standing.join(touched, "user_id", "left_anti")
+    recomputed = _scd2_frame(ev.join(touched, "user_id", "left_semi"))
+    return untouched.unionByName(recomputed)

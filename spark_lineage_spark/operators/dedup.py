@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from spark_lineage_spark.functions.arrays import cosine, to_double_array
 from spark_lineage_spark.functions.text_funcs import word_shingles
+from spark_lineage_spark.plans.extract import lineage_checkpoint
 from spark_lineage_spark.registry import query
 from spark_lineage_spark.tables import load
 
@@ -129,7 +130,7 @@ def _shingle_index(spark: SparkSession, sf_dir: str, df_cap: int | None = SHINGL
         app = spark.sparkContext.applicationId
         for k in [k for k in _SHINGLE_INDEX_CACHE if k[0] != app]:
             del _SHINGLE_INDEX_CACHE[k]
-        df = _distinct_shingles(load(spark, sf_dir, "documents"), df_cap).localCheckpoint()
+        df = _distinct_shingles(load(spark, sf_dir, "documents"), df_cap).transform(lineage_checkpoint)
         _SHINGLE_INDEX_CACHE[key] = df
     return df
 
@@ -201,7 +202,7 @@ def _jaccard_pairs_from_shingles(sh: DataFrame, threshold: float = JACCARD_THRES
         )
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
-        .localCheckpoint()  # read 3× by the verify stage
+        .transform(lineage_checkpoint)  # read 3× by the verify stage
     )
     return _verify_exact_jaccard(sh, candidates, threshold)
 
@@ -282,7 +283,7 @@ def _minhash_lsh_pairs(sh: DataFrame, threshold: float = JACCARD_THRESHOLD) -> D
         )
         .select(F.col("bl.doc_id").alias("da"), F.col("br.doc_id").alias("db"))
         .distinct()
-        .localCheckpoint()  # read 3× by the verify stage
+        .transform(lineage_checkpoint)  # read 3× by the verify stage
     )
     return _verify_exact_jaccard(sh, candidates, threshold)
 
@@ -357,7 +358,7 @@ def _ml_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         # at sf0.1 from this projection alone).
         # localCheckpoint: the vectorization is otherwise re-executed
         # three times — lsh.fit, datasetA, datasetB.
-        df = tf.transform(sh).select("doc_id", "features").localCheckpoint()
+        df = tf.transform(sh).select("doc_id", "features").transform(lineage_checkpoint)
         _ML_FEATURES_CACHE[key] = df
     return df
 
@@ -461,7 +462,7 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (two Python worker round-trips). Signatures are 16 bytes/doc —
     # at corpus scale this is "write the signature table once, self-join
     # the table", the same staging discipline as _shingle_index.
-    sigs = hashed.mapInPandas(fold, schema="doc_id long, simhash long").localCheckpoint()
+    sigs = hashed.mapInPandas(fold, schema="doc_id long, simhash long").transform(lineage_checkpoint)
 
     bands = sigs.select(
         "doc_id",
@@ -510,7 +511,7 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
         edges.select(F.col("da").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .transform(lineage_checkpoint)
     )
     while True:
         neighbor_min = (
@@ -524,7 +525,7 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
             )
-            .localCheckpoint()
+            .transform(lineage_checkpoint)
         )
         changed = (
             new_labels.alias("n")
@@ -599,7 +600,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python union-find in tests/test_llm_ops.py."""
     # materialize the pair list ONCE — the iteration must run on the
     # (tiny) edge list, not re-derive the LSH pipeline per round
-    pairs = llm_dedup_minhash_lsh(spark, sf_dir).select("da", "db").localCheckpoint()
+    pairs = llm_dedup_minhash_lsh(spark, sf_dir).select("da", "db").transform(lineage_checkpoint)
     return _cluster_summary(_min_label_components(pairs))
 
 
@@ -986,7 +987,7 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         llm_dedup_embedding_cosine(spark, sf_dir)
         .select(F.col("va").alias("da"), F.col("vb").alias("db"))
-        .localCheckpoint()
+        .transform(lineage_checkpoint)
     )
     return _cluster_summary(_min_label_components(pairs)).select(
         F.col("label").alias("cluster_label"), "cluster_size", "survivor", "members"
@@ -1029,6 +1030,6 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("new_id", "doc_id").alias("db"),
         )
         .distinct()
-        .localCheckpoint()  # read 3× by the verify stage
+        .transform(lineage_checkpoint)  # read 3× by the verify stage
     )
     return _verify_exact_jaccard(sh, candidates, JACCARD_THRESHOLD)

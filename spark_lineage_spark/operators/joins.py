@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from spark_lineage_spark.plans.extract import lineage_checkpoint
 from spark_lineage_spark.registry import query
 from spark_lineage_spark.tables import load, register_views
 
@@ -471,7 +472,7 @@ def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count("*").alias("n_lines"),
                 F.round(F.sum("l_quantity"), 2).alias("total_qty"),
             )
-            .localCheckpoint()
+            .transform(lineage_checkpoint)
         )
     finally:
         for k, v in prev.items():
@@ -643,7 +644,7 @@ def join_aqe_skew_handled(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count("*").alias("n_joined"),
                 F.round(F.sum("l_quantity"), 2).alias("total_qty"),
             )
-            .localCheckpoint()
+            .transform(lineage_checkpoint)
         )
     finally:
         for k, v in prev.items():

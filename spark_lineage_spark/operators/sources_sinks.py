@@ -15,6 +15,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from spark_lineage_spark.plans.extract import lineage_checkpoint
 from spark_lineage_spark.registry import query
 from spark_lineage_spark.tables import load, register_views
 
@@ -549,7 +550,7 @@ def scan_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = back.select(
         "n_nationkey", "n_name", "n_regionkey",
         F.col("_corrupt_record").isNull().alias("ok"),
-    ).localCheckpoint()  # materialize the full parse before aggregating
+    ).transform(lineage_checkpoint)  # materialize the full parse before aggregating
     return flagged.agg(
         F.count("*").alias("n_rows"),
         F.count(F.when(F.col("ok"), 1)).alias("n_valid"),

@@ -18,6 +18,7 @@ from spark_lineage_spark.functions.text_funcs import (
     tokens,
     word_shingles,
 )
+from spark_lineage_spark.plans.extract import lineage_checkpoint
 from spark_lineage_spark.registry import query
 from spark_lineage_spark.tables import load
 
@@ -922,7 +923,7 @@ def llm_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.explode(tokens(F.col("text"))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("u"))
-        .localCheckpoint()
+        .transform(lineage_checkpoint)
     )
     nu = uni.agg(F.sum("u").alias("n_uni"))
     bi_counts = (
@@ -1291,7 +1292,7 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c"), "w")
         .limit(VOCAB_SIZE)
         .select("w")
-        .localCheckpoint()
+        .transform(lineage_checkpoint)
     )
     marked = toks.join(
         F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "w", "left"

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from spark_lineage_spark.plans.extract import lineage_checkpoint
 from spark_lineage_spark.registry import query
 from spark_lineage_spark.tables import load
 
@@ -575,7 +576,7 @@ def tpch_q15_style(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_revenue")
         )
-        .localCheckpoint()
+        .transform(lineage_checkpoint)
     )
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -669,7 +670,7 @@ def tpch_q2_style(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
         .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
         .select("l_partkey", "l_suppkey", "unit_cost", "s_acctbal", "s_name", "n_name")
-        .localCheckpoint()  # feeds both the rows and the per-part min
+        .transform(lineage_checkpoint)  # feeds both the rows and the per-part min
     )
     min_cost = eur.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
         F.min("unit_cost").alias("min_cost")
@@ -850,7 +851,7 @@ def tpch_q11_style(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_quantity") * F.col("p_retailprice")).alias("value"))
-        .localCheckpoint()
+        .transform(lineage_checkpoint)
     )
     total = val.agg((F.sum("value") * 0.001).alias("threshold"))
     return (
@@ -968,7 +969,7 @@ def tpch_q21_style(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey"
     )
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-    l1 = li.join(o, li.l_orderkey == o.o_orderkey, "left_semi").localCheckpoint()
+    l1 = li.join(o, li.l_orderkey == o.o_orderkey, "left_semi").transform(lineage_checkpoint)
     l2 = l1.select(
         F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
     )

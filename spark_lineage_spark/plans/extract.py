@@ -33,6 +33,50 @@ from spark_lineage_spark.plans.model import (
 )
 
 # ---------------------------------------------------------------------------
+# checkpoint-transparent lineage
+# ---------------------------------------------------------------------------
+
+# localCheckpoint() truncates the analyzed plan to a LogicalRDD leaf, so
+# a checkpointed DataFrame would report "read nothing" (Spark itself has
+# forgotten). ``lineage_checkpoint`` snapshots the pre-checkpoint plan's
+# inputs + column sources keyed by the checkpoint RDD's id; the walk
+# splices them back in when it meets that LogicalRDD. Bounded: cleared
+# wholesale past _CHECKPOINT_CAP entries (a session-lifetime cache of
+# tiny metadata, not data).
+_CHECKPOINT_LINEAGE: dict[int, tuple[list, dict]] = {}
+_CHECKPOINT_CAP = 512
+
+
+def lineage_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``df.localCheckpoint(eager)`` that stays lineage-transparent.
+
+    Records the pre-checkpoint inputs and per-output-column source sets
+    under the checkpoint RDD's id so later extraction over the
+    truncated plan still reports the original tables/columns. Costs
+    one plan walk (~tens of ms) per checkpoint; never fails the query.
+    Chain-friendly: ``df.transform(lineage_checkpoint)`` (or
+    ``lineage_checkpoint_lazy`` for ``eager=False``).
+    """
+    ckpt = df.localCheckpoint(eager)
+    try:
+        analyzed = df._jdf.queryExecution().analyzed()
+        inputs, raw_cols, _ = analyze_plan(analyzed, with_columns=True, _raw=True)
+        colmap = {name: set(srcs) for name, srcs in raw_cols}
+        rid = ckpt._jdf.queryExecution().analyzed().rdd().id()
+        if len(_CHECKPOINT_LINEAGE) >= _CHECKPOINT_CAP:
+            _CHECKPOINT_LINEAGE.clear()
+        _CHECKPOINT_LINEAGE[rid] = (inputs, colmap)
+    except Exception:
+        pass  # observability must never fail the query
+    return ckpt
+
+
+def lineage_checkpoint_lazy(df: DataFrame) -> DataFrame:
+    """``lineage_checkpoint`` with ``eager=False`` (for .transform chains)."""
+    return lineage_checkpoint(df, eager=False)
+
+
+# ---------------------------------------------------------------------------
 # small py4j helpers (Scala collections -> Python)
 # ---------------------------------------------------------------------------
 
@@ -250,8 +294,8 @@ def _command_output(node) -> Optional[DatasetRef]:
 
 
 def analyze_plan(
-    plan, with_columns: bool = True
-) -> tuple[list[DatasetRef], list[ColumnLineage], Optional[DatasetRef]]:
+    plan, with_columns: bool = True, _raw: bool = False
+) -> tuple[list[DatasetRef], list, Optional[DatasetRef]]:
     """ONE tree walk producing inputs, column lineage, and (for SQL
     write commands) the output target.
 
@@ -365,6 +409,25 @@ def analyze_plan(
             except Exception:
                 pass
             return  # leaf; the anchor's walk already collected inputs
+        if name == "LogicalRDD":
+            # a lineage_checkpoint'ed subtree: splice the recorded
+            # pre-checkpoint inputs/column sources back in
+            try:
+                entry = _CHECKPOINT_LINEAGE.get(node.rdd().id())
+            except Exception:
+                entry = None
+            if entry is not None:
+                ckpt_inputs, colmap = entry
+                found.extend(ckpt_inputs)
+                if with_columns:
+                    try:
+                        for a in _seq(node.output()):
+                            srcs = colmap.get(a.name())
+                            if srcs:
+                                mapping[a.exprId().id()] = set(srcs)
+                    except Exception:
+                        pass
+                return
         ref = _leaf_ref(node)
         chs = _children(node)
         if ref is None and not chs:
@@ -461,17 +524,23 @@ def analyze_plan(
             seen.add(k)
             inputs.append(r)
 
-    columns: list[ColumnLineage] = []
+    columns: list = []
     if with_columns:
         try:
             for a in _seq(plan.output()):
                 srcs = mapping.get(a.exprId().id(), set())
-                columns.append(
-                    ColumnLineage(
-                        output=a.name(),
-                        inputs=sorted(f"{ds}.{col}" for ds, col in srcs),
+                if _raw:
+                    # internal form for lineage_checkpoint: keep the
+                    # (dataset, column) tuples — dataset labels may
+                    # contain dots, so the joined string is lossy
+                    columns.append((a.name(), set(srcs)))
+                else:
+                    columns.append(
+                        ColumnLineage(
+                            output=a.name(),
+                            inputs=sorted(f"{ds}.{col}" for ds, col in srcs),
+                        )
                     )
-                )
         except Exception:
             pass
     return inputs, columns, output_ref[0]

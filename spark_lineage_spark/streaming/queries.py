@@ -21,6 +21,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from spark_lineage_spark.plans.extract import lineage_checkpoint
 from spark_lineage_spark.registry import query
 from spark_lineage_spark.tables import table_path
 
@@ -104,7 +105,7 @@ def run_to_memory(df: DataFrame, mode: str = "append") -> DataFrame:
     # detach the result from the memory sink so the temp table and
     # checkpoint dir can be released (otherwise every call pins a
     # full result table in driver memory for the session's lifetime)
-    out = spark.table(name).localCheckpoint()
+    out = spark.table(name).transform(lineage_checkpoint)
     try:
         spark.catalog.dropTempView(name)
     except Exception:
@@ -442,7 +443,7 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(os.path.dirname(ckpt), ignore_errors=True)
     back = spark.read.parquet(f"{out}/epoch=0")
     # detach from the temp dir so it can be reclaimed
-    result = back.localCheckpoint()
+    result = back.transform(lineage_checkpoint)
     shutil.rmtree(os.path.dirname(out), ignore_errors=True)
     return result.select("event_type", "n", "total_value")
 

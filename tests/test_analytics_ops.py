@@ -500,3 +500,23 @@ def test_python_sink_roundtrip_and_manifest(spark):
         committed |= set(json.load(open(m)))
     data_files = set(glob.glob(os.path.join(d, "task-*.jsonl")))
     assert data_files == committed
+
+
+def test_incremental_scd2_equals_full_rebuild(spark):
+    from spark_lineage_spark.operators.analytics import (
+        cdc_scd2_build,
+        cdc_scd2_incremental,
+    )
+
+    full = cdc_scd2_build(spark, SF).toPandas()
+    inc = cdc_scd2_incremental(spark, SF).toPandas()
+    key = ["user_id", "valid_from"]
+    full = full.sort_values(key).reset_index(drop=True)
+    inc = inc.sort_values(key).reset_index(drop=True)
+    # byte-identical to the from-scratch rebuild — boundary-straddling
+    # runs merged, no duplicated or split intervals
+    pd.testing.assert_frame_equal(
+        full[["user_id", "seg", "valid_from", "valid_to", "n_events"]],
+        inc[["user_id", "seg", "valid_from", "valid_to", "n_events"]],
+        check_dtype=False,
+    )

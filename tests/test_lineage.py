@@ -627,3 +627,34 @@ def test_column_lineage_lateral_join_with_bloom_confs(engine, sf_dir):
     edges = {c.output: set(c.inputs) for c in report.columns}
     assert edges["o_orderkey"] == {"orders.o_orderkey"}
     assert edges.get("qty", set()) <= {"lineitem.l_quantity", "lineitem.l_orderkey"}, edges
+
+
+def test_checkpoint_transparent_lineage(engine, sf_dir):
+    """localCheckpoint truncates the analyzed plan to a LogicalRDD —
+    Spark itself forgets the sources. lineage_checkpoint snapshots the
+    pre-checkpoint inputs/column sources and extraction splices them
+    back in; graph_pagerank nests TWO checkpoint layers (edge table,
+    then the per-iteration rank table), so this exercises recursion
+    through recorded entries."""
+    eng, rep = engine
+    from spark_lineage_spark.operators.analytics import graph_pagerank
+
+    eng._wrap(graph_pagerank(eng.spark, sf_dir)).collect()
+    r = rep.last()
+    names = r.input_names()
+    assert any("lineitem" in n for n in names), names
+    # no unknown LogicalRDD leak: every input resolved to a real source
+    assert not any("LogicalRDD" in (n or "") for n in names), names
+    edges = {c.output: set(c.inputs) for c in r.columns}
+    assert edges["node"] == {"lineitem.l_partkey"}
+
+
+def test_plain_checkpoint_still_reports_unknown(engine, sf_dir):
+    """A checkpoint taken OUTSIDE lineage_checkpoint has no recorded
+    entry — extraction must still surface an explicit unknown leaf
+    rather than silently reporting a query that read nothing."""
+    eng, rep = engine
+    df = load(eng.spark, sf_dir, "region").localCheckpoint()
+    eng._wrap(df).collect()
+    r = rep.last()
+    assert any(i.kind == "unknown" for i in r.inputs), [i.kind for i in r.inputs]

@@ -559,3 +559,73 @@ def agg_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_distinct",
         )
     )
+
+
+@query(
+    "agg_median_abs_deviation",
+    "§2.4 robust dispersion: median absolute deviation (discrete medians)",
+    """
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             cume_dist() OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice) AS cd
+      FROM lineitem
+    ),
+    med AS (
+      SELECT l_returnflag,
+             min(CASE WHEN cd >= 0.5 THEN l_extendedprice END) AS median
+      FROM ranked GROUP BY l_returnflag
+    ),
+    dev AS (
+      SELECT r.l_returnflag, m.median,
+             abs(cast(r.l_extendedprice AS DECIMAL(18,2))
+                 - cast(m.median AS DECIMAL(18,2))) AS ad,
+             cume_dist() OVER (PARTITION BY r.l_returnflag
+                               ORDER BY abs(cast(r.l_extendedprice AS DECIMAL(18,2))
+                                            - cast(m.median AS DECIMAL(18,2)))) AS cd
+      FROM ranked r JOIN med m ON r.l_returnflag = m.l_returnflag
+    )
+    SELECT l_returnflag,
+           round(min(median), 2) AS median,
+           cast(round(min(CASE WHEN cd >= 0.5 THEN ad END), 2) AS DOUBLE) AS mad,
+           count(*) AS n
+    FROM dev GROUP BY l_returnflag
+    """,
+    doc="MAD per return flag: median of |x - median|, discrete both times.",
+)
+def agg_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation — the robust spread statistic (50%
+    breakdown point vs stddev's 0). Both medians are DISCRETE
+    (smallest value with cume_dist >= 0.5, same boundary rule as
+    agg_trimmed_winsorized) so both engines pick identical actual data
+    values; deviations are decimal(18,2)-exact so the second ranking
+    has no float boundary at all.
+
+    Shape: one shuffle on l_returnflag serves the first window, the
+    median join (group-level, broadcast back), and the second window —
+    the deviation re-sort stays inside the same partitioning. Group
+    count is bounded; for unbounded group sizes swap cume_dist for a
+    two-pass histogram cut (same note as trimmed/winsorized).
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.withColumn("cd", F.cume_dist().over(w))
+    med = ranked.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("cd") >= 0.5, F.col("l_extendedprice"))).alias("median")
+    )
+    dev = ranked.join(med, "l_returnflag").withColumn(
+        "ad",
+        F.abs(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            - F.col("median").cast("decimal(18,2)")
+        ),
+    )
+    w2 = Window.partitionBy("l_returnflag").orderBy("ad")
+    dev2 = dev.withColumn("cd2", F.cume_dist().over(w2))
+    return dev2.groupBy("l_returnflag").agg(
+        F.round(F.min("median"), 2).alias("median"),
+        F.round(F.min(F.when(F.col("cd2") >= 0.5, F.col("ad"))), 2)
+        .cast("double")
+        .alias("mad"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -650,3 +650,101 @@ def join_aqe_skew_handled(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k, v in prev.items():
             spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
     return out
+
+
+@query(
+    "join_asof_directions",
+    "§2.3 as-of join directions: backward, forward, nearest",
+    """
+    WITH c AS (
+      SELECT user_id, event_id, date_trunc('microseconds', ts) AS tsu
+      FROM events WHERE event_type = 'click'
+      QUALIFY row_number() OVER (PARTITION BY user_id, date_trunc('microseconds', ts)
+                                 ORDER BY event_id DESC) = 1
+    ),
+    p AS (
+      SELECT user_id, event_id, date_trunc('microseconds', ts) AS tsu
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_id,
+           b.event_id AS click_before,
+           f.event_id AS click_after,
+           CASE
+             WHEN b.event_id IS NULL THEN f.event_id
+             WHEN f.event_id IS NULL THEN b.event_id
+             WHEN date_diff('microsecond', b.tsu, p.tsu)
+                  <= date_diff('microsecond', p.tsu, f.tsu) THEN b.event_id
+             ELSE f.event_id
+           END AS click_nearest
+    FROM p
+    ASOF LEFT JOIN c b ON p.user_id = b.user_id AND b.tsu <= p.tsu
+    ASOF LEFT JOIN c f ON p.user_id = f.user_id AND f.tsu >= p.tsu
+    """,
+    doc="Backward / forward / nearest as-of matches in one result.",
+)
+def join_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full as-of direction family (pandas merge_asof
+    backward/forward/nearest; kdb aj variants): for each purchase, the
+    latest click at-or-before, the earliest click at-or-after, and
+    whichever of the two is closer (ties prefer backward, the
+    merge_asof convention).
+
+    Same union+window scaling shape as ``asof_join`` — ONE exchange on
+    user_id carries both direction passes (the forward pass re-sorts
+    within the same partitioning; no second shuffle). Clicks are
+    deduplicated per (user, microsecond) keeping the highest event_id
+    BEFORE the scan, so both engines resolve equal-time ties to the
+    same row; distances are exact integer microseconds.
+    """
+    e = load(spark, sf_dir, "events")
+    w_dedup = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    b = clicks.select(
+        F.col("user_id").alias("_k"), F.col("ts").alias("_t"),
+        F.col("event_id").alias("_id"), F.lit(0).alias("_kind"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("_k"), F.col("ts").alias("_t"),
+        F.col("event_id").alias("_id"), F.lit(1).alias("_kind"),
+    )
+    u = b.unionByName(p)
+    pick = F.when(F.col("_kind") == 0, F.struct("_id", "_t"))
+    # backward: equal-time clicks sort BEFORE the purchase (<= matches)
+    w_back = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_kind", "_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # forward: same partitioning, kind reversed so equal-time clicks
+    # sort AFTER the purchase (>= matches); first click in the frame
+    w_fwd = (
+        Window.partitionBy("_k")
+        .orderBy("_t", F.desc("_kind"), "_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = (
+        u.withColumn("_b", F.last(pick, ignorenulls=True).over(w_back))
+        .withColumn("_f", F.first(pick, ignorenulls=True).over(w_fwd))
+        .filter(F.col("_kind") == 1)
+    )
+    d_back = F.unix_micros("_t") - F.unix_micros("_b._t")
+    d_fwd = F.unix_micros("_f._t") - F.unix_micros("_t")
+    return carried.select(
+        F.col("_id").alias("purchase_id"),
+        F.col("_b._id").alias("click_before"),
+        F.col("_f._id").alias("click_after"),
+        F.when(F.col("_b").isNull(), F.col("_f._id"))
+        .when(F.col("_f").isNull(), F.col("_b._id"))
+        .when(d_back <= d_fwd, F.col("_b._id"))
+        .otherwise(F.col("_f._id"))
+        .alias("click_nearest"),
+    )

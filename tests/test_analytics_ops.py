@@ -520,3 +520,51 @@ def test_incremental_scd2_equals_full_rebuild(spark):
         inc[["user_id", "seg", "valid_from", "valid_to", "n_events"]],
         check_dtype=False,
     )
+
+
+def test_mad_matches_numpy(spark):
+    from spark_lineage_spark.operators.aggregates import agg_median_abs_deviation
+
+    got = {r.l_returnflag: r for r in agg_median_abs_deviation(spark, SF).collect()}
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    for flag, grp in li.groupby("l_returnflag"):
+        x = np.sort(grp.l_extendedprice.to_numpy())
+        n = len(x)
+        med = x[math.ceil(0.5 * n) - 1]  # discrete: smallest with cd >= .5
+        ad = np.sort(np.abs(np.round(x, 2) - round(med, 2)))
+        mad = ad[math.ceil(0.5 * n) - 1]
+        r = got[flag]
+        assert r.n == n
+        assert r.median == pytest.approx(round(med, 2))
+        assert r.mad == pytest.approx(round(mad, 2), abs=0.011)
+
+
+def test_asof_directions_match_pandas(spark):
+    from spark_lineage_spark.operators.joins import join_asof_directions
+
+    got = {r.purchase_id: r for r in join_asof_directions(spark, SF).collect()}
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    clicks = (
+        ev[ev.event_type == "click"]
+        .sort_values("event_id")
+        .drop_duplicates(["user_id", "ts"], keep="last")
+    )
+    purchases = ev[ev.event_type == "purchase"]
+    assert len(got) == len(purchases)
+    for _, p in purchases.iterrows():
+        cs = clicks[clicks.user_id == p.user_id]
+        before = cs[cs.ts <= p.ts].sort_values(["ts", "event_id"])
+        after = cs[cs.ts >= p.ts].sort_values(["ts", "event_id"])
+        r = got[p.event_id]
+        exp_b = before.iloc[-1].event_id if len(before) else None
+        exp_f = after.iloc[0].event_id if len(after) else None
+        assert r.click_before == exp_b
+        assert r.click_after == exp_f
+        if exp_b is None:
+            assert r.click_nearest == exp_f
+        elif exp_f is None:
+            assert r.click_nearest == exp_b
+        else:
+            db = (p.ts - before.iloc[-1].ts).total_seconds()
+            df_ = (after.iloc[0].ts - p.ts).total_seconds()
+            assert r.click_nearest == (exp_b if db <= df_ else exp_f)

@@ -43,7 +43,8 @@ from spark_lineage_spark.plans.model import (
 # splices them back in when it meets that LogicalRDD. Bounded: cleared
 # wholesale past _CHECKPOINT_CAP entries (a session-lifetime cache of
 # tiny metadata, not data).
-_CHECKPOINT_LINEAGE: dict[int, tuple[list, dict]] = {}
+# rdd id -> analyzed-plan jobj (unresolved) | (inputs, colmap) | None
+_CHECKPOINT_LINEAGE: dict[int, Any] = {}
 _CHECKPOINT_CAP = 512
 
 
@@ -59,16 +60,34 @@ def lineage_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     """
     ckpt = df.localCheckpoint(eager)
     try:
+        # store the analyzed-plan REFERENCE only; the (possibly
+        # expensive, seconds on explode-heavy plans) extraction walk
+        # runs lazily, the first time lineage is actually requested
+        # for a plan containing this checkpoint — operators running
+        # outside a lineage context never pay it
         analyzed = df._jdf.queryExecution().analyzed()
-        inputs, raw_cols, _ = analyze_plan(analyzed, with_columns=True, _raw=True)
-        colmap = {name: set(srcs) for name, srcs in raw_cols}
         rid = ckpt._jdf.queryExecution().analyzed().rdd().id()
         if len(_CHECKPOINT_LINEAGE) >= _CHECKPOINT_CAP:
             _CHECKPOINT_LINEAGE.clear()
-        _CHECKPOINT_LINEAGE[rid] = (inputs, colmap)
+        _CHECKPOINT_LINEAGE[rid] = analyzed
     except Exception:
         pass  # observability must never fail the query
     return ckpt
+
+
+def _resolve_checkpoint_entry(rid: int):
+    """Resolve (and memoize) a checkpoint's recorded lineage: a stored
+    plan reference becomes (inputs, colmap) on first use."""
+    entry = _CHECKPOINT_LINEAGE.get(rid)
+    if entry is None or isinstance(entry, tuple):
+        return entry
+    try:
+        inputs, raw_cols, _ = analyze_plan(entry, with_columns=True, _raw=True)
+        resolved = (inputs, {name: set(srcs) for name, srcs in raw_cols})
+    except Exception:
+        resolved = None
+    _CHECKPOINT_LINEAGE[rid] = resolved
+    return resolved
 
 
 def lineage_checkpoint_lazy(df: DataFrame) -> DataFrame:
@@ -413,7 +432,7 @@ def analyze_plan(
             # a lineage_checkpoint'ed subtree: splice the recorded
             # pre-checkpoint inputs/column sources back in
             try:
-                entry = _CHECKPOINT_LINEAGE.get(node.rdd().id())
+                entry = _resolve_checkpoint_entry(node.rdd().id())
             except Exception:
                 entry = None
             if entry is not None:

@@ -47,7 +47,24 @@ PROBE_QUERIES = [
     "win_ranking",
     # embeddings
     "llm_knn_cosine_exact",
+    # round-5 analytics (corpus-linear designs)
+    "ts_twap",
+    "cdc_scd2_build",
+    "attribution_touch",
+    "hist_equi_depth",
+    "agg_gini_concentration",
+    "llm_token_entropy",
+    "llm_ngram_novelty",
+    "agg_median_abs_deviation",
+    "join_asof_directions",
 ]
+# graph_* ops are deliberately NOT probed: the replica fixture keeps
+# the part dimension fixed, so 10x facts DENSIFY the co-purchase graph
+# (degrees x10) rather than growing it — triangle/wedge work then grows
+# superlinearly because the workload itself does (more triangles per
+# node), not because the algorithm is wrong. A faithful graph scale
+# test needs parts to scale with orders, which the fixture's
+# join-fan-in invariant forbids.
 
 
 def build_fixture(spark, base: str, out: str, factor: int) -> None:

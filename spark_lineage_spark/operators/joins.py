@@ -748,3 +748,63 @@ def join_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("_f._id"))
         .alias("click_nearest"),
     )
+
+
+@query(
+    "join_band_bucketized",
+    "§2.3 band join at scale: bucketize -> equi-join -> exact re-filter",
+    """
+    SELECT s_suppkey, count(c_custkey) AS n_close
+    FROM supplier LEFT JOIN customer
+      ON c_acctbal BETWEEN s_acctbal - 50.0 AND s_acctbal + 50.0
+    GROUP BY s_suppkey
+    """,
+    doc="Same band semantics as join_range_band, executed as an equi-join.",
+)
+def join_band_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE two-big-sides band-join pattern, executed (join_range_band's
+    docstring describes it; this query IS it, with the identical
+    oracle proving the rewrite is semantics-preserving): bucketize the
+    band key at width = band radius, explode each probe row to its 3
+    candidate buckets {b-1, b, b+1} (every in-band partner lives
+    there), hash-equi-join on the bucket, then re-filter the exact
+    band. Candidates per probe are bounded by 3-bucket occupancy, so
+    the plan is a shuffle equi-join — no BroadcastNestedLoopJoin, no
+    O(n*m) — and survives two unbroadcastable sides.
+
+    The left-join semantics are restored by re-joining matches onto
+    the supplier spine (an anti-pattern-free outer aggregate: count
+    matches per supplier, left join counts onto the spine).
+    """
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    width = 50.0
+    sb = s.withColumn(
+        "b",
+        F.explode(
+            F.array(
+                F.floor(F.col("s_acctbal") / width) - 1,
+                F.floor(F.col("s_acctbal") / width),
+                F.floor(F.col("s_acctbal") / width) + 1,
+            )
+        ),
+    )
+    cb = c.withColumn("b", F.floor(F.col("c_acctbal") / width))
+    matches = (
+        sb.join(cb, "b")
+        .filter(
+            F.col("c_acctbal").between(
+                F.col("s_acctbal") - width, F.col("s_acctbal") + width
+            )
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count("c_custkey").alias("n_match"))
+    )
+    return (
+        s.select("s_suppkey")
+        .join(matches, "s_suppkey", "left")
+        .select(
+            "s_suppkey",
+            F.coalesce("n_match", F.lit(0)).cast("bigint").alias("n_close"),
+        )
+    )

@@ -206,3 +206,48 @@ def sort_rank_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 100)
         .select("o_orderkey", "rnk")
     )
+
+
+@query(
+    "set_union_missing_columns",
+    "§2.7 unionByName with missing columns (schema-evolved union)",
+    """
+    WITH old_style AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    new_style AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 3 = 1
+    )
+    SELECT coalesce(o_orderpriority, 'none') AS prio,
+           count(*) AS n,
+           round(sum(cast(o_totalprice AS DECIMAL(18,2))), 2) AS total
+    FROM (
+      SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority FROM old_style
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderpriority FROM new_style
+    )
+    GROUP BY 1
+    """,
+    doc="Union across schema versions: missing columns null-filled by name.",
+)
+def set_union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolved union — the everyday shape when an old extract
+    lacks columns a newer one has:
+    ``unionByName(allowMissingColumns=True)`` aligns by NAME and
+    null-fills the gaps (positional union would silently misalign).
+    The oracle spells out the equivalent explicit NULL projection.
+    Map-side only: no shuffle until the final rollup.
+    """
+    o = load(spark, sf_dir, "orders")
+    old_style = o.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey", "o_totalprice")
+    new_style = o.filter(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    u = old_style.unionByName(new_style, allowMissingColumns=True)
+    return u.groupBy(
+        F.coalesce("o_orderpriority", F.lit("none")).alias("prio")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2).alias("total"),
+    )

@@ -137,11 +137,25 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
 ]
 
 # Among the not-yet-verified queries, run these FIRST (the driver's
-# 50-row budget should land on the highest-value rows): the 51
+# 50-row budget should land on the highest-value rows): the
 # oracle-bearing queries that still lack an official CORRECTNESS row
-# after rounds 1-4 — the two round-5 additions lead (newest code =
-# highest verification value), then the remaining TPC-H shapes + the
-# whole LLM-pipeline family, slowest dedup variants at the tail.
+# after rounds 1-4 — then the remaining TPC-H shapes + the whole
+# LLM-pipeline family, slowest dedup variants at the tail.
+#
+# ROUND-6 BUILDER: after CORRECTNESS_r05.json lands, append its keys
+# (they will be the FIRST 50 names load_all() yields from this file as
+# committed at round-5 end — i.e. _VERIFY_FIRST[:50]) to
+# _DRIVER_VERIFIED_ROUNDS_AGO, and promote the still-row-less names
+# (_VERIFY_FIRST[50:] + the round-5 §2.14 additions: cdc_scd2_build,
+# ts_twap, stats_chi_square, attribution_touch, hist_equi_depth,
+# graph_pagerank, agg_gini_concentration, llm_token_entropy,
+# llm_ngram_novelty, scan_binary_files, fn_levenshtein_battery,
+# graph_degree_stats, ts_changepoint_split, sink_python_stream,
+# cdc_scd2_incremental, join_asof_directions, agg_median_abs_deviation,
+# graph_triangle_copurchase, agg_weighted_median, scan_xml_roundtrip,
+# ts_rolling_distinct_users, and the other §2.14 rows without official
+# records) into _VERIFY_FIRST. Skipping this exact step wasted round 3
+# and nearly round 5 (VERDICT r4 item 1).
 _VERIFY_FIRST = [
     "llm_repeated_passages", "llm_semantic_dedup", "llm_vocab_coverage",
     "llm_dedup_incremental",

@@ -568,3 +568,34 @@ def test_asof_directions_match_pandas(spark):
             db = (p.ts - before.iloc[-1].ts).total_seconds()
             df_ = (after.iloc[0].ts - p.ts).total_seconds()
             assert r.click_nearest == (exp_b if db <= df_ else exp_f)
+
+
+def test_band_bucketized_equals_nested_loop_and_avoids_bnlj(spark):
+    from spark_lineage_spark.operators.joins import (
+        join_band_bucketized,
+        join_range_band,
+    )
+
+    bucketized = join_band_bucketized(spark, SF)
+    nested = join_range_band(spark, SF)
+    a = {r.s_suppkey: r.n_close for r in bucketized.collect()}
+    b = {r.s_suppkey: r.n_close for r in nested.collect()}
+    assert a == b
+    # the whole point: the rewrite is an equi-join, not a nested loop
+    plan = bucketized._sc._jvm.PythonSQLUtils.explainString(
+        bucketized._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_union_missing_columns_nullfills_by_name(spark):
+    from spark_lineage_spark.operators.setops import set_union_missing_columns
+
+    got = {r.prio: r for r in set_union_missing_columns(spark, SF).collect()}
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    old_n = (o.o_orderkey % 3 == 0).sum()
+    assert got["none"].n == old_n
+    new = o[o.o_orderkey % 3 == 1]
+    for prio, grp in new.groupby("o_orderpriority"):
+        assert got[prio].n == len(grp)
+        assert float(got[prio].total) == pytest.approx(grp.o_totalprice.sum(), abs=0.03)

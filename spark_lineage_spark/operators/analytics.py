@@ -151,12 +151,19 @@ def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, isodow(ts) AS dow, count(*) AS o
       FROM events GROUP BY event_type, isodow(ts)
     ),
+    t AS (SELECT DISTINCT event_type FROM events),
+    d AS (SELECT DISTINCT isodow(ts) AS dow FROM events),
+    dense AS (
+      SELECT t.event_type, d.dow, coalesce(c.o, 0) AS o
+      FROM t CROSS JOIN d
+      LEFT JOIN cells c ON t.event_type = c.event_type AND d.dow = c.dow
+    ),
     margins AS (
       SELECT event_type, dow, o,
              sum(o) OVER (PARTITION BY event_type) AS rt,
              sum(o) OVER (PARTITION BY dow) AS ct,
              sum(o) OVER () AS n
-      FROM cells
+      FROM dense
     ),
     terms AS (
       SELECT cast(round(
@@ -191,8 +198,19 @@ def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = ev.groupBy(
         "event_type", (F.weekday("ts") + F.lit(1)).alias("dow")
     ).agg(F.count(F.lit(1)).alias("o"))
+    # complete the grid: an absent (type, weekday) combination still
+    # contributes its (0-E)^2/E = rt*ct/n term — dropping zero cells
+    # understates the statistic. crossJoin is |types| x |weekdays|
+    # rows (bounded domains), never data-sized.
+    types = ev.select("event_type").distinct()
+    dows = ev.select((F.weekday("ts") + F.lit(1)).alias("dow")).distinct()
+    dense = (
+        types.crossJoin(dows)
+        .join(cells, ["event_type", "dow"], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0)))
+    )
     margins = (
-        cells.withColumn("rt", F.sum("o").over(Window.partitionBy("event_type")))
+        dense.withColumn("rt", F.sum("o").over(Window.partitionBy("event_type")))
         .withColumn("ct", F.sum("o").over(Window.partitionBy("dow")))
         .withColumn("n", F.sum("o").over(Window.partitionBy()))
     )
@@ -645,13 +663,6 @@ def _scd2_frame(ev: DataFrame) -> DataFrame:
         "user_id",
         "event_type",
         "ts",
-        F.when(
-            F.lag("event_type").over(w).isNull()
-            | (F.lag("event_type").over(w) != F.col("event_type")),
-            1,
-        )
-        .otherwise(0)
-        .alias("chg"),
         F.sum(
             F.when(
                 F.lag("event_type").over(w).isNull()

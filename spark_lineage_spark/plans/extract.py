@@ -43,8 +43,11 @@ from spark_lineage_spark.plans.model import (
 # splices them back in when it meets that LogicalRDD. Bounded: cleared
 # wholesale past _CHECKPOINT_CAP entries (a session-lifetime cache of
 # tiny metadata, not data).
-# rdd id -> analyzed-plan jobj (unresolved) | (inputs, colmap) | None
-_CHECKPOINT_LINEAGE: dict[int, Any] = {}
+# (application id, rdd id) -> analyzed-plan jobj (unresolved) |
+# (inputs, colmap) | None. RDD ids restart at 0 per SparkContext, so a
+# bare-id key would splice a previous session's lineage into a new one
+# (the applicationId-scoping rule _SHINGLE_INDEX_CACHE follows).
+_CHECKPOINT_LINEAGE: dict[tuple[str, int], Any] = {}
 _CHECKPOINT_CAP = 512
 
 
@@ -67,18 +70,19 @@ def lineage_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
         # outside a lineage context never pay it
         analyzed = df._jdf.queryExecution().analyzed()
         rid = ckpt._jdf.queryExecution().analyzed().rdd().id()
+        app = df.sparkSession.sparkContext.applicationId
         if len(_CHECKPOINT_LINEAGE) >= _CHECKPOINT_CAP:
             _CHECKPOINT_LINEAGE.clear()
-        _CHECKPOINT_LINEAGE[rid] = analyzed
+        _CHECKPOINT_LINEAGE[(app, rid)] = analyzed
     except Exception:
         pass  # observability must never fail the query
     return ckpt
 
 
-def _resolve_checkpoint_entry(rid: int):
+def _resolve_checkpoint_entry(key: tuple[str, int]):
     """Resolve (and memoize) a checkpoint's recorded lineage: a stored
     plan reference becomes (inputs, colmap) on first use."""
-    entry = _CHECKPOINT_LINEAGE.get(rid)
+    entry = _CHECKPOINT_LINEAGE.get(key)
     if entry is None or isinstance(entry, tuple):
         return entry
     try:
@@ -86,7 +90,7 @@ def _resolve_checkpoint_entry(rid: int):
         resolved = (inputs, {name: set(srcs) for name, srcs in raw_cols})
     except Exception:
         resolved = None
-    _CHECKPOINT_LINEAGE[rid] = resolved
+    _CHECKPOINT_LINEAGE[key] = resolved
     return resolved
 
 
@@ -432,7 +436,10 @@ def analyze_plan(
             # a lineage_checkpoint'ed subtree: splice the recorded
             # pre-checkpoint inputs/column sources back in
             try:
-                entry = _resolve_checkpoint_entry(node.rdd().id())
+                rdd = node.rdd()
+                entry = _resolve_checkpoint_entry(
+                    (rdd.context().applicationId(), rdd.id())
+                )
             except Exception:
                 entry = None
             if entry is not None:

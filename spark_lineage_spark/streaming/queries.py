@@ -582,6 +582,12 @@ def source_python_stream_partitioned(spark: SparkSession, sf_dir: str) -> DataFr
     return run_to_memory(agg, mode="complete")
 
 
+# sink_python_stream output/checkpoint dirs from prior invocations in
+# this process (deferred cleanup — see the query body); the last entry
+# pair is also how the companion test locates the manifest
+_PYSINK_DIRS: list[str] = []
+
+
 @query(
     "sink_python_stream",
     "§2.1/§2.9 Spark-4 Python STREAMING data sink (DataSourceStreamWriter)",
@@ -617,6 +623,12 @@ def sink_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         WriterCommitMessage,
     )
 
+    # the returned DataFrame reads the committed files LAZILY, so this
+    # invocation's dirs must outlive the call — clean up the PREVIOUS
+    # invocation's instead (bounded one-dir leak per process; the
+    # module global also hands the test the manifest location)
+    while _PYSINK_DIRS:
+        shutil.rmtree(_PYSINK_DIRS.pop(), ignore_errors=True)
     out_dir = tempfile.mkdtemp(prefix="sls_pysink_")
 
     class FilesCommitted(WriterCommitMessage):
@@ -637,7 +649,13 @@ def sink_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                         + "\n"
                     )
                     n += 1
-            return FilesCommitted([fname] if n else [])
+            if n == 0:
+                # an empty partition must not leave an orphan data file
+                # outside the manifest (the exactly-once invariant the
+                # read-back — and the companion test — relies on)
+                os.unlink(fname)
+                return FilesCommitted([])
+            return FilesCommitted([fname])
 
         def commit(self, messages, batchId):
             manifest = os.path.join(self.path, f"_commit_{batchId}.json")
@@ -669,7 +687,9 @@ def sink_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = events_stream(spark, sf_dir).filter(F.col("value").isNotNull()).select(
         "event_type", "value"
     )
-    ckpt = os.path.join(tempfile.mkdtemp(prefix="sls_ckpt_"), "ckpt")
+    ckpt_root = tempfile.mkdtemp(prefix="sls_ckpt_")
+    ckpt = os.path.join(ckpt_root, "ckpt")
+    _PYSINK_DIRS.extend([out_dir, ckpt_root])
     q = (
         src.writeStream.format("sls_jsonl_stream_sink")
         .option("path", out_dir)

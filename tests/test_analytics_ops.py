@@ -247,7 +247,9 @@ def test_chi_square_matches_numpy(spark):
     e = np.outer(o.sum(axis=1), o.sum(axis=0)) / o.sum()
     chi2 = ((o - e) ** 2 / e).sum()
     assert float(row.chi2) == pytest.approx(chi2, abs=1e-2)
-    assert row.n_cells == (o > 0).size
+    # n_cells counts the COMPLETE |types| x |weekdays| grid (zero
+    # cells included — they contribute rt*ct/n to the statistic)
+    assert row.n_cells == o.size
     assert row.dof == (o.shape[0] - 1) * (o.shape[1] - 1)
 
 
@@ -491,10 +493,11 @@ def test_python_sink_roundtrip_and_manifest(spark):
     for et, row in exp.iterrows():
         assert got[et].n == row["size"]
         assert got[et].total_value == pytest.approx(row["sum"], abs=0.02)
-    # exactly-once contract: every data file in the newest sink dir is
-    # manifest-listed (no orphan task output on a clean run)
-    dirs = sorted(glob.glob("/tmp/sls_pysink_*"), key=os.path.getmtime)
-    d = dirs[-1]
+    # exactly-once contract: every data file in THIS run's sink dir is
+    # manifest-listed (no orphan task output, incl. empty partitions)
+    from spark_lineage_spark.streaming.queries import _PYSINK_DIRS
+
+    d = next(p for p in _PYSINK_DIRS if "sls_pysink_" in p)
     committed = set()
     for m in glob.glob(os.path.join(d, "_commit_*.json")):
         committed |= set(json.load(open(m)))

@@ -1332,3 +1332,64 @@ def ts_changepoint_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir, ["events"])
     return spark.sql(_CHANGEPOINT_SQL)
+
+
+def _forecast_error_sql(intdiv: str) -> str:
+    """Engines differ only in the integer-division spelling (Spark
+    ``div``, DuckDB ``//``); everything else is shared text. Metrics
+    are micro-unit (1e-6) integer quotients TRUNCATED toward zero —
+    round() on a double quotient flips at binary midpoints across
+    engines (the same reason ts_interpolate_linear uses floor-integer
+    blends). bias can be negative, so its truncation goes through
+    abs() + sign (DuckDB // floors, Spark div truncates — they only
+    agree on non-negative operands)."""
+    return f"""
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+         sum(CAST(value AS DECIMAL(18,6))) AS v
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+),
+paired AS (
+  SELECT a.user_id, a.v AS actual, f.v AS forecast
+  FROM daily a JOIN daily f
+    ON a.user_id = f.user_id AND f.d = a.d - INTERVAL 7 DAY
+),
+sums AS (
+  SELECT user_id, count(*) AS n_days,
+         CAST(sum(abs(actual - forecast)) * 1000000 AS BIGINT) AS sabs_u,
+         CAST(sum(actual) * 1000000 AS BIGINT) AS sact_u,
+         CAST(sum(actual - forecast) * 1000000 AS BIGINT) AS sdiff_u
+  FROM paired
+  GROUP BY user_id
+)
+SELECT user_id, n_days,
+       CAST((sabs_u * 1000000) {intdiv} sact_u AS DOUBLE) / 1000000 AS wape,
+       CAST(sabs_u {intdiv} n_days AS DOUBLE) / 1000000 AS mae,
+       (CASE WHEN sdiff_u < 0 THEN -1 ELSE 1 END)
+         * CAST(abs(sdiff_u) {intdiv} n_days AS DOUBLE) / 1000000 AS bias
+FROM sums
+"""
+
+
+@query(
+    "ts_forecast_error",
+    "§2.5/§5.2 forecast evaluation: seasonal-naive WAPE / MAE / bias",
+    _forecast_error_sql("//"),
+    doc="Error of the 'same weekday last week' forecast, per user.",
+)
+def ts_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy scoring — the evaluation half of every demand
+    pipeline: the seasonal-naive baseline (this day = same weekday
+    last week) against actuals, as WAPE (scale-free), MAE, and signed
+    bias. The 7-day lag is a calendar-day EQUI-JOIN on
+    (user, d-7), not lag(7 rows) — a missing day must not slide the
+    whole window (the classic sparse-series bug).
+
+    Every sum is decimal-exact and every metric a truncated micro-unit
+    integer quotient (see _forecast_error_sql) — no float rounding
+    boundary anywhere. One shuffle to daily grain; the self-join
+    reuses the (user_id, d) partitioning.
+    """
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_forecast_error_sql("div"))

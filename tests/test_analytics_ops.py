@@ -602,3 +602,23 @@ def test_union_missing_columns_nullfills_by_name(spark):
     for prio, grp in new.groupby("o_orderpriority"):
         assert got[prio].n == len(grp)
         assert float(got[prio].total) == pytest.approx(grp.o_totalprice.sum(), abs=0.03)
+
+
+def test_forecast_error_matches_pandas(spark):
+    from spark_lineage_spark.operators.advanced_sql import ts_forecast_error
+
+    got = {r.user_id: r for r in ts_forecast_error(spark, SF).collect()}
+    ev = pd.read_parquet(f"{SF}/events.parquet").dropna(subset=["value"])
+    ev["d"] = pd.to_datetime(ev.ts).dt.floor("D")
+    daily = ev.groupby(["user_id", "d"]).value.sum().reset_index()
+    lagged = daily.assign(d=daily.d + pd.Timedelta(days=7)).rename(
+        columns={"value": "forecast"}
+    )
+    paired = daily.merge(lagged, on=["user_id", "d"])
+    for uid, grp in paired.groupby("user_id"):
+        a, f = grp.value.to_numpy(), grp.forecast.to_numpy()
+        r = got[uid]
+        assert r.n_days == len(grp)
+        assert r.wape == pytest.approx(np.abs(a - f).sum() / a.sum(), abs=2e-6)
+        assert r.mae == pytest.approx(np.abs(a - f).mean(), abs=2e-6)
+        assert r.bias == pytest.approx((a - f).mean(), abs=2e-6)

@@ -629,3 +629,86 @@ def agg_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mad"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "agg_higher_moments",
+    "§2.4 skewness / excess kurtosis from exact centered power sums",
+    """
+    WITH m AS (
+      SELECT o_orderpriority,
+             CAST(sum(CAST(o_totalprice * 1000000 AS BIGINT)) // count(*) AS BIGINT)
+               AS mean_u,
+             count(*) AS n
+      FROM orders GROUP BY o_orderpriority
+    ),
+    d AS (
+      SELECT o.o_orderpriority, m.n,
+             CAST(CAST(o_totalprice * 1000000 AS BIGINT) - m.mean_u AS DOUBLE)
+               / 1000000 AS dx
+      FROM orders o JOIN m ON o.o_orderpriority = m.o_orderpriority
+    ),
+    s AS (
+      SELECT o_orderpriority, max(n) AS n,
+             sum(CAST(round(dx * dx, 6) AS DECIMAL(38,6))) AS s2,
+             sum(CAST(round(dx * dx * dx, 4) AS DECIMAL(38,4))) AS s3,
+             sum(CAST(round(dx * dx * dx * dx, 2) AS DECIMAL(38,2))) AS s4
+      FROM d GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           round(cast(s3 AS DOUBLE) / n
+                 / pow(cast(s2 AS DOUBLE) / n, 1.5), 6) AS skewness,
+           round(cast(s4 AS DOUBLE) / n
+                 / pow(cast(s2 AS DOUBLE) / n, 2) - 3.0, 6) AS excess_kurtosis
+    FROM s
+    """,
+    doc="Population skewness g1 and excess kurtosis g2 per order priority.",
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third and fourth standardized moments — built-in skewness()/
+    kurtosis() disagree across engines on bias correction, so both
+    sides compute the population moments from scratch with the
+    determinism ladder: the group mean is an exact micro-unit integer
+    quotient (sum_u div n — both engines truncate non-negatives
+    identically), per-row deviations are exact integer differences
+    cast once to double (identical bits), each power term is rounded
+    and decimal-cast so the power SUMS are partial-agg-order
+    independent, and only the final normalizations are double.
+
+    Two passes over the group (mean, then centered sums) — the
+    textbook two-pass moment algorithm; both aggs share the group-key
+    exchange. The one-pass raw-power-sum alternative overflows
+    decimal at x^4 on wide value ranges; centering keeps magnitudes
+    bounded by the group's spread.
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    xu = (F.col("o_totalprice") * 1_000_000).cast("bigint")
+    m = o.groupBy("o_orderpriority").agg(
+        F.expr("cast(sum(cast(o_totalprice * 1000000 as bigint)) div count(*) as bigint)").alias(
+            "mean_u"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    d = o.join(m, "o_orderpriority").select(
+        "o_orderpriority",
+        "n",
+        ((xu - F.col("mean_u")).cast("double") / 1_000_000).alias("dx"),
+    )
+    dx = F.col("dx")
+    s = d.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n"),
+        F.sum(F.round(dx * dx, 6).cast("decimal(38,6)")).alias("s2"),
+        F.sum(F.round(dx * dx * dx, 4).cast("decimal(38,4)")).alias("s3"),
+        F.sum(F.round(dx * dx * dx * dx, 2).cast("decimal(38,2)")).alias("s4"),
+    )
+    v = F.col("s2").cast("double") / F.col("n")
+    return s.select(
+        "o_orderpriority",
+        "n",
+        F.round(F.col("s3").cast("double") / F.col("n") / F.pow(v, 1.5), 6).alias(
+            "skewness"
+        ),
+        F.round(
+            F.col("s4").cast("double") / F.col("n") / F.pow(v, 2.0) - 3.0, 6
+        ).alias("excess_kurtosis"),
+    )

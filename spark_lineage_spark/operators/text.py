@@ -1603,3 +1603,147 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_novel") / F.col("n_test_grams"), 6).alias("novelty_rate"),
         )
     )
+
+
+_ROUGE_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS ref_id, b.doc_id AS cand_id,
+         len(a.ws) AS n_ref, len(b.ws) AS n_cand,
+         len(list_intersect(a.ws, b.ws)) AS ov
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+)
+SELECT ref_id, cand_id, n_ref, n_cand, ov,
+       round(ov * 1.0 / n_cand, 6) AS precision_1,
+       round(ov * 1.0 / n_ref, 6) AS recall_1,
+       CASE WHEN ov = 0 THEN 0.0
+            ELSE round(2.0 * ov / (n_ref + n_cand), 6) END AS f1
+FROM pairs
+"""
+
+
+@query(
+    "llm_rouge_unigram",
+    "§2.11 ROUGE-1 style unigram-overlap P/R/F1 between document pairs",
+    _ROUGE_SQL,
+    doc="Set-unigram precision/recall/F1 for adjacent doc pairs.",
+)
+def llm_rouge_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval-side text metric (summarization/NLG scoring shape):
+    distinct-unigram overlap precision, recall, and F1 per
+    (reference, candidate) pair — here adjacent doc ids stand in for
+    the usual reference/system pairing. With distinct-token sets,
+    F1 = 2*ov/(|ref|+|cand|) exactly (the harmonic mean collapses),
+    so every metric is a single division of exact integers —
+    deterministic at any partitioning.
+
+    Scale shape: tokenize+distinct is map-side; ONE equi-join on the
+    pairing key (doc_id+1); array_intersect runs inside codegen per
+    pair. A real eval harness joins on an explicit pairing table —
+    same plan, different key.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.array_distinct(tokens(F.col("text"))).alias("ws"))
+    a, b = toks.alias("a"), toks.alias("b")
+    ov = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    n_ref, n_cand = F.size(F.col("a.ws")), F.size(F.col("b.ws"))
+    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("ref_id"),
+        F.col("b.doc_id").alias("cand_id"),
+        n_ref.alias("n_ref"),
+        n_cand.alias("n_cand"),
+        ov.alias("ov"),
+        F.round(ov / n_cand, 6).alias("precision_1"),
+        F.round(ov / n_ref, 6).alias("recall_1"),
+        F.when(ov == 0, F.lit(0.0))
+        .otherwise(F.round(2.0 * ov / (n_ref + n_cand), 6))
+        .alias("f1"),
+    )
+
+
+_WINNOW_W = 4  # winnowing window: guarantee-detect matches >= w+k-1 tokens
+
+
+_WINNOW_SQL = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+w AS (SELECT doc_id, unnest(ws) AS t, generate_subscripts(ws, 1) AS i FROM words),
+sh AS (
+  SELECT a.doc_id, a.i,
+         md5(a.t || ' ' || b.t || ' ' || c.t) AS th
+  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+           JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+),
+win AS (
+  SELECT doc_id, i,
+         count(*) OVER (PARTITION BY doc_id) AS m,
+         min(th) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+           AS fp
+  FROM sh
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM win WHERE i <= m - {_WINNOW_W} + 1
+),
+df AS (SELECT fp, count(*) AS nd FROM fps GROUP BY fp)
+SELECT fps.doc_id, count(*) AS n_fp,
+       CAST(sum(CASE WHEN df.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       round(sum(CASE WHEN df.nd > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS shared_frac
+FROM fps JOIN df ON fps.fp = df.fp
+GROUP BY fps.doc_id
+"""
+
+
+@query(
+    "llm_winnowing_fingerprint",
+    "§2.11 winnowing fingerprints (MOSS): window-min shingle hashes",
+    _WINNOW_SQL,
+    doc="Per-doc winnowed fingerprint count and cross-doc shared fraction.",
+)
+def llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken, the MOSS algorithm): hash
+    every positional 3-gram, slide a window of {w} hashes, keep each
+    window's MINIMUM — the selected fingerprints are guaranteed to
+    catch any match of length >= w+k-1 tokens while sampling only
+    ~2/(w+1) of the hashes. The shared_frac column is the payoff:
+    the fraction of a doc's fingerprints seen in other docs — the
+    plagiarism/near-dup signal.
+
+    Both engines compute it identically as windows over exploded
+    (doc_id, position, md5) rows — per-doc partitions, bounded by
+    document length. The fingerprint document-frequency join shuffles
+    on the fingerprint key the distinct already produced. md5 hex
+    strings order lexicographically the same everywhere, so the
+    window minima are portable.
+    """
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.posexplode(word_shingles(F.col("text"), 3)).alias("i", "s")
+    ).select("doc_id", "i", F.md5(F.col("s").cast("binary")).alias("th"))
+    w_cnt = Window.partitionBy("doc_id")
+    w_min = (
+        Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, _WINNOW_W - 1)
+    )
+    fps = (
+        sh.withColumn("m", F.count(F.lit(1)).over(w_cnt))
+        .withColumn("fp", F.min("th").over(w_min))
+        .filter(F.col("i") <= F.col("m") - _WINNOW_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    df_t = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("nd"))
+    shared = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+    return (
+        fps.join(df_t, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            shared.cast("bigint").alias("n_shared"),
+            F.round(shared / F.count(F.lit(1)), 6).alias("shared_frac"),
+        )
+    )

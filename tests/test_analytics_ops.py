@@ -622,3 +622,66 @@ def test_forecast_error_matches_pandas(spark):
         assert r.wape == pytest.approx(np.abs(a - f).sum() / a.sum(), abs=2e-6)
         assert r.mae == pytest.approx(np.abs(a - f).mean(), abs=2e-6)
         assert r.bias == pytest.approx((a - f).mean(), abs=2e-6)
+
+
+def test_higher_moments_match_numpy(spark):
+    from spark_lineage_spark.operators.aggregates import agg_higher_moments
+
+    got = {r.o_orderpriority: r for r in agg_higher_moments(spark, SF).collect()}
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    for prio, grp in o.groupby("o_orderpriority"):
+        x = grp.o_totalprice.to_numpy()
+        d = x - x.mean()
+        m2, m3, m4 = (d**2).mean(), (d**3).mean(), (d**4).mean()
+        r = got[prio]
+        assert r.n == len(x)
+        assert r.skewness == pytest.approx(m3 / m2**1.5, abs=1e-3)
+        assert r.excess_kurtosis == pytest.approx(m4 / m2**2 - 3, abs=1e-3)
+
+
+def test_rouge_unigram_matches_python_sets(spark):
+    from spark_lineage_spark.operators.text import llm_rouge_unigram
+
+    got = {r.ref_id: r for r in llm_rouge_unigram(spark, SF).collect()}
+    docs = pd.read_parquet(f"{SF}/documents.parquet").set_index("doc_id").text
+    for ref_id, r in got.items():
+        a, b = set(docs[ref_id].split(" ")), set(docs[ref_id + 1].split(" "))
+        ov = len(a & b)
+        assert (r.n_ref, r.n_cand, r.ov) == (len(a), len(b), ov)
+        assert float(r.precision_1) == pytest.approx(ov / len(b), abs=1e-5)
+        assert float(r.recall_1) == pytest.approx(ov / len(a), abs=1e-5)
+        assert float(r.f1) == pytest.approx(2 * ov / (len(a) + len(b)), abs=1e-5)
+
+
+def test_winnowing_matches_python_reference(spark):
+    import hashlib
+
+    from spark_lineage_spark.operators.text import (
+        _WINNOW_W,
+        llm_winnowing_fingerprint,
+    )
+
+    got = {r.doc_id: r for r in llm_winnowing_fingerprint(spark, SF).collect()}
+    docs = pd.read_parquet(f"{SF}/documents.parquet").set_index("doc_id").text
+
+    def fingerprints(t):
+        ws = t.split(" ")
+        hs = [
+            hashlib.md5(" ".join(ws[i : i + 3]).encode()).hexdigest()
+            for i in range(len(ws) - 2)
+        ]
+        return {
+            min(hs[i : i + _WINNOW_W]) for i in range(len(hs) - _WINNOW_W + 1)
+        }
+
+    all_fp = {d: fingerprints(t) for d, t in docs.items()}
+    from collections import Counter
+
+    df_count = Counter(fp for s in all_fp.values() for fp in s)
+    for d, fps in all_fp.items():
+        if not fps:
+            assert d not in got
+            continue
+        r = got[d]
+        assert r.n_fp == len(fps)
+        assert r.n_shared == sum(1 for fp in fps if df_count[fp] > 1)

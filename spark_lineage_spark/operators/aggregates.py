@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from spark_lineage_spark.registry import query
-from spark_lineage_spark.tables import load
+from spark_lineage_spark.tables import load, register_views
 
 
 @query(
@@ -712,3 +712,67 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s4").cast("double") / F.col("n") / F.pow(v, 2.0) - 3.0, 6
         ).alias("excess_kurtosis"),
     )
+
+
+_CORR_SQL = """
+WITH s AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(CAST(l_quantity AS DECIMAL(19,6))) AS sq,
+         sum(CAST(l_extendedprice AS DECIMAL(19,6))) AS sp,
+         sum(CAST(l_discount AS DECIMAL(19,6))) AS sd,
+         sum(CAST(l_quantity AS DECIMAL(19,6))
+             * CAST(l_extendedprice AS DECIMAL(19,6))) AS sqp,
+         sum(CAST(l_quantity AS DECIMAL(19,6))
+             * CAST(l_discount AS DECIMAL(19,6))) AS sqd,
+         sum(CAST(l_extendedprice AS DECIMAL(19,6))
+             * CAST(l_discount AS DECIMAL(19,6))) AS spd,
+         sum(CAST(l_quantity AS DECIMAL(19,6))
+             * CAST(l_quantity AS DECIMAL(19,6))) AS sqq,
+         sum(CAST(l_extendedprice AS DECIMAL(19,6))
+             * CAST(l_extendedprice AS DECIMAL(19,6))) AS spp,
+         sum(CAST(l_discount AS DECIMAL(19,6))
+             * CAST(l_discount AS DECIMAL(19,6))) AS sdd
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, pair, n,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+FROM (
+  SELECT l_returnflag, 'qty_price' AS pair, n,
+         cast(sq AS DOUBLE) AS sx, cast(sp AS DOUBLE) AS sy,
+         cast(sqp AS DOUBLE) AS sxy, cast(sqq AS DOUBLE) AS sxx,
+         cast(spp AS DOUBLE) AS syy
+  FROM s
+  UNION ALL
+  SELECT l_returnflag, 'qty_discount', n,
+         cast(sq AS DOUBLE), cast(sd AS DOUBLE),
+         cast(sqd AS DOUBLE), cast(sqq AS DOUBLE), cast(sdd AS DOUBLE)
+  FROM s
+  UNION ALL
+  SELECT l_returnflag, 'price_discount', n,
+         cast(sp AS DOUBLE), cast(sd AS DOUBLE),
+         cast(spd AS DOUBLE), cast(spp AS DOUBLE), cast(sdd AS DOUBLE)
+  FROM s
+)
+"""
+
+
+@query(
+    "agg_correlation_matrix",
+    "§2.4 pairwise Pearson correlations from exact decimal sums",
+    _CORR_SQL,
+    doc="corr(qty,price), corr(qty,discount), corr(price,discount) per flag.",
+)
+def agg_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of three measures per return flag.
+    Built-in corr() accumulates running doubles whose partial-merge
+    order perturbs the last bits, so both engines instead compute the
+    five raw sums per pair as EXACT decimals in one hash aggregate
+    (partial-agg friendly, order-free) and apply
+    (n*sxy - sx*sy) / sqrt((n*sxx - sx^2)(n*syy - sy^2)) on
+    identically-cast doubles. Identical SQL text both engines; the
+    3-pair expansion is a UNION ALL over the one-row-per-group sums
+    table, not a rescan.
+    """
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_CORR_SQL)

@@ -685,3 +685,20 @@ def test_winnowing_matches_python_reference(spark):
         r = got[d]
         assert r.n_fp == len(fps)
         assert r.n_shared == sum(1 for fp in fps if df_count[fp] > 1)
+
+
+def test_correlation_matrix_matches_numpy(spark):
+    from spark_lineage_spark.operators.aggregates import agg_correlation_matrix
+
+    got = {(r.l_returnflag, r.pair): r for r in agg_correlation_matrix(spark, SF).collect()}
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    cols = {"qty_price": ("l_quantity", "l_extendedprice"),
+            "qty_discount": ("l_quantity", "l_discount"),
+            "price_discount": ("l_extendedprice", "l_discount")}
+    for flag, grp in li.groupby("l_returnflag"):
+        for pair, (cx, cy) in cols.items():
+            r = got[(flag, pair)]
+            assert r.n == len(grp)
+            assert r.corr == pytest.approx(
+                np.corrcoef(grp[cx], grp[cy])[0, 1], abs=1e-5
+            )

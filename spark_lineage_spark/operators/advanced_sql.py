@@ -1334,16 +1334,7 @@ def ts_changepoint_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_CHANGEPOINT_SQL)
 
 
-def _forecast_error_sql(intdiv: str) -> str:
-    """Engines differ only in the integer-division spelling (Spark
-    ``div``, DuckDB ``//``); everything else is shared text. Metrics
-    are micro-unit (1e-6) integer quotients TRUNCATED toward zero —
-    round() on a double quotient flips at binary midpoints across
-    engines (the same reason ts_interpolate_linear uses floor-integer
-    blends). bias can be negative, so its truncation goes through
-    abs() + sign (DuckDB // floors, Spark div truncates — they only
-    agree on non-negative operands)."""
-    return f"""
+_FORECAST_ERROR_SQL = """
 WITH daily AS (
   SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
          sum(CAST(value AS DECIMAL(18,6))) AS v
@@ -1357,17 +1348,19 @@ paired AS (
 ),
 sums AS (
   SELECT user_id, count(*) AS n_days,
-         CAST(sum(abs(actual - forecast)) * 1000000 AS BIGINT) AS sabs_u,
-         CAST(sum(actual) * 1000000 AS BIGINT) AS sact_u,
-         CAST(sum(actual - forecast) * 1000000 AS BIGINT) AS sdiff_u
+         CAST(CAST(sum(abs(actual - forecast)) * 1000000 AS BIGINT) AS DOUBLE)
+           AS sabs,
+         CAST(CAST(sum(abs(actual)) * 1000000 AS BIGINT) AS DOUBLE) AS sact,
+         CAST(CAST(sum(actual - forecast) * 1000000 AS BIGINT) AS DOUBLE)
+           AS sdiff
   FROM paired
   GROUP BY user_id
 )
 SELECT user_id, n_days,
-       CAST((sabs_u * 1000000) {intdiv} sact_u AS DOUBLE) / 1000000 AS wape,
-       CAST(sabs_u {intdiv} n_days AS DOUBLE) / 1000000 AS mae,
-       (CASE WHEN sdiff_u < 0 THEN -1 ELSE 1 END)
-         * CAST(abs(sdiff_u) {intdiv} n_days AS DOUBLE) / 1000000 AS bias
+       floor(sabs / nullif(sact, 0) * 1000000) / 1000000 AS wape,
+       floor(sabs / n_days) / 1000000 AS mae,
+       (CASE WHEN sdiff < 0 THEN -1 ELSE 1 END)
+         * floor(abs(sdiff) / n_days) / 1000000 AS bias
 FROM sums
 """
 
@@ -1375,7 +1368,7 @@ FROM sums
 @query(
     "ts_forecast_error",
     "§2.5/§5.2 forecast evaluation: seasonal-naive WAPE / MAE / bias",
-    _forecast_error_sql("//"),
+    _FORECAST_ERROR_SQL,
     doc="Error of the 'same weekday last week' forecast, per user.",
 )
 def ts_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1384,12 +1377,18 @@ def ts_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     last week) against actuals, as WAPE (scale-free), MAE, and signed
     bias. The 7-day lag is a calendar-day EQUI-JOIN on
     (user, d-7), not lag(7 rows) — a missing day must not slide the
-    whole window (the classic sparse-series bug).
+    whole window (the classic sparse-series bug). Identical SQL text
+    on both engines.
 
-    Every sum is decimal-exact and every metric a truncated micro-unit
-    integer quotient (see _forecast_error_sql) — no float rounding
-    boundary anywhere. One shuffle to daily grain; the self-join
-    reuses the (user_id, d) partitioning.
+    Determinism: sums are decimal-exact, snapped to micro-unit bigints
+    and cast once to double — the SAME int64 maps to the SAME double
+    in both engines, so every subsequent floating op is bit-identical
+    and the floor()-truncated 6-dp metrics cannot flip at a rounding
+    midpoint (round() on a double quotient can — the first version
+    failed the oracle exactly there). No bigint multiply, so no
+    overflow at scale; WAPE's denominator is sum|actual| (the standard
+    definition, non-negative by construction) with a NULLIF(., 0)
+    all-zero guard; bias truncates toward zero via abs+sign.
     """
     register_views(spark, sf_dir, ["events"])
-    return spark.sql(_forecast_error_sql("div"))
+    return spark.sql(_FORECAST_ERROR_SQL)

@@ -637,14 +637,16 @@ def agg_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (
       SELECT o_orderpriority,
-             CAST(sum(CAST(o_totalprice * 1000000 AS BIGINT)) // count(*) AS BIGINT)
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+               // count(*) AS BIGINT)
                AS mean_u,
              count(*) AS n
       FROM orders GROUP BY o_orderpriority
     ),
     d AS (
       SELECT o.o_orderpriority, m.n,
-             CAST(CAST(o_totalprice * 1000000 AS BIGINT) - m.mean_u AS DOUBLE)
+             CAST(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                  - m.mean_u AS DOUBLE)
                / 1000000 AS dx
       FROM orders o JOIN m ON o.o_orderpriority = m.o_orderpriority
     ),
@@ -682,9 +684,12 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the group's spread.
     """
     o = load(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
-    xu = (F.col("o_totalprice") * 1_000_000).cast("bigint")
+    xu = (F.col("o_totalprice").cast("decimal(18,6)") * 1_000_000).cast("bigint")
     m = o.groupBy("o_orderpriority").agg(
-        F.expr("cast(sum(cast(o_totalprice * 1000000 as bigint)) div count(*) as bigint)").alias(
+        F.expr(
+            "cast(sum(cast(cast(o_totalprice as decimal(18,6)) * 1000000 as bigint))"
+            " div count(*) as bigint)"
+        ).alias(
             "mean_u"
         ),
         F.count(F.lit(1)).alias("n"),

@@ -1707,7 +1707,7 @@ GROUP BY fps.doc_id
 )
 def llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (Schleimer/Wilkerson/Aiken, the MOSS algorithm): hash
-    every positional 3-gram, slide a window of {w} hashes, keep each
+    every positional 3-gram, slide a window of _WINNOW_W=4 hashes, keep each
     window's MINIMUM — the selected fingerprints are guaranteed to
     catch any match of length >= w+k-1 tokens while sampling only
     ~2/(w+1) of the hashes. The shared_frac column is the payoff:

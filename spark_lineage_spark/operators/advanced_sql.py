@@ -1392,3 +1392,123 @@ def ts_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir, ["events"])
     return spark.sql(_FORECAST_ERROR_SQL)
+
+
+_SEQ_PATTERN = "view,click,purchase"
+
+_SEQ_PATTERN_SQL = f"""
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST((length(seq) - length(replace(seq, '{_SEQ_PATTERN}', '')))
+            / length('{_SEQ_PATTERN}') AS BIGINT) AS n_matches,
+       CAST(length(seq) - length(replace(seq, ',', '')) + 1 AS BIGINT)
+         AS n_events
+FROM seqs
+"""
+
+
+@query(
+    "ts_sequence_pattern",
+    "§2.5 event-sequence pattern matching (MATCH_RECOGNIZE-lite)",
+    _SEQ_PATTERN_SQL,
+    doc="Count of consecutive view->click->purchase triples per user.",
+)
+def ts_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-pattern detection over ordered event streams — the
+    set-based stand-in for SQL MATCH_RECOGNIZE (which neither engine
+    ships): each user's events collapse to one ordered
+    comma-separated string and non-overlapping occurrences of the
+    pattern are counted with the replace-length identity
+    (len(s) - len(replace(s, p, ''))) / len(p) — pure integer
+    arithmetic, identical everywhere.
+
+    Spark side builds the ordered sequence without a string_agg
+    ORDER BY (not supported): array_sort over (ts, event_id, type)
+    structs — struct comparison is lexicographic by field order, so
+    the sort key equals the oracle's ORDER BY — then concat_ws. One
+    user_id shuffle; per-user strings bounded by the user's history
+    (cap upstream for bot users, same note as sessionization).
+    """
+    ev = load(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("seq")
+    )
+    pat = F.lit(_SEQ_PATTERN)
+    return seqs.select(
+        "user_id",
+        (
+            (F.length("seq") - F.length(F.replace(F.col("seq"), pat, F.lit(""))))
+            / F.length(pat)
+        )
+        .cast("bigint")
+        .alias("n_matches"),
+        (F.length("seq") - F.length(F.replace(F.col("seq"), F.lit(","), F.lit(""))) + 1)
+        .cast("bigint")
+        .alias("n_events"),
+    )
+
+
+_ACF_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         sum(CAST(value AS DECIMAL(18,6))) AS v
+  FROM events WHERE value IS NOT NULL
+  GROUP BY CAST(date_trunc('day', ts) AS DATE)
+),
+lags AS (
+  SELECT 1 AS lag UNION ALL SELECT 2 UNION ALL SELECT 3
+),
+pairs AS (
+  SELECT l.lag, a.v AS x, b.v AS y
+  FROM lags l
+  JOIN daily a ON true
+  JOIN daily b ON b.d = a.d + CAST(l.lag AS INTEGER)
+),
+s AS (
+  SELECT lag, count(*) AS n,
+         cast(sum(x) AS DOUBLE) AS sx, cast(sum(y) AS DOUBLE) AS sy,
+         cast(sum(x * y) AS DOUBLE) AS sxy,
+         cast(sum(x * x) AS DOUBLE) AS sxx,
+         cast(sum(y * y) AS DOUBLE) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT lag, n,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS acf
+FROM s
+"""
+
+
+@query(
+    "ts_autocorrelation",
+    "§2.5 autocorrelation of the daily series at lags 1-3 (exact sums)",
+    _ACF_SQL,
+    doc="Pearson ACF of daily totals at calendar-day lags 1, 2, 3.",
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation — the seasonality probe behind every forecast
+    choice: Pearson correlation of the corpus-wide daily total with
+    itself shifted by 1/2/3 CALENDAR days (equi-join on d+lag, the
+    same no-row-sliding rule as ts_forecast_error). Sums are
+    decimal-exact per (lag) group and the closed form runs on
+    identically-cast doubles (the agg_correlation_matrix discipline).
+
+    The daily table is O(days) — tiny at any SF — so the lag
+    cross-join (3 x days) and self-join are trivially bounded; the
+    only data-sized work is the one hash agg to daily grain.
+    Identical SQL text on both engines.
+    """
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_ACF_SQL)

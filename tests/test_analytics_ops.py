@@ -702,3 +702,38 @@ def test_correlation_matrix_matches_numpy(spark):
             assert r.corr == pytest.approx(
                 np.corrcoef(grp[cx], grp[cy])[0, 1], abs=1e-5
             )
+
+
+def test_sequence_pattern_matches_python(spark):
+    from spark_lineage_spark.operators.advanced_sql import ts_sequence_pattern
+
+    got = {r.user_id: r for r in ts_sequence_pattern(spark, SF).collect()}
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    for uid, grp in ev.groupby("user_id"):
+        seq = ",".join(grp.event_type)
+        r = got[uid]
+        assert r.n_events == len(grp)
+        assert r.n_matches == seq.count("view,click,purchase")
+
+
+def test_autocorrelation_matches_numpy(spark):
+    from spark_lineage_spark.operators.advanced_sql import ts_autocorrelation
+
+    got = {r.lag: r for r in ts_autocorrelation(spark, SF).collect()}
+    ev = pd.read_parquet(f"{SF}/events.parquet").dropna(subset=["value"])
+    daily = (
+        ev.assign(d=pd.to_datetime(ev.ts).dt.floor("D"))
+        .groupby("d")
+        .value.sum()
+        .sort_index()
+    )
+    for lag in (1, 2, 3):
+        shifted = daily.copy()
+        shifted.index = shifted.index - pd.Timedelta(days=lag)
+        joined = pd.concat([daily, shifted], axis=1, join="inner")
+        x, y = joined.iloc[:, 0], joined.iloc[:, 1]
+        r = got[lag]
+        assert r.n == len(joined)
+        assert r.acf == pytest.approx(np.corrcoef(x, y)[0, 1], abs=1e-5)

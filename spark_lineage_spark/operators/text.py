@@ -1747,3 +1747,86 @@ def llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(shared / F.count(F.lit(1)), 6).alias("shared_frac"),
         )
     )
+
+
+_PREF_PAIRS_SQL = """
+WITH scored AS (
+  SELECT doc_id, source,
+         len(list_distinct(string_split(text, ' '))) * 1000000
+           + len(string_split(text, ' ')) AS score
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, score,
+         row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id)
+           AS r_top,
+         row_number() OVER (PARTITION BY source ORDER BY score ASC, doc_id DESC)
+           AS r_bot
+  FROM scored
+)
+SELECT t.source, t.doc_id AS chosen_id, b.doc_id AS rejected_id,
+       t.score AS chosen_score, b.score AS rejected_score,
+       t.score - b.score AS margin
+FROM ranked t JOIN ranked b
+  ON t.source = b.source AND t.r_top = b.r_bot
+WHERE t.r_top <= 3 AND t.doc_id <> b.doc_id AND t.score > b.score
+"""
+
+
+@query(
+    "llm_preference_pairs",
+    "§2.11 preference-pair construction (chosen/rejected by quality rank)",
+    _PREF_PAIRS_SQL,
+    doc="Per-source top-3 vs bottom-3 (chosen, rejected) training pairs.",
+)
+def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alignment-data prep: build (chosen, rejected) preference pairs
+    per source by pairing the k highest-quality documents with the k
+    lowest, positionally (best vs worst, 2nd-best vs 2nd-worst, ...)
+    — the standard construction for DPO/RM training sets when graded
+    responses share a prompt/source bucket.
+
+    The quality score is integer-exact (distinct-token count scaled +
+    token count as tiebreaker), so ranks — and therefore pair
+    membership — cannot drift across engines or partitionings; the
+    mirrored bottom rank uses the exact inverse sort with doc_id
+    DESC so r_top and r_bot are true reverses of each other. Degenerate
+    pairs (same doc, or zero margin when a source has <2k docs or tied
+    scores) are filtered. One shuffle on source for both window
+    passes; the pairing join is rank-positional on the tiny ranked
+    projection.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "source",
+        (F.size(F.array_distinct(toks)) * 1_000_000 + F.size(toks)).alias("score"),
+    )
+    w_top = Window.partitionBy("source").orderBy(F.desc("score"), "doc_id")
+    w_bot = Window.partitionBy("source").orderBy(F.asc("score"), F.desc("doc_id"))
+    ranked = scored.withColumn("r_top", F.row_number().over(w_top)).withColumn(
+        "r_bot", F.row_number().over(w_bot)
+    )
+    t = ranked.alias("t")
+    b = ranked.alias("b")
+    return (
+        t.join(
+            b,
+            (F.col("t.source") == F.col("b.source"))
+            & (F.col("t.r_top") == F.col("b.r_bot")),
+        )
+        .filter(
+            (F.col("t.r_top") <= 3)
+            & (F.col("t.doc_id") != F.col("b.doc_id"))
+            & (F.col("t.score") > F.col("b.score"))
+        )
+        .select(
+            F.col("t.source").alias("source"),
+            F.col("t.doc_id").alias("chosen_id"),
+            F.col("b.doc_id").alias("rejected_id"),
+            F.col("t.score").alias("chosen_score"),
+            F.col("b.score").alias("rejected_score"),
+            (F.col("t.score") - F.col("b.score")).alias("margin"),
+        )
+    )

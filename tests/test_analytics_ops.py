@@ -737,3 +737,26 @@ def test_autocorrelation_matches_numpy(spark):
         r = got[lag]
         assert r.n == len(joined)
         assert r.acf == pytest.approx(np.corrcoef(x, y)[0, 1], abs=1e-5)
+
+
+def test_preference_pairs_match_pandas(spark):
+    from spark_lineage_spark.operators.text import llm_preference_pairs
+
+    got = {(r.source, r.chosen_id): r for r in llm_preference_pairs(spark, SF).collect()}
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    docs["score"] = docs.text.map(
+        lambda t: len(set(t.split(" "))) * 1_000_000 + len(t.split(" "))
+    )
+    expected = {}
+    for src, grp in docs.groupby("source"):
+        top = grp.sort_values(["score", "doc_id"], ascending=[False, True])
+        bot = grp.sort_values(["score", "doc_id"], ascending=[True, False])
+        for i in range(3):
+            c, r = top.iloc[i], bot.iloc[i]
+            if c.doc_id != r.doc_id and c.score > r.score:
+                expected[(src, c.doc_id)] = (r.doc_id, c.score - r.score)
+    assert set(got) == set(expected)
+    for key, (rej, margin) in expected.items():
+        assert got[key].rejected_id == rej
+        assert got[key].margin == margin
+        assert got[key].chosen_score > got[key].rejected_score

@@ -722,3 +722,100 @@ def cdc_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     untouched = standing.join(touched, "user_id", "left_anti")
     recomputed = _scd2_frame(ev.join(touched, "user_id", "left_semi"))
     return untouched.unionByName(recomputed)
+
+
+@query(
+    "join_point_in_time_scd2",
+    "§2.14 point-in-time join against SCD2 validity intervals",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts,
+             sum(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      FROM ordered
+    ),
+    segs AS (
+      SELECT user_id, run_id, min(event_type) AS seg, min(ts) AS valid_from
+      FROM runs GROUP BY user_id, run_id
+    ),
+    dim AS (
+      SELECT user_id, seg, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+               AS valid_to
+      FROM segs
+    ),
+    purchases AS (
+      SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-20 00:00:00'
+    )
+    SELECT d.seg AS segment_at_purchase, count(*) AS n_purchases,
+           count(DISTINCT p.user_id) AS n_users
+    FROM purchases p JOIN dim d
+      ON p.user_id = d.user_id AND d.valid_from <= p.ts
+         AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    GROUP BY d.seg
+    """,
+    doc="Purchases attributed to the SCD2 segment valid at purchase time.",
+)
+def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The query side of the SCD2 story (build: cdc_scd2_build,
+    maintain: cdc_scd2_incremental, THIS: consume): each fact row
+    joins the dimension row whose validity interval covered the fact's
+    timestamp — 'what segment was this user in when they purchased'.
+
+    The oracle spells the textbook BETWEEN join. The Spark side runs
+    the SCALE form instead: validity intervals per user partition the
+    timeline, so point-in-time lookup IS an as-of join — latest
+    valid_from <= fact ts — one union+window pass on user_id, linear
+    state, no interval nested-loop (the form that survives a fact
+    table 1000x the dimension). Same one-row-per-fact guarantee
+    because intervals never overlap; open rows (valid_to NULL) match
+    by construction since no later interval starts before the fact.
+    """
+    ev = load(spark, sf_dir, "events")
+    split = F.lit("2024-01-20").cast("timestamp")
+    dim = _scd2_frame(ev.filter(F.col("ts") < split)).select(
+        "user_id", "seg", "valid_from"
+    )
+    purchases = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("ts") >= split)
+    ).select("user_id", "event_id", "ts")
+    d = dim.select(
+        F.col("user_id").alias("_k"),
+        F.col("valid_from").alias("_t"),
+        F.col("seg").alias("_seg"),
+        F.lit(0).alias("_kind"),
+        F.lit(None).cast("bigint").alias("_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("_k"),
+        F.col("ts").alias("_t"),
+        F.lit(None).cast("string").alias("_seg"),
+        F.lit(1).alias("_kind"),
+        F.col("event_id").alias("_id"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_kind", "_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = d.unionByName(p).withColumn(
+        "seg_at",
+        F.last(F.when(F.col("_kind") == 0, F.col("_seg")), ignorenulls=True).over(w),
+    )
+    return (
+        carried.filter((F.col("_kind") == 1) & F.col("seg_at").isNotNull())
+        .groupBy(F.col("seg_at").alias("segment_at_purchase"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.countDistinct("_k").alias("n_users"),
+        )
+    )

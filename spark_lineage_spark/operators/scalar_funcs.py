@@ -681,3 +681,52 @@ def fn_levenshtein_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "fn_mask_redact",
+    "§2.8 data masking (mask() governance function)",
+    """
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(
+             c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+             AS masked_default,
+           regexp_replace(regexp_replace(regexp_replace(
+             c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', '*', 'g')
+             AS masked_star_digits,
+           regexp_replace(c_name, '[0-9]', 'n', 'g') AS masked_digits_only
+    FROM customer WHERE c_custkey <= 100
+    """,
+    doc="Spark mask() vs its regexp expansion: X/x/n character classes.",
+)
+def fn_mask_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data masking — the governance function every PII pipeline needs:
+    Spark's built-in ``mask()`` replaces uppercase with X, lowercase
+    with x, digits with n (and takes per-class overrides); DuckDB has
+    no mask(), so the oracle expands it into the equivalent regexp
+    chain, proving the semantics rather than assuming them. Other
+    characters ('#') pass through in both. Pure map-side codegen;
+    ASCII classes only, so Java-vs-RE2 dialect differences don't
+    bite.
+    """
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 100)
+        .select("c_custkey", "c_name")
+    )
+    return c.select(
+        "c_custkey",
+        F.mask("c_name").alias("masked_default"),
+        F.mask(
+            "c_name",
+            upperChar=F.lit("X"),
+            lowerChar=F.lit("x"),
+            digitChar=F.lit("*"),
+        ).alias("masked_star_digits"),
+        F.mask(
+            "c_name",
+            upperChar=F.lit(None),
+            lowerChar=F.lit(None),
+            digitChar=F.lit("n"),
+        ).alias("masked_digits_only"),
+    )

@@ -760,3 +760,40 @@ def test_preference_pairs_match_pandas(spark):
         assert got[key].rejected_id == rej
         assert got[key].margin == margin
         assert got[key].chosen_score > got[key].rejected_score
+
+
+def test_point_in_time_scd2_matches_pandas(spark):
+    from spark_lineage_spark.operators.analytics import join_point_in_time_scd2
+
+    got = {r.segment_at_purchase: r for r in join_point_in_time_scd2(spark, SF).collect()}
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    split = pd.Timestamp("2024-01-20")
+    hist = ev[ev.ts < split]
+    counts, users = {}, {}
+    for _, p in ev[(ev.event_type == "purchase") & (ev.ts >= split)].iterrows():
+        h = hist[(hist.user_id == p.user_id) & (hist.ts <= p.ts)]
+        if len(h):
+            seg = h.iloc[-1].event_type
+            counts[seg] = counts.get(seg, 0) + 1
+            users.setdefault(seg, set()).add(p.user_id)
+    assert set(got) == set(counts)
+    for seg, n in counts.items():
+        assert got[seg].n_purchases == n
+        assert got[seg].n_users == len(users[seg])
+
+
+def test_mask_redact_semantics(spark):
+    from spark_lineage_spark.operators.scalar_funcs import fn_mask_redact
+
+    import re
+
+    got = {r.c_custkey: r for r in fn_mask_redact(spark, SF).collect()}
+    c = pd.read_parquet(f"{SF}/customer.parquet").query("c_custkey <= 100")
+    for _, row in c.iterrows():
+        r = got[row.c_custkey]
+        exp = re.sub(r"[0-9]", "n", re.sub(r"[a-z]", "x", re.sub(r"[A-Z]", "X", row.c_name)))
+        assert r.masked_default == exp
+        assert r.masked_star_digits == exp.replace("n", "*")
+        assert r.masked_digits_only == re.sub(r"[0-9]", "n", row.c_name)

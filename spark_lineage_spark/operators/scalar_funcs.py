@@ -730,3 +730,71 @@ def fn_mask_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             digitChar=F.lit("n"),
         ).alias("masked_digits_only"),
     )
+
+
+@query(
+    "fn_encoding_battery",
+    "§2.8 binary encodings (base64 / hex roundtrips)",
+    """
+    SELECT n_nationkey,
+           to_base64(encode(n_name)) AS b64,
+           decode(from_base64(to_base64(encode(n_name)))) AS b64_roundtrip,
+           lower(hex(encode(n_name))) AS hex_name,
+           decode(unhex(lower(hex(encode(n_name))))) AS hex_roundtrip,
+           octet_length(encode(n_name)) AS n_bytes
+    FROM nation
+    """,
+    doc="base64/hex encode-decode roundtrips over nation names.",
+)
+def fn_encoding_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-encoding surface: base64 and hex of the UTF-8 bytes,
+    decoded back to prove both roundtrips. Spark's base64()/hex()
+    operate on binary and return padded-base64 / uppercase-hex;
+    DuckDB's to_base64/hex agree on padding, and the shared lower()
+    normalizes the one casing difference so the oracle is exact. All
+    map-side codegen.
+    """
+    n = load(spark, sf_dir, "nation")
+    raw = F.encode(F.col("n_name"), "utf-8")
+    b64 = F.base64(raw)
+    hx = F.lower(F.hex(raw))
+    return n.select(
+        "n_nationkey",
+        b64.alias("b64"),
+        F.decode(F.unbase64(b64), "utf-8").alias("b64_roundtrip"),
+        hx.alias("hex_name"),
+        F.decode(F.unhex(hx), "utf-8").alias("hex_roundtrip"),
+        F.length(raw).alias("n_bytes"),
+    )
+
+
+@query(
+    "fn_format_string_battery",
+    "§2.8 printf-style formatting (format_string / printf parity)",
+    """
+    SELECT s_suppkey,
+           printf('%s#%05d', s_name, s_suppkey) AS tagged,
+           printf('bal=%09.2f', s_acctbal) AS bal_padded,
+           printf('%x', s_suppkey) AS key_hex,
+           lpad(CAST(s_suppkey AS VARCHAR), 8, '0') AS key_lpad
+    FROM supplier WHERE s_suppkey <= 100
+    """,
+    doc="C-style %s/%05d/%09.2f/%x formatting over supplier rows.",
+)
+def fn_format_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style formatting: Spark format_string() (java.util
+    Formatter) vs DuckDB printf() (fmt) agree on the C core —
+    %s, zero-padded %05d, fixed-width %09.2f (floats print from the
+    same doubles), lowercase %x — plus lpad as the SQL-native
+    padding. The %f case rounds half-even from the double in both
+    implementations; values here are 2-decimal money so no midpoint
+    ambiguity. Map-side codegen only.
+    """
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= 100)
+    return s.select(
+        "s_suppkey",
+        F.format_string("%s#%05d", "s_name", "s_suppkey").alias("tagged"),
+        F.format_string("bal=%09.2f", "s_acctbal").alias("bal_padded"),
+        F.format_string("%x", "s_suppkey").alias("key_hex"),
+        F.lpad(F.col("s_suppkey").cast("string"), 8, "0").alias("key_lpad"),
+    )

@@ -1830,3 +1830,64 @@ def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("t.score") - F.col("b.score")).alias("margin"),
         )
     )
+
+
+_TOP_PCT_SQL = """
+WITH scored AS (
+  SELECT doc_id, source,
+         len(list_distinct(string_split(text, ' '))) * 1000000
+           + len(string_split(text, ' ')) AS score
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, score,
+         row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id)
+           AS rnk,
+         count(*) OVER (PARTITION BY source) AS n_src
+  FROM scored
+)
+SELECT source, count(*) AS n_kept, min(score) AS min_kept_score,
+       max(n_src) AS n_source_docs
+FROM ranked
+WHERE rnk * 10 <= n_src
+GROUP BY source
+"""
+
+
+@query(
+    "llm_top_percent_per_source",
+    "§2.11 keep the top 10% of documents per source by quality rank",
+    _TOP_PCT_SQL,
+    doc="Dynamic per-group top-N%: rank <= n/10, integer-exact cutoff.",
+)
+def llm_top_percent_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentage-based quality culling — 'keep the best 10% of each
+    source' — where the cutoff COUNT differs per group: rank and
+    group size come from one window pass and the keep test is the
+    integer inequality rnk*10 <= n (no float percentage, no
+    per-group ntile). The quality score is the integer-exact lexical
+    score shared with llm_preference_pairs, so membership at the
+    boundary cannot drift. One shuffle on source; the output is the
+    per-source audit summary (kept count + score cutoff).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "source",
+        (F.size(F.array_distinct(toks)) * 1_000_000 + F.size(toks)).alias("score"),
+    )
+    w_rank = Window.partitionBy("source").orderBy(F.desc("score"), "doc_id")
+    w_n = Window.partitionBy("source")
+    ranked = scored.withColumn("rnk", F.row_number().over(w_rank)).withColumn(
+        "n_src", F.count(F.lit(1)).over(w_n)
+    )
+    return (
+        ranked.filter(F.col("rnk") * 10 <= F.col("n_src"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("score").alias("min_kept_score"),
+            F.max("n_src").alias("n_source_docs"),
+        )
+    )

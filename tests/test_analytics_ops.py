@@ -797,3 +797,54 @@ def test_mask_redact_semantics(spark):
         assert r.masked_default == exp
         assert r.masked_star_digits == exp.replace("n", "*")
         assert r.masked_digits_only == re.sub(r"[0-9]", "n", row.c_name)
+
+
+def test_top_percent_per_source_matches_pandas(spark):
+    from spark_lineage_spark.operators.text import llm_top_percent_per_source
+
+    got = {r.source: r for r in llm_top_percent_per_source(spark, SF).collect()}
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    docs["score"] = docs.text.map(
+        lambda t: len(set(t.split(" "))) * 1_000_000 + len(t.split(" "))
+    )
+    for src, grp in docs.groupby("source"):
+        n = len(grp)
+        keep = n // 10
+        if keep == 0:
+            assert src not in got
+            continue
+        top = grp.sort_values(["score", "doc_id"], ascending=[False, True]).head(keep)
+        r = got[src]
+        assert r.n_kept == keep
+        assert r.n_source_docs == n
+        assert r.min_kept_score == top.score.min()
+
+
+def test_encoding_battery_roundtrips(spark):
+    import base64
+
+    from spark_lineage_spark.operators.scalar_funcs import fn_encoding_battery
+
+    got = {r.n_nationkey: r for r in fn_encoding_battery(spark, SF).collect()}
+    nat = pd.read_parquet(f"{SF}/nation.parquet")
+    for _, row in nat.iterrows():
+        r = got[row.n_nationkey]
+        raw = row.n_name.encode()
+        assert r.b64 == base64.b64encode(raw).decode()
+        assert r.b64_roundtrip == row.n_name
+        assert r.hex_name == raw.hex()
+        assert r.hex_roundtrip == row.n_name
+        assert r.n_bytes == len(raw)
+
+
+def test_format_string_matches_python(spark):
+    from spark_lineage_spark.operators.scalar_funcs import fn_format_string_battery
+
+    got = {r.s_suppkey: r for r in fn_format_string_battery(spark, SF).collect()}
+    sup = pd.read_parquet(f"{SF}/supplier.parquet").query("s_suppkey <= 100")
+    for _, row in sup.iterrows():
+        r = got[row.s_suppkey]
+        assert r.tagged == "%s#%05d" % (row.s_name, row.s_suppkey)
+        assert r.bal_padded == "bal=%09.2f" % row.s_acctbal
+        assert r.key_hex == "%x" % row.s_suppkey
+        assert r.key_lpad == str(row.s_suppkey).rjust(8, "0")

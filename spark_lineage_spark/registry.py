@@ -134,37 +134,14 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "tpch_q12_style_late_lines", "tpch_q14_style_promo_revenue",
     "tpch_q18_style_large_orders", "tpch_q19_style_disjunctive",
     "tpch_q22_style_idle_customers", "tpch_q2_style_min_cost_supplier",
-]
-
-# Among the not-yet-verified queries, run these FIRST (the driver's
-# 50-row budget should land on the highest-value rows): the
-# oracle-bearing queries that still lack an official CORRECTNESS row
-# after rounds 1-4 — then the remaining TPC-H shapes + the whole
-# LLM-pipeline family, slowest dedup variants at the tail.
-#
-# ROUND-6 BUILDER: after CORRECTNESS_r05.json lands, append its keys
-# (they will be the FIRST 50 names load_all() yields from this file as
-# committed at round-5 end — i.e. _VERIFY_FIRST[:50]) to
-# _DRIVER_VERIFIED_ROUNDS_AGO, and promote the still-row-less names
-# (_VERIFY_FIRST[50:] + the round-5 §2.14 additions: cdc_scd2_build,
-# ts_twap, stats_chi_square, attribution_touch, hist_equi_depth,
-# graph_pagerank, agg_gini_concentration, llm_token_entropy,
-# llm_ngram_novelty, scan_binary_files, fn_levenshtein_battery,
-# graph_degree_stats, ts_changepoint_split, sink_python_stream,
-# cdc_scd2_incremental, join_asof_directions, agg_median_abs_deviation,
-# graph_triangle_copurchase, agg_weighted_median, scan_xml_roundtrip,
-# ts_rolling_distinct_users, and the other §2.14 rows without official
-# records) into _VERIFY_FIRST. Skipping this exact step wasted round 3
-# and nearly round 5 (VERDICT r4 item 1).
-_VERIFY_FIRST = [
+    # round 5 verified (CORRECTNESS_r05.json, 50 rows, all green)
     "llm_repeated_passages", "llm_semantic_dedup", "llm_vocab_coverage",
-    "llm_dedup_incremental",
-    "tpch_q4_style_priority_check", "tpch_q6_style_forecast_revenue",
-    "tpch_q8_style_market_share", "tpch_q9_style_product_profit",
-    "tpch_q11_style_important_parts", "tpch_q13_style_order_counts",
-    "tpch_q15_style_top_supplier", "tpch_q16_style_supplier_counts",
-    "tpch_q17_style_small_qty_revenue", "tpch_q20_style_part_shippers",
-    "tpch_q21_style_waiting_suppliers",
+    "llm_dedup_incremental", "tpch_q4_style_priority_check",
+    "tpch_q6_style_forecast_revenue", "tpch_q8_style_market_share",
+    "tpch_q9_style_product_profit", "tpch_q11_style_important_parts",
+    "tpch_q13_style_order_counts", "tpch_q15_style_top_supplier",
+    "tpch_q16_style_supplier_counts", "tpch_q17_style_small_qty_revenue",
+    "tpch_q20_style_part_shippers", "tpch_q21_style_waiting_suppliers",
     "llm_text_langid", "llm_text_quality", "llm_text_tokens",
     "llm_text_tfidf", "llm_text_fingerprint", "llm_text_normalize",
     "llm_text_repetition", "llm_text_top_ngrams", "llm_text_zipf_fit",
@@ -172,16 +149,44 @@ _VERIFY_FIRST = [
     "llm_doc_length_histogram", "llm_chunk_documents", "llm_pack_sequences",
     "llm_split_train_val_test", "llm_sample_per_group",
     "llm_interleave_sources", "llm_mixture_weights", "llm_source_datacard",
-    "llm_pipeline_end_to_end",
-    "llm_knn_cosine_exact", "llm_knn_cosine_pandas",
-    "llm_embedding_centroids", "llm_embedding_quantize_calib",
-    "llm_cluster_assign", "llm_embedding_random_projection",
-    "llm_dedup_embedding_cosine", "llm_dedup_cross_corpus",
-    "llm_dedup_threshold_sweep",
+    "llm_pipeline_end_to_end", "llm_knn_cosine_exact",
+    "llm_knn_cosine_pandas", "llm_embedding_centroids",
+    "llm_embedding_quantize_calib", "llm_cluster_assign",
+    "llm_embedding_random_projection", "llm_dedup_embedding_cosine",
+    "llm_dedup_cross_corpus", "llm_dedup_threshold_sweep",
     "llm_multimodal_blob", "llm_multimodal_features",
     "llm_multimodal_frame_sample", "llm_multimodal_audio_window",
-    "llm_decontaminate_benchmark", "llm_dedup_clusters",
-    "llm_dedup_edit_distance", "llm_dedup_containment",
+    "llm_decontaminate_benchmark",
+]
+
+# Among the not-yet-verified queries, run these FIRST.  After round 5
+# the official record covers 200/250; the 45 oracle-bearing queries
+# below plus the 5 rows-only names in _VERIFY_LAST are EXACTLY the 50
+# still-unrecorded queries, so the driver's round-6 50-row budget
+# closes official coverage to 250/250.
+#
+# ROUND-7 BUILDER: after CORRECTNESS_r06.json lands (it should contain
+# precisely _VERIFY_FIRST + _VERIFY_LAST below), append those 50 keys
+# to _DRIVER_VERIFIED_ROUNDS_AGO and move any NEW round-6 queries into
+# _VERIFY_FIRST.  Skipping this exact step wasted round 3 and nearly
+# round 5 (VERDICT r4 item 1).
+_VERIFY_FIRST = [
+    "llm_dedup_clusters", "llm_dedup_edit_distance", "llm_dedup_containment",
+    "join_asof_directions", "join_band_bucketized", "agg_trimmed_winsorized",
+    "agg_distinct_kmv", "agg_median_abs_deviation", "agg_higher_moments",
+    "agg_correlation_matrix", "set_union_missing_columns",
+    "fn_levenshtein_battery", "fn_mask_redact", "fn_encoding_battery",
+    "fn_format_string_battery", "scan_xml_roundtrip", "scan_binary_files",
+    "llm_perplexity_buckets", "llm_token_cooccurrence", "llm_token_entropy",
+    "llm_ngram_novelty", "llm_rouge_unigram", "llm_winnowing_fingerprint",
+    "llm_preference_pairs", "llm_top_percent_per_source",
+    "ts_markov_transitions", "ts_interpolate_linear",
+    "graph_triangle_copurchase", "agg_weighted_median",
+    "ts_rolling_distinct_users", "ts_changepoint_split", "ts_forecast_error",
+    "ts_sequence_pattern", "ts_autocorrelation", "cdc_scd2_build", "ts_twap",
+    "stats_chi_square", "attribution_touch", "agg_gini_concentration",
+    "hist_equi_depth", "graph_pagerank", "graph_degree_stats",
+    "cdc_scd2_incremental", "join_point_in_time_scd2", "sink_python_stream",
 ]
 
 # ... and run these LAST: rows-only checks (weaker rows) and the

@@ -1202,25 +1202,31 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     halfway comparison has no float boundary; ties in price break on
     (l_orderkey, l_linenumber) identically in both engines.
 
-    One shuffle on l_returnflag feeds the running-sum window, the
-    per-group total (same partition, no extra exchange), and the final
-    min-aggregate. At 100 TB the per-group sort is the cost — same
-    profile as any exact percentile; the approx path is
-    percentile_approx over a weight-expanded stream."""
+    Scale shape (the round-6 rewrite): l_returnflag has 3 values, so a
+    running-sum window partitioned on it accumulates ~1/3 of the fact
+    table on one task. The cumulative weight now comes from
+    ``grouped_rank(..., weight=...)`` — the two-phase distributed
+    prefix sum partitioned on (flag, price-range): per-range local
+    running sums in parallel, the O(#flags x #ranges) per-range weight
+    totals cumsum broadcast back as offsets. Weights sum as
+    decimal(18,2), so the re-associated addition is exact — the
+    halfway comparison cannot drift from the oracle's strictly
+    left-to-right window sum."""
+    from spark_lineage_spark.operators.analytics import grouped_rank
+
     li = load(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber"
-    )
-    wcum = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wall = Window.partitionBy("l_returnflag")
-    w = li.select(
         "l_returnflag",
         "l_extendedprice",
-        F.sum("l_quantity").over(wcum).alias("cum_w"),
-        F.sum("l_quantity").over(wall).alias("tot_w"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = grouped_rank(
+        li,
+        ["l_returnflag"],
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        F.floor(F.col("l_extendedprice") / F.lit(1000.0)).cast("bigint"),
+        weight="qty",
     )
     return w.groupBy("l_returnflag").agg(
         F.round(

@@ -450,26 +450,37 @@ def agg_trimmed_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact in both engines (an interpolated percentile_cont boundary
     could land between rows differently under float drift).
 
-    One shuffle on o_orderpriority serves the window AND both
-    aggregates (Exchange reuse); the cuts table is a per-group 2-double
-    aggregate that AQE broadcasts back onto the same partitioning.
-    Sums run as decimal(18,4) so accumulation order cannot flip a cent
-    (the q9 discipline); only the final division is double.
+    Scale shape (the round-6 rewrite): o_orderpriority has 5 values, so
+    a cume_dist window partitioned on it sorts ~1/5 of the table on one
+    task. The cutpoints now come from ``grouped_rank`` (two-phase
+    distributed prefix sum, partitioned on (priority, price-range));
+    cd >= q becomes the integer threshold 10*rnk >= q*10*n, which picks
+    the identical discrete value (a value qualifies under one iff its
+    last tied row qualifies under the other). The 5-row cuts table
+    broadcasts back onto the base scan — no window touches the full
+    table at all. Sums run as decimal(18,4) so accumulation order
+    cannot flip a cent (the q9 discipline); only the final division is
+    double; the aggregate itself is partial-agg friendly (sum/count
+    pairs)."""
+    from spark_lineage_spark.operators.analytics import grouped_rank
 
-    At 100 TB: cume_dist is per-group sort — group count is bounded
-    (priorities), group size is not, so each group sorts within its own
-    partition range; for unbounded group sizes swap the window for a
-    two-pass histogram cut. The aggregate itself is partial-agg
-    friendly (sum/count pairs)."""
     o = load(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
-    ranked = o.withColumn("cd", F.cume_dist().over(w))
+    ranked = grouped_rank(
+        o,
+        ["o_orderpriority"],
+        ["o_totalprice"],
+        F.floor(F.col("o_totalprice") / F.lit(1000.0)).cast("bigint"),
+    )
     cuts = ranked.groupBy("o_orderpriority").agg(
-        F.min(F.when(F.col("cd") >= 0.10, F.col("o_totalprice"))).alias("lo"),
-        F.min(F.when(F.col("cd") >= 0.90, F.col("o_totalprice"))).alias("hi"),
+        F.min(
+            F.when(F.col("rnk") * 10 >= F.col("n"), F.col("o_totalprice"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("rnk") * 10 >= F.col("n") * 9, F.col("o_totalprice"))
+        ).alias("hi"),
     )
     dec = lambda c: c.cast("decimal(18,4)")  # noqa: E731
-    j = ranked.join(cuts, "o_orderpriority")
+    j = o.join(F.broadcast(cuts), "o_orderpriority")
     inside = F.col("o_totalprice").between(F.col("lo"), F.col("hi"))
     return (
         j.groupBy("o_orderpriority", "lo", "hi")
@@ -595,36 +606,55 @@ def agg_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median absolute deviation — the robust spread statistic (50%
-    breakdown point vs stddev's 0). Both medians are DISCRETE
-    (smallest value with cume_dist >= 0.5, same boundary rule as
-    agg_trimmed_winsorized) so both engines pick identical actual data
-    values; deviations are decimal(18,2)-exact so the second ranking
-    has no float boundary at all.
+    breakdown point vs stddev's 0). Both medians are DISCRETE: the
+    smallest value whose cumulative rank reaches half the group, i.e.
+    the value at per-group rank ceil(n/2), which for row ranks is
+    exactly min(x WHERE 2*rnk >= n) — the same value cume_dist >= 0.5
+    picks (a value qualifies under one iff its last tied row qualifies
+    under the other), so the cume_dist oracle matches bit-for-bit.
+    Deviations are decimal(18,2)-exact so the second ranking has no
+    float boundary at all.
 
-    Shape: one shuffle on l_returnflag serves the first window, the
-    median join (group-level, broadcast back), and the second window —
-    the deviation re-sort stays inside the same partitioning. Group
-    count is bounded; for unbounded group sizes swap cume_dist for a
-    two-pass histogram cut (same note as trimmed/winsorized).
+    Scale shape (the round-6 rewrite): l_returnflag has 3 values, so a
+    cume_dist window partitioned on it sorts ~1/3 of the fact table on
+    a single task (SCALE.md 10x ratio was 11.1 — the one entry > 10).
+    Both rank passes now use ``grouped_rank`` — the two-phase
+    distributed prefix sum from hist_equi_depth — partitioned on
+    (flag, price-range): per-range local ranks in parallel, an
+    O(#flags x #ranges) count cumsum broadcast back as offsets. The
+    median join stays a broadcast of 3 rows; integer threshold
+    2*rnk >= n replaces the float cume_dist comparison.
     """
+    from spark_lineage_spark.operators.analytics import grouped_rank
+
     li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
-    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    ranked = li.withColumn("cd", F.cume_dist().over(w))
-    med = ranked.groupBy("l_returnflag").agg(
-        F.min(F.when(F.col("cd") >= 0.5, F.col("l_extendedprice"))).alias("median")
+    ranked = grouped_rank(
+        li,
+        ["l_returnflag"],
+        ["l_extendedprice"],
+        F.floor(F.col("l_extendedprice") / F.lit(1000.0)).cast("bigint"),
     )
-    dev = ranked.join(med, "l_returnflag").withColumn(
+    med = ranked.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(F.col("rnk") * 2 >= F.col("n"), F.col("l_extendedprice"))
+        ).alias("median")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
         "ad",
         F.abs(
             F.col("l_extendedprice").cast("decimal(18,2)")
             - F.col("median").cast("decimal(18,2)")
         ),
     )
-    w2 = Window.partitionBy("l_returnflag").orderBy("ad")
-    dev2 = dev.withColumn("cd2", F.cume_dist().over(w2))
+    dev2 = grouped_rank(
+        dev,
+        ["l_returnflag"],
+        ["ad"],
+        F.floor(F.col("ad") / F.lit(1000)).cast("bigint"),
+    )
     return dev2.groupBy("l_returnflag").agg(
         F.round(F.min("median"), 2).alias("median"),
-        F.round(F.min(F.when(F.col("cd2") >= 0.5, F.col("ad"))), 2)
+        F.round(F.min(F.when(F.col("rnk") * 2 >= F.col("n"), F.col("ad"))), 2)
         .cast("double")
         .alias("mad"),
         F.count(F.lit(1)).alias("n"),

@@ -214,9 +214,15 @@ def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ct", F.sum("o").over(Window.partitionBy("dow")))
         .withColumn("n", F.sum("o").over(Window.partitionBy()))
     )
-    num = F.col("o") * F.col("n") - F.col("rt") * F.col("ct")
+    # cross-products in double, not bigint: rt*ct wraps int64 past
+    # ~3e9 rows under non-ANSI Spark (ADVICE r5) — the term is rounded
+    # to 8 decimals anyway, so double precision is already the contract
+    num = (
+        F.col("o").cast("double") * F.col("n").cast("double")
+        - F.col("rt").cast("double") * F.col("ct").cast("double")
+    )
     term = F.round(
-        num.cast("double") * num.cast("double")
+        num * num
         / (F.col("n").cast("double") * F.col("rt").cast("double") * F.col("ct").cast("double")),
         8,
     ).cast("decimal(28,8)")
@@ -347,6 +353,67 @@ def global_rank(df: DataFrame, order_cols: list, coarse) -> DataFrame:
     )
 
 
+def grouped_rank(df: DataFrame, group_cols: list, order_cols: list, coarse, weight=None) -> DataFrame:
+    """Per-group ``global_rank``: distributed exact row_number WITHIN
+    each group without sorting a whole group on one task (the fix for
+    the cume_dist-over-3-value-key scale-killer, VERDICT r5 item 2).
+
+    ``coarse`` buckets rows into bounded value ranges monotone in the
+    first order column; the window partitions on (group, range) so a
+    huge group spreads across all its ranges in parallel.  The
+    per-(group, range) counts cumsum — O(#groups x #ranges) rows at any
+    SF — runs on a tiny table and broadcasts back as offsets.
+
+    Adds ``rnk`` (1-based rank within the group) and ``n`` (group row
+    count); with ``weight`` also ``cum_w`` (running weight sum in rank
+    order) and ``tot_w`` (group weight total).  Weight sums stay exact
+    under the reordered addition when weights are integers or
+    fixed-point decimals (callers must ensure this — running sums are
+    combined per-range rather than strictly left-to-right).
+    """
+    cdf = df.withColumn("_rng", coarse)
+    w_local = Window.partitionBy(*group_cols, "_rng").orderBy(*order_cols)
+    local = cdf.withColumn("_lrnk", F.row_number().over(w_local))
+    aggs = [F.count(F.lit(1)).alias("_cnt")]
+    if weight is not None:
+        local = local.withColumn(
+            "_lcw",
+            F.sum(weight).over(
+                w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        aggs.append(F.sum(weight).alias("_wsum"))
+    rng_aggs = cdf.groupBy(*group_cols, "_rng").agg(*aggs)
+    # tiny cumsum: one row per (group, coarse range), bounded forever
+    w_rng = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_rng")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = rng_aggs.withColumn(
+        "_offset", F.coalesce(F.sum("_cnt").over(w_rng), F.lit(0))
+    )
+    tot_aggs = [F.sum("_cnt").alias("n")]
+    off_cols = [*group_cols, "_rng", "_offset"]
+    if weight is not None:
+        offsets = offsets.withColumn(
+            "_woffset", F.coalesce(F.sum("_wsum").over(w_rng), F.lit(0))
+        )
+        off_cols.append("_woffset")
+        tot_aggs.append(F.sum("_wsum").alias("tot_w"))
+    totals = rng_aggs.groupBy(*group_cols).agg(*tot_aggs)
+    out = (
+        local.join(F.broadcast(offsets.select(*off_cols)), [*group_cols, "_rng"])
+        .join(F.broadcast(totals), list(group_cols))
+        .withColumn("rnk", F.col("_offset") + F.col("_lrnk"))
+    )
+    if weight is not None:
+        out = out.withColumn("cum_w", F.col("_woffset") + F.col("_lcw")).drop(
+            "_woffset", "_lcw"
+        )
+    return out.drop("_rng", "_lrnk", "_offset")
+
+
 @query(
     "agg_gini_concentration",
     "§2.14 Gini coefficient + top-decile share (exact rank-weighted sums)",
@@ -449,7 +516,10 @@ def hist_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_totalprice", "o_orderkey"],
         F.floor(F.col("o_totalprice") / F.lit(1000.0)).cast("bigint"),
     )
-    bucket = (((F.col("rnk") - 1) * 10) / F.col("n")).cast("bigint") + F.lit(1)
+    # integer floor-division, not double division cast to bigint: the
+    # double path relies on (rnk-1)*10 < 2^53 for exactness; `div` is
+    # bit-exact bigint semantics at any scale (ADVICE r5)
+    bucket = F.expr("((rnk - 1) * 10) div n + 1")
     return ranked.groupBy(bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.min("o_totalprice"), 2).alias("lo"),
@@ -656,8 +726,14 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _scd2_frame(ev: DataFrame) -> DataFrame:
-    """DataFrame-API twin of _SCD2_SQL over an arbitrary events slice."""
+def _scd2_frame(ev: DataFrame, keep_run_id: bool = False) -> DataFrame:
+    """DataFrame-API twin of _SCD2_SQL over an arbitrary events slice.
+
+    ``keep_run_id`` appends the per-user run ordinal — callers that
+    order SCD2 rows (point-in-time join) need it as the tie-break when
+    two runs share one valid_from (a user with 2+ same-timestamp
+    events); the default output matches _SCD2_SQL's schema exactly.
+    """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     marked = ev.select(
         "user_id",
@@ -680,14 +756,17 @@ def _scd2_frame(ev: DataFrame) -> DataFrame:
     )
     w2 = Window.partitionBy("user_id").orderBy("run_id")
     nxt = F.lead("valid_from").over(w2)
-    return segs.select(
+    cols = [
         "user_id",
         "seg",
         "valid_from",
         nxt.alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
         "n_events",
-    )
+    ]
+    if keep_run_id:
+        cols.append("run_id")
+    return segs.select(*cols)
 
 
 @query(
@@ -782,8 +861,8 @@ def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load(spark, sf_dir, "events")
     split = F.lit("2024-01-20").cast("timestamp")
-    dim = _scd2_frame(ev.filter(F.col("ts") < split)).select(
-        "user_id", "seg", "valid_from"
+    dim = _scd2_frame(ev.filter(F.col("ts") < split), keep_run_id=True).select(
+        "user_id", "seg", "valid_from", "run_id"
     )
     purchases = ev.filter(
         (F.col("event_type") == "purchase") & (F.col("ts") >= split)
@@ -793,6 +872,7 @@ def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_from").alias("_t"),
         F.col("seg").alias("_seg"),
         F.lit(0).alias("_kind"),
+        F.col("run_id").alias("_run"),
         F.lit(None).cast("bigint").alias("_id"),
     )
     p = purchases.select(
@@ -800,11 +880,17 @@ def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("_t"),
         F.lit(None).cast("string").alias("_seg"),
         F.lit(1).alias("_kind"),
+        F.lit(None).cast("bigint").alias("_run"),
         F.col("event_id").alias("_id"),
     )
+    # _run breaks the tie between two runs of one user sharing a
+    # valid_from (possible with 2+ same-timestamp events): the LATER
+    # run sorts last, so F.last deterministically picks it — exactly
+    # the row the oracle keeps when it drops the empty interval
+    # (ADVICE r5).
     w = (
         Window.partitionBy("_k")
-        .orderBy("_t", "_kind", "_id")
+        .orderBy("_t", "_kind", "_run", "_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = d.unionByName(p).withColumn(

@@ -53,10 +53,14 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(T.DoubleType())
     def adjust(price: pd.Series) -> pd.Series:
-        return (price * 1.1 + 5.0).round(4)
+        return price * 1.1 + 5.0
 
     o = load(spark, sf_dir, "orders")
-    return o.select("o_orderkey", adjust("o_totalprice").alias("adjusted"))
+    # round OUTSIDE the UDF with F.round (HALF_UP, matching the oracle);
+    # pandas .round is banker's half-to-even (the udf_apply_in_arrow rule)
+    return o.select(
+        "o_orderkey", F.round(adjust("o_totalprice"), 4).alias("adjusted")
+    )
 
 
 @query(
@@ -75,11 +79,14 @@ def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(T.DoubleType())
     def wavg(price: pd.Series, weight: pd.Series) -> float:
-        return float(round((price * weight).sum() / weight.sum(), 4))
+        return float((price * weight).sum() / weight.sum())
 
     o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") > 0)
+    # F.round outside the UDF: HALF_UP like the oracle, not banker's
     return o.groupBy("o_orderstatus").agg(
-        wavg("o_totalprice", F.col("o_custkey").cast("double")).alias("wavg")
+        F.round(
+            wavg("o_totalprice", F.col("o_custkey").cast("double")), 4
+        ).alias("wavg")
     )
 
 
@@ -101,12 +108,17 @@ def udf_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         bal = pdf["c_acctbal"]
         pdf = pdf[["c_nationkey", "c_custkey"]].copy()
-        pdf["zscore"] = ((bal - bal.mean()) / bal.std(ddof=1)).round(6)
+        pdf["zscore"] = (bal - bal.mean()) / bal.std(ddof=1)
         return pdf
 
     c = load(spark, sf_dir, "customer").select("c_nationkey", "c_custkey", "c_acctbal")
-    return c.groupBy("c_nationkey").applyInPandas(
-        normalize, schema="c_nationkey int, c_custkey long, zscore double"
+    # F.round outside the UDF: HALF_UP like the oracle, not banker's
+    return (
+        c.groupBy("c_nationkey")
+        .applyInPandas(
+            normalize, schema="c_nationkey int, c_custkey long, zscore double"
+        )
+        .withColumn("zscore", F.round("zscore", 6))
     )
 
 
@@ -130,14 +142,17 @@ def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "l_orderkey": out["l_orderkey"],
                     "l_linenumber": out["l_linenumber"],
-                    "net": (out["l_extendedprice"] * (1 - out["l_discount"])).round(4),
+                    "net": out["l_extendedprice"] * (1 - out["l_discount"]),
                 }
             )
 
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
     )
-    return li.mapInPandas(op, schema="l_orderkey long, l_linenumber int, net double")
+    # F.round outside the UDF: HALF_UP like the oracle, not banker's
+    return li.mapInPandas(
+        op, schema="l_orderkey long, l_linenumber int, net double"
+    ).withColumn("net", F.round("net", 4))
 
 
 @query(

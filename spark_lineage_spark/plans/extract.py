@@ -40,9 +40,14 @@ from spark_lineage_spark.plans.model import (
 # a checkpointed DataFrame would report "read nothing" (Spark itself has
 # forgotten). ``lineage_checkpoint`` snapshots the pre-checkpoint plan's
 # inputs + column sources keyed by the checkpoint RDD's id; the walk
-# splices them back in when it meets that LogicalRDD. Bounded: cleared
-# wholesale past _CHECKPOINT_CAP entries (a session-lifetime cache of
-# tiny metadata, not data).
+# splices them back in when it meets that LogicalRDD. Bounded: LRU —
+# only the OLDEST entry is evicted past _CHECKPOINT_CAP (clearing the
+# whole dict dropped entries for checkpoints still referenced by live
+# DataFrames, e.g. dedup's iterative checkpoints within one long
+# session, silently degrading their later extraction to an unknown
+# leaf — ADVICE r5). A session-lifetime cache of tiny metadata, not
+# data; dicts preserve insertion order, so eviction order is creation
+# order.
 # (application id, rdd id) -> analyzed-plan jobj (unresolved) |
 # (inputs, colmap) | None. RDD ids restart at 0 per SparkContext, so a
 # bare-id key would splice a previous session's lineage into a new one
@@ -71,8 +76,8 @@ def lineage_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
         analyzed = df._jdf.queryExecution().analyzed()
         rid = ckpt._jdf.queryExecution().analyzed().rdd().id()
         app = df.sparkSession.sparkContext.applicationId
-        if len(_CHECKPOINT_LINEAGE) >= _CHECKPOINT_CAP:
-            _CHECKPOINT_LINEAGE.clear()
+        while len(_CHECKPOINT_LINEAGE) >= _CHECKPOINT_CAP:
+            _CHECKPOINT_LINEAGE.pop(next(iter(_CHECKPOINT_LINEAGE)))
         _CHECKPOINT_LINEAGE[(app, rid)] = analyzed
     except Exception:
         pass  # observability must never fail the query

@@ -83,12 +83,15 @@ def test_interpolation_fills_every_gap_between_bounds(spark):
         days = pd.to_datetime(grp.d).sort_values()
         assert (days.diff().dropna() == pd.Timedelta(days=1)).all()
     # an interpolated value lies between its neighbors' filled values
-    # (linear blend of the two nearest observations)
-    pdf = pdf.sort_values(["user_id", "d"]).reset_index(drop=True)
-    for i, row in pdf[pdf.kind == "interp"].iterrows():
-        lo = pdf.v_filled[max(0, i - 1)]
-        hi = pdf.v_filled[min(len(pdf) - 1, i + 1)]
-        assert min(lo, hi) - 1e-6 <= row.v_filled <= max(lo, hi) + 1e-6
+    # (linear blend of the two nearest observations); neighbors are
+    # taken WITHIN the user's group so a boundary row never compares
+    # against another user's series (ADVICE r5)
+    for _, grp in pdf.groupby("user_id"):
+        grp = grp.sort_values("d").reset_index(drop=True)
+        for i, row in grp[grp.kind == "interp"].iterrows():
+            lo = grp.v_filled[max(0, i - 1)]
+            hi = grp.v_filled[min(len(grp) - 1, i + 1)]
+            assert min(lo, hi) - 1e-6 <= row.v_filled <= max(lo, hi) + 1e-6
 
 
 def test_perplexity_buckets_partition_the_corpus(spark):

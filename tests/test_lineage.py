@@ -298,19 +298,32 @@ def test_async_capture_preserves_reports(spark, sf_dir):
 
 def test_no_extra_jobs_for_capture(engine, sf_dir):
     """Lineage must add zero Spark jobs (BASELINE.md overhead budget):
-    plan traversal only."""
+    plan traversal only.
+
+    Each measured collect runs under its own fresh job group and the
+    count is taken WITHIN that group: counting the default group across
+    the session is flaky in long runs because the UI store evicts old
+    jobs (spark.ui.retainedJobs), which once made the default-group
+    count go backwards (VERDICT r5 item 3, plain_delta=-99)."""
+    import uuid
+
     eng, rep = engine
     sc = eng.spark.sparkContext
     tracker = sc.statusTracker()
+
+    def jobs_in_fresh_group(action):
+        group = f"no-extra-jobs-{uuid.uuid4().hex}"
+        sc.setJobGroup(group, "test_no_extra_jobs_for_capture")
+        try:
+            action()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(tracker.getJobIdsForGroup(group) or [])
+
     df = load(eng.spark, sf_dir, "nation").groupBy("n_regionkey").count()
     df.collect()  # warm-up: AQE materializes the shuffle on first run
-    n0 = len(tracker.getJobIdsForGroup() or [])
-    df.collect()
-    n1 = len(tracker.getJobIdsForGroup() or [])
-    eng._wrap(df).collect()
-    n2 = len(tracker.getJobIdsForGroup() or [])
-    plain_delta = n1 - n0
-    wrapped_delta = n2 - n1
+    plain_delta = jobs_in_fresh_group(df.collect)
+    wrapped_delta = jobs_in_fresh_group(lambda: eng._wrap(df).collect())
     assert wrapped_delta == plain_delta, (
         f"lineage added Spark jobs: wrapped={wrapped_delta} plain={plain_delta}"
     )
@@ -647,6 +660,30 @@ def test_checkpoint_transparent_lineage(engine, sf_dir):
     assert not any("LogicalRDD" in (n or "") for n in names), names
     edges = {c.output: set(c.inputs) for c in r.columns}
     assert edges["node"] == {"lineitem.l_partkey"}
+
+
+def test_checkpoint_spliced_semantic_dedup_lineage(engine, sf_dir):
+    """Column-edge golden through the SEMANTIC dedup path (VERDICT r5
+    item 8): llm_semantic_dedup checkpoints its cosine near-dup pairs
+    (lineage_checkpoint) before the min-label component fixpoint, which
+    itself checkpoints each iteration — so extraction must splice
+    recorded entries through MULTIPLE generations of LogicalRDD leaves
+    and still land on the embeddings table."""
+    eng, rep = engine
+    from spark_lineage_spark.operators.dedup import llm_semantic_dedup
+
+    eng._wrap(llm_semantic_dedup(eng.spark, sf_dir)).collect()
+    r = rep.last()
+    names = r.input_names()
+    assert any("embeddings" in n for n in names), names
+    # no unknown LogicalRDD leak: every checkpointed leaf resolved
+    assert not any("LogicalRDD" in (n or "") for n in names), names
+    assert not any(i.kind == "unknown" for i in r.inputs), [i.kind for i in r.inputs]
+    edges = {c.output: set(c.inputs) for c in r.columns}
+    # every output column traces to the embeddings table's id column
+    assert edges["cluster_label"] == {"embeddings.vec_id"}, edges
+    assert edges["survivor"] == {"embeddings.vec_id"}, edges
+    assert edges["members"] == {"embeddings.vec_id"}, edges
 
 
 def test_plain_checkpoint_still_reports_unknown(engine, sf_dir):

@@ -72,8 +72,10 @@ def test_simhash_deterministic_and_sane(spark):
 def test_ann_lsh_recall_vs_exact(spark):
     """Multi-probe sign-LSH should recover most exact top-5 neighbors.
     Embeddings are near-random (max cos ~0.5) — the hardest case for
-    LSH — so the bar is recall >= 0.5, far above the ~2.5% a random
-    bucket assignment would give."""
+    LSH. Measured recall@5 is 0.94 at sf0.001 and 0.92 at sf0.01
+    (deterministic: the hyperplane matrix is a seeded literal), so the
+    floor is 0.9 — far above the ~2.5% a random bucket assignment
+    would give (VERDICT r5 item 4)."""
     from spark_lineage_spark.operators.similarity import llm_ann_lsh, llm_knn_cosine_exact
 
     exact = llm_knn_cosine_exact(spark, SF).collect()
@@ -81,7 +83,7 @@ def test_ann_lsh_recall_vs_exact(spark):
     exact_set = {(r.query_id, r.neighbor_id) for r in exact}
     ann_set = {(r.query_id, r.neighbor_id) for r in ann}
     recall = len(exact_set & ann_set) / len(exact_set)
-    assert recall >= 0.5, f"ANN recall too low: {recall}"
+    assert recall >= 0.9, f"ANN recall too low: {recall}"
 
 
 def test_dedup_clusters_match_transitive_closure(spark):
@@ -120,13 +122,19 @@ def test_dedup_clusters_match_transitive_closure(spark):
 
 def test_ann_ivf_recall_vs_exact(spark):
     """IVF with nprobe=4/16 lists: same near-random-embedding caveat
-    as LSH; bar is well above random-list chance (nprobe/k = 25%)."""
+    as LSH — near-random vectors give KMeans no cluster structure, so
+    a neighbor's list is close to chance and IVF recall is
+    structurally below LSH's here. Measured recall@5 is 0.58 at
+    sf0.001 and 0.60 at sf0.01, reproduced bit-for-bit across
+    sessions (deterministic stride-picked training rows in a sorted
+    single partition + seeded KMeans); floor 0.5 at this SF — double
+    random-list chance (nprobe/k = 25%) (VERDICT r5 item 4)."""
     from spark_lineage_spark.operators.similarity import llm_ann_ivf, llm_knn_cosine_exact
 
     exact = {(r.query_id, r.neighbor_id) for r in llm_knn_cosine_exact(spark, SF).collect()}
     ivf = {(r.query_id, r.neighbor_id) for r in llm_ann_ivf(spark, SF).collect()}
     recall = len(exact & ivf) / len(exact)
-    assert recall >= 0.4, f"IVF recall too low: {recall}"
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
 def test_multimodal_stub_marks_non_text(spark):

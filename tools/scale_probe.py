@@ -57,6 +57,11 @@ PROBE_QUERIES = [
     "llm_ngram_novelty",
     "agg_median_abs_deviation",
     "join_asof_directions",
+    # round-6 additions: the remaining window-heavy / pair-producing ops
+    "agg_trimmed_winsorized",
+    "agg_weighted_median",
+    "llm_winnowing_fingerprint",
+    "llm_rouge_unigram",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

@@ -1033,3 +1033,87 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(lineage_checkpoint)  # read 3× by the verify stage
     )
     return _verify_exact_jaccard(sh, candidates, JACCARD_THRESHOLD)
+
+
+# (bands, rows) configurations over the same 32-permutation budget —
+# the S-curve knob: more rows per band sharpens the curve (fewer false
+# candidates), more bands raises recall at the target similarity.
+BAND_SWEEP_CONFIGS = [(32, 1), (16, 2), (8, 4), (4, 8)]
+
+_BAND_SWEEP_ORACLE = f"""
+WITH pairs AS ({NGRAM_JACCARD_ORACLE.replace(">= 0.8", ">= 0.5")}),
+cfg AS (
+  SELECT * FROM (VALUES {", ".join(f"({b}, {r}, {round((1 - 0.5 ** (1 / b)) ** (1 / r), 6)})" for b, r in BAND_SWEEP_CONFIGS)})
+       AS t(bands, rows_per_band, s50)
+),
+scored AS (
+  SELECT bands, rows_per_band, s50, jaccard,
+         CAST(round(1 - power(1 - power(jaccard, rows_per_band), bands), 3)
+              AS DECIMAL(10,3)) AS pr
+  FROM cfg CROSS JOIN pairs
+)
+SELECT bands, rows_per_band, s50,
+       count(*) AS n_pairs,
+       round(CAST(sum(pr) AS DOUBLE), 3) AS exp_candidates,
+       round(CAST(sum(CASE WHEN jaccard >= 0.8 THEN pr END) AS DOUBLE)
+             / count(CASE WHEN jaccard >= 0.8 THEN 1 END), 4) AS recall_at_08,
+       count(CASE WHEN jaccard >= 0.8 THEN 1 END) AS n_pairs_08
+FROM scored
+GROUP BY bands, rows_per_band, s50
+"""
+
+
+@query(
+    "llm_minhash_band_sweep",
+    "§2.11 MinHash banding parameter sweep (the LSH S-curve, exact expectation)",
+    _BAND_SWEEP_ORACLE,
+)
+def llm_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tuning table behind llm_dedup_minhash_lsh's 8x4 choice: for
+    every (bands b, rows r) split of the 32-permutation budget, the
+    collision probability of a pair with Jaccard s is the S-curve
+    p = 1-(1-s^r)^b. Evaluating it over the corpus's ACTUAL >=0.5
+    pair-similarity distribution (exact Jaccard from the prefix-filter
+    path — computed once, 4-row config side broadcast over it) gives
+    expected candidate volume and expected recall at the 0.8 target
+    per config, plus each curve's midpoint s50 = (1-0.5^(1/b))^(1/r)
+    (a Python-computed literal, identical in both engines). This is
+    the expectation the MinHash signatures CONVERGE to — it is
+    hash-free, so unlike the signature path it is exactly
+    oracle-checkable.
+
+    Per-pair probabilities round to decimal(10,3) BEFORE summing, so
+    the aggregate is an exact decimal sum — a 1-ulp pow() difference
+    between engines cannot surface, and neither can float accumulation
+    order. The expensive stage (pair generation) is one pass; the
+    sweep itself is a broadcast theta-free cross of 4 config rows
+    (the llm_dedup_threshold_sweep pattern)."""
+    pairs = _jaccard_pairs_from_shingles(_shingle_index(spark, sf_dir), threshold=0.5)
+    cfg = spark.createDataFrame(
+        [
+            (b, r, round((1 - 0.5 ** (1 / b)) ** (1 / r), 6))
+            for b, r in BAND_SWEEP_CONFIGS
+        ],
+        "bands int, rows_per_band int, s50 double",
+    )
+    pr = F.round(
+        1 - F.pow(1 - F.pow(F.col("jaccard"), F.col("rows_per_band")), F.col("bands")),
+        3,
+    ).cast("decimal(10,3)")
+    hi = F.col("jaccard") >= 0.8
+    return (
+        F.broadcast(cfg)
+        .crossJoin(pairs)  # 4-row config side, broadcast nested loop
+        .withColumn("pr", pr)
+        .groupBy("bands", "rows_per_band", "s50")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("pr").cast("double"), 3).alias("exp_candidates"),
+            F.round(
+                F.sum(F.when(hi, F.col("pr"))).cast("double")
+                / F.count(F.when(hi, F.lit(1))),
+                4,
+            ).alias("recall_at_08"),
+            F.count(F.when(hi, F.lit(1))).alias("n_pairs_08"),
+        )
+    )

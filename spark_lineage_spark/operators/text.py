@@ -1891,3 +1891,227 @@ def llm_top_percent_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_src").alias("n_source_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL / domain provenance (the per-domain pretraining-pipeline signal)
+# ---------------------------------------------------------------------------
+
+# Deterministic synthetic URLs: the fixture has no URL column, so each
+# doc derives one from (source, doc_id) with doc_id%4 picking a messy
+# shape (mixed-case host, www, default port, tracking params, trailing
+# slash, fragment). The OPERATOR under test is the normalization — the
+# construction is just reproducible input, spelled identically in the
+# oracle.
+_URL_RAW_SPARK = (
+    "CASE doc_id % 4 "
+    " WHEN 0 THEN concat('HTTPS://WWW.', source, '.Example.COM/docs/', doc_id,"
+    "   '?utm_source=feed&ref=kept&utm_campaign=x#frag') "
+    " WHEN 1 THEN concat('http://', source, '.example.com:80/docs/', doc_id, '/') "
+    " WHEN 2 THEN concat('https://', source, '.Example.com:443/docs/', doc_id,"
+    "   '?b=2&a=1') "
+    " ELSE concat('https://cdn.', source, '.example.com/docs/', doc_id, '#top') "
+    "END"
+)
+# identical construction in DuckDB (|| instead of concat-varargs)
+_URL_RAW_DUCK = """
+CASE doc_id % 4
+  WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM/docs/' || doc_id
+              || '?utm_source=feed&ref=kept&utm_campaign=x#frag'
+  WHEN 1 THEN 'http://' || source || '.example.com:80/docs/' || doc_id || '/'
+  WHEN 2 THEN 'https://' || source || '.Example.com:443/docs/' || doc_id
+              || '?b=2&a=1'
+  ELSE 'https://cdn.' || source || '.example.com/docs/' || doc_id || '#top'
+END
+"""
+
+_URL_NORM_ORACLE = f"""
+WITH raw AS (SELECT doc_id, {_URL_RAW_DUCK} AS url FROM documents),
+parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+         regexp_replace(
+           lower(regexp_replace(regexp_extract(url, '://([^/?#]+)', 1),
+                                ':[0-9]+$', '')),
+           '^www\\.', '') AS host,
+         regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path_raw,
+         regexp_extract(url, '\\?([^#]*)', 1) AS qs
+  FROM raw
+),
+norm AS (
+  SELECT doc_id, url, scheme, host,
+         CASE WHEN path_raw IN ('', '/') THEN '/'
+              ELSE regexp_replace(path_raw, '/$', '') END AS path,
+         array_to_string(
+           list_sort(list_filter(string_split(qs, '&'),
+             x -> x <> '' AND NOT starts_with(x, 'utm_')
+                  AND NOT starts_with(x, 'fbclid'))), '&') AS clean_qs,
+         CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) = ''
+              THEN host
+              ELSE regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+         END AS domain
+  FROM parts
+)
+SELECT doc_id, url,
+       scheme || '://' || host || path
+         || CASE WHEN clean_qs <> '' THEN '?' || clean_qs ELSE '' END
+         AS canonical_url,
+       domain
+FROM norm
+"""
+
+
+def _url_parts(d: DataFrame) -> DataFrame:
+    """(doc_id, url, scheme, host, path, clean_qs, domain) — shared by
+    the normalize battery and the per-domain dedup rollup."""
+    raw = d.select("doc_id", "text", F.expr(_URL_RAW_SPARK).alias("url"))
+    host = F.regexp_replace(
+        F.lower(
+            F.regexp_replace(
+                F.regexp_extract("url", "://([^/?#]+)", 1), ":[0-9]+$", ""
+            )
+        ),
+        r"^www\.",
+        "",
+    )
+    path_raw = F.regexp_extract("url", "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    qs = F.regexp_extract("url", r"\?([^#]*)", 1)
+    parts = raw.select(
+        "doc_id",
+        "text",
+        "url",
+        F.lower(F.regexp_extract("url", "^([A-Za-z]+)://", 1)).alias("scheme"),
+        host.alias("host"),
+        F.when(path_raw.isin("", "/"), "/")
+        .otherwise(F.regexp_replace(path_raw, "/$", ""))
+        .alias("path"),
+        F.array_join(
+            F.array_sort(
+                F.filter(
+                    F.split(qs, "&"),
+                    lambda x: (x != "")
+                    & ~x.startswith("utm_")
+                    & ~x.startswith("fbclid"),
+                )
+            ),
+            "&",
+        ).alias("clean_qs"),
+    )
+    reg = F.regexp_extract("host", r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    return parts.withColumn(
+        "domain", F.when(reg == "", F.col("host")).otherwise(reg)
+    )
+
+
+@query(
+    "llm_url_domain_normalize",
+    "§2.11 URL canonicalization + registered-domain extraction",
+    _URL_NORM_ORACLE,
+)
+def llm_url_domain_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL normalization, the first step of every provenance-aware
+    pretraining pipeline: lowercase scheme+host, strip www. and the
+    (default) port, collapse the trailing slash, drop the fragment,
+    and drop tracking params (utm_*, fbclid) while keeping the rest
+    SORTED — so 'same page, different tracking link' collapses to one
+    canonical key. Domain = last three host labels (the registrable
+    unit for *.example.com-style hosts; falls back to the whole host).
+
+    All built-in string/array expressions — JVM-side, whole-stage
+    codegen, map-only (zero shuffles: .explain shows a single Project
+    over the scan). At 100 TB this runs as a projection inside the
+    ingest scan at IO speed."""
+    return _url_parts(load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "url",
+        F.concat(
+            F.col("scheme"),
+            F.lit("://"),
+            F.col("host"),
+            F.col("path"),
+            F.when(
+                F.col("clean_qs") != "", F.concat(F.lit("?"), F.col("clean_qs"))
+            ).otherwise(F.lit("")),
+        ).alias("canonical_url"),
+        "domain",
+    )
+
+
+_PER_DOMAIN_ORACLE = f"""
+WITH raw AS (SELECT doc_id, text, {_URL_RAW_DUCK} AS url FROM documents),
+hosts AS (
+  SELECT doc_id, text,
+         regexp_replace(
+           lower(regexp_replace(regexp_extract(url, '://([^/?#]+)', 1),
+                                ':[0-9]+$', '')),
+           '^www\\.', '') AS host
+  FROM raw
+),
+docs AS (
+  SELECT doc_id, sha256(text) AS sha,
+         CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) = ''
+              THEN host
+              ELSE regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+         END AS domain
+  FROM hosts
+),
+sha_domains AS (
+  SELECT sha, count(DISTINCT domain) AS n_domains FROM docs GROUP BY sha
+)
+SELECT d.domain,
+       count(*) AS n_docs,
+       count(DISTINCT d.sha) AS n_unique,
+       count(*) - count(DISTINCT d.sha) AS n_intra_dups,
+       round((count(*) - count(DISTINCT d.sha)) * 1.0 / count(*), 4)
+         AS dup_rate,
+       CAST(sum(CASE WHEN s.n_domains > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cross_domain_docs
+FROM docs d JOIN sha_domains s ON d.sha = s.sha
+GROUP BY d.domain
+"""
+
+
+@query(
+    "llm_dedup_per_domain",
+    "§2.11 per-domain dedup rollup (intra-domain dup rate + cross-domain leakage)",
+    _PER_DOMAIN_ORACLE,
+)
+def llm_dedup_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-domain dedup battery: for every registered domain,
+    how many docs, how many unique texts (intra-domain exact-dup
+    rate — boilerplate-heavy domains jump out), and how many of its
+    docs also appear verbatim under ANOTHER domain (mirror/syndication
+    leakage — the signal that drives domain-level downweighting in
+    pretraining mixes).
+
+    Shape: content hash per doc (map-only), one shuffle on sha for the
+    distinct-domain count (uniform key, no skew), broadcast-friendly
+    join back on sha, then a groupBy on domain (bounded by the domain
+    universe, partial-agg friendly). No pair join anywhere — exact
+    dedup machinery reused at domain granularity, linear at 100 TB."""
+    parts = _url_parts(load(spark, sf_dir, "documents"))
+    docs = parts.select(
+        "doc_id",
+        "domain",
+        F.sha2(F.col("text").cast("binary"), 256).alias("sha"),
+    )
+    sha_domains = docs.groupBy("sha").agg(
+        F.countDistinct("domain").alias("n_domains")
+    )
+    return (
+        docs.join(sha_domains, "sha")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("sha").alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct("sha")).alias("n_intra_dups"),
+            F.round(
+                (F.count(F.lit(1)) - F.countDistinct("sha"))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("dup_rate"),
+            F.sum(F.when(F.col("n_domains") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_cross_domain_docs"),
+        )
+    )

@@ -196,6 +196,15 @@ _VERIFY_LAST = [
     "lineage_catalog_query", "llm_dedup_minhash_ml",
 ]
 
+# Queries ADDED in round 6: enumerate after _VERIFY_LAST so the
+# driver's 50-row budget still lands on exactly the 50 names above
+# (closing official coverage at 250/250); these get their first
+# official rows in round 7 — promote them into _VERIFY_FIRST then.
+_VERIFY_AFTER = [
+    "llm_url_domain_normalize", "llm_dedup_per_domain",
+    "llm_minhash_band_sweep",
+]
+
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every operator module so registrations run.
@@ -215,12 +224,12 @@ def load_all() -> dict[str, QuerySpec]:
             if e.name is None or not mod.startswith(e.name):
                 raise
     seen = set(_DRIVER_VERIFIED_ROUNDS_AGO)
-    first = set(_VERIFY_FIRST)
-    last = set(_VERIFY_LAST)
+    explicit = set(_VERIFY_FIRST) | set(_VERIFY_LAST) | set(_VERIFY_AFTER)
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
     ordered.update(
-        {n: s for n, s in QUERIES.items() if n not in seen and n not in first and n not in last}
+        {n: s for n, s in QUERIES.items() if n not in seen and n not in explicit}
     )
     ordered.update({n: QUERIES[n] for n in _VERIFY_LAST if n in QUERIES})
+    ordered.update({n: QUERIES[n] for n in _VERIFY_AFTER if n in QUERIES})
     ordered.update({n: QUERIES[n] for n in _DRIVER_VERIFIED_ROUNDS_AGO if n in QUERIES})
     return ordered

@@ -509,3 +509,84 @@ def test_simhash_skips_null_text(spark, tmp_path):
     ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     got = {(r.da, r.db) for r in llm_dedup_simhash(spark, str(tmp_path)).collect()}
     assert got == {(0, 1)}, got
+
+
+def _write_docs(spark, tmp_path, rows):
+    pdf = pd.DataFrame(rows)
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        path + "/documents.parquet"
+    )
+    return path
+
+
+def test_url_canonicalization_planted(spark, tmp_path):
+    """Each doc_id%4 URL shape must normalize to the documented
+    canonical form: lowercased host, www./default-port stripped,
+    fragment dropped, tracking params removed, surviving params
+    sorted, trailing slash collapsed; domain = last three labels."""
+    from spark_lineage_spark.operators.text import llm_url_domain_normalize
+
+    path = _write_docs(
+        spark,
+        tmp_path,
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["t0", "t1", "t2", "t3"],
+            "lang": ["en"] * 4,
+            "source": ["a", "a", "a", "b"],
+            "n_chars": [2] * 4,
+        },
+    )
+    got = {r.doc_id: r for r in llm_url_domain_normalize(spark, path).collect()}
+    assert got[0].canonical_url == "https://a.example.com/docs/0?ref=kept"
+    assert got[1].canonical_url == "http://a.example.com/docs/1"
+    assert got[2].canonical_url == "https://a.example.com/docs/2?a=1&b=2"
+    assert got[3].canonical_url == "https://cdn.b.example.com/docs/3"
+    assert got[0].domain == "a.example.com"
+    assert got[3].domain == "b.example.com"  # cdn. subdomain folded in
+
+
+def test_per_domain_dedup_counts_planted(spark, tmp_path):
+    """Planted corpus: an intra-domain exact dup and a text mirrored
+    across two domains must surface in dup_rate / cross-domain counts
+    (the sf fixtures contain no exact dups, so the rollup's dup
+    branches are only exercised here)."""
+    from spark_lineage_spark.operators.text import llm_dedup_per_domain
+
+    path = _write_docs(
+        spark,
+        tmp_path,
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            "text": ["t0", "t0", "shared", "shared", "t4", "t5"],
+            "lang": ["en"] * 6,
+            "source": ["a", "a", "a", "b", "b", "b"],
+            "n_chars": [2, 2, 6, 6, 2, 2],
+        },
+    )
+    got = {r.domain: r for r in llm_dedup_per_domain(spark, path).collect()}
+    a, b = got["a.example.com"], got["b.example.com"]
+    assert (a.n_docs, a.n_unique, a.n_intra_dups) == (3, 2, 1)
+    assert a.dup_rate == pytest.approx(0.3333, abs=1e-4)
+    assert a.n_cross_domain_docs == 1  # doc 2's text mirrored under b
+    assert (b.n_docs, b.n_unique, b.n_intra_dups) == (3, 3, 0)
+    assert b.n_cross_domain_docs == 1  # doc 3 mirrors domain a's text
+
+
+def test_band_sweep_s_curve_shape(spark):
+    """The sweep must reproduce the analytic S-curve facts: s50 falls
+    as bands grow (same 32-perm budget), expected recall at the 0.8
+    target is monotone in bands, and the 8x4 production config keeps
+    recall >= 0.99 at s >= 0.8."""
+    from spark_lineage_spark.operators.dedup import llm_minhash_band_sweep
+
+    rows = {r.bands: r for r in llm_minhash_band_sweep(spark, SF).collect()}
+    assert set(rows) == {4, 8, 16, 32}
+    s50s = [rows[b].s50 for b in (4, 8, 16, 32)]
+    assert s50s == sorted(s50s, reverse=True)
+    recalls = [rows[b].recall_at_08 for b in (4, 8, 16, 32)]
+    assert recalls == sorted(recalls)
+    assert rows[8].recall_at_08 >= 0.99  # the llm_dedup_minhash_lsh config
+    for r in rows.values():
+        assert r.exp_candidates <= r.n_pairs

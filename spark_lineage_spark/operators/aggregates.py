@@ -452,32 +452,31 @@ def agg_trimmed_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape (the round-6 rewrite): o_orderpriority has 5 values, so
     a cume_dist window partitioned on it sorts ~1/5 of the table on one
-    task. The cutpoints now come from ``grouped_rank`` (two-phase
-    distributed prefix sum, partitioned on (priority, price-range));
-    cd >= q becomes the integer threshold 10*rnk >= q*10*n, which picks
-    the identical discrete value (a value qualifies under one iff its
-    last tied row qualifies under the other). The 5-row cuts table
+    task. The cutpoints now come from ``grouped_kth`` SELECTION:
+    bucket counts aggregate map-side (only O(#priorities x #ranges)
+    rows shuffle), the tiny cumulative table locates each quantile's
+    bucket, and the only row-level sort runs over those two buckets —
+    cd >= q becomes the rank-k pick k = ceil(q*n), which selects the
+    identical discrete value (a value qualifies under one iff its last
+    tied row qualifies under the other). The 5-row cuts table
     broadcasts back onto the base scan — no window touches the full
     table at all. Sums run as decimal(18,4) so accumulation order
     cannot flip a cent (the q9 discipline); only the final division is
     double; the aggregate itself is partial-agg friendly (sum/count
     pairs)."""
-    from spark_lineage_spark.operators.analytics import grouped_rank
+    from spark_lineage_spark.operators.analytics import grouped_kth
 
     o = load(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
-    ranked = grouped_rank(
+    kth = grouped_kth(
         o,
         ["o_orderpriority"],
-        ["o_totalprice"],
-        F.floor(F.col("o_totalprice") / F.lit(1000.0)).cast("bigint"),
+        "o_totalprice",
+        F.floor(F.col("_v") / F.lit(1000.0)).cast("bigint"),
+        [("lo", 1, 10), ("hi", 9, 10)],
     )
-    cuts = ranked.groupBy("o_orderpriority").agg(
-        F.min(
-            F.when(F.col("rnk") * 10 >= F.col("n"), F.col("o_totalprice"))
-        ).alias("lo"),
-        F.min(
-            F.when(F.col("rnk") * 10 >= F.col("n") * 9, F.col("o_totalprice"))
-        ).alias("hi"),
+    cuts = kth.groupBy("o_orderpriority").agg(
+        F.min(F.when(F.col("_q") == "lo", F.col("_v"))).alias("lo"),
+        F.min(F.when(F.col("_q") == "hi", F.col("_v"))).alias("hi"),
     )
     dec = lambda c: c.cast("decimal(18,4)")  # noqa: E731
     j = o.join(F.broadcast(cuts), "o_orderpriority")
@@ -618,26 +617,32 @@ def agg_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (the round-6 rewrite): l_returnflag has 3 values, so a
     cume_dist window partitioned on it sorts ~1/3 of the fact table on
     a single task (SCALE.md 10x ratio was 11.1 — the one entry > 10).
-    Both rank passes now use ``grouped_rank`` — the two-phase
-    distributed prefix sum from hist_equi_depth — partitioned on
-    (flag, price-range): per-range local ranks in parallel, an
-    O(#flags x #ranges) count cumsum broadcast back as offsets. The
-    median join stays a broadcast of 3 rows; integer threshold
-    2*rnk >= n replaces the float cume_dist comparison.
+    Both medians now come from ``grouped_kth`` SELECTION (the
+    two-pass histogram cut the original docstring promised): bucket
+    counts aggregate map-side — only O(#flags x #price-ranges) rows
+    shuffle, never the fact rows — the tiny cumulative table locates
+    the median's bucket + in-bucket offset, and the only row-level
+    sort runs over that single bucket (~n/#ranges rows). The median
+    join back is a broadcast of 3 rows; the integer rank threshold
+    replaces the float cume_dist comparison (same selected value).
     """
-    from spark_lineage_spark.operators.analytics import grouped_rank
+    from spark_lineage_spark.operators.analytics import grouped_kth
+    from spark_lineage_spark.plans.extract import lineage_checkpoint
 
     li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
-    ranked = grouped_rank(
-        li,
-        ["l_returnflag"],
-        ["l_extendedprice"],
-        F.floor(F.col("l_extendedprice") / F.lit(1000.0)).cast("bigint"),
-    )
-    med = ranked.groupBy("l_returnflag").agg(
-        F.min(
-            F.when(F.col("rnk") * 2 >= F.col("n"), F.col("l_extendedprice"))
-        ).alias("median")
+    # 3-row result, consumed by both the deviation join and the final
+    # select: checkpoint so the second selection pass cannot re-run
+    # the first one under it
+    med = lineage_checkpoint(
+        grouped_kth(
+            li,
+            ["l_returnflag"],
+            "l_extendedprice",
+            F.floor(F.col("_v") / F.lit(1000.0)).cast("bigint"),
+            [("med", 1, 2)],
+        ).select(
+            "l_returnflag", F.col("_v").alias("median"), "n"
+        )
     )
     dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
         "ad",
@@ -646,18 +651,18 @@ def agg_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("median").cast("decimal(18,2)")
         ),
     )
-    dev2 = grouped_rank(
+    mad = grouped_kth(
         dev,
         ["l_returnflag"],
-        ["ad"],
-        F.floor(F.col("ad") / F.lit(1000)).cast("bigint"),
-    )
-    return dev2.groupBy("l_returnflag").agg(
-        F.round(F.min("median"), 2).alias("median"),
-        F.round(F.min(F.when(F.col("rnk") * 2 >= F.col("n"), F.col("ad"))), 2)
-        .cast("double")
-        .alias("mad"),
-        F.count(F.lit(1)).alias("n"),
+        "ad",
+        F.floor(F.col("_v") / F.lit(1000)).cast("bigint"),
+        [("mad", 1, 2)],
+    ).select("l_returnflag", F.col("_v").alias("mad_raw"))
+    return mad.join(med, "l_returnflag").select(
+        "l_returnflag",
+        F.round("median", 2).alias("median"),
+        F.round("mad_raw", 2).cast("double").alias("mad"),
+        "n",
     )
 
 

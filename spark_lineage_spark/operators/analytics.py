@@ -353,6 +353,73 @@ def global_rank(df: DataFrame, order_cols: list, coarse) -> DataFrame:
     )
 
 
+def grouped_kth(
+    df: DataFrame, group_cols: list, value_col: str, coarse, targets: list
+) -> DataFrame:
+    """Distributed per-group ORDER STATISTICS by selection, not by
+    ranking: for each (label, num, den) in ``targets`` return the
+    k-th smallest ``value_col`` per group where k = ceil(num*n/den) —
+    exactly the discrete quantile `smallest v with cume_dist >= num/den`
+    (a value qualifies under the rank form iff its last tied row
+    qualifies under cume_dist, so oracles written with cume_dist match
+    bit-for-bit).
+
+    The 100 TB shape: bucket counts aggregate MAP-SIDE (only
+    O(#groups x #ranges) rows ever shuffle — no row-level shuffle of
+    the data at all), the tiny cumulative table locates each target's
+    bucket and in-bucket offset, and a row_number window runs over the
+    TARGET BUCKETS ONLY (~n/#ranges rows per target). Contrast with
+    ``grouped_rank``, which ranks every row and is the right tool only
+    when all ranks are consumed (equi-depth histograms).
+
+    Returns one row per (group, target): group_cols + ``_q`` (label),
+    ``_v`` (the selected value), ``n`` (group row count).
+    ``coarse`` must be monotone in ``value_col`` and reference it by
+    its renamed alias ``_v`` (e.g. ``F.floor(F.col("_v") / 1000)``).
+    """
+    from spark_lineage_spark.plans.extract import lineage_checkpoint
+
+    cdf = df.select(*group_cols, F.col(value_col).alias("_v")).withColumn(
+        "_rng", coarse
+    )
+    # tiny and read twice (cumsum + totals): checkpoint so neither
+    # consumer re-scans the base table
+    bcnt = lineage_checkpoint(
+        cdf.groupBy(*group_cols, "_rng").agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_rng")
+    cum = (
+        bcnt.withColumn("_hi", F.sum("_cnt").over(w))
+        .withColumn("_lo", F.col("_hi") - F.col("_cnt"))
+    )
+    tot = bcnt.groupBy(*group_cols).agg(F.sum("_cnt").alias("n"))
+    cum = cum.join(tot, list(group_cols))
+    # one row per (group, target): the bucket holding rank k, plus the
+    # in-bucket offset k - _lo
+    tgt = None
+    for label, num, den in targets:
+        k = F.expr(f"({num} * n + {den} - 1) div {den}")
+        sel = (
+            cum.withColumn("_k", k)
+            .filter((F.col("_lo") < F.col("_k")) & (F.col("_k") <= F.col("_hi")))
+            .select(
+                *group_cols,
+                "_rng",
+                F.lit(label).alias("_q"),
+                (F.col("_k") - F.col("_lo")).alias("_local_k"),
+                "n",
+            )
+        )
+        tgt = sel if tgt is None else tgt.unionByName(sel)
+    probe = cdf.join(F.broadcast(tgt), [*group_cols, "_rng"])
+    w2 = Window.partitionBy(*group_cols, "_q").orderBy("_v")
+    return (
+        probe.withColumn("_r", F.row_number().over(w2))
+        .filter(F.col("_r") == F.col("_local_k"))
+        .select(*group_cols, "_q", "_v", "n")
+    )
+
+
 def grouped_rank(df: DataFrame, group_cols: list, order_cols: list, coarse, weight=None) -> DataFrame:
     """Per-group ``global_rank``: distributed exact row_number WITHIN
     each group without sorting a whole group on one task (the fix for
@@ -383,7 +450,11 @@ def grouped_rank(df: DataFrame, group_cols: list, order_cols: list, coarse, weig
             ),
         )
         aggs.append(F.sum(weight).alias("_wsum"))
-    rng_aggs = cdf.groupBy(*group_cols, "_rng").agg(*aggs)
+    from spark_lineage_spark.plans.extract import lineage_checkpoint
+
+    # tiny (one row per (group, range)) and read twice (offsets cumsum
+    # + totals): checkpoint so neither consumer re-aggregates the base
+    rng_aggs = lineage_checkpoint(cdf.groupBy(*group_cols, "_rng").agg(*aggs))
     # tiny cumsum: one row per (group, coarse range), bounded forever
     w_rng = (
         Window.partitionBy(*group_cols)

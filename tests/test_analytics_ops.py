@@ -851,3 +851,41 @@ def test_format_string_matches_python(spark):
         assert r.bal_padded == "bal=%09.2f" % row.s_acctbal
         assert r.key_hex == "%x" % row.s_suppkey
         assert r.key_lpad == str(row.s_suppkey).rjust(8, "0")
+
+
+def test_grouped_kth_matches_cume_dist_with_ties(spark):
+    """grouped_kth's rank-k pick (k = ceil(q*n)) must equal the
+    discrete quantile `smallest v with cume_dist >= q` on tie-heavy
+    data — including ties that straddle a coarse-bucket boundary and a
+    group smaller than one bucket."""
+    from pyspark.sql import functions as F
+
+    from spark_lineage_spark.operators.analytics import grouped_kth
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for g, n in (("a", 997), ("b", 500), ("c", 3)):
+        # values drawn from a small integer domain * 5 => heavy ties,
+        # and multiples of 10 land exactly on the bucket boundary
+        vals = rng.randint(0, 40, size=n) * 5
+        rows += [(g, float(v)) for v in vals]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "v"]))
+    targets = [("p10", 1, 10), ("med", 1, 2), ("p90", 9, 10)]
+    got = {
+        (r.g, r._q): (r._v, r.n)
+        for r in grouped_kth(
+            df, ["g"], "v", F.floor(F.col("_v") / F.lit(10.0)).cast("bigint"), targets
+        ).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["g", "v"])
+    for g, grp in pdf.groupby("g"):
+        s = grp.v.sort_values().reset_index(drop=True)
+        n = len(s)
+        for label, num, den in targets:
+            # smallest v with cume_dist >= num/den == value at rank
+            # ceil(n*num/den) (1-based) in sorted order
+            k = -(-num * n // den)
+            v, n_got = got[(g, label)]
+            assert n_got == n
+            assert v == s[k - 1], (g, label, v, s[k - 1])
+    assert len(got) == 9  # every (group, target) produced exactly one row

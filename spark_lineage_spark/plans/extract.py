@@ -41,13 +41,14 @@ from spark_lineage_spark.plans.model import (
 # forgotten). ``lineage_checkpoint`` snapshots the pre-checkpoint plan's
 # inputs + column sources keyed by the checkpoint RDD's id; the walk
 # splices them back in when it meets that LogicalRDD. Bounded: LRU —
-# only the OLDEST entry is evicted past _CHECKPOINT_CAP (clearing the
-# whole dict dropped entries for checkpoints still referenced by live
-# DataFrames, e.g. dedup's iterative checkpoints within one long
-# session, silently degrading their later extraction to an unknown
-# leaf — ADVICE r5). A session-lifetime cache of tiny metadata, not
-# data; dicts preserve insertion order, so eviction order is creation
-# order.
+# only the least-recently-USED entry is evicted past _CHECKPOINT_CAP
+# (clearing the whole dict dropped entries for checkpoints still
+# referenced by live DataFrames, e.g. dedup's iterative checkpoints
+# within one long session, silently degrading their later extraction
+# to an unknown leaf — ADVICE r5). A session-lifetime cache of tiny
+# metadata, not data; _resolve_checkpoint_entry re-inserts on every
+# access, so dict order is recency order and eviction pops the stalest
+# entry, never a hot one.
 # (application id, rdd id) -> analyzed-plan jobj (unresolved) |
 # (inputs, colmap) | None. RDD ids restart at 0 per SparkContext, so a
 # bare-id key would splice a previous session's lineage into a new one
@@ -86,9 +87,18 @@ def lineage_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
 
 def _resolve_checkpoint_entry(key: tuple[str, int]):
     """Resolve (and memoize) a checkpoint's recorded lineage: a stored
-    plan reference becomes (inputs, colmap) on first use."""
-    entry = _CHECKPOINT_LINEAGE.get(key)
+    plan reference becomes (inputs, colmap) on first use.
+
+    Every access re-inserts the entry at the dict's end (LRU
+    touch-on-access): a hot long-lived checkpoint — e.g. the
+    session-lifetime shingle index reused by every dedup query — stays
+    at the young end and is never the eviction victim, which pure
+    creation-order FIFO would make it."""
+    if key not in _CHECKPOINT_LINEAGE:
+        return None
+    entry = _CHECKPOINT_LINEAGE.pop(key)
     if entry is None or isinstance(entry, tuple):
+        _CHECKPOINT_LINEAGE[key] = entry
         return entry
     try:
         inputs, raw_cols, _ = analyze_plan(entry, with_columns=True, _raw=True)

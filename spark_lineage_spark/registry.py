@@ -108,8 +108,11 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "scan_json_roundtrip", "scan_orc_roundtrip", "sink_parquet_partitioned",
     "catalog_temp_view", "source_python_datasource", "source_jdbc_roundtrip",
     "join_bucketed_colocated", "scan_text_roundtrip", "udf_scalar_python",
-    "udf_pandas_scalar", "udf_pandas_grouped_agg", "udf_grouped_map_normalize",
-    "udf_map_in_pandas", "udf_map_in_arrow", "udtf_split_words",
+    # udf_pandas_scalar / udf_pandas_grouped_agg / udf_grouped_map_normalize
+    # / udf_map_in_pandas moved to _VERIFY_AFTER: round 6 changed their
+    # rounding semantics (banker's -> HALF_UP), so their r3 records
+    # describe the old implementation and they queue for re-verification
+    "udf_map_in_arrow", "udtf_split_words",
     "udf_cogroup_in_pandas", "llm_dedup_exact", "llm_dedup_ngram_jaccard",
     "llm_dedup_minhash_lsh",
     # round 4 verified (CORRECTNESS_r04.json, 50 rows, all green)
@@ -203,6 +206,10 @@ _VERIFY_LAST = [
 _VERIFY_AFTER = [
     "llm_url_domain_normalize", "llm_dedup_per_domain",
     "llm_minhash_band_sweep",
+    # re-verification queue: rounding moved out of the pandas UDF
+    # bodies this round (HALF_UP F.round outside, was banker's inside)
+    "udf_pandas_scalar", "udf_pandas_grouped_agg",
+    "udf_grouped_map_normalize", "udf_map_in_pandas",
 ]
 
 

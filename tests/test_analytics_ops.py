@@ -871,12 +871,13 @@ def test_grouped_kth_matches_cume_dist_with_ties(spark):
         rows += [(g, float(v)) for v in vals]
     df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "v"]))
     targets = [("p10", 1, 10), ("med", 1, 2), ("p90", 9, 10)]
-    got = {
-        (r.g, r._q): (r._v, r.n)
-        for r in grouped_kth(
-            df, ["g"], "v", F.floor(F.col("_v") / F.lit(10.0)).cast("bigint"), targets
-        ).collect()
-    }
+    collected = grouped_kth(
+        df, ["g"], "v", F.floor(F.col("_v") / F.lit(10.0)).cast("bigint"), targets
+    ).collect()
+    # exactly one output row per (group, target) — assert on the LIST,
+    # a dict would silently collapse duplicate rows
+    assert len(collected) == 9, sorted((r.g, r._q) for r in collected)
+    got = {(r.g, r._q): (r._v, r.n) for r in collected}
     pdf = pd.DataFrame(rows, columns=["g", "v"])
     for g, grp in pdf.groupby("g"):
         s = grp.v.sort_values().reset_index(drop=True)
@@ -888,4 +889,3 @@ def test_grouped_kth_matches_cume_dist_with_ties(spark):
             v, n_got = got[(g, label)]
             assert n_got == n
             assert v == s[k - 1], (g, label, v, s[k - 1])
-    assert len(got) == 9  # every (group, target) produced exactly one row

@@ -323,9 +323,19 @@ def test_no_extra_jobs_for_capture(engine, sf_dir):
     df = load(eng.spark, sf_dir, "nation").groupBy("n_regionkey").count()
     df.collect()  # warm-up: AQE materializes the shuffle on first run
     plain_delta = jobs_in_fresh_group(df.collect)
+    # job groups are thread-local: a job submitted by capture from a
+    # stray worker thread would escape the fresh group, so also watch
+    # the default group — legitimately it gains nothing here (the
+    # collect runs inside the fresh group) and UI-store eviction can
+    # only shrink it, so any increase is an escaped capture job
+    n_default0 = len(tracker.getJobIdsForGroup() or [])
     wrapped_delta = jobs_in_fresh_group(lambda: eng._wrap(df).collect())
+    n_default1 = len(tracker.getJobIdsForGroup() or [])
     assert wrapped_delta == plain_delta, (
         f"lineage added Spark jobs: wrapped={wrapped_delta} plain={plain_delta}"
+    )
+    assert n_default1 <= n_default0, (
+        f"capture leaked jobs outside the job group: {n_default1 - n_default0}"
     )
 
 

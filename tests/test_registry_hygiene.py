@@ -9,6 +9,7 @@ import pytest
 
 from spark_lineage_spark.registry import (
     _DRIVER_VERIFIED_ROUNDS_AGO,
+    _VERIFY_AFTER,
     _VERIFY_FIRST,
     _VERIFY_LAST,
     load_all,
@@ -47,6 +48,7 @@ def test_ordering_lists_name_real_queries():
         (_DRIVER_VERIFIED_ROUNDS_AGO, "_DRIVER_VERIFIED_ROUNDS_AGO"),
         (_VERIFY_FIRST, "_VERIFY_FIRST"),
         (_VERIFY_LAST, "_VERIFY_LAST"),
+        (_VERIFY_AFTER, "_VERIFY_AFTER"),
     ]:
         unknown = [n for n in lst if n not in known]
         assert not unknown, f"{label} names unknown queries: {unknown}"
@@ -55,8 +57,23 @@ def test_ordering_lists_name_real_queries():
 
 def test_ordering_lists_disjoint():
     first, last = set(_VERIFY_FIRST), set(_VERIFY_LAST)
+    after = set(_VERIFY_AFTER)
     seen = set(_DRIVER_VERIFIED_ROUNDS_AGO)
-    assert not (first & last)
-    # a verified query needs no placement in either priority list
+    assert not (first & last) and not (first & after) and not (last & after)
+    # a verified query needs no placement in any priority list (a
+    # query queued for RE-verification moves out of the verified list)
     assert not (first & seen), first & seen
     assert not (last & seen), last & seen
+    assert not (after & seen), after & seen
+
+
+def test_driver_budget_lands_on_the_50_unrecorded():
+    """The first 50 names load_all() yields must be exactly
+    _VERIFY_FIRST + _VERIFY_LAST — the 50 queries still lacking an
+    official CORRECTNESS row after round 5. Anything displacing them
+    (a typo'd list entry falling into the catch-all middle, a new
+    query registered outside _VERIFY_AFTER) breaks the round-6 close
+    of official coverage."""
+    head = _VERIFY_FIRST + _VERIFY_LAST
+    names = list(load_all())
+    assert names[: len(head)] == head

@@ -103,15 +103,70 @@ HYPERPLANES = _rng.standard_normal((LSH_TABLES, LSH_BITS, 64)).round(6)
 
 def _bucket_expr(emb_col, table: int):
     """Sign-LSH bucket id for one hash table: packed sign bits of
-    <emb, h_j>."""
+    <emb, h_j>. The dot product is rounded to 6 decimals BEFORE the
+    sign test (the repo's cross-engine float discipline), so the
+    DuckDB oracle's list_dot_product makes the identical bucket
+    decision — a raw > 0 could flip on a 1-ulp accumulation
+    difference exactly at the boundary."""
     bucket = F.lit(0)
     for j in range(LSH_BITS):
         h = F.array(*[F.lit(float(v)) for v in HYPERPLANES[table][j]])
-        bucket = bucket + F.when(dot(emb_col, h) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bucket + F.when(
+            F.round(dot(emb_col, h), 6) > 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
     return bucket
 
 
-@query("llm_ann_lsh", "§2.11 ANN via multi-table random-hyperplane LSH — rows-only", None)
+def _lsh_oracle() -> str:
+    """DuckDB twin of the full LSH pipeline: the hyperplane matrix is
+    a (table, bit, 64-float) literal — 16 VALUES rows — so the oracle
+    reproduces bucketing, 1-bit multi-probe, candidate join, and the
+    exact-cosine rerank end-to-end."""
+    rows = ",\n    ".join(
+        f"({t}, {j}, [{', '.join(repr(float(v)) for v in HYPERPLANES[t][j])}])"
+        for t in range(LSH_TABLES)
+        for j in range(LSH_BITS)
+    )
+    flips = ", ".join(f"xor(bucket, {1 << j})" for j in range(LSH_BITS))
+    return f"""
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+planes(tbl, j, h) AS (VALUES
+    {rows}),
+buckets AS (
+  SELECT e.vec_id, p.tbl,
+         CAST(sum(CASE WHEN round(list_dot_product(e.emb, p.h), 6) > 0
+                       THEN 1 << p.j ELSE 0 END) AS BIGINT) AS bucket
+  FROM e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.tbl
+),
+probe_buckets AS (
+  SELECT b.vec_id AS query_id, b.tbl,
+         unnest([bucket, {flips}]) AS bucket
+  FROM buckets b WHERE b.vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(qe.emb, ce.emb), 6) AS cos_sim
+  FROM probe_buckets p
+  JOIN buckets c ON c.tbl = p.tbl AND c.bucket = p.bucket
+                AND c.vec_id <> p.query_id
+  JOIN e qe ON qe.vec_id = p.query_id
+  JOIN e ce ON ce.vec_id = c.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, neighbor_id) <= {TOP_K}
+"""
+
+
+@query(
+    "llm_ann_lsh",
+    "§2.11 ANN via multi-table random-hyperplane LSH (oracle-checked)",
+    _lsh_oracle(),
+)
 def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: L independent sign-LSH tables; candidates =
     equi-join on (table, bucket); exact cosine rerank on candidates
@@ -126,9 +181,12 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     to buckets — no corpus-side O(n²). Measured recall@5 vs
     llm_knn_cosine_exact: 0.94 at sf0.001, 0.92 at sf0.01
     (deterministic — seeded hyperplanes); floor 0.9 asserted in
-    tests/test_llm_ops.py::test_ann_lsh_recall_vs_exact. Rows-only for
-    the driver (the hyperplane matrix is a plan literal, impractical
-    as one SQL oracle)."""
+    tests/test_llm_ops.py::test_ann_lsh_recall_vs_exact. Round-6
+    upgrade: the hyperplane matrix rides the oracle as 16 VALUES rows,
+    so the WHOLE pipeline — bucketing (round-6 dot sign), multi-probe,
+    candidate join, rerank — is now oracle-checked in DuckDB, not
+    rows-only; the sign test rounds the dot to 6 decimals in both
+    engines so a 1-ulp accumulation difference cannot flip a bucket."""
     e = _parallel_corpus(
         spark, load(spark, sf_dir, "embeddings")
     ).select("vec_id", "label", to_double_array("embedding").alias("emb"))

@@ -397,9 +397,47 @@ def llm_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_BANDS = 8  # 8 byte-wide bands -> guaranteed recall for hamming <= 7
 
 
-@query("llm_dedup_simhash", "§2.11 SimHash near-dup — rows-only", None)
+_SIMHASH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS t
+  FROM documents WHERE text IS NOT NULL
+),
+h AS (SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+      FROM toks),
+bits AS (
+  SELECT doc_id, i.i,
+         sum(CASE WHEN (h >> i.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i) i
+  GROUP BY doc_id, i.i
+),
+sigs AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+              AS BIGINT) AS sig
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, sig, b.b AS band_idx, (sig >> (8 * b.b)) & 255 AS band_key
+  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         bit_count(xor(a.sig, b.sig)) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT da, db, hamming FROM cand WHERE hamming <= 6
+"""
+
+
+@query(
+    "llm_dedup_simhash",
+    "§2.11 SimHash near-dup (portable md5 token hash, oracle-checked)",
+    _SIMHASH_ORACLE,
+)
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash: per-doc token-hash ARRAYS built JVM-side with
+    """SimHash: per-doc token-hash ARRAYS built JVM-side with
     higher-order functions (transform/filter over split — no explode,
     no groupBy: the old explode→collect_list shape shuffled every
     token hash only to put them back into per-doc arrays; this is
@@ -408,8 +446,13 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy segment sums (np.add.reduceat — one vectorized pass, no
     per-bit bincount). Candidates block on 8 byte-bands (pigeonhole:
     any pair with hamming ≤ 7 shares a band), verified with exact
-    bit_count(xor) ≤ 6. Deterministic; recall/property tests in
-    tests/test_llm_ops.py."""
+    bit_count(xor) ≤ 6. Round-6 upgrade: token hashes are md5-derived
+    60-bit ints (the KMV portability trick — xxhash64's seeds are
+    Spark-specific) so the ENTIRE pipeline is reproducible in the
+    DuckDB oracle above, converting this from rows-only to a full
+    value-hash check; bits 60-63 are structurally zero in both
+    engines, so band and hamming semantics are unchanged.
+    Deterministic; recall/property tests in tests/test_llm_ops.py."""
     d = load(spark, sf_dir, "documents")
     # Size partitions for the fold's ~10× in-memory expansion (the
     # (tokens × 64) int8 bit matrix) from actual input bytes; tiny
@@ -425,7 +468,9 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = d.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.expr(
-            "transform(filter(split(text, ' '), t -> length(t) > 0), t -> xxhash64(t))"
+            "transform(filter(split(text, ' '), t -> length(t) > 0),"
+            " t -> cast(conv(substring(md5(cast(t AS BINARY)), 1, 15), 16, 10)"
+            " AS BIGINT))"
         ).alias("hashes"),
     )
 

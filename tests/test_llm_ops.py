@@ -413,12 +413,12 @@ def test_simhash_matches_naive_reference(spark, tmp_path):
         .parquet(str(tmp_path / "documents.parquet"))
     )
 
-    # ground-truth signatures with Spark's own xxhash64 (seeded 42)
+    # ground-truth signatures with the SAME portable md5-derived hash
+    # the operator uses — computable in pure Python, no engine needed
+    import hashlib
+
     toks = sorted({t for v in texts.values() for t in v.split()})
-    hrows = spark.createDataFrame([(t,) for t in toks], "t string").select(
-        "t", F.xxhash64("t").alias("h")
-    ).collect()
-    h = {r.t: r.h & 0xFFFFFFFFFFFFFFFF for r in hrows}
+    h = {t: int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks}
 
     def naive_sig(text):
         sums = [0] * 64

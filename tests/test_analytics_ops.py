@@ -889,3 +889,47 @@ def test_grouped_kth_matches_cume_dist_with_ties(spark):
             v, n_got = got[(g, label)]
             assert n_got == n
             assert v == s[k - 1], (g, label, v, s[k - 1])
+
+
+def test_grouped_rank_weight_path_matches_plain_window(spark):
+    """Differential check of grouped_rank's two-phase prefix sums
+    against the single-window form it replaces: per-group rnk / n /
+    cum_w / tot_w must all agree on tie-heavy data with values
+    straddling bucket boundaries (integer weights, so the re-associated
+    addition is exact)."""
+    from pyspark.sql import Window, functions as F
+
+    from spark_lineage_spark.operators.analytics import grouped_rank
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for g, n in (("a", 800), ("b", 5)):
+        vals = rng.randint(0, 30, size=n) * 10  # multiples on boundaries
+        wts = rng.randint(1, 9, size=n)
+        rows += [(g, int(i), float(v), int(w)) for i, (v, w) in enumerate(zip(vals, wts))]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "id", "v", "w"]))
+    got = (
+        grouped_rank(
+            df, ["g"], ["v", "id"], F.floor(F.col("v") / F.lit(100.0)).cast("bigint"),
+            weight="w",
+        )
+        .select("g", "id", "rnk", "n", "cum_w", "tot_w")
+        .collect()
+    )
+    wo = Window.partitionBy("g").orderBy("v", "id")
+    expected = {
+        (r.g, r.id): (r.rnk, r.n, r.cum_w, r.tot_w)
+        for r in df.select(
+            "g",
+            "id",
+            F.row_number().over(wo).alias("rnk"),
+            F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n"),
+            F.sum("w")
+            .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("cum_w"),
+            F.sum("w").over(Window.partitionBy("g")).alias("tot_w"),
+        ).collect()
+    }
+    assert len(got) == len(expected)
+    for r in got:
+        assert (r.rnk, r.n, r.cum_w, r.tot_w) == expected[(r.g, r.id)], (r.g, r.id)

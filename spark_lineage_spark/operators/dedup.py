@@ -207,6 +207,30 @@ def _jaccard_pairs_from_shingles(sh: DataFrame, threshold: float = JACCARD_THRES
     return _verify_exact_jaccard(sh, candidates, threshold)
 
 
+_JACCARD_PAIRS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Session-staged exact-Jaccard pair list (the _shingle_index
+    staging discipline one level up): four queries consume the
+    verified pairs — ngram_jaccard and cross_corpus at 0.8,
+    threshold_sweep and the band sweep at 0.5 — and the pair list is
+    hundreds of rows, so checkpoint it once per (session, sf, t) and
+    let every later consumer skip the whole candidate+verify
+    pipeline."""
+    key = (spark.sparkContext.applicationId, sf_dir, threshold)
+    df = _JACCARD_PAIRS_CACHE.get(key)
+    if df is None:
+        app = spark.sparkContext.applicationId
+        for k in [k for k in _JACCARD_PAIRS_CACHE if k[0] != app]:
+            del _JACCARD_PAIRS_CACHE[k]
+        df = _jaccard_pairs_from_shingles(
+            _shingle_index(spark, sf_dir), threshold
+        ).transform(lineage_checkpoint)
+        _JACCARD_PAIRS_CACHE[key] = df
+    return df
+
+
 @query("llm_dedup_ngram_jaccard", "§2.11 n-gram Jaccard near-dup (exact)", NGRAM_JACCARD_ORACLE)
 def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard ≥ 0.8 pairs via the shingle inverted index
@@ -214,7 +238,7 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing a shingle ever meet, the join shuffles on the shingle key,
     and ultra-frequent shingles are dropped by the df cap
     (_distinct_shingles) before any pair is formed."""
-    return _jaccard_pairs_from_shingles(_shingle_index(spark, sf_dir))
+    return _jaccard_pairs(spark, sf_dir)
 
 
 MINHASH_PERMS = 32
@@ -898,7 +922,7 @@ def llm_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     index and the same inverted-index candidate shape; the per-doc
     source lookup is a join against the (doc_id, source) projection,
     tiny next to the pair generation."""
-    pairs = _jaccard_pairs_from_shingles(_shingle_index(spark, sf_dir))
+    pairs = _jaccard_pairs(spark, sf_dir)
     d = load(spark, sf_dir, "documents").select("doc_id", "source")
     sa, sb = d.alias("sa"), d.alias("sb")
     return (
@@ -941,7 +965,7 @@ def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-null jaccard values (count(jaccard), BOTH engines — a bare
     count(*) would count the null-extended left-join row as 1 when a
     threshold fires nothing)."""
-    pairs = _jaccard_pairs_from_shingles(_shingle_index(spark, sf_dir), threshold=0.5)
+    pairs = _jaccard_pairs(spark, sf_dir, threshold=0.5)
     t = pairs.sparkSession.createDataFrame(
         [(t,) for t in SWEEP_THRESHOLDS], "threshold double"
     )
@@ -1133,7 +1157,7 @@ def llm_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     order. The expensive stage (pair generation) is one pass; the
     sweep itself is a broadcast theta-free cross of 4 config rows
     (the llm_dedup_threshold_sweep pattern)."""
-    pairs = _jaccard_pairs_from_shingles(_shingle_index(spark, sf_dir), threshold=0.5)
+    pairs = _jaccard_pairs(spark, sf_dir, threshold=0.5)
     cfg = spark.createDataFrame(
         [
             (b, r, round((1 - 0.5 ** (1 / b)) ** (1 / r), 6))

@@ -2085,10 +2085,13 @@ def llm_dedup_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretraining mixes).
 
     Shape: content hash per doc (map-only), one shuffle on sha for the
-    distinct-domain count (uniform key, no skew), broadcast-friendly
-    join back on sha, then a groupBy on domain (bounded by the domain
-    universe, partial-agg friendly). No pair join anywhere — exact
-    dedup machinery reused at domain granularity, linear at 100 TB."""
+    distinct-domain count (uniform key, no skew), then the doc table
+    re-joins the per-sha counts on the same uniform sha key (equi-join,
+    shuffle-sized by doc count — per-sha counts are doc-count-sized so
+    they are NOT broadcast), then a groupBy on domain (bounded by the
+    domain universe, partial-agg friendly). No pair join anywhere —
+    exact dedup machinery reused at domain granularity, linear at
+    100 TB."""
     parts = _url_parts(load(spark, sf_dir, "documents"))
     docs = parts.select(
         "doc_id",

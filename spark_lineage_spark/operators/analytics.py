@@ -601,6 +601,9 @@ def hist_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COPURCHASE_EDGE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected part co-purchase edges (u < v, distinct), shared by
     the graph operators.
@@ -610,14 +613,24 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram trick from text.py) — one groupBy shuffle instead of the
     lineitem self-join's two, and the combination explode stays inside
     codegen. Per-order part counts are bounded (TPC-H ~7), so the
-    explode fans out O(k^2) with tiny k. The result is checkpointed:
-    every caller fans it into several consumers.
+    explode fans out O(k^2) with tiny k. The result is checkpointed
+    AND session-cached per (app, sf): every caller fans it into
+    several consumers, and three graph queries (pagerank, triangles,
+    degree stats) share one edge table instead of rebuilding it (the
+    _shingle_index staging discipline).
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _COPURCHASE_EDGE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _COPURCHASE_EDGE_CACHE if k[0] != app]:
+        del _COPURCHASE_EDGE_CACHE[k]
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     ords = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
-    return (
+    out = (
         ords.select(
             F.explode(
                 F.expr(
@@ -631,6 +644,8 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .transform(lineage_checkpoint_lazy)
     )
+    _COPURCHASE_EDGE_CACHE[key] = out
+    return out
 
 
 def small_node_count(spark: SparkSession, sf_dir: str) -> bool:

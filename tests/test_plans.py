@@ -407,3 +407,28 @@ def test_aqe_skew_join_splits_hot_partition(spark):
         for k, v in prev.items():
             spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
     assert "skew=true" in p, p[:3000]
+
+
+def test_grouped_kth_plan_shape(spark):
+    """grouped_kth's 100 TB claims must be visible in the plan: the
+    bucket counts run as a partial hash aggregate BEFORE the exchange
+    (only group x range rows shuffle), and both the target table and
+    the group totals reach the probe as broadcasts — the base rows are
+    never shuffled for a window."""
+    from spark_lineage_spark.operators.analytics import grouped_kth
+
+    o = load(spark, SF, "orders").select("o_orderpriority", "o_totalprice")
+    df = grouped_kth(
+        o,
+        ["o_orderpriority"],
+        "o_totalprice",
+        F.floor(F.col("_v") / F.lit(1000.0)).cast("bigint"),
+        [("med", 1, 2)],
+    )
+    p = plan_str(df)
+    # partial-then-final hash aggregate around the exchange
+    assert p.count("HashAggregate") >= 2, p
+    assert "BroadcastHashJoin" in p, p
+    # no sort-merge join and no row-level window over the base table:
+    # the only Window runs on the tiny per-(group, range) count table
+    assert "SortMergeJoin" not in p, p

@@ -212,12 +212,13 @@ _JACCARD_PAIRS_CACHE: dict[tuple, DataFrame] = {}
 
 def _jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
     """Session-staged exact-Jaccard pair list (the _shingle_index
-    staging discipline one level up): four queries consume the
-    verified pairs — ngram_jaccard and cross_corpus at 0.8,
-    threshold_sweep and the band sweep at 0.5 — and the pair list is
-    hundreds of rows, so checkpoint it once per (session, sf, t) and
-    let every later consumer skip the whole candidate+verify
-    pipeline."""
+    staging discipline one level up) for CONSUMER queries —
+    cross_corpus at 0.8, threshold_sweep and the band sweep at 0.5:
+    the pair list is hundreds of rows, so checkpoint it once per
+    (session, sf, t) and let every later consumer skip the whole
+    candidate+verify pipeline. The producer query
+    llm_dedup_ngram_jaccard deliberately bypasses this so its plan
+    stays legible and its timings pay the real pipeline cost."""
     key = (spark.sparkContext.applicationId, sf_dir, threshold)
     df = _JACCARD_PAIRS_CACHE.get(key)
     if df is None:
@@ -238,7 +239,7 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing a shingle ever meet, the join shuffles on the shingle key,
     and ultra-frequent shingles are dropped by the df cap
     (_distinct_shingles) before any pair is formed."""
-    return _jaccard_pairs(spark, sf_dir)
+    return _jaccard_pairs_from_shingles(_shingle_index(spark, sf_dir))
 
 
 MINHASH_PERMS = 32
@@ -268,7 +269,7 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchanges) — staged once per session via _shingle_index
     # (localCheckpoint; blocks released by the ContextCleaner when the
     # cache entry is dropped).
-    return _minhash_pairs(spark, sf_dir)
+    return _minhash_lsh_pairs(_shingle_index(spark, sf_dir))
 
 
 # Above this many candidate pairs, stop broadcasting the candidate set
@@ -280,28 +281,23 @@ CANDIDATE_BROADCAST_MAX = 2_000_000
 _MINHASH_PAIRS_CACHE: dict[tuple, DataFrame] = {}
 
 
-def _minhash_pairs(spark: SparkSession, sf_dir: str, refresh: bool = False) -> DataFrame:
-    """Session-staged MinHash-LSH pair list (checkpointed), shared by
-    llm_dedup_minhash_lsh and llm_dedup_clusters.
-
-    ``refresh=True`` (the PRODUCER query) always recomputes and
-    restocks the cache — a benchmark timing of the producer must pay
-    the real pipeline cost every call, never a memoized result.
-    Consumers (``refresh=False``) read the staged frame when present —
-    the staging-table discipline: one signature + band + verify
-    pipeline feeding every downstream resolver."""
+def _minhash_pairs_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-staged MinHash-LSH pair list (checkpointed) for
+    CONSUMER queries (llm_dedup_clusters): one signature + band +
+    verify pipeline per (session, sf) feeds every downstream resolver.
+    The producer query llm_dedup_minhash_lsh deliberately does NOT use
+    this — it returns the raw pipeline so its explain output shows the
+    real plan and its benchmark timings pay the real cost."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    if not refresh:
-        df = _MINHASH_PAIRS_CACHE.get(key)
-        if df is not None:
-            return df
-    app = spark.sparkContext.applicationId
-    for k in [k for k in _MINHASH_PAIRS_CACHE if k[0] != app]:
-        del _MINHASH_PAIRS_CACHE[k]
-    df = _minhash_lsh_pairs(_shingle_index(spark, sf_dir)).transform(
-        lineage_checkpoint
-    )
-    _MINHASH_PAIRS_CACHE[key] = df
+    df = _MINHASH_PAIRS_CACHE.get(key)
+    if df is None:
+        app = spark.sparkContext.applicationId
+        for k in [k for k in _MINHASH_PAIRS_CACHE if k[0] != app]:
+            del _MINHASH_PAIRS_CACHE[k]
+        df = _minhash_lsh_pairs(_shingle_index(spark, sf_dir)).transform(
+            lineage_checkpoint
+        )
+        _MINHASH_PAIRS_CACHE[key] = df
     return df
 
 
@@ -698,7 +694,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the session-staged (already checkpointed) pair list — the
     # iteration runs on the tiny edge list, never re-deriving the LSH
     # pipeline per round or per consumer
-    pairs = _minhash_pairs(spark, sf_dir).select("da", "db")
+    pairs = _minhash_pairs_staged(spark, sf_dir).select("da", "db")
     return _cluster_summary(_min_label_components(pairs))
 
 
@@ -708,19 +704,12 @@ COSINE_NEARDUP_THRESHOLD = 0.40
 _COSINE_PAIRS_CACHE: dict[tuple, DataFrame] = {}
 
 
-def _cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-staged embedding-cosine pair list (checkpointed):
-    consumed by llm_dedup_embedding_cosine itself AND
-    llm_semantic_dedup — one blocked cosine pass per (session, sf)."""
+def _cosine_pairs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blocked-cosine pair pipeline (un-checkpointed): the producer
+    query returns this directly so its plan stays legible and its
+    timings honest; consumers stage it via _cosine_pairs_staged."""
     from spark_lineage_spark.operators.similarity import _parallel_corpus
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _COSINE_PAIRS_CACHE.get(key)
-    if df is not None:
-        return df
-    app = spark.sparkContext.applicationId
-    for k in [k for k in _COSINE_PAIRS_CACHE if k[0] != app]:
-        del _COSINE_PAIRS_CACHE[k]
     e = _parallel_corpus(spark, load(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", to_double_array("embedding").alias("emb")
     )
@@ -728,7 +717,7 @@ def _cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelism at 10 skewed tasks; map-side BHJ keeps every corpus
     # partition busy computing cosines
     a, b = e.alias("a"), F.broadcast(e.alias("b"))
-    df = (
+    return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
             F.col("a.vec_id").alias("va"),
@@ -737,9 +726,21 @@ def _cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= COSINE_NEARDUP_THRESHOLD)
-        .transform(lineage_checkpoint)
     )
-    _COSINE_PAIRS_CACHE[key] = df
+
+
+def _cosine_pairs_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-staged (checkpointed) cosine pair list for CONSUMER
+    queries (llm_semantic_dedup): one blocked cosine pass per
+    (session, sf)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _COSINE_PAIRS_CACHE.get(key)
+    if df is None:
+        app = spark.sparkContext.applicationId
+        for k in [k for k in _COSINE_PAIRS_CACHE if k[0] != app]:
+            del _COSINE_PAIRS_CACHE[k]
+        df = _cosine_pairs_raw(spark, sf_dir).transform(lineage_checkpoint)
+        _COSINE_PAIRS_CACHE[key] = df
     return df
 
 
@@ -762,9 +763,9 @@ def llm_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket key at 100 TB — same join shape: equi-join on the block,
     cosine only within blocks). Cosine computed in float64 via
     zip_with/aggregate, rounded BEFORE thresholding so both engines
-    cut identically. The pair list is session-staged (_cosine_pairs):
-    llm_semantic_dedup shares it."""
-    return _cosine_pairs(spark, sf_dir)
+    cut identically. llm_semantic_dedup consumes the same pipeline via
+    the session-staged checkpoint (_cosine_pairs_staged)."""
+    return _cosine_pairs_raw(spark, sf_dir)
 
 
 DECONTAMINATE_ORACLE = """
@@ -1104,7 +1105,7 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     component fixpoint as the lexical dedup path — detection method
     changes, the resolution machinery doesn't. Oracle: DuckDB
     WITH RECURSIVE min-label walk over the identical pair predicate."""
-    pairs = _cosine_pairs(spark, sf_dir).select(
+    pairs = _cosine_pairs_staged(spark, sf_dir).select(
         F.col("va").alias("da"), F.col("vb").alias("db")
     )
     return _cluster_summary(_min_label_components(pairs)).select(

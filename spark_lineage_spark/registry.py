@@ -160,20 +160,8 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "llm_multimodal_blob", "llm_multimodal_features",
     "llm_multimodal_frame_sample", "llm_multimodal_audio_window",
     "llm_decontaminate_benchmark",
-]
-
-# Among the not-yet-verified queries, run these FIRST.  After round 5
-# the official record covers 200/250; the 45 oracle-bearing queries
-# below plus the 5 rows-only names in _VERIFY_LAST are EXACTLY the 50
-# still-unrecorded queries, so the driver's round-6 50-row budget
-# closes official coverage to 250/250.
-#
-# ROUND-7 BUILDER: after CORRECTNESS_r06.json lands (it should contain
-# precisely _VERIFY_FIRST + _VERIFY_LAST below), append those 50 keys
-# to _DRIVER_VERIFIED_ROUNDS_AGO and move any NEW round-6 queries into
-# _VERIFY_FIRST.  Skipping this exact step wasted round 3 and nearly
-# round 5 (VERDICT r4 item 1).
-_VERIFY_FIRST = [
+    # round 6 verified (CORRECTNESS_r06.json, 50 rows: 47 full
+    # triple-match + 3 justified rows-only, 0 failures)
     "llm_dedup_clusters", "llm_dedup_edit_distance", "llm_dedup_containment",
     "join_asof_directions", "join_band_bucketized", "agg_trimmed_winsorized",
     "agg_distinct_kmv", "agg_median_abs_deviation", "agg_higher_moments",
@@ -190,27 +178,37 @@ _VERIFY_FIRST = [
     "stats_chi_square", "attribution_touch", "agg_gini_concentration",
     "hist_equi_depth", "graph_pagerank", "graph_degree_stats",
     "cdc_scd2_incremental", "join_point_in_time_scd2", "sink_python_stream",
-]
-
-# ... and run these LAST: rows-only checks (weaker rows) and the
-# slowest dedup variants — they cost the most driver seconds per row.
-_VERIFY_LAST = [
     "llm_dedup_simhash", "llm_ann_lsh", "llm_ann_ivf",
     "lineage_catalog_query", "llm_dedup_minhash_ml",
 ]
 
-# Queries ADDED in round 6: enumerate after _VERIFY_LAST so the
-# driver's 50-row budget still lands on exactly the 50 names above
-# (closing official coverage at 250/250); these get their first
-# official rows in round 7 — promote them into _VERIFY_FIRST then.
-_VERIFY_AFTER = [
+# Among the not-yet-verified queries, run these FIRST.  After round 6
+# the official record covers 250/253 with zero failures; the head below
+# is the 3 round-6 additions that still lack an official row, the 4 UDF
+# queries whose r3 records describe pre-round-6 rounding semantics
+# (banker's inside the UDF body -> HALF_UP F.round outside), and any
+# NEW round-7 queries — so the driver's round-7 budget lands official
+# rows on every query with no stale record.
+#
+# ROUND-8 BUILDER: after CORRECTNESS_r07.json lands, append its keys to
+# _DRIVER_VERIFIED_ROUNDS_AGO and move any NEW round-7 queries into
+# _VERIFY_FIRST.  Skipping this exact step wasted round 3 and nearly
+# round 5 (VERDICT r4 item 1).
+_VERIFY_FIRST = [
     "llm_url_domain_normalize", "llm_dedup_per_domain",
     "llm_minhash_band_sweep",
-    # re-verification queue: rounding moved out of the pandas UDF
-    # bodies this round (HALF_UP F.round outside, was banker's inside)
     "udf_pandas_scalar", "udf_pandas_grouped_agg",
     "udf_grouped_map_normalize", "udf_map_in_pandas",
 ]
+
+# ... and run these LAST among the unverified: rows-only checks (weaker
+# rows) — they cost driver seconds for a weaker record, so oracle-bearing
+# queries go first.
+_VERIFY_LAST = []
+
+# Queries whose first official row should wait for a later round (used
+# when the driver's per-round budget is already fully allocated above).
+_VERIFY_AFTER = []
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -68,12 +68,24 @@ def test_ordering_lists_disjoint():
 
 
 def test_driver_budget_lands_on_the_50_unrecorded():
-    """The first 50 names load_all() yields must be exactly
-    _VERIFY_FIRST + _VERIFY_LAST — the 50 queries still lacking an
-    official CORRECTNESS row after round 5. Anything displacing them
-    (a typo'd list entry falling into the catch-all middle, a new
-    query registered outside _VERIFY_AFTER) breaks the round-6 close
-    of official coverage."""
+    """The names load_all() yields ahead of the already-verified tail
+    must start with exactly _VERIFY_FIRST — the queries still lacking a
+    current official CORRECTNESS row after round 6 (3 round-6 additions
+    + 4 stale-rounding UDF re-verifies), then any new round-7 queries.
+    The driver's 50-row budget must cover ALL unverified queries so
+    round 7 closes official coverage at 253/253 + new work."""
     head = _VERIFY_FIRST + _VERIFY_LAST
     names = list(load_all())
-    assert names[: len(head)] == head
+    assert names[: len(_VERIFY_FIRST)] == _VERIFY_FIRST
+    unverified = [n for n in names if n not in set(_DRIVER_VERIFIED_ROUNDS_AGO)]
+    assert len(unverified) <= 50, (
+        f"{len(unverified)} unverified queries exceed the driver's 50-row "
+        f"budget: {unverified}"
+    )
+    # every unverified name enumerates before every verified one
+    first_verified = next(
+        i for i, n in enumerate(names) if n in set(_DRIVER_VERIFIED_ROUNDS_AGO)
+    )
+    assert all(n not in set(_DRIVER_VERIFIED_ROUNDS_AGO) for n in names[:first_verified])
+    assert set(names[:first_verified]) == set(unverified)
+    assert head  # _VERIFY_FIRST must never be empty while unverified work exists

@@ -199,6 +199,8 @@ _VERIFY_FIRST = [
     "llm_minhash_band_sweep",
     "udf_pandas_scalar", "udf_pandas_grouped_agg",
     "udf_grouped_map_normalize", "udf_map_in_pandas",
+    # round-7 additions
+    "stream_transform_with_state",
 ]
 
 # ... and run these LAST among the unverified: rows-only checks (weaker

@@ -358,6 +358,146 @@ def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_transform_with_state",
+    "§2.9 transformWithStateInPandas (Spark 4 stateful API: ValueState + MapState)",
+    """
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 4) AS total_value,
+           count(DISTINCT event_type) AS n_event_types
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark-4 arbitrary-stateful API
+    (pyspark:sql/pandas/group_ops.py:427 ``transformWithStateInPandas``),
+    successor to ``applyInPandasWithState`` (stream_stateful_count):
+    a ``StatefulProcessor`` with TYPED, composable state — a ValueState
+    for the per-user (count, sum) running totals plus a MapState keyed
+    by event_type for per-type counts, where the old API forced one
+    monolithic state tuple per key. Requires the RocksDB state-store
+    provider (state lives off-heap and snapshots incrementally —
+    the 100 TB posture: state volume is bounded by keys x state
+    schema, not micro-batch size, and store count = shuffle
+    partitions, sized in run_to_memory).
+
+    ENV GATE (import-try, brief's rule for missing libs): the
+    transformWithState state-server protocol speaks protobuf
+    (pyspark/sql/streaming/proto/StateMessage_pb2.py), and
+    ``google.protobuf`` is not shipped in this container (pip installs
+    forbidden) — the PRE_INIT driver worker crashes at import. When
+    protobuf is importable the real transformWithStateInPandas path
+    runs (RocksDB provider scoped to the run); otherwise the SAME
+    per-key state machine runs through applyInPandasWithState, whose
+    wire protocol is Arrow-only, producing identical rows. Both paths
+    share one output schema/rounding, so the oracle checks whichever
+    executed; tests/test_streaming.py gates the TWS-specific test the
+    same way.
+
+    The staged events dir is a single file, so availableNow runs
+    exactly one micro-batch and update-mode emits one final row per
+    user — equal to the batch GROUP BY oracle.
+    """
+    import pandas as pd
+
+    out_schema = "user_id long, n_events long, total_value double, n_event_types long"
+    ev = events_stream(spark, sf_dir).select("user_id", "event_type", "value")
+
+    try:
+        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
+
+        has_tws_protocol = True
+    except ImportError:
+        has_tws_protocol = False
+
+    if has_tws_protocol:
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class UserStats(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self.totals = handle.getValueState("totals", "n long, total double")
+                self.by_type = handle.getMapState(
+                    "by_type", "event_type string", "n long"
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                n, total = self.totals.get() or (0, 0.0)
+                for pdf in rows:
+                    n += len(pdf)
+                    total += float(pdf["value"].sum())
+                    for etype, cnt in pdf["event_type"].value_counts().items():
+                        prev = self.by_type.getValue((etype,)) or (0,)
+                        self.by_type.updateValue((etype,), (prev[0] + int(cnt),))
+                self.totals.update((n, total))
+                n_types = sum(1 for _ in self.by_type.keys())
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [n],
+                        "total_value": [round(total, 4)],
+                        "n_event_types": [n_types],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        out = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=UserStats(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+        # transformWithState requires the RocksDB provider; scope it to
+        # this run and restore (other stateful queries keep the default)
+        prev = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            return run_to_memory(out, mode="update")
+        finally:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    # fallback: identical state machine on the Arrow-wire stateful API
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def user_stats(key, pdfs, state: GroupState):
+        n, total, types = state.get if state.exists else (0, 0.0, [])
+        seen = set(types)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            seen |= set(pdf["event_type"])
+        state.update((n, total, sorted(seen)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+                "n_event_types": [len(seen)],
+            }
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        user_stats,
+        outputStructType=out_schema,
+        stateStructType="n long, total double, types array<string>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(out, mode="update")
+
+
+@query(
     "stream_rate_source_window",
     "§2.1/§2.9 rate source → tumbling window agg over derived event time",
     """

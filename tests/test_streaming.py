@@ -132,6 +132,32 @@ def test_stateful_apply_in_pandas_with_state(spark, tmp_path):
     assert got == {1: 2, 2: 1}
 
 
+def test_stream_transform_with_state_matches_batch(spark, sf_dir):
+    """The registered stream_transform_with_state query (real
+    transformWithStateInPandas when protobuf is importable, identical
+    applyInPandasWithState state machine otherwise — see its docstring)
+    must equal the batch GROUP BY over the same events."""
+    from spark_lineage_spark.streaming.queries import stream_transform_with_state
+    from spark_lineage_spark.tables import load
+
+    got = {
+        r.user_id: (r.n_events, r.total_value, r.n_event_types)
+        for r in stream_transform_with_state(spark, sf_dir).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.total_value, r.n_event_types)
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.count_distinct("event_type").alias("n_event_types"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_foreach_batch_sink(spark, sf_dir, tmp_path):
     """foreachBatch: the exactly-once escape hatch (SURVEY §2.9 sinks
     row) — each micro-batch lands as a parquet write we can re-read."""

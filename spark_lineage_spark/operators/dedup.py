@@ -301,10 +301,14 @@ def _minhash_pairs_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-def _minhash_lsh_pairs(sh: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
-    """MinHash-LSH candidate generation + exact verification over a
-    (doc_id, shingle) index. See llm_dedup_minhash_lsh for semantics."""
-    # 32-permutation signature: min over shingles of xxhash64(perm, shingle)
+def _band_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) LSH band rows of a (doc_id,
+    shingle) index: 32-permutation MinHash signature (min over shingles
+    of xxhash64(perm, shingle), all JVM-side) folded into
+    MINHASH_BANDS band hashes. Shared by the in-session LSH path and
+    the persisted-index path (llm_dedup_persistent_index) — at 100 TB
+    this is exactly the row set a pipeline persists as its dedup
+    index."""
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
@@ -318,7 +322,15 @@ def _minhash_lsh_pairs(sh: DataFrame, threshold: float = JACCARD_THRESHOLD) -> D
         )
         for b in range(MINHASH_BANDS)
     ]
-    banded = sig.select("doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"))
+    return sig.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash")
+    )
+
+
+def _minhash_lsh_pairs(sh: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """MinHash-LSH candidate generation + exact verification over a
+    (doc_id, shingle) index. See llm_dedup_minhash_lsh for semantics."""
+    banded = _band_signatures(sh)
 
     bl = banded.alias("bl")
     br = banded.alias("br")
@@ -1150,6 +1162,89 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         .transform(lineage_checkpoint)  # read 3× by the verify stage
+    )
+    return _verify_exact_jaccard(sh, candidates, JACCARD_THRESHOLD)
+
+
+# Persisted MinHash band index: staged once per (app, sf_dir) into the
+# session warehouse as a BUCKETED table (the cross-session shape: pay
+# signature computation + one shuffle at ingest, then every daily probe
+# job reads the bucketed layout with no index-side exchange).
+_PERSISTED_INDEX_STAGED: set = set()
+
+
+@query(
+    "llm_dedup_persistent_index",
+    "§2.11 persisted dedup index (bucketed MinHash band table, probed by a new batch)",
+    f"""
+    WITH pairs AS ({NGRAM_JACCARD_ORACLE})
+    SELECT da, db, jaccard FROM pairs
+    WHERE da % 10 = 0 OR db % 10 = 0
+    """,
+)
+def llm_dedup_persistent_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Productionized llm_dedup_incremental: the corpus's MinHash BAND
+    SIGNATURES (doc_id, band_idx, band_hash — _band_signatures, the
+    identical rows the in-session LSH path builds) are PERSISTED as a
+    table bucketed by the probe join key (band_idx, band_hash), and
+    each new batch (stand-in: doc_id % 10 = 0) probes that table
+    instead of recomputing corpus signatures. The daily-ingest cost
+    model at 100 TB: signature computation + the bucketing shuffle are
+    paid ONCE at index build; a probe job shuffles only the new
+    batch's band rows to the bucket layout — the corpus index is read
+    in place with no exchange (bucketed scan), and candidate volume is
+    bounded by band collisions exactly as in llm_dedup_minhash_lsh.
+    New-vs-new duplicates come from a self-join of the (tiny) batch
+    band rows; union of both candidate sets goes through the shared
+    exact-Jaccard verification, so false positives are impossible and
+    the output equals the recomputed-from-scratch incremental result
+    (byte-identical equality with llm_dedup_incremental's pair set is
+    asserted in tests/test_llm_ops.py; banding recall caveat as in
+    llm_dedup_minhash_lsh). Staging follows join_bucketed_colocated's
+    warehouse discipline (digest+pid table names, stale-dir reaping)."""
+    from spark_lineage_spark.operators.sources_sinks import (
+        _drop_table_and_location,
+        _proc_suffix,
+        _reap_stale_warehouse_dirs,
+    )
+
+    sh = _shingle_index(spark, sf_dir)
+    app = spark.sparkContext.applicationId
+    t_index = f"sls_mhidx_{_proc_suffix(sf_dir)}"
+    if (app, sf_dir) not in _PERSISTED_INDEX_STAGED:
+        for stale in [k for k in _PERSISTED_INDEX_STAGED if k[0] != app]:
+            _PERSISTED_INDEX_STAGED.discard(stale)
+        _reap_stale_warehouse_dirs(spark, "sls_mhidx_")
+        _drop_table_and_location(spark, t_index)
+        corpus_sh = sh.filter(F.col("doc_id") % 10 != 0)
+        _band_signatures(corpus_sh).write.bucketBy(
+            8, "band_idx", "band_hash"
+        ).sortBy("band_idx", "band_hash").mode("overwrite").saveAsTable(t_index)
+        _PERSISTED_INDEX_STAGED.add((app, sf_dir))
+    index = spark.table(t_index)
+
+    new_bands = _band_signatures(sh.filter(F.col("doc_id") % 10 == 0))
+    # batch probes the persisted index: equi-join on the bucket key —
+    # only the batch side shuffles into the index's bucket layout
+    p = new_bands.alias("p")
+    i = index.alias("i")
+    vs_corpus = p.join(i, ["band_idx", "band_hash"]).select(
+        F.least(F.col("p.doc_id"), F.col("i.doc_id")).alias("da"),
+        F.greatest(F.col("p.doc_id"), F.col("i.doc_id")).alias("db"),
+    )
+    # new-vs-new: self-join of the tiny batch band rows
+    a = new_bands.alias("a")
+    b = new_bands.alias("b")
+    vs_self = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+    candidates = (
+        vs_corpus.unionByName(vs_self)
+        .distinct()
+        .transform(lineage_checkpoint)  # read 3x by the verify stage
     )
     return _verify_exact_jaccard(sh, candidates, JACCARD_THRESHOLD)
 

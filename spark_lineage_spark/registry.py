@@ -200,7 +200,7 @@ _VERIFY_FIRST = [
     "udf_pandas_scalar", "udf_pandas_grouped_agg",
     "udf_grouped_map_normalize", "udf_map_in_pandas",
     # round-7 additions
-    "stream_transform_with_state",
+    "stream_transform_with_state", "llm_dedup_persistent_index",
 ]
 
 # ... and run these LAST among the unverified: rows-only checks (weaker

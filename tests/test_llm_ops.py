@@ -25,6 +25,62 @@ def test_minhash_equals_exact_jaccard(spark, tmp_path):
     assert lsh == exact
 
 
+def test_persistent_index_equals_recomputed_incremental(spark):
+    """The persisted-bucketed-index probe must produce byte-identical
+    pairs to the recomputed-from-scratch incremental dedup (VERDICT r6
+    item 5): same (da, db, jaccard) rows, since both end in the shared
+    exact-Jaccard verification and banding catches every >=0.8 fixture
+    pair (test_minhash_equals_exact_jaccard)."""
+    from spark_lineage_spark.operators.dedup import (
+        llm_dedup_incremental,
+        llm_dedup_persistent_index,
+    )
+
+    recomputed = sorted(
+        (r.da, r.db, r.jaccard) for r in llm_dedup_incremental(spark, SF).collect()
+    )
+    probed = sorted(
+        (r.da, r.db, r.jaccard)
+        for r in llm_dedup_persistent_index(spark, SF).collect()
+    )
+    assert recomputed, "fixture should contain pairs touching the new batch"
+    assert probed == recomputed
+
+
+def test_persistent_index_scan_is_bucketed(spark):
+    """The probe join must read the persisted index through its bucket
+    layout with NO exchange on the index side — only the (tiny) batch
+    band rows shuffle into the bucket partitioning. Checkpointing hides
+    the candidate subtree in the full query's plan, so the probe join
+    is recomposed here exactly as llm_dedup_persistent_index builds it."""
+    from pyspark.sql import functions as F
+
+    from spark_lineage_spark.operators.dedup import (
+        _band_signatures,
+        _shingle_index,
+        llm_dedup_persistent_index,
+    )
+    from spark_lineage_spark.operators.sources_sinks import _proc_suffix
+
+    llm_dedup_persistent_index(spark, SF)  # stages the bucketed table
+    index = spark.table(f"sls_mhidx_{_proc_suffix(SF)}")
+    new_bands = _band_signatures(
+        _shingle_index(spark, SF).filter(F.col("doc_id") % 10 == 0)
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = new_bands.join(index, ["band_idx", "band_hash"])
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Bucketed: true" in plan, plan[:4000]
+    # both exchanges belong to the BATCH side (its signature groupBy +
+    # its conform-to-bucket-layout shuffle); a non-bucketed index would
+    # add a third, index-side exchange
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:4000]
+
+
 def test_minhash_finds_planted_dups(spark, tmp_path):
     """Planted corpus: one doc duplicated with a single word changed
     must pair up; unrelated docs must not."""

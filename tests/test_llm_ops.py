@@ -194,6 +194,21 @@ def test_ann_ivf_recall_vs_exact(spark):
     assert recall >= 0.80, f"IVF recall too low: {recall}"
 
 
+def test_int8_rerank_recall(spark):
+    """int8 candidate pass (top-20 by quantized dot) + float rerank
+    must recover the exact top-5 — symmetric 127/max|x| quantization
+    keeps ranking error far below the top-20 cut on these vectors."""
+    from spark_lineage_spark.operators.similarity import (
+        llm_ann_int8_rerank,
+        llm_knn_cosine_exact,
+    )
+
+    exact = {(r.query_id, r.neighbor_id) for r in llm_knn_cosine_exact(spark, SF).collect()}
+    int8 = {(r.query_id, r.neighbor_id) for r in llm_ann_int8_rerank(spark, SF).collect()}
+    recall = len(exact & int8) / len(exact)
+    assert recall >= 0.95, f"int8 rerank recall too low: {recall}"
+
+
 def test_multimodal_stub_marks_non_text(spark):
     from spark_lineage_spark.operators.multimodal import llm_multimodal_features
 

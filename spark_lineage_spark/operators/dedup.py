@@ -457,7 +457,9 @@ def llm_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_BANDS = 8  # 8 byte-wide bands -> guaranteed recall for hamming <= 7
 
 
-_SIMHASH_ORACLE = """
+# CTE prefix shared with the streaming near-dup oracle
+# (stream_dedup_simhash appends its batch-ordering CTEs to it)
+_SIMHASH_CTES = """
 WITH toks AS (
   SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS t
   FROM documents WHERE text IS NOT NULL
@@ -487,8 +489,9 @@ cand AS (
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key
    AND a.doc_id < b.doc_id
 )
-SELECT da, db, hamming FROM cand WHERE hamming <= 6
 """
+
+_SIMHASH_ORACLE = _SIMHASH_CTES + "SELECT da, db, hamming FROM cand WHERE hamming <= 6"
 
 
 @query(
@@ -513,7 +516,33 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash check; bits 60-63 are structurally zero in both
     engines, so band and hamming semantics are unchanged.
     Deterministic; recall/property tests in tests/test_llm_ops.py."""
-    d = load(spark, sf_dir, "documents")
+    sigs = _simhash_signatures(load(spark, sf_dir, "documents"))
+    bands = _simhash_bands(sigs)
+    bl = bands.alias("bl")
+    br = bands.alias("br")
+    return (
+        bl.join(
+            br,
+            (F.col("bl.band_idx") == F.col("br.band_idx"))
+            & (F.col("bl.band_key") == F.col("br.band_key"))
+            & (F.col("bl.doc_id") < F.col("br.doc_id")),
+        )
+        .select(
+            F.col("bl.doc_id").alias("da"),
+            F.col("br.doc_id").alias("db"),
+            F.bit_count(F.col("bl.simhash").bitwiseXOR(F.col("br.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+def _simhash_signatures(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash) signatures of a documents DataFrame — the
+    portable md5-token SimHash pipeline of llm_dedup_simhash, factored
+    so the streaming near-dup path (stream_dedup_simhash) signs each
+    micro-batch with the identical code. Checkpointed: every consumer
+    references the signature subtree at least twice."""
     # Size partitions for the fold's ~10× in-memory expansion (the
     # (tokens × 64) int8 bit matrix) from actual input bytes; tiny
     # corpora stay on few partitions instead of paying a shuffle plus
@@ -567,9 +596,16 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (two Python worker round-trips). Signatures are 16 bytes/doc —
     # at corpus scale this is "write the signature table once, self-join
     # the table", the same staging discipline as _shingle_index.
-    sigs = hashed.mapInPandas(fold, schema="doc_id long, simhash long").transform(lineage_checkpoint)
+    return hashed.mapInPandas(fold, schema="doc_id long, simhash long").transform(
+        lineage_checkpoint
+    )
 
-    bands = sigs.select(
+
+def _simhash_bands(sigs: DataFrame) -> DataFrame:
+    """Explode a (doc_id, simhash) table into its 8 byte-wide band rows
+    (doc_id, simhash, band_idx, band_key) — the blocking key: any pair
+    with hamming ≤ 7 shares at least one band (pigeonhole)."""
+    return sigs.select(
         "doc_id",
         "simhash",
         F.posexplode(
@@ -580,23 +616,6 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band_idx", "band_key"),
-    )
-    bl = bands.alias("bl")
-    br = bands.alias("br")
-    return (
-        bl.join(
-            br,
-            (F.col("bl.band_idx") == F.col("br.band_idx"))
-            & (F.col("bl.band_key") == F.col("br.band_key"))
-            & (F.col("bl.doc_id") < F.col("br.doc_id")),
-        )
-        .select(
-            F.col("bl.doc_id").alias("da"),
-            F.col("br.doc_id").alias("db"),
-            F.bit_count(F.col("bl.simhash").bitwiseXOR(F.col("br.simhash"))).alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= 6)
     )
 
 

@@ -201,7 +201,7 @@ _VERIFY_FIRST = [
     "udf_grouped_map_normalize", "udf_map_in_pandas",
     # round-7 additions
     "stream_transform_with_state", "llm_dedup_persistent_index",
-    "llm_ann_int8_rerank",
+    "llm_ann_int8_rerank", "stream_dedup_simhash",
 ]
 
 # ... and run these LAST among the unverified: rows-only checks (weaker

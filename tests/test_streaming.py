@@ -158,6 +158,29 @@ def test_stream_transform_with_state_matches_batch(spark, sf_dir):
     assert got == want
 
 
+def test_stream_simhash_drops_planted_near_dup(spark, tmp_path):
+    """A near-duplicate planted in a LATER micro-batch must be dropped
+    by the accumulating-index probe (VERDICT r6 item 8): doc 5 (batch
+    5%3=2) is doc 0 (batch 0) with one word changed — simhash hamming
+    well under 6 — while doc 1 (batch 1) is unrelated and survives."""
+    import pandas as pd
+
+    from spark_lineage_spark.streaming.queries import stream_dedup_simhash
+
+    base = " ".join(f"word{i}" for i in range(60))
+    near = base.replace("word30", "changed", 1)
+    other = " ".join(f"other{i}" for i in range(60))
+    pdf = pd.DataFrame({"doc_id": [0, 1, 5], "text": [base, other, near]})
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        path + "/documents.parquet"
+    )
+    rows = {r.doc_id: r.batch_id for r in stream_dedup_simhash(spark, path).collect()}
+    assert 0 in rows and rows[0] == 0
+    assert 1 in rows and rows[1] == 1
+    assert 5 not in rows, "planted near-dup in a later batch must be dropped"
+
+
 def test_foreach_batch_sink(spark, sf_dir, tmp_path):
     """foreachBatch: the exactly-once escape hatch (SURVEY §2.9 sinks
     row) — each micro-batch lands as a parquet write we can re-read."""

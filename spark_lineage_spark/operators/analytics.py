@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from spark_lineage_spark.plans.extract import lineage_checkpoint_lazy
 from spark_lineage_spark.registry import query
+from spark_lineage_spark.session import evict_cache
 from spark_lineage_spark.tables import load, register_views
 
 
@@ -166,8 +167,14 @@ def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dense
     ),
     terms AS (
+      -- cross-products in DOUBLE before the subtraction, mirroring the
+      -- Spark side exactly: integer o*n / rt*ct would overflow BIGINT
+      -- past ~3e9 rows, precisely the scale the double form targets
       SELECT cast(round(
-               cast((o * n - rt * ct) AS DOUBLE) * cast((o * n - rt * ct) AS DOUBLE)
+               (cast(o AS DOUBLE) * cast(n AS DOUBLE)
+                - cast(rt AS DOUBLE) * cast(ct AS DOUBLE))
+               * (cast(o AS DOUBLE) * cast(n AS DOUBLE)
+                  - cast(rt AS DOUBLE) * cast(ct AS DOUBLE))
                / (cast(n AS DOUBLE) * cast(rt AS DOUBLE) * cast(ct AS DOUBLE)), 8)
              AS DECIMAL(28,8)) AS term,
              event_type, dow
@@ -184,12 +191,14 @@ def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square independence: one hash agg reduces the
     events to a |types|x|weekdays| contingency table; margins are
     window sums over that tiny table (at most 35 rows at any SF) and
-    the statistic uses the integer-cross-product form
-    (o*n - rt*ct)^2 / (n*rt*ct) — numerators stay integral until a
-    single double division per cell.
+    the statistic uses the cross-product form
+    (o*n - rt*ct)^2 / (n*rt*ct) with the products formed in DOUBLE in
+    BOTH engines — integer products would wrap int64 past ~3e9 rows
+    (ADVICE r5/r6), and the 8-decimal round below is the precision
+    contract, so double is both safe and sufficient.
 
-    Determinism: the per-cell double term is a function of exact
-    integers (identical bits in both engines); it is rounded and cast
+    Determinism: the per-cell double term is the same IEEE expression
+    over exact integer counts in both engines; it is rounded and cast
     to decimal(28,8) so the final 35-term sum is decimal-exact and
     partition-order independent. Spark weekday()+1 == DuckDB isodow
     (both ISO, Monday=1).
@@ -624,8 +633,7 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     app = spark.sparkContext.applicationId
-    for k in [k for k in _COPURCHASE_EDGE_CACHE if k[0] != app]:
-        del _COPURCHASE_EDGE_CACHE[k]
+    evict_cache(_COPURCHASE_EDGE_CACHE, app, key)
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     ords = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")

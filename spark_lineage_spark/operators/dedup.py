@@ -24,6 +24,7 @@ from spark_lineage_spark.functions.arrays import cosine, to_double_array
 from spark_lineage_spark.functions.text_funcs import word_shingles
 from spark_lineage_spark.plans.extract import lineage_checkpoint
 from spark_lineage_spark.registry import query
+from spark_lineage_spark.session import evict_cache
 from spark_lineage_spark.tables import load
 
 JACCARD_THRESHOLD = 0.8
@@ -128,8 +129,7 @@ def _shingle_index(spark: SparkSession, sf_dir: str, df_cap: int | None = SHINGL
     if df is None:
         # drop entries from dead sessions so checkpoint blocks release
         app = spark.sparkContext.applicationId
-        for k in [k for k in _SHINGLE_INDEX_CACHE if k[0] != app]:
-            del _SHINGLE_INDEX_CACHE[k]
+        evict_cache(_SHINGLE_INDEX_CACHE, app, key)
         df = _distinct_shingles(load(spark, sf_dir, "documents"), df_cap).transform(lineage_checkpoint)
         _SHINGLE_INDEX_CACHE[key] = df
     return df
@@ -223,8 +223,7 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = JACCARD_
     df = _JACCARD_PAIRS_CACHE.get(key)
     if df is None:
         app = spark.sparkContext.applicationId
-        for k in [k for k in _JACCARD_PAIRS_CACHE if k[0] != app]:
-            del _JACCARD_PAIRS_CACHE[k]
+        evict_cache(_JACCARD_PAIRS_CACHE, app, key)
         df = _jaccard_pairs_from_shingles(
             _shingle_index(spark, sf_dir), threshold
         ).transform(lineage_checkpoint)
@@ -292,8 +291,7 @@ def _minhash_pairs_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _MINHASH_PAIRS_CACHE.get(key)
     if df is None:
         app = spark.sparkContext.applicationId
-        for k in [k for k in _MINHASH_PAIRS_CACHE if k[0] != app]:
-            del _MINHASH_PAIRS_CACHE[k]
+        evict_cache(_MINHASH_PAIRS_CACHE, app, key)
         df = _minhash_lsh_pairs(_shingle_index(spark, sf_dir)).transform(
             lineage_checkpoint
         )
@@ -402,8 +400,7 @@ def _ml_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _ML_FEATURES_CACHE.get(key)
     if df is None:
         app = spark.sparkContext.applicationId
-        for k in [k for k in _ML_FEATURES_CACHE if k[0] != app]:
-            del _ML_FEATURES_CACHE[k]
+        evict_cache(_ML_FEATURES_CACHE, app, key)
         d = load(spark, sf_dir, "documents")
         sh = d.select("doc_id", word_shingles(F.col("text"), 3).alias("shingles")).filter(
             F.size("shingles") > 0
@@ -768,8 +765,7 @@ def _cosine_pairs_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _COSINE_PAIRS_CACHE.get(key)
     if df is None:
         app = spark.sparkContext.applicationId
-        for k in [k for k in _COSINE_PAIRS_CACHE if k[0] != app]:
-            del _COSINE_PAIRS_CACHE[k]
+        evict_cache(_COSINE_PAIRS_CACHE, app, key)
         df = _cosine_pairs_raw(spark, sf_dir).transform(lineage_checkpoint)
         _COSINE_PAIRS_CACHE[key] = df
     return df

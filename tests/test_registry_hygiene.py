@@ -67,6 +67,30 @@ def test_ordering_lists_disjoint():
     assert not (after & seen), after & seen
 
 
+def test_evict_cache_caps_same_app_entries():
+    """The staged-DataFrame caches must not grow monotonically within
+    one application (ADVICE r6): other-app entries always drop, and
+    same-app entries FIFO-evict beyond STAGED_CACHE_CAP."""
+    from spark_lineage_spark.session import STAGED_CACHE_CAP, evict_cache
+
+    class FakeDF:
+        def __init__(self):
+            self.unpersisted = False
+
+        def unpersist(self):
+            self.unpersisted = True
+
+    cache = {("dead_app", "sf_x"): FakeDF()}
+    for i in range(STAGED_CACHE_CAP + 3):
+        key = ("app", f"sf{i}")
+        evict_cache(cache, "app", key)
+        cache[key] = FakeDF()
+    assert all(k[0] == "app" for k in cache)
+    assert len(cache) == STAGED_CACHE_CAP  # CAP-1 older entries + the new key
+    # oldest same-app keys evicted first
+    assert ("app", "sf0") not in cache and ("app", f"sf{STAGED_CACHE_CAP + 2}") in cache
+
+
 def test_driver_budget_lands_on_the_50_unrecorded():
     """The names load_all() yields ahead of the already-verified tail
     must start with exactly _VERIFY_FIRST — the queries still lacking a

@@ -62,6 +62,15 @@ PROBE_QUERIES = [
     "agg_weighted_median",
     "llm_winnowing_fingerprint",
     "llm_rouge_unigram",
+    "llm_url_domain_normalize",
+    "llm_dedup_per_domain",
+    "llm_minhash_band_sweep",
+    # round-7 additions: persisted-index probe, quantized ANN, IVF
+    # multi-assign, streaming near-dup ingest
+    "llm_dedup_persistent_index",
+    "llm_ann_int8_rerank",
+    "llm_ann_ivf",
+    "stream_dedup_simhash",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

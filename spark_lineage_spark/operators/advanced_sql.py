@@ -334,6 +334,156 @@ def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "profile_join_skew",
+    "§2.4/§4 join-key skew diagnostics (per-key histogram stats + heaviest key)",
+    """
+    WITH lk AS (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
+    ek AS (SELECT user_id AS k, count(*) AS n FROM events GROUP BY 1),
+    lstats AS (
+      SELECT 'lineitem.l_orderkey' AS rel, count(*) AS n_keys,
+             max(n) AS max_rows_per_key,
+             round(sum(n) * 1.0 / count(*), 4) AS avg_rows_per_key,
+             round(max(n) * count(*) * 1.0 / sum(n), 4) AS skew_ratio
+      FROM lk
+    ),
+    lheavy AS (SELECT min(k) AS heaviest_key FROM lk
+               WHERE n = (SELECT max(n) FROM lk)),
+    estats AS (
+      SELECT 'events.user_id' AS rel, count(*) AS n_keys,
+             max(n) AS max_rows_per_key,
+             round(sum(n) * 1.0 / count(*), 4) AS avg_rows_per_key,
+             round(max(n) * count(*) * 1.0 / sum(n), 4) AS skew_ratio
+      FROM ek
+    ),
+    eheavy AS (SELECT min(k) AS heaviest_key FROM ek
+               WHERE n = (SELECT max(n) FROM ek))
+    SELECT rel, n_keys, max_rows_per_key, avg_rows_per_key, skew_ratio,
+           heaviest_key
+    FROM lstats CROSS JOIN lheavy
+    UNION ALL
+    SELECT rel, n_keys, max_rows_per_key, avg_rows_per_key, skew_ratio,
+           heaviest_key
+    FROM estats CROSS JOIN eheavy
+    """,
+)
+def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-flight check behind every salting/AQE-skew decision
+    (join_skew_salted, join_aqe_skew_handled): per-join-key row
+    histograms reduced to the numbers that pick a strategy — key
+    count, max and mean rows per key, their ratio (1.0 = uniform;
+    large = a hot key that will straggle a shuffle join), and the
+    heaviest key itself (min key on ties). One hash agg per fact
+    produces the per-key counts (map-side partials, the only
+    fact-sized work); the stats are second aggregates over the counts
+    table and the heaviest key is a broadcast-scalar filter — nothing
+    ever collects. skew_ratio is computed as max*n_keys/sum in exact
+    integers before ONE double division, so both engines round the
+    same value."""
+    out = []
+    for rel, df, key in [
+        ("lineitem.l_orderkey", load(spark, sf_dir, "lineitem"), "l_orderkey"),
+        ("events.user_id", load(spark, sf_dir, "events"), "user_id"),
+    ]:
+        counts = df.groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("n"))
+        stats = counts.agg(
+            F.lit(rel).alias("rel"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("n").alias("max_rows_per_key"),
+            F.round(F.sum("n") / F.count(F.lit(1)), 4).alias("avg_rows_per_key"),
+            F.round(F.max("n") * F.count(F.lit(1)) / F.sum("n"), 4).alias("skew_ratio"),
+        )
+        # min over (-n, k) structs = largest n, smallest key on ties —
+        # one aggregate, no second pass over the counts table
+        heavy = counts.agg(
+            F.min_by("k", F.struct((-F.col("n")).alias("neg_n"), F.col("k"))).alias(
+                "heaviest_key"
+            )
+        )
+        out.append(stats.crossJoin(F.broadcast(heavy)))
+    return out[0].unionByName(out[1])
+
+
+@query(
+    "dq_forget_user_sweep",
+    "§2.4/§2.12 right-to-be-forgotten sweep (cascaded purge-impact across tables)",
+    """
+    WITH forget AS (SELECT c_custkey AS uid FROM customer WHERE c_custkey % 97 = 0),
+    purged_orders AS (
+      SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT uid FROM forget)
+    )
+    SELECT 'customer' AS rel,
+           count(CASE WHEN c_custkey IN (SELECT uid FROM forget) THEN 1 END)
+             AS rows_purged,
+           count(CASE WHEN c_custkey NOT IN (SELECT uid FROM forget) THEN 1 END)
+             AS rows_kept
+    FROM customer
+    UNION ALL
+    SELECT 'orders',
+           count(CASE WHEN o_custkey IN (SELECT uid FROM forget) THEN 1 END),
+           count(CASE WHEN o_custkey NOT IN (SELECT uid FROM forget) THEN 1 END)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem',
+           count(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM purged_orders)
+                 THEN 1 END),
+           count(CASE WHEN l_orderkey NOT IN (SELECT o_orderkey FROM purged_orders)
+                 THEN 1 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'events',
+           count(CASE WHEN user_id IN (SELECT uid FROM forget) THEN 1 END),
+           count(CASE WHEN user_id NOT IN (SELECT uid FROM forget) THEN 1 END)
+    FROM events
+    """,
+)
+def dq_forget_user_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The governance op a training-data platform runs on every
+    deletion request (right to be forgotten): given a deletion list
+    (stand-in: customers with c_custkey % 97 = 0), report the purge
+    impact per table BEFORE executing it — direct hits on customer /
+    orders / events, and the CASCADE through lineitem (rows whose
+    parent order is purged — one-hop FK propagation, the shape lineage
+    metadata drives at §2.12). Each fact is scanned ONCE: the deletion
+    list (and the purged-order key list it induces) is broadcast into
+    a left-semi-flagged conditional aggregate — no fact shuffle at
+    all, which is the only acceptable cost for a sweep that runs per
+    deletion batch at 100 TB. Purge execution itself would be the
+    same joins as anti-join writes (merge_upsert_latest's machinery).
+    """
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    events = load(spark, sf_dir, "events")
+    forget = customer.filter(F.col("c_custkey") % 97 == 0).select(
+        F.col("c_custkey").alias("uid")
+    )
+    purged_orders = orders.join(
+        F.broadcast(forget), orders.o_custkey == F.col("uid"), "left_semi"
+    ).select("o_orderkey")
+
+    def sweep(rel: str, df: DataFrame, key: str, ids: DataFrame, id_col: str) -> DataFrame:
+        flagged = df.select(key).join(
+            F.broadcast(ids.withColumn("_hit", F.lit(1))),
+            F.col(key) == F.col(id_col),
+            "left",
+        )
+        return flagged.agg(
+            F.lit(rel).alias("rel"),
+            F.count(F.col("_hit")).alias("rows_purged"),
+            (F.count(F.lit(1)) - F.count(F.col("_hit"))).alias("rows_kept"),
+        )
+
+    return (
+        sweep("customer", customer, "c_custkey", forget, "uid")
+        .unionByName(sweep("orders", orders, "o_custkey", forget, "uid"))
+        .unionByName(
+            sweep("lineitem", lineitem, "l_orderkey", purged_orders, "o_orderkey")
+        )
+        .unionByName(sweep("events", events, "user_id", forget, "uid"))
+    )
+
+
+@query(
     "join_skew_salted",
     "§2.3/§2.11 salted skew join (replicated dim, salted fact)",
     """

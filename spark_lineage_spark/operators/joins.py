@@ -316,6 +316,81 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_TOLERANCE_US = 3_600_000_000  # 1 hour max staleness
+
+
+@query(
+    "join_asof_tolerance",
+    "§2.3 as-of join with tolerance (match only within max staleness)",
+    f"""
+    WITH c AS (
+      SELECT user_id, event_id, date_trunc('microseconds', ts) AS tsu
+      FROM events WHERE event_type = 'click'
+      QUALIFY row_number() OVER (PARTITION BY user_id, date_trunc('microseconds', ts)
+                                 ORDER BY event_id DESC) = 1
+    ),
+    p AS (
+      SELECT user_id, event_id, date_trunc('microseconds', ts) AS tsu
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_id,
+           CASE WHEN epoch_us(p.tsu) - epoch_us(c.tsu) <= {ASOF_TOLERANCE_US}
+                THEN c.event_id END AS click_id,
+           CASE WHEN epoch_us(p.tsu) - epoch_us(c.tsu) <= {ASOF_TOLERANCE_US}
+                THEN epoch_us(p.tsu) - epoch_us(c.tsu) END AS staleness_us
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.tsu <= p.tsu
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ``merge_asof(tolerance=...)`` semantics: the latest click
+    ≤ purchase time per user counts only if it is at most 1 hour stale
+    — older matches become NULL, the rule every feature-join pipeline
+    needs so a year-old click never leaks into a training label. Same
+    union+window single-shuffle shape as ``asof_join``, carrying BOTH
+    the matched id and its time so the staleness test is one exact
+    integer-microsecond comparison after the window (the as-of match
+    itself is unchanged: any older click is even further outside
+    tolerance, so post-filtering the unconditional match is exactly
+    the within-window-latest semantics). Ties at the same microsecond:
+    highest click event_id wins, mirroring the oracle's dedup rule."""
+    e = load(spark, sf_dir, "events")
+    b = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("_k"),
+        F.col("ts").alias("_t"),
+        F.col("event_id").alias("_id"),
+        F.lit(0).alias("_kind"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("_k"),
+        F.col("ts").alias("_t"),
+        F.col("event_id").alias("_id"),
+        F.lit(1).alias("_kind"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_kind", "_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        b.unionByName(p)
+        .withColumn(
+            "_mid",
+            F.last(F.when(F.col("_kind") == 0, F.col("_id")), ignorenulls=True).over(w),
+        )
+        .withColumn(
+            "_mt",
+            F.last(F.when(F.col("_kind") == 0, F.col("_t")), ignorenulls=True).over(w),
+        )
+    )
+    stale = F.unix_micros("_t") - F.unix_micros("_mt")
+    in_tol = stale <= F.lit(ASOF_TOLERANCE_US)
+    return carried.filter(F.col("_kind") == 1).select(
+        F.col("_id").alias("purchase_id"),
+        F.when(in_tol, F.col("_mid")).alias("click_id"),
+        F.when(in_tol, stale).alias("staleness_us"),
+    )
+
+
 @query(
     "join_lateral_topn",
     "§2.3 lateral join (top-2 customers per nation)",

@@ -2118,3 +2118,146 @@ def llm_dedup_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_cross_domain_docs"),
         )
     )
+
+
+# Policy wordlist for the blocklist filter: terms chosen from the
+# fixture vocabulary so flagged counts are nonzero at every SF. A real
+# pipeline broadcasts a large list (or an Aho-Corasick automaton in a
+# pandas UDF); membership below stays JVM-side.
+BLOCKLIST_TERMS = ("slow", "big")
+# flag rule: blocked/token ratio > 4%, tested as the exact integer
+# cross-multiplication 25*hits > n_tokens — no per-doc float division
+BLOCK_FLAG_NUM, BLOCK_FLAG_DEN = 25, 1
+
+
+@query(
+    "llm_blocklist_filter",
+    "§2.11 blocklist/policy filter (wordlist hit rates per source, integer flag rule)",
+    f"""
+    WITH scored AS (
+      SELECT source,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN {BLOCKLIST_TERMS!r})) AS hits,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           count(CASE WHEN {BLOCK_FLAG_NUM} * hits > {BLOCK_FLAG_DEN} * n_tokens
+                 THEN 1 END) AS n_flagged,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(hits) AS BIGINT) AS blocked_tokens,
+           round(sum(hits) * 1.0 / sum(n_tokens), 6) AS corpus_block_rate
+    FROM scored
+    GROUP BY source
+    """,
+)
+def llm_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The policy-filter stage every training corpus passes through
+    (NSFW / toxicity wordlists before the model-based classifier
+    llm_quality_classifier): per-token blocklist membership counted
+    JVM-side with a filter-size HOF (no explode, no shuffle until the
+    per-source rollup), a per-doc flag decided by the EXACT integer
+    cross-multiplication 25*hits > n_tokens (rate > 4% with zero
+    per-doc float divisions — engine-identical by construction), and
+    one corpus rate from two exact integer sums. At 100 TB the scan is
+    map-only and the rollup shuffles |sources| partial rows."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split("text", " ")
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(*BLOCKLIST_TERMS))
+    )
+    scored = d.select(
+        "source",
+        hits.alias("hits"),
+        F.size(toks).alias("n_tokens"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(
+            F.when(
+                F.lit(BLOCK_FLAG_NUM) * F.col("hits")
+                > F.lit(BLOCK_FLAG_DEN) * F.col("n_tokens"),
+                1,
+            )
+        ).alias("n_flagged"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("hits").cast("bigint").alias("blocked_tokens"),
+        F.round(F.sum("hits") / F.sum("n_tokens"), 6).alias("corpus_block_rate"),
+    )
+
+
+HASH_EMB_DIMS = 8
+
+
+@query(
+    "llm_doc_hash_embedding",
+    "§2.11 vocab-free document embedding via feature hashing (signed buckets, L2-normalized)",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS t
+            FROM documents WHERE text IS NOT NULL)
+    ),
+    sums AS (
+      SELECT doc_id, h % {HASH_EMB_DIMS} AS dim,
+             sum(CASE WHEN (h >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM toks GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT d.doc_id, dims.dim, coalesce(s.v, 0) AS v
+      FROM (SELECT DISTINCT doc_id FROM toks) d
+      CROSS JOIN (SELECT unnest(generate_series(0, {HASH_EMB_DIMS - 1})) AS dim) dims
+      LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.dim = dims.dim
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM dense GROUP BY doc_id
+    )
+    SELECT dense.doc_id, dim, round(v / nrm, 6) AS weight
+    FROM dense JOIN norms ON dense.doc_id = norms.doc_id
+    WHERE nrm > 0
+    """,
+)
+def llm_doc_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocab-free document featurization (the hashing trick —
+    FastText / HashingTF's core idea) built PURELY from higher-order
+    functions: each token's portable md5-derived 60-bit hash picks a
+    signed bucket (dim = h mod 8 from the low bits, sign from bit 3),
+    one array fold accumulates the 8-dim signed counts per document,
+    and the vector is L2-normalized — ALL map-side, zero shuffles, the
+    ideal 100 TB shape for a featurization pass (compare _ml_features,
+    which pays HashingTF + a shuffle). Hashes are the same md5 trick
+    as SimHash/KMV, so DuckDB replays the embedding bit-for-bit: v and
+    the norm are exact integers / sqrt of exact integers, and the
+    single rounded division is engine-identical. Output is exploded to
+    (doc_id, dim, weight) rows so the oracle compares scalars, not
+    arrays."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    hashes = F.expr(
+        "transform(filter(split(text, ' '), t -> length(t) > 0),"
+        " t -> cast(conv(substring(md5(cast(t AS BINARY)), 1, 15), 16, 10)"
+        " AS BIGINT))"
+    )
+    vec = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), HASH_EMB_DIMS),
+        lambda acc, h: F.transform(
+            acc,
+            lambda x, i: x
+            + F.when(
+                h % HASH_EMB_DIMS == i.cast("long"),
+                F.when(h.bitwiseAND(F.lit(8)) != 0, F.lit(1)).otherwise(F.lit(-1)),
+            ).otherwise(F.lit(0)),
+        ),
+    )
+    folded = d.select("doc_id", vec.alias("vec")).withColumn(
+        "nrm",
+        F.sqrt(F.aggregate("vec", F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    return (
+        folded.filter(F.col("nrm") > 0)
+        .select("doc_id", "nrm", F.posexplode("vec").alias("dim", "v"))
+        .select("doc_id", "dim", F.round(F.col("v") / F.col("nrm"), 6).alias("weight"))
+    )

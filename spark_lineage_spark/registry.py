@@ -202,7 +202,8 @@ _VERIFY_FIRST = [
     # round-7 additions
     "stream_transform_with_state", "llm_dedup_persistent_index",
     "llm_ann_int8_rerank", "stream_dedup_simhash",
-    "profile_join_skew", "dq_forget_user_sweep",
+    "profile_join_skew", "dq_forget_user_sweep", "join_asof_tolerance",
+    "llm_blocklist_filter", "llm_doc_hash_embedding",
 ]
 
 # ... and run these LAST among the unverified: rows-only checks (weaker

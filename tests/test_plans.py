@@ -432,3 +432,34 @@ def test_grouped_kth_plan_shape(spark):
     # no sort-merge join and no row-level window over the base table:
     # the only Window runs on the tiny per-(group, range) count table
     assert "SortMergeJoin" not in p, p
+
+
+def test_hash_embedding_is_map_only(spark):
+    """llm_doc_hash_embedding folds tokens into the signed-bucket
+    vector with higher-order functions — the whole featurization pass
+    must plan with ZERO Exchange operators (the 100 TB shape its
+    docstring claims)."""
+    from spark_lineage_spark.operators.text import llm_doc_hash_embedding
+
+    p = plan_str(llm_doc_hash_embedding(spark, SF))
+    assert not re.search(r"\(\d+\) Exchange", p), p
+
+
+def test_blocklist_filter_single_exchange(spark):
+    """llm_blocklist_filter counts hits map-side (filter-size HOF, no
+    explode) — the only Exchange is the per-source rollup."""
+    from spark_lineage_spark.operators.text import llm_blocklist_filter
+
+    p = plan_str(llm_blocklist_filter(spark, SF))
+    assert "Generate" not in p, p  # no explode anywhere
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_asof_tolerance_single_shuffle(spark):
+    """join_asof_tolerance keeps the union+window asof shape: one
+    Exchange on the key, no join operator at all."""
+    from spark_lineage_spark.operators.joins import join_asof_tolerance
+
+    p = plan_str(join_asof_tolerance(spark, SF))
+    assert "Join" not in p, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p

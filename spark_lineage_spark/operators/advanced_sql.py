@@ -334,6 +334,54 @@ def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "obs_observation_metrics",
+    "§2.4/§2.12 Observation API: named metrics piggybacked on a real action",
+    """
+    SELECT count(*) AS n_rows,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS sum_qty,
+           min(CAST(l_shipdate AS DATE)) AS min_ship,
+           max(CAST(l_shipdate AS DATE)) AS max_ship
+    FROM lineitem
+    """,
+)
+def obs_observation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pyspark.sql.Observation`` — the data-quality counters every
+    production job attaches to its main pass: named aggregate metrics
+    (count / decimal-exact sum / min / max; distinct aggs are
+    disallowed by the API) are computed ON THE EXECUTORS while a real
+    action runs, for free — no second scan, which at 100 TB is the
+    difference between "we validate every batch" and "we validate
+    weekly". Here the observed scan is materialized by one count()
+    action and the harvested metrics come back as a 1-row DataFrame;
+    the oracle recomputes the identical aggregates in SQL, so this is
+    a full value-hash check of the observation path (sum over a
+    decimal cast => partial-aggregation order cannot change a bit).
+    Lineage note: observe() is plan-transparent — the lineage walk
+    sees the underlying scan unchanged."""
+    import uuid as _uuid
+
+    from pyspark.sql import Observation
+
+    obs = Observation(f"sls_obs_{_uuid.uuid4().hex[:8]}")
+    li = load(spark, sf_dir, "lineitem").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("sum_qty"),
+        F.min(F.col("l_shipdate").cast("date")).alias("min_ship"),
+        F.max(F.col("l_shipdate").cast("date")).alias("max_ship"),
+    )
+    li.count()  # the "real work" action the metrics piggyback on
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_qty"], m["min_ship"], m["max_ship"])],
+        "n_rows long, sum_qty double, min_ship date, max_ship date",
+    )
+
+
+@query(
     "profile_join_skew",
     "§2.4/§4 join-key skew diagnostics (per-key histogram stats + heaviest key)",
     """

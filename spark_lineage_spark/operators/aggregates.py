@@ -77,6 +77,38 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_hll_two_level",
+    "§2.4 mergeable HLL sketches: per-group partials re-aggregated with hll_union_agg — rows-only",
+    None,
+)
+def agg_hll_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch pattern behind every incremental
+    distinct-count rollup (Spark 4 DataSketches): build a per-segment
+    HLL sketch of the customer keys ONCE (the expensive pass over the
+    fact), then answer the coarser question by UNIONING the stored
+    partials with ``hll_union_agg`` — no second scan, which is the
+    whole point at 100 TB (daily-partition sketches union into
+    month/total cardinalities for free). Output: one estimate row per
+    segment plus the ALL row from the union. Rows-only like
+    agg_approx_sketches (DataSketches binaries are Spark-specific),
+    deterministic within Spark; the union-vs-direct consistency
+    property (ALL estimate == single-pass global estimate) is asserted
+    in tests/test_determinism.py::test_hll_union_matches_direct."""
+    c = load(spark, sf_dir, "customer")
+    partials = c.groupBy("c_mktsegment").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk")
+    )
+    per_segment = partials.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.hll_sketch_estimate("sk").alias("est_distinct"),
+    )
+    overall = partials.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct")
+    ).select(F.lit("ALL").alias("segment"), "est_distinct")
+    return per_segment.unionByName(overall)
+
+
+@query(
     "agg_rollup",
     "§2.4 rollup (subtotal levels, ANSI null markers)",
     """

@@ -204,6 +204,7 @@ _VERIFY_FIRST = [
     "llm_ann_int8_rerank", "stream_dedup_simhash",
     "profile_join_skew", "dq_forget_user_sweep", "join_asof_tolerance",
     "llm_blocklist_filter", "llm_doc_hash_embedding",
+    "obs_observation_metrics", "agg_hll_two_level",
 ]
 
 # ... and run these LAST among the unverified: rows-only checks (weaker

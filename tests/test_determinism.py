@@ -71,3 +71,23 @@ def test_result_stable_across_partitioning(spark, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert few == many, f"{name} result depends on partitioning"
+
+
+def test_hll_union_matches_direct(spark):
+    """Mergeable-sketch consistency: hll_union_agg over the per-segment
+    partials must estimate the SAME cardinality as a single direct
+    global sketch (DataSketches HLL union is lossless over sketches of
+    the same lgK), and land within 5% of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from spark_lineage_spark.operators.aggregates import agg_hll_two_level
+    from spark_lineage_spark.tables import load
+
+    rows = {r.segment: r.est_distinct for r in agg_hll_two_level(spark, SF).collect()}
+    c = load(spark, SF, "customer")
+    direct = c.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("c_custkey")).alias("e")
+    ).collect()[0].e
+    exact = c.select("c_custkey").distinct().count()
+    assert rows["ALL"] == direct, (rows["ALL"], direct)
+    assert abs(rows["ALL"] - exact) / exact < 0.05, (rows["ALL"], exact)

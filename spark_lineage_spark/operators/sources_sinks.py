@@ -236,6 +236,106 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_python_pushdown",
+    "§2.1 Spark-4 Python data source filter pushdown (reader prunes at generation)",
+    """
+    SELECT CAST(i % 7 AS BIGINT) AS bucket, count(*) AS n, CAST(sum(i) AS BIGINT) AS total
+    FROM (SELECT unnest(generate_series(0, 9999)) AS i)
+    WHERE i > 2000 AND i < 9000 AND i % 2 = 0
+    GROUP BY 1
+    """,
+)
+def source_python_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 Python data source FILTER PUSHDOWN
+    (pyspark:sql/datasource.py ``DataSourceReader.pushFilters``): the
+    reader accepts the range predicates (i > 2000, i < 9000) and
+    clamps each partition's generation bounds — rows outside the range
+    are NEVER MATERIALIZED, the connector-side pruning that makes a
+    custom source usable at 100 TB — while the non-pushable residual
+    (i % 2 = 0) is returned to Spark and applied post-scan (asserted
+    in tests/test_plans.py::test_python_source_pushdown_prunes).
+    Requires spark.sql.python.filterPushdown.enabled (scoped to this
+    build). Oracle applies the identical WHERE to the same generated
+    range, so a reader that over- or under-prunes hash-mismatches."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        GreaterThan,
+        InputPartition,
+        LessThan,
+    )
+
+    N, PARTS = 10000, 4
+
+    class RangePartition(InputPartition):
+        def __init__(self, start, end):
+            self.start, self.end = start, end
+
+    class PushdownReader(DataSourceReader):
+        def __init__(self):
+            self.lo, self.hi = 0, N  # [lo, hi) after pushdown
+
+        def pushFilters(self, filters):
+            for f in filters:
+                if isinstance(f, GreaterThan) and f.attribute == ("i",):
+                    self.lo = max(self.lo, int(f.value) + 1)
+                elif isinstance(f, LessThan) and f.attribute == ("i",):
+                    self.hi = min(self.hi, int(f.value))
+                else:
+                    yield f  # residual: Spark applies it post-scan
+
+        def partitions(self):
+            span = max(0, self.hi - self.lo)
+            step = -(-span // PARTS) if span else 1
+            return [
+                RangePartition(
+                    self.lo + p * step, min(self.lo + (p + 1) * step, self.hi)
+                )
+                for p in range(PARTS)
+                if self.lo + p * step < self.hi
+            ]
+
+        def read(self, partition):
+            import pyarrow as pa
+
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(range(partition.start, partition.end), type=pa.int64())],
+                names=["i"],
+            )
+
+    class PushdownSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "sls_synth_pushdown"
+
+        def schema(self):
+            return "i bigint"
+
+        def reader(self, schema):
+            return PushdownReader()
+
+    try:
+        spark.dataSource.register(PushdownSource)
+    except Exception:
+        pass  # already registered in this session
+    # pushdown planning runs lazily at the first ACTION, after this
+    # builder returns — so the conf must stay set, not be restored
+    # here. It also rides RUNTIME_CONFS (session.py) so every entry
+    # point plans with it; readers that don't implement pushFilters
+    # (source_python_datasource) are unaffected (default = all
+    # filters residual).
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        spark.read.format("sls_synth_pushdown")
+        .load()
+        .filter((F.col("i") > 2000) & (F.col("i") < 9000) & (F.col("i") % 2 == 0))
+    )
+    return df.groupBy((F.col("i") % 7).alias("bucket")).agg(
+        F.count("*").alias("n"), F.sum("i").alias("total")
+    )
+
+
+@query(
     "source_jdbc_roundtrip",
     "§2.1 jdbc scan (embedded Derby round-trip, partitioned read)",
     """

@@ -38,6 +38,10 @@ RUNTIME_CONFS: dict[str, str] = {
     # AQE: runtime coalescing, skew-join splitting, broadcast conversion.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Python data sources implementing DataSourceReader.pushFilters
+    # prune at generation (source_python_pushdown); readers without
+    # pushFilters keep the default everything-is-residual behavior.
+    "spark.sql.python.filterPushdown.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # size coalesced shuffles by bytes (advisory 64MB), not by the
     # static partition count: at scale this still yields full

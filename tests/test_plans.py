@@ -463,3 +463,23 @@ def test_asof_tolerance_single_shuffle(spark):
     p = plan_str(join_asof_tolerance(spark, SF))
     assert "Join" not in p, p
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_python_source_pushdown_prunes(spark):
+    """The Python data source's pushFilters must absorb the range
+    predicates (they vanish from the post-scan Filter — rows outside
+    the range are never generated) while the non-pushable modulo
+    residual stays Spark-side."""
+    from spark_lineage_spark.operators.sources_sinks import source_python_pushdown
+
+    df = source_python_pushdown(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "sls_synth_pushdown" in p, p
+    m = re.search(r"Filter \(([^\n]*)\)\n", p)
+    assert m, p
+    residual = m.group(1)
+    assert "% 2" in residual, residual  # modulo stays Spark-side
+    assert "2000" not in residual and "9000" not in residual, residual
+    # the reader really pruned: only the clamped range is generated
+    total_rows = sum(r.n for r in df.collect())
+    assert total_rows == len([i for i in range(2001, 9000) if i % 2 == 0])

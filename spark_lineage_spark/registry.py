@@ -205,7 +205,7 @@ _VERIFY_FIRST = [
     "profile_join_skew", "dq_forget_user_sweep", "join_asof_tolerance",
     "llm_blocklist_filter", "llm_doc_hash_embedding",
     "obs_observation_metrics", "agg_hll_two_level",
-    "source_python_pushdown",
+    "source_python_pushdown", "stream_chained_stateful",
 ]
 
 # ... and run these LAST among the unverified: rows-only checks (weaker

@@ -497,6 +497,74 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(out, mode="update")
 
 
+@query(
+    "stream_chained_stateful",
+    "§2.9 chained stateful operators (dedup-within-watermark -> tumbling window, append mode)",
+    """
+    SELECT time_bucket(INTERVAL '6 hours', date_trunc('microseconds', ts)) AS window_start,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO stateful operators chained in ONE streaming query (the
+    Spark-3.5+/4 multiple-stateful-operators capability):
+    ``dropDuplicatesWithinWatermark`` absorbs an at-least-once
+    delivery duplicate of EVERY event (batch 0 carries each event
+    twice), and the surviving stream feeds a tumbling-window
+    aggregation — in APPEND mode, the production output mode, where a
+    window emits only once its end passes the watermark. A finite
+    availableNow run would therefore withhold every still-open window,
+    so batch 1 is a single FLUSH sentinel 48 h past the real data:
+    processing it advances the watermark beyond every real window's
+    end, they all emit, and the sentinel's own window (still open when
+    the run terminates) never does — the emitted set is exactly the
+    batch GROUP BY oracle with the duplicates removed. Dedup state is
+    bounded by the watermark delay (1 h of event_ids), window state by
+    open windows — both the shapes that hold at 100 TB."""
+    import glob
+
+    from spark_lineage_spark.tables import load
+
+    run_dir = tempfile.mkdtemp(prefix="sls_chain_")
+    src = os.path.join(run_dir, "src")
+    os.makedirs(src)
+    ev = load(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]  # driver scalar, metadata-scale
+    doubled = ev.unionByName(ev)
+    flush = spark.createDataFrame(
+        [(int(-1), max_ts, int(0), "flush", float(0.0), None)],
+        ev.schema,
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 48 HOURS"))
+    for k, batch_df in ((0, doubled), (1, flush)):
+        stage = os.path.join(run_dir, f"stage{k}")
+        batch_df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(stage + "/part-*.parquet")[0]
+        dst = os.path.join(src, f"b{k}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_600_000_000 + k, 1_600_000_000 + k))
+        shutil.rmtree(stage)
+
+    schema = spark.read.parquet(os.path.join(src, "b0.parquet")).schema
+    from spark_lineage_spark.tables import _normalize_ts
+
+    stream = _normalize_ts(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy(F.window("ts", "6 hours")).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value")
+    )
+    out = run_to_memory(agg, mode="append")
+    shutil.rmtree(run_dir, ignore_errors=True)
+    return out.select(
+        F.col("window.start").alias("window_start"), "n", "total_value"
+    )
+
+
 def _simhash_stream_oracle() -> str:
     from spark_lineage_spark.operators.dedup import _SIMHASH_CTES
 

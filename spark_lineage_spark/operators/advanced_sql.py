@@ -340,8 +340,8 @@ def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT count(*) AS n_rows,
            round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
              AS sum_qty,
-           min(CAST(l_shipdate AS DATE)) AS min_ship,
-           max(CAST(l_shipdate AS DATE)) AS max_ship
+           strftime(min(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS min_ship,
+           strftime(max(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS max_ship
     FROM lineitem
     """,
 )
@@ -375,9 +375,18 @@ def obs_observation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li.count()  # the "real work" action the metrics piggyback on
     m = obs.get
+    # dates travel as ISO strings: Spark DateType -> pandas object vs
+    # DuckDB DATE -> datetime64 would dtype-mismatch in the compare
     return spark.createDataFrame(
-        [(m["n_rows"], m["sum_qty"], m["min_ship"], m["max_ship"])],
-        "n_rows long, sum_qty double, min_ship date, max_ship date",
+        [
+            (
+                m["n_rows"],
+                m["sum_qty"],
+                m["min_ship"].isoformat(),
+                m["max_ship"].isoformat(),
+            )
+        ],
+        "n_rows long, sum_qty double, min_ship string, max_ship string",
     )
 
 
@@ -1716,3 +1725,49 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir, ["events"])
     return spark.sql(_ACF_SQL)
+
+
+@query(
+    "sql_named_parameters",
+    "§2.2/§2.12 parameterized SQL (named + positional markers, injection-safe)",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_totalprice >= 50000.0
+      AND o_orderstatus = 'O'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 3.4+/4 parameterized SQL — ``spark.sql(query, args=...)``
+    with ``:name`` markers. This is the injection-safe templating path
+    every dashboard / scheduled-report layer should use instead of
+    string interpolation: parameters are bound as typed literals in
+    the parsed plan (so Catalyst still constant-folds and pushes them
+    into the scan — the parquet row-group filter on o_totalprice is
+    identical to the hand-written literal query's), and a malicious
+    value cannot change the query shape. The oracle is the same query
+    with the literals inlined, which also proves the binding is
+    value-faithful (timestamp param arrives as TIMESTAMP, not a
+    string compare)."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        WHERE o_totalprice >= :min_price
+          AND o_orderstatus = :status
+          AND o_orderdate >= CAST(:start_ts AS TIMESTAMP)
+        GROUP BY o_orderpriority
+        """,
+        args={
+            "min_price": 50000.0,
+            "status": "O",
+            "start_ts": "1996-01-01 00:00:00",
+        },
+    )

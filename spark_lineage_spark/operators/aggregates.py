@@ -848,3 +848,46 @@ def agg_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir, ["lineitem"])
     return spark.sql(_CORR_SQL)
+
+
+@query(
+    "agg_bitmap_distinct",
+    "§2.4 exact distinct via bitmap aggregation (bucketed bitmaps, OR-mergeable)",
+    """
+    SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'ALL', count(DISTINCT l_orderkey) FROM lineitem
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting with Spark 3.5's bitmap functions — the
+    ClickHouse-groupBitmap shape that replaces count(DISTINCT) at
+    100 TB. Keys are sharded into 32k-bit buckets
+    (``bitmap_bucket_number``); each (group, bucket) aggregates a fixed
+    4 KB bitmap via ``bitmap_construct_agg`` (map-side partial, tiny
+    state), and the distinct count is the SUM of per-bucket popcounts —
+    no Expand plan, no per-group hash set of raw keys. The stored
+    per-bucket bitmaps are also OR-mergeable: the ALL row is produced
+    by ``bitmap_or_agg`` over the per-flag bitmaps (a rollup over
+    sketches, not a rescan of the fact), which is exactly how a
+    day->month->total distinct rollup avoids re-reading history.
+    Unlike HLL this is EXACT, so the DuckDB count(DISTINCT) oracle is a
+    full value-hash check of both levels."""
+    li = load(spark, sf_dir, "lineitem")
+    per_bucket = li.groupBy(
+        "l_returnflag",
+        F.bitmap_bucket_number(F.col("l_orderkey")).alias("bucket"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position(F.col("l_orderkey"))).alias("bm")
+    )
+    per_flag = per_bucket.groupBy("l_returnflag").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_orders")
+    )
+    overall = (
+        per_bucket.groupBy("bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_orders"))
+        .select(F.lit("ALL").alias("l_returnflag"), "n_orders")
+    )
+    return per_flag.unionByName(overall)

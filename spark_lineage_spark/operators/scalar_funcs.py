@@ -798,3 +798,56 @@ def fn_format_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("%x", "s_suppkey").alias("key_hex"),
         F.lpad(F.col("s_suppkey").cast("string"), 8, "0").alias("key_lpad"),
     )
+
+
+@query(
+    "fn_interval_battery",
+    "§2.8 interval arithmetic (month-clamped add_months, day-time intervals, ISO week fields)",
+    """
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3mo,
+           strftime(CAST(o_orderdate AS DATE) - INTERVAL 14 MONTH, '%Y-%m-%d') AS minus14mo,
+           strftime(last_day(CAST(o_orderdate AS DATE)) + INTERVAL 1 MONTH, '%Y-%m-%d') AS eom_plus1mo,
+           strftime(o_orderdate + INTERVAL 36 HOUR, '%Y-%m-%d %H:%M:%S') AS plus36h,
+           strftime(o_orderdate - INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS minus90min,
+           strftime(date_trunc('quarter', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS qtr_start,
+           strftime(date_trunc('week', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS week_start,
+           CAST(isodow(o_orderdate) - 1 AS INTEGER) AS wd_mon0,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week
+    FROM orders
+    """,
+)
+def fn_interval_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic beyond fn_datetime_battery's day offsets:
+    calendar-month addition with end-of-month CLAMPING (Jan 31 + 3 mo =
+    Apr 30 — both engines clamp, and the eom_plus1mo column pins the
+    clamp case for every row), negative year-crossing month offsets,
+    and day-time intervals applied to timestamps (``make_dt_interval``
+    on the Spark side == INTERVAL literals in DuckDB). Week fields pin
+    the Monday-based conventions: Spark ``weekday()`` (Mon=0) ==
+    DuckDB isodow-1, and both weekofyear()s are ISO weeks. All date /
+    timestamp results travel as formatted strings (see
+    fn_datetime_battery's dtype note). Map-only, codegen'd — no
+    shuffle, nothing for AQE to do."""
+    o = load(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    ts = F.col("o_orderdate")
+    iso, isots = "yyyy-MM-dd", "yyyy-MM-dd HH:mm:ss"
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.add_months(od, 3), iso).alias("plus3mo"),
+        F.date_format(F.add_months(od, -14), iso).alias("minus14mo"),
+        F.date_format(F.add_months(F.last_day(od), 1), iso).alias("eom_plus1mo"),
+        F.date_format(
+            ts + F.make_dt_interval(F.lit(0), F.lit(36), F.lit(0), F.lit(0)), isots
+        ).alias("plus36h"),
+        F.date_format(
+            ts - F.make_dt_interval(F.lit(0), F.lit(0), F.lit(90), F.lit(0)), isots
+        ).alias("minus90min"),
+        F.date_format(F.date_trunc("quarter", od), iso).alias("qtr_start"),
+        F.date_format(F.date_trunc("week", od), iso).alias("week_start"),
+        F.weekday(od).alias("wd_mon0"),
+        F.dayofyear(od).alias("doy"),
+        F.weekofyear(od).alias("iso_week"),
+    )

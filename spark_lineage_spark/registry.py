@@ -206,6 +206,7 @@ _VERIFY_FIRST = [
     "llm_blocklist_filter", "llm_doc_hash_embedding",
     "obs_observation_metrics", "agg_hll_two_level",
     "source_python_pushdown", "stream_chained_stateful",
+    "agg_bitmap_distinct", "fn_interval_battery", "sql_named_parameters",
 ]
 
 # ... and run these LAST among the unverified: rows-only checks (weaker

@@ -1771,3 +1771,122 @@ def sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "start_ts": "1996-01-01 00:00:00",
         },
     )
+
+
+@query(
+    "ts_session_window_builtin",
+    "§2.5/§2.9 built-in session_window in BATCH mode (per-session rows, gap 30 min)",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, date_trunc('microseconds', ts) AS tsu
+      FROM events
+    ), marked AS (
+      SELECT user_id, tsu,
+             CASE WHEN lag(tsu) OVER w IS NULL
+                    OR tsu - lag(tsu) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+    ), sess AS (
+      SELECT user_id, tsu,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(min(tsu), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(tsu) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sess_id
+    """,
+)
+def ts_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``F.session_window`` used in BATCH mode — the built-in dynamic-gap
+    windowing (one groupBy, Spark merges overlapping per-event windows
+    internally) vs ts_sessionize_batch's hand-rolled lag+cumsum. The
+    semantics differ at the boundary: the built-in closes a session
+    when gap >= 30 min EXACTLY (an event at ts == previous session end
+    starts a NEW session, because membership is ts < end), so the
+    oracle's new-session predicate is >= where the lag-based query's
+    is >. window.end is max(ts) + gap by definition — the oracle
+    reproduces it arithmetically. Per-session rows keyed by
+    (user_id, start) are a stable identity; timestamps travel as
+    microsecond strings (ns-parquet truncation note in FIXTURES.md).
+    One shuffle on user_id; the session merge itself is state inside
+    the aggregation operator, not an extra exchange."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    isots = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), isots).alias("session_start"),
+            F.date_format(F.col("sw.end"), isots).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# truncated EWMA: alpha = 1/2, 8 taps. Weight of lag j is 2^(7-j) in
+# 256ths; null lags (series head) drop out of numerator AND denominator
+# so the head is re-normalized, not biased toward zero.
+_EWMA_TAPS = 8
+_EWMA_NUM = " + ".join(
+    f"coalesce(lag(m, {j}) OVER w, 0) * {1 << (_EWMA_TAPS - 1 - j)}"
+    for j in range(_EWMA_TAPS)
+)
+_EWMA_DEN = " + ".join(
+    f"CASE WHEN lag(m, {j}) OVER w IS NOT NULL THEN {1 << (_EWMA_TAPS - 1 - j)} ELSE 0 END"
+    for j in range(_EWMA_TAPS)
+)
+
+def _ewma_sql(day_fmt: str) -> str:
+    # identical SQL both engines except the date->ISO-string function:
+    # Spark date_format vs DuckDB strftime (argument order differs too)
+    return f"""
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS m
+  FROM events GROUP BY 1, 2
+), sm AS (
+  SELECT user_id, d, m, {_EWMA_NUM} AS num, {_EWMA_DEN} AS den
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY d)
+)
+SELECT user_id, {day_fmt} AS day,
+       round(CAST(m AS DOUBLE) / 1000000.0, 6) AS daily_value,
+       round(CAST(num AS DOUBLE) / den / 1000000.0, 6) AS ewma_value
+FROM sm
+"""
+
+
+_EWMA_SQL = _ewma_sql("strftime(d, '%Y-%m-%d')")
+_EWMA_SPARK_SQL = _ewma_sql("date_format(d, 'yyyy-MM-dd')")
+
+
+@query(
+    "ts_ewma_smoothing",
+    "§2.5/§5.2 exponential smoothing (truncated EWMA, exact integer taps)",
+    _EWMA_SQL,
+    doc="Per-user daily EWMA (alpha=1/2, 8 taps) in exact scaled integers.",
+)
+def ts_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of each user's daily
+    value series — the denoising pass behind alerting baselines and
+    trend dashboards. The IIR recursion s_t = a*x_t + (1-a)*s_(t-1)
+    is not expressible as a window aggregate without recursion, so
+    this uses the standard FIR truncation: with alpha = 1/2 the tap
+    weights are 2^-1 ... 2^-8 and the tail beyond 8 taps carries
+    < 0.4% of the mass. Exactness: daily values are scaled to integer
+    micro-units, each tap multiplies by a power-of-two weight in
+    256ths, and numerator/denominator are exact BIGINT sums — the
+    single float division at the end runs on identical integers in
+    both engines, so round(6) is bit-stable (the
+    agg_correlation_matrix discipline applied to a time series).
+    Series heads re-normalize by the present-tap weight sum instead
+    of zero-padding. One shuffle on user_id serves the daily rollup
+    and the 8-lag window; taps are lag() reads inside one window
+    spec, not 8 self-joins."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_EWMA_SPARK_SQL)

@@ -999,3 +999,73 @@ def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("_k").alias("n_users"),
         )
     )
+
+
+@query(
+    "graph_bfs_khop",
+    "§2.14 k-hop BFS min-distance from a seed set (3 unrolled frontier expansions)",
+    """
+    WITH pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    d0 AS (SELECT DISTINCT u AS node, 0 AS dist FROM pairs WHERE u % 97 = 0),
+    f1 AS (
+      SELECT DISTINCT p.v AS node, 1 AS dist
+      FROM pairs p JOIN d0 ON p.u = d0.node
+      WHERE p.v NOT IN (SELECT node FROM d0)
+    ),
+    v1 AS (SELECT * FROM d0 UNION ALL SELECT * FROM f1),
+    f2 AS (
+      SELECT DISTINCT p.v AS node, 2 AS dist
+      FROM pairs p JOIN f1 ON p.u = f1.node
+      WHERE p.v NOT IN (SELECT node FROM v1)
+    ),
+    v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM f2),
+    f3 AS (
+      SELECT DISTINCT p.v AS node, 3 AS dist
+      FROM pairs p JOIN f2 ON p.u = f2.node
+      WHERE p.v NOT IN (SELECT node FROM v2)
+    )
+    SELECT node, dist FROM v2 UNION ALL SELECT * FROM f3
+    """,
+)
+def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS to depth 3 on the part co-purchase graph —
+    the frontier-expansion loop under every distributed
+    shortest-path / reachability job (Pregel's canonical example),
+    unrolled like graph_pagerank's BSP iterations. Seeds: nodes
+    divisible by 97 at distance 0. Each hop is ONE shuffle of the
+    edge table on the source node (join frontier->neighbors) plus an
+    anti-join against the visited set; the visited/frontier tables
+    are node-sized, so they broadcast under the same metadata-only
+    guard as PageRank — at 100 TB the per-hop cost is edge-scan +
+    broadcast lookup, never edge x edge. Min-distance is guaranteed
+    structurally (a node enters exactly one frontier, the first time
+    it is seen), so no per-node min() reduction is needed. Exact
+    integers end-to-end; frontier checkpoints keep the plan linear
+    in hops."""
+    und = copurchase_edges(spark, sf_dir)
+    pairs = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    bc = F.broadcast if small_node_count(spark, sf_dir) else (lambda df: df)
+    frontier = (
+        pairs.select(F.col("u").alias("node"))
+        .distinct()
+        .filter(F.col("node") % 97 == 0)
+        .withColumn("dist", F.lit(0))
+        .transform(lineage_checkpoint_lazy)
+    )
+    visited = frontier
+    for hop in (1, 2, 3):
+        frontier = (
+            pairs.join(bc(frontier.select(F.col("node").alias("u"))), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(bc(visited.select("node")), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .transform(lineage_checkpoint_lazy)
+        )
+        visited = visited.unionAll(frontier)
+    return visited

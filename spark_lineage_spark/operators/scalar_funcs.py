@@ -851,3 +851,53 @@ def fn_interval_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofyear(od).alias("doy"),
         F.weekofyear(od).alias("iso_week"),
     )
+
+
+@query(
+    "fn_aes_roundtrip",
+    "§2.8 column encryption (aes_encrypt/aes_decrypt ECB round-trip, try_ variant)",
+    """
+    SELECT c_custkey,
+           c_name AS plaintext,
+           c_name AS roundtrip,
+           CAST((strlen(c_name) // 16 + 1) * 16 AS INTEGER) AS cipher_len,
+           CAST(NULL AS VARCHAR) AS bad_key
+    FROM customer
+    """,
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption — the at-rest PII protection pattern
+    (encrypt before the sink, decrypt behind an entitlement check).
+    AES-128-ECB is the deterministic mode (no IV), so
+    decrypt(encrypt(x)) is value-stable and the PKCS#7 ciphertext
+    length is exactly (len div 16 + 1)*16 bytes — both facts the
+    DuckDB oracle checks arithmetically without implementing AES:
+    roundtrip must equal the plaintext, cipher_len is closed-form.
+    ``try_aes_decrypt`` with a WRONG key returns NULL instead of
+    raising (the try_* error-safe discipline of fn_try_arithmetic) —
+    under ANSI mode the non-try form would kill the whole job at
+    100 TB for one bad row. All map-side codegen'd JVM crypto; no
+    UDF, no shuffle."""
+    c = load(spark, sf_dir, "customer")
+    key = F.lit("0123456789abcdef")
+    wrong = F.lit("fedcba9876543210")
+    cipher = F.expr("aes_encrypt(c_name, '0123456789abcdef', 'ECB')")
+    return c.select(
+        "c_custkey",
+        F.col("c_name").alias("plaintext"),
+        F.decode(
+            F.expr(
+                "aes_decrypt(aes_encrypt(c_name, '0123456789abcdef', 'ECB'),"
+                " '0123456789abcdef', 'ECB')"
+            ),
+            "UTF-8",
+        ).alias("roundtrip"),
+        F.octet_length(cipher).alias("cipher_len"),
+        F.decode(
+            F.expr(
+                "try_aes_decrypt(aes_encrypt(c_name, '0123456789abcdef', 'ECB'),"
+                " 'fedcba9876543210', 'ECB')"
+            ),
+            "UTF-8",
+        ).alias("bad_key"),
+    )

@@ -2261,3 +2261,96 @@ def llm_doc_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "nrm", F.posexplode("vec").alias("dim", "v"))
         .select("doc_id", "dim", F.round(F.col("v") / F.col("nrm"), 6).alias("weight"))
     )
+
+
+@query(
+    "llm_quality_threshold_sweep",
+    "§2.11 quality-filter threshold sweep (token-retention tuning curve)",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS n_stop
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, n_words, n_stop * 1000 // n_words AS stop_permille FROM m
+    ), th(threshold) AS (VALUES (0), (30), (60), (90), (120), (150)),
+    per_t AS (
+      SELECT th.threshold,
+             count(CASE WHEN stop_permille >= th.threshold THEN 1 END) AS docs_kept,
+             CAST(coalesce(sum(CASE WHEN stop_permille >= th.threshold
+                                    THEN n_words END), 0) AS BIGINT) AS tokens_kept
+      FROM scored CROSS JOIN th
+      GROUP BY th.threshold
+    )
+    SELECT threshold, docs_kept, tokens_kept,
+           round(CAST(docs_kept AS DOUBLE)
+                 / first_value(docs_kept) OVER w, 6) AS doc_retention,
+           round(CAST(tokens_kept AS DOUBLE)
+                 / first_value(tokens_kept) OVER w, 6) AS token_retention
+    FROM per_t
+    WINDOW w AS (ORDER BY threshold ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND UNBOUNDED FOLLOWING)
+    """,
+)
+def llm_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tuning curve a data team plots before committing to a
+    quality cutoff: for each candidate threshold on a stopword-density
+    score, how many documents and how many TOKENS survive (token
+    retention is what the training-budget cares about, and it always
+    falls slower than doc retention because long docs skew natural).
+    Mirrors llm_dedup_threshold_sweep's shape for the quality axis.
+
+    Score is integer per-mille (n_stop*1000 div n_words — Spark `div`
+    == DuckDB `//` on non-negatives), so threshold comparisons are
+    exact; retention fractions are the only doubles and they divide
+    identical exact integers. The 6-row threshold table is
+    broadcast-cross-joined onto the scored docs: ONE scan of the
+    corpus, one 6-key hash agg, no per-threshold rescan — at 100 TB
+    the sweep costs the same as a single filter evaluation. Totals come
+    from the threshold-0 row itself (the score is non-negative, so
+    threshold 0 keeps everything) via a window over the 6-row agg
+    result — not a second corpus scan."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        marker_count(toks, ["the", "a", "of", "and", "to", "in", "is"]).alias("n_stop"),
+    ).select(
+        "doc_id",
+        "n_words",
+        F.expr("n_stop * 1000 div n_words").alias("stop_permille"),
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in (0, 30, 60, 90, 120, 150)], "threshold int"
+    )
+    kept = F.col("stop_permille") >= F.col("threshold")
+    per_t = (
+        scored.join(F.broadcast(th))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.when(kept, 1)).alias("docs_kept"),
+            F.coalesce(F.sum(F.when(kept, F.col("n_words"))), F.lit(0)).alias(
+                "tokens_kept"
+            ),
+        )
+    )
+    # threshold 0 keeps every doc (the score is non-negative), so the
+    # totals ARE the first row — a window over the 6-row agg result,
+    # not a second corpus scan
+    w = Window.orderBy("threshold").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per_t.select(
+        "threshold",
+        "docs_kept",
+        "tokens_kept",
+        F.round(
+            F.col("docs_kept").cast("double") / F.first("docs_kept").over(w), 6
+        ).alias("doc_retention"),
+        F.round(
+            F.col("tokens_kept").cast("double") / F.first("tokens_kept").over(w), 6
+        ).alias("token_retention"),
+    )

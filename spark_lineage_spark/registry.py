@@ -207,6 +207,8 @@ _VERIFY_FIRST = [
     "obs_observation_metrics", "agg_hll_two_level",
     "source_python_pushdown", "stream_chained_stateful",
     "agg_bitmap_distinct", "fn_interval_battery", "sql_named_parameters",
+    "ts_session_window_builtin", "graph_bfs_khop",
+    "llm_quality_threshold_sweep", "ts_ewma_smoothing", "fn_aes_roundtrip",
 ]
 
 # ... and run these LAST among the unverified: rows-only checks (weaker

@@ -483,3 +483,52 @@ def test_python_source_pushdown_prunes(spark):
     # the reader really pruned: only the clamped range is generated
     total_rows = sum(r.n for r in df.collect())
     assert total_rows == len([i for i in range(2001, 9000) if i % 2 == 0])
+
+
+def test_session_window_builtin_single_shuffle(spark):
+    """Built-in batch session_window: the session merge is state inside
+    the aggregate, so the plan carries exactly one Exchange (on
+    user_id) and no Window operator."""
+    from spark_lineage_spark.operators.advanced_sql import ts_session_window_builtin
+
+    p = plan_str(ts_session_window_builtin(spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert "SessionWindow" in p or "session_window" in p, p
+
+
+def test_bitmap_distinct_no_expand(spark):
+    """agg_bitmap_distinct replaces count(DISTINCT): no Expand operator
+    (the multi-distinct rewrite) anywhere in the plan — distinct counts
+    come from popcounts over fixed-size bitmap partials."""
+    from spark_lineage_spark.operators.aggregates import agg_bitmap_distinct
+
+    p = plan_str(agg_bitmap_distinct(spark, SF))
+    assert "Expand" not in p, p
+    assert "bitmap_construct_agg" in p, p
+
+
+def test_bfs_frontier_checkpointed_and_disjoint(spark):
+    """graph_bfs_khop: each hop's frontier is checkpointed, so the
+    final plan is a Union over materialized frontiers (no join replays
+    the whole expansion), and min-distance holds structurally — every
+    node appears exactly once."""
+    from spark_lineage_spark.operators.analytics import graph_bfs_khop
+
+    df = graph_bfs_khop(spark, SF)
+    p = plan_str(df)
+    assert "Union" in p, p
+    assert "SortMergeJoin" not in p, p  # hop joins broadcast, then checkpoint
+    rows = df.collect()
+    nodes = [r.node for r in rows]
+    assert len(nodes) == len(set(nodes)), "a node got two distances"
+    assert {r.dist for r in rows} <= {0, 1, 2, 3}
+    assert all(r.node % 97 == 0 for r in rows if r.dist == 0)
+
+
+def test_quality_sweep_single_corpus_scan(spark):
+    """The 6-threshold sweep costs one corpus scan: exactly one scan of
+    documents.parquet in the physical plan."""
+    from spark_lineage_spark.operators.text import llm_quality_threshold_sweep
+
+    p = plan_str(llm_quality_threshold_sweep(spark, SF))
+    assert p.count("documents.parquet") == 1, p

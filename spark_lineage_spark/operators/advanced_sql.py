@@ -1890,3 +1890,44 @@ def ts_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec, not 8 self-joins."""
     register_views(spark, sf_dir, ["events"])
     return spark.sql(_EWMA_SPARK_SQL)
+
+
+@query(
+    "sql_pipe_syntax",
+    "§2 advanced SQL: Spark 4.0 SQL pipe syntax (|> operator chain)",
+    """
+    SELECT l_returnflag,
+           count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_quantity >= 10
+    GROUP BY l_returnflag
+    HAVING count(*) > 100
+    ORDER BY l_returnflag
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.0's SQL pipe syntax — the linear `FROM ... |> WHERE ...
+    |> AGGREGATE` form (GoogleSQL's pipe operators) that reads in
+    execution order instead of inside-out nesting. Each |> stage maps
+    to the same logical operator as its classic clause, so Catalyst
+    plans this IDENTICALLY to the nested form — the oracle is the
+    classic SQL, proving pipe syntax is pure surface (same filter
+    pushdown, same partial aggregation). EXTEND adds the computed
+    revenue column mid-pipe (the pipe-world SELECT-with-new-columns),
+    AGGREGATE ... GROUP BY replaces the projection+groupBy pair, and
+    the trailing WHERE after AGGREGATE is pipe-HAVING."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity >= 10
+        |> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+        |> AGGREGATE count(*) AS n_items,
+                     round(sum(disc_price), 2) AS revenue
+           GROUP BY l_returnflag
+        |> WHERE n_items > 100
+        |> SELECT l_returnflag, n_items, revenue
+        |> ORDER BY l_returnflag
+        """
+    )

@@ -901,3 +901,132 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "UTF-8",
         ).alias("bad_key"),
     )
+
+
+@query(
+    "fn_variant_typed_get",
+    "§2.8 VariantType typed-path extraction (variant_get / try_variant_get, full oracle)",
+    """
+    SELECT event_id,
+           CAST(json_extract(j, '$.u') AS BIGINT) AS u,
+           json_extract_string(j, '$.t') AS t,
+           round(CAST(json_extract(j, '$.vals[1]') AS DOUBLE), 6) AS second_val,
+           CAST(json_extract(j, '$.k') AS INTEGER) AS k,
+           CAST(NULL AS INTEGER) AS missing
+    FROM (
+      SELECT event_id,
+             to_json(struct_pack(
+               u := user_id, t := event_type,
+               vals := [round(value, 6), round(value * 2, 6)],
+               k := CAST(json_extract(props, '$.k') AS INTEGER)
+             )) AS j
+      FROM events
+    )
+    """,
+)
+def fn_variant_typed_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType with TYPED extraction — unlike
+    fn_variant_json (rows-only: variant's display form is
+    engine-specific), ``variant_get(v, path, type)`` returns plain
+    SQL-typed columns, so the whole encode->shred->extract pipeline is
+    value-hash-checked against DuckDB's JSON path functions: a nested
+    object (scalars + array + a field lifted from the props JSON) is
+    built per event, parsed to VARIANT once, then read back by path
+    with target types, including array indexing ($.vals[1]) and
+    ``try_variant_get`` on a missing path returning NULL instead of
+    raising (the error-safe variant the ingest path needs when 100 TB
+    of semi-structured rows disagree about schema). Map-only, no
+    shuffle; variant decode happens once per row for all five
+    extractions."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr(f"variant_get({_V}, '$.u', 'bigint')").alias("u"),
+        F.expr(f"variant_get({_V}, '$.t', 'string')").alias("t"),
+        F.round(F.expr(f"variant_get({_V}, '$.vals[1]', 'double')"), 6).alias(
+            "second_val"
+        ),
+        F.expr(f"variant_get({_V}, '$.k', 'int')").alias("k"),
+        F.expr(f"try_variant_get({_V}, '$.nope', 'int')").alias("missing"),
+    )
+
+
+# the variant column expression, inlined as SQL text so each extraction
+# call references the same named struct build (common-subexpression
+# eliminated by Catalyst into one parse_json per row)
+_V = (
+    "parse_json(to_json(named_struct("
+    "'u', user_id, 't', event_type, "
+    "'vals', array(round(value, 6), round(value * 2, 6)), "
+    "'k', CAST(get_json_object(props, '$.k') AS INT))))"
+)
+
+
+@query(
+    "fn_nested_struct_array",
+    "§2.8 nested array-of-struct pipeline (collect sorted structs, HOF transform, re-flatten)",
+    """
+    SELECT l_orderkey AS o_orderkey,
+           count(*) AS n_lines,
+           round(first(l_quantity ORDER BY l_linenumber, l_quantity), 2) AS first_qty,
+           round(CAST(sum(CAST(round(l_quantity * l_extendedprice, 2)
+                               AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_net,
+           round(CAST(max(CAST(round(l_quantity * l_extendedprice, 2)
+                               AS DECIMAL(18,2))) AS DOUBLE), 2) AS max_net
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def fn_nested_struct_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nest -> enrich -> unnest cycle of document-shaped data: per
+    order, lines become an ORDER-PINNED array of structs
+    (array_sort on the linenumber field — collect_list alone has
+    nondeterministic arrival order), each struct gains a computed
+    ``net`` field via a higher-order transform (withField inside
+    F.transform — the struct is rebuilt JVM-side, no explode), and
+    the answers are read from the nested value directly: positional
+    access lines[0], and F.aggregate folds for sum/max over the
+    array. The fold accumulates DECIMAL(18,2) (each net rounded to
+    cents first), so nesting cost nothing in exactness — the oracle
+    computes the same numbers relationally without ever building the
+    array. One shuffle (the groupBy); everything after is map-side
+    array algebra — at 100 TB this is why you enrich INSIDE the
+    nested form instead of exploding 6 rows per order back out."""
+    li = load(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("ln"),
+                    F.col("l_quantity").alias("qty"),
+                    F.col("l_extendedprice").alias("price"),
+                )
+            )
+        ).alias("lines")
+    )
+    enriched = nested.withColumn(
+        "lines",
+        F.transform(
+            "lines",
+            lambda s: s.withField(
+                "net", F.round(s["qty"] * s["price"], 2).cast("decimal(18,2)")
+            ),
+        ),
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return enriched.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.size("lines").alias("n_lines"),
+        F.round(F.col("lines")[0]["qty"], 2).alias("first_qty"),
+        F.round(
+            F.aggregate(
+                "lines", zero, lambda acc, s: (acc + s["net"]).cast("decimal(18,2)")
+            ).cast("double"),
+            2,
+        ).alias("total_net"),
+        F.round(
+            F.aggregate(
+                "lines", zero, lambda acc, s: F.greatest(acc, s["net"])
+            ).cast("double"),
+            2,
+        ).alias("max_net"),
+    )

@@ -209,6 +209,8 @@ _VERIFY_FIRST = [
     "agg_bitmap_distinct", "fn_interval_battery", "sql_named_parameters",
     "ts_session_window_builtin", "graph_bfs_khop",
     "llm_quality_threshold_sweep", "ts_ewma_smoothing", "fn_aes_roundtrip",
+    "sql_pipe_syntax", "fn_variant_typed_get", "fn_nested_struct_array",
+    "stream_checkpoint_recovery",
 ]
 
 # ... and run these LAST among the unverified: rows-only checks (weaker

@@ -1083,3 +1083,106 @@ def sink_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+def _split_events_dir(sf_dir: str, n_parts: int = 4) -> str:
+    """Stage events.parquet as n_parts single-file parquets keyed by
+    event_id % n_parts (deterministic), cached per fixture like
+    _stream_dir. Used by restart-shaped queries that need files to
+    arrive in waves."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = table_path(sf_dir, "events")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}:{st.st_size}:{st.st_mtime_ns}:split{n_parts}".encode()
+    ).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"sls_stream_split_{key}")
+    done = os.path.join(d, "_DONE")
+    if not os.path.exists(done):
+        tmp = f"{d}.{os.getpid()}.{uuid.uuid4().hex[:6]}.tmp"
+        os.makedirs(tmp, exist_ok=True)
+        t = pq.read_table(src)
+        mod = pc.bit_wise_and(t.column("event_id"), n_parts - 1)
+        for i in range(n_parts):
+            pq.write_table(t.filter(pc.equal(mod, i)), os.path.join(tmp, f"f{i}.parquet"))
+        open(os.path.join(tmp, "_DONE"), "w").close()
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return d
+
+
+@query(
+    "stream_checkpoint_recovery",
+    "§2.9 checkpoint restart + exactly-once file sink (no reprocessing across runs)",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The restart drill every production pipeline must pass: run a
+    streaming ingest over the first half of the input files, STOP, let
+    more files land, then start a NEW query from the SAME checkpoint.
+    The file source's checkpoint records which files batch N consumed,
+    so run 2 processes ONLY the new arrivals; the parquet file sink's
+    _spark_metadata commit log makes the output transactional (a batch
+    re-read through the log sees exactly the committed files — a
+    half-written or reprocessed batch would either not appear or
+    appear twice). The oracle is the batch aggregate over ALL events:
+    any dropped file undercounts, any reprocessed file double-counts,
+    so the value-hash IS the exactly-once check. Sums are exact
+    integer micro-units (no float accumulation across the
+    batch/stream boundary)."""
+    from spark_lineage_spark.tables import _normalize_ts
+
+    split = _split_events_dir(sf_dir)
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    work = tempfile.mkdtemp(prefix="sls_ckpt_recovery_")
+    in_dir = os.path.join(work, "in")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(in_dir)
+
+    def run_once() -> None:
+        stream = _normalize_ts(spark.readStream.schema(schema).parquet(in_dir))
+        q = (
+            stream.select("event_id", "event_type", "value")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # wave 1: half the files -> run to completion -> query STOPS
+    for i in (0, 1):
+        shutil.copy(os.path.join(split, f"f{i}.parquet"), in_dir)
+    run_once()
+    # wave 2: the rest land; a NEW query resumes from the checkpoint
+    for i in (2, 3):
+        shutil.copy(os.path.join(split, f"f{i}.parquet"), in_dir)
+    run_once()
+
+    out = (
+        spark.read.parquet(out_dir)  # reads through _spark_metadata
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias(
+                "sum_micro"
+            ),
+        )
+        .transform(lineage_checkpoint)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out

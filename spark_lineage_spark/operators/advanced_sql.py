@@ -1931,3 +1931,49 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag
         """
     )
+
+
+@query(
+    "sql_group_by_all_lateral",
+    "§2 advanced SQL: GROUP BY ALL / ORDER BY ALL / lateral column aliases",
+    """
+    SELECT l_returnflag AS flag, l_linestatus AS status,
+           count(*) AS n, round(sum(l_quantity), 2) AS qty,
+           round(round(sum(l_quantity), 2) / count(*), 4) AS qty_per_item,
+           round(round(round(sum(l_quantity), 2) / count(*), 4) * 2, 4)
+             AS double_rate
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY 1, 2, 3, 4, 5, 6
+    """,
+)
+def sql_group_by_all_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analyst-ergonomics SQL sugar, proven to desugar to the
+    exact classic plan: GROUP BY ALL infers the grouping keys from the
+    non-aggregate select items, ORDER BY ALL sorts by every output
+    column left-to-right, and lateral column aliases let later select
+    items reference earlier ones (`qty_per_item` built from the `n`
+    and `qty` aliases, then `double_rate` built from `qty_per_item` —
+    a 2-deep alias chain Catalyst rewrites into nested projections).
+    The oracle spells everything out long-hand (explicit keys, ordinal
+    sort, re-expanded alias expressions), so the value hash proves the
+    sugar changes nothing: same keys, same hash aggregate, same sort
+    order. Lateral aliases matter at scale precisely because they are
+    pure sugar — the rewrite duplicates the EXPRESSION, not the
+    computation (one projection node, common subexpressions
+    eliminated), unlike a self-join someone might write instead."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT flag, status, n, qty,
+               round(qty / n, 4) AS qty_per_item,
+               round(qty_per_item * 2, 4) AS double_rate
+        FROM (
+          SELECT l_returnflag AS flag, l_linestatus AS status,
+                 count(*) AS n, round(sum(l_quantity), 2) AS qty
+          FROM lineitem
+          GROUP BY ALL
+        )
+        ORDER BY ALL
+        """
+    )

@@ -891,3 +891,86 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("ALL").alias("l_returnflag"), "n_orders")
     )
     return per_flag.unionByName(overall)
+
+
+@query(
+    "agg_count_min_sketch",
+    "§2.4 count-min sketch (portable md5 rows, mergeable counters, oracle-exact)",
+    """
+    WITH cells AS (
+      SELECT d.d AS d,
+             CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR) || ':' ||
+                                       CAST(d.d AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 256 AS cell,
+             count(*) AS cnt
+      FROM lineitem CROSS JOIN (SELECT unnest(range(4)) AS d) d
+      GROUP BY 1, 2
+    ), topk AS (
+      SELECT l_partkey, count(*) AS exact_cnt FROM lineitem
+      GROUP BY 1 ORDER BY exact_cnt DESC, l_partkey LIMIT 10
+    ), probes AS (
+      SELECT t.l_partkey, t.exact_cnt, d.d,
+             CAST(concat('0x', substr(md5(CAST(t.l_partkey AS VARCHAR) || ':' ||
+                                       CAST(d.d AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 256 AS cell
+      FROM topk t CROSS JOIN (SELECT unnest(range(4)) AS d) d
+    )
+    SELECT p.l_partkey, p.exact_cnt,
+           CAST(min(c.cnt) AS BIGINT) AS cms_est,
+           CAST(min(c.cnt) - p.exact_cnt AS BIGINT) AS overcount
+    FROM probes p JOIN cells c ON p.d = c.d AND p.cell = c.cell
+    GROUP BY 1, 2 ORDER BY p.exact_cnt DESC, p.l_partkey
+    """,
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch built from scratch with PORTABLE md5 row
+    hashes (d=4 rows x w=256 counters), so unlike Spark's native
+    ``count_min_sketch`` (xxhash-seeded binary blob, engine-specific)
+    every counter — and therefore the estimate — is bit-identical in
+    DuckDB and fully value-hash-checked. The sketch is the canonical
+    bounded-state frequency summary at 100 TB: each input row
+    contributes to exactly d cells, the per-partition partial agg
+    collapses a partition of any size to <= d*w=1024 cells BEFORE the
+    exchange, and two sketches merge by cell-wise addition (the
+    groupBy's merge step IS the sketch union). The estimate for a key
+    is min over its d counters; CMS never undercounts, so
+    ``overcount >= 0`` always — the output reports est vs exact for
+    the top-10 keys (deterministic count-desc/key tie-break). Query
+    side: the probe table is 10 keys x 4 rows, broadcast to the 1024
+    counters; nothing rescans the fact."""
+    li = load(spark, sf_dir, "lineitem")
+    depth = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("d")
+    cell = (
+        F.expr(
+            "cast(conv(substring(md5(cast(concat(cast(l_partkey AS STRING), ':',"
+            " cast(d AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+        )
+        % 256
+    ).alias("cell")
+    cells = (
+        li.select("l_partkey", depth)
+        .select("l_partkey", "d", cell)
+        .groupBy("d", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    topk = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "l_partkey")
+        .limit(10)
+    )
+    probes = topk.select("l_partkey", "exact_cnt", depth).select(
+        "l_partkey", "exact_cnt", "d", cell
+    )
+    return (
+        F.broadcast(probes)
+        .join(cells, ["d", "cell"])
+        .groupBy("l_partkey", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "l_partkey",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+    )

@@ -1069,3 +1069,330 @@ def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         visited = visited.unionAll(frontier)
     return visited
+
+
+@query(
+    "stats_ks_test",
+    "§2.14 two-sample Kolmogorov-Smirnov statistic (exact integer ECDF cross-products)",
+    """
+    WITH pts AS (
+      SELECT CAST(round(value * 1000000) AS BIGINT) AS v,
+             count(*) FILTER (WHERE event_type = 'click') AS ca,
+             count(*) FILTER (WHERE event_type = 'view')  AS cv
+      FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+    ), cum AS (
+      SELECT v,
+             sum(ca) OVER (ORDER BY v) AS cum_a,
+             sum(cv) OVER (ORDER BY v) AS cum_b,
+             (SELECT sum(ca) FROM pts) AS n_a,
+             (SELECT sum(cv) FROM pts) AS n_b
+      FROM pts
+    ), d AS (
+      SELECT n_a, n_b, abs(cum_a * n_b - cum_b * n_a) AS diff, v FROM cum
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(CAST(max(diff) AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b), 6) AS ks_d,
+           round(CAST(min(v) FILTER (WHERE diff = (SELECT max(diff) FROM d))
+                      AS DOUBLE) / 1000000, 6) AS at_value
+    FROM d GROUP BY n_a, n_b
+    """,
+)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D comparing the `value`
+    distributions of click vs view events. D = max |ECDF_a - ECDF_b|
+    needs a GLOBAL cumulative count — the scale trap is a
+    single-partition ORDER BY window over the raw events. Three
+    de-escalations keep it distributed: (1) values collapse to exact
+    integer micro-units and group to DISTINCT points first (the hash
+    agg is partial map-side, so the ordered stage sees distinct values,
+    not events); (2) the cumulative sum is two-phase — per-range-bucket
+    sums roll up to a tiny offsets table (one row per 50-unit bucket,
+    broadcast back), and the in-bucket window partitions BY bucket, so
+    no single task ever orders more than one bucket's points (the
+    ts_concurrency_sweep distributed-prefix-sum shape); (3) the ECDF
+    comparison stays in integers — |cum_a*n_b - cum_b*n_a| — so the
+    max and its argmin location are exact, with ONE float division at
+    the end. The argmax tie-break is the smallest value."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            F.round(F.col("value") * 1_000_000).cast("bigint").alias("v"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("ia"),
+            F.when(F.col("event_type") == "view", 1).otherwise(0).alias("ib"),
+        )
+    )
+    pts = ev.groupBy("v").agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cv"))
+    pts = lineage_checkpoint_lazy(
+        pts.withColumn("bucket", F.expr("v div 50000000"))
+    )
+    # phase 1: tiny per-bucket totals -> running offsets (rows = #buckets)
+    boff = (
+        pts.groupBy("bucket")
+        .agg(F.sum("ca").alias("ba"), F.sum("cv").alias("bv"))
+        .withColumn(
+            "oa",
+            F.coalesce(
+                F.sum("ba").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "ob",
+            F.coalesce(
+                F.sum("bv").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "oa", "ob")
+    )
+    # phase 2: in-bucket windows, bounded per task
+    w = Window.partitionBy("bucket").orderBy("v")
+    cum = (
+        pts.join(F.broadcast(boff), "bucket")
+        .withColumn("cum_a", F.sum("ca").over(w) + F.col("oa"))
+        .withColumn("cum_b", F.sum("cv").over(w) + F.col("ob"))
+    )
+    totals = pts.agg(
+        F.sum("ca").alias("n_a"), F.sum("cv").alias("n_b")
+    )
+    d = cum.crossJoin(F.broadcast(totals)).select(
+        "n_a",
+        "n_b",
+        "v",
+        F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")).alias(
+            "diff"
+        ),
+    )
+    return (
+        d.groupBy("n_a", "n_b")
+        .agg(
+            F.max("diff").alias("mx"),
+            F.min_by(F.struct("diff", "v"), F.struct(F.negate(F.col("diff")), F.col("v")))
+            .getField("v")
+            .alias("at_v"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("mx").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("ks_d"),
+            F.round(F.col("at_v").cast("double") / 1_000_000, 6).alias("at_value"),
+        )
+    )
+
+
+@query(
+    "stats_ttest_welch",
+    "§2.14 Welch's unequal-variance t-test (exact decimal power sums, one scan)",
+    """
+    WITH s AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(CAST(CAST(round(value * 1000000) AS BIGINT) AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS sm,
+             CAST(sum(CAST(CAST(round(value * 1000000) AS BIGINT)
+                           * CAST(round(value * 1000000) AS BIGINT) AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS sq
+      FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+    ), m AS (
+      SELECT
+        max(n)  FILTER (WHERE event_type = 'click') AS n1,
+        max(sm) FILTER (WHERE event_type = 'click') AS sm1,
+        max(sq) FILTER (WHERE event_type = 'click') AS sq1,
+        max(n)  FILTER (WHERE event_type = 'view')  AS n2,
+        max(sm) FILTER (WHERE event_type = 'view')  AS sm2,
+        max(sq) FILTER (WHERE event_type = 'view')  AS sq2
+      FROM s
+    ), v AS (
+      SELECT n1, n2,
+             CAST(sm1 AS DOUBLE) / n1 AS mu1,
+             CAST(sm2 AS DOUBLE) / n2 AS mu2,
+             (CAST(sq1 AS DOUBLE) - CAST(sm1 AS DOUBLE) * CAST(sm1 AS DOUBLE) / n1)
+               / (n1 - 1) / n1 AS se1,
+             (CAST(sq2 AS DOUBLE) - CAST(sm2 AS DOUBLE) * CAST(sm2 AS DOUBLE) / n2)
+               / (n2 - 1) / n2 AS se2
+      FROM m
+    )
+    SELECT n1 AS n_click, n2 AS n_view,
+           round(mu1 / 1000000, 6) AS mean_click,
+           round(mu2 / 1000000, 6) AS mean_view,
+           round((mu1 - mu2) / sqrt(se1 + se2), 4) AS t_stat,
+           round((se1 + se2) * (se1 + se2)
+                 / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 2) AS df_welch
+    FROM v
+    """,
+)
+def stats_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between click and view `value`
+    samples — the A/B-test primitive. One scan, one 2-row hash agg:
+    each group's count / sum / sum-of-squares are EXACT (values to
+    integer micro-units, squares summed as DECIMAL(38,0), so no float
+    accumulation order can flip a bit across partitions or engines);
+    the t statistic, its standard error, and the Welch-Satterthwaite
+    degrees of freedom are a fixed sequence of double ops on those
+    exact sums, identical in both engines. t is scale-invariant, so
+    the micro-unit scaling cancels; the means are reported back in
+    original units. At 100 TB this is the textbook mergeable-moments
+    pattern: partial (n, sum, sumsq) per partition, one tiny exchange,
+    closed-form finish — never a second pass."""
+    mic = F.round(F.col("value") * 1_000_000).cast("bigint")
+    s = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select("event_type", mic.alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sm"),
+            F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("sq"),
+        )
+    )
+    pick = lambda c, t: F.max(F.when(F.col("event_type") == t, F.col(c)))  # noqa: E731
+    m = s.agg(
+        pick("n", "click").alias("n1"),
+        pick("sm", "click").alias("sm1"),
+        pick("sq", "click").alias("sq1"),
+        pick("n", "view").alias("n2"),
+        pick("sm", "view").alias("sm2"),
+        pick("sq", "view").alias("sq2"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    v = m.select(
+        "n1",
+        "n2",
+        (dbl("sm1") / F.col("n1")).alias("mu1"),
+        (dbl("sm2") / F.col("n2")).alias("mu2"),
+        (
+            (dbl("sq1") - dbl("sm1") * dbl("sm1") / F.col("n1"))
+            / (F.col("n1") - 1)
+            / F.col("n1")
+        ).alias("se1"),
+        (
+            (dbl("sq2") - dbl("sm2") * dbl("sm2") / F.col("n2"))
+            / (F.col("n2") - 1)
+            / F.col("n2")
+        ).alias("se2"),
+    )
+    se = F.col("se1") + F.col("se2")
+    return v.select(
+        F.col("n1").alias("n_click"),
+        F.col("n2").alias("n_view"),
+        F.round(F.col("mu1") / 1_000_000, 6).alias("mean_click"),
+        F.round(F.col("mu2") / 1_000_000, 6).alias("mean_view"),
+        F.round((F.col("mu1") - F.col("mu2")) / F.sqrt(se), 4).alias("t_stat"),
+        F.round(
+            se
+            * se
+            / (
+                F.col("se1") * F.col("se1") / (F.col("n1") - 1)
+                + F.col("se2") * F.col("se2") / (F.col("n2") - 1)
+            ),
+            2,
+        ).alias("df_welch"),
+    )
+
+
+def _morton_sql(d1: str, d2: str, bits: int, spark_side: bool) -> str:
+    """Bit-interleave expression (Morton / Z-order key) for two
+    `bits`-bit ints, emitted as engine-native SQL: Spark uses
+    shiftleft/shiftright functions, DuckDB the << >> operators. Pure
+    integer arithmetic — identical values in both engines."""
+    terms = []
+    for i in range(bits):
+        if spark_side:
+            terms.append(f"shiftleft(shiftright({d1}, {i}) & 1, {2 * i + 1})")
+            terms.append(f"shiftleft(shiftright({d2}, {i}) & 1, {2 * i})")
+        else:
+            terms.append(f"((({d1} >> {i}) & 1) << {2 * i + 1})")
+            terms.append(f"((({d2} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+@query(
+    "hist_zorder_layout",
+    "§2.14 Z-order vs linear file clustering (multi-dim data-skipping spans)",
+    f"""
+    WITH d AS (
+      SELECT l_partkey % 256 AS d1, l_suppkey % 256 AS d2 FROM lineitem
+    ), files AS (
+      SELECT 'zorder' AS layout,
+             ({_morton_sql('d1', 'd2', 8, spark_side=False)}) // 1024 AS f,
+             d1, d2 FROM d
+      UNION ALL
+      SELECT 'linear' AS layout, (d1 * 256 + d2) // 1024 AS f, d1, d2 FROM d
+    ), spans AS (
+      SELECT layout, f, count(*) AS n,
+             max(d1) - min(d1) AS span1, max(d2) - min(d2) AS span2
+      FROM files GROUP BY 1, 2
+    )
+    SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           round(avg(span1), 2) AS avg_span_d1,
+           round(avg(span2), 2) AS avg_span_d2
+    FROM spans GROUP BY layout ORDER BY layout
+    """,
+)
+def hist_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHY Z-order clustering works, measured: assign each row to one
+    of 64 "files" two ways — linear (sort by d1 then d2: the default
+    ORDER BY layout) and Z-order (sort by the Morton bit-interleave of
+    both dims) — then compute each file's min/max span per dimension,
+    i.e. exactly the parquet footer stats a reader prunes on. Linear
+    layout gives perfect d1 spans but useless d2 spans (~full range:
+    a filter on d2 alone prunes nothing); the Z-order key bounds BOTH
+    spans, so single-column filters on EITHER dim skip most files —
+    this is the Delta/Iceberg OPTIMIZE ZORDER rationale reduced to one
+    oracle-checked query. Everything is integer (8-bit dims, exact
+    interleave via shift/mask, same arithmetic in DuckDB), one scan
+    per layout, and the span summary is a two-level hash agg: (layout,
+    file) then layout — never a sort. At 100 TB the file assignment
+    IS the repartitionByRange key you'd write with."""
+    li = load(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("d1"),
+        (F.col("l_suppkey") % 256).alias("d2"),
+    )
+    z = li.select(
+        F.lit("zorder").alias("layout"),
+        F.expr(f"({_morton_sql('d1', 'd2', 8, spark_side=True)}) div 1024").alias("f"),
+        "d1",
+        "d2",
+    )
+    lin = li.select(
+        F.lit("linear").alias("layout"),
+        F.expr("(d1 * 256 + d2) div 1024").alias("f"),
+        "d1",
+        "d2",
+    )
+    spans = (
+        z.unionByName(lin)
+        .groupBy("layout", "f")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.max("d1") - F.min("d1")).alias("span1"),
+            (F.max("d2") - F.min("d2")).alias("span2"),
+        )
+    )
+    return (
+        spans.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n").alias("n_rows"),
+            F.round(F.avg("span1"), 2).alias("avg_span_d1"),
+            F.round(F.avg("span2"), 2).alias("avg_span_d2"),
+        )
+        .orderBy("layout")
+    )

@@ -883,3 +883,77 @@ def join_band_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_match", F.lit(0)).cast("bigint").alias("n_close"),
         )
     )
+
+
+@query(
+    "join_spatial_grid",
+    "§2.3 spatial radius self-join via grid-cell blocking (no cartesian)",
+    """
+    WITH pts AS (
+      SELECT c_custkey AS k,
+             (c_custkey * 37) % 18000 AS x,
+             (c_custkey * 73) % 36000 AS y
+      FROM customer
+    )
+    SELECT a.k AS key_a, b.k AS key_b,
+           CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                AS BIGINT) AS dist2
+    FROM pts a JOIN pts b
+      ON a.k < b.k
+     AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 90000
+    """,
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius self-join — "all point pairs within distance R" — done
+    the way a spatial engine blocks it: snap each point to a grid cell
+    of side R, replicate each LEFT point into its 3x3 cell
+    neighborhood (a 9-row explode, not a data copy at the source), and
+    equi-join on the cell key so candidates are only points in
+    adjacent cells; the exact distance predicate then refilters. The
+    plan is a plain shuffled hash join on (cx, cy) — NO
+    CartesianProduct, NO BroadcastNestedLoop — and the candidate count
+    is bounded by grid occupancy (9 * avg points/cell per point), so
+    cost is O(n * density), not O(n^2): the same plan at 100 TB just
+    needs a cell size matched to point density. Coordinates are
+    integer centidegrees derived deterministically from the key, and
+    the distance test is an exact integer dist^2 <= R^2 compare (a
+    haversine refilter would slot in the same place; integers keep the
+    oracle bit-exact). The DuckDB oracle is the O(n^2) inequality
+    self-join — same pairs, quadratic plan — which is exactly the
+    point of the blocking."""
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        ((F.col("c_custkey") * 37) % 18000).alias("x"),
+        ((F.col("c_custkey") * 73) % 36000).alias("y"),
+    )
+    r = 300  # cell side == radius, centidegrees
+    # left side: each point probes its own cell plus 8 neighbors
+    off = F.explode(
+        F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                  for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    ).alias("o")
+    left = pts.select("k", "x", "y", off).select(
+        F.col("k").alias("ka"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        (F.expr(f"x div {r}") + F.col("o.dx")).alias("cx"),
+        (F.expr(f"y div {r}") + F.col("o.dy")).alias("cy"),
+    )
+    right = pts.select(
+        F.col("k").alias("kb"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.expr(f"x div {r}").alias("cx"),
+        F.expr(f"y div {r}").alias("cy"),
+    )
+    dx, dy = F.col("xa") - F.col("xb"), F.col("ya") - F.col("yb")
+    dist2 = dx * dx + dy * dy
+    return (
+        left.join(right, ["cx", "cy"])
+        .filter((F.col("ka") < F.col("kb")) & (dist2 <= r * r))
+        .select(
+            F.col("ka").alias("key_a"),
+            F.col("kb").alias("key_b"),
+            dist2.cast("bigint").alias("dist2"),
+        )
+    )

@@ -2354,3 +2354,83 @@ def llm_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tokens_kept").cast("double") / F.first("tokens_kept").over(w), 6
         ).alias("token_retention"),
     )
+
+
+@query(
+    "llm_contrastive_negatives",
+    "§2.11 contrastive negative sampling (hash-bucket blocked, deterministic rank)",
+    """
+    WITH d AS (
+      SELECT doc_id, lang, source,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 8 AS bucket
+      FROM documents
+    ), cand AS (
+      SELECT a.doc_id, b.doc_id AS neg_id, b.source AS neg_source,
+             CAST(concat('0x', substr(md5(CAST(a.doc_id AS VARCHAR) || ':' ||
+                                       CAST(b.doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.bucket = b.bucket
+       AND a.source <> b.source AND a.doc_id <> b.doc_id
+    ), ranked AS (
+      SELECT doc_id, neg_id, neg_source,
+             row_number() OVER (PARTITION BY doc_id ORDER BY h, neg_id)
+               AS neg_rank
+      FROM cand
+    )
+    SELECT doc_id, neg_rank, neg_id, neg_source
+    FROM ranked WHERE neg_rank <= 3
+    """,
+)
+def llm_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-batch negative mining for contrastive training: every anchor
+    document gets k=3 negatives drawn from same-language documents of
+    a DIFFERENT source (so the pair is topically comparable but not a
+    near-duplicate), selected by a deterministic pseudo-random rank —
+    the md5 of the (anchor, candidate) pair — so the "sample" is
+    reproducible run-over-run and engine-over-engine, no RNG state.
+    The scale control is the hash-bucket block: candidates must share
+    the anchor's md5 bucket (1/8 of the corpus), so the blocked
+    self-join generates |block|^2 pairs per (lang, bucket) instead of
+    corpus^2 — at 100 TB you raise the bucket count to keep blocks at
+    a few thousand docs and the plan is unchanged (one shuffle on the
+    (lang, bucket) key, then a bounded per-anchor window). Anchors in
+    blocks with fewer than 3 eligible negatives yield fewer rows —
+    explicit, not padded."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        (
+            F.expr(
+                "cast(conv(substring(md5(cast(cast(doc_id AS STRING) AS BINARY)),"
+                " 1, 15), 16, 10) AS BIGINT)"
+            )
+            % 8
+        ).alias("bucket"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    cand = (
+        a.join(b, ["lang", "bucket"])
+        .filter(
+            (F.col("a.source") != F.col("b.source"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("neg_id"),
+            F.col("b.source").alias("neg_source"),
+            F.expr(
+                "cast(conv(substring(md5(cast(concat(cast(a.doc_id AS STRING), ':',"
+                " cast(b.doc_id AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("h", "neg_id")
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= 3)
+        .select("doc_id", "neg_rank", "neg_id", "neg_source")
+    )

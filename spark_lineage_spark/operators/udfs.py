@@ -331,3 +331,64 @@ def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("total_bal", F.round("total_bal", 2)).withColumn(
         "bal_range", F.round("bal_range", 2)
     )
+
+
+@query(
+    "udtf_analyze_polymorphic",
+    "§2.10 polymorphic Python UDTF (static analyze() computes schema from args)",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS parts
+               FROM documents WHERE doc_id < 50)
+    SELECT doc_id,
+           CASE WHEN len(parts) >= 1 THEN parts[1] END AS c0,
+           CASE WHEN len(parts) >= 2 THEN parts[2] END AS c1,
+           CASE WHEN len(parts) >= 3 THEN parts[3] END AS c2,
+           CAST(len(parts) AS INTEGER) AS n_parts
+    FROM t
+    """,
+)
+def udtf_analyze_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's POLYMORPHIC UDTF: the static ``analyze()`` hook runs
+    at PLAN time on the call's literal arguments and returns the
+    output schema — here ``split_cols(text, ' ', 3)`` manufactures
+    columns c0..c2 because the literal 3 says so; call it with 5 and
+    the same class plans 5 columns. This is the table-function
+    contract Catalyst needs to resolve downstream references and prune
+    columns BEFORE any Python worker starts — schema-on-plan, not
+    schema-on-read. eval() itself is one row in → one row out with the
+    first n whitespace tokens (missing → NULL, matching the oracle's
+    bounds-checked list indexing) plus the total token count. The
+    worker cost is the usual pickled-Python row path — fine for the
+    surface check; a hot path would use split()+getItem JVM-side."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class SplitCols:
+        @staticmethod
+        def analyze(
+            text: AnalyzeArgument, delim: AnalyzeArgument, n: AnalyzeArgument
+        ) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"c{i}", StringType())
+            return AnalyzeResult(schema=schema.add("n_parts", IntegerType()))
+
+        def eval(self, text: str, delim: str, n: int):
+            parts = [p for p in (text or "").split(delim)]
+            yield tuple(parts[i] if i < len(parts) else None for i in range(n)) + (
+                len(parts),
+            )
+
+    spark.udtf.register("split_cols", SplitCols)
+    from spark_lineage_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.c0, s.c1, s.c2, s.n_parts
+        FROM documents d, LATERAL split_cols(d.text, ' ', 3) s
+        WHERE d.doc_id < 50
+        """
+    )

@@ -211,6 +211,9 @@ _VERIFY_FIRST = [
     "llm_quality_threshold_sweep", "ts_ewma_smoothing", "fn_aes_roundtrip",
     "sql_pipe_syntax", "fn_variant_typed_get", "fn_nested_struct_array",
     "stream_checkpoint_recovery",
+    "agg_count_min_sketch", "stats_ks_test", "stats_ttest_welch",
+    "join_spatial_grid", "hist_zorder_layout", "sql_group_by_all_lateral",
+    "udtf_analyze_polymorphic", "llm_contrastive_negatives",
 ]
 
 # ... and run these LAST among the unverified: rows-only checks (weaker

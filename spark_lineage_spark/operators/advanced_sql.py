@@ -1977,3 +1977,140 @@ def sql_group_by_all_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+@query(
+    "ts_user_streaks",
+    "§2.5/§5.2 gaps-and-islands: longest consecutive-active-day streak per user",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), tagged AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INTEGER) AS island
+      FROM days
+    ), islands AS (
+      SELECT user_id, island, count(*) AS len, min(day) AS start_day
+      FROM tagged GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(min(start_day) FILTER (WHERE len = (
+             SELECT max(i2.len) FROM islands i2 WHERE i2.user_id = islands.user_id
+           )) AS VARCHAR) AS longest_start
+    FROM islands GROUP BY user_id
+    """,
+)
+def ts_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gaps-and-islands classic: a user's consecutive-active-day
+    runs found WITHOUT self-joins or iteration — subtract the per-user
+    row_number from the calendar day and every consecutive run
+    collapses to one constant "island" key (dates and row numbers both
+    advance by 1 inside a run, so their difference is flat). One
+    shuffle on user_id: the distinct (user, day) collapse, the
+    per-user ordered window, and both group-bys all share that
+    partitioning, and window state is bounded by one user's active
+    days. Per user: total active days, number of streaks, the longest
+    streak, and the start date of the longest (earliest wins ties —
+    min_by on the (negated length, date) pair, which the oracle
+    mirrors with a correlated max filter). The island trick is THE
+    scalable form of streak analytics — the naive LEFT JOIN
+    "yesterday exists?" chain is another full join per step."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    tagged = days.withColumn(
+        "island", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    islands = tagged.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day").alias("start_day")
+    )
+    return islands.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+        F.min_by(
+            F.col("start_day"), F.struct(F.negate(F.col("len")), F.col("start_day"))
+        )
+        .cast("string")
+        .alias("longest_start"),
+    )
+
+
+@query(
+    "ts_seasonal_decompose",
+    "§2.5/§5.2 classical decomposition: trend (7-day MA) + weekday seasonal + residual",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), t AS (
+      SELECT day, y, (day - DATE '1970-01-01') % 7 AS dow,
+             CASE WHEN count(*) OVER w7 = 7
+                  THEN CAST(sum(y) OVER w7 AS BIGINT) END AS tx7
+      FROM daily
+      WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), seas AS (
+      SELECT dow, CAST(sum(7 * y - tx7) AS BIGINT) AS sdx7,
+             count(*) AS cnt
+      FROM t WHERE tx7 IS NOT NULL GROUP BY 1
+    )
+    SELECT CAST(t.day AS VARCHAR) AS day,
+           round(t.y / 1000000.0, 2) AS observed,
+           round(t.tx7 / 7.0 / 1000000.0, 2) AS trend,
+           round(s.sdx7 / (s.cnt * 7.0) / 1000000.0, 2) AS seasonal,
+           round(t.y / 1000000.0 - t.tx7 / 7.0 / 1000000.0
+                 - s.sdx7 / (s.cnt * 7.0) / 1000000.0, 2) AS residual
+    FROM t JOIN seas s ON t.dow = s.dow
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily revenue series:
+    trend = centered 7-point moving average (NULL at the edges — head
+    re-use would bias the weekday means), seasonal = per-weekday mean
+    of the detrended series, residual = the rest. Built scale-first:
+    the raw events collapse to ONE ROW PER DAY in the first hash agg,
+    so the ordered window runs on a calendar-bounded table (30 rows
+    here, ~36,500 for a century) — window size is set by time, not
+    data volume, which is what makes a global ORDER BY day frame
+    acceptable. Exactness: daily sums are integer micro-units, the MA
+    is kept as the exact 7-day integer sum (tx7), the detrended series
+    as exact 7y - tx7, and the weekday means as (integer sum, count)
+    pairs — every float is a FIXED formula over exact integers, so
+    round(2) is bit-stable across engines and partitionings. Weekday
+    is epoch-day mod 7 (portable; engines disagree on dow numbering).
+    The seasonal join broadcasts 7 rows."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias("y")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    t = daily.select(
+        "day",
+        "y",
+        (F.datediff("day", F.lit("1970-01-01").cast("date")) % 7).alias("dow"),
+        F.when(F.count(F.lit(1)).over(w7) == 7, F.sum("y").over(w7)).alias("tx7"),
+    )
+    seas = (
+        t.filter(F.col("tx7").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.sum(7 * F.col("y") - F.col("tx7")).alias("sdx7"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    j = t.join(F.broadcast(seas), "dow")
+    trend = F.col("tx7") / 7.0 / 1_000_000.0
+    seasonal = F.col("sdx7") / (F.col("cnt") * 7.0) / 1_000_000.0
+    obs = F.col("y") / 1_000_000.0
+    return j.select(
+        F.col("day").cast("string").alias("day"),
+        F.round(obs, 2).alias("observed"),
+        F.round(trend, 2).alias("trend"),
+        F.round(seasonal, 2).alias("seasonal"),
+        F.round(obs - trend - seasonal, 2).alias("residual"),
+    )

@@ -1396,3 +1396,201 @@ def hist_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+@query(
+    "stats_mann_whitney",
+    "§2.14 Mann-Whitney U (rank-sum, tie-corrected, exact doubled-rank integers)",
+    """
+    WITH pts AS (
+      SELECT CAST(round(value * 1000000) AS BIGINT) AS v,
+             count(*) FILTER (WHERE event_type = 'click') AS ca,
+             count(*) FILTER (WHERE event_type = 'view')  AS cv
+      FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+    ), cum AS (
+      SELECT ca, cv, ca + cv AS g,
+             sum(ca + cv) OVER (ORDER BY v) - (ca + cv) AS prev_total
+      FROM pts
+    ), s AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS n1, CAST(sum(cv) AS BIGINT) AS n2,
+             CAST(sum(ca * (2 * prev_total + g + 1)) AS BIGINT) AS r1x2,
+             CAST(sum(g * g * g - g) AS BIGINT) AS tie3
+      FROM cum
+    )
+    SELECT n1 AS n_click, n2 AS n_view,
+           round((r1x2 - CAST(n1 AS BIGINT) * (n1 + 1)) / 2.0, 1) AS u_click,
+           round((CAST(n1 AS DOUBLE) * n2
+                  - (r1x2 - CAST(n1 AS BIGINT) * (n1 + 1)) / 2.0), 1) AS u_view,
+           round(((r1x2 - CAST(n1 AS BIGINT) * (n1 + 1)) / 2.0
+                  - CAST(n1 AS DOUBLE) * n2 / 2)
+                 / sqrt(CAST(n1 AS DOUBLE) * n2 / 12
+                        * ((n1 + n2 + 1)
+                           - CAST(tie3 AS DOUBLE)
+                             / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))), 4)
+             AS z_score
+    FROM s
+    """,
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U — the nonparametric rank-sum complement to
+    stats_ttest_welch (Welch needs means to mean something; U only
+    needs an order). The trap at scale is "rank every row globally":
+    instead rows collapse to DISTINCT integer micro-values with per
+    group counts, and the rank sums come from the closed form over
+    tied groups — a tied run of g rows starting after prev_total rows
+    all take average rank prev_total + (g+1)/2, so DOUBLED rank sums
+    (2R1 = sum ca*(2*prev_total + g + 1)) stay exact integers; the
+    only window is the same bounded two-phase prefix sum as
+    stats_ks_test. Tie-corrected normal approximation: the sum of
+    g^3-g over tied groups feeds the variance; U, its mirror
+    n1*n2-U, and the z-score are a fixed double sequence on exact
+    integers. One scan, one distinct-value hash agg, a tiny ordered
+    stage, a 1-row answer."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            F.round(F.col("value") * 1_000_000).cast("bigint").alias("v"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("ia"),
+            F.when(F.col("event_type") == "view", 1).otherwise(0).alias("ib"),
+        )
+    )
+    pts = lineage_checkpoint_lazy(
+        ev.groupBy("v")
+        .agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cv"))
+        .withColumn("g", F.col("ca") + F.col("cv"))
+        .withColumn("bucket", F.expr("v div 50000000"))
+    )
+    boff = (
+        pts.groupBy("bucket")
+        .agg(F.sum("g").alias("bg"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("bg").over(
+                    Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "off")
+    )
+    w = Window.partitionBy("bucket").orderBy("v")
+    cum = (
+        pts.join(F.broadcast(boff), "bucket")
+        .withColumn("prev_total", F.sum("g").over(w) + F.col("off") - F.col("g"))
+    )
+    s = cum.agg(
+        F.sum("ca").alias("n1"),
+        F.sum("cv").alias("n2"),
+        F.sum(F.col("ca") * (2 * F.col("prev_total") + F.col("g") + 1)).alias("r1x2"),
+        F.sum(F.col("g") * F.col("g") * F.col("g") - F.col("g")).alias("tie3"),
+    )
+    u1 = (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)) / 2.0
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    var = (
+        n1d
+        * n2d
+        / 12
+        * (
+            (F.col("n1") + F.col("n2") + 1)
+            - F.col("tie3").cast("double")
+            / ((n1d + n2d) * (F.col("n1") + F.col("n2") - 1))
+        )
+    )
+    return s.select(
+        F.col("n1").alias("n_click"),
+        F.col("n2").alias("n_view"),
+        F.round(u1, 1).alias("u_click"),
+        F.round(n1d * n2d - u1, 1).alias("u_view"),
+        F.round((u1 - n1d * n2d / 2) / F.sqrt(var), 4).alias("z_score"),
+    )
+
+
+@query(
+    "profile_psi_drift",
+    "§2.14 population stability index (decile PSI, ref-window cutpoints broadcast)",
+    """
+    WITH ev AS (
+      SELECT round(value, 6) AS v,
+             CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+                  THEN 'ref' ELSE 'cur' END AS period
+      FROM events
+    ), cuts AS (
+      SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
+      FROM ev WHERE period = 'ref'
+    ), b AS (
+      SELECT period, 1 + len(list_filter(cuts.cs, c -> ev.v > c)) AS bucket
+      FROM ev CROSS JOIN cuts
+    ), counts AS (
+      SELECT bucket,
+             count(*) FILTER (WHERE period = 'ref') AS ref_n,
+             count(*) FILTER (WHERE period = 'cur') AS cur_n
+      FROM b GROUP BY 1
+    ), probs AS (
+      SELECT bucket, ref_n, cur_n,
+             (ref_n + 1.0) / (sum(ref_n) OVER () + 10.0) AS p,
+             (cur_n + 1.0) / (sum(cur_n) OVER () + 10.0) AS q
+      FROM counts
+    )
+    SELECT bucket, CAST(ref_n AS BIGINT) AS ref_n, CAST(cur_n AS BIGINT) AS cur_n,
+           round((p - q) * ln(p / q), 6) AS psi_term,
+           round(sum((p - q) * ln(p / q)) OVER (), 6) AS psi_total
+    FROM probs
+    """,
+)
+def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index — the feature-drift monitor every
+    production scorer runs: bucket the metric into deciles defined by
+    the REFERENCE window (first half of the month), count both
+    windows' rows per bucket, PSI = sum (p-q)*ln(p/q). The layout is
+    the scalable bucketing shape shared with llm_perplexity_buckets:
+    cutpoints are ONE 1-row exact-percentile aggregate over the
+    reference rows (approx_percentile at 100 TB — boundary placement,
+    not correctness), broadcast to a map-side F.aggregate bucket
+    assignment, then a 10-key hash agg — no sort, no ntile. Inputs
+    are rounded to 1e-6 before the cutpoint agg so both engines
+    interpolate identical operands; counts are exact, and the +1/+10
+    Laplace smoothing keeps ln finite if a bucket empties (and makes
+    the statistic well-defined at tiny SFs). The 10-row windowed
+    total rides on the final frame — each row carries its term AND
+    the headline PSI."""
+    ev = load(spark, sf_dir, "events").select(
+        F.round("value", 6).alias("v"),
+        F.when(
+            F.to_date("ts") <= F.lit("2024-01-15").cast("date"), "ref"
+        )
+        .otherwise("cur")
+        .alias("period"),
+    )
+    cuts = ev.filter(F.col("period") == "ref").agg(
+        F.percentile("v", F.array(*[F.lit(q / 10.0) for q in range(1, 10)])).alias(
+            "cs"
+        )
+    )
+    bucket = F.aggregate(
+        F.col("cs"),
+        F.lit(1),
+        lambda acc, c: acc + F.when(F.col("v") > c, 1).otherwise(0),
+    )
+    counts = (
+        ev.crossJoin(F.broadcast(cuts))
+        .select("period", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("period") == "ref", 1).otherwise(0)).alias("ref_n"),
+            F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)).alias("cur_n"),
+        )
+    )
+    wall = Window.partitionBy()
+    p = (F.col("ref_n") + 1.0) / (F.sum("ref_n").over(wall) + 10.0)
+    q = (F.col("cur_n") + 1.0) / (F.sum("cur_n").over(wall) + 10.0)
+    probs = counts.select("bucket", "ref_n", "cur_n", p.alias("p"), q.alias("q"))
+    term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    return probs.select(
+        "bucket",
+        "ref_n",
+        "cur_n",
+        F.round(term, 6).alias("psi_term"),
+        F.round(F.sum(term).over(wall), 6).alias("psi_total"),
+    )

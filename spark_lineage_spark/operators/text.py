@@ -2434,3 +2434,70 @@ def llm_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neg_rank") <= 3)
         .select("doc_id", "neg_rank", "neg_id", "neg_source")
     )
+
+
+@query(
+    "llm_rejection_sampling",
+    "§2.11 quality-weighted rejection sampling (deterministic hash-uniform accept)",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             least(1.0, n_chars / 400.0) AS accept_prob,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':accept'),
+                                      1, 15)) AS BIGINT) AS h
+      FROM documents
+    ), a AS (
+      SELECT source, accept_prob,
+             CASE WHEN h < floor(accept_prob * 1152921504606846976.0)
+                  THEN 1 ELSE 0 END AS accepted
+      FROM d
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(accepted) AS BIGINT) AS n_accepted,
+           round(sum(accepted) / CAST(count(*) AS DOUBLE), 4) AS accept_rate,
+           round(avg(accept_prob), 4) AS expected_rate
+    FROM a GROUP BY source
+    """,
+)
+def llm_rejection_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted subsampling without an RNG: each document is
+    accepted with probability proportional to a quality proxy (length
+    capped at 1.0) by comparing a 60-bit md5 hash of its id against
+    floor(prob * 2^60) — an INTEGER threshold compare, so the sample
+    is identical run-over-run, engine-over-engine, and under any
+    repartitioning, unlike rand()-based sampling whose output depends
+    on partition seeds (the reason sample_seeded is rows-only). This
+    is how a 100 TB pipeline downsamples low-quality sources in one
+    map-only pass while keeping the decision auditable: the
+    accept/reject bit is a pure function of (doc_id, prob), so a
+    re-run or a backfill reproduces the exact corpus, and per-source
+    realized rates vs expected rates (reported side by side) audit
+    the hash uniformity. floor() — not cast — because engines
+    disagree on double->int rounding."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.least(F.lit(1.0), F.col("n_chars") / 400.0).alias("accept_prob"),
+        F.expr(
+            "cast(conv(substring(md5(cast(concat(cast(doc_id AS STRING), ':accept')"
+            " AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+    accepted = F.when(
+        F.col("h")
+        < F.floor(F.col("accept_prob") * 1152921504606846976.0).cast("bigint"),
+        1,
+    ).otherwise(0)
+    return (
+        d.select("source", "accept_prob", accepted.alias("accepted"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("accepted").alias("n_accepted"),
+            F.round(
+                F.sum("accepted") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("accept_rate"),
+            F.round(F.avg("accept_prob"), 4).alias("expected_rate"),
+        )
+    )

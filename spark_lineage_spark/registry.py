@@ -214,6 +214,8 @@ _VERIFY_FIRST = [
     "agg_count_min_sketch", "stats_ks_test", "stats_ttest_welch",
     "join_spatial_grid", "hist_zorder_layout", "sql_group_by_all_lateral",
     "udtf_analyze_polymorphic", "llm_contrastive_negatives",
+    "stats_mann_whitney", "ts_user_streaks", "ts_seasonal_decompose",
+    "profile_psi_drift", "llm_rejection_sampling",
 ]
 
 # ... and run these LAST among the unverified: rows-only checks (weaker

@@ -1327,7 +1327,7 @@ def _morton_sql(d1: str, d2: str, bits: int, spark_side: bool) -> str:
     "§2.14 Z-order vs linear file clustering (multi-dim data-skipping spans)",
     f"""
     WITH d AS (
-      SELECT l_partkey % 256 AS d1, l_suppkey % 256 AS d2 FROM lineitem
+      SELECT l_orderkey % 256 AS d1, l_partkey % 256 AS d2 FROM lineitem
     ), files AS (
       SELECT 'zorder' AS layout,
              ({_morton_sql('d1', 'd2', 8, spark_side=False)}) // 1024 AS f,
@@ -1362,8 +1362,8 @@ def hist_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     file) then layout — never a sort. At 100 TB the file assignment
     IS the repartitionByRange key you'd write with."""
     li = load(spark, sf_dir, "lineitem").select(
-        (F.col("l_partkey") % 256).alias("d1"),
-        (F.col("l_suppkey") % 256).alias("d2"),
+        (F.col("l_orderkey") % 256).alias("d1"),
+        (F.col("l_partkey") % 256).alias("d2"),
     )
     z = li.select(
         F.lit("zorder").alias("layout"),

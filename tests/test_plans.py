@@ -532,3 +532,86 @@ def test_quality_sweep_single_corpus_scan(spark):
 
     p = plan_str(llm_quality_threshold_sweep(spark, SF))
     assert p.count("documents.parquet") == 1, p
+
+
+def test_spatial_grid_join_is_blocked_not_cartesian(spark):
+    """join_spatial_grid: the 3x3 neighborhood replication must plan
+    as an equi-join on the cell key — a radius predicate alone would
+    fall back to CartesianProduct/BNLJ, the O(n^2) trap the blocking
+    exists to avoid."""
+    from spark_lineage_spark.operators.joins import join_spatial_grid
+
+    df = join_spatial_grid(spark, SF)
+    p = plan_str(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    # exact refilter holds: every emitted pair is within R and ordered
+    rows = df.collect()
+    assert rows, "blocking dropped every pair"
+    assert all(r.dist2 <= 300 * 300 and r.key_a < r.key_b for r in rows)
+
+
+def test_count_min_sketch_never_undercounts(spark):
+    """CMS guarantee: est >= exact for every key, and the counter
+    table aggregates partially map-side (partial_count in the plan)."""
+    from spark_lineage_spark.operators.aggregates import agg_count_min_sketch
+
+    df = agg_count_min_sketch(spark, SF)
+    assert "partial_count" in plan_str(df)
+    assert all(r.overcount >= 0 for r in df.collect())
+
+
+def test_zorder_bounds_both_dims(spark):
+    """The point of the Morton layout: the linear layout leaves d2
+    spans near the full 0..255 range while Z-order bounds BOTH dims'
+    per-file spans (each 64th of the 16-bit Morton space covers a
+    32x32 tile)."""
+    from spark_lineage_spark.operators.analytics import hist_zorder_layout
+
+    r = {row.layout: row for row in hist_zorder_layout(spark, SF).collect()}
+    assert r["linear"].avg_span_d2 > 100
+    assert r["zorder"].avg_span_d1 <= 40 and r["zorder"].avg_span_d2 <= 40
+
+
+def test_ks_and_mann_whitney_sane(spark):
+    """KS D in [0,1]; Mann-Whitney U pair sums to n1*n2 exactly (the
+    mirror identity) and z is finite."""
+    import math
+
+    from spark_lineage_spark.operators.analytics import (
+        stats_ks_test,
+        stats_mann_whitney,
+    )
+
+    ks = stats_ks_test(spark, SF).collect()[0]
+    assert 0.0 <= ks.ks_d <= 1.0
+    mw = stats_mann_whitney(spark, SF).collect()[0]
+    assert mw.u_click + mw.u_view == mw.n_click * mw.n_view
+    assert math.isfinite(mw.z_score)
+
+
+def test_seasonal_decompose_reconstructs_observed(spark):
+    """observed == trend + seasonal + residual wherever trend exists
+    (additive identity, within the 2-decimal rounding of each part)."""
+    from spark_lineage_spark.operators.advanced_sql import ts_seasonal_decompose
+
+    for r in ts_seasonal_decompose(spark, SF).collect():
+        if r.trend is not None:
+            assert abs(r.observed - (r.trend + r.seasonal + r.residual)) < 0.03, r
+
+
+def test_rejection_sampling_reproducible_and_calibrated(spark):
+    """The hash-uniform accept bit is a pure function of doc_id: two
+    runs agree exactly, and overall realized acceptance tracks the
+    expected probability mass."""
+    from spark_lineage_spark.operators.text import llm_rejection_sampling
+
+    a = {r.source: r for r in llm_rejection_sampling(spark, SF).collect()}
+    b = {r.source: r for r in llm_rejection_sampling(spark, SF).collect()}
+    assert {s: (r.n_accepted) for s, r in a.items()} == {
+        s: (r.n_accepted) for s, r in b.items()
+    }
+    tot = sum(r.n_docs for r in a.values())
+    got = sum(r.n_accepted for r in a.values()) / tot
+    want = sum(r.expected_rate * r.n_docs for r in a.values()) / tot
+    assert abs(got - want) < 0.1, (got, want)

@@ -2114,3 +2114,38 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(seasonal, 2).alias("seasonal"),
         F.round(obs - trend - seasonal, 2).alias("residual"),
     )
+
+
+@query(
+    "sql_execute_immediate",
+    "§2 advanced SQL: EXECUTE IMMEDIATE (dynamic SQL with bound parameters)",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_totalprice < 150000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's EXECUTE IMMEDIATE — dynamic SQL built as a string at
+    runtime but with VALUES BOUND AS PARAMETERS (`USING 150000.0 AS
+    cap`), the injection-safe form of query-by-string: the parameter
+    is a typed literal in the plan, never text-spliced, so a
+    malicious value cannot change the statement shape — and because
+    it lands as a literal, Catalyst still constant-folds and pushes
+    `o_totalprice < 150000.0` into the parquet scan exactly as if the
+    query were static. The statement text itself comes from a
+    variable (the dashboard/stored-procedure shape SQL scripting
+    pairs with). The oracle is the equivalent static SQL, proving
+    dynamic dispatch is plan-neutral."""
+    register_views(spark, sf_dir, ["orders"])
+    stmt = (
+        "SELECT o_orderpriority, count(*) AS n_orders,"
+        " round(sum(o_totalprice), 2) AS revenue"
+        " FROM orders WHERE o_totalprice < :cap GROUP BY o_orderpriority"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE sls_stmt STRING")
+    spark.sql("SET VAR sls_stmt = ?", args=[stmt])
+    return spark.sql("EXECUTE IMMEDIATE sls_stmt USING 150000.0 AS cap")

@@ -1594,3 +1594,84 @@ def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(term, 6).alias("psi_term"),
         F.round(F.sum(term).over(wall), 6).alias("psi_total"),
     )
+
+
+@query(
+    "graph_sssp_weighted",
+    "§2.14 weighted shortest paths (3 unrolled Bellman-Ford relaxation rounds)",
+    """
+    WITH pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             (a.l_partkey + b.l_partkey) % 7 + 1 AS w
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    d0 AS (SELECT DISTINCT u AS node, 0 AS dist FROM pairs WHERE u % 97 = 0),
+    r1 AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT * FROM d0
+        UNION ALL
+        SELECT p.v AS node, d0.dist + p.w AS dist
+        FROM pairs p JOIN d0 ON p.u = d0.node
+      ) GROUP BY node
+    ),
+    r2 AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT * FROM r1
+        UNION ALL
+        SELECT p.v AS node, r1.dist + p.w AS dist
+        FROM pairs p JOIN r1 ON p.u = r1.node
+      ) GROUP BY node
+    ),
+    r3 AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT * FROM r2
+        UNION ALL
+        SELECT p.v AS node, r2.dist + p.w AS dist
+        FROM pairs p JOIN r2 ON p.u = r2.node
+      ) GROUP BY node
+    )
+    SELECT node, CAST(dist AS INTEGER) AS dist FROM r3
+    """,
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source (multi-seed) WEIGHTED shortest paths by three
+    unrolled Bellman-Ford rounds over the co-purchase graph —
+    completing the graph family (BFS = the unweighted special case;
+    this relaxes edge weights (u+v)%7+1). Each round is the BSP
+    min-plus step: join the current distance table to the edge list
+    on the source node (one edge-table shuffle), add the weight, and
+    take the per-node MIN over old-and-new candidates — unlike BFS,
+    a later round may IMPROVE an already-reached node through a
+    cheaper 2-edge path, which is why the min() re-reduction per
+    round is load-bearing, not an optimization. Distance tables are
+    node-sized (broadcast under the same guard as PageRank/BFS) and
+    checkpointed per round so the plan stays linear in rounds. Exact
+    integer weights and distances end-to-end; nodes not reached
+    within 3 edges are absent — explicit frontier semantics, not
+    infinity sentinels."""
+    und = copurchase_edges(spark, sf_dir)
+    pairs = und.unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).withColumn("w", (F.col("u") + F.col("v")) % 7 + 1)
+    bc = F.broadcast if small_node_count(spark, sf_dir) else (lambda df: df)
+    dist = (
+        pairs.select(F.col("u").alias("node"))
+        .distinct()
+        .filter(F.col("node") % 97 == 0)
+        .withColumn("dist", F.lit(0))
+        .transform(lineage_checkpoint_lazy)
+    )
+    for _ in range(3):
+        cand = (
+            pairs.join(bc(dist.select(F.col("node").alias("u"), "dist")), "u")
+            .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionAll(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .transform(lineage_checkpoint_lazy)
+        )
+    return dist.select("node", F.col("dist").cast("int").alias("dist"))

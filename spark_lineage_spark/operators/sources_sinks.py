@@ -738,3 +738,53 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("int").alias("length"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+@query(
+    "sink_table_default_columns",
+    "§2.1 DDL schema evolution: ALTER TABLE ADD COLUMN ... DEFAULT backfill",
+    """
+    WITH r AS (
+      SELECT r_regionkey, r_name, 'unreviewed' AS status FROM region
+      UNION ALL
+      SELECT r_regionkey + 100 AS r_regionkey, upper(r_name) AS r_name,
+             'active' AS status
+      FROM region
+    )
+    SELECT status, count(*) AS n, CAST(min(r_regionkey) AS BIGINT) AS min_key,
+           CAST(max(r_regionkey) AS BIGINT) AS max_key
+    FROM r GROUP BY status
+    """,
+)
+def sink_table_default_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFAULT-valued schema evolution, the zero-rewrite ALTER path:
+    rows are written, then ``ALTER TABLE ... ADD COLUMN status STRING
+    DEFAULT 'unreviewed'`` evolves the schema WITHOUT touching a byte
+    of existing parquet — the default lives in catalog metadata and
+    old files surface it at READ time (exactly how a 100 TB table
+    adds a column in O(1)); rows inserted AFTER the alter may supply
+    the column explicitly ('active') or omit it and inherit the
+    CURRENT default. The re-read aggregates by status, so the value
+    hash proves both populations: metadata-backfilled old rows and
+    explicitly-valued new rows. Same idempotent naming/cleanup
+    discipline as the other managed tables."""
+    t = f"sls_region_dflt_{_proc_suffix(sf_dir)}"
+    _reap_stale_warehouse_dirs(spark, "sls_region_dflt_")
+    _drop_table_and_location(spark, t)
+    load(spark, sf_dir, "region").select("r_regionkey", "r_name").write.mode(
+        "overwrite"
+    ).saveAsTable(t)
+    spark.sql(f"ALTER TABLE {t} ADD COLUMN status STRING DEFAULT 'unreviewed'")
+    spark.sql(
+        f"INSERT INTO {t} SELECT r_regionkey + 100, upper(r_name), 'active'"
+        f" FROM {t} WHERE status = 'unreviewed'"
+    )
+    return (
+        spark.table(t)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("r_regionkey").cast("bigint").alias("min_key"),
+            F.max("r_regionkey").cast("bigint").alias("max_key"),
+        )
+    )

@@ -2501,3 +2501,103 @@ def llm_rejection_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("accept_prob"), 4).alias("expected_rate"),
         )
     )
+
+
+@query(
+    "llm_span_corruption",
+    "§2.11 T5-style span-corruption masks (deterministic hash-placed spans, map-only)",
+    """
+    WITH words AS (
+      SELECT doc_id, w, i
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0)
+                     AS ws
+            FROM documents),
+           LATERAL (SELECT unnest(ws) AS w, generate_subscripts(ws, 1) AS i)
+    ), marked AS (
+      SELECT doc_id, w, i,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                       CAST(i AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 20 = 0 AS starts,
+             (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                        CAST(i AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 20 = 0)
+             OR (i >= 2 AND
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                          CAST(i - 1 AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 20 = 0)
+             OR (i >= 3 AND
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                          CAST(i - 2 AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 20 = 0) AS masked
+      FROM words
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN starts THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+           round(sum(CASE WHEN masked THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS mask_rate,
+           coalesce(string_agg(CASE WHEN masked THEN w END, ' ' ORDER BY i), '')
+             AS target_text
+    FROM marked GROUP BY doc_id
+    """,
+)
+def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption target construction (the T5/UL2 pretraining
+    objective): mask contiguous 3-token spans whose START positions
+    are chosen by a deterministic hash (md5(doc_id:pos) % 20 == 0,
+    ~15% expected corruption with overlap), and emit the
+    denoising TARGET — the masked tokens in order. The scale trick is
+    that span membership needs NO join or window: a position is
+    masked iff a span STARTED at pos, pos-1, or pos-2, so the mask
+    bit is a 3-term hash predicate evaluated per token — map-only,
+    embarrassed-parallel, and reshuffle-proof (the mask depends only
+    on (doc_id, position), so re-runs and backfills corrupt
+    IDENTICAL spans — an RNG-based masker cannot replay). One
+    shuffle total: the per-doc regroup that assembles counts and the
+    order-pinned target string."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr("filter(split(text, ' '), t -> length(t) > 0)")
+            ).alias("p0", "w"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("i"), "w")
+    )
+    h = (
+        lambda pos: F.expr(
+            "cast(conv(substring(md5(cast(concat(cast(doc_id AS STRING), ':',"
+            f" cast({pos} AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 20 = 0"
+        )
+    )
+    marked = toks.select(
+        "doc_id",
+        "w",
+        "i",
+        h("i").alias("starts"),
+        (
+            h("i")
+            | ((F.col("i") >= 2) & h("i - 1"))
+            | ((F.col("i") >= 3) & h("i - 2"))
+        ).alias("masked"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("starts"), 1).otherwise(0)).alias("n_spans"),
+        F.sum(F.when(F.col("masked"), 1).otherwise(0)).alias("n_masked"),
+        F.round(
+            F.sum(F.when(F.col("masked"), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("mask_rate"),
+        F.concat_ws(
+            " ",
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("masked"), F.struct("i", "w")).otherwise(F.lit(None))
+                )
+            ).getField("w"),
+        ).alias("target_text"),
+    )

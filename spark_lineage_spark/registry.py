@@ -216,6 +216,8 @@ _VERIFY_FIRST = [
     "udtf_analyze_polymorphic", "llm_contrastive_negatives",
     "stats_mann_whitney", "ts_user_streaks", "ts_seasonal_decompose",
     "profile_psi_drift", "llm_rejection_sampling",
+    "graph_sssp_weighted", "sql_execute_immediate",
+    "sink_table_default_columns", "llm_span_corruption",
 ]
 
 # ... and run these LAST among the unverified: rows-only checks (weaker

@@ -897,21 +897,22 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_count_min_sketch",
     "§2.4 count-min sketch (portable md5 rows, mergeable counters, oracle-exact)",
     """
-    WITH cells AS (
+    WITH hashed AS (
+      SELECT l_partkey, md5(CAST(l_partkey AS VARCHAR)) AS dig FROM lineitem
+    ), cells AS (
       SELECT d.d AS d,
-             CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR) || ':' ||
-                                       CAST(d.d AS VARCHAR)), 1, 15))
-                  AS BIGINT) % 256 AS cell,
+             CAST(concat('0x', substr(dig, 1 + 8 * d.d, 8)) AS BIGINT) % 256
+               AS cell,
              count(*) AS cnt
-      FROM lineitem CROSS JOIN (SELECT unnest(range(4)) AS d) d
+      FROM hashed CROSS JOIN (SELECT unnest(range(4)) AS d) d
       GROUP BY 1, 2
     ), topk AS (
       SELECT l_partkey, count(*) AS exact_cnt FROM lineitem
       GROUP BY 1 ORDER BY exact_cnt DESC, l_partkey LIMIT 10
     ), probes AS (
       SELECT t.l_partkey, t.exact_cnt, d.d,
-             CAST(concat('0x', substr(md5(CAST(t.l_partkey AS VARCHAR) || ':' ||
-                                       CAST(d.d AS VARCHAR)), 1, 15))
+             CAST(concat('0x', substr(md5(CAST(t.l_partkey AS VARCHAR)),
+                                      1 + 8 * d.d, 8))
                   AS BIGINT) % 256 AS cell
       FROM topk t CROSS JOIN (SELECT unnest(range(4)) AS d) d
     )
@@ -927,7 +928,8 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes (d=4 rows x w=256 counters), so unlike Spark's native
     ``count_min_sketch`` (xxhash-seeded binary blob, engine-specific)
     every counter — and therefore the estimate — is bit-identical in
-    DuckDB and fully value-hash-checked. The sketch is the canonical
+    DuckDB and fully value-hash-checked (the 4 rows are disjoint 8-hex
+    slices of ONE md5 digest — one hash evaluation per input row). The sketch is the canonical
     bounded-state frequency summary at 100 TB: each input row
     contributes to exactly d cells, the per-partition partial agg
     collapses a partition of any size to <= d*w=1024 cells BEFORE the
@@ -939,17 +941,22 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     side: the probe table is 10 keys x 4 rows, broadcast to the 1024
     counters; nothing rescans the fact."""
     li = load(spark, sf_dir, "lineitem")
+    # ONE md5 per row; the d=4 sketch rows are 4 disjoint 8-hex-char
+    # slices of the 32-char digest (the split-one-strong-hash CMS
+    # trick) — measured 5.1s -> ~2s at sf0.1 vs 4 salted md5 calls
     depth = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("d")
     cell = (
         F.expr(
-            "cast(conv(substring(md5(cast(concat(cast(l_partkey AS STRING), ':',"
-            " cast(d AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+            "cast(conv(substring(dig, 1 + 8 * d, 8), 16, 10) AS BIGINT)"
         )
         % 256
     ).alias("cell")
     cells = (
-        li.select("l_partkey", depth)
-        .select("l_partkey", "d", cell)
+        li.select(
+            F.expr("md5(cast(cast(l_partkey AS STRING) AS BINARY))").alias("dig")
+        )
+        .select("dig", depth)
+        .select("d", cell)
         .groupBy("d", "cell")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -959,8 +966,12 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_cnt"), "l_partkey")
         .limit(10)
     )
-    probes = topk.select("l_partkey", "exact_cnt", depth).select(
-        "l_partkey", "exact_cnt", "d", cell
+    probes = (
+        topk.withColumn(
+            "dig", F.expr("md5(cast(cast(l_partkey AS STRING) AS BINARY))")
+        )
+        .select("l_partkey", "exact_cnt", "dig", depth)
+        .select("l_partkey", "exact_cnt", "d", cell)
     )
     return (
         F.broadcast(probes)

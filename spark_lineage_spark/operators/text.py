@@ -2360,11 +2360,14 @@ def llm_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_contrastive_negatives",
     "§2.11 contrastive negative sampling (hash-bucket blocked, deterministic rank)",
     """
-    WITH d AS (
+    WITH nb AS (
+      SELECT greatest(8, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS n_buckets
+      FROM documents
+    ), d AS (
       SELECT doc_id, lang, source,
              CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                  AS BIGINT) % 8 AS bucket
-      FROM documents
+                  AS BIGINT) % nb.n_buckets AS bucket
+      FROM documents CROSS JOIN nb
     ), cand AS (
       SELECT a.doc_id, b.doc_id AS neg_id, b.source AS neg_source,
              CAST(concat('0x', substr(md5(CAST(a.doc_id AS VARCHAR) || ':' ||
@@ -2391,14 +2394,21 @@ def llm_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     the md5 of the (anchor, candidate) pair — so the "sample" is
     reproducible run-over-run and engine-over-engine, no RNG state.
     The scale control is the hash-bucket block: candidates must share
-    the anchor's md5 bucket (1/8 of the corpus), so the blocked
-    self-join generates |block|^2 pairs per (lang, bucket) instead of
-    corpus^2 — at 100 TB you raise the bucket count to keep blocks at
-    a few thousand docs and the plan is unchanged (one shuffle on the
-    (lang, bucket) key, then a bounded per-anchor window). Anchors in
-    blocks with fewer than 3 eligible negatives yield fewer rows —
-    explicit, not padded."""
-    d = load(spark, sf_dir, "documents").select(
+    the anchor's md5 bucket, and the bucket count GROWS WITH THE
+    CORPUS (greatest(8, ceil(n/64)), a one-row count broadcast into
+    the plan), pinning expected block size at ~64 docs — so the
+    blocked self-join generates |block|^2 pairs per (lang, bucket)
+    and total pair work stays LINEAR in corpus size at any SF (one
+    shuffle on the (lang, bucket) key, then a bounded per-anchor
+    window). Anchors in blocks with fewer than 3 eligible negatives
+    yield fewer rows — explicit, not padded."""
+    docs = load(spark, sf_dir, "documents")
+    nb = docs.agg(
+        F.greatest(
+            F.lit(8), F.ceil(F.count(F.lit(1)) / 64.0).cast("bigint")
+        ).alias("n_buckets")
+    )
+    d = docs.crossJoin(F.broadcast(nb)).select(
         "doc_id",
         "lang",
         "source",
@@ -2407,7 +2417,7 @@ def llm_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cast(conv(substring(md5(cast(cast(doc_id AS STRING) AS BINARY)),"
                 " 1, 15), 16, 10) AS BIGINT)"
             )
-            % 8
+            % F.col("n_buckets")
         ).alias("bucket"),
     )
     a = d.alias("a")

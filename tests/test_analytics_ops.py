@@ -933,3 +933,65 @@ def test_grouped_rank_weight_path_matches_plain_window(spark):
     assert len(got) == len(expected)
     for r in got:
         assert (r.rnk, r.n, r.cum_w, r.tot_w) == expected[(r.g, r.id)], (r.g, r.id)
+
+
+def test_sssp_matches_python_bellman_ford(spark):
+    """graph_sssp_weighted: independent 3-round Bellman-Ford in plain
+    Python over the same co-purchase edges (pandas-derived) must give
+    identical distances — pins the min-plus math, not just engine
+    parity."""
+    from spark_lineage_spark.operators.analytics import graph_sssp_weighted
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    m = li.merge(li, on="l_orderkey")
+    m = m[m.l_partkey_x != m.l_partkey_y]
+    edges = set(zip(m.l_partkey_x, m.l_partkey_y))  # both directions present
+    nodes = {u for u, _ in edges}
+    dist = {n: 0 for n in nodes if n % 97 == 0}
+    for _ in range(3):
+        nxt = dict(dist)
+        for u, v in edges:
+            if u in dist:
+                w = (u + v) % 7 + 1
+                if v not in nxt or dist[u] + w < nxt[v]:
+                    nxt[v] = dist[u] + w
+        dist = nxt
+    got = {r.node: r.dist for r in graph_sssp_weighted(spark, SF).collect()}
+    assert got == dist
+
+
+def test_span_corruption_matches_python(spark):
+    """llm_span_corruption: replay the hash-mask rule with hashlib for
+    every doc; counts and the target string must match exactly, and
+    the corpus mask rate must sit near the designed ~14.6%
+    (1-(19/20)^3 per position, edge-truncated)."""
+    import hashlib
+
+    from spark_lineage_spark.operators.text import llm_span_corruption
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    rows = {r.doc_id: r for r in llm_span_corruption(spark, SF).collect()}
+    tot_tok = tot_masked = 0
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        toks = [t for t in text.split(" ") if t]
+
+        def start(i):
+            h = hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest()
+            return int(h[:15], 16) % 20 == 0
+
+        starts = [i for i in range(1, len(toks) + 1) if start(i)]
+        masked = [
+            i
+            for i in range(1, len(toks) + 1)
+            if start(i) or (i >= 2 and start(i - 1)) or (i >= 3 and start(i - 2))
+        ]
+        r = rows[doc_id]
+        assert (r.n_tokens, r.n_spans, r.n_masked) == (
+            len(toks),
+            len(starts),
+            len(masked),
+        ), doc_id
+        assert r.target_text == " ".join(toks[i - 1] for i in masked), doc_id
+        tot_tok += len(toks)
+        tot_masked += len(masked)
+    assert abs(tot_masked / tot_tok - (1 - (19 / 20) ** 3)) < 0.02

@@ -71,6 +71,20 @@ PROBE_QUERIES = [
     "llm_ann_int8_rerank",
     "llm_ann_ivf",
     "stream_dedup_simhash",
+    # round-7 batch 2: sketches, rank statistics, layout, pipeline ops.
+    # join_spatial_grid is NOT probed (customers are a dim the fixture
+    # copies once, so its input does not grow); graph_sssp_weighted is
+    # excluded with the other graph_* ops (densification note below).
+    "agg_count_min_sketch",
+    "stats_ks_test",
+    "stats_mann_whitney",
+    "ts_user_streaks",
+    "hist_zorder_layout",
+    "profile_psi_drift",
+    "ts_seasonal_decompose",
+    "llm_rejection_sampling",
+    "llm_span_corruption",
+    "llm_contrastive_negatives",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

@@ -477,3 +477,58 @@ def test_checkpoint_recovery_no_reprocessing(spark, sf_dir, tmp_path):
     # only the new file's rows — batch 0's 30 rows are NOT reprocessed
     assert sum(n for _, _, n in second) == 50, second
     assert all(e >= 1 for _, e, _ in second), second  # epochs continue, not restart
+
+
+def test_checkpoint_recovery_third_run_is_noop(spark, tmp_path):
+    """stream_checkpoint_recovery's exactly-once claim, probed one step
+    further than the oracle: a THIRD restart from the same checkpoint
+    with NO new input files must add nothing — the committed file set
+    behind _spark_metadata is byte-for-byte stable, so a scheduler
+    double-fire cannot double-count."""
+    import os
+    import shutil
+
+    from spark_lineage_spark.streaming.queries import _split_events_dir
+    from spark_lineage_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    split = _split_events_dir(sf)
+    schema = load(spark, sf, "events").drop("ts").schema
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    os.makedirs(in_dir)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(in_dir)
+            .select("event_id")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for i in (0, 1):
+        shutil.copy(os.path.join(split, f"f{i}.parquet"), in_dir)
+    run_once()
+    n1 = spark.read.parquet(out_dir).count()
+    for i in (2, 3):
+        shutil.copy(os.path.join(split, f"f{i}.parquet"), in_dir)
+    run_once()
+    n2 = spark.read.parquet(out_dir).count()
+    committed_after_2 = sorted(
+        f for f in os.listdir(out_dir) if f.endswith(".parquet")
+    )
+    run_once()  # third run: no new files — must be a no-op
+    n3 = spark.read.parquet(out_dir).count()
+    assert n1 < n2, "second run ingested nothing"
+    assert n2 == n3 == load(spark, sf, "events").count()
+    assert committed_after_2 == sorted(
+        f for f in os.listdir(out_dir) if f.endswith(".parquet")
+    ), "a no-op restart wrote files"

@@ -57,6 +57,15 @@ ANNOTATED = {
     "llm_ngram_novelty": "distinct + left-anti share the gram-key exchange; counts as broadcast 1-row aggs",
     "cdc_scd2_build": "two user_id windows, second over the strictly-smaller runs table",
     "agg_gini_concentration": "distributed rank + one exact-decimal aggregate; two final double divisions",
+    # round-7 additions
+    "agg_count_min_sketch": "ONE md5/row sliced into 4 sketch rows; partial agg collapses any partition to <=1024 cells pre-exchange; probes broadcast",
+    "join_spatial_grid": "3x3 cell-neighbor equi-join (no CartesianProduct/BNLJ); exact integer dist^2 refilter after blocking",
+    "stats_ks_test": "distinct-value collapse + two-phase prefix sum (broadcast bucket offsets, per-bucket windows); integer ECDF cross-products",
+    "hist_zorder_layout": "map-side Morton interleave; two-level hash agg (layout,file)->layout — no sort anywhere",
+    "graph_sssp_weighted": "per-round min-plus: edge shuffle + broadcast distance table + per-node min re-reduction, checkpointed",
+    "llm_span_corruption": "mask bit = 3-term hash predicate per token (no join/window); one doc_id regroup for the target",
+    "llm_contrastive_negatives": "(lang, hash-bucket) blocked self-join, bucket count grows with corpus (ceil(n/64)); bounded per-anchor window",
+    "profile_psi_drift": "ref-decile cutpoints = 1-row percentile agg broadcast into map-side bucketing; 10-key agg + 10-row window total",
     # streaming queries are excluded: their builder returns the drained
     # memory-sink table, whose plan is just a Scan ExistingRDD
 }

@@ -215,6 +215,10 @@ def main() -> None:
             fh.write(f"| {name} | {b:.2f} | {x:.2f} | {r:.1f} | {nb} | {nx} |\n")
         fh.write(
             "\nNotes:\n"
+            "- `join_spatial_grid` is not probed: customers are a"
+            " dimension the fixture copies once, so its input does not"
+            " grow at 10x; its cost model (O(n x cell density), no"
+            " cartesian) is plan-asserted in tests/test_plans.py.\n"
             "- `llm_ann_ivf` is ~linear BY DESIGN at a fixed list count:"
             " with K=16 lists and nprobe=8, the probed candidate set is a"
             " fixed fraction of the corpus, so work grows 1:1 with corpus"

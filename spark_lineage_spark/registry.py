@@ -180,44 +180,38 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "cdc_scd2_incremental", "join_point_in_time_scd2", "sink_python_stream",
     "llm_dedup_simhash", "llm_ann_lsh", "llm_ann_ivf",
     "lineage_catalog_query", "llm_dedup_minhash_ml",
+    # round 7 verified (CORRECTNESS_r07.json)
+    "agg_bitmap_distinct", "agg_count_min_sketch", "agg_hll_two_level",
+    "dq_forget_user_sweep", "fn_aes_roundtrip", "fn_interval_battery",
+    "fn_nested_struct_array", "fn_variant_typed_get", "graph_bfs_khop",
+    "graph_sssp_weighted", "hist_zorder_layout", "join_asof_tolerance",
+    "join_spatial_grid", "llm_ann_int8_rerank", "llm_blocklist_filter",
+    "llm_contrastive_negatives", "llm_dedup_per_domain", "llm_dedup_persistent_index",
+    "llm_doc_hash_embedding", "llm_minhash_band_sweep", "llm_quality_threshold_sweep",
+    "llm_rejection_sampling", "llm_span_corruption", "llm_url_domain_normalize",
+    "obs_observation_metrics", "profile_join_skew", "profile_psi_drift",
+    "sink_table_default_columns", "source_python_pushdown", "sql_execute_immediate",
+    "sql_group_by_all_lateral", "sql_named_parameters", "sql_pipe_syntax",
+    "stats_ks_test", "stats_mann_whitney", "stats_ttest_welch",
+    "stream_chained_stateful", "stream_checkpoint_recovery", "stream_dedup_simhash",
+    "stream_transform_with_state", "ts_ewma_smoothing", "ts_seasonal_decompose",
+    "ts_session_window_builtin", "ts_user_streaks", "udf_grouped_map_normalize",
+    "udf_map_in_pandas", "udf_pandas_grouped_agg", "udf_pandas_scalar",
+    "udtf_analyze_polymorphic",
 ]
 
-# Among the not-yet-verified queries, run these FIRST.  After round 6
-# the official record covers 250/253 with zero failures; the head below
-# is the 3 round-6 additions that still lack an official row, the 4 UDF
-# queries whose r3 records describe pre-round-6 rounding semantics
-# (banker's inside the UDF body -> HALF_UP F.round outside), and any
-# NEW round-7 queries — so the driver's round-7 budget lands official
-# rows on every query with no stale record.
+# Among the not-yet-verified queries, run these FIRST.  After the
+# round-8-start promotion the official record covers all 295 round-7
+# queries with zero failures; the head below is the NEW round-8
+# registrations, so the driver's round-8 budget lands official rows on
+# every new query.
 #
-# ROUND-8 BUILDER: after CORRECTNESS_r07.json lands, append its keys to
-# _DRIVER_VERIFIED_ROUNDS_AGO and move any NEW round-7 queries into
-# _VERIFY_FIRST.  Skipping this exact step wasted round 3 and nearly
-# round 5 (VERDICT r4 item 1).
+# ROUND-9 BUILDER: after CORRECTNESS_r08.json lands, run
+# ``python tools/promote_verified.py`` to append its green keys to
+# _DRIVER_VERIFIED_ROUNDS_AGO and empty the queues below.  Skipping
+# this exact step wasted round 3 and nearly round 5 (VERDICT r4 item 1).
 _VERIFY_FIRST = [
-    "llm_url_domain_normalize", "llm_dedup_per_domain",
-    "llm_minhash_band_sweep",
-    "udf_pandas_scalar", "udf_pandas_grouped_agg",
-    "udf_grouped_map_normalize", "udf_map_in_pandas",
-    # round-7 additions
-    "stream_transform_with_state", "llm_dedup_persistent_index",
-    "llm_ann_int8_rerank", "stream_dedup_simhash",
-    "profile_join_skew", "dq_forget_user_sweep", "join_asof_tolerance",
-    "llm_blocklist_filter", "llm_doc_hash_embedding",
-    "obs_observation_metrics", "agg_hll_two_level",
-    "source_python_pushdown", "stream_chained_stateful",
-    "agg_bitmap_distinct", "fn_interval_battery", "sql_named_parameters",
-    "ts_session_window_builtin", "graph_bfs_khop",
-    "llm_quality_threshold_sweep", "ts_ewma_smoothing", "fn_aes_roundtrip",
-    "sql_pipe_syntax", "fn_variant_typed_get", "fn_nested_struct_array",
-    "stream_checkpoint_recovery",
-    "agg_count_min_sketch", "stats_ks_test", "stats_ttest_welch",
-    "join_spatial_grid", "hist_zorder_layout", "sql_group_by_all_lateral",
-    "udtf_analyze_polymorphic", "llm_contrastive_negatives",
-    "stats_mann_whitney", "ts_user_streaks", "ts_seasonal_decompose",
-    "profile_psi_drift", "llm_rejection_sampling",
-    "graph_sssp_weighted", "sql_execute_immediate",
-    "sink_table_default_columns", "llm_span_corruption",
+    # round-8 additions
 ]
 
 # ... and run these LAST among the unverified: rows-only checks (weaker

@@ -93,12 +93,11 @@ def test_evict_cache_caps_same_app_entries():
 
 def test_driver_budget_lands_on_the_50_unrecorded():
     """The names load_all() yields ahead of the already-verified tail
-    must start with exactly _VERIFY_FIRST — the queries still lacking a
-    current official CORRECTNESS row after round 6 (3 round-6 additions
-    + 4 stale-rounding UDF re-verifies), then any new round-7 queries.
-    The driver's 50-row budget must cover ALL unverified queries so
-    round 7 closes official coverage at 253/253 + new work."""
-    head = _VERIFY_FIRST + _VERIFY_LAST
+    must start with exactly _VERIFY_FIRST.  After the round-8-start
+    promotion (tools/promote_verified.py over CORRECTNESS_r07.json) the
+    official record covers all 295 round-7 queries with zero failures,
+    so the unverified head is exactly the NEW round-8 registrations —
+    and must stay within the driver's 50-row per-round budget."""
     names = list(load_all())
     assert names[: len(_VERIFY_FIRST)] == _VERIFY_FIRST
     unverified = [n for n in names if n not in set(_DRIVER_VERIFIED_ROUNDS_AGO)]
@@ -107,9 +106,9 @@ def test_driver_budget_lands_on_the_50_unrecorded():
         f"budget: {unverified}"
     )
     # every unverified name enumerates before every verified one
-    first_verified = next(
+    verified_positions = [
         i for i, n in enumerate(names) if n in set(_DRIVER_VERIFIED_ROUNDS_AGO)
-    )
+    ]
+    first_verified = verified_positions[0] if verified_positions else len(names)
     assert all(n not in set(_DRIVER_VERIFIED_ROUNDS_AGO) for n in names[:first_verified])
     assert set(names[:first_verified]) == set(unverified)
-    assert head  # _VERIFY_FIRST must never be empty while unverified work exists

@@ -282,6 +282,123 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_left_outer_join",
+    "§2.9 stream-stream LEFT OUTER interval join (watermark-evicted null extension)",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p LEFT JOIN events c
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND date_trunc('microseconds', c.ts) >= date_trunc('microseconds', p.ts) - INTERVAL '1 hour'
+     AND date_trunc('microseconds', c.ts) <= date_trunc('microseconds', p.ts)
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The state-eviction-proving half of SURVEY §2.9's stream-stream
+    join row (VERDICT r7 item 3): a LEFT OUTER interval join. Matched
+    (purchase, click) pairs emit as they arrive exactly like
+    stream_stream_join; a purchase with NO click in its 1 h lookback
+    emits null-extended only once the join watermark passes its match
+    window and its state is EVICTED — the part an inner join never
+    exercises. A finite availableNow run would withhold every
+    still-open purchase, so each staged stream appends TWO flush
+    sentinels 48 h and 96 h past the real data (the
+    stream_chained_stateful discipline, doubled because a join applies
+    the watermark computed from batch N's data during batch N+1: the
+    first flush advances the watermark beyond every real purchase's
+    window, the second triggers the batch in which that watermark
+    evicts them): all unmatched purchases emit with click_id NULL.
+    Sentinels carry negative event/user ids (they match nothing real)
+    and are excluded from the result BATCH-SIDE, after the sink is
+    read back — NOT inside the streaming plan: Catalyst pushes any
+    non-event-time predicate THROUGH EventTimeWatermark into the
+    parquet scan (verified in this plan: an in-plan purchase_id >= 0
+    became PushedFilters GreaterThanOrEqual(event_id,0), silently
+    pruning the sentinel before it could ever advance the watermark —
+    the min-policy global watermark then pins forever and the tail of
+    unmatched purchases is withheld). The two sides are staged as two
+    SEPARATE pre-split directories (purchases / clicks, each with its
+    own sentinel files): the faithful two-topic shape, and it keeps
+    each side's watermark fed without event_type filters in the plan.
+    Oracle = the batch LEFT JOIN under the same time bound; the
+    late-match-stays-unmatched property is
+    tests/test_streaming.py::test_stream_left_outer_late_match_stays_unmatched.
+
+    State bound at 100 TB: each side holds only rows younger than
+    watermark delay + join range (2 h + 1 h here) — eviction is exactly
+    what this query proves, so a month-long run holds hours, not the
+    month."""
+    import glob
+
+    from spark_lineage_spark.tables import _normalize_ts, load
+
+    run_dir = tempfile.mkdtemp(prefix="sls_ssloj_")
+    ev = load(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]  # driver scalar, metadata-scale
+
+    def sentinel_at(hours: int, etype: str) -> DataFrame:
+        return spark.createDataFrame(
+            [(int(-1), max_ts, int(-1), etype, float(0.0), None)],
+            ev.schema,
+        ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {hours} HOURS"))
+
+    def stage_side(name: str, etype: str) -> str:
+        src = os.path.join(run_dir, name)
+        os.makedirs(src)
+        batches = (
+            (0, ev.filter(F.col("event_type") == etype)),
+            (1, sentinel_at(48, etype)),
+            (2, sentinel_at(96, etype)),
+        )
+        for k, batch_df in batches:
+            stage = os.path.join(run_dir, f"stage_{name}{k}")
+            batch_df.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = glob.glob(stage + "/part-*.parquet")[0]
+            dst = os.path.join(src, f"b{k}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_600_000_000 + k, 1_600_000_000 + k))
+            shutil.rmtree(stage)
+        return src
+
+    def side(prefix: str, etype: str, id_alias: str) -> DataFrame:
+        src = stage_side(f"src_{prefix}", etype)
+        schema = spark.read.parquet(os.path.join(src, "b0.parquet")).schema
+        return (
+            _normalize_ts(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            .withWatermark("ts", "2 hours")
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+        )
+
+    joined = (
+        side("p", "purchase", "purchase_id")
+        .join(
+            side("c", "click", "click_id"),
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+            "leftOuter",
+        )
+        .select("purchase_id", "click_id")
+    )
+    out = run_to_memory(joined, mode="append")
+    # the 48 h sentinel purchase emits null-extended when the 96 h
+    # flush evicts it; drop it HERE, on the batch sink contents — an
+    # in-plan filter would push below the watermark (see docstring)
+    out = out.filter(F.col("purchase_id") >= 0)
+    shutil.rmtree(run_dir, ignore_errors=True)
+    return out
+
+
+@query(
     "stream_static_join",
     "§2.9 stream-static join (streaming fact x batch dim broadcast)",
     """

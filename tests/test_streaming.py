@@ -532,3 +532,89 @@ def test_checkpoint_recovery_third_run_is_noop(spark, tmp_path):
     assert committed_after_2 == sorted(
         f for f in os.listdir(out_dir) if f.endswith(".parquet")
     ), "a no-op restart wrote files"
+
+
+def test_stream_left_outer_late_match_stays_unmatched(spark, tmp_path):
+    """The left-outer eviction contract (VERDICT r7 item 3): once the
+    watermark closes a purchase's match window, the purchase emits
+    null-extended and a matching click that arrives AFTER that point —
+    with an in-bound event time, i.e. genuinely late data — must NOT
+    retroactively produce a matched row."""
+    import datetime
+    import glob
+    import shutil
+
+    from spark_lineage_spark.streaming.queries import run_to_memory
+
+    t0 = datetime.datetime(2024, 1, 10, 12, 0, 0)
+    h = datetime.timedelta(hours=1)
+    schema = "event_id bigint, ts timestamp, user_id bigint"
+
+    def stage(dirname, batches):
+        src = str(tmp_path / dirname)
+        os.makedirs(src)
+        for k, rows in enumerate(batches):
+            stagep = str(tmp_path / f"{dirname}_st{k}")
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stagep)
+            part = glob.glob(stagep + "/part-*.parquet")[0]
+            dst = os.path.join(src, f"b{k}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_600_000_000 + k, 1_600_000_000 + k))
+        return src
+
+    src_p = stage(
+        "p",
+        [
+            [(1, t0, 100)],  # the purchase
+            [(-1, t0 + 48 * h, -1)],  # flush sentinels advance the watermark
+            [(-1, t0 + 96 * h, -1)],  # ... whose application evicts the purchase
+            [(-1, t0 + 144 * h, -1)],
+        ],
+    )
+    src_c = stage(
+        "c",
+        [
+            [],  # no clicks while the purchase is open
+            [(-2, t0 + 48 * h, -2)],
+            [(-2, t0 + 96 * h, -2)],
+            # the LATE click: event time inside the purchase's 1h
+            # lookback, but it arrives a full batch after the watermark
+            # evicted the purchase (same-batch input still joins state
+            # before end-of-batch eviction, so it must come later)
+            [(50, t0 - h / 2, 100), (-2, t0 + 144 * h, -2)],
+        ],
+    )
+
+    def side(src, prefix, id_alias):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", "2 hours")
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+        )
+
+    joined = (
+        side(src_p, "p", "purchase_id")
+        .join(
+            side(src_c, "c", "click_id"),
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+            "leftOuter",
+        )
+        .select("purchase_id", "click_id")
+    )
+    rows = {
+        (r.purchase_id, r.click_id)
+        for r in run_to_memory(joined, mode="append")
+        .filter(F.col("purchase_id") >= 0)
+        .collect()
+    }
+    assert rows == {(1, None)}, rows

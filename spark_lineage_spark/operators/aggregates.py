@@ -985,3 +985,103 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
         )
     )
+
+
+@query(
+    "stat_crosstab",
+    "§2.4 df.stat.crosstab contingency table (order priority × status)",
+    """
+    SELECT o_orderpriority AS priority,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.stat.crosstab`` — the DataFrame-stats contingency table
+    (VERDICT r7 item 4's df.stat battery, exact half). One pass, one
+    shuffle on the pair key — identical cost shape to the conditional
+    pivot it desugars to, so it holds at any scale. The crosstab
+    result column per status value is selected explicitly (F/O/P are
+    the complete TPC-H o_orderstatus domain) so the column order is
+    deterministic regardless of the value-discovery order."""
+    orders = load(spark, sf_dir, "orders")
+    ct = orders.stat.crosstab("o_orderpriority", "o_orderstatus")
+    return ct.select(
+        F.col("o_orderpriority_o_orderstatus").alias("priority"),
+        F.col("F").alias("n_f"),
+        F.col("O").alias("n_o"),
+        F.col("P").alias("n_p"),
+    )
+
+
+@query(
+    "stat_df_battery",
+    "§2.4 df.stat battery: cov / corr / exact approxQuantile / freqItems",
+    """
+    WITH t AS (SELECT l_quantity AS q, l_extendedprice AS p, l_returnflag AS f
+               FROM lineitem)
+    SELECT 'corr_qty_price' AS metric, round(corr(q, p), 6) AS value FROM t
+    UNION ALL
+    SELECT 'cov_qty_price', round(covar_samp(q, p), 6) FROM t
+    UNION ALL
+    SELECT 'q25_qty', CAST(quantile_disc(q, 0.25) AS DOUBLE) FROM t
+    UNION ALL
+    SELECT 'q50_qty', CAST(quantile_disc(q, 0.50) AS DOUBLE) FROM t
+    UNION ALL
+    SELECT 'q75_qty', CAST(quantile_disc(q, 0.75) AS DOUBLE) FROM t
+    UNION ALL
+    SELECT 'q50_price', CAST(quantile_disc(p, 0.50) AS DOUBLE) FROM t
+    UNION ALL
+    SELECT 'n_freq_flags', CAST(count(*) AS DOUBLE) FROM (
+      SELECT f FROM t GROUP BY f
+      HAVING count(*) > 0.2 * (SELECT count(*) FROM t))
+    """,
+)
+def stat_df_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the ``df.stat`` API (VERDICT r7 item 4):
+    ``cov`` / ``corr`` (co-moment streaming aggregate), ``approxQuantile``
+    with relativeError=0 — which the API contract defines as EXACT
+    quantiles, making it oracle-checkable against DuckDB's
+    quantile_disc — and ``freqItems``. These calls return driver
+    scalars by design (the computation is a distributed single pass;
+    only the constant-size result lands on the driver), so the query
+    re-wraps them as a metric/value table.
+
+    freqItems is a one-pass heavy-hitter SKETCH whose output is a
+    superset of the true >support items and may contain extra
+    candidates in partition-dependent order — the deterministic,
+    oracle-checkable fact is |freqItems ∩ exact-heavy-hitters| =
+    |exact-heavy-hitters| (the superset guarantee), which is what
+    n_freq_flags reports. cov/corr are rounded to 6 dp because the
+    co-moment accumulation order varies with partitioning (measured
+    ulp-level spread at sf0.1); the property-level agreement with the
+    exact decimal-sum computation is tests/test_aggregates_stat.py."""
+    li = load(spark, sf_dir, "lineitem")
+    cov = li.stat.cov("l_quantity", "l_extendedprice")
+    corr = li.stat.corr("l_quantity", "l_extendedprice")
+    q25, q50, q75 = li.stat.approxQuantile("l_quantity", [0.25, 0.5, 0.75], 0.0)
+    (q50_price,) = li.stat.approxQuantile("l_extendedprice", [0.5], 0.0)
+    freq = set(li.stat.freqItems(["l_returnflag"], 0.2).collect()[0][0])
+    n_rows = li.count()
+    exact_heavy = {
+        r.l_returnflag
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 0.2 * n_rows)
+        .collect()
+    }
+    n_freq = float(len(freq & exact_heavy))
+    rows = [
+        ("corr_qty_price", corr),
+        ("cov_qty_price", cov),
+        ("q25_qty", q25),
+        ("q50_qty", q50),
+        ("q75_qty", q75),
+        ("q50_price", q50_price),
+        ("n_freq_flags", n_freq),
+    ]
+    return spark.createDataFrame(rows, "metric string, value double").select(
+        "metric", F.round("value", 6).alias("value")
+    )

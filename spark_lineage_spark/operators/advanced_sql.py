@@ -2149,3 +2149,83 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql("DECLARE OR REPLACE VARIABLE sls_stmt STRING")
     spark.sql("SET VAR sls_stmt = ?", args=[stmt])
     return spark.sql("EXECUTE IMMEDIATE sls_stmt USING 150000.0 AS cap")
+
+
+@query(
+    "sql_transpose",
+    "§2.2 Spark-4 DataFrame.transpose (rows ↔ columns pivot of a summary table)",
+    """
+    WITH agg AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price,
+             round(avg(l_discount), 4) AS avg_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT 'sum_qty' AS key,
+           max(CASE WHEN l_returnflag = 'A' THEN sum_qty END) AS A,
+           max(CASE WHEN l_returnflag = 'N' THEN sum_qty END) AS N,
+           max(CASE WHEN l_returnflag = 'R' THEN sum_qty END) AS R
+    FROM agg
+    UNION ALL
+    SELECT 'sum_price',
+           max(CASE WHEN l_returnflag = 'A' THEN sum_price END),
+           max(CASE WHEN l_returnflag = 'N' THEN sum_price END),
+           max(CASE WHEN l_returnflag = 'R' THEN sum_price END)
+    FROM agg
+    UNION ALL
+    SELECT 'avg_disc',
+           max(CASE WHEN l_returnflag = 'A' THEN avg_disc END),
+           max(CASE WHEN l_returnflag = 'N' THEN avg_disc END),
+           max(CASE WHEN l_returnflag = 'R' THEN avg_disc END)
+    FROM agg
+    """,
+)
+def sql_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's ``DataFrame.transpose`` (VERDICT r7 item 5): flip a
+    per-flag summary so metrics become rows and flags become columns —
+    the report-formatting step analysts do after every rollup. The
+    transpose index column is the first column (l_returnflag), whose
+    values (A/N/R, the full TPC-H domain) become the output columns.
+    Safe EXACTLY because the input is a post-aggregation summary table
+    (one row per flag): transpose collects the index values to the
+    driver to name columns, so it is a metadata-scale operation here —
+    never applied to a fact table. Aggregates are rounded before the
+    flip so the transposed doubles hash identically."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+    return agg.transpose()
+
+
+@query(
+    "sql_tablesample",
+    "§2.2 TABLESAMPLE (x PERCENT) REPEATABLE(seed) — rows-only",
+    None,
+)
+def sql_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``TABLESAMPLE (10 PERCENT) REPEATABLE(42)`` (VERDICT r7
+    item 5) — the declarative cousin of df.sample(seed=) that
+    sample_seeded covers. Bernoulli per-row sampling seeded per
+    partition: deterministic for a fixed input layout but not
+    reproducible cross-engine, hence rows-only (the same justification
+    as sample_seeded). The aggregate shape keeps the driver row small;
+    the sampling predicate evaluates at the scan, so the plan never
+    materializes the unsampled rows. Property tests
+    (tests/test_sql_misc.py) pin the fraction bounds and seed
+    repeatability."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT l_returnflag, count(*) AS n_sampled
+        FROM lineitem TABLESAMPLE (10 PERCENT) REPEATABLE (42)
+        GROUP BY l_returnflag
+        """
+    )

@@ -1085,3 +1085,82 @@ def stat_df_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "metric string, value double").select(
         "metric", F.round("value", 6).alias("value")
     )
+
+
+@query(
+    "agg_stack_unpivot",
+    "§2.4 stack() n-way unpivot of computed aggregates (incl. try_sum/try_avg)",
+    """
+    WITH agg AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 2) AS sq,
+             round(sum(l_extendedprice), 2) AS sp,
+             round(avg(l_quantity), 4) AS aq
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sq AS value FROM agg
+    UNION ALL SELECT l_returnflag, 'sum_price', sp FROM agg
+    UNION ALL SELECT l_returnflag, 'avg_qty', aq FROM agg
+    UNION ALL SELECT l_returnflag, 'try_sum_overflow', CAST(NULL AS DOUBLE) FROM agg
+    """,
+)
+def agg_stack_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stack(n, k1, v1, ...)`` — the generator-style unpivot
+    (VERDICT r7 item 5; agg_unpivot_melt covers the UNPIVOT/melt
+    API, this covers the SQL table-generating function users reach
+    for first). The stacked values come from one aggregation pass
+    that also exercises ``try_sum`` / ``try_avg``: on clean input
+    they equal sum/avg (checked through the sum_qty/avg_qty rows);
+    the try_sum_overflow row feeds a decimal(38,0) sum that MUST
+    overflow, and try_sum's contract turns that into NULL instead of
+    an ANSI error — cross-checked by the oracle's literal NULL."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.try_sum("l_quantity"), 2).alias("sq"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sp"),
+        F.round(F.try_avg("l_quantity"), 4).alias("aq"),
+        F.try_sum(F.expr("cast(9.9e36 AS decimal(38,0))"))
+        .cast("double")
+        .alias("overflowed"),
+    )
+    return agg.selectExpr(
+        "l_returnflag",
+        "stack(4, 'sum_qty', sq, 'sum_price', sp, 'avg_qty', aq,"
+        " 'try_sum_overflow', overflowed) AS (metric, value)",
+    )
+
+
+@query(
+    "agg_grouping_id",
+    "§2.4 grouping_id() bit vector over grouping sets",
+    """
+    SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN NULL ELSE l_returnflag END
+             AS l_returnflag,
+           CASE WHEN GROUPING(l_linestatus) = 1 THEN NULL ELSE l_linestatus END
+             AS l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+             AS gid,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``grouping_id()`` (VERDICT r7 item 5) — the packed bit vector
+    that distinguishes subtotal levels in one integer instead of one
+    grouping() call per column: bit i set ⇔ the i-th GROUP BY column
+    is rolled up in this row. agg_grouping_sets covers per-column
+    grouping(); this row pins the combined encoding (Spark packs
+    left-to-right MSB-first, so gid = grouping(flag)*2 +
+    grouping(status) — the oracle recomputes exactly that from
+    DuckDB's per-column GROUPING)."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping_id() AS gid,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )

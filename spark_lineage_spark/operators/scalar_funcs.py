@@ -10,6 +10,8 @@ resolved in the ORACLE SQL, never by weakening the engine
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from spark_lineage_spark.registry import query
@@ -1030,3 +1032,93 @@ def fn_nested_struct_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("max_net"),
     )
+
+
+@query(
+    "fn_sql_misc_battery",
+    "§2.8 SQL-misc battery: width_bucket / str_to_map / from_csv",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_extendedprice < 0 THEN 0
+                WHEN l_extendedprice >= 104000 THEN 14
+                ELSE CAST(floor(l_extendedprice / 8000) AS BIGINT) + 1
+           END AS price_bucket,
+           CAST(l_quantity AS INT) AS qty_from_map,
+           CAST(l_linenumber AS INT) AS line_from_map,
+           CAST(l_quantity AS INT) AS qty_from_csv,
+           l_returnflag AS flag_from_csv
+    FROM lineitem
+    WHERE l_orderkey % 10 = 0
+    """,
+)
+def fn_sql_misc_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-misc row functions with 0 prior coverage (VERDICT r7 item
+    5): ``width_bucket`` (equi-width histogram assignment; bounds 0 /
+    104000 with 13 buckets give an exact-double 8000 width so the
+    bucket edge arithmetic is bit-identical cross-engine),
+    ``str_to_map`` (k:v,k:v parsing — the classic tag-string decoder),
+    and ``from_csv`` (schema-ful parsing of a delimited string column).
+    The map/CSV payloads are built from the row's own columns, so the
+    oracle recomputes the round-trip directly. All map-side; the only
+    plan cost is the scan."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "width_bucket(l_extendedprice, 0, 104000, 13) AS price_bucket",
+        "str_to_map(concat('qty:', cast(l_quantity AS INT), ',line:', l_linenumber),"
+        " ',', ':') AS m",
+        "from_csv(concat(cast(l_quantity AS INT), ';', l_returnflag),"
+        " 'q INT, f STRING', map('sep', ';')) AS s",
+    ).selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "price_bucket",
+        "CAST(m['qty'] AS INT) AS qty_from_map",
+        "CAST(m['line'] AS INT) AS line_from_map",
+        "s.q AS qty_from_csv",
+        "s.f AS flag_from_csv",
+    )
+
+
+@query(
+    "fn_variant_explode",
+    "§2.8 variant_explode lateral expansion of a VariantType array",
+    """
+    SELECT l_orderkey, l_linenumber, 0 AS pos,
+           CAST(CAST(l_quantity AS INT) AS VARCHAR) AS val
+    FROM lineitem WHERE l_orderkey % 20 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 1 AS pos,
+           CAST(l_linenumber AS VARCHAR) AS val
+    FROM lineitem WHERE l_orderkey % 20 = 0
+    """,
+)
+def fn_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``variant_explode`` — the Spark-4 table function that unnests a
+    VariantType array/object into (pos, key, value) rows; the
+    semi-structured analogue of posexplode and the missing half of the
+    VariantType rows (fn_variant_json / fn_variant_typed_get cover
+    scalar extraction). Only the comma-LATERAL SQL form resolves the
+    routine on this build (selectExpr and LATERAL VIEW both fail
+    lookup), so the query goes through a temp view. Each row's variant
+    is built from its own columns via parse_json, and value is
+    re-serialized with to_json — so the DuckDB oracle is a plain
+    2-way UNION reconstructing (pos, val)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
+    v = li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "parse_json(concat('[', cast(l_quantity AS INT), ',', l_linenumber, ']'))"
+        " AS var",
+    )
+    name = f"sls_variant_src_{uuid.uuid4().hex[:8]}"
+    v.createOrReplaceTempView(name)
+    out = spark.sql(
+        f"""
+        SELECT l_orderkey, l_linenumber, pos, to_json(value) AS val
+        FROM {name}, LATERAL variant_explode(var)
+        """
+    )
+    spark.catalog.dropTempView(name)
+    return out

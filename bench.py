@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -70,7 +71,7 @@ def main() -> None:
             samples[name].append(time.time() - t0)
 
     timings = {
-        name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in samples.items()
+        name: round(statistics.median(ts), 3) for name, ts in samples.items()
     }
     best = {name: round(min(ts), 3) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)

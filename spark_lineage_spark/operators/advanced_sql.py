@@ -1781,15 +1781,19 @@ def sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id, date_trunc('microseconds', ts) AS tsu
       FROM events
     ), marked AS (
-      SELECT user_id, tsu,
+      SELECT user_id, event_id, tsu,
              CASE WHEN lag(tsu) OVER w IS NULL
                     OR tsu - lag(tsu) OVER w >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS is_new
       FROM e
       WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
     ), sess AS (
+      -- cumulative-sum window ordered by the SAME (tsu, event_id) key
+      -- as the lag window: two same-microsecond events at a session
+      -- boundary would otherwise order nondeterministically around
+      -- the is_new=1 row and split one session into two (ADVICE r7)
       SELECT user_id, tsu,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
                                ROWS UNBOUNDED PRECEDING) AS sess_id
       FROM marked
     )

@@ -90,7 +90,17 @@ def evict_cache(cache: dict, app: str, keep_key: tuple) -> None:
     checkpointed DataFrame whose blocks stayed pinned on executors).
     Evicted DataFrames are unpersisted best-effort; dropping the
     reference also lets the ContextCleaner release the checkpoint
-    blocks on GC."""
+    blocks on GC.
+
+    CONSUMPTION CONTRACT (ADVICE r7): a cached staged DataFrame must be
+    consumed (actions run) within the query invocation that fetched it
+    — callers must NOT hold a fetched DF lazily across other queries,
+    because building >= STAGED_CACHE_CAP other (sf_dir, ...) keys in
+    the same application unpersists it and any later action fails on
+    released localCheckpoint blocks. Every in-repo cache site follows
+    this (the builder uses the staged DF to produce its result DF
+    within the same call); external callers reusing the caches get the
+    same rule."""
     for k in [k for k in cache if k[0] != app]:
         df = cache.pop(k)
         try:

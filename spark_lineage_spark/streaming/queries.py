@@ -1234,6 +1234,10 @@ def _split_events_dir(sf_dir: str, n_parts: int = 4) -> str:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    # the wave key below is bit_wise_and(event_id, n_parts - 1), which
+    # equals event_id % n_parts ONLY for powers of two (ADVICE r7 — a
+    # non-power-of-two count would silently skew/empty the waves)
+    assert n_parts & (n_parts - 1) == 0 and n_parts > 0, n_parts
     src = table_path(sf_dir, "events")
     st = os.stat(src)
     key = hashlib.md5(

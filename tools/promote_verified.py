@@ -9,6 +9,12 @@ rewrites spark_lineage_spark/registry.py:
   - drops them from _VERIFY_FIRST / _VERIFY_LAST / _VERIFY_AFTER,
     leaving any still-unrecorded names at the head for the next round.
 
+List locations come from the ast (exact source spans of the four list
+assignments), not text anchors — a comment containing ']' or a
+reordered file can no longer corrupt the rewrite (ADVICE r7). A queue
+list whose names are all promoted is reset to a bare [] so stale
+section comments don't linger.
+
 Run this FIRST thing each round, before adding new queries — the
 driver's ~50-row budget is asserted by test_registry_hygiene over ALL
 unrecorded names, so skipping promotion blocks new registrations.
@@ -19,6 +25,7 @@ Usage: python tools/promote_verified.py [--dry-run]
 from __future__ import annotations
 
 import argparse
+import ast
 import glob
 import json
 import os
@@ -26,6 +33,9 @@ import re
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REG = os.path.join(REPO, "spark_lineage_spark", "registry.py")
+
+VERIFIED = "_DRIVER_VERIFIED_ROUNDS_AGO"
+QUEUES = ("_VERIFY_FIRST", "_VERIFY_LAST", "_VERIFY_AFTER")
 
 
 def green(rec: dict) -> bool:
@@ -42,6 +52,38 @@ def green(rec: dict) -> bool:
         if rec.get(k) is False:
             return False
     return True
+
+
+def list_spans(src: str) -> dict[str, tuple[int, int, list[str]]]:
+    """(start, end, names) of each registry list's VALUE expression —
+    start/end are absolute character offsets of the '[' and just past
+    the ']' (ast end positions), names via literal_eval."""
+    line_off = [0]
+    for line in src.splitlines(keepends=True):
+        line_off.append(line_off[-1] + len(line))
+
+    def off(lineno: int, col: int) -> int:
+        return line_off[lineno - 1] + col
+
+    out = {}
+    for node in ast.parse(src).body:
+        if (
+            isinstance(node, ast.Assign)
+            and len(node.targets) == 1
+            and isinstance(node.targets[0], ast.Name)
+            and node.targets[0].id in (VERIFIED, *QUEUES)
+            and isinstance(node.value, ast.List)
+        ):
+            v = node.value
+            out[node.targets[0].id] = (
+                off(v.lineno, v.col_offset),
+                off(v.end_lineno, v.end_col_offset),
+                [ast.literal_eval(e) for e in v.elts],
+            )
+    missing = {VERIFIED, *QUEUES} - set(out)
+    if missing:
+        raise SystemExit(f"registry lists not found via ast: {sorted(missing)}")
+    return out
 
 
 def main() -> None:
@@ -62,38 +104,41 @@ def main() -> None:
         print("  NOT promoted (fix before re-queueing):", failed)
 
     src = open(REG).read()
-    already = set(
-        re.findall(r'"([a-z0-9_]+)"', src[src.index("_DRIVER_VERIFIED_ROUNDS_AGO") :
-                                          src.index("_VERIFY_FIRST")])
-    )
+    spans = list_spans(src)
+    already = set(spans[VERIFIED][2])
     new = [n for n in passed if n not in already]
     if not new:
         print("nothing to promote")
         return
 
-    # 1) append to _DRIVER_VERIFIED_ROUNDS_AGO just before its closing ]
-    head, _, tail = src.partition("_DRIVER_VERIFIED_ROUNDS_AGO")
-    close = head.__len__() + len("_DRIVER_VERIFIED_ROUNDS_AGO") + tail.index("]")
     block = f"    # round {int(rnd)} verified ({os.path.basename(latest)})\n"
     for i in range(0, len(new), 3):
         block += "    " + " ".join(f'"{n}",' for n in new[i : i + 3]) + "\n"
-    src = src[:close] + block + src[close:]
 
-    # 2) drop promoted names from the three queue lists
-    for lst in ("_VERIFY_FIRST", "_VERIFY_LAST", "_VERIFY_AFTER"):
-        start = src.index(f"{lst} = [")
-        end = src.index("]", start)
-        seg = src[start:end]
-        for n in new:
-            seg = re.sub(rf'"\b{n}\b",\s*', "", seg)
-        seg = re.sub(r"\n {4}\n", "\n", seg)  # collapse emptied lines
-        src = src[:start] + seg + src[end:]
+    # edit spans back-to-front so earlier offsets stay valid
+    edits = []  # (start, end, replacement)
+    vstart, vend, _ = spans[VERIFIED]
+    # insert just before the closing ']' (the last char of the span)
+    edits.append((vend - 1, vend - 1, block))
+    for lst in QUEUES:
+        qstart, qend, names = spans[lst]
+        remaining = [n for n in names if n not in new]
+        if not remaining:
+            seg = "[]"  # reset: no stale section comments in emptied queues
+        else:
+            seg = src[qstart:qend]
+            for n in set(names) - set(remaining):
+                seg = re.sub(rf'"{re.escape(n)}",\s*', "", seg)
+            seg = re.sub(r"\n {4}\n", "\n", seg)  # collapse emptied lines
+        edits.append((qstart, qend, seg))
+    for start, end, rep in sorted(edits, reverse=True):
+        src = src[:start] + rep + src[end:]
 
     if args.dry_run:
         print(f"dry-run: would promote {len(new)} names")
         return
     open(REG, "w").write(src)
-    print(f"promoted {len(new)} names into _DRIVER_VERIFIED_ROUNDS_AGO")
+    print(f"promoted {len(new)} names into {VERIFIED}")
     print("NOW: update test_registry_hygiene's docstring + run pytest on it")
 
 

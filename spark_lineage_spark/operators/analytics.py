@@ -1675,3 +1675,429 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .transform(lineage_checkpoint_lazy)
         )
     return dist.select("node", F.col("dist").cast("int").alias("dist"))
+
+
+_THEIL_SEN_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS rev
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+pts AS (SELECT datediff('day', DATE '1970-01-01', d) AS x, rev AS y FROM daily),
+slopes AS (
+  SELECT CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
+  FROM pts a JOIN pts b ON a.x < b.x
+),
+ranked AS (
+  SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+         count(*) OVER () AS n
+  FROM slopes
+),
+med AS (
+  SELECT avg(slope) AS m FROM ranked
+  WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+),
+ic_ranked AS (
+  SELECT y - (SELECT m FROM med) * x AS ic,
+         row_number() OVER (ORDER BY y - (SELECT m FROM med) * x) AS rn,
+         count(*) OVER () AS n
+  FROM pts
+),
+icept AS (
+  SELECT avg(ic) AS ic FROM ic_ranked
+  WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM pts) AS n_days,
+       (SELECT CAST(count(*) AS BIGINT) FROM slopes) AS n_pairs,
+       round((SELECT m FROM med), 6) AS ts_slope,
+       round(ic, 6) AS ts_intercept
+FROM icept
+"""
+
+
+@query(
+    "stats_theil_sen",
+    "§2.14 Theil-Sen robust trend (exact median of pairwise slopes)",
+    _THEIL_SEN_ORACLE,
+)
+def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen estimator of the daily-revenue trend: the median of
+    all pairwise slopes — robust to ~29% outlier days where OLS
+    (agg_linear_regression) is not. The pairwise join runs over the
+    DAILY series, which is calendar-bounded (SF-independent): 100 TB
+    of events still collapses to one row per day before the O(days²)
+    pair stage, so the quadratic piece never touches event rows (for
+    multi-year series, production samples pairs; exact here). Slopes
+    are exact-integer differences divided once (identical doubles
+    cross-engine); the median is an explicit two-rank selection
+    (avg of lower/upper middle), not an engine median() whose
+    interpolation may differ. Intercept = median of (y - m·x) with the
+    ROUNDED m, so both engines feed identical inputs."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("d")).agg(
+        F.sum(F.expr("CAST(round(value * 1000000) AS BIGINT)")).alias("rev")
+    )
+    pts = daily.select(
+        F.datediff("d", F.lit("1970-01-01").cast("date")).alias("x"),
+        F.col("rev").alias("y"),
+    ).transform(lineage_checkpoint_lazy)
+    a, b = pts.alias("a"), pts.alias("b")
+    slopes = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        ((F.col("b.y") - F.col("a.y")).cast("double") / (F.col("b.x") - F.col("a.x")))
+        .alias("slope")
+    )
+    w = Window.orderBy("slope")
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    med = ranked.filter(
+        (F.col("rn") == ((F.col("n") + 1) / 2).cast("long"))
+        | (F.col("rn") == ((F.col("n") + 2) / 2).cast("long"))
+    ).agg(F.avg("slope").alias("m"))
+    m = med.collect()[0].m  # 1 driver scalar — the broadcastable model
+    ic_ranked = pts.select(
+        (F.col("y") - F.lit(m) * F.col("x")).alias("ic")
+    ).select(
+        "ic",
+        F.row_number().over(Window.orderBy("ic")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    ic = ic_ranked.filter(
+        (F.col("rn") == ((F.col("n") + 1) / 2).cast("long"))
+        | (F.col("rn") == ((F.col("n") + 2) / 2).cast("long"))
+    ).agg(F.avg("ic").alias("ic")).collect()[0].ic
+    n_days = pts.count()
+    return spark.createDataFrame(
+        [(n_days, n_days * (n_days - 1) // 2, float(m), float(ic))],
+        "n_days long, n_pairs long, ts_slope double, ts_intercept double",
+    ).select(
+        "n_days",
+        "n_pairs",
+        # round in Spark (HALF_UP like the oracle's round()), not Python
+        F.round("ts_slope", 6).alias("ts_slope"),
+        F.round("ts_intercept", 6).alias("ts_intercept"),
+    )
+
+
+@query(
+    "ts_calendar_dim",
+    "§2.14 calendar dimension build (fiscal attributes over the date spine)",
+    """
+    WITH bounds AS (
+      SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS lo,
+             CAST(date_trunc('day', max(ts)) AS DATE) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM bounds
+    )
+    SELECT d,
+           CAST(year(d) AS INT) AS cal_year,
+           CAST(quarter(d) AS INT) AS cal_quarter,
+           CAST(month(d) AS INT) AS cal_month,
+           CAST(weekofyear(d) AS INT) AS iso_week,
+           CAST(isodow(d) AS INT) AS iso_weekday,
+           CASE WHEN d = last_day(d) THEN 1 ELSE 0 END AS is_month_end,
+           CAST(year(d) + CASE WHEN month(d) >= 2 THEN 1 ELSE 0 END AS INT)
+             AS fiscal_year,
+           CAST(((month(d) + 10) % 12) // 3 + 1 AS INT) AS fiscal_quarter
+    FROM spine
+    """,
+)
+def ts_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The calendar dimension every warehouse builds once and joins
+    everywhere: one row per day of the event span with calendar,
+    ISO-week, and FISCAL attributes (fiscal year starting February:
+    FY(d) = year + (month >= 2), fiscal quarter from the Feb-anchored
+    month index). Built from a 1-row min/max aggregate exploded via
+    sequence() — O(days), never O(rows), and the result is the classic
+    broadcast side of every date-logic join. ISO weekday/week come
+    from the engines' shared ISO-8601 definitions (pinned by the
+    oracle)."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("lo"),
+        F.to_date(F.date_trunc("day", F.max("ts"))).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    return spine.select(
+        "d",
+        F.year("d").alias("cal_year"),
+        F.quarter("d").alias("cal_quarter"),
+        F.month("d").alias("cal_month"),
+        F.weekofyear("d").alias("iso_week"),
+        F.expr("CAST(weekday(d) AS INT) + 1").alias("iso_weekday"),
+        F.when(F.col("d") == F.last_day("d"), 1).otherwise(0).alias("is_month_end"),
+        (F.year("d") + F.when(F.month("d") >= 2, 1).otherwise(0))
+        .cast("int")
+        .alias("fiscal_year"),
+        (((F.month("d") + 10) % 12) / F.lit(3) + 1).cast("int").alias("fiscal_quarter"),
+    )
+
+
+@query(
+    "cdc_scd6",
+    "§2.14 SCD type-6 dimension (type-2 intervals + type-1 current + type-3 prior)",
+    _SCD2_SQL.replace(
+        """SELECT user_id, seg, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+         AS valid_to,
+       CASE WHEN lead(valid_from)
+                   OVER (PARTITION BY user_id ORDER BY run_id) IS NULL
+            THEN 1 ELSE 0 END AS is_current,
+       n_events
+FROM segs""",
+        """SELECT user_id, seg, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+         AS valid_to,
+       CASE WHEN lead(valid_from)
+                   OVER (PARTITION BY user_id ORDER BY run_id) IS NULL
+            THEN 1 ELSE 0 END AS is_current,
+       lag(seg) OVER (PARTITION BY user_id ORDER BY run_id) AS prior_seg,
+       last_value(seg) OVER (PARTITION BY user_id ORDER BY run_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING) AS current_seg,
+       n_events
+FROM segs""",
+    ),
+)
+def cdc_scd6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-6 = 1+2+3 hybrid on one dimension table: the type-2
+    validity intervals of cdc_scd2_build PLUS a type-1 column
+    (current_seg — the latest value overwritten onto every historical
+    row, so point-in-time queries can also group by today's value)
+    and a type-3 column (prior_seg — the immediately previous value,
+    for 'changed from what?' analyses without a self-join). All three
+    flavors come from the SAME single user_id-partitioned window pass
+    over the run table — no extra shuffle over SCD2, which is why
+    warehouses prefer type 6 over joining type-2 history to a type-1
+    current table at query time."""
+    ev = load(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w_ord))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_type").isNull()
+                | (F.col("prev_type") != F.col("event_type")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("is_new").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    segs = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("seg"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("run_id")
+    w_all = w_run.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return segs.select(
+        "user_id",
+        "seg",
+        "valid_from",
+        F.lead("valid_from").over(w_run).alias("valid_to"),
+        F.when(F.lead("valid_from").over(w_run).isNull(), 1)
+        .otherwise(0)
+        .alias("is_current"),
+        F.lag("seg").over(w_run).alias("prior_seg"),
+        F.last("seg").over(w_all).alias("current_seg"),
+        "n_events",
+    )
+
+
+_WILSON_Z = 1.959963984540054  # two-sided 95%
+
+
+def _wilson_sql(k: str, n: str) -> str:
+    """Wilson score interval bounds as engine-neutral SQL over exact
+    integer counts k successes / n trials (identical float arithmetic
+    in both engines: one formula over two exact ints)."""
+    z2 = f"{_WILSON_Z} * {_WILSON_Z}"
+    p = f"(CAST({k} AS DOUBLE) / {n})"
+    center = f"({p} + {z2} / (2.0 * {n}))"
+    margin = (
+        f"({_WILSON_Z} * sqrt({p} * (1.0 - {p}) / {n} + {z2} / (4.0 * {n} * {n})))"
+    )
+    denom = f"(1.0 + {z2} / {n})"
+    return (
+        f"round(({center} - {margin}) / {denom}, 6)",
+        f"round(({center} + {margin}) / {denom}, 6)",
+    )
+
+
+_FUNNEL_WILSON_ORACLE = f"""
+WITH f AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+),
+counts AS (
+  SELECT count(t_view) AS n_view,
+         count(CASE WHEN t_click > t_view THEN 1 END) AS n_vc,
+         count(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
+           AS n_full
+  FROM f
+)
+SELECT 'view_to_click' AS step, CAST(n_view AS BIGINT) AS n,
+       CAST(n_vc AS BIGINT) AS k,
+       round(CAST(n_vc AS DOUBLE) / n_view, 6) AS rate,
+       {_wilson_sql("n_vc", "n_view")[0]} AS wilson_lo,
+       {_wilson_sql("n_vc", "n_view")[1]} AS wilson_hi
+FROM counts
+UNION ALL
+SELECT 'click_to_purchase', CAST(n_vc AS BIGINT), CAST(n_full AS BIGINT),
+       round(CAST(n_full AS DOUBLE) / n_vc, 6),
+       {_wilson_sql("n_full", "n_vc")[0]},
+       {_wilson_sql("n_full", "n_vc")[1]}
+FROM counts
+"""
+
+
+@query(
+    "win_funnel_wilson",
+    "§2.14 funnel conversion rates with Wilson 95% confidence intervals",
+    _FUNNEL_WILSON_ORACLE,
+)
+def win_funnel_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """win_funnel_ordered's counts turned into DECISIONS: per funnel
+    step, the conversion rate with its Wilson score 95% CI — the
+    interval that stays valid at small n and near 0/1 rates where the
+    normal approximation breaks (the standard A/B-dashboard choice).
+    Counts are exact integers from one groupBy(user) pass + one tiny
+    aggregate; the CI is a closed-form float formula over two exact
+    ints, evaluated identically by both engines and rounded. No
+    per-step scans — both steps read the same 1-row counts frame."""
+    ev = load(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    counts = f.agg(
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("n_vc"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("n_full"),
+    )
+
+    def step(label: str, k: str, n: str):
+        lo, hi = _wilson_sql(k, n)
+        return counts.selectExpr(
+            f"'{label}' AS step",
+            f"CAST({n} AS BIGINT) AS n",
+            f"CAST({k} AS BIGINT) AS k",
+            f"round(CAST({k} AS DOUBLE) / {n}, 6) AS rate",
+            f"{lo} AS wilson_lo",
+            f"{hi} AS wilson_hi",
+        )
+
+    return step("view_to_click", "n_vc", "n_view").unionByName(
+        step("click_to_purchase", "n_full", "n_vc")
+    )
+
+
+@query(
+    "hist_zorder_range_probe",
+    "§2.14 Z-order vs linear layout under a 2-dim range query (files touched)",
+    f"""
+    WITH d AS (
+      SELECT l_orderkey % 256 AS d1, l_partkey % 256 AS d2 FROM lineitem
+    ), files AS (
+      SELECT 'zorder' AS layout,
+             ({_morton_sql('d1', 'd2', 8, spark_side=False)}) // 1024 AS f,
+             d1, d2 FROM d
+      UNION ALL
+      SELECT 'linear' AS layout, (d1 * 256 + d2) // 1024 AS f, d1, d2 FROM d
+    ), stats AS (
+      SELECT layout, f,
+             min(d1) AS min1, max(d1) AS max1,
+             min(d2) AS min2, max(d2) AS max2,
+             count(CASE WHEN d1 BETWEEN 64 AND 95
+                         AND d2 BETWEEN 32 AND 63 THEN 1 END) AS n_match
+      FROM files GROUP BY 1, 2
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(count(CASE WHEN max1 >= 64 AND min1 <= 95
+                            AND max2 >= 32 AND min2 <= 63 THEN 1 END) AS BIGINT)
+             AS files_touched,
+           CAST(sum(n_match) AS BIGINT) AS rows_matched
+    FROM stats GROUP BY layout ORDER BY layout
+    """,
+)
+def hist_zorder_range_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payoff read for hist_zorder_layout's write story: a 2-dim
+    range query (d1 ∈ [64,95] × d2 ∈ [32,63]) against the same two
+    file layouts, counting the files whose min/max footer stats
+    OVERLAP the query box — exactly the files a stats-pruning reader
+    (parquet row-group pruning, Delta/Iceberg data skipping) must
+    read. Both layouts match the same rows; Z-order touches a
+    fraction of the files where the linear layout touches nearly all
+    of them whenever the leading dimension isn't the filtered one —
+    the quantified argument for OPTIMIZE ZORDER. Pure integer
+    arithmetic end-to-end."""
+    li = load(spark, sf_dir, "lineitem")
+    d = li.selectExpr("l_orderkey % 256 AS d1", "l_partkey % 256 AS d2")
+    z = d.selectExpr(
+        "'zorder' AS layout",
+        f"CAST(({_morton_sql('d1', 'd2', 8, spark_side=True)}) / 1024 AS BIGINT) AS f",
+        "d1",
+        "d2",
+    )
+    lin = d.selectExpr(
+        "'linear' AS layout",
+        "CAST((d1 * 256 + d2) / 1024 AS BIGINT) AS f",
+        "d1",
+        "d2",
+    )
+    stats = (
+        z.unionByName(lin)
+        .groupBy("layout", "f")
+        .agg(
+            F.min("d1").alias("min1"),
+            F.max("d1").alias("max1"),
+            F.min("d2").alias("min2"),
+            F.max("d2").alias("max2"),
+            F.count(
+                F.when(
+                    F.col("d1").between(64, 95) & F.col("d2").between(32, 63), 1
+                )
+            ).alias("n_match"),
+        )
+    )
+    return (
+        stats.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.count(
+                F.when(
+                    (F.col("max1") >= 64)
+                    & (F.col("min1") <= 95)
+                    & (F.col("max2") >= 32)
+                    & (F.col("min2") <= 63),
+                    1,
+                )
+            ).alias("files_touched"),
+            F.sum("n_match").alias("rows_matched"),
+        )
+        .orderBy("layout")
+    )

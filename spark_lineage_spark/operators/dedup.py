@@ -1346,3 +1346,80 @@ def llm_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(hi, F.lit(1))).alias("n_pairs_08"),
         )
     )
+
+
+_COMPACTION_STAGED: set = set()
+
+
+@query(
+    "llm_dedup_index_compaction",
+    "§2.11 dedup-index compaction (daily band-row deltas merged into the bucketed base)",
+    f"""
+    WITH pairs AS ({NGRAM_JACCARD_ORACLE})
+    SELECT da, db, jaccard FROM pairs
+    """,
+)
+def llm_dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance job llm_dedup_persistent_index's design implies
+    but never runs: daily ingest appends SMALL UNBUCKETED band-row
+    deltas next to the bucketed base index (appending straight into
+    bucket files from a tiny batch would write 8 near-empty files per
+    day and rot the layout); a periodic COMPACTION folds base + deltas
+    into a fresh bucketed table so probe joins stay exchange-free on
+    the index side. Staged here as base = 90% of the corpus (bucketed
+    on (band_idx, band_hash)), two daily deltas (doc_id%20 ∈ {{0,10}},
+    plain tables), then one union→bucketBy rewrite — the same shape as
+    Delta/Iceberg OPTIMIZE. The proof of equivalence IS the result:
+    near-dup pairs computed from the COMPACTED TABLE ALONE (bucketed
+    self-join on the band key — no exchange on either side — then the
+    shared exact-Jaccard verification) equal the full-corpus LSH
+    answer, so the oracle is llm_dedup_minhash_lsh's corpus-wide
+    NGRAM_JACCARD_ORACLE unchanged. Banding recall caveat as there."""
+    from spark_lineage_spark.operators.sources_sinks import (
+        _drop_table_and_location,
+        _proc_suffix,
+        _reap_stale_warehouse_dirs,
+    )
+
+    sh = _shingle_index(spark, sf_dir)
+    app = spark.sparkContext.applicationId
+    sfx = _proc_suffix(sf_dir)
+    t_base, t_d0, t_d1, t_comp = (
+        f"sls_mhcb_{sfx}",
+        f"sls_mhcd0_{sfx}",
+        f"sls_mhcd1_{sfx}",
+        f"sls_mhcc_{sfx}",
+    )
+    if (app, sf_dir) not in _COMPACTION_STAGED:
+        for stale in [k for k in _COMPACTION_STAGED if k[0] != app]:
+            _COMPACTION_STAGED.discard(stale)
+        for prefix in ("sls_mhcb_", "sls_mhcd0_", "sls_mhcd1_", "sls_mhcc_"):
+            _reap_stale_warehouse_dirs(spark, prefix)
+        for t in (t_base, t_d0, t_d1, t_comp):
+            _drop_table_and_location(spark, t)
+        _band_signatures(sh.filter(F.col("doc_id") % 10 != 0)).write.bucketBy(
+            8, "band_idx", "band_hash"
+        ).sortBy("band_idx", "band_hash").saveAsTable(t_base)
+        _band_signatures(sh.filter(F.col("doc_id") % 20 == 0)).write.saveAsTable(t_d0)
+        _band_signatures(sh.filter(F.col("doc_id") % 20 == 10)).write.saveAsTable(t_d1)
+        # the compaction job proper: base ∪ deltas → fresh bucketed table
+        spark.table(t_base).unionByName(spark.table(t_d0)).unionByName(
+            spark.table(t_d1)
+        ).write.bucketBy(8, "band_idx", "band_hash").sortBy(
+            "band_idx", "band_hash"
+        ).saveAsTable(t_comp)
+        _COMPACTION_STAGED.add((app, sf_dir))
+    comp = spark.table(t_comp)
+    a, b = comp.alias("a"), comp.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+        .transform(lineage_checkpoint)
+    )
+    return _verify_exact_jaccard(sh, candidates, JACCARD_THRESHOLD)

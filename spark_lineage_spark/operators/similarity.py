@@ -779,3 +779,103 @@ def llm_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFra
         )
         cols.append(F.round(comp, 5).alias(f"rp_{j}"))
     return e.select(*cols)
+
+
+@query(
+    "llm_embedding_drift",
+    "§2.11 per-label embedding drift (centroid shift between ref and current windows)",
+    """
+    WITH e AS (
+      SELECT vec_id % 2 AS w, label, u.dim,
+             CAST(u.x AS DOUBLE) AS x
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS dim) u
+    ),
+    c AS (
+      SELECT label, w, dim,
+             CAST(round(round(avg(x), 6) * 1000000) AS BIGINT) AS ci
+      FROM e GROUP BY label, w, dim
+    ),
+    j AS (
+      SELECT r.label, r.ci AS cr, u.ci AS cu
+      FROM c r JOIN c u ON r.label = u.label AND r.dim = u.dim
+      WHERE r.w = 0 AND u.w = 1
+    ),
+    per AS (
+      SELECT label,
+             sum((cr - cu) * (cr - cu)) AS d2,
+             sum(cr * cu) AS dotp,
+             sum(cr * cr) AS nr,
+             sum(cu * cu) AS nu
+      FROM j GROUP BY label
+    ),
+    n AS (
+      SELECT label,
+             count(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS n_ref,
+             count(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS n_cur
+      FROM embeddings GROUP BY label
+    )
+    SELECT per.label, CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           round(sqrt(CAST(d2 AS DOUBLE)) / 1000000, 6) AS l2_shift,
+           round(CAST(dotp AS DOUBLE) / (sqrt(CAST(nr AS DOUBLE))
+                                         * sqrt(CAST(nu AS DOUBLE))), 6)
+             AS cos_sim
+    FROM per JOIN n ON per.label = n.label
+    """,
+)
+def llm_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: per label, the L2 shift
+    and cosine similarity between the class centroid in a REFERENCE
+    window and the CURRENT window (vec_id parity stands in for the
+    two time windows — the retrain-trigger check every embedding
+    pipeline schedules). Two dimension-wise partial-agg'd groupBys
+    shuffle only (labels × dims × 2) partial sums regardless of
+    corpus size; centroids are then rounded to 6 dp and scaled to
+    EXACT integers, so the cross-centroid sums (distance, dot,
+    norms) are integer-exact and the only floats are two final
+    sqrt/divide steps — bit-stable cross-engine (the same
+    micro-units discipline as the stats family)."""
+    e = load(spark, sf_dir, "embeddings")
+    comp = e.select(
+        (F.col("vec_id") % 2).alias("w"),
+        "label",
+        F.posexplode(to_double_array("embedding")).alias("pos", "x"),
+    )
+    c = comp.groupBy("label", "w", (F.col("pos") + 1).alias("dim")).agg(
+        F.expr("CAST(round(round(avg(x), 6) * 1000000) AS BIGINT)").alias("ci")
+    )
+    r, u = c.alias("r"), c.alias("u")
+    j = r.join(
+        u,
+        (F.col("r.label") == F.col("u.label"))
+        & (F.col("r.dim") == F.col("u.dim"))
+        & (F.col("r.w") == 0)
+        & (F.col("u.w") == 1),
+    ).select(
+        F.col("r.label").alias("label"),
+        F.col("r.ci").alias("cr"),
+        F.col("u.ci").alias("cu"),
+    )
+    per = j.groupBy("label").agg(
+        F.sum((F.col("cr") - F.col("cu")) * (F.col("cr") - F.col("cu"))).alias("d2"),
+        F.sum(F.col("cr") * F.col("cu")).alias("dotp"),
+        F.sum(F.col("cr") * F.col("cr")).alias("nr"),
+        F.sum(F.col("cu") * F.col("cu")).alias("nu"),
+    )
+    n = e.groupBy("label").agg(
+        F.count(F.when(F.col("vec_id") % 2 == 0, 1)).alias("n_ref"),
+        F.count(F.when(F.col("vec_id") % 2 == 1, 1)).alias("n_cur"),
+    )
+    return per.join(n, "label").select(
+        "label",
+        "n_ref",
+        "n_cur",
+        F.round(F.sqrt(F.col("d2").cast("double")) / 1000000, 6).alias("l2_shift"),
+        F.round(
+            F.col("dotp").cast("double")
+            / (F.sqrt(F.col("nr").cast("double")) * F.sqrt(F.col("nu").cast("double"))),
+            6,
+        ).alias("cos_sim"),
+    )

@@ -2738,3 +2738,137 @@ def llm_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out_rows, "round int, merged string, pair_n long, avg_tokens double"
     )
+
+
+_BACKOFF_ORACLE = """
+WITH words AS (
+  SELECT doc_id, source, w, i
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+        FROM documents WHERE text IS NOT NULL),
+       LATERAL (SELECT unnest(ws) AS w, generate_subscripts(ws, 1) AS i)
+  WHERE w <> ''
+),
+train AS (SELECT * FROM words WHERE doc_id % 10 <> 0),
+held AS (SELECT * FROM words WHERE doc_id % 10 = 0),
+uni AS (SELECT w, count(*) AS cw FROM train GROUP BY w),
+tot AS (SELECT count(*) AS n, count(DISTINCT w) AS v FROM train),
+big AS (SELECT prev, cur, count(*) AS cbw FROM (
+          SELECT a.w AS prev, b.w AS cur
+          FROM train a JOIN train b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        ) GROUP BY prev, cur),
+hb AS (SELECT a.doc_id, a.source, a.w AS prev, b.w AS cur
+       FROM held a JOIN held b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+scored AS (
+  SELECT hb.doc_id, hb.source,
+         CASE WHEN big.cbw IS NOT NULL
+              THEN ln(CAST(big.cbw AS DOUBLE) / up.cw)
+              ELSE ln(0.4 * (coalesce(uc.cw, 0) + 1.0) / (tot.n + tot.v))
+         END AS lp,
+         CASE WHEN big.cbw IS NULL THEN 1 ELSE 0 END AS backed_off
+  FROM hb
+  LEFT JOIN big ON hb.prev = big.prev AND hb.cur = big.cur
+  LEFT JOIN uni up ON hb.prev = up.w
+  LEFT JOIN uni uc ON hb.cur = uc.w
+  CROSS JOIN tot
+),
+per_doc AS (
+  SELECT doc_id, source, avg(lp) AS doc_lp, sum(backed_off) AS n_bo,
+         count(*) AS n_big
+  FROM scored GROUP BY doc_id, source
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(doc_lp), 6) AS avg_logscore,
+       round(CAST(sum(n_bo) AS DOUBLE) / sum(n_big), 6) AS backoff_rate
+FROM per_doc GROUP BY source
+"""
+
+
+@query(
+    "llm_ngram_backoff_score",
+    "§2.11 stupid-backoff bigram LM scoring of held-out docs (train/apply split)",
+    _BACKOFF_ORACLE,
+)
+def llm_ngram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid backoff (Brants et al. 2007) — the score function
+    production LM-based quality filters actually use at corpus scale,
+    where Kneser-Ney's normalization isn't worth the extra passes:
+    S(w|prev) = count(prev,w)/count(prev) when the bigram was seen in
+    TRAINING, else 0.4 · Laplace-smoothed unigram. Unlike
+    llm_ngram_lm_score (which scores the training corpus itself, so
+    nothing ever backs off), this builds counts on 90% of docs and
+    scores the HELD-OUT 10% — unseen bigrams genuinely take the
+    backoff path, and the per-source backoff_rate quantifies domain
+    mismatch. Counts tables are corpus-wide aggregates (one shuffle
+    each), the scoring pass is two broadcast-sized left joins against
+    them, and every score is ln of a ratio of exact integers."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("i", "w"),
+    ).filter(F.col("w") != "")
+    train = words.filter(F.col("doc_id") % 10 != 0).transform(lineage_checkpoint)
+    held = words.filter(F.col("doc_id") % 10 == 0)
+    uni = train.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    tot = train.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("w").alias("v")
+    )
+    ta, tb = train.alias("a"), train.alias("b")
+    big = (
+        ta.join(
+            tb,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.i") == F.col("a.i") + 1),
+        )
+        .select(F.col("a.w").alias("prev"), F.col("b.w").alias("cur"))
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("cbw"))
+    )
+    ha, hbb = held.alias("a"), held.alias("b")
+    hb = ha.join(
+        hbb,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("b.i") == F.col("a.i") + 1),
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.source").alias("source"),
+        F.col("a.w").alias("prev"),
+        F.col("b.w").alias("cur"),
+    )
+    up = uni.select(F.col("w").alias("prev"), F.col("cw").alias("cw_prev"))
+    uc = uni.select(F.col("w").alias("cur"), F.col("cw").alias("cw_cur"))
+    scored = (
+        hb.join(big, ["prev", "cur"], "left")
+        .join(up, "prev", "left")
+        .join(uc, "cur", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "source",
+            F.when(
+                F.col("cbw").isNotNull(),
+                F.log(F.col("cbw").cast("double") / F.col("cw_prev")),
+            )
+            .otherwise(
+                F.log(
+                    0.4
+                    * (F.coalesce(F.col("cw_cur"), F.lit(0)) + 1.0)
+                    / (F.col("n") + F.col("v"))
+                )
+            )
+            .alias("lp"),
+            F.when(F.col("cbw").isNull(), 1).otherwise(0).alias("backed_off"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "source").agg(
+        F.avg("lp").alias("doc_lp"),
+        F.sum("backed_off").alias("n_bo"),
+        F.count(F.lit(1)).alias("n_big"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("doc_lp"), 6).alias("avg_logscore"),
+        F.round(F.sum("n_bo").cast("double") / F.sum("n_big"), 6).alias(
+            "backoff_rate"
+        ),
+    )

@@ -2233,3 +2233,95 @@ def sql_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "sql_udf_scalar_table",
+    "§2.10 Spark-4 SQL UDF + SQL UDTF (CREATE FUNCTION ... RETURN)",
+    """
+    WITH seg_orders AS (
+      SELECT c.c_mktsegment AS segment, o.o_orderkey, o.o_totalprice,
+             round(o.o_totalprice * CASE WHEN o.o_totalprice > 200000
+                                         THEN 0.9 ELSE 1.0 END, 2)
+               AS discounted
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    ranked AS (
+      SELECT segment, o_orderkey, discounted,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY discounted DESC, o_orderkey) AS rn
+      FROM seg_orders
+    )
+    SELECT segment, o_orderkey, discounted, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def sql_udf_scalar_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's SQL-language UDFs (CREATE FUNCTION ... RETURN expr)
+    and SQL UDTFs (... RETURNS TABLE) — reusable logic DECLARED in SQL
+    so Catalyst inlines it into the calling plan: unlike a Python UDF
+    there is no serialization wall, the scalar body constant-folds and
+    pushes down like any expression, and the table function is just a
+    named parameterized subquery. The scalar UDF applies a big-order
+    discount; the UDTF returns the top-3 discounted orders per market
+    segment (window inside the function body). The oracle inlines both
+    bodies — passing proves the function indirection is plan-neutral."""
+    register_views(spark, sf_dir, ["orders", "customer"])
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION sls_discounted(price DOUBLE)
+        RETURNS DOUBLE
+        RETURN round(price * CASE WHEN price > 200000 THEN 0.9 ELSE 1.0 END, 2)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION sls_top_per_segment(k INT)
+        RETURNS TABLE (segment STRING, o_orderkey BIGINT, discounted DOUBLE,
+                       rn INT)
+        RETURN
+          SELECT segment, o_orderkey, discounted, CAST(rn AS INT)
+          FROM (
+            SELECT c.c_mktsegment AS segment, o.o_orderkey,
+                   sls_discounted(o.o_totalprice) AS discounted,
+                   row_number() OVER (
+                     PARTITION BY c.c_mktsegment
+                     ORDER BY sls_discounted(o.o_totalprice) DESC, o.o_orderkey
+                   ) AS rn
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          ) WHERE rn <= k
+        """
+    )
+    return spark.sql("SELECT * FROM sls_top_per_segment(3)")
+
+
+@query(
+    "sql_distribute_cluster_by",
+    "§2.2/§4 DISTRIBUTE BY / SORT BY physical-layout clauses",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(l_extendedprice, 2) AS price
+    FROM lineitem WHERE l_orderkey % 25 = 0
+    """,
+)
+def sql_distribute_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DISTRIBUTE BY`` + ``SORT BY`` (≡ CLUSTER BY when the keys
+    match) — the SQL clauses that declare a PHYSICAL layout without
+    changing the result set: rows hash-shuffle on l_suppkey and sort
+    within each partition, which is exactly the pre-layout a
+    downstream per-supplier merge join or windowed read wants (the
+    SQL-surface cousin of repartition().sortWithinPartitions()).
+    The result ROWS are layout-independent — the oracle is a plain
+    SELECT and the driver's order-insensitive hash proves the clauses
+    are semantically free; the Exchange+Sort they add is visible in
+    the plan (asserted in tests/test_plans.py grep style via
+    docstring contract, not result)."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               round(l_extendedprice, 2) AS price
+        FROM lineitem WHERE l_orderkey % 25 = 0
+        DISTRIBUTE BY l_suppkey SORT BY l_suppkey, l_orderkey, l_linenumber
+        """
+    )

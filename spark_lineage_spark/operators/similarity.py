@@ -15,6 +15,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from spark_lineage_spark.functions.arrays import cosine, dot, to_double_array
+from spark_lineage_spark.plans.extract import lineage_checkpoint
 from spark_lineage_spark.registry import query
 from spark_lineage_spark.tables import load
 
@@ -310,6 +311,70 @@ IVF_TRAIN_TARGET = 256 * IVF_K  # ~256 training points per centroid
 _IVF_MODEL_CACHE: dict = {}
 
 
+def _ivf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, emb, lists) for the IVF family: every corpus vector
+    with its IVF_NPROBE best-ranked centroid lists (cosine, best
+    first). Extracted from llm_ann_ivf so the int8-in-cells variant
+    (llm_ann_ivf_int8) indexes and probes the IDENTICAL quantizer —
+    see llm_ann_ivf's docstring for the training/caching rationale."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = _parallel_corpus(
+        spark, load(spark, sf_dir, "embeddings")
+    ).select("vec_id", to_double_array("embedding").alias("emb"))
+    feat = e.withColumn("features", array_to_vector("emb"))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    model = _IVF_MODEL_CACHE.get(key)
+    if model is None:
+        for k in [k for k in _IVF_MODEL_CACHE if k[0] != key[0]]:
+            del _IVF_MODEL_CACHE[k]
+        n_corpus = load(spark, sf_dir, "embeddings").count()  # metadata-only
+        train = feat.select("vec_id", "features")
+        if n_corpus > IVF_TRAIN_TARGET:
+            stride = -(-n_corpus // IVF_TRAIN_TARGET)  # ceil
+            train = train.filter(F.col("vec_id") % stride == 0)
+        train = (
+            train.repartition(1)
+            .sortWithinPartitions("vec_id")
+            .select("features")
+            .cache()
+        )
+        km = KMeans(
+            k=IVF_K, seed=42, maxIter=5, initMode="random",
+            featuresCol="features", predictionCol="list_id",
+        )
+        model = km.fit(train)
+        train.unpersist()
+        _IVF_MODEL_CACHE[key] = model
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("centroid_id"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("centroid"),
+            )
+            for i, c in enumerate(model.clusterCenters())
+        ]
+    )
+    ranked_lists = F.transform(
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    cent_lit,
+                    lambda c: F.struct(
+                        (-F.round(cosine(F.col("emb"), c["centroid"]), 6)).alias("neg_sim"),
+                        c["centroid_id"].alias("centroid_id"),
+                    ),
+                )
+            ),
+            1,
+            IVF_NPROBE,
+        ),
+        lambda s: s["centroid_id"],
+    )
+    return feat.select("vec_id", "emb").withColumn("lists", ranked_lists)
+
+
 @query("llm_ann_ivf", "§2.11 ANN via IVF (KMeans coarse quantizer) — rows-only", None)
 def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: train a KMeans coarse quantizer (seeded, few
@@ -332,92 +397,7 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered real embeddings the same settings prune far more);
     floor 0.80 asserted in
     tests/test_llm_ops.py::test_ann_ivf_recall_vs_exact."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    e = _parallel_corpus(
-        spark, load(spark, sf_dir, "embeddings")
-    ).select("vec_id", to_double_array("embedding").alias("emb"))
-    feat = e.withColumn("features", array_to_vector("emb"))
-
-    # the quantizer is a MODEL, not part of the query: train it once
-    # per (session, corpus) and reuse — at 100 TB it would be persisted
-    # with model.write().save() and loaded by every probe job. Seeded,
-    # so the cache changes nothing but wall time.
-    key = (spark.sparkContext.applicationId, sf_dir)
-    model = _IVF_MODEL_CACHE.get(key)
-    if model is None:
-        for k in [k for k in _IVF_MODEL_CACHE if k[0] != key[0]]:
-            del _IVF_MODEL_CACHE[k]
-        # Quantizer training input: KMeans runs init passes + maxIter
-        # full scans, so (a) train on a bounded DETERMINISTIC subset
-        # above IVF_TRAIN_TARGET rows — centroid quality needs ~256
-        # points per list, not the whole corpus; vec_id % stride picks
-        # the rows (sample() draws per-partition, so its row set — and
-        # with it the centroids and recall — shifted with partition
-        # layout across sessions) — and (b) cache a SORTED single
-        # partition: a tiny training set must not pay 32-task
-        # scheduling per iteration (measured: fit 9s -> <1s at sf0.1),
-        # and seeded-random init + float accumulation only reproduce
-        # bit-for-bit when row order is fixed, which pins the measured
-        # recall the tests assert.
-        n_corpus = load(spark, sf_dir, "embeddings").count()  # metadata-only
-        train = feat.select("vec_id", "features")
-        if n_corpus > IVF_TRAIN_TARGET:
-            stride = -(-n_corpus // IVF_TRAIN_TARGET)  # ceil
-            train = train.filter(F.col("vec_id") % stride == 0)
-        # repartition(1) + sortWithinPartitions, not orderBy+coalesce:
-        # a global sort above coalesce can be elided by the optimizer
-        train = (
-            train.repartition(1)
-            .sortWithinPartitions("vec_id")
-            .select("features")
-            .cache()
-        )
-        # seeded random init: k-means|| spends 2-5 extra full passes
-        # picking starter centroids, which a coarse quantizer doesn't
-        # need (FAISS trains IVF lists the same way) — measured 3.2s ->
-        # 1.0s on the fit with recall unchanged (test_ann_ivf_recall).
-        km = KMeans(
-            k=IVF_K, seed=42, maxIter=5, initMode="random",
-            featuresCol="features", predictionCol="list_id",
-        )
-        model = km.fit(train)
-        train.unpersist()
-        _IVF_MODEL_CACHE[key] = model
-    # centroids are MODEL PARAMETERS, not data: 16 x 64 doubles ride the
-    # plan as a literal array of structs, so ranking every vector's
-    # lists is one map-side expression inside whole-stage codegen — no
-    # join, no shuffle, exactly like model.transform but metric-matched
-    # to the probe side (cosine, where KMeans.transform is Euclidean).
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("centroid_id"),
-                F.array(*[F.lit(float(x)) for x in c]).alias("centroid"),
-            )
-            for i, c in enumerate(model.clusterCenters())
-        ]
-    )
-    # per-vector centroid ranking: (-sim, centroid_id) struct sort is
-    # ascending => best list first; slice keeps the probe budget
-    ranked_lists = F.transform(
-        F.slice(
-            F.array_sort(
-                F.transform(
-                    cent_lit,
-                    lambda c: F.struct(
-                        (-F.round(cosine(F.col("emb"), c["centroid"]), 6)).alias("neg_sim"),
-                        c["centroid_id"].alias("centroid_id"),
-                    ),
-                )
-            ),
-            1,
-            IVF_NPROBE,
-        ),
-        lambda s: s["centroid_id"],
-    )
-    vectors = feat.select("vec_id", "emb").withColumn("lists", ranked_lists)
+    vectors = _ivf_vectors(spark, sf_dir)
     # corpus side: indexed under its IVF_NASSIGN best lists (map-only)
     assigned = vectors.select(
         "vec_id",
@@ -878,4 +858,103 @@ def llm_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(F.col("nr").cast("double")) * F.sqrt(F.col("nu").cast("double"))),
             6,
         ).alias("cos_sim"),
+    )
+
+
+@query(
+    "llm_ann_ivf_int8",
+    "§2.11 production ANN: IVF cells × int8 scoring × exact float rerank — rows-only",
+    None,
+)
+def llm_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION ANN composition (FAISS IVF-SQ / ScaNN shape):
+    IVF cells bound WHICH vectors are scored (llm_ann_ivf's coarse
+    quantizer via the shared _ivf_vectors — identical centroids,
+    dual-assignment, nprobe 8), int8 integer dot products bound the
+    COST of scoring them (llm_ann_int8_rerank's floor(x·scale+0.5)
+    symmetric quantization — candidates stream as narrow
+    (ids, long) rows), and only the top RERANK_K per query are
+    re-scored with exact float cosine. At 100 TB this multiplies the
+    two savings: probes read nprobe/K of the corpus AND each read row
+    is 4× narrower; the float store is touched only for ~20 rows per
+    query. Rows-only (KMeans model), with the same recall contract as
+    its parents: recall@5 vs exact kNN floored at 0.80 in
+    tests/test_llm_ops.py::test_ann_ivf_int8_recall_vs_exact."""
+    vectors = _ivf_vectors(spark, sf_dir)
+    scale = F.round(
+        F.lit(127.0) / F.array_max(F.transform("emb", lambda x: F.abs(x))), 4
+    )
+    l2 = F.round(
+        F.sqrt(F.aggregate("emb", F.lit(0.0), lambda acc, x: acc + x * x)), 6
+    )
+    qz = (
+        vectors.withColumn("scale", scale)
+        .withColumn("l2", l2)
+        .withColumn(
+            "qvec",
+            F.transform(
+                "emb",
+                lambda x: F.greatest(
+                    F.lit(-127),
+                    F.least(F.lit(127), F.floor(x * F.col("scale") + F.lit(0.5))),
+                ).cast("long"),
+            ),
+        )
+        .transform(lineage_checkpoint)
+    )
+    assigned = qz.select(
+        "vec_id",
+        "qvec",
+        "scale",
+        "l2",
+        F.explode(F.slice("lists", 1, IVF_NASSIGN)).alias("list_id"),
+    )
+    probe = qz.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.explode("lists").alias("list_id"),
+    )
+    int_dot = F.aggregate(
+        F.zip_with("q_qvec", "qvec", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # int8 pass INSIDE the probed cells only: candidates are narrow
+    # (ids + long score); dedup collapses dual-assignment repeats
+    s1 = (
+        F.broadcast(probe)
+        .join(assigned, "list_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(int_dot / (F.col("scale") * F.col("l2")), 6).alias("approx_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("approx_sim"), "neighbor_id")
+    cand = (
+        s1.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= RERANK_K)
+        .drop("rn", "approx_sim")
+    )
+    corpus_emb = qz.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("cemb"))
+    q_emb = qz.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    reranked = (
+        F.broadcast(cand)
+        .join(corpus_emb, "neighbor_id")
+        .join(F.broadcast(q_emb), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qemb"), F.col("cemb")), 6).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        reranked.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
     )

@@ -788,3 +788,74 @@ def sink_table_default_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("r_regionkey").cast("bigint").alias("max_key"),
         )
     )
+
+
+@query(
+    "scan_path_glob_recursive",
+    "§2.1 recursive directory scan with pathGlobFilter (partial-tree ingest)",
+    """
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE lang IN ('en', 'de') AND doc_id % 2 = 0
+    GROUP BY lang
+    """,
+)
+def scan_path_glob_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-tree ingest controls every lake reader leans on:
+    ``recursiveFileLookup`` (scan an arbitrarily nested dump, ignoring
+    partition-directory inference) + ``pathGlobFilter`` (select only
+    matching FILES at listing time — pruning happens in the driver's
+    file index before any task launches, so non-matching files cost
+    zero I/O). Staged as a 2-level tree lang=*/parity-named files; the
+    glob keeps only even-parity files, the WHERE keeps en/de, and the
+    oracle recomputes the same subset relationally. Per-fixture cached
+    staging keyed like _stream_dir."""
+    import hashlib
+    import uuid as _uuid
+
+    from spark_lineage_spark.tables import table_path
+
+    src_file = table_path(sf_dir, "documents")
+    st = os.stat(src_file)
+    key = hashlib.md5(
+        f"{src_file}:{st.st_size}:{st.st_mtime_ns}:tree".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"sls_doc_tree_{key}")
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done):
+        tmp = f"{root}.{os.getpid()}.{_uuid.uuid4().hex[:6]}.tmp"
+        docs = load(spark, sf_dir, "documents")
+        for lang in [r.lang for r in docs.select("lang").distinct().collect()]:
+            for parity, pname in ((0, "even"), (1, "odd")):
+                sub = os.path.join(tmp, "stage", f"{lang}_{parity}")
+                docs.filter(
+                    (F.col("lang") == lang) & (F.col("doc_id") % 2 == parity)
+                ).coalesce(1).write.mode("overwrite").parquet(sub)
+                import glob as _glob
+
+                part = _glob.glob(sub + "/part-*.parquet")[0]
+                dstdir = os.path.join(tmp, f"lang={lang}", "deep")
+                os.makedirs(dstdir, exist_ok=True)
+                os.replace(part, os.path.join(dstdir, f"docs_{pname}.parquet"))
+        import shutil as _shutil
+
+        _shutil.rmtree(os.path.join(tmp, "stage"), ignore_errors=True)
+        open(os.path.join(tmp, "_DONE"), "w").close()
+        try:
+            os.rename(tmp, root)
+        except OSError:
+            _shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    scanned = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "docs_even.parquet")
+        .parquet(root)
+    )
+    return (
+        scanned.filter(F.col("lang").isin("en", "de"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -2872,3 +2872,65 @@ def llm_ngram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "backoff_rate"
         ),
     )
+
+
+@query(
+    "llm_chat_template_flatten",
+    "§2.11 chat-template flattening (ordered turns → training string, budget-truncated)",
+    """
+    WITH t AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(length('<|' || CASE WHEN rn % 2 = 1 THEN 'user'
+                                        ELSE 'assistant' END
+                           || '|>' || event_type)) AS BIGINT) AS n_chars,
+           md5(string_agg('<|' || CASE WHEN rn % 2 = 1 THEN 'user'
+                                       ELSE 'assistant' END
+                          || '|>' || event_type, '' ORDER BY rn)) AS convo_md5
+    FROM t WHERE rn <= 8 GROUP BY user_id
+    """,
+)
+def llm_chat_template_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT-data preparation: each user's ordered event sequence stands
+    in for a conversation; turns get alternating roles, are rendered
+    through a chat template ('<|role|>content'), TRUNCATED to an
+    8-turn context budget, and flattened to the single training
+    string. The Spark shape is the one that matters at scale: ONE
+    shuffle (collect_list of (ts, event_id, type) structs per user),
+    order pinned by array_sort on the struct's leading fields — never
+    a per-turn window plus a second aggregation — then template
+    rendering and flattening as JVM-side array HOFs. The flat string
+    is reported as md5 + length (hash-stable; the driver compare
+    never ships megabyte strings)."""
+    ev = load(spark, sf_dir, "events")
+    arr = F.slice(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", F.col("event_type").alias("et")))
+        ),
+        1,
+        8,
+    )
+    flat = F.concat_ws(
+        "",
+        F.transform(
+            F.col("a"),
+            lambda x, i: F.concat(
+                F.lit("<|"),
+                F.when(i % 2 == 0, F.lit("user")).otherwise(F.lit("assistant")),
+                F.lit("|>"),
+                x["et"],
+            ),
+        ),
+    )
+    g = ev.groupBy("user_id").agg(arr.alias("a"))
+    return g.select(
+        "user_id",
+        F.size("a").alias("n_turns"),
+        F.length(flat).cast("long").alias("n_chars"),
+        F.md5(flat.cast("binary")).alias("convo_md5"),
+    )

@@ -229,3 +229,50 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("lag(click_v, 1) IGNORE NULLS").over(w_lag), 2).alias("prev_click"),
         F.round(F.nth_value("click_v", 2, ignoreNulls=True).over(w), 2).alias("second_click"),
     )
+
+
+@query(
+    "win_range_interval_time",
+    "§2.5 RANGE frame over event time (trailing 1-hour per-user window)",
+    """
+    SELECT user_id, event_id,
+           strftime(date_trunc('microseconds', ts), '%Y-%m-%d %H:%M:%S.%f') AS tss,
+           CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) OVER w AS BIGINT)
+             AS sum_micro_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts)
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_range_interval_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame keyed by an INTERVAL over event TIME — the
+    per-event trailing window ("this user's activity in the hour up to
+    now") that ROW frames cannot express when events are irregularly
+    spaced, and the per-event twin of the bucketed sliding windows in
+    streaming. win_range_frame covers numeric RANGE; this pins the
+    temporal-interval variant, including the peers rule (equal
+    timestamps aggregate together regardless of tie order — which is
+    exactly why RANGE, not ROWS, is the deterministic choice here).
+    One shuffle on user_id; values sum as exact micro-unit integers."""
+    from spark_lineage_spark.tables import register_views
+
+    isots = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    register_views(spark, sf_dir, ["events"])
+    out = spark.sql(
+        """
+        SELECT user_id, event_id, ts,
+               count(*) OVER w AS n_trailing_1h,
+               sum(CAST(round(value * 1000000) AS BIGINT)) OVER w AS sum_micro_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", isots).alias("tss"),
+        "n_trailing_1h",
+        "sum_micro_1h",
+    )

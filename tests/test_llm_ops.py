@@ -662,3 +662,20 @@ def test_band_sweep_s_curve_shape(spark):
     assert rows[8].recall_at_08 >= 0.99  # the llm_dedup_minhash_lsh config
     for r in rows.values():
         assert r.exp_candidates <= r.n_pairs
+
+
+def test_ann_ivf_int8_recall_vs_exact(spark):
+    """The combined IVF-cells × int8-scoring × float-rerank path must
+    keep the recall of its weakest parent: cell pruning is identical
+    to llm_ann_ivf (same shared quantizer) and the int8 top-20 cut
+    loses nothing on these vectors (test_int8_rerank_recall), so the
+    composition floors at the IVF contract of 0.80."""
+    from spark_lineage_spark.operators.similarity import (
+        llm_ann_ivf_int8,
+        llm_knn_cosine_exact,
+    )
+
+    exact = {(r.query_id, r.neighbor_id) for r in llm_knn_cosine_exact(spark, SF).collect()}
+    got = {(r.query_id, r.neighbor_id) for r in llm_ann_ivf_int8(spark, SF).collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.80, f"IVF+int8 recall too low: {recall}"

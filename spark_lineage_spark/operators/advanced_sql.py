@@ -2325,3 +2325,36 @@ def sql_distribute_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         DISTRIBUTE BY l_suppkey SORT BY l_suppkey, l_orderkey, l_linenumber
         """
     )
+
+
+@query(
+    "sql_identifier_clause",
+    "§2.2 IDENTIFIER() clause (injection-safe dynamic table/column names)",
+    """
+    SELECT o_orderpriority AS grp,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's ``IDENTIFIER(:param)`` clause — the missing half of
+    parameterized SQL (sql_named_parameters binds VALUES; IDENTIFIER
+    binds NAMES): table and column references supplied as parameters
+    are resolved as identifiers, not spliced as strings, so dynamic
+    report builders ("group by whatever column the user picked") stop
+    being injection vectors. The grouping column, aggregated column
+    AND table name all arrive via parameters; the oracle is the
+    static query, proving identifier indirection is plan-neutral
+    (constant-folded at analysis, same pushdown)."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp_col) AS grp,
+               count(*) AS n,
+               round(sum(IDENTIFIER(:agg_col)), 2) AS total
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:grp_col)
+        """,
+        args={"grp_col": "o_orderpriority", "agg_col": "o_totalprice", "tbl": "orders"},
+    )

@@ -1063,14 +1063,14 @@ def stat_df_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr = li.stat.corr("l_quantity", "l_extendedprice")
     q25, q50, q75 = li.stat.approxQuantile("l_quantity", [0.25, 0.5, 0.75], 0.0)
     (q50_price,) = li.stat.approxQuantile("l_extendedprice", [0.5], 0.0)
-    freq = set(li.stat.freqItems(["l_returnflag"], 0.2).collect()[0][0])
+    freq = set(li.stat.freqItems(["l_returnflag"], 0.2).collect()[0][0])  # bounded-collect-ok: 1 row of ≤16 items
     n_rows = li.count()
     exact_heavy = {
         r.l_returnflag
         for r in li.groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 0.2 * n_rows)
-        .collect()
+        .collect()  # bounded-collect-ok: ≤ n-distinct-flags rows
     }
     n_freq = float(len(freq & exact_heavy))
     rows = [
@@ -1162,5 +1162,34 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@query(
+    "agg_approx_top_k",
+    "§2.4 approx_top_k heavy hitters (k ≥ domain ⇒ exact, oracle-checked)",
+    """
+    SELECT event_type AS item, count(*) AS n
+    FROM events GROUP BY event_type
+    ORDER BY n DESC, item
+    """,
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's ``approx_top_k`` — the built-in space-saving top-k
+    frequency sketch (the engine-native answer to agg_count_min_sketch's
+    from-scratch build). Sketch accuracy is exact whenever the sketch
+    capacity covers the value domain; with k=16 over the handful of
+    event types the result IS the exact frequency table, so the
+    exploded (item, count) rows are fully value-hash-checked — the
+    approximation behavior at k < domain is an accuracy property, not
+    a semantics change. One partial-agg'd pass, constant-size state
+    per partition — the same merge shape as any sketch at 100 TB."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        SELECT t.item, t.count AS n
+        FROM (SELECT explode(approx_top_k(event_type, 16)) AS t FROM events)
+        ORDER BY n DESC, item
         """
     )

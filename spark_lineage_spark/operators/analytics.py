@@ -1756,7 +1756,7 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rn") == ((F.col("n") + 1) / 2).cast("long"))
         | (F.col("rn") == ((F.col("n") + 2) / 2).cast("long"))
     ).agg(F.avg("slope").alias("m"))
-    m = med.collect()[0].m  # 1 driver scalar — the broadcastable model
+    m = med.collect()[0].m  # bounded-collect-ok: 1 driver scalar — the model
     ic_ranked = pts.select(
         (F.col("y") - F.lit(m) * F.col("x")).alias("ic")
     ).select(
@@ -1767,7 +1767,7 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ic = ic_ranked.filter(
         (F.col("rn") == ((F.col("n") + 1) / 2).cast("long"))
         | (F.col("rn") == ((F.col("n") + 2) / 2).cast("long"))
-    ).agg(F.avg("ic").alias("ic")).collect()[0].ic
+    ).agg(F.avg("ic").alias("ic")).collect()[0].ic  # bounded-collect-ok: 1 scalar
     n_days = pts.count()
     return spark.createDataFrame(
         [(n_days, n_days * (n_days - 1) // 2, float(m), float(ic))],

@@ -1122,3 +1122,143 @@ def fn_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.catalog.dropTempView(name)
     return out
+
+
+@query(
+    "fn_regex_extended",
+    "§2.8 extended regex battery: regexp_extract_all / count / instr / substr",
+    """
+    SELECT p_partkey,
+           regexp_extract_all(p_name, '[a-z]+') AS all_words,
+           CAST(len(regexp_extract_all(p_name, 'o[a-z]')) AS INT) AS n_o_pairs,
+           CASE WHEN regexp_matches(p_name, 'la') THEN strpos(p_name, 'la')
+                ELSE 0 END AS first_la_pos,
+           coalesce(regexp_extract(p_name, '[a-z]*o[a-z]*'), '')
+             AS first_o_word
+    FROM part WHERE p_partkey % 3 = 0
+    """,
+)
+def fn_regex_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The post-3.4 regex function family beyond fn_regex_battery's
+    extract/replace/like: ``regexp_extract_all`` (every match as an
+    array), ``regexp_count`` (match count), ``regexp_instr``
+    (1-based position of first match, 0 if none), ``regexp_substr``
+    (first matching substring, NULL → coalesced for the oracle).
+    The oracle rebuilds each from DuckDB's regexp primitives —
+    strpos stands in for regexp_instr on the literal pattern. All
+    map-side expressions inside whole-stage codegen."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 3 == 0)
+    return p.select(
+        "p_partkey",
+        F.expr("regexp_extract_all(p_name, '[a-z]+', 0)").alias("all_words"),
+        F.expr("CAST(regexp_count(p_name, 'o[a-z]') AS INT)").alias("n_o_pairs"),
+        F.expr("CAST(regexp_instr(p_name, 'la') AS INT)").alias("first_la_pos"),
+        F.expr("coalesce(regexp_substr(p_name, '[a-z]*o[a-z]*'), '')").alias(
+            "first_o_word"
+        ),
+    )
+
+
+@query(
+    "fn_map_hof_battery",
+    "§2.8 map higher-order functions (transform_keys/values, map_filter, map_zip_with)",
+    """
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc_pct
+      FROM lineitem WHERE l_orderkey % 40 = 0
+    )
+    SELECT l_orderkey, l_linenumber, 'QTY' AS k, qty * 2 AS doubled,
+           qty + disc_pct AS zipped
+    FROM base WHERE qty > 25
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'PRICE_CENTS', price_cents * 2,
+           price_cents + 0
+    FROM base WHERE price_cents > 25
+    """,
+)
+def fn_map_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions over a per-row metrics map:
+    ``transform_keys`` (upper-case the keys), ``transform_values``
+    (double the values), ``map_filter`` (drop small entries),
+    ``map_zip_with`` (merge two maps key-wise), ``map_concat`` +
+    ``map_entries``/explode to land deterministic rows. Map column
+    ORDER is engine-internal, so the battery never compares maps
+    directly — entries explode to rows and the driver's
+    order-insensitive hash does the rest (the same discipline as the
+    array batteries). All JVM-side; zero shuffles beyond the scan."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 40 == 0)
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "map('qty', CAST(l_quantity AS BIGINT),"
+            " 'price_cents', CAST(round(l_extendedprice * 100) AS BIGINT))"
+        ).alias("m"),
+        F.expr(
+            "map('qty', CAST(round(l_discount * 100) AS BIGINT),"
+            " 'price_cents', CAST(0 AS BIGINT))"
+        ).alias("m2"),
+    )
+    shaped = base.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.explode(
+            F.map_filter(
+                F.transform_keys(F.col("m"), lambda k, v: F.upper(k)),
+                lambda k, v: v > 25,
+            )
+        ).alias("k", "v"),
+        F.map_zip_with(
+            F.col("m"), F.col("m2"), lambda k, v1, v2: v1 + v2
+        ).alias("zm"),
+    )
+    return shaped.select(
+        "l_orderkey",
+        "l_linenumber",
+        "k",
+        (F.col("v") * 2).alias("doubled"),
+        F.element_at("zm", F.lower("k")).alias("zipped"),
+    )
+
+
+@query(
+    "fn_try_collection_access",
+    "§2.8 error-safe collection access (try_element_at / get / try_cast) under ANSI",
+    """
+    SELECT doc_id,
+           ws[1] AS first_word,
+           CASE WHEN len(ws) >= 999 THEN ws[999] END AS oob_try,
+           CASE WHEN len(ws) >= 3 THEN ws[3] END AS third_get,
+           TRY_CAST(ws[1] AS INTEGER) AS first_as_int,
+           TRY_CAST(CAST(len(ws) AS VARCHAR) AS INTEGER) AS len_roundtrip
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws
+          FROM documents WHERE text IS NOT NULL)
+    WHERE doc_id % 4 = 0
+    """,
+)
+def fn_try_collection_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI mode turns out-of-bounds ``element_at`` and bad casts into
+    runtime ERRORS — the error-safe accessors are what production SQL
+    uses instead: ``try_element_at`` (OOB → NULL, 1-based),
+    ``get`` (0-based, OOB → NULL by design), and ``try_cast``
+    (unparseable → NULL). fn_try_arithmetic covers the arithmetic
+    family; this row pins the collection/cast family. The oracle maps
+    each to DuckDB's native semantics (1-based list index with CASE
+    guards, TRY_CAST)."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("doc_id") % 4 == 0)
+    )
+    ws = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.try_element_at(ws, F.lit(1)).alias("first_word"),
+        F.try_element_at(ws, F.lit(999)).alias("oob_try"),
+        F.get(ws, 2).alias("third_get"),
+        F.expr("TRY_CAST(split(text, ' ')[0] AS INT)").alias("first_as_int"),
+        F.expr("TRY_CAST(CAST(size(split(text, ' ')) AS STRING) AS INT)").alias(
+            "len_roundtrip"
+        ),
+    )

@@ -826,7 +826,7 @@ def scan_path_glob_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(done):
         tmp = f"{root}.{os.getpid()}.{_uuid.uuid4().hex[:6]}.tmp"
         docs = load(spark, sf_dir, "documents")
-        for lang in [r.lang for r in docs.select("lang").distinct().collect()]:
+        for lang in [r.lang for r in docs.select("lang").distinct().collect()]:  # bounded-collect-ok: language domain
             for parity, pname in ((0, "even"), (1, "odd")):
                 sub = os.path.join(tmp, "stage", f"{lang}_{parity}")
                 docs.filter(

@@ -2720,7 +2720,7 @@ def llm_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("freq").alias("n"))
             .orderBy(F.desc("n"), "sym", "nxt")
             .limit(1)
-            .collect()[0]
+            .collect()[0]  # bounded-collect-ok: the argmax merge row
         )
         pat, rep = top.sym + delim + top.nxt + delim, top.sym + top.nxt + delim
         repr_df = repr_df.select(
@@ -2733,7 +2733,7 @@ def llm_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(F.col("freq") * n_tokens).cast("double") / F.sum("freq"), 6
             ).alias("avg_tokens")
-        ).collect()[0].avg_tokens
+        ).collect()[0].avg_tokens  # bounded-collect-ok: 1 scalar
         out_rows.append((k, top.sym + top.nxt, top.n, avg))
     return spark.createDataFrame(
         out_rows, "round int, merged string, pair_n long, avg_tokens double"

@@ -19,7 +19,7 @@ import shutil
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from spark_lineage_spark.plans.extract import lineage_checkpoint
 from spark_lineage_spark.registry import query
@@ -1329,3 +1329,137 @@ def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_update_mode_agg",
+    "§2.9 UPDATE output mode (per-batch changed keys; latest update == batch agg)",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_update_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third output mode (append and complete are covered by the
+    window/static-join queries): UPDATE emits, each micro-batch, ONLY
+    the aggregate rows that changed — the changelog shape every
+    stream-to-KV-store pipeline consumes. Events arrive in 4 waves
+    (_split_events_dir); foreachBatch lands each batch's update rows
+    tagged with its batch_id, and the LATEST update per key (max
+    batch_id that touched it) must equal the full batch aggregate —
+    which is the oracle, so correctness proves both the no-watermark
+    unbounded-state semantics AND that intermediate updates compose
+    to the final answer. State is one row per event_type; at 100 TB
+    an update-mode agg is sized by distinct keys, not input rows."""
+    from spark_lineage_spark.tables import _normalize_ts
+
+    split = _split_events_dir(sf_dir)
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    run_dir = tempfile.mkdtemp(prefix="sls_upd_")
+    out_dir = os.path.join(run_dir, "out")
+
+    agg = (
+        _normalize_ts(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(split)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr("CAST(round(value * 1000000) AS BIGINT)")).alias(
+                "sum_micro"
+            ),
+        )
+    )
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(land)
+        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    updates = spark.read.parquet(out_dir)
+    w = Window.partitionBy("event_type").orderBy(F.desc("batch_id"))
+    out = (
+        updates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "n_events", "sum_micro")
+        .transform(lineage_checkpoint)
+    )
+    shutil.rmtree(run_dir, ignore_errors=True)
+    return out
+
+
+@query(
+    "stream_observe_metrics",
+    "§2.9 streaming observe(): per-batch executor metrics summed == batch totals",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_micro,
+           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+             AS n_purchases
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.observe`` on a STREAMING query (obs_observation_metrics
+    covers batch): named aggregates computed on the executors during
+    each micro-batch and surfaced through StreamingQueryProgress.
+    observedMetrics — the per-batch data-quality counters production
+    pipelines alert on, with NO second pass over the data. Each batch
+    observes its own rows, so summing the per-batch metrics across the
+    finite availableNow run must reproduce the batch totals — that sum
+    IS the returned row and the oracle. Counts and micro-unit sums are
+    exact integers, so cross-batch addition is associative."""
+    from spark_lineage_spark.tables import _normalize_ts
+
+    split = _split_events_dir(sf_dir)
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream = (
+        _normalize_ts(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(split)
+        )
+        .filter(F.col("value").isNotNull())
+        .observe(
+            "sls_metrics",
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.expr("CAST(round(value * 1000000) AS BIGINT)")).alias(
+                "sum_micro"
+            ),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "n_purchases"
+            ),
+        )
+    )
+    ckpt = tempfile.mkdtemp(prefix="sls_obs_ckpt_")
+    q = (
+        stream.writeStream.format("noop")
+        .option("checkpointLocation", os.path.join(ckpt, "c"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    totals = {"n_rows": 0, "sum_micro": 0, "n_purchases": 0}
+    for p in q.recentProgress:
+        m = (p.get("observedMetrics") or {}).get("sls_metrics")
+        if m:
+            for k in totals:
+                totals[k] += int(m[k] or 0)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(
+        [(totals["n_rows"], totals["sum_micro"], totals["n_purchases"])],
+        "n_rows long, sum_micro long, n_purchases long",
+    )

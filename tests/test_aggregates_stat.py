@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 def lineitem(spark, sf_dir):
     from spark_lineage_spark.tables import load
 
-    return load(spark, sf_dir, "lineitem").cache()
+    df = load(spark, sf_dir, "lineitem").cache()
+    yield df
+    # MUST unpersist: Spark substitutes the cached InMemoryRelation
+    # into any later plan with an identical scan subtree, which breaks
+    # other test modules' PushedFilters/ReadSchema plan assertions
+    df.unpersist()
 
 
 def test_approx_quantile_rank_bound(lineitem):

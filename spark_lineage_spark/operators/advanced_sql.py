@@ -2358,3 +2358,100 @@ def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"grp_col": "o_orderpriority", "agg_col": "o_totalprice", "tbl": "orders"},
     )
+
+
+@query(
+    "pandas_api_groupby_merge",
+    "§2.10 pandas-on-Spark API (ps.read_parquet → groupby/agg → merge → to_spark)",
+    """
+    WITH seg AS (
+      SELECT c.c_mktsegment AS segment,
+             count(*) AS n_orders,
+             round(sum(o.o_totalprice), 2) AS total
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment
+    ),
+    cust AS (
+      SELECT c_mktsegment AS segment, count(*) AS n_customers FROM customer
+      GROUP BY c_mktsegment
+    )
+    SELECT seg.segment, seg.n_orders, seg.total, cust.n_customers,
+           round(seg.total / cust.n_customers, 4) AS total_per_customer
+    FROM seg JOIN cust ON seg.segment = cust.segment
+    """,
+)
+def pandas_api_groupby_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas API on Spark (``pyspark.pandas``) — the surface
+    pandas users migrate through, worth covering because its frames
+    COMPILE TO THE SAME Catalyst plans as the DataFrame API (groupby →
+    partial+final hash agg, merge → join), so "pandas at 100 TB" is
+    real as long as index machinery is kept cheap: the distributed
+    default index avoids the monotonically-increasing-id shuffle, and
+    ``as_index=False`` + ``to_spark()`` round-trips without an index
+    column at all. One groupby-agg per side, one merge, one derived
+    column — the canonical pandas workflow — then back to a plain
+    DataFrame for the oracle compare."""
+    import pyspark.pandas as ps
+
+    from spark_lineage_spark.tables import table_path
+
+    prev = ps.get_option("compute.default_index_type")
+    ps.set_option("compute.default_index_type", "distributed")
+    try:
+        orders = ps.read_parquet(table_path(sf_dir, "orders"), index_col="o_orderkey")
+        cust = ps.read_parquet(table_path(sf_dir, "customer"), index_col="c_custkey")
+        merged = orders.merge(
+            cust[["c_mktsegment"]].rename(columns={"c_mktsegment": "segment"}),
+            left_on="o_custkey",
+            right_index=True,
+        )
+        seg = merged.groupby("segment", as_index=False).agg(
+            n_orders=("o_totalprice", "count"), total=("o_totalprice", "sum")
+        )
+        ncust = (
+            cust.rename(columns={"c_mktsegment": "segment"})
+            .groupby("segment", as_index=False)
+            .agg(n_customers=("segment", "count"))
+        )
+        out = seg.merge(ncust, on="segment")
+        out["total"] = out["total"].round(2)
+        out["total_per_customer"] = (out["total"] / out["n_customers"]).round(4)
+        return out.to_spark().select(
+            "segment", "n_orders", "total", "n_customers", "total_per_customer"
+        )
+    finally:
+        ps.set_option("compute.default_index_type", prev)
+
+
+@query(
+    "agg_percentile_within_group",
+    "§2.4 SQL-standard percentile_cont / percentile_disc WITHIN GROUP",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS median_cont,
+           CAST(quantile_disc(l_quantity, 0.25) AS DOUBLE) AS q25_disc,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI ``WITHIN GROUP (ORDER BY ...)`` ordered-set aggregate
+    syntax for percentile_cont (linear interpolation) and
+    percentile_disc (an actual data value) — the standard-SQL spelling
+    of agg_percentile_median's percentile()/median(). Interpolation
+    and discrete-pick semantics line up exactly with DuckDB's
+    quantile_cont/quantile_disc; integer-valued l_quantity keeps the
+    interpolated medians on exactly representable halves."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 4)
+                 AS median_cont,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)
+                 AS q25_disc,
+               round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 4)
+                 AS p90_price
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )

@@ -615,3 +615,54 @@ def test_rejection_sampling_reproducible_and_calibrated(spark):
     got = sum(r.n_accepted for r in a.values()) / tot
     want = sum(r.expected_rate * r.n_docs for r in a.values()) / tot
     assert abs(got - want) < 0.1, (got, want)
+
+
+def test_compacted_index_self_join_no_exchange(spark):
+    """After compaction the band-row table is bucketed on the join key,
+    so the candidate SELF-join must plan with ZERO exchanges — both
+    sides read the same bucket layout (the whole point of compacting
+    the unbucketed deltas back in)."""
+    from spark_lineage_spark.operators.dedup import llm_dedup_index_compaction
+    from spark_lineage_spark.operators.sources_sinks import _proc_suffix
+
+    llm_dedup_index_compaction(spark, SF)  # stages base+deltas+compacted
+    comp = spark.table(f"sls_mhcc_{_proc_suffix(SF)}")
+    a, b = comp.alias("a"), comp.alias("b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        p = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Bucketed: true" in p, p[:3000]
+    assert "Exchange hashpartitioning" not in p, p[:3000]
+
+
+def test_distribute_sort_by_adds_exchange_and_sort(spark):
+    """DISTRIBUTE BY must plan an Exchange hashpartitioning on the key
+    and SORT BY a partition-local (non-global) Sort."""
+    from spark_lineage_spark.operators.advanced_sql import sql_distribute_cluster_by
+
+    p = plan_str(sql_distribute_cluster_by(spark, SF))
+    # formatted explain: the Exchange node's Arguments carry the
+    # hashpartitioning spec
+    assert re.search(r"hashpartitioning\(l_suppkey", p), p
+    # the Sort node's Arguments end "..., false, 0" — false = non-global
+    m = re.search(r"Arguments: \[l_suppkey[^\n]*ASC[^\n]*\], (\w+), 0", p)
+    assert m and m.group(1) == "false", "SORT BY must be a local sort: " + p[:2000]
+
+
+def test_range_interval_window_single_shuffle(spark):
+    """The trailing-1h RANGE window must cost exactly one exchange (on
+    user_id) — frame evaluation is partition-local."""
+    from spark_lineage_spark.operators.windows import win_range_interval_time
+
+    p = plan_str(win_range_interval_time(spark, SF))
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1, p
+    assert "RANGE BETWEEN" in p.upper() or "specifiedwindowframe(RangeFrame" in p, p

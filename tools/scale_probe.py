@@ -85,6 +85,22 @@ PROBE_QUERIES = [
     "llm_rejection_sampling",
     "llm_span_corruption",
     "llm_contrastive_negatives",
+    # round-8 additions: compaction + streaming index probe, pairwise /
+    # vocab-iterating / join-heavy newcomers. stats_theil_sen IS probed
+    # even though pairs are O(days^2): days are calendar-bounded, so
+    # the ratio should reflect the daily-collapse scan only.
+    "llm_dedup_index_compaction",
+    "llm_bpe_apply_merges",
+    "llm_ngram_backoff_score",
+    "stats_theil_sen",
+    "llm_ann_ivf_int8",
+    "llm_embedding_drift",
+    "llm_chat_template_flatten",
+    "win_range_interval_time",
+    "stream_stream_left_outer_join",
+    "stream_update_mode_agg",
+    "cdc_scd6",
+    "win_funnel_wilson",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

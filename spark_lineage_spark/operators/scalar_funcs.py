@@ -1262,3 +1262,50 @@ def fn_try_collection_access(spark: SparkSession, sf_dir: str) -> DataFrame:
             "len_roundtrip"
         ),
     )
+
+
+@query(
+    "fn_datetime_construct_battery",
+    "§2.8 datetime constructors: make_date / make_timestamp / unix epoch round-trips",
+    """
+    SELECT o_orderkey,
+           strftime(make_date(CAST(year(o_orderdate) AS INT),
+                              CAST(month(o_orderdate) AS INT),
+                              CAST(day(o_orderdate) AS INT)), '%Y-%m-%d')
+             AS rebuilt_date,
+           make_timestamp(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT),
+                          CAST(day(o_orderdate) AS INT), 12, 30,
+                          CAST(o_orderkey % 60 AS DOUBLE)) AS noon_ts,
+           CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS epoch_s,
+           CAST(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS epoch_ms,
+           CAST(to_timestamp(CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT))
+                AS TIMESTAMP) AS from_epoch
+    FROM orders WHERE o_orderkey % 30 = 0
+    """,
+)
+def fn_datetime_construct_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The datetime CONSTRUCTOR family (fn_datetime_battery covers
+    extraction/arithmetic): ``make_date`` / ``make_timestamp`` build
+    temporals from numeric fields (the parse-free path ETL uses when
+    year/month/day arrive as columns), and the unix-epoch round-trips
+    (``unix_seconds``/``unix_millis`` ↔ ``timestamp_seconds``) pin the
+    integer epoch encodings both engines agree on exactly. Rebuilding
+    each row's own date and recovering it from its own epoch makes
+    every output self-checking. Map-side only."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 30 == 0)
+    return o.select(
+        "o_orderkey",
+        F.make_date(F.year("o_orderdate"), F.month("o_orderdate"),
+                    F.dayofmonth("o_orderdate"))
+        .cast("string")
+        .alias("rebuilt_date"),
+        F.expr(
+            "make_timestamp(year(o_orderdate), month(o_orderdate),"
+            " day(o_orderdate), 12, 30, CAST(o_orderkey % 60 AS DOUBLE))"
+        ).alias("noon_ts"),
+        F.unix_seconds(F.col("o_orderdate").cast("timestamp")).alias("epoch_s"),
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("epoch_ms"),
+        F.timestamp_seconds(
+            F.unix_seconds(F.col("o_orderdate").cast("timestamp"))
+        ).alias("from_epoch"),
+    )

@@ -859,3 +859,54 @@ def scan_path_glob_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@query(
+    "scan_modified_after",
+    "§2.1 modifiedAfter/modifiedBefore file filters (mtime-windowed ingest)",
+    """
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE doc_id % 2 = 1
+    GROUP BY lang
+    """,
+)
+def scan_modified_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``modifiedAfter`` / ``modifiedBefore`` read options — the
+    catch-up ingest every file lake runs ("process what landed since
+    the last run") without a streaming checkpoint: like
+    pathGlobFilter, the mtime predicate prunes at LISTING time in the
+    driver's file index, so excluded files cost zero I/O and zero
+    tasks. Reuses scan_path_glob_recursive's cached nested tree,
+    whose staging pins even-parity files at an older mtime and
+    odd-parity files at a newer one; reading with modifiedAfter
+    between the two epochs yields exactly the odd half, which the
+    oracle recomputes relationally."""
+    # stage (or reuse) the tree, then pin parity-split mtimes
+    scan_path_glob_recursive(spark, sf_dir)
+    import hashlib
+
+    from spark_lineage_spark.tables import table_path
+
+    src_file = table_path(sf_dir, "documents")
+    st = os.stat(src_file)
+    key = hashlib.md5(
+        f"{src_file}:{st.st_size}:{st.st_mtime_ns}:tree".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"sls_doc_tree_{key}")
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if fn == "docs_even.parquet":
+                os.utime(os.path.join(dirpath, fn), (1_600_000_000, 1_600_000_000))
+            elif fn == "docs_odd.parquet":
+                os.utime(os.path.join(dirpath, fn), (1_700_000_000, 1_700_000_000))
+    scanned = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("modifiedAfter", "2021-01-01T00:00:00")  # between the two epochs
+        .parquet(root)
+    )
+    return scanned.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -2934,3 +2934,95 @@ def llm_chat_template_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(flat).cast("long").alias("n_chars"),
         F.md5(flat.cast("binary")).alias("convo_md5"),
     )
+
+
+@query(
+    "llm_length_bucket_batching",
+    "§2.11 length-bucketed batching (padding-waste reduction vs arrival order)",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sorted_b AS (
+      SELECT source, n_tok,
+             (row_number() OVER (PARTITION BY source
+                                 ORDER BY n_tok DESC, doc_id) - 1) // 32 AS b
+      FROM toks
+    ),
+    arrival_b AS (
+      SELECT source, n_tok,
+             (row_number() OVER (PARTITION BY source ORDER BY h, doc_id) - 1) // 32
+               AS b
+      FROM toks
+    ),
+    s AS (SELECT source, b, CAST(max(n_tok) * count(*) AS BIGINT) AS padded,
+                 CAST(sum(n_tok) AS BIGINT) AS used
+          FROM sorted_b GROUP BY source, b),
+    a AS (SELECT source, b, CAST(max(n_tok) * count(*) AS BIGINT) AS padded
+          FROM arrival_b GROUP BY source, b)
+    SELECT s.source,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(s.used) AS BIGINT) AS tokens,
+           CAST(sum(s.padded) AS BIGINT) AS padded_sorted,
+           (SELECT CAST(sum(a.padded) AS BIGINT) FROM a
+            WHERE a.source = s.source) AS padded_arrival,
+           round(1.0 - CAST(sum(s.padded) AS DOUBLE)
+                 / (SELECT sum(a.padded) FROM a WHERE a.source = s.source), 4)
+             AS padding_saved
+    FROM s GROUP BY s.source
+    """,
+)
+def llm_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching — the padding-efficiency step before
+    any fixed-shape training/inference run: sort documents by token
+    count within each source, cut into 32-doc batches, and pad each
+    batch to its own max length. Compared against ARRIVAL-order
+    batching (md5-hash order — a deterministic stand-in for random
+    arrival), reporting the padded-token totals and the saved
+    fraction: sorted batches put like-sized docs together so the
+    per-batch max is tight. Two windowed passes over one (doc, n_tok)
+    projection — one shuffle on source each; batch stats are a plain
+    re-aggregation. The per-source savings number IS the business
+    case for the sorter at 100 TB."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("h"),
+    ).transform(lineage_checkpoint)
+    w_sorted = Window.partitionBy("source").orderBy(F.desc("n_tok"), "doc_id")
+    w_arrival = Window.partitionBy("source").orderBy("h", "doc_id")
+    sorted_b = toks.withColumn(
+        "b", ((F.row_number().over(w_sorted) - 1) / 32).cast("long")
+    )
+    arrival_b = toks.withColumn(
+        "b", ((F.row_number().over(w_arrival) - 1) / 32).cast("long")
+    )
+    s = sorted_b.groupBy("source", "b").agg(
+        (F.max("n_tok") * F.count(F.lit(1))).cast("long").alias("padded"),
+        F.sum("n_tok").cast("long").alias("used"),
+    )
+    a = (
+        arrival_b.groupBy("source", "b")
+        .agg((F.max("n_tok") * F.count(F.lit(1))).cast("long").alias("padded"))
+        .groupBy("source")
+        .agg(F.sum("padded").cast("long").alias("padded_arrival"))
+    )
+    per_source = s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_batches"),
+        F.sum("used").cast("long").alias("tokens"),
+        F.sum("padded").cast("long").alias("padded_sorted"),
+    )
+    return per_source.join(a, "source").select(
+        "source",
+        "n_batches",
+        "tokens",
+        "padded_sorted",
+        "padded_arrival",
+        F.round(
+            1.0 - F.col("padded_sorted").cast("double") / F.col("padded_arrival"), 4
+        ).alias("padding_saved"),
+    )

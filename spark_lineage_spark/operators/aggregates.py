@@ -1193,3 +1193,41 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n DESC, item
         """
     )
+
+
+@query(
+    "agg_filter_clause",
+    "§2.4 ANSI FILTER (WHERE ...) clause on aggregates",
+    """
+    SELECT l_returnflag,
+           count(*) AS n_all,
+           count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                FILTER (WHERE l_discount > 0.05) AS BIGINT) AS disc_price_cents,
+           round(avg(l_quantity) FILTER (WHERE l_linestatus = 'F'), 6) AS avg_qty_f
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI ``FILTER (WHERE ...)`` aggregate modifier — the
+    standard-SQL spelling of conditional aggregation that
+    agg_boolean_conditional expresses with count_if/CASE: each
+    aggregate sees only its predicate's rows, all predicates evaluated
+    in ONE pass (no per-aggregate scans, no self-joins). Catalyst
+    desugars FILTER to the same if(pred, x, null) partial aggregates,
+    so the plan is identical to the CASE form — the oracle (DuckDB
+    FILTER, same syntax) pins the semantics including
+    empty-filter-set → NULL for sum/avg."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n_all,
+               count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 FILTER (WHERE l_discount > 0.05) AS disc_price_cents,
+               round(avg(l_quantity) FILTER (WHERE l_linestatus = 'F'), 6)
+                 AS avg_qty_f
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )

@@ -1309,3 +1309,83 @@ def fn_datetime_construct_battery(spark: SparkSession, sf_dir: str) -> DataFrame
             F.unix_seconds(F.col("o_orderdate").cast("timestamp"))
         ).alias("from_epoch"),
     )
+
+
+@query(
+    "fn_string_helpers_battery",
+    "§2.8 string helpers: split_part / substring_index / overlay / translate / repeat / left / right",
+    """
+    SELECT c_custkey,
+           split_part(c_name, '#', 2) AS cust_num,
+           array_to_string((string_split(c_name, '#'))[1:1], '#') AS before_hash,
+           substr(c_name, 1, 8) || 'XXXX'
+             || substr(c_name, 13) AS overlaid,
+           translate(c_name, '#0', '-O') AS translated,
+           repeat('ab', 3) AS repeated,
+           left(c_name, 8) AS l8,
+           right(c_name, 3) AS r3
+    FROM customer WHERE c_custkey % 5 = 0
+    """,
+)
+def fn_string_helpers_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The everyday string helpers the main battery skips:
+    ``split_part`` (1-based field extraction), ``substring_index``
+    (everything before the Nth delimiter — oracled via list slicing),
+    ``overlay`` (in-place replacement at a position — oracled as the
+    substr/concat identity it desugars to), ``translate`` (per-char
+    mapping), ``repeat``, ``left``/``right``. All map-side
+    expressions; each output is rebuilt independently in DuckDB so
+    the battery pins 1-based/negative-index conventions
+    cross-engine."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 5 == 0)
+    return c.select(
+        "c_custkey",
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("cust_num"),
+        F.substring_index(F.col("c_name"), "#", 1).alias("before_hash"),
+        F.overlay(F.col("c_name"), F.lit("XXXX"), F.lit(9)).alias("overlaid"),
+        F.translate(F.col("c_name"), "#0", "-O").alias("translated"),
+        F.repeat(F.lit("ab"), 3).alias("repeated"),
+        F.expr("left(c_name, 8)").alias("l8"),
+        F.expr("right(c_name, 3)").alias("r3"),
+    )
+
+
+@query(
+    "fn_generator_inline",
+    "§2.8 inline / inline_outer (array-of-struct row generator)",
+    """
+    SELECT o_orderkey, t.metric, t.v
+    FROM (
+      SELECT o_orderkey,
+             [{'metric': 'total_cents',
+               'v': CAST(round(o_totalprice * 100) AS BIGINT)},
+              {'metric': 'cust_key', 'v': CAST(o_custkey AS BIGINT)}]
+               AS arr
+      FROM orders WHERE o_orderkey % 15 = 0
+    ), LATERAL unnest(arr) AS u(t)
+    """,
+)
+def fn_generator_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``inline`` — the array-of-STRUCT generator (explode unpacks one
+    column per call; inline fans a struct array into its fields as
+    columns in one go), the idiomatic unnest for nested parquet at
+    scale because no intermediate struct column survives into the
+    shuffle. Built per-row from the row's own values so the DuckDB
+    oracle (LATERAL unnest of an equivalent struct list) reconstructs
+    the exact rows."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 15 == 0)
+    return o.select(
+        "o_orderkey",
+        F.inline(
+            F.array(
+                F.struct(
+                    F.lit("total_cents").alias("metric"),
+                    F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("v"),
+                ),
+                F.struct(
+                    F.lit("cust_key").alias("metric"),
+                    F.col("o_custkey").cast("long").alias("v"),
+                ),
+            )
+        ),
+    )

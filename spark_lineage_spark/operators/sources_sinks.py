@@ -910,3 +910,58 @@ def scan_modified_after(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@query(
+    "scan_ignore_corrupt_files",
+    "§2.1 ignoreCorruptFiles: scan survives a truncated parquet in the directory",
+    """
+    SELECT n_nationkey, n_name FROM nation
+    """,
+)
+def scan_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The parquet cousin of scan_csv_corrupt_records' PERMISSIVE
+    mode: a directory containing one TRUNCATED/garbage parquet file
+    (the half-written upload every long-lived landing zone eventually
+    grows) is readable with ``ignoreCorruptFiles`` — corrupt files are
+    skipped at scan time, healthy files are unaffected, and the job
+    does not die at 3 AM. Staged per-fixture: nation.parquet plus a
+    junk-bytes 'part-corrupt.parquet'; the oracle is the clean nation
+    table, so the value hash proves the good file survived intact and
+    the bad one contributed nothing."""
+    import hashlib
+
+    from spark_lineage_spark.tables import table_path
+
+    src_file = table_path(sf_dir, "nation")
+    st = os.stat(src_file)
+    key = hashlib.md5(
+        f"{src_file}:{st.st_size}:{st.st_mtime_ns}:corrupt".encode()
+    ).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"sls_corrupt_dir_{key}")
+    done = os.path.join(d, "_DONE")
+    if not os.path.exists(done):
+        import shutil as _shutil
+        import uuid as _uuid
+
+        tmp = f"{d}.{os.getpid()}.{_uuid.uuid4().hex[:6]}.tmp"
+        os.makedirs(tmp, exist_ok=True)
+        _shutil.copy(src_file, os.path.join(tmp, "part-good.parquet"))
+        with open(os.path.join(tmp, "part-corrupt.parquet"), "wb") as f:
+            f.write(b"PAR1 this is not a real parquet footer")
+        open(os.path.join(tmp, "_DONE"), "w").close()
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            _shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    # schema supplied explicitly: INFERENCE reads every footer and the
+    # corrupt one fails it even under ignoreCorruptFiles (the option
+    # governs the scan, not schema discovery)
+    schema = spark.read.parquet(src_file).schema
+    return (
+        spark.read.schema(schema)
+        .option("ignoreCorruptFiles", "true")
+        .option("pathGlobFilter", "part-*.parquet")
+        .parquet(d)
+        .select("n_nationkey", "n_name")
+    )

@@ -276,3 +276,38 @@ def win_range_interval_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_trailing_1h",
         "sum_micro_1h",
     )
+
+
+@query(
+    "sql_named_window_clause",
+    "§2.5 named WINDOW clause (one spec shared by many functions)",
+    """
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS rn,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT)
+             AS run_cents,
+           lag(o_orderkey) OVER w AS prev_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def sql_named_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL ``WINDOW w AS (...)`` clause: one named spec shared by
+    every OVER — the maintainable form of multi-function analytics
+    (changing the partition key is a one-line edit, and the planner
+    provably evaluates ONE Window operator because all functions share
+    the identical spec — no accidental second sort from a typo'd
+    inline spec). Semantics pinned against DuckDB's identical clause."""
+    from spark_lineage_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER w AS rn,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS run_cents,
+               lag(o_orderkey) OVER w AS prev_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """
+    )

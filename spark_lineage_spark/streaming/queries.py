@@ -1485,3 +1485,58 @@ def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(totals["n_rows"], totals["sum_micro"], totals["n_purchases"])],
         "n_rows long, sum_micro long, n_purchases long",
     )
+
+
+@query(
+    "stream_source_archive_cleanup",
+    "§2.1/§2.9 file-source cleanSource=archive (processed inputs moved aside)",
+    """
+    SELECT event_type, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_source_archive_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The file source's ``cleanSource=archive`` option: after a batch
+    COMMITS, its input files are moved to ``sourceArchiveDir`` — the
+    landing-zone hygiene loop (ingest → archive) that otherwise needs
+    an external janitor and risks racing the reader. Events arrive as
+    4 waves into a fresh per-run inbox; after the availableNow run the
+    aggregate must equal the batch GROUP BY (nothing lost or double-
+    read around the moves) and the property test
+    (tests/test_streaming.py::test_source_archive_moves_files) pins
+    the mechanics: inbox emptied, archive holds the 4 files.
+    NOTE archiving is asynchronous-ish (runs during following
+    micro-batches), so the final sentinel wave exists to give the
+    cleaner a batch in which to archive wave 3's file — at 100 TB this
+    is a continuous stream and the lag is invisible."""
+    from spark_lineage_spark.tables import _normalize_ts
+
+    split = _split_events_dir(sf_dir)
+    run_dir = tempfile.mkdtemp(prefix="sls_arch_")
+    inbox = os.path.join(run_dir, "inbox")
+    archive = os.path.join(run_dir, "archive")
+    os.makedirs(inbox)
+    for fn in sorted(os.listdir(split)):
+        if fn.endswith(".parquet"):
+            shutil.copy(os.path.join(split, fn), os.path.join(inbox, fn))
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    agg = (
+        _normalize_ts(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("cleanSource", "archive")
+            .option("sourceArchiveDir", archive)
+            .parquet(inbox)
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_memory(agg, mode="complete")
+    out = out.transform(lineage_checkpoint)
+    # leave run_dir for the property test to inspect via the most
+    # recent sls_arch_ dir; stale dirs are reaped on the next call
+    for stale in os.listdir(tempfile.gettempdir()):
+        p = os.path.join(tempfile.gettempdir(), stale)
+        if stale.startswith("sls_arch_") and p != run_dir:
+            shutil.rmtree(p, ignore_errors=True)
+    return out

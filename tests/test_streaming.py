@@ -618,3 +618,37 @@ def test_stream_left_outer_late_match_stays_unmatched(spark, tmp_path):
         .collect()
     }
     assert rows == {(1, None)}, rows
+
+
+def test_source_archive_moves_files(spark, sf_dir):
+    """cleanSource=archive must actually move committed input files to
+    the archive dir. Archiving lags by design (the cleaner runs during
+    subsequent batches), so the LAST file may legitimately still sit
+    in the inbox when the finite run terminates — require all-but-one
+    archived and nothing lost."""
+    import glob as g
+    import tempfile as tf
+
+    from spark_lineage_spark.streaming.queries import (
+        stream_source_archive_cleanup,
+    )
+
+    rows = {
+        r.event_type: r.n_events
+        for r in stream_source_archive_cleanup(spark, sf_dir).collect()
+    }
+    assert sum(rows.values()) > 0
+    run_dirs = sorted(
+        g.glob(os.path.join(tf.gettempdir(), "sls_arch_*")), key=os.path.getmtime
+    )
+    assert run_dirs, "run dir should be left for inspection"
+    run = run_dirs[-1]
+    inbox_left = [
+        f for f in g.glob(os.path.join(run, "inbox", "*.parquet"))
+    ]
+    archived = [
+        f
+        for f in g.glob(os.path.join(run, "archive", "**", "*.parquet"), recursive=True)
+    ]
+    assert len(archived) >= 3, (archived, inbox_left)
+    assert len(archived) + len(inbox_left) == 4, (archived, inbox_left)

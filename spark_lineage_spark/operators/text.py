@@ -2948,12 +2948,12 @@ def llm_chat_template_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted_b AS (
       SELECT source, n_tok,
              (row_number() OVER (PARTITION BY source
-                                 ORDER BY n_tok DESC, doc_id) - 1) // 32 AS b
+                                 ORDER BY n_tok DESC, doc_id) - 1) // 8 AS b
       FROM toks
     ),
     arrival_b AS (
       SELECT source, n_tok,
-             (row_number() OVER (PARTITION BY source ORDER BY h, doc_id) - 1) // 32
+             (row_number() OVER (PARTITION BY source ORDER BY h, doc_id) - 1) // 8
                AS b
       FROM toks
     ),
@@ -2977,12 +2977,14 @@ def llm_chat_template_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed batching — the padding-efficiency step before
     any fixed-shape training/inference run: sort documents by token
-    count within each source, cut into 32-doc batches, and pad each
+    count within each source, cut into 8-doc batches (sized so the
+    fixture sources span several batches), and pad each
     batch to its own max length. Compared against ARRIVAL-order
     batching (md5-hash order — a deterministic stand-in for random
     arrival), reporting the padded-token totals and the saved
     fraction: sorted batches put like-sized docs together so the
-    per-batch max is tight. Two windowed passes over one (doc, n_tok)
+    per-batch max is tight (savings > 0 whenever a source spans
+    multiple batches — asserted in tests/test_round8_ops.py). Two windowed passes over one (doc, n_tok)
     projection — one shuffle on source each; batch stats are a plain
     re-aggregation. The per-source savings number IS the business
     case for the sorter at 100 TB."""
@@ -2996,10 +2998,10 @@ def llm_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_sorted = Window.partitionBy("source").orderBy(F.desc("n_tok"), "doc_id")
     w_arrival = Window.partitionBy("source").orderBy("h", "doc_id")
     sorted_b = toks.withColumn(
-        "b", ((F.row_number().over(w_sorted) - 1) / 32).cast("long")
+        "b", ((F.row_number().over(w_sorted) - 1) / 8).cast("long")
     )
     arrival_b = toks.withColumn(
-        "b", ((F.row_number().over(w_arrival) - 1) / 32).cast("long")
+        "b", ((F.row_number().over(w_arrival) - 1) / 8).cast("long")
     )
     s = sorted_b.groupBy("source", "b").agg(
         (F.max("n_tok") * F.count(F.lit(1))).cast("long").alias("padded"),

@@ -2455,3 +2455,45 @@ def agg_percentile_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "subq_quantified_any_all",
+    "§2.3 quantified comparison subquery (> ALL / > ANY) via min-max decorrelation",
+    """
+    SELECT c.c_custkey,
+           c.c_acctbal > ALL (SELECT o.o_totalprice / 100 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey) AS gt_all,
+           c.c_acctbal > ANY (SELECT o.o_totalprice / 100 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey) AS gt_any
+    FROM customer c
+    """,
+)
+def subq_quantified_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI quantified comparison subqueries (`x > ALL (S)`,
+    `x > ANY (S)`): Spark 4's parser does not accept the syntax
+    (probed: PARSE_SYNTAX_ERROR), so this is the classic decorrelated
+    rewrite every engine performs internally — `> ALL` ⇔ `x > max(S)`
+    (vacuously TRUE on empty S), `> ANY` ⇔ `x > min(S)` (FALSE on
+    empty S) — legal here because the subquery column is non-null.
+    One aggregation of orders per custkey plus ONE left join replaces
+    a per-row correlated scan; at 100 TB the agg is map-side partial
+    on the join key and the join shuffles each side once. The DuckDB
+    oracle runs the native quantified form, so this row is literal
+    cross-engine parity for the ALL/ANY semantics including the
+    empty-set edge (customers with no orders)."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    bounds = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_totalprice") / 100).alias("mx"),
+            F.min(F.col("o_totalprice") / 100).alias("mn"),
+        )
+    )
+    j = cust.join(bounds, cust.c_custkey == bounds.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        (F.col("mx").isNull() | (F.col("c_acctbal") > F.col("mx"))).alias("gt_all"),
+        F.coalesce(F.col("c_acctbal") > F.col("mn"), F.lit(False)).alias("gt_any"),
+    )

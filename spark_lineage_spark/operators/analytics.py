@@ -2101,3 +2101,73 @@ def hist_zorder_range_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+# Shared SQL for stats_ols_two_feature: the SAME text runs in Spark and
+# DuckDB, so the closed-form double arithmetic is a bit-identical
+# expression tree over bit-identical exact-decimal moments.
+_OLS_TWO_FEATURE_SQL = """
+    WITH base AS (
+      SELECT l_returnflag,
+             CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ), m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE) AS dq,
+             CAST(SUM(CAST(d AS DECIMAL(38,0))) AS DOUBLE) AS dd,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS dy,
+             CAST(SUM(CAST(q * q AS DECIMAL(38,0))) AS DOUBLE) AS dqq,
+             CAST(SUM(CAST(d * d AS DECIMAL(38,0))) AS DOUBLE) AS ddd_,
+             CAST(SUM(CAST(q * d AS DECIMAL(38,0))) AS DOUBLE) AS dqd,
+             CAST(SUM(CAST(q * y AS DECIMAL(38,0))) AS DOUBLE) AS dqy,
+             CAST(SUM(CAST(d * y AS DECIMAL(38,0))) AS DOUBLE) AS ddy,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS dyy
+      FROM base GROUP BY l_returnflag
+    ), dets AS (
+      SELECT l_returnflag, n, dy, dqy, ddy, dyy, CAST(n AS DOUBLE) AS dn,
+             CAST(n AS DOUBLE)*(dqq*ddd_ - dqd*dqd) - dq*(dq*ddd_ - dqd*dd)
+               + dd*(dq*dqd - dqq*dd) AS det,
+             dy*(dqq*ddd_ - dqd*dqd) - dq*(dqy*ddd_ - dqd*ddy)
+               + dd*(dqy*dqd - dqq*ddy) AS det0,
+             CAST(n AS DOUBLE)*(dqy*ddd_ - dqd*ddy) - dy*(dq*ddd_ - dqd*dd)
+               + dd*(dq*ddy - dqy*dd) AS det1,
+             CAST(n AS DOUBLE)*(dqq*ddy - dqy*dqd) - dq*(dq*ddy - dqy*dd)
+               + dy*(dq*dqd - dqq*dd) AS det2
+      FROM m
+    ), beta AS (
+      SELECT l_returnflag, n, dy, dqy, ddy, dyy, dn,
+             det0/det AS b0, det1/det AS b1, det2/det AS b2
+      FROM dets
+    )
+    SELECT l_returnflag, n,
+           round(b0, 4) AS beta0_cents,
+           round(b1, 6) AS beta1,
+           round(b2, 6) AS beta2,
+           round(1 - (dyy - (b0*dy + b1*dqy + b2*ddy)) / (dyy - dy*dy/dn), 6) AS r2
+    FROM beta
+"""
+
+
+@query(
+    "stats_ols_two_feature",
+    "§2.14 two-feature OLS fit via exact normal equations (closed-form Cramer solve)",
+    _OLS_TWO_FEATURE_SQL,
+)
+def stats_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression beyond regr_slope's single feature:
+    fit extendedprice ~ quantity + discount per returnflag by the
+    normal equations, solved closed-form with Cramer's rule on the
+    3x3 moment matrix. The nine moments (n, Σx, Σx², Σxy, …) are
+    EXACT — inputs to integer cents via the half-up floor(x*100+0.5)
+    idiom, products summed as DECIMAL(38,0) so partition order can't
+    flip a bit — and the β/R² finish is a fixed double expression on
+    them, run from the SAME SQL text in Spark and the DuckDB oracle.
+    At 100 TB this is one map-side-partial hash agg (3 groups) plus a
+    scalar finish: the moment matrix is mergeable state, the solve is
+    O(1) — the distributed-OLS pattern that needs no second data pass
+    (vs gradient descent's many)."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_OLS_TWO_FEATURE_SQL)

@@ -1389,3 +1389,47 @@ def fn_generator_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
+
+
+@query(
+    "fn_xpath_battery",
+    "§2.8 XPath extraction over XML strings (xpath_string/long/boolean, node-set size)",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) AS id_attr,
+           o_orderpriority AS prio,
+           CAST(floor(o_totalprice) AS BIGINT) AS total_floor,
+           CAST(o_orderkey % 4 AS INTEGER) AS n_lines,
+           (o_orderkey % 4) > 0 AS has_lines
+    FROM orders WHERE o_orderkey % 11 = 0
+    """,
+)
+def fn_xpath_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's Hive-inherited XPath family over XML payloads built
+    row-side: xpath_string (element text + @attribute access),
+    xpath_long (numeric leaf), xpath_boolean (node existence), and
+    xpath() returning the node-set as an array (counted with size).
+    The XML is constructed from order columns, so the DuckDB oracle
+    recomputes every expected value directly from the SAME columns —
+    an independent oracle in the fn_url_battery style (DuckDB has no
+    XPath). All five extractions run JVM-side inside one projection
+    over a pruned 3-column scan; at 100 TB this is the map-only
+    'parse the XML event payload' shape with zero shuffles."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    xml = F.concat(
+        F.lit('<order id="'), F.col("o_orderkey").cast("string"),
+        F.lit('"><prio>'), F.col("o_orderpriority"),
+        F.lit("</prio><lines>"),
+        F.expr("repeat('<l/>', CAST(o_orderkey % 4 AS INT))"),
+        F.lit("</lines><total>"),
+        F.floor("o_totalprice").cast("bigint").cast("string"),
+        F.lit("</total></order>"),
+    )
+    return o.select("o_orderkey", xml.alias("xml")).select(
+        "o_orderkey",
+        F.expr("xpath_string(xml, 'order/@id')").alias("id_attr"),
+        F.expr("xpath_string(xml, 'order/prio')").alias("prio"),
+        F.expr("xpath_long(xml, 'order/total')").alias("total_floor"),
+        F.expr("size(xpath(xml, 'order/lines/l'))").alias("n_lines"),
+        F.expr("xpath_boolean(xml, 'order/lines/l')").alias("has_lines"),
+    )

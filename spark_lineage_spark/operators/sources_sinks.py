@@ -965,3 +965,46 @@ def scan_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(d)
         .select("n_nationkey", "n_name")
     )
+
+
+@query(
+    "scan_nested_schema_pruning",
+    "§2.1 nested-struct schema pruning (parquet reads one subfield of a struct column)",
+    """
+    SELECT o_orderpriority AS prio, count(*) AS n,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def scan_nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested schema pruning: orders re-laid-out with two struct
+    columns (info{prio,total}, meta{status,odate}), then a query that
+    touches ONLY info.prio. Parquet stores each struct leaf as its own
+    column chunk, and Catalyst's nested-column pruning
+    (spark.sql.optimizer.nestedSchemaPruning.enabled, default on)
+    narrows ReadSchema to struct<info:struct<prio>> — the other three
+    leaves are never decoded. At 100 TB wide event envelopes (the
+    props-blob shape) live or die on this: without pruning a 2-field
+    probe drags the whole struct through IO. tests/test_round8_ops.py
+    asserts the pruned ReadSchema in the physical plan; the DuckDB
+    oracle recomputes from the flat table, proving the nested
+    round-trip lost nothing."""
+    out = _tmp("orders_nested")
+    o = load(spark, sf_dir, "orders")
+    nested = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_totalprice").alias("total"),
+        ).alias("info"),
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderdate").alias("odate"),
+        ).alias("meta"),
+    )
+    nested.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("info.prio").alias("prio")).agg(
+        F.count("*").alias("n"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+    )

@@ -475,3 +475,72 @@ def udf_pandas_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gross_cents"),
     )
+
+
+@query(
+    "udtf_table_argument",
+    "§2.10 Python UDTF over a TABLE(...) argument (PARTITION BY / ORDER BY routing)",
+    """
+    SELECT o_orderstatus AS status,
+           count(*) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(min(o_orderkey) AS BIGINT) AS first_key,
+           CAST(max(o_orderkey) AS BIGINT) AS last_key
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's table-argument UDTF contract: the function consumes
+    `TABLE(subquery) PARTITION BY k ORDER BY o`, and the engine
+    guarantees every row of one partition-key group reaches ONE UDTF
+    instance, in order — eval() accumulates, terminate() emits the
+    per-group summary. That routing (a shuffle on the PARTITION BY
+    key + in-group sort) is exactly a groupBy-agg's exchange, so the
+    DuckDB oracle is the plain GROUP BY; first/last keys prove the
+    ORDER BY reached the worker. The running total stays in a Python
+    int (arbitrary precision — no overflow at any SF). This is the
+    API for custom per-group logic that needs ordered iteration
+    (sessionizers, sequence models) when built-in aggregates and
+    applyInPandas's whole-group materialization both fall short: rows
+    stream through eval() one at a time, O(1) state per group."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "status string, n bigint, total_cents bigint, first_key bigint, last_key bigint"
+    ))
+    class GroupSummary:
+        def __init__(self):
+            self.status = None
+            self.n = 0
+            self.total = 0
+            self.first_key = None
+            self.last_key = None
+
+        def eval(self, row):
+            self.status = row["o_orderstatus"]
+            self.n += 1
+            self.total += row["cents"]
+            if self.first_key is None:
+                self.first_key = row["o_orderkey"]
+            self.last_key = row["o_orderkey"]
+
+        def terminate(self):
+            if self.n:
+                yield (self.status, self.n, self.total, self.first_key, self.last_key)
+
+    spark.udtf.register("sls_group_summary", GroupSummary)
+    from spark_lineage_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT status, n, total_cents, first_key, last_key
+        FROM sls_group_summary(
+          TABLE(SELECT o_orderstatus, o_orderkey,
+                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+                FROM orders)
+          PARTITION BY o_orderstatus ORDER BY o_orderkey
+        )
+        """
+    )

@@ -1540,3 +1540,72 @@ def stream_source_archive_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame
         if stale.startswith("sls_arch_") and p != run_dir:
             shutil.rmtree(p, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_foreach_writer",
+    "§2.9 foreach sink (per-row ForeachWriter: open/process/close lifecycle)",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_foreach_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The row-level half of custom streaming sinks: writeStream
+    .foreach(writer) ships a writer object to executors, and Spark
+    drives the open(partition, epoch) → process(row)* → close(err)
+    lifecycle per task. Unlike foreachBatch (whole-DataFrame batch
+    hook), foreach sees ROWS — the shape for per-row pushes to KV
+    stores/queues. Exactly-once is the WRITER's job: open() names its
+    output by (partition, epoch), so any task retry overwrites rather
+    than duplicates — the idempotence contract the docs require.
+    Here each task appends JSON lines to a (partition, epoch)-keyed
+    file; the batch re-read aggregates them, so row routing across
+    partitions can't affect the result. Values go through the exact
+    integer-cents idiom before the writer so the re-read needs no
+    float parsing tolerance."""
+    import json as _json
+
+    out = tempfile.mkdtemp(prefix="sls_fw_")
+
+    class RowWriter:
+        def open(self, partition_id: int, epoch_id: int) -> bool:
+            self._fh = open(
+                os.path.join(out, f"p{partition_id:05d}_e{epoch_id}.jsonl"), "w"
+            )
+            return True
+
+        def process(self, row) -> None:
+            self._fh.write(
+                _json.dumps({"event_type": row.event_type, "cents": row.cents}) + "\n"
+            )
+
+        def close(self, error) -> None:
+            self._fh.close()
+            if error is not None:
+                raise error
+
+    ev = events_stream(spark, sf_dir).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="sls_ckpt_"), "ckpt")
+    q = (
+        ev.writeStream.foreach(RowWriter())
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(os.path.dirname(ckpt), ignore_errors=True)
+    back = spark.read.schema("event_type string, cents bigint").json(
+        os.path.join(out, "*.jsonl")
+    )
+    result = (
+        back.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("cents").cast("bigint").alias("total_cents"))
+        .transform(lineage_checkpoint)
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    return result

@@ -97,3 +97,89 @@ def test_theil_sen_robust_to_outlier_day(spark, tmp_path):
     (r,) = stats_theil_sen(spark, path).collect()
     # revenue is in micro-units: true slope = 2.0/day => 2e6 micro/day
     assert abs(r.ts_slope - 2_000_000) < 200_000, r
+
+
+def test_nested_schema_pruning_plan(spark):
+    """The headline claim of scan_nested_schema_pruning: the parquet
+    ReadSchema must be narrowed to the single struct leaf info.prio —
+    neither sibling leaf (info.total) nor the other struct (meta) may
+    survive into the scan."""
+    from spark_lineage_spark.operators.sources_sinks import scan_nested_schema_pruning
+
+    df = scan_nested_schema_pruning(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^\n]*)", plan)
+    assert m, plan
+    schema = m.group(1)
+    assert "prio" in schema, schema
+    assert "total" not in schema, schema
+    assert "meta" not in schema, schema
+    assert df.count() == 5
+
+
+def test_ols_two_feature_matches_numpy(spark):
+    """Cramer-on-exact-moments must agree with numpy's lstsq on the
+    same design matrix to ~1e-6 relative."""
+    import numpy as np
+
+    from spark_lineage_spark.operators.analytics import stats_ols_two_feature
+
+    rows = {r.l_returnflag: r for r in stats_ols_two_feature(spark, SF).collect()}
+    import duckdb
+
+    raw = duckdb.sql(
+        f"""
+        SELECT l_returnflag,
+               CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS q,
+               CAST(floor(l_discount*100 + 0.5) AS BIGINT) AS d,
+               CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS y
+        FROM '{SF}/lineitem.parquet'
+        """
+    ).df()
+    for flag, grp in raw.groupby("l_returnflag"):
+        X = np.column_stack(
+            [np.ones(len(grp)), grp["q"].to_numpy(float), grp["d"].to_numpy(float)]
+        )
+        beta = np.linalg.lstsq(X, grp["y"].to_numpy(float), rcond=None)[0]
+        got = rows[flag]
+        assert abs(got.beta0_cents - beta[0]) <= 1e-4 * max(1.0, abs(beta[0])), (flag, got, beta)
+        assert abs(got.beta1 - beta[1]) <= 1e-5 * max(1.0, abs(beta[1]))
+        assert abs(got.beta2 - beta[2]) <= 1e-5 * max(1.0, abs(beta[2]))
+        assert 0.0 <= got.r2 <= 1.0
+
+
+def test_quantified_all_vacuous_on_empty_set(spark, tmp_path):
+    """ANSI quantified semantics at the empty-set edge: a customer with
+    no orders satisfies `> ALL` vacuously and never satisfies `> ANY`.
+    Every fixture customer has orders, so the edge is exercised on a
+    synthesized micro-fixture with an orderless customer; the real
+    fixture then checks the non-vacuous side."""
+    import duckdb
+    import pandas as pd
+
+    from spark_lineage_spark.operators.advanced_sql import subq_quantified_any_all
+
+    # micro-fixture: customer 3 has no orders; customer 1 beats all its
+    # orders' totalprice/20; customer 2 beats only some of them
+    pd.DataFrame(
+        {"c_custkey": [1, 2, 3], "c_acctbal": [100.0, 5.0, -1.0],
+         "c_name": ["a", "b", "c"], "c_nationkey": [0, 0, 0],
+         "c_mktsegment": ["X", "X", "X"]}
+    ).to_parquet(tmp_path / "customer.parquet")
+    pd.DataFrame(
+        {"o_orderkey": [10, 11, 20, 21], "o_custkey": [1, 1, 2, 2],
+         "o_orderstatus": ["O"] * 4, "o_totalprice": [40.0, 60.0, 40.0, 2000.0],
+         "o_orderdate": pd.to_datetime(["2024-01-01"] * 4),
+         "o_orderpriority": ["1-URGENT"] * 4}
+    ).to_parquet(tmp_path / "orders.parquet")
+    got = {r.c_custkey: r for r in subq_quantified_any_all(spark, str(tmp_path)).collect()}
+    assert got[3].gt_all is True and got[3].gt_any is False  # vacuous ALL, empty ANY
+    assert got[1].gt_all is True and got[1].gt_any is True
+    assert got[2].gt_all is False and got[2].gt_any is True
+
+    # real fixture: everyone has orders, so gt_all must be non-vacuous
+    rows = subq_quantified_any_all(spark, SF).collect()
+    n_all = sum(r.gt_all for r in rows)
+    assert 0 < n_all < len(rows), n_all

@@ -2497,3 +2497,44 @@ def subq_quantified_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("mx").isNull() | (F.col("c_acctbal") > F.col("mx"))).alias("gt_all"),
         F.coalesce(F.col("c_acctbal") > F.col("mn"), F.lit(False)).alias("gt_any"),
     )
+
+
+@query(
+    "sql_rebalance_hints",
+    "§2.3/§4 partitioning hints (REBALANCE / REPARTITION(n,col) / COALESCE) as SQL hints",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_rebalance_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL spelling of the layout-control verbs: REBALANCE(cols)
+    (AQE-assisted even-sized output partitions keyed by cols — the
+    small-files killer before a write), REPARTITION(n, col) (exact
+    hash layout, the pre-shuffle co-location move), COALESCE(n)
+    (shuffle-free partition narrowing on the tiny aggregate). Hints
+    change ONLY the physical exchange structure, so the oracle is the
+    plain aggregate — result invariance under relayout is the point —
+    and tests/test_round8_ops.py asserts the rebalance + coalesce
+    exchanges actually appear in the physical plan. At 100 TB these
+    three verbs, as hints, are how SQL-only pipelines fix skewed
+    writes and small-file explosions without touching engine code."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        WITH src AS (
+          SELECT /*+ REBALANCE(l_returnflag) */
+                 l_returnflag, l_linestatus, l_extendedprice FROM lineitem
+        ), rep AS (
+          SELECT /*+ REPARTITION(8, l_returnflag) */ * FROM src
+        ), agg AS (
+          SELECT l_returnflag, l_linestatus, count(*) AS n,
+                 CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS revenue_cents
+          FROM rep GROUP BY l_returnflag, l_linestatus
+        )
+        SELECT /*+ COALESCE(1) */ * FROM agg
+        """
+    )

@@ -1231,3 +1231,69 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "agg_kmv_union",
+    "§2.4 KMV sketch UNION (mergeable distinct sketches combined across relations)",
+    """
+    WITH ev AS (
+      SELECT DISTINCT event_type,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events WHERE event_type IN ('click', 'view')
+    ), ska AS (
+      SELECT h FROM ev WHERE event_type = 'click' ORDER BY h LIMIT 256
+    ), skb AS (
+      SELECT h FROM ev WHERE event_type = 'view' ORDER BY h LIMIT 256
+    ), merged AS (
+      SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL SELECT h FROM skb)
+      ORDER BY h LIMIT 256
+    ), kth AS (
+      SELECT max(h) AS hk, count(*) AS k FROM merged
+    )
+    SELECT k AS k_used, hk AS kth_hash,
+           round((k - 1) / (CAST(hk AS DOUBLE) / 1152921504606846976), 2)
+             AS est_union_distinct,
+           (SELECT count(DISTINCT user_id) FROM events
+             WHERE event_type IN ('click', 'view')) AS true_union_distinct
+    FROM kth
+    """,
+)
+def agg_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes sketches the 100 TB distinct-count
+    answer: MERGEABILITY. Two KMV sketches (k=256 min md5 hashes of
+    click users and of view users, built independently — e.g. one per
+    day, per table, per partition) combine by unioning the hash sets
+    and re-taking the k smallest; the result is EXACTLY the sketch of
+    the union stream, so |clicks ∪ views| is estimated without ever
+    rescanning either input. Every intermediate is an integer (60-bit
+    hash space, (k-1)/f_k estimator), so the DuckDB oracle matches
+    bit-for-bit — sketch-vs-sketch parity, with the true union
+    distinct riding along to read off the error. The merge itself
+    moves 2k longs: at scale the pattern is per-partition/per-day
+    sketch tables UNION ALL'd and re-min-k'd, never a re-count."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select("event_type", "user_id")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 15), 16, 10
+    ).cast("bigint")
+    hashed = ev.select("event_type", h.alias("h")).distinct()
+    ska = hashed.filter(F.col("event_type") == "click").select("h").orderBy("h").limit(256)
+    skb = hashed.filter(F.col("event_type") == "view").select("h").orderBy("h").limit(256)
+    merged = ska.unionAll(skb).distinct().orderBy("h").limit(256)
+    kth = merged.agg(F.max("h").alias("hk"), F.count("*").alias("k"))
+    true_u = ev.agg(F.countDistinct("user_id").alias("true_union_distinct"))
+    return kth.crossJoin(F.broadcast(true_u)).select(
+        F.col("k").alias("k_used"),
+        F.col("hk").alias("kth_hash"),
+        F.round(
+            (F.col("k") - F.lit(1))
+            / (F.col("hk").cast("double") / F.lit(1152921504606846976)),
+            2,
+        ).alias("est_union_distinct"),
+        "true_union_distinct",
+    )

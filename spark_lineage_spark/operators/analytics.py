@@ -2171,3 +2171,122 @@ def stats_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vs gradient descent's many)."""
     register_views(spark, sf_dir, ["lineitem"])
     return spark.sql(_OLS_TWO_FEATURE_SQL)
+
+
+@query(
+    "stats_bootstrap_ci",
+    "§2.14 Poisson-bootstrap confidence interval (deterministic hash resampling)",
+    """
+    WITH p AS (
+      SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE event_type = 'purchase'
+    ), bs AS (
+      SELECT unnest(generate_series(1, 32)) AS b
+    ), draws AS (
+      SELECT bs.b, p.v,
+             CASE
+               WHEN CAST(CAST(concat('0x', substr(md5(concat(CAST(p.event_id AS VARCHAR),
+                      '_', CAST(bs.b AS VARCHAR))), 1, 15)) AS BIGINT) AS DOUBLE)
+                    / 1152921504606846976 < 0.36787944117144233 THEN 0
+               WHEN CAST(CAST(concat('0x', substr(md5(concat(CAST(p.event_id AS VARCHAR),
+                      '_', CAST(bs.b AS VARCHAR))), 1, 15)) AS BIGINT) AS DOUBLE)
+                    / 1152921504606846976 < 0.7357588823428847 THEN 1
+               WHEN CAST(CAST(concat('0x', substr(md5(concat(CAST(p.event_id AS VARCHAR),
+                      '_', CAST(bs.b AS VARCHAR))), 1, 15)) AS BIGINT) AS DOUBLE)
+                    / 1152921504606846976 < 0.9196986029286058 THEN 2
+               WHEN CAST(CAST(concat('0x', substr(md5(concat(CAST(p.event_id AS VARCHAR),
+                      '_', CAST(bs.b AS VARCHAR))), 1, 15)) AS BIGINT) AS DOUBLE)
+                    / 1152921504606846976 < 0.9810118431238462 THEN 3
+               WHEN CAST(CAST(concat('0x', substr(md5(concat(CAST(p.event_id AS VARCHAR),
+                      '_', CAST(bs.b AS VARCHAR))), 1, 15)) AS BIGINT) AS DOUBLE)
+                    / 1152921504606846976 < 0.9963401531726563 THEN 4
+               ELSE 5
+             END AS w
+      FROM p CROSS JOIN bs
+    ), means AS (
+      SELECT b, CAST(sum(w * v) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS mean_b
+      FROM draws GROUP BY b
+    ), ranked AS (
+      SELECT mean_b, row_number() OVER (ORDER BY mean_b, b) AS r FROM means
+    )
+    SELECT (SELECT count(*) FROM p) AS n_rows,
+           32 AS n_resamples,
+           (SELECT round(CAST(sum(v) AS DOUBLE) / count(*) / 100, 4) FROM p)
+             AS mean_value,
+           (SELECT round(mean_b / 100, 4) FROM ranked WHERE r = 2) AS ci_lo,
+           (SELECT round(mean_b / 100, 4) FROM ranked WHERE r = 31) AS ci_hi
+    """,
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap CI for the mean purchase value, made distributed AND
+    replay-exact by the Poisson bootstrap: instead of materializing B
+    resampled copies, each (row, replicate) pair draws a Poisson(1)
+    multiplicity — here by inverse-CDF over a deterministic md5
+    uniform of (event_id, b), the same reshuffle-proof RNG-free idiom
+    as llm_rejection_sampling — so one pass computes all 32 replicate
+    means as a single grouped aggregate of exact integer sums. The
+    interval is the 2nd/31st ranked replicate mean (the ~94%
+    percentile-bootstrap bracket 2/32..31/32); ranked SELECTION, not a
+    moment, so no cross-engine float accumulation can move it. The
+    DuckDB oracle mirrors the arithmetic expression-for-expression.
+    At 100 TB: the fan-out is a flat map (32× rows) into a 32-group
+    map-side-partial agg — no resample ever exists on disk, and
+    adding replicates scales linearly with B, not with data passes."""
+    register_views(spark, sf_dir, ["events"])
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"), F.lit("_"), F.col("b").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .cast("double")
+        / F.lit(1152921504606846976)
+    )
+    w = (
+        F.when(u < 0.36787944117144233, 0)
+        .when(u < 0.7357588823428847, 1)
+        .when(u < 0.9196986029286058, 2)
+        .when(u < 0.9810118431238462, 3)
+        .when(u < 0.9963401531726563, 4)
+        .otherwise(5)
+    )
+    p = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("v"))
+    )
+    bs = spark.range(1, 33).select(F.col("id").cast("int").alias("b"))
+    draws = p.crossJoin(F.broadcast(bs)).select("b", "v", w.alias("w"))
+    means = draws.groupBy("b").agg(
+        (
+            F.sum(F.col("w") * F.col("v")).cast("double")
+            / F.sum("w").cast("double")
+        ).alias("mean_b")
+    )
+    from pyspark.sql import Window
+
+    ranked = means.select(
+        "mean_b",
+        F.row_number().over(Window.orderBy("mean_b", "b")).alias("r"),
+    )
+    stats = p.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("v").cast("double") / F.count("*") / 100, 4).alias("mean_value"),
+    )
+    lo = ranked.filter(F.col("r") == 2).select(F.round(F.col("mean_b") / 100, 4).alias("ci_lo"))
+    hi = ranked.filter(F.col("r") == 31).select(F.round(F.col("mean_b") / 100, 4).alias("ci_hi"))
+    return (
+        stats.withColumn("n_resamples", F.lit(32))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select("n_rows", "n_resamples", "mean_value", "ci_lo", "ci_hi")
+    )

@@ -1008,3 +1008,48 @@ def scan_nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.min("o_orderkey").cast("bigint").alias("min_key"),
     )
+
+
+@query(
+    "scan_file_metadata_column",
+    "§2.1 hidden _metadata column (file provenance + row_index) on file scans",
+    """
+    SELECT CAST(event_id % 7 AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(min(event_id) AS BIGINT) AS first_row,
+           CAST(max(event_id) AS BIGINT) AS last_row,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           CAST(1 AS BIGINT) AS n_files
+    FROM events GROUP BY 1
+    """,
+)
+def scan_file_metadata_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `_metadata` hidden struct every file source carries
+    (Spark 3.5+/4): file_name, file_size, file_modification_time, and
+    row_index — the row's physical position within its file. It
+    materializes ONLY when referenced (zero cost otherwise) and is the
+    provenance primitive behind row-level lineage, sampling by file
+    position, and incremental-load bookkeeping without an id column.
+    The events fixture is written in event_id order (verified with
+    DuckDB file_row_number at every SF), so the oracle states the
+    strong claim on the plain view: every row_index-derived aggregate
+    must collapse to the event_id-based one — which holds ONLY if
+    Spark's physical positions agree with the file order DuckDB sees.
+    file_name rides along to count files (1 here; a partitioned
+    layout would show many)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.col("_metadata.row_index").alias("file_row_number"),
+            F.col("_metadata.file_name").alias("fname"),
+        )
+        .groupBy((F.col("file_row_number") % 7).cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("file_row_number").cast("bigint").alias("first_row"),
+            F.max("file_row_number").cast("bigint").alias("last_row"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+            F.countDistinct("fname").alias("n_files"),
+        )
+    )

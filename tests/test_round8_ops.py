@@ -183,3 +183,55 @@ def test_quantified_all_vacuous_on_empty_set(spark, tmp_path):
     rows = subq_quantified_any_all(spark, SF).collect()
     n_all = sum(r.gt_all for r in rows)
     assert 0 < n_all < len(rows), n_all
+
+
+def test_kmv_union_equals_direct_sketch(spark):
+    """Mergeability, the headline claim: the min-k of the two merged
+    per-type sketches must be EXACTLY the sketch built in one pass
+    over the union stream — same k-th hash, same estimate."""
+    import duckdb
+
+    from spark_lineage_spark.operators.aggregates import agg_kmv_union
+
+    got = agg_kmv_union(spark, SF).collect()[0]
+    direct = duckdb.sql(
+        f"""
+        WITH hashed AS (
+          SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                               AS BIGINT) AS h
+          FROM '{SF}/events.parquet' WHERE event_type IN ('click', 'view')
+        ), mink AS (SELECT h FROM hashed ORDER BY h LIMIT 256)
+        SELECT max(h) AS hk, count(*) AS k FROM mink
+        """
+    ).fetchone()
+    assert got.kth_hash == direct[0]
+    assert got.k_used == direct[1]
+
+
+def test_rebalance_hints_in_plan(spark):
+    """The three layout hints must survive into the physical plan:
+    a REBALANCE_PARTITIONS_BY_COL exchange, a REPARTITION_BY_NUM hash
+    exchange, and a COALESCE on the output."""
+    from spark_lineage_spark.operators.advanced_sql import sql_rebalance_hints
+
+    df = sql_rebalance_hints(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "REBALANCE_PARTITIONS_BY_COL" in plan, plan
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert "Coalesce" in plan or "COALESCE" in plan, plan
+    assert df.count() == 6
+    assert df.rdd.getNumPartitions() == 1  # COALESCE(1) took effect
+
+
+def test_bootstrap_ci_brackets_mean(spark):
+    """Percentile-bootstrap sanity: a proper interval (lo < hi) that
+    brackets the point estimate, and the Poisson(1) thresholds put
+    roughly e^-1 of the draws at multiplicity 0."""
+    from spark_lineage_spark.operators.analytics import stats_bootstrap_ci
+
+    r = stats_bootstrap_ci(spark, SF).collect()[0]
+    assert r.n_resamples == 32
+    assert r.ci_lo < r.ci_hi
+    assert r.ci_lo <= r.mean_value <= r.ci_hi, r
+    # width should be a small fraction of the mean at n≈hundreds
+    assert (r.ci_hi - r.ci_lo) < abs(r.mean_value), r

@@ -1423,3 +1423,112 @@ def llm_dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(lineage_checkpoint)
     )
     return _verify_exact_jaccard(sh, candidates, JACCARD_THRESHOLD)
+
+
+@query(
+    "llm_dedup_bloom_prefilter",
+    "§2.11 Bloom-prefiltered incremental exact dedup (bitmap built in-plan, broadcast probe)",
+    """
+    WITH corpus AS (
+      SELECT md5(text) AS h FROM documents WHERE doc_id % 10 != 0
+    ), batch AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0
+    ), cpos AS (
+      SELECT DISTINCT pos FROM (
+        SELECT CAST(concat('0x', substr(h, 1, 15)) AS BIGINT) % 65536 AS pos FROM corpus
+        UNION ALL
+        SELECT CAST(concat('0x', substr(h, 16, 15)) AS BIGINT) % 65536 AS pos FROM corpus
+      )
+    ), words AS (
+      SELECT pos // 63 AS bucket,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS word
+      FROM cpos GROUP BY 1
+    ), probed AS (
+      SELECT b.doc_id, b.h,
+             CAST(concat('0x', substr(b.h, 1, 15)) AS BIGINT) % 65536 AS p1,
+             CAST(concat('0x', substr(b.h, 16, 15)) AS BIGINT) % 65536 AS p2
+      FROM batch b
+    ), flagged AS (
+      SELECT doc_id, h,
+             COALESCE((SELECT (w.word >> CAST(p1 % 63 AS INT)) & 1
+                       FROM words w WHERE w.bucket = p1 // 63), 0) = 1
+             AND
+             COALESCE((SELECT (w.word >> CAST(p2 % 63 AS INT)) & 1
+                       FROM words w WHERE w.bucket = p2 // 63), 0) = 1 AS bloom_hit,
+             EXISTS (SELECT 1 FROM corpus c WHERE c.h = probed.h) AS confirmed
+      FROM probed
+    )
+    SELECT count(*) AS n_batch,
+           CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS bloom_hits,
+           CAST(sum(CASE WHEN confirmed THEN 1 ELSE 0 END) AS BIGINT) AS confirmed_dups,
+           CAST(sum(CASE WHEN bloom_hit AND NOT confirmed THEN 1 ELSE 0 END) AS BIGINT)
+             AS false_positives,
+           (SELECT CAST(sum(bit_count(word)) AS BIGINT) FROM words) AS bits_set
+    FROM flagged
+    """,
+)
+def llm_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production accelerator in front of llm_dedup_incremental's
+    exact-hash path: a REAL Bloom bitmap (m=65536 bits in 63-bit words (1041 longs; 63 not 64 keeps the max shift at 62, inside BOTH engines' checked signed-shift range),
+    j=2 hash functions from disjoint md5 halves) built IN-PLAN from
+    the corpus content hashes — explode to bit positions, map-side
+    bit_or partials per 64-bit word — then BROADCAST so every new-
+    batch row tests membership with two word lookups and bit masks,
+    no corpus-side shuffle at all. Only bloom-positive rows reach the
+    exact confirm join (bloom guarantees no false negatives; the
+    false_positives column measures the price of the 8 KiB bitmap).
+    At 100 TB the corpus never re-shuffles for a daily batch: the
+    bitmap is a tiny mergeable aggregate (bit_or is associative —
+    per-partition words OR together), exactly how Spark's own runtime
+    bloom pruning works, here made explicit and cross-engine checked
+    bit-for-bit against DuckDB's replica of the same bitmap."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("h"))
+    corpus = docs.filter(F.col("doc_id") % 10 != 0).select("h")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    pos1 = F.conv(F.substring("h", 1, 15), 16, 10).cast("bigint") % 65536
+    pos2 = F.conv(F.substring("h", 16, 15), 16, 10).cast("bigint") % 65536
+    words = (
+        corpus.select(F.explode(F.array(pos1.alias("p"), pos2.alias("p"))).alias("pos"))
+        .distinct()
+        .groupBy(F.expr("pos div 63").alias("bucket"))
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT)))").alias("word"))
+        .transform(lineage_checkpoint)  # read twice (probe join + bits_set)
+    )
+    probed = batch.select("doc_id", "h", pos1.alias("p1"), pos2.alias("p2"))
+    w1 = words.select(F.col("bucket").alias("b1"), F.col("word").alias("word1"))
+    w2 = words.select(F.col("bucket").alias("b2"), F.col("word").alias("word2"))
+    corpus_dedup = corpus.distinct().withColumn("in_corpus", F.lit(True))
+    flagged = (
+        probed.join(F.broadcast(w1), F.expr("p1 div 63") == F.col("b1"), "left")
+        .join(F.broadcast(w2), F.expr("p2 div 63") == F.col("b2"), "left")
+        .join(corpus_dedup, "h", "left")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(
+                    F.expr("(shiftright(word1, CAST(p1 % 63 AS INT)) & 1)"), F.lit(0)
+                )
+                == 1
+            ).alias("g1"),
+            (
+                F.coalesce(
+                    F.expr("(shiftright(word2, CAST(p2 % 63 AS INT)) & 1)"), F.lit(0)
+                )
+                == 1
+            ).alias("g2"),
+            F.coalesce(F.col("in_corpus"), F.lit(False)).alias("confirmed"),
+        )
+        .select("doc_id", (F.col("g1") & F.col("g2")).alias("bloom_hit"), "confirmed")
+    )
+    bits = words.agg(F.sum(F.expr("bit_count(word)")).cast("bigint").alias("bits_set"))
+    return (
+        flagged.agg(
+            F.count("*").alias("n_batch"),
+            F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0)).cast("bigint").alias("bloom_hits"),
+            F.sum(F.when(F.col("confirmed"), 1).otherwise(0)).cast("bigint").alias("confirmed_dups"),
+            F.sum(F.when(F.col("bloom_hit") & ~F.col("confirmed"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("false_positives"),
+        )
+        .crossJoin(F.broadcast(bits))
+    )

@@ -1433,3 +1433,38 @@ def fn_xpath_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("size(xpath(xml, 'order/lines/l'))").alias("n_lines"),
         F.expr("xpath_boolean(xml, 'order/lines/l')").alias("has_lines"),
     )
+
+
+@query(
+    "fn_utf8_validation",
+    "§2.8 UTF-8 validation functions (is_valid_utf8 / try_validate_utf8 / make_valid_utf8, Spark 4)",
+    """
+    SELECT doc_id,
+           doc_id % 3 != 0 AS is_valid,
+           doc_id % 3 = 0 AS try_is_null,
+           CAST(length(text) + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_chars_repaired
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def fn_utf8_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's UTF-8 hygiene trio over BINARY payloads — the first
+    gate of any web-crawl ingest: is_valid_utf8 (boolean probe),
+    try_validate_utf8 (NULL instead of error on bad bytes — the
+    filter-don't-fail form), make_valid_utf8 (replace invalid
+    sequences with U+FFFD — the repair form). Every third document is
+    corrupted by appending a lone 0xFF continuation byte to its
+    encoded text, so expectations derive purely from doc_id and the
+    original char length: the repaired string gains exactly ONE
+    replacement char. All three run JVM-side in one projection; at
+    100 TB this replaces the per-row Python try/decode UDF that
+    dominates naive crawl pipelines."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    bad = F.expr("concat(encode(text, 'UTF-8'), X'FF')")
+    b = F.when(F.col("doc_id") % 3 == 0, bad).otherwise(F.expr("encode(text, 'UTF-8')"))
+    return d.withColumn("b", b).select(
+        "doc_id",
+        F.expr("is_valid_utf8(b)").alias("is_valid"),
+        F.expr("try_validate_utf8(b) IS NULL").alias("try_is_null"),
+        F.expr("length(make_valid_utf8(b))").cast("bigint").alias("n_chars_repaired"),
+    )

@@ -1053,3 +1053,64 @@ def scan_file_metadata_column(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("fname").alias("n_files"),
         )
     )
+
+
+@query(
+    "scan_csv_multiline_quotes",
+    "§2.1 CSV with embedded newlines + quotes (multiLine parse, RFC-4180 escaping)",
+    """
+    SELECT count(*) AS n,
+           CAST(sum(length(concat('He said "', substr(text, 1, 40), '"',
+                                  chr(10), 'and left.'))) AS BIGINT) AS payload_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def scan_csv_multiline_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CSV edge that corrupts naive pipelines: fields containing
+    BOTH embedded newlines and double quotes. Payloads are derived
+    from documents ('He said "<40 chars>"\\nand left.'), written with
+    RFC-4180 escaping (escape = quote char, doubled quotes — Spark's
+    default is backslash-escape, set explicitly BOTH ways), and read
+    back with multiLine=true (quote-aware record framing; without it
+    the reader splits records at the embedded newline — each file
+    then parses as whole-file instead of line-split, the documented
+    parallelism price of multiline CSV at scale: prefer line-oriented
+    formats for 100 TB landing zones, this query is the migration
+    check). Oracle recomputes the payload lengths straight from the
+    source table — the round-trip must lose nothing."""
+    out = _tmp("docs_multiline_csv")
+    payload = F.concat(
+        F.lit('He said "'),
+        F.substring("text", 1, 40),
+        F.lit('"'),
+        F.lit("\n"),
+        F.lit("and left."),
+    )
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", payload.alias("payload"))
+    )
+    (
+        d.write.mode("overwrite")
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(out)
+    )
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .schema("doc_id bigint, payload string")
+        .csv(out)
+    )
+    return back.agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("payload")).cast("bigint").alias("payload_chars"),
+        F.min("doc_id").cast("bigint").alias("min_id"),
+        F.max("doc_id").cast("bigint").alias("max_id"),
+    )

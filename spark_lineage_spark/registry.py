@@ -225,6 +225,10 @@ _VERIFY_LAST = []
 # additions registered before these; they verify at round 9.
 _VERIFY_AFTER = [
     "agg_kmv_union",
+    "llm_dedup_bloom_prefilter",
+    "scan_csv_multiline_quotes",
+    "fn_utf8_validation",
+    "ts_business_days",
     "sql_rebalance_hints",
     "scan_file_metadata_column",
     "stats_bootstrap_ci",

@@ -235,3 +235,18 @@ def test_bootstrap_ci_brackets_mean(spark):
     assert r.ci_lo <= r.mean_value <= r.ci_hi, r
     # width should be a small fraction of the mean at n≈hundreds
     assert (r.ci_hi - r.ci_lo) < abs(r.mean_value), r
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """Bloom's contract: every confirmed duplicate must have been a
+    bloom hit (no false negatives, ever); false positives are bounded
+    by the bitmap load (bits_set/65536 per probe, squared for j=2)."""
+    from spark_lineage_spark.operators.dedup import llm_dedup_bloom_prefilter
+
+    r = llm_dedup_bloom_prefilter(spark, SF).collect()[0]
+    assert r.bloom_hits >= r.confirmed_dups
+    assert r.false_positives == r.bloom_hits - r.confirmed_dups
+    assert 0 < r.bits_set <= 65536
+    load_factor = r.bits_set / 65536
+    # expected FP fraction ~ load^2; allow generous slack on tiny n
+    assert r.false_positives <= max(5, 4 * load_factor * load_factor * r.n_batch), r

@@ -2595,3 +2595,60 @@ def ts_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("busdays").cast("bigint").alias("min_busdays"),
         F.max("busdays").cast("bigint").alias("max_busdays"),
     )
+
+
+@query(
+    "pandas_api_rolling",
+    "§2.5 pandas API on Spark: groupby().rolling() window (trailing mean per group)",
+    """
+    WITH daily AS (
+      SELECT l_returnflag,
+             CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag, day,
+           round(avg(CAST(rev_cents AS DOUBLE)) OVER (
+             PARTITION BY l_returnflag ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS rev_7d_avg
+    FROM daily
+    """,
+)
+def pandas_api_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas rolling-window idiom — groupby('flag').rolling(7,
+    min_periods=1).mean() — on pyspark.pandas, compiling to the SAME
+    Window(ROWS 6 PRECEDING) plan the SQL oracle states, which is the
+    whole migration pitch: pandas spelling, Catalyst execution. The
+    day column is kept as the frame INDEX so sort_index() fixes the
+    within-group order the rolling walk sees (indexes are metadata,
+    not a shuffle), and min_periods=1 reproduces SQL's expanding
+    window head instead of emitting NaNs. Input is pre-aggregated to
+    (flag, day) grain in the DataFrame API first — the pandas layer
+    only ever sees the small series, the pattern that keeps pandas-
+    on-Spark viable at 100 TB."""
+    import pyspark.pandas as ps
+
+    daily = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            "l_returnflag",
+            F.date_trunc("day", "l_shipdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    psdf = daily.pandas_api(index_col="day")
+    rolled = (
+        psdf.sort_index()
+        .groupby("l_returnflag")
+        .rolling(7, min_periods=1)
+        .mean()
+        .reset_index()
+    )
+    return rolled.to_spark().select(
+        "l_returnflag", "day", F.round(F.col("rev_cents"), 4).alias("rev_7d_avg")
+    )

@@ -1297,3 +1297,56 @@ def agg_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("est_union_distinct"),
         "true_union_distinct",
     )
+
+
+@query(
+    "agg_bitmap_native",
+    "§2.4 Spark-4 native bitmap aggregates (bitmap_construct_agg / bitmap_or_agg / bitmap_count)",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS distinct_direct,
+           count(DISTINCT l_partkey) AS distinct_merged
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bitmap_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's built-in bitmap family — the engine-native version of
+    agg_bitmap_distinct's hand-rolled bitmaps: keys bucket by
+    bitmap_bucket_number (32768 bits per bucket), each bucket builds a
+    dense bitmap with bitmap_construct_agg(bitmap_bit_position(key)),
+    and bitmap_count sums set bits to an EXACT distinct count. Two
+    paths prove mergeability: distinct_direct aggregates each
+    (flag, bucket) group once; distinct_merged first builds finer
+    (flag, linestatus, bucket) bitmaps, then bitmap_or_agg ORs the
+    sub-bitmaps per (flag, bucket) — the re-aggregation pattern that
+    lets daily bitmap partials roll up to any coarser grain without
+    touching raw data. Both must equal count(DISTINCT) exactly (the
+    oracle states it twice). At 100 TB bitmaps beat sets when keys
+    are dense integers: fixed 4 KiB per bucket regardless of
+    cardinality, and partition partials OR together."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        WITH direct AS (
+          SELECT l_returnflag,
+                 bitmap_count(bitmap_construct_agg(bitmap_bit_position(l_partkey))) AS c
+          FROM lineitem
+          GROUP BY l_returnflag, bitmap_bucket_number(l_partkey)
+        ), fine AS (
+          SELECT l_returnflag, l_linestatus,
+                 bitmap_bucket_number(l_partkey) AS bucket,
+                 bitmap_construct_agg(bitmap_bit_position(l_partkey)) AS bm
+          FROM lineitem
+          GROUP BY l_returnflag, l_linestatus, bitmap_bucket_number(l_partkey)
+        ), merged AS (
+          SELECT l_returnflag, bitmap_count(bitmap_or_agg(bm)) AS c
+          FROM fine GROUP BY l_returnflag, bucket
+        )
+        SELECT d.l_returnflag,
+               CAST(d.n AS BIGINT) AS distinct_direct,
+               CAST(m.n AS BIGINT) AS distinct_merged
+        FROM (SELECT l_returnflag, sum(c) AS n FROM direct GROUP BY l_returnflag) d
+        JOIN (SELECT l_returnflag, sum(c) AS n FROM merged GROUP BY l_returnflag) m
+          USING (l_returnflag)
+        """
+    )

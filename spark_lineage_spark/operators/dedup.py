@@ -1476,7 +1476,9 @@ def llm_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch row tests membership with two word lookups and bit masks,
     no corpus-side shuffle at all. Only bloom-positive rows reach the
     exact confirm join (bloom guarantees no false negatives; the
-    false_positives column measures the price of the 8 KiB bitmap).
+    false_positives column measures the price of the 8 KiB bitmap; size m at ~1.44*j*n bits per
+    target FP rate as the corpus grows — a saturated bitmap degrades
+    to probe-everything, never to wrong answers).
     At 100 TB the corpus never re-shuffles for a daily batch: the
     bitmap is a tiny mergeable aggregate (bit_or is associative —
     per-partition words OR together), exactly how Spark's own runtime

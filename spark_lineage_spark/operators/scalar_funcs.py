@@ -1468,3 +1468,91 @@ def fn_utf8_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_validate_utf8(b) IS NULL").alias("try_is_null"),
         F.expr("length(make_valid_utf8(b))").cast("bigint").alias("n_chars_repaired"),
     )
+
+
+@query(
+    "fn_to_char_number_roundtrip",
+    "§2.8 to_char / to_number format round-trip (Oracle-style numeric format models)",
+    """
+    SELECT o_orderkey,
+           concat(lpad(CAST(cents // 100 AS VARCHAR), 9, '0'), '.',
+                  lpad(CAST(cents % 100 AS VARCHAR), 2, '0')) AS formatted,
+           cents AS roundtrip_cents
+    FROM (
+      SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 13 = 0
+    )
+    """,
+)
+def fn_to_char_number_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-style numeric format models, Spark 4's to_char/to_number:
+    an exact DECIMAL built from integer cents renders through the
+    zero-padded model '000000000.00' (no double ever enters the
+    formatter, so no rounding mode can diverge), and to_number parses
+    the rendered string back under the same model — the round-trip
+    returns to integer cents bit-exactly. The oracle renders the SAME
+    string with pure integer ops (lpad of cents div/mod 100), so the
+    format-model semantics are pinned cross-engine without DuckDB
+    needing to_char at all. The export-to-fixed-width-feed shape
+    (banking interchange files) that otherwise hides half-up/half-
+    even drift."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 13 == 0)
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+        )
+    )
+    dec = F.expr("CAST(cents AS DECIMAL(14,2)) / 100")
+    return (
+        o.withColumn("dec", dec)
+        .withColumn("formatted", F.expr("to_char(dec, '000000000.00')"))
+        .withColumn(
+            "roundtrip_cents",
+            F.expr("CAST(to_number(formatted, '000000000.00') * 100 AS BIGINT)"),
+        )
+        .select("o_orderkey", "formatted", "roundtrip_cents")
+    )
+
+
+@query(
+    "fn_timezone_battery",
+    "§2.8 timezone conversion (from/to_utc_timestamp, convert_timezone; fixed-offset zones)",
+    """
+    SELECT event_id,
+           strftime(ts + INTERVAL 9 HOUR, '%Y-%m-%d %H:%M') AS tokyo_wall,
+           strftime(ts + INTERVAL 330 MINUTE, '%Y-%m-%d %H:%M') AS kolkata_wall,
+           true AS roundtrip_ok
+    FROM events WHERE event_id % 17 = 0
+    """,
+)
+def fn_timezone_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-zone conversions on UTC event instants: from_utc_timestamp
+    to Asia/Tokyo (+9) and Asia/Kolkata (+5:30 — the half-hour offset
+    that breaks hour-granularity assumptions), convert_timezone as the
+    Spark-4 three-argument spelling (must agree with from_utc_timestamp
+    — asserted in-plan by rendering both), and the to_utc_timestamp
+    inverse proving the round trip is lossless. The oracle uses FIXED
+    interval arithmetic, which is exactly right for these two zones
+    (no DST in Japan since 1951, none in India) — DST-dependent zones
+    are deliberately excluded here and pinned instead by the
+    America/New_York spring-forward property test in
+    tests/test_round8_ops.py, keeping the oracle engine-portable (no
+    ICU dependency). Session timezone is UTC (session.py), so wall
+    strings are unambiguous."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 17 == 0)
+    tokyo = F.expr("from_utc_timestamp(ts, 'Asia/Tokyo')")
+    kolkata = F.expr("from_utc_timestamp(ts, 'Asia/Kolkata')")
+    kolkata2 = F.expr(
+        "convert_timezone('UTC', 'Asia/Kolkata', CAST(ts AS TIMESTAMP_NTZ))"
+    )
+    return ev.select(
+        "event_id",
+        F.date_format(tokyo, "yyyy-MM-dd HH:mm").alias("tokyo_wall"),
+        F.date_format(kolkata, "yyyy-MM-dd HH:mm").alias("kolkata_wall"),
+        (
+            (F.expr("to_utc_timestamp(from_utc_timestamp(ts, 'Asia/Tokyo'), 'Asia/Tokyo')") == F.col("ts"))
+            & (F.date_format(kolkata2, "yyyy-MM-dd HH:mm") == F.date_format(kolkata, "yyyy-MM-dd HH:mm"))
+        ).alias("roundtrip_ok"),
+    )

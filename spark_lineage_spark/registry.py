@@ -229,6 +229,10 @@ _VERIFY_AFTER = [
     "scan_csv_multiline_quotes",
     "fn_utf8_validation",
     "ts_business_days",
+    "agg_bitmap_native",
+    "pandas_api_rolling",
+    "fn_to_char_number_roundtrip",
+    "fn_timezone_battery",
     "sql_rebalance_hints",
     "scan_file_metadata_column",
     "stats_bootstrap_ci",

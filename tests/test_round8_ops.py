@@ -250,3 +250,26 @@ def test_bloom_prefilter_no_false_negatives(spark):
     load_factor = r.bits_set / 65536
     # expected FP fraction ~ load^2; allow generous slack on tiny n
     assert r.false_positives <= max(5, 4 * load_factor * load_factor * r.n_batch), r
+
+
+def test_timezone_dst_spring_forward(spark):
+    """The DST half that fn_timezone_battery's fixed-offset oracle
+    deliberately excludes: America/New_York must flip EST(-5) → EDT(-4)
+    across 2024-03-10 02:00 local, and 02:30 local must not exist
+    (from_utc of 07:00Z lands at 03:00 EDT)."""
+    row = spark.sql(
+        """
+        SELECT date_format(from_utc_timestamp(TIMESTAMP'2024-03-10 06:59:00',
+                 'America/New_York'), 'HH:mm') AS before,
+               date_format(from_utc_timestamp(TIMESTAMP'2024-03-10 07:00:00',
+                 'America/New_York'), 'HH:mm') AS after,
+               date_format(from_utc_timestamp(TIMESTAMP'2024-01-10 12:00:00',
+                 'America/New_York'), 'HH:mm') AS winter,
+               date_format(from_utc_timestamp(TIMESTAMP'2024-07-10 12:00:00',
+                 'America/New_York'), 'HH:mm') AS summer
+        """
+    ).collect()[0]
+    assert row.before == "01:59"
+    assert row.after == "03:00"  # 02:00-02:59 local never exists that day
+    assert row.winter == "07:00"  # UTC-5
+    assert row.summer == "08:00"  # UTC-4

@@ -101,6 +101,16 @@ PROBE_QUERIES = [
     "stream_update_mode_agg",
     "cdc_scd6",
     "win_funnel_wilson",
+    # round-8 wave 2/3: quantified-subquery rewrite, exact OLS moments,
+    # Bloom-prefiltered ingest (bitmap saturates at 10x by design —
+    # bits_set shows it; production sizes m with the corpus), Poisson
+    # bootstrap fan-out, workday arithmetic, KMV union.
+    "subq_quantified_any_all",
+    "stats_ols_two_feature",
+    "llm_dedup_bloom_prefilter",
+    "stats_bootstrap_ci",
+    "ts_business_days",
+    "agg_kmv_union",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

@@ -2290,3 +2290,69 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(hi))
         .select("n_rows", "n_resamples", "mean_value", "ci_lo", "ci_hi")
     )
+
+
+# Brown–Forsythe finish: identical SQL text in Spark and DuckDB over the
+# exact per-group (n, Σz, Σz²) moment rows (z = |value − group median|
+# in integer cents), so the W statistic's double math is bit-identical.
+_LEVENE_FINISH_SQL = """
+    WITH med AS (
+      SELECT event_type,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT) AS med_v
+      FROM vals GROUP BY event_type
+    ), z AS (
+      SELECT vals.event_type, abs(v - med_v) AS z
+      FROM vals JOIN med ON vals.event_type = med.event_type
+    ), m AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(z AS DECIMAL(38,0))) AS DOUBLE) AS sz,
+             CAST(sum(CAST(z * z AS DECIMAL(38,0))) AS DOUBLE) AS szz
+      FROM z GROUP BY event_type
+    ), tot AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS nn, CAST(count(*) AS DOUBLE) AS k,
+             sum(sz) AS sza
+      FROM m
+    ), parts AS (
+      SELECT CAST(sum(CAST(m.n AS DOUBLE) * (m.sz / CAST(m.n AS DOUBLE) - tot.sza / tot.nn)
+                       * (m.sz / CAST(m.n AS DOUBLE) - tot.sza / tot.nn)) AS DOUBLE) AS between_ss,
+             CAST(sum(m.szz - m.sz * m.sz / CAST(m.n AS DOUBLE)) AS DOUBLE) AS within_ss,
+             max(tot.nn) AS nn, max(tot.k) AS k
+      FROM m CROSS JOIN tot
+    )
+    SELECT CAST(nn AS BIGINT) AS n_total, CAST(k AS BIGINT) AS n_groups,
+           round(((nn - k) / (k - 1)) * between_ss / within_ss, 6) AS w_stat,
+           CAST(k - 1 AS BIGINT) AS df1, CAST(nn - k AS BIGINT) AS df2
+    FROM parts
+"""
+
+_LEVENE_VALS_DUCK = """
+    vals AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('click', 'view', 'purchase')
+    )
+"""
+
+
+@query(
+    "stats_levene_test",
+    "§2.14 Brown–Forsythe variance-homogeneity test (median-centered Levene W)",
+    "WITH " + _LEVENE_VALS_DUCK + "," + _LEVENE_FINISH_SQL[_LEVENE_FINISH_SQL.index("med AS") :],
+)
+def stats_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe W (Levene's test with median centers — the
+    robust spread-equality check that gates pooled-variance decisions
+    like stats_ttest_welch's): are click/view/purchase `value`
+    dispersions equal? Group centers are DISCRETE medians
+    (percentile_disc — an actual sample value, so z = |v − med| stays
+    an exact integer in cents), the per-group (n, Σz, Σz²) moments
+    sum as DECIMAL(38,0), and the one-way-ANOVA-on-z finish is the
+    same SQL text in both engines. Two scans total (medians, then
+    centered moments) — the second pass is unavoidable for
+    median-centering but both are map-side-partial aggregates; at
+    100 TB this is 2 narrow passes, not a per-group sort."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        "WITH vals AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v "
+        "FROM events WHERE event_type IN ('click', 'view', 'purchase')),"
+        + _LEVENE_FINISH_SQL[_LEVENE_FINISH_SQL.index("med AS") :]
+    )

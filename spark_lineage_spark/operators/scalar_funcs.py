@@ -1556,3 +1556,70 @@ def fn_timezone_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.date_format(kolkata2, "yyyy-MM-dd HH:mm") == F.date_format(kolkata, "yyyy-MM-dd HH:mm"))
         ).alias("roundtrip_ok"),
     )
+
+
+@query(
+    "fn_luhn_check",
+    "§2.8 luhn_check (checksum validation) pinned against an explicit digit-fold",
+    """
+    SELECT o_orderkey, card12,
+           (list_sum(list_transform(range(1, 13), j ->
+              CASE WHEN j % 2 = 0
+                   THEN CASE WHEN CAST(substr(card12, CAST(13 - j AS INT), 1) AS INT) * 2 > 9
+                             THEN CAST(substr(card12, CAST(13 - j AS INT), 1) AS INT) * 2 - 9
+                             ELSE CAST(substr(card12, CAST(13 - j AS INT), 1) AS INT) * 2 END
+                   ELSE CAST(substr(card12, CAST(13 - j AS INT), 1) AS INT) END
+           )) % 10 = 0) AS luhn_native,
+           (list_sum(list_transform(range(1, 13), j ->
+              CASE WHEN j % 2 = 0
+                   THEN CASE WHEN CAST(substr(card12, CAST(13 - j AS INT), 1) AS INT) * 2 > 9
+                             THEN CAST(substr(card12, CAST(13 - j AS INT), 1) AS INT) * 2 - 9
+                             ELSE CAST(substr(card12, CAST(13 - j AS INT), 1) AS INT) * 2 END
+                   ELSE CAST(substr(card12, CAST(13 - j AS INT), 1) AS INT) END
+           )) % 10 = 0) AS luhn_manual
+    FROM (
+      SELECT o_orderkey,
+             lpad(CAST(o_orderkey * 7919 % 1000000000000 AS VARCHAR), 12, '0') AS card12
+      FROM orders WHERE o_orderkey % 19 = 0
+    )
+    """,
+)
+def fn_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in luhn_check (the PII/card-number validator that
+    pairs with llm_pii_redact's detectors) pinned against an EXPLICIT
+    Luhn fold written with aggregate()+sequence() — double every 2nd
+    digit from the right, subtract 9 on overflow, sum % 10 == 0. The
+    oracle implements the same fold with DuckDB list_transform, so the
+    checksum algorithm itself is cross-engine verified, and the
+    builtin must agree with the fold row-for-row (luhn_native vs
+    luhn_manual — the oracle states the fold for both columns).
+    Synthetic 12-digit 'cards' derive from orderkeys (×7919 spreads
+    the low digits), giving ~10% valid by chance. Both paths are
+    JVM-side HOF projections: no UDF, no explode."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 19 == 0)
+        .select(
+            "o_orderkey",
+            F.lpad(
+                (F.col("o_orderkey") * 7919 % 1000000000000).cast("string"), 12, "0"
+            ).alias("card12"),
+        )
+    )
+    fold = F.expr(
+        """
+        aggregate(sequence(1, 12), 0, (acc, j) -> acc +
+          CASE WHEN j % 2 = 0
+               THEN IF(CAST(substring(card12, 13 - j, 1) AS INT) * 2 > 9,
+                       CAST(substring(card12, 13 - j, 1) AS INT) * 2 - 9,
+                       CAST(substring(card12, 13 - j, 1) AS INT) * 2)
+               ELSE CAST(substring(card12, 13 - j, 1) AS INT) END
+        ) % 10 = 0
+        """
+    )
+    return o.select(
+        "o_orderkey",
+        "card12",
+        F.expr("luhn_check(card12)").alias("luhn_native"),
+        fold.alias("luhn_manual"),
+    )

@@ -233,6 +233,8 @@ _VERIFY_AFTER = [
     "pandas_api_rolling",
     "fn_to_char_number_roundtrip",
     "fn_timezone_battery",
+    "fn_luhn_check",
+    "stats_levene_test",
     "sql_rebalance_hints",
     "scan_file_metadata_column",
     "stats_bootstrap_ci",

@@ -273,3 +273,47 @@ def test_timezone_dst_spring_forward(spark):
     assert row.after == "03:00"  # 02:00-02:59 local never exists that day
     assert row.winter == "07:00"  # UTC-5
     assert row.summer == "08:00"  # UTC-4
+
+
+def test_luhn_native_equals_manual_fold(spark):
+    """The builtin must agree with the explicit digit fold row-for-row,
+    and the synthetic card population must contain both outcomes."""
+    from spark_lineage_spark.operators.scalar_funcs import fn_luhn_check
+
+    rows = fn_luhn_check(spark, SF).collect()
+    assert rows
+    assert all(r.luhn_native == r.luhn_manual for r in rows)
+    kinds = {r.luhn_native for r in rows}
+    assert kinds == {True, False}, kinds
+
+
+def test_levene_matches_scipy_free_reference(spark):
+    """Brown–Forsythe W recomputed directly in numpy from the raw
+    sample (median-centered absolute deviations, one-way ANOVA) must
+    match the exact-moments SQL to ~1e-6 relative."""
+    import duckdb
+    import numpy as np
+
+    from spark_lineage_spark.operators.analytics import stats_levene_test
+
+    got = stats_levene_test(spark, SF).collect()[0]
+    raw = duckdb.sql(
+        f"""
+        SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        FROM '{SF}/events.parquet'
+        WHERE event_type IN ('click', 'view', 'purchase')
+        """
+    ).df()
+    groups = []
+    for _, g in raw.groupby("event_type"):
+        v = g["v"].to_numpy(float)
+        med = np.percentile(v, 50, method="inverted_cdf")
+        groups.append(np.abs(v - med))
+    k = len(groups)
+    nn = sum(len(z) for z in groups)
+    zbar = np.concatenate(groups).mean()
+    between = sum(len(z) * (z.mean() - zbar) ** 2 for z in groups)
+    within = sum(((z - z.mean()) ** 2).sum() for z in groups)
+    w = ((nn - k) / (k - 1)) * between / within
+    assert got.n_groups == k and got.n_total == nn
+    assert abs(got.w_stat - w) <= 1e-6 * max(1.0, abs(w)), (got.w_stat, w)

@@ -2652,3 +2652,116 @@ def pandas_api_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolled.to_spark().select(
         "l_returnflag", "day", F.round(F.col("rev_cents"), 4).alias("rev_7d_avg")
     )
+
+
+@query(
+    "pandas_api_merge_asof",
+    "§2.3 pandas API on Spark: merge_asof (the pandas spelling of the as-of join)",
+    """
+    WITH c AS (
+      SELECT user_id, max(event_id) AS click_id, date_trunc('microseconds', ts) AS tsu
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, date_trunc('microseconds', ts)
+    ),
+    p AS (
+      SELECT user_id, event_id, date_trunc('microseconds', ts) AS tsu
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_id, c.click_id AS click_id
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.tsu <= p.tsu
+    """,
+)
+def pandas_api_merge_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ps.merge_asof — the pandas-migration spelling of join_asof's
+    latest-click-≤-purchase lookup (backward direction, per-user `by`
+    grouping, <= inclusive, left-preserving on no match). Clicks are
+    pre-deduplicated to one row per (user, microsecond) with the
+    highest event_id BEFORE the asof so tie semantics are explicit
+    rather than inherited from sort stability — the same rule
+    join_asof's oracle states with QUALIFY. Input grains are reduced
+    in the DataFrame API first; the pandas layer performs only the
+    asof itself, which pyspark.pandas compiles to the same
+    union+window plan shape as our native asof_join — pandas code,
+    Catalyst execution, no driver materialization."""
+    import pyspark.pandas as ps
+
+    e = load(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("event_id").alias("purchase_id"))
+    )
+    r = ps.merge_asof(
+        purch.pandas_api().sort_values("ts"),
+        clicks.pandas_api().sort_values("ts"),
+        on="ts",
+        by="user_id",
+        direction="backward",
+    )
+    return r.to_spark().select("purchase_id", "click_id")
+
+
+@query(
+    "ts_session_window_dynamic_gap",
+    "§2.5/§2.9 session_window with a DYNAMIC per-event gap (gap depends on event type)",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, epoch_us(date_trunc('microseconds', ts)) AS tsu,
+             epoch_us(date_trunc('microseconds', ts))
+               + CASE WHEN event_type = 'purchase' THEN 2700000000 ELSE 900000000 END
+               AS end_u
+      FROM events
+    ), m AS (
+      SELECT user_id, event_id, tsu, end_u,
+             max(end_u) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_end
+      FROM g
+    ), marked AS (
+      SELECT user_id, event_id, tsu, end_u,
+             CASE WHEN prev_end IS NULL OR tsu > prev_end THEN 1 ELSE 0 END AS is_new
+      FROM m
+    ), sess AS (
+      SELECT user_id, tsu, end_u,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           strftime(make_timestamp(min(tsu)), '%Y-%m-%d %H:%M:%S') AS sess_start,
+           strftime(make_timestamp(max(end_u)), '%Y-%m-%d %H:%M:%S') AS sess_end
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def ts_session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window's Spark-4 DYNAMIC gap: each event extends its
+    session by its OWN timeout — purchases hold the session open 45
+    minutes, everything else 15 — so checkout flows don't fragment
+    while browse noise still splits. Merge semantics are CLOSED at
+    the boundary (probed: an event landing exactly at the previous
+    max end MERGES and re-extends the session), which the oracle
+    replays as a running max of window ends per user: new session ⇔
+    tsu > max(prior ends) — ordered by (tsu, event_id) against
+    same-microsecond ties per the house tie-break rule. Exact µs
+    integers throughout. In batch mode this plans as one Window +
+    hash agg per user (no state store); the same expression is valid
+    under readStream with a watermark, where the dynamic gap is
+    evaluated per update — the session-shape every checkout-
+    attribution stream needs."""
+    ev = load(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", "45 minutes").otherwise("15 minutes")
+    win = F.session_window("ts", gap)
+    return (
+        ev.groupBy(win.alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("sess_end"),
+        )
+    )

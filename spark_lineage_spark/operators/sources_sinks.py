@@ -1114,3 +1114,49 @@ def scan_csv_multiline_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("min_id"),
         F.max("doc_id").cast("bigint").alias("max_id"),
     )
+
+
+@query(
+    "sink_partition_overwrite_dynamic",
+    "§2.1 dynamic partition overwrite (rewrite only the partitions present in the batch)",
+    """
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                    * CASE WHEN o_orderstatus = 'F' THEN 2 ELSE 1 END) AS BIGINT)
+             AS total_cents
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sink_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partitionOverwriteMode=dynamic — the nightly-restatement verb:
+    an overwrite-mode write that contains only SOME partitions
+    replaces exactly those directories and leaves every other
+    partition's files untouched (static mode would truncate the whole
+    table first). Staged here as: full partitioned write, then a
+    dynamic overwrite carrying ONLY status 'F' rows with doubled
+    amounts — the re-read must show F doubled and O/P bit-identical
+    to the original load, which is precisely what the oracle states
+    from the source table. The mode is set per-write via the
+    DataFrameWriter option (no session mutation). At 100 TB this is
+    the difference between rewriting one day's partition and
+    rewriting the lake."""
+    out = _tmp("orders_dynoverwrite")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    restated = o.filter(F.col("o_orderstatus") == "F").withColumn(
+        "cents", F.col("cents") * 2
+    )
+    (
+        restated.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.sum("cents").cast("bigint").alias("total_cents")
+    )

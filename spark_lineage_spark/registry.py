@@ -235,6 +235,9 @@ _VERIFY_AFTER = [
     "fn_timezone_battery",
     "fn_luhn_check",
     "stats_levene_test",
+    "pandas_api_merge_asof",
+    "ts_session_window_dynamic_gap",
+    "sink_partition_overwrite_dynamic",
     "sql_rebalance_hints",
     "scan_file_metadata_column",
     "stats_bootstrap_ci",

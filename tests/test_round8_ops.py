@@ -317,3 +317,68 @@ def test_levene_matches_scipy_free_reference(spark):
     w = ((nn - k) / (k - 1)) * between / within
     assert got.n_groups == k and got.n_total == nn
     assert abs(got.w_stat - w) <= 1e-6 * max(1.0, abs(w)), (got.w_stat, w)
+
+
+def test_dynamic_session_gap_closed_boundary(spark):
+    """Boundary semantics at the exact session end: an event landing
+    precisely at the previous session's max end MERGES (closed
+    boundary — probed, and replayed by the oracle's strict-> rule),
+    and the purchase gap (45 min) holds a session open where the
+    browse gap (15 min) would have split it."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        # user 1: click at 00:00 (end 00:15); click exactly at 00:15
+        # MERGES (closed boundary, probed) and re-extends to 00:30
+        (1, "2024-01-01 00:00:00", "click"),
+        (1, "2024-01-01 00:15:00", "click"),
+        # user 2: purchase at 00:00 (end 00:45); click at 00:30 merges,
+        # extending to 00:45; click at 00:44:59 still merges
+        (2, "2024-01-01 00:00:00", "purchase"),
+        (2, "2024-01-01 00:30:00", "click"),
+        (2, "2024-01-01 00:44:59", "click"),
+        # user 3: click at 00:00; click at 00:16 -> split (15 min gap)
+        (3, "2024-01-01 00:00:00", "click"),
+        (3, "2024-01-01 00:16:00", "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts_s string, event_type string").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type"
+    )
+    gap = F.when(F.col("event_type") == "purchase", "45 minutes").otherwise("15 minutes")
+    got = (
+        df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.max("n").alias("biggest"))
+    )
+    by_user = {r.user_id: r for r in got.collect()}
+    assert by_user[1].n_sessions == 1 and by_user[1].biggest == 2
+    assert by_user[2].n_sessions == 1 and by_user[2].biggest == 3
+    assert by_user[3].n_sessions == 2
+    # the oracle's replay rule (new session iff tsu > running max end)
+    # must reproduce the same grouping on the same micro-fixture
+    import duckdb
+
+    sids = duckdb.sql(
+        """
+        WITH g AS (
+          SELECT * FROM (VALUES
+            (1, TIMESTAMP '2024-01-01 00:00:00', 900000000),
+            (1, TIMESTAMP '2024-01-01 00:15:00', 900000000),
+            (3, TIMESTAMP '2024-01-01 00:00:00', 900000000),
+            (3, TIMESTAMP '2024-01-01 00:16:00', 900000000)
+          ) t(u, ts, gap_us)
+        ), m AS (
+          SELECT u, epoch_us(ts) AS tsu, epoch_us(ts) + gap_us AS end_u,
+                 max(epoch_us(ts) + gap_us) OVER (PARTITION BY u ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          FROM g
+        )
+        SELECT u, count(DISTINCT sid) FROM (
+          SELECT u, sum(CASE WHEN prev_end IS NULL OR tsu > prev_end
+                             THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY u ORDER BY tsu ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m) GROUP BY u ORDER BY u
+        """
+    ).fetchall()
+    assert sids == [(1, 1), (3, 2)]

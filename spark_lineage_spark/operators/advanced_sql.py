@@ -2765,3 +2765,59 @@ def ts_session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame
             F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("sess_end"),
         )
     )
+
+
+@query(
+    "sql_session_variables",
+    "§2.2/§2.12 SQL session variables (DECLARE VARIABLE / SET VAR, data-derived, injection-safe)",
+    """
+    WITH cutoff AS (
+      SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) // count(*)
+                  AS BIGINT) AS c
+      FROM orders
+    )
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders, cutoff
+    WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) > cutoff.c
+    GROUP BY o_orderstatus
+    """,
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 session variables — the catalog-native way to thread a
+    DATA-DERIVED scalar between statements without string
+    interpolation (the dynamic-SQL injection hole) or a temp view:
+    DECLARE VARIABLE, SET VAR from a scalar subquery (here the exact
+    integer-cents mean order value), then reference it like a literal
+    in later queries; Catalyst folds the variable into the plan as a
+    constant, so the filter is a plain pushable predicate. The oracle
+    inlines the same scalar as a CTE. Integer floor-division keeps
+    the cutoff exact (a double avg would make the comparison
+    partition-order sensitive at the boundary). DROP afterwards keeps
+    the session catalog clean for the next query."""
+    register_views(spark, sf_dir, ["orders"])
+    spark.sql("DECLARE OR REPLACE VARIABLE sls_cutoff_cents BIGINT DEFAULT 0")
+    spark.sql(
+        """
+        SET VAR sls_cutoff_cents = (
+          SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) DIV count(*)
+                      AS BIGINT)
+          FROM orders
+        )
+        """
+    )
+    out = spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM orders
+        WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) > sls_cutoff_cents
+        GROUP BY o_orderstatus
+        """
+    )
+    # variable references resolve to literals at ANALYSIS time, so the
+    # plan stays valid after the DROP (asserted by the driver collect)
+    spark.sql("DROP TEMPORARY VARIABLE IF EXISTS sls_cutoff_cents")
+    return out

@@ -1623,3 +1623,48 @@ def fn_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("luhn_check(card12)").alias("luhn_native"),
         fold.alias("luhn_manual"),
     )
+
+
+@query(
+    "fn_months_between_identities",
+    "§2.8 months_between semantics (last-day rule, 31-day fraction denominator)",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderkey % 7 AS DOUBLE) AS k,
+           true AS eq_lastday,
+           true AS eq_midmonth,
+           round(6.0 / 31, 6) AS frac_6d,
+           0.0 AS zero_self
+    FROM orders WHERE o_orderkey % 23 = 0
+    """,
+)
+def fn_months_between_identities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """months_between's two famously non-obvious rules, asserted as
+    per-row identities over real order dates: (1) the LAST-DAY rule —
+    when both endpoints are month-ends the result is an exact integer,
+    so mb(last_day(add_months(d,k)), last_day(d)) == k for every k
+    even when the months are shorter than d's month (Spark clamps,
+    then the last-day rule kicks in); mid-month anchors (the 15th)
+    give the same exact k with no clamping in play; (2) the fraction
+    denominator is ALWAYS 31 regardless of month length, so a 6-day
+    offset from the 15th is exactly 6/31 everywhere. The oracle
+    states the closed-form expectations (k, true, true, 6/31, 0) —
+    DuckDB needs no months_between at all, making this a one-sided
+    semantic pin of the Spark builtin."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 23 == 0)
+    d = F.col("o_orderdate").cast("date")
+    k = (F.col("o_orderkey") % 7).cast("int")
+    d15 = F.expr("date_add(date_trunc('month', o_orderdate), 14)").cast("date")
+    return o.select(
+        "o_orderkey",
+        k.cast("double").alias("k"),
+        (
+            F.months_between(F.last_day(F.add_months(d, k)), F.last_day(d))
+            == k.cast("double")
+        ).alias("eq_lastday"),
+        (F.months_between(F.add_months(d15, k), d15) == k.cast("double")).alias(
+            "eq_midmonth"
+        ),
+        F.round(F.months_between(F.date_add(d15, 6), d15), 6).alias("frac_6d"),
+        F.months_between(d, d).alias("zero_self"),
+    )

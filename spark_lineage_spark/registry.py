@@ -238,6 +238,8 @@ _VERIFY_AFTER = [
     "pandas_api_merge_asof",
     "ts_session_window_dynamic_gap",
     "sink_partition_overwrite_dynamic",
+    "sql_session_variables",
+    "fn_months_between_identities",
     "sql_rebalance_hints",
     "scan_file_metadata_column",
     "stats_bootstrap_ci",

@@ -2821,3 +2821,53 @@ def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan stays valid after the DROP (asserted by the driver collect)
     spark.sql("DROP TEMPORARY VARIABLE IF EXISTS sls_cutoff_cents")
     return out
+
+
+@query(
+    "profile_freshness_lag",
+    "§2.4/§2.12 data-freshness profiling (per-source max-timestamp lag vs global head)",
+    """
+    WITH m AS (
+      SELECT event_type,
+             max(epoch_us(date_trunc('microseconds', ts))) AS mx,
+             count(*) AS n
+      FROM events GROUP BY event_type
+    ), g AS (SELECT max(mx) AS gmx FROM m)
+    SELECT event_type, n,
+           CAST((gmx - mx) // 1000000 AS BIGINT) AS lag_s,
+           CASE WHEN gmx - mx < 3600000000 THEN 'fresh'
+                WHEN gmx - mx < 86400000000 THEN 'day-old'
+                ELSE 'stale' END AS freshness
+    FROM m CROSS JOIN g
+    """,
+)
+def profile_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first dashboard every ingest pipeline grows: how far behind
+    the global high-water mark is each source's newest row? One
+    scan → per-type (max ts, count) partials, a 1-row global max
+    broadcast back, lag in EXACT integer microseconds (floor-divided
+    to seconds — no double timestamps), bucketed into the
+    fresh/day-old/stale bands an alerting rule consumes. At 100 TB
+    this is the map-side-partial MAX pattern: no row leaves the
+    executor except k per-type rows, and the same shape extends to
+    per-partition freshness by swapping the grouping key. The
+    lineage-ops angle (§2.12): freshness is the operational half of
+    provenance — WHICH input last moved, not just where data came
+    from."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros(F.col("ts")).alias("tsu")
+    )
+    m = ev.groupBy("event_type").agg(
+        F.max("tsu").alias("mx"), F.count("*").alias("n")
+    )
+    g = m.agg(F.max("mx").alias("gmx"))
+    lag = F.col("gmx") - F.col("mx")
+    return m.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n",
+        F.expr("(gmx - mx) div 1000000").cast("bigint").alias("lag_s"),
+        F.when(lag < 3600000000, "fresh")
+        .when(lag < 86400000000, "day-old")
+        .otherwise("stale")
+        .alias("freshness"),
+    )

@@ -1668,3 +1668,56 @@ def fn_months_between_identities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.months_between(F.date_add(d15, 6), d15), 6).alias("frac_6d"),
         F.months_between(d, d).alias("zero_self"),
     )
+
+
+@query(
+    "fn_try_url_parse",
+    "§2.8 try_parse_url (NULL-on-malformed URL extraction, Spark 4)",
+    """
+    SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 0 THEN concat(source, '.example.com')
+             WHEN 2 THEN concat(source, '.files.net') END AS host,
+           CASE doc_id % 4
+             WHEN 0 THEN 'https'
+             WHEN 2 THEN 'ftp' END AS proto,
+           CASE doc_id % 4 WHEN 0 THEN lang END AS lang_param,
+           doc_id % 4 IN (1, 3) AS is_malformed
+    FROM documents WHERE doc_id < 400
+    """,
+)
+def fn_try_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_parse_url — the filter-don't-fail form of fn_url_battery's
+    parse_url, the difference that matters on crawl data where a
+    visible fraction of URLs are garbage: malformed inputs (embedded
+    spaces, scheme-less '://...') yield NULL instead of raising under
+    ANSI mode, so one projection cleanses and extracts in a single
+    pass with no try/except UDF. URLs are constructed from document
+    columns in four shapes (https with a query param, free text, ftp
+    with a port, malformed scheme), and the oracle derives every
+    expected HOST/PROTOCOL/QUERY-param straight from doc_id % 4 and
+    the source/lang columns — DuckDB never parses a URL. NULL-ness
+    itself is part of the checked contract (is_malformed)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+                F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+            ),
+        )
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("not a url "), F.col("doc_id").cast("string")))
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("ftp://"), F.col("source"), F.lit(".files.net:2121/x")),
+        )
+        .otherwise(F.concat(F.lit("://missing"), F.col("doc_id").cast("string")))
+    )
+    return d.withColumn("url", url).select(
+        "doc_id",
+        F.expr("try_parse_url(url, 'HOST')").alias("host"),
+        F.expr("try_parse_url(url, 'PROTOCOL')").alias("proto"),
+        F.expr("try_parse_url(url, 'QUERY', 'lang')").alias("lang_param"),
+        F.expr("try_parse_url(url, 'HOST') IS NULL").alias("is_malformed"),
+    )

@@ -240,6 +240,8 @@ _VERIFY_AFTER = [
     "sink_partition_overwrite_dynamic",
     "sql_session_variables",
     "fn_months_between_identities",
+    "profile_freshness_lag",
+    "fn_try_url_parse",
     "sql_rebalance_hints",
     "scan_file_metadata_column",
     "stats_bootstrap_ci",

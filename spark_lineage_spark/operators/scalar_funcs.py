@@ -1721,3 +1721,69 @@ def fn_try_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_parse_url(url, 'QUERY', 'lang')").alias("lang_param"),
         F.expr("try_parse_url(url, 'HOST') IS NULL").alias("is_malformed"),
     )
+
+
+@query(
+    "fn_array_mutation_battery",
+    "§2.8 array mutation functions (array_insert incl. negative index, compact, prepend/append)",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 2 = 0
+                THEN concat(a, ',N,', b, ',', c) ELSE concat(a, ',', b, ',', c) END
+             AS joined_raw,
+           concat(a, ',', b, ',', c) AS joined_compact,
+           concat(a, ',', b, ',', c, ',99') AS joined_insert_tail,
+           concat('0,', a, ',', b, ',', c, ',9') AS joined_pre_app,
+           CAST(CASE WHEN o_orderkey % 2 = 0 THEN 4 ELSE 3 END AS INTEGER) AS n_raw,
+           CAST(3 AS INTEGER) AS n_compact
+    FROM (
+      SELECT o_orderkey,
+             CAST(o_orderkey % 7 AS VARCHAR) AS a,
+             CAST(o_orderkey % 5 AS VARCHAR) AS b,
+             CAST(o_orderkey % 3 AS VARCHAR) AS c
+      FROM orders WHERE o_orderkey % 29 = 0
+    )
+    """,
+)
+def fn_array_mutation_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark-3.5/4 array MUTATION additions over arrays built from
+    order keys (every even key carries an embedded NULL):
+    array_compact (drop nulls, order preserved), array_insert with a
+    NEGATIVE index (-1 appends AFTER the last element — the
+    off-by-one everyone gets wrong; pinned here as ...,99 at the
+    tail), array_prepend/array_append, and size() before/after.
+    Arrays render through array_join(…, ',', 'N') so NULL placement
+    is part of the checked value; the oracle rebuilds every string
+    from the same modular arithmetic — DuckDB list semantics (which
+    differ around NULLs) never enter the comparison."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 29 == 0)
+        .select(
+            "o_orderkey",
+            F.expr(
+                """
+                CASE WHEN o_orderkey % 2 = 0
+                     THEN array(CAST(o_orderkey % 7 AS STRING), CAST(NULL AS STRING),
+                                CAST(o_orderkey % 5 AS STRING), CAST(o_orderkey % 3 AS STRING))
+                     ELSE array(CAST(o_orderkey % 7 AS STRING),
+                                CAST(o_orderkey % 5 AS STRING), CAST(o_orderkey % 3 AS STRING))
+                END
+                """
+            ).alias("arr"),
+        )
+    )
+    compact = F.array_compact("arr")
+    return o.select(
+        "o_orderkey",
+        F.array_join("arr", ",", "N").alias("joined_raw"),
+        F.array_join(compact, ",").alias("joined_compact"),
+        F.array_join(F.array_insert(compact, -1, F.lit("99")), ",").alias(
+            "joined_insert_tail"
+        ),
+        F.array_join(
+            F.array_append(F.array_prepend(compact, F.lit("0")), F.lit("9")), ","
+        ).alias("joined_pre_app"),
+        F.size("arr").alias("n_raw"),
+        F.size(compact).alias("n_compact"),
+    )

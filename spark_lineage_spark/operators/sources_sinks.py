@@ -1160,3 +1160,86 @@ def sink_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFr
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"), F.sum("cents").cast("bigint").alias("total_cents")
     )
+
+
+@query(
+    "sink_python_datasource",
+    "§2.1 Spark-4 Python data source WRITER (batch DataSourceWriter + commit protocol)",
+    """
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch-WRITE half of the Python data source API, completing
+    the quartet (batch reader, stream reader, stream writer are
+    separate queries): DataSourceWriter.write(iterator) runs once per
+    partition on executors, streams rows out (JSON lines to a
+    task-unique file — a real connector would push to its external
+    system), and returns a WriterCommitMessage; commit(messages) runs
+    ON THE DRIVER only after every task succeeded, publishing a
+    manifest — the two-phase commit contract that gives custom sinks
+    all-or-nothing semantics (abort() discards on failure). The
+    re-read aggregates only files named in the manifest, so
+    uncommitted task output can never leak into results."""
+    import json as _json
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    out = _tmp("orders_pyds_sink")
+    os.makedirs(out, exist_ok=True)
+
+    class FileMsg(WriterCommitMessage):
+        def __init__(self, fname: str):
+            self.fname = fname
+
+    class DirWriter(DataSourceWriter):
+        def __init__(self, path: str):
+            self.path = path
+
+        def write(self, rows) -> "FileMsg":
+            fname = f"part-{_uuid.uuid4().hex}.jsonl"
+            with open(os.path.join(self.path, fname), "w") as fh:
+                for r in rows:
+                    fh.write(
+                        _json.dumps({"s": r["o_orderstatus"], "c": r["cents"]}) + "\n"
+                    )
+            return FileMsg(fname)
+
+        def commit(self, messages) -> None:
+            with open(os.path.join(self.path, "_manifest.json"), "w") as fh:
+                _json.dump(sorted(m.fname for m in messages), fh)
+
+        def abort(self, messages) -> None:
+            pass
+
+    class DirSink(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "sls_dirsink"
+
+        def writer(self, schema, overwrite: bool) -> "DirWriter":
+            return DirWriter(self.options["path"])
+
+    spark.dataSource.register(DirSink)
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    o.write.format("sls_dirsink").option("path", out).mode("append").save()
+    import json as _json2
+
+    manifest = _json2.load(open(os.path.join(out, "_manifest.json")))
+    back = spark.read.schema("s string, c bigint").json(
+        [os.path.join(out, f) for f in manifest]
+    )
+    return back.groupBy(F.col("s").alias("o_orderstatus")).agg(
+        F.count("*").alias("n"), F.sum("c").cast("bigint").alias("total_cents")
+    )

@@ -246,6 +246,8 @@ _VERIFY_AFTER = [
     "fn_months_between_identities",
     "profile_freshness_lag",
     "fn_try_url_parse",
+    "sink_python_datasource",
+    "fn_array_mutation_battery",
     "sql_rebalance_hints",
     "scan_file_metadata_column",
     "stats_bootstrap_ci",

@@ -248,6 +248,7 @@ _VERIFY_AFTER = [
     "fn_try_url_parse",
     "sink_python_datasource",
     "fn_array_mutation_battery",
+    "stream_stream_full_outer_join",
     "sql_rebalance_hints",
     "scan_file_metadata_column",
     "stats_bootstrap_ci",

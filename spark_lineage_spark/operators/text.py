@@ -3028,3 +3028,39 @@ def llm_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.col("padded_sorted").cast("double") / F.col("padded_arrival"), 4
         ).alias("padding_saved"),
     )
+
+
+@query(
+    "llm_langid_confusion_matrix",
+    "§2.11 language-ID evaluation: confusion matrix + per-language recall",
+    """
+    WITH base AS (""" + LANGID_ORACLE + """)
+    SELECT true_lang, pred_lang, count(*) AS n,
+           round(CAST(count(*) AS DOUBLE) /
+                 sum(count(*)) OVER (PARTITION BY true_lang), 6) AS share_of_true
+    FROM base GROUP BY true_lang, pred_lang
+    """,
+)
+def llm_langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evaluation half of llm_text_langid — the confusion matrix
+    every classifier-gated ingest pipeline reports before trusting a
+    language filter: counts per (true, predicted) cell plus each
+    cell's share of its true-language row (per-language recall on the
+    diagonal, the specific confusion pairs off it). Composes the
+    SAME scored projection as the langid query (one scan, one hash
+    agg, one partition-local window for the shares — the window
+    partitions by true_lang so no global sort); the oracle wraps the
+    shared LANGID_ORACLE constant, so predictor and evaluator can
+    never drift apart. The share division is count/count over exact
+    integers — deterministic to the 6 rounded digits."""
+    preds = llm_text_langid(spark, sf_dir).select("true_lang", "pred_lang")
+    cells = preds.groupBy("true_lang", "pred_lang").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("true_lang")
+    return cells.select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias(
+            "share_of_true"
+        ),
+    )

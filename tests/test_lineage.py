@@ -705,3 +705,39 @@ def test_plain_checkpoint_still_reports_unknown(engine, sf_dir):
     eng._wrap(df).collect()
     r = rep.last()
     assert any(i.kind == "unknown" for i in r.inputs), [i.kind for i in r.inputs]
+
+
+def test_checkpoint_spliced_bloom_prefilter_lineage(engine, sf_dir):
+    """Round-8 path: llm_dedup_bloom_prefilter checkpoints the Bloom
+    bitmap words table (read twice: probe joins + bits_set) — lineage
+    must splice through that LogicalRDD back to the documents table,
+    and the final single summary row must trace its counts to real
+    source columns, not the checkpoint."""
+    eng, rep = engine
+    from spark_lineage_spark.operators.dedup import llm_dedup_bloom_prefilter
+
+    eng._wrap(llm_dedup_bloom_prefilter(eng.spark, sf_dir)).collect()
+    r = rep.last()
+    names = r.input_names()
+    assert any("documents" in n for n in names), names
+    assert not any("LogicalRDD" in (n or "") for n in names), names
+    assert not any(i.kind == "unknown" for i in r.inputs), [i.kind for i in r.inputs]
+    edges = {c.output: set(c.inputs) for c in r.columns}
+    # bits_set flows from the bitmap words, which derive from text hashes
+    assert edges.get("bits_set", set()) <= {"documents.text"}, edges
+
+
+def test_session_variable_query_lineage(engine, sf_dir):
+    """Round-8 path: a query whose filter constant came from a SQL
+    session variable still extracts clean input lineage (the variable
+    folds to a literal at analysis — no phantom input)."""
+    eng, rep = engine
+    from spark_lineage_spark.operators.advanced_sql import sql_session_variables
+
+    eng._wrap(sql_session_variables(eng.spark, sf_dir)).collect()
+    r = rep.last()
+    names = r.input_names()
+    assert any("orders" in n for n in names), names
+    assert not any(i.kind == "unknown" for i in r.inputs), [i.kind for i in r.inputs]
+    edges = {c.output: set(c.inputs) for c in r.columns}
+    assert edges.get("total_cents", set()) == {"orders.o_totalprice"}, edges

@@ -11,6 +11,7 @@ the comparison checks the full write→read round-trip.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -1194,6 +1195,10 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     out = _tmp("orders_pyds_sink")
+    # fresh dir per run: mode("append") + uuid part names would otherwise
+    # accumulate stale (unmanifested, hence ignored — but unbounded) files
+    # across repeat invocations in one process (AUDIT best-of-2, bench)
+    shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
 
     class FileMsg(WriterCommitMessage):

@@ -2356,3 +2356,52 @@ def stats_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM events WHERE event_type IN ('click', 'view', 'purchase')),"
         + _LEVENE_FINISH_SQL[_LEVENE_FINISH_SQL.index("med AS") :]
     )
+
+
+# Two-proportion z-test finish: identical SQL text in Spark and DuckDB
+# over exact integer counts, so the pooled-variance double math is
+# bit-identical (stats_ttest_welch discipline).
+_PROP_ZTEST_SQL = """
+    WITH c AS (
+      SELECT CAST(user_id % 2 AS INTEGER) AS cohort,
+             count(*) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS k
+      FROM events GROUP BY CAST(user_id % 2 AS INTEGER)
+    ), w AS (
+      SELECT max(CASE WHEN cohort = 0 THEN n END) AS n0,
+             max(CASE WHEN cohort = 0 THEN k END) AS k0,
+             max(CASE WHEN cohort = 1 THEN n END) AS n1,
+             max(CASE WHEN cohort = 1 THEN k END) AS k1
+      FROM c
+    )
+    SELECT n0, k0, n1, k1,
+           round(CAST(k0 AS DOUBLE) / n0, 6) AS p0,
+           round(CAST(k1 AS DOUBLE) / n1, 6) AS p1,
+           round((CAST(k0 AS DOUBLE) / n0 - CAST(k1 AS DOUBLE) / n1)
+                 / sqrt((CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+                        * (1 - CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+                        * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)), 4)
+             AS z_stat
+    FROM w
+"""
+
+
+@query(
+    "stats_proportion_ztest",
+    "§2.14 two-proportion z-test (pooled variance, exact integer counts)",
+    _PROP_ZTEST_SQL,
+)
+def stats_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conversion-rate A/B primitive stats_ttest_welch's
+    continuous-metric test doesn't cover: did cohort 0 (even user ids)
+    purchase at a different RATE than cohort 1? Everything upstream of
+    the z statistic is an exact integer (per-cohort trial and success
+    counts from one scan's map-side-partial aggregate); the pooled
+    proportion, its variance, and z are one fixed double expression on
+    those integers, run from the SAME SQL text in both engines. At
+    100 TB: a 2-group count aggregate — two thin rows cross the wire,
+    the test itself is O(1). The cohort split on user id parity is
+    the deterministic stand-in for a real assignment column."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_PROP_ZTEST_SQL)

@@ -1248,3 +1248,94 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy(F.col("s").alias("o_orderstatus")).agg(
         F.count("*").alias("n"), F.sum("c").cast("bigint").alias("total_cents")
     )
+
+
+@query(
+    "sink_max_records_per_file",
+    "§2.1 maxRecordsPerFile (file-count control — the small-files/giant-files dial)",
+    """
+    SELECT o_orderstatus AS status,
+           count(*) AS n_rows,
+           CAST(ceil(CAST(count(*) AS DOUBLE) / 1000) AS BIGINT) AS n_files,
+           CAST(least(count(*), 1000) AS BIGINT) AS max_file_rows,
+           CAST(CASE WHEN count(*) % 1000 = 0 THEN 1000
+                     ELSE count(*) % 1000 END AS BIGINT) AS min_file_rows
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sink_max_records_per_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-side file-size dial: option("maxRecordsPerFile", 1000)
+    rolls to a new file after every 1000 records a task writes into a
+    partition directory — the knob that stops one giant task from
+    emitting a 10 GB file (and, set too low, the one that CAUSES the
+    small-files problem). Written from a single task (coalesce(1)) so
+    the sequential-fill contract is exact and closed-form: each status
+    directory holds ceil(n/1000) files, all but the last at exactly
+    1000 rows — which the oracle states from counts alone. The
+    re-read aggregates per (status, _metadata.file_name), so the
+    checked values are the REAL physical file boundaries, not writer
+    bookkeeping."""
+    out = _tmp("orders_maxrec")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    (
+        o.coalesce(1)
+        .sortWithinPartitions("o_orderstatus", "o_orderkey")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 1000)
+        .partitionBy("o_orderstatus")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("_metadata.file_name").alias("fname"),
+    )
+    per_file = back.groupBy("status", "fname").agg(F.count("*").alias("rows_in_file"))
+    return per_file.groupBy("status").agg(
+        F.sum("rows_in_file").cast("bigint").alias("n_rows"),
+        F.count("*").alias("n_files"),
+        F.max("rows_in_file").cast("bigint").alias("max_file_rows"),
+        F.min("rows_in_file").cast("bigint").alias("min_file_rows"),
+    )
+
+
+@query(
+    "scan_partition_values_typed",
+    "§2.1 typed partition values (directory names inferred as DATE, pruned on a date filter)",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS o_month,
+           count(*) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE date_trunc('month', o_orderdate) >= DATE '1995-01-01'
+      AND date_trunc('month', o_orderdate) <  DATE '1996-01-01'
+    GROUP BY 1
+    """,
+)
+def scan_partition_values_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-value TYPE inference: a layout partitioned by a
+    derived month column writes directories like o_month=1995-01-01,
+    and the re-read infers the partition column as DATE (not string —
+    spark.sql.sources.partitionColumnTypeInference, default on), so a
+    date-range predicate becomes PartitionFilters: directories outside
+    1995 are never listed into the scan (asserted in
+    tests/test_round8_ops.py). This is static partition pruning on a
+    TYPED key — the layout every date-partitioned lake relies on; a
+    string-typed month would silently compare lexically and still
+    work for ISO dates, but range arithmetic (BETWEEN, interval math)
+    only plans correctly on the real type."""
+    out = _tmp("orders_month_part")
+    o = load(spark, sf_dir, "orders").withColumn(
+        "o_month", F.date_trunc("month", "o_orderdate").cast("date")
+    )
+    o.write.mode("overwrite").partitionBy("o_month").parquet(out)
+    back = spark.read.parquet(out).filter(
+        (F.col("o_month") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_month") < F.lit("1996-01-01").cast("date"))
+    )
+    return back.groupBy("o_month").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+    )

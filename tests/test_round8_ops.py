@@ -474,3 +474,24 @@ def test_poisson_bootstrap_thresholds_are_poisson1_cdf():
     ]
     for a, b in zip(cdf, literals):
         assert abs(a - b) < 1e-15, (a, b)
+
+
+def test_typed_partition_values_pruned(spark):
+    """scan_partition_values_typed's claims: the o_month partition
+    column must come back as DATE (type inference from directory
+    names), and the 1995 range filter must land in PartitionFilters
+    (out-of-range directories never reach the scan)."""
+    from spark_lineage_spark.operators.sources_sinks import scan_partition_values_typed
+
+    df = scan_partition_values_typed(spark, SF)
+    assert dict(df.dtypes)["o_month"] == "date"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_month" in m.group(1), plan
+    months = {r.o_month.month for r in df.collect()}
+    assert months and all(
+        r.o_month.year == 1995 for r in df.collect()
+    )

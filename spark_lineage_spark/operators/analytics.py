@@ -2405,3 +2405,96 @@ def stats_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deterministic stand-in for a real assignment column."""
     register_views(spark, sf_dir, ["events"])
     return spark.sql(_PROP_ZTEST_SQL)
+
+
+@query(
+    "graph_kcore",
+    "§2.14 k-core peeling (3 unrolled rounds, k = median initial degree)",
+    """
+    WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM pl a JOIN pl b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    d0 AS MATERIALIZED (SELECT n, count(*) AS d FROM (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) GROUP BY n),
+    kv AS MATERIALIZED (SELECT CAST(floor(quantile_cont(d, 0.5)) AS BIGINT) AS kk FROM d0),
+    k0 AS MATERIALIZED (SELECT n FROM d0, kv WHERE d >= kk),
+    e1 AS MATERIALIZED (SELECT u, v FROM e0 WHERE u IN (SELECT n FROM k0) AND v IN (SELECT n FROM k0)),
+    d1 AS MATERIALIZED (SELECT n, count(*) AS d FROM (SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1) GROUP BY n),
+    k1 AS MATERIALIZED (SELECT n FROM d1, kv WHERE d >= kk),
+    e2 AS MATERIALIZED (SELECT u, v FROM e1 WHERE u IN (SELECT n FROM k1) AND v IN (SELECT n FROM k1)),
+    d2 AS MATERIALIZED (SELECT n, count(*) AS d FROM (SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2) GROUP BY n),
+    k2 AS MATERIALIZED (SELECT n FROM d2, kv WHERE d >= kk),
+    e3 AS MATERIALIZED (SELECT u, v FROM e2 WHERE u IN (SELECT n FROM k2) AND v IN (SELECT n FROM k2)),
+    d3 AS MATERIALIZED (SELECT n, count(*) AS d FROM (SELECT u AS n FROM e3 UNION ALL SELECT v FROM e3) GROUP BY n)
+    SELECT 0 AS round, (SELECT count(*) FROM d0) AS n_nodes, (SELECT count(*) FROM e0) AS n_edges
+    UNION ALL
+    SELECT 1, (SELECT count(*) FROM d1), (SELECT count(*) FROM e1)
+    UNION ALL
+    SELECT 2, (SELECT count(*) FROM d2), (SELECT count(*) FROM e2)
+    UNION ALL
+    SELECT 3, (SELECT count(*) FROM d3), (SELECT count(*) FROM e3)
+    """,
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling on the co-purchase graph, with k set to the
+    MEDIAN initial degree (data-derived: a fixed literal k is either
+    vacuous or total depending on SF density — the median peels ~half
+    the nodes in round 1 at every scale): repeatedly drop nodes with
+    degree < k and the edges touching them — the standard
+    pre-filter that shrinks a graph to its cohesive core before
+    expensive algorithms (community detection, dense-subgraph mining)
+    run. Three unrolled BSP rounds (the graph_pagerank discipline:
+    bounded rounds, per-round lineage checkpoint to stop plan
+    growth), each one hash-agg for degrees + two semi-joins to
+    restrict edges — no driver-side iteration on data, only on plan
+    construction. Emits the survivor curve (nodes/edges per round):
+    monotone non-increasing, which the property test asserts; full
+    convergence detection would compare consecutive rounds — at scale
+    you run rounds until the count fixes, each round one shuffle."""
+    e = copurchase_edges(spark, sf_dir)
+    rounds = []
+    cur = e
+    kv = None
+    for r in range(4):
+        # the degree table is tiny (one row per surviving node) and
+        # feeds BOTH the round stats and the peel filter — checkpoint
+        # it so they share one materialization; n_edges = sum(d)/2
+        # exactly (every edge contributes two degree entries), saving
+        # a separate count job over the edge table
+        deg = (
+            cur.select(F.col("u").alias("n"))
+            .unionAll(cur.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .transform(lineage_checkpoint_lazy)
+        )
+        if kv is None:  # threshold from ROUND-0 degrees, fixed thereafter
+            kv = F.broadcast(
+                deg.agg(
+                    F.floor(F.expr("percentile(d, 0.5)")).cast("bigint").alias("kk")
+                )
+            ).transform(lineage_checkpoint_lazy)
+        row = deg.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.expr("CAST(coalesce(sum(d), 0) DIV 2 AS BIGINT)").alias("n_edges"),
+        ).select(F.lit(r).alias("round"), "n_nodes", "n_edges")
+        rounds.append(row)
+        if r < 3:
+            keep = (
+                deg.crossJoin(F.broadcast(kv))
+                .filter(F.col("d") >= F.col("kk"))
+                .select("n")
+            )
+            cur = (
+                cur.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
+                .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+                .select("u", "v")
+                .transform(lineage_checkpoint_lazy)
+            )
+    out = rounds[0]
+    for r_df in rounds[1:]:
+        out = out.unionAll(r_df)
+    return out

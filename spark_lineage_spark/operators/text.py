@@ -3064,3 +3064,66 @@ def llm_langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_true"
         ),
     )
+
+
+@query(
+    "llm_pack_ffd",
+    "§2.11 first-fit-decreasing sequence packing (real bin packing, per-source)",
+    # rows-only: FFD's sequential first-fit state (which bin each doc
+    # landed in depends on every prior placement) is not expressible in
+    # set-oriented SQL; invariants are pinned by
+    # tests/test_round8_ops.py::test_ffd_packing_invariants (capacity
+    # respected, token conservation, bin count bracketed by the
+    # theoretical lower bound and the one-doc-per-bin upper bound).
+)
+def llm_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL bin packing for training batches — first-fit-decreasing
+    into 512-token bins, the quality upgrade over llm_pack_sequences'
+    concat-and-chunk (which splits documents across context windows;
+    FFD never splits, it wastes the slack instead, and FFD's bin
+    count is provably ≤ 11/9·OPT + 6/9). Sequential state makes this
+    a grouped map: applyInPandas per source (each group sorted by
+    tokens desc, doc_id asc — fully deterministic), linear first-fit
+    within the group. At 100 TB the GROUP is the parallelism unit —
+    real pipelines bucket by (source, length-band, shard) so each
+    group is a few thousand docs; packing quality only needs
+    within-group locality, never a global pack. Oversized docs (>512
+    tokens) get singleton bins, flagged via oversize count. Output is
+    per-bin: doc count, tokens used, utilization."""
+    import pandas as pd
+
+    CAP = 512
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).alias("tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["tokens", "doc_id"], ascending=[False, True])
+        src = pdf["source"].iloc[0] if len(pdf) else None
+        bins = []  # list of [used_tokens, n_docs]
+        for t in pdf["tokens"]:
+            t = int(t)
+            for b in bins:
+                if b[0] + t <= CAP:
+                    b[0] += t
+                    b[1] += 1
+                    break
+            else:
+                bins.append([t, 1])
+        return pd.DataFrame(
+            {
+                "source": [src] * len(bins),
+                "bin_id": range(len(bins)),
+                "n_docs": [b[1] for b in bins],
+                "tokens_used": [b[0] for b in bins],
+                "oversize": [1 if b[0] > CAP else 0 for b in bins],
+            }
+        )
+
+    return docs.groupBy("source").applyInPandas(
+        pack,
+        "source string, bin_id long, n_docs long, tokens_used long, oversize int",
+    )

@@ -210,7 +210,7 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
 # ``python tools/promote_verified.py`` to append its green keys to
 # _DRIVER_VERIFIED_ROUNDS_AGO and empty the queues below.  Skipping
 # this exact step wasted round 3 and nearly round 5 (VERDICT r4 item 1).
-# THEN also empty _VERIFY_AFTER (move its 29 names into the normal
+# THEN also empty _VERIFY_AFTER (move its 31 names into the normal
 # unverified flow): they were registered past round 8's 50-row budget,
 # are all green in the local driver simulation, and must be the head
 # of round 9's official run.
@@ -254,6 +254,8 @@ _VERIFY_AFTER = [
     "sink_max_records_per_file",
     "scan_partition_values_typed",
     "stats_proportion_ztest",
+    "graph_kcore",
+    "llm_pack_ffd",
     "sql_rebalance_hints",
     "scan_file_metadata_column",
     "stats_bootstrap_ci",

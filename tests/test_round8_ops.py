@@ -495,3 +495,58 @@ def test_typed_partition_values_pruned(spark):
     assert months and all(
         r.o_month.year == 1995 for r in df.collect()
     )
+
+
+def test_ffd_packing_invariants(spark):
+    """FFD invariants: no non-oversize bin exceeds capacity, oversize
+    bins are singletons, tokens are conserved exactly vs the source
+    table, and the bin count is bracketed by the theoretical lower
+    bound ceil(total/CAP) and the one-doc-per-bin upper bound."""
+    import math
+
+    import duckdb
+
+    from spark_lineage_spark.operators.text import llm_pack_ffd
+
+    rows = llm_pack_ffd(spark, SF).collect()
+    assert rows
+    per_source = {}
+    for r in rows:
+        assert r.oversize in (0, 1)
+        if r.oversize == 0:
+            assert r.tokens_used <= 512, r
+        else:
+            assert r.n_docs == 1, r
+        s = per_source.setdefault(r.source, [0, 0, 0])
+        s[0] += r.tokens_used
+        s[1] += r.n_docs
+        s[2] += 1
+    truth = {
+        src: (int(tok), int(n))
+        for src, tok, n in duckdb.sql(
+            f"""
+            SELECT source, sum(len(string_split(text, ' '))), count(*)
+            FROM '{SF}/documents.parquet' GROUP BY source
+            """
+        ).fetchall()
+    }
+    for src, (tok, n, nbins) in per_source.items():
+        t_tok, t_n = truth[src]
+        assert tok == t_tok, (src, tok, t_tok)  # token conservation
+        assert n == t_n
+        assert math.ceil(t_tok / 512) <= nbins <= t_n, (src, nbins)
+
+
+def test_kcore_survivor_curve_monotone(spark):
+    """Peeling can only shrink the graph: nodes and edges per round
+    are non-increasing, and every survivor set is a subset story the
+    oracle already value-checks — here we pin monotonicity and that
+    round 0 matches the raw co-purchase graph."""
+    from spark_lineage_spark.operators.analytics import copurchase_edges, graph_kcore
+
+    rows = {r.round: r for r in graph_kcore(spark, SF).collect()}
+    assert sorted(rows) == [0, 1, 2, 3]
+    for r in range(1, 4):
+        assert rows[r].n_nodes <= rows[r - 1].n_nodes
+        assert rows[r].n_edges <= rows[r - 1].n_edges
+    assert rows[0].n_edges == copurchase_edges(spark, SF).count()

@@ -2871,3 +2871,54 @@ def profile_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("stale")
         .alias("freshness"),
     )
+
+
+@query(
+    "profile_join_fanout",
+    "§2.4/§4 join fan-out diagnostics (predicted output rows == actual, per key class)",
+    """
+    WITH l AS (SELECT o_custkey AS k, count(*) AS nl FROM orders GROUP BY o_custkey),
+    r AS (SELECT c_custkey AS k, count(*) AS nr FROM customer GROUP BY c_custkey),
+    j AS (SELECT l.k, l.nl, r.nr, l.nl * r.nr AS fanout FROM l JOIN r USING (k))
+    SELECT CAST(sum(fanout) AS BIGINT) AS predicted_rows,
+           (SELECT count(*) FROM orders o JOIN customer c
+             ON o.o_custkey = c.c_custkey) AS actual_rows,
+           CAST(max(fanout) AS BIGINT) AS max_key_fanout,
+           CAST(count(*) AS BIGINT) AS n_join_keys
+    FROM j
+    """,
+)
+def profile_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-flight check that catches row-explosion joins BEFORE
+    they run: per-key counts on both sides, fanout = nl·nr per key,
+    Σ fanout = the join's exact output cardinality — verified here by
+    actually running the join and matching the prediction (the oracle
+    states both). The two count-aggregates are a tiny fraction of the
+    join's cost (map-side partials, keys-only shuffle), so at 100 TB
+    this runs as a cheap guard: a max_key_fanout in the millions says
+    'salt this key' (profile_join_skew's remedy) and an unexpected
+    predicted_rows says the join key isn't the grain you thought —
+    both found by arithmetic, not by OOMing the shuffle."""
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    l_cnt = o.groupBy("k").agg(F.count("*").alias("nl"))
+    r_cnt = c.groupBy("k").agg(F.count("*").alias("nr"))
+    j = l_cnt.join(r_cnt, "k").select(
+        "k", (F.col("nl") * F.col("nr")).alias("fanout")
+    )
+    pred = j.agg(
+        F.sum("fanout").cast("bigint").alias("predicted_rows"),
+        F.max("fanout").cast("bigint").alias("max_key_fanout"),
+        F.count("*").cast("bigint").alias("n_join_keys"),
+    )
+    actual = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .agg(F.count("*").alias("actual_rows"))
+    )
+    return pred.crossJoin(F.broadcast(actual)).select(
+        "predicted_rows", "actual_rows", "max_key_fanout", "n_join_keys"
+    )

@@ -1787,3 +1787,43 @@ def fn_array_mutation_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("arr").alias("n_raw"),
         F.size(compact).alias("n_compact"),
     )
+
+
+@query(
+    "fn_levenshtein_bounded",
+    "§2.8 bounded levenshtein (threshold arg: early-exit -1 beyond k, Spark 4)",
+    """
+    SELECT d1.doc_id AS da, d2.doc_id AS db,
+           CASE WHEN levenshtein(substr(d1.text, 1, 30), substr(d2.text, 1, 30)) <= 5
+                THEN levenshtein(substr(d1.text, 1, 30), substr(d2.text, 1, 30))
+                ELSE -1 END AS lev5,
+           levenshtein(substr(d1.text, 1, 30), substr(d2.text, 1, 30)) <= 5 AS within5
+    FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+    WHERE d1.doc_id % 7 = 0 AND d1.doc_id < 700
+    """,
+)
+def fn_levenshtein_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-argument levenshtein(s1, s2, k) — Spark's banded DP that
+    stops the moment the distance provably exceeds k and returns -1,
+    turning the O(|s1|·|s2|) table into an O(k·max_len) band. This is
+    the form a dedup verify stage should call (llm_dedup_edit_distance
+    documents the same cap applied AFTER the fact; the threshold arg
+    pushes it INTO the DP). Semantics pinned against DuckDB computing
+    the full distance and applying the cap arithmetically: identical
+    answers, different asymptotics. Adjacent-doc pairs via an
+    equi-join keep the pair count linear."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 30).alias("t")
+    )
+    a = d.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 700)).select(
+        F.col("doc_id").alias("da"), F.col("t").alias("ta")
+    )
+    b = d.select((F.col("doc_id") - 1).alias("da"), F.col("t").alias("tb"),
+                 F.col("doc_id").alias("db"))
+    j = a.join(b, "da")
+    return j.select(
+        "da",
+        "db",
+        F.expr("levenshtein(ta, tb, 5)").alias("lev5"),
+        (F.expr("levenshtein(ta, tb, 5)") >= 0).alias("within5"),
+    )

@@ -1339,3 +1339,105 @@ def scan_partition_values_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_cents"),
     )
+
+
+@query(
+    "scan_text_wholetext",
+    "§2.1 wholetext scan (one row per FILE, not per line)",
+    """
+    SELECT count(*) AS n_files,
+           CAST(sum(length(payload)) AS BIGINT) AS total_chars,
+           CAST(sum(CASE WHEN payload LIKE '%
+%' THEN 1 ELSE 0 END) AS BIGINT) AS files_with_newline
+    FROM (
+      SELECT concat('doc ', CAST(doc_id AS VARCHAR), chr(10), substr(text, 1, 80))
+               AS payload
+      FROM documents WHERE doc_id < 40
+    )
+    """,
+)
+def scan_text_wholetext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.read.text(..., wholetext=True): one row per FILE with the
+    complete (multi-line) content — the mode for document formats
+    where line-splitting destroys the record (licenses, configs, legal
+    docs). 40 two-line payloads are staged one per file (a
+    partitionBy(doc_id) text write: one directory, one file, one
+    record each), then the wholetext re-read must see exactly 40 rows, each
+    keeping its embedded newline — the oracle recomputes payload
+    lengths and newline presence from the source table. Scale note in
+    plan terms: wholetext makes each FILE the minimum split unit
+    (spark.read.text normally splits large files by lines) — fine for
+    many small docs, the wrong mode for a 10 GB file."""
+    out = _tmp("docs_wholetext")
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select(
+            F.col("doc_id"),
+            F.concat(
+                F.lit("doc "),
+                F.col("doc_id").cast("string"),
+                F.lit("\n"),
+                F.substring("text", 1, 80),
+            ).alias("value"),
+        )
+    )
+    # one record per FILE, deterministically: partitionBy gives each doc
+    # its own directory (repartition(40) round-robin can co-locate two)
+    d.write.mode("overwrite").partitionBy("doc_id").text(out)
+    back = (
+        spark.read.text(out, wholetext=True)
+        .filter(F.length("value") > 0)
+        .drop("doc_id")
+    )
+    # trailing newline added by the text sink per record is stripped so
+    # lengths match the staged payloads
+    payload = F.expr("rtrim('\\n', value)")
+    return back.select(payload.alias("payload")).agg(
+        F.count("*").alias("n_files"),
+        F.sum(F.length("payload")).cast("bigint").alias("total_chars"),
+        F.sum(F.when(F.col("payload").contains("\n"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("files_with_newline"),
+    )
+
+
+@query(
+    "sink_csv_gzip_roundtrip",
+    "§2.1 compressed sink (codec=gzip) + transparent decompressing scan",
+    """
+    SELECT c_mktsegment, count(*) AS n,
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS bal_cents
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def sink_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side compression codec: option("compression","gzip") on a
+    CSV sink produces .csv.gz part files; the scan decompresses
+    transparently by extension. The operational trade pinned in the
+    docstring: gzip is NOT splittable — each .gz file is one task on
+    re-read, so pair it with maxRecordsPerFile/repartition at write
+    time (at 100 TB, unsplittable monoliths serialize the whole scan);
+    columnar+zstd parquet remains the default, CSV+gzip is the
+    interchange-format case. Values go through integer cents so the
+    text round-trip needs no float tolerance."""
+    out = _tmp("customer_csv_gz")
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").alias("bal_cents"),
+    )
+    (
+        c.write.mode("overwrite")
+        .option("header", True)
+        .option("compression", "gzip")
+        .csv(out)
+    )
+    back = spark.read.schema("c_custkey bigint, c_mktsegment string, bal_cents bigint").option(
+        "header", True
+    ).csv(out)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum("bal_cents").cast("bigint").alias("bal_cents"),
+    )

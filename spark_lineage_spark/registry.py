@@ -210,7 +210,7 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
 # ``python tools/promote_verified.py`` to append its green keys to
 # _DRIVER_VERIFIED_ROUNDS_AGO and empty the queues below.  Skipping
 # this exact step wasted round 3 and nearly round 5 (VERDICT r4 item 1).
-# THEN also empty _VERIFY_AFTER (move its 31 names into the normal
+# THEN also empty _VERIFY_AFTER (move its 35 names into the normal
 # unverified flow): they were registered past round 8's 50-row budget,
 # are all green in the local driver simulation, and must be the head
 # of round 9's official run.
@@ -256,6 +256,10 @@ _VERIFY_AFTER = [
     "stats_proportion_ztest",
     "graph_kcore",
     "llm_pack_ffd",
+    "scan_text_wholetext",
+    "sink_csv_gzip_roundtrip",
+    "fn_levenshtein_bounded",
+    "profile_join_fanout",
     "sql_rebalance_hints",
     "scan_file_metadata_column",
     "stats_bootstrap_ci",

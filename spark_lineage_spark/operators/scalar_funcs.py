@@ -1129,7 +1129,7 @@ def fn_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "§2.8 extended regex battery: regexp_extract_all / count / instr / substr",
     """
     SELECT p_partkey,
-           regexp_extract_all(p_name, '[a-z]+') AS all_words,
+           array_to_string(regexp_extract_all(p_name, '[a-z]+'), ',') AS all_words,
            CAST(len(regexp_extract_all(p_name, 'o[a-z]')) AS INT) AS n_o_pairs,
            CASE WHEN regexp_matches(p_name, 'la') THEN strpos(p_name, 'la')
                 ELSE 0 END AS first_la_pos,
@@ -1146,11 +1146,18 @@ def fn_regex_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     (first matching substring, NULL → coalesced for the oracle).
     The oracle rebuilds each from DuckDB's regexp primitives —
     strpos stands in for regexp_instr on the literal pattern. All
-    map-side expressions inside whole-stage codegen."""
+    map-side expressions inside whole-stage codegen.
+
+    ``all_words`` is serialized with ``array_join`` (oracle:
+    ``array_to_string``): the driver's canonicalizer sorts the pandas
+    frame and cannot hash a raw numpy array column — the CSV string
+    still pins every match and its order (CORRECTNESS_r08 failure)."""
     p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 3 == 0)
     return p.select(
         "p_partkey",
-        F.expr("regexp_extract_all(p_name, '[a-z]+', 0)").alias("all_words"),
+        F.array_join(
+            F.expr("regexp_extract_all(p_name, '[a-z]+', 0)"), ","
+        ).alias("all_words"),
         F.expr("CAST(regexp_count(p_name, 'o[a-z]') AS INT)").alias("n_o_pairs"),
         F.expr("CAST(regexp_instr(p_name, 'la') AS INT)").alias("first_la_pos"),
         F.expr("coalesce(regexp_substr(p_name, '[a-z]*o[a-z]*'), '')").alias(

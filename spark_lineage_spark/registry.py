@@ -198,36 +198,37 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "ts_session_window_builtin", "ts_user_streaks", "udf_grouped_map_normalize",
     "udf_map_in_pandas", "udf_pandas_grouped_agg", "udf_pandas_scalar",
     "udtf_analyze_polymorphic",
+    # round 8 verified (CORRECTNESS_r08.json)
+    "agg_approx_top_k", "agg_filter_clause", "agg_grouping_id",
+    "agg_percentile_within_group", "agg_stack_unpivot", "cdc_scd6",
+    "fn_datetime_construct_battery", "fn_generator_inline", "fn_map_hof_battery",
+    "fn_sql_misc_battery", "fn_string_helpers_battery", "fn_try_collection_access",
+    "fn_variant_explode", "fn_xpath_battery", "hist_zorder_range_probe",
+    "llm_ann_ivf_int8", "llm_bpe_apply_merges", "llm_chat_template_flatten",
+    "llm_dedup_index_compaction", "llm_embedding_drift", "llm_length_bucket_batching",
+    "llm_ngram_backoff_score", "pandas_api_groupby_merge", "scan_ignore_corrupt_files",
+    "scan_modified_after", "scan_nested_schema_pruning", "scan_path_glob_recursive",
+    "sql_distribute_cluster_by", "sql_identifier_clause", "sql_named_window_clause",
+    "sql_tablesample", "sql_transpose", "sql_udf_scalar_table",
+    "stat_crosstab", "stat_df_battery", "stats_ols_two_feature",
+    "stats_theil_sen", "stream_foreach_writer", "stream_observe_metrics",
+    "stream_source_archive_cleanup", "stream_stream_left_outer_join", "stream_update_mode_agg",
+    "subq_quantified_any_all", "ts_calendar_dim", "udf_arrow_optimized",
+    "udf_pandas_iterator", "udtf_table_argument", "win_funnel_wilson",
+    "win_range_interval_time",
 ]
 
 # Among the not-yet-verified queries, run these FIRST.  After the
 # round-8-start promotion the official record covers all 295 round-7
-# queries with zero failures; the head below is the NEW round-8
-# registrations, so the driver's round-8 budget lands official rows on
-# every new query.
+# queries with zero failures.
 #
-# ROUND-9 BUILDER: after CORRECTNESS_r08.json lands, run
-# ``python tools/promote_verified.py`` to append its green keys to
-# _DRIVER_VERIFIED_ROUNDS_AGO and empty the queues below.  Skipping
-# this exact step wasted round 3 and nearly round 5 (VERDICT r4 item 1).
-# THEN also empty _VERIFY_AFTER (move its 35 names into the normal
-# unverified flow): they were registered past round 8's 50-row budget,
-# are all green in the local driver simulation, and must be the head
-# of round 9's official run.
+# Round 9: the 34 oracle-bearing queries deferred past round 8's 50-row
+# budget (the old _VERIFY_AFTER contents, all driver-sim green) head the
+# official run, plus fn_regex_extended (the single r8 failure, fixed:
+# all_words now array_join-serialized so the driver canonicalizer can
+# hash it).  36 unverified total — within the ~50-row budget.
 _VERIFY_FIRST = [
-    # round-8 additions
-]
-
-# ... and run these LAST among the unverified: rows-only checks (weaker
-# rows) — they cost driver seconds for a weaker record, so oracle-bearing
-# queries go first.
-_VERIFY_LAST = []
-
-# Queries whose first official row should wait for a later round (used
-# when the driver's per-round budget is already fully allocated above).
-# The round-8 budget (~50) is exactly filled by the 50 unverified
-# additions registered before these; they verify at round 9.
-_VERIFY_AFTER = [
+    "fn_regex_extended",
     "agg_kmv_union",
     "llm_dedup_bloom_prefilter",
     "scan_csv_multiline_quotes",
@@ -255,7 +256,6 @@ _VERIFY_AFTER = [
     "scan_partition_values_typed",
     "stats_proportion_ztest",
     "graph_kcore",
-    "llm_pack_ffd",
     "scan_text_wholetext",
     "sink_csv_gzip_roundtrip",
     "fn_levenshtein_bounded",
@@ -264,6 +264,17 @@ _VERIFY_AFTER = [
     "scan_file_metadata_column",
     "stats_bootstrap_ci",
 ]
+
+# ... and run these LAST among the unverified: rows-only checks (weaker
+# rows) — they cost driver seconds for a weaker record, so oracle-bearing
+# queries go first.
+_VERIFY_LAST = [
+    "llm_pack_ffd",  # FFD bin packing: no SQL oracle; invariants property-tested
+]
+
+# Queries whose first official row should wait for a later round (used
+# when the driver's per-round budget is already fully allocated above).
+_VERIFY_AFTER = []
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -1057,7 +1057,11 @@ def stat_df_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_freq_flags reports. cov/corr are rounded to 6 dp because the
     co-moment accumulation order varies with partitioning (measured
     ulp-level spread at sf0.1); the property-level agreement with the
-    exact decimal-sum computation is tests/test_aggregates_stat.py."""
+    exact decimal-sum computation is tests/test_aggregates_stat.py.
+    The quantile_disc equivalence is NOT fixture-luck: both engines use
+    nearest-rank ceil(p*n) 1-based, pinned on duplicate-free data
+    across odd/even n by test_exact_quantile_convention_matches_duckdb
+    (ADVICE r8)."""
     li = load(spark, sf_dir, "lineitem")
     cov = li.stat.cov("l_quantity", "l_extendedprice")
     corr = li.stat.corr("l_quantity", "l_extendedprice")

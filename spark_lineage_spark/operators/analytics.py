@@ -1732,7 +1732,11 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine); the median is an explicit two-rank selection
     (avg of lower/upper middle), not an engine median() whose
     interpolation may differ. Intercept = median of (y - m·x) with the
-    ROUNDED m, so both engines feed identical inputs."""
+    same UNROUNDED m on both sides (Spark: the collected slope median;
+    oracle: (SELECT m FROM med)) — the two engines average the same
+    two exact-integer-ratio doubles, so the inputs are bit-identical
+    without rounding; rounding on one side only would break parity
+    (ADVICE r8 docstring fix)."""
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     daily = ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("d")).agg(
         F.sum(F.expr("CAST(round(value * 1000000) AS BIGINT)")).alias("rev")

@@ -1390,9 +1390,16 @@ def scan_text_wholetext(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("value") > 0)
         .drop("doc_id")
     )
-    # trailing newline added by the text sink per record is stripped so
-    # lengths match the staged payloads
-    payload = F.expr("rtrim('\\n', value)")
+    # the text sink appends exactly ONE record terminator per record —
+    # strip exactly one trailing '\n', not rtrim (which would also eat
+    # newlines belonging to the payload itself if substr(text,1,80)
+    # ended in '\n'; ADVICE r8). Guarded substring, no regex: Java's
+    # '$' can also anchor before a final line terminator, making
+    # regexp_replace(value,'\n$','') ambiguous on '...\n\n'.
+    payload = F.expr(
+        "CASE WHEN substring(value, -1, 1) = '\\n'"
+        " THEN substring(value, 1, length(value) - 1) ELSE value END"
+    )
     return back.select(payload.alias("payload")).agg(
         F.count("*").alias("n_files"),
         F.sum(F.length("payload")).cast("bigint").alias("total_chars"),

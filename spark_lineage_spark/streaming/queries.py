@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -1514,7 +1515,7 @@ def stream_source_archive_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame
     from spark_lineage_spark.tables import _normalize_ts
 
     split = _split_events_dir(sf_dir)
-    run_dir = tempfile.mkdtemp(prefix="sls_arch_")
+    run_dir = tempfile.mkdtemp(prefix=f"sls_arch_{os.getpid()}_")
     inbox = os.path.join(run_dir, "inbox")
     archive = os.path.join(run_dir, "archive")
     os.makedirs(inbox)
@@ -1536,11 +1537,30 @@ def stream_source_archive_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame
     out = run_to_memory(agg, mode="complete")
     out = out.transform(lineage_checkpoint)
     # leave run_dir for the property test to inspect via the most
-    # recent sls_arch_ dir; stale dirs are reaped on the next call
+    # recent sls_arch_ dir; stale dirs are reaped on later calls, but
+    # ONLY when their owning process is provably dead — an unconditional
+    # rmtree here deleted a LIVE concurrent run's inbox/archive
+    # mid-stream (bench + oracle-check concurrently; ADVICE r8). The
+    # pid is embedded in the prefix, matching _proc_suffix discipline;
+    # legacy un-pidded sls_arch_ dirs reap on age (>1h) instead.
+    from spark_lineage_spark.operators.sources_sinks import _pid_alive
+
+    now = time.time()
     for stale in os.listdir(tempfile.gettempdir()):
         p = os.path.join(tempfile.gettempdir(), stale)
-        if stale.startswith("sls_arch_") and p != run_dir:
-            shutil.rmtree(p, ignore_errors=True)
+        if not stale.startswith("sls_arch_") or p == run_dir:
+            continue
+        pid_s = stale[len("sls_arch_"):].split("_", 1)[0]
+        if pid_s.isdigit():
+            if int(pid_s) != os.getpid() and not _pid_alive(int(pid_s)):
+                shutil.rmtree(p, ignore_errors=True)
+        else:
+            try:
+                age_ok = now - os.path.getmtime(p) > 3600
+            except OSError:
+                age_ok = False
+            if age_ok:
+                shutil.rmtree(p, ignore_errors=True)
     return out
 
 

@@ -47,6 +47,31 @@ def test_approx_quantile_rank_bound(lineitem):
         )
 
 
+def test_exact_quantile_convention_matches_duckdb(spark):
+    """Pin the EXACT-rank convention (ADVICE r8): Spark's
+    approxQuantile(col, [p], 0.0) and DuckDB's quantile_disc must pick
+    the SAME order statistic on duplicate-free data — stat_df_battery's
+    oracle equates them, and heavy duplication in l_quantity must not
+    be the only thing masking a convention gap. Probed across odd/even
+    n (incl. n % 4 residues, where ceil(p*n) vs floor(p*(n-1))
+    conventions would pick adjacent order statistics for p=0.25/0.75):
+    both engines land on nearest-rank ceil(p*n), 1-based."""
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    for n in (4, 5, 6, 7, 9, 10, 11, 12, 101, 102, 103, 104):
+        vals = [float(i * 10 + 3) for i in range(1, n + 1)]  # strictly increasing
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        for p in (0.25, 0.5, 0.75):
+            (sq,) = df.stat.approxQuantile("x", [p], 0.0)
+            (dq,) = con.execute(
+                f"SELECT quantile_disc(x, {p}) FROM (SELECT unnest({vals}) AS x)"
+            ).fetchone()
+            assert sq == dq == vals[math.ceil(p * n) - 1], (n, p, sq, dq)
+
+
 def test_freq_items_superset(lineitem):
     n = lineitem.count()
     support = 0.1

@@ -13,6 +13,17 @@ and the median discards it — sequential best-of-2 let one bad window
 swing the official total ±15% (round 6). The per-query minima are
 also reported (key "best") for continuity with the pre-round-7
 best-of-2 numbers.
+
+Round 9: N_PASSES 3 → 5 (a median of 5 survives TWO stalled passes;
+round 8's official total inflated 1.76× with per-query medians up to
+9× their minima — multi-second host stalls hit 2 of 3 passes) and the
+JSON now carries a CPU CALIBRATION block ("cal_1t_ms" single-thread,
+"cal_mt_ms" per-proc under full 32-way load, before/after the run).
+Measured on this host: single-thread bursts run 1.5-2.5× slower than
+sustained parallel load (host-side clock behavior, steal≈0) — exactly
+the shape of Spark driver-side coordination — so the calibration
+numbers let any reader separate engine regressions from host state:
+if value inflates while cal_1t_ms also inflates, it's the box.
 """
 
 from __future__ import annotations
@@ -48,7 +59,7 @@ HEADLINE = [
     "stream_tumbling_window",
 ]
 
-N_PASSES = 3
+N_PASSES = 5
 
 
 def materialize(df) -> None:
@@ -56,8 +67,46 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _burn(_: int) -> float:
+    t0 = time.time()
+    s = 0
+    for i in range(10**7):
+        s += i * i
+    return time.time() - t0
+
+
+def calibrate() -> dict:
+    """Host-state probe: ms for a fixed single-thread integer loop, and
+    the same loop's per-process ms under full-width parallel load.
+    On a healthy host the two are within ~1.2×; a cal_1t_ms much above
+    cal_mt_ms means bursty single-thread work (Spark driver/py4j
+    coordination) is running at a reduced clock and wall times are
+    inflated for environmental, not engine, reasons."""
+    import multiprocessing as mp
+
+    one = min(_burn(0) for _ in range(3))
+    n = os.cpu_count() or 8
+    with mp.Pool(n) as pool:
+        multi = statistics.median(pool.map(_burn, range(n)))
+    return {"cal_1t_ms": round(one * 1000), "cal_mt_ms": round(multi * 1000)}
+
+
+def _steal_ticks() -> int:
+    """Hypervisor steal ticks (USER_HZ) from /proc/stat — the delta
+    across the run is direct evidence of host-side stall episodes
+    (observed: identical queries swinging 1.6 s ↔ 40 s while guest
+    PSI stayed 0.00 and the steal counter jumped)."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except Exception:
+        return -1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cal_before = calibrate()
+    steal0 = _steal_ticks()
     specs = load_all()
     spark = build_spark("sls_bench")
     # JVM/codegen warm-up on a tiny query (not timed)
@@ -74,6 +123,7 @@ def main() -> None:
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
     }
     best = {name: round(min(ts), 3) for name, ts in samples.items()}
+    spread = {name: round(max(ts) / min(ts), 2) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -89,6 +139,10 @@ def main() -> None:
                 "queries": timings,
                 "best": best,
                 "passes": N_PASSES,
+                "spread": spread,
+                "cal_before": cal_before,
+                "cal_after": calibrate(),
+                "steal_ticks": _steal_ticks() - steal0,
                 "sf": sf,
             }
         )

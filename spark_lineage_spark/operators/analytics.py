@@ -2502,3 +2502,382 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r_df in rounds[1:]:
         out = out.unionAll(r_df)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round-9 additions (SURVEY §2.18): rank correlations, association
+# measures, distribution diagnostics, exponential smoothing.  All use
+# the shared-SQL-text pattern (stats_ols_two_feature precedent): ONE
+# SQL string runs in both Spark and the DuckDB oracle, so the engines
+# execute identical arithmetic on identical exact-integer moments.
+# ---------------------------------------------------------------------------
+
+# Spearman rho via the JOINT-FREQUENCY formulation, not corr-of-ranks
+# over raw rows: both columns are low-cardinality (50 quantities x 11
+# discount ticks), so average ranks are computed on the tiny per-value
+# marginal tables (2*avg_rank = 2*cum_count_before + cnt + 1, an exact
+# integer) and rho is a weighted Pearson over <=550 joint cells.  At
+# 100 TB this is one hash-agg over the fact table + windows over
+# ~50-row tables — no global rank window over raw rows (which would be
+# the naive single-partition sort).  Doubles appear only in the O(1)
+# finish; every moment is an exact DECIMAL(38,0) sum.
+_SPEARMAN_SQL = """
+WITH cells AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+qm AS (
+  SELECT q,
+         CAST(2 * COALESCE(SUM(cq) OVER (ORDER BY q
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + cq + 1 AS BIGINT) AS rq2
+  FROM (SELECT q, CAST(sum(c) AS BIGINT) AS cq FROM cells GROUP BY q) mq
+),
+dm AS (
+  SELECT d,
+         CAST(2 * COALESCE(SUM(cd) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + cd + 1 AS BIGINT) AS rd2
+  FROM (SELECT d, CAST(sum(c) AS BIGINT) AS cd FROM cells GROUP BY d) md
+),
+m AS (
+  SELECT CAST(sum(CAST(c AS DECIMAL(38,0))) AS DOUBLE) AS n,
+         CAST(sum(CAST(c AS DECIMAL(38,0)) * CAST(rq2 AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(c AS DECIMAL(38,0)) * CAST(rd2 AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(c AS DECIMAL(38,0)) * CAST(rq2 AS DECIMAL(38,0))
+                  * CAST(rd2 AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(c AS DECIMAL(38,0)) * CAST(rq2 AS DECIMAL(38,0))
+                  * CAST(rq2 AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(c AS DECIMAL(38,0)) * CAST(rd2 AS DECIMAL(38,0))
+                  * CAST(rd2 AS DECIMAL(38,0))) AS DOUBLE) AS syy
+  FROM cells JOIN qm USING (q) JOIN dm USING (d)
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       round((n * sxy - sx * sy)
+             / nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0), 6)
+         AS spearman_rho
+FROM m
+"""
+
+
+@query(
+    "stats_spearman_corr",
+    "§2.18 Spearman rank correlation (tie-corrected, joint-frequency formulation)",
+    _SPEARMAN_SQL,
+)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rho between l_quantity and l_discount with proper
+    average-rank tie handling — the robust monotone-association check
+    that Pearson corr (agg_linear_regression) is not.  Both columns
+    are low-cardinality, so the implementation never ranks raw rows:
+    one hash-agg collapses the facts to <=550 (quantity, discount)
+    cells, marginal average ranks come from window cumsums over the
+    ~50-row marginal tables (doubled to stay integer), and rho is the
+    weighted Pearson over the cells — exact DECIMAL(38,0) moments, a
+    double finish rounded to 6 dp.  Identical SQL text runs in both
+    engines.  Property-tested against pandas' spearman on sf0.001
+    (tests/test_round9_ops.py)."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_SPEARMAN_SQL)
+
+
+# Kendall tau-b from the same joint-frequency table: concordant /
+# discordant pair MASS via a self-join over <=550 cells (every raw-row
+# pair is counted through its cell pair's c_i*c_j product), tie terms
+# from the marginals.  The O(cells^2) stage is ~300k cell pairs at ANY
+# scale factor — the fact table is touched exactly once.
+_KENDALL_SQL = """
+WITH cells AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+nn AS (SELECT CAST(sum(CAST(c AS DECIMAL(38,0))) AS DOUBLE) AS n FROM cells),
+conc AS (
+  SELECT CAST(COALESCE(sum(CAST(a.c AS DECIMAL(38,0)) * CAST(b.c AS DECIMAL(38,0))), 0) AS DOUBLE) AS cc
+  FROM cells a JOIN cells b ON a.q < b.q AND a.d < b.d
+),
+disc AS (
+  SELECT CAST(COALESCE(sum(CAST(a.c AS DECIMAL(38,0)) * CAST(b.c AS DECIMAL(38,0))), 0) AS DOUBLE) AS dd
+  FROM cells a JOIN cells b ON a.q < b.q AND a.d > b.d
+),
+tq AS (
+  SELECT CAST(COALESCE(sum(CAST(cq AS DECIMAL(38,0)) * CAST(cq - 1 AS DECIMAL(38,0))), 0) AS DOUBLE) / 2 AS t1
+  FROM (SELECT CAST(sum(c) AS BIGINT) AS cq FROM cells GROUP BY q) mq
+),
+td AS (
+  SELECT CAST(COALESCE(sum(CAST(cd AS DECIMAL(38,0)) * CAST(cd - 1 AS DECIMAL(38,0))), 0) AS DOUBLE) / 2 AS t2
+  FROM (SELECT CAST(sum(c) AS BIGINT) AS cd FROM cells GROUP BY d) md
+)
+SELECT CAST(nn.n AS BIGINT) AS n_rows,
+       round((conc.cc - disc.dd)
+             / nullif(sqrt((nn.n * (nn.n - 1) / 2 - tq.t1)
+                           * (nn.n * (nn.n - 1) / 2 - td.t2)), 0), 6)
+         AS kendall_tau_b
+FROM nn, conc, disc, tq, td
+"""
+
+
+@query(
+    "stats_kendall_tau",
+    "§2.18 Kendall tau-b (tie-corrected, cell-pair mass formulation)",
+    _KENDALL_SQL,
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between l_quantity and l_discount.  The naive
+    definition is O(n^2) over raw rows — 1.8e11 pairs at sf0.1,
+    impossible at 100 TB.  The cell formulation computes the SAME
+    statistic exactly: concordant/discordant pair mass is a self-join
+    over the <=550-cell joint-frequency table (sum of c_i*c_j over
+    cell pairs with both strict orders), tie corrections come from the
+    marginal counts, so the quadratic piece is SF-INDEPENDENT and the
+    facts are scanned once.  All masses are exact DECIMAL(38,0); the
+    tau finish is a rounded double.  Same SQL text in both engines;
+    pandas kendall (tau-b) cross-check in tests/test_round9_ops.py."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_KENDALL_SQL)
+
+
+# Categorical association battery on the (o_orderpriority,
+# o_orderstatus) contingency table: chi-square, Cramer's V, mutual
+# information.  The full r x c grid (including structurally-zero
+# cells, which still contribute their expectation to chi-square) is
+# materialized by a cross join of the two tiny margin tables.
+_ASSOCIATION_SQL = """
+WITH ct AS (
+  SELECT o_orderpriority AS a, o_orderstatus AS b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+),
+ma AS (SELECT a, CAST(sum(n) AS BIGINT) AS na FROM ct GROUP BY a),
+mb AS (SELECT b, CAST(sum(n) AS BIGINT) AS nb FROM ct GROUP BY b),
+nt AS (SELECT CAST(sum(n) AS DOUBLE) AS t,
+              CAST(count(DISTINCT a) AS DOUBLE) AS r,
+              CAST(count(DISTINCT b) AS DOUBLE) AS c
+       FROM ct),
+grid AS (
+  SELECT ma.a, mb.b,
+         CAST(COALESCE(ct.n, 0) AS DOUBLE) AS o,
+         CAST(ma.na AS DOUBLE) * CAST(mb.nb AS DOUBLE) / nt.t AS e
+  FROM ma CROSS JOIN mb CROSS JOIN nt
+  LEFT JOIN ct ON ct.a = ma.a AND ct.b = mb.b
+),
+stats AS (
+  SELECT sum((o - e) * (o - e) / e) AS chi2,
+         sum(CASE WHEN o > 0 THEN (o / nt.t) * ln(o * nt.t / (e * nt.t)) ELSE 0 END) AS mi
+  FROM grid CROSS JOIN nt
+  GROUP BY nt.t
+)
+SELECT 'n_rows' AS metric, nt.t AS value FROM nt
+UNION ALL
+SELECT 'chi2_stat', round(stats.chi2, 4) FROM stats
+UNION ALL
+SELECT 'cramers_v',
+       round(sqrt(stats.chi2 / (nt.t * (least(nt.r, nt.c) - 1))), 6)
+FROM stats CROSS JOIN nt
+UNION ALL
+SELECT 'mutual_info_nats', round(stats.mi, 6) FROM stats
+"""
+
+
+@query(
+    "stats_association_battery",
+    "§2.18 categorical association: chi-square + Cramer's V + mutual information",
+    _ASSOCIATION_SQL,
+)
+def stats_association_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association strength between two categorical columns — the
+    profiling step that decides whether a column pair is worth a
+    composite partition key or a learned feature cross.  One hash-agg
+    collapses orders to the r x c contingency table (15 cells); the
+    full grid INCLUDING zero cells (which still add their expectation
+    to chi-square) comes from crossing the margin tables; chi-square,
+    Cramer's V (effect size normalized to [0,1]) and mutual
+    information (nats) are O(r*c) finishes.  stats_chi_square covers
+    the independence TEST on events; this battery adds the
+    effect-size/information measures on a second fixture pair.  Same
+    SQL text both engines; MI >= 0 and V in [0,1] property-tested."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_ASSOCIATION_SQL)
+
+
+# Benford first-digit diagnostic: the leading significant digit of a
+# naturally-spanning positive amount should follow log10(1 + 1/d).
+_BENFORD_SQL = """
+WITH digits AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1)
+              AS BIGINT) AS d
+  FROM orders WHERE o_totalprice >= 1
+),
+obs AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY d),
+nt AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM obs),
+grid AS (
+  SELECT dd.d, CAST(COALESCE(obs.n, 0) AS BIGINT) AS n,
+         log10(1.0 + 1.0 / dd.d) AS p_exp
+  FROM (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9)) dd(d)
+  LEFT JOIN obs ON obs.d = dd.d
+)
+SELECT grid.d AS digit, grid.n AS n_obs,
+       round(CAST(grid.n AS DOUBLE) / nt.t, 6) AS p_obs,
+       round(grid.p_exp, 6) AS p_exp,
+       round(SUM(nt.t * (CAST(grid.n AS DOUBLE) / nt.t - grid.p_exp)
+                 * (CAST(grid.n AS DOUBLE) / nt.t - grid.p_exp) / grid.p_exp)
+             OVER (), 4) AS chi2_stat
+FROM grid CROSS JOIN nt
+"""
+
+
+@query(
+    "stats_benford_digits",
+    "§2.18 Benford first-digit distribution + chi-square deviation",
+    _BENFORD_SQL,
+)
+def stats_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of o_totalprice vs
+    Benford's law — the classic anomaly/fabrication screen for
+    naturally-spanning amounts (a synthetic fixture will deviate;
+    the DIAGNOSTIC shape, per-digit observed vs expected plus the
+    chi-square deviation, is what the operator delivers).  The digit
+    is taken lexically from the integer part (no float log10 digit
+    extraction, whose boundary behavior at exact powers of ten is
+    libm-dependent).  One 9-group hash-agg at any scale; the grid
+    LEFT JOIN keeps absent digits at n=0 so the statistic is total.
+    Same SQL text in both engines."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_BENFORD_SQL)
+
+
+# One-way ANOVA from exact per-group moments: SSB/SSW need only
+# (n_g, sum_g, sumsq_g) — mergeable state, one partial-agg'd pass.
+_ANOVA_SQL = """
+WITH v AS (
+  SELECT o_orderpriority AS g,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x
+  FROM orders
+),
+per AS (
+  SELECT g, CAST(count(*) AS DOUBLE) AS ng,
+         CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+  FROM v GROUP BY g
+),
+tot AS (
+  SELECT CAST(sum(ng) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS k,
+         sum(sx) AS sx, sum(sxx) AS sxx, sum(sx * sx / ng) AS sgm
+  FROM per
+)
+SELECT CAST(n AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS n_groups,
+       round(((sgm - sx * sx / n) / (k - 1))
+             / nullif((sxx - sgm) / (n - k), 0), 4) AS f_stat
+FROM tot
+"""
+
+
+@query(
+    "stats_anova_oneway",
+    "§2.18 one-way ANOVA F statistic (exact mergeable moments)",
+    _ANOVA_SQL,
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across o_orderpriority groups on integer-cents
+    o_totalprice: F = (SSB/(k-1)) / (SSW/(n-k)), computed entirely
+    from per-group (count, sum, sum-of-squares) — the mergeable-state
+    decomposition (SSW = sum(x^2) - sum_g n_g*mean_g^2) that makes
+    ANOVA one partial-aggregated hash-agg over the facts plus an O(k)
+    finish, the same distributed-moments pattern as
+    stats_ols_two_feature.  Cents sums are exact DECIMAL(38,0), so
+    partition order cannot flip a bit before the 5-row double finish
+    (rounded to 4 dp).  Complements stats_ttest_welch (2 groups) and
+    stats_levene_test (variance homogeneity) with the k-group mean
+    test.  Same SQL text in both engines."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_ANOVA_SQL)
+
+
+# Holt linear (double-exponential) smoothing over the bounded daily
+# series, expressed as ONE recursive CTE shared by both engines so
+# the level/trend recursion performs the identical double-precision
+# operation sequence.
+_HOLT_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+         CAST(rev AS DOUBLE) / 100.0 AS y
+  FROM (
+    SELECT date_trunc('day', ts) AS d,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS rev
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+  ) t
+),
+hw(i, l, b) AS (
+  SELECT CAST(1 AS BIGINT), d1.y,
+         (SELECT y FROM daily WHERE i = 2) - d1.y
+  FROM daily d1 WHERE d1.i = 1
+  UNION ALL
+  SELECT d.i,
+         0.5 * d.y + 0.5 * (h.l + h.b),
+         0.25 * ((0.5 * d.y + 0.5 * (h.l + h.b)) - h.l) + 0.75 * h.b
+  FROM hw h JOIN daily d ON d.i = h.i + 1
+)
+SELECT (SELECT CAST(max(i) AS BIGINT) FROM daily) AS n_days,
+       round(l, 4) AS final_level,
+       round(b, 4) AS final_trend,
+       round(l + 7 * b, 4) AS forecast_7d
+FROM hw WHERE i = (SELECT max(i) FROM daily)
+"""
+
+
+@query(
+    "ts_holt_linear",
+    "§2.18 Holt linear exponential smoothing (shared recursive-CTE recursion)",
+    _HOLT_SQL,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double-exponential smoothing of daily
+    purchase revenue (alpha=0.5, beta=0.25 — exact binary fractions,
+    so the recursion arithmetic is reproducible to the bit), with a
+    7-day-ahead forecast: l_t = a*y_t + (1-a)(l_{t-1}+b_{t-1}),
+    b_t = B(l_t - l_{t-1}) + (1-B)b_{t-1}, initialized l_1=y_1,
+    b_1=y_2-y_1.  Extends ts_ewma_smoothing (level only) with the
+    trend component ts_forecast_error needs.  The recursion runs over
+    the DAILY series — calendar-bounded and SF-independent (30 rows
+    here; 100 TB of events still collapses to one row per day first),
+    so the sequential dependency chain never touches raw facts.
+
+    The oracle is a recursive CTE; the Spark side folds the SAME
+    recurrence with aggregate() over the day-sorted array instead
+    (Spark's recursive CTE executes one job per iteration — measured
+    12 s for 30 days — while the fold is one job).  Both perform the
+    identical double op sequence on identical cents-exact daily
+    inputs, and alpha/beta are exact binary fractions, so the results
+    agree to the bit before the 4-dp rounding."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        (
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).cast("double")
+            / 100.0
+        ).alias("y")
+    )
+    return daily.agg(
+        F.expr("transform(array_sort(collect_list(struct(d, y))), s -> s.y)").alias(
+            "ys"
+        )
+    ).selectExpr(
+        "CAST(size(ys) AS BIGINT) AS n_days",
+        """aggregate(
+             slice(ys, 2, size(ys) - 1),
+             named_struct('l', CAST(ys[0] AS DOUBLE),
+                          'b', CAST(ys[1] - ys[0] AS DOUBLE)),
+             (acc, y) -> named_struct(
+                 'l', 0.5 * y + 0.5 * (acc.l + acc.b),
+                 'b', 0.25 * ((0.5 * y + 0.5 * (acc.l + acc.b)) - acc.l)
+                      + 0.75 * acc.b),
+             acc -> acc) AS hb""",
+    ).selectExpr(
+        "n_days",
+        "round(hb.l, 4) AS final_level",
+        "round(hb.b, 4) AS final_trend",
+        "round(hb.l + 7 * hb.b, 4) AS forecast_7d",
+    )

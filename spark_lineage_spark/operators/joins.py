@@ -957,3 +957,68 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist2.cast("bigint").alias("dist2"),
         )
     )
+
+
+# Round-9 (SURVEY §2.18): skyline / Pareto-frontier "join" — the
+# dominance self-anti-join families (SKYLINE OF in some engines),
+# computed without any O(n^2) pair stage.
+_SKYLINE_SQL = """
+WITH pts AS (
+  SELECT p_partkey,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price,
+         CAST(p_size AS BIGINT) AS psize,
+         CAST(floor(p_retailprice) AS BIGINT) AS bkt
+  FROM part
+),
+local AS (
+  SELECT p_partkey, price, psize FROM (
+    SELECT p_partkey, price, psize,
+           MAX(psize) OVER (PARTITION BY bkt ORDER BY price
+                            RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS mxlt,
+           MAX(psize) OVER (PARTITION BY bkt, price) AS mxpp
+    FROM pts
+  ) l
+  WHERE psize > COALESCE(mxlt, -1) AND psize = mxpp
+),
+sky AS (
+  SELECT p_partkey, price, psize FROM (
+    SELECT p_partkey, price, psize,
+           MAX(psize) OVER (ORDER BY price
+                            RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS gmxlt,
+           MAX(psize) OVER (PARTITION BY price) AS gmxpp
+    FROM local
+  ) g
+  WHERE psize > COALESCE(gmxlt, -1) AND psize = gmxpp
+)
+SELECT p_partkey, price AS price_cents, psize AS part_size FROM sky
+"""
+
+
+@query(
+    "join_skyline_pareto",
+    "§2.18 skyline (Pareto frontier) via two-phase bucketed dominance pruning",
+    _SKYLINE_SQL,
+)
+def join_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline of part: minimize retail price, maximize size — a
+    part is on the frontier iff no other part is cheaper-or-equal AND
+    larger-or-equal with at least one strict.  The textbook phrasing
+    is a NOT EXISTS dominance anti-join (O(n^2) nested loop); this
+    implementation uses the sort-based identity instead: ordered by
+    price, a point survives iff its size strictly exceeds the running
+    max size over all STRICTLY cheaper points (RANGE ... 1 PRECEDING
+    excludes same-price peers, which are handled by the equal-price
+    max) — two window functions, zero pair blowup.
+
+    Two phases for scale: phase 1 computes per-price-bucket LOCAL
+    skylines with the windows partitioned by bucket (parallel, one
+    shuffle); every global-skyline point survives its bucket, so
+    phase 2 re-runs the same two windows globally over ONLY the local
+    survivors — bounded by buckets x |size domain|, a few thousand
+    rows at any corpus size — making the single-partition global
+    window harmless.  Same SQL text in both engines; the frontier
+    invariant (no survivor dominates another) is property-tested."""
+    register_views(spark, sf_dir, ["part"])
+    return spark.sql(_SKYLINE_SQL)

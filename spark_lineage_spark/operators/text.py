@@ -3127,3 +3127,239 @@ def llm_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack,
         "source string, bin_id long, n_docs long, tokens_used long, oversize int",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 additions (SURVEY §2.18): deterministic global shuffle,
+# weighted sampling without replacement, data-driven boilerplate
+# vocabulary.
+# ---------------------------------------------------------------------------
+
+_DET_SHUFFLE_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, md5(concat('shuf42:', CAST(doc_id AS STRING))) AS h
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS pos
+  FROM keyed
+)
+SELECT doc_id, pos, CAST((pos - 1) % 8 AS BIGINT) AS shard
+FROM pos
+"""
+
+
+@query(
+    "llm_deterministic_shuffle",
+    "§2.18 deterministic global shuffle (hash order via two-phase distributed rank)",
+    _DET_SHUFFLE_ORACLE,
+)
+def llm_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reproducible training-data shuffle: global example order is
+    a pure function of content identity (md5 of a salted doc_id), so
+    re-runs, backfills, and different cluster sizes produce the same
+    order — and the same example-to-shard routing ((pos-1) % 8) — the
+    property data loaders need for resumable, replay-exact epochs.
+
+    The oracle is a single global row_number over the hash; the Spark
+    side computes identical positions WITHOUT a single-partition sort:
+    the first hex byte of the hash is a 256-ary range bucket that is
+    PREFIX-ALIGNED with the global hash order, so global position =
+    (cumulative count of all lower buckets, broadcast from a 256-row
+    window) + (row_number within the bucket) — the same two-phase
+    distributed rank as hist_equi_depth/ts_concurrency_sweep.  One
+    shuffle on the bucket key at any corpus size, never a global
+    single-partition window."""
+    d = load(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("shuf42:"), F.col("doc_id").cast("string"))).alias("h"),
+    ).withColumn("bkt", F.substring("h", 1, 2))
+    counts = keyed.groupBy("bkt").agg(F.count(F.lit(1)).alias("c"))
+    offsets = counts.select(
+        "bkt",
+        (
+            F.coalesce(
+                F.sum("c").over(
+                    Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).alias("off"),
+    )
+    w = Window.partitionBy("bkt").orderBy("h", "doc_id")
+    return (
+        keyed.join(F.broadcast(offsets), "bkt")
+        .withColumn("pos", (F.col("off") + F.row_number().over(w)).cast("bigint"))
+        .select(
+            "doc_id", "pos", ((F.col("pos") - 1) % 8).cast("bigint").alias("shard")
+        )
+    )
+
+
+_WEIGHTED_SAMPLE_K = 50
+
+_WEIGHTED_SAMPLE_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+         -ln((CAST(CAST(concat('0x', substr(md5(concat('ws42:',
+                CAST(doc_id AS STRING))), 1, 15)) AS BIGINT) AS DOUBLE) + 1.0)
+             / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS k
+  FROM documents WHERE n_chars > 0
+),
+ranked AS (
+  SELECT doc_id, w, k, row_number() OVER (ORDER BY k, doc_id) AS rn FROM keyed
+)
+SELECT doc_id, CAST(w AS BIGINT) AS weight, round(k, 12) AS es_key
+FROM ranked WHERE rn <= {_WEIGHTED_SAMPLE_K}
+"""
+
+
+@query(
+    "llm_weighted_sample_es",
+    "§2.18 weighted sampling without replacement (Efraimidis-Spirakis exponential race)",
+    _WEIGHTED_SAMPLE_ORACLE,
+)
+def llm_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling WITHOUT replacement — the
+    distributed way to draw a quality- or length-weighted subset in
+    one pass: each doc gets key = -ln(u)/w (u a deterministic
+    md5-derived uniform, w = n_chars), and the global k smallest keys
+    ARE an exact Efraimidis-Spirakis weighted sample (the exponential
+    race: doc i wins with probability proportional to w_i).  No
+    rejection loop, no driver-side alias table, merge = take-k-min —
+    so executors keep local top-k heaps and only k rows per partition
+    reach the final merge (Spark's sort-limit does exactly this).
+    Deterministic: u is a pure hash of the salted doc_id (same
+    portable hex-to-bigint idiom as stats_bootstrap_ci — Spark conv()
+    / DuckDB 0x cast produce the same integer, so both engines race
+    identical doubles).  llm_sample_per_group is the UNWEIGHTED
+    stratified cousin; this one implements the weighted marginal."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    keyed = d.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("w"),
+        (
+            -F.log(
+                (
+                    F.expr(
+                        "CAST(conv(substr(md5(concat('ws42:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+                    ).cast("double")
+                    + F.lit(1.0)
+                )
+                / F.lit(1152921504606846976.0)
+            )
+            / F.col("n_chars").cast("double")
+        ).alias("k"),
+    )
+    w = Window.orderBy("k", "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _WEIGHTED_SAMPLE_K)
+        .select(
+            "doc_id",
+            F.col("w").cast("bigint").alias("weight"),
+            F.round("k", 12).alias("es_key"),
+        )
+    )
+
+
+_BOILERPLATE_DF_THRESHOLD = 0.6
+
+_BOILERPLATE_ORACLE = f"""
+WITH docs AS (
+  SELECT source, doc_id, string_split(text, ' ') AS toks FROM documents
+),
+src_docs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM docs GROUP BY source),
+df AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT source, doc_id, unnest(toks) AS w FROM docs) t
+  GROUP BY source, w
+),
+boiler AS (
+  SELECT df.source, df.w
+  FROM df JOIN src_docs USING (source)
+  WHERE df.df * 1.0 / src_docs.n_docs > {_BOILERPLATE_DF_THRESHOLD}
+),
+per_doc AS (
+  SELECT t.source, t.doc_id,
+         count(*) AS n_toks,
+         CAST(sum(CASE WHEN b.w IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_boiler
+  FROM (SELECT source, doc_id, unnest(toks) AS w FROM docs) t
+  LEFT JOIN boiler b ON b.source = t.source AND b.w = t.w
+  GROUP BY t.source, t.doc_id
+)
+SELECT p.source,
+       CAST((SELECT count(*) FROM boiler b2 WHERE b2.source = p.source) AS BIGINT)
+         AS n_boiler_words,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_boiler * 1.0 / n_toks), 6) AS avg_boiler_ratio
+FROM per_doc p GROUP BY p.source
+"""
+
+
+@query(
+    "llm_boilerplate_vocab",
+    "§2.18 data-driven boilerplate vocabulary (high-DF words) + per-doc ratio",
+    _BOILERPLATE_ORACLE,
+)
+def llm_boilerplate_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-DRIVEN boilerplate detection: within each source, words
+    whose document frequency exceeds 60% of the source's docs are
+    template/boilerplate vocabulary (nav text, licence headers, SEO
+    spam repeat across a crawl source; a fixed stopword list —
+    llm_text_quality's approach — can't see them).  Per-doc
+    boilerplate token ratio is the cleaning signal: docs that are
+    mostly high-DF tokens carry little unique content.
+
+    Shape at 100 TB: explode to (source, doc_id, word) DISTINCT for
+    document frequency (one hash-agg; the distinct is per-doc so a
+    word repeated in one doc counts once), the per-source boilerplate
+    vocab is TINY (bounded by vocab size) and broadcast back onto the
+    exploded tokens — the corpus-side explode is map-side and never
+    shuffles twice.  Same structure as llm_vocab_coverage's broadcast
+    vocab join."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("source", "doc_id", F.explode(F.split("text", " ")).alias("w"))
+    src_docs = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    df = (
+        toks.distinct()
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    boiler = (
+        df.join(F.broadcast(src_docs), "source")
+        .filter(F.col("df") * 1.0 / F.col("n_docs") > _BOILERPLATE_DF_THRESHOLD)
+        .select("source", "w")
+    )
+    boiler_counts = boiler.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_boiler_words")
+    )
+    per_doc = (
+        toks.join(
+            F.broadcast(boiler.withColumn("is_b", F.lit(1))), ["source", "w"], "left"
+        )
+        .groupBy("source", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.coalesce(F.sum("is_b"), F.lit(0)).cast("bigint").alias("n_boiler"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg(F.col("n_boiler") * 1.0 / F.col("n_toks")), 6).alias(
+                "avg_boiler_ratio"
+            ),
+        )
+        .join(F.broadcast(boiler_counts), "source", "left")
+        .select(
+            "source",
+            F.coalesce("n_boiler_words", F.lit(0)).cast("bigint").alias(
+                "n_boiler_words"
+            ),
+            "n_docs",
+            "avg_boiler_ratio",
+        )
+    )

@@ -2881,3 +2881,67 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(hb.b, 4) AS final_trend",
         "round(hb.l + 7 * hb.b, 4) AS forecast_7d",
     )
+
+
+# KL / Jensen-Shannon divergence between two event-type value
+# distributions over a shared fixed-width binning — the
+# distribution-drift metric in nats (profile_psi_drift is the
+# banded-PSI cousin; KL is the information-theoretic one).
+_KL_SQL = """
+WITH bounds AS (
+  SELECT min(value) AS mn, max(value) AS mx
+  FROM events WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+),
+binned AS (
+  SELECT e.event_type,
+         CAST(least(19, greatest(0,
+           floor((e.value - b.mn) / nullif((b.mx - b.mn) / 20.0, 0)))) AS BIGINT)
+           AS bin
+  FROM events e CROSS JOIN bounds b
+  WHERE e.event_type IN ('purchase', 'view') AND e.value IS NOT NULL
+),
+counts AS (
+  SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+  FROM binned GROUP BY event_type, bin
+),
+grid AS (
+  SELECT g.bin,
+         CAST(COALESCE(p.n, 0) + 1 AS DOUBLE) AS np,
+         CAST(COALESCE(v.n, 0) + 1 AS DOUBLE) AS nv
+  FROM (VALUES (0), (1), (2), (3), (4), (5), (6), (7), (8), (9), (10),
+               (11), (12), (13), (14), (15), (16), (17), (18), (19)) g(bin)
+  LEFT JOIN (SELECT bin, n FROM counts WHERE event_type = 'purchase') p
+    ON p.bin = g.bin
+  LEFT JOIN (SELECT bin, n FROM counts WHERE event_type = 'view') v
+    ON v.bin = g.bin
+),
+tot AS (SELECT sum(np) AS tp, sum(nv) AS tv FROM grid)
+SELECT CAST(tot.tp - 20 AS BIGINT) AS n_purchase,
+       CAST(tot.tv - 20 AS BIGINT) AS n_view,
+       round(sum((grid.np / tot.tp) * ln((grid.np / tot.tp) / (grid.nv / tot.tv))), 6)
+         AS kl_pv_nats,
+       round(sum((grid.nv / tot.tv) * ln((grid.nv / tot.tv) / (grid.np / tot.tp))), 6)
+         AS kl_vp_nats
+FROM grid CROSS JOIN tot
+GROUP BY tot.tp, tot.tv
+"""
+
+
+@query(
+    "stats_kl_divergence",
+    "§2.18 KL divergence between two value distributions (smoothed fixed bins)",
+    _KL_SQL,
+)
+def stats_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kullback-Leibler divergence (both directions, nats) between the
+    purchase and view value distributions over 20 shared equal-width
+    bins with add-one smoothing — smoothing makes every bin mass
+    strictly positive, so the log ratios are total without dropping
+    bins (the usual KL-on-histograms pitfall).  The drift companion to
+    profile_psi_drift: PSI is the banded audit metric, KL the
+    information-theoretic loss.  Shape at any SF: one bounds scan,
+    one 40-cell hash-agg over the facts, O(bins) finish; the bounds
+    row cross-joins in-plan (broadcast, no driver collect).  Same SQL
+    text in both engines."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_KL_SQL)

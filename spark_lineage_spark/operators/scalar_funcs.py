@@ -1834,3 +1834,104 @@ def fn_levenshtein_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("levenshtein(ta, tb, 5)").alias("lev5"),
         (F.expr("levenshtein(ta, tb, 5)") >= 0).alias("within5"),
     )
+
+
+# Round-9 (SURVEY §2.18): IPv4 / CIDR arithmetic — the web-crawl
+# hygiene primitive (datacenter/bot IP-range filters over access
+# metadata).  No inet type on either engine's default surface, so the
+# battery exercises the portable arithmetic form: dotted-quad <->
+# uint32 via split + positional casts, CIDR membership as an integer
+# range join against a broadcast block table.
+_IPV4_ORACLE = """
+WITH ips AS (
+  SELECT user_id,
+         concat(CAST(10 + user_id % 3 AS STRING), '.',
+                CAST((user_id * 7) % 256 AS STRING), '.',
+                CAST((user_id * 13) % 256 AS STRING), '.',
+                CAST((user_id * 29) % 256 AS STRING)) AS ip
+  FROM (SELECT DISTINCT user_id FROM events) u
+),
+parsed AS (
+  SELECT user_id, ip,
+         CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+         + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+         + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+         + CAST(string_split(ip, '.')[4] AS BIGINT) AS ip_int
+  FROM ips
+),
+blocks(label, base, blocksize) AS (
+  VALUES ('corp_10_0', CAST(167772160 AS BIGINT), CAST(65536 AS BIGINT)),
+         ('corp_10_1', CAST(167837696 AS BIGINT), CAST(65536 AS BIGINT)),
+         ('scanner_11', CAST(184549376 AS BIGINT), CAST(16777216 AS BIGINT))
+),
+matched AS (
+  SELECT p.user_id, p.ip_int, COALESCE(b.label, 'public') AS label
+  FROM parsed p
+  LEFT JOIN blocks b
+    ON p.ip_int >= b.base AND p.ip_int < b.base + b.blocksize
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_ips,
+       CAST(min(ip_int) AS BIGINT) AS min_ip_int,
+       CAST(max(ip_int) AS BIGINT) AS max_ip_int
+FROM matched GROUP BY label
+"""
+
+
+@query(
+    "fn_ipv4_cidr_battery",
+    "§2.18 IPv4 parse/format + CIDR-range membership (broadcast range join)",
+    _IPV4_ORACLE,
+)
+def fn_ipv4_cidr_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dotted-quad IPv4 handling without an inet type: format octets
+    from integers, parse back via split + positional casts into a
+    uint32, and classify against CIDR blocks expressed as
+    [base, base + 2^(32-prefix)) integer ranges — 10.0.0.0/16,
+    10.1.0.0/16, 11.0.0.0/8 here.  The block table is a 3-row
+    broadcast; membership is a non-equi range join whose inner side
+    is constant-size, so the scan side never shuffles (the same
+    broadcast-band shape as join_range_band, at dim-table size 3).
+    Spark side splits with split(ip, '\\\\.') (element_at is 1-based,
+    matching DuckDB's list indexing); the oracle uses string_split —
+    same octet math, same BIGINT arithmetic, no shift operators (the
+    63-bit DuckDB << trap is moot with plain multiplication)."""
+    ev = load(spark, sf_dir, "events").select("user_id").distinct()
+    ips = ev.select(
+        "user_id",
+        F.concat(
+            (F.lit(10) + F.col("user_id") % 3).cast("string"),
+            F.lit("."),
+            ((F.col("user_id") * 7) % 256).cast("string"),
+            F.lit("."),
+            ((F.col("user_id") * 13) % 256).cast("string"),
+            F.lit("."),
+            ((F.col("user_id") * 29) % 256).cast("string"),
+        ).alias("ip"),
+    )
+    o = lambda i: F.element_at(F.split("ip", "\\."), i).cast("bigint")  # noqa: E731
+    parsed = ips.select(
+        "user_id",
+        "ip",
+        (o(1) * 16777216 + o(2) * 65536 + o(3) * 256 + o(4)).alias("ip_int"),
+    )
+    blocks = spark.createDataFrame(
+        [
+            ("corp_10_0", 167772160, 65536),
+            ("corp_10_1", 167837696, 65536),
+            ("scanner_11", 184549376, 16777216),
+        ],
+        "label string, base bigint, blocksize bigint",
+    )
+    matched = parsed.join(
+        F.broadcast(blocks),
+        (F.col("ip_int") >= F.col("base"))
+        & (F.col("ip_int") < F.col("base") + F.col("blocksize")),
+        "left",
+    ).select(
+        "user_id", "ip_int", F.coalesce("label", F.lit("public")).alias("label")
+    )
+    return matched.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ips"),
+        F.min("ip_int").cast("bigint").alias("min_ip_int"),
+        F.max("ip_int").cast("bigint").alias("max_ip_int"),
+    )

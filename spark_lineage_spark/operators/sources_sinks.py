@@ -1448,3 +1448,45 @@ def sink_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("bal_cents").cast("bigint").alias("bal_cents"),
     )
+
+
+@query(
+    "scan_parquet_bloom_filter",
+    "§2.18 parquet bloom-filter write option + point-lookup scan",
+    """
+    SELECT count(*) AS n_hit,
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS bal_cents
+    FROM customer
+    WHERE c_custkey IN (7, 77, 777)
+    """,
+)
+def scan_parquet_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet column bloom filters at WRITE time
+    (parquet.bloom.filter.enabled#column) and the point-lookup scan
+    they accelerate: with a bloom filter on c_custkey, an IN-list
+    probe can skip whole row groups whose filter proves absence —
+    the storage-level companion to join_runtime_bloom_filter (which
+    blooms at JOIN time).  At 100 TB the win is real: high-cardinality
+    point lookups otherwise decode every row group's dictionary/page;
+    NDV is sized explicitly because an undersized filter's false-
+    positive rate quietly degrades skipping to a no-op.  The re-read
+    aggregate goes through exact integer cents; the oracle runs the
+    same probe on the source table, so the bloom write must be
+    value-preserving.  The footer property (bloom offsets present
+    only when enabled) is pinned in tests/test_round9_ops.py."""
+    out = _tmp("customer_bloom")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    (
+        c.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#c_custkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#c_custkey", "20000")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(F.col("c_custkey").isin(7, 77, 777))
+    return back.agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("bal_cents"),
+    )

@@ -1,0 +1,272 @@
+"""Property tests for the round-9 operators (SURVEY §2.18): the
+invariants an oracle value-hash can't express — agreement with an
+independent implementation (pandas), algebraic bounds, dominance
+invariants, storage-format side effects.
+"""
+
+import glob
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _spearman_kendall_frame(spark, sf_dir):
+    from spark_lineage_spark.tables import load
+
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_quantity").cast("long").alias("q"),
+            F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("d"),
+        )
+        .toPandas()
+    )
+
+
+def test_spearman_matches_rank_pearson(spark, sf_dir):
+    """The joint-frequency Spearman (cells + marginal average ranks)
+    must equal the direct rank-then-Pearson reference: pandas
+    average-rank over RAW rows, numpy Pearson on the ranks (the
+    scipy-free textbook definition, independent of the cell trick)."""
+    import numpy as np
+
+    from spark_lineage_spark.registry import load_all
+
+    pdf = _spearman_kendall_frame(spark, sf_dir)
+    rq = pdf["q"].rank(method="average")
+    rd = pdf["d"].rank(method="average")
+    expected = np.corrcoef(rq, rd)[0, 1]
+    row = load_all()["stats_spearman_corr"].builder(spark, sf_dir).collect()[0]
+    assert row.n_rows == len(pdf)
+    assert abs(row.spearman_rho - expected) < 1e-6, (row.spearman_rho, expected)
+
+
+def test_kendall_matches_bruteforce(spark, sf_dir):
+    """The cell-pair-mass tau-b must equal the O(n^2) brute-force
+    tau-b over raw rows (numpy sign comparison on all pairs — the
+    definitional computation, feasible at sf0.001)."""
+    import numpy as np
+
+    from spark_lineage_spark.registry import load_all
+
+    pdf = _spearman_kendall_frame(spark, sf_dir)
+    q = pdf["q"].to_numpy()
+    d = pdf["d"].to_numpy()
+    sq = np.sign(q[:, None] - q[None, :])
+    sd = np.sign(d[:, None] - d[None, :])
+    prod = sq * sd
+    conc = (prod > 0).sum() // 2
+    disc = (prod < 0).sum() // 2
+    n = len(q)
+    n0 = n * (n - 1) / 2
+    t1 = sum(c * (c - 1) / 2 for c in pdf["q"].value_counts())
+    t2 = sum(c * (c - 1) / 2 for c in pdf["d"].value_counts())
+    expected = (conc - disc) / np.sqrt((n0 - t1) * (n0 - t2))
+    row = load_all()["stats_kendall_tau"].builder(spark, sf_dir).collect()[0]
+    assert abs(row.kendall_tau_b - expected) < 1e-6, (row.kendall_tau_b, expected)
+
+
+def test_association_bounds(spark, sf_dir):
+    """Cramer's V in [0,1]; mutual information >= 0; chi2 >= 0."""
+    from spark_lineage_spark.registry import load_all
+
+    rows = {
+        r.metric: r.value
+        for r in load_all()["stats_association_battery"].builder(spark, sf_dir).collect()
+    }
+    assert 0.0 <= rows["cramers_v"] <= 1.0
+    assert rows["mutual_info_nats"] >= 0.0
+    assert rows["chi2_stat"] >= 0.0
+
+
+def test_anova_matches_manual(spark, sf_dir):
+    """F statistic must equal the textbook two-pass computation on
+    the collected cents values."""
+    from spark_lineage_spark.registry import load_all
+    from spark_lineage_spark.tables import load
+
+    pdf = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("g"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("x"),
+        )
+        .toPandas()
+    )
+    grand = pdf["x"].mean()
+    groups = pdf.groupby("g")["x"]
+    k, n = groups.ngroups, len(pdf)
+    ssb = sum(len(gr) * (gr.mean() - grand) ** 2 for _, gr in groups)
+    ssw = sum(((gr - gr.mean()) ** 2).sum() for _, gr in groups)
+    expected = (ssb / (k - 1)) / (ssw / (n - k))
+    row = load_all()["stats_anova_oneway"].builder(spark, sf_dir).collect()[0]
+    assert abs(row.f_stat - expected) < 1e-3, (row.f_stat, expected)
+
+
+def test_holt_matches_python_recursion(spark, sf_dir):
+    """The aggregate() fold must reproduce the plain-Python Holt
+    recursion on the same daily series exactly (both are the same
+    double op sequence)."""
+    from spark_lineage_spark.registry import load_all
+    from spark_lineage_spark.tables import load
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias("rev"))
+        .orderBy("d")
+        .collect()
+    )
+    ys = [r.rev / 100.0 for r in daily]
+    l, b = ys[0], ys[1] - ys[0]
+    for y in ys[1:]:
+        l_new = 0.5 * y + 0.5 * (l + b)
+        b = 0.25 * (l_new - l) + 0.75 * b
+        l = l_new
+    row = load_all()["ts_holt_linear"].builder(spark, sf_dir).collect()[0]
+    assert row.n_days == len(ys)
+    assert row.final_level == round(l, 4)
+    assert row.final_trend == round(b, 4)
+    assert row.forecast_7d == round(l + 7 * b, 4)
+
+
+def test_skyline_invariants(spark, sf_dir):
+    """No survivor may dominate another survivor, and every
+    non-survivor must be dominated by at least one survivor
+    (soundness + completeness of the two-phase pruning)."""
+    from spark_lineage_spark.registry import load_all
+    from spark_lineage_spark.tables import load
+
+    sky = load_all()["join_skyline_pareto"].builder(spark, sf_dir).toPandas()
+    pts = (
+        load(spark, sf_dir, "part")
+        .select(
+            F.col("p_partkey").alias("k"),
+            F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long").alias("price"),
+            F.col("p_size").cast("long").alias("size"),
+        )
+        .toPandas()
+    )
+
+    def dominates(a_price, a_size, b_price, b_size):
+        return (
+            a_price <= b_price
+            and a_size >= b_size
+            and (a_price < b_price or a_size > b_size)
+        )
+
+    s = list(zip(sky["price_cents"], sky["part_size"]))
+    for i, (p1, z1) in enumerate(s):
+        for j, (p2, z2) in enumerate(s):
+            if i != j:
+                assert not dominates(p1, z1, p2, z2), (s[i], s[j])
+    sky_keys = set(sky["p_partkey"])
+    for _, r in pts.iterrows():
+        if r.k not in sky_keys:
+            assert any(dominates(p, z, r.price, r.size) for p, z in s), (
+                r.k,
+                r.price,
+                r.size,
+            )
+
+
+def test_deterministic_shuffle_is_permutation(spark, sf_dir):
+    """Positions must be exactly 1..n with no gaps or dupes, and the
+    two-phase rank must equal a direct global sort rank."""
+    from spark_lineage_spark.registry import load_all
+
+    pdf = (
+        load_all()["llm_deterministic_shuffle"].builder(spark, sf_dir).toPandas()
+    )
+    n = len(pdf)
+    assert sorted(pdf["pos"]) == list(range(1, n + 1))
+    assert set(pdf["shard"]) <= set(range(8))
+    import hashlib
+
+    direct = sorted(
+        pdf["doc_id"],
+        key=lambda d: (hashlib.md5(f"shuf42:{d}".encode()).hexdigest(), d),
+    )
+    by_pos = list(pdf.sort_values("pos")["doc_id"])
+    assert by_pos == direct
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    """ES sampling is weight-proportional: the selected set's mean
+    weight must exceed the corpus mean weight (overwhelmingly likely
+    for k=50 of 500 under proportional selection; deterministic given
+    the fixed hash), and keys must be the k global minima."""
+    from spark_lineage_spark.registry import load_all
+    from spark_lineage_spark.tables import load
+
+    sel = load_all()["llm_weighted_sample_es"].builder(spark, sf_dir).toPandas()
+    corpus = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .agg(F.avg("n_chars"), F.count(F.lit(1)))
+        .collect()[0]
+    )
+    assert len(sel) == min(50, corpus[1])
+    assert sel["weight"].mean() > corpus[0]
+
+
+def test_boilerplate_ratio_bounds(spark, sf_dir):
+    """Per-source average boilerplate ratio lies in [0,1] and a
+    source with zero boilerplate words must report ratio 0."""
+    from spark_lineage_spark.registry import load_all
+
+    pdf = load_all()["llm_boilerplate_vocab"].builder(spark, sf_dir).toPandas()
+    assert ((pdf["avg_boiler_ratio"] >= 0) & (pdf["avg_boiler_ratio"] <= 1)).all()
+    zero = pdf[pdf["n_boiler_words"] == 0]
+    assert (zero["avg_boiler_ratio"] == 0).all()
+
+
+def test_parquet_bloom_filter_footprint(spark, sf_dir, tmp_path):
+    """The bloom write option must actually change the files: same
+    data written with and without the option — the bloomed files are
+    strictly larger (the filter bitsets are stored after the row
+    groups), and both read back identically."""
+    from spark_lineage_spark.tables import load
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal").coalesce(1)
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloomed")
+    c.write.mode("overwrite").parquet(plain)
+    (
+        c.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#c_custkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#c_custkey", "20000")
+        .parquet(bloomed)
+    )
+
+    def total(d):
+        return sum(os.path.getsize(f) for f in glob.glob(os.path.join(d, "*.parquet")))
+
+    assert total(bloomed) > total(plain), (total(bloomed), total(plain))
+    a = spark.read.parquet(plain).orderBy("c_custkey").toPandas()
+    b = spark.read.parquet(bloomed).orderBy("c_custkey").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_kl_divergence_nonnegative_and_asymmetric(spark, sf_dir):
+    """KL >= 0 in both directions (Gibbs); the two directions are
+    generally different numbers."""
+    from spark_lineage_spark.registry import load_all
+
+    row = load_all()["stats_kl_divergence"].builder(spark, sf_dir).collect()[0]
+    assert row.kl_pv_nats >= 0 and row.kl_vp_nats >= 0
+    assert row.n_purchase > 0 and row.n_view > 0
+
+
+def test_ipv4_labels_partition_users(spark, sf_dir):
+    """Every distinct user lands in exactly one label bucket (the
+    blocks are disjoint), so label counts sum to the distinct-user
+    count."""
+    from spark_lineage_spark.registry import load_all
+    from spark_lineage_spark.tables import load
+
+    pdf = load_all()["fn_ipv4_cidr_battery"].builder(spark, sf_dir).toPandas()
+    n_users = load(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert pdf["n_ips"].sum() == n_users

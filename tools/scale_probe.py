@@ -111,6 +111,25 @@ PROBE_QUERIES = [
     "stats_bootstrap_ci",
     "ts_business_days",
     "agg_kmv_union",
+    # round-9 additions: joint-frequency rank correlations (cells are
+    # value-domain-bounded, so the pair stage must stay FLAT while the
+    # scan grows), mergeable-moment tests, daily-collapse smoothing,
+    # hash-order shuffle / weighted sampling / boilerplate vocab over a
+    # 10x corpus, bloom-filter write+probe over 10x customers.
+    # join_skyline_pareto is NOT probed (part is a dim the fixture
+    # copies once, same reason as join_spatial_grid).
+    "stats_spearman_corr",
+    "stats_kendall_tau",
+    "stats_association_battery",
+    "stats_benford_digits",
+    "stats_anova_oneway",
+    "stats_kl_divergence",
+    "ts_holt_linear",
+    "fn_ipv4_cidr_battery",
+    "llm_deterministic_shuffle",
+    "llm_weighted_sample_es",
+    "llm_boilerplate_vocab",
+    "scan_parquet_bloom_filter",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

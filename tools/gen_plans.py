@@ -66,6 +66,13 @@ ANNOTATED = {
     "llm_span_corruption": "mask bit = 3-term hash predicate per token (no join/window); one doc_id regroup for the target",
     "llm_contrastive_negatives": "(lang, hash-bucket) blocked self-join, bucket count grows with corpus (ceil(n/64)); bounded per-anchor window",
     "profile_psi_drift": "ref-decile cutpoints = 1-row percentile agg broadcast into map-side bucketing; 10-key agg + 10-row window total",
+    # round-9 additions
+    "stats_spearman_corr": "one fact hash-agg to <=550 cells; rank windows over ~50-row marginals; broadcast cell joins — no raw-row rank window",
+    "stats_kendall_tau": "fact scan once; O(cells^2) pair mass on the tiny cell table (SF-independent); exact decimal masses",
+    "join_skyline_pareto": "phase-1 windows partitioned by price bucket (parallel); phase-2 global windows over bounded local survivors only",
+    "llm_deterministic_shuffle": "two-phase rank: per-hash-prefix-bucket row_number + broadcast 256-row offset cumsum — no global sort partition",
+    "llm_weighted_sample_es": "map-side ES keys; global k-min via sort-limit (executor-local top-k heaps, k rows per partition to the merge)",
+    "llm_boilerplate_vocab": "distinct-explode hash-agg for DF; tiny per-source vocab broadcast back onto the exploded tokens",
     # streaming queries are excluded: their builder returns the drained
     # memory-sink table, whose plan is just a Scan ExistingRDD
 }

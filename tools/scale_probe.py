@@ -244,7 +244,15 @@ def main() -> None:
               flush=True)
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "SCALE.md"), "w") as fh:
+    # preserve the hand-measured 100x section across regenerations
+    scale_path = os.path.join(repo, "SCALE.md")
+    tail_100x = ""
+    if os.path.exists(scale_path):
+        prev = open(scale_path).read()
+        idx = prev.find("## 100")
+        if idx >= 0:
+            tail_100x = "\n" + prev[idx:]
+    with open(scale_path, "w") as fh:
         fh.write("# SCALE — empirical 10× scaling probe\n\n")
         fh.write(
             f"Runtime at `{args.base}` vs a {args.factor}× key-shifted replica\n"
@@ -274,7 +282,12 @@ def main() -> None:
             " fixture keeps dims fixed, so 10x facts DENSIFY the"
             " co-purchase graph (the workload itself grows superlinearly),"
             " which would measure the fixture, not the operators.\n"
+            "- `join_skyline_pareto` is not probed for the same"
+            " dim-table reason (part is copied once); its two-phase"
+            " bucketed-window cost shape is documented in the query"
+            " docstring and the frontier invariants are property-tested.\n"
         )
+        fh.write(tail_100x)
     print("wrote SCALE.md", flush=True)
     spark.stop()
 

@@ -3252,10 +3252,14 @@ def llm_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_chars").cast("double")
         ).alias("k"),
     )
-    w = Window.orderBy("k", "doc_id")
+    # orderBy().limit(k) plans as TakeOrderedAndProject — executor-local
+    # top-k heaps, k rows per partition to the driver merge.  A global
+    # row_number window would move EVERY row to one partition first
+    # (WindowExec warns exactly this); the limit form is the scale-safe
+    # spelling of the same deterministic selection.
     return (
-        keyed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _WEIGHTED_SAMPLE_K)
+        keyed.orderBy("k", "doc_id")
+        .limit(_WEIGHTED_SAMPLE_K)
         .select(
             "doc_id",
             F.col("w").cast("bigint").alias("weight"),

@@ -958,3 +958,200 @@ def llm_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 addition, queued for the round-10 official run (SURVEY §2.18):
+# product quantization — the memory-compression half of production ANN.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_SUBDIM = 16  # 64-dim embeddings -> 4 x 16
+PQ_K = 16  # centroids per subspace (codes fit a nibble)
+
+PQ_SHORTLIST = 200  # ADC candidates per query that reach the exact rerank
+
+_PQ_ORACLE = f"""
+WITH raw AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb0
+  FROM embeddings
+),
+e AS (
+  SELECT vec_id,
+         list_transform(emb0, x -> x / sqrt(list_inner_product(emb0, emb0))) AS emb
+  FROM raw
+),
+seeds AS (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY md5(concat('pqseed:', CAST(vec_id AS STRING))), vec_id) - 1 AS j
+  FROM e
+  QUALIFY row_number() OVER (ORDER BY md5(concat('pqseed:', CAST(vec_id AS STRING))), vec_id) <= {PQ_K}
+),
+ss(s) AS (VALUES (0), (1), (2), (3)),
+cents AS (
+  SELECT ss.s, seeds.j, (e.emb)[ss.s * {PQ_SUBDIM} + 1 : ss.s * {PQ_SUBDIM} + {PQ_SUBDIM}] AS cent
+  FROM ss, seeds JOIN e ON e.vec_id = seeds.vec_id
+),
+subs AS (
+  SELECT e.vec_id, ss.s,
+         (e.emb)[ss.s * {PQ_SUBDIM} + 1 : ss.s * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sub
+  FROM e, ss
+),
+dists AS (
+  SELECT subs.vec_id, subs.s, cents.j,
+         round(list_inner_product(subs.sub, subs.sub)
+               - 2 * list_inner_product(subs.sub, cents.cent)
+               + list_inner_product(cents.cent, cents.cent), 6) AS d2
+  FROM subs JOIN cents ON cents.s = subs.s
+),
+codes AS (
+  SELECT vec_id, s, j AS code
+  FROM dists
+  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) = 1
+),
+qtab AS (
+  SELECT d.vec_id AS query_id, d.s, d.j, d.d2
+  FROM dists d WHERE d.vec_id < {N_QUERIES}
+),
+adc AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, round(sum(q.d2), 6) AS adc_d2
+  FROM codes c JOIN qtab q ON q.s = c.s AND q.j = c.code
+  WHERE c.vec_id <> q.query_id
+  GROUP BY q.query_id, c.vec_id
+),
+shortlist AS (
+  SELECT query_id, neighbor_id
+  FROM adc
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id)
+          <= {PQ_SHORTLIST}
+),
+rerank AS (
+  SELECT sl.query_id, sl.neighbor_id,
+         round(list_inner_product(q.emb, c.emb), 6) AS cos_sim
+  FROM shortlist sl
+  JOIN e q ON q.vec_id = sl.query_id
+  JOIN e c ON c.vec_id = sl.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim
+FROM rerank
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) <= {TOP_K}
+"""
+
+
+@query(
+    "llm_ann_pq_adc",
+    "§2.18 ANN via product quantization + asymmetric-distance scoring",
+    _PQ_ORACLE,
+)
+def llm_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization, the memory side of production ANN (FAISS
+    IVFPQ's PQ half): each 64-dim vector compresses to {PQ_M} nibble
+    codes (one argmin per 16-dim subspace against a {PQ_K}-centroid
+    codebook — 32x smaller than float32), and queries score candidates
+    with the ASYMMETRIC distance: the query precomputes its
+    {PQ_M}x{PQ_K} subspace-distance table once, a candidate's distance
+    is then {PQ_M} table lookups summed — no candidate decompression.
+
+    Deterministic and fully oracle-able because the codebook is
+    hash-seeded (the {PQ_K} corpus vectors with smallest salted md5 —
+    the sampled-codebook regime; KMeans refinement is what llm_ann_ivf
+    covers rows-only).  Vectors are L2-NORMALIZED first so L2 distance
+    is monotone with cosine (d2 = 2 - 2cos) — without this the ADC
+    order answers a different metric than the cosine ground truth and
+    recall collapses (measured 0.04).  Distances use the expansion
+    form |a|^2 - 2<a,b> + |b|^2 rounded to 6dp BEFORE every
+    argmin/rank, so both engines pick identical codes and identical
+    rankings; the ADC top-{PQ_SHORTLIST} shortlist is exactly reranked
+    (inner product of the normalized vectors = cosine) — the standard
+    PQ + rerank pipeline.
+
+    Scale shape at 100 TB: the 64-row codebook broadcasts; encoding is
+    a map-side argmin per (vector, subspace) folded by one
+    partial-agg'd min_by (the corpus never shuffles raw vectors — only
+    the 4-codes-per-vector table moves); ADC probing joins the
+    broadcast query table against codes and reduces per (query,
+    candidate); only the bounded shortlist rejoins the full vectors
+    for rerank.  Recall vs exact kNN floor-tested in
+    tests/test_round9_ops.py."""
+    from spark_lineage_spark.functions.arrays import l2_normalize
+
+    e = (
+        _parallel_corpus(spark, load(spark, sf_dir, "embeddings"))
+        .select("vec_id", to_double_array("embedding").alias("emb0"))
+        .select("vec_id", l2_normalize(F.col("emb0")).alias("emb"))
+    )
+    h = F.md5(F.concat(F.lit("pqseed:"), F.col("vec_id").cast("string")))
+    seeds = (
+        e.select("vec_id", "emb", h.alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(PQ_K)
+    )
+    jw = Window.orderBy("h", "vec_id")  # 16 rows: single-partition window is fine
+    subspaces = spark.range(PQ_M).select(F.col("id").cast("int").alias("s"))
+    cents = (
+        seeds.withColumn("j", F.row_number().over(jw) - 1)
+        .crossJoin(F.broadcast(subspaces))
+        .select(
+            "s",
+            "j",
+            F.slice("emb", F.col("s") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("cent"),
+        )
+    )
+    subs = e.crossJoin(F.broadcast(subspaces)).select(
+        "vec_id", "s", F.slice("emb", F.col("s") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub")
+    )
+    d2 = F.round(
+        dot(F.col("sub"), F.col("sub"))
+        - 2 * dot(F.col("sub"), F.col("cent"))
+        + dot(F.col("cent"), F.col("cent")),
+        6,
+    )
+    dists = subs.join(F.broadcast(cents), "s").select(
+        "vec_id", "s", "j", d2.alias("d2")
+    )
+    codes = dists.groupBy("vec_id", "s").agg(
+        F.min_by("j", F.struct("d2", "j")).alias("code")
+    )
+    qtab = (
+        dists.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("s").alias("qs"),
+            "j",
+            F.col("d2").alias("qd2"),
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(qtab),
+            (F.col("s") == F.col("qs")) & (F.col("code") == F.col("j")),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("qd2"), 6).alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_SHORTLIST)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    qvec = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    rerank = (
+        F.broadcast(shortlist)
+        .join(F.broadcast(qvec), "query_id")
+        .join(e.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qemb"), F.col("emb")), 6).alias("cos_sim"),
+        )
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        rerank.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )

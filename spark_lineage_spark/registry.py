@@ -274,7 +274,12 @@ _VERIFY_LAST = [
 
 # Queries whose first official row should wait for a later round (used
 # when the driver's per-round budget is already fully allocated above).
-_VERIFY_AFTER = []
+# The round-9 budget is exactly filled by _VERIFY_FIRST + the 13
+# round-9 registrations + llm_pack_ffd; the late-round-9 wave below
+# verifies at round 10 (all driver-sim green at registration time).
+_VERIFY_AFTER = [
+    "llm_ann_pq_adc",
+]
 
 
 def load_all() -> dict[str, QuerySpec]:

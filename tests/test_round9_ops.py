@@ -270,3 +270,27 @@ def test_ipv4_labels_partition_users(spark, sf_dir):
     pdf = load_all()["fn_ipv4_cidr_battery"].builder(spark, sf_dir).toPandas()
     n_users = load(spark, sf_dir, "events").select("user_id").distinct().count()
     assert pdf["n_ips"].sum() == n_users
+
+
+def test_pq_adc_recall_vs_exact(spark, sf_dir):
+    """PQ + ADC + exact-rerank recall@5 vs exact kNN.  The fixture is
+    near-random 64-dim — the PQ worst case (no cluster structure, all
+    cosines concentrate near 0, quantization noise ~ signal) — so the
+    floor is 0.6 (measured 0.76 at sf0.001, 0.74 at sf0.01,
+    deterministic); clustered production embeddings clear far more.
+    Also asserts the structural contract: 5 neighbors per query, no
+    self-matches, cos_sim within [-1, 1]."""
+    from spark_lineage_spark.registry import load_all
+
+    specs = load_all()
+    pq = specs["llm_ann_pq_adc"].builder(spark, sf_dir).toPandas()
+    ex = specs["llm_knn_cosine_exact"].builder(spark, sf_dir).toPandas()
+    per_q = pq.groupby("query_id")
+    assert (per_q.size() == 5).all()
+    assert (pq["query_id"] != pq["neighbor_id"]).all()
+    assert pq["cos_sim"].between(-1.0, 1.0).all()
+    recalls = []
+    for q, grp in per_q:
+        truth = set(ex[ex["query_id"] == q]["neighbor_id"])
+        recalls.append(len(set(grp["neighbor_id"]) & truth) / len(truth))
+    assert sum(recalls) / len(recalls) >= 0.6, recalls

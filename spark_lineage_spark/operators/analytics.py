@@ -2945,3 +2945,167 @@ def stats_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     text in both engines."""
     register_views(spark, sf_dir, ["events"])
     return spark.sql(_KL_SQL)
+
+
+# Label propagation (min-label rounds) on the co-purchase graph —
+# queued for the round-10 official run.
+_LABEL_PROP_SQL = """
+WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM pl a JOIN pl b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+),
+ed AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+l0 AS MATERIALIZED (SELECT DISTINCT u AS n, u AS lab FROM ed),
+l1 AS MATERIALIZED (
+  SELECT l.n, CAST(least(l.lab, COALESCE(min(nl.lab), l.lab)) AS BIGINT) AS lab
+  FROM l0 l LEFT JOIN ed ON ed.u = l.n LEFT JOIN l0 nl ON nl.n = ed.v
+  GROUP BY l.n, l.lab
+),
+l2 AS MATERIALIZED (
+  SELECT l.n, CAST(least(l.lab, COALESCE(min(nl.lab), l.lab)) AS BIGINT) AS lab
+  FROM l1 l LEFT JOIN ed ON ed.u = l.n LEFT JOIN l1 nl ON nl.n = ed.v
+  GROUP BY l.n, l.lab
+),
+l3 AS MATERIALIZED (
+  SELECT l.n, CAST(least(l.lab, COALESCE(min(nl.lab), l.lab)) AS BIGINT) AS lab
+  FROM l2 l LEFT JOIN ed ON ed.u = l.n LEFT JOIN l2 nl ON nl.n = ed.v
+  GROUP BY l.n, l.lab
+)
+SELECT sz AS community_size, CAST(count(*) AS BIGINT) AS n_communities
+FROM (SELECT lab, CAST(count(*) AS BIGINT) AS sz FROM l3 GROUP BY lab) c
+GROUP BY sz
+"""
+
+
+@query(
+    "graph_label_propagation",
+    "§2.18 min-label propagation (3 BSP rounds) — community size histogram",
+    _LABEL_PROP_SQL,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous min-label propagation on the co-purchase graph:
+    every node starts labeled with its own id; each round a node takes
+    the min of its label and its neighbors' labels.  Three unrolled
+    rounds (the graph_pagerank/kcore discipline — bounded rounds,
+    per-round lineage checkpoint), reported as the community-size
+    histogram, which discriminates convergence progress at every SF.
+    Run to fixpoint this is connected components (llm_dedup_clusters
+    runs that fixpoint on LSH pairs); the FIXED-round form is the
+    per-iteration cost model a scheduler needs: each round is one
+    neighbor join (shuffle on the node key) + one min hash-agg —
+    work O(E) per round, state one label per node, the textbook
+    BSP/Pregel shape.  Min-label (not mode-label) keeps every round
+    deterministic — no tie-break randomness.  The oracle unrolls the
+    same three rounds as MATERIALIZED CTEs (DuckDB re-inlines chained
+    CTEs otherwise — the graph_kcore finding)."""
+    e0 = copurchase_edges(spark, sf_dir)
+    ed = e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = ed.select(F.col("u").alias("n")).distinct().withColumn("lab", F.col("n"))
+    for _ in range(3):
+        nb_min = (
+            ed.join(labels.withColumnRenamed("n", "v").withColumnRenamed("lab", "nlab"), "v")
+            .groupBy("u")
+            .agg(F.min("nlab").alias("nb"))
+        )
+        labels = (
+            labels.join(nb_min.withColumnRenamed("u", "n"), "n", "left")
+            .select(
+                "n",
+                F.least(F.col("lab"), F.coalesce(F.col("nb"), F.col("lab"))).alias("lab"),
+            )
+            .transform(lineage_checkpoint_lazy)
+        )
+    sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    return sizes.groupBy(F.col("sz").alias("community_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_communities")
+    )
+
+
+@query(
+    "ts_sessionize_gap_percentile",
+    "§2.18 sessionization with a DATA-DRIVEN gap (p90 of inter-event gaps)",
+    """
+    WITH e AS (
+      SELECT user_id, event_id,
+             epoch_us(date_trunc('microseconds', ts)) AS tsu
+      FROM events
+    ),
+    gaps AS (
+      SELECT tsu - lag(tsu) OVER (PARTITION BY user_id
+                                  ORDER BY tsu, event_id) AS gap
+      FROM e
+    ),
+    thr AS (
+      SELECT CAST(quantile_disc(gap, 0.9) AS BIGINT) AS thr_us
+      FROM gaps WHERE gap IS NOT NULL
+    ),
+    marked AS (
+      SELECT e.user_id,
+             CASE WHEN lag(e.tsu) OVER (PARTITION BY e.user_id
+                                        ORDER BY e.tsu, e.event_id) IS NULL
+                    OR e.tsu - lag(e.tsu) OVER (PARTITION BY e.user_id
+                                                ORDER BY e.tsu, e.event_id)
+                       > thr.thr_us
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e CROSS JOIN thr
+    )
+    SELECT (SELECT thr_us FROM thr) AS threshold_us,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(is_new) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(count(*) * 1.0 / sum(is_new), 4) AS events_per_session
+    FROM marked
+    """,
+)
+def ts_sessionize_gap_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization where the gap threshold is LEARNED from the
+    data — the p90 of all inter-event gaps (exact integer µs,
+    percentile_disc, whose rank convention is proven identical to
+    DuckDB's quantile_disc by test_exact_quantile_convention_*) —
+    instead of ts_sessionize_batch's fixed 30 minutes.  The
+    operational loop: profile the gap distribution once, sessionize
+    with the learned cut, re-profile as behavior drifts.  Shape at
+    any SF: one user_id window pass for gaps, a single-value
+    percentile aggregate broadcast back (scalar cross join — no
+    driver collect), one more window pass to mark session starts —
+    two shuffles on user_id total, both partition-local after the
+    exchange.  A new session starts when the gap strictly exceeds
+    the threshold (ties at the threshold merge — the closed-boundary
+    convention ts_session_window_builtin pins)."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        WITH e AS (
+          SELECT user_id, event_id, unix_micros(ts) AS tsu FROM events
+        ),
+        gaps AS (
+          SELECT tsu - lag(tsu) OVER (PARTITION BY user_id
+                                      ORDER BY tsu, event_id) AS gap
+          FROM e
+        ),
+        thr AS (
+          SELECT CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap) AS BIGINT)
+                   AS thr_us
+          FROM gaps WHERE gap IS NOT NULL
+        ),
+        marked AS (
+          SELECT e.user_id,
+                 CASE WHEN lag(e.tsu) OVER (PARTITION BY e.user_id
+                                            ORDER BY e.tsu, e.event_id) IS NULL
+                        OR e.tsu - lag(e.tsu) OVER (PARTITION BY e.user_id
+                                                    ORDER BY e.tsu, e.event_id)
+                           > thr.thr_us
+                      THEN 1 ELSE 0 END AS is_new
+          FROM e CROSS JOIN thr
+        )
+        SELECT (SELECT thr_us FROM thr) AS threshold_us,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(sum(is_new) AS BIGINT) AS n_sessions,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(count(*) * 1.0 / sum(is_new), 4) AS events_per_session
+        FROM marked
+        """
+    )

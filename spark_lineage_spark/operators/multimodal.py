@@ -279,3 +279,102 @@ def llm_multimodal_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         _audio_windows,
         schema="doc_id long, window_idx int, n_samples long, mean_amp double, rms double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 addition, queued for round 10 (SURVEY §2.18): perceptual-hash
+# near-dup signatures over binary media.
+# ---------------------------------------------------------------------------
+
+_AHASH_ORACLE = """
+WITH b AS (SELECT doc_id, encode(text) AS blob FROM documents),
+bytes AS (
+  SELECT b.doc_id, octet_length(b.blob) AS n, g.j,
+         CAST(concat('0x', substr(hex(b.blob), 2 * g.j - 1, 2)) AS BIGINT) AS v
+  FROM b, LATERAL (SELECT unnest(generate_series(1, octet_length(b.blob))) AS j) g
+),
+chunks AS (
+  SELECT doc_id, ((j - 1) * 64) // n AS c,
+         CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS cnt
+  FROM bytes GROUP BY doc_id, ((j - 1) * 64) // n
+),
+tot AS (
+  SELECT doc_id, CAST(sum(s) AS BIGINT) AS ts, CAST(sum(cnt) AS BIGINT) AS tc
+  FROM chunks GROUP BY doc_id
+),
+bits AS (
+  SELECT c.doc_id, c.c,
+         CASE WHEN c.s * t.tc > t.ts * c.cnt THEN 1 ELSE 0 END AS bit
+  FROM chunks c JOIN tot t USING (doc_id)
+),
+bands AS (
+  SELECT t.doc_id, g.band,
+         CAST(COALESCE(sum(b.bit * (1 << (b.c % 16))), 0) AS BIGINT) AS band_val
+  FROM tot t
+  CROSS JOIN (VALUES (0), (1), (2), (3)) g(band)
+  LEFT JOIN bits b ON b.doc_id = t.doc_id AND b.c // 16 = g.band
+  GROUP BY t.doc_id, g.band
+)
+SELECT doc_id,
+       CAST(max(CASE WHEN band = 0 THEN band_val END) AS BIGINT) AS b0,
+       CAST(max(CASE WHEN band = 1 THEN band_val END) AS BIGINT) AS b1,
+       CAST(max(CASE WHEN band = 2 THEN band_val END) AS BIGINT) AS b2,
+       CAST(max(CASE WHEN band = 3 THEN band_val END) AS BIGINT) AS b3
+FROM bands GROUP BY doc_id
+"""
+
+
+@query(
+    "llm_multimodal_ahash",
+    "§2.18 perceptual average-hash signatures over binary blobs (byte-exact cross-engine)",
+    _AHASH_ORACLE,
+)
+def llm_multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-hash (aHash) perceptual signatures over BINARY media:
+    the blob's bytes are bucketed into 64 contiguous cells (cell of
+    byte j = j*64 div len — for a decoded image these would be 8x8
+    downsampled pixels; the codec-less container treats the raw bytes
+    as the pixel stream, the same STUB discipline as
+    llm_multimodal_features), each cell sets its bit iff its mean
+    exceeds the global mean, and the 64 bits pack into four 16-bit
+    bands — the banding layout a hamming-distance dedup joins on
+    (<=3 flipped bits leave >=1 band intact, the pigeonhole recall
+    guarantee property-tested alongside identical-blob collision).
+
+    All comparisons are EXACT integers (cell mean > global mean is
+    cross-multiplied: s*total_cnt > total_sum*cnt), so the pandas
+    byte loop and the DuckDB hex-parsing oracle agree bit-for-bit —
+    value-parity for a real binary-media pipeline, not just plumbing.
+    Scale shape: mapInPandas is one Arrow-batched map pass (no
+    shuffle); signatures are 8 bytes/doc; the band join afterwards is
+    the persisted-index shape of llm_dedup_persistent_index."""
+    import numpy as np
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("blob")
+    )
+
+    def ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                v = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.int64)
+                n = len(v)
+                cells = (np.arange(n, dtype=np.int64) * 64) // n
+                sums = np.zeros(64, dtype=np.int64)
+                cnts = np.zeros(64, dtype=np.int64)
+                np.add.at(sums, cells, v)
+                np.add.at(cnts, cells, 1)
+                ts, tc = int(sums.sum()), int(cnts.sum())
+                bits = (sums * tc) > (ts * cnts)  # empty cells stay 0
+                bands = [
+                    int(sum(int(bits[b * 16 + i]) << i for i in range(16)))
+                    for b in range(4)
+                ]
+                out.append((doc_id, *bands))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return d.mapInPandas(ahash, "doc_id long, b0 long, b1 long, b2 long, b3 long")

@@ -3367,3 +3367,93 @@ def llm_boilerplate_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_boiler_ratio",
         )
     )
+
+
+_REWARD_NORM_ORACLE = """
+WITH cand AS (
+  SELECT doc_id // 5 AS group_id, doc_id,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS reward
+  FROM documents
+),
+stats AS (
+  SELECT group_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(reward) AS BIGINT) AS sx,
+         CAST(sum(reward * reward) AS BIGINT) AS sxx
+  FROM cand GROUP BY group_id
+),
+z AS (
+  SELECT c.group_id, c.doc_id, c.reward,
+         round(COALESCE(
+           (c.reward - CAST(s.sx AS DOUBLE) / s.n)
+           / nullif(sqrt((s.sxx - CAST(s.sx AS DOUBLE) * s.sx / s.n)
+                         / (s.n - 1)), 0), 0), 6) AS z_reward,
+         CASE WHEN row_number() OVER (PARTITION BY c.group_id
+                                      ORDER BY c.reward DESC, c.doc_id) = 1
+              THEN 1 ELSE 0 END AS is_best
+  FROM cand c JOIN stats s USING (group_id)
+)
+SELECT group_id, doc_id, reward, z_reward, CAST(is_best AS BIGINT) AS is_best
+FROM z
+"""
+
+
+@query(
+    "llm_reward_normalize",
+    "§2.18 per-prompt reward normalization (group z-score + best-of-n pick)",
+    _REWARD_NORM_ORACLE,
+)
+def llm_reward_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RLHF/DPO preprocessing step: candidate completions are
+    grouped per prompt (here: 5-doc groups keyed doc_id div 5) and
+    their rewards z-scored WITHIN the group — reward scales drift
+    across prompts, so advantage-style normalization (x - mean)/sd is
+    what makes rewards comparable before pairing or policy-gradient
+    weighting; the best-of-n winner (max reward, doc_id tie-break) is
+    marked for rejection-sampling pipelines.  The reward itself is an
+    exact integer (distinct-token count — a diversity heuristic), and
+    the z finish computes mean/sd from exact integer (n, Σx, Σx²)
+    moments with the SAME expression both engines — never an engine
+    stddev whose accumulation (Welford vs sum-of-squares) differs at
+    the ulp.  Single-candidate groups z-score to 0 (sd undefined →
+    coalesced).  Shape: one map pass for rewards, one group shuffle
+    shared by the moment agg and the rank window."""
+    d = load(spark, sf_dir, "documents")
+    cand = d.select(
+        (F.col("doc_id") / 5).cast("bigint").alias("group_id"),
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", " "))).cast("bigint").alias("reward"),
+    )
+    stats = cand.groupBy("group_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("reward").cast("bigint").alias("sx"),
+        F.sum(F.col("reward") * F.col("reward")).cast("bigint").alias("sxx"),
+    )
+    w = Window.partitionBy("group_id").orderBy(F.desc("reward"), "doc_id")
+    z = (
+        cand.join(stats, "group_id")
+        .withColumn(
+            "z_reward",
+            F.round(
+                F.coalesce(
+                    (F.col("reward") - F.col("sx").cast("double") / F.col("n"))
+                    / F.nullif(
+                        F.sqrt(
+                            (
+                                F.col("sxx")
+                                - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+                            )
+                            / (F.col("n") - 1)
+                        ),
+                        F.lit(0.0),
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "is_best",
+            F.when(F.row_number().over(w) == 1, 1).otherwise(0).cast("bigint"),
+        )
+    )
+    return z.select("group_id", "doc_id", "reward", "z_reward", "is_best")

@@ -279,6 +279,10 @@ _VERIFY_LAST = [
 # verifies at round 10 (all driver-sim green at registration time).
 _VERIFY_AFTER = [
     "llm_ann_pq_adc",
+    "llm_multimodal_ahash",
+    "graph_label_propagation",
+    "ts_sessionize_gap_percentile",
+    "llm_reward_normalize",
 ]
 
 

@@ -3109,3 +3109,120 @@ def ts_sessionize_gap_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM marked
         """
     )
+
+
+# Link prediction over the customer-part bipartite graph — queued for
+# the round-10 official run.
+_LINK_PRED_SQL = """
+WITH bip AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= DATE '1998-01-01'
+),
+degc AS MATERIALIZED (SELECT c, CAST(count(*) AS BIGINT) AS dc FROM bip GROUP BY c),
+degp AS MATERIALIZED (SELECT p, CAST(count(*) AS BIGINT) AS dp FROM bip GROUP BY p),
+wed AS (
+  SELECT a.p AS pa, b.p AS pb, a.c AS c
+  FROM bip a JOIN bip b ON a.c = b.c AND a.p < b.p
+),
+pairs AS (
+  SELECT w.pa, w.pb,
+         CAST(count(*) AS BIGINT) AS common_cnt,
+         round(sum(1.0 / ln(degc.dc)), 6) AS adamic_adar
+  FROM wed w JOIN degc ON degc.c = w.c
+  GROUP BY w.pa, w.pb
+)
+SELECT pairs.pa AS part_a, pairs.pb AS part_b,
+       pairs.common_cnt, da.dp AS deg_a, db.dp AS deg_b,
+       round(CAST(pairs.common_cnt AS DOUBLE)
+             / (da.dp + db.dp - pairs.common_cnt), 6) AS jaccard,
+       pairs.adamic_adar
+FROM pairs JOIN degp da ON da.p = pairs.pa JOIN degp db ON db.p = pairs.pb
+ORDER BY pairs.common_cnt DESC, pairs.pa, pairs.pb
+LIMIT 20
+"""
+
+
+@query(
+    "graph_link_prediction",
+    "§2.19 link prediction: Jaccard + Adamic-Adar over shared customers",
+    _LINK_PRED_SQL,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item link prediction ("customers who bought X also bought
+    Y") — the top part pairs by number of SHARED customers, scored
+    with the two classic common-neighbor indices: Jaccard
+    |N(a)∩N(b)| / |N(a)∪N(b)| and Adamic-Adar Σ_c 1/ln(deg(c)),
+    which discounts a shared customer by how promiscuous their basket
+    is (a power buyer connecting everything carries little signal).
+
+    Shape: the wedge enumeration runs over the customer-part
+    BIPARTITE table, not the dense co-purchase projection — wedges
+    per customer are basket² with TPC-H baskets ~25, so the fan-out
+    is ~13M rows at sf0.1 versus the 298M the part-part projection
+    would produce (measured; the projection's hub degrees ~120 make
+    Σdeg² explode).  The model is TRAILING-WINDOW (orders from
+    1998-01-01 on, the fixture's final ~8 months) — the production CF
+    choice (stale co-purchases decay out of the model) and the date
+    predicate pushes to the orders scan, cutting wedges a further 3×
+    (4.2M, measured).  One self-equi-join shuffled on customer, one
+    hash-agg on the pair key, two broadcast-size degree joins, then a
+    global top-k (TakeOrdered, no single-partition window).  At
+    100 TB the unbounded hub risk is a customer with a million-item
+    basket: cap baskets at K before the self-join (drop or sample
+    hub rows) and the fan-out is ≤ K² per customer — linear in
+    customers; the cap is a no-op on this fixture so it is not
+    applied here.  Ranking is (common_cnt DESC, pa, pb) — an integer
+    key with a total tie-break, so top-20 is deterministic at every
+    SF.  Adamic-Adar is a double sum rounded to 6 dp (the stats_kl
+    discipline); Jaccard divides exact bigints in one expression,
+    identical SQL text in both engines."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    od = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("date"))
+        .select("o_orderkey", "o_custkey")
+    )
+    # four consumers (degc, degp, both self-join sides) — checkpoint so
+    # the join+distinct runs once, not four times (copurchase_edges
+    # staging discipline)
+    bip = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .transform(lineage_checkpoint_lazy)
+    )
+    degc = bip.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("dc"))
+    degp = bip.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("dp"))
+    # attach the shared-customer degree BEFORE the self-join (broadcast
+    # onto the 550k-row bipartite table), not after (a second pass over
+    # the 13M-row wedge table) — measured 43s -> 6s at sf0.1 together
+    # with the early top-k below
+    a = bip.join(F.broadcast(degc), "c").select("c", F.col("p").alias("pa"), "dc")
+    b = bip.select(F.col("c"), F.col("p").alias("pb"))
+    wed = a.join(b, "c").filter(F.col("pa") < F.col("pb"))
+    pairs = wed.groupBy("pa", "pb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("common_cnt"),
+        F.round(F.sum(F.lit(1.0) / F.log(F.col("dc"))), 6).alias("adamic_adar"),
+    )
+    # the ranking key (common_cnt, pa, pb) needs no degrees — cut to 20
+    # rows FIRST (TakeOrdered, distributed), then degree-join 20 rows
+    top = pairs.orderBy(F.desc("common_cnt"), "pa", "pb").limit(20)
+    res = (
+        top.join(F.broadcast(degp.withColumnRenamed("p", "pa").withColumnRenamed("dp", "deg_a")), "pa")
+        .join(F.broadcast(degp.withColumnRenamed("p", "pb").withColumnRenamed("dp", "deg_b")), "pb")
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            "common_cnt",
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.col("common_cnt").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common_cnt")),
+                6,
+            ).alias("jaccard"),
+            "adamic_adar",
+        )
+    )
+    return res.orderBy(F.desc("common_cnt"), "part_a", "part_b").limit(20)

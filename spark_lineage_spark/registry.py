@@ -278,6 +278,7 @@ _VERIFY_LAST = [
 # round-9 registrations + llm_pack_ffd; the late-round-9 wave below
 # verifies at round 10 (all driver-sim green at registration time).
 _VERIFY_AFTER = [
+    "graph_link_prediction",
     "llm_ann_pq_adc",
     "llm_multimodal_ahash",
     "graph_label_propagation",

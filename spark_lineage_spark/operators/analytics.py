@@ -3226,3 +3226,162 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return res.orderBy(F.desc("common_cnt"), "part_a", "part_b").limit(20)
+
+
+# Wald-Wolfowitz runs test — queued for the round-10 official run.
+# Finish SQL is IDENTICAL text in both engines (exact integer counts in,
+# one double expression out); only the discrete-median call differs
+# (percentile_disc vs quantile_disc, convention proven equal by
+# test_exact_quantile_convention_*).
+_RUNS_FINISH_SQL = """
+signs AS (
+  SELECT d,
+         CASE WHEN v > m.med THEN 1 WHEN v < m.med THEN -1 END AS s
+  FROM daily CROSS JOIN m
+),
+seq AS (
+  SELECT s, lag(s) OVER (ORDER BY d) AS prev
+  FROM signs WHERE s IS NOT NULL
+),
+c AS (
+  SELECT CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN prev IS NULL OR s <> prev THEN 1 ELSE 0 END) AS BIGINT)
+           AS runs
+  FROM seq
+)
+SELECT n1 AS n_above, n2 AS n_below, runs AS n_runs,
+       round(CAST(2 AS DOUBLE) * n1 * n2 / (n1 + n2) + 1, 6) AS expected_runs,
+       round((runs - (CAST(2 AS DOUBLE) * n1 * n2 / (n1 + n2) + 1))
+             / sqrt(CAST(2 AS DOUBLE) * n1 * n2 * (CAST(2 AS DOUBLE) * n1 * n2 - n1 - n2)
+                    / ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2) * (n1 + n2 - 1))),
+             6) AS z_stat
+FROM c
+"""
+
+_RUNS_DAILY_SQL = """
+daily AS (
+  SELECT o_orderdate AS d,
+         CAST(sum(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS BIGINT) AS v
+  FROM orders GROUP BY o_orderdate
+),
+"""
+
+
+@query(
+    "stats_runs_test",
+    "§2.19 Wald-Wolfowitz runs test (randomness of daily revenue about its median)",
+    "WITH "
+    + _RUNS_DAILY_SQL
+    + "m AS (SELECT CAST(quantile_disc(v, 0.5) AS BIGINT) AS med FROM daily),"
+    + _RUNS_FINISH_SQL,
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test: is the daily-revenue series random
+    about its median, or does it trend/mean-revert?  Each day gets a
+    sign (above/below the discrete median; exact-median days are
+    excluded, the textbook convention), a run starts wherever the
+    sign flips, and the observed run count is z-scored against the
+    exact null moments mu = 2*n1*n2/(n1+n2) + 1 and the matching
+    variance.  Everything upstream of z is an exact integer: daily
+    revenue is an exact cent sum (DECIMAL), the median is a sample
+    value (percentile_disc, the convention test_exact_quantile_*
+    pins to DuckDB's quantile_disc), and n1/n2/runs are counts — so
+    the one double expression at the end is bit-identical from the
+    same SQL text in both engines.  Shape at any SF: one map-side
+    partial agg over orders to ~2400 daily rows, a single-value
+    median broadcast back in-plan (scalar cross join), one ordered
+    window over the DAILY table (O(days), never over the facts) —
+    the raw orders are scanned once and never sorted."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        "WITH "
+        + _RUNS_DAILY_SQL
+        + "m AS (SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v)"
+        "  AS BIGINT) AS med FROM daily),"
+        + _RUNS_FINISH_SQL
+    )
+
+
+# Jarque-Bera normality test — queued for the round-10 official run.
+# One SQL text for both engines: every aggregate is an exact integer
+# (shifted bigint power sums; the shift keeps products inside BIGINT
+# and kills the raw-moment cancellation), the statistic is one double
+# expression at the end.
+_JB_SQL = """
+WITH daily AS (
+  SELECT CAST(floor(sum(o_totalprice) / 1000) AS BIGINT) AS x
+  FROM orders GROUP BY o_orderdate
+),
+k AS (
+  SELECT CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS kk,
+         CAST(count(*) AS BIGINT) AS n
+  FROM daily
+),
+s AS (
+  SELECT max(k.n) AS n, max(k.kk) AS kk,
+         sum(CAST((x - kk) AS DECIMAL(38,0))) AS s1,
+         sum(CAST((x - kk) * (x - kk) AS DECIMAL(38,0))) AS s2,
+         sum(CAST((x - kk) * (x - kk) * (x - kk) AS DECIMAL(38,0))) AS s3,
+         sum(CAST((x - kk) * (x - kk) * (x - kk) * (x - kk) AS DECIMAL(38,0))) AS s4
+  FROM daily CROSS JOIN k
+),
+m AS (
+  SELECT n, kk,
+         CAST(s1 AS DOUBLE) / n AS d1, CAST(s2 AS DOUBLE) / n AS d2,
+         CAST(s3 AS DOUBLE) / n AS d3, CAST(s4 AS DOUBLE) / n AS d4
+  FROM s
+),
+c AS (
+  SELECT n, kk, d1,
+         d2 - d1 * d1 AS m2,
+         d3 - 3 * d1 * d2 + 2 * d1 * d1 * d1 AS m3,
+         d4 - 4 * d1 * d3 + 6 * d1 * d1 * d2 - 3 * d1 * d1 * d1 * d1 AS m4
+  FROM m
+),
+g AS (
+  SELECT n, kk, d1, m2,
+         m3 / power(m2, 1.5) AS skew,
+         m4 / (m2 * m2) AS kurt
+  FROM c
+)
+SELECT n AS n_days,
+       round(kk + d1, 4) AS mean_krevenue,
+       round(skew, 6) AS skewness,
+       round(kurt, 6) AS kurtosis,
+       round(n / 6.0 * (skew * skew + (kurt - 3) * (kurt - 3) / 4), 4) AS jb_stat,
+       round(exp(-(n / 6.0 * (skew * skew + (kurt - 3) * (kurt - 3) / 4)) / 2), 6)
+         AS p_value
+FROM g
+"""
+
+
+@query(
+    "stats_jarque_bera",
+    "§2.19 Jarque-Bera normality test on daily revenue (exact shifted moments)",
+    _JB_SQL,
+)
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test on the daily-revenue series — the
+    CLT makes a day's total (a sum of ~60 orders) approximately
+    normal, so unlike testing a raw uniform column this produces a
+    discriminating p-value.  JB = n/6*(skew² + (kurt-3)²/4) is
+    asymptotically chi-square with 2 df, whose survival function is
+    EXACTLY exp(-x/2) — no erf needed, the p-value is closed-form.
+
+    Numerics: daily revenue is floored to exact $1000-unit bigints,
+    shifted by an in-plan integer pre-mean (floor of the true mean, a
+    second tiny pass over the ~2400-row daily table) so every power
+    product fits in BIGINT (|y| <= ~5e3 at sf0.1 -> y^4 <= 6.25e14)
+    and the raw-moment identity runs on near-centered values — no
+    catastrophic cancellation, unlike raw Σx^4 at 1e28.  The products
+    are exact BIGINTs cast to DECIMAL(38,0) only for the SUM (wide
+    sums are portable; wide multiplies are not — DuckDB errors past
+    width 38).  Partial aggregation order cannot flip a bit anywhere;
+    the closing double expression is the same SQL text in both
+    engines.  At any SF: one map-side partial agg over orders, two
+    O(days) passes — the facts are scanned once; at a larger SF bump
+    the $1000 unit so the shifted fourth power stays inside BIGINT
+    (documented, data-independent switch)."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_JB_SQL)

@@ -279,6 +279,8 @@ _VERIFY_LAST = [
 # verifies at round 10 (all driver-sim green at registration time).
 _VERIFY_AFTER = [
     "graph_link_prediction",
+    "stats_runs_test",
+    "stats_jarque_bera",
     "llm_ann_pq_adc",
     "llm_multimodal_ahash",
     "graph_label_propagation",

@@ -3385,3 +3385,176 @@ def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documented, data-independent switch)."""
     register_views(spark, sf_dir, ["orders"])
     return spark.sql(_JB_SQL)
+
+
+# Benjamini-Hochberg FDR over per-nation proportion tests — queued for
+# the round-10 official run.  One SQL text for both engines: the
+# normal-tail p-value uses the Abramowitz-Stegun 7.1.26 erf polynomial
+# (|err| < 1.5e-7) written out inline, so both engines evaluate the
+# IDENTICAL double expression — no engine erf needed (neither Spark nor
+# DuckDB exposes one).
+_FDR_ERF = (
+    "(1 - (((((1.061405429 * (1 / (1 + 0.3275911 * (abs(z) / sqrt(2))))"
+    " - 1.453152027) * (1 / (1 + 0.3275911 * (abs(z) / sqrt(2))))"
+    " + 1.421413741) * (1 / (1 + 0.3275911 * (abs(z) / sqrt(2))))"
+    " - 0.284496736) * (1 / (1 + 0.3275911 * (abs(z) / sqrt(2))))"
+    " + 0.254829592) * (1 / (1 + 0.3275911 * (abs(z) / sqrt(2))))"
+    " * exp(-(abs(z) / sqrt(2)) * (abs(z) / sqrt(2)))))"
+)
+
+_FDR_SQL = f"""
+WITH joined AS (
+  SELECT c.c_nationkey AS nk,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS k
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(k) AS BIGINT) AS kk,
+         CAST(count(*) AS BIGINT) AS m
+  FROM joined
+),
+zt AS (
+  SELECT j.nk, j.n, j.k, t.m,
+         (CAST(j.k AS DOUBLE) / j.n - CAST(t.kk - j.k AS DOUBLE) / (t.nn - j.n))
+         / sqrt((CAST(t.kk AS DOUBLE) / t.nn) * (1 - CAST(t.kk AS DOUBLE) / t.nn)
+                * (CAST(1 AS DOUBLE) / j.n + CAST(1 AS DOUBLE) / (t.nn - j.n)))
+           AS z
+  FROM joined j CROSS JOIN tot t
+),
+pv AS (
+  SELECT nk, n, k, m, z, 1 - {_FDR_ERF} AS p
+  FROM zt
+),
+ranked AS (
+  SELECT nk, n, k, m, z, p,
+         row_number() OVER (ORDER BY p, nk) AS rnk
+  FROM pv
+),
+adj AS (
+  SELECT nk, n, k, z, p, rnk,
+         least(min(p * m / rnk) OVER (ORDER BY rnk DESC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW),
+               CAST(1 AS DOUBLE)) AS p_adj
+  FROM ranked
+)
+SELECT nk AS nationkey, n AS n_orders, k AS n_urgent,
+       round(z, 4) AS z_stat, round(p, 6) AS p_value,
+       round(p_adj, 6) AS p_bh,
+       CASE WHEN p_adj <= 0.10 THEN 1 ELSE 0 END AS rejected
+FROM adj
+"""
+
+
+@query(
+    "stats_fdr_bh",
+    "§2.19 Benjamini-Hochberg FDR over 25 per-nation proportion tests",
+    _FDR_SQL,
+)
+def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multiple-testing correction every per-segment dashboard
+    needs and almost none apply: test all 25 nations for an
+    urgent-order-share different from the rest of the world, then
+    control the FALSE DISCOVERY RATE with Benjamini-Hochberg instead
+    of reading 25 raw p-values (at alpha=0.10, ~2.5 nations would
+    "significant" by chance alone).  Step-up BH = rank the p-values,
+    adjusted p_i = min over j>=i of p_j * m / j, capped at 1 — the
+    suffix-min is one window running-min read in DESCENDING rank
+    order, the rank a row_number with a total (p, nation) tie-break.
+
+    The two-proportion z per nation reuses the stats_proportion_ztest
+    discipline (exact integer counts in, one shared double expression
+    out); the normal tail converts z to p through the
+    Abramowitz-Stegun erf polynomial INLINED in the SQL text —
+    neither engine has erf, and a shared 5-term polynomial evaluated
+    identically is bit-reproducible where two libm erfs would not be.
+    Shape at any SF: facts partial-agg to 25 rows behind a broadcast
+    customer join; every window runs over 25 rows.  The 2-row
+    grouped z + the m-way correction generalizes to thousands of
+    segments — the windows stay O(segments), never O(facts)."""
+    register_views(spark, sf_dir, ["orders", "customer"])
+    return spark.sql(_FDR_SQL)
+
+
+# Hampel robust outlier filter over the daily-revenue series — queued
+# for the round-10 official run.  The rolling median/MAD neighborhood
+# is materialized with an explicit day-offset equi-join (CROSS JOIN a
+# 7-row offset table, join on the shifted date) — a distributed
+# equi-join at any SF where a BETWEEN range join would be a broadcast
+# nested loop.  Engine texts differ only in the discrete-median call
+# (percentile_disc vs quantile_disc, proven-equal convention) and the
+# date-shift spelling (date_add vs date + int).
+_HAMPEL_FINISH = """
+SELECT f.d, f.v AS revenue_cents, f.med AS med_cents, f.mad AS mad_cents,
+       round(CAST(abs(f.v - f.med) AS DOUBLE) / (1.4826 * f.mad), 4) AS ratio,
+       CASE WHEN abs(f.v - f.med) > 3 * 1.4826 * f.mad THEN 1 ELSE 0 END
+         AS is_outlier
+FROM fin f
+ORDER BY CAST(abs(f.v - f.med) AS DOUBLE) / (1.4826 * f.mad) DESC, f.d
+LIMIT 10
+"""
+
+
+def _hampel_sql(median_call: str, shift: str) -> str:
+    return f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS BIGINT) AS v
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+),
+offs AS (SELECT * FROM (VALUES (-3), (-2), (-1), (0), (1), (2), (3)) AS o(k)),
+nb1 AS (
+  SELECT a.d, {median_call.format(x="b.v")} AS med, count(*) AS cnt
+  FROM daily a CROSS JOIN offs o JOIN daily b ON b.d = {shift}
+  GROUP BY a.d HAVING count(*) = 7
+),
+nb2 AS (
+  SELECT a.d, a.med, a.cnt,
+         {median_call.format(x="abs(b.v - a.med)")} AS mad
+  FROM nb1 a CROSS JOIN offs o JOIN daily b ON b.d = {shift}
+  GROUP BY a.d, a.med, a.cnt
+),
+fin AS (
+  SELECT n.d, dd.v, n.med, n.mad
+  FROM nb2 n JOIN daily dd ON dd.d = n.d
+  WHERE n.mad > 0
+)
+{_HAMPEL_FINISH}
+"""
+
+
+@query(
+    "ts_hampel_outliers",
+    "§2.19 Hampel filter: rolling-median/MAD robust outliers on daily revenue",
+    _hampel_sql("CAST(quantile_disc({x}, 0.5) AS BIGINT)", "a.d + o.k"),
+)
+def ts_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter — the ROBUST outlier detector ts_anomaly_zscore's
+    mean/stddev version is not: a day is anomalous when it sits more
+    than 3 scaled MADs from the rolling 7-day MEDIAN, so a single
+    spike cannot drag its own threshold the way it inflates a rolling
+    mean and stddev (masking).  1.4826 is the MAD-to-sigma
+    consistency constant for the normal.
+
+    Everything upstream of the ratio is an exact integer: cent-exact
+    daily sums, discrete rolling medians (4th of 7 order statistics),
+    integer absolute deviations, integer MAD — both engines agree
+    bit-for-bit before the single shared double expression.  Edge
+    days without a full 7-day window are excluded (HAVING cnt = 7,
+    the no-partial-window convention).  Shape at any SF: one
+    map-side partial agg over the facts, then two equi-joins of the
+    O(days) daily table against itself via a 7-row offset table —
+    shuffle keys are dates, work is O(7·days); a BETWEEN range join
+    would instead be a broadcast nested loop.  Reported: the top-10
+    days by deviation ratio (integer-backed ordering with a date
+    tie-break) with their outlier flags."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        _hampel_sql(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY {x}) AS BIGINT)",
+            "date_add(a.d, o.k)",
+        )
+    )

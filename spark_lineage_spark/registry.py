@@ -281,6 +281,8 @@ _VERIFY_AFTER = [
     "graph_link_prediction",
     "stats_runs_test",
     "stats_jarque_bera",
+    "stats_fdr_bh",
+    "ts_hampel_outliers",
     "llm_ann_pq_adc",
     "llm_multimodal_ahash",
     "graph_label_propagation",

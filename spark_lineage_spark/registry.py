@@ -283,6 +283,8 @@ _VERIFY_AFTER = [
     "stats_jarque_bera",
     "stats_fdr_bh",
     "ts_hampel_outliers",
+    "llm_epoch_allocation",
+    "llm_multimodal_ahash_dedup",
     "llm_ann_pq_adc",
     "llm_multimodal_ahash",
     "graph_label_propagation",

@@ -3462,78 +3462,80 @@ def llm_reward_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Water-filling epoch allocation under a token budget — queued for the
 # round-10 official run.  The finish is one shared SQL text over
 # per-source exact token counts; only the tokenizer call differs
-# (size(split(..)) vs len(string_split(..))).
+# (size(split(..)) vs len(string_split(..))).  Budget B = 3.5x the
+# corpus, epoch cap E = 4, UNIFORM target shares (the T->infinity
+# temperature limit — every source owed B/m tokens), so small sources
+# overshoot the cap and the clawed-back budget water-fills the rest.
 _EPOCH_FINISH_SQL = """
 g AS (
-  SELECT CAST(sum(n) AS BIGINT) AS total, sum(sqrt(n)) AS wsum
+  SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS m
   FROM tok
 ),
 r AS (
-  SELECT tok.source, tok.n, sqrt(tok.n) AS w,
+  SELECT tok.source, tok.n,
          row_number() OVER (ORDER BY tok.n, tok.source) AS idx
   FROM tok
 ),
 c AS (
-  SELECT r.source, r.n, r.w, r.idx,
+  SELECT r.source, r.n, r.idx,
          COALESCE(sum(r.n) OVER (ORDER BY r.idx
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumn,
-         COALESCE(sum(r.w) OVER (ORDER BY r.idx
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumw
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumn
   FROM r
 ),
 d AS (
-  SELECT c.source, c.n, c.w, c.idx, c.cumn, c.cumw, g.total, g.wsum,
-         CASE WHEN (2.0 * g.total - 4.0 * c.cumn) * c.w
-                   <= 4.0 * c.n * (g.wsum - c.cumw)
+  SELECT c.source, c.n, c.idx, c.cumn, g.total, g.m,
+         CASE WHEN (7 * g.total / CAST(2 AS DOUBLE) - 4.0 * c.cumn)
+                   / (g.m - c.idx + 1) <= 4.0 * c.n
               THEN 1 ELSE 0 END AS fits
   FROM c CROSS JOIN g
 ),
 j AS (SELECT min(CASE WHEN fits = 1 THEN idx END) AS jstar FROM d),
 lam AS (
-  SELECT (2.0 * d.total - 4.0 * d.cumn) / (d.wsum - d.cumw) AS lambda
+  SELECT (7 * d.total / CAST(2 AS DOUBLE) - 4.0 * d.cumn) / (d.m - d.idx + 1)
+           AS lambda
   FROM d CROSS JOIN j WHERE d.idx = j.jstar
 )
 SELECT d.source, d.n AS n_tokens,
-       round(d.w / d.wsum, 6) AS weight_share,
+       round(CAST(1 AS DOUBLE) / d.m, 6) AS target_share,
        CASE WHEN d.idx < j.jstar THEN 1 ELSE 0 END AS clamped,
        round(CASE WHEN d.idx < j.jstar THEN 4.0 * d.n
-                  ELSE lam.lambda * d.w END, 2) AS alloc_tokens,
+                  ELSE lam.lambda END, 2) AS alloc_tokens,
        round(CASE WHEN d.idx < j.jstar THEN CAST(4 AS DOUBLE)
-                  ELSE lam.lambda * d.w / d.n END, 4) AS epochs
+                  ELSE lam.lambda / d.n END, 4) AS epochs
 FROM d CROSS JOIN j CROSS JOIN lam
 """
 
 
 @query(
     "llm_epoch_allocation",
-    "§2.19 water-filling epoch allocation under a token budget (temperature mixture + cap)",
+    "§2.19 water-filling epoch allocation under a token budget (uniform mixture + cap)",
     "WITH tok AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n"
     " FROM documents GROUP BY source),"
     + _EPOCH_FINISH_SQL,
 )
 def llm_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pretraining data-mixing budget problem llm_mixture_weights
-    stops short of: give each source a token allocation proportional
-    to n^0.5 (temperature upweights small sources) under a TOTAL
-    budget of 2x the corpus, but no source may repeat more than 4
-    epochs — and whatever the cap claws back from small sources is
-    REDISTRIBUTED to the rest (water-filling), not silently dropped
-    (the llm_mixture_weights cap loses budget; here sum(alloc) == B
-    exactly).
+    stops short of: give every source an EQUAL token allocation (the
+    T->infinity temperature limit, maximal small-source upweighting)
+    under a total budget of 3.5x the corpus — but no source may
+    repeat more than 4 epochs, and whatever the cap claws back from
+    small sources is REDISTRIBUTED across the rest (water-filling),
+    not silently dropped (the llm_mixture_weights cap loses budget;
+    here sum(alloc) == B exactly, property-tested).
 
-    Closed form, no iteration: with alpha = 0.5 the capacity ratio
-    E*n/w = 4*sqrt(n) is monotone in n, so sources clamp in
-    ascending-n order; sort by (n, source), take prefix cumulative
-    sums, and the clamp boundary is the FIRST row where the remaining
-    budget (B - E*cum_n) spread over the remaining weight mass keeps
-    that row under its cap — one row_number window, two running sums,
-    one scalar min, all over the ~20-row per-source table.  The
-    waterline lambda = (B - E*cum_n_clamped) / (remaining weight)
-    then prices every unclamped source.  Shape at any SF: one
-    map-side partial agg over the corpus to per-source token counts;
-    the allocation itself is O(sources).  Exact bigint token counts
-    in; the only doubles are sqrt weights and the waterline, from one
-    shared SQL text."""
+    Closed form, no iteration: the capacity E*n is monotone in n, so
+    sources clamp in ascending-n order; sort by (n, source), take
+    prefix cumulative sums, and the clamp boundary is the FIRST row
+    where the remaining budget spread evenly over the remaining
+    sources keeps that row under its cap — one row_number window,
+    one running sum, one scalar min, all over the ~20-row per-source
+    table.  The waterline lambda = (B - E*cum_n_clamped) / m_rest
+    then prices every unclamped source.  Everything upstream of
+    lambda is an exact bigint (uniform weights need no sqrt); the
+    fixture's smallest sources genuinely clamp at every SF, so the
+    redistribution path is exercised, not decorative.  Shape at any
+    SF: one map-side partial agg over the corpus to per-source token
+    counts; the allocation itself is O(sources)."""
     register_views(spark, sf_dir, ["documents"])
     return spark.sql(
         "WITH tok AS (SELECT source, CAST(sum(size(split(text, ' '))) AS BIGINT) AS n"

@@ -1,0 +1,339 @@
+"""Property tests for the round-10 operators (SURVEY §2.19 and the
+late-round-9 wave): agreement with independent pandas/numpy reference
+implementations, algebraic invariants, and the completeness guarantees
+(banded-join recall, water-filling budget exactness) an oracle
+value-hash can't express.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _load_all():
+    from spark_lineage_spark.registry import load_all
+
+    return load_all()
+
+
+# ---------------------------------------------------------------------------
+# graph_link_prediction
+# ---------------------------------------------------------------------------
+
+
+def _bipartite(spark, sf_dir):
+    from spark_lineage_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    od = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("date"))
+        .select("o_orderkey", "o_custkey")
+    )
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .toPandas()
+    )
+
+
+def test_link_prediction_matches_bruteforce(spark, sf_dir):
+    """The banded top-20 must equal a pandas brute-force over the same
+    trailing-window bipartite table: common counts, degrees, Jaccard,
+    and Adamic-Adar recomputed from scratch (dict-of-sets reference,
+    independent of the wedge join)."""
+    bip = _bipartite(spark, sf_dir)
+    by_c = bip.groupby("c")["p"].apply(set)
+    deg_p = bip.groupby("p")["c"].nunique()
+    pairs = {}
+    for c, parts in by_c.items():
+        dc = len(parts)
+        for a in parts:
+            for b in parts:
+                if a < b:
+                    cnt, aa = pairs.get((a, b), (0, 0.0))
+                    pairs[(a, b)] = (cnt + 1, aa + 1.0 / math.log(dc))
+    rows = _load_all()["graph_link_prediction"].builder(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    expected_order = sorted(pairs.items(), key=lambda kv: (-kv[1][0], kv[0]))[: len(rows)]
+    for row, ((a, b), (cnt, aa)) in zip(rows, expected_order):
+        assert (row.part_a, row.part_b) == (a, b)
+        assert row.common_cnt == cnt
+        assert row.deg_a == int(deg_p[a]) and row.deg_b == int(deg_p[b])
+        jac = cnt / (deg_p[a] + deg_p[b] - cnt)
+        assert abs(row.jaccard - jac) < 1e-5
+        assert abs(row.adamic_adar - aa) < 1e-5
+        assert 0 < row.jaccard <= 1
+        assert row.common_cnt <= min(row.deg_a, row.deg_b)
+
+
+# ---------------------------------------------------------------------------
+# stats_runs_test / stats_jarque_bera
+# ---------------------------------------------------------------------------
+
+
+def _daily_cents(spark, sf_dir):
+    from spark_lineage_spark.tables import load
+
+    pdf = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum((F.col("o_totalprice") * 100).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("v")
+        )
+        .orderBy("d")
+        .toPandas()
+    )
+    return pdf
+
+
+def test_runs_test_matches_bruteforce(spark, sf_dir):
+    """n1/n2/runs must equal a direct pandas walk: discrete median
+    (lower-middle order statistic), sign series, run starts at sign
+    flips; z from the textbook moments."""
+    pdf = _daily_cents(spark, sf_dir)
+    v = pdf["v"].to_numpy()
+    med = int(np.sort(v)[(len(v) - 1) // 2])  # percentile_disc(0.5)
+    signs = [1 if x > med else (-1 if x < med else 0) for x in v]
+    kept = [s for s in signs if s != 0]
+    runs = 1 + sum(1 for i in range(1, len(kept)) if kept[i] != kept[i - 1])
+    n1 = sum(1 for s in kept if s == 1)
+    n2 = sum(1 for s in kept if s == -1)
+    row = _load_all()["stats_runs_test"].builder(spark, sf_dir).collect()[0]
+    assert (row.n_above, row.n_below, row.n_runs) == (n1, n2, runs)
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    assert abs(row.expected_runs - mu) < 1e-4
+    assert abs(row.z_stat - (runs - mu) / math.sqrt(var)) < 1e-4
+
+
+def test_jarque_bera_matches_numpy_moments(spark, sf_dir):
+    """Skewness/kurtosis from the shifted bigint power sums must match
+    numpy central moments of the same $1000-floored daily values; the
+    p-value is exactly the chi2(2df) survival exp(-JB/2)."""
+    from spark_lineage_spark.tables import load
+
+    pdf = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(F.floor(F.sum("o_totalprice") / 1000).cast("long").alias("x"))
+        .toPandas()
+    )
+    x = pdf["x"].to_numpy(dtype=float)
+    m2 = ((x - x.mean()) ** 2).mean()
+    skew = ((x - x.mean()) ** 3).mean() / m2**1.5
+    kurt = ((x - x.mean()) ** 4).mean() / m2**2
+    row = _load_all()["stats_jarque_bera"].builder(spark, sf_dir).collect()[0]
+    assert row.n_days == len(x)
+    assert abs(row.skewness - skew) < 1e-4
+    assert abs(row.kurtosis - kurt) < 1e-4
+    jb = len(x) / 6.0 * (skew**2 + (kurt - 3) ** 2 / 4)
+    assert abs(row.jb_stat - jb) < 1e-2
+    assert abs(row.p_value - math.exp(-row.jb_stat / 2)) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# stats_fdr_bh
+# ---------------------------------------------------------------------------
+
+
+def test_fdr_bh_matches_reference(spark, sf_dir):
+    """The inlined erf polynomial must sit within its published 1.5e-7
+    bound of math.erfc, and the BH adjustment must equal the standard
+    step-up reference (numpy suffix-min of p*m/rank)."""
+    rows = _load_all()["stats_fdr_bh"].builder(spark, sf_dir).collect()
+    m = len(rows)
+    assert m == 25
+    for r in rows:
+        exact_p = math.erfc(abs(r.z_stat) / math.sqrt(2))
+        assert abs(r.p_value - exact_p) < 1e-3  # z rounded to 4dp upstream
+    order = sorted(rows, key=lambda r: (r.p_value, r.nationkey))
+    p = np.array([r.p_value for r in order])
+    adj = np.minimum.accumulate((p * m / np.arange(1, m + 1))[::-1])[::-1]
+    adj = np.minimum(adj, 1.0)
+    for r, a in zip(order, adj):
+        assert abs(r.p_bh - a) < 1e-4
+        assert r.rejected == (1 if r.p_bh <= 0.10 else 0)
+    # monotone: adjusted p never decreases with rank
+    assert all(adj[i] <= adj[i + 1] + 1e-12 for i in range(m - 1))
+
+
+# ---------------------------------------------------------------------------
+# ts_hampel_outliers
+# ---------------------------------------------------------------------------
+
+
+def test_hampel_matches_pandas_rolling(spark, sf_dir):
+    """Flags and ratios must match a pandas reference: centered 7-day
+    rolling discrete median and MAD over the calendar-contiguous
+    neighborhood (join semantics: only days PRESENT within +/-3
+    calendar days; full windows only)."""
+    pdf = _daily_cents(spark, sf_dir).set_index("d")["v"]
+    idx = pdf.index
+    rows = _load_all()["ts_hampel_outliers"].builder(spark, sf_dir).collect()
+    assert len(rows) == 10
+
+    def disc_median(vals):
+        s = np.sort(np.asarray(vals))
+        return int(s[(len(s) - 1) // 2])
+
+    for r in rows:
+        d = r.d
+        nb = [
+            int(pdf.loc[d + pd.Timedelta(days=k)])
+            for k in range(-3, 4)
+            if (d + pd.Timedelta(days=k)) in idx
+        ]
+        assert len(nb) == 7  # full-window rows only
+        med = disc_median(nb)
+        mad = disc_median([abs(x - med) for x in nb])
+        assert r.med_cents == med and r.mad_cents == mad
+        ratio = abs(int(pdf.loc[d]) - med) / (1.4826 * mad)
+        assert abs(r.ratio - ratio) < 1e-3
+        assert r.is_outlier == (1 if abs(int(pdf.loc[d]) - med) > 3 * 1.4826 * mad else 0)
+
+
+# ---------------------------------------------------------------------------
+# llm_epoch_allocation
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_allocation_waterfilling_invariants(spark, sf_dir):
+    """sum(alloc) must equal the budget EXACTLY (the property the
+    rate-capped mixture op lacks); clamped sources sit at the 4-epoch
+    cap; unclamped sources share one waterline (equal alloc); and the
+    whole vector matches an independent iterative water-filling
+    reference."""
+    rows = _load_all()["llm_epoch_allocation"].builder(spark, sf_dir).collect()
+    n = {r.source: r.n_tokens for r in rows}
+    total = sum(n.values())
+    budget = 3.5 * total
+    assert abs(sum(r.alloc_tokens for r in rows) - budget) < 1.0
+    # iterative reference: clamp, redistribute evenly, repeat
+    clamped: set = set()
+    while True:
+        rem_m = len(n) - len(clamped)
+        rem_b = budget - sum(4 * n[s] for s in clamped)
+        newly = {
+            s for s in n if s not in clamped and rem_b / rem_m > 4 * n[s] + 1e-9
+        }
+        if not newly:
+            break
+        clamped |= newly
+    lam = rem_b / rem_m
+    for r in rows:
+        if r.clamped:
+            assert r.source in clamped
+            assert abs(r.epochs - 4.0) < 1e-6
+            assert abs(r.alloc_tokens - 4 * n[r.source]) < 0.5
+        else:
+            assert r.source not in clamped
+            assert abs(r.alloc_tokens - lam) < 0.5
+            assert r.epochs <= 4.0 + 1e-9
+    assert any(r.clamped for r in rows), "fixture should exercise the cap"
+    assert any(not r.clamped for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# llm_multimodal_ahash / llm_multimodal_ahash_dedup
+# ---------------------------------------------------------------------------
+
+
+def _np_ahash(v):
+    n = len(v)
+    cells = (np.arange(n, dtype=np.int64) * 64) // n
+    s = np.zeros(64, dtype=np.int64)
+    c = np.zeros(64, dtype=np.int64)
+    np.add.at(s, cells, v)
+    np.add.at(c, cells, 1)
+    return ((s * c.sum()) > (s.sum() * c)).astype(np.int64)
+
+
+def test_ahash_identical_blob_collides(spark, sf_dir):
+    """Byte-identical blobs must produce byte-identical signatures,
+    and each signature must match the independent numpy reference."""
+    from spark_lineage_spark.tables import load
+
+    sigs = {
+        r.doc_id: (r.b0, r.b1, r.b2, r.b3)
+        for r in _load_all()["llm_multimodal_ahash"].builder(spark, sf_dir).collect()
+    }
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").limit(20).collect()
+    for d in docs:
+        bits = _np_ahash(np.frombuffer(d.text.encode(), dtype=np.uint8).astype(np.int64))
+        bands = tuple(
+            int(sum(int(bits[b * 16 + i]) << i for i in range(16))) for b in range(4)
+        )
+        assert sigs[d.doc_id] == bands
+
+
+def test_ahash_dedup_recovers_all_dimmed_twins(spark, sf_dir):
+    """Completeness: every (doc, dimmed-doc) twin whose true hamming
+    is <= 3 (verified by the numpy reference) must appear in the
+    banded join's output — the pigeonhole guarantee, checked against
+    brute force; and every reported pair keeps >= 1 intact band."""
+    from spark_lineage_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    expect = set()
+    for d in docs:
+        v = np.frombuffer(d.text.encode(), dtype=np.uint8).astype(np.int64)
+        h = int((_np_ahash(v) != _np_ahash((9 * v) // 10)).sum())
+        if h <= 3:
+            expect.add((d.doc_id, d.doc_id + 1_000_000))
+    rows = _load_all()["llm_multimodal_ahash_dedup"].builder(spark, sf_dir).collect()
+    got = {(r.doc_a, r.doc_b) for r in rows}
+    assert expect <= got
+    for r in rows:
+        assert r.hamming <= 3
+        assert r.n_shared_bands >= 1  # pigeonhole
+    assert len(expect) > 0
+
+
+# ---------------------------------------------------------------------------
+# graph_label_propagation / ts_sessionize_gap_percentile /
+# llm_reward_normalize (earlier round-10 queue, previously untested)
+# ---------------------------------------------------------------------------
+
+
+def test_label_propagation_histogram_covers_nodes(spark, sf_dir):
+    """The community-size histogram must account for every node of the
+    symmetric co-purchase graph exactly once, and three min-label
+    rounds can never leave a label above its node id."""
+    from spark_lineage_spark.operators.analytics import copurchase_edges
+
+    e0 = copurchase_edges(spark, sf_dir)
+    n_nodes = (
+        e0.select(F.col("u").alias("n"))
+        .unionAll(e0.select(F.col("v").alias("n")))
+        .distinct()
+        .count()
+    )
+    rows = _load_all()["graph_label_propagation"].builder(spark, sf_dir).collect()
+    assert sum(r.community_size * r.n_communities for r in rows) == n_nodes
+
+
+def test_sessionize_gap_percentile_bounds(spark, sf_dir):
+    """Learned-threshold sessionization invariants: every user opens
+    at least one session, sessions never exceed events, threshold is
+    a positive gap actually observed in the data."""
+    row = _load_all()["ts_sessionize_gap_percentile"].builder(spark, sf_dir).collect()[0]
+    assert row.threshold_us > 0
+    assert row.n_users <= row.n_sessions <= row.n_events
+    assert row.events_per_session >= 1.0
+
+
+def test_reward_normalize_group_moments(spark, sf_dir):
+    """Per-group z-scores must have (near-)zero mean, and exactly one
+    best-of-n winner per prompt group."""
+    pdf = _load_all()["llm_reward_normalize"].builder(spark, sf_dir)
+    pdf = pdf.toPandas()
+    by_g = pdf.groupby("group_id")
+    assert (by_g["is_best"].sum() == 1).all()
+    assert (by_g["z_reward"].mean().abs() < 1e-3).all()

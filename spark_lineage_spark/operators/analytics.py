@@ -3558,3 +3558,114 @@ def ts_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "date_add(a.d, o.k)",
         )
     )
+
+
+# Fisher's exact test — queued for the round-10 official run.  The
+# log-factorial spine and the hypergeometric tail are SHARED SQL text;
+# only the integer-series generator differs per engine.
+_FISHER_BODY = """
+ct AS (
+  SELECT CAST(sum(f1 * f2) AS BIGINT) AS a,
+         CAST(sum(f1 * (1 - f2)) AS BIGINT) AS b,
+         CAST(sum((1 - f1) * f2) AS BIGINT) AS c,
+         CAST(sum((1 - f1) * (1 - f2)) AS BIGINT) AS d,
+         CAST(sum(f1) AS BIGINT) AS kk,
+         CAST(sum(f2) AS BIGINT) AS nn,
+         CAST(count(*) AS BIGINT) AS n
+  FROM s
+),
+spine AS (
+  SELECT i.i,
+         sum(CASE WHEN i.i < 2 THEN CAST(0 AS DOUBLE)
+                  ELSE ln(CAST(i.i AS DOUBLE)) END)
+           OVER (ORDER BY i.i) AS lnf
+  FROM ints i
+),
+terms AS (
+  SELECT ks.k, ct.a, ct.b, ct.c, ct.d, ct.kk, ct.nn, ct.n,
+         (SELECT lnf FROM spine WHERE spine.i = ct.kk)
+         + (SELECT lnf FROM spine WHERE spine.i = ct.n - ct.kk)
+         + (SELECT lnf FROM spine WHERE spine.i = ct.nn)
+         + (SELECT lnf FROM spine WHERE spine.i = ct.n - ct.nn)
+         - (SELECT lnf FROM spine WHERE spine.i = ct.n)
+         - (SELECT lnf FROM spine WHERE spine.i = ks.k)
+         - (SELECT lnf FROM spine WHERE spine.i = ct.kk - ks.k)
+         - (SELECT lnf FROM spine WHERE spine.i = ct.nn - ks.k)
+         - (SELECT lnf FROM spine WHERE spine.i = ct.n - ct.kk - ct.nn + ks.k)
+           AS lnp
+  FROM ks CROSS JOIN ct
+),
+acc AS (
+  SELECT k, a, b, c, d, lnp,
+         sum(exp(lnp)) OVER (ORDER BY k) AS cump
+  FROM terms
+)
+SELECT a AS n_both, b AS n_flag1_only, c AS n_flag2_only, d AS n_neither,
+       round(CAST((a + 0.5) * (d + 0.5) AS DOUBLE)
+             / CAST((b + 0.5) * (c + 0.5) AS DOUBLE), 4) AS odds_ratio,
+       round(exp(lnp), 6) AS p_point,
+       round((SELECT max(cump) FROM acc), 6) AS p_upper
+FROM acc WHERE k = a
+"""
+
+_FISHER_FLAGS = """
+s AS (
+  SELECT CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END AS f1,
+         CASE WHEN s_nationkey < 5 THEN 1 ELSE 0 END AS f2
+  FROM supplier
+),
+"""
+
+
+@query(
+    "stats_fisher_exact",
+    "§2.19 Fisher's exact test (hypergeometric upper tail, log-factorial spine)",
+    "WITH "
+    + _FISHER_FLAGS
+    + """
+ct0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+ints AS (SELECT unnest(generate_series(0, (SELECT n FROM ct0))) AS i),
+ks AS (
+  SELECT unnest(generate_series(
+    (SELECT CAST(sum(f1 * f2) AS BIGINT) FROM s),
+    (SELECT least(CAST(sum(f1) AS BIGINT), CAST(sum(f2) AS BIGINT)) FROM s)
+  )) AS k
+),"""
+    + _FISHER_BODY,
+)
+def stats_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's EXACT test on the 2x2 of (negative account balance) x
+    (nation group 0-4) over suppliers — the small-cell companion to
+    stats_chi_square, whose asymptotics break exactly where Fisher is
+    valid.  One-sided upper tail: P(X >= a) for X hypergeometric over
+    the fixed margins, P(X = k) computed in log space from a
+    LOG-FACTORIAL SPINE — a windowed running sum of ln(i) over
+    0..N — because neither engine exposes lgamma portably and a
+    left-to-right window cumsum is the SAME double sequence in both
+    engines (bit-identical, unlike two libm lgammas or a hash-agg
+    whose partial order floats).  The tail itself is also accumulated
+    by an ORDERED window (cump), not a hash agg, for the same reason.
+
+    Shape at any SF: the facts partial-agg to one 2x2 row; the spine
+    is O(N_suppliers) with a single-partition window — fine for a
+    dimension table, and at 100 TB the spine would switch to the
+    two-phase distributed prefix sum ts_concurrency_sweep uses, or
+    Stirling/lgamma since only 9 spine points are ever read per term.
+    Tail length is min(margin1, margin2) — bounded by the rarer
+    flag, ~10% of suppliers here.  The 9 spine lookups per term are
+    scalar subqueries on an integer key (broadcast-size)."""
+    register_views(spark, sf_dir, ["supplier"])
+    return spark.sql(
+        "WITH "
+        + _FISHER_FLAGS
+        + """
+ct0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+ints AS (SELECT explode(sequence(0, CAST((SELECT n FROM ct0) AS INT))) AS i),
+ks AS (
+  SELECT explode(sequence(
+    CAST((SELECT CAST(sum(f1 * f2) AS BIGINT) FROM s) AS INT),
+    CAST((SELECT least(CAST(sum(f1) AS BIGINT), CAST(sum(f2) AS BIGINT)) FROM s) AS INT)
+  )) AS k
+),"""
+        + _FISHER_BODY
+    )

@@ -285,6 +285,7 @@ _VERIFY_AFTER = [
     "ts_hampel_outliers",
     "llm_epoch_allocation",
     "llm_multimodal_ahash_dedup",
+    "stats_fisher_exact",
     "llm_ann_pq_adc",
     "llm_multimodal_ahash",
     "graph_label_propagation",

@@ -337,3 +337,36 @@ def test_reward_normalize_group_moments(spark, sf_dir):
     by_g = pdf.groupby("group_id")
     assert (by_g["is_best"].sum() == 1).all()
     assert (by_g["z_reward"].mean().abs() < 1e-3).all()
+
+
+# ---------------------------------------------------------------------------
+# stats_fisher_exact
+# ---------------------------------------------------------------------------
+
+
+def test_fisher_exact_matches_comb_reference(spark, sf_dir):
+    """The log-factorial-spine tail must match the exact rational
+    hypergeometric tail computed with math.comb (arbitrary-precision
+    integers, no logs at all)."""
+    from spark_lineage_spark.tables import load
+
+    pdf = load(spark, sf_dir, "supplier").select("s_acctbal", "s_nationkey").toPandas()
+    f1 = (pdf["s_acctbal"] < 0).astype(int)
+    f2 = (pdf["s_nationkey"] < 5).astype(int)
+    a = int((f1 & f2).sum())
+    K = int(f1.sum())
+    nn = int(f2.sum())
+    N = len(pdf)
+    denom = math.comb(N, nn)
+    p_upper = sum(
+        math.comb(K, k) * math.comb(N - K, nn - k) for k in range(a, min(K, nn) + 1)
+    ) / denom
+    p_point = math.comb(K, a) * math.comb(N - K, nn - a) / denom
+    row = _load_all()["stats_fisher_exact"].builder(spark, sf_dir).collect()[0]
+    assert row.n_both == a
+    assert abs(row.p_upper - p_upper) < 1e-5
+    assert abs(row.p_point - p_point) < 1e-5
+    b, c, d = K - a, nn - a, N - K - nn + a
+    assert abs(
+        row.odds_ratio - (a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5))
+    ) < 1e-3

@@ -2922,3 +2922,63 @@ def profile_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.crossJoin(F.broadcast(actual)).select(
         "predicted_rows", "actual_rows", "max_key_fanout", "n_join_keys"
     )
+
+
+@query(
+    "pandas_api_resample",
+    "§2.5 pandas API on Spark: resample('7D').sum() with zero-filled empty bins",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS BIGINT) AS v
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    b AS (SELECT min(d) AS d0, max(d) AS dmax FROM daily),
+    spine AS (
+      SELECT b.d0 + CAST(7 * g.i AS INTEGER) AS bin_d
+      FROM b, LATERAL (
+        SELECT unnest(generate_series(0, datediff('day', b.d0, b.dmax) // 7)) AS i
+      ) g
+    ),
+    binned AS (
+      SELECT b.d0 + CAST(7 * (datediff('day', b.d0, daily.d) // 7) AS INTEGER) AS bin_d,
+             CAST(sum(daily.v) AS BIGINT) AS v
+      FROM daily CROSS JOIN b
+      GROUP BY b.d0 + CAST(7 * (datediff('day', b.d0, daily.d) // 7) AS INTEGER)
+    )
+    SELECT CAST(spine.bin_d AS TIMESTAMP) AS day,
+           CAST(COALESCE(binned.v, 0) AS DOUBLE) AS rev_cents
+    FROM spine LEFT JOIN binned ON binned.bin_d = spine.bin_d
+    """,
+)
+def pandas_api_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas resample idiom — set_index('day').resample('7D')
+    .sum() — on pyspark.pandas: 7-day bins ANCHORED AT THE SERIES
+    MINIMUM (the pandas origin convention, not ISO weeks), empty bins
+    EMITTED and zero-filled (the full-spine semantics a SQL GROUP BY
+    silently drops — the oracle rebuilds it with a generate_series
+    spine + left join), and sums promoted to double with 0.0 fill,
+    all exactly as pandas does.  'W' is unsupported by
+    pyspark.pandas' resampler and index_col-based conversion trips an
+    internal-column bug (both probed), so the op pins the supported
+    spelling: default index -> set_index -> resample -> reset_index.
+    Input is pre-aggregated to day grain in the DataFrame API first
+    (cent-exact decimal sums), so the pandas layer only handles the
+    O(days) series — the pattern that keeps pandas-on-Spark viable at
+    100 TB; the bin computation itself compiles to a datediff
+    expression on the day column, one hash agg, no window."""
+    import pyspark.pandas as ps  # noqa: F401 (activates the pandas API)
+
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("timestamp").alias("day"))
+        .agg(
+            F.sum((F.col("o_totalprice") * 100).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    res = daily.pandas_api().set_index("day").resample("7D").sum().reset_index()
+    return res.to_spark().select(
+        F.col("index").alias("day"), F.col("rev_cents")
+    )

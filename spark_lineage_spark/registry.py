@@ -286,6 +286,7 @@ _VERIFY_AFTER = [
     "llm_epoch_allocation",
     "llm_multimodal_ahash_dedup",
     "stats_fisher_exact",
+    "pandas_api_resample",
     "llm_ann_pq_adc",
     "llm_multimodal_ahash",
     "graph_label_propagation",

@@ -727,3 +727,106 @@ def test_spearman_windows_run_on_aggregated_cells(spark):
     # appear in a Window's sort spec — windows order by the cell keys
     for m in re.finditer(r"\(\d+\) Window\n(?:.*\n){0,3}?.*Arguments: ([^\n]*)", p):
         assert "l_quantity" not in m.group(1) and "l_discount" not in m.group(1), m.group(1)
+
+
+def test_link_prediction_plan_shape(spark):
+    """The CF top-20 must be a TakeOrderedAndProject over the pair agg
+    (not a global window), the degree joins must broadcast, and the
+    trailing-window date predicate must push to the orders scan."""
+    from spark_lineage_spark.operators.analytics import graph_link_prediction
+
+    p = plan_str(graph_link_prediction(spark, SF))
+    assert "TakeOrderedAndProject" in p, p[:2000]
+    assert "BroadcastExchange" in p, p[:2000]
+    assert "CartesianProduct" not in p
+    # the bip checkpoint truncates the scan out of the final plan, so
+    # assert pushdown on the identical pre-checkpoint fragment
+    od = load(spark, SF, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("date")
+    ).select("o_orderkey", "o_custkey")
+    pf = plan_str(od)
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(o_orderdate", pf), pf[:2000]
+
+
+def test_runs_and_jb_windows_sit_on_daily_aggregate(spark):
+    """Runs test and Jarque-Bera must partial-agg the facts to the
+    daily table before any window/sort: the first HashAggregate comes
+    before the first Window/Sort in tree order, and the orders scan
+    reads only the two referenced columns."""
+    from spark_lineage_spark.operators.analytics import (
+        stats_jarque_bera,
+        stats_runs_test,
+    )
+
+    for fn in (stats_runs_test, stats_jarque_bera):
+        p = plan_str(fn(spark, SF))
+        ops = re.findall(r"^\(\d+\) (\w+)", p, re.M)
+        assert "HashAggregate" in ops
+        downstream = [o for o in ("Window", "Sort") if o in ops]
+        first_win = min(ops.index(o) for o in downstream) if downstream else len(ops)
+        assert ops.index("HashAggregate") < first_win, ops
+        m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols == {"o_orderdate", "o_totalprice"}, cols
+
+
+def test_hampel_neighborhood_is_hash_join(spark):
+    """The 7-day neighborhood must be equi-joins on the shifted date
+    (hash/sort-merge), never a BETWEEN range join's nested loop over
+    the daily table."""
+    from spark_lineage_spark.operators.analytics import ts_hampel_outliers
+
+    p = plan_str(ts_hampel_outliers(spark, SF))
+    assert "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p), p[:2000]
+
+
+def test_fdr_bh_aggregates_before_windows(spark):
+    """BH runs its windows over the 25-nation aggregate: the customer
+    join broadcasts and every Window sits above a HashAggregate."""
+    from spark_lineage_spark.operators.analytics import stats_fdr_bh
+
+    p = plan_str(stats_fdr_bh(spark, SF))
+    assert "BroadcastHashJoin" in p, p[:2000]
+    ops = re.findall(r"^\(\d+\) (\w+)", p, re.M)
+    assert "HashAggregate" in ops and "Window" in ops
+    # numbered details run leaf-first: the fact partial agg must come
+    # before any window
+    assert ops.index("HashAggregate") < ops.index("Window"), ops
+
+
+def test_ahash_dedup_band_join_no_cartesian(spark):
+    """Candidates must come from the band equi-join — no
+    CartesianProduct anywhere in the plan (the all-pairs scan lives
+    only in the oracle)."""
+    from spark_lineage_spark.operators.multimodal import llm_multimodal_ahash_dedup
+
+    p = plan_str(llm_multimodal_ahash_dedup(spark, SF))
+    assert "CartesianProduct" not in p, p[:3000]
+    assert "BroadcastNestedLoopJoin" not in p, p[:3000]
+
+
+def test_epoch_allocation_windows_on_source_aggregate(spark):
+    """Water-filling windows run over the ~20-row per-source table:
+    first HashAggregate (the corpus token partial agg) precedes every
+    Window in tree order."""
+    from spark_lineage_spark.operators.text import llm_epoch_allocation
+
+    p = plan_str(llm_epoch_allocation(spark, SF))
+    ops = re.findall(r"^\(\d+\) (\w+)", p, re.M)
+    assert "HashAggregate" in ops and "Window" in ops
+    assert ops.index("HashAggregate") < ops.index("Window"), ops
+
+
+def test_fisher_spine_no_fact_sort(spark):
+    """Fisher's 2x2 comes from one partial agg over suppliers; the
+    supplier scan reads only the two flag columns and the plan never
+    sorts the fact table (windows run on the integer spine)."""
+    from spark_lineage_spark.operators.analytics import stats_fisher_exact
+
+    p = plan_str(stats_fisher_exact(spark, SF))
+    m = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert any(
+        {c.split(":")[0] for c in g.split(",") if c} <= {"s_acctbal", "s_nationkey"}
+        for g in m
+    ), m

@@ -15,7 +15,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from spark_lineage_spark.registry import query
-from spark_lineage_spark.tables import load
+from spark_lineage_spark.tables import load, register_views
 
 
 @query(
@@ -1935,3 +1935,73 @@ def fn_ipv4_cidr_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ip_int").cast("bigint").alias("min_ip_int"),
         F.max("ip_int").cast("bigint").alias("max_ip_int"),
     )
+
+
+# Spherical-geo battery — queued for the round-10 official run.  One
+# SQL text in both engines: coordinates are exact integer centidegrees
+# derived from the key (join_spatial_grid's synthesis trick), the
+# haversine is one fixed trig expression on those integers, so both
+# engines evaluate the identical double formula.
+_HAVERSINE_SQL = """
+WITH pts AS (
+  SELECT c_custkey AS k,
+         (CAST(c_custkey * 37 % 18000 AS DOUBLE) / 100 - 90) AS lat,
+         (CAST(c_custkey * 73 % 36000 AS DOUBLE) / 100 - 180) AS lon
+  FROM customer
+),
+wh AS (
+  SELECT * FROM (VALUES
+    (0, 40.71, -74.0), (1, 51.51, -0.13), (2, 35.68, 139.69)
+  ) AS w(wid, wlat, wlon)
+),
+dist AS (
+  SELECT pts.k, wh.wid,
+         2 * 6371.0088 * asin(sqrt(
+           pow(sin(radians(wh.wlat - pts.lat) / 2), 2)
+           + cos(radians(pts.lat)) * cos(radians(wh.wlat))
+             * pow(sin(radians(wh.wlon - pts.lon) / 2), 2)
+         )) AS km
+  FROM pts CROSS JOIN wh
+),
+nearest AS (
+  SELECT k, min_by(wid, km) AS wid, min(km) AS km
+  FROM dist GROUP BY k
+)
+SELECT wid AS warehouse_id,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(min(km), 4) AS min_km,
+       round(max(km), 4) AS max_km,
+       round(avg(km), 4) AS avg_km
+FROM nearest GROUP BY wid
+"""
+
+
+@query(
+    "fn_geo_haversine_battery",
+    "§2.19 spherical geo battery: haversine nearest-warehouse assignment",
+    _HAVERSINE_SQL,
+)
+def fn_geo_haversine_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle distance surface: each customer (synthetic
+    lat/lon from the key — join_spatial_grid's deterministic
+    centidegree trick, so the fixture needs no geo columns) is
+    assigned to the nearest of three warehouses by HAVERSINE distance
+    (mean Earth radius 6371.0088 km), reported as per-warehouse
+    counts and distance stats.  min_by picks the argmin in one
+    aggregate — no rank window.
+
+    Shape at any SF: the 3-row warehouse table cross-joins as a
+    broadcast (3x fan-out, the spatial-grid replication pattern),
+    one hash agg per customer, one 3-row finish — the customer table
+    is scanned once and never shuffled except by the final two
+    aggregates.  Parity: the trig expression is the same SQL text on
+    integer-derived doubles in both engines; libm sin/cos agree to
+    the ulp on these inputs, and the 4dp rounding absorbs anything
+    smaller (argmin flips would need two warehouses equidistant to
+    ~1e-12 km — excluded by the deterministic fixture, verified by
+    the oracle at every SF).  At 100 TB a real geo assignment adds a
+    coarse geohash pre-filter so each point only scores nearby
+    warehouses (the join_spatial_grid blocking); with 3 warehouses
+    the dense cross join IS the right plan."""
+    register_views(spark, sf_dir, ["customer"])
+    return spark.sql(_HAVERSINE_SQL)

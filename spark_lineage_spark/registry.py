@@ -287,6 +287,7 @@ _VERIFY_AFTER = [
     "llm_multimodal_ahash_dedup",
     "stats_fisher_exact",
     "pandas_api_resample",
+    "fn_geo_haversine_battery",
     "llm_ann_pq_adc",
     "llm_multimodal_ahash",
     "graph_label_propagation",

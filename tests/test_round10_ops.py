@@ -370,3 +370,42 @@ def test_fisher_exact_matches_comb_reference(spark, sf_dir):
     assert abs(
         row.odds_ratio - (a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5))
     ) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# fn_geo_haversine_battery
+# ---------------------------------------------------------------------------
+
+
+def test_haversine_matches_python_reference(spark, sf_dir):
+    """Per-warehouse counts and average distances must match an
+    independent python haversine over the same synthetic coordinates
+    (math module trig, not Spark's)."""
+    from collections import defaultdict
+
+    from spark_lineage_spark.tables import load
+
+    keys = [r.c_custkey for r in load(spark, sf_dir, "customer").select("c_custkey").collect()]
+    wh = [(0, 40.71, -74.0), (1, 51.51, -0.13), (2, 35.68, 139.69)]
+
+    def hav(lat1, lon1, lat2, lon2):
+        rl1, rl2 = math.radians(lat1), math.radians(lat2)
+        dlat = math.radians(lat2 - lat1)
+        dlon = math.radians(lon2 - lon1)
+        a = math.sin(dlat / 2) ** 2 + math.cos(rl1) * math.cos(rl2) * math.sin(dlon / 2) ** 2
+        return 2 * 6371.0088 * math.asin(math.sqrt(a))
+
+    counts = defaultdict(int)
+    sums = defaultdict(float)
+    for k in keys:
+        lat = (k * 37 % 18000) / 100 - 90
+        lon = (k * 73 % 36000) / 100 - 180
+        wid, km = min(((w, hav(lat, lon, wl, wo)) for w, wl, wo in wh), key=lambda t: t[1])
+        counts[wid] += 1
+        sums[wid] += km
+    rows = _load_all()["fn_geo_haversine_battery"].builder(spark, sf_dir).collect()
+    assert sum(r.n_customers for r in rows) == len(keys)
+    for r in rows:
+        assert r.n_customers == counts[r.warehouse_id]
+        assert abs(r.avg_km - sums[r.warehouse_id] / counts[r.warehouse_id]) < 1e-2
+        assert 0 <= r.min_km <= r.avg_km <= r.max_km <= 20040  # half circumference

@@ -18,7 +18,7 @@ from spark_lineage_spark.functions.text_funcs import (
     tokens,
     word_shingles,
 )
-from spark_lineage_spark.plans.extract import lineage_checkpoint
+from spark_lineage_spark.plans.extract import lineage_checkpoint, lineage_checkpoint_lazy
 from spark_lineage_spark.registry import query
 from spark_lineage_spark.tables import load, register_views
 
@@ -3541,4 +3541,248 @@ def llm_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH tok AS (SELECT source, CAST(sum(size(split(text, ' '))) AS BIGINT) AS n"
         " FROM documents GROUP BY source),"
         + _EPOCH_FINISH_SQL
+    )
+
+
+# Cohen's kappa between two deterministic judges — queued for the
+# round-10 official run.  One shared SQL text: flags and the 2x2 are
+# exact integers, kappa is one double expression.
+_KAPPA_FINISH_SQL = """
+m AS (
+  SELECT CAST({pd_chars} AS BIGINT) AS med_chars,
+         CAST({pd_ratio} AS BIGINT) AS med_ratio_ppm
+  FROM f
+),
+flags AS (
+  SELECT CASE WHEN f.n_chars > m.med_chars THEN 1 ELSE 0 END AS ja,
+         CASE WHEN f.ratio_ppm > m.med_ratio_ppm THEN 1 ELSE 0 END AS jb
+  FROM f CROSS JOIN m
+),
+ct AS (
+  SELECT CAST(sum(ja * jb) AS BIGINT) AS a,
+         CAST(sum(ja * (1 - jb)) AS BIGINT) AS b,
+         CAST(sum((1 - ja) * jb) AS BIGINT) AS c,
+         CAST(sum((1 - ja) * (1 - jb)) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM flags
+)
+SELECT a AS both_good, b AS only_a, c AS only_b, d AS both_bad,
+       round(CAST(a + d AS DOUBLE) / n, 6) AS p_observed,
+       round((CAST(a + b AS DOUBLE) * (a + c) + CAST(c + d AS DOUBLE) * (b + d))
+             / (CAST(n AS DOUBLE) * n), 6) AS p_expected,
+       round((CAST(a + d AS DOUBLE) / n
+              - (CAST(a + b AS DOUBLE) * (a + c) + CAST(c + d AS DOUBLE) * (b + d))
+                / (CAST(n AS DOUBLE) * n))
+             / (1 - (CAST(a + b AS DOUBLE) * (a + c) + CAST(c + d AS DOUBLE) * (b + d))
+                    / (CAST(n AS DOUBLE) * n)), 6) AS kappa
+FROM ct
+"""
+
+_KAPPA_F_SQL = """
+f AS (
+  SELECT n_chars,
+         CAST({distinct_tokens} * 1000000 / {n_tokens} AS BIGINT) AS ratio_ppm
+  FROM documents
+),
+"""
+
+
+@query(
+    "llm_judge_agreement",
+    "§2.19 Cohen's kappa: chance-corrected agreement between two quality judges",
+    "WITH "
+    + _KAPPA_F_SQL.format(
+        distinct_tokens="len(list_distinct(string_split(text, ' ')))",
+        n_tokens="len(string_split(text, ' '))",
+    )
+    + _KAPPA_FINISH_SQL.format(
+        pd_chars="quantile_disc(n_chars, 0.5)",
+        pd_ratio="quantile_disc(ratio_ppm, 0.5)",
+    ),
+)
+def llm_judge_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa — the chance-corrected agreement metric every
+    LLM-judge eval needs before trusting a single judge: two
+    deterministic document judges (A: longer than the median
+    character count; B: distinct-token ratio above its median — a
+    length signal vs a vocabulary-diversity signal) label every doc
+    good/bad, and kappa = (po - pe) / (1 - pe) corrects their raw
+    agreement for the agreement two independent coin-flippers with
+    the same marginals would get.  Median-split judges pin both
+    marginals near 50%, the regime where chance correction bites
+    hardest (po alone would look like ~0.5 "agreement" for random
+    judges; kappa reports ~0).
+
+    Everything upstream of kappa is an exact integer: character
+    counts, a parts-per-million distinct-token ratio (integer
+    division — no double ratio crosses an engine boundary), two
+    discrete medians (the pinned percentile_disc convention), and
+    the 2x2 counts; one shared double expression closes it.  Shape
+    at any SF: two corpus scans (medians, then flags — the
+    stats_levene_test two-pass shape), both map-side partial aggs;
+    the 2x2 finish is O(1)."""
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(
+        "WITH "
+        + _KAPPA_F_SQL.format(
+            distinct_tokens="size(array_distinct(split(text, ' ')))",
+            n_tokens="size(split(text, ' '))",
+        )
+        + _KAPPA_FINISH_SQL.format(
+            pd_chars="percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)",
+            pd_ratio="percentile_disc(0.5) WITHIN GROUP (ORDER BY ratio_ppm)",
+        )
+    )
+
+
+# Bradley-Terry model ratings (3 unrolled MM iterations) — queued for
+# the round-10 official run.
+_BT_GAMES_DUCK = """
+docs AS MATERIALIZED (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS score
+  FROM documents
+),
+nb AS (SELECT greatest(CAST(1 AS BIGINT),
+                       CAST(floor(count(*) / 100.0) AS BIGINT)) AS nb
+       FROM docs),
+bdocs AS MATERIALIZED (
+  SELECT d.doc_id, d.source, d.score, d.doc_id % nb.nb AS bkt
+  FROM docs d CROSS JOIN nb
+),
+games AS MATERIALIZED (
+  SELECT a.source AS sa, b.source AS sb,
+         CAST(count(*) AS BIGINT) AS g,
+         CAST(sum(CASE WHEN a.score > b.score
+                       OR (a.score = b.score AND a.doc_id > b.doc_id)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS w
+  FROM bdocs a JOIN bdocs b
+    ON a.bkt = b.bkt AND a.doc_id < b.doc_id AND a.source <> b.source
+  GROUP BY a.source, b.source
+),
+sym AS MATERIALIZED (
+  SELECT sa, sb, g, w FROM games
+  UNION ALL
+  SELECT sb AS sa, sa AS sb, g, g - w AS w FROM games
+),
+agg AS MATERIALIZED (
+  SELECT sa AS source, CAST(sum(g) AS BIGINT) AS games,
+         CAST(sum(w) AS BIGINT) AS wins
+  FROM sym GROUP BY sa
+),
+"""
+
+_BT_ITER_DUCK = """
+r{next}raw AS MATERIALIZED (
+  SELECT a.source,
+         a.wins / sum(s.g / (ra.r + rb.r)) AS r
+  FROM agg a
+  JOIN sym s ON s.sa = a.source
+  JOIN r{cur} ra ON ra.source = s.sa
+  JOIN r{cur} rb ON rb.source = s.sb
+  GROUP BY a.source, a.wins
+),
+r{next} AS MATERIALIZED (
+  SELECT source,
+         r * (SELECT count(*) FROM r{next}raw) / (SELECT sum(r) FROM r{next}raw)
+           AS r
+  FROM r{next}raw
+),
+"""
+
+
+@query(
+    "llm_bradley_terry",
+    "§2.19 Bradley-Terry ratings from pairwise comparisons (3 MM iterations)",
+    "WITH "
+    + _BT_GAMES_DUCK
+    + "r0 AS MATERIALIZED (SELECT source, CAST(1 AS DOUBLE) AS r FROM agg),"
+    + _BT_ITER_DUCK.format(cur=0, next=1)
+    + _BT_ITER_DUCK.format(cur=1, next=2)
+    + _BT_ITER_DUCK.format(cur=2, next=3)
+    + """
+sel AS (SELECT * FROM r3)
+SELECT a.source, a.games, a.wins,
+       round(CAST(a.wins AS DOUBLE) / a.games, 6) AS win_rate,
+       round(sel.r, 6) AS bt_rating
+FROM agg a JOIN sel ON sel.source = a.source
+""",
+)
+def llm_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry ratings over pairwise document comparisons — the
+    chatbot-arena ranking shape: sources are "models", every
+    same-bucket cross-source doc pair is a "game" won by the longer
+    document (deterministic doc_id tie-break; doc_ids are unique so
+    no draws), and three unrolled minorization-maximization rounds
+    r_a <- W_a / sum_b g_ab/(r_a + r_b) (mean-normalized each round,
+    the graph_pagerank bounded-iteration discipline) turn the win
+    matrix into strengths the raw win RATE cannot express — BT
+    weighs each win by opponent strength, so beating a strong source
+    moves a rating more than farming a weak one.
+
+    Scale shape: comparisons are BUCKET-BOUNDED — documents hash into
+    n/100-sized buckets, so pairs grow LINEARLY in the corpus (100
+    per doc), never O(n^2); the win matrix partial-aggs to at most
+    sources^2 rows (400) behind one equi-join on the bucket key, and
+    every MM round is a 400-row join — O(1) after the scan at any
+    SF.  The oracle unrolls the same three rounds as MATERIALIZED
+    CTEs (the graph_kcore finding).  The per-round denominator sums
+    ~19 doubles per source (rounded only at output, 6 dp) — the
+    stats_kl summation discipline."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("score")
+    )
+    nb = d.agg(
+        F.greatest(F.lit(1).cast("bigint"), F.floor(F.count("*") / 100.0).cast("bigint")).alias("nb")
+    )
+    bd = d.crossJoin(F.broadcast(nb)).select(
+        "doc_id", "source", "score", (F.col("doc_id") % F.col("nb")).alias("bkt")
+    ).transform(lineage_checkpoint_lazy)
+    a = bd.select(F.col("bkt"), F.col("doc_id").alias("ida"), F.col("source").alias("sa"), F.col("score").alias("pa"))
+    b = bd.select(F.col("bkt"), F.col("doc_id").alias("idb"), F.col("source").alias("sb"), F.col("score").alias("pb"))
+    games = (
+        a.join(b, "bkt")
+        .filter((F.col("ida") < F.col("idb")) & (F.col("sa") != F.col("sb")))
+        .groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("g"),
+            F.sum(
+                F.when(
+                    (F.col("pa") > F.col("pb"))
+                    | ((F.col("pa") == F.col("pb")) & (F.col("ida") > F.col("idb"))),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("w"),
+        )
+    )
+    sym = games.unionAll(
+        games.select(
+            F.col("sb").alias("sa"), F.col("sa").alias("sb"), "g", (F.col("g") - F.col("w")).alias("w")
+        )
+    ).transform(lineage_checkpoint_lazy)
+    agg = sym.groupBy(F.col("sa").alias("source")).agg(
+        F.sum("g").cast("bigint").alias("games"), F.sum("w").cast("bigint").alias("wins")
+    ).transform(lineage_checkpoint_lazy)
+    r = agg.select("source", F.lit(1.0).alias("r"))
+    for _ in range(3):
+        den = (
+            sym.join(r.select(F.col("source").alias("sa"), F.col("r").alias("ra")), "sa")
+            .join(r.select(F.col("source").alias("sb"), F.col("r").alias("rb")), "sb")
+            .groupBy("sa")
+            .agg(F.sum(F.col("g") / (F.col("ra") + F.col("rb"))).alias("den"))
+        )
+        raw = agg.join(den.withColumnRenamed("sa", "source"), "source").select(
+            "source", (F.col("wins") / F.col("den")).alias("r")
+        )
+        tot = raw.agg(
+            F.count(F.lit(1)).alias("m"), F.sum("r").alias("s")
+        )
+        r = raw.crossJoin(F.broadcast(tot)).select(
+            "source", (F.col("r") * F.col("m") / F.col("s")).alias("r")
+        )
+    return agg.join(r, "source").select(
+        "source",
+        "games",
+        "wins",
+        F.round(F.col("wins").cast("double") / F.col("games"), 6).alias("win_rate"),
+        F.round("r", 6).alias("bt_rating"),
     )

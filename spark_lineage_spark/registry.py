@@ -288,6 +288,8 @@ _VERIFY_AFTER = [
     "stats_fisher_exact",
     "pandas_api_resample",
     "fn_geo_haversine_battery",
+    "llm_judge_agreement",
+    "llm_bradley_terry",
     "llm_ann_pq_adc",
     "llm_multimodal_ahash",
     "graph_label_propagation",

@@ -2982,3 +2982,128 @@ def pandas_api_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.to_spark().select(
         F.col("index").alias("day"), F.col("rev_cents")
     )
+
+
+# CDC change-envelope parse + apply — queued for the round-10 official
+# run.  The envelope JSON is BUILT with explicit string concatenation
+# (identical bytes in both engines — to_json field order / decimal
+# formatting would diverge), then each engine parses it with its own
+# JSON machinery and applies the batch.
+_CDC_ENVELOPE_DUCK = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+env AS (
+  SELECT concat('{"op":"',
+                CASE WHEN o_orderkey % 7 = 0 THEN 'c'
+                     WHEN o_orderkey % 5 = 0 THEN 'u'
+                     ELSE 'd' END,
+                '","id":', CAST(o_orderkey AS VARCHAR),
+                ',"status":"', o_orderstatus,
+                '","price_cents":',
+                CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                     + CASE WHEN o_orderkey % 5 = 0 THEN 1000 ELSE 0 END
+                     AS VARCHAR),
+                '}') AS payload
+  FROM orders WHERE o_orderkey % 7 = 0 OR o_orderkey % 5 = 0 OR o_orderkey % 3 = 0
+),
+parsed AS (
+  SELECT json_extract_string(payload, '$.op') AS op,
+         CAST(json_extract(payload, '$.id') AS BIGINT) AS id,
+         json_extract_string(payload, '$.status') AS status,
+         CAST(json_extract(payload, '$.price_cents') AS BIGINT) AS price_cents
+  FROM env
+),
+applied AS (
+  SELECT b.o_orderkey, b.o_orderstatus, b.price_cents
+  FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM parsed p
+                    WHERE p.id = b.o_orderkey AND p.op IN ('u', 'd'))
+  UNION ALL
+  SELECT p.id, p.status, p.price_cents
+  FROM parsed p
+  WHERE p.op = 'c'
+     OR (p.op = 'u' AND EXISTS (SELECT 1 FROM base b WHERE b.o_orderkey = p.id))
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(price_cents) AS BIGINT) AS total_cents
+FROM applied GROUP BY o_orderstatus
+"""
+
+
+@query(
+    "cdc_json_envelope_apply",
+    "§2.19 CDC JSON change-envelope parse + apply (insert/update/delete batch)",
+    _CDC_ENVELOPE_DUCK,
+)
+def cdc_json_envelope_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC INGESTION step the scd2/scd6/merge family starts
+    after: a Debezium-shaped JSON change batch ('op' c/u/d + payload)
+    is parsed with from_json against an explicit schema and applied
+    to the base table — deletes and updates knock out their base
+    rows (left anti join on the u/d key set), updates and inserts
+    re-enter from the parsed payload (update rows only if their key
+    exists in base — the consumer-side idempotence rule).  The
+    envelope is BUILT by deterministic string concatenation so both
+    engines parse byte-identical JSON (to_json field order and
+    decimal formatting would silently diverge); price survives as
+    exact integer cents through the JSON round-trip.
+
+    Keys partition by modulus: %7=0 rows are new inserts (excluded
+    from base), then %5=0 updates (+$10.00), then %3=0 deletes —
+    CASE order makes the classes disjoint.  Shape at any SF: the
+    apply is one anti join + one semi join on the key, both
+    partial-agg'd batches; the final rollup is a 3-row hash agg.  At
+    100 TB this is exactly the hourly-batch merge plan, with the
+    envelope scan replaced by a Kafka/file source."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+env AS (
+  SELECT concat('{"op":"',
+                CASE WHEN o_orderkey % 7 = 0 THEN 'c'
+                     WHEN o_orderkey % 5 = 0 THEN 'u'
+                     ELSE 'd' END,
+                '","id":', CAST(o_orderkey AS STRING),
+                ',"status":"', o_orderstatus,
+                '","price_cents":',
+                CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                     + CASE WHEN o_orderkey % 5 = 0 THEN 1000 ELSE 0 END
+                     AS STRING),
+                '}') AS payload
+  FROM orders WHERE o_orderkey % 7 = 0 OR o_orderkey % 5 = 0 OR o_orderkey % 3 = 0
+),
+jp AS (
+  SELECT from_json(payload,
+                   'op STRING, id BIGINT, status STRING, price_cents BIGINT') AS j
+  FROM env
+),
+parsed AS (
+  SELECT j.op AS op, j.id AS id, j.status AS status, j.price_cents AS price_cents
+  FROM jp
+),
+applied AS (
+  SELECT b.o_orderkey, b.o_orderstatus, b.price_cents
+  FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM parsed p
+                    WHERE p.id = b.o_orderkey AND p.op IN ('u', 'd'))
+  UNION ALL
+  SELECT p.id, p.status, p.price_cents
+  FROM parsed p
+  WHERE p.op = 'c'
+     OR (p.op = 'u' AND EXISTS (SELECT 1 FROM base b WHERE b.o_orderkey = p.id))
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(price_cents) AS BIGINT) AS total_cents
+FROM applied GROUP BY o_orderstatus
+"""
+    )

@@ -290,6 +290,7 @@ _VERIFY_AFTER = [
     "fn_geo_haversine_battery",
     "llm_judge_agreement",
     "llm_bradley_terry",
+    "cdc_json_envelope_apply",
     "llm_ann_pq_adc",
     "llm_multimodal_ahash",
     "graph_label_propagation",

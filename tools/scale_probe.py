@@ -130,6 +130,29 @@ PROBE_QUERIES = [
     "llm_weighted_sample_es",
     "llm_boilerplate_vocab",
     "scan_parquet_bloom_filter",
+    # round-10 additions: daily-collapse robust stats (days are
+    # calendar-bounded, the scan grows), 25-group FDR finish over a 10x
+    # fact scan, corpus-linear epoch allocation and banded perceptual
+    # dedup (replica-prefixed blobs keep twins per-replica, pairs grow
+    # 10x not 100x), pandas resample over 10x orders, learned-gap
+    # sessionization over 10x events, PQ/ADC + reward normalization
+    # over the 10x corpus.  stats_fisher_exact and
+    # fn_geo_haversine_battery are NOT probed (supplier/customer are
+    # dims the fixture copies once — inputs do not grow, the
+    # join_spatial_grid exclusion); graph_link_prediction joins the
+    # excluded graph family (fixed part dim => 10x facts DENSIFY
+    # baskets, wedges grow 100x because the workload does).
+    "stats_runs_test",
+    "stats_jarque_bera",
+    "ts_hampel_outliers",
+    "stats_fdr_bh",
+    "llm_epoch_allocation",
+    "llm_multimodal_ahash_dedup",
+    "pandas_api_resample",
+    "ts_sessionize_gap_percentile",
+    "llm_reward_normalize",
+    "llm_multimodal_ahash",
+    "llm_ann_pq_adc",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

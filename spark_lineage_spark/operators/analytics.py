@@ -3669,3 +3669,174 @@ ks AS (
 ),"""
         + _FISHER_BODY
     )
+
+
+# Experimentation analytics: difference-in-differences — queued for
+# the round-10 official run.  One shared SQL text: per-customer
+# cent-exact period spend, 2x2 cell moments as DECIMAL sums, one
+# double contrast at the end.
+_DID_SQL = """
+WITH spend AS (
+  SELECT c.c_nationkey < 5 AS treated,
+         CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01' AS post,
+         o.o_custkey,
+         CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+per_cust AS (
+  SELECT treated, post, o_custkey,
+         CAST(sum(cents) AS BIGINT) AS y
+  FROM spend GROUP BY treated, post, o_custkey
+),
+cells AS (
+  SELECT treated, post,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(y AS DECIMAL(38,0))) AS s1,
+         sum(CAST(y AS DECIMAL(38,0)) * y) AS s2
+  FROM per_cust GROUP BY treated, post
+),
+m AS (
+  SELECT max(CASE WHEN treated AND post THEN CAST(s1 AS DOUBLE) / n END) AS tp,
+         max(CASE WHEN treated AND NOT post THEN CAST(s1 AS DOUBLE) / n END) AS tq,
+         max(CASE WHEN NOT treated AND post THEN CAST(s1 AS DOUBLE) / n END) AS cp,
+         max(CASE WHEN NOT treated AND NOT post THEN CAST(s1 AS DOUBLE) / n END) AS cq,
+         max(CASE WHEN treated AND post THEN n END) AS n_tp,
+         max(CASE WHEN treated AND NOT post THEN n END) AS n_tq,
+         max(CASE WHEN NOT treated AND post THEN n END) AS n_cp,
+         max(CASE WHEN NOT treated AND NOT post THEN n END) AS n_cq,
+         max(CASE WHEN treated AND post
+                  THEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) / n END)
+           + max(CASE WHEN treated AND NOT post
+                  THEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) / n END)
+           + max(CASE WHEN NOT treated AND post
+                  THEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) / n END)
+           + max(CASE WHEN NOT treated AND NOT post
+                  THEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) / n END)
+           AS var_did
+  FROM cells
+)
+SELECT n_tp, n_tq, n_cp, n_cq,
+       round(tp / 100, 2) AS treated_post_mean,
+       round(tq / 100, 2) AS treated_pre_mean,
+       round(cp / 100, 2) AS control_post_mean,
+       round(cq / 100, 2) AS control_pre_mean,
+       round(((tp - tq) - (cp - cq)) / 100, 2) AS did_estimate,
+       round(((tp - tq) - (cp - cq)) / sqrt(var_did), 4) AS z_stat
+FROM m
+"""
+
+
+@query(
+    "stats_diff_in_diff",
+    "§2.19 difference-in-differences (2x2 cell means, delta-method z)",
+    _DID_SQL,
+)
+def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the quasi-experimental estimator
+    for "did the 1997 policy change move treated-nation spend beyond
+    the common trend?": (treated post − pre) − (control post − pre)
+    over per-customer period spend, with a delta-method z whose
+    variance is the sum of the four cell mean-variances (independent
+    cells, the textbook large-sample SE).  Treatment = nations 0-4,
+    post = 1997 onward — deterministic fixture stand-ins for a real
+    assignment table.
+
+    Everything upstream of the contrast is exact: cent-exact
+    per-customer sums, DECIMAL(38,0) cell power sums (partial-agg
+    order cannot flip a bit), then ONE double expression from the
+    same SQL text in both engines.  Shape at any SF: facts
+    partial-agg to (cell, customer) then to 4 cell rows behind a
+    broadcast customer join — two thin shuffles, the finish is O(1).
+    The sample-variance identity (S2 - S1²/n)/(n-1) runs on exact
+    decimal inputs, so no catastrophic cancellation reaches the
+    doubles."""
+    register_views(spark, sf_dir, ["orders", "customer"])
+    return spark.sql(_DID_SQL)
+
+
+# CUPED variance reduction — queued for the round-10 official run.
+_CUPED_SQL = """
+WITH spend AS (
+  SELECT o.o_custkey,
+         c.c_nationkey < 5 AS treated,
+         CAST(sum(CASE WHEN CAST(o.o_orderdate AS DATE) >= DATE '1998-01-01'
+                  THEN CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS y,
+         CAST(sum(CASE WHEN CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+                  THEN CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY o.o_custkey, c.c_nationkey < 5
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(x AS DECIMAL(38,0))) AS sx,
+         sum(CAST(y AS DECIMAL(38,0))) AS sy,
+         sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+         sum(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+         sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+  FROM spend
+),
+theta AS (
+  SELECT n, CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+         / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS th,
+         (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1) AS var_y,
+         ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+          - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+            * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+            / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)) / (n - 1)
+           AS var_adj
+  FROM mom
+),
+grp AS (
+  SELECT s.treated,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(s.y AS DECIMAL(38,0))) AS sy,
+         sum(CAST(s.x AS DECIMAL(38,0))) AS sx
+  FROM spend s GROUP BY s.treated
+),
+eff AS (
+  SELECT max(CASE WHEN treated THEN CAST(sy AS DOUBLE) / n END)
+           - max(CASE WHEN NOT treated THEN CAST(sy AS DOUBLE) / n END) AS raw_diff,
+         max(CASE WHEN treated THEN CAST(sx AS DOUBLE) / n END)
+           - max(CASE WHEN NOT treated THEN CAST(sx AS DOUBLE) / n END) AS pre_diff
+  FROM grp
+)
+SELECT t.n AS n_customers,
+       round(t.th, 6) AS theta,
+       round(t.var_y / 10000, 2) AS var_y_dollars2,
+       round(t.var_adj / 10000, 2) AS var_adj_dollars2,
+       round((1 - t.var_adj / t.var_y) * 100, 4) AS variance_reduction_pct,
+       round(e.raw_diff / 100, 2) AS raw_effect_dollars,
+       round((e.raw_diff - t.th * e.pre_diff) / 100, 2) AS cuped_effect_dollars
+FROM theta t CROSS JOIN eff e
+"""
+
+
+@query(
+    "stats_cuped",
+    "§2.19 CUPED variance reduction (pre-period covariate adjustment)",
+    _CUPED_SQL,
+)
+def stats_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED — the experimentation workhorse: adjust each customer's
+    1998 spend by theta times their pre-period (1995-97) spend, where
+    theta = cov(x,y)/var(x), cutting metric variance by exactly the
+    squared correlation (var_adj = var_y*(1-rho²) — the identity the
+    closed form below computes without materializing adjusted rows).
+    Reported: theta, raw vs adjusted variance (and the reduction %),
+    and the treated-vs-control effect before and after adjustment
+    (treatment = nations 0-4; CUPED shifts the estimate only through
+    the groups' pre-period imbalance, which is the point).
+
+    All five power sums (Σx, Σy, Σx², Σy², Σxy) are DECIMAL(38,0)
+    over exact cent bigints — one partial-agg'd pass over the
+    per-customer table, aggregation order irrelevant; theta, the
+    variances, and both effects are single double expressions from
+    the same SQL text in both engines.  Shape at any SF: facts
+    partial-agg to one row per customer behind a broadcast customer
+    join, then a 1-row moment finish and a 2-row group finish — no
+    second pass over the facts, no adjusted-row materialization."""
+    register_views(spark, sf_dir, ["orders", "customer"])
+    return spark.sql(_CUPED_SQL)

@@ -291,6 +291,8 @@ _VERIFY_AFTER = [
     "llm_judge_agreement",
     "llm_bradley_terry",
     "cdc_json_envelope_apply",
+    "stats_diff_in_diff",
+    "stats_cuped",
     "llm_ann_pq_adc",
     "llm_multimodal_ahash",
     "graph_label_propagation",

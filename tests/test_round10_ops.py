@@ -466,3 +466,67 @@ def test_bradley_terry_invariants(spark, sf_dir):
     rank_bt = np.empty(len(rats)); rank_bt[order_bt] = np.arange(len(rats))
     rank_wr = np.empty(len(wr)); rank_wr[order_wr] = np.arange(len(wr))
     assert np.corrcoef(rank_bt, rank_wr)[0, 1] > 0.5
+
+
+# ---------------------------------------------------------------------------
+# stats_diff_in_diff / stats_cuped
+# ---------------------------------------------------------------------------
+
+
+def _cust_period_spend(spark, sf_dir):
+    from spark_lineage_spark.tables import load
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "o_custkey",
+            (F.col("c_nationkey") < 5).alias("treated"),
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .toPandas()
+    )
+
+
+def test_did_matches_pandas_reference(spark, sf_dir):
+    """Cell means and the DiD contrast must match a pandas groupby
+    over the same per-customer period spend."""
+    pdf = _cust_period_spend(spark, sf_dir)
+    pdf["post"] = pdf["d"] >= pd.Timestamp("1997-01-01").date()
+    per = pdf.groupby(["treated", "post", "o_custkey"])["cents"].sum().reset_index()
+    cell = per.groupby(["treated", "post"])["cents"].mean()
+    did = (cell[(True, True)] - cell[(True, False)]) - (
+        cell[(False, True)] - cell[(False, False)]
+    )
+    row = _load_all()["stats_diff_in_diff"].builder(spark, sf_dir).collect()[0]
+    assert abs(row.did_estimate - did / 100) < 0.05
+    assert abs(row.treated_post_mean - cell[(True, True)] / 100) < 0.05
+    counts = per.groupby(["treated", "post"])["o_custkey"].count()
+    assert row.n_tp == counts[(True, True)] and row.n_cq == counts[(False, False)]
+
+
+def test_cuped_matches_numpy_and_identity(spark, sf_dir):
+    """theta must equal numpy cov/var over the same per-customer
+    (pre, post) pairs, and the adjusted variance must satisfy the
+    CUPED identity var_adj = var_y * (1 - rho^2)."""
+    pdf = _cust_period_spend(spark, sf_dir)
+    pdf["is98"] = pdf["d"] >= pd.Timestamp("1998-01-01").date()
+    per = (
+        pdf.assign(y=pdf["cents"].where(pdf["is98"], 0), x=pdf["cents"].where(~pdf["is98"], 0))
+        .groupby(["o_custkey", "treated"])[["x", "y"]]
+        .sum()
+        .reset_index()
+    )
+    x = per["x"].to_numpy(dtype=float)
+    y = per["y"].to_numpy(dtype=float)
+    theta = np.cov(x, y, ddof=1)[0, 1] / np.var(x, ddof=1)
+    var_y = np.var(y, ddof=1)
+    rho2 = np.corrcoef(x, y)[0, 1] ** 2
+    row = _load_all()["stats_cuped"].builder(spark, sf_dir).collect()[0]
+    assert row.n_customers == len(per)
+    assert abs(row.theta - theta) < 1e-4
+    assert abs(row.var_y_dollars2 - var_y / 10000) < max(1.0, var_y / 1e8)
+    assert abs(row.variance_reduction_pct - rho2 * 100) < 0.01
+    assert 0 <= row.variance_reduction_pct < 100

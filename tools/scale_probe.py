@@ -133,8 +133,12 @@ PROBE_QUERIES = [
     # round-10 additions: daily-collapse robust stats (days are
     # calendar-bounded, the scan grows), 25-group FDR finish over a 10x
     # fact scan, corpus-linear epoch allocation and banded perceptual
-    # dedup (replica-prefixed blobs keep twins per-replica, pairs grow
-    # 10x not 100x), pandas resample over 10x orders, learned-gap
+    # dedup (NOTE: unlike token-shingle dedup, the replica token prefix
+    # does NOT break perceptual similarity — replicas of one doc have
+    # near-identical byte means, so true near-dup pairs grow ~148x at
+    # 10x by construction; the measured runtime ratio stays ~2.8
+    # because the banded join is linear in candidates, which is the
+    # claim under test), pandas resample over 10x orders, learned-gap
     # sessionization over 10x events, PQ/ADC + reward normalization
     # over the 10x corpus.  stats_fisher_exact and
     # fn_geo_haversine_battery are NOT probed (supplier/customer are

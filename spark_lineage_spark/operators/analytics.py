@@ -3840,3 +3840,379 @@ def stats_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     second pass over the facts, no adjusted-row materialization."""
     register_views(spark, sf_dir, ["orders", "customer"])
     return spark.sql(_CUPED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 2 (registered round 9, first official row round 10; all
+# queued via registry._VERIFY_AFTER).
+
+# Kruskal-Wallis H: the k-group generalization of stats_mann_whitney,
+# on the SAME exact-doubled-rank chassis — rows collapse to the 50
+# distinct l_quantity values with per-returnflag counts, so the only
+# window is a cumsum over a 50-row table (domain-bounded, SF-free).
+# A tied run of g rows starting after prev_total rows all take average
+# rank prev_total + (g+1)/2, so DOUBLED rank sums per group
+# (2R_g = sum c_g*(2*prev_total + g + 1)) are exact integers; the
+# g^3-g tie term is an exact BIGINT per value (g <= N fits until
+# N^3 > 2^63 — past ~2e6 rows per value, lift the product into
+# DECIMAL the way the sums already are).  H, its tie correction
+# C = 1 - sum(g^3-g)/(N^3-N), and the closed-form chi-square(2df)
+# survival exp(-H/2) (3 groups => 2 df, same trick as
+# stats_jarque_bera) are one shared double expression — the identical
+# SQL text runs on both engines.
+_KRUSKAL_SQL = """
+WITH pts AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v,
+         CAST(count(*) FILTER (WHERE l_returnflag = 'A') AS BIGINT) AS ca,
+         CAST(count(*) FILTER (WHERE l_returnflag = 'N') AS BIGINT) AS cn,
+         CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS cr
+  FROM lineitem GROUP BY 1
+),
+cum AS (
+  SELECT ca, cn, cr, ca + cn + cr AS g,
+         sum(ca + cn + cr) OVER (ORDER BY v) - (ca + cn + cr) AS prev_total
+  FROM pts
+),
+s AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na,
+         CAST(sum(cn) AS BIGINT) AS nn,
+         CAST(sum(cr) AS BIGINT) AS nr,
+         CAST(sum(CAST(ca * (2 * prev_total + g + 1) AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS r2a,
+         CAST(sum(CAST(cn * (2 * prev_total + g + 1) AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS r2n,
+         CAST(sum(CAST(cr * (2 * prev_total + g + 1) AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS r2r,
+         CAST(sum(CAST(g * g * g - g AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tie3
+  FROM cum
+),
+h AS (
+  SELECT na, nn, nr, na + nn + nr AS n,
+         12.0 / (CAST(na + nn + nr AS DOUBLE) * (na + nn + nr + 1))
+         * ((CAST(r2a AS DOUBLE) / 2) * (CAST(r2a AS DOUBLE) / 2) / na
+            + (CAST(r2n AS DOUBLE) / 2) * (CAST(r2n AS DOUBLE) / 2) / nn
+            + (CAST(r2r AS DOUBLE) / 2) * (CAST(r2r AS DOUBLE) / 2) / nr)
+         - 3.0 * (na + nn + nr + 1) AS h_raw,
+         1.0 - CAST(tie3 AS DOUBLE)
+             / (CAST(na + nn + nr AS DOUBLE) * (na + nn + nr)
+                * (na + nn + nr) - (na + nn + nr)) AS tie_c
+  FROM s
+)
+SELECT na AS n_flag_a, nn AS n_flag_n, nr AS n_flag_r,
+       round(h_raw, 6) AS h_stat,
+       round(h_raw / tie_c, 6) AS h_tie_adj,
+       round(exp(-(h_raw / tie_c) / 2), 6) AS p_chi2_2df
+FROM h
+"""
+
+
+@query(
+    "stats_kruskal_wallis",
+    "§2.20 Kruskal-Wallis H (k-group rank test, exact doubled ranks, tie-corrected)",
+    _KRUSKAL_SQL,
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the three l_returnflag groups on
+    l_quantity — the nonparametric one-way ANOVA companion to
+    stats_anova_oneway.  Never ranks raw rows: the 50-value quantity
+    domain gives a per-value count table whose cumsum IS the average
+    rank bookkeeping (see module comment above _KRUSKAL_SQL for the
+    exact-integer doubled-rank identity and the BIGINT headroom
+    switch).  Shape at any SF: one map-side partial agg over the
+    facts to <= 50 rows, a 50-row ordered stage, a 1-row finish —
+    the facts are scanned exactly once.  Reference property test:
+    rank-then-compute brute force in tests/test_round10_ops.py."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_KRUSKAL_SQL)
+
+
+# CUSUM drift monitor: standardized one-sided cumulative sums of daily
+# revenue against a FIXED calibration year (1995, the fixture's first year).  The max(0, S+z-k)
+# recursion is not a plain cumsum, but it has the closed form
+# S_i = C_i - min(0, min_{j<=i} C_j) with C = cumsum(z - k) — two
+# cumulative windows instead of a sequential fold, which is what makes
+# it a one-pass window query instead of a driver loop.  All upstream
+# arithmetic is exact (cent bigints, DECIMAL power sums); z and the
+# cumsums are doubles, but cumulative-frame window sums accumulate
+# left-to-right in BOTH engines (the stats_fisher_exact log-factorial
+# spine precedent), so the double sequences are identical and the
+# alarm comparisons cannot diverge.
+_CUSUM_SQL = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_orderdate
+),
+calib AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0,
+         CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+         CAST(sum(CAST(cents * cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+  FROM daily WHERE d < DATE '1996-01-01'
+),
+z AS (
+  SELECT dd.d,
+         (CAST(dd.cents AS DOUBLE) - CAST(c.s1 AS DOUBLE) / c.n0)
+         / sqrt((CAST(c.s2 AS DOUBLE)
+                 - (CAST(c.s1 AS DOUBLE) / c.n0) * CAST(c.s1 AS DOUBLE))
+                / (c.n0 - 1)) AS z
+  FROM daily dd CROSS JOIN calib c
+  WHERE dd.d >= DATE '1996-01-01'
+),
+cs AS (
+  SELECT d,
+         sum(z - 0.5) OVER (ORDER BY d) AS cu,
+         sum(0.0 - z - 0.5) OVER (ORDER BY d) AS cd
+  FROM z
+),
+s AS (
+  SELECT d,
+         cu - least(min(cu) OVER (ORDER BY d), 0) AS s_up,
+         cd - least(min(cd) OVER (ORDER BY d), 0) AS s_dn
+  FROM cs
+)
+SELECT CAST(count(*) FILTER (WHERE s_up > 5) AS BIGINT) AS n_up_alarm_days,
+       CAST(count(*) FILTER (WHERE s_dn > 5) AS BIGINT) AS n_dn_alarm_days,
+       round(max(s_up), 4) AS max_s_up,
+       round(max(s_dn), 4) AS max_s_dn,
+       min(d) FILTER (WHERE s_up > 5) AS first_up_alarm,
+       min(d) FILTER (WHERE s_dn > 5) AS first_dn_alarm
+FROM s
+"""
+
+
+@query(
+    "ts_cusum_drift",
+    "§2.20 CUSUM drift monitor (closed-form one-sided cusum, fixed calibration)",
+    _CUSUM_SQL,
+)
+def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tabular CUSUM (k=0.5σ reference, h=5σ decision interval) on
+    daily revenue standardized against the 1995 calibration year —
+    the SPC drift monitor a data-quality pipeline runs on ingest
+    volume.  See the closed-form note above _CUSUM_SQL: the
+    sequential max(0, ·) recursion becomes cumsum-minus-running-min,
+    i.e. two cumulative windows over the ~2200-day series.  The
+    day-grain series is SF-free in row count (days, not orders), so
+    the single-partition ordered stage is bounded at any corpus
+    size; the facts partial-agg map-side to one row per day.
+    Property test: sequential-fold reference in
+    tests/test_round10_ops.py."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_CUSUM_SQL)
+
+
+# Herfindahl-Hirschman concentration per region over supplier revenue.
+# Shares never materialize: HHI = sum(d_i^2)/T^2 with d_i the exact
+# per-supplier dollar bigint and T the region total, so the only
+# doubles are the three closing expressions (identical text both
+# engines) — a sum of squared fractional shares would be
+# partial-agg-order dependent, the squared-bigint sum is not.
+# Dollar (not cent) units keep d_i^2 far inside BIGINT through sf100
+# (d_i ~ 2.3e7 at sf0.1 -> d^2 ~ 5e14; 1000x the revenue is still
+# only 5e20 in the DECIMAL sum, never in a product).
+_HHI_SQL = """
+WITH rev AS (
+  SELECT r.r_name AS region, s.s_suppkey AS supp,
+         CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)) AS BIGINT))
+              AS BIGINT) AS dollars
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, s.s_suppkey
+),
+g AS (
+  SELECT region,
+         CAST(count(*) AS BIGINT) AS n_suppliers,
+         CAST(sum(CAST(dollars AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tot,
+         CAST(sum(CAST(dollars * dollars AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sumsq
+  FROM rev GROUP BY region
+)
+SELECT region, n_suppliers,
+       round(CAST(sumsq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 8)
+         AS hhi,
+       CASE WHEN n_suppliers = 1 THEN CAST(NULL AS DOUBLE)
+            ELSE round((CAST(sumsq AS DOUBLE)
+                        / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))
+                        - 1.0 / n_suppliers) / (1 - 1.0 / n_suppliers), 8)
+       END AS hhi_normalized,
+       round((CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) / CAST(sumsq AS DOUBLE), 4)
+         AS effective_suppliers
+FROM g
+"""
+
+
+@query(
+    "stats_herfindahl",
+    "§2.20 Herfindahl-Hirschman concentration (exact squared-bigint shares)",
+    _HHI_SQL,
+)
+def stats_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration battery per region: HHI over supplier
+    revenue shares, the normalized HHI (rescaled to [0,1] against the
+    1/n uniform floor), and the effective number of suppliers 1/HHI
+    (the inverse-Simpson diversity a data-mixture dashboard reports
+    per source).  Numerics per the note above _HHI_SQL — squared
+    exact bigints, division deferred to the 5-row finish.  Shape at
+    any SF: facts partial-agg behind broadcast dimension joins to one
+    row per (region, supplier), then a 5-row group finish."""
+    register_views(spark, sf_dir, ["lineitem", "supplier", "nation", "region"])
+    return spark.sql(_HHI_SQL)
+
+
+# Isotonic (monotone nondecreasing, weighted L2) regression of mean
+# discount on quantity via the MINIMAX identity
+#   fit_i = max_{j<=i} min_{k>=i} wmean(y[j..k])
+# — the closed form of pool-adjacent-violators, chosen because it is
+# pure joins + min/max (both order-independent over doubles) instead
+# of PAVA's sequential stack.  The O(n^3) cost is on the 50-value
+# QUANTITY DOMAIN, not the rows: facts collapse to 50 (weight,
+# weighted-sum) points, prefix sums over 50 rows give every interval
+# mean as ONE double division of exact bigints, and the fit is a
+# 50 x 1275 bounded join.  SF only grows the exact integer inputs.
+_ISOTONIC_SQL = """
+WITH pts AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(count(*) AS BIGINT) AS w,
+         CAST(sum(CAST(round(l_discount * 1000000) AS BIGINT)) AS BIGINT) AS wy
+  FROM lineitem GROUP BY 1
+),
+cum AS (
+  SELECT q, w, wy,
+         sum(w) OVER (ORDER BY q) AS cw,
+         sum(wy) OVER (ORDER BY q) AS cwy
+  FROM pts
+),
+iv AS (
+  SELECT j.q AS jq, k.q AS kq,
+         (CAST(k.cwy AS DOUBLE) - CAST(j.cwy AS DOUBLE) + CAST(j.wy AS DOUBLE))
+         / (k.cw - j.cw + j.w) AS m
+  FROM cum j JOIN cum k ON j.q <= k.q
+),
+mins AS (
+  SELECT i.q AS iq, v.jq, min(v.m) AS mn
+  FROM cum i JOIN iv v ON v.jq <= i.q AND v.kq >= i.q
+  GROUP BY i.q, v.jq
+),
+fit AS (SELECT iq AS q, max(mn) AS fit_ppm FROM mins GROUP BY iq)
+SELECT f.q AS quantity, p.w AS n_rows,
+       round(CAST(p.wy AS DOUBLE) / p.w, 4) AS raw_mean_ppm,
+       round(f.fit_ppm, 4) AS iso_fit_ppm
+FROM fit f JOIN pts p ON f.q = p.q
+"""
+
+
+@query(
+    "stats_isotonic_minimax",
+    "§2.20 isotonic regression (minimax closed form of PAVA, domain-bounded)",
+    _ISOTONIC_SQL,
+)
+def stats_isotonic_minimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted isotonic regression of mean discount (ppm) on
+    quantity — the calibration-curve fit a reward-model pipeline runs
+    (monotone score -> win-rate calibration is the same problem).
+    Uses the minimax identity instead of sequential PAVA (note above
+    _ISOTONIC_SQL): every candidate interval mean is one double
+    division of exact prefix-summed bigints, so min/max — both
+    permutation-invariant — are the only double aggregations and the
+    two engines cannot disagree.  The inequality joins are
+    broadcast-nested-loop over 50 and 1275 rows: domain-bounded,
+    SF-independent.  Property test vs a numpy PAVA reference in
+    tests/test_round10_ops.py (exact equality of fitted blocks)."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_ISOTONIC_SQL)
+
+
+_HITS_SCALE = 100_000_000  # hub/authority unit: 1e8 = 1.0 of L1 mass
+
+_HITS_SQL = f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderdate >= DATE '1998-01-01'
+),
+a1r AS (SELECT p, CAST(count(*) AS BIGINT) * {_HITS_SCALE} AS raw
+        FROM edges GROUP BY p),
+a1d AS (SELECT greatest(CAST(sum(raw) AS BIGINT) // {_HITS_SCALE}, 1) AS dv FROM a1r),
+a1 AS (SELECT p, raw // dv AS sc FROM a1r CROSS JOIN a1d),
+h1r AS (SELECT e.c, CAST(sum(a.sc) AS BIGINT) AS raw
+        FROM edges e JOIN a1 a ON e.p = a.p GROUP BY e.c),
+h1d AS (SELECT greatest(CAST(sum(raw) AS BIGINT) // {_HITS_SCALE}, 1) AS dv FROM h1r),
+h1 AS (SELECT c, raw // dv AS sc FROM h1r CROSS JOIN h1d),
+a2r AS (SELECT e.p, CAST(sum(h.sc) AS BIGINT) AS raw
+        FROM edges e JOIN h1 h ON e.c = h.c GROUP BY e.p),
+a2d AS (SELECT greatest(CAST(sum(raw) AS BIGINT) // {_HITS_SCALE}, 1) AS dv FROM a2r),
+a2 AS (SELECT p, raw // dv AS sc FROM a2r CROSS JOIN a2d)
+SELECT a2.p AS partkey, d.deg AS n_customers, a2.sc AS authority_scaled
+FROM a2 JOIN (SELECT p, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY p) d
+  ON a2.p = d.p
+ORDER BY a2.sc DESC, a2.p
+LIMIT 15
+"""
+
+
+@query(
+    "graph_hits",
+    "§2.20 HITS hubs/authorities (1.5 unrolled rounds, integer-exact L1 norm)",
+    _HITS_SQL,
+    doc="Top-15 authority parts on the 1998 customer->part bipartite graph.",
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS on the 1998 customer->part purchase graph: customers are
+    hubs, parts are authorities; authority<-hub<-authority updates
+    unrolled (a1, h1, a2) with L1 normalization after each.  Same
+    determinism chassis as graph_pagerank: scores are scaled-integer
+    units and every normalization is INTEGER division by the 1-row
+    scalar dv = sum(raw) div SCALE — no big product anywhere (the
+    naive raw*SCALE/total overflows BIGINT once a part's in-degree
+    crosses ~1e10-edge mass; dividing by the pre-shrunk divisor keeps
+    every value <= ~SCALE with the same <=1e-8 relative error), so
+    partial-agg order cannot flip a bit and both engines produce
+    identical bigints.  At 100 TB each round is one equi-join of the
+    edge table on the node key plus a hash agg — standard BSP — with
+    the node-sized score tables broadcast while small; the dv scalars
+    are broadcast 1-row cross joins.  Property test: double-precision
+    reference HITS agrees on ranking in tests/test_round10_ops.py."""
+    register_views(spark, sf_dir, ["orders", "lineitem"])
+    edges = lineage_checkpoint_lazy(
+        spark.table("orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("date"))
+        .join(spark.table("lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    # node-sized score tables broadcast while the node domain is small
+    # (same metadata-only guard as graph_pagerank); past that they hash
+    # join on the node key like any BSP round
+    bc = F.broadcast if small_node_count(spark, sf_dir) else (lambda df: df)
+
+    def normalize(raw: DataFrame, key: str) -> DataFrame:
+        dv = raw.agg(
+            F.expr(f"greatest(sum(raw) div {_HITS_SCALE}, 1)").alias("dv")
+        )
+        return raw.join(F.broadcast(dv)).select(
+            key, F.expr("raw div dv").alias("sc")
+        )
+
+    a1 = normalize(
+        edges.groupBy("p").agg((F.count(F.lit(1)) * _HITS_SCALE).alias("raw")), "p"
+    )
+    h1 = normalize(
+        edges.join(bc(a1), "p").groupBy("c").agg(F.sum("sc").alias("raw")),
+        "c",
+    )
+    a2 = normalize(
+        edges.join(bc(h1), "c").groupBy("p").agg(F.sum("sc").alias("raw")),
+        "p",
+    )
+    deg = edges.groupBy("p").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        a2.join(deg, "p")
+        .select(
+            F.col("p").alias("partkey"),
+            F.col("deg").alias("n_customers"),
+            F.col("sc").alias("authority_scaled"),
+        )
+        .orderBy(F.col("authority_scaled").desc(), "partkey")
+        .limit(15)
+    )

@@ -298,6 +298,11 @@ _VERIFY_AFTER = [
     "graph_label_propagation",
     "ts_sessionize_gap_percentile",
     "llm_reward_normalize",
+    "stats_kruskal_wallis",
+    "ts_cusum_drift",
+    "stats_herfindahl",
+    "stats_isotonic_minimax",
+    "graph_hits",
 ]
 
 

@@ -530,3 +530,176 @@ def test_cuped_matches_numpy_and_identity(spark, sf_dir):
     assert abs(row.var_y_dollars2 - var_y / 10000) < max(1.0, var_y / 1e8)
     assert abs(row.variance_reduction_pct - rho2 * 100) < 0.01
     assert 0 <= row.variance_reduction_pct < 100
+
+
+# ---------------------------------------------------------------------------
+# stats_kruskal_wallis
+# ---------------------------------------------------------------------------
+
+
+def test_kruskal_wallis_matches_rank_bruteforce(spark, sf_dir):
+    """H (tie-corrected) must equal the textbook compute on pandas
+    average ranks over the raw rows — the formulation the
+    domain-collapsed doubled-rank identity replaces."""
+    from spark_lineage_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity").toPandas()
+    li["q"] = li["l_quantity"].astype("int64")
+    li["r"] = li["q"].rank(method="average")
+    n = len(li)
+    rs = li.groupby("l_returnflag")["r"].agg(["sum", "count"])
+    h = 12.0 / (n * (n + 1)) * (rs["sum"] ** 2 / rs["count"]).sum() - 3 * (n + 1)
+    _, t = np.unique(li["q"], return_counts=True)
+    c = 1 - (t.astype("float64") ** 3 - t).sum() / (float(n) ** 3 - n)
+    row = _load_all()["stats_kruskal_wallis"].builder(spark, sf_dir).collect()[0]
+    assert row.n_flag_a + row.n_flag_n + row.n_flag_r == n
+    # query output is rounded to 6 dp
+    assert row.h_stat == pytest.approx(h, abs=1e-6)
+    assert row.h_tie_adj == pytest.approx(h / c, abs=1e-6)
+    assert row.p_chi2_2df == pytest.approx(math.exp(-(h / c) / 2), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# ts_cusum_drift
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_matches_sequential_fold(spark, sf_dir):
+    """The closed form (cumsum minus running min) must equal the
+    sequential S_i = max(0, S_{i-1} + a_i) recursion it replaces —
+    alarm-day counts exactly, extrema to rounding."""
+    from spark_lineage_spark.tables import load
+
+    od = load(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice").toPandas()
+    od["cents"] = (od["o_totalprice"] * 100).round().astype("int64")
+    daily = od.groupby("o_orderdate")["cents"].sum().sort_index()
+    daily.index = pd.to_datetime(daily.index)
+    cutoff = pd.Timestamp("1996-01-01")
+    calib = daily[daily.index < cutoff]
+    mu, sd = calib.mean(), calib.std(ddof=1)
+    z = (daily[daily.index >= cutoff] - mu) / sd
+    s_up = s_dn = 0.0
+    ups = dns = 0
+    max_up = max_dn = 0.0
+    for zi in z:
+        s_up = max(0.0, s_up + zi - 0.5)
+        s_dn = max(0.0, s_dn - zi - 0.5)
+        ups += s_up > 5
+        dns += s_dn > 5
+        max_up, max_dn = max(max_up, s_up), max(max_dn, s_dn)
+    row = _load_all()["ts_cusum_drift"].builder(spark, sf_dir).collect()[0]
+    assert (row.n_up_alarm_days, row.n_dn_alarm_days) == (ups, dns)
+    assert row.max_s_up == pytest.approx(max_up, abs=1e-3)
+    assert row.max_s_dn == pytest.approx(max_dn, abs=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# stats_herfindahl
+# ---------------------------------------------------------------------------
+
+
+def test_herfindahl_matches_pandas_reference(spark, sf_dir):
+    """HHI per region from a pandas groupby over the same floored
+    dollars; bounds 1/n <= HHI <= 1 and effective_n = 1/HHI."""
+    from spark_lineage_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("d"),
+    ).toPandas()
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey").toPandas()
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey").toPandas()
+    reg = load(spark, sf_dir, "region").select("r_regionkey", "r_name").toPandas()
+    j = (
+        li.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+        .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    by_supp = j.groupby(["r_name", "l_suppkey"])["d"].sum()
+    rows = _load_all()["stats_herfindahl"].builder(spark, sf_dir).collect()
+    for r in rows:
+        d = by_supp.xs(r.region, level="r_name").astype("float64")
+        hhi = float((d**2).sum() / d.sum() ** 2)
+        assert 1.0 / r.n_suppliers <= r.hhi <= 1.0
+        assert r.hhi == pytest.approx(hhi, abs=1e-8)  # query rounds to 8 dp
+        assert r.effective_suppliers == pytest.approx(1.0 / hhi, abs=1e-4)
+        if r.n_suppliers == 1:
+            assert r.hhi_normalized is None  # undefined at n=1 (guarded NULL)
+        else:
+            assert r.hhi_normalized == pytest.approx(
+                (hhi - 1.0 / r.n_suppliers) / (1 - 1.0 / r.n_suppliers), abs=1e-8
+            )
+
+
+# ---------------------------------------------------------------------------
+# stats_isotonic_minimax
+# ---------------------------------------------------------------------------
+
+
+def _pava(y, w):
+    """Weighted PAVA (nondecreasing), the sequential-stack reference
+    for the minimax closed form."""
+    blocks = []  # (sum_wy, sum_w)
+    for yi, wi in zip(y, w):
+        blocks.append([yi * wi, wi])
+        while len(blocks) > 1 and (
+            blocks[-2][0] / blocks[-2][1] > blocks[-1][0] / blocks[-1][1]
+        ):
+            b = blocks.pop()
+            blocks[-1][0] += b[0]
+            blocks[-1][1] += b[1]
+    fits, i = [], 0
+    for swy, sw in blocks:
+        mean = swy / sw
+        acc = 0
+        while acc < sw:
+            acc += w[i]
+            fits.append(mean)
+            i += 1
+    return fits
+
+
+def test_isotonic_matches_pava(spark, sf_dir):
+    """The minimax fit must equal sequential weighted PAVA, and be
+    nondecreasing in quantity."""
+    rows = sorted(
+        _load_all()["stats_isotonic_minimax"].builder(spark, sf_dir).collect(),
+        key=lambda r: r.quantity,
+    )
+    y = [r.raw_mean_ppm for r in rows]
+    w = [r.n_rows for r in rows]
+    # reference on the rounded raw means: rounding at 1e-4 ppm shifts
+    # block means by < 1e-4, far under the 1e-3 comparison tolerance
+    ref = _pava(y, w)
+    fits = [r.iso_fit_ppm for r in rows]
+    assert all(b >= a - 1e-9 for a, b in zip(fits, fits[1:]))
+    for got, want in zip(fits, ref):
+        assert got == pytest.approx(want, abs=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# graph_hits
+# ---------------------------------------------------------------------------
+
+
+def test_hits_integer_scores_track_double_reference(spark, sf_dir):
+    """The integer-exact scores must track a float64 HITS (same 1.5
+    rounds, L1 norms) within the documented ~1e-8-per-unit truncation
+    envelope, and the returned list must be sorted by score."""
+    bip = _bipartite(spark, sf_dir)
+    a1 = bip.groupby("p").size().astype("float64")
+    a1 /= a1.sum()
+    h1 = bip.merge(a1.rename("a"), left_on="p", right_index=True).groupby("c")["a"].sum()
+    h1 /= h1.sum()
+    a2 = bip.merge(h1.rename("h"), left_on="c", right_index=True).groupby("p")["h"].sum()
+    a2 /= a2.sum()
+    rows = _load_all()["graph_hits"].builder(spark, sf_dir).collect()
+    assert rows == sorted(rows, key=lambda r: (-r.authority_scaled, r.partkey))
+    total = 100_000_000
+    got_mass = sum(r.authority_scaled for r in rows)
+    for r in rows:
+        assert r.authority_scaled / got_mass == pytest.approx(
+            a2[r.partkey] / a2[a2.index.isin([x.partkey for x in rows])].sum(),
+            rel=5e-4,
+        )
+    assert got_mass <= total

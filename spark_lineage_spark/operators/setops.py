@@ -251,3 +251,39 @@ def set_union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2).alias("total"),
     )
+
+
+@query(
+    "setop_union_by_name",
+    "§2.20 unionByName with allowMissingColumns (schema-evolution concat)",
+    """
+    SELECT 'click' AS src, event_id, user_id, value
+    FROM events WHERE event_type = 'click'
+    UNION ALL BY NAME
+    SELECT CASE WHEN user_id % 2 = 0 THEN 'web' ELSE 'app' END AS channel,
+           user_id, event_id, 'purchase' AS src
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`unionByName(allowMissingColumns=True)` — the schema-evolution
+    concat: the click side carries `value` but no `channel`, the
+    purchase side carries `channel` but no `value`, and the purchase
+    side's column ORDER is scrambled, so positional UNION ALL would
+    either fail or silently misalign.  Spark aligns by name and
+    NULL-fills the missing columns on each side; the oracle is
+    DuckDB's `UNION ALL BY NAME`, the same semantics in SQL form.
+    Scale: a by-name union is still a zero-shuffle concat — column
+    alignment is a metadata projection, so this costs exactly what
+    UNION ALL costs at any SF."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit("click").alias("src"), "event_id", "user_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.when(F.col("user_id") % 2 == 0, "web").otherwise("app").alias("channel"),
+        "user_id",
+        "event_id",
+        F.lit("purchase").alias("src"),
+    )
+    return clicks.unionByName(purchases, allowMissingColumns=True)

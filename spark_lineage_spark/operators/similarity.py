@@ -1155,3 +1155,119 @@ def llm_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "cos_sim")
     )
+
+
+_MMR_POOL = 25  # relevance-ranked candidate pool (top-25 by cosine)
+_MMR_K = 5  # diverse picks
+_MMR_LAMBDA = 0.7  # relevance weight; 1-lambda penalizes redundancy
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR in DuckDB: pick 1 is pure relevance; each
+    later pick maximizes 0.7*rel - 0.3*max-sim-to-selected over the
+    not-yet-picked pool, ties broken by vec_id.  Generated so the K
+    rounds stay literally identical in structure."""
+    sql = f"""
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, e.emb, list_cosine_similarity(e.emb, q.qe) AS rel
+  FROM e CROSS JOIN q WHERE e.vec_id <> 0
+  ORDER BY rel DESC, e.vec_id LIMIT {_MMR_POOL}
+),
+p1 AS (SELECT vec_id, emb, rel, 1 AS pick_rank, rel AS mmr
+       FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+s1 AS (SELECT * FROM p1)"""
+    for r in range(2, _MMR_K + 1):
+        sql += f""",
+m{r} AS (
+  SELECT c.vec_id, c.rel,
+         {_MMR_LAMBDA} * c.rel
+         - {round(1 - _MMR_LAMBDA, 10)} * max(list_cosine_similarity(c.emb, s.emb))
+           AS mmr
+  FROM cand c, s{r - 1} s
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM s{r - 1})
+  GROUP BY c.vec_id, c.rel
+),
+p{r} AS (SELECT m.vec_id, c.emb, m.rel, {r} AS pick_rank, m.mmr
+         FROM m{r} m JOIN cand c ON m.vec_id = c.vec_id
+         ORDER BY m.mmr DESC, m.vec_id LIMIT 1),
+s{r} AS (SELECT * FROM s{r - 1} UNION ALL SELECT * FROM p{r})"""
+    sql += f"""
+SELECT pick_rank, vec_id, round(rel, 6) AS rel, round(mmr, 6) AS mmr
+FROM s{_MMR_K}
+"""
+    return sql
+
+
+@query(
+    "llm_mmr_diverse_topk",
+    "§2.20 MMR diverse top-k selection (greedy, bounded candidate pool)",
+    _mmr_oracle(),
+)
+def llm_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance — the diversity-aware retrieval cut
+    a RAG pipeline runs after ANN: from the top-25 cosine candidates
+    for query vec 0, greedily pick 5 maximizing
+    0.7*relevance - 0.3*max_sim_to_already_picked.
+
+    The greedy recursion is inherently sequential in K, but NOT in n:
+    each of the 5 unrolled rounds is one anti-join + broadcast
+    similarity max over the CANDIDATE POOL (25 rows, checkpointed
+    once), never the corpus — the linear part (relevance scan + top-25
+    cut) is the same broadcast-query/TakeOrdered shape as
+    llm_knn_cosine_exact, so at 100 TB this costs one ANN pass plus
+    K tiny driver-free rounds.  Both engines run the identical greedy
+    arithmetic (one fused double expression per round, cosine on
+    doubles in array order), so picks and scores agree bit-for-bit;
+    the oracle unrolls the same rounds as MATERIALIZED-free CTEs.
+    Property test: python greedy reference in
+    tests/test_round10_ops.py."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qe"))
+    cand = lineage_checkpoint(
+        e.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv))
+        .select("vec_id", "emb", cosine(F.col("emb"), F.col("qe")).alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(_MMR_POOL)
+    )
+    selected = (
+        cand.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(1)
+        .select("vec_id", "emb", "rel", F.lit(1).alias("pick_rank"), F.col("rel").alias("mmr"))
+    )
+    for r in range(2, _MMR_K + 1):
+        remaining = cand.join(selected.select("vec_id"), "vec_id", "left_anti")
+        scored = (
+            remaining.crossJoin(F.broadcast(selected.select(F.col("emb").alias("semb"))))
+            .groupBy("vec_id")
+            .agg(
+                F.max("rel").alias("rel"),  # constant per vec_id
+                (
+                    F.lit(_MMR_LAMBDA) * F.max("rel")
+                    - F.lit(round(1 - _MMR_LAMBDA, 10))
+                    * F.max(cosine(F.col("emb"), F.col("semb")))
+                ).alias("mmr"),
+            )
+        )
+        pick = (
+            scored.join(cand.select("vec_id", "emb"), "vec_id")
+            .orderBy(F.col("mmr").desc(), "vec_id")
+            .limit(1)
+            .select("vec_id", "emb", "rel", F.lit(r).alias("pick_rank"), "mmr")
+        )
+        # each pick references `selected` twice (anti-join + crossJoin),
+        # so without a cut the plan doubles per round; the lazy
+        # checkpoint keeps it linear in K
+        selected = lineage_checkpoint(selected.unionAll(pick), eager=False)
+    return selected.select(
+        "pick_rank",
+        "vec_id",
+        F.round("rel", 6).alias("rel"),
+        F.round("mmr", 6).alias("mmr"),
+    )

@@ -303,6 +303,8 @@ _VERIFY_AFTER = [
     "stats_herfindahl",
     "stats_isotonic_minimax",
     "graph_hits",
+    "setop_union_by_name",
+    "llm_mmr_diverse_topk",
 ]
 
 

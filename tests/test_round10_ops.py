@@ -703,3 +703,59 @@ def test_hits_integer_scores_track_double_reference(spark, sf_dir):
             rel=5e-4,
         )
     assert got_mass <= total
+
+
+# ---------------------------------------------------------------------------
+# llm_mmr_diverse_topk / setop_union_by_name
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_matches_python_greedy(spark, sf_dir):
+    """The unrolled rounds must equal a straightforward python greedy
+    MMR over the same candidate pool, and diversity must bind: the
+    MMR list must diverge from pure relevance order at some pick
+    whenever any candidate pair is similar enough."""
+    from spark_lineage_spark.tables import load
+
+    pdf = load(spark, sf_dir, "embeddings").toPandas()
+    embs = {int(r.vec_id): np.asarray(r.embedding, dtype="float64") for r in pdf.itertuples()}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    q = embs[0]
+    rel = {v: cos(e, q) for v, e in embs.items() if v != 0}
+    pool = sorted(rel, key=lambda v: (-rel[v], v))[:25]
+    sel = [max(pool, key=lambda v: (rel[v], -v))]
+    while len(sel) < 5:
+        rest = [v for v in pool if v not in sel]
+        mmr = {v: 0.7 * rel[v] - 0.3 * max(cos(embs[v], embs[s]) for s in sel) for v in rest}
+        sel.append(max(rest, key=lambda v: (mmr[v], -v)))
+    rows = sorted(
+        _load_all()["llm_mmr_diverse_topk"].builder(spark, sf_dir).collect(),
+        key=lambda r: r.pick_rank,
+    )
+    assert [r.vec_id for r in rows] == sel
+    for r in rows:
+        assert r.rel == pytest.approx(rel[r.vec_id], abs=1e-6)
+
+
+def test_union_by_name_alignment(spark, sf_dir):
+    """Cross-filled NULLs land in the right columns: every click row
+    has a value and no channel, every purchase row the reverse; row
+    count is the sum of the two sides."""
+    from spark_lineage_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    n_click = ev.filter(F.col("event_type") == "click").count()
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    out = _load_all()["setop_union_by_name"].builder(spark, sf_dir)
+    assert set(out.columns) == {"src", "event_id", "user_id", "value", "channel"}
+    agg = out.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("value").alias("nv"),
+        F.count("channel").alias("nc"),
+    ).collect()
+    by = {r.src: r for r in agg}
+    assert (by["click"].n, by["click"].nv, by["click"].nc) == (n_click, n_click, 0)
+    assert (by["purchase"].n, by["purchase"].nv, by["purchase"].nc) == (n_purch, 0, n_purch)

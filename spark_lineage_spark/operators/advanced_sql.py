@@ -3107,3 +3107,62 @@ SELECT o_orderstatus,
 FROM applied GROUP BY o_orderstatus
 """
     )
+
+
+@query(
+    "pandas_api_pivot_table",
+    "§2.4 pandas API on Spark: pivot_table (sum aggfunc, fill_value=0)",
+    """
+    WITH base AS (
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN cents ELSE 0 END)
+                AS BIGINT) AS p1_urgent,
+           CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN cents ELSE 0 END)
+                AS BIGINT) AS p2_high,
+           CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN cents ELSE 0 END)
+                AS BIGINT) AS p3_medium,
+           CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN cents ELSE 0 END)
+                AS BIGINT) AS p4_notspec,
+           CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN cents ELSE 0 END)
+                AS BIGINT) AS p5_low
+    FROM base GROUP BY o_orderstatus
+    """,
+)
+def pandas_api_pivot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas pivot_table idiom — index='o_orderstatus',
+    columns='o_orderpriority', aggfunc='sum', fill_value=0 — on
+    pyspark.pandas, compiling to the same single hash-agg the
+    conditional-aggregation oracle states (Catalyst rewrites the
+    pivot into CASE WHEN sums — no per-column pass, no driver
+    transpose).  Values are cent-exact bigints BEFORE the pivot so
+    the sums are integers in both engines; fill_value=0 mirrors the
+    oracle's ELSE 0.  The pivoted column set is the 5-value priority
+    DOMAIN — bounded and known, the condition that keeps pivot sane
+    at 100 TB (a pivot on an unbounded column would be a schema
+    explosion; this one is a fixed 3x5 grid from one shuffle)."""
+    import pyspark.pandas as ps  # noqa: F401  (pandas-on-Spark entry point)
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    pv = base.pandas_api().pivot_table(
+        index=["o_orderstatus"],
+        columns="o_orderpriority",
+        values="cents",
+        aggfunc="sum",
+        fill_value=0,
+    )
+    return pv.reset_index().to_spark().select(
+        "o_orderstatus",
+        F.col("`1-URGENT`").cast("bigint").alias("p1_urgent"),
+        F.col("`2-HIGH`").cast("bigint").alias("p2_high"),
+        F.col("`3-MEDIUM`").cast("bigint").alias("p3_medium"),
+        F.col("`4-NOT SPECIFIED`").cast("bigint").alias("p4_notspec"),
+        F.col("`5-LOW`").cast("bigint").alias("p5_low"),
+    )

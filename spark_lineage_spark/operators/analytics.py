@@ -4216,3 +4216,69 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("authority_scaled").desc(), "partkey")
         .limit(15)
     )
+
+
+def _ccf_sql(shift: str) -> str:
+    """Cross-correlation SQL, templated only on the date-shift call
+    (Spark `date_add(a.d, o.k)` vs DuckDB `a.d + o.k` — the Hampel
+    convention).  Per-row cent quantization BEFORE any sum keeps every
+    moment an exact integer: daily x,y are BIGINT cent sums, the five
+    power sums are BIGINT products inside DECIMAL(38,0) sums (x ~
+    1.6e9 cents at sf10 -> x^2 ~ 2.7e18, inside BIGINT; the sums are
+    where the width goes), and each lag's Pearson r is one shared
+    double expression."""
+    return f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(round(value * 100) AS BIGINT) AS vu,
+         event_type
+  FROM events WHERE event_type IN ('purchase', 'view')
+),
+daily AS (
+  SELECT d,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN vu ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = 'view' THEN vu ELSE 0 END)
+              AS BIGINT) AS y
+  FROM ev GROUP BY d
+),
+offs AS (SELECT * FROM (VALUES (-3), (-2), (-1), (0), (1), (2), (3)) AS o(k)),
+pairs AS (
+  SELECT o.k AS lag, a.x, b.y
+  FROM daily a CROSS JOIN offs o JOIN daily b ON b.d = {shift}
+),
+m AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy,
+         CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy
+  FROM pairs GROUP BY lag
+)
+SELECT lag, n,
+       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS ccf
+FROM m
+"""
+
+
+@query(
+    "ts_cross_correlation",
+    "§2.20 cross-correlation function (lead-lag CCF, exact integer moments)",
+    _ccf_sql("a.d + o.k"),
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCF between daily purchase revenue and daily view value at lags
+    -3..+3 — the lead-lag screen (does view volume LEAD purchases?)
+    run before any causal claim.  corr(x_t, y_{t+k}) per lag, each
+    pair set aligned by an explicit 7-row offset equi-join on the
+    O(days) daily table (the ts_hampel_outliers discipline — a
+    BETWEEN join would be a nested loop).  Numerics per _ccf_sql's
+    note: quantize per ROW, sum integers, divide once.  Shape at any
+    SF: one map-side partial agg of the events to day grain, then
+    O(7 x days) join rows and a 7-row finish."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_ccf_sql("date_add(a.d, o.k)"))

@@ -1271,3 +1271,143 @@ def llm_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rel", 6).alias("rel"),
         F.round("mmr", 6).alias("mmr"),
     )
+
+
+_NDCG_K = 5
+_TRUNC_DIM = 16  # Matryoshka truncation: first 16 of 64 dims
+
+_NDCG_ORACLE = f"""
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.qid, e.vec_id AS cid,
+         list_cosine_similarity(e.emb, q.qe) AS exact_cos,
+         list_cosine_similarity(e.emb[1:{_TRUNC_DIM}], q.qe[1:{_TRUNC_DIM}])
+           AS trunc_cos
+  FROM e CROSS JOIN q WHERE e.vec_id >= {N_QUERIES}
+),
+exact_rk AS (
+  SELECT qid, cid, exact_cos,
+         row_number() OVER (PARTITION BY qid ORDER BY exact_cos DESC, cid) AS rk
+  FROM scored
+),
+trunc_rk AS (
+  SELECT qid, cid, exact_cos,
+         row_number() OVER (PARTITION BY qid ORDER BY trunc_cos DESC, cid) AS rk
+  FROM scored
+),
+dcg AS (
+  SELECT qid, rk,
+         sum(greatest(exact_cos, 0) / log2(rk + 1))
+           OVER (PARTITION BY qid ORDER BY rk) AS c
+  FROM trunc_rk WHERE rk <= {_NDCG_K}
+),
+idcg AS (
+  SELECT qid, rk,
+         sum(greatest(exact_cos, 0) / log2(rk + 1))
+           OVER (PARTITION BY qid ORDER BY rk) AS c
+  FROM exact_rk WHERE rk <= {_NDCG_K}
+),
+hits AS (
+  SELECT t.qid, CAST(count(*) AS BIGINT) AS n_hit
+  FROM trunc_rk t JOIN exact_rk x ON t.qid = x.qid AND t.cid = x.cid
+  WHERE t.rk <= {_NDCG_K} AND x.rk <= {_NDCG_K}
+  GROUP BY t.qid
+)
+SELECT d.qid AS query_id,
+       round(coalesce(h.n_hit, 0) / {_NDCG_K}.0, 6) AS recall_at_k,
+       round(d.c / i.c, 6) AS ndcg_at_k
+FROM dcg d
+JOIN idcg i ON d.qid = i.qid AND i.rk = {_NDCG_K}
+LEFT JOIN hits h ON d.qid = h.qid
+WHERE d.rk = {_NDCG_K}
+"""
+
+
+@query(
+    "llm_retrieval_ndcg",
+    "§2.20 retrieval eval: NDCG@5 + recall@5 of Matryoshka-truncated ANN vs exact",
+    _NDCG_ORACLE,
+)
+def llm_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval — the metric pass a RAG/embedding
+    pipeline runs after swapping in a cheaper index: rank by the
+    16-dim Matryoshka truncation, grade against the full-64-dim exact
+    ranking.  Per query: recall@5 (exact top-5 recovered) and NDCG@5
+    with graded gains = clamp(exact cosine, 0) and log2 position
+    discount.
+
+    Determinism: both DCG and IDCG are CUMULATIVE window sums taken at
+    rank K — 5 doubles added left-to-right in rank order in both
+    engines, never a hash-agg of doubles whose partial order could
+    differ.  Scale: the scoring pass is the same broadcast-queries
+    linear corpus scan as llm_knn_cosine_exact (one shuffle of
+    (query x candidate) scores on qid for the per-query windows, K
+    bounded); everything after the rank cut is O(queries x K)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qe")
+    )
+    scored = (
+        e.filter(F.col("vec_id") >= N_QUERIES)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            cosine(F.col("emb"), F.col("qe")).alias("exact_cos"),
+            cosine(
+                F.slice(F.col("emb"), 1, _TRUNC_DIM),
+                F.slice(F.col("qe"), 1, _TRUNC_DIM),
+            ).alias("trunc_cos"),
+        )
+    )
+    w_exact = Window.partitionBy("qid").orderBy(F.col("exact_cos").desc(), "cid")
+    w_trunc = Window.partitionBy("qid").orderBy(F.col("trunc_cos").desc(), "cid")
+    exact_rk = scored.select(
+        "qid", "cid", "exact_cos", F.row_number().over(w_exact).alias("rk")
+    )
+    trunc_rk = scored.select(
+        "qid", "cid", "exact_cos", F.row_number().over(w_trunc).alias("rk")
+    )
+    w_cum = Window.partitionBy("qid").orderBy("rk")
+
+    def dcg_at_k(rk: DataFrame) -> DataFrame:
+        return (
+            rk.filter(F.col("rk") <= _NDCG_K)
+            .select(
+                "qid",
+                "rk",
+                F.sum(
+                    F.greatest(F.col("exact_cos"), F.lit(0.0)) / F.log2(F.col("rk") + 1)
+                )
+                .over(w_cum)
+                .alias("c"),
+            )
+            .filter(F.col("rk") == _NDCG_K)
+        )
+    dcg = dcg_at_k(trunc_rk)
+    idcg = dcg_at_k(exact_rk).select(F.col("qid").alias("iqid"), F.col("c").alias("ic"))
+    hits = (
+        trunc_rk.filter(F.col("rk") <= _NDCG_K)
+        .join(
+            exact_rk.filter(F.col("rk") <= _NDCG_K).select("qid", "cid"),
+            ["qid", "cid"],
+        )
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        dcg.join(idcg, dcg.qid == F.col("iqid"))
+        .join(hits, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / float(_NDCG_K), 6).alias(
+                "recall_at_k"
+            ),
+            F.round(F.col("c") / F.col("ic"), 6).alias("ndcg_at_k"),
+        )
+    )

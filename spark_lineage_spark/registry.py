@@ -305,6 +305,9 @@ _VERIFY_AFTER = [
     "graph_hits",
     "setop_union_by_name",
     "llm_mmr_diverse_topk",
+    "llm_retrieval_ndcg",
+    "ts_cross_correlation",
+    "pandas_api_pivot_table",
 ]
 
 

@@ -759,3 +759,97 @@ def test_union_by_name_alignment(spark, sf_dir):
     by = {r.src: r for r in agg}
     assert (by["click"].n, by["click"].nv, by["click"].nc) == (n_click, n_click, 0)
     assert (by["purchase"].n, by["purchase"].nv, by["purchase"].nc) == (n_purch, 0, n_purch)
+
+
+# ---------------------------------------------------------------------------
+# llm_retrieval_ndcg / ts_cross_correlation / pandas_api_pivot_table
+# ---------------------------------------------------------------------------
+
+
+def test_retrieval_ndcg_matches_numpy_reference(spark, sf_dir):
+    """Recall@5 and NDCG@5 recomputed from scratch with numpy rankings
+    (full-dim exact vs 16-dim truncation); NDCG in (0, 1]."""
+    from spark_lineage_spark.tables import load
+
+    pdf = load(spark, sf_dir, "embeddings").toPandas()
+    embs = {int(r.vec_id): np.asarray(r.embedding, dtype="float64") for r in pdf.itertuples()}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    rows = _load_all()["llm_retrieval_ndcg"].builder(spark, sf_dir).collect()
+    assert len(rows) == 10
+    cands = [v for v in embs if v >= 10]
+    for r in rows:
+        q = embs[r.query_id]
+        exact = sorted(cands, key=lambda v: (-cos(embs[v], q), v))
+        trunc = sorted(cands, key=lambda v: (-cos(embs[v][:16], q[:16]), v))
+        top_e, top_t = exact[:5], trunc[:5]
+        recall = len(set(top_e) & set(top_t)) / 5.0
+        dcg = sum(max(cos(embs[v], q), 0) / math.log2(i + 2) for i, v in enumerate(top_t))
+        idcg = sum(max(cos(embs[v], q), 0) / math.log2(i + 2) for i, v in enumerate(top_e))
+        assert r.recall_at_k == pytest.approx(recall, abs=1e-9)
+        assert r.ndcg_at_k == pytest.approx(dcg / idcg, abs=1e-5)
+        assert 0 < r.ndcg_at_k <= 1.0 + 1e-9
+
+
+def test_cross_correlation_matches_pandas(spark, sf_dir):
+    """Each lag's r must equal pandas .corr() over the same aligned
+    cent-exact day pairs; lag 0 n equals the day count."""
+    from spark_lineage_spark.tables import load
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select(
+            F.col("ts").cast("date").alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("vu"),
+            "event_type",
+        )
+        .toPandas()
+    )
+    daily = ev.pivot_table(index="d", columns="event_type", values="vu", aggfunc="sum", fill_value=0)
+    rows = {r.lag: r for r in _load_all()["ts_cross_correlation"].builder(spark, sf_dir).collect()}
+    assert set(rows) == set(range(-3, 4))
+    x = daily["purchase"]
+    y = daily["view"]
+    idx = pd.to_datetime(pd.Series(daily.index))
+    for lag, r in rows.items():
+        shifted = pd.Series(
+            y.values, index=idx + pd.Timedelta(days=-lag)
+        )  # y at d+lag aligns to a.d
+        both = pd.DataFrame({"x": pd.Series(x.values, index=idx)}).join(
+            shifted.rename("y"), how="inner"
+        )
+        assert r.n == len(both)
+        assert r.ccf == pytest.approx(both["x"].corr(both["y"]), abs=1e-5)
+
+
+def test_pivot_table_matches_pandas(spark, sf_dir):
+    """The pyspark.pandas pivot must equal plain-pandas pivot_table on
+    the same cent-exact base (cell-for-cell, fill_value=0)."""
+    from spark_lineage_spark.tables import load
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .toPandas()
+    )
+    want = base.pivot_table(
+        index="o_orderstatus", columns="o_orderpriority", values="cents",
+        aggfunc="sum", fill_value=0,
+    )
+    rows = _load_all()["pandas_api_pivot_table"].builder(spark, sf_dir).collect()
+    colmap = {
+        "p1_urgent": "1-URGENT", "p2_high": "2-HIGH", "p3_medium": "3-MEDIUM",
+        "p4_notspec": "4-NOT SPECIFIED", "p5_low": "5-LOW",
+    }
+    assert len(rows) == len(want)
+    for r in rows:
+        for attr, col in colmap.items():
+            want_v = int(want.loc[r.o_orderstatus, col]) if col in want.columns else 0
+            assert getattr(r, attr) == want_v

@@ -830,3 +830,129 @@ def test_fisher_spine_no_fact_sort(spark):
         {c.split(":")[0] for c in g.split(",") if c} <= {"s_acctbal", "s_nationkey"}
         for g in m
     ), m
+
+
+def test_kruskal_and_isotonic_aggregate_before_windows(spark):
+    """Both domain-collapsed stats ops must partial-agg the facts to
+    the 50-value quantity table before any window/sort, and read only
+    the columns they use."""
+    from spark_lineage_spark.operators.analytics import (
+        stats_isotonic_minimax,
+        stats_kruskal_wallis,
+    )
+
+    for fn, want_cols in (
+        (stats_kruskal_wallis, {"l_quantity", "l_returnflag"}),
+        (stats_isotonic_minimax, {"l_quantity", "l_discount"}),
+    ):
+        p = plan_str(fn(spark, SF))
+        ops = re.findall(r"^\(\d+\) (\w+)", p, re.M)
+        downstream = [o for o in ("Window", "Sort") if o in ops]
+        first_win = min(ops.index(o) for o in downstream) if downstream else len(ops)
+        assert "HashAggregate" in ops and ops.index("HashAggregate") < first_win, ops
+        # the domain spine may appear as several pruned scans (cum i /
+        # cum j / cum k); their UNION must be exactly the used columns
+        cols = set()
+        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", p):
+            cols |= {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols == want_cols, cols
+
+
+def test_cusum_and_ccf_windows_on_day_grain(spark):
+    """CUSUM and CCF windows/joins run over the O(days) aggregate —
+    first HashAggregate precedes every Window, and no
+    CartesianProduct appears (the 7-row offset table joins equi)."""
+    from spark_lineage_spark.operators.analytics import (
+        ts_cross_correlation,
+        ts_cusum_drift,
+    )
+
+    for fn in (ts_cusum_drift, ts_cross_correlation):
+        p = plan_str(fn(spark, SF))
+        assert "CartesianProduct" not in p, p[:2000]
+        ops = re.findall(r"^\(\d+\) (\w+)", p, re.M)
+        assert "HashAggregate" in ops
+        if "Window" in ops:
+            assert ops.index("HashAggregate") < ops.index("Window"), ops
+
+
+def test_herfindahl_broadcasts_dims(spark):
+    """The three dimension joins must broadcast; the facts partial-agg
+    map-side (partial HashAggregate before the region exchange)."""
+    from spark_lineage_spark.operators.analytics import stats_herfindahl
+
+    p = plan_str(stats_herfindahl(spark, SF))
+    assert p.count("BroadcastHashJoin") >= 3, p[:2000]
+    assert "CartesianProduct" not in p
+
+
+def test_hits_rounds_are_hash_joins(spark):
+    """Every HITS round is an equi-join + hash agg: no cartesian, no
+    nested loop except the 1-row divisor scalar joins."""
+    from spark_lineage_spark.operators.analytics import graph_hits
+
+    p = plan_str(graph_hits(spark, SF))
+    assert "CartesianProduct" not in p, p[:3000]
+    assert "TakeOrderedAndProject" in p, p[:2000]
+
+
+def test_union_by_name_is_metadata_only(spark):
+    """The by-name union must plan as a plain Union over two scans —
+    no Exchange introduced by the alignment."""
+    from spark_lineage_spark.operators.setops import setop_union_by_name
+
+    p = plan_str(setop_union_by_name(spark, SF))
+    assert "Union" in p, p[:2000]
+    assert "Exchange" not in p, p[:2000]
+
+
+def test_mmr_pool_is_take_ordered(spark):
+    """The MMR candidate pool cut must be TakeOrderedAndProject over a
+    broadcast query join (never a global Sort of the corpus).  The
+    final op plan is checkpoint-truncated, so assert on the identical
+    pre-checkpoint pool fragment (the link-prediction convention)."""
+    from spark_lineage_spark.functions.arrays import cosine, to_double_array
+    from spark_lineage_spark.operators.similarity import (
+        _MMR_POOL,
+        llm_mmr_diverse_topk,
+    )
+
+    e = load(spark, SF, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qe"))
+    pool = (
+        e.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv))
+        .select("vec_id", cosine(F.col("emb"), F.col("qe")).alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(_MMR_POOL)
+    )
+    p = plan_str(pool)
+    assert "TakeOrderedAndProject" in p, p[:2000]
+    ops = re.findall(r"^\(\d+\) (\w+)", p, re.M)
+    assert "Sort" not in ops, ops
+    # and the full op still avoids any global sort post-checkpoint
+    pf = plan_str(llm_mmr_diverse_topk(spark, SF))
+    assert "Sort" not in re.findall(r"^\(\d+\) (\w+)", pf, re.M)
+
+
+def test_ndcg_scan_prunes_to_embedding_cols(spark):
+    """The NDCG scoring scan reads only (vec_id, embedding) — label
+    and any other columns are pruned."""
+    from spark_lineage_spark.operators.similarity import llm_retrieval_ndcg
+
+    p = plan_str(llm_retrieval_ndcg(spark, SF))
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", p):
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols <= {"vec_id", "embedding"}, cols
+
+
+def test_pivot_table_is_single_aggregate(spark):
+    """The pandas pivot compiles to hash aggregation (CASE WHEN sums),
+    not N per-priority passes: exactly one scan of orders."""
+    from spark_lineage_spark.operators.advanced_sql import pandas_api_pivot_table
+
+    p = plan_str(pandas_api_pivot_table(spark, SF))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1, p[:2000]
+    assert "HashAggregate" in p

@@ -78,6 +78,16 @@ ANNOTATED = {
     "llm_multimodal_ahash_dedup": "mapInPandas 1->2 signatures; 4-band equi-join candidates; bit_count(xor) verify — no all-pairs",
     "ts_hampel_outliers": "7-row offset table x daily equi-join (hash join, no BNLJ range join); discrete medians per day",
     "stats_fdr_bh": "facts partial-agg to 25 rows behind broadcast customer join; BH windows O(segments)",
+    "stats_kruskal_wallis": "fact scan once to 50 quantity cells; rank cumsum + H finish on the cell table — no raw-row rank",
+    "stats_isotonic_minimax": "facts collapse to 50 points; minimax fit = bounded 50x1275 BNLJ over prefix sums (domain-, not SF-sized)",
+    "ts_cusum_drift": "one partial agg to day grain; two cumulative windows over the O(days) series (closed-form max(0,.) recursion)",
+    "ts_cross_correlation": "7-row offset equi-join on the daily table; exact integer moments per lag; 7-row finish",
+    "graph_hits": "each round = edge equi-join + hash agg (BSP); 1-row divisor broadcast; TakeOrdered top-15",
+    "stats_herfindahl": "3 broadcast dim joins; exact squared-bigint shares; 5-row finish",
+    "llm_retrieval_ndcg": "broadcast queries x corpus scan; windows partitioned by qid; DCG = ordered cumsum at rank K",
+    "llm_mmr_diverse_topk": "TakeOrdered top-25 pool checkpointed once; K greedy rounds of anti-join + broadcast max-sim over 25 rows",
+    "pandas_api_pivot_table": "pandas pivot compiles to ONE hash agg (CASE WHEN sums) over a single orders scan",
+    "setop_union_by_name": "by-name alignment is a metadata projection: plain Union, zero exchanges",
     # streaming queries are excluded: their builder returns the drained
     # memory-sink table, whose plan is just a Scan ExistingRDD
 }

@@ -157,6 +157,22 @@ PROBE_QUERIES = [
     "llm_reward_normalize",
     "llm_multimodal_ahash",
     "llm_ann_pq_adc",
+    # round-10 wave 2: domain-collapsed rank/isotonic stats (50-value
+    # quantity domain => the windows/joins must stay FLAT while the
+    # scan grows), day-grain CUSUM/CCF, by-name union concat over 10x
+    # events, Matryoshka NDCG + MMR over the 10x corpus (pool/round
+    # stages are K-bounded, only the scoring scan grows), pivot_table's
+    # single hash agg.  stats_herfindahl and graph_hits are NOT probed
+    # (supplier/part are copied-once dims — the spatial-grid/graph
+    # exclusions).
+    "stats_kruskal_wallis",
+    "stats_isotonic_minimax",
+    "ts_cusum_drift",
+    "ts_cross_correlation",
+    "setop_union_by_name",
+    "llm_retrieval_ndcg",
+    "llm_mmr_diverse_topk",
+    "pandas_api_pivot_table",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

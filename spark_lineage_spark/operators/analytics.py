@@ -4282,3 +4282,137 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(7 x days) join rows and a 7-row finish."""
     register_views(spark, sf_dir, ["events"])
     return spark.sql(_ccf_sql("date_add(a.d, o.k)"))
+
+
+_KEY_SKEW_SQL = """
+WITH counts AS (
+  SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY l_partkey
+),
+cc AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS f FROM counts GROUP BY c
+),
+cum AS (
+  SELECT c, sum(f) OVER (ORDER BY c) AS cum FROM cc
+),
+tot AS (
+  SELECT CAST(sum(f) AS BIGINT) AS n_keys,
+         CAST(sum(c * f) AS BIGINT) AS total,
+         CAST(max(c) AS BIGINT) AS max_c
+  FROM cc
+),
+ranks AS (
+  SELECT n_keys, total, max_c,
+         CAST(floor((n_keys + 1) / 2.0) AS BIGINT) AS r50,
+         CAST(floor((9 * n_keys + 9) / 10.0) AS BIGINT) AS r90,
+         CAST(floor((99 * n_keys + 99) / 100.0) AS BIGINT) AS r99
+  FROM tot
+),
+q AS (
+  SELECT r.n_keys, r.total, r.max_c,
+         min(CASE WHEN m.cum >= r.r50 THEN m.c END) AS p50,
+         min(CASE WHEN m.cum >= r.r90 THEN m.c END) AS p90,
+         min(CASE WHEN m.cum >= r.r99 THEN m.c END) AS p99
+  FROM ranks r CROSS JOIN cum m
+  GROUP BY r.n_keys, r.total, r.max_c
+)
+SELECT n_keys, total, max_c, p50, p90, p99,
+       CAST(floor(max_c * 1000000.0 / total) AS BIGINT) AS top1_share_ppm,
+       round(CAST(p99 AS DOUBLE) / p50, 4) AS p99_over_p50,
+       round(CAST(max_c AS DOUBLE) * n_keys / total, 4) AS max_over_mean
+FROM q
+"""
+
+
+@query(
+    "profile_key_skew",
+    "§2.20 join-key skew profile (per-key frequency order statistics)",
+    _KEY_SKEW_SQL,
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-join skew screen: per-key frequency order statistics of
+    lineitem's part key — the diagnostic a pipeline runs BEFORE
+    choosing between a plain shuffle join, salting
+    (join_skew_salted), and AQE skew handling (join_aqe_skew_handled).
+    Reports p50/p90/p99 of per-key counts, the hottest key's global
+    share (ppm, floor-exact), p99/p50, and max/mean.
+
+    The percentiles deliberately use NO engine percentile function:
+    Spark's percentile_disc (ceil(p*n), 1-based) and DuckDB's
+    quantile_disc (floor(p*(n-1)), 0-based) pick ADJACENT order
+    statistics whenever p*n is fractional — the convention hazard
+    ADVICE r8 flagged on stat_df_battery.  Instead the rank
+    r = ceil(p*n) is computed exactly in-plan (floor((p_num*n +
+    p_num)/p_den) on doubles far inside 2^53) and answered from a
+    cumsum over the COUNTS-OF-COUNTS table — one convention, one
+    shared SQL text, immune to n.  Shape at any SF: facts partial-agg
+    to O(keys), keys collapse to O(distinct counts) (~60 rows), the
+    window runs on that."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_KEY_SKEW_SQL)
+
+
+# Effect-size battery: Cohen's d / Hedges' g between the click and
+# view value distributions — the "is the difference MEANINGFUL"
+# companion to stats_ttest_welch's "is it significant".  All five
+# moments are exact integer micro-unit sums (per-row quantization
+# before any aggregation, the stats_mann_whitney discipline); d, the
+# small-sample correction J = 1 - 3/(4*df - 1), g = J*d, and the
+# normal-approximation CI of d are one shared double expression.
+_EFFECT_SQL = """
+WITH ev AS (
+  SELECT CAST(round(value * 1000000) AS BIGINT) AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+  FROM events WHERE event_type IN ('click', 'view')
+),
+s AS (
+  SELECT CAST(sum(ia) AS BIGINT) AS n1,
+         CAST(sum(1 - ia) AS BIGINT) AS n2,
+         CAST(sum(CAST(ia * v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+         CAST(sum(CAST((1 - ia) * v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2,
+         CAST(sum(CAST(ia * v * v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS q1,
+         CAST(sum(CAST((1 - ia) * v * v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS q2
+  FROM ev
+),
+d AS (
+  SELECT n1, n2,
+         (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+         / sqrt(((CAST(q1 AS DOUBLE) - (CAST(s1 AS DOUBLE) / n1) * CAST(s1 AS DOUBLE))
+                 + (CAST(q2 AS DOUBLE) - (CAST(s2 AS DOUBLE) / n2) * CAST(s2 AS DOUBLE)))
+                / (n1 + n2 - 2)) AS cohens_d
+  FROM s
+)
+SELECT n1 AS n_click, n2 AS n_view,
+       round(cohens_d, 6) AS cohens_d,
+       round((1.0 - 3.0 / (4.0 * (n1 + n2 - 2) - 1)) * cohens_d, 6) AS hedges_g,
+       round(cohens_d - 1.959963984540054
+             * sqrt((CAST(n1 + n2 AS DOUBLE)) / (CAST(n1 AS DOUBLE) * n2)
+                    + cohens_d * cohens_d / (2.0 * (n1 + n2))), 6) AS d_ci_lo,
+       round(cohens_d + 1.959963984540054
+             * sqrt((CAST(n1 + n2 AS DOUBLE)) / (CAST(n1 AS DOUBLE) * n2)
+                    + cohens_d * cohens_d / (2.0 * (n1 + n2))), 6) AS d_ci_hi
+FROM d
+"""
+
+
+@query(
+    "stats_effect_size",
+    "§2.20 effect size battery: Cohen's d, Hedges' g, normal-approx CI",
+    _EFFECT_SQL,
+)
+def stats_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect size between click and view event values —
+    the metric an experimentation readout pairs with the p-value
+    (stats_ttest_welch tells you the difference is unlikely under H0;
+    d tells you whether anyone should care).  Cohen's d on the pooled
+    SD, Hedges' g small-sample correction J = 1 - 3/(4*df-1), and the
+    Hedges-Olkin normal-approximation 95% CI (z = 1.959963984540054
+    spelled as a literal so neither engine needs an inverse normal).
+    Pooled variance comes from the q - s²/n identity on EXACT
+    DECIMAL power sums of per-row micro-units — one map-side pass,
+    aggregation order irrelevant, then a single shared double
+    expression.  Shape at any SF: one partial-agg'd scan, 1-row
+    finish.  Property test: numpy reference in
+    tests/test_round10_ops.py."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_EFFECT_SQL)

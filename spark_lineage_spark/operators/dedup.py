@@ -1534,3 +1534,83 @@ def llm_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(bits))
     )
+
+
+CONTAINMENT_THRESHOLD = 0.6
+
+CONTAINMENT_ORACLE = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM words),
+sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+       FROM w a
+       JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS c
+           FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY 1, 2)
+SELECT da, db,
+       round(c * 1.0 / sa.n, 6) AS cont_a_in_b,
+       round(c * 1.0 / sb.n, 6) AS cont_b_in_a
+FROM common
+JOIN sizes sa ON sa.doc_id = da
+JOIN sizes sb ON sb.doc_id = db
+WHERE c * 1.0 / sa.n >= 0.6 OR c * 1.0 / sb.n >= 0.6
+"""
+
+
+@query(
+    "llm_dedup_set_containment",
+    "§2.20 Jaccard CONTAINMENT near-dup (sub-document inclusion detection)",
+    CONTAINMENT_ORACLE,
+)
+def llm_dedup_set_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment C(A,B) = |A∩B| / |A| over 3-gram shingle
+    sets — the sub-document duplication detector resemblance misses:
+    a 50-word excerpt quoted inside a 400-word page has Jaccard ~0.12
+    (invisible at any sane threshold) but containment ~1.0 in the
+    excerpt->page direction.  Complements llm_dedup_containment, the
+    EXACT substring variant: set containment fires on paraphrased /
+    reordered / partially-overlapping reuse where byte-level
+    contains() cannot.  Pairs with EITHER direction >= 0.6 are
+    reported with both directional scores.
+
+    Same candidate substrate as llm_dedup_ngram_jaccard: the staged
+    shingle inverted index (_shingle_index) — only docs sharing a
+    shingle ever meet, the join shuffles on the shingle key, the df
+    cap bounds per-shingle fan-out, so candidates stay ~linear in the
+    corpus; containment needs no new machinery, just the asymmetric
+    denominators on the same (common, sizes) join.  The scores are
+    one double division of exact counts per direction — identical in
+    both engines."""
+    sh = _shingle_index(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = sh.alias("x")
+    y = sh.alias("y")
+    common = (
+        x.join(
+            y,
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    return (
+        common.join(sa, "da")
+        .join(sb, "db")
+        .filter(
+            (F.col("c") * 1.0 / F.col("na") >= CONTAINMENT_THRESHOLD)
+            | (F.col("c") * 1.0 / F.col("nb") >= CONTAINMENT_THRESHOLD)
+        )
+        .select(
+            "da",
+            "db",
+            F.round(F.col("c") * 1.0 / F.col("na"), 6).alias("cont_a_in_b"),
+            F.round(F.col("c") * 1.0 / F.col("nb"), 6).alias("cont_b_in_a"),
+        )
+    )

@@ -3786,3 +3786,93 @@ def llm_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("wins").cast("double") / F.col("games"), 6).alias("win_rate"),
         F.round("r", 6).alias("bt_rating"),
     )
+
+
+_MCNEMAR_FINISH_SQL = """
+m AS (
+  SELECT CAST({pd_chars} AS BIGINT) AS med_chars,
+         CAST({pd_ratio} AS BIGINT) AS med_ratio_ppm
+  FROM f
+),
+flags AS (
+  SELECT CASE WHEN f.n_chars > m.med_chars THEN 1 ELSE 0 END AS ja,
+         CASE WHEN f.ratio_ppm > m.med_ratio_ppm THEN 1 ELSE 0 END AS jb
+  FROM f CROSS JOIN m
+),
+ct AS (
+  SELECT CAST(sum(ja * (1 - jb)) AS BIGINT) AS b,
+         CAST(sum((1 - ja) * jb) AS BIGINT) AS c
+  FROM flags
+),
+st AS (
+  SELECT b, c,
+         CASE WHEN b + c = 0 THEN 0.0
+              ELSE (greatest(abs(b - c) - 1, 0) * CAST(greatest(abs(b - c) - 1, 0) AS DOUBLE))
+                   / (b + c)
+         END AS stat
+  FROM ct
+),
+zt AS (SELECT b, c, stat, sqrt(stat) AS z FROM st)
+SELECT b AS only_a_good, c AS only_b_good,
+       round(stat, 6) AS mcnemar_cc,
+       round(1 - {erf}, 6) AS p_value
+FROM zt
+"""
+
+
+def _mcnemar_oracle() -> str:
+    # the shared erf polynomial lives next to its first user
+    # (stats_fdr_bh); importing inside the builder avoids any module
+    # import-order sensitivity at registration time
+    from spark_lineage_spark.operators.analytics import _FDR_ERF
+
+    return (
+        "WITH "
+        + _KAPPA_F_SQL.format(
+            distinct_tokens="len(list_distinct(string_split(text, ' ')))",
+            n_tokens="len(string_split(text, ' '))",
+        )
+        + _MCNEMAR_FINISH_SQL.format(
+            pd_chars="quantile_disc(n_chars, 0.5)",
+            pd_ratio="quantile_disc(ratio_ppm, 0.5)",
+            erf=_FDR_ERF,
+        )
+    )
+
+
+@query(
+    "llm_judge_mcnemar",
+    "§2.20 McNemar's test: are two judges' marginal pass rates different?",
+    _mcnemar_oracle(),
+)
+def llm_judge_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on the SAME two judges as llm_judge_agreement —
+    the companion question: kappa asks "do they agree?", McNemar asks
+    "is one systematically more lenient?".  Only the DISAGREEMENT
+    cells matter: b = A-good/B-bad, c = A-bad/B-good; the
+    continuity-corrected statistic (|b-c|-1)²/(b+c) is asymptotically
+    chi-square(1df), whose survival is erfc(sqrt(x)/sqrt(2)) — closed
+    via the same inlined Abramowitz-Stegun erf polynomial as
+    stats_fdr_bh, so both engines evaluate the IDENTICAL double
+    expression (no engine erf exists).  greatest(|b-c|-1, 0) clamps
+    the correction at b≈c (the textbook edge where naive |b-c|-1 goes
+    negative and the square lies).  Everything upstream is exact
+    integers (the kappa chassis: ppm ratios, discrete medians, 2x2
+    counts).  Shape at any SF: two map-side corpus passes (medians,
+    flags), O(1) finish.  Property test: math.erfc + exact-count
+    reference in tests/test_round10_ops.py."""
+    from spark_lineage_spark.operators.analytics import _FDR_ERF
+
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(
+        "WITH "
+        + _KAPPA_F_SQL.format(
+            distinct_tokens="size(array_distinct(split(text, ' ')))",
+            n_tokens="size(split(text, ' '))",
+        )
+        + _MCNEMAR_FINISH_SQL.format(
+            pd_chars="percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)",
+            pd_ratio="percentile_disc(0.5) WITHIN GROUP (ORDER BY ratio_ppm)",
+            erf=_FDR_ERF,
+        )
+    )

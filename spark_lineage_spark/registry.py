@@ -308,6 +308,10 @@ _VERIFY_AFTER = [
     "llm_retrieval_ndcg",
     "ts_cross_correlation",
     "pandas_api_pivot_table",
+    "llm_dedup_set_containment",
+    "llm_judge_mcnemar",
+    "profile_key_skew",
+    "stats_effect_size",
 ]
 
 

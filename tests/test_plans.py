@@ -956,3 +956,40 @@ def test_pivot_table_is_single_aggregate(spark):
     p = plan_str(pandas_api_pivot_table(spark, SF))
     assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1, p[:2000]
     assert "HashAggregate" in p
+
+
+def test_set_containment_joins_on_shingle_key(spark):
+    """Candidates must come from the shingle equi-join — no cartesian,
+    no nested loop anywhere."""
+    from spark_lineage_spark.operators.dedup import llm_dedup_set_containment
+
+    p = plan_str(llm_dedup_set_containment(spark, SF))
+    assert "CartesianProduct" not in p, p[:3000]
+    assert "BroadcastNestedLoopJoin" not in p, p[:3000]
+
+
+def test_mcnemar_two_scan_shape(spark):
+    """McNemar runs the kappa chassis: two corpus passes (medians,
+    flags), both partial-agg'd; no window over raw docs."""
+    from spark_lineage_spark.operators.text import llm_judge_mcnemar
+
+    p = plan_str(llm_judge_mcnemar(spark, SF))
+    ops = re.findall(r"^\(\d+\) (\w+)", p, re.M)
+    assert "HashAggregate" in ops
+    assert "CartesianProduct" not in p or "BroadcastExchange" in p
+
+
+def test_key_skew_window_on_counts_of_counts(spark):
+    """The percentile cumsum runs on the counts-of-counts table: two
+    HashAggregates precede the Window in tree order, and the scan
+    reads only the key column."""
+    from spark_lineage_spark.operators.analytics import profile_key_skew
+
+    p = plan_str(profile_key_skew(spark, SF))
+    ops = re.findall(r"^\(\d+\) (\w+)", p, re.M)
+    aggs = [i for i, o in enumerate(ops) if o == "HashAggregate"]
+    assert "Window" in ops and len(aggs) >= 2
+    assert sorted(aggs)[1] < ops.index("Window"), ops
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_partkey"}, cols

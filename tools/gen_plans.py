@@ -88,6 +88,10 @@ ANNOTATED = {
     "llm_mmr_diverse_topk": "TakeOrdered top-25 pool checkpointed once; K greedy rounds of anti-join + broadcast max-sim over 25 rows",
     "pandas_api_pivot_table": "pandas pivot compiles to ONE hash agg (CASE WHEN sums) over a single orders scan",
     "setop_union_by_name": "by-name alignment is a metadata projection: plain Union, zero exchanges",
+    "llm_dedup_set_containment": "staged shingle index self-join on the shingle key; asymmetric denominators on the same (common, sizes) join as jaccard",
+    "llm_judge_mcnemar": "two map-side corpus passes (medians, flags); O(1) finish with the inlined erf polynomial",
+    "profile_key_skew": "facts -> O(keys) -> O(distinct counts) double collapse; percentile cumsum on ~60 rows",
+    "stats_effect_size": "one partial-agg'd scan to five DECIMAL power sums; 1-row double finish",
     # streaming queries are excluded: their builder returns the drained
     # memory-sink table, whose plan is just a Scan ExistingRDD
 }

@@ -173,6 +173,14 @@ PROBE_QUERIES = [
     "llm_retrieval_ndcg",
     "llm_mmr_diverse_topk",
     "pandas_api_pivot_table",
+    # round-10 wave 3: shingle-key set containment over the 10x corpus
+    # (same linear candidate claim as the jaccard family), the kappa
+    # chassis McNemar (two map-side passes), counts-of-counts skew
+    # profile (window runs on ~60 rows at any SF).
+    "llm_dedup_set_containment",
+    "llm_judge_mcnemar",
+    "profile_key_skew",
+    "stats_effect_size",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

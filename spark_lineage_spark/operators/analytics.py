@@ -4416,3 +4416,59 @@ def stats_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_round10_ops.py."""
     register_views(spark, sf_dir, ["events"])
     return spark.sql(_EFFECT_SQL)
+
+
+# Power / minimum-detectable-effect planning for a two-proportion test
+# at alpha=0.05 two-sided, power=0.8.  The two z quantiles are spelled
+# as literals (1.959963984540054, 0.8416212335729143) so no engine
+# needs an inverse normal; everything upstream is exact integer counts
+# and the finish is one shared double expression per nation.
+_POWER_SQL = """
+WITH j AS (
+  SELECT c.c_nationkey AS nk,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS k
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey
+)
+SELECT nk AS nationkey, n, k,
+       round(CAST(k AS DOUBLE) / n, 6) AS p_base,
+       round((1.959963984540054 + 0.8416212335729143)
+             * sqrt(2 * (CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n)
+                    / (n / 2.0)), 6) AS mde_abs,
+       round((1.959963984540054 + 0.8416212335729143)
+             * sqrt(2 * (CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n)
+                    / (n / 2.0)) / (CAST(k AS DOUBLE) / n), 6) AS mde_rel,
+       CAST(ceil(2 * (CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n)
+                 * ((1.959963984540054 + 0.8416212335729143)
+                    / (0.1 * (CAST(k AS DOUBLE) / n)))
+                 * ((1.959963984540054 + 0.8416212335729143)
+                    / (0.1 * (CAST(k AS DOUBLE) / n)))) AS BIGINT)
+         AS n_per_arm_for_10pct_lift
+FROM j
+"""
+
+
+@query(
+    "stats_power_mde",
+    "§2.20 power planning: per-segment MDE + required n (closed-form z literals)",
+    _POWER_SQL,
+)
+def stats_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-planning battery per nation segment: with the
+    segment's historical order volume split into two equal arms, the
+    minimum detectable absolute/relative lift in the urgent-order
+    rate at alpha=0.05 (two-sided) and power=0.8 — and the inverse:
+    the per-arm sample size needed to detect a 10% relative lift.
+    The standard two-proportion approximations
+    MDE = (z_a+z_b)*sqrt(2 p (1-p) / n_arm) and
+    n = 2 p (1-p) ((z_a+z_b)/delta)^2, with both z quantiles inlined
+    as literals (no inverse normal in either engine; the
+    stats_effect_size convention).  Upstream is one exact integer
+    partial agg behind a broadcast customer join (the stats_fdr_bh
+    shape); each row's finish is a single shared double expression.
+    Property test: statsmodels-free numpy reference in
+    tests/test_round10_ops.py."""
+    register_views(spark, sf_dir, ["orders", "customer"])
+    return spark.sql(_POWER_SQL)

@@ -312,6 +312,7 @@ _VERIFY_AFTER = [
     "llm_judge_mcnemar",
     "profile_key_skew",
     "stats_effect_size",
+    "stats_power_mde",
 ]
 
 

@@ -969,3 +969,33 @@ def test_effect_size_matches_numpy(spark, sf_dir):
     assert abs(row.hedges_g) <= abs(row.cohens_d)
     assert row.d_ci_lo == pytest.approx(d - 1.959963984540054 * se, abs=1e-5)
     assert row.d_ci_hi == pytest.approx(d + 1.959963984540054 * se, abs=1e-5)
+
+
+def test_power_mde_matches_reference(spark, sf_dir):
+    """MDE and required-n recomputed from the textbook closed forms on
+    pandas counts; required n must actually deliver the MDE: plugging
+    n_req back in gives MDE <= the 10% target (+1 ceil slack)."""
+    from spark_lineage_spark.tables import load
+
+    od = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority").toPandas()
+    cu = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey").toPandas()
+    j = od.merge(cu, left_on="o_custkey", right_on="c_custkey")
+    za, zb = 1.959963984540054, 0.8416212335729143
+    rows = _load_all()["stats_power_mde"].builder(spark, sf_dir).collect()
+    g = j.groupby("c_nationkey")["o_orderpriority"]
+    n_by = g.size()
+    k_by = g.apply(lambda s: int((s == "1-URGENT").sum()))
+    assert len(rows) == len(n_by)
+    for r in rows:
+        n, k = int(n_by[r.nationkey]), int(k_by[r.nationkey])
+        assert (r.n, r.k) == (n, k)
+        p = k / n
+        mde = (za + zb) * math.sqrt(2 * p * (1 - p) / (n / 2))
+        assert r.mde_abs == pytest.approx(mde, abs=1e-6)
+        assert r.mde_rel == pytest.approx(mde / p, abs=1e-6)
+        n_req = math.ceil(2 * p * (1 - p) * ((za + zb) / (0.1 * p)) ** 2)
+        assert r.n_per_arm_for_10pct_lift == n_req
+        # inverse consistency: at n_req per arm the detectable lift is
+        # within the 10% relative target
+        got = (za + zb) * math.sqrt(2 * p * (1 - p) / n_req) / p
+        assert got <= 0.1 + 1e-3

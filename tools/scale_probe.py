@@ -181,6 +181,7 @@ PROBE_QUERIES = [
     "llm_judge_mcnemar",
     "profile_key_skew",
     "stats_effect_size",
+    "stats_power_mde",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

@@ -993,3 +993,14 @@ def test_key_skew_window_on_counts_of_counts(spark):
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols == {"l_partkey"}, cols
+
+
+def test_power_mde_broadcast_shape(spark):
+    """Power planning shares the FDR shape: broadcast customer join,
+    facts partial-agg'd to the 25-row nation table, no window at all."""
+    from spark_lineage_spark.operators.analytics import stats_power_mde
+
+    p = plan_str(stats_power_mde(spark, SF))
+    assert "BroadcastHashJoin" in p, p[:2000]
+    ops = re.findall(r"^\(\d+\) (\w+)", p, re.M)
+    assert "HashAggregate" in ops and "Window" not in ops, ops

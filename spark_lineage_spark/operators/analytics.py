@@ -4472,3 +4472,81 @@ def stats_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_round10_ops.py."""
     register_views(spark, sf_dir, ["orders", "customer"])
     return spark.sql(_POWER_SQL)
+
+
+# Bayesian A/B readout: P(B beats A) under Beta(1+k, 1+n-k)
+# posteriors on the two arms' urgent-order rates, closed via the
+# normal approximation of each posterior (exact Beta tails need an
+# incomplete-beta neither engine has; at these n the normal error is
+# far below the reported 6 dp) and the shared inlined A-S erf
+# polynomial.  Φ(z) = (1 + erf(z/√2)) / 2 — the erf text is the same
+# string stats_fdr_bh and llm_judge_mcnemar embed.
+def _bayes_ab_sql() -> str:
+    return f"""
+WITH arms AS (
+  SELECT o_custkey % 2 AS arm,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS k
+  FROM orders GROUP BY o_custkey % 2
+),
+post AS (
+  SELECT
+    max(CASE WHEN arm = 0 THEN n END) AS na,
+    max(CASE WHEN arm = 0 THEN k END) AS ka,
+    max(CASE WHEN arm = 1 THEN n END) AS nb,
+    max(CASE WHEN arm = 1 THEN k END) AS kb
+  FROM arms
+),
+m AS (
+  -- integer posterior parameters cast to DOUBLE explicitly: a bare
+  -- 1.0 literal is DECIMAL in Spark but DOUBLE in DuckDB, and the
+  -- resulting decimal-arithmetic truncation silently mangled the
+  -- variances (caught by driver-sim; the casts pin both engines to
+  -- identical float64 op sequences)
+  SELECT na, ka, nb, kb,
+         CAST(1 + ka AS DOUBLE) / (2 + na) AS mu_a,
+         CAST(1 + kb AS DOUBLE) / (2 + nb) AS mu_b,
+         (CAST(1 + ka AS DOUBLE) * (1 + na - ka))
+           / ((CAST(2 + na AS DOUBLE) * (2 + na)) * (3 + na)) AS var_a,
+         (CAST(1 + kb AS DOUBLE) * (1 + nb - kb))
+           / ((CAST(2 + nb AS DOUBLE) * (2 + nb)) * (3 + nb)) AS var_b
+  FROM post
+),
+zt AS (
+  SELECT na, ka, nb, kb, mu_a, mu_b,
+         (mu_b - mu_a) / sqrt(var_a + var_b) AS z
+  FROM m
+)
+SELECT na AS n_arm_a, ka AS k_arm_a, nb AS n_arm_b, kb AS k_arm_b,
+       round(mu_a, 6) AS posterior_mean_a,
+       round(mu_b, 6) AS posterior_mean_b,
+       round(z, 6) AS z_stat,
+       round(CASE WHEN z >= 0 THEN (1 + {_FDR_ERF}) / 2
+                  ELSE 1 - (1 + {_FDR_ERF}) / 2 END, 6) AS p_b_beats_a
+FROM zt
+"""
+
+
+@query(
+    "stats_bayes_ab",
+    "§2.20 Bayesian A/B: P(B beats A) from Beta posteriors (normal approx + inlined erf)",
+    _bayes_ab_sql(),
+)
+def stats_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bayesian experimentation readout: split orders into two
+    arms by customer-key parity, put Beta(1,1) priors on each arm's
+    urgent-order rate, and report P(rate_B > rate_A) under the
+    posteriors — the "probability B is better" number a product team
+    actually asks for (vs stats_proportion_ztest's p-value under H0).
+    Posterior means/variances are closed-form Beta moments on exact
+    integer (n, k); the tail probability folds through Φ(z) =
+    (1+erf(z/√2))/2 with the polynomial inlined (see the comment
+    above _bayes_ab_sql; |z| symmetry handled by the CASE since the
+    A-S form approximates erf of NON-NEGATIVE arguments — the same
+    |z| discipline as stats_fdr_bh).  Shape at any SF: one map-side
+    partial agg of orders to 2 rows, O(1) finish.  Property test:
+    math.erf reference + exact-simulation sanity in
+    tests/test_round10_ops.py."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_bayes_ab_sql())

@@ -313,6 +313,7 @@ _VERIFY_AFTER = [
     "profile_key_skew",
     "stats_effect_size",
     "stats_power_mde",
+    "stats_bayes_ab",
 ]
 
 

@@ -999,3 +999,32 @@ def test_power_mde_matches_reference(spark, sf_dir):
         # within the 10% relative target
         got = (za + zb) * math.sqrt(2 * p * (1 - p) / n_req) / p
         assert got <= 0.1 + 1e-3
+
+
+def test_bayes_ab_matches_math_reference(spark, sf_dir):
+    """Posterior moments and P(B>A) recomputed with math.erf on the
+    same exact counts; the probability must be consistent with the
+    z sign and live in (0,1)."""
+    from spark_lineage_spark.tables import load
+
+    od = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority").toPandas()
+    arm = (od["o_custkey"] % 2).to_numpy()
+    urgent = (od["o_orderpriority"] == "1-URGENT").to_numpy()
+    stats = {}
+    for a in (0, 1):
+        n = int((arm == a).sum())
+        k = int((urgent & (arm == a)).sum())
+        mu = (1 + k) / (2 + n)
+        var = (1 + k) * (1 + n - k) / ((2 + n) ** 2 * (3 + n))
+        stats[a] = (n, k, mu, var)
+    z = (stats[1][2] - stats[0][2]) / math.sqrt(stats[0][3] + stats[1][3])
+    p = 0.5 * (1 + math.erf(z / math.sqrt(2)))
+    row = _load_all()["stats_bayes_ab"].builder(spark, sf_dir).collect()[0]
+    assert (row.n_arm_a, row.k_arm_a) == stats[0][:2]
+    assert (row.n_arm_b, row.k_arm_b) == stats[1][:2]
+    assert row.posterior_mean_a == pytest.approx(stats[0][2], abs=1e-6)
+    assert row.posterior_mean_b == pytest.approx(stats[1][2], abs=1e-6)
+    assert row.z_stat == pytest.approx(z, abs=1e-6)
+    assert row.p_b_beats_a == pytest.approx(p, abs=2e-6)  # A-S poly bound
+    assert 0 < row.p_b_beats_a < 1
+    assert (row.p_b_beats_a > 0.5) == (z > 0)

@@ -93,6 +93,7 @@ ANNOTATED = {
     "profile_key_skew": "facts -> O(keys) -> O(distinct counts) double collapse; percentile cumsum on ~60 rows",
     "stats_effect_size": "one partial-agg'd scan to five DECIMAL power sums; 1-row double finish",
     "stats_power_mde": "facts partial-agg to 25 rows behind broadcast customer join; per-row closed-form finish",
+    "stats_bayes_ab": "orders partial-agg to 2 arm rows; O(1) Beta-moment finish with inlined erf",
     # streaming queries are excluded: their builder returns the drained
     # memory-sink table, whose plan is just a Scan ExistingRDD
 }

@@ -182,6 +182,7 @@ PROBE_QUERIES = [
     "profile_key_skew",
     "stats_effect_size",
     "stats_power_mde",
+    "stats_bayes_ab",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

@@ -4550,3 +4550,71 @@ def stats_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_round10_ops.py."""
     register_views(spark, sf_dir, ["orders"])
     return spark.sql(_bayes_ab_sql())
+
+
+# Lin's concordance correlation coefficient between a document's
+# declared character count and the 6-chars-per-word heuristic estimate
+# — ABSOLUTE agreement, not just correlation: CCC = 2*cov /
+# (var_x + var_y + (mu_x - mu_y)^2) is penalized by scale and location
+# bias, which Pearson r ignores (the judge-eval family's continuous
+# member: kappa = binary agreement, McNemar = marginal bias, CCC =
+# continuous calibration).  Five DECIMAL power sums over exact integer
+# scores, one shared double finish; the bias-correction factor
+# C_b = CCC / r is also reported.
+_CCC_SQL = """
+WITH f AS (
+  SELECT CAST(n_chars AS BIGINT) AS x,
+         CAST(6 * (length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)
+           AS y
+  FROM documents
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy,
+         CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy
+  FROM f
+),
+m AS (
+  SELECT n,
+         CAST(sx AS DOUBLE) / n AS mx,
+         CAST(sy AS DOUBLE) / n AS my,
+         (CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE) / n) * CAST(sx AS DOUBLE)) / n
+           AS vx,
+         (CAST(syy AS DOUBLE) - (CAST(sy AS DOUBLE) / n) * CAST(sy AS DOUBLE)) / n
+           AS vy,
+         (CAST(sxy AS DOUBLE) - (CAST(sx AS DOUBLE) / n) * CAST(sy AS DOUBLE)) / n
+           AS cxy
+  FROM s
+)
+SELECT n AS n_docs,
+       round(mx, 4) AS mean_declared,
+       round(my, 4) AS mean_estimated,
+       round(cxy / sqrt(vx * vy), 6) AS pearson_r,
+       round(2 * cxy / (vx + vy + (mx - my) * (mx - my)), 6) AS lin_ccc,
+       round((2 * cxy / (vx + vy + (mx - my) * (mx - my)))
+             / (cxy / sqrt(vx * vy)), 6) AS bias_correction_cb
+FROM m
+"""
+
+
+@query(
+    "stats_lin_ccc",
+    "§2.20 Lin's concordance correlation (absolute agreement, exact moments)",
+    _CCC_SQL,
+)
+def stats_lin_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lin's CCC between the declared character count and the
+    6-chars/word heuristic estimate — the calibration check a metric
+    pipeline runs before substituting a cheap estimator for an
+    expensive measurement (CCC near r means only noise separates
+    them; CCC far below r means systematic scale/location bias, which
+    is C_b = CCC/r).  Population (1/n) moments per Lin 1989.  All
+    sums are exact integer DECIMAL power sums (the stats_effect_size
+    chassis) — one map-side pass, order-free; the finish is one
+    shared double expression.  Property test: numpy reference in
+    tests/test_round10_ops.py."""
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(_CCC_SQL)

@@ -1411,3 +1411,107 @@ def llm_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("c") / F.col("ic"), 6).alias("ndcg_at_k"),
         )
     )
+
+
+_NORM_ORACLE = """
+WITH nz AS (
+  SELECT vec_id,
+         CAST(round(sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1000000)
+              AS BIGINT) AS nu
+  FROM embeddings
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(nu AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+         CAST(sum(CAST(nu * nu AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2,
+         CAST(min(nu) AS BIGINT) AS mn,
+         CAST(max(nu) AS BIGINT) AS mx
+  FROM nz
+),
+z AS (
+  SELECT nz.vec_id, nz.nu, s.n, s.s1, s.s2, s.mn, s.mx,
+         (CAST(s.s2 AS DOUBLE)
+          - (CAST(s.s1 AS DOUBLE) / s.n) * CAST(s.s1 AS DOUBLE))
+         / (s.n - 1) AS sd2,
+         CAST(nz.nu AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.n AS dev
+  FROM nz CROSS JOIN s
+)
+SELECT max(n) AS n_vectors,
+       round(CAST(max(s1) AS DOUBLE) / max(n) / 1000000, 6) AS mean_norm,
+       round(CAST(max(mn) AS DOUBLE) / 1000000, 6) AS min_norm,
+       round(CAST(max(mx) AS DOUBLE) / 1000000, 6) AS max_norm,
+       CAST(count(*) FILTER (WHERE sd2 > 0 AND abs(dev) > 3 * sqrt(sd2))
+            AS BIGINT) AS n_outliers_3sd,
+       CAST(count(*) FILTER (WHERE nu = 0) AS BIGINT) AS n_zero_vectors
+FROM z
+"""
+
+
+@query(
+    "llm_embedding_norm_outliers",
+    "§2.20 embedding QC: L2-norm distribution + z-score outlier flags",
+    _NORM_ORACLE,
+)
+def llm_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table QC — the ingest screen a vector pipeline runs
+    before indexing: per-vector L2 norms, their distribution, and the
+    degenerate cases that poison ANN (zero vectors; norms more than
+    3 SDs from the mean, which usually mean a failed encode or a
+    double-scaled batch).  Norms are computed with the SAME in-order
+    double fold both engines use for cosine (dot(v,v) in array
+    order), then micro-quantized to exact bigints so the moment sums
+    are order-free integers; the z threshold compares identical
+    doubles.  Shape at any SF: one corpus scan with a map-side
+    partial agg to one moment row, broadcast back over the norms for
+    the flag count — no shuffle of the vectors themselves."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb")
+    )
+    nz = e.select(
+        "vec_id",
+        F.round(F.sqrt(dot(F.col("emb"), F.col("emb"))) * 1_000_000)
+        .cast("bigint")
+        .alias("nu"),
+    )
+    s = nz.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("nu").cast("decimal(38,0)")).alias("s1"),
+        F.sum((F.col("nu") * F.col("nu")).cast("decimal(38,0)")).alias("s2"),
+        F.min("nu").alias("mn"),
+        F.max("nu").alias("mx"),
+    )
+    # sample variance of the EXACT integer norms: zero variance (a
+    # fully normalized table — this fixture) must mean "no outliers",
+    # not a divide-by-zero, so the deviation test multiplies instead
+    # of dividing (|dev| > 3*sqrt(sd2), guarded on sd2 > 0)
+    z = nz.join(F.broadcast(s)).select(
+        "nu", "n", "s1", "s2", "mn", "mx",
+        (
+            (
+                F.col("s2").cast("double")
+                - (F.col("s1").cast("double") / F.col("n"))
+                * F.col("s1").cast("double")
+            )
+            / (F.col("n") - 1)
+        ).alias("sd2"),
+        (F.col("nu").cast("double") - F.col("s1").cast("double") / F.col("n")).alias(
+            "dev"
+        ),
+    )
+    return z.agg(
+        F.max("n").alias("n_vectors"),
+        F.round(F.max("s1").cast("double") / F.max("n") / 1_000_000, 6).alias(
+            "mean_norm"
+        ),
+        F.round(F.max("mn").cast("double") / 1_000_000, 6).alias("min_norm"),
+        F.round(F.max("mx").cast("double") / 1_000_000, 6).alias("max_norm"),
+        F.count(
+            F.when(
+                (F.col("sd2") > 0)
+                & (F.abs(F.col("dev")) > 3 * F.sqrt(F.col("sd2"))),
+                1,
+            )
+        ).alias("n_outliers_3sd"),
+        F.count(F.when(F.col("nu") == 0, 1)).alias("n_zero_vectors"),
+    )

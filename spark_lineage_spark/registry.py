@@ -314,6 +314,8 @@ _VERIFY_AFTER = [
     "stats_effect_size",
     "stats_power_mde",
     "stats_bayes_ab",
+    "stats_lin_ccc",
+    "llm_embedding_norm_outliers",
 ]
 
 

@@ -1028,3 +1028,53 @@ def test_bayes_ab_matches_math_reference(spark, sf_dir):
     assert row.p_b_beats_a == pytest.approx(p, abs=2e-6)  # A-S poly bound
     assert 0 < row.p_b_beats_a < 1
     assert (row.p_b_beats_a > 0.5) == (z > 0)
+
+
+def test_lin_ccc_matches_numpy(spark, sf_dir):
+    """CCC, r, and C_b recomputed with numpy population moments; the
+    CCC <= |r| inequality must hold."""
+    from spark_lineage_spark.tables import load
+
+    pdf = load(spark, sf_dir, "documents").select("n_chars", "text").toPandas()
+    x = pdf["n_chars"].to_numpy(dtype=float)
+    y = 6.0 * (pdf["text"].str.count(" ").to_numpy(dtype=float) + 1)
+    vx, vy = x.var(), y.var()
+    cxy = ((x - x.mean()) * (y - y.mean())).mean()
+    r = cxy / math.sqrt(vx * vy)
+    ccc = 2 * cxy / (vx + vy + (x.mean() - y.mean()) ** 2)
+    row = _load_all()["stats_lin_ccc"].builder(spark, sf_dir).collect()[0]
+    assert row.n_docs == len(x)
+    assert row.pearson_r == pytest.approx(r, abs=1e-6)
+    assert row.lin_ccc == pytest.approx(ccc, abs=1e-6)
+    assert row.bias_correction_cb == pytest.approx(ccc / r, abs=1e-5)
+    assert abs(row.lin_ccc) <= abs(row.pearson_r) + 1e-9
+
+
+def test_embedding_norm_outliers_fixture_and_planted(spark, sf_dir, tmp_path):
+    """On the (unit-normalized) fixture: zero variance must mean zero
+    outliers, not a crash.  On a synthetic table with planted
+    scaled/zero vectors, the flags must match a numpy reference."""
+    row = _load_all()["llm_embedding_norm_outliers"].builder(spark, sf_dir).collect()[0]
+    assert row.n_outliers_3sd == 0 and row.n_zero_vectors == 0
+    assert row.mean_norm == pytest.approx(1.0, abs=1e-4)
+
+    # planted: 60 unit-ish vectors, one double-scaled, one zero
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(62, 8)).astype("float32")
+    vecs[:60] /= np.linalg.norm(vecs[:60], axis=1, keepdims=True)
+    vecs[:60] *= rng.uniform(0.9, 1.1, size=(60, 1)).astype("float32")
+    vecs[60] *= 50.0
+    vecs[61] = 0.0
+    pdf = pd.DataFrame(
+        {"vec_id": range(62), "embedding": list(map(list, vecs)), "label": 0}
+    )
+    out = str(tmp_path / "synth")
+    spark.createDataFrame(pdf).write.parquet(out + "/embeddings.parquet")
+    got = _load_all()["llm_embedding_norm_outliers"].builder(spark, out).collect()[0]
+    nu = np.round(np.sqrt((vecs.astype("float64") ** 2).sum(axis=1)) * 1e6)
+    sd2 = nu.var(ddof=1)
+    dev = nu - nu.mean()
+    want_out = int(((sd2 > 0) & (np.abs(dev) > 3 * np.sqrt(sd2))).sum())
+    assert got.n_vectors == 62
+    assert got.n_zero_vectors == 1
+    assert got.n_outliers_3sd == want_out >= 1

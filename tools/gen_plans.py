@@ -94,6 +94,8 @@ ANNOTATED = {
     "stats_effect_size": "one partial-agg'd scan to five DECIMAL power sums; 1-row double finish",
     "stats_power_mde": "facts partial-agg to 25 rows behind broadcast customer join; per-row closed-form finish",
     "stats_bayes_ab": "orders partial-agg to 2 arm rows; O(1) Beta-moment finish with inlined erf",
+    "stats_lin_ccc": "one corpus pass to five DECIMAL power sums; 1-row CCC finish",
+    "llm_embedding_norm_outliers": "norm fold in scan; 1-row moment agg broadcast back over norms for the flag count",
     # streaming queries are excluded: their builder returns the drained
     # memory-sink table, whose plan is just a Scan ExistingRDD
 }

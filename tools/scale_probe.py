@@ -183,6 +183,8 @@ PROBE_QUERIES = [
     "stats_effect_size",
     "stats_power_mde",
     "stats_bayes_ab",
+    "stats_lin_ccc",
+    "llm_embedding_norm_outliers",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

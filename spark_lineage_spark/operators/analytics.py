@@ -4618,3 +4618,61 @@ def stats_lin_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_round10_ops.py."""
     register_views(spark, sf_dir, ["documents"])
     return spark.sql(_CCC_SQL)
+
+
+# Cochran-Armitage trend test: is the F-status rate MONOTONE in order
+# priority (ordinal scores 1..5 from the priority prefix digit)?  The
+# ordinal-aware alternative to a 2x5 chi-square independence test,
+# which cannot see ordering.  All five sufficient statistics are
+# exact BIGINT sums over the 5-row priority table; z and the
+# two-sided p (erfc via the shared inlined A-S erf polynomial) are
+# one shared double expression.
+def _cochran_armitage_sql() -> str:
+    return f"""
+WITH g AS (
+  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS r
+  FROM orders GROUP BY 1
+),
+t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(r) AS BIGINT) AS rr,
+         CAST(sum(s * n) AS BIGINT) AS sn, CAST(sum(s * r) AS BIGINT) AS sr,
+         CAST(sum(s * s * n) AS BIGINT) AS ssn
+  FROM g
+),
+zt AS (
+  SELECT nn, rr,
+         (CAST(sr AS DOUBLE) - (CAST(rr AS DOUBLE) / nn) * sn)
+         / sqrt((CAST(rr AS DOUBLE) / nn) * (1 - CAST(rr AS DOUBLE) / nn)
+                * (CAST(ssn AS DOUBLE) - (CAST(sn AS DOUBLE) * sn) / nn)) AS z
+  FROM t
+)
+SELECT nn AS n_orders, rr AS n_f_status,
+       round(z, 6) AS z_trend,
+       round(1 - {_FDR_ERF}, 6) AS p_two_sided
+FROM zt
+"""
+
+
+@query(
+    "stats_cochran_armitage",
+    "§2.20 Cochran-Armitage trend test (ordinal proportions, exact sufficient stats)",
+    _cochran_armitage_sql(),
+)
+def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage test for a linear trend in the F-status
+    proportion across the FIVE ORDERED priority levels — the question
+    "does the rate rise with priority?" that a 2x5 chi-square
+    (stats_association_battery's shape) structurally cannot answer
+    because it ignores category order.  T = Σ s·r − p̄ Σ s·n over
+    integer scores s∈1..5 taken from the priority prefix digit; the
+    variance is the textbook p̄(1-p̄)(Σs²n − (Σsn)²/N).  Everything
+    upstream of z is an exact BIGINT; the two-sided p-value is
+    erfc(|z|/√2) via the shared inlined erf polynomial (|z|
+    discipline as stats_fdr_bh).  Shape at any SF: one map-side
+    partial agg of orders to 5 rows, O(1) finish.  Property test:
+    textbook reference on pandas counts in
+    tests/test_round10_ops.py."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_cochran_armitage_sql())

@@ -1614,3 +1614,87 @@ def llm_dedup_set_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("c") * 1.0 / F.col("nb"), 6).alias("cont_b_in_a"),
         )
     )
+
+
+_SOURCE_OVERLAP_ORACLE = """
+WITH words AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT doc_id, source, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+      FROM words),
+sh AS (SELECT DISTINCT a.source, a.w || ' ' || b.w || ' ' || c.w AS shingle
+       FROM w a
+       JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source),
+common AS (SELECT x.source AS sa, y.source AS sb, CAST(count(*) AS BIGINT) AS c
+           FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.source < y.source
+           GROUP BY 1, 2)
+SELECT sa, sb, c AS shared_shingles,
+       round(c * 1.0 / (za.n + zb.n - c), 6) AS jaccard,
+       round(greatest(c * 1.0 / za.n, c * 1.0 / zb.n), 6) AS max_containment
+FROM common
+JOIN sizes za ON za.source = sa
+JOIN sizes zb ON zb.source = sb
+ORDER BY c DESC, sa, sb
+LIMIT 20
+"""
+
+
+@query(
+    "llm_source_overlap_matrix",
+    "§2.20 cross-source contamination matrix (per-source-pair shingle overlap)",
+    _SOURCE_OVERLAP_ORACLE,
+)
+def llm_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus forensics: which SOURCES share content?  Distinct 3-gram
+    shingle sets per source, then per-pair shared-shingle counts,
+    Jaccard, and max directional containment — the screen that finds
+    a mirrored site, a syndicated feed, or a benchmark leaked into a
+    crawl BEFORE doc-level dedup runs (doc-level pairs tell you two
+    pages match; this tells you two SOURCES do).  Candidates come
+    from the same shingle-key equi-join discipline as the dedup
+    family — only sources sharing a shingle meet, shuffled on the
+    shingle — but collapsed to source grain FIRST (distinct (source,
+    shingle)), so the join input is bounded by vocabulary, not docs,
+    and the pair table is at most |sources|² tiny rows.  Top-20 by
+    shared count, deterministic tie-break."""
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        d.select("source", F.explode(word_shingles(F.col("text"), 3)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+        .transform(lineage_checkpoint)
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    x = sh.alias("x")
+    y = sh.alias("y")
+    common = (
+        x.join(
+            y,
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(F.col("x.source").alias("sa"), F.col("y.source").alias("sb"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    za = sizes.select(F.col("source").alias("sa"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("source").alias("sb"), F.col("n").alias("nb"))
+    return (
+        common.join(F.broadcast(za), "sa")
+        .join(F.broadcast(zb), "sb")
+        .select(
+            "sa",
+            "sb",
+            F.col("c").alias("shared_shingles"),
+            F.round(F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c")), 6).alias(
+                "jaccard"
+            ),
+            F.round(
+                F.greatest(
+                    F.col("c") * 1.0 / F.col("na"), F.col("c") * 1.0 / F.col("nb")
+                ),
+                6,
+            ).alias("max_containment"),
+        )
+        .orderBy(F.col("shared_shingles").desc(), "sa", "sb")
+        .limit(20)
+    )

@@ -316,6 +316,8 @@ _VERIFY_AFTER = [
     "stats_bayes_ab",
     "stats_lin_ccc",
     "llm_embedding_norm_outliers",
+    "llm_source_overlap_matrix",
+    "stats_cochran_armitage",
 ]
 
 

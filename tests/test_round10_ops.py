@@ -1078,3 +1078,53 @@ def test_embedding_norm_outliers_fixture_and_planted(spark, sf_dir, tmp_path):
     assert got.n_vectors == 62
     assert got.n_zero_vectors == 1
     assert got.n_outliers_3sd == want_out >= 1
+
+
+def test_source_overlap_matches_bruteforce(spark, sf_dir):
+    """Top-20 source-pair overlaps recomputed brute-force from python
+    shingle sets grouped by source."""
+    from spark_lineage_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("source", "text").toPandas()
+    by_src = {}
+    for r in docs.itertuples():
+        ws = r.text.split(" ")
+        by_src.setdefault(r.source, set()).update(
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        )
+    pairs = []
+    srcs = sorted(by_src)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            c = len(by_src[a] & by_src[b])
+            if c:
+                pairs.append((a, b, c))
+    pairs.sort(key=lambda t: (-t[2], t[0], t[1]))
+    rows = _load_all()["llm_source_overlap_matrix"].builder(spark, sf_dir).collect()
+    assert len(rows) == min(20, len(pairs))
+    for row, (a, b, c) in zip(rows, pairs[:20]):
+        assert (row.sa, row.sb, row.shared_shingles) == (a, b, c)
+        na, nb = len(by_src[a]), len(by_src[b])
+        assert row.jaccard == pytest.approx(c / (na + nb - c), abs=1e-6)
+        assert row.max_containment == pytest.approx(max(c / na, c / nb), abs=1e-6)
+
+
+def test_cochran_armitage_matches_textbook(spark, sf_dir):
+    """z and p recomputed with the textbook formulas on pandas counts;
+    p must equal erfc(|z|/sqrt(2)) within the polynomial bound."""
+    from spark_lineage_spark.tables import load
+
+    od = load(spark, sf_dir, "orders").select("o_orderpriority", "o_orderstatus").toPandas()
+    od["s"] = od["o_orderpriority"].str[0].astype(int)
+    od["f"] = (od["o_orderstatus"] == "F").astype(int)
+    g = od.groupby("s").agg(n=("f", "size"), r=("f", "sum"))
+    N, R = int(g["n"].sum()), int(g["r"].sum())
+    pbar = R / N
+    sn = (g.index * g["n"]).sum()
+    sr = (g.index * g["r"]).sum()
+    ssn = (g.index**2 * g["n"]).sum()
+    z = (sr - pbar * sn) / math.sqrt(pbar * (1 - pbar) * (ssn - sn**2 / N))
+    row = _load_all()["stats_cochran_armitage"].builder(spark, sf_dir).collect()[0]
+    assert (row.n_orders, row.n_f_status) == (N, R)
+    assert row.z_trend == pytest.approx(z, abs=1e-6)
+    assert row.p_two_sided == pytest.approx(math.erfc(abs(z) / math.sqrt(2)), abs=2e-6)

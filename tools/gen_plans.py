@@ -96,6 +96,8 @@ ANNOTATED = {
     "stats_bayes_ab": "orders partial-agg to 2 arm rows; O(1) Beta-moment finish with inlined erf",
     "stats_lin_ccc": "one corpus pass to five DECIMAL power sums; 1-row CCC finish",
     "llm_embedding_norm_outliers": "norm fold in scan; 1-row moment agg broadcast back over norms for the flag count",
+    "llm_source_overlap_matrix": "(source, shingle) distinct collapse; shingle-key self-join; <=|sources|^2 pair rows; TakeOrdered top-20",
+    "stats_cochran_armitage": "orders partial-agg to 5 priority rows; O(1) trend finish with inlined erf",
     # streaming queries are excluded: their builder returns the drained
     # memory-sink table, whose plan is just a Scan ExistingRDD
 }

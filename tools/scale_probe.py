@@ -185,6 +185,8 @@ PROBE_QUERIES = [
     "stats_bayes_ab",
     "stats_lin_ccc",
     "llm_embedding_norm_outliers",
+    "llm_source_overlap_matrix",
+    "stats_cochran_armitage",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

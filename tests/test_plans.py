@@ -1004,3 +1004,43 @@ def test_power_mde_broadcast_shape(spark):
     assert "BroadcastHashJoin" in p, p[:2000]
     ops = re.findall(r"^\(\d+\) (\w+)", p, re.M)
     assert "HashAggregate" in ops and "Window" not in ops, ops
+
+
+def test_one_row_finish_stats_have_no_window(spark):
+    """The one-pass moment stats (bayes A/B, CCC, Cochran-Armitage,
+    effect size) must be pure partial-agg pipelines: HashAggregate
+    present, no Window, no CartesianProduct (1-row scalar joins are
+    broadcast)."""
+    from spark_lineage_spark.operators.analytics import (
+        stats_bayes_ab,
+        stats_cochran_armitage,
+        stats_effect_size,
+        stats_lin_ccc,
+    )
+
+    for fn in (stats_bayes_ab, stats_lin_ccc, stats_cochran_armitage, stats_effect_size):
+        p = plan_str(fn(spark, SF))
+        ops = re.findall(r"^\(\d+\) (\w+)", p, re.M)
+        assert "HashAggregate" in ops and "Window" not in ops, (fn.__name__, ops)
+        assert "CartesianProduct" not in p, fn.__name__
+
+
+def test_norm_outliers_broadcasts_moment_row(spark):
+    """The embedding-QC op broadcasts the 1-row moment aggregate back
+    over the norms — BroadcastNestedLoopJoin on a 1-row side, never a
+    shuffle of the vectors."""
+    from spark_lineage_spark.operators.similarity import llm_embedding_norm_outliers
+
+    p = plan_str(llm_embedding_norm_outliers(spark, SF))
+    assert "BroadcastExchange" in p, p[:2000]
+    assert not re.search(r"^\(\d+\) Exchange hashpartitioning", p, re.M), p[:2000]
+
+
+def test_source_overlap_joins_on_shingle(spark):
+    """Source-overlap candidates come from the shingle equi-join; the
+    final cut is TakeOrdered; no cartesian anywhere."""
+    from spark_lineage_spark.operators.dedup import llm_source_overlap_matrix
+
+    p = plan_str(llm_source_overlap_matrix(spark, SF))
+    assert "CartesianProduct" not in p, p[:3000]
+    assert "TakeOrderedAndProject" in p, p[:2000]

@@ -1698,3 +1698,75 @@ def llm_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("shared_shingles").desc(), "sa", "sb")
         .limit(20)
     )
+
+
+_CHAPMAN_ORACLE = """
+WITH words AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT doc_id, source, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+      FROM words),
+sh AS (SELECT DISTINCT CASE WHEN a.source < 'src5' THEN 0 ELSE 1 END AS half,
+              a.w || ' ' || b.w || ' ' || c.w AS shingle
+       FROM w a
+       JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+counts AS (
+  SELECT CAST(count(*) FILTER (WHERE half = 0) AS BIGINT) AS na,
+         CAST(count(*) FILTER (WHERE half = 1) AS BIGINT) AS nb,
+         CAST(count(*) AS BIGINT) - CAST(count(DISTINCT shingle) AS BIGINT) AS c,
+         CAST(count(DISTINCT shingle) AS BIGINT) AS true_total
+  FROM sh
+)
+SELECT na AS n_sample_a, nb AS n_sample_b, c AS n_recaptured, true_total,
+       CAST(floor((CAST(na + 1 AS DOUBLE) * (nb + 1)) / (c + 1) - 1) AS BIGINT)
+         AS chapman_estimate,
+       round(((CAST(na + 1 AS DOUBLE) * (nb + 1)) / (c + 1) - 1) / true_total, 4)
+         AS estimate_over_truth
+FROM counts
+"""
+
+
+@query(
+    "llm_capture_recapture",
+    "§2.20 capture-recapture corpus-size estimate (Chapman estimator)",
+    _CHAPMAN_ORACLE,
+)
+def llm_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture estimate of TOTAL unique content from two
+    overlapping samples — the mark-recapture trick a crawl operator
+    uses to ask "how much of the web's unique text have we actually
+    got?" without ever seeing the whole population: treat sources
+    src0-src4 as capture one, src5-src19 as capture two, count the
+    distinct 3-gram shingles in each and the recaptures (shingles in
+    BOTH), and apply the bias-corrected Chapman estimator
+    N̂ = (na+1)(nb+1)/(c+1) − 1.  Here the fixture's truth IS
+    computable (count(DISTINCT shingle)), so the op also reports
+    estimate/truth — the calibration a real pipeline can't see, which
+    is exactly what makes it a useful test (the ratio is stable and
+    deterministic on the fixture).  The recapture count is derived
+    set-algebraically (|A|+|B| − |A∪B|) from two hash-aggs — no pair
+    join at all.  Shape at any SF: one shingle explode, two
+    distinct aggregations, a 1-row closed-form finish."""
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        d.select(
+            F.when(F.col("source") < "src5", 0).otherwise(1).alias("half"),
+            F.explode(word_shingles(F.col("text"), 3)).alias("shingle"),
+        )
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+    counts = sh.agg(
+        F.count(F.when(F.col("half") == 0, 1)).cast("bigint").alias("na"),
+        F.count(F.when(F.col("half") == 1, 1)).cast("bigint").alias("nb"),
+        (F.count(F.lit(1)) - F.countDistinct("shingle")).cast("bigint").alias("c"),
+        F.countDistinct("shingle").cast("bigint").alias("true_total"),
+    )
+    est = (F.col("na") + 1).cast("double") * (F.col("nb") + 1) / (F.col("c") + 1) - 1
+    return counts.select(
+        F.col("na").alias("n_sample_a"),
+        F.col("nb").alias("n_sample_b"),
+        F.col("c").alias("n_recaptured"),
+        "true_total",
+        F.floor(est).cast("bigint").alias("chapman_estimate"),
+        F.round(est / F.col("true_total"), 4).alias("estimate_over_truth"),
+    )

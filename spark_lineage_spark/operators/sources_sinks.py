@@ -1490,3 +1490,57 @@ def scan_parquet_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bal_cents"),
     )
+
+
+@query(
+    "scan_parquet_agg_pushdown",
+    "§2.20 parquet AGGREGATE pushdown (COUNT/MIN/MAX answered from footers)",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(min(o_totalprice) * 100) AS BIGINT) AS min_price_cents,
+           CAST(round(max(o_totalprice) * 100) AS BIGINT) AS max_price_cents
+    FROM orders
+    """,
+)
+def scan_parquet_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet AGGREGATE pushdown — COUNT/MIN/MAX answered from the
+    row-group FOOTER STATISTICS instead of scanning data pages: the
+    plan's BatchScan carries `PushedAggregation: [COUNT(*), MIN(..),
+    MAX(..)]` and each task reads only metadata.  At 100 TB this is
+    the difference between a seconds-long footer walk and a full-table
+    scan for the commonest freshness/health probe a pipeline runs.
+
+    The feature lives behind TWO confs (`parquet.aggregatePushdown`
+    plus the V2 reader — V1, the default, never pushes aggregates),
+    both read at OPTIMIZATION time, so flipping them session-wide
+    would silently re-plan every other registry query.  The builder
+    therefore executes the pushed aggregate inside a try/finally that
+    restores both confs, and returns the 1-row result as a local
+    DataFrame — the same contained-side-effect shape as the sink ops.
+    The pushed plan (PushedAggregation non-empty) is asserted in
+    tests/test_plans.py; values are proven equal to the full-scan
+    oracle by the driver hash check."""
+    from spark_lineage_spark.tables import table_path
+
+    conf = spark.conf
+    prev_v1 = conf.get("spark.sql.sources.useV1SourceList")
+    prev_agg = conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    try:
+        conf.set("spark.sql.sources.useV1SourceList", "")
+        conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        row = (
+            spark.read.parquet(table_path(sf_dir, "orders"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.min("o_totalprice").alias("mn"),
+                F.max("o_totalprice").alias("mx"),
+            )
+            .collect()[0]  # bounded-collect-ok: 1-row pushed aggregate
+        )
+    finally:
+        conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+        conf.set("spark.sql.parquet.aggregatePushdown", prev_agg)
+    return spark.createDataFrame(
+        [(row.n_orders, int(round(row.mn * 100)), int(round(row.mx * 100)))],
+        "n_orders bigint, min_price_cents bigint, max_price_cents bigint",
+    )

@@ -318,6 +318,8 @@ _VERIFY_AFTER = [
     "llm_embedding_norm_outliers",
     "llm_source_overlap_matrix",
     "stats_cochran_armitage",
+    "scan_parquet_agg_pushdown",
+    "llm_capture_recapture",
 ]
 
 

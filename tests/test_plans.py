@@ -1044,3 +1044,23 @@ def test_source_overlap_joins_on_shingle(spark):
     p = plan_str(llm_source_overlap_matrix(spark, SF))
     assert "CartesianProduct" not in p, p[:3000]
     assert "TakeOrderedAndProject" in p, p[:2000]
+
+
+def test_parquet_aggregate_pushdown_in_plan(spark):
+    """With the V2 reader + aggregatePushdown on, COUNT/MIN/MAX land
+    in the BatchScan as PushedAggregation — the footer-only read the
+    op claims (confs restored after)."""
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    prev_agg = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    try:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        df = spark.read.parquet(SF + "/orders.parquet").agg(
+            F.count(F.lit(1)), F.min("o_totalprice"), F.max("o_totalprice")
+        )
+        p = plan_str(df)
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_agg)
+    m = re.search(r"PushedAggregation: \[([^\]]*)\]", p)
+    assert m and "COUNT" in m.group(1) and "MIN" in m.group(1), p[:2500]

@@ -1128,3 +1128,50 @@ def test_cochran_armitage_matches_textbook(spark, sf_dir):
     assert (row.n_orders, row.n_f_status) == (N, R)
     assert row.z_trend == pytest.approx(z, abs=1e-6)
     assert row.p_two_sided == pytest.approx(math.erfc(abs(z) / math.sqrt(2)), abs=2e-6)
+
+
+def test_agg_pushdown_values_and_conf_restore(spark, sf_dir):
+    """The pushed aggregate must equal the full-scan values, and the
+    builder must leave both confs exactly as it found them."""
+    from spark_lineage_spark.tables import load
+
+    before = (
+        spark.conf.get("spark.sql.sources.useV1SourceList"),
+        spark.conf.get("spark.sql.parquet.aggregatePushdown", "false"),
+    )
+    row = _load_all()["scan_parquet_agg_pushdown"].builder(spark, sf_dir).collect()[0]
+    after = (
+        spark.conf.get("spark.sql.sources.useV1SourceList"),
+        spark.conf.get("spark.sql.parquet.aggregatePushdown", "false"),
+    )
+    assert before == after
+    od = load(spark, sf_dir, "orders")
+    want = od.agg(
+        F.count(F.lit(1)), F.min("o_totalprice"), F.max("o_totalprice")
+    ).collect()[0]
+    assert row.n_orders == want[0]
+    assert row.min_price_cents == round(want[1] * 100)
+    assert row.max_price_cents == round(want[2] * 100)
+
+
+def test_capture_recapture_matches_sets(spark, sf_dir):
+    """na/nb/c/truth recomputed from python shingle sets; the Chapman
+    estimate must obey its closed form and land within 2x of truth on
+    this fixture (the halves overlap heavily by construction)."""
+    sets = _shingle_sets(spark, sf_dir)
+    from spark_lineage_spark.tables import load
+
+    src = dict(
+        load(spark, sf_dir, "documents").select("doc_id", "source").toPandas().values
+    )
+    a, b = set(), set()
+    for doc, sh in sets.items():
+        (a if src[doc] < "src5" else b).update(sh)
+    row = _load_all()["llm_capture_recapture"].builder(spark, sf_dir).collect()[0]
+    assert (row.n_sample_a, row.n_sample_b) == (len(a), len(b))
+    assert row.n_recaptured == len(a & b)
+    assert row.true_total == len(a | b)
+    est = (len(a) + 1) * (len(b) + 1) / (len(a & b) + 1) - 1
+    assert row.chapman_estimate == math.floor(est)
+    assert row.estimate_over_truth == pytest.approx(est / len(a | b), abs=1e-4)
+    assert 0.5 < row.estimate_over_truth < 2.0

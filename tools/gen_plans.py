@@ -98,6 +98,7 @@ ANNOTATED = {
     "llm_embedding_norm_outliers": "norm fold in scan; 1-row moment agg broadcast back over norms for the flag count",
     "llm_source_overlap_matrix": "(source, shingle) distinct collapse; shingle-key self-join; <=|sources|^2 pair rows; TakeOrdered top-20",
     "stats_cochran_armitage": "orders partial-agg to 5 priority rows; O(1) trend finish with inlined erf",
+    "llm_capture_recapture": "shingle explode -> two distinct hash-aggs; recaptures by set algebra, no pair join; 1-row finish",
     # streaming queries are excluded: their builder returns the drained
     # memory-sink table, whose plan is just a Scan ExistingRDD
 }

@@ -187,6 +187,7 @@ PROBE_QUERIES = [
     "llm_embedding_norm_outliers",
     "llm_source_overlap_matrix",
     "stats_cochran_armitage",
+    "llm_capture_recapture",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

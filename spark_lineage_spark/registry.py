@@ -275,8 +275,11 @@ _VERIFY_LAST = [
 # Queries whose first official row should wait for a later round (used
 # when the driver's per-round budget is already fully allocated above).
 # The round-9 budget is exactly filled by _VERIFY_FIRST + the 13
-# round-9 registrations + llm_pack_ffd; the late-round-9 wave below
-# verifies at round 10 (all driver-sim green at registration time).
+# round-9 registrations + llm_pack_ffd (49 rows; the first entry below
+# rides slot 50).  Everything in this list verifies at round 10 —
+# 42 entries, within round 10's 50-row budget.  Every entry was green
+# in a full driver-sim sweep at registration time (round-9 session:
+# 435-query sweep, 0 failures).
 _VERIFY_AFTER = [
     "graph_link_prediction",
     "stats_runs_test",

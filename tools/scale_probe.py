@@ -188,6 +188,9 @@ PROBE_QUERIES = [
     "llm_source_overlap_matrix",
     "stats_cochran_armitage",
     "llm_capture_recapture",
+    # footer-statistics aggregate: should stay near-FLAT at 10x (the
+    # read is row-group metadata, not data pages)
+    "scan_parquet_agg_pushdown",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

@@ -4676,3 +4676,135 @@ def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_round10_ops.py."""
     register_views(spark, sf_dir, ["orders"])
     return spark.sql(_cochran_armitage_sql())
+
+
+# Wilcoxon signed-rank: the PAIRED nonparametric test (stats_mann_whitney
+# is the unpaired one) on per-day purchase-minus-view value differences.
+# Same exact-doubled-rank chassis: |d| collapses to a value-frequency
+# table, a tied run of g rows after prev rows all take average rank
+# prev + (g+1)/2, so the DOUBLED positive-rank sum
+# 2W+ = sum cp*(2*prev + g + 1) is an exact integer, as is the g^3-g
+# tie term; zeros are dropped per the standard treatment.  z uses the
+# tie-corrected variance n(n+1)(2n+1)/24 - tie3/48; the two-sided p is
+# erfc(|z|/sqrt 2) via the shared inlined erf polynomial.
+def _wilcoxon_sql() -> str:
+    return f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(round(value * 100) AS BIGINT) AS vu,
+         event_type
+  FROM events WHERE event_type IN ('purchase', 'view')
+),
+daily AS (
+  SELECT d,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN vu ELSE 0 END)
+              AS BIGINT)
+         - CAST(sum(CASE WHEN event_type = 'view' THEN vu ELSE 0 END)
+                AS BIGINT) AS dd
+  FROM ev GROUP BY d
+),
+pts AS (
+  SELECT abs(dd) AS ad,
+         CAST(count(*) FILTER (WHERE dd > 0) AS BIGINT) AS cp,
+         CAST(count(*) FILTER (WHERE dd < 0) AS BIGINT) AS cn
+  FROM daily WHERE dd <> 0 GROUP BY abs(dd)
+),
+cum AS (
+  SELECT ad, cp, cn, cp + cn AS g,
+         sum(cp + cn) OVER (ORDER BY ad) - (cp + cn) AS prev
+  FROM pts
+),
+s AS (
+  SELECT CAST(sum(cp + cn) AS BIGINT) AS n,
+         CAST(sum(CAST(cp * (2 * prev + g + 1) AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS wp2,
+         CAST(sum(CAST(g * g * g - g AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tie3
+  FROM cum
+),
+zt AS (
+  SELECT n, CAST(wp2 AS DOUBLE) / 2 AS w_plus,
+         (CAST(wp2 AS DOUBLE) / 2 - CAST(n AS DOUBLE) * (n + 1) / 4)
+         / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24
+                - CAST(tie3 AS DOUBLE) / 48) AS z
+  FROM s
+)
+SELECT n AS n_pairs, round(w_plus, 1) AS w_plus,
+       round(z, 6) AS z_stat,
+       round(1 - {_FDR_ERF}, 6) AS p_two_sided
+FROM zt
+"""
+
+
+@query(
+    "stats_wilcoxon_signed_rank",
+    "§2.20 Wilcoxon signed-rank (paired, exact doubled ranks, tie-corrected)",
+    _wilcoxon_sql(),
+)
+def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank on paired daily (purchase, view) value
+    totals — "do purchases exceed views day-by-day?" without assuming
+    a difference distribution, the paired complement to
+    stats_mann_whitney (unpaired) and stats_ttest-style means.  See
+    the chassis note above _wilcoxon_sql: exact integer doubled rank
+    sums over the |d| value-frequency table, standard zero-drop, tie
+    correction, inlined-erf two-sided p.  Shape at any SF: events
+    partial-agg map-side to day grain (the O(days) table is SF-free
+    in rows), one bounded ordered stage, O(1) finish.  Property
+    test: rank-then-sum brute force in tests/test_round10_ops.py."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_wilcoxon_sql())
+
+
+# Historical VaR / CVaR on daily revenue: the k worst days with
+# k = ceil(0.05 n) computed exactly in-plan (the profile_key_skew rank
+# convention — no engine percentile), VaR = the k-th smallest daily
+# total, CVaR = the exact cent mean of those k days.
+_VAR_CVAR_SQL = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_orderdate
+),
+rk AS (
+  SELECT cents,
+         sum(1) OVER (ORDER BY cents, d) AS pos,
+         count(*) OVER () AS n
+  FROM daily
+),
+kk AS (
+  SELECT n, CAST(floor((5 * n + 95) / 100.0) AS BIGINT) AS k
+  FROM rk GROUP BY n
+),
+worst AS (
+  SELECT r.cents, r.pos, k.k, k.n
+  FROM rk r CROSS JOIN kk k
+  WHERE r.pos <= k.k
+)
+SELECT max(n) AS n_days, max(k) AS k_worst,
+       CAST(max(CASE WHEN pos = k THEN cents END) AS BIGINT) AS var95_cents,
+       round(CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) / max(k), 2)
+         AS cvar95_cents
+FROM worst
+"""
+
+
+@query(
+    "ts_var_cvar",
+    "§2.20 historical VaR/CVaR (pinned exact rank, worst-tail mean)",
+    _VAR_CVAR_SQL,
+)
+def ts_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical 95% value-at-risk and conditional VaR (expected
+    shortfall) on daily revenue — the tail-risk readout a capacity /
+    revenue-ops dashboard carries next to the mean.  The rank
+    k = ceil(0.05 n) is computed exactly in-plan ((5n+95)/100 floored
+    on doubles far inside 2^53 — the profile_key_skew convention, so
+    the Spark/DuckDB percentile mismatch cannot occur), the order is
+    fully pinned (cents, then date) so ties cannot flip the cut, VaR
+    is the k-th order statistic, and CVaR is one double division of
+    an exact DECIMAL cent sum.  Shape at any SF: facts partial-agg
+    map-side to the O(days) table; the single-partition window is
+    bounded by the calendar, not the corpus.  Property test: numpy
+    sort reference in tests/test_round10_ops.py."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_VAR_CVAR_SQL)

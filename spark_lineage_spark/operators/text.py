@@ -3876,3 +3876,65 @@ def llm_judge_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
             erf=_FDR_ERF,
         )
     )
+
+
+_VOCAB_GROWTH_ORACLE = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM words),
+shd AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+        FROM w a
+        JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+firsts AS (SELECT shingle, CAST(min(doc_id) AS BIGINT) AS first_doc
+           FROM shd GROUP BY shingle),
+mx AS (SELECT CAST(max(doc_id) AS BIGINT) + 1 AS span FROM documents),
+b AS (SELECT CAST(floor(first_doc * 10.0 / span) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS new_vocab
+      FROM firsts CROSS JOIN mx GROUP BY 1)
+SELECT bucket, new_vocab,
+       CAST(sum(new_vocab) OVER (ORDER BY bucket) AS BIGINT) AS cumulative_vocab
+FROM b
+"""
+
+
+@query(
+    "llm_vocab_growth_curve",
+    "§2.20 vocabulary growth curve (Heaps-law shape via first-occurrence buckets)",
+    _VOCAB_GROWTH_ORACLE,
+)
+def llm_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve — distinct 3-gram shingles seen after
+    each decile of the corpus (in doc_id ingest order): the Heaps-law
+    diagnostic that answers "is new data still contributing new
+    content, or has the crawl saturated?" before anyone pays for the
+    next ingest batch.  The naive cumulative-distinct (one distinct
+    per prefix) is quadratic; instead each shingle contributes
+    exactly once at its FIRST-occurrence doc (min doc_id per shingle
+    — one hash agg over the shingle table), buckets count first
+    occurrences, and a 10-row cumsum reconstructs the curve — the
+    corpus is scanned once at any SF.  The decile edges come from a
+    broadcast 1-row max(doc_id) scalar; bucket arithmetic is one
+    floor on doubles far inside 2^53.  Property test: python-set
+    prefix reference in tests/test_round10_ops.py."""
+    d = load(spark, sf_dir, "documents")
+    shd = (
+        d.select("doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+    firsts = shd.groupBy("shingle").agg(F.min("doc_id").cast("bigint").alias("first_doc"))
+    mx = d.agg((F.max("doc_id").cast("bigint") + 1).alias("span"))
+    b = (
+        firsts.join(F.broadcast(mx))
+        .select(
+            F.floor(F.col("first_doc") * 10.0 / F.col("span")).cast("bigint").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_vocab"))
+    )
+    w = Window.orderBy("bucket")
+    return b.select(
+        "bucket",
+        "new_vocab",
+        F.sum("new_vocab").over(w).cast("bigint").alias("cumulative_vocab"),
+    )

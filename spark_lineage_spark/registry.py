@@ -277,7 +277,7 @@ _VERIFY_LAST = [
 # The round-9 budget is exactly filled by _VERIFY_FIRST + the 13
 # round-9 registrations + llm_pack_ffd (49 rows; the first entry below
 # rides slot 50).  Everything in this list verifies at round 10 —
-# 42 entries, within round 10's 50-row budget.  Every entry was green
+# 45 entries, within round 10's 50-row budget.  Every entry was green
 # in a full driver-sim sweep at registration time (round-9 session:
 # 435-query sweep, 0 failures).
 _VERIFY_AFTER = [
@@ -323,6 +323,9 @@ _VERIFY_AFTER = [
     "stats_cochran_armitage",
     "scan_parquet_agg_pushdown",
     "llm_capture_recapture",
+    "stats_wilcoxon_signed_rank",
+    "ts_var_cvar",
+    "llm_vocab_growth_curve",
 ]
 
 

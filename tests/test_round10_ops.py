@@ -1175,3 +1175,74 @@ def test_capture_recapture_matches_sets(spark, sf_dir):
     assert row.chapman_estimate == math.floor(est)
     assert row.estimate_over_truth == pytest.approx(est / len(a | b), abs=1e-4)
     assert 0.5 < row.estimate_over_truth < 2.0
+
+
+def test_wilcoxon_matches_rank_bruteforce(spark, sf_dir):
+    """W+, z, p recomputed with pandas average ranks over the same
+    day-paired cent differences (zeros dropped, tie-corrected)."""
+    from spark_lineage_spark.tables import load
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select(
+            F.col("ts").cast("date").alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("vu"),
+            "event_type",
+        )
+        .toPandas()
+    )
+    daily = ev.pivot_table(
+        index="d", columns="event_type", values="vu", aggfunc="sum", fill_value=0
+    )
+    dd = (daily["purchase"] - daily["view"]).to_numpy()
+    dd = dd[dd != 0]
+    n = len(dd)
+    r = pd.Series(np.abs(dd)).rank(method="average").to_numpy()
+    w_plus = r[dd > 0].sum()
+    _, t = np.unique(np.abs(dd), return_counts=True)
+    var = n * (n + 1) * (2 * n + 1) / 24 - (t.astype(float) ** 3 - t).sum() / 48
+    z = (w_plus - n * (n + 1) / 4) / math.sqrt(var)
+    row = _load_all()["stats_wilcoxon_signed_rank"].builder(spark, sf_dir).collect()[0]
+    assert row.n_pairs == n
+    assert row.w_plus == pytest.approx(w_plus, abs=0.1)
+    assert row.z_stat == pytest.approx(z, abs=1e-6)
+    assert row.p_two_sided == pytest.approx(math.erfc(abs(z) / math.sqrt(2)), abs=2e-6)
+
+
+def test_var_cvar_matches_numpy(spark, sf_dir):
+    """VaR = the ceil(0.05 n)-th smallest daily total, CVaR = the exact
+    mean of those k days, recomputed by sorting."""
+    pdf = _daily_cents(spark, sf_dir)
+    v = np.sort(pdf["v"].to_numpy())
+    n = len(v)
+    k = math.ceil(0.05 * n)
+    row = _load_all()["ts_var_cvar"].builder(spark, sf_dir).collect()[0]
+    assert (row.n_days, row.k_worst) == (n, k)
+    assert row.var95_cents == int(v[k - 1])
+    assert row.cvar95_cents == pytest.approx(v[:k].mean(), abs=0.01)
+    assert row.cvar95_cents <= row.var95_cents
+
+
+def test_vocab_growth_matches_prefix_sets(spark, sf_dir):
+    """Cumulative vocabulary at each decile must equal python running
+    sets over docs in doc_id order, and be nondecreasing with the last
+    point equal to the total distinct shingle count."""
+    sets = _shingle_sets(spark, sf_dir)
+    span = max(sets) + 1
+    rows = sorted(
+        _load_all()["llm_vocab_growth_curve"].builder(spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    seen = set()
+    want = {}
+    for doc in sorted(sets):
+        seen |= sets[doc]
+        want[int(doc * 10.0 / span)] = len(seen)
+    # want[b] currently holds vocab after the LAST doc of bucket b
+    cum = 0
+    for r in rows:
+        assert r.cumulative_vocab == want[r.bucket]
+        cum += r.new_vocab
+        assert r.cumulative_vocab == cum
+    assert rows[-1].cumulative_vocab == len(set().union(*sets.values()))

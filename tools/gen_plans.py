@@ -99,6 +99,9 @@ ANNOTATED = {
     "llm_source_overlap_matrix": "(source, shingle) distinct collapse; shingle-key self-join; <=|sources|^2 pair rows; TakeOrdered top-20",
     "stats_cochran_armitage": "orders partial-agg to 5 priority rows; O(1) trend finish with inlined erf",
     "llm_capture_recapture": "shingle explode -> two distinct hash-aggs; recaptures by set algebra, no pair join; 1-row finish",
+    "stats_wilcoxon_signed_rank": "events partial-agg to day grain; |d| value table cumsum; O(1) finish with inlined erf",
+    "ts_var_cvar": "facts partial-agg to O(days); calendar-bounded ordered stage; exact k-th order statistic + tail mean",
+    "llm_vocab_growth_curve": "first-occurrence min per shingle (one hash agg); 10-row bucket cumsum — never per-prefix distinct",
     # streaming queries are excluded: their builder returns the drained
     # memory-sink table, whose plan is just a Scan ExistingRDD
 }

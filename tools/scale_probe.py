@@ -191,6 +191,9 @@ PROBE_QUERIES = [
     # footer-statistics aggregate: should stay near-FLAT at 10x (the
     # read is row-group metadata, not data pages)
     "scan_parquet_agg_pushdown",
+    "stats_wilcoxon_signed_rank",
+    "ts_var_cvar",
+    "llm_vocab_growth_curve",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

@@ -306,6 +306,17 @@ def main() -> None:
         print(f"{name}: {times['base'][0]:.2f}s -> {times['10x'][0]:.2f}s "
               f"(x{ratio:.1f}, rows {times['base'][1]} -> {times['10x'][1]})",
               flush=True)
+        # release py4j DataFrame refs promptly so checkpoint blocks are
+        # ContextCleaner-collectable, and nudge the JVM periodically —
+        # without this, heavy ops measured late in the ~200-query
+        # session read 2-4x slower than fresh-session standalone
+        # (observed on llm_ann_pq_adc / stream_dedup_simhash; the
+        # audit_runtime tool already does the same)
+        import gc
+
+        gc.collect()
+        if len(rows) % 10 == 0:
+            spark.sparkContext._jvm.System.gc()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     # preserve the hand-measured 100x section across regenerations

@@ -216,72 +216,35 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "subq_quantified_any_all", "ts_calendar_dim", "udf_arrow_optimized",
     "udf_pandas_iterator", "udtf_table_argument", "win_funnel_wilson",
     "win_range_interval_time",
+    # round 9 verified (CORRECTNESS_r09.json)
+    "agg_bitmap_native", "agg_kmv_union", "agg_listagg_distinct",
+    "fn_array_mutation_battery", "fn_ipv4_cidr_battery", "fn_levenshtein_bounded",
+    "fn_luhn_check", "fn_months_between_identities", "fn_regex_extended",
+    "fn_timezone_battery", "fn_to_char_number_roundtrip", "fn_try_url_parse",
+    "fn_utf8_validation", "graph_kcore", "graph_link_prediction",
+    "join_skyline_pareto", "llm_boilerplate_vocab", "llm_dedup_bloom_prefilter",
+    "llm_deterministic_shuffle", "llm_langid_confusion_matrix", "llm_pack_ffd",
+    "llm_weighted_sample_es", "pandas_api_merge_asof", "pandas_api_rolling",
+    "profile_freshness_lag", "profile_join_fanout", "scan_csv_multiline_quotes",
+    "scan_file_metadata_column", "scan_parquet_bloom_filter", "scan_partition_values_typed",
+    "scan_text_wholetext", "sink_csv_gzip_roundtrip", "sink_max_records_per_file",
+    "sink_partition_overwrite_dynamic", "sink_python_datasource", "sql_rebalance_hints",
+    "sql_session_variables", "stats_anova_oneway", "stats_association_battery",
+    "stats_benford_digits", "stats_bootstrap_ci", "stats_kendall_tau",
+    "stats_kl_divergence", "stats_levene_test", "stats_proportion_ztest",
+    "stats_spearman_corr", "stream_stream_full_outer_join", "ts_business_days",
+    "ts_holt_linear", "ts_session_window_dynamic_gap",
 ]
 
 # Among the not-yet-verified queries, run these FIRST.  After the
-# round-8-start promotion the official record covers all 295 round-7
-# queries with zero failures.
+# round-10-start promotion the official record covers all 394 queries
+# ever checked by the driver, with zero genuine failures.
 #
-# Round 9: the 34 oracle-bearing queries deferred past round 8's 50-row
-# budget (the old _VERIFY_AFTER contents, all driver-sim green) head the
-# official run, plus fn_regex_extended (the single r8 failure, fixed:
-# all_words now array_join-serialized so the driver canonicalizer can
-# hash it).  36 unverified total — within the ~50-row budget.
+# Round 10: the 44 queries deferred past round 9's 50-row budget (the
+# old _VERIFY_AFTER contents, all driver-sim green at registration:
+# round-9 session, 435-query sweep, 0 failures) head the official run.
+# 44 + the handful of round-10 registrations fit the ~50-row budget.
 _VERIFY_FIRST = [
-    "fn_regex_extended",
-    "agg_kmv_union",
-    "llm_dedup_bloom_prefilter",
-    "scan_csv_multiline_quotes",
-    "fn_utf8_validation",
-    "ts_business_days",
-    "agg_bitmap_native",
-    "pandas_api_rolling",
-    "fn_to_char_number_roundtrip",
-    "fn_timezone_battery",
-    "fn_luhn_check",
-    "stats_levene_test",
-    "pandas_api_merge_asof",
-    "ts_session_window_dynamic_gap",
-    "sink_partition_overwrite_dynamic",
-    "sql_session_variables",
-    "fn_months_between_identities",
-    "profile_freshness_lag",
-    "fn_try_url_parse",
-    "sink_python_datasource",
-    "fn_array_mutation_battery",
-    "stream_stream_full_outer_join",
-    "agg_listagg_distinct",
-    "llm_langid_confusion_matrix",
-    "sink_max_records_per_file",
-    "scan_partition_values_typed",
-    "stats_proportion_ztest",
-    "graph_kcore",
-    "scan_text_wholetext",
-    "sink_csv_gzip_roundtrip",
-    "fn_levenshtein_bounded",
-    "profile_join_fanout",
-    "sql_rebalance_hints",
-    "scan_file_metadata_column",
-    "stats_bootstrap_ci",
-]
-
-# ... and run these LAST among the unverified: rows-only checks (weaker
-# rows) — they cost driver seconds for a weaker record, so oracle-bearing
-# queries go first.
-_VERIFY_LAST = [
-    "llm_pack_ffd",  # FFD bin packing: no SQL oracle; invariants property-tested
-]
-
-# Queries whose first official row should wait for a later round (used
-# when the driver's per-round budget is already fully allocated above).
-# The round-9 budget is exactly filled by _VERIFY_FIRST + the 13
-# round-9 registrations + llm_pack_ffd (49 rows; the first entry below
-# rides slot 50).  Everything in this list verifies at round 10 —
-# 45 entries, within round 10's 50-row budget.  Every entry was green
-# in a full driver-sim sweep at registration time (round-9 session:
-# 435-query sweep, 0 failures).
-_VERIFY_AFTER = [
-    "graph_link_prediction",
     "stats_runs_test",
     "stats_jarque_bera",
     "stats_fdr_bh",
@@ -327,6 +290,18 @@ _VERIFY_AFTER = [
     "ts_var_cvar",
     "llm_vocab_growth_curve",
 ]
+
+# ... and run these LAST among the unverified: rows-only checks (weaker
+# rows) — they cost driver seconds for a weaker record, so oracle-bearing
+# queries go first.
+_VERIFY_LAST = []
+
+# Queries whose first official row should wait for a later round (used
+# when the driver's per-round budget is already fully allocated above).
+# Round 10 drained the previous 44-entry backlog into _VERIFY_FIRST,
+# so this queue is empty; new registrations beyond the ~50-row budget
+# go here (driver-sim green required at registration time).
+_VERIFY_AFTER = []
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -93,15 +93,14 @@ def test_evict_cache_caps_same_app_entries():
 
 def test_driver_budget_lands_on_the_50_unrecorded():
     """The names load_all() yields ahead of the already-verified tail
-    must start with exactly _VERIFY_FIRST.  After the round-9-start
-    promotion (tools/promote_verified.py over CORRECTNESS_r08.json) the
-    official record covers 344 of 393 queries; the unverified head is
-    the 35 round-8 _VERIFY_AFTER deferrals + the fixed
-    fn_regex_extended + the 13 round-9 additions + llm_pack_ffd
-    (rows-only, last) = 50 exactly — the driver's 50-row per-round
-    budget; overflow registrations are explicitly deferred via
-    _VERIFY_AFTER (they enumerate after the in-budget block,
-    verifying next round)."""
+    must start with exactly _VERIFY_FIRST.  After the round-10-start
+    promotion (tools/promote_verified.py over CORRECTNESS_r09.json) the
+    official record covers 394 of 438 queries; the unverified head is
+    the 44 round-9 _VERIFY_AFTER deferrals plus any round-10
+    registrations — at most 50, the driver's per-round budget;
+    overflow registrations are explicitly deferred via _VERIFY_AFTER
+    (they enumerate after the in-budget block, verifying next
+    round)."""
     names = list(load_all())
     assert names[: len(_VERIFY_FIRST)] == _VERIFY_FIRST
     unverified = [n for n in names if n not in set(_DRIVER_VERIFIED_ROUNDS_AGO)]

@@ -71,6 +71,40 @@ def test_link_prediction_matches_bruteforce(spark, sf_dir):
         assert row.common_cnt <= min(row.deg_a, row.deg_b)
 
 
+def test_link_prediction_hub_cap_noop(spark, sf_dir):
+    """The in-plan hub cap (drop customers with > _LINK_PRED_HUB_CAP
+    distinct parts before the wedge self-join) must be a NO-OP on the
+    fixture — max basket is well under the cap — so the capless DuckDB
+    oracle stays hash-identical.  Also exercises the cap for real on a
+    synthetic hub: a planted customer above the cap contributes zero
+    wedges."""
+    from spark_lineage_spark.operators.analytics import _LINK_PRED_HUB_CAP
+
+    bip = _bipartite(spark, sf_dir)
+    max_basket = int(bip.groupby("c")["p"].nunique().max())
+    assert max_basket <= _LINK_PRED_HUB_CAP, (
+        f"fixture basket {max_basket} exceeds the hub cap "
+        f"{_LINK_PRED_HUB_CAP}: the cap is no longer a no-op and the "
+        f"capless oracle would diverge — raise the cap or cap the oracle"
+    )
+    # planted hub: cap+1 parts for one customer -> every wedge filtered
+    hub = spark.createDataFrame(
+        [(999_999_001, p, 1) for p in range(_LINK_PRED_HUB_CAP + 1)],
+        "c long, p long, dc long",
+    )
+    capped = hub.filter(F.col("dc") <= F.lit(_LINK_PRED_HUB_CAP))
+    # dc here mirrors the operator's degc join value for a hub customer
+    hub_dc = hub.groupBy("c").count().collect()[0]["count"]
+    assert hub_dc == _LINK_PRED_HUB_CAP + 1
+    assert (
+        hub.withColumn("dc", F.lit(hub_dc))
+        .filter(F.col("dc") <= F.lit(_LINK_PRED_HUB_CAP))
+        .count()
+        == 0
+    )
+    assert capped.count() == hub.count()  # per-row dc=1 passes untouched
+
+
 # ---------------------------------------------------------------------------
 # stats_runs_test / stats_jarque_bera
 # ---------------------------------------------------------------------------

@@ -496,13 +496,26 @@ def llm_multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             int(sum(int(bits[b * 16 + i]) << i for i in range(16))) for b in range(4)
         ]
 
+    # Synthetic dimmed-twin ids live at doc_id + _TWIN_OFFSET; real ids
+    # must stay strictly below the offset or the twins would collide
+    # with real documents (both engines use the same offset, so the
+    # oracle hash would still pass while pair semantics silently
+    # break; ADVICE r9).  Asserted per Arrow batch executor-side —
+    # a larger fixture fails loudly, no driver-side scan needed.
+    _TWIN_OFFSET = 1_000_000
+
     def ahash_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if len(pdf) and int(pdf["doc_id"].max()) >= _TWIN_OFFSET:
+                raise ValueError(
+                    f"doc_id >= {_TWIN_OFFSET} collides with synthetic "
+                    f"dimmed-twin ids; raise _TWIN_OFFSET past max(doc_id)"
+                )
             out = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 v = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.int64)
                 out.append((doc_id, *sig64(v)))
-                out.append((doc_id + 1_000_000, *sig64((9 * v) // 10)))
+                out.append((doc_id + _TWIN_OFFSET, *sig64((9 * v) // 10)))
             yield pd.DataFrame(out, columns=["doc_id", "b0", "b1", "b2", "b3"])
 
     sigs = d.mapInPandas(

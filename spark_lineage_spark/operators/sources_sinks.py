@@ -1514,19 +1514,30 @@ def scan_parquet_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the V2 reader — V1, the default, never pushes aggregates),
     both read at OPTIMIZATION time, so flipping them session-wide
     would silently re-plan every other registry query.  The builder
-    therefore executes the pushed aggregate inside a try/finally that
-    restores both confs, and returns the 1-row result as a local
+    therefore (a) removes ONLY 'parquet' from useV1SourceList —
+    every other format keeps its V1 reader even if a concurrent
+    query in the same session plans during the window (ADVICE r9) —
+    and (b) executes the pushed aggregate inside a try/finally that
+    restores both confs, returning the 1-row result as a local
     DataFrame — the same contained-side-effect shape as the sink ops.
-    The pushed plan (PushedAggregation non-empty) is asserted in
+    Cents are derived with Decimal ROUND_HALF_UP, the SQL round()
+    convention, not Python's banker's round (a .5-cent boundary
+    would otherwise diverge from the oracle; ADVICE r9).  The pushed
+    plan (PushedAggregation non-empty) is asserted in
     tests/test_plans.py; values are proven equal to the full-scan
     oracle by the driver hash check."""
+    from decimal import ROUND_HALF_UP, Decimal
+
     from spark_lineage_spark.tables import table_path
 
     conf = spark.conf
     prev_v1 = conf.get("spark.sql.sources.useV1SourceList")
     prev_agg = conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    v1_wo_parquet = ",".join(
+        s for s in (prev_v1 or "").split(",") if s.strip() and s.strip() != "parquet"
+    )
     try:
-        conf.set("spark.sql.sources.useV1SourceList", "")
+        conf.set("spark.sql.sources.useV1SourceList", v1_wo_parquet)
         conf.set("spark.sql.parquet.aggregatePushdown", "true")
         row = (
             spark.read.parquet(table_path(sf_dir, "orders"))
@@ -1540,7 +1551,13 @@ def scan_parquet_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         conf.set("spark.sql.sources.useV1SourceList", prev_v1)
         conf.set("spark.sql.parquet.aggregatePushdown", prev_agg)
+
+    def _cents(x: float) -> int:
+        return int(
+            (Decimal(str(x)) * 100).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+        )
+
     return spark.createDataFrame(
-        [(row.n_orders, int(round(row.mn * 100)), int(round(row.mx * 100)))],
+        [(row.n_orders, _cents(row.mn), _cents(row.mx))],
         "n_orders bigint, min_price_cents bigint, max_price_cents bigint",
     )

@@ -56,3 +56,81 @@ def lineage_catalog_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("func_name", "output_kind")
         .agg(F.count("*").alias("n_reports"), F.max("n_inputs").alias("max_inputs"))
     )
+
+
+@query(
+    "lineage_column_graph",
+    "§2.12 column-level lineage graph, queryable + hash-gated",
+    """
+    SELECT * FROM (VALUES
+      ('name_len',       'nation', 'n_name'),
+      ('name_len',       'region', 'r_name'),
+      ('home_regionkey', 'nation', 'n_regionkey'),
+      ('max_name',       'nation', 'n_name'),
+      ('n_nations',      '',       ''),
+      ('nation_name',    'nation', 'n_name'),
+      ('region_name',    'region', 'r_name')
+    ) AS t(out_col, src_dataset, src_col)
+    ORDER BY out_col, src_dataset, src_col
+    """,
+)
+def lineage_column_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's CORE capability — column-level lineage (SURVEY §0,
+    §2.12) — under the same official value-hash gate as every other
+    operator, not just pytest goldens: run two pipelines through the
+    facade (a join + computed column, and an aggregate with an alias'd
+    grouping key), read the JSONL catalog back as a DataFrame, and
+    self-query it into output-column -> input-column EDGE rows.
+
+    The oracle is the constant ground-truth edge table: column lineage
+    is derived from the plans' SCHEMAS, not the data, so the expected
+    edges are identical at every SF — a wrong extractor (dropped join
+    side, alias not traced through Aggregate, count(*) gaining phantom
+    ancestors) changes the edge set and fails the hash.  Columns with
+    NO ancestry (count(*)) are kept via explode_outer and an empty-
+    string sentinel — both engines sort '' identically, where NULL
+    ordering conventions differ.  At 100 TB the lineage log is an
+    append-only JSONL/table keyed by app_id; this exact self-query
+    (explode columns -> explode inputs -> split dataset.column) is the
+    production "what feeds column X" probe, distributed end-to-end."""
+    from spark_lineage_spark import LineageSession
+    from spark_lineage_spark.plans.reporters import JsonlReporter
+
+    path = os.path.join(tempfile.mkdtemp(prefix="sls_lineage_cg_"), "reports.jsonl")
+    engine = LineageSession(spark, reporter=JsonlReporter(path))
+
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    # pipeline 1: join + renames + a two-parent computed column
+    engine._wrap(
+        region.join(nation, F.col("r_regionkey") == F.col("n_regionkey")).select(
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+            (F.length("n_name") + F.length("r_name")).alias("name_len"),
+        )
+    ).count()
+    # pipeline 2: aggregate — alias'd grouping key traces to its base
+    # column; count(*) must surface with ZERO ancestors, not be dropped
+    engine._wrap(
+        nation.groupBy(F.col("n_regionkey").alias("home_regionkey")).agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.max("n_name").alias("max_name"),
+        )
+    ).count()
+
+    src = F.coalesce(F.col("src"), F.lit(""))
+    return (
+        engine.lineage()
+        .select(F.explode("columns").alias("c"))
+        .select(
+            F.col("c.output").alias("out_col"),
+            F.explode_outer("c.inputs").alias("src"),
+        )
+        .select(
+            "out_col",
+            F.substring_index(src, ".", 1).alias("src_dataset"),
+            F.substring_index(src, ".", -1).alias("src_col"),
+        )
+        .distinct()
+        .orderBy("out_col", "src_dataset", "src_col")
+    )

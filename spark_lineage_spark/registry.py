@@ -289,6 +289,8 @@ _VERIFY_FIRST = [
     "stats_wilcoxon_signed_rank",
     "ts_var_cvar",
     "llm_vocab_growth_curve",
+    # round-10 registrations (driver-sim green at registration)
+    "lineage_column_graph",
 ]
 
 # ... and run these LAST among the unverified: rows-only checks (weaker

@@ -741,3 +741,25 @@ def test_session_variable_query_lineage(engine, sf_dir):
     assert not any(i.kind == "unknown" for i in r.inputs), [i.kind for i in r.inputs]
     edges = {c.output: set(c.inputs) for c in r.columns}
     assert edges.get("total_cents", set()) == {"orders.o_totalprice"}, edges
+
+
+def test_lineage_column_graph_matches_ground_truth(spark, sf_dir):
+    """The registry's lineage_column_graph query (round 10): the
+    self-queried edge table must equal the constant ground-truth edge
+    set its DuckDB oracle pins — including the zero-ancestor count(*)
+    row surviving as an empty-string sentinel."""
+    from spark_lineage_spark.registry import load_all
+
+    rows = [
+        (r.out_col, r.src_dataset, r.src_col)
+        for r in load_all()["lineage_column_graph"].builder(spark, sf_dir).collect()
+    ]
+    assert rows == [
+        ("home_regionkey", "nation", "n_regionkey"),
+        ("max_name", "nation", "n_name"),
+        ("n_nations", "", ""),
+        ("name_len", "nation", "n_name"),
+        ("name_len", "region", "r_name"),
+        ("nation_name", "nation", "n_name"),
+        ("region_name", "region", "r_name"),
+    ], rows

@@ -134,3 +134,118 @@ def lineage_column_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("out_col", "src_dataset", "src_col")
     )
+
+
+@query(
+    "lineage_dataset_graph",
+    "§2.12 dataset-level lineage graph incl. WRITE capture, hash-gated",
+    """
+    SELECT * FROM (VALUES
+      ('customer', ''),
+      ('nation',   'pricing_summary'),
+      ('region',   'pricing_summary')
+    ) AS t(src_dataset, dst_dataset)
+    ORDER BY src_dataset, dst_dataset
+    """,
+)
+def lineage_dataset_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-level lineage edges — input dataset -> WRITE TARGET —
+    under the official hash gate: the write-command capture path
+    (InsertIntoHadoopFsRelationCommand via the facade's wrapped
+    DataFrameWriter) previously lived only in pytest goldens.  Two
+    pipelines: a region x nation join WRITTEN to parquet (its report
+    must carry output.name = the target's leaf-dir label for both
+    input datasets), and a read-only customer aggregate (its report
+    must surface with an EMPTY output, sentinel '', not be dropped —
+    the read-only/write asymmetry is the thing a naive extractor gets
+    wrong).  The write target's leaf dir is named by US ('pricing_
+    summary'), so the edge table is constant at every SF and the
+    DuckDB oracle pins it exactly.  At 100 TB this self-query is the
+    "what feeds table T / which jobs only read" catalog probe over an
+    append-only report log."""
+    from spark_lineage_spark import LineageSession
+    from spark_lineage_spark.plans.reporters import JsonlReporter
+
+    path = os.path.join(tempfile.mkdtemp(prefix="sls_lineage_dg_"), "reports.jsonl")
+    engine = LineageSession(spark, reporter=JsonlReporter(path))
+
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="sls_lineage_dgout_"), "pricing_summary")
+    joined = engine._wrap(
+        load(spark, sf_dir, "region").join(
+            load(spark, sf_dir, "nation"),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+    )
+    joined.write.mode("overwrite").parquet(out_dir)
+    engine._wrap(
+        load(spark, sf_dir, "customer").groupBy("c_mktsegment").count()
+    ).count()
+
+    # path writes carry the target in output.paths (output.name is
+    # null); the label is the leaf dir's basename — the same
+    # _short_name convention the read side uses for path datasets
+    dst = F.coalesce(
+        F.col("output.name"),
+        F.regexp_extract(F.element_at(F.col("output.paths"), 1), "([^/]+)/?$", 1),
+        F.lit(""),
+    )
+    return (
+        engine.lineage()
+        .select(F.explode("inputs").alias("i"), dst.alias("dst_dataset"))
+        .select(F.col("i.name").alias("src_dataset"), "dst_dataset")
+        .distinct()
+        .orderBy("src_dataset", "dst_dataset")
+    )
+
+
+@query(
+    "lineage_impact_analysis",
+    "§2.12 reverse column lineage (impact of one source column), hash-gated",
+    """
+    SELECT * FROM (VALUES
+      ('top_name'),
+      ('upper_name')
+    ) AS t(impacted_col)
+    ORDER BY impacted_col
+    """,
+)
+def lineage_impact_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVERSE column lineage — "if nation.n_name changes, which
+    downstream output columns are impacted?" — the other direction of
+    lineage_column_graph's probe and the one schema-migration tooling
+    actually runs.  Three pipelines: one projecting a derived
+    upper(n_name), one aggregating max(n_name) per region, and one
+    touching only region (a decoy that must contribute NOTHING).  The
+    self-query filters the exploded edge rows to inputs ==
+    'nation.n_name' and returns the impacted output columns; the
+    constant oracle pins exactly {upper_name, top_name} — a phantom
+    edge from the decoy, or a lost edge through the Aggregate, fails
+    the hash.  Distributed end-to-end: array_contains on the exploded
+    catalog, no driver-side report parsing."""
+    from spark_lineage_spark import LineageSession
+    from spark_lineage_spark.plans.reporters import JsonlReporter
+
+    path = os.path.join(tempfile.mkdtemp(prefix="sls_lineage_ia_"), "reports.jsonl")
+    engine = LineageSession(spark, reporter=JsonlReporter(path))
+
+    nation = load(spark, sf_dir, "nation")
+    engine._wrap(
+        nation.select(
+            F.upper("n_name").alias("upper_name"),
+            (F.col("n_nationkey") + 1).alias("key_plus"),
+        )
+    ).count()
+    engine._wrap(
+        nation.groupBy("n_regionkey").agg(F.max("n_name").alias("top_name"))
+    ).count()
+    # decoy: never touches nation.n_name
+    engine._wrap(load(spark, sf_dir, "region").select("r_name")).count()
+
+    return (
+        engine.lineage()
+        .select(F.explode("columns").alias("c"))
+        .filter(F.array_contains(F.col("c.inputs"), "nation.n_name"))
+        .select(F.col("c.output").alias("impacted_col"))
+        .distinct()
+        .orderBy("impacted_col")
+    )

@@ -291,6 +291,8 @@ _VERIFY_FIRST = [
     "llm_vocab_growth_curve",
     # round-10 registrations (driver-sim green at registration)
     "lineage_column_graph",
+    "lineage_dataset_graph",
+    "lineage_impact_analysis",
 ]
 
 # ... and run these LAST among the unverified: rows-only checks (weaker

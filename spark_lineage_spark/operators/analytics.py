@@ -3222,13 +3222,33 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = bip.select(F.col("c"), F.col("p").alias("pb"))
     wed = a.join(b, "c").filter(F.col("pa") < F.col("pb"))
-    pairs = wed.groupBy("pa", "pb").agg(
+    # pack the pair key into ONE long (pa << 32 | pb): the 4M-group
+    # hash aggregate is the query's hot spot (nearly every pair is
+    # unique, so partial agg can't reduce), and a single 8-byte key
+    # measurably halves it vs a two-column key (13.5s -> 4-8s at
+    # sf0.1).  Precondition: partkey < 2^32 (TPC-H partkeys are dense
+    # ints — 2e8 even at SF1000); k's lexicographic order equals
+    # (pa, pb) order for non-negative ids, so the tie-break is
+    # unchanged.
+    wed_k = wed.select(
+        (F.shiftleft(F.col("pa").cast("long"), 32) + F.col("pb")).alias("k"), "dc"
+    )
+    pairs = wed_k.groupBy("k").agg(
         F.count(F.lit(1)).cast("bigint").alias("common_cnt"),
         F.round(F.sum(F.lit(1.0) / F.log(F.col("dc"))), 6).alias("adamic_adar"),
     )
-    # the ranking key (common_cnt, pa, pb) needs no degrees — cut to 20
+    # the ranking key (common_cnt, k) needs no degrees — cut to 20
     # rows FIRST (TakeOrdered, distributed), then degree-join 20 rows
-    top = pairs.orderBy(F.desc("common_cnt"), "pa", "pb").limit(20)
+    top = (
+        pairs.orderBy(F.desc("common_cnt"), "k")
+        .limit(20)
+        .select(
+            F.shiftrightunsigned("k", 32).alias("pa"),
+            F.col("k").bitwiseAND(F.lit((1 << 32) - 1)).alias("pb"),
+            "common_cnt",
+            "adamic_adar",
+        )
+    )
     res = (
         top.join(F.broadcast(degp.withColumnRenamed("p", "pa").withColumnRenamed("dp", "deg_a")), "pa")
         .join(F.broadcast(degp.withColumnRenamed("p", "pb").withColumnRenamed("dp", "deg_b")), "pb")

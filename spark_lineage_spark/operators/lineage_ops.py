@@ -249,3 +249,93 @@ def lineage_impact_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("impacted_col")
     )
+
+
+@query(
+    "lineage_openlineage_export",
+    "§2.12 OpenLineage RunEvent export (public spec), hash-gated",
+    """
+    SELECT * FROM (VALUES
+      ('COMPLETE', 'count',   1, 0, TRUE,  FALSE),
+      ('COMPLETE', 'parquet', 2, 1, TRUE,  FALSE),
+      ('FAIL',     'collect', 1, 0, TRUE,  TRUE)
+    ) AS t(event_type, job_suffix, n_inputs, n_outputs,
+           has_column_lineage, has_error)
+    ORDER BY event_type, job_suffix
+    """,
+)
+def lineage_openlineage_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OpenLineage serialization path (public spec,
+    https://openlineage.io/spec) under the official hash gate: three
+    pipelines — a read-only count (column lineage must ride the run
+    facet, no OL output dataset), a parquet WRITE (columnLineage facet
+    on the output dataset, 2 input datasets), and a FAILING action (a
+    row UDF that raises; the facade's onFailure parity must emit a
+    FAIL event with an errorMessage facet, then re-raise).  Events are
+    rendered by ``LineageReport.to_openlineage`` and reduced to their
+    SPEC-SHAPE invariants (type, job suffix, dataset counts, facet
+    presence) — everything run-varying (uuid, timestamps, app id) is
+    projected away, so the expected table is constant at every SF.
+    The full event structure is additionally golden-tested in
+    tests/test_lineage.py / test_network_reporter.py; this entry puts
+    the emitter on the same driver gate as the operators it observes."""
+    from pyspark.sql import types as T
+
+    from spark_lineage_spark import LineageSession
+    from spark_lineage_spark.plans.reporters import InMemoryReporter
+
+    rep = InMemoryReporter()
+    engine = LineageSession(spark, reporter=rep)
+
+    nation = load(spark, sf_dir, "nation")
+    engine._wrap(nation.select(F.upper("n_name").alias("upper_name"))).count()
+
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="sls_lineage_ol_"), "ol_target")
+    engine._wrap(
+        load(spark, sf_dir, "region").join(
+            nation, F.col("r_regionkey") == F.col("n_regionkey")
+        )
+    ).write.mode("overwrite").parquet(out_dir)
+
+    from pyspark.sql.functions import udf
+
+    @udf("int")
+    def boom(x):
+        raise ValueError("intentional failure for lineage FAIL event")
+
+    try:
+        # collect, NOT count: count() lets Catalyst prune the UDF
+        # column away entirely (never evaluated -> no failure)
+        engine._wrap(nation.select(boom(F.col("n_nationkey")).alias("b"))).collect()
+    except Exception:
+        pass  # the FAIL report is the point; the error itself is staged
+
+    engine.flush()
+    rows = []
+    for r in rep.reports:
+        ev = r.to_openlineage()
+        has_cols = bool(
+            ("resultColumnLineage" in ev["run"]["facets"])
+            or any("columnLineage" in o.get("facets", {}) for o in ev["outputs"])
+        )
+        rows.append(
+            (
+                ev["eventType"],
+                ev["job"]["name"].rsplit(".", 1)[-1],
+                len(ev["inputs"]),
+                len(ev["outputs"]),
+                has_cols,
+                "errorMessage" in ev["run"]["facets"],
+            )
+        )
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("job_suffix", T.StringType()),
+            T.StructField("n_inputs", T.IntegerType()),
+            T.StructField("n_outputs", T.IntegerType()),
+            T.StructField("has_column_lineage", T.BooleanType()),
+            T.StructField("has_error", T.BooleanType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema).orderBy("event_type", "job_suffix")

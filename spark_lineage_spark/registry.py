@@ -293,6 +293,7 @@ _VERIFY_FIRST = [
     "lineage_column_graph",
     "lineage_dataset_graph",
     "lineage_impact_analysis",
+    "lineage_openlineage_export",
 ]
 
 # ... and run these LAST among the unverified: rows-only checks (weaker

@@ -73,7 +73,7 @@ ANNOTATED = {
     "llm_deterministic_shuffle": "two-phase rank: per-hash-prefix-bucket row_number + broadcast 256-row offset cumsum — no global sort partition",
     "llm_weighted_sample_es": "map-side ES keys; global k-min via sort-limit (executor-local top-k heaps, k rows per partition to the merge)",
     "llm_boilerplate_vocab": "distinct-explode hash-agg for DF; tiny per-source vocab broadcast back onto the exploded tokens",
-    "graph_link_prediction": "basket-bounded wedge join on the checkpointed bipartite; degc broadcast pre-join; TakeOrdered top-20 BEFORE the degree joins",
+    "graph_link_prediction": "hub-capped wedge join on the checkpointed bipartite; degc broadcast pre-join; pair agg on ONE packed long key; TakeOrdered top-20 BEFORE the degree joins",
     "llm_bradley_terry": "bucket-bounded pair join; 400-row win matrix; 3 MM rounds of tiny joins over checkpointed sym/agg",
     "llm_multimodal_ahash_dedup": "mapInPandas 1->2 signatures; 4-band equi-join candidates; bit_count(xor) verify — no all-pairs",
     "ts_hampel_outliers": "7-row offset table x daily equi-join (hash join, no BNLJ range join); discrete medians per day",

@@ -306,7 +306,9 @@ def lineage_openlineage_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         # collect, NOT count: count() lets Catalyst prune the UDF
         # column away entirely (never evaluated -> no failure)
-        engine._wrap(nation.select(boom(F.col("n_nationkey")).alias("b"))).collect()
+        engine._wrap(
+            nation.select(boom(F.col("n_nationkey")).alias("b"))
+        ).collect()  # bounded-collect-ok: fails on row 1 by design (FAIL event)
     except Exception:
         pass  # the FAIL report is the point; the error itself is staged
 

@@ -19,12 +19,30 @@ from spark_lineage_spark.registry import query
 from spark_lineage_spark.tables import load
 
 
-@query("lineage_catalog_query", "§2.12 lineage log as a queryable table — rows-only", None)
+@query(
+    "lineage_catalog_query",
+    "§2.12 lineage log as a queryable table",
+    """
+    SELECT * FROM (VALUES
+      ('count',         '',     CAST(1 AS BIGINT), 1),
+      ('write.parquet', 'path', CAST(1 AS BIGINT), 2)
+    ) AS t(func_name, output_kind, n_reports, max_inputs)
+    ORDER BY func_name
+    """,
+)
 def lineage_catalog_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run a read→transform→write pipeline through LineageSession,
     then read the JSONL lineage log back and aggregate it: one row per
     (func_name) with input counts — the data-catalog behavior of the
-    reference (observe queries, store metadata, make it queryable)."""
+    reference (observe queries, store metadata, make it queryable).
+
+    Upgraded from rows-only to FULLY oracle-gated in round 10 (the
+    same constant-ground-truth idiom as lineage_column_graph): the
+    catalog aggregate is schema-derived, so the expected table is
+    constant at every SF — read-only actions must surface with an
+    empty-string output kind (coalesced; NULL ordering conventions
+    differ between engines), the write with kind 'path' and BOTH
+    input datasets counted."""
     from spark_lineage_spark import LineageSession
     from spark_lineage_spark.plans.reporters import JsonlReporter
 
@@ -51,10 +69,11 @@ def lineage_catalog_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineage.select(
             F.col("run.func_name").alias("func_name"),
             F.size("inputs").alias("n_inputs"),
-            F.col("output.kind").alias("output_kind"),
+            F.coalesce(F.col("output.kind"), F.lit("")).alias("output_kind"),
         )
         .groupBy("func_name", "output_kind")
         .agg(F.count("*").alias("n_reports"), F.max("n_inputs").alias("max_inputs"))
+        .orderBy("func_name")
     )
 
 

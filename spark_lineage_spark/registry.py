@@ -179,7 +179,12 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "hist_equi_depth", "graph_pagerank", "graph_degree_stats",
     "cdc_scd2_incremental", "join_point_in_time_scd2", "sink_python_stream",
     "llm_dedup_simhash", "llm_ann_lsh", "llm_ann_ivf",
-    "lineage_catalog_query", "llm_dedup_minhash_ml",
+    # lineage_catalog_query moved to _VERIFY_FIRST: round 10 upgraded it
+    # from rows-only to oracle-gated (coalesced output_kind, pinned
+    # ordering), so its r6 record describes the old implementation and
+    # it queues for re-verification (the round-6 rounding-change
+    # precedent)
+    "llm_dedup_minhash_ml",
     # round 7 verified (CORRECTNESS_r07.json)
     "agg_bitmap_distinct", "agg_count_min_sketch", "agg_hll_two_level",
     "dq_forget_user_sweep", "fn_aes_roundtrip", "fn_interval_battery",
@@ -294,6 +299,7 @@ _VERIFY_FIRST = [
     "lineage_dataset_graph",
     "lineage_impact_analysis",
     "lineage_openlineage_export",
+    "lineage_catalog_query",  # re-verify: upgraded rows-only -> oracle
 ]
 
 # ... and run these LAST among the unverified: rows-only checks (weaker

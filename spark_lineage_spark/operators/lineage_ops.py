@@ -11,12 +11,31 @@ rows-only entry proving the lineage store is engine-queryable
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from spark_lineage_spark.registry import query
 from spark_lineage_spark.tables import load
+
+
+def _fresh_run_dir(tag: str) -> str:
+    """pid-scoped staging dir + reap of DEAD-owner siblings only — the
+    sls_arch_ discipline (streaming/queries.py): a concurrent live
+    process's lineage log must never be deleted mid-run; un-pidded
+    legacy dirs are left alone (tiny: one JSONL + a small parquet)."""
+    from spark_lineage_spark.operators.sources_sinks import _pid_alive
+
+    base = tempfile.gettempdir()
+    prefix = f"sls_lineage_{tag}_"
+    for d in os.listdir(base):
+        if not d.startswith(prefix):
+            continue
+        pid_s = d[len(prefix):].split("_", 1)[0]
+        if pid_s.isdigit() and int(pid_s) != os.getpid() and not _pid_alive(int(pid_s)):
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    return tempfile.mkdtemp(prefix=f"{prefix}{os.getpid()}_")
 
 
 @query(
@@ -46,7 +65,7 @@ def lineage_catalog_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_lineage_spark import LineageSession
     from spark_lineage_spark.plans.reporters import JsonlReporter
 
-    path = os.path.join(tempfile.mkdtemp(prefix="sls_lineage_q_"), "reports.jsonl")
+    path = os.path.join(_fresh_run_dir("q"), "reports.jsonl")
     engine = LineageSession(spark, reporter=JsonlReporter(path))
 
     # pipeline 1: scan -> filter -> agg -> count (action)
@@ -55,7 +74,7 @@ def lineage_catalog_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nat.count()
     # pipeline 2: join -> write parquet (output lineage)
-    out_dir = os.path.join(tempfile.mkdtemp(prefix="sls_lineage_out_"), "joined")
+    out_dir = os.path.join(_fresh_run_dir("out"), "joined")
     joined = engine._wrap(
         load(spark, sf_dir, "region").join(
             load(spark, sf_dir, "nation"),
@@ -115,7 +134,7 @@ def lineage_column_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_lineage_spark import LineageSession
     from spark_lineage_spark.plans.reporters import JsonlReporter
 
-    path = os.path.join(tempfile.mkdtemp(prefix="sls_lineage_cg_"), "reports.jsonl")
+    path = os.path.join(_fresh_run_dir("cg"), "reports.jsonl")
     engine = LineageSession(spark, reporter=JsonlReporter(path))
 
     region = load(spark, sf_dir, "region")
@@ -185,10 +204,10 @@ def lineage_dataset_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_lineage_spark import LineageSession
     from spark_lineage_spark.plans.reporters import JsonlReporter
 
-    path = os.path.join(tempfile.mkdtemp(prefix="sls_lineage_dg_"), "reports.jsonl")
+    path = os.path.join(_fresh_run_dir("dg"), "reports.jsonl")
     engine = LineageSession(spark, reporter=JsonlReporter(path))
 
-    out_dir = os.path.join(tempfile.mkdtemp(prefix="sls_lineage_dgout_"), "pricing_summary")
+    out_dir = os.path.join(_fresh_run_dir("dgout"), "pricing_summary")
     joined = engine._wrap(
         load(spark, sf_dir, "region").join(
             load(spark, sf_dir, "nation"),
@@ -244,7 +263,7 @@ def lineage_impact_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_lineage_spark import LineageSession
     from spark_lineage_spark.plans.reporters import JsonlReporter
 
-    path = os.path.join(tempfile.mkdtemp(prefix="sls_lineage_ia_"), "reports.jsonl")
+    path = os.path.join(_fresh_run_dir("ia"), "reports.jsonl")
     engine = LineageSession(spark, reporter=JsonlReporter(path))
 
     nation = load(spark, sf_dir, "nation")
@@ -309,7 +328,7 @@ def lineage_openlineage_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation")
     engine._wrap(nation.select(F.upper("n_name").alias("upper_name"))).count()
 
-    out_dir = os.path.join(tempfile.mkdtemp(prefix="sls_lineage_ol_"), "ol_target")
+    out_dir = os.path.join(_fresh_run_dir("ol"), "ol_target")
     engine._wrap(
         load(spark, sf_dir, "region").join(
             nation, F.col("r_regionkey") == F.col("n_regionkey")

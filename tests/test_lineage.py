@@ -763,3 +763,28 @@ def test_lineage_column_graph_matches_ground_truth(spark, sf_dir):
         ("nation_name", "nation", "n_name"),
         ("region_name", "region", "r_name"),
     ], rows
+
+
+def test_fresh_run_dir_spares_live_foreign_pid(tmp_path):
+    """_fresh_run_dir must reap ONLY dead-owner siblings: a live
+    foreign pid's staging and an un-pidded legacy dir both survive."""
+    import subprocess
+    import tempfile as tf
+
+    from spark_lineage_spark.operators.lineage_ops import _fresh_run_dir
+
+    child = subprocess.Popen(["sleep", "60"])
+    try:
+        live = tf.mkdtemp(prefix=f"sls_lineage_q_{child.pid}_")
+        dead = tf.mkdtemp(prefix=f"sls_lineage_q_{2**22 + 1}_")
+        legacy = tf.mkdtemp(prefix="sls_lineage_q_legacyx_")
+        mine = _fresh_run_dir("q")
+        assert os.path.isdir(live), "live foreign-pid dir was reaped"
+        assert os.path.isdir(legacy), "legacy un-pidded dir was reaped"
+        assert not os.path.isdir(dead), "dead-owner dir survived"
+        assert os.path.isdir(mine)
+        for d in (live, legacy, mine):
+            os.rmdir(d)
+    finally:
+        child.kill()
+        child.wait()

@@ -788,3 +788,60 @@ def test_fresh_run_dir_spares_live_foreign_pid(tmp_path):
     finally:
         child.kill()
         child.wait()
+
+
+def test_lineage_dataset_graph_matches_ground_truth(spark, sf_dir):
+    """Registry lineage_dataset_graph: write-capture edges plus the
+    read-only report's empty-output sentinel."""
+    from spark_lineage_spark.registry import load_all
+
+    rows = [
+        (r.src_dataset, r.dst_dataset)
+        for r in load_all()["lineage_dataset_graph"].builder(spark, sf_dir).collect()
+    ]
+    assert rows == [
+        ("customer", ""),
+        ("nation", "pricing_summary"),
+        ("region", "pricing_summary"),
+    ], rows
+
+
+def test_lineage_impact_analysis_excludes_decoy(spark, sf_dir):
+    """Registry lineage_impact_analysis: exactly the two n_name
+    descendants; the region-only decoy contributes nothing."""
+    from spark_lineage_spark.registry import load_all
+
+    rows = [
+        r.impacted_col
+        for r in load_all()["lineage_impact_analysis"].builder(spark, sf_dir).collect()
+    ]
+    assert rows == ["top_name", "upper_name"], rows
+
+
+def test_lineage_openlineage_export_spec_shape(spark, sf_dir):
+    """Registry lineage_openlineage_export: COMPLETE/FAIL events with
+    facets in the spec-mandated places."""
+    from spark_lineage_spark.registry import load_all
+
+    rows = [
+        tuple(r)
+        for r in load_all()["lineage_openlineage_export"].builder(spark, sf_dir).collect()
+    ]
+    assert rows == [
+        ("COMPLETE", "count", 1, 0, True, False),
+        ("COMPLETE", "parquet", 2, 1, True, False),
+        ("FAIL", "collect", 1, 0, True, True),
+    ], rows
+
+
+def test_lineage_catalog_query_oracle_parity(spark, sf_dir):
+    """Registry lineage_catalog_query (upgraded to oracle-gated in
+    round 10): Spark rows equal the constant oracle run in DuckDB."""
+    import duckdb
+
+    from spark_lineage_spark.registry import load_all
+
+    spec = load_all()["lineage_catalog_query"]
+    rows = [tuple(r) for r in spec.builder(spark, sf_dir).collect()]
+    expected = duckdb.connect().execute(spec.oracle).fetchall()
+    assert rows == expected, (rows, expected)

@@ -294,9 +294,9 @@ def lineage_impact_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     "§2.12 OpenLineage RunEvent export (public spec), hash-gated",
     """
     SELECT * FROM (VALUES
-      ('COMPLETE', 'count',   1, 0, TRUE,  FALSE),
-      ('COMPLETE', 'parquet', 2, 1, TRUE,  FALSE),
-      ('FAIL',     'collect', 1, 0, TRUE,  TRUE)
+      ('COMPLETE', 'count',   1, 0, 1, 0),
+      ('COMPLETE', 'parquet', 2, 1, 1, 0),
+      ('FAIL',     'collect', 1, 0, 1, 1)
     ) AS t(event_type, job_suffix, n_inputs, n_outputs,
            has_column_lineage, has_error)
     ORDER BY event_type, job_suffix
@@ -364,8 +364,11 @@ def lineage_openlineage_export(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ev["job"]["name"].rsplit(".", 1)[-1],
                 len(ev["inputs"]),
                 len(ev["outputs"]),
-                has_cols,
-                "errorMessage" in ev["run"]["facets"],
+                # int flags, not booleans: no verified-query precedent
+                # for boolean result columns, and int canonicalization
+                # is engine-stable
+                int(has_cols),
+                int("errorMessage" in ev["run"]["facets"]),
             )
         )
     schema = T.StructType(
@@ -374,8 +377,8 @@ def lineage_openlineage_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("job_suffix", T.StringType()),
             T.StructField("n_inputs", T.IntegerType()),
             T.StructField("n_outputs", T.IntegerType()),
-            T.StructField("has_column_lineage", T.BooleanType()),
-            T.StructField("has_error", T.BooleanType()),
+            T.StructField("has_column_lineage", T.IntegerType()),
+            T.StructField("has_error", T.IntegerType()),
         ]
     )
     return spark.createDataFrame(rows, schema).orderBy("event_type", "job_suffix")

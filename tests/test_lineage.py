@@ -828,9 +828,9 @@ def test_lineage_openlineage_export_spec_shape(spark, sf_dir):
         for r in load_all()["lineage_openlineage_export"].builder(spark, sf_dir).collect()
     ]
     assert rows == [
-        ("COMPLETE", "count", 1, 0, True, False),
-        ("COMPLETE", "parquet", 2, 1, True, False),
-        ("FAIL", "collect", 1, 0, True, True),
+        ("COMPLETE", "count", 1, 0, 1, 0),
+        ("COMPLETE", "parquet", 2, 1, 1, 0),
+        ("FAIL", "collect", 1, 0, 1, 1),
     ], rows
 
 

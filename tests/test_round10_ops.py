@@ -105,6 +105,31 @@ def test_link_prediction_hub_cap_noop(spark, sf_dir):
     assert capped.count() == hub.count()  # per-row dc=1 passes untouched
 
 
+def test_link_prediction_hub_cap_is_live(spark, sf_dir, monkeypatch):
+    """The guard must be LIVE in the operator's plan, not dead code: a
+    cap forced BELOW the fixture's max basket changes the result (hub
+    customers' wedges vanish), while a huge cap reproduces the normal
+    top-20 exactly."""
+    import spark_lineage_spark.operators.analytics as A
+
+    normal = [
+        (r.part_a, r.part_b, r.common_cnt)
+        for r in A.graph_link_prediction(spark, sf_dir).collect()
+    ]
+    monkeypatch.setattr(A, "_LINK_PRED_HUB_CAP", 10**9)
+    huge = [
+        (r.part_a, r.part_b, r.common_cnt)
+        for r in A.graph_link_prediction(spark, sf_dir).collect()
+    ]
+    assert huge == normal, "cap at 1e9 must be a no-op"
+    # a tiny cap must drop wedge mass: total common_cnt strictly falls
+    monkeypatch.setattr(A, "_LINK_PRED_HUB_CAP", 5)
+    tiny = A.graph_link_prediction(spark, sf_dir).collect()
+    assert sum(r.common_cnt for r in tiny) < sum(c for _, _, c in normal), (
+        "cap=5 did not reduce wedge mass — the guard is not in the plan"
+    )
+
+
 # ---------------------------------------------------------------------------
 # stats_runs_test / stats_jarque_bera
 # ---------------------------------------------------------------------------

@@ -113,11 +113,30 @@ def main() -> None:
     materialize(specs["flagship_pricing_join"].builder(spark, "/root/testdata/sf0.001"))
 
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _ in range(N_PASSES):
+
+    def run_pass() -> None:
         for name in HEADLINE:
             t0 = time.time()
             materialize(specs[name].builder(spark, sf_dir))
             samples[name].append(time.time() - t0)
+
+    for _ in range(N_PASSES):
+        run_pass()
+
+    # Storm self-healing (VERDICT r9 item 5: "re-run if stormy"): if
+    # the 5-pass window shows heavy hypervisor steal or broad
+    # max/min dispersion, append extra passes BEFORE taking medians —
+    # a median over 8 samples survives 3 stalled passes, so a record
+    # taken in a bad window converges back toward the plan's real
+    # cost instead of freezing the storm into the official number.
+    extra_passes = 0
+    med_spread = statistics.median(
+        max(ts) / min(ts) for ts in samples.values()
+    )
+    if (_steal_ticks() - steal0) > 1500 or med_spread > 2.5:
+        extra_passes = 3
+        for _ in range(extra_passes):
+            run_pass()
 
     timings = {
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
@@ -138,7 +157,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "best": best,
-                "passes": N_PASSES,
+                "passes": N_PASSES + extra_passes,
+                "extra_passes_storm": extra_passes,
                 "spread": spread,
                 "cal_before": cal_before,
                 "cal_after": calibrate(),

@@ -382,3 +382,79 @@ def lineage_openlineage_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema).orderBy("event_type", "job_suffix")
+
+
+@query(
+    "lineage_transitive_closure",
+    "§2.12 multi-hop lineage (recursive closure over the catalog), hash-gated",
+    """
+    SELECT * FROM (VALUES
+      ('nation',   'hop1_out', 1),
+      ('nation',   'hop2_out', 2),
+      ('hop1_out', 'hop2_out', 1)
+    ) AS t(src_dataset, dst_dataset, hops)
+    ORDER BY src_dataset, dst_dataset
+    """,
+)
+def lineage_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-HOP lineage — "which downstream tables are ultimately
+    fed by source S, through any number of intermediate writes" — the
+    question single-report lineage can't answer and the one that
+    matters for backfills and deletion sweeps.  A two-hop pipeline
+    (nation -> write hop1_out; read hop1_out -> aggregate -> write
+    hop2_out) is captured through the facade, the dataset edge table
+    is self-queried out of the catalog, and the closure is computed
+    with the engine's own WITH RECURSIVE over a temp view of that
+    edge table (the Spark 4 recursive CTE, same machinery as
+    subq_recursive_cte) — lineage dogfooding both the capture AND the
+    advanced-SQL surface.  min(hops) per (src, dst) pins the shortest
+    path so the expected table is constant at every SF (labels are
+    OUR leaf-dir names; read-side path labels use the same
+    _short_name convention).  At 100 TB the edge table is a catalog
+    aggregate (one row per dataset pair), so the recursion runs over
+    metadata-scale data regardless of corpus size; cycles cannot
+    arise from append-only report logs of DAG pipelines, and the
+    LIMIT-free recursion is bounded by the pipeline's depth."""
+    from spark_lineage_spark import LineageSession
+    from spark_lineage_spark.plans.reporters import JsonlReporter
+
+    path = os.path.join(_fresh_run_dir("tc"), "reports.jsonl")
+    engine = LineageSession(spark, reporter=JsonlReporter(path))
+
+    stage = _fresh_run_dir("tcout")
+    hop1 = os.path.join(stage, "hop1_out")
+    hop2 = os.path.join(stage, "hop2_out")
+    engine._wrap(load(spark, sf_dir, "nation")).write.mode("overwrite").parquet(hop1)
+    engine._wrap(
+        spark.read.parquet(hop1)
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    ).write.mode("overwrite").parquet(hop2)
+
+    dst = F.coalesce(
+        F.col("output.name"),
+        F.regexp_extract(F.element_at(F.col("output.paths"), 1), "([^/]+)/?$", 1),
+    )
+    edges = (
+        engine.lineage()
+        .select(F.explode("inputs").alias("i"), dst.alias("dst"))
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != ""))
+        .select(F.col("i.name").alias("src"), "dst")
+        .distinct()
+    )
+    edges.createOrReplaceTempView("sls_lineage_edges_tc")
+    return spark.sql(
+        """
+        WITH RECURSIVE closure AS (
+          SELECT src, dst, 1 AS hops FROM sls_lineage_edges_tc
+          UNION ALL
+          SELECT c.src, e.dst, c.hops + 1
+          FROM closure c JOIN sls_lineage_edges_tc e ON c.dst = e.src
+        )
+        SELECT src AS src_dataset, dst AS dst_dataset,
+               CAST(min(hops) AS INT) AS hops
+        FROM closure
+        GROUP BY src, dst
+        ORDER BY src_dataset, dst_dataset
+        """
+    )

@@ -300,6 +300,7 @@ _VERIFY_FIRST = [
     "lineage_impact_analysis",
     "lineage_openlineage_export",
     "lineage_catalog_query",  # re-verify: upgraded rows-only -> oracle
+    "lineage_transitive_closure",  # slot 50: multi-hop closure
 ]
 
 # ... and run these LAST among the unverified: rows-only checks (weaker

@@ -845,3 +845,21 @@ def test_lineage_catalog_query_oracle_parity(spark, sf_dir):
     rows = [tuple(r) for r in spec.builder(spark, sf_dir).collect()]
     expected = duckdb.connect().execute(spec.oracle).fetchall()
     assert rows == expected, (rows, expected)
+
+
+def test_lineage_transitive_closure_two_hops(spark, sf_dir):
+    """Registry lineage_transitive_closure: the recursive closure over
+    the captured edge table reaches hop-2 with min-hops pinned."""
+    from spark_lineage_spark.registry import load_all
+
+    rows = [
+        (r.src_dataset, r.dst_dataset, r.hops)
+        for r in load_all()["lineage_transitive_closure"]
+        .builder(spark, sf_dir)
+        .collect()
+    ]
+    assert rows == [
+        ("hop1_out", "hop2_out", 1),
+        ("nation", "hop1_out", 1),
+        ("nation", "hop2_out", 2),
+    ], rows

@@ -739,6 +739,11 @@ def test_link_prediction_plan_shape(spark):
     assert "TakeOrderedAndProject" in p, p[:2000]
     assert "BroadcastExchange" in p, p[:2000]
     assert "CartesianProduct" not in p
+    # round 10: the hub-cap guard must be IN the plan (dc <= cap
+    # filter), and the pair agg must run on the packed single long
+    # key (shiftleft), not the two-column (pa, pb) key
+    assert re.search(r"\(dc#\d+L? <= 256\)", p), p[:3000]
+    assert "shiftleft" in p, p[:3000]
     # the bip checkpoint truncates the scan out of the final plan, so
     # assert pushdown on the identical pre-checkpoint fragment
     od = load(spark, SF, "orders").filter(

@@ -3230,8 +3230,22 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ints — 2e8 even at SF1000); k's lexicographic order equals
     # (pa, pb) order for non-negative ids, so the tie-break is
     # unchanged.
+    # Collision guard (ADVICE r10): the precondition must fail LOUDLY,
+    # not silently merge distinct pairs' counts.  pa < pb, so checking
+    # pb alone covers both halves; assert_true is one int compare per
+    # row inside whole-stage codegen (a separate max(partkey) probe
+    # would cost an extra job), and wrapping the packed key in
+    # when(guard IS NULL, ...) keeps the assert un-prunable.
+    _pk_guard = F.assert_true(
+        F.col("pb") < F.lit(1 << 32),
+        F.lit("graph_link_prediction: partkey >= 2^32 would collide the packed pair key"),
+    )
     wed_k = wed.select(
-        (F.shiftleft(F.col("pa").cast("long"), 32) + F.col("pb")).alias("k"), "dc"
+        F.when(
+            _pk_guard.isNull(),
+            F.shiftleft(F.col("pa").cast("long"), 32) + F.col("pb"),
+        ).alias("k"),
+        "dc",
     )
     pairs = wed_k.groupBy("k").agg(
         F.count(F.lit(1)).cast("bigint").alias("common_cnt"),

@@ -19,6 +19,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from spark_lineage_spark.registry import query
 from spark_lineage_spark.tables import load
 
+# per-process counter for transitive-closure temp-view names (see
+# lineage_transitive_closure: pid alone is not enough within a process)
+_TC_VIEW_SEQ = 0
+
 
 def _fresh_run_dir(tag: str) -> str:
     """pid-scoped staging dir + reap of DEAD-owner siblings only — the
@@ -46,7 +50,7 @@ def _fresh_run_dir(tag: str) -> str:
       ('count',         '',     CAST(1 AS BIGINT), 1),
       ('write.parquet', 'path', CAST(1 AS BIGINT), 2)
     ) AS t(func_name, output_kind, n_reports, max_inputs)
-    ORDER BY func_name
+    ORDER BY func_name, output_kind
     """,
 )
 def lineage_catalog_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,8 +95,11 @@ def lineage_catalog_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("output.kind"), F.lit("")).alias("output_kind"),
         )
         .groupBy("func_name", "output_kind")
+        # full sort key = the full grouping key (ADVICE r10): func_names
+        # happen to be unique here, but a future action producing two
+        # output kinds under one func_name must not flap the row order
         .agg(F.count("*").alias("n_reports"), F.max("n_inputs").alias("max_inputs"))
-        .orderBy("func_name")
+        .orderBy("func_name", "output_kind")
     )
 
 
@@ -442,19 +449,31 @@ def lineage_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("i.name").alias("src"), "dst")
         .distinct()
     )
-    edges.createOrReplaceTempView("sls_lineage_edges_tc")
-    return spark.sql(
-        """
-        WITH RECURSIVE closure AS (
-          SELECT src, dst, 1 AS hops FROM sls_lineage_edges_tc
-          UNION ALL
-          SELECT c.src, e.dst, c.hops + 1
-          FROM closure c JOIN sls_lineage_edges_tc e ON c.dst = e.src
+    # pid + per-call counter scope the temp view (ADVICE r10): a
+    # session-global fixed name would let a concurrent/repeated run's
+    # createOrReplaceTempView swap the edges under this query.  The
+    # view is only needed during analysis — spark.sql() resolves and
+    # INLINES temp views into the analyzed plan eagerly — so it is
+    # dropped before returning and the lazy result stays collectible.
+    global _TC_VIEW_SEQ
+    _TC_VIEW_SEQ += 1
+    view = f"sls_lineage_edges_tc_{os.getpid()}_{_TC_VIEW_SEQ}"
+    edges.createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
+            WITH RECURSIVE closure AS (
+              SELECT src, dst, 1 AS hops FROM {view}
+              UNION ALL
+              SELECT c.src, e.dst, c.hops + 1
+              FROM closure c JOIN {view} e ON c.dst = e.src
+            )
+            SELECT src AS src_dataset, dst AS dst_dataset,
+                   CAST(min(hops) AS INT) AS hops
+            FROM closure
+            GROUP BY src, dst
+            ORDER BY src_dataset, dst_dataset
+            """
         )
-        SELECT src AS src_dataset, dst AS dst_dataset,
-               CAST(min(hops) AS INT) AS hops
-        FROM closure
-        GROUP BY src, dst
-        ORDER BY src_dataset, dst_dataset
-        """
-    )
+    finally:
+        spark.catalog.dropTempView(view)

@@ -392,6 +392,207 @@ def lineage_openlineage_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lineage_table_roundtrip",
+    "§2.12 catalog-table lineage (saveAsTable + table read-back), hash-gated",
+    """
+    SELECT * FROM (VALUES
+      ('in',  'path',  'nation'),
+      ('in',  'table', 'sls_lintbl'),
+      ('out', 'table', 'sls_lintbl')
+    ) AS t(direction, kind, label)
+    ORDER BY direction, kind, label
+    """,
+)
+def lineage_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-TABLE lineage under the official hash gate (VERDICT r10
+    item 3): a metastore table write (`saveAsTable`) followed by a
+    `spark.table` read-back, both through the facade.  The thing this
+    gates is the `table`-vs-`path` dataset-kind distinction — the write
+    report's output must carry kind 'table' (name = the table
+    identifier, NOT a warehouse path), and the read-back report's input
+    must ALSO be kind 'table' with the catalog-qualified identifier
+    (`spark_catalog.default.<t>`), while the original parquet input
+    stays kind 'path'.  A naive extractor that resolves the catalog
+    relation down to its underlying files would report 'path' on the
+    read-back and fail the hash.  The self-query unions each report's
+    input rows ('in') and output row ('out') as (direction, kind,
+    label); labels are normalized (last identifier segment, pid suffix
+    stripped) so the expected table is constant at every SF.  The
+    deeper Hive-serde plan shapes (CTAS, InsertIntoHiveTable) are
+    subprocess-tested in tests/test_hive_lineage.py — this entry puts
+    the in-session catalog round-trip on the driver gate.  At 100 TB
+    the read side is exactly how jobs consume curated tables, and the
+    table-kind edge is what joins lineage to catalog ACLs/retention."""
+    from spark_lineage_spark import LineageSession
+    from spark_lineage_spark.operators.sources_sinks import (
+        _drop_table_and_location,
+        _proc_suffix,
+        _reap_stale_warehouse_dirs,
+    )
+    from spark_lineage_spark.plans.reporters import JsonlReporter
+
+    path = os.path.join(_fresh_run_dir("tr"), "reports.jsonl")
+    engine = LineageSession(spark, reporter=JsonlReporter(path))
+
+    t = f"sls_lintbl_{_proc_suffix(sf_dir)}"
+    _reap_stale_warehouse_dirs(spark, "sls_lintbl_")
+    _drop_table_and_location(spark, t)
+    engine._wrap(
+        load(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    ).write.mode("overwrite").saveAsTable(t)
+    engine._wrap(spark.table(t)).count()
+
+    lineage = engine.lineage()
+    # 'spark_catalog.default.sls_lintbl_<digest8>_<pid>' /
+    # 'sls_lintbl_<digest8>_<pid>' -> 'sls_lintbl'; the pattern is the
+    # exact _proc_suffix shape (8 hex chars + pid), so path labels
+    # ('nation') pass through unchanged
+    def norm(col):
+        return F.regexp_replace(
+            F.substring_index(col, ".", -1), "_[0-9a-f]{8}_[0-9]+$", ""
+        )
+
+    ins = lineage.select(F.explode("inputs").alias("i")).select(
+        F.lit("in").alias("direction"),
+        F.col("i.kind").alias("kind"),
+        norm(F.col("i.name")).alias("label"),
+    )
+    outs = (
+        lineage.filter(F.col("output").isNotNull())
+        .filter(F.col("output.kind").isNotNull())
+        .select(
+            F.lit("out").alias("direction"),
+            F.col("output.kind").alias("kind"),
+            norm(F.col("output.name")).alias("label"),
+        )
+    )
+    return ins.unionAll(outs).distinct().orderBy("direction", "kind", "label")
+
+
+@query(
+    "lineage_streaming_batches",
+    "§2.12 streaming lineage (per-micro-batch listener + epoch-tagged foreachBatch), hash-gated",
+    """
+    SELECT * FROM (VALUES
+      ('foreachBatch[0]:write.parquet', 'unknown',   'LogicalRDD',       'epoch=0'),
+      ('foreachBatch[1]:write.parquet', 'unknown',   'LogicalRDD',       'epoch=1'),
+      ('microbatch:0',                  'streaming', 'FileStreamSource', 'ForeachBatchSink'),
+      ('microbatch:1',                  'streaming', 'FileStreamSource', 'ForeachBatchSink')
+    ) AS t(func_name, src_kind, src_label, dst_label)
+    ORDER BY func_name
+    """,
+)
+def lineage_streaming_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING lineage under the official hash gate (VERDICT r10
+    item 2): a finite availableNow file-stream run captured through
+    BOTH streaming surfaces at once — the StreamingQueryListener
+    (`streaming/listener.py`, one progress report per micro-batch:
+    streaming-kind FileStreamSource input, ForeachBatchSink output) and
+    the facade's epoch-tagged `foreach_batch` wrapper (full plan-derived
+    reports from the in-batch parquet write: `foreachBatch[<epoch>]:`
+    prefix, path output ending `epoch=<n>`, LogicalRDD batch-slice
+    input).  Two source files + maxFilesPerTrigger=1 force exactly two
+    micro-batches, so the four reports' SHAPE invariants are constant
+    at every SF and the oracle pins them; everything run-varying (tmp
+    paths, durations, app id) is projected away.  Listener delivery is
+    async, so the builder polls the JSONL log for both microbatch rows
+    (bounded 30 s) before self-querying — the same wait the golden
+    tests use.  The self-query filters to the four expected func_names:
+    a trailing empty micro-batch (no lineage content) must not flap the
+    hash, but a MISSING or mis-tagged report still fails it.  At 100 TB
+    this is the always-on lineage mode: one report per micro-batch
+    appended to the log, queryable while the stream runs."""
+    import time
+
+    from spark_lineage_spark import LineageSession
+    from spark_lineage_spark.plans.reporters import JsonlReporter
+    from spark_lineage_spark.streaming.listener import LineageStreamingListener
+
+    stage = _fresh_run_dir("sb")
+    log_path = os.path.join(stage, "reports.jsonl")
+    engine = LineageSession(spark, reporter=JsonlReporter(log_path))
+    listener = LineageStreamingListener(
+        engine.reporter, app_id=engine.app_id, app_name=engine.app_name
+    )
+    spark.streams.addListener(listener)
+    try:
+        src = os.path.join(stage, "src")
+        os.makedirs(src, exist_ok=True)
+        ev = load(spark, sf_dir, "events").select("event_type", "value").limit(40)
+        # limit() plans collapse to one partition -> exactly one data
+        # file per write -> maxFilesPerTrigger=1 gives exactly 2 batches
+        ev.limit(20).write.mode("overwrite").parquet(os.path.join(src, "b0"))
+        ev.write.mode("overwrite").parquet(os.path.join(src, "b1"))
+        out = os.path.join(stage, "out")
+
+        def handle(batch_df, epoch_id):
+            (
+                batch_df.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .write.mode("overwrite")
+                .parquet(f"{out}/epoch={epoch_id}")
+            )
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(engine.foreach_batch(handle))
+            .option("checkpointLocation", os.path.join(stage, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            try:
+                with open(log_path) as f:
+                    if sum(1 for line in f if '"microbatch:' in line) >= 2:
+                        break
+            except FileNotFoundError:
+                pass
+            time.sleep(0.5)  # listener delivery is async
+    finally:
+        spark.streams.removeListener(listener)
+
+    expected = [
+        "foreachBatch[0]:write.parquet",
+        "foreachBatch[1]:write.parquet",
+        "microbatch:0",
+        "microbatch:1",
+    ]
+    dst = F.coalesce(
+        F.col("output.name"),
+        F.regexp_extract(F.element_at(F.col("output.paths"), 1), "([^/]+)/?$", 1),
+        F.lit(""),
+    )
+    return (
+        engine.lineage()
+        .filter(F.col("run.func_name").isin(expected))
+        .select(
+            F.col("run.func_name").alias("func_name"),
+            F.explode("inputs").alias("i"),
+            dst.alias("dst_label"),
+        )
+        .select(
+            "func_name",
+            F.col("i.kind").alias("src_kind"),
+            # listener inputs carry the class in `format` (name embeds
+            # the tmp path); facade inputs carry only the leaf `name`
+            F.coalesce(F.col("i.format"), F.col("i.name")).alias("src_label"),
+            "dst_label",
+        )
+        .distinct()
+        .orderBy("func_name")
+    )
+
+
+@query(
     "lineage_transitive_closure",
     "§2.12 multi-hop lineage (recursive closure over the catalog), hash-gated",
     """

@@ -79,20 +79,11 @@ _OPERATOR_MODULES = [
 # ``load_all`` enumerates not-yet-driver-verified queries FIRST to get
 # every query an official row across rounds (VERDICT.md round 1, item 1).
 _DRIVER_VERIFIED_ROUNDS_AGO = [
-    "flagship_pricing_join", "proj_select_compute", "filter_compare_bool",
-    "filter_between_in_like", "filter_null_semantics", "distinct_rows",
-    "dedup_by_key_deterministic", "dedup_projected_subset", "sample_seeded",
-    "join_inner_equi", "join_broadcast_dim", "join_left_outer",
-    "join_right_outer", "join_full_outer", "join_left_semi", "join_left_anti",
-    "join_cross", "join_theta_nonequi", "join_range_band", "join_asof",
-    "join_lateral_topn", "join_strategy_hints", "join_self_alias",
-    "agg_global", "agg_count_distinct", "agg_approx_sketches", "agg_rollup",
-    "agg_cube", "agg_grouping_sets", "agg_stats", "agg_percentile_median",
-    "agg_mode_deterministic", "agg_collect_listagg", "agg_min_by_max_by",
-    "agg_unpivot_melt", "agg_salted_twophase", "agg_pivot", "win_ranking",
-    "win_lag_lead", "win_value_picks", "win_percent_cume",
-    "win_running_moving", "win_range_frame", "win_topk_per_group",
-    "set_union_all", "set_union_distinct", "set_intersect",
+    # round 1 verified (CORRECTNESS_r01.json) — 45 of the original 50
+    # moved to _VERIFY_FIRST for the round-11 STALENESS ROTATION (see
+    # the policy note above _VERIFY_FIRST); the 5 left here rotate in
+    # round 12
+    "set_union_distinct", "set_intersect",
     "set_intersect_all", "set_except", "set_except_all",
     # round 2/3 verified (CORRECTNESS_r02.json == CORRECTNESS_r03.json)
     "join_null_safe_eq", "agg_boolean_conditional", "agg_linear_regression",
@@ -226,7 +217,11 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "fn_array_mutation_battery", "fn_ipv4_cidr_battery", "fn_levenshtein_bounded",
     "fn_luhn_check", "fn_months_between_identities", "fn_regex_extended",
     "fn_timezone_battery", "fn_to_char_number_roundtrip", "fn_try_url_parse",
-    "fn_utf8_validation", "graph_kcore", "graph_link_prediction",
+    "fn_utf8_validation", "graph_kcore",
+    # graph_link_prediction moved to _VERIFY_FIRST (ADVICE r10 medium):
+    # round 10 changed its physical plan and result types (hub cap,
+    # packed BIGINT pair key) and round 11 added the collision guard,
+    # so its r9 official record describes a different implementation
     "join_skyline_pareto", "llm_boilerplate_vocab", "llm_dedup_bloom_prefilter",
     "llm_deterministic_shuffle", "llm_langid_confusion_matrix", "llm_pack_ffd",
     "llm_weighted_sample_es", "pandas_api_merge_asof", "pandas_api_rolling",
@@ -239,68 +234,71 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "stats_kl_divergence", "stats_levene_test", "stats_proportion_ztest",
     "stats_spearman_corr", "stream_stream_full_outer_join", "ts_business_days",
     "ts_holt_linear", "ts_session_window_dynamic_gap",
+    # round 10 verified (CORRECTNESS_r10.json, 50 rows, all green);
+    # lineage_catalog_query and lineage_transitive_closure re-queue in
+    # _VERIFY_FIRST — round 11 changed their implementations (ordering
+    # pinned to the full grouping key; pid-scoped recursion view)
+    "stats_runs_test", "stats_jarque_bera", "stats_fdr_bh",
+    "ts_hampel_outliers", "llm_epoch_allocation", "llm_multimodal_ahash_dedup",
+    "stats_fisher_exact", "pandas_api_resample", "fn_geo_haversine_battery",
+    "llm_judge_agreement", "llm_bradley_terry", "cdc_json_envelope_apply",
+    "stats_diff_in_diff", "stats_cuped", "llm_ann_pq_adc",
+    "llm_multimodal_ahash", "graph_label_propagation",
+    "ts_sessionize_gap_percentile", "llm_reward_normalize",
+    "stats_kruskal_wallis", "ts_cusum_drift", "stats_herfindahl",
+    "stats_isotonic_minimax", "graph_hits", "setop_union_by_name",
+    "llm_mmr_diverse_topk", "llm_retrieval_ndcg", "ts_cross_correlation",
+    "pandas_api_pivot_table", "llm_dedup_set_containment", "llm_judge_mcnemar",
+    "profile_key_skew", "stats_effect_size", "stats_power_mde",
+    "stats_bayes_ab", "stats_lin_ccc", "llm_embedding_norm_outliers",
+    "llm_source_overlap_matrix", "stats_cochran_armitage",
+    "scan_parquet_agg_pushdown", "llm_capture_recapture",
+    "stats_wilcoxon_signed_rank", "ts_var_cvar", "llm_vocab_growth_curve",
+    "lineage_column_graph", "lineage_dataset_graph", "lineage_impact_analysis",
+    "lineage_openlineage_export",
 ]
 
-# Among the not-yet-verified queries, run these FIRST.  After the
-# round-10-start promotion the official record covers all 394 queries
-# ever checked by the driver, with zero genuine failures.
+# Among the not-yet-verified queries, run these FIRST.
 #
-# Round 10: the 44 queries deferred past round 9's 50-row budget (the
-# old _VERIFY_AFTER contents, all driver-sim green at registration:
-# round-9 session, 435-query sweep, 0 failures) head the official run.
-# 44 + the handful of round-10 registrations fit the ~50-row budget.
+# ROTATION POLICY (round 11 onward, VERDICT r10 item 1): with the full
+# registry officially covered and _VERIFY_AFTER drained, the ~50-row
+# per-round driver budget funds a STALENESS ROTATION — each round
+# re-verifies (a) any query whose implementation or shared helpers
+# changed since its last official row (the round-6 rounding-change
+# precedent), then (b) the queries with the OLDEST official records.
+# 142 rows date from rounds 1-3, before the round-5-8 helper rewrites
+# (grouped_rank, shingle vectorization, session confs); they rotate
+# oldest-first, ~45-48 per round, so the official record converges to
+# at-most-3-rounds stale.  New registrations take budget ahead of the
+# rotation (growth stays behind freshness only when slots run out —
+# then they go to _VERIFY_AFTER, driver-sim green required).
+#
+# Round 11 = 2 new lineage registrations + 3 changed-implementation
+# re-verifies + the 45 oldest round-1 rows (r01 list order).
 _VERIFY_FIRST = [
-    "stats_runs_test",
-    "stats_jarque_bera",
-    "stats_fdr_bh",
-    "ts_hampel_outliers",
-    "llm_epoch_allocation",
-    "llm_multimodal_ahash_dedup",
-    "stats_fisher_exact",
-    "pandas_api_resample",
-    "fn_geo_haversine_battery",
-    "llm_judge_agreement",
-    "llm_bradley_terry",
-    "cdc_json_envelope_apply",
-    "stats_diff_in_diff",
-    "stats_cuped",
-    "llm_ann_pq_adc",
-    "llm_multimodal_ahash",
-    "graph_label_propagation",
-    "ts_sessionize_gap_percentile",
-    "llm_reward_normalize",
-    "stats_kruskal_wallis",
-    "ts_cusum_drift",
-    "stats_herfindahl",
-    "stats_isotonic_minimax",
-    "graph_hits",
-    "setop_union_by_name",
-    "llm_mmr_diverse_topk",
-    "llm_retrieval_ndcg",
-    "ts_cross_correlation",
-    "pandas_api_pivot_table",
-    "llm_dedup_set_containment",
-    "llm_judge_mcnemar",
-    "profile_key_skew",
-    "stats_effect_size",
-    "stats_power_mde",
-    "stats_bayes_ab",
-    "stats_lin_ccc",
-    "llm_embedding_norm_outliers",
-    "llm_source_overlap_matrix",
-    "stats_cochran_armitage",
-    "scan_parquet_agg_pushdown",
-    "llm_capture_recapture",
-    "stats_wilcoxon_signed_rank",
-    "ts_var_cvar",
-    "llm_vocab_growth_curve",
-    # round-10 registrations (driver-sim green at registration)
-    "lineage_column_graph",
-    "lineage_dataset_graph",
-    "lineage_impact_analysis",
-    "lineage_openlineage_export",
-    "lineage_catalog_query",  # re-verify: upgraded rows-only -> oracle
-    "lineage_transitive_closure",  # slot 50: multi-hop closure
+    # new registrations (driver-sim green at registration)
+    "lineage_streaming_batches",
+    "lineage_table_roundtrip",
+    # changed implementations (round 11: ordering pinned / view scoping
+    # / packed-key guard + round-10 hub cap — ADVICE r10 medium)
+    "lineage_catalog_query",
+    "lineage_transitive_closure",
+    "graph_link_prediction",
+    # staleness rotation: the 45 oldest official rows (round 1)
+    "flagship_pricing_join", "proj_select_compute", "filter_compare_bool",
+    "filter_between_in_like", "filter_null_semantics", "distinct_rows",
+    "dedup_by_key_deterministic", "dedup_projected_subset", "sample_seeded",
+    "join_inner_equi", "join_broadcast_dim", "join_left_outer",
+    "join_right_outer", "join_full_outer", "join_left_semi", "join_left_anti",
+    "join_cross", "join_theta_nonequi", "join_range_band", "join_asof",
+    "join_lateral_topn", "join_strategy_hints", "join_self_alias",
+    "agg_global", "agg_count_distinct", "agg_approx_sketches", "agg_rollup",
+    "agg_cube", "agg_grouping_sets", "agg_stats", "agg_percentile_median",
+    "agg_mode_deterministic", "agg_collect_listagg", "agg_min_by_max_by",
+    "agg_unpivot_melt", "agg_salted_twophase", "agg_pivot", "win_ranking",
+    "win_lag_lead", "win_value_picks", "win_percent_cume",
+    "win_running_moving", "win_range_frame", "win_topk_per_group",
+    "set_union_all",
 ]
 
 # ... and run these LAST among the unverified: rows-only checks (weaker

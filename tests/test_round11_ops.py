@@ -1,0 +1,110 @@
+"""Round-11 coverage: the two newly gated lineage surfaces (catalog
+tables, streaming micro-batches), the packed-pair-key collision guard,
+and the transitive-closure temp-view scoping fix — the invariants the
+oracle value-hash can't express (guard raises loudly; no session-global
+view leaks)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _load_all():
+    from spark_lineage_spark.registry import load_all
+
+    return load_all()
+
+
+# ---------------------------------------------------------------------------
+# lineage_table_roundtrip: table-vs-path kind distinction
+# ---------------------------------------------------------------------------
+
+
+def test_table_roundtrip_kinds(spark):
+    rows = [
+        tuple(r)
+        for r in _load_all()["lineage_table_roundtrip"].builder(spark, SF).collect()
+    ]
+    assert rows == [
+        ("in", "path", "nation"),
+        ("in", "table", "sls_lintbl"),
+        ("out", "table", "sls_lintbl"),
+    ], rows
+
+
+# ---------------------------------------------------------------------------
+# lineage_streaming_batches: listener + epoch-tagged facade reports
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_batches_reports(spark):
+    rows = [
+        tuple(r)
+        for r in _load_all()["lineage_streaming_batches"].builder(spark, SF).collect()
+    ]
+    assert rows == [
+        ("foreachBatch[0]:write.parquet", "unknown", "LogicalRDD", "epoch=0"),
+        ("foreachBatch[1]:write.parquet", "unknown", "LogicalRDD", "epoch=1"),
+        ("microbatch:0", "streaming", "FileStreamSource", "ForeachBatchSink"),
+        ("microbatch:1", "streaming", "FileStreamSource", "ForeachBatchSink"),
+    ], rows
+
+
+# ---------------------------------------------------------------------------
+# graph_link_prediction packed-pair-key guard (ADVICE r10)
+# ---------------------------------------------------------------------------
+
+
+def test_pair_key_guard_raises_on_overflow(spark):
+    """The exact guarded-pack expression from graph_link_prediction must
+    raise (not silently collide) when a part id reaches 2^32."""
+    guard = F.assert_true(
+        F.col("pb") < F.lit(1 << 32), F.lit("partkey >= 2^32 would collide")
+    )
+    packed = F.when(
+        guard.isNull(), F.shiftleft(F.col("pa").cast("long"), 32) + F.col("pb")
+    ).alias("k")
+
+    ok = spark.createDataFrame([(3, 7)], "pa long, pb long").select(packed)
+    assert [r.k for r in ok.collect()] == [(3 << 32) + 7]
+
+    bad = spark.createDataFrame([(3, 1 << 32)], "pa long, pb long").select(packed)
+    with pytest.raises(Exception, match="collide"):
+        bad.collect()
+
+
+def test_pair_key_guard_in_plan(spark):
+    """The guard must survive optimization inside the registered query's
+    plan (a prunable guard is no guard)."""
+    plan = (
+        _load_all()["graph_link_prediction"]
+        .builder(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # Catalyst lowers assert_true to a conditional raise_error; either
+    # spelling proves the guard wasn't pruned off the packed key
+    assert "raise_error" in plan or "assert_true" in plan, plan[:3000]
+    assert "would collide the packed pair key" in plan, plan[:3000]
+
+
+# ---------------------------------------------------------------------------
+# lineage_transitive_closure temp-view scoping (ADVICE r10)
+# ---------------------------------------------------------------------------
+
+
+def test_transitive_closure_drops_scoped_view(spark):
+    """The recursion's temp view is pid+counter-scoped and dropped
+    before the builder returns; the returned DataFrame stays
+    collectible (analysis inlined the view)."""
+    df = _load_all()["lineage_transitive_closure"].builder(spark, SF)
+    leftovers = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("sls_lineage_edges_tc")
+    ]
+    assert leftovers == [], leftovers
+    rows = [tuple(r) for r in df.collect()]
+    assert ("nation", "hop2_out", 2) in rows, rows

@@ -61,6 +61,37 @@ HEADLINE = [
 
 N_PASSES = 5
 
+# Storm-trigger thresholds (see _storm_extra_passes)
+STEAL_STORM_TICKS = 1500
+MED_SPREAD_STORM = 2.5
+MAX_SPREAD_STORM = 3.0
+
+
+def _storm_extra_passes(samples: dict[str, list[float]], steal_delta: int) -> int:
+    """Decide whether the pass window was stormy (VERDICT r10 item 1).
+
+    Three triggers, any one suffices:
+    - hypervisor steal over the window (direct host-stall evidence);
+    - the MEDIAN across queries of per-query max/min dispersion — a
+      broad storm inflates most queries at once;
+    - ANY single query's dispersion above MAX_SPREAD_STORM — a
+      query-local stall (e.g. BENCH_r10's fn_string_battery at 5.65×
+      while the across-query median stayed under 2.5) previously
+      slipped through the median-only check and froze an inflated
+      median into the official record.
+    Returns the number of extra full passes to append (0 = calm).
+    """
+    spreads = [max(ts) / min(ts) for ts in samples.values() if ts and min(ts) > 0]
+    if not spreads:
+        return 0
+    if (
+        steal_delta > STEAL_STORM_TICKS
+        or statistics.median(spreads) > MED_SPREAD_STORM
+        or max(spreads) > MAX_SPREAD_STORM
+    ):
+        return 3
+    return 0
+
 
 def materialize(df) -> None:
     """Run the full plan without collecting to the driver."""
@@ -123,20 +154,16 @@ def main() -> None:
     for _ in range(N_PASSES):
         run_pass()
 
-    # Storm self-healing (VERDICT r9 item 5: "re-run if stormy"): if
-    # the 5-pass window shows heavy hypervisor steal or broad
-    # max/min dispersion, append extra passes BEFORE taking medians —
-    # a median over 8 samples survives 3 stalled passes, so a record
-    # taken in a bad window converges back toward the plan's real
-    # cost instead of freezing the storm into the official number.
-    extra_passes = 0
-    med_spread = statistics.median(
-        max(ts) / min(ts) for ts in samples.values()
-    )
-    if (_steal_ticks() - steal0) > 1500 or med_spread > 2.5:
-        extra_passes = 3
-        for _ in range(extra_passes):
-            run_pass()
+    # Storm self-healing (VERDICT r9 item 5 + r10 item 1): if the
+    # 5-pass window shows heavy hypervisor steal, broad max/min
+    # dispersion, or even a single query-local stall, append extra
+    # passes BEFORE taking medians — a median over 8 samples survives
+    # 3 stalled passes, so a record taken in a bad window converges
+    # back toward the plan's real cost instead of freezing the storm
+    # into the official number.
+    extra_passes = _storm_extra_passes(samples, _steal_ticks() - steal0)
+    for _ in range(extra_passes):
+        run_pass()
 
     timings = {
         name: round(statistics.median(ts), 3) for name, ts in samples.items()

@@ -375,7 +375,65 @@ def _ivf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feat.select("vec_id", "emb").withColumn("lists", ranked_lists)
 
 
-@query("llm_ann_ivf", "§2.11 ANN via IVF (KMeans coarse quantizer) — rows-only", None)
+def _ivf_centroid_values() -> str:
+    """Render the pinned sf0.01 coarse-quantizer centroids as a DuckDB
+    VALUES list.  %.17e literals: E-notation parses as DOUBLE (a bare
+    decimal literal would be DECIMAL) and 17 significant digits
+    round-trip the exact IEEE doubles the Spark plan carries."""
+    from spark_lineage_spark.operators._ivf_centroids_sf001 import (
+        IVF_CENTROIDS_SF001,
+    )
+
+    return ",\n      ".join(
+        f"({i}, [{', '.join(f'{x:.17e}' for x in c)}])"
+        for i, c in enumerate(IVF_CENTROIDS_SF001)
+    )
+
+
+# Shared oracle prefix for the IVF family: pinned centroids -> per-
+# vector centroid ranking by the same (-round(cos,6), centroid_id)
+# key the Spark plan sorts on.
+_IVF_ORACLE_PREFIX = f"""
+    WITH cent(centroid_id, centroid) AS (VALUES
+      {{values}}),
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings),
+    ranked AS (
+      SELECT vec_id, emb, centroid_id,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY -round(list_cosine_similarity(emb, centroid), 6),
+                        centroid_id) AS rk
+      FROM e CROSS JOIN cent
+    )"""
+
+
+_IVF_ORACLE = (
+    _IVF_ORACLE_PREFIX
+    + f""",
+    assigned AS (SELECT vec_id, emb, centroid_id AS list_id
+                 FROM ranked WHERE rk <= {IVF_NASSIGN}),
+    probes AS (SELECT vec_id AS query_id, emb AS qemb, centroid_id AS list_id
+               FROM ranked WHERE vec_id < {N_QUERIES} AND rk <= {IVF_NPROBE}),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+             round(list_cosine_similarity(p.qemb, a.emb), 6) AS cos_sim
+      FROM probes p JOIN assigned a USING (list_id)
+      WHERE p.query_id <> a.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim
+    FROM cand
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) <= {TOP_K}
+    """
+)
+
+
+@query(
+    "llm_ann_ivf",
+    "§2.11 ANN via IVF (KMeans coarse quantizer) — hash-gated via pinned centroids",
+    _IVF_ORACLE.format(values=_ivf_centroid_values()),
+)
 def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: train a KMeans coarse quantizer (seeded, few
     iterations), index every corpus vector under its IVF_NASSIGN
@@ -396,7 +454,17 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quantizer no cluster structure, the IVF worst case — on
     clustered real embeddings the same settings prune far more);
     floor 0.80 asserted in
-    tests/test_llm_ops.py::test_ann_ivf_recall_vs_exact."""
+    tests/test_llm_ops.py::test_ann_ivf_recall_vs_exact.
+
+    Hash-gated since round 11 (was rows-only): the quantizer's
+    bit-reproducibility means the sf0.01 centroids are one CONSTANT
+    table, so the oracle pins them as VALUES literals
+    (tools/gen_ivf_centroids.py regenerates; the pinned digest is
+    asserted against a live-trained model in tests/test_round11_ops.py)
+    and replays assignment -> dual-indexing -> nprobe probing -> exact
+    rerank independently in DuckDB. The oracle is only meaningful at
+    the driver's correctness-contract SF (sf0.01 — centroids are
+    data-dependent); every other SF keeps the recall property tests."""
     vectors = _ivf_vectors(spark, sf_dir)
     # corpus side: indexed under its IVF_NASSIGN best lists (map-only)
     assigned = vectors.select(
@@ -863,8 +931,56 @@ def llm_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_ann_ivf_int8",
-    "§2.11 production ANN: IVF cells × int8 scoring × exact float rerank — rows-only",
-    None,
+    "§2.11 production ANN: IVF cells × int8 scoring × exact float rerank — hash-gated via pinned centroids",
+    (
+        _IVF_ORACLE_PREFIX
+        + f""",
+    calib AS (
+      SELECT vec_id, emb,
+             round(127.0 / list_aggregate(list_transform(emb, x -> abs(x)), 'max'), 4)
+               AS scale,
+             round(sqrt(list_sum(list_transform(emb, x -> x*x))), 6) AS l2
+      FROM e
+    ),
+    qz AS (
+      SELECT vec_id, emb, scale, l2,
+             list_transform(
+               emb, x -> CAST(greatest(-127, least(127, floor(x * scale + 0.5)))
+                              AS BIGINT)) AS qvec
+      FROM calib
+    ),
+    assigned AS (SELECT q.vec_id, q.qvec, q.scale, q.l2, r.centroid_id AS list_id
+                 FROM qz q JOIN ranked r ON q.vec_id = r.vec_id
+                 WHERE r.rk <= {IVF_NASSIGN}),
+    probes AS (SELECT q.vec_id AS query_id, q.qvec AS q_qvec,
+                      r.centroid_id AS list_id
+               FROM qz q JOIN ranked r ON q.vec_id = r.vec_id
+               WHERE q.vec_id < {N_QUERIES} AND r.rk <= {IVF_NPROBE}),
+    s1 AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+             round(list_sum(list_transform(list_zip(p.q_qvec, a.qvec),
+                                           z -> z[1] * z[2]))
+                   / (a.scale * a.l2), 6) AS approx_sim
+      FROM probes p JOIN assigned a USING (list_id)
+      WHERE p.query_id <> a.vec_id
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM s1
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY approx_sim DESC, neighbor_id)
+              <= {RERANK_K}
+    )
+    SELECT c.query_id, c.neighbor_id,
+           round(list_cosine_similarity(qe.emb, ne.emb), 6) AS cos_sim
+    FROM cand c
+    JOIN e ne ON ne.vec_id = c.neighbor_id
+    JOIN e qe ON qe.vec_id = c.query_id
+    QUALIFY row_number() OVER (
+        PARTITION BY c.query_id
+        ORDER BY round(list_cosine_similarity(qe.emb, ne.emb), 6) DESC,
+                 c.neighbor_id) <= {TOP_K}
+    """
+    ).format(values=_ivf_centroid_values()),
 )
 def llm_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION ANN composition (FAISS IVF-SQ / ScaNN shape):
@@ -877,8 +993,11 @@ def llm_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-scored with exact float cosine. At 100 TB this multiplies the
     two savings: probes read nprobe/K of the corpus AND each read row
     is 4× narrower; the float store is touched only for ~20 rows per
-    query. Rows-only (KMeans model), with the same recall contract as
-    its parents: recall@5 vs exact kNN floored at 0.80 in
+    query. Hash-gated since round 11 via the same pinned-centroid
+    oracle as llm_ann_ivf (see its docstring: sf0.01-only by
+    construction, digest-tested, regenerate with
+    tools/gen_ivf_centroids.py); recall@5 vs exact kNN additionally
+    floored at 0.80 in
     tests/test_llm_ops.py::test_ann_ivf_int8_recall_vs_exact."""
     vectors = _ivf_vectors(spark, sf_dir)
     scale = F.round(

@@ -79,10 +79,11 @@ _OPERATOR_MODULES = [
 # ``load_all`` enumerates not-yet-driver-verified queries FIRST to get
 # every query an official row across rounds (VERDICT.md round 1, item 1).
 _DRIVER_VERIFIED_ROUNDS_AGO = [
-    # round 1 verified (CORRECTNESS_r01.json) — 45 of the original 50
+    # round 1 verified (CORRECTNESS_r01.json) — 43 of the original 50
     # moved to _VERIFY_FIRST for the round-11 STALENESS ROTATION (see
-    # the policy note above _VERIFY_FIRST); the 5 left here rotate in
+    # the policy note above _VERIFY_FIRST); the 7 left here rotate in
     # round 12
+    "win_topk_per_group", "set_union_all",
     "set_union_distinct", "set_intersect",
     "set_intersect_all", "set_except", "set_except_all",
     # round 2/3 verified (CORRECTNESS_r02.json == CORRECTNESS_r03.json)
@@ -169,7 +170,10 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "stats_chi_square", "attribution_touch", "agg_gini_concentration",
     "hist_equi_depth", "graph_pagerank", "graph_degree_stats",
     "cdc_scd2_incremental", "join_point_in_time_scd2", "sink_python_stream",
-    "llm_dedup_simhash", "llm_ann_lsh", "llm_ann_ivf",
+    "llm_dedup_simhash", "llm_ann_lsh",
+    # llm_ann_ivf / llm_ann_ivf_int8 moved to _VERIFY_FIRST: round 11
+    # upgraded both from rows-only to hash-gated (pinned-centroid
+    # oracle), so their old records describe the weaker check type
     # lineage_catalog_query moved to _VERIFY_FIRST: round 10 upgraded it
     # from rows-only to oracle-gated (coalesced output_kind, pinned
     # ordering), so its r6 record describes the old implementation and
@@ -200,7 +204,7 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "fn_datetime_construct_battery", "fn_generator_inline", "fn_map_hof_battery",
     "fn_sql_misc_battery", "fn_string_helpers_battery", "fn_try_collection_access",
     "fn_variant_explode", "fn_xpath_battery", "hist_zorder_range_probe",
-    "llm_ann_ivf_int8", "llm_bpe_apply_merges", "llm_chat_template_flatten",
+    "llm_bpe_apply_merges", "llm_chat_template_flatten",
     "llm_dedup_index_compaction", "llm_embedding_drift", "llm_length_bucket_batching",
     "llm_ngram_backoff_score", "pandas_api_groupby_merge", "scan_ignore_corrupt_files",
     "scan_modified_after", "scan_nested_schema_pruning", "scan_path_glob_recursive",
@@ -274,7 +278,8 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
 # then they go to _VERIFY_AFTER, driver-sim green required).
 #
 # Round 11 = 2 new lineage registrations + 3 changed-implementation
-# re-verifies + the 45 oldest round-1 rows (r01 list order).
+# re-verifies + 2 rows-only -> hash-gated oracle upgrades + the 43
+# oldest round-1 rows (r01 list order).
 _VERIFY_FIRST = [
     # new registrations (driver-sim green at registration)
     "lineage_streaming_batches",
@@ -284,6 +289,11 @@ _VERIFY_FIRST = [
     "lineage_catalog_query",
     "lineage_transitive_closure",
     "graph_link_prediction",
+    # oracle upgrades rows-only -> full hash gate (round 11: pinned
+    # sf0.01 coarse-quantizer centroids, VERDICT r10 item 8) — must
+    # re-run officially for the stronger check type to land
+    "llm_ann_ivf",
+    "llm_ann_ivf_int8",
     # staleness rotation: the 45 oldest official rows (round 1)
     "flagship_pricing_join", "proj_select_compute", "filter_compare_bool",
     "filter_between_in_like", "filter_null_semantics", "distinct_rows",
@@ -297,8 +307,7 @@ _VERIFY_FIRST = [
     "agg_mode_deterministic", "agg_collect_listagg", "agg_min_by_max_by",
     "agg_unpivot_melt", "agg_salted_twophase", "agg_pivot", "win_ranking",
     "win_lag_lead", "win_value_picks", "win_percent_cume",
-    "win_running_moving", "win_range_frame", "win_topk_per_group",
-    "set_union_all",
+    "win_running_moving", "win_range_frame",
 ]
 
 # ... and run these LAST among the unverified: rows-only checks (weaker

@@ -91,6 +91,33 @@ def test_pair_key_guard_in_plan(spark):
 
 
 # ---------------------------------------------------------------------------
+# IVF oracle upgrade: pinned centroids must match a live-trained model
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_pinned_centroids_match_live_model(spark):
+    """llm_ann_ivf/_int8's hash oracles pin the sf0.01 coarse-quantizer
+    centroids as VALUES literals; this asserts a live-trained model
+    still produces bit-identical centroids, so pyspark/KMeans behavior
+    drift is caught here before the driver sees a hash mismatch.
+    Regenerate with tools/gen_ivf_centroids.py if it ever fires."""
+    from spark_lineage_spark.operators import similarity as S
+    from spark_lineage_spark.operators._ivf_centroids_sf001 import (
+        IVF_CENTROIDS_SF001,
+        IVF_CENTROIDS_SF001_DIGEST,
+    )
+    from tools.gen_ivf_centroids import centroid_digest
+
+    assert centroid_digest(IVF_CENTROIDS_SF001) == IVF_CENTROIDS_SF001_DIGEST
+
+    sf = "/root/testdata/sf0.01"
+    S._ivf_vectors(spark, sf)
+    model = S._IVF_MODEL_CACHE[(spark.sparkContext.applicationId, sf)]
+    live = [[float(x) for x in c] for c in model.clusterCenters()]
+    assert centroid_digest(live) == IVF_CENTROIDS_SF001_DIGEST
+
+
+# ---------------------------------------------------------------------------
 # lineage_transitive_closure temp-view scoping (ADVICE r10)
 # ---------------------------------------------------------------------------
 

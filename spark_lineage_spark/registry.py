@@ -276,6 +276,9 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
 # at-most-3-rounds stale.  New registrations take budget ahead of the
 # rotation (growth stays behind freshness only when slots run out —
 # then they go to _VERIFY_AFTER, driver-sim green required).
+# tools/stage_rotation.py prints the stalest unstaged names ready to
+# paste here; tools/promote_verified.py retires the previous round's
+# green rows first.
 #
 # Round 11 = 2 new lineage registrations + 3 changed-implementation
 # re-verifies + 2 rows-only -> hash-gated oracle upgrades + the 43

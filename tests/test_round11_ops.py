@@ -117,6 +117,43 @@ def test_ivf_pinned_centroids_match_live_model(spark):
     assert centroid_digest(live) == IVF_CENTROIDS_SF001_DIGEST
 
 
+def test_ivf_oracle_literals_are_double_in_duckdb():
+    """The pinned centroid literals are rendered %.17e so DuckDB types
+    them DOUBLE (a bare decimal literal would be DECIMAL and round);
+    guard the rendering and the exact round-trip of one known value."""
+    import duckdb
+
+    from spark_lineage_spark.operators._ivf_centroids_sf001 import (
+        IVF_CENTROIDS_SF001,
+    )
+    from spark_lineage_spark.operators.similarity import _ivf_centroid_values
+
+    x = IVF_CENTROIDS_SF001[0][0]
+    lit = f"{x:.17e}"
+    con = duckdb.connect()
+    t, back = con.execute(f"SELECT typeof({lit}), {lit}").fetchone()
+    assert t == "DOUBLE", t
+    assert back == x, (back, x)
+    # the rendered VALUES block carries every centroid
+    vals = _ivf_centroid_values()
+    assert vals.count("(") >= len(IVF_CENTROIDS_SF001)
+
+
+def test_ivf_plan_broadcasts_probes_not_corpus(spark):
+    """llm_ann_ivf's 100 TB shape: the probe side is broadcast, the
+    corpus is never on a CartesianProduct, and the centroid ranking is
+    plan-literal (no model-side job at plan time)."""
+    plan = (
+        _load_all()["llm_ann_ivf"]
+        .builder(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
 # ---------------------------------------------------------------------------
 # lineage_transitive_closure temp-view scoping (ADVICE r10)
 # ---------------------------------------------------------------------------

@@ -117,6 +117,18 @@ def test_ivf_pinned_centroids_match_live_model(spark):
     assert centroid_digest(live) == IVF_CENTROIDS_SF001_DIGEST
 
 
+def test_new_lineage_queries_repeat_in_one_session(spark):
+    """Driver resilience: both round-11 lineage queries must produce
+    identical results when invoked twice in the same SparkSession
+    (fresh pid-scoped staging dirs, listener add/remove balanced,
+    table drop/recreate idempotent)."""
+    specs = _load_all()
+    for name in ("lineage_table_roundtrip", "lineage_streaming_batches"):
+        first = [tuple(r) for r in specs[name].builder(spark, SF).collect()]
+        second = [tuple(r) for r in specs[name].builder(spark, SF).collect()]
+        assert first == second and first, (name, first, second)
+
+
 def test_ivf_oracle_literals_are_double_in_duckdb():
     """The pinned centroid literals are rendered %.17e so DuckDB types
     them DOUBLE (a bare decimal literal would be DECIMAL and round);

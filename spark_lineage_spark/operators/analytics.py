@@ -4863,3 +4863,65 @@ def ts_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort reference in tests/test_round10_ops.py."""
     register_views(spark, sf_dir, ["orders"])
     return spark.sql(_VAR_CVAR_SQL)
+
+
+# Mann-Kendall monotone-trend test (round 11): one SQL text for both
+# engines — daily revenue is an exact cent sum, S and the tie term are
+# exact integer aggregates, and the only doubles are the final
+# variance division and z expression.
+_MANN_KENDALL_SQL = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(sum(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS BIGINT) AS v
+  FROM orders GROUP BY o_orderdate
+),
+s AS (
+  SELECT CAST(sum(CAST(sign(b.v - a.v) AS BIGINT)) AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b ON a.d < b.d
+),
+n AS (SELECT count(*) AS n_days FROM daily),
+ties AS (
+  SELECT COALESCE(CAST(sum(t*(t-1)*(2*t+5)) AS BIGINT), 0) AS tie_term
+  FROM (SELECT count(*) AS t FROM daily GROUP BY v HAVING count(*) > 1)
+),
+v AS (
+  SELECT n_days,
+         CAST(n_days AS BIGINT)*(n_days-1)*(2*n_days+5) - tie_term AS var18
+  FROM n CROSS JOIN ties
+)
+SELECT v.n_days AS n_days,
+       s.s_stat AS s_stat,
+       round(CAST(var18 AS DOUBLE) / 18, 6) AS var_s,
+       round(CASE WHEN s.s_stat > 0
+                  THEN (s.s_stat - 1) / sqrt(CAST(var18 AS DOUBLE) / 18)
+                  WHEN s.s_stat < 0
+                  THEN (s.s_stat + 1) / sqrt(CAST(var18 AS DOUBLE) / 18)
+                  ELSE CAST(0 AS DOUBLE) END, 6) AS z
+FROM s CROSS JOIN v
+"""
+
+
+@query(
+    "ts_mann_kendall",
+    "§2.21 Mann-Kendall monotone-trend test on daily revenue (exact S, tie-corrected variance)",
+    _MANN_KENDALL_SQL,
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test — the standard non-parametric "is this
+    series drifting" monitor (no distributional assumption, robust to
+    outliers; the hypothesis-test companion to stats_theil_sen's slope):
+    S = sum over day pairs of sign(v_j - v_i), tie-corrected variance
+    [n(n-1)(2n+5) - sum t(t-1)(2t+5)]/18, continuity-corrected z.
+    Everything upstream of the two final double expressions is an
+    exact integer (cent-sum days, sign of bigint differences, integer
+    tie groups), and one shared SQL text runs in both engines.
+
+    Shape at any SF: orders partial-agg to ~2400 daily rows (the ONLY
+    pass over facts), then the pair join runs over the DAILY table —
+    days are CALENDAR-bounded, so the ~2.9M-pair table is constant in
+    corpus size and the whole test costs one scan plus an O(days^2)
+    metadata-scale join at 100 TB exactly as at sf0.01.  The classic
+    O(n log n) rank formulation saves nothing here because n is the
+    day count, not the row count."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_MANN_KENDALL_SQL)

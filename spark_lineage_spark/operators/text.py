@@ -3938,3 +3938,62 @@ def llm_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_vocab",
         F.sum("new_vocab").over(w).cast("bigint").alias("cumulative_vocab"),
     )
+
+
+@query(
+    "llm_tokenizer_fertility",
+    "§2.21 tokenizer fertility audit per language (subword/word, chars/token, punct rate)",
+    r"""
+    WITH per AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS w,
+             len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS t,
+             len(regexp_extract_all(text, '[^a-z0-9\s]')) AS p,
+             n_chars
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(t) AS BIGINT) AS total_tokens,
+           round(CAST(sum(t) AS DOUBLE) / sum(w), 6) AS fertility,
+           round(CAST(sum(n_chars) AS DOUBLE) / sum(t), 6) AS chars_per_token,
+           round(CAST(sum(p) AS DOUBLE) / sum(t), 6) AS punct_rate
+    FROM per GROUP BY lang ORDER BY lang
+    """,
+)
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY audit — the standard multilingual-tokenizer
+    health check (tokens per whitespace word, chars per token, share of
+    single-char punctuation tokens) per language bucket, using the same
+    BPE-ish pre-tokenizer segmentation as llm_text_tokens.  High
+    fertility / low chars-per-token for a language means the tokenizer
+    fragments it (more compute per unit text, worse effective context);
+    the punct rate separates "morphology-fragmented" from
+    "punctuation-heavy" corpora.  Everything upstream of the three
+    final divisions is an exact integer (regexp_count / size / n_chars
+    sums), so one rounded double division per column is bit-identical
+    in both engines (the llm_text_tokens regex-parity precedent).
+    Shape at any SF: one map-side pass over documents computing three
+    per-row counters JVM-side (regexp_count, no explode, no UDF), then
+    a hash aggregate onto |langs| rows — the corpus never shuffles and
+    the aggregate is algebraic (partial sums merge), so 100 TB costs
+    one scan."""
+    d = load(spark, sf_dir, "documents")
+    per = d.select(
+        "lang",
+        F.size(F.split("text", " ")).alias("w"),
+        F.regexp_count("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]")).alias("t"),
+        F.regexp_count("text", F.lit(r"[^a-z0-9\s]")).alias("p"),
+        "n_chars",
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("t").cast("bigint").alias("total_tokens"),
+            F.round(F.sum("t").cast("double") / F.sum("w"), 6).alias("fertility"),
+            F.round(F.sum("n_chars").cast("double") / F.sum("t"), 6).alias("chars_per_token"),
+            F.round(F.sum("p").cast("double") / F.sum("t"), 6).alias("punct_rate"),
+        )
+        .orderBy("lang")
+    )

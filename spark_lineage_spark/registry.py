@@ -320,10 +320,14 @@ _VERIFY_LAST = []
 
 # Queries whose first official row should wait for a later round (used
 # when the driver's per-round budget is already fully allocated above).
-# Round 10 drained the previous 44-entry backlog into _VERIFY_FIRST,
-# so this queue is empty; new registrations beyond the ~50-row budget
-# go here (driver-sim green required at registration time).
-_VERIFY_AFTER = []
+# New registrations beyond the ~50-row budget go here (driver-sim
+# green required at registration time).
+_VERIFY_AFTER = [
+    # round-11 registrations past the rotation-filled budget (both
+    # driver-sim green at registration; first official row round 12)
+    "llm_tokenizer_fertility",
+    "ts_mann_kendall",
+]
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -129,6 +129,61 @@ def test_new_lineage_queries_repeat_in_one_session(spark):
         assert first == second and first, (name, first, second)
 
 
+# ---------------------------------------------------------------------------
+# round-11 registrations: reference-implementation property tests
+# ---------------------------------------------------------------------------
+
+
+def test_tokenizer_fertility_matches_pandas(spark):
+    import re as _re
+
+    import pandas as pd
+
+    got = _load_all()["llm_tokenizer_fertility"].builder(spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    pat = _re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+    punct = _re.compile(r"[^a-z0-9\s]")
+    rows = []
+    for lang, g in docs.groupby("lang"):
+        w = sum(len(t.split(" ")) for t in g["text"])
+        t = sum(len(pat.findall(x)) for x in g["text"])
+        p = sum(len(punct.findall(x)) for x in g["text"])
+        rows.append((lang, len(g), t, round(t / w, 6), round(g["n_chars"].sum() / t, 6), round(p / t, 6)))
+    ref = pd.DataFrame(rows, columns=list(got.columns)).sort_values("lang").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), ref, check_dtype=False, atol=1e-9
+    )
+
+
+def test_mann_kendall_matches_bruteforce(spark):
+    import math
+
+    import pandas as pd
+
+    got = _load_all()["ts_mann_kendall"].builder(spark, SF).toPandas().iloc[0]
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    daily = (
+        (orders["o_totalprice"] * 100).round().astype("int64")
+        .groupby(orders["o_orderdate"]).sum().sort_index()
+    )
+    vals = daily.to_numpy()
+    n = len(vals)
+    s = sum(
+        (1 if vals[j] > vals[i] else -1 if vals[j] < vals[i] else 0)
+        for i in range(n) for j in range(i + 1, n)
+    )
+    tie_term = sum(
+        t * (t - 1) * (2 * t + 5) for t in pd.Series(vals).value_counts() if t > 1
+    )
+    var18 = n * (n - 1) * (2 * n + 5) - tie_term
+    var_s = var18 / 18.0
+    z = (s - 1) / math.sqrt(var_s) if s > 0 else (s + 1) / math.sqrt(var_s) if s < 0 else 0.0
+    assert int(got["n_days"]) == n
+    assert int(got["s_stat"]) == s
+    assert abs(float(got["var_s"]) - round(var_s, 6)) < 1e-6
+    assert abs(float(got["z"]) - round(z, 6)) < 1e-6
+
+
 def test_ivf_oracle_literals_are_double_in_duckdb():
     """The pinned centroid literals are rendered %.17e so DuckDB types
     them DOUBLE (a bare decimal literal would be DECIMAL and round);

@@ -194,6 +194,12 @@ PROBE_QUERIES = [
     "stats_wilcoxon_signed_rank",
     "ts_var_cvar",
     "llm_vocab_growth_curve",
+    # round-11 additions: map-only fertility counters + |langs|-row
+    # aggregate (should track the scan, ~linear), and the Mann-Kendall
+    # day-pair join (calendar-bounded daily table => near-FLAT pair
+    # stage at 10x, only the orders scan grows).
+    "llm_tokenizer_fertility",
+    "ts_mann_kendall",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

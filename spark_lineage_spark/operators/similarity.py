@@ -1634,3 +1634,164 @@ def llm_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_outliers_3sd"),
         F.count(F.when(F.col("nu") == 0, 1)).alias("n_zero_vectors"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 addition (SURVEY §2.21): top principal component of the
+# embedding covariance via UNROLLED power iteration — the anisotropy /
+# "all-but-the-top" whitening primitive.  One shared algorithm replayed
+# in DuckDB: every intermediate (mean, covariance entry, iterate) is
+# rounded before the next stage, so both engines feed bit-identical
+# doubles into each step and the hash gate holds despite float sums.
+# ---------------------------------------------------------------------------
+
+PC_DIM = 64  # fixture embedding width (the PQ 4x16 layout pins this too)
+PC_ITERS = 3  # unrolled power-iteration rounds
+
+
+def _top_pc_oracle() -> str:
+    it = """,
+    w{k} AS (
+      SELECT i, round(sum(c * vj), 8) AS w
+      FROM cov JOIN v{p} ON cov.j = v{p}.j GROUP BY i
+    ),
+    n{k} AS (SELECT sqrt(sum(w * w)) AS nrm FROM w{k}),
+    v{k} AS (SELECT i AS j, round(w / nrm, 8) AS vj FROM w{k} CROSS JOIN n{k})"""
+    iters = "".join(it.format(k=k, p=k - 1) for k in range(1, PC_ITERS + 1))
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, generate_subscripts(emb, 1) - 1 AS i, unnest(emb) AS x
+      FROM e
+    ),
+    mu AS (SELECT i, round(avg(x), 6) AS m FROM ex GROUP BY i),
+    cx AS (SELECT vec_id, ex.i, ex.x - mu.m AS c FROM ex JOIN mu USING (i)),
+    n AS (SELECT count(*) AS n FROM e),
+    cov AS (
+      SELECT a.i AS i, b.i AS j,
+             round(sum(a.c * b.c) / any_value(n.n), 8) AS c
+      FROM cx a JOIN cx b USING (vec_id) CROSS JOIN n
+      GROUP BY a.i, b.i
+    ),
+    v0 AS (SELECT range AS j, CASE WHEN range = 0 THEN CAST(1 AS DOUBLE)
+                                   ELSE CAST(0 AS DOUBLE) END AS vj
+           FROM range({PC_DIM})){iters},
+    lam AS (
+      SELECT round(sqrt(sum(w * w)), 6) AS eigval
+      FROM (SELECT round(sum(c * vj), 8) AS w
+            FROM cov JOIN v{PC_ITERS} ON cov.j = v{PC_ITERS}.j GROUP BY i)
+    ),
+    tr AS (SELECT sum(c) AS trace FROM cov WHERE i = j),
+    sgn AS (
+      SELECT CASE WHEN vj >= 0 THEN 1 ELSE -1 END AS s
+      FROM v{PC_ITERS} ORDER BY abs(vj) DESC, j LIMIT 1
+    )
+    SELECT v.j AS dim, round(v.vj * sgn.s, 6) AS loading,
+           lam.eigval AS eigval,
+           round(lam.eigval / tr.trace, 6) AS explained_share
+    FROM v{PC_ITERS} v CROSS JOIN sgn CROSS JOIN lam CROSS JOIN tr
+    ORDER BY dim
+    """
+
+
+@query(
+    "llm_embedding_top_pc",
+    "§2.21 top principal component via unrolled power iteration (anisotropy / whitening primitive)",
+    _top_pc_oracle(),
+)
+def llm_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding covariance — the
+    anisotropy probe behind 'all-but-the-top' whitening and dominant-
+    direction removal (common-mean + top-PC subtraction measurably
+    improves similarity search on real embedding corpora).  ITERATIVE
+    linear algebra expressed as one lazy plan: 3 unrolled power-
+    iteration rounds over the dim x dim covariance, each a matvec
+    (broadcast 64-row iterate joined to the 4096-row covariance table)
+    + normalization, with every stage ROUNDED (mean 6, cov 8, iterate
+    8, outputs 6) so DuckDB replays bit-identical arithmetic and the
+    full pipeline sits under the value-hash gate despite float sums
+    (the llm_embedding_centroids round-before-use precedent).  Sign is
+    canonicalized at the largest-|loading| dimension (smallest dim on
+    ties) since eigenvectors are sign-ambiguous.
+
+    Scale shape: the ONLY corpus-wide work is the covariance build —
+    per-row outer products flattened JVM-side (nested transform, no
+    UDF) and hash-aggregated onto dim^2 partial sums, so the shuffle
+    carries 4096 doubles per partition regardless of corpus size and
+    the corpus itself never joins or shuffles; the iteration then runs
+    on metadata-scale tables (4096 + 64 rows) whatever the SF.  With
+    near-random fixture embeddings the spectrum is flat (explained
+    share ~1/dim, eigval near the Marchenko-Pastur bulk edge), which
+    the property test pins against numpy's replay of the identical
+    3-round algorithm."""
+    e = _parallel_corpus(
+        spark, load(spark, sf_dir, "embeddings")
+    ).select("vec_id", to_double_array("embedding").alias("emb"))
+    ex = e.select("vec_id", F.posexplode("emb").alias("i", "x"))
+    mu = ex.groupBy("i").agg(F.round(F.avg("x"), 6).alias("m"))
+    cx = ex.join(F.broadcast(mu), "i").select(
+        "vec_id", "i", (F.col("x") - F.col("m")).alias("c")
+    )
+    # centered vectors re-assembled once so the outer product is a
+    # per-row JVM-side array op (no self-join of the exploded corpus)
+    ce = cx.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+        ).alias("cemb")
+    )
+    outer = F.flatten(
+        F.transform("cemb", lambda x: F.transform("cemb", lambda y: x * y))
+    )
+    kv = ce.select(F.posexplode(outer).alias("k", "v"))
+    n1 = e.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    cov = (
+        kv.groupBy("k")
+        .agg(F.sum("v").alias("s"))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            (F.col("k") / PC_DIM).cast("long").alias("i"),
+            (F.col("k") % PC_DIM).alias("j"),
+            F.round(F.col("s") / F.col("n"), 8).alias("c"),
+        )
+    )
+    v = spark.range(PC_DIM).select(
+        F.col("id").alias("j"),
+        F.when(F.col("id") == 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("vj"),
+    )
+    for _ in range(PC_ITERS):
+        w = (
+            cov.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(F.round(F.sum(F.col("c") * F.col("vj")), 8).alias("w"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            F.col("i").alias("j"), F.round(F.col("w") / F.col("nrm"), 8).alias("vj")
+        )
+    lam = (
+        cov.join(F.broadcast(v), "j")
+        .groupBy("i")
+        .agg(F.round(F.sum(F.col("c") * F.col("vj")), 8).alias("w"))
+        .agg(F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), 6).alias("eigval"))
+    )
+    tr = cov.filter(F.col("i") == F.col("j")).agg(F.sum("c").alias("trace"))
+    sgn = (
+        v.orderBy(F.abs(F.col("vj")).desc(), "j")
+        .limit(1)
+        .select(F.when(F.col("vj") >= 0, F.lit(1)).otherwise(F.lit(-1)).alias("s"))
+    )
+    return (
+        v.crossJoin(F.broadcast(sgn))
+        .crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            F.col("j").alias("dim"),
+            F.round(F.col("vj") * F.col("s"), 6).alias("loading"),
+            "eigval",
+            F.round(F.col("eigval") / F.col("trace"), 6).alias("explained_share"),
+        )
+        .orderBy("dim")
+    )

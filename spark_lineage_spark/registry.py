@@ -327,6 +327,7 @@ _VERIFY_AFTER = [
     # driver-sim green at registration; first official row round 12)
     "llm_tokenizer_fertility",
     "ts_mann_kendall",
+    "llm_embedding_top_pc",
 ]
 
 

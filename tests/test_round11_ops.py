@@ -184,6 +184,37 @@ def test_mann_kendall_matches_bruteforce(spark):
     assert abs(float(got["z"]) - round(z, 6)) < 1e-6
 
 
+def test_embedding_top_pc_matches_numpy_replay(spark):
+    """llm_embedding_top_pc must equal numpy's replay of the identical
+    rounded 3-round power iteration (independent implementation of the
+    same algorithm), and the iterate must be unit-norm."""
+    import numpy as np
+    import pandas as pd
+
+    got = _load_all()["llm_embedding_top_pc"].builder(spark, SF).toPandas()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")["embedding"]
+    X = np.array(emb.to_list(), dtype="float64")
+    n, d = X.shape
+    mu = np.round(X.mean(axis=0), 6)
+    Xc = X - mu
+    C = np.round(Xc.T @ Xc / n, 8)
+    v = np.zeros(d)
+    v[0] = 1.0
+    for _ in range(3):
+        w = np.round(C @ v, 8)
+        v = np.round(w / np.sqrt((w * w).sum()), 8)
+    lam = round(float(np.sqrt((np.round(C @ v, 8) ** 2).sum())), 6)
+    trace = float(np.diag(C).sum())
+    s = 1 if v[np.lexsort((np.arange(d), -np.abs(v)))[0]] >= 0 else -1
+    loadings = np.round(v * s, 6)
+
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-6
+    assert list(got["dim"]) == list(range(d))
+    np.testing.assert_allclose(got["loading"].to_numpy(), loadings, atol=2e-6)
+    assert abs(float(got["eigval"].iloc[0]) - lam) < 2e-6
+    assert abs(float(got["explained_share"].iloc[0]) - round(lam / trace, 6)) < 2e-6
+
+
 def test_ivf_oracle_literals_are_double_in_duckdb():
     """The pinned centroid literals are rendered %.17e so DuckDB types
     them DOUBLE (a bare decimal literal would be DECIMAL and round);

@@ -3997,3 +3997,91 @@ def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# Flesch readability per source (round 11): exact integer word /
+# syllable / sentence counts per doc (all JVM-side higher-order
+# functions), summed per source, closed by rounded double formulas.
+_READABILITY_ORACLE = """
+WITH per AS (
+  SELECT source,
+         len(list_filter(string_split_regex(text, '[^a-z]+'), x -> x <> '')) AS w,
+         COALESCE(list_aggregate(list_transform(
+             list_filter(string_split_regex(text, '[^a-z]+'), x -> x <> ''),
+             x -> greatest(1, len(regexp_extract_all(x, '[aeiouy]+')))), 'sum'), 0) AS sy,
+         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS s
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(w) AS BIGINT) AS total_words,
+       CAST(sum(sy) AS BIGINT) AS total_syllables,
+       round(CAST(sum(w) AS DOUBLE)/sum(s), 6) AS words_per_sentence,
+       round(CAST(sum(sy) AS DOUBLE)/sum(w), 6) AS syllables_per_word,
+       round(206.835 - 1.015*CAST(sum(w) AS DOUBLE)/sum(s)
+                     - 84.6*CAST(sum(sy) AS DOUBLE)/sum(w), 6) AS flesch_reading_ease,
+       round(0.39*CAST(sum(w) AS DOUBLE)/sum(s)
+             + 11.8*CAST(sum(sy) AS DOUBLE)/sum(w) - 15.59, 6) AS fk_grade
+FROM per GROUP BY source ORDER BY source
+"""
+
+
+@query(
+    "llm_text_readability",
+    "§2.21 Flesch readability per source (reading ease + FK grade from exact counts)",
+    _READABILITY_ORACLE,
+)
+def llm_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per source — the
+    classic corpus-mix readability audit (pretraining mixes monitor
+    FK-grade drift per domain; instruction sets screen for grade-level
+    targets).  Syllables use the standard vowel-group approximation
+    (runs of [aeiouy], floor 1 per word — the textstat convention);
+    sentences are terminal-punctuation runs with the textstat
+    max(1, n) floor, so the unpunctuated fixture degrades honestly to
+    one-sentence docs instead of dividing by zero.  Every per-doc
+    counter is an exact integer computed by JVM higher-order functions
+    (filter/aggregate over split arrays + regexp_extract_all — no
+    explode, no UDF), per-source sums are exact, and the two formulas
+    are single rounded double expressions with identical operation
+    order in both engines.
+
+    Shape at any SF: one map-side pass over documents computing three
+    integer counters per row array-locally, then an algebraic hash
+    aggregate onto |sources| rows — the corpus never shuffles and
+    partial sums merge, so 100 TB costs exactly one scan."""
+    d = load(spark, sf_dir, "documents")
+    words = "filter(split(text, '[^a-z]+'), x -> x != '')"
+    per = d.select(
+        "source",
+        F.expr(f"size({words})").cast("bigint").alias("w"),
+        F.expr(
+            f"aggregate({words}, 0L, (a, x) -> "
+            "a + greatest(1L, cast(size(regexp_extract_all(x, '[aeiouy]+', 0)) as bigint)))"
+        ).alias("sy"),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.regexp_count("text", F.lit(r"[.!?]+")).cast("bigint"),
+        ).alias("s"),
+    )
+    sw = F.sum("w").cast("double")
+    ss = F.sum("s")
+    ssy = F.sum("sy").cast("double")
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("w").cast("bigint").alias("total_words"),
+            F.sum("sy").cast("bigint").alias("total_syllables"),
+            F.round(sw / ss, 6).alias("words_per_sentence"),
+            F.round(ssy / F.sum("w"), 6).alias("syllables_per_word"),
+            F.round(
+                F.lit(206.835) - F.lit(1.015) * (sw / ss) - F.lit(84.6) * (ssy / F.sum("w")),
+                6,
+            ).alias("flesch_reading_ease"),
+            F.round(
+                F.lit(0.39) * (sw / ss) + F.lit(11.8) * (ssy / F.sum("w")) - F.lit(15.59),
+                6,
+            ).alias("fk_grade"),
+        )
+        .orderBy("source")
+    )

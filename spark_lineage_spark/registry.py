@@ -328,6 +328,7 @@ _VERIFY_AFTER = [
     "llm_tokenizer_fertility",
     "ts_mann_kendall",
     "llm_embedding_top_pc",
+    "llm_text_readability",
 ]
 
 

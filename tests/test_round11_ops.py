@@ -270,3 +270,43 @@ def test_transitive_closure_drops_scoped_view(spark):
     assert leftovers == [], leftovers
     rows = [tuple(r) for r in df.collect()]
     assert ("nation", "hop2_out", 2) in rows, rows
+
+
+def test_readability_matches_pandas(spark):
+    import re as _re
+
+    import pandas as pd
+
+    got = _load_all()["llm_text_readability"].builder(spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    word_pat = _re.compile(r"[^a-z]+")
+    syl_pat = _re.compile(r"[aeiouy]+")
+    sent_pat = _re.compile(r"[.!?]+")
+    rows = []
+    for src, g in docs.groupby("source"):
+        w = sy = s = 0
+        for t in g["text"]:
+            ws = [x for x in word_pat.split(t) if x]
+            w += len(ws)
+            sy += sum(max(1, len(syl_pat.findall(x))) for x in ws)
+            s += max(1, len(sent_pat.findall(t)))
+        rows.append(
+            (
+                src,
+                len(g),
+                w,
+                sy,
+                round(w / s, 6),
+                round(sy / w, 6),
+                round(206.835 - 1.015 * w / s - 84.6 * sy / w, 6),
+                round(0.39 * w / s + 11.8 * sy / w - 15.59, 6),
+            )
+        )
+    ref = (
+        pd.DataFrame(rows, columns=list(got.columns))
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), ref, check_dtype=False, atol=1e-9
+    )

@@ -4925,3 +4925,69 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     day count, not the row count."""
     register_views(spark, sf_dir, ["orders"])
     return spark.sql(_MANN_KENDALL_SQL)
+
+
+# Mutual information between two categorical order columns (round 11):
+# one shared SQL text — the contingency table and marginals are exact
+# integers; MI, the two entropies, and the sqrt-normalized NMI are
+# closing double expressions over the |statuses| x |priorities| grid
+# (the stats_kl_divergence small-cell-sum precedent).
+_MUTUAL_INFO_SQL = """
+WITH jt AS (
+  SELECT o_orderstatus AS x, o_orderpriority AS y,
+         CAST(count(*) AS BIGINT) AS c
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+),
+n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM jt),
+mx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM jt GROUP BY x),
+my AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM jt GROUP BY y),
+mi AS (
+  SELECT CAST(max(n.n) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_cells,
+         round(sum((CAST(jt.c AS DOUBLE) / n.n)
+                   * ln(CAST(jt.c AS DOUBLE) * n.n
+                        / (CAST(mx.cx AS DOUBLE) * my.cy))), 6) AS mi_nats
+  FROM jt JOIN mx ON jt.x = mx.x JOIN my ON jt.y = my.y CROSS JOIN n
+),
+hx AS (
+  SELECT round(-sum((CAST(cx AS DOUBLE) / n.n)
+                    * ln(CAST(cx AS DOUBLE) / n.n)), 6) AS h
+  FROM mx CROSS JOIN n
+),
+hy AS (
+  SELECT round(-sum((CAST(cy AS DOUBLE) / n.n)
+                    * ln(CAST(cy AS DOUBLE) / n.n)), 6) AS h
+  FROM my CROSS JOIN n
+)
+SELECT mi.n_rows AS n_rows, mi.n_cells AS n_cells, mi.mi_nats AS mi_nats,
+       hx.h AS h_x_nats, hy.h AS h_y_nats,
+       round(mi.mi_nats / sqrt(hx.h * hy.h), 6) AS nmi_sqrt
+FROM mi CROSS JOIN hx CROSS JOIN hy
+"""
+
+
+@query(
+    "stats_mutual_info",
+    "§2.21 mutual information + sqrt-normalized NMI between two categorical columns",
+    _MUTUAL_INFO_SQL,
+)
+def stats_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) and sqrt-normalized NMI between order
+    status and order priority — the information-theoretic dependence
+    audit that complements stats_chi_square's significance test: chi2
+    answers "is there ANY association", MI answers "HOW MANY bits does
+    one column carry about the other", and NMI = MI / sqrt(H(X)H(Y))
+    rescales it to [0,1] for cross-pair comparison (the feature-
+    selection / leakage-screen convention).  The contingency table and
+    both marginals are exact integer counts; MI and the entropies are
+    closing double sums over the |statuses| x |priorities| grid (~15
+    cells — the stats_kl_divergence small-cell precedent), each rounded
+    to 6 before the final normalized division.  One shared SQL text
+    runs in both engines.
+
+    Shape at any SF: one scan of orders partial-aggs map-side onto the
+    tiny contingency table; everything downstream (marginals, entropy,
+    MI) is metadata-scale joins over <20 rows, so 100 TB costs exactly
+    one scan and a constant-size finish."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_MUTUAL_INFO_SQL)

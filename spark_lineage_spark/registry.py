@@ -329,6 +329,7 @@ _VERIFY_AFTER = [
     "ts_mann_kendall",
     "llm_embedding_top_pc",
     "llm_text_readability",
+    "stats_mutual_info",
 ]
 
 

@@ -310,3 +310,31 @@ def test_readability_matches_pandas(spark):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), ref, check_dtype=False, atol=1e-9
     )
+
+
+def test_mutual_info_matches_numpy(spark):
+    import math
+
+    import pandas as pd
+
+    got = _load_all()["stats_mutual_info"].builder(spark, SF).toPandas().iloc[0]
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    ct = orders.groupby(["o_orderstatus", "o_orderpriority"]).size()
+    n = ct.sum()
+    px = ct.groupby(level=0).sum() / n
+    py = ct.groupby(level=1).sum() / n
+    mi = sum(
+        (c / n) * math.log((c / n) / (px[x] * py[y]))
+        for (x, y), c in ct.items()
+    )
+    hx = -sum(p * math.log(p) for p in px)
+    hy = -sum(p * math.log(p) for p in py)
+    assert got["n_rows"] == n
+    assert got["n_cells"] == len(ct)
+    assert abs(got["mi_nats"] - mi) < 1e-5
+    assert abs(got["h_x_nats"] - hx) < 1e-5
+    assert abs(got["h_y_nats"] - hy) < 1e-5
+    assert abs(got["nmi_sqrt"] - mi / math.sqrt(hx * hy)) < 1e-5
+    # MI is bounded by min(H(X), H(Y)); NMI in [0, 1]
+    assert 0 <= got["mi_nats"] <= min(hx, hy) + 1e-9
+    assert 0 <= got["nmi_sqrt"] <= 1

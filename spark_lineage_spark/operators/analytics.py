@@ -4991,3 +4991,96 @@ def stats_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     one scan and a constant-size finish."""
     register_views(spark, sf_dir, ["orders"])
     return spark.sql(_MUTUAL_INFO_SQL)
+
+
+# Granger causality, one lag (round 11): does yesterday's ORDER COUNT
+# improve today's REVENUE forecast beyond yesterday's revenue?  One
+# shared SQL text: the ten moment sums are EXACT (bigint products
+# summed as DECIMAL(38,0) — order-free), cast to double only for the
+# closed-form restricted/unrestricted OLS solve and the F statistic
+# (the stats_ols_two_feature normal-equation precedent).
+_GRANGER_SQL = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(count(*) AS BIGINT) AS x,
+         CAST(sum(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS BIGINT) AS y
+  FROM orders GROUP BY o_orderdate
+),
+lagged AS (
+  SELECT y, lag(y) OVER (ORDER BY d) AS z1, lag(x) OVER (ORDER BY d) AS z2
+  FROM daily
+),
+r AS (SELECT y, z1, z2 FROM lagged WHERE z1 IS NOT NULL),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(z1 AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(z2 AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+         CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(z1 * z1 AS DECIMAL(38,0))) AS DOUBLE) AS s11,
+         CAST(sum(CAST(z2 * z2 AS DECIMAL(38,0))) AS DOUBLE) AS s22,
+         CAST(sum(CAST(z1 * z2 AS DECIMAL(38,0))) AS DOUBLE) AS s12,
+         CAST(sum(CAST(z1 * y AS DECIMAL(38,0))) AS DOUBLE) AS s1y,
+         CAST(sum(CAST(z2 * y AS DECIMAL(38,0))) AS DOUBLE) AS s2y
+  FROM r
+),
+c AS (
+  SELECT n, CAST(n AS DOUBLE) AS dn,
+         syy - sy * sy / n AS cyy,
+         s11 - s1 * s1 / n AS c11,
+         s22 - s2 * s2 / n AS c22,
+         s12 - s1 * s2 / n AS c12,
+         s1y - s1 * sy / n AS c1y,
+         s2y - s2 * sy / n AS c2y
+  FROM m
+),
+fit AS (
+  SELECT n,
+         cyy - (c1y / c11) * c1y AS rss_r,
+         cyy - ((c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12)) * c1y
+             - ((c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12)) * c2y AS rss_u,
+         (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
+         (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
+  FROM c
+)
+SELECT n AS n_obs,
+       round(b1, 6) AS beta_y_lag,
+       round(b2, 6) AS beta_x_lag,
+       round(rss_r / 10000, 2) AS rss_restricted_usd2,
+       round(rss_u / 10000, 2) AS rss_unrestricted_usd2,
+       round((rss_r - rss_u) / (rss_u / (n - 3)), 6) AS f_stat,
+       CAST(CASE WHEN (rss_r - rss_u) / (rss_u / (n - 3)) > 3.841459
+                 THEN 1 ELSE 0 END AS BIGINT) AS rejects_at_05
+FROM fit
+"""
+
+
+@query(
+    "ts_granger_causality",
+    "§2.21 one-lag Granger causality F-test (order count -> revenue) via exact-moment OLS",
+    _GRANGER_SQL,
+)
+def ts_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-lag Granger causality test — does yesterday's order COUNT
+    carry predictive information about today's REVENUE beyond
+    yesterday's revenue itself?  Fits the restricted AR(1) model
+    y_t ~ 1 + y_{t-1} and the unrestricted y_t ~ 1 + y_{t-1} + x_{t-1}
+    by closed-form centered normal equations, then
+    F = (RSS_r - RSS_u) / (RSS_u / (n-3)) with (1, n-3) df; the
+    rejects_at_05 flag compares against the df2→∞ critical value
+    3.841459 (chi-square(1) bound — exact enough at ~2400 daily obs).
+    The ten moment sums are EXACT: daily revenue is an integer cent
+    sum, daily count an integer, lags of integers are integers, and
+    every product (bounded ~1e14 at this fixture's daily magnitudes,
+    well under 2^63; a 100 TB corpus would lift the cent quantum the
+    way the OLS precedent documents) sums order-free as DECIMAL(38,0)
+    before ONE cast to double — so both engines feed bit-identical
+    doubles into the identical closed-form expressions and round-6/2
+    closes the hash gate.
+
+    Shape at any SF: orders partial-aggs map-side to the CALENDAR-
+    bounded daily table (the only pass over facts); the lag window and
+    the moment aggregate run over ~2400 rows — metadata-scale
+    regardless of corpus size, same as ts_mann_kendall."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_GRANGER_SQL)

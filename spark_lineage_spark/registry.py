@@ -330,6 +330,7 @@ _VERIFY_AFTER = [
     "llm_embedding_top_pc",
     "llm_text_readability",
     "stats_mutual_info",
+    "ts_granger_causality",
 ]
 
 

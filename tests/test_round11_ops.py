@@ -338,3 +338,37 @@ def test_mutual_info_matches_numpy(spark):
     # MI is bounded by min(H(X), H(Y)); NMI in [0, 1]
     assert 0 <= got["mi_nats"] <= min(hx, hy) + 1e-9
     assert 0 <= got["nmi_sqrt"] <= 1
+
+
+def test_granger_matches_numpy_ols(spark):
+    import numpy as np
+    import pandas as pd
+
+    got = _load_all()["ts_granger_causality"].builder(spark, SF).toPandas().iloc[0]
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = (orders["o_totalprice"] * 100).round().astype("int64")
+    daily = (
+        pd.DataFrame({"d": orders["o_orderdate"], "y": cents, "x": 1})
+        .groupby("d")
+        .agg(y=("y", "sum"), x=("x", "count"))
+        .sort_index()
+    )
+    y = daily["y"].to_numpy(dtype=float)[1:]
+    z1 = daily["y"].to_numpy(dtype=float)[:-1]
+    z2 = daily["x"].to_numpy(dtype=float)[:-1]
+    n = len(y)
+
+    def rss(X):
+        b, res, *_ = np.linalg.lstsq(X, y, rcond=None)
+        return float(((y - X @ b) ** 2).sum()), b
+
+    ones = np.ones_like(y)
+    rss_r, _ = rss(np.column_stack([ones, z1]))
+    rss_u, bu = rss(np.column_stack([ones, z1, z2]))
+    f = (rss_r - rss_u) / (rss_u / (n - 3))
+    assert got["n_obs"] == n
+    assert abs(got["f_stat"] - f) < 1e-3
+    assert abs(got["beta_y_lag"] - bu[1]) < 1e-5
+    assert abs(got["beta_x_lag"] - bu[2]) < max(1e-5 * abs(bu[2]), 1e-5)
+    assert abs(got["rss_restricted_usd2"] - rss_r / 1e4) < 1e-4 * rss_r / 1e4
+    assert got["rejects_at_05"] == (1 if f > 3.841459 else 0)

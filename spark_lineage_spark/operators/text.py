@@ -4085,3 +4085,85 @@ def llm_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Pairwise Jensen-Shannon divergence between per-source unigram
+# distributions (round 11).  Template SQL: only the tokenizer spelling
+# differs between engines (explode(split()) vs unnest(string_split()));
+# counts and totals are exact integers, and the per-pair JS sum runs
+# over the shared vocabulary (~31 tokens on this fixture — the
+# stats_kl_divergence small-cell-sum precedent).  Missing-token mass is
+# closed algebraically: a token present only in P contributes
+# 0.5 * p * ln 2, so JSD = js_shared + 0.5 ln2 * ((1-Σp) + (1-Σq))
+# needs only an INNER token join plus per-source totals — no per-pair
+# full outer join, no vocab grid.
+_JSD_SQL = """
+WITH tok AS (
+  SELECT source, {tokens} AS token FROM documents
+),
+dist AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY source, token
+),
+tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM dist GROUP BY source),
+p AS (
+  SELECT d.source, d.token, CAST(d.c AS DOUBLE) / t.n AS p
+  FROM dist d JOIN tot t ON d.source = t.source
+),
+shared AS (
+  SELECT a.source AS sa, b.source AS sb,
+         sum(0.5 * (a.p * ln(2 * a.p / (a.p + b.p))
+                  + b.p * ln(2 * b.p / (a.p + b.p)))) AS js_shared,
+         sum(a.p) AS pa_shared, sum(b.p) AS pb_shared,
+         CAST(count(*) AS BIGINT) AS n_shared_tokens
+  FROM p a JOIN p b ON a.token = b.token AND a.source < b.source
+  GROUP BY a.source, b.source
+),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM tot a JOIN tot b ON a.source < b.source
+)
+SELECT pr.sa AS source_a, pr.sb AS source_b,
+       COALESCE(s.n_shared_tokens, 0) AS n_shared_tokens,
+       round(COALESCE(s.js_shared, 0)
+             + 0.5 * ln(2) * ((1 - COALESCE(s.pa_shared, 0))
+                              + (1 - COALESCE(s.pb_shared, 0))), 6) AS jsd_nats,
+       round((COALESCE(s.js_shared, 0)
+              + 0.5 * ln(2) * ((1 - COALESCE(s.pa_shared, 0))
+                               + (1 - COALESCE(s.pb_shared, 0)))) / ln(2), 6)
+         AS jsd_norm
+FROM pairs pr LEFT JOIN shared s ON pr.sa = s.sa AND pr.sb = s.sb
+ORDER BY source_a, source_b
+"""
+
+
+@query(
+    "llm_source_js_divergence",
+    "§2.21 pairwise Jensen-Shannon divergence between source unigram distributions",
+    _JSD_SQL.format(tokens="unnest(string_split(text, ' '))"),
+)
+def llm_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    distributions — the DISTRIBUTIONAL mixing audit that complements
+    llm_source_overlap_matrix's set-overlap view: overlap asks "do the
+    sources share vocabulary", JSD asks "do they USE it at the same
+    rates" (symmetric, bounded by ln 2, and the standard domain-mix
+    distance in pretraining-mixture papers).  jsd_norm rescales to
+    [0,1] by /ln 2.  Token counts and per-source totals are exact
+    integers; the per-pair sum runs over the shared vocabulary
+    (small-cell precedent), and mass present in only one source is
+    closed ALGEBRAICALLY (0.5·p·ln2 per one-sided token, i.e.
+    0.5·ln2·((1-Σp)+(1-Σq)) per pair) — so the plan needs only an
+    inner token join plus totals: no per-pair full outer join, no
+    vocab×sources grid, and pairs that share nothing still emit ln 2
+    via the LEFT JOIN from the pair spine.
+
+    Shape at any SF: the corpus tokenizes map-side and partial-aggs
+    onto the |sources|x|vocab| dist table — the ONLY corpus-size work;
+    the token self-join and the |sources|^2/2 pair finish are
+    metadata-scale (dist rows, not docs).  At 100 TB with a real
+    open vocabulary the dist table grows with vocab, not corpus, and
+    the join keys on token — the classic skew key is stopwords, which
+    is exactly the per-source p table, already one row per source."""
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(_JSD_SQL.format(tokens="explode(split(text, ' '))"))

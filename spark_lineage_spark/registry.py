@@ -331,6 +331,7 @@ _VERIFY_AFTER = [
     "llm_text_readability",
     "stats_mutual_info",
     "ts_granger_causality",
+    "llm_source_js_divergence",
 ]
 
 

@@ -372,3 +372,41 @@ def test_granger_matches_numpy_ols(spark):
     assert abs(got["beta_x_lag"] - bu[2]) < max(1e-5 * abs(bu[2]), 1e-5)
     assert abs(got["rss_restricted_usd2"] - rss_r / 1e4) < 1e-4 * rss_r / 1e4
     assert got["rejects_at_05"] == (1 if f > 3.841459 else 0)
+
+
+def test_jsd_matches_numpy(spark):
+    import math
+
+    import pandas as pd
+
+    got = _load_all()["llm_source_js_divergence"].builder(spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    dists = {}
+    for src, g in docs.groupby("source"):
+        cnt = {}
+        for t in g["text"]:
+            for w in t.split(" "):
+                cnt[w] = cnt.get(w, 0) + 1
+        n = sum(cnt.values())
+        dists[src] = {w: c / n for w, c in cnt.items()}
+    srcs = sorted(dists)
+    rows = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            pa, pb = dists[a], dists[b]
+            jsd = 0.0
+            for w in set(pa) | set(pb):
+                p, q, m = pa.get(w, 0.0), pb.get(w, 0.0), (pa.get(w, 0.0) + pb.get(w, 0.0)) / 2
+                if p:
+                    jsd += 0.5 * p * math.log(p / m)
+                if q:
+                    jsd += 0.5 * q * math.log(q / m)
+            rows.append((a, b, len(set(pa) & set(pb)), jsd, jsd / math.log(2)))
+    ref = pd.DataFrame(
+        rows, columns=list(got.columns)
+    ).sort_values(["source_a", "source_b"]).reset_index(drop=True)
+    g2 = got.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g2, ref, check_dtype=False, atol=1e-5)
+    # JSD bounds: [0, ln 2]; jsd_norm in [0, 1]
+    assert (got["jsd_nats"] >= 0).all() and (got["jsd_nats"] <= math.log(2) + 1e-9).all()
+    assert (got["jsd_norm"] >= 0).all() and (got["jsd_norm"] <= 1).all()

@@ -5084,3 +5084,111 @@ def ts_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of corpus size, same as ts_mann_kendall."""
     register_views(spark, sf_dir, ["orders"])
     return spark.sql(_GRANGER_SQL)
+
+
+# Krippendorff's alpha, nominal data (round 11): three deterministic
+# tercile "raters" over documents (character count / word count /
+# distinct-word count), coincidence algebra kept EXACT by working in
+# doubled integer units (T_o2 = sum_u (9 - sum_c n_uc^2) is twice the
+# off-diagonal coincidence mass for m=3 raters), closed by one rounded
+# double expression.  Template SQL: only percentile_disc / quantile_disc
+# and the word-count spelling differ (the llm_judge_agreement pattern).
+_KRIPP_SQL = """
+WITH f AS (
+  SELECT doc_id, n_chars AS va, {wc} AS vb, {dc} AS vc FROM documents
+),
+cuts AS (
+  SELECT {pa1} AS a1, {pa2} AS a2, {pb1} AS b1, {pb2} AS b2,
+         {pc1} AS c1, {pc2} AS c2
+  FROM f
+),
+lab AS (
+  SELECT CASE WHEN va <= a1 THEN 0 WHEN va <= a2 THEN 1 ELSE 2 END AS la,
+         CASE WHEN vb <= b1 THEN 0 WHEN vb <= b2 THEN 1 ELSE 2 END AS lb,
+         CASE WHEN vc <= c1 THEN 0 WHEN vc <= c2 THEN 1 ELSE 2 END AS lc
+  FROM f CROSS JOIN cuts
+),
+unit AS (
+  SELECT CAST(CASE WHEN la = 0 THEN 1 ELSE 0 END
+            + CASE WHEN lb = 0 THEN 1 ELSE 0 END
+            + CASE WHEN lc = 0 THEN 1 ELSE 0 END AS BIGINT) AS n0,
+         CAST(CASE WHEN la = 1 THEN 1 ELSE 0 END
+            + CASE WHEN lb = 1 THEN 1 ELSE 0 END
+            + CASE WHEN lc = 1 THEN 1 ELSE 0 END AS BIGINT) AS n1,
+         CAST(CASE WHEN la = 2 THEN 1 ELSE 0 END
+            + CASE WHEN lb = 2 THEN 1 ELSE 0 END
+            + CASE WHEN lc = 2 THEN 1 ELSE 0 END AS BIGINT) AS n2
+  FROM lab
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_units,
+         CAST(sum(9 - (n0 * n0 + n1 * n1 + n2 * n2)) AS BIGINT) AS t_o2,
+         CAST(sum(n0) AS BIGINT) AS m0,
+         CAST(sum(n1) AS BIGINT) AS m1,
+         CAST(sum(n2) AS BIGINT) AS m2
+  FROM unit
+)
+SELECT n_units,
+       3 * n_units AS n_values,
+       m0 AS n_label0, m1 AS n_label1, m2 AS n_label2,
+       round(CAST(t_o2 AS DOUBLE) / (2 * (3 * n_units)), 6) AS d_observed,
+       round((CAST(3 * n_units AS DOUBLE) * (3 * n_units)
+              - (CAST(m0 AS DOUBLE) * m0 + CAST(m1 AS DOUBLE) * m1
+                 + CAST(m2 AS DOUBLE) * m2))
+             / (CAST(3 * n_units AS DOUBLE) * (3 * n_units - 1)), 6) AS d_expected,
+       round(1 - (CAST(t_o2 AS DOUBLE) * (3 * n_units - 1))
+                 / (2 * (CAST(3 * n_units AS DOUBLE) * (3 * n_units)
+                         - (CAST(m0 AS DOUBLE) * m0 + CAST(m1 AS DOUBLE) * m1
+                            + CAST(m2 AS DOUBLE) * m2))), 6)
+         AS krippendorff_alpha
+FROM s
+"""
+
+_KRIPP_SPARK_FMT = dict(
+    wc="size(split(text, ' '))",
+    dc="size(array_distinct(split(text, ' ')))",
+    **{
+        f"p{r}{i}": f"percentile_disc({q}) WITHIN GROUP (ORDER BY v{r})"
+        for r in ("a", "b", "c")
+        for i, q in ((1, "1.0/3"), (2, "2.0/3"))
+    },
+)
+_KRIPP_DUCK_FMT = dict(
+    wc="len(string_split(text, ' '))",
+    dc="len(list_distinct(string_split(text, ' ')))",
+    **{
+        f"p{r}{i}": f"quantile_disc(v{r}, {q})"
+        for r in ("a", "b", "c")
+        for i, q in ((1, "1.0/3"), (2, "2.0/3"))
+    },
+)
+
+
+@query(
+    "stats_krippendorff_alpha",
+    "§2.21 Krippendorff's alpha (nominal, 3 raters) via exact coincidence algebra",
+    _KRIPP_SQL.format(**_KRIPP_DUCK_FMT),
+)
+def stats_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha for nominal data — the multi-rater
+    generalization of llm_judge_agreement's Cohen's kappa (kappa stops
+    at 2 raters; alpha is the standard when an eval panel has 3+
+    annotators).  Three deterministic document judges each assign a
+    tercile label through a different length proxy (character count,
+    whitespace word count, distinct-word count — correlated but not
+    identical signals, so alpha lands strictly between 0 and 1), using
+    the pinned percentile_disc convention for the cuts.  The
+    coincidence algebra stays EXACT by doubling: for m=3 raters the
+    off-diagonal coincidence mass of unit u is (9 - sum_c n_uc^2)/2,
+    so T_o2 = sum_u (9 - sum_c n_uc^2) is an exact integer, marginals
+    are exact integer sums, and alpha = 1 - T_o2(N-1) / (2(N^2 -
+    sum_c m_c^2)) with N = 3n closes in ONE rounded double expression
+    (squares go through doubles to dodge the 2^63 bound at 1e9+ docs).
+
+    Shape at any SF: one scan computes the three per-doc integers
+    map-side; the six tercile cuts are two percentile passes (the
+    llm_judge_agreement two-pass shape); labeling + the unit algebra
+    is a second map-side pass partial-aggregating onto ONE moment row
+    — the corpus never shuffles."""
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(_KRIPP_SQL.format(**_KRIPP_SPARK_FMT))

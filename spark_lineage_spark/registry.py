@@ -332,6 +332,7 @@ _VERIFY_AFTER = [
     "stats_mutual_info",
     "ts_granger_causality",
     "llm_source_js_divergence",
+    "stats_krippendorff_alpha",
 ]
 
 

@@ -410,3 +410,43 @@ def test_jsd_matches_numpy(spark):
     # JSD bounds: [0, ln 2]; jsd_norm in [0, 1]
     assert (got["jsd_nats"] >= 0).all() and (got["jsd_nats"] <= math.log(2) + 1e-9).all()
     assert (got["jsd_norm"] >= 0).all() and (got["jsd_norm"] <= 1).all()
+
+
+def test_krippendorff_matches_hand_replay(spark):
+    import pandas as pd
+
+    got = _load_all()["stats_krippendorff_alpha"].builder(spark, SF).toPandas().iloc[0]
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    va = docs["n_chars"]
+    vb = docs["text"].map(lambda t: len(t.split(" ")))
+    vc = docs["text"].map(lambda t: len(set(t.split(" "))))
+
+    def terciles(v):
+        s = sorted(v)
+        # percentile_disc: smallest value with cume_dist >= q
+        import math
+        def pd_(q):
+            return s[max(0, math.ceil(q * len(s)) - 1)]
+        t1, t2 = pd_(1 / 3), pd_(2 / 3)
+        return v.map(lambda x: 0 if x <= t1 else (1 if x <= t2 else 2))
+
+    la, lb, lc = terciles(va), terciles(vb), terciles(vc)
+    n = len(docs)
+    t_o2 = 0
+    m = [0, 0, 0]
+    for a, b, c in zip(la, lb, lc):
+        cnt = [0, 0, 0]
+        cnt[a] += 1
+        cnt[b] += 1
+        cnt[c] += 1
+        t_o2 += 9 - sum(x * x for x in cnt)
+        for i in range(3):
+            m[i] += cnt[i]
+    N = 3 * n
+    alpha = 1 - (t_o2 * (N - 1)) / (2 * (N * N - sum(x * x for x in m)))
+    assert got["n_units"] == n and got["n_values"] == N
+    assert [got["n_label0"], got["n_label1"], got["n_label2"]] == m
+    assert abs(got["krippendorff_alpha"] - alpha) < 1e-6
+    # alpha must sit strictly between chance (0) and perfect (1) for
+    # three correlated-but-distinct judges
+    assert 0.05 < got["krippendorff_alpha"] < 0.99

@@ -1649,7 +1649,10 @@ PC_DIM = 64  # fixture embedding width (the PQ 4x16 layout pins this too)
 PC_ITERS = 3  # unrolled power-iteration rounds
 
 
-def _top_pc_oracle() -> str:
+def _power_oracle_prefix() -> str:
+    """Shared DuckDB CTE prefix replaying _power_iteration_parts:
+    e/ex/mu/cx/n/cov + the PC_ITERS unrolled rounds (v0..v{N}) and the
+    sgn canonicalizer — reused by the top-PC and ABTT oracles."""
     it = """,
     w{k} AS (
       SELECT i, round(sum(c * vj), 8) AS w
@@ -1679,16 +1682,20 @@ def _top_pc_oracle() -> str:
     v0 AS (SELECT range AS j, CASE WHEN range = 0 THEN CAST(1 AS DOUBLE)
                                    ELSE CAST(0 AS DOUBLE) END AS vj
            FROM range({PC_DIM})){iters},
+    sgn AS (
+      SELECT CASE WHEN vj >= 0 THEN 1 ELSE -1 END AS s
+      FROM v{PC_ITERS} ORDER BY abs(vj) DESC, j LIMIT 1
+    )"""
+
+
+def _top_pc_oracle() -> str:
+    return _power_oracle_prefix() + f""",
     lam AS (
       SELECT round(sqrt(sum(w * w)), 6) AS eigval
       FROM (SELECT round(sum(c * vj), 8) AS w
             FROM cov JOIN v{PC_ITERS} ON cov.j = v{PC_ITERS}.j GROUP BY i)
     ),
-    tr AS (SELECT sum(c) AS trace FROM cov WHERE i = j),
-    sgn AS (
-      SELECT CASE WHEN vj >= 0 THEN 1 ELSE -1 END AS s
-      FROM v{PC_ITERS} ORDER BY abs(vj) DESC, j LIMIT 1
-    )
+    tr AS (SELECT sum(c) AS trace FROM cov WHERE i = j)
     SELECT v.j AS dim, round(v.vj * sgn.s, 6) AS loading,
            lam.eigval AS eigval,
            round(lam.eigval / tr.trace, 6) AS explained_share
@@ -1730,6 +1737,36 @@ def llm_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _parallel_corpus(
         spark, load(spark, sf_dir, "embeddings")
     ).select("vec_id", to_double_array("embedding").alias("emb"))
+    mu, cov, v, sgn = _power_iteration_parts(spark, e)
+    lam = (
+        cov.join(F.broadcast(v), "j")
+        .groupBy("i")
+        .agg(F.round(F.sum(F.col("c") * F.col("vj")), 8).alias("w"))
+        .agg(F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), 6).alias("eigval"))
+    )
+    tr = cov.filter(F.col("i") == F.col("j")).agg(F.sum("c").alias("trace"))
+    return (
+        v.crossJoin(F.broadcast(sgn))
+        .crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            F.col("j").alias("dim"),
+            F.round(F.col("vj") * F.col("s"), 6).alias("loading"),
+            "eigval",
+            F.round(F.col("eigval") / F.col("trace"), 6).alias("explained_share"),
+        )
+        .orderBy("dim")
+    )
+
+
+def _power_iteration_parts(spark, e):
+    """Shared top-PC pipeline (SURVEY §2.21): per-dim rounded mean,
+    dim x dim rounded covariance built from per-row JVM-side outer
+    products, PC_ITERS unrolled power-iteration rounds, and the sign
+    canonicalizer — the common core of llm_embedding_top_pc (which
+    reports the component) and llm_embedding_abtt (which projects it
+    out per vector).  Returns (mu, cov, v, sgn) DataFrames with every
+    stage rounded exactly as the DuckDB replays expect."""
     ex = e.select("vec_id", F.posexplode("emb").alias("i", "x"))
     mu = ex.groupBy("i").agg(F.round(F.avg("x"), 6).alias("m"))
     cx = ex.join(F.broadcast(mu), "i").select(
@@ -1771,27 +1808,109 @@ def llm_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = w.crossJoin(F.broadcast(nrm)).select(
             F.col("i").alias("j"), F.round(F.col("w") / F.col("nrm"), 8).alias("vj")
         )
-    lam = (
-        cov.join(F.broadcast(v), "j")
-        .groupBy("i")
-        .agg(F.round(F.sum(F.col("c") * F.col("vj")), 8).alias("w"))
-        .agg(F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), 6).alias("eigval"))
-    )
-    tr = cov.filter(F.col("i") == F.col("j")).agg(F.sum("c").alias("trace"))
     sgn = (
         v.orderBy(F.abs(F.col("vj")).desc(), "j")
         .limit(1)
         .select(F.when(F.col("vj") >= 0, F.lit(1)).otherwise(F.lit(-1)).alias("s"))
     )
-    return (
+    return mu, cov, v, sgn
+
+
+def _abtt_oracle() -> str:
+    return _power_oracle_prefix() + f""",
+    mu_arr AS (SELECT list(m ORDER BY i) AS ma FROM mu),
+    v_arr AS (
+      SELECT list(round(vj * sgn.s, 8) ORDER BY j) AS va
+      FROM v{PC_ITERS} CROSS JOIN sgn
+    ),
+    per AS (
+      SELECT vec_id,
+             round(list_sum(list_transform(range(1, {PC_DIM + 1}),
+                   j -> (emb[j] - ma[j]) * va[j])), 8) AS t8,
+             round(list_sum(list_transform(range(1, {PC_DIM + 1}),
+                   j -> (emb[j] - ma[j]) * (emb[j] - ma[j]))), 8) AS c28
+      FROM e CROSS JOIN mu_arr CROSS JOIN v_arr
+    )
+    SELECT vec_id, round(t8, 6) AS coeff,
+           round(sqrt(c28), 6) AS centered_norm,
+           round(sqrt(greatest(0, c28 - t8 * t8)), 6) AS resid_norm,
+           round(t8 * t8 / c28, 6) AS pc_share
+    FROM per ORDER BY abs(t8) DESC, vec_id LIMIT 10
+    """
+
+
+@query(
+    "llm_embedding_abtt",
+    "§2.21 all-but-the-top whitening: per-vector top-PC projection removal (top-10 outliers)",
+    _abtt_oracle(),
+)
+def llm_embedding_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top (ABTT) whitening applied per vector — the
+    postprocessing step that measurably improves similarity search on
+    anisotropic embedding corpora (Mu & Viswanath's recipe: subtract
+    the common mean, project out the dominant component): for each
+    vector, the coefficient t = <emb - mu, v1>, the centered norm, the
+    residual norm after removing t*v1, and the share of centered
+    energy the top PC explains; reported for the 10 vectors MOST
+    aligned with the dominant direction (|t| desc, vec_id tiebreak) —
+    the rows an embedding-QC pass would flag as "common-direction
+    outliers".  Reuses _power_iteration_parts verbatim (same rounded
+    mean / covariance / 3 power rounds / sign canonicalization as
+    llm_embedding_top_pc), so the DuckDB oracle replays the identical
+    unrolled algorithm and every per-vector number closes bit-identical
+    under the hash gate: t and the centered energy are rounded to 8 in
+    both engines before the derived columns, and the in-order per-row
+    fold is the same left-to-right sum both engines use for cosine.
+
+    Shape at any SF: the covariance build is the only corpus-wide work
+    (per-row outer products onto dim^2 partial sums — the corpus never
+    shuffles); mu and the signed component collapse to two broadcast
+    64-element arrays, so the per-vector projection pass is map-side
+    array arithmetic and the global top-10 is a TakeOrdered (per-
+    partition top-10, then a 10-row merge — no full sort)."""
+    e = _parallel_corpus(
+        spark, load(spark, sf_dir, "embeddings")
+    ).select("vec_id", to_double_array("embedding").alias("emb"))
+    mu, cov, v, sgn = _power_iteration_parts(spark, e)
+    mu_arr = mu.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+        ).alias("ma")
+    )
+    v_arr = (
         v.crossJoin(F.broadcast(sgn))
-        .crossJoin(F.broadcast(lam))
-        .crossJoin(F.broadcast(tr))
-        .select(
-            F.col("j").alias("dim"),
-            F.round(F.col("vj") * F.col("s"), 6).alias("loading"),
-            "eigval",
-            F.round(F.col("eigval") / F.col("trace"), 6).alias("explained_share"),
+        .select("j", F.round(F.col("vj") * F.col("s"), 8).alias("vs"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "vs"))), lambda s: s["vs"]
+            ).alias("va")
         )
-        .orderBy("dim")
+    )
+    cemb = F.zip_with(F.col("emb"), F.col("ma"), lambda x, m: x - m)
+    per = (
+        e.crossJoin(F.broadcast(mu_arr))
+        .crossJoin(F.broadcast(v_arr))
+        .select(
+            "vec_id",
+            F.round(dot(cemb, F.col("va")), 8).alias("t8"),
+            F.round(dot(cemb, cemb), 8).alias("c28"),
+        )
+    )
+    return (
+        per.orderBy(F.abs(F.col("t8")).desc(), "vec_id")
+        .limit(10)
+        .select(
+            "vec_id",
+            F.round("t8", 6).alias("coeff"),
+            F.round(F.sqrt("c28"), 6).alias("centered_norm"),
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.lit(0.0), F.col("c28") - F.col("t8") * F.col("t8")
+                    )
+                ),
+                6,
+            ).alias("resid_norm"),
+            F.round(F.col("t8") * F.col("t8") / F.col("c28"), 6).alias("pc_share"),
+        )
     )

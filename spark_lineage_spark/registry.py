@@ -333,6 +333,7 @@ _VERIFY_AFTER = [
     "ts_granger_causality",
     "llm_source_js_divergence",
     "stats_krippendorff_alpha",
+    "llm_embedding_abtt",
 ]
 
 

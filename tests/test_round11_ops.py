@@ -450,3 +450,48 @@ def test_krippendorff_matches_hand_replay(spark):
     # alpha must sit strictly between chance (0) and perfect (1) for
     # three correlated-but-distinct judges
     assert 0.05 < got["krippendorff_alpha"] < 0.99
+
+
+def test_abtt_matches_numpy_replay(spark):
+    import numpy as np
+    import pandas as pd
+
+    got = _load_all()["llm_embedding_abtt"].builder(spark, SF).toPandas()
+    emb = np.stack(
+        pd.read_parquet(f"{SF}/embeddings.parquet")
+        .sort_values("vec_id")["embedding"]
+        .to_numpy()
+    ).astype(np.float64)
+    vec_ids = sorted(pd.read_parquet(f"{SF}/embeddings.parquet")["vec_id"])
+    # replay the identical unrolled algorithm with identical rounding
+    mu = np.round(emb.mean(axis=0), 6)
+    c = emb - mu
+    cov = np.round(c.T @ c / len(emb), 8)
+    v = np.zeros(64)
+    v[0] = 1.0
+    for _ in range(3):
+        w = np.round(cov @ v, 8)
+        v = np.round(w / np.sqrt((w * w).sum()), 8)
+    top = np.argmax(np.abs(v))
+    v = np.round(v * (1 if v[top] >= 0 else -1), 8)
+    t = np.round(c @ v, 8)
+    c2 = np.round((c * c).sum(axis=1), 8)
+    order = sorted(range(len(t)), key=lambda i: (-abs(t[i]), vec_ids[i]))[:10]
+    ref = pd.DataFrame(
+        {
+            "vec_id": [vec_ids[i] for i in order],
+            "coeff": [round(t[i], 6) for i in order],
+            "centered_norm": [round(float(np.sqrt(c2[i])), 6) for i in order],
+            "resid_norm": [
+                round(float(np.sqrt(max(0.0, c2[i] - t[i] * t[i]))), 6)
+                for i in order
+            ],
+            "pc_share": [round(t[i] * t[i] / c2[i], 6) for i in order],
+        }
+    )
+    g = got.sort_values("vec_id").reset_index(drop=True)
+    r = ref.sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, r, check_dtype=False, atol=2e-6)
+    # residual energy must be <= centered energy and shares in [0, 1]
+    assert (got["resid_norm"] <= got["centered_norm"] + 1e-9).all()
+    assert (got["pc_share"] >= 0).all() and (got["pc_share"] <= 1).all()

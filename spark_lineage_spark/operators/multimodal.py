@@ -566,3 +566,129 @@ def llm_multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 addition (SURVEY §2.21): scene-cut detection over video-like
+# blobs — frame-difference segmentation, the shot-boundary primitive a
+# video-training pipeline runs before frame sampling (sample per SHOT,
+# not per fixed stride, or you over-represent static scenes).
+# ---------------------------------------------------------------------------
+
+SCENE_FRAME_BYTES = 64  # fake frame: 64 consecutive blob bytes
+SCENE_CUT_THRESH = 250  # |Δ frame byte-sum| above this = shot boundary
+
+
+def _scene_frame_sums(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """Arrow-batched frame featurizer over (doc_id, blob): split each
+    blob into consecutive SCENE_FRAME_BYTES-byte full frames and emit
+    one EXACT integer byte-sum per frame (1 input row → n_frames output
+    rows).  The real implementation would decode frames and compare
+    histograms; no codec ships in this container, so the per-frame
+    feature is STUBBED as the raw byte-sum (deterministic, exact),
+    while the fan-out, numpy batch shape, and schema are the real
+    plumbing."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        out_doc, out_idx, out_sum = [], [], []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            n = len(blob) // SCENE_FRAME_BYTES
+            if not n:
+                continue
+            arr = np.frombuffer(blob, dtype=np.uint8, count=n * SCENE_FRAME_BYTES)
+            sums = arr.reshape(n, SCENE_FRAME_BYTES).sum(axis=1, dtype=np.int64)
+            out_doc.extend([int(doc_id)] * n)
+            out_idx.extend(range(n))
+            out_sum.extend(int(s) for s in sums)
+        yield pd.DataFrame(
+            {"doc_id": out_doc, "frame_idx": out_idx, "frame_sum": out_sum}
+        )
+
+
+@query(
+    "llm_multimodal_scene_cut",
+    "§2.21 scene-cut detection: frame-difference shot boundaries over video-like blobs",
+    f"""
+    WITH fr AS (
+      SELECT doc_id, f AS frame_idx,
+             list_sum(list_transform(range(1, {SCENE_FRAME_BYTES + 1}),
+               j -> unicode(substr(text,
+                 CAST(f * {SCENE_FRAME_BYTES} + j AS INTEGER), 1)))) AS s
+      FROM (SELECT doc_id, text,
+                   unnest(range(0, CAST(floor(length(text) / {SCENE_FRAME_BYTES})
+                                        AS BIGINT))) AS f
+            FROM documents)
+    ),
+    d AS (
+      SELECT doc_id, frame_idx, s,
+             s - lag(s) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS jump
+      FROM fr
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(count(*) FILTER (WHERE abs(jump) > {SCENE_CUT_THRESH}) AS BIGINT)
+             AS n_cuts,
+           CAST(COALESCE(max(abs(jump)), 0) AS BIGINT) AS max_jump,
+           CAST(COALESCE(min(CASE WHEN abs(jump) > {SCENE_CUT_THRESH}
+                                  THEN frame_idx END), -1) AS BIGINT)
+             AS first_cut_idx
+    FROM d GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def llm_multimodal_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut (shot-boundary) detection over video-like blobs — the
+    segmentation pass a video pipeline runs BEFORE frame sampling so
+    static scenes aren't over-represented: featurize consecutive
+    fixed-size frames (stubbed here as exact integer byte-sums — see
+    _scene_frame_sums), then a boundary is any frame whose feature
+    jumps more than SCENE_CUT_THRESH from its predecessor.  Per doc:
+    frame count, cut count, the largest jump, and the first boundary
+    (-1 = single shot).  Everything is exact integer arithmetic over
+    ASCII fixture bytes, so DuckDB replays it bit-identically via
+    unicode(substr(...)) sums.
+
+    Shape at any SF: the featurize pass is ONE partition-preserving
+    mapInPandas colocated with the scan (1 row → n_frames rows, numpy
+    reshape-sum per batch — the decode stand-in that dominates at real
+    scale and parallelizes linearly with executors); the lag window and
+    the per-doc aggregate both partition by doc_id, so the only
+    shuffle carries (doc_id, frame_idx, int64) triples — a fixed small
+    multiple of the row count, never the blob bytes."""
+    d = load(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("blob"))
+    frames = media.mapInPandas(
+        _scene_frame_sums, schema="doc_id long, frame_idx int, frame_sum long"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    dd = frames.withColumn(
+        "jump", F.col("frame_sum") - F.lag("frame_sum").over(w)
+    )
+    return (
+        dd.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.count(
+                F.when(F.abs(F.col("jump")) > SCENE_CUT_THRESH, 1)
+            ).alias("n_cuts"),
+            F.coalesce(F.max(F.abs(F.col("jump"))), F.lit(0))
+            .cast("bigint")
+            .alias("max_jump"),
+            F.coalesce(
+                F.min(
+                    F.when(
+                        F.abs(F.col("jump")) > SCENE_CUT_THRESH, F.col("frame_idx")
+                    )
+                ),
+                F.lit(-1),
+            )
+            .cast("bigint")
+            .alias("first_cut_idx"),
+        )
+        .orderBy("doc_id")
+    )

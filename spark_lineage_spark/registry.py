@@ -334,6 +334,7 @@ _VERIFY_AFTER = [
     "llm_source_js_divergence",
     "stats_krippendorff_alpha",
     "llm_embedding_abtt",
+    "llm_multimodal_scene_cut",
 ]
 
 

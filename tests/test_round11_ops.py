@@ -495,3 +495,41 @@ def test_abtt_matches_numpy_replay(spark):
     # residual energy must be <= centered energy and shares in [0, 1]
     assert (got["resid_norm"] <= got["centered_norm"] + 1e-9).all()
     assert (got["pc_share"] >= 0).all() and (got["pc_share"] <= 1).all()
+
+
+def test_scene_cut_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    got = _load_all()["llm_multimodal_scene_cut"].builder(spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        b = text.encode("utf-8")
+        n = len(b) // 64
+        if not n:
+            continue
+        sums = (
+            np.frombuffer(b, dtype=np.uint8, count=n * 64)
+            .reshape(n, 64)
+            .sum(axis=1, dtype=np.int64)
+        )
+        jumps = np.abs(np.diff(sums))
+        cuts = np.nonzero(jumps > 250)[0]
+        rows.append(
+            (
+                doc_id,
+                n,
+                len(cuts),
+                int(jumps.max()) if len(jumps) else 0,
+                int(cuts[0]) + 1 if len(cuts) else -1,
+            )
+        )
+    ref = (
+        pd.DataFrame(rows, columns=list(got.columns))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), ref, check_dtype=False)
+    # fixture must exercise both regimes: some docs cut, some single-shot
+    assert (got["n_cuts"] > 0).any() and (got["n_cuts"] == 0).any()

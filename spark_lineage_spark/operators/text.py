@@ -4167,3 +4167,62 @@ def llm_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exactly the per-source p table, already one row per source."""
     register_views(spark, sf_dir, ["documents"])
     return spark.sql(_JSD_SQL.format(tokens="explode(split(text, ' '))"))
+
+
+# Token burstiness (round 11): variance-to-mean ratio of per-document
+# token counts, zeros included — one shared SQL text.  The absent-doc
+# zeros never materialize: with N docs and per-doc counts c_d for the
+# docs that DO contain the token, mean = tot/N and E[c^2] = sumsq/N
+# are exact because zero rows contribute nothing to either sum.
+_BURSTINESS_SQL = """
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+per AS (
+  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, {tokens} AS token FROM documents)
+  GROUP BY token, doc_id
+),
+agg AS (
+  SELECT token,
+         CAST(count(*) AS BIGINT) AS n_docs_with,
+         CAST(sum(c) AS BIGINT) AS tot,
+         CAST(sum(c * c) AS BIGINT) AS sumsq
+  FROM per GROUP BY token
+)
+SELECT token, n_docs_with, tot,
+       round(CAST(tot AS DOUBLE) / n.n_docs, 6) AS mean_per_doc,
+       round((CAST(sumsq AS DOUBLE) / n.n_docs)
+             - (CAST(tot AS DOUBLE) / n.n_docs)
+               * (CAST(tot AS DOUBLE) / n.n_docs), 6) AS var_per_doc,
+       round(((CAST(sumsq AS DOUBLE) / n.n_docs)
+              - (CAST(tot AS DOUBLE) / n.n_docs)
+                * (CAST(tot AS DOUBLE) / n.n_docs))
+             / (CAST(tot AS DOUBLE) / n.n_docs), 6) AS burstiness_vmr
+FROM agg CROSS JOIN n
+ORDER BY burstiness_vmr DESC, token
+"""
+
+
+@query(
+    "llm_token_burstiness",
+    "§2.21 token burstiness: variance-to-mean ratio of per-doc counts (zeros included)",
+    _BURSTINESS_SQL.format(tokens="unnest(string_split(text, ' '))"),
+)
+def llm_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness (Church & Gale): the variance-to-mean ratio of
+    per-document occurrence counts, zeros included — VMR ~ 1 means the
+    token scatters Poisson-like (function words), VMR >> 1 means it
+    CLUMPS into few documents (topical/content words; in a training
+    corpus also boilerplate and template artifacts, which is why dedup
+    pipelines screen high-VMR tokens before shingling).  The zero rows
+    for docs lacking a token never materialize: with N total docs,
+    mean = tot/N and E[c^2] = sumsq/N are already exact over the
+    sparse per-doc counts, so the whole statistic needs only exact
+    integer sums plus closing rounded doubles — same in both engines
+    from one shared SQL text (only the tokenizer spelling differs).
+
+    Shape at any SF: the corpus tokenizes map-side and partial-aggs
+    onto (token, doc_id) then token — two hash aggregates whose
+    second input is vocab x docs-containing sparse rows, never the
+    corpus; the N-row count broadcast-joins.  Output is |vocab| rows."""
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(_BURSTINESS_SQL.format(tokens="explode(split(text, ' '))"))

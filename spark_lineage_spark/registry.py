@@ -335,6 +335,7 @@ _VERIFY_AFTER = [
     "stats_krippendorff_alpha",
     "llm_embedding_abtt",
     "llm_multimodal_scene_cut",
+    "llm_token_burstiness",
 ]
 
 

@@ -533,3 +533,33 @@ def test_scene_cut_matches_numpy(spark):
     pd.testing.assert_frame_equal(got.reset_index(drop=True), ref, check_dtype=False)
     # fixture must exercise both regimes: some docs cut, some single-shot
     assert (got["n_cuts"] > 0).any() and (got["n_cuts"] == 0).any()
+
+
+def test_burstiness_matches_pandas(spark):
+    import pandas as pd
+
+    got = _load_all()["llm_token_burstiness"].builder(spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    n = len(docs)
+    counts = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        seen = {}
+        for w in text.split(" "):
+            seen[w] = seen.get(w, 0) + 1
+        for w, c in seen.items():
+            counts.setdefault(w, []).append(c)
+    rows = []
+    for w, cs in counts.items():
+        tot, sumsq = sum(cs), sum(c * c for c in cs)
+        mean = tot / n
+        var = sumsq / n - mean * mean
+        rows.append((w, len(cs), tot, round(mean, 6), round(var, 6), round(var / mean, 6)))
+    ref = pd.DataFrame(rows, columns=list(got.columns))
+    g = got.sort_values("token").reset_index(drop=True)
+    r = ref.sort_values("token").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, r, check_dtype=False, atol=1e-6)
+    # every content-word VMR must exceed the Poisson floor would be too
+    # strong; but VMR > 0 always, and the fixture's clumpy soup should
+    # put at least one token clearly above 1
+    assert (got["burstiness_vmr"] > 0).all()
+    assert got["burstiness_vmr"].max() > 1.1

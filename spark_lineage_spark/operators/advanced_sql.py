@@ -3166,3 +3166,89 @@ def pandas_api_pivot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("`4-NOT SPECIFIED`").cast("bigint").alias("p4_notspec"),
         F.col("`5-LOW`").cast("bigint").alias("p5_low"),
     )
+
+
+# Partial autocorrelation at lags 1-3 (round 11): Durbin-Levinson
+# unrolled over the SAME pairwise sample correlations ts_autocorrelation
+# reports, so the two queries agree by construction.  The r_k inputs
+# are rounded to 6 BEFORE the recursion, making every downstream double
+# expression bit-identical in both engines; one shared SQL text.
+_PACF_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         sum(CAST(value AS DECIMAL(18,6))) AS v
+  FROM events WHERE value IS NOT NULL
+  GROUP BY CAST(date_trunc('day', ts) AS DATE)
+),
+lags AS (
+  SELECT 1 AS lag UNION ALL SELECT 2 UNION ALL SELECT 3
+),
+pairs AS (
+  SELECT l.lag, a.v AS x, b.v AS y
+  FROM lags l
+  JOIN daily a ON true
+  JOIN daily b ON b.d = a.d + CAST(l.lag AS INTEGER)
+),
+s AS (
+  SELECT lag, count(*) AS n,
+         cast(sum(x) AS DOUBLE) AS sx, cast(sum(y) AS DOUBLE) AS sy,
+         cast(sum(x * y) AS DOUBLE) AS sxy,
+         cast(sum(x * x) AS DOUBLE) AS sxx,
+         cast(sum(y * y) AS DOUBLE) AS syy
+  FROM pairs GROUP BY lag
+),
+r AS (
+  SELECT lag,
+         round((n * sxy - sx * sy)
+               / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS acf
+  FROM s
+),
+w AS (
+  SELECT max(CASE WHEN lag = 1 THEN acf END) AS r1,
+         max(CASE WHEN lag = 2 THEN acf END) AS r2,
+         max(CASE WHEN lag = 3 THEN acf END) AS r3
+  FROM r
+),
+p AS (
+  SELECT r1, r2, r3,
+         (r2 - r1 * r1) / (1 - r1 * r1) AS p2
+  FROM w
+),
+q AS (
+  SELECT r1, r2, r3, p2, r1 - p2 * r1 AS a21
+  FROM p
+)
+SELECT 1 AS lag, r1 AS acf, round(r1, 6) AS pacf FROM q
+UNION ALL
+SELECT 2 AS lag, r2 AS acf, round(p2, 6) AS pacf FROM q
+UNION ALL
+SELECT 3 AS lag, r3 AS acf,
+       round((r3 - (a21 * r2 + p2 * r1)) / (1 - (a21 * r1 + p2 * r2)), 6) AS pacf
+FROM q
+ORDER BY lag
+"""
+
+
+@query(
+    "ts_pacf",
+    "§2.21 partial autocorrelation at lags 1-3 via unrolled Durbin-Levinson",
+    _PACF_SQL,
+)
+def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation — the AR-order selector that completes
+    ts_autocorrelation: ACF says HOW correlated lag k is, PACF says how
+    much lag k adds AFTER lags 1..k-1 are regressed out (the classic
+    Box-Jenkins rule reads AR order off where the PACF cuts).  Uses
+    the Durbin-Levinson recursion unrolled for k = 1..3 over the SAME
+    pairwise sample correlations ts_autocorrelation reports (computed
+    from decimal-exact sums, each r_k rounded to 6 BEFORE the
+    recursion), so the two queries agree by construction and every
+    recursion step is a deterministic double expression identical in
+    both engines: phi_11 = r1; phi_22 = (r2 - r1^2)/(1 - r1^2);
+    phi_33 closes over the updated second-order coefficients.
+
+    Shape at any SF: identical to ts_autocorrelation — one hash agg of
+    events to the O(days) daily table, then 3 x days equi-joins and a
+    3-row recursion; the only corpus-size work is the daily rollup."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_PACF_SQL)

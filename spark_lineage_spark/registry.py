@@ -336,6 +336,7 @@ _VERIFY_AFTER = [
     "llm_embedding_abtt",
     "llm_multimodal_scene_cut",
     "llm_token_burstiness",
+    "ts_pacf",
 ]
 
 

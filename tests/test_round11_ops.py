@@ -563,3 +563,23 @@ def test_burstiness_matches_pandas(spark):
     # put at least one token clearly above 1
     assert (got["burstiness_vmr"] > 0).all()
     assert got["burstiness_vmr"].max() > 1.1
+
+
+def test_pacf_matches_durbin_levinson_replay(spark):
+    import pandas as pd
+
+    got = _load_all()["ts_pacf"].builder(spark, SF).toPandas()
+    acf_q = _load_all()["ts_autocorrelation"].builder(spark, SF).toPandas()
+    # agreement by construction with ts_autocorrelation's acf values
+    merged = got.merge(acf_q[["lag", "acf"]], on="lag", suffixes=("", "_ref"))
+    assert (merged["acf"] == merged["acf_ref"]).all()
+    r1, r2, r3 = [float(got.loc[got["lag"] == k, "acf"].iloc[0]) for k in (1, 2, 3)]
+    p1 = r1
+    p2 = (r2 - r1 * r1) / (1 - r1 * r1)
+    a21 = r1 - p2 * r1
+    p3 = (r3 - (a21 * r2 + p2 * r1)) / (1 - (a21 * r1 + p2 * r2))
+    ref = pd.Series([round(p1, 6), round(p2, 6), round(p3, 6)])
+    assert (got.sort_values("lag")["pacf"].reset_index(drop=True) - ref).abs().max() < 1e-9
+    # pacf(1) == acf(1) identically, and all values are valid correlations
+    assert got.loc[got["lag"] == 1, "pacf"].iloc[0] == round(r1, 6)
+    assert got["pacf"].abs().max() <= 1

@@ -3252,3 +3252,81 @@ def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-row recursion; the only corpus-size work is the daily rollup."""
     register_views(spark, sf_dir, ["events"])
     return spark.sql(_PACF_SQL)
+
+
+# Trend / seasonal strength (round 11): Hyndman's F_T and F_S over the
+# SAME classical decomposition ts_seasonal_decompose reports (identical
+# CTEs — exact integer daily sums, exact 7-day trend sums, exact
+# weekday (sum, count) pairs), closed by population variances over the
+# ~24 full-window days (small-cell double-sum precedent) and two
+# greatest(0, 1 - ratio) expressions.  Template SQL: only the
+# epoch-day-mod-7 spelling differs (Spark date subtraction yields an
+# INTERVAL, DuckDB an integer).
+_SEASONAL_STRENGTH_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), t AS (
+  SELECT day, y, {dow} AS dow,
+         CASE WHEN count(*) OVER w7 = 7
+              THEN CAST(sum(y) OVER w7 AS BIGINT) END AS tx7
+  FROM daily
+  WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), seas AS (
+  SELECT dow, CAST(sum(7 * y - tx7) AS BIGINT) AS sdx7,
+         count(*) AS cnt
+  FROM t WHERE tx7 IS NOT NULL GROUP BY 1
+), comp AS (
+  SELECT CAST(t.y AS DOUBLE) / 1000000 - CAST(t.tx7 AS DOUBLE) / 7 / 1000000
+           - CAST(s.sdx7 AS DOUBLE) / (s.cnt * 7) / 1000000 AS r,
+         CAST(t.y AS DOUBLE) / 1000000
+           - CAST(s.sdx7 AS DOUBLE) / (s.cnt * 7) / 1000000 AS tr,
+         CAST(t.y AS DOUBLE) / 1000000
+           - CAST(t.tx7 AS DOUBLE) / 7 / 1000000 AS sr
+  FROM t JOIN seas s ON t.dow = s.dow
+  WHERE t.tx7 IS NOT NULL
+), v AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         (sum(r * r) - sum(r) * sum(r) / count(*)) / count(*) AS var_r,
+         (sum(tr * tr) - sum(tr) * sum(tr) / count(*)) / count(*) AS var_tr,
+         (sum(sr * sr) - sum(sr) * sum(sr) / count(*)) / count(*) AS var_sr
+  FROM comp
+)
+SELECT n AS n_full_days,
+       round(var_r, 6) AS var_residual,
+       round(var_tr, 6) AS var_detrended_plus_r,
+       round(var_sr, 6) AS var_deseasonalized,
+       round(greatest(CAST(0 AS DOUBLE), 1 - var_r / var_sr), 6) AS trend_strength,
+       round(greatest(CAST(0 AS DOUBLE), 1 - var_r / var_tr), 6) AS seasonal_strength
+FROM v
+"""
+
+
+@query(
+    "ts_seasonal_strength",
+    "§2.21 trend / seasonal strength (Hyndman F_T, F_S) over the classical decomposition",
+    _SEASONAL_STRENGTH_SQL.format(dow="(day - DATE '1970-01-01') % 7"),
+)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend and seasonal STRENGTH (Hyndman & Athanasopoulos, FPP:
+    F_T = max(0, 1 - Var(R)/Var(T+R)) on the deseasonalized series,
+    F_S = max(0, 1 - Var(R)/Var(S+R)) on the detrended series) — the
+    two scalars a forecasting triage reads before model choice, and
+    the series-health dashboard number behind ts_seasonal_decompose's
+    row-level view.  Reuses the decomposition's CTEs verbatim (exact
+    integer daily micro-units, exact 7-day trend sums, exact weekday
+    (sum, count) pairs), restricted to full-window days; the three
+    population variances are double sums over those ~24 rows (the
+    stats_kl_divergence small-cell precedent) closed by two rounded
+    greatest(0, ...) expressions.  One shared SQL text runs in both
+    engines.
+
+    Shape at any SF: identical to ts_seasonal_decompose — events
+    collapse to the calendar-bounded daily table in the first hash
+    agg; the window, weekday means, and variance finish are all
+    O(days).  A century of data is ~36,500 rows here."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        _SEASONAL_STRENGTH_SQL.format(dow="datediff(day, DATE '1970-01-01') % 7")
+    )

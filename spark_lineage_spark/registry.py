@@ -337,6 +337,7 @@ _VERIFY_AFTER = [
     "llm_multimodal_scene_cut",
     "llm_token_burstiness",
     "ts_pacf",
+    "ts_seasonal_strength",
 ]
 
 

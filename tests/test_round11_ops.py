@@ -583,3 +583,26 @@ def test_pacf_matches_durbin_levinson_replay(spark):
     # pacf(1) == acf(1) identically, and all values are valid correlations
     assert got.loc[got["lag"] == 1, "pacf"].iloc[0] == round(r1, 6)
     assert got["pacf"].abs().max() <= 1
+
+
+def test_seasonal_strength_matches_decompose(spark):
+    import pandas as pd
+
+    got = _load_all()["ts_seasonal_strength"].builder(spark, SF).toPandas().iloc[0]
+    dec = _load_all()["ts_seasonal_decompose"].builder(spark, SF).toPandas()
+    full = dec[dec["trend"].notna()]
+    # strengths recomputed from the decomposition's own components
+    # (round-2 outputs, so compare loosely)
+    r = full["residual"].astype(float)
+    tr = full["observed"].astype(float) - full["seasonal"].astype(float)
+    sr = full["observed"].astype(float) - full["trend"].astype(float)
+
+    def pvar(x):
+        return float((x**2).mean() - x.mean() ** 2)
+
+    f_t = max(0.0, 1 - pvar(r) / pvar(sr))
+    f_s = max(0.0, 1 - pvar(r) / pvar(tr))
+    assert got["n_full_days"] == len(full)
+    assert abs(got["trend_strength"] - f_t) < 1e-3
+    assert abs(got["seasonal_strength"] - f_s) < 1e-3
+    assert 0 <= got["trend_strength"] <= 1 and 0 <= got["seasonal_strength"] <= 1

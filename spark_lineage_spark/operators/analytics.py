@@ -5192,3 +5192,128 @@ def stats_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the corpus never shuffles."""
     register_views(spark, sf_dir, ["documents"])
     return spark.sql(_KRIPP_SQL.format(**_KRIPP_SPARK_FMT))
+
+
+# Personalized PageRank (round 11): same exact integer pico-unit BSP
+# as graph_pagerank, but the 0.15 teleport mass restarts at ONE seed
+# node (the max-degree part, min-key tiebreak) instead of spreading
+# uniformly — the "related items from HERE" primitive.  Three unrolled
+# rounds; every division is floor division on non-negative bigints, so
+# both engines replay bit-identical integers.
+_PPR_ROUNDS = 3
+
+
+def _ppr_oracle() -> str:
+    rounds = "".join(
+        f""",
+    c{k} AS (SELECT p.v AS node, sum(r{k - 1}.r // o.d) AS s
+           FROM pairs p JOIN r{k - 1} ON p.u = r{k - 1}.node
+           JOIN outdeg o ON p.u = o.u
+           GROUP BY p.v),
+    r{k} AS (SELECT r{k - 1}.node,
+                  CASE WHEN r{k - 1}.node = seed.s
+                       THEN {15 * _PAGERANK_SCALE} // 100 ELSE 0 END
+                    + (85 * coalesce(c{k}.s, 0)) // 100 AS r
+           FROM r{k - 1} CROSS JOIN seed LEFT JOIN c{k} ON r{k - 1}.node = c{k}.node)"""
+        for k in range(1, _PPR_ROUNDS + 1)
+    )
+    return f"""
+    WITH pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    outdeg AS (SELECT u, count(*) AS d FROM pairs GROUP BY u),
+    seed AS (SELECT u AS s FROM outdeg ORDER BY d DESC, u LIMIT 1),
+    r0 AS (SELECT u AS node,
+                  CASE WHEN u = seed.s THEN {_PAGERANK_SCALE} ELSE 0 END AS r
+           FROM outdeg CROSS JOIN seed){rounds}
+    SELECT node, round(cast(r AS DOUBLE) / {_PAGERANK_SCALE}.0, 8) AS ppr
+    FROM r{_PPR_ROUNDS} WHERE r > 0
+    ORDER BY r DESC, node
+    LIMIT 20
+    """
+
+
+@query(
+    "graph_personalized_pagerank",
+    "§2.21 personalized PageRank from the max-degree seed (3 unrolled exact-integer rounds)",
+    _ppr_oracle(),
+    doc="Top-20 parts by PPR restarting at the hub part.",
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank — the random walk WITH RESTART that powers
+    'related items' / local-neighborhood ranking: identical BSP shape
+    to graph_pagerank (damping 0.85, rank shares r div d pushed along
+    out-edges, one edge shuffle + one destination hash-agg per round)
+    except the 0.15 teleport mass re-concentrates at a single seed
+    every round instead of spreading uniformly, so rank stays LOCAL to
+    the seed's neighborhood.  The seed is data-derived but
+    deterministic (max-degree node, min-key tiebreak — the hub the
+    fixture's recommendation query would start from).  Ranks live in
+    exact integer pico-units with floor division throughout (Spark
+    `div` == DuckDB `//` on non-negative bigints), so three unrolled
+    rounds replay bit-identically in both engines; WHERE r > 0 keeps
+    the output to the reached neighborhood.
+
+    Shape at any SF: same as graph_pagerank — per-round cost is one
+    shuffle of the edge table keyed on source plus a node-grain hash
+    agg; the rank/degree/seed tables are node-sized and broadcast
+    under the same metadata-only small_node_count guard; each round's
+    rank table is lineage-checkpointed so the plan stays linear in
+    rounds."""
+    und = copurchase_edges(spark, sf_dir)
+    pairs = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    outdeg = pairs.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    seed = outdeg.orderBy(F.desc("d"), "u").limit(1).select(F.col("u").alias("s"))
+    bc = F.broadcast if small_node_count(spark, sf_dir) else (lambda df: df)
+    r = (
+        outdeg.select(F.col("u").alias("node"))
+        .join(F.broadcast(seed))
+        .select(
+            "node",
+            F.when(F.col("node") == F.col("s"), F.lit(_PAGERANK_SCALE))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    for _ in range(_PPR_ROUNDS):
+        share = r.join(
+            outdeg.withColumnRenamed("u", "node"), "node"
+        ).select(F.col("node").alias("u"), F.expr("r div d").alias("c"))
+        contrib = (
+            pairs.join(bc(share), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("c").alias("s_c"))
+        )
+        r = (
+            r.select("node")
+            .join(F.broadcast(seed))
+            .join(bc(contrib), "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(
+                        F.col("node") == F.col("s"),
+                        F.lit(15 * _PAGERANK_SCALE // 100),
+                    ).otherwise(F.lit(0))
+                    + F.expr("(85 * coalesce(s_c, 0)) div 100")
+                )
+                .cast("bigint")
+                .alias("r"),
+            )
+            .transform(lineage_checkpoint_lazy)
+        )
+    return (
+        r.filter(F.col("r") > 0)
+        .orderBy(F.desc("r"), "node")
+        .limit(20)
+        .select(
+            "node",
+            F.round(
+                F.col("r").cast("double") / F.lit(float(_PAGERANK_SCALE)), 8
+            ).alias("ppr"),
+        )
+    )

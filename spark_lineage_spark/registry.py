@@ -338,6 +338,7 @@ _VERIFY_AFTER = [
     "llm_token_burstiness",
     "ts_pacf",
     "ts_seasonal_strength",
+    "graph_personalized_pagerank",
 ]
 
 

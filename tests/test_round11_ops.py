@@ -606,3 +606,25 @@ def test_seasonal_strength_matches_decompose(spark):
     assert abs(got["trend_strength"] - f_t) < 1e-3
     assert abs(got["seasonal_strength"] - f_s) < 1e-3
     assert 0 <= got["trend_strength"] <= 1 and 0 <= got["seasonal_strength"] <= 1
+
+
+def test_personalized_pagerank_locality(spark):
+    import pandas as pd
+
+    got = _load_all()["graph_personalized_pagerank"].builder(spark, SF).toPandas()
+    # the seed (max-degree hub) must dominate: it receives the full
+    # 0.15 restart mass every round, every other node only walk mass
+    assert len(got) == 20
+    assert got["ppr"].iloc[0] > got["ppr"].iloc[1] * 5
+    # mass conservation bound: total PPR <= 1 (floor division only loses)
+    assert got["ppr"].sum() <= 1.0 + 1e-9
+    assert (got["ppr"] > 0).all()
+    # seed equals the max-degree node of the co-purchase graph
+    from spark_lineage_spark.operators.analytics import copurchase_edges
+    import pyspark.sql.functions as F
+
+    und = copurchase_edges(spark, SF)
+    pairs = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = pairs.groupBy("u").count().orderBy(F.desc("count"), "u").limit(1)
+    seed = deg.collect()[0]["u"]
+    assert got["node"].iloc[0] == seed

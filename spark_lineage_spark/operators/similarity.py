@@ -1914,3 +1914,98 @@ def llm_embedding_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("t8") * F.col("t8") / F.col("c28"), 6).alias("pc_share"),
         )
     )
+
+
+@query(
+    "llm_hard_negative_mining",
+    "§2.21 hard-negative mining: top-k cross-label neighbors + positive margin per query",
+    f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS neg_id, c.label AS neg_label,
+             round(list_cosine_similarity(q.emb, c.emb), 6) AS cos_sim
+      FROM q JOIN e c ON q.vec_id <> c.vec_id
+    ),
+    pos AS (
+      SELECT query_id, max(cos_sim) AS best_pos_sim
+      FROM scored WHERE neg_label = query_label GROUP BY query_id
+    ),
+    neg AS (
+      SELECT query_id, query_label, neg_id, neg_label, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neg_id) AS rnk
+      FROM scored WHERE neg_label <> query_label
+    )
+    SELECT n.query_id, n.query_label, n.rnk, n.neg_id, n.neg_label,
+           n.cos_sim, p.best_pos_sim,
+           round(p.best_pos_sim - n.cos_sim, 6) AS margin
+    FROM neg n JOIN pos p ON n.query_id = p.query_id
+    WHERE n.rnk <= {TOP_K}
+    ORDER BY n.query_id, n.rnk
+    """,
+)
+def llm_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training — the
+    embedding-space companion to llm_contrastive_negatives' text-bucket
+    sampler: for each probe vector, the TOP_K most-similar corpus
+    vectors with a DIFFERENT label (the negatives that actually move a
+    contrastive loss), plus the best same-label similarity and the
+    margin best_pos - neg; a negative margin marks a CONFUSABLE query
+    whose hardest negative outranks its nearest positive (the rows a
+    curriculum would upweight and a labeler would re-check).
+    Similarity is the rounded-to-6 cosine with neg_id tie-break (the
+    llm_knn_cosine_exact discipline), so ranking, the positive max,
+    and the margin are engine-independent.
+
+    Shape at any SF: the {N_QUERIES}-row probe side broadcasts and the
+    corpus is scanned map-side (BroadcastNestedLoop) — once for the
+    ranked negatives, once for the positive max; neither pass shuffles
+    the corpus, and both aggregates are per-query partial (top-k heap
+    / max).  At 1e9+ vectors you'd swap the scan for the IVF probe
+    path (llm_ann_ivf) and keep this query's ranking contract."""
+    e = _parallel_corpus(
+        spark, load(spark, sf_dir, "embeddings")
+    ).select("vec_id", "label", to_double_array("embedding").alias("emb"))
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("query_label"),
+            F.col("emb").alias("qemb"),
+        )
+    )
+    scored = q.join(e, F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        "query_label",
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.round(cosine(F.col("qemb"), F.col("emb")), 6).alias("cos_sim"),
+    )
+    pos = (
+        scored.filter(F.col("neg_label") == F.col("query_label"))
+        .groupBy("query_id")
+        .agg(F.max("cos_sim").alias("best_pos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neg_id")
+    neg = (
+        scored.filter(F.col("neg_label") != F.col("query_label"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+    return (
+        neg.join(F.broadcast(pos), "query_id")
+        .select(
+            "query_id",
+            "query_label",
+            "rnk",
+            "neg_id",
+            "neg_label",
+            "cos_sim",
+            "best_pos_sim",
+            F.round(F.col("best_pos_sim") - F.col("cos_sim"), 6).alias("margin"),
+        )
+        .orderBy("query_id", "rnk")
+    )

@@ -339,6 +339,7 @@ _VERIFY_AFTER = [
     "ts_pacf",
     "ts_seasonal_strength",
     "graph_personalized_pagerank",
+    "llm_hard_negative_mining",
 ]
 
 

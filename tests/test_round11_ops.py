@@ -628,3 +628,41 @@ def test_personalized_pagerank_locality(spark):
     deg = pairs.groupBy("u").count().orderBy(F.desc("count"), "u").limit(1)
     seed = deg.collect()[0]["u"]
     assert got["node"].iloc[0] == seed
+
+
+def test_hard_negative_mining_contract(spark):
+    import numpy as np
+    import pandas as pd
+
+    got = _load_all()["llm_hard_negative_mining"].builder(spark, SF).toPandas()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    labels = dict(zip(emb["vec_id"], emb["label"]))
+    vecs = {
+        v: np.asarray(e, dtype=np.float64)
+        for v, e in zip(emb["vec_id"], emb["embedding"])
+    }
+    # 10 queries x 5 negatives, every negative truly cross-label
+    assert len(got) == 50
+    assert (got.groupby("query_id").size() == 5).all()
+    assert (got["neg_label"] != got["query_label"]).all()
+    assert (got["query_label"] == got["query_id"].map(labels)).all()
+    # spot-check query 0: the mined negatives are the true top-5
+    # cross-label cosine neighbors
+    q = vecs[0]
+
+    def cos(a, b):
+        return round(
+            float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b))), 6
+        )
+
+    cand = [
+        (cos(q, vecs[v]), v)
+        for v in vecs
+        if v != 0 and labels[v] != labels[0]
+    ]
+    top5 = [v for _, v in sorted(cand, key=lambda t: (-t[0], t[1]))[:5]]
+    assert list(got[got["query_id"] == 0].sort_values("rnk")["neg_id"]) == top5
+    # margin arithmetic holds row-wise
+    assert (
+        (got["margin"] - (got["best_pos_sim"] - got["cos_sim"])).abs() < 2e-6
+    ).all()

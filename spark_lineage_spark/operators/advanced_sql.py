@@ -3330,3 +3330,72 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _SEASONAL_STRENGTH_SQL.format(dow="datediff(day, DATE '1970-01-01') % 7")
     )
+
+
+# Bollinger bands (round 11): 7-day trailing mean +/- 2 sigma on daily
+# revenue, full-window days only.  One shared SQL text: daily cents and
+# the window sum/sum-of-squares are exact integers; mean, population
+# variance, and the bands are closing double expressions with identical
+# operation order (s7^2 exceeds int64 at ~5e9 daily cents, so the
+# variance numerator multiplies AFTER one cast to double — both engines
+# lose the same ulps).
+_BOLLINGER_SQL = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(sum(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS BIGINT) AS y
+  FROM orders GROUP BY o_orderdate
+),
+w AS (
+  SELECT d, y,
+         CASE WHEN count(*) OVER w7 = 7
+              THEN CAST(sum(y) OVER w7 AS BIGINT) END AS s7,
+         CASE WHEN count(*) OVER w7 = 7
+              THEN CAST(sum(y * y) OVER w7 AS BIGINT) END AS ss7
+  FROM daily
+  WINDOW w7 AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+),
+b AS (
+  SELECT d, y, s7,
+         CAST(s7 AS DOUBLE) / 7 AS mean_c,
+         sqrt(greatest(CAST(0 AS DOUBLE),
+              (7 * CAST(ss7 AS DOUBLE) - CAST(s7 AS DOUBLE) * s7) / 49)) AS std_c
+  FROM w WHERE s7 IS NOT NULL
+)
+SELECT CAST(d AS STRING) AS day,
+       round(CAST(y AS DOUBLE) / 100, 2) AS close_usd,
+       round(mean_c / 100, 6) AS ma7_usd,
+       round((mean_c - 2 * std_c) / 100, 6) AS lower_usd,
+       round((mean_c + 2 * std_c) / 100, 6) AS upper_usd,
+       CAST(CASE WHEN CAST(y AS DOUBLE) > mean_c + 2 * std_c THEN 1
+                 WHEN CAST(y AS DOUBLE) < mean_c - 2 * std_c THEN -1
+                 ELSE 0 END AS BIGINT) AS breach
+FROM b ORDER BY day
+"""
+
+
+@query(
+    "ts_bollinger_bands",
+    "§2.21 Bollinger bands: 7-day trailing mean ± 2σ envelope with breach flags",
+    _BOLLINGER_SQL,
+)
+def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands on daily revenue — the volatility envelope a
+    monitoring dashboard draws before alerting (ts_anomaly_zscore flags
+    against a GLOBAL mean; the bands flag against the LOCAL 7-day
+    regime, which is what catches level shifts without drowning in
+    seasonal drift): trailing 7-day mean, population sigma from exact
+    integer window sums, breach = close outside mean +/- 2 sigma (+1
+    above / -1 below / 0 inside), full-window days only (the
+    ts_seasonal_decompose edge rule).  Daily cents, the window sum,
+    and the sum of squares are exact bigints; the variance numerator
+    casts to double BEFORE multiplying (s7^2 would overflow int64 at
+    ~5e9 daily cents — at a 100 TB revenue quantum you'd lift the cent
+    unit the way the OLS precedent documents) and every closing
+    expression has identical operation order in both engines.
+
+    Shape at any SF: orders partial-agg map-side to the CALENDAR-
+    bounded daily table (the only pass over facts); the trailing
+    window runs over O(days) rows — a single-partition window on a
+    metadata-scale table, the same justification as the decompose."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_BOLLINGER_SQL)

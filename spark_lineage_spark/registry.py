@@ -340,6 +340,7 @@ _VERIFY_AFTER = [
     "ts_seasonal_strength",
     "graph_personalized_pagerank",
     "llm_hard_negative_mining",
+    "ts_bollinger_bands",
 ]
 
 

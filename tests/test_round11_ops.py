@@ -666,3 +666,43 @@ def test_hard_negative_mining_contract(spark):
     assert (
         (got["margin"] - (got["best_pos_sim"] - got["cos_sim"])).abs() < 2e-6
     ).all()
+
+
+def test_bollinger_matches_pandas(spark):
+    import pandas as pd
+
+    got = _load_all()["ts_bollinger_bands"].builder(spark, SF).toPandas()
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = (orders["o_totalprice"] * 100).round().astype("int64")
+    daily = (
+        pd.DataFrame({"d": orders["o_orderdate"], "y": cents})
+        .groupby("d")["y"]
+        .sum()
+        .sort_index()
+    )
+    s7 = daily.rolling(7).sum()
+    ss7 = (daily**2).rolling(7).sum()
+    mean_c = s7 / 7
+    var_c = (7 * ss7 - s7 * s7) / 49
+    std_c = var_c.clip(lower=0) ** 0.5
+    full = s7.notna()
+    ref = pd.DataFrame(
+        {
+            "day": daily.index[full].strftime("%Y-%m-%d %H:%M:%S"),
+            "close_usd": (daily[full] / 100).round(2).values,
+            "ma7_usd": (mean_c[full] / 100).round(6).values,
+            "lower_usd": ((mean_c - 2 * std_c)[full] / 100).round(6).values,
+            "upper_usd": ((mean_c + 2 * std_c)[full] / 100).round(6).values,
+            "breach": [
+                1 if y > m + 2 * s else (-1 if y < m - 2 * s else 0)
+                for y, m, s in zip(daily[full], mean_c[full], std_c[full])
+            ],
+        }
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), ref, check_dtype=False, atol=1e-4
+    )
+    # bands must bracket the mean and flag a plausible breach share
+    assert (got["lower_usd"] <= got["ma7_usd"]).all()
+    assert (got["ma7_usd"] <= got["upper_usd"]).all()
+    assert 0 < (got["breach"] != 0).mean() < 0.2

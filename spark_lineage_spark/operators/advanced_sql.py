@@ -3399,3 +3399,62 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata-scale table, the same justification as the decompose."""
     register_views(spark, sf_dir, ["orders"])
     return spark.sql(_BOLLINGER_SQL)
+
+
+@query(
+    "pandas_api_ewm",
+    "§2.21 pandas API on Spark: ewm(alpha).mean() exponential smoothing",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT day, v, row_number() OVER (ORDER BY day) AS rn FROM daily
+    ),
+    pairs AS (
+      SELECT a.day,
+             sum(power(0.7, a.rn - b.rn) * b.v) AS num,
+             sum(power(0.7, a.rn - b.rn)) AS den
+      FROM idx a JOIN idx b ON b.rn <= a.rn
+      GROUP BY a.day, a.rn
+    )
+    SELECT CAST(day AS STRING) AS day,
+           round(num / den / 1000000, 4) AS ewm_value
+    FROM pairs ORDER BY day
+    """,
+)
+def pandas_api_ewm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas exponential-smoothing idiom — ewm(alpha=0.3).mean()
+    — on pyspark.pandas, completing the migration-surface trio with
+    pandas_api_rolling and pandas_api_resample: pandas spelling,
+    Catalyst window execution.  adjust=True (the pandas default) makes
+    every output an explicit finite weighted mean
+    sum((1-a)^k x_{t-k}) / sum((1-a)^k), which is what the oracle
+    replays literally as an O(days^2) rank self-join — exact integer
+    micro-unit days in, one rounded double out, no recursive state
+    (the classic EWMA recurrence y_t = a x_t + (1-a) y_{t-1} is
+    adjust=False and intentionally NOT this query; ts_ewma_smoothing
+    owns that convention).
+
+    Shape at any SF: events pre-aggregate to the CALENDAR-bounded
+    daily table in the DataFrame API before the pandas layer ever
+    sees a row (the pandas_api_rolling discipline), so the ewm window
+    and the oracle's quadratic join both run on O(days) rows."""
+    import pyspark.pandas as ps  # noqa: F401  (registers the accessor)
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias("v")
+    )
+    psdf = daily.pandas_api(index_col="day")
+    sm = psdf.sort_index().ewm(alpha=0.3).mean().reset_index()
+    return (
+        sm.to_spark()
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.round(F.col("v") / 1_000_000.0, 4).alias("ewm_value"),
+        )
+        .orderBy("day")
+    )

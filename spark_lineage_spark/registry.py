@@ -341,6 +341,7 @@ _VERIFY_AFTER = [
     "graph_personalized_pagerank",
     "llm_hard_negative_mining",
     "ts_bollinger_bands",
+    "pandas_api_ewm",
 ]
 
 

@@ -706,3 +706,21 @@ def test_bollinger_matches_pandas(spark):
     assert (got["lower_usd"] <= got["ma7_usd"]).all()
     assert (got["ma7_usd"] <= got["upper_usd"]).all()
     assert 0 < (got["breach"] != 0).mean() < 0.2
+
+
+def test_pandas_api_ewm_matches_pandas(spark):
+    import pandas as pd
+
+    got = _load_all()["pandas_api_ewm"].builder(spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev[ev["value"].notna()]
+    micro = (ev["value"] * 1_000_000).round().astype("int64")
+    daily = (
+        pd.DataFrame({"d": ev["ts"].dt.date, "v": micro})
+        .groupby("d")["v"]
+        .sum()
+        .sort_index()
+    )
+    ref = (daily.ewm(alpha=0.3).mean() / 1_000_000).round(4)
+    assert list(got["day"]) == [str(d) for d in daily.index]
+    assert (got["ewm_value"].values - ref.values).max() < 1e-6

@@ -4226,3 +4226,92 @@ def llm_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus; the N-row count broadcast-joins.  Output is |vocab| rows."""
     register_views(spark, sf_dir, ["documents"])
     return spark.sql(_BURSTINESS_SQL.format(tokens="explode(split(text, ' '))"))
+
+
+# Judge length-bias audit (round 11): does the quality judge behind
+# llm_preference_pairs just reward LENGTH?  Template SQL (tokenizer
+# spelling per engine); the pair set is the exact positional pairing
+# _PREF_PAIRS_SQL defines, the verbosity stats are exact integer
+# counts/sums, and the judge-vs-length Pearson runs on exact
+# DECIMAL(38,0) moments (the OLS precedent).
+_JUDGE_LEN_BIAS_SQL = """
+WITH scored AS (
+  SELECT doc_id, source, n_chars,
+         CAST({dt} AS BIGINT) * 1000000 + {nt} AS score
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, score, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id)
+           AS r_top,
+         row_number() OVER (PARTITION BY source ORDER BY score ASC, doc_id DESC)
+           AS r_bot
+  FROM scored
+),
+pairs AS (
+  SELECT t.n_chars AS cl, b.n_chars AS rl
+  FROM ranked t JOIN ranked b
+    ON t.source = b.source AND t.r_top = b.r_bot
+  WHERE t.r_top <= 3 AND t.doc_id <> b.doc_id AND t.score > b.score
+),
+pair_stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN cl > rl THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_chosen_longer,
+         CAST(sum(cl - rl) AS BIGINT) AS sum_delta
+  FROM pairs
+),
+corr_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(score AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(score * n_chars AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(score * score AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS DOUBLE) AS syy
+  FROM scored
+)
+SELECT p.n_pairs, p.n_chosen_longer,
+       round(CAST(p.n_chosen_longer AS DOUBLE) / p.n_pairs, 6)
+         AS frac_chosen_longer,
+       round(CAST(p.sum_delta AS DOUBLE) / p.n_pairs, 6) AS mean_char_delta,
+       round((c.n * c.sxy - c.sx * c.sy)
+             / sqrt((c.n * c.sxx - c.sx * c.sx)
+                    * (c.n * c.syy - c.sy * c.sy)), 6) AS judge_length_corr
+FROM pair_stats p CROSS JOIN corr_m c
+"""
+
+
+@query(
+    "llm_judge_length_bias",
+    "§2.21 judge length-bias audit over the preference-pair construction",
+    _JUDGE_LEN_BIAS_SQL.format(
+        dt="len(list_distinct(string_split(text, ' ')))",
+        nt="len(string_split(text, ' '))",
+    ),
+)
+def llm_judge_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bias audit of the preference judge — the RLHF-hygiene
+    check that catches the classic failure where a reward model or
+    LLM judge just rewards VERBOSITY: over the exact positional
+    (chosen, rejected) pairs llm_preference_pairs emits, the fraction
+    of pairs whose chosen doc is also the longer one and the mean
+    character delta; plus the corpus-wide Pearson correlation between
+    the judge score and raw character count (exact DECIMAL(38,0)
+    moments, one closed-form double — the OLS precedent).  A
+    frac_chosen_longer near 1 with high judge_length_corr means the
+    'quality' signal is length in disguise and the pair set would
+    train a verbosity-maximizer.  (This fixture's judge mixes distinct
+    -token and token counts, which correlate with length by
+    construction — exactly the regime the audit exists to expose.)
+
+    Shape at any SF: one tokenize pass over documents partial-aggs
+    the Pearson moments map-side; the two per-source rank windows and
+    the positional pair join run on the same one shuffle
+    llm_preference_pairs already pays; the finish is O(1)."""
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(
+        _JUDGE_LEN_BIAS_SQL.format(
+            dt="size(array_distinct(split(text, ' ')))",
+            nt="size(split(text, ' '))",
+        )
+    )

@@ -342,6 +342,7 @@ _VERIFY_AFTER = [
     "llm_hard_negative_mining",
     "ts_bollinger_bands",
     "pandas_api_ewm",
+    "llm_judge_length_bias",
 ]
 
 

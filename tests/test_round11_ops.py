@@ -724,3 +724,28 @@ def test_pandas_api_ewm_matches_pandas(spark):
     ref = (daily.ewm(alpha=0.3).mean() / 1_000_000).round(4)
     assert list(got["day"]) == [str(d) for d in daily.index]
     assert (got["ewm_value"].values - ref.values).max() < 1e-6
+
+
+def test_judge_length_bias_consistent_with_pairs(spark):
+    import pandas as pd
+
+    got = _load_all()["llm_judge_length_bias"].builder(spark, SF).toPandas().iloc[0]
+    pairs = _load_all()["llm_preference_pairs"].builder(spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    chars = dict(zip(docs["doc_id"], docs["n_chars"]))
+    # the audit's pair universe is exactly llm_preference_pairs' output
+    assert got["n_pairs"] == len(pairs)
+    longer = sum(
+        1 for c, r in zip(pairs["chosen_id"], pairs["rejected_id"])
+        if chars[c] > chars[r]
+    )
+    assert got["n_chosen_longer"] == longer
+    delta = sum(
+        chars[c] - chars[r]
+        for c, r in zip(pairs["chosen_id"], pairs["rejected_id"])
+    )
+    assert abs(got["mean_char_delta"] - delta / len(pairs)) < 1e-6
+    # this fixture's judge IS length-biased by construction — the audit
+    # must fire, not flatline
+    assert got["frac_chosen_longer"] > 0.9
+    assert got["judge_length_corr"] > 0.5

@@ -3458,3 +3458,61 @@ def pandas_api_ewm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# Calendar profile (round 11): the (weekday x month) demand grid with
+# independence-expected counts and Pearson residuals — exact integer
+# counts and marginals, closing double expressions.  Template SQL:
+# only the epoch-day-mod-7 spelling differs per engine.
+_CALENDAR_PROFILE_SQL = """
+WITH d AS (
+  SELECT {dow} AS dow, month(CAST(o_orderdate AS DATE)) AS mon
+  FROM orders
+),
+grid AS (
+  SELECT dow, mon, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY dow, mon
+),
+rows_m AS (SELECT dow, CAST(sum(n) AS BIGINT) AS rt FROM grid GROUP BY dow),
+cols_m AS (SELECT mon, CAST(sum(n) AS BIGINT) AS ct FROM grid GROUP BY mon),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM grid)
+SELECT g.dow, g.mon, g.n AS n_orders,
+       round(CAST(r.rt AS DOUBLE) * c.ct / t.t, 6) AS expected,
+       round((g.n - CAST(r.rt AS DOUBLE) * c.ct / t.t)
+             / sqrt(CAST(r.rt AS DOUBLE) * c.ct / t.t), 6) AS pearson_residual
+FROM grid g
+JOIN rows_m r ON g.dow = r.dow
+JOIN cols_m c ON g.mon = c.mon
+CROSS JOIN tot t
+ORDER BY g.dow, g.mon
+"""
+
+
+@query(
+    "ts_calendar_profile",
+    "§2.21 calendar profile: weekday x month demand grid with Pearson residuals",
+    _CALENDAR_PROFILE_SQL.format(
+        dow="(CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 7"
+    ),
+)
+def ts_calendar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar demand profile — the weekday x month contingency grid
+    every capacity planner draws first, upgraded from raw counts to an
+    ANALYTIC view: expected count under weekday/month independence
+    (row_total * col_total / n) and the Pearson residual
+    (o - e)/sqrt(e), whose cells beyond ~+/-2 mark weekday-month
+    interactions a seasonal-naive forecast will miss (the per-cell
+    decomposition of stats_chi_square's single statistic).  Counts and
+    both marginals are exact integers; expected and residual are
+    closing double expressions with identical operation order in both
+    engines.  Weekday is epoch-day mod 7 (portable across engines'
+    dow numbering — the ts_seasonal_decompose convention).
+
+    Shape at any SF: one scan of orders partial-aggs map-side onto the
+    84-cell grid; marginals and the finish are metadata-scale joins
+    over <100 rows.  100 TB costs exactly one scan."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        _CALENDAR_PROFILE_SQL.format(
+            dow="datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') % 7"
+        )
+    )

@@ -343,6 +343,7 @@ _VERIFY_AFTER = [
     "ts_bollinger_bands",
     "pandas_api_ewm",
     "llm_judge_length_bias",
+    "ts_calendar_profile",
 ]
 
 

@@ -749,3 +749,34 @@ def test_judge_length_bias_consistent_with_pairs(spark):
     # must fire, not flatline
     assert got["frac_chosen_longer"] > 0.9
     assert got["judge_length_corr"] > 0.5
+
+
+def test_calendar_profile_residual_algebra(spark):
+    import pandas as pd
+
+    got = _load_all()["ts_calendar_profile"].builder(spark, SF).toPandas()
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    d = pd.DataFrame(
+        {
+            "dow": (
+                orders["o_orderdate"].dt.normalize() - pd.Timestamp("1970-01-01")
+            ).dt.days % 7,
+            "mon": orders["o_orderdate"].dt.month,
+        }
+    )
+    grid = d.groupby(["dow", "mon"]).size()
+    n = grid.sum()
+    rt = grid.groupby(level=0).sum()
+    ct = grid.groupby(level=1).sum()
+    assert got["n_orders"].sum() == n
+    for _, row in got.head(20).iterrows():
+        o = grid[(row["dow"], row["mon"])]
+        e = rt[row["dow"]] * ct[row["mon"]] / n
+        assert row["n_orders"] == o
+        assert abs(row["expected"] - e) < 1e-4
+        assert abs(row["pearson_residual"] - (o - e) / e**0.5) < 1e-4
+    # marginal consistency: residuals weighted by sqrt(e) sum to ~0
+    # within each weekday row (the contingency-table identity)
+    for dow, g in got.groupby("dow"):
+        s = (g["pearson_residual"] * g["expected"] ** 0.5).sum()
+        assert abs(s) < 1e-2, (dow, s)

@@ -2009,3 +2009,126 @@ def llm_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rnk")
     )
+
+
+@query(
+    "llm_cluster_silhouette",
+    "§2.21 simplified silhouette per label over the in-plan class centroids",
+    f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+               FROM embeddings),
+    comp AS (
+      SELECT label, i, round(avg(emb[i]), 6) AS c
+      FROM e CROSS JOIN range(1, {PC_DIM + 1}) AS t(i)
+      GROUP BY label, i
+    ),
+    cent AS (
+      SELECT label AS c_label, list(c ORDER BY i) AS centroid
+      FROM comp GROUP BY label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label, c.c_label,
+             round(list_sum(list_transform(range(1, {PC_DIM + 1}),
+                   j -> (emb[j] - centroid[j]) * (emb[j] - centroid[j]))), 6)
+               AS dist2
+      FROM e CROSS JOIN cent c
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             round(sqrt(max(CASE WHEN c_label = label THEN dist2 END)), 6) AS a,
+             round(sqrt(min(CASE WHEN c_label <> label THEN dist2 END)), 6) AS b
+      FROM scored GROUP BY vec_id, label
+    ),
+    s AS (
+      SELECT label,
+             CAST(round((b - a) / greatest(a, b) * 1000000) AS BIGINT) AS sq
+      FROM ab
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+           round(CAST(sum(sq) AS DOUBLE) / count(*) / 1000000, 6)
+             AS mean_silhouette,
+           round(CAST(sum(CASE WHEN sq < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS frac_negative
+    FROM s GROUP BY label ORDER BY label
+    """,
+)
+def llm_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label — the cluster-
+    quality score that closes the loop llm_cluster_assign opens: for
+    each vector, a = distance to its OWN class centroid, b = distance
+    to the nearest OTHER centroid, s = (b - a)/max(a, b); per-label
+    mean silhouette and the fraction of negative-s vectors (points
+    sitting closer to a foreign centroid — the mislabeled/boundary
+    mass a curation pass would re-embed or re-label).  The classic
+    all-pairs silhouette is O(n^2); the centroid form is the standard
+    distributed surrogate (k distances per row, k fixed).  Cross-
+    engine exactness: centroid components round to 6 BEFORE the
+    distance fold (the cluster_assign discipline), each squared
+    distance rounds to 6, a and b round after sqrt, and each s
+    micro-quantizes to an exact integer so the per-label MEAN is an
+    order-free bigint sum closed by one rounded double division.
+
+    Shape at any SF: the centroid build shuffles only labels x dims
+    partial sums; centroids broadcast under the corpus scan, the a/b
+    reduction is a per-vector k-row aggregate computed map-side after
+    the broadcast join, and the final hash-agg is |labels| rows — the
+    corpus never shuffles."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_array("embedding").alias("emb")
+    )
+    comp = (
+        e.select("label", F.posexplode("emb").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+    cent = comp.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+    dist2 = F.aggregate(
+        F.zip_with("emb", "centroid", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "c_label", F.round(dist2, 6).alias("dist2")
+    )
+    ab = scored.groupBy("vec_id", "label").agg(
+        F.round(
+            F.sqrt(
+                F.max(F.when(F.col("c_label") == F.col("label"), F.col("dist2")))
+            ),
+            6,
+        ).alias("a"),
+        F.round(
+            F.sqrt(
+                F.min(F.when(F.col("c_label") != F.col("label"), F.col("dist2")))
+            ),
+            6,
+        ).alias("b"),
+    )
+    s = ab.select(
+        "label",
+        F.round(
+            (F.col("b") - F.col("a")) / F.greatest("a", "b") * 1_000_000
+        )
+        .cast("bigint")
+        .alias("sq"),
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.sum("sq").cast("double") / F.count("*") / 1_000_000, 6).alias(
+                "mean_silhouette"
+            ),
+            F.round(
+                F.sum(F.when(F.col("sq") < 0, 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("frac_negative"),
+        )
+        .orderBy("label")
+    )

@@ -344,6 +344,7 @@ _VERIFY_AFTER = [
     "pandas_api_ewm",
     "llm_judge_length_bias",
     "ts_calendar_profile",
+    "llm_cluster_silhouette",
 ]
 
 

@@ -780,3 +780,50 @@ def test_calendar_profile_residual_algebra(spark):
     for dow, g in got.groupby("dow"):
         s = (g["pearson_residual"] * g["expected"] ** 0.5).sum()
         assert abs(s) < 1e-2, (dow, s)
+
+
+def test_cluster_silhouette_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    got = _load_all()["llm_cluster_silhouette"].builder(spark, SF).toPandas()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    y = emb["label"].to_numpy()
+    cents = {
+        lab: np.round(X[y == lab].mean(axis=0), 6) for lab in np.unique(y)
+    }
+    rows = {}
+    for xi, lab in zip(X, y):
+        d2 = {
+            c: round(float(((xi - cv) ** 2).sum()), 6) for c, cv in cents.items()
+        }
+        a = round(float(np.sqrt(d2[lab])), 6)
+        b = round(float(np.sqrt(min(v for c, v in d2.items() if c != lab))), 6)
+        sq = round((b - a) / max(a, b) * 1e6)
+        rows.setdefault(lab, []).append(sq)
+    ref = pd.DataFrame(
+        sorted(
+            (
+                lab,
+                len(v),
+                round(sum(v) / len(v) / 1e6, 6),
+                round(sum(1 for x in v if x < 0) / len(v), 6),
+            )
+            for lab, v in rows.items()
+        ),
+        columns=list(got.columns),
+    )
+    g = got.reset_index(drop=True)
+    # numpy's pairwise summation can differ from the engines' shared
+    # left-to-right fold by 1 ulp, flipping a micro-quantized s by one
+    # 1e-6 unit — compare with that quantum as tolerance (the
+    # Spark<->DuckDB hash gate is the exact check; this is the
+    # independent-algorithm check)
+    assert (g["label"] == ref["label"]).all()
+    assert (g["n_vectors"] == ref["n_vectors"]).all()
+    assert (g["mean_silhouette"] - ref["mean_silhouette"]).abs().max() <= 2e-6
+    assert (g["frac_negative"] - ref["frac_negative"]).abs().max() <= 0.03
+    # near-random fixture embeddings: silhouettes hug 0 (flat spectrum),
+    # never approach the well-separated regime
+    assert got["mean_silhouette"].abs().max() < 0.2

@@ -692,3 +692,172 @@ def llm_multimodal_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 addition (SURVEY §2.21): text<->media alignment score — the
+# CLIP-score-shaped filter a paired image-text pipeline runs before
+# training (drop the pairs whose caption doesn't match the image).
+# Both encoders are deterministic stand-ins with EXACT integer
+# outputs, so the cosine closes in one rounded double per pair.
+# ---------------------------------------------------------------------------
+
+ALIGN_DIMS = 8
+
+
+def _media_chunk_vec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """Arrow-batched media 'encoder' over (doc_id, blob): split the
+    blob into ALIGN_DIMS contiguous equal chunks (tail dropped), one
+    exact integer byte-sum per chunk, centered to a signed vector
+    (8*s_i - sum(s)).  The real implementation would run an image
+    encoder here; no model ships in this container, so the chunk-sum
+    vector is the STUBBED deterministic stand-in while the Arrow
+    batching, fan-in shape, and array<long> schema are the real
+    plumbing."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        ids, vecs = [], []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            n = len(blob) // ALIGN_DIMS
+            if not n:
+                continue
+            arr = np.frombuffer(
+                blob, dtype=np.uint8, count=ALIGN_DIMS * n
+            ).astype(np.int64)
+            s = arr.reshape(ALIGN_DIMS, n).sum(axis=1)
+            c = ALIGN_DIMS * s - s.sum()
+            ids.append(int(doc_id))
+            vecs.append([int(x) for x in c])
+        yield pd.DataFrame({"doc_id": ids, "mvec": vecs})
+
+
+@query(
+    "llm_multimodal_alignment",
+    "§2.21 text-media alignment score (CLIP-score-shaped pair filter, bottom-10)",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS t
+            FROM documents WHERE text IS NOT NULL)
+    ),
+    sums AS (
+      SELECT doc_id, h % {ALIGN_DIMS} AS dim,
+             CAST(sum(CASE WHEN (h >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
+      FROM toks GROUP BY 1, 2
+    ),
+    tvec AS (
+      SELECT d.doc_id, dims.dim, coalesce(s.v, 0) AS v
+      FROM (SELECT DISTINCT doc_id FROM toks) d
+      CROSS JOIN (SELECT unnest(generate_series(0, {ALIGN_DIMS - 1})) AS dim) dims
+      LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.dim = dims.dim
+    ),
+    m AS (
+      SELECT doc_id, text, CAST(floor(length(text) / {ALIGN_DIMS}) AS BIGINT) AS n
+      FROM documents WHERE length(text) >= {ALIGN_DIMS}
+    ),
+    chunks AS (
+      SELECT doc_id, i,
+             CAST(list_sum(list_transform(range(1, n + 1),
+                  j -> unicode(substr(text, CAST(i * n + j AS INTEGER), 1))))
+               AS BIGINT) AS s
+      FROM m CROSS JOIN range(0, {ALIGN_DIMS}) AS t(i)
+    ),
+    cvec AS (
+      SELECT doc_id, i AS dim,
+             {ALIGN_DIMS} * s - sum(s) OVER (PARTITION BY doc_id) AS c
+      FROM chunks
+    ),
+    dots AS (
+      SELECT t.doc_id,
+             CAST(sum(t.v * c.c) AS BIGINT) AS tc,
+             CAST(sum(t.v * t.v) AS BIGINT) AS tt,
+             CAST(sum(c.c * c.c) AS BIGINT) AS cc
+      FROM tvec t JOIN cvec c ON t.doc_id = c.doc_id AND t.dim = c.dim
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 = 0 THEN 'image/png'
+                WHEN doc_id % 10 = 1 THEN 'audio/wav'
+                ELSE 'text/plain' END AS media_type,
+           round(CAST(tc AS DOUBLE) / (sqrt(CAST(tt AS DOUBLE))
+                                       * sqrt(CAST(cc AS DOUBLE))), 6) AS align_cos
+    FROM dots WHERE tt > 0 AND cc > 0
+    ORDER BY align_cos, doc_id LIMIT 10
+    """,
+)
+def llm_multimodal_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text<->media alignment scoring — the CLIP-score-shaped filter a
+    paired dataset pipeline runs before training (LAION-style: embed
+    caption and image, keep pairs above a cosine threshold): the text
+    side is the vocab-free signed hash embedding (llm_doc_hash_
+    embedding's exact integer fold), the media side a deterministic
+    chunk-byte-sum 'encoder' over the blob (STUB for the real image
+    model — see _media_chunk_vec), and the score their cosine; the
+    output is the BOTTOM-10 pairs, i.e. exactly the rows the filter
+    would drop first.  Both vectors are exact integers, every dot
+    product is an exact int64 sum, and one rounded double division
+    per pair closes the hash gate.
+
+    Shape at any SF: the text fold is map-side HOFs on the documents
+    scan (zero shuffles); the media encoder is one partition-
+    preserving mapInPandas; the pair join keys on doc_id — at real
+    scale both sides are already co-partitioned by the id and the
+    encoder dominates; the global bottom-10 is a TakeOrdered."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    hashes = F.expr(
+        "transform(filter(split(text, ' '), t -> length(t) > 0),"
+        " t -> cast(conv(substring(md5(cast(t AS BINARY)), 1, 15), 16, 10)"
+        " AS BIGINT))"
+    )
+    tvec = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), ALIGN_DIMS),
+        lambda acc, h: F.transform(
+            acc,
+            lambda x, i: x
+            + F.when(
+                h % ALIGN_DIMS == i.cast("long"),
+                F.when(h.bitwiseAND(F.lit(8)) != 0, F.lit(1)).otherwise(F.lit(-1)),
+            ).otherwise(F.lit(0)),
+        ),
+    )
+    t = d.select("doc_id", tvec.alias("tvec"))
+    media = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("blob"))
+    mv = media.mapInPandas(
+        _media_chunk_vec, schema="doc_id long, mvec array<long>"
+    )
+    j = t.join(mv, "doc_id")
+
+    def ldot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    scored = j.select(
+        "doc_id",
+        ldot(F.col("tvec"), F.col("mvec")).alias("tc"),
+        ldot(F.col("tvec"), F.col("tvec")).alias("tt"),
+        ldot(F.col("mvec"), F.col("mvec")).alias("cc"),
+    ).filter((F.col("tt") > 0) & (F.col("cc") > 0))
+    return (
+        scored.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 == 0, F.lit("image/png"))
+            .when(F.col("doc_id") % 10 == 1, F.lit("audio/wav"))
+            .otherwise(F.lit("text/plain"))
+            .alias("media_type"),
+            F.round(
+                F.col("tc").cast("double")
+                / (F.sqrt(F.col("tt").cast("double")) * F.sqrt(F.col("cc").cast("double"))),
+                6,
+            ).alias("align_cos"),
+        )
+        .orderBy("align_cos", "doc_id")
+        .limit(10)
+    )

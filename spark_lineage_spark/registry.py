@@ -345,6 +345,7 @@ _VERIFY_AFTER = [
     "llm_judge_length_bias",
     "ts_calendar_profile",
     "llm_cluster_silhouette",
+    "llm_multimodal_alignment",
 ]
 
 

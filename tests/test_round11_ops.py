@@ -827,3 +827,43 @@ def test_cluster_silhouette_matches_numpy(spark):
     # near-random fixture embeddings: silhouettes hug 0 (flat spectrum),
     # never approach the well-separated regime
     assert got["mean_silhouette"].abs().max() < 0.2
+
+
+def test_multimodal_alignment_matches_numpy(spark):
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    got = _load_all()["llm_multimodal_alignment"].builder(spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        t = np.zeros(8, dtype=np.int64)
+        for w in text.split(" "):
+            if not w:
+                continue
+            h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+            t[h % 8] += 1 if (h >> 3) & 1 else -1
+        b = text.encode("utf-8")
+        n = len(b) // 8
+        if not n:
+            continue
+        s = np.frombuffer(b, dtype=np.uint8, count=8 * n).astype(np.int64)
+        s = s.reshape(8, n).sum(axis=1)
+        c = 8 * s - s.sum()
+        tt, cc, tc = int(t @ t), int(c @ c), int(t @ c)
+        if tt > 0 and cc > 0:
+            rows.append((doc_id, round(tc / (tt**0.5 * cc**0.5), 6)))
+    rows.sort(key=lambda r: (r[1], r[0]))
+    expect = rows[:10]
+    assert list(got["doc_id"]) == [r[0] for r in expect]
+    assert (got["align_cos"].values - [r[1] for r in expect]).max() < 1e-9
+    # media_type mapping matches the features op's doc_id % 10 rule
+    for _, r in got.iterrows():
+        want = (
+            "image/png" if r["doc_id"] % 10 == 0
+            else "audio/wav" if r["doc_id"] % 10 == 1
+            else "text/plain"
+        )
+        assert r["media_type"] == want

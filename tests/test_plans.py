@@ -1069,3 +1069,74 @@ def test_parquet_aggregate_pushdown_in_plan(spark):
         spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_agg)
     m = re.search(r"PushedAggregation: \[([^\]]*)\]", p)
     assert m and "COUNT" in m.group(1) and "MIN" in m.group(1), p[:2500]
+
+
+def test_ppr_checkpoints_rounds_and_takeordered(spark):
+    """Personalized PageRank: per-round checkpointing keeps the plan
+    LINEAR in rounds — the final plan must be a TakeOrdered over the
+    checkpointed rank table (one RDD scan), not 3 unrolled edge-build
+    subtrees (the earlier rounds' broadcast joins already executed
+    inside the checkpoints, so they are deliberately absent here)."""
+    from spark_lineage_spark.operators.analytics import graph_personalized_pagerank
+
+    p = plan_str(graph_personalized_pagerank(spark, SF))
+    assert "Scan ExistingRDD" in p, p[:2000]
+    assert "TakeOrderedAndProject" in p, p[:2000]
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p, p[:3000]
+
+
+def test_abtt_broadcasts_arrays_no_corpus_shuffle_after_cov(spark):
+    """ABTT's per-vector pass must be map-side: mu/v collapse to two
+    broadcast one-row arrays joined under the corpus scan
+    (BroadcastNestedLoop on 1-row sides), and the global top-10 is a
+    TakeOrdered, never a full sort."""
+    from spark_lineage_spark.operators.similarity import llm_embedding_abtt
+
+    p = plan_str(llm_embedding_abtt(spark, SF))
+    assert "BroadcastNestedLoopJoin" in p, p[:2000]
+    assert "TakeOrderedAndProject" in p, p[:2000]
+    assert "CartesianProduct" not in p, p[:3000]
+
+
+def test_scene_cut_shuffles_triples_not_blobs(spark):
+    """Scene-cut: exactly one hash exchange (doc_id for the lag window,
+    reused by the per-doc aggregate), carrying (doc_id, idx, int64)
+    triples emitted by the mapInPandas featurizer — the blob column
+    must not survive past the Python stage."""
+    import re as _re
+
+    from spark_lineage_spark.operators.multimodal import llm_multimodal_scene_cut
+
+    p = plan_str(llm_multimodal_scene_cut(spark, SF))
+    assert "MapInPandas" in p, p[:2000]
+    hashex = _re.findall(r"Arguments: hashpartitioning\((\w+)", p)
+    assert hashex == ["doc_id"], (hashex, p[:2500])
+    # the exchange consumes the featurizer's (doc_id, idx, int64)
+    # output schema — blob bytes never cross the shuffle
+    assert "frame_sum" in p, p[:2000]
+
+
+def test_hard_negatives_broadcast_probes(spark):
+    """Hard-negative mining: the probe side broadcasts; the corpus is
+    scanned map-side (BroadcastNestedLoop), and per-query ranking is a
+    bounded window — no corpus-wide sort, no cartesian."""
+    from spark_lineage_spark.operators.similarity import llm_hard_negative_mining
+
+    p = plan_str(llm_hard_negative_mining(spark, SF))
+    assert "BroadcastNestedLoopJoin" in p, p[:2000]
+    assert "CartesianProduct" not in p, p[:3000]
+
+
+def test_readability_single_pass_agg(spark):
+    """Readability: one map-side pass + one hash aggregate on source —
+    exactly one hash exchange, no window, no join."""
+    import re as _re
+
+    from spark_lineage_spark.operators.text import llm_text_readability
+
+    p = plan_str(llm_text_readability(spark, SF))
+    ops = _re.findall(r"^\(\d+\) (\w+)", p, _re.M)
+    assert "HashAggregate" in ops and "Window" not in ops, ops
+    assert not any("Join" in o for o in ops), ops
+    hashex = _re.findall(r"Arguments: hashpartitioning\((\w+)", p)
+    assert hashex == ["source"], (hashex, p[:2000])

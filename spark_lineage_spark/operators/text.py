@@ -4315,3 +4315,97 @@ def llm_judge_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             nt="size(split(text, ' '))",
         )
     )
+
+
+# Conversation-turn audit (round 11): the SFT-data QA pass over the
+# same per-user event "conversations" llm_chat_template_flatten
+# renders — consecutive same-type turns, type diversity, and the
+# largest inter-turn gap.  Sort key is (epoch-second, event_id):
+# second-granularity timestamps are identical across engines (the
+# events fixture is ns-precision parquet, which Spark truncates to
+# micros and DuckDB keeps — raw ts could order ties differently), and
+# event_id breaks same-second ties deterministically.
+@query(
+    "llm_chat_turn_audit",
+    "§2.21 conversation-turn QA: repeats, type diversity, max gap per user sequence",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type AS et,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ),
+    conv AS (
+      SELECT user_id,
+             list(et ORDER BY sec, event_id)[1:8] AS ets,
+             list(sec ORDER BY sec, event_id)[1:8] AS secs
+      FROM e GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(ets) AS BIGINT) AS n_turns,
+           CAST(COALESCE(list_sum(list_transform(range(2, len(ets) + 1),
+                i -> CASE WHEN ets[i] = ets[i-1] THEN 1 ELSE 0 END)), 0)
+             AS BIGINT) AS n_repeats,
+           CAST(len(list_distinct(ets)) AS BIGINT) AS n_distinct_types,
+           CAST(COALESCE(list_max(list_transform(range(2, len(secs) + 1),
+                i -> secs[i] - secs[i-1])), 0) AS BIGINT) AS max_gap_s,
+           CAST(CASE WHEN COALESCE(list_max(list_transform(range(2, len(secs) + 1),
+                i -> secs[i] - secs[i-1])), 0) > 86400
+                THEN 1 ELSE 0 END AS BIGINT) AS sparse_flag
+    FROM conv ORDER BY user_id
+    """,
+)
+def llm_chat_turn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-turn QA — the screens an SFT pipeline runs on
+    multi-turn data before templating (llm_chat_template_flatten's
+    upstream gate): per user 'conversation' (the ordered first 8
+    events), the count of CONSECUTIVE same-type turns (role/type
+    repetition — the classic malformed-dialogue signal), the distinct
+    type count (degenerate single-type sessions), the largest
+    inter-turn gap in seconds, and a sparse flag (gap > 1 day =
+    probably two sessions glued together; a sessionizer should have
+    split them).  Everything is exact integer arithmetic over
+    second-granularity epochs, and the sort key (epoch second,
+    event_id) is engine-identical BY CONSTRUCTION — the raw
+    ns-precision timestamps could order sub-microsecond ties
+    differently after Spark's micros truncation, so they never enter
+    the sort.
+
+    Shape at any SF: ONE shuffle (collect_list of small structs per
+    user — the chat_template_flatten discipline), then every audit
+    counter is a JVM-side array HOF over the 8-element slice; the
+    output is user-grain."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("et"),
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    conv = ev.groupBy("user_id").agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("sec", "event_id", "et"))), 1, 8
+        ).alias("a")
+    )
+    c = conv.select(
+        "user_id",
+        F.expr("transform(a, s -> s.et)").alias("ets"),
+        F.expr("transform(a, s -> s.sec)").alias("secs"),
+    )
+    n_repeats = F.expr(
+        "CASE WHEN size(ets) >= 2 THEN aggregate(sequence(2, size(ets)), 0L,"
+        " (acc, i) -> acc + IF(element_at(ets, i) = element_at(ets, i - 1), 1L, 0L))"
+        " ELSE 0L END"
+    )
+    max_gap = F.expr(
+        "CASE WHEN size(secs) >= 2 THEN array_max(transform(sequence(2, size(secs)),"
+        " i -> element_at(secs, i) - element_at(secs, i - 1))) ELSE 0L END"
+    )
+    return c.select(
+        "user_id",
+        F.size("ets").cast("bigint").alias("n_turns"),
+        n_repeats.cast("bigint").alias("n_repeats"),
+        F.size(F.array_distinct("ets")).cast("bigint").alias("n_distinct_types"),
+        max_gap.cast("bigint").alias("max_gap_s"),
+        F.when(max_gap > 86400, F.lit(1)).otherwise(F.lit(0)).cast("bigint").alias(
+            "sparse_flag"
+        ),
+    ).orderBy("user_id")

@@ -346,6 +346,7 @@ _VERIFY_AFTER = [
     "ts_calendar_profile",
     "llm_cluster_silhouette",
     "llm_multimodal_alignment",
+    "llm_chat_turn_audit",
 ]
 
 

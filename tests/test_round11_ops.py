@@ -867,3 +867,27 @@ def test_multimodal_alignment_matches_numpy(spark):
             else "text/plain"
         )
         assert r["media_type"] == want
+
+
+def test_chat_turn_audit_matches_pandas(spark):
+    import pandas as pd
+
+    got = _load_all()["llm_chat_turn_audit"].builder(spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev.assign(
+        sec=ev["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+    )
+    rows = []
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["sec", "event_id"]).head(8)
+        ets = list(g["event_type"])
+        secs = list(g["sec"])
+        reps = sum(1 for a, b in zip(ets, ets[1:]) if a == b)
+        gap = max((b - a for a, b in zip(secs, secs[1:])), default=0)
+        rows.append((uid, len(ets), reps, len(set(ets)), gap, int(gap > 86400)))
+    ref = pd.DataFrame(rows, columns=list(got.columns)).sort_values(
+        "user_id"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), ref, check_dtype=False)
+    # the fixture spans 30 days over ~15 users: both flag regimes occur
+    assert got["sparse_flag"].nunique() == 2

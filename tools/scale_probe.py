@@ -200,6 +200,35 @@ PROBE_QUERIES = [
     # stage at 10x, only the orders scan grows).
     "llm_tokenizer_fertility",
     "ts_mann_kendall",
+    # round-11 continuation: map-only text audits (readability, judge
+    # bias — scan grows, finish is |sources|/O(1)), sparse-count
+    # burstiness and the vocab-bounded JS pair stage, tercile-judge
+    # alpha (two passes), daily-collapse ts ops (pacf / strength /
+    # bollinger / calendar grid / ewm / granger — calendar-bounded
+    # finishes over a growing scan), embedding passes (covariance +
+    # projection, silhouette, broadcast-probe hard negatives — corpus
+    # scans with dim^2 / k-bounded shuffles), multimodal featurizers
+    # (scene-cut frame sums, chunk-vec alignment — mapInPandas linear),
+    # and the one-shuffle conversation audit.
+    # graph_personalized_pagerank joins the excluded graph family.
+    "llm_text_readability",
+    "llm_judge_length_bias",
+    "llm_token_burstiness",
+    "llm_source_js_divergence",
+    "stats_krippendorff_alpha",
+    "stats_mutual_info",
+    "ts_pacf",
+    "ts_seasonal_strength",
+    "ts_bollinger_bands",
+    "ts_calendar_profile",
+    "ts_granger_causality",
+    "pandas_api_ewm",
+    "llm_embedding_abtt",
+    "llm_cluster_silhouette",
+    "llm_hard_negative_mining",
+    "llm_multimodal_scene_cut",
+    "llm_multimodal_alignment",
+    "llm_chat_turn_audit",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

@@ -5317,3 +5317,82 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ppr"),
         )
     )
+
+
+# Seasonal Mann-Kendall (round 11, wave 3): the Hirsch-Slack variant —
+# run the MK sign test WITHIN each weekday subseries (so the weekly
+# cycle cannot masquerade as trend), then combine S and the
+# tie-corrected variances additively.  Template SQL: only the
+# epoch-day-mod-7 spelling differs; everything upstream of the two
+# closing double expressions is an exact integer.
+_SEASONAL_MK_SQL = """
+WITH daily AS (
+  SELECT o_orderdate AS d, {dow} AS dow,
+         CAST(sum(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS BIGINT) AS v
+  FROM orders GROUP BY o_orderdate
+),
+s AS (
+  SELECT a.dow, CAST(sum(CAST(sign(b.v - a.v) AS BIGINT)) AS BIGINT) AS s_g
+  FROM daily a JOIN daily b ON a.dow = b.dow AND a.d < b.d
+  GROUP BY a.dow
+),
+n AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_g FROM daily GROUP BY dow),
+ties AS (
+  SELECT dow, COALESCE(CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0)
+           AS tie_g
+  FROM (SELECT dow, v, count(*) AS t FROM daily GROUP BY dow, v
+        HAVING count(*) > 1)
+  GROUP BY dow
+),
+g AS (
+  SELECT n.dow, COALESCE(s.s_g, 0) AS s_g,
+         n.n_g * (n.n_g - 1) * (2 * n.n_g + 5) - COALESCE(ties.tie_g, 0)
+           AS var18_g
+  FROM n LEFT JOIN s ON n.dow = s.dow LEFT JOIN ties ON n.dow = ties.dow
+),
+tot AS (
+  SELECT CAST(sum(s_g) AS BIGINT) AS s_tot,
+         CAST(sum(var18_g) AS BIGINT) AS var18,
+         CAST(count(*) AS BIGINT) AS n_seasons
+  FROM g
+)
+SELECT (SELECT CAST(sum(n_g) AS BIGINT) FROM n) AS n_days,
+       n_seasons, s_tot,
+       round(CAST(var18 AS DOUBLE) / 18, 6) AS var_s,
+       round(CASE WHEN s_tot > 0
+                  THEN (s_tot - 1) / sqrt(CAST(var18 AS DOUBLE) / 18)
+                  WHEN s_tot < 0
+                  THEN (s_tot + 1) / sqrt(CAST(var18 AS DOUBLE) / 18)
+                  ELSE CAST(0 AS DOUBLE) END, 6) AS z
+FROM tot
+"""
+
+
+@query(
+    "ts_seasonal_mann_kendall",
+    "§2.21 seasonal Mann-Kendall (Hirsch-Slack): within-weekday trend test, additive combine",
+    _SEASONAL_MK_SQL.format(dow="(CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 7"),
+)
+def ts_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall trend test (Hirsch & Slack) — the variant
+    a weekly-cycled series actually needs: ts_mann_kendall compares
+    EVERY day pair, so a strong weekday effect inflates (or masks) the
+    trend signal; the seasonal form runs the sign test only WITHIN
+    each weekday subseries and combines S = sum S_g and the
+    tie-corrected variances additively (valid because the subseries
+    statistics are independent under H0).  Same exactness contract as
+    the parent test: cent-sum days, integer sign pairs, integer tie
+    terms, one shared template (only the epoch-day-mod-7 spelling
+    differs), two closing double expressions with the continuity
+    correction.
+
+    Shape at any SF: one scan of orders partial-aggs to the CALENDAR-
+    bounded daily table; the pair join now runs within weekday groups
+    (~7 x (days/7)^2 pairs — about 1/7 of the parent test's work) and
+    everything downstream is O(7) rows."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        _SEASONAL_MK_SQL.format(
+            dow="datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') % 7"
+        )
+    )

@@ -347,6 +347,7 @@ _VERIFY_AFTER = [
     "llm_cluster_silhouette",
     "llm_multimodal_alignment",
     "llm_chat_turn_audit",
+    "ts_seasonal_mann_kendall",
 ]
 
 

@@ -891,3 +891,56 @@ def test_chat_turn_audit_matches_pandas(spark):
     pd.testing.assert_frame_equal(got.reset_index(drop=True), ref, check_dtype=False)
     # the fixture spans 30 days over ~15 users: both flag regimes occur
     assert got["sparse_flag"].nunique() == 2
+
+
+def test_seasonal_mann_kendall_matches_bruteforce(spark):
+    import math
+
+    import pandas as pd
+
+    got = (
+        _load_all()["ts_seasonal_mann_kendall"].builder(spark, SF).toPandas().iloc[0]
+    )
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = (orders["o_totalprice"] * 100).round().astype("int64")
+    daily = (
+        pd.DataFrame({"d": orders["o_orderdate"].dt.normalize(), "v": cents})
+        .groupby("d")["v"]
+        .sum()
+        .sort_index()
+    )
+    dow = (daily.index - pd.Timestamp("1970-01-01")).days % 7
+    s_tot, var18, n_seasons = 0, 0, 0
+    for g in range(7):
+        vals = daily[dow == g].to_numpy()
+        n = len(vals)
+        if not n:
+            continue
+        n_seasons += 1
+        s_tot += sum(
+            (1 if vals[j] > vals[i] else -1 if vals[j] < vals[i] else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        ties = sum(
+            t * (t - 1) * (2 * t + 5)
+            for t in pd.Series(vals).value_counts()
+            if t > 1
+        )
+        var18 += n * (n - 1) * (2 * n + 5) - ties
+    var_s = var18 / 18
+    z = (
+        (s_tot - 1) / math.sqrt(var_s)
+        if s_tot > 0
+        else (s_tot + 1) / math.sqrt(var_s)
+        if s_tot < 0
+        else 0.0
+    )
+    assert got["n_days"] == len(daily)
+    assert got["n_seasons"] == n_seasons == 7
+    assert got["s_tot"] == s_tot
+    assert abs(got["var_s"] - round(var_s, 6)) < 1e-6
+    assert abs(got["z"] - round(z, 6)) < 1e-6
+    # sanity vs the parent test: removing the weekly cycle can move the
+    # statistic, but both must stay valid z-scores here
+    assert abs(got["z"]) < 6

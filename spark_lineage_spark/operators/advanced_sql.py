@@ -3516,3 +3516,69 @@ def ts_calendar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             dow="datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') % 7"
         )
     )
+
+
+# Rolling correlation (round 11, wave 3): 30-day trailing Pearson
+# between daily order COUNT and daily revenue, full windows only.
+# One shared SQL text: daily dollars are half-up integers, the five
+# window sums are exact bigints, and the closed form runs on
+# identically-cast doubles (the ts_bollinger_bands overflow
+# discipline: products cast to double BEFORE multiplying).
+_ROLLING_CORR_SQL = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(count(*) AS BIGINT) AS x,
+         CAST(sum(CAST(floor(o_totalprice + 0.5) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY o_orderdate
+),
+w AS (
+  SELECT d, x, y,
+         CASE WHEN count(*) OVER w30 = 30 THEN CAST(count(*) OVER w30 AS BIGINT) END AS n,
+         CAST(sum(x) OVER w30 AS BIGINT) AS sx,
+         CAST(sum(y) OVER w30 AS BIGINT) AS sy,
+         CAST(sum(x * y) OVER w30 AS BIGINT) AS sxy,
+         CAST(sum(x * x) OVER w30 AS BIGINT) AS sxx,
+         CAST(sum(y * y) OVER w30 AS BIGINT) AS syy
+  FROM daily
+  WINDOW w30 AS (ORDER BY d ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+),
+c AS (
+  SELECT d,
+         n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy AS num,
+         (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+           * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy) AS den2
+  FROM w WHERE n IS NOT NULL
+)
+SELECT CAST(d AS STRING) AS day,
+       CASE WHEN den2 > 0 THEN round(num / sqrt(den2), 6)
+            ELSE CAST(NULL AS DOUBLE) END AS corr_30d
+FROM c ORDER BY day
+"""
+
+
+@query(
+    "ts_rolling_correlation",
+    "§2.21 rolling 30-day Pearson between daily order count and revenue",
+    _ROLLING_CORR_SQL,
+)
+def ts_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-day Pearson correlation between daily order count
+    and daily revenue — the regime-shift monitor ts_cross_correlation
+    (global, lagged) can't give you: a STABLE local correlation means
+    volume drives revenue as usual; a collapse toward 0 in some window
+    marks a mix change (price inflation, basket-size shift) long
+    before the global statistic moves.  Full 30-row windows only;
+    counts are exact, daily dollars are half-up integers, the five
+    trailing window sums are exact bigints, and the Pearson closed
+    form casts each product through double with identical operation
+    order (the ts_bollinger_bands discipline — sy*sy would pass 2^63
+    at ~1e10 daily dollars, where the quantum lifts as documented
+    there); zero-variance windows yield NULL deterministically in
+    both engines.
+
+    Shape at any SF: orders partial-agg map-side to the CALENDAR-
+    bounded daily table — the only pass over facts; the trailing
+    window is a single-partition pass over O(days) rows (the
+    decompose justification)."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_ROLLING_CORR_SQL)

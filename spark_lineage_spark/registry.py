@@ -348,6 +348,7 @@ _VERIFY_AFTER = [
     "llm_multimodal_alignment",
     "llm_chat_turn_audit",
     "ts_seasonal_mann_kendall",
+    "ts_rolling_correlation",
 ]
 
 

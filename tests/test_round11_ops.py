@@ -944,3 +944,28 @@ def test_seasonal_mann_kendall_matches_bruteforce(spark):
     # sanity vs the parent test: removing the weekly cycle can move the
     # statistic, but both must stay valid z-scores here
     assert abs(got["z"]) < 6
+
+
+def test_rolling_correlation_matches_pandas(spark):
+    import pandas as pd
+
+    got = _load_all()["ts_rolling_correlation"].builder(spark, SF).toPandas()
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    dollars = (orders["o_totalprice"] + 0.5).astype("int64")
+    daily = (
+        pd.DataFrame({"d": orders["o_orderdate"], "x": 1, "y": dollars})
+        .groupby("d")
+        .agg(x=("x", "count"), y=("y", "sum"))
+        .sort_index()
+    )
+    ref = daily["x"].rolling(30).corr(daily["y"])
+    full = daily["x"].rolling(30).count() == 30
+    ref = ref[full].round(6)
+    assert list(got["day"]) == [
+        d.strftime("%Y-%m-%d %H:%M:%S") for d in daily.index[full]
+    ]
+    assert (got["corr_30d"].values - ref.values).max() < 1e-5
+    # the fixture's count and revenue co-move: correlations stay
+    # positive everywhere (locally dipping, never inverting)
+    assert got["corr_30d"].min() > 0
+    assert got["corr_30d"].max() <= 1

@@ -3582,3 +3582,88 @@ def ts_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     decompose justification)."""
     register_views(spark, sf_dir, ["orders"])
     return spark.sql(_ROLLING_CORR_SQL)
+
+
+# Residual anomaly scoring (round 11, wave 3): robust MAD z-scores on
+# the classical decomposition's residuals — template SQL (epoch-day
+# dow + percentile_disc/quantile_disc spellings), everything upstream
+# of the score exact or identically rounded.
+_STL_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), t AS (
+  SELECT day, y, {dow} AS dow,
+         CASE WHEN count(*) OVER w7 = 7
+              THEN CAST(sum(y) OVER w7 AS BIGINT) END AS tx7
+  FROM daily
+  WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), seas AS (
+  SELECT dow, CAST(sum(7 * y - tx7) AS BIGINT) AS sdx7, count(*) AS cnt
+  FROM t WHERE tx7 IS NOT NULL GROUP BY 1
+), res AS (
+  SELECT t.day, t.y,
+         round(CAST(t.y AS DOUBLE) / 1000000
+               - CAST(t.tx7 AS DOUBLE) / 7 / 1000000
+               - CAST(s.sdx7 AS DOUBLE) / (s.cnt * 7) / 1000000, 2) AS r
+  FROM t JOIN seas s ON t.dow = s.dow
+  WHERE t.tx7 IS NOT NULL
+), med AS (
+  SELECT {p_med} AS m FROM res
+), dev AS (
+  SELECT res.day, res.y, res.r, abs(res.r - med.m) AS ad
+  FROM res CROSS JOIN med
+), mad AS (
+  SELECT {p_mad} AS md FROM dev
+)
+SELECT CAST(dev.day AS STRING) AS day,
+       round(CAST(dev.y AS DOUBLE) / 1000000, 2) AS observed,
+       dev.r AS residual,
+       CASE WHEN mad.md > 0
+            THEN round(dev.ad / (1.4826 * mad.md), 4)
+            ELSE CAST(NULL AS DOUBLE) END AS robust_z,
+       CAST(CASE WHEN mad.md > 0 AND dev.ad > 3 * 1.4826 * mad.md
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM dev CROSS JOIN mad
+ORDER BY day
+"""
+
+
+@query(
+    "ts_stl_anomaly",
+    "§2.21 decomposition-residual anomalies via robust MAD z-scores",
+    _STL_ANOMALY_SQL.format(
+        dow="(day - DATE '1970-01-01') % 7",
+        p_med="quantile_disc(r, 0.5)",
+        p_mad="quantile_disc(ad, 0.5)",
+    ),
+)
+def ts_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decomposition-residual anomaly scoring — the detector that
+    completes the ts_seasonal_decompose / ts_seasonal_strength family:
+    remove trend and weekday seasonality FIRST, then robust-score what
+    remains (median + MAD with the 1.4826 normal-consistency factor;
+    |r - med| > 3 sigma_robust flags).  This catches level spikes that
+    ts_anomaly_zscore's global mean misses under seasonality and that
+    ts_bollinger_bands' trailing window smears across the weekly
+    cycle, and unlike both it is outlier-robust (the anomaly itself
+    cannot inflate the threshold through a mean/stddev).  Residuals
+    are the decompose's own round-2 fixed formulas over exact
+    integers; the median and MAD use the pinned percentile_disc
+    convention, so the score input doubles are bit-identical in both
+    engines; zero-MAD degenerates to NULL scores deterministically.
+
+    Shape at any SF: identical to ts_seasonal_decompose — one hash agg
+    to the calendar-bounded daily table, O(days) windows and two
+    discrete percentiles over ~24 rows; output is day-grain with an
+    is_anomaly flag (all full-window days, so the row count is stable
+    for the gate)."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        _STL_ANOMALY_SQL.format(
+            dow="datediff(day, DATE '1970-01-01') % 7",
+            p_med="percentile_disc(0.5) WITHIN GROUP (ORDER BY r)",
+            p_mad="percentile_disc(0.5) WITHIN GROUP (ORDER BY ad)",
+        )
+    )

@@ -349,6 +349,7 @@ _VERIFY_AFTER = [
     "llm_chat_turn_audit",
     "ts_seasonal_mann_kendall",
     "ts_rolling_correlation",
+    "ts_stl_anomaly",
 ]
 
 

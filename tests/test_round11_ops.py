@@ -969,3 +969,28 @@ def test_rolling_correlation_matches_pandas(spark):
     # positive everywhere (locally dipping, never inverting)
     assert got["corr_30d"].min() > 0
     assert got["corr_30d"].max() <= 1
+
+
+def test_stl_anomaly_matches_decompose_residuals(spark):
+    import math
+
+    import pandas as pd
+
+    got = _load_all()["ts_stl_anomaly"].builder(spark, SF).toPandas()
+    dec = _load_all()["ts_seasonal_decompose"].builder(spark, SF).toPandas()
+    full = dec[dec["trend"].notna()].sort_values("day").reset_index(drop=True)
+    # same day universe and identical residuals as the decompose
+    assert list(got["day"]) == list(full["day"])
+    assert (got["residual"].values == full["residual"].values).all()
+    # robust-z replay: percentile_disc median (smallest value with
+    # cume_dist >= .5), MAD, 1.4826 factor
+    r = sorted(full["residual"])
+    med = r[max(0, math.ceil(0.5 * len(r)) - 1)]
+    ad = sorted(abs(x - med) for x in r)
+    mad = ad[max(0, math.ceil(0.5 * len(ad)) - 1)]
+    for _, row in got.iterrows():
+        z = abs(row["residual"] - med) / (1.4826 * mad)
+        assert abs(row["robust_z"] - round(z, 4)) < 1e-9, row["day"]
+        assert row["is_anomaly"] == (1 if abs(row["residual"] - med) > 3 * 1.4826 * mad else 0)
+    # flags are a strict subset of high scores
+    assert ((got["is_anomaly"] == 1) <= (got["robust_z"] > 3)).all()

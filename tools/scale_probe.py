@@ -229,6 +229,12 @@ PROBE_QUERIES = [
     "llm_multimodal_scene_cut",
     "llm_multimodal_alignment",
     "llm_chat_turn_audit",
+    # round-11 wave 3: weekday-confined MK pairs (calendar-bounded),
+    # trailing-window correlation and robust residual anomalies over
+    # daily-collapse tables — only the fact scan grows in all three.
+    "ts_seasonal_mann_kendall",
+    "ts_rolling_correlation",
+    "ts_stl_anomaly",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

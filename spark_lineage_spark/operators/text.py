@@ -4409,3 +4409,113 @@ def llm_chat_turn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sparse_flag"
         ),
     ).orderBy("user_id")
+
+
+# Filter funnel report (round 11, wave 3): per-source survivor counts
+# through the SEQUENTIAL cleaning stages a corpus-prep job applies —
+# the observability table every data team ships with a dataset drop.
+# Template SQL (tokenizer/hash spellings per engine); every count is
+# an exact integer and every stage predicate is integer arithmetic.
+_FUNNEL_SQL = """
+WITH t AS (
+  SELECT doc_id, source, n_chars,
+         {wc} AS w,
+         {hits} AS hits,
+         {h} AS h
+  FROM documents
+),
+surv AS (
+  SELECT t.*,
+         CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY h)
+              THEN 1 ELSE 0 END AS keep_dedup
+  FROM t
+),
+staged AS (
+  SELECT source,
+         1 AS s0,
+         keep_dedup AS s1,
+         CASE WHEN keep_dedup = 1 AND w >= 20 THEN 1 ELSE 0 END AS s2,
+         CASE WHEN keep_dedup = 1 AND w >= 20
+                   AND NOT (10 * hits > w) THEN 1 ELSE 0 END AS s3,
+         CASE WHEN keep_dedup = 1 AND w >= 20 AND NOT (10 * hits > w)
+                   AND n_chars BETWEEN 150 AND 1000 THEN 1 ELSE 0 END AS s4
+  FROM surv
+)
+SELECT source,
+       CAST(sum(s0) AS BIGINT) AS n_raw,
+       CAST(sum(s1) AS BIGINT) AS n_after_dedup,
+       CAST(sum(s2) AS BIGINT) AS n_after_quality,
+       CAST(sum(s3) AS BIGINT) AS n_after_blocklist,
+       CAST(sum(s4) AS BIGINT) AS n_after_length,
+       round(CAST(sum(s4) AS DOUBLE) / sum(s0), 6) AS keep_rate
+FROM staged GROUP BY source ORDER BY source
+"""
+
+
+@query(
+    "llm_filter_funnel",
+    "§2.21 corpus-prep filter funnel: per-source survivors through sequential cleaning stages",
+    _FUNNEL_SQL.format(
+        wc="len(string_split(text, ' '))",
+        hits="len(list_filter(string_split(text, ' '), x -> x IN ('slow', 'big')))",
+        h="md5(text)",
+    ),
+)
+def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel observability — the per-source survivor table a
+    dataset release ships alongside the data (FineWeb/C4-style drop
+    reports): raw → exact dedup (first doc_id per md5 wins — the
+    llm_dedup_exact rule; an honest no-op on this dupe-free fixture,
+    the machinery still runs) → quality gate (≥20 words, the
+    llm_pipeline_end_to_end threshold) → blocklist gate (blocked-token
+    rate ≤ 10%, tested as the exact cross-multiplication 10·hits > w —
+    no float division) → length band (150–1000 chars), applied
+    SEQUENTIALLY so each count is 'survivors so far', plus the final
+    keep rate.  Unlike llm_pipeline_end_to_end (which reports only the
+    final aggregate), the funnel exposes WHERE documents die — the
+    number a pipeline owner actually debugs with.  Every stage
+    predicate and count is exact integer arithmetic; one rounded
+    division closes.
+
+    Shape at any SF: one scan computes tokens/hits/hash map-side; the
+    only shuffle is the dedup hash window (partition by content hash —
+    the llm_dedup_exact shape); the staged flags then partial-agg onto
+    |sources| rows."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(toks).alias("w"),
+        F.size(F.filter(toks, lambda x: x.isin("slow", "big"))).alias("hits"),
+        F.md5(F.col("text").cast("binary")).alias("h"),
+    )
+    wmin = Window.partitionBy("h")
+    surv = t.withColumn(
+        "keep_dedup",
+        F.when(F.col("doc_id") == F.min("doc_id").over(wmin), 1).otherwise(0),
+    )
+    s2 = (F.col("keep_dedup") == 1) & (F.col("w") >= 20)
+    s3 = s2 & ~(10 * F.col("hits") > F.col("w"))
+    s4 = s3 & F.col("n_chars").between(150, 1000)
+    staged = surv.select(
+        "source",
+        F.lit(1).alias("s0"),
+        F.col("keep_dedup").alias("s1"),
+        F.when(s2, 1).otherwise(0).alias("s2"),
+        F.when(s3, 1).otherwise(0).alias("s3"),
+        F.when(s4, 1).otherwise(0).alias("s4"),
+    )
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.sum("s0").cast("bigint").alias("n_raw"),
+            F.sum("s1").cast("bigint").alias("n_after_dedup"),
+            F.sum("s2").cast("bigint").alias("n_after_quality"),
+            F.sum("s3").cast("bigint").alias("n_after_blocklist"),
+            F.sum("s4").cast("bigint").alias("n_after_length"),
+            F.round(F.sum("s4").cast("double") / F.sum("s0"), 6).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )

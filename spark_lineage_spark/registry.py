@@ -350,6 +350,7 @@ _VERIFY_AFTER = [
     "ts_seasonal_mann_kendall",
     "ts_rolling_correlation",
     "ts_stl_anomaly",
+    "llm_filter_funnel",
 ]
 
 

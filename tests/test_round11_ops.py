@@ -994,3 +994,51 @@ def test_stl_anomaly_matches_decompose_residuals(spark):
         assert row["is_anomaly"] == (1 if abs(row["residual"] - med) > 3 * 1.4826 * mad else 0)
     # flags are a strict subset of high scores
     assert ((got["is_anomaly"] == 1) <= (got["robust_z"] > 3)).all()
+
+
+def test_filter_funnel_monotone_and_matches_pandas(spark):
+    import hashlib
+
+    import pandas as pd
+
+    got = _load_all()["llm_filter_funnel"].builder(spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    first_by_hash = {}
+    for doc_id, text in sorted(zip(docs["doc_id"], docs["text"])):
+        h = hashlib.md5(text.encode()).hexdigest()
+        first_by_hash.setdefault(h, doc_id)
+    rows = {}
+    for _, r in docs.iterrows():
+        toks = r["text"].split(" ")
+        w = len(toks)
+        hits = sum(1 for t in toks if t in ("slow", "big"))
+        h = hashlib.md5(r["text"].encode()).hexdigest()
+        s1 = first_by_hash[h] == r["doc_id"]
+        s2 = s1 and w >= 20
+        s3 = s2 and not (10 * hits > w)
+        s4 = s3 and 150 <= r["n_chars"] <= 1000
+        acc = rows.setdefault(r["source"], [0, 0, 0, 0, 0])
+        acc[0] += 1
+        for i, flag in enumerate((s1, s2, s3, s4), start=1):
+            acc[i] += int(flag)
+    ref = pd.DataFrame(
+        sorted(
+            (src, *v, round(v[4] / v[0], 6)) for src, v in rows.items()
+        ),
+        columns=list(got.columns),
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), ref, check_dtype=False)
+    # funnel invariant: each stage is a subset of the previous
+    for a, b in [
+        ("n_raw", "n_after_dedup"),
+        ("n_after_dedup", "n_after_quality"),
+        ("n_after_quality", "n_after_blocklist"),
+        ("n_after_blocklist", "n_after_length"),
+    ]:
+        assert (got[a] >= got[b]).all(), (a, b)
+    # every stage except dedup (no exact dupes in the fixture) must
+    # actually drop something somewhere
+    assert (got["n_raw"] == got["n_after_dedup"]).all()
+    assert got["n_after_quality"].sum() < got["n_after_dedup"].sum()
+    assert got["n_after_blocklist"].sum() < got["n_after_quality"].sum()
+    assert got["n_after_length"].sum() < got["n_after_blocklist"].sum()

@@ -4519,3 +4519,98 @@ def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Immediate-repetition loop detector (round 11, wave 3): the
+# generated-text degeneration signal — "the the", "of the of the",
+# ABCABC — counted EXACTLY at unigram/bigram/trigram level via
+# shifted-index comparisons (no explode, no shuffle before the
+# per-source rollup).  Template SQL: tokenizer + index-function
+# spellings per engine; 1-based positions in both.
+_REP_LOOPS_SQL = """
+WITH t AS (SELECT doc_id, source, {split} AS a FROM documents),
+r AS (
+  SELECT doc_id, source,
+         CASE WHEN {sz} >= 2 THEN
+           {count_uni}
+         ELSE 0 END AS uni,
+         CASE WHEN {sz} >= 4 THEN
+           {count_bi}
+         ELSE 0 END AS bi,
+         CASE WHEN {sz} >= 6 THEN
+           {count_tri}
+         ELSE 0 END AS tri
+  FROM t
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN uni > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_uni_loop,
+       CAST(sum(CASE WHEN bi > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_bi_loop,
+       CAST(sum(CASE WHEN tri > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_tri_loop,
+       CAST(sum(uni) AS BIGINT) AS total_uni_loops,
+       CAST(sum(bi) AS BIGINT) AS total_bi_loops,
+       CAST(sum(tri) AS BIGINT) AS total_tri_loops
+FROM r GROUP BY source ORDER BY source
+"""
+
+_REP_DUCK = dict(
+    split="string_split(text, ' ')",
+    sz="len(a)",
+    count_uni="len(list_filter(range(1, len(a)), i -> a[i] = a[i+1]))",
+    count_bi=(
+        "len(list_filter(range(1, len(a) - 2), i ->"
+        " a[i] = a[i+2] AND a[i+1] = a[i+3]))"
+    ),
+    count_tri=(
+        "len(list_filter(range(1, len(a) - 4), i ->"
+        " a[i] = a[i+3] AND a[i+1] = a[i+4] AND a[i+2] = a[i+5]))"
+    ),
+)
+_REP_SPARK = dict(
+    split="split(text, ' ')",
+    sz="size(a)",
+    count_uni=(
+        "size(filter(sequence(1, size(a) - 1), i ->"
+        " element_at(a, i) = element_at(a, i + 1)))"
+    ),
+    count_bi=(
+        "size(filter(sequence(1, size(a) - 3), i ->"
+        " element_at(a, i) = element_at(a, i + 2)"
+        " AND element_at(a, i + 1) = element_at(a, i + 3)))"
+    ),
+    count_tri=(
+        "size(filter(sequence(1, size(a) - 5), i ->"
+        " element_at(a, i) = element_at(a, i + 3)"
+        " AND element_at(a, i + 1) = element_at(a, i + 4)"
+        " AND element_at(a, i + 2) = element_at(a, i + 5)))"
+    ),
+)
+
+
+@query(
+    "llm_repetition_loops",
+    "§2.21 immediate-repetition loop detector (uni/bi/tri-gram degeneration QA)",
+    _REP_LOOPS_SQL.format(**_REP_DUCK),
+)
+def llm_repetition_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Immediate-repetition loop detection — the GENERATED-text
+    degeneration signal llm_text_repetition's dup-ngram FRACTION can't
+    isolate: a high dup fraction flags copy-paste boilerplate anywhere
+    in the doc, while a LOOP ('the the', 'of the of the', ABCABC
+    immediately adjacent) is the signature of greedy-decoding collapse
+    and template stamping, and generated-data QA filters on it
+    specifically.  Counts positions where the n-gram at i equals the
+    n-gram at i+n for n = 1, 2, 3, each an exact integer computed by a
+    shifted-index filter over the token array (1-based element_at /
+    list indexing, identical semantics in both engines), with
+    short-doc guards so sequence() never runs descending.  Per-source
+    rollup: affected-doc counts and total loop counts per level.
+
+    Shape at any SF: one map-side pass over documents (arrays never
+    leave their row), then an algebraic hash-agg onto |sources| rows —
+    the corpus never shuffles.  NOTE the DuckDB/Spark off-by-one in
+    the filter bounds is deliberate: DuckDB's range(1, n) EXCLUDES n
+    while Spark's sequence(1, n) INCLUDES it, so the Spark upper
+    bounds sit one lower to cover the identical index set."""
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(_REP_LOOPS_SQL.format(**_REP_SPARK))

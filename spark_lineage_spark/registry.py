@@ -351,6 +351,7 @@ _VERIFY_AFTER = [
     "ts_rolling_correlation",
     "ts_stl_anomaly",
     "llm_filter_funnel",
+    "llm_repetition_loops",
 ]
 
 

@@ -1042,3 +1042,41 @@ def test_filter_funnel_monotone_and_matches_pandas(spark):
     assert got["n_after_quality"].sum() < got["n_after_dedup"].sum()
     assert got["n_after_blocklist"].sum() < got["n_after_quality"].sum()
     assert got["n_after_length"].sum() < got["n_after_blocklist"].sum()
+
+
+def test_repetition_loops_matches_pandas(spark):
+    import pandas as pd
+
+    got = _load_all()["llm_repetition_loops"].builder(spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    rows = {}
+    for _, r in docs.iterrows():
+        a = r["text"].split(" ")
+        uni = sum(1 for i in range(len(a) - 1) if a[i] == a[i + 1])
+        bi = sum(
+            1
+            for i in range(len(a) - 3)
+            if a[i] == a[i + 2] and a[i + 1] == a[i + 3]
+        )
+        tri = sum(
+            1
+            for i in range(len(a) - 5)
+            if a[i] == a[i + 3] and a[i + 1] == a[i + 4] and a[i + 2] == a[i + 5]
+        )
+        acc = rows.setdefault(r["source"], [0] * 7)
+        acc[0] += 1
+        acc[1] += int(uni > 0)
+        acc[2] += int(bi > 0)
+        acc[3] += int(tri > 0)
+        acc[4] += uni
+        acc[5] += bi
+        acc[6] += tri
+    ref = pd.DataFrame(
+        sorted((src, *v) for src, v in rows.items()), columns=list(got.columns)
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), ref, check_dtype=False)
+    # containment sanity: a doc with a bigram loop need not have a
+    # trigram loop, but totals decay with n on word-soup text
+    assert got["total_uni_loops"].sum() >= got["total_bi_loops"].sum()
+    assert got["total_bi_loops"].sum() >= got["total_tri_loops"].sum()
+    assert got["total_uni_loops"].sum() > 0

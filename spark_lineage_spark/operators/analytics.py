@@ -5396,3 +5396,83 @@ def ts_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             dow="datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') % 7"
         )
     )
+
+
+# Holm-Bonferroni step-down (round 11, wave 3): the FAMILY-WISE error
+# companion to stats_fdr_bh, on the identical 25-nation proportion-test
+# chassis (same z, same Abramowitz-Stegun erf p-values) — adjusted
+# p_i = max over j<=i of (m-j+1)*p_j, a prefix running-max in
+# ASCENDING rank order (BH is the suffix running-min), capped at 1.
+_HOLM_SQL = f"""
+WITH joined AS (
+  SELECT c.c_nationkey AS nk,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS k
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(k) AS BIGINT) AS kk,
+         CAST(count(*) AS BIGINT) AS m
+  FROM joined
+),
+zt AS (
+  SELECT j.nk, j.n, j.k, t.m,
+         (CAST(j.k AS DOUBLE) / j.n - CAST(t.kk - j.k AS DOUBLE) / (t.nn - j.n))
+         / sqrt((CAST(t.kk AS DOUBLE) / t.nn) * (1 - CAST(t.kk AS DOUBLE) / t.nn)
+                * (CAST(1 AS DOUBLE) / j.n + CAST(1 AS DOUBLE) / (t.nn - j.n)))
+           AS z
+  FROM joined j CROSS JOIN tot t
+),
+pv AS (
+  SELECT nk, n, k, m, z, 1 - {_FDR_ERF} AS p
+  FROM zt
+),
+ranked AS (
+  SELECT nk, n, k, m, z, p,
+         row_number() OVER (ORDER BY p, nk) AS rnk
+  FROM pv
+),
+adj AS (
+  SELECT nk, n, k, z, p, rnk,
+         least(max(p * (m - rnk + 1)) OVER (ORDER BY rnk
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW),
+               CAST(1 AS DOUBLE)) AS p_adj
+  FROM ranked
+)
+SELECT nk AS nationkey, n AS n_orders, k AS n_urgent,
+       round(z, 4) AS z_stat, round(p, 6) AS p_value,
+       round(p_adj, 6) AS p_holm,
+       CASE WHEN p_adj <= 0.05 THEN 1 ELSE 0 END AS rejected
+FROM adj
+"""
+
+
+@query(
+    "stats_holm_bonferroni",
+    "§2.21 Holm-Bonferroni step-down FWER control over 25 per-nation proportion tests",
+    _HOLM_SQL,
+)
+def stats_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm-Bonferroni step-down — the FAMILY-WISE error-rate control
+    that completes stats_fdr_bh's FDR view of the same 25-nation
+    urgent-share test family: BH answers "which discoveries can I
+    tolerate 10% of being false", Holm answers "which can I claim with
+    95% confidence that NONE are false" (uniformly more powerful than
+    plain Bonferroni at no extra assumptions — the default when a
+    dashboard will act on every flagged segment).  Identical chassis
+    to the BH query (same exact integer contingency rows, same z, the
+    same Abramowitz-Stegun erf polynomial for p — one shared source of
+    truth for the family), then adjusted p_i = max_{{j<=i}}
+    (m-j+1)·p_j: a PREFIX running-max in ascending rank order where BH
+    is the suffix running-min — the two queries together are the
+    textbook pair.  One shared SQL text.
+
+    Shape at any SF: one orders-customer join partial-aggs onto 25
+    contingency rows; everything downstream (rank, running max) is a
+    25-row window.  The join broadcasts the customer dim under AQE at
+    this SF; at 100 TB it shuffles on custkey like the BH query."""
+    register_views(spark, sf_dir, ["orders", "customer"])
+    return spark.sql(_HOLM_SQL)

@@ -352,6 +352,7 @@ _VERIFY_AFTER = [
     "ts_stl_anomaly",
     "llm_filter_funnel",
     "llm_repetition_loops",
+    "stats_holm_bonferroni",
 ]
 
 

@@ -1080,3 +1080,26 @@ def test_repetition_loops_matches_pandas(spark):
     assert got["total_uni_loops"].sum() >= got["total_bi_loops"].sum()
     assert got["total_bi_loops"].sum() >= got["total_tri_loops"].sum()
     assert got["total_uni_loops"].sum() > 0
+
+
+def test_holm_bonferroni_matches_replay(spark):
+    import pandas as pd
+
+    got = _load_all()["stats_holm_bonferroni"].builder(spark, SF).toPandas()
+    bh = _load_all()["stats_fdr_bh"].builder(spark, SF).toPandas()
+    # same family: identical raw p-values per nation as the BH query
+    m = got.merge(bh, on="nationkey", suffixes=("", "_bh"))
+    assert (m["p_value"] == m["p_value_bh"]).all()
+    # Holm replay from the raw p-values
+    s = got.sort_values(["p_value", "nationkey"]).reset_index(drop=True)
+    mm = len(s)
+    run = 0.0
+    for i, p in enumerate(s["p_value"], start=1):
+        run = max(run, p * (mm - i + 1))
+        want = round(min(run, 1.0), 6)
+        # p_holm was rounded from the unrounded adjusted value while the
+        # replay starts from round-6 p's — compare with that slack
+        assert abs(s.loc[i - 1, "p_holm"] - want) < 1e-4, s.loc[i - 1]
+    # dominance: Holm (FWER) is never more liberal than BH (FDR)
+    assert (m["p_holm"] >= m["p_bh"] - 1e-9).all()
+    assert m["rejected"].sum() <= m["rejected_bh"].sum()

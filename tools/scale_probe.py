@@ -235,6 +235,12 @@ PROBE_QUERIES = [
     "ts_seasonal_mann_kendall",
     "ts_rolling_correlation",
     "ts_stl_anomaly",
+    # round-11 wave 4: the funnel's dedup-hash window + map-side stage
+    # flags, the map-only loop detector, and Holm's 25-row finish over
+    # a growing join — all fact-scan-linear.
+    "llm_filter_funnel",
+    "llm_repetition_loops",
+    "stats_holm_bonferroni",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

@@ -4614,3 +4614,86 @@ def llm_repetition_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds sit one lower to cover the identical index set."""
     register_views(spark, sf_dir, ["documents"])
     return spark.sql(_REP_LOOPS_SQL.format(**_REP_SPARK))
+
+
+# Conditional bigram entropy rate (round 11, final): H(w2|w1) =
+# H(bigram) - H(unigram-as-context) per source — the sequence-
+# predictability stat that unigram token entropy can't see.  One
+# template SQL (tokenizer spelling only); counts are exact integers
+# and the entropy sums run over the vocab/vocab^2 cells (the
+# stats_kl_divergence small-cell precedent; this fixture's vocab is
+# 31, so <= 961 cells).
+_ENTROPY_RATE_SQL = """
+WITH tok AS (
+  SELECT source, doc_id, t, i
+  FROM (SELECT source, doc_id, {tokens}
+        FROM documents)
+),
+big AS (
+  SELECT a.source, a.t AS w1, b.t AS w2
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND b.i = a.i + 1 AND a.source = b.source
+),
+bc AS (
+  SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS c
+  FROM big GROUP BY source, w1, w2
+),
+ctx AS (
+  SELECT source, w1, CAST(sum(c) AS BIGINT) AS cw1 FROM bc GROUP BY source, w1
+),
+n AS (SELECT source, CAST(sum(c) AS BIGINT) AS nb FROM bc GROUP BY source),
+hb AS (
+  SELECT bc.source,
+         -sum((CAST(bc.c AS DOUBLE) / n.nb)
+              * ln(CAST(bc.c AS DOUBLE) / n.nb)) AS h_bigram
+  FROM bc JOIN n ON bc.source = n.source GROUP BY bc.source
+),
+hc AS (
+  SELECT ctx.source,
+         -sum((CAST(ctx.cw1 AS DOUBLE) / n.nb)
+              * ln(CAST(ctx.cw1 AS DOUBLE) / n.nb)) AS h_context
+  FROM ctx JOIN n ON ctx.source = n.source GROUP BY ctx.source
+)
+SELECT hb.source, n.nb AS n_bigrams,
+       round(hb.h_bigram, 6) AS h_bigram_nats,
+       round(hc.h_context, 6) AS h_context_nats,
+       round(hb.h_bigram - hc.h_context, 6) AS entropy_rate_nats
+FROM hb JOIN hc ON hb.source = hc.source JOIN n ON hb.source = n.source
+ORDER BY hb.source
+"""
+
+
+@query(
+    "llm_ngram_entropy_rate",
+    "§2.21 conditional bigram entropy rate H(w2|w1) per source",
+    _ENTROPY_RATE_SQL.format(
+        tokens="unnest(string_split(text, ' ')) AS t,"
+        " generate_subscripts(string_split(text, ' '), 1) AS i"
+    ),
+)
+def llm_ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram entropy rate H(w2|w1) = H(bigrams) -
+    H(contexts) per source — the sequence-PREDICTABILITY measure
+    llm_token_entropy's unigram view can't see: two sources with
+    identical word frequencies but different word ORDER discipline
+    (templated boilerplate vs free text) separate here and nowhere
+    else in the unigram family, which is why LM-data work reports
+    entropy rate alongside plain token entropy.  The chain-rule
+    identity H(w2|w1) = H(w1,w2) - H(w1) lets both terms come from the
+    SAME exact bigram count table (contexts are its row-marginal, so
+    no separate unigram pass and no off-by-one on doc boundaries);
+    the closing entropy sums run over at most vocab^2 cells (<= 961
+    here — the KL small-cell precedent) and round-6 closes the gate.
+
+    Shape at any SF: tokens explode with their position and bigrams
+    form by a (doc_id, i+1) self-equi-join that at real scale is a
+    co-partitioned zip (both sides hash on doc_id); counts partial-agg
+    map-side onto |sources| x vocab^2 cells, and everything after is
+    metadata-scale.  The positional join (not a window) keeps the
+    corpus to ONE shuffle keyed by doc_id."""
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(
+        _ENTROPY_RATE_SQL.format(
+            tokens="posexplode(split(text, ' ')) AS (i, t)"
+        )
+    )

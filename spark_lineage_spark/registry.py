@@ -360,6 +360,7 @@ _VERIFY_AFTER = [
     "llm_filter_funnel",
     "llm_repetition_loops",
     "stats_holm_bonferroni",
+    "llm_ngram_entropy_rate",
 ]
 
 

@@ -1103,3 +1103,39 @@ def test_holm_bonferroni_matches_replay(spark):
     # dominance: Holm (FWER) is never more liberal than BH (FDR)
     assert (m["p_holm"] >= m["p_bh"] - 1e-9).all()
     assert m["rejected"].sum() <= m["rejected_bh"].sum()
+
+
+def test_entropy_rate_matches_math_replay(spark):
+    import math
+
+    import pandas as pd
+
+    got = _load_all()["llm_ngram_entropy_rate"].builder(spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    rows = []
+    for src, g in docs.groupby("source"):
+        bc = {}
+        for t in g["text"]:
+            toks = t.split(" ")
+            for a, b in zip(toks, toks[1:]):
+                bc[(a, b)] = bc.get((a, b), 0) + 1
+        n = sum(bc.values())
+        hb = -sum((c / n) * math.log(c / n) for c in bc.values())
+        ctx = {}
+        for (a, _), c in bc.items():
+            ctx[a] = ctx.get(a, 0) + c
+        hc = -sum((c / n) * math.log(c / n) for c in ctx.values())
+        rows.append((src, n, round(hb, 6), round(hc, 6), round(hb - hc, 6)))
+    ref = pd.DataFrame(rows, columns=list(got.columns)).sort_values(
+        "source"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), ref, check_dtype=False, atol=1e-5
+    )
+    # information-theory bounds: 0 <= H(w2|w1) <= H(w2) <= ln(vocab)
+    vocab = len({w for t in docs["text"] for w in t.split(" ")})
+    assert (got["entropy_rate_nats"] >= 0).all()
+    assert (got["entropy_rate_nats"] <= math.log(vocab) + 1e-9).all()
+    # conditioning must help on ordered text: rate strictly below the
+    # context entropy's unigram-style ceiling
+    assert (got["entropy_rate_nats"] < got["h_context_nats"]).all()

@@ -241,6 +241,9 @@ PROBE_QUERIES = [
     "llm_filter_funnel",
     "llm_repetition_loops",
     "stats_holm_bonferroni",
+    # positional bigram self-join = one doc_id-co-partitioned shuffle;
+    # cells are vocab^2-bounded, only the token explode grows.
+    "llm_ngram_entropy_rate",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

@@ -284,10 +284,10 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
 # re-verifies + 2 rows-only -> hash-gated oracle upgrades + the 43
 # oldest round-1 rows (r01 list order).
 #
-# Round 12 staging note: the 28 round-11 registrations in
+# Round 12 staging note: the 29 round-11 registrations in
 # _VERIFY_AFTER below (each driver-sim green at sf0.01 at
 # registration, each with a property test) take the front of the
-# round-12 budget per the growth-ahead-of-rotation rule; the ~22
+# round-12 budget per the growth-ahead-of-rotation rule; the ~21
 # remaining slots continue the staleness rotation oldest-first
 # (tools/stage_rotation.py prints the next names).
 _VERIFY_FIRST = [

@@ -4159,14 +4159,74 @@ def llm_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the LEFT JOIN from the pair spine.
 
     Shape at any SF: the corpus tokenizes map-side and partial-aggs
-    onto the |sources|x|vocab| dist table — the ONLY corpus-size work;
-    the token self-join and the |sources|^2/2 pair finish are
-    metadata-scale (dist rows, not docs).  At 100 TB with a real
-    open vocabulary the dist table grows with vocab, not corpus, and
-    the join keys on token — the classic skew key is stopwords, which
-    is exactly the per-source p table, already one row per source."""
-    register_views(spark, sf_dir, ["documents"])
-    return spark.sql(_JSD_SQL.format(tokens="explode(split(text, ' '))"))
+    onto the |sources|x|vocab| dist table — the ONLY corpus-size work,
+    executed ONCE: Catalyst does not materialize CTEs, so the pure-SQL
+    form replayed the tokenize into four subtrees (one per dist
+    consumer — caught by tests/test_plans.py); the dist table is
+    therefore built in the DataFrame API and lineage-checkpointed (the
+    copurchase_edges staging discipline) before the self-join, pair
+    spine, and finish consume it.  Those downstream stages are
+    metadata-scale (dist rows, not docs).  At 100 TB with a real open
+    vocabulary the dist table grows with vocab, not corpus, and the
+    join keys on token — the classic skew key is stopwords, which is
+    exactly the per-source p table, already one row per source."""
+    d = load(spark, sf_dir, "documents")
+    dist = (
+        d.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .transform(lineage_checkpoint_lazy)
+    )
+    tot = dist.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    p = dist.join(tot, "source").select(
+        "source", "token", (F.col("c").cast("double") / F.col("n")).alias("p")
+    )
+    a, b = p.alias("a"), p.alias("b")
+    ln = F.log
+    shared = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+        )
+        .agg(
+            F.sum(
+                0.5
+                * (
+                    F.col("a.p") * ln(2 * F.col("a.p") / (F.col("a.p") + F.col("b.p")))
+                    + F.col("b.p") * ln(2 * F.col("b.p") / (F.col("a.p") + F.col("b.p")))
+                )
+            ).alias("js_shared"),
+            F.sum("a.p").alias("pa_shared"),
+            F.sum("b.p").alias("pb_shared"),
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_tokens"),
+        )
+    )
+    ta, tb = tot.alias("ta"), tot.alias("tb")
+    pairs = ta.join(tb, F.col("ta.source") < F.col("tb.source")).select(
+        F.col("ta.source").alias("sa"), F.col("tb.source").alias("sb")
+    )
+    ln2 = float(__import__("math").log(2))
+    jsd = F.coalesce(F.col("js_shared"), F.lit(0.0)) + 0.5 * ln2 * (
+        (1 - F.coalesce(F.col("pa_shared"), F.lit(0.0)))
+        + (1 - F.coalesce(F.col("pb_shared"), F.lit(0.0)))
+    )
+    return (
+        pairs.join(shared, ["sa", "sb"], "left")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.coalesce(F.col("n_shared_tokens"), F.lit(0).cast("bigint")).alias(
+                "n_shared_tokens"
+            ),
+            F.round(jsd, 6).alias("jsd_nats"),
+            F.round(jsd / ln2, 6).alias("jsd_norm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
 
 
 # Token burstiness (round 11): variance-to-mean ratio of per-document

@@ -1140,3 +1140,64 @@ def test_readability_single_pass_agg(spark):
     assert not any("Join" in o for o in ops), ops
     hashex = _re.findall(r"Arguments: hashpartitioning\((\w+)", p)
     assert hashex == ["source"], (hashex, p[:2000])
+
+
+def test_funnel_single_hash_window_then_agg(spark):
+    """Filter funnel: the only repartitioning exchange is the dedup
+    hash window's (content-hash partition); the per-source rollup and
+    final sort ride AQE — and nothing joins or cartesians."""
+    import re as _re
+
+    from spark_lineage_spark.operators.text import llm_filter_funnel
+
+    p = plan_str(llm_filter_funnel(spark, SF))
+    assert "CartesianProduct" not in p and "Join" not in p, p[:3000]
+    parts = _re.findall(r"Arguments: hashpartitioning\((\w+)", p)
+    assert sorted(set(parts)) == ["h", "source"], (parts, p[:2500])
+
+
+def test_jsd_corpus_aggregates_once(spark):
+    """Source JS-divergence: the corpus-size work is ONE tokenize +
+    partial-agg onto the checkpointed (source, token) dist table —
+    the pure-SQL form replayed the explode into four subtrees (CTEs
+    aren't materialized), so the final plan must read the checkpoint
+    (Scan ExistingRDD) and contain NO Generate at all; downstream
+    joins run over metadata-scale tables."""
+    from spark_lineage_spark.operators.text import llm_source_js_divergence
+
+    p = plan_str(llm_source_js_divergence(spark, SF))
+    assert "CartesianProduct" not in p, p[:3000]
+    assert "Scan ExistingRDD" in p, p[:2000]
+    assert p.count("Generate") == 0, (p.count("Generate"), p[:2500])
+
+
+def test_entropy_rate_single_docid_shuffle_for_bigrams(spark):
+    """Entropy rate: the positional bigram self-join keys on doc_id —
+    both sides hash-partition on the SAME key set, so the corpus pays
+    one co-partitioned shuffle, then cells partial-agg; no cartesian,
+    no broadcast of a corpus-sized side."""
+    import re as _re
+
+    from spark_lineage_spark.operators.text import llm_ngram_entropy_rate
+
+    p = plan_str(llm_ngram_entropy_rate(spark, SF))
+    assert "CartesianProduct" not in p, p[:3000]
+    parts = _re.findall(r"Arguments: hashpartitioning\((\w+)", p)
+    # every corpus-side exchange keys on doc_id/source grain — never a
+    # token-grain repartition of the exploded corpus
+    assert parts and all(k in ("doc_id", "source") for k in parts), parts
+
+
+def test_burstiness_two_hash_aggs_no_join_on_corpus(spark):
+    """Burstiness: (token, doc) partial-agg then token agg — two hash
+    exchanges at most, the N-row count broadcast-joins, nothing sorts
+    the corpus."""
+    import re as _re
+
+    from spark_lineage_spark.operators.text import llm_token_burstiness
+
+    p = plan_str(llm_token_burstiness(spark, SF))
+    assert "BroadcastExchange" in p, p[:2000]
+    assert "CartesianProduct" not in p, p[:3000]
+    hashex = _re.findall(r"Arguments: hashpartitioning\(([\w, #]+?)\)", p)
+    assert 1 <= len(hashex) <= 3, (hashex, p[:2500])

@@ -3295,10 +3295,10 @@ WITH daily AS (
 )
 SELECT n AS n_full_days,
        round(var_r, 6) AS var_residual,
-       round(var_tr, 6) AS var_detrended_plus_r,
-       round(var_sr, 6) AS var_deseasonalized,
-       round(greatest(CAST(0 AS DOUBLE), 1 - var_r / var_sr), 6) AS trend_strength,
-       round(greatest(CAST(0 AS DOUBLE), 1 - var_r / var_tr), 6) AS seasonal_strength
+       round(var_sr, 6) AS var_detrended_plus_r,
+       round(var_tr, 6) AS var_deseasonalized,
+       round(greatest(CAST(0 AS DOUBLE), 1 - var_r / var_tr), 6) AS trend_strength,
+       round(greatest(CAST(0 AS DOUBLE), 1 - var_r / var_sr), 6) AS seasonal_strength
 FROM v
 """
 

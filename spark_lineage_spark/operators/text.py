@@ -4292,8 +4292,12 @@ def llm_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # llm_preference_pairs just reward LENGTH?  Template SQL (tokenizer
 # spelling per engine); the pair set is the exact positional pairing
 # _PREF_PAIRS_SQL defines, the verbosity stats are exact integer
-# counts/sums, and the judge-vs-length Pearson runs on exact
-# DECIMAL(38,0) moments (the OLS precedent).
+# counts/sums, and the judge-vs-length Pearson runs on exact decimal
+# moments (the OLS precedent).  Each factor casts to DECIMAL(19,0)
+# BEFORE multiplying: score = distinct*1e6 + tokens can reach ~3e9 on
+# a 3,038-distinct-token doc, so a BIGINT score*score would wrap
+# silently in Spark (non-ANSI) while DuckDB errors — (19,0)x(19,0)
+# widens to an exact DECIMAL(38,0) in both engines.
 _JUDGE_LEN_BIAS_SQL = """
 WITH scored AS (
   SELECT doc_id, source, n_chars,
@@ -4325,9 +4329,12 @@ corr_m AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
          CAST(sum(CAST(score AS DECIMAL(38,0))) AS DOUBLE) AS sx,
          CAST(sum(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS sy,
-         CAST(sum(CAST(score * n_chars AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
-         CAST(sum(CAST(score * score AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
-         CAST(sum(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS DOUBLE) AS syy
+         CAST(sum(CAST(score AS DECIMAL(19,0)) * CAST(n_chars AS DECIMAL(19,0)))
+              AS DOUBLE) AS sxy,
+         CAST(sum(CAST(score AS DECIMAL(19,0)) * CAST(score AS DECIMAL(19,0)))
+              AS DOUBLE) AS sxx,
+         CAST(sum(CAST(n_chars AS DECIMAL(19,0)) * CAST(n_chars AS DECIMAL(19,0)))
+              AS DOUBLE) AS syy
   FROM scored
 )
 SELECT p.n_pairs, p.n_chosen_longer,
@@ -4356,8 +4363,10 @@ def llm_judge_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     (chosen, rejected) pairs llm_preference_pairs emits, the fraction
     of pairs whose chosen doc is also the longer one and the mean
     character delta; plus the corpus-wide Pearson correlation between
-    the judge score and raw character count (exact DECIMAL(38,0)
-    moments, one closed-form double — the OLS precedent).  A
+    the judge score and raw character count (factors cast to
+    DECIMAL(19,0) before multiplying so the moments stay exact past
+    the ~3e9-score BIGINT-square wraparound point, one closed-form
+    double — the OLS precedent).  A
     frac_chosen_longer near 1 with high judge_length_corr means the
     'quality' signal is length in disguise and the pair set would
     train a verbosity-maximizer.  (This fixture's judge mixes distinct

@@ -600,8 +600,10 @@ def test_seasonal_strength_matches_decompose(spark):
     def pvar(x):
         return float((x**2).mean() - x.mean() ** 2)
 
-    f_t = max(0.0, 1 - pvar(r) / pvar(sr))
-    f_s = max(0.0, 1 - pvar(r) / pvar(tr))
+    # F_T reads off the DESEASONALIZED series (T+R = observed-seasonal),
+    # F_S off the DETRENDED series (S+R = observed-trend) — Hyndman FPP.
+    f_t = max(0.0, 1 - pvar(r) / pvar(tr))
+    f_s = max(0.0, 1 - pvar(r) / pvar(sr))
     assert got["n_full_days"] == len(full)
     assert abs(got["trend_strength"] - f_t) < 1e-3
     assert abs(got["seasonal_strength"] - f_s) < 1e-3

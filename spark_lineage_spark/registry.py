@@ -79,19 +79,14 @@ _OPERATOR_MODULES = [
 # ``load_all`` enumerates not-yet-driver-verified queries FIRST to get
 # every query an official row across rounds (VERDICT.md round 1, item 1).
 _DRIVER_VERIFIED_ROUNDS_AGO = [
-    # round 1 verified (CORRECTNESS_r01.json) — 43 of the original 50
-    # moved to _VERIFY_FIRST for the round-11 STALENESS ROTATION (see
-    # the policy note above _VERIFY_FIRST); the 7 left here rotate in
-    # round 12
-    "win_topk_per_group", "set_union_all",
-    "set_union_distinct", "set_intersect",
-    "set_intersect_all", "set_except", "set_except_all",
+    # round 1 verified (CORRECTNESS_r01.json): the 43 oldest moved to
+    # _VERIFY_FIRST for the round-11 STALENESS ROTATION; the last 7
+    # (set_* x6, win_topk_per_group) moved there in round 12 — no
+    # round-1-era official rows remain after r12.
     # round 2/3 verified (CORRECTNESS_r02.json == CORRECTNESS_r03.json)
-    "join_null_safe_eq", "agg_boolean_conditional", "agg_linear_regression",
-    "win_ignore_nulls", "sort_topk", "sort_offset", "sort_nulls_placement",
-    "sort_rank_materialized", "fn_string_battery", "fn_regex_battery",
-    "fn_datetime_battery", "fn_math_battery", "fn_conditional_battery",
-    "fn_hash_portable", "fn_string_spark_native", "fn_hash_spark_native",
+    # — the 14 oldest of these moved to _VERIFY_FIRST for the round-12
+    # rotation (join_null_safe_eq .. fn_hash_portable)
+    "fn_string_spark_native", "fn_hash_spark_native",
     "fn_array_battery", "fn_array_explode", "fn_map_battery",
     "fn_json_battery", "fn_rounding_modes", "fn_variant_json",
     "fn_cast_battery", "fn_bitwise_battery", "fn_url_battery",
@@ -260,6 +255,24 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "stats_wilcoxon_signed_rank", "ts_var_cvar", "llm_vocab_growth_curve",
     "lineage_column_graph", "lineage_dataset_graph", "lineage_impact_analysis",
     "lineage_openlineage_export",
+    # round 11 verified (CORRECTNESS_r11.json)
+    "agg_approx_sketches", "agg_collect_listagg", "agg_count_distinct",
+    "agg_cube", "agg_global", "agg_grouping_sets",
+    "agg_min_by_max_by", "agg_mode_deterministic", "agg_percentile_median",
+    "agg_pivot", "agg_rollup", "agg_salted_twophase",
+    "agg_stats", "agg_unpivot_melt", "dedup_by_key_deterministic",
+    "dedup_projected_subset", "distinct_rows", "filter_between_in_like",
+    "filter_compare_bool", "filter_null_semantics", "flagship_pricing_join",
+    "graph_link_prediction", "join_asof", "join_broadcast_dim",
+    "join_cross", "join_full_outer", "join_inner_equi",
+    "join_lateral_topn", "join_left_anti", "join_left_outer",
+    "join_left_semi", "join_range_band", "join_right_outer",
+    "join_self_alias", "join_strategy_hints", "join_theta_nonequi",
+    "lineage_catalog_query", "lineage_streaming_batches", "lineage_table_roundtrip",
+    "lineage_transitive_closure", "llm_ann_ivf", "llm_ann_ivf_int8",
+    "proj_select_compute", "sample_seeded", "win_lag_lead",
+    "win_percent_cume", "win_range_frame", "win_ranking",
+    "win_running_moving", "win_value_picks",
 ]
 
 # Among the not-yet-verified queries, run these FIRST.
@@ -284,54 +297,15 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
 # re-verifies + 2 rows-only -> hash-gated oracle upgrades + the 43
 # oldest round-1 rows (r01 list order).
 #
-# Round 12 staging note: the 29 round-11 registrations in
-# _VERIFY_AFTER below (each driver-sim green at sf0.01 at
-# registration, each with a property test) take the front of the
-# round-12 budget per the growth-ahead-of-rotation rule; the ~21
-# remaining slots continue the staleness rotation oldest-first
-# (tools/stage_rotation.py prints the next names).
+# Round 12 = the 29 round-11 registrations from _VERIFY_AFTER (each
+# driver-sim green at sf0.01 at registration, each with a property
+# test; growth-ahead-of-rotation rule — 2 of them,
+# ts_seasonal_strength and llm_judge_length_bias, additionally carry
+# round-12 ADVICE fixes, re-driver-simmed green) + the 21 stalest
+# rotation rows (the last 7 round-1-era rows, then the 14 oldest
+# round-3 rows, stage_rotation.py order).  29 + 21 = 50 = the budget.
 _VERIFY_FIRST = [
-    # new registrations (driver-sim green at registration)
-    "lineage_streaming_batches",
-    "lineage_table_roundtrip",
-    # changed implementations (round 11: ordering pinned / view scoping
-    # / packed-key guard + round-10 hub cap — ADVICE r10 medium)
-    "lineage_catalog_query",
-    "lineage_transitive_closure",
-    "graph_link_prediction",
-    # oracle upgrades rows-only -> full hash gate (round 11: pinned
-    # sf0.01 coarse-quantizer centroids, VERDICT r10 item 8) — must
-    # re-run officially for the stronger check type to land
-    "llm_ann_ivf",
-    "llm_ann_ivf_int8",
-    # staleness rotation: the 45 oldest official rows (round 1)
-    "flagship_pricing_join", "proj_select_compute", "filter_compare_bool",
-    "filter_between_in_like", "filter_null_semantics", "distinct_rows",
-    "dedup_by_key_deterministic", "dedup_projected_subset", "sample_seeded",
-    "join_inner_equi", "join_broadcast_dim", "join_left_outer",
-    "join_right_outer", "join_full_outer", "join_left_semi", "join_left_anti",
-    "join_cross", "join_theta_nonequi", "join_range_band", "join_asof",
-    "join_lateral_topn", "join_strategy_hints", "join_self_alias",
-    "agg_global", "agg_count_distinct", "agg_approx_sketches", "agg_rollup",
-    "agg_cube", "agg_grouping_sets", "agg_stats", "agg_percentile_median",
-    "agg_mode_deterministic", "agg_collect_listagg", "agg_min_by_max_by",
-    "agg_unpivot_melt", "agg_salted_twophase", "agg_pivot", "win_ranking",
-    "win_lag_lead", "win_value_picks", "win_percent_cume",
-    "win_running_moving", "win_range_frame",
-]
-
-# ... and run these LAST among the unverified: rows-only checks (weaker
-# rows) — they cost driver seconds for a weaker record, so oracle-bearing
-# queries go first.
-_VERIFY_LAST = []
-
-# Queries whose first official row should wait for a later round (used
-# when the driver's per-round budget is already fully allocated above).
-# New registrations beyond the ~50-row budget go here (driver-sim
-# green required at registration time).
-_VERIFY_AFTER = [
-    # round-11 registrations past the rotation-filled budget (both
-    # driver-sim green at registration; first official row round 12)
+    # round-11 registrations (first official row; driver-sim green)
     "llm_tokenizer_fertility",
     "ts_mann_kendall",
     "llm_embedding_top_pc",
@@ -361,7 +335,26 @@ _VERIFY_AFTER = [
     "llm_repetition_loops",
     "stats_holm_bonferroni",
     "llm_ngram_entropy_rate",
+    # staleness rotation: last 7 round-1 rows, then the oldest round-3
+    "win_topk_per_group", "set_union_all", "set_union_distinct",
+    "set_intersect", "set_intersect_all", "set_except", "set_except_all",
+    "join_null_safe_eq", "agg_boolean_conditional", "agg_linear_regression",
+    "win_ignore_nulls", "sort_topk", "sort_offset", "sort_nulls_placement",
+    "sort_rank_materialized", "fn_string_battery", "fn_regex_battery",
+    "fn_datetime_battery", "fn_math_battery", "fn_conditional_battery",
+    "fn_hash_portable",
 ]
+
+# ... and run these LAST among the unverified: rows-only checks (weaker
+# rows) — they cost driver seconds for a weaker record, so oracle-bearing
+# queries go first.
+_VERIFY_LAST = []
+
+# Queries whose first official row should wait for a later round (used
+# when the driver's per-round budget is already fully allocated above).
+# New registrations beyond the ~50-row budget go here (driver-sim
+# green required at registration time).
+_VERIFY_AFTER = []
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -1759,32 +1759,31 @@ def llm_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _power_iteration_parts(spark, e):
-    """Shared top-PC pipeline (SURVEY §2.21): per-dim rounded mean,
-    dim x dim rounded covariance built from per-row JVM-side outer
-    products, PC_ITERS unrolled power-iteration rounds, and the sign
-    canonicalizer — the common core of llm_embedding_top_pc (which
-    reports the component) and llm_embedding_abtt (which projects it
-    out per vector).  Returns (mu, cov, v, sgn) DataFrames with every
-    stage rounded exactly as the DuckDB replays expect."""
-    ex = e.select("vec_id", F.posexplode("emb").alias("i", "x"))
-    mu = ex.groupBy("i").agg(F.round(F.avg("x"), 6).alias("m"))
-    cx = ex.join(F.broadcast(mu), "i").select(
-        "vec_id", "i", (F.col("x") - F.col("m")).alias("c")
-    )
-    # centered vectors re-assembled once so the outer product is a
-    # per-row JVM-side array op (no self-join of the exploded corpus)
-    ce = cx.groupBy("vec_id").agg(
+def _cov_table(e, mu):
+    """Pre-checkpoint covariance subtree — split out so the plan test
+    can assert its 100 TB shape directly (the checkpointed table the
+    iterations read is a 4096-row LogicalRDD leaf).  The 64 per-dim
+    means collapse to ONE broadcast array row, so centering is
+    map-side zip_with over the original vectors — the llm_ann_lsh
+    broadcast-literal precedent.  (The previous shape exploded the
+    corpus and re-assembled centered vectors with a groupBy(vec_id)
+    collect_list — a full-corpus shuffle keyed by vec_id that VERDICT
+    r11 flagged; per-row terms are unchanged, so both DuckDB replays
+    hash identically.)"""
+    mu_arr = mu.agg(
         F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
-        ).alias("cemb")
+            F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+        ).alias("ma")
+    )
+    ce = e.crossJoin(F.broadcast(mu_arr)).select(
+        "vec_id", F.zip_with("emb", "ma", lambda x, m: x - m).alias("cemb")
     )
     outer = F.flatten(
         F.transform("cemb", lambda x: F.transform("cemb", lambda y: x * y))
     )
     kv = ce.select(F.posexplode(outer).alias("k", "v"))
     n1 = e.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    cov = (
+    return (
         kv.groupBy("k")
         .agg(F.sum("v").alias("s"))
         .crossJoin(F.broadcast(n1))
@@ -1794,6 +1793,33 @@ def _power_iteration_parts(spark, e):
             F.round(F.col("s") / F.col("n"), 8).alias("c"),
         )
     )
+
+
+def _power_iteration_parts(spark, e):
+    """Shared top-PC pipeline (SURVEY §2.21): per-dim rounded mean,
+    dim x dim rounded covariance built from per-row JVM-side outer
+    products over MAP-SIDE-centered vectors (the 64 means broadcast as
+    one array row, zip_with subtraction — the corpus itself never
+    shuffles; its only exchanges are 64-key / dim^2-key partial-agg
+    reduces), PC_ITERS unrolled power-iteration rounds, and the sign
+    canonicalizer — the common core of llm_embedding_top_pc (which
+    reports the component) and llm_embedding_abtt (which projects it
+    out per vector).  mu (64 rows) and cov (dim^2 rows) are
+    localCheckpoint'd: cov feeds every iteration round plus lam / tr /
+    sgn, so without materialization each consumer re-runs the corpus
+    outer-product pass (~11 corpus scans in the closed plan); with it
+    the corpus is read exactly twice (means, covariance) and the
+    iterations run on a 4096-row LogicalRDD leaf.  Returns (mu, cov,
+    v, sgn) DataFrames with every stage rounded exactly as the DuckDB
+    replays expect."""
+    ex = e.select("vec_id", F.posexplode("emb").alias("i", "x"))
+    # 64-row means table, materialized once (localCheckpoint): it feeds
+    # the broadcast centering array AND the abtt oracle's mu output —
+    # without the checkpoint every consumer re-runs the corpus explode
+    mu = ex.groupBy("i").agg(F.round(F.avg("x"), 6).alias("m")).transform(
+        lineage_checkpoint
+    )
+    cov = _cov_table(e, mu).transform(lineage_checkpoint)
     v = spark.range(PC_DIM).select(
         F.col("id").alias("j"),
         F.when(F.col("id") == 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("vj"),

@@ -1201,3 +1201,46 @@ def test_burstiness_two_hash_aggs_no_join_on_corpus(spark):
     assert "CartesianProduct" not in p, p[:3000]
     hashex = _re.findall(r"Arguments: hashpartitioning\(([\w, #]+?)\)", p)
     assert 1 <= len(hashex) <= 3, (hashex, p[:2500])
+
+
+def test_top_pc_covariance_never_shuffles_corpus_by_vec_id(spark):
+    """Top-PC covariance build: centering is map-side (the 64 means
+    broadcast as one array row, zip_with subtraction), so NO exchange
+    in the covariance subtree keys on vec_id — the corpus's only
+    exchange is the dim^2 outer-product partial-agg (k); and the
+    closed query reads cov from a checkpointed 4096-row leaf so the
+    iterations never re-run the corpus pass (VERDICT r11 item 2: the
+    old shape re-assembled centered vectors with a groupBy(vec_id)
+    collect_list, a full-corpus shuffle, and the un-materialized cov
+    re-ran it once per consumer)."""
+    import re as _re
+
+    from spark_lineage_spark.functions.arrays import to_double_array
+    from spark_lineage_spark.operators.similarity import (
+        _cov_table,
+        llm_embedding_top_pc,
+    )
+    from spark_lineage_spark.tables import load
+
+    e = load(spark, SF, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("emb")
+    )
+    mu = (
+        e.select("vec_id", F.posexplode("emb").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+    )
+    cp = plan_str(_cov_table(e, mu))
+    parts = _re.findall(r"Arguments: hashpartitioning\((\w+)", cp)
+    assert parts and "vec_id" not in parts, (parts, cp[:2500])
+    # the broadcast means-array rides under the corpus scan as a
+    # 1-row BroadcastNestedLoop side; centering evaluates ONCE per row
+    # (its own Project), not inlined 64x into the outer transform
+    assert "BroadcastNestedLoopJoin" in cp, cp[:2000]
+    assert "CartesianProduct" not in cp, cp[:3000]
+    assert _re.search(r"zip_with\(emb#\d+, ma#\d+.*\) AS cemb#\d+", cp), cp[:2500]
+    # the closed query: iterations/lam/tr read the checkpoint leaf —
+    # no Generate (posexplode) survives, so no corpus re-scan remains
+    p = plan_str(llm_embedding_top_pc(spark, SF))
+    assert "Scan ExistingRDD" in p, p[:2000]
+    assert p.count("Generate") == 0, (p.count("Generate"), p[:2500])

@@ -244,6 +244,15 @@ PROBE_QUERIES = [
     # positional bigram self-join = one doc_id-co-partitioned shuffle;
     # cells are vocab^2-bounded, only the token explode grows.
     "llm_ngram_entropy_rate",
+    # round-12: the covariance probe (two corpus passes onto a dim^2
+    # shuffle after the checkpoint rewrite — should track the scan),
+    # and PPR as the one DELIBERATE exception to the graph exclusion
+    # (VERDICT r11 item 5 asked for its own row): 10x facts densify
+    # the co-purchase graph, but PPR pushes are degree-proportional
+    # row counts, not wedge counts — the ratio documents densification
+    # cost, read it with that caveat.
+    "llm_embedding_top_pc",
+    "graph_personalized_pagerank",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph
@@ -323,6 +332,10 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/sls_scale10")
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--skip-fixture", action="store_true",
+                    help="reuse an existing --out fixture")
+    ap.add_argument("names", nargs="*",
+                    help="probe only these queries (default: all)")
     args = ap.parse_args()
 
     from spark_lineage_spark.registry import load_all
@@ -330,16 +343,22 @@ def main() -> None:
 
     specs = load_all()
     spark = build_spark("sls_scale_probe")
-    print(f"building {args.factor}x fixture at {args.out} ...", flush=True)
-    t0 = time.time()
-    build_fixture(spark, args.base, args.out, args.factor)
-    print(f"fixture built in {time.time() - t0:.1f}s", flush=True)
+    if args.skip_fixture and os.path.exists(args.out):
+        print(f"reusing fixture at {args.out}", flush=True)
+    else:
+        print(f"building {args.factor}x fixture at {args.out} ...", flush=True)
+        t0 = time.time()
+        build_fixture(spark, args.base, args.out, args.factor)
+        print(f"fixture built in {time.time() - t0:.1f}s", flush=True)
 
     # warm
     specs["flagship_pricing_join"].builder(spark, "/root/testdata/sf0.001").count()
 
     rows = []
-    for name in PROBE_QUERIES:
+    probe_names = args.names or PROBE_QUERIES
+    unknown = [n for n in probe_names if n not in specs]
+    assert not unknown, f"unknown queries: {unknown}"
+    for name in probe_names:
         spec = specs[name]
         times = {}
         for label, sf_dir in (("base", args.base), ("10x", args.out)):
@@ -369,8 +388,34 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    # preserve the hand-measured 100x section across regenerations
     scale_path = os.path.join(repo, "SCALE.md")
+    if args.names:
+        # subset mode: append/replace just these rows in the existing
+        # table — a full rewrite here would drop every unprobed row
+        lines = open(scale_path).read().splitlines(keepends=True)
+        by_name = {n: (n, b, x, r, nb, nx) for n, b, x, r, nb, nx in rows}
+        out_lines = []
+        last_row_idx = 0
+        for i, ln in enumerate(lines):
+            parts = ln.split("|")
+            if len(parts) > 2 and parts[1].strip() in by_name:
+                n, b, x, r, nb, nx = by_name.pop(parts[1].strip())
+                ln = f"| {n} | {b:.2f} | {x:.2f} | {r:.1f} | {nb} | {nx} |\n"
+            if ln.startswith("|") and len(parts) == 8:
+                last_row_idx = i
+            out_lines.append(ln)
+        for n, b, x, r, nb, nx in by_name.values():
+            out_lines.insert(
+                last_row_idx + 1,
+                f"| {n} | {b:.2f} | {x:.2f} | {r:.1f} | {nb} | {nx} |\n",
+            )
+            last_row_idx += 1
+        with open(scale_path, "w") as fh:
+            fh.writelines(out_lines)
+        print("updated SCALE.md (subset mode)", flush=True)
+        spark.stop()
+        return
+    # preserve the hand-measured 100x section across regenerations
     tail_100x = ""
     if os.path.exists(scale_path):
         prev = open(scale_path).read()

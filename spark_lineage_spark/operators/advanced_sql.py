@@ -3667,3 +3667,322 @@ def ts_stl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             p_mad="percentile_disc(0.5) WITHIN GROUP (ORDER BY ad)",
         )
     )
+
+
+# Ljung-Box portmanteau test (round 12): "is the daily series white
+# noise?" — the residual-diagnostics gate run after every forecast fit
+# and the formal version of eyeballing ts_autocorrelation.  One shared
+# SQL text.  Determinism: daily micro-units are exact bigints; every
+# corpus-size sum is an exact DECIMAL(19,0)x(19,0) product sum (the
+# llm_judge_length_bias overflow discipline — y^2 passes int64 at
+# ~3e9 daily micro-units), cast once to double for the closed-form
+# r_k; the cumulative Q sums round-12 INTEGERIZED per-lag terms (a
+# bigint running sum is order-free, a double window sum is not).
+# r_k here is the time-series convention (global mean, global
+# denominator, row-lag pairing), NOT ts_autocorrelation's pairwise
+# Pearson — the two agree asymptotically and the docstrings cross-ref.
+_LJUNG_BOX_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT row_number() OVER (ORDER BY day) AS rn, y FROM daily
+),
+base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS s,
+         CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+              AS DOUBLE) AS ss
+  FROM idx
+),
+lags AS (
+  SELECT 1 AS lag UNION ALL SELECT 2 UNION ALL SELECT 3 UNION ALL
+  SELECT 4 UNION ALL SELECT 5 UNION ALL SELECT 6 UNION ALL SELECT 7
+),
+cs AS (
+  SELECT l.lag AS lag,
+         CAST(sum(CAST(a.y AS DECIMAL(19,0)) * CAST(b.y AS DECIMAL(19,0)))
+              AS DOUBLE) AS syy,
+         CAST(sum(CAST(a.y AS DECIMAL(19,0))) AS DOUBLE) AS sh,
+         CAST(sum(CAST(b.y AS DECIMAL(19,0))) AS DOUBLE) AS st
+  FROM lags l
+  JOIN idx a ON true
+  JOIN idx b ON b.rn = a.rn + l.lag
+  GROUP BY l.lag
+),
+r AS (
+  SELECT lag, n,
+         round((n * n * syy - n * s * (sh + st)
+                + (n - lag) * s * s) / (n * (n * ss - s * s)), 6) AS acf
+  FROM cs CROSS JOIN base
+),
+terms AS (
+  SELECT lag, n, acf,
+         CAST(round(acf * acf / (n - lag) * 1000000000000) AS BIGINT) AS t12
+  FROM r
+),
+q AS (
+  SELECT lag, acf, n,
+         round(n * (n + 2)
+               * CAST(sum(t12) OVER (ORDER BY lag
+                                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / 1000000000000, 6) AS q_stat
+  FROM terms
+)
+SELECT lag, acf, q_stat,
+       CAST(lag AS BIGINT) AS df,
+       CAST(CASE lag WHEN 1 THEN 3.841459 WHEN 2 THEN 5.991465
+                     WHEN 3 THEN 7.814728 WHEN 4 THEN 9.487729
+                     WHEN 5 THEN 11.070498 WHEN 6 THEN 12.591587
+                     ELSE 14.06714 END AS DOUBLE) AS chi2_crit_95,
+       CAST(CASE WHEN q_stat > CASE lag WHEN 1 THEN 3.841459
+                                        WHEN 2 THEN 5.991465
+                                        WHEN 3 THEN 7.814728
+                                        WHEN 4 THEN 9.487729
+                                        WHEN 5 THEN 11.070498
+                                        WHEN 6 THEN 12.591587
+                                        ELSE 14.06714 END
+                 THEN 1 ELSE 0 END AS BIGINT) AS reject_white_noise
+FROM q ORDER BY lag
+"""
+
+
+@query(
+    "ts_ljung_box",
+    "§2.21 Ljung-Box portmanteau white-noise test at lags 1-7",
+    _LJUNG_BOX_SQL,
+)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box Q — the portmanteau white-noise test every forecast
+    pipeline runs on its residuals (and the formal answer to the
+    question ts_autocorrelation only plots): Q_K = n(n+2) * sum_{k<=K}
+    r_k^2/(n-k) against chi-square(K), reported cumulatively at lags
+    1-7 with the 95% critical value and a reject flag per df.  r_k is
+    the time-series convention (deviations from the GLOBAL mean,
+    global denominator, consecutive-row pairing) expanded so every
+    corpus-touching sum is an exact DECIMAL product sum and the closed
+    form runs on identically-cast doubles; the cumulative Q sums
+    integerized per-lag terms (exact bigint running sum — a double
+    window sum would be engine-order-dependent).  With the fixture's
+    strong weekly cycle the test must reject hard by lag 7, which the
+    property test pins against a numpy replay.
+
+    Shape at any SF: one hash agg collapses events to the
+    calendar-bounded daily table (the only pass over facts); the
+    7-lag self-join, window, and finish are O(days) metadata-scale —
+    the ts_autocorrelation justification."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_LJUNG_BOX_SQL)
+
+
+# Periodogram (round 12): spectral power at the Fourier frequencies
+# nearest a fixed grid of CALENDAR periods (2..365 days) — "which
+# cycle dominates" answered in the frequency domain, where
+# ts_autocorrelation / ts_seasonal_strength answer it in the lag
+# domain.  One shared SQL text.  Determinism: cos/sin of the shared
+# double argument 2*pi()*k*t/n are snapped to 1e-8-grain integers
+# BEFORE multiplying (a 1-ulp libm difference between the JVM and
+# DuckDB's libm survives only at a rounding boundary, ~1e-8
+# probability per term), so a_k/b_k are exact DECIMAL sums of
+# bigint x bigint products and the closing power/share expressions
+# run on identically-derived doubles; the share denominator sums
+# integerized powers (order-free bigint, not a double window sum).
+_PERIODOGRAM_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT row_number() OVER (ORDER BY day) - 1 AS t, y FROM daily
+),
+n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx),
+periods AS (
+  SELECT 2 AS p UNION ALL SELECT 3 UNION ALL SELECT 4 UNION ALL
+  SELECT 5 UNION ALL SELECT 6 UNION ALL SELECT 7 UNION ALL
+  SELECT 14 UNION ALL SELECT 28 UNION ALL SELECT 91 UNION ALL
+  SELECT 182 UNION ALL SELECT 365
+),
+ks AS (
+  SELECT p, greatest(CAST(1 AS BIGINT),
+                     CAST(round(CAST(n AS DOUBLE) / p) AS BIGINT)) AS k, n
+  FROM periods CROSS JOIN n1
+),
+terms AS (
+  SELECT ks.p, ks.k, ks.n,
+         CAST(sum(CAST(i.y AS DECIMAL(19,0))
+                  * CAST(CAST(round(cos(2 * pi() * ks.k * i.t / ks.n)
+                                    * 100000000) AS BIGINT)
+                         AS DECIMAL(19,0))) AS DOUBLE) AS a8,
+         CAST(sum(CAST(i.y AS DECIMAL(19,0))
+                  * CAST(CAST(round(sin(2 * pi() * ks.k * i.t / ks.n)
+                                    * 100000000) AS BIGINT)
+                         AS DECIMAL(19,0))) AS DOUBLE) AS b8
+  FROM ks JOIN idx i ON true
+  GROUP BY ks.p, ks.k, ks.n
+),
+pw AS (
+  SELECT p, k, n,
+         CAST(round(2 * (a8 * a8 + b8 * b8)
+                    / (n * 100000000.0 * 100000000.0
+                       * 1000000.0 * 1000000.0) * 10000) AS BIGINT) AS pw4
+  FROM terms
+)
+SELECT p AS period_days, k AS fourier_k,
+       round(CAST(n AS DOUBLE) / k, 2) AS period_actual,
+       round(CAST(pw4 AS DOUBLE) / 10000.0, 4) AS power,
+       round(CAST(pw4 AS DOUBLE) / sum(pw4) OVER (), 6) AS power_share
+FROM pw ORDER BY period_days
+"""
+
+
+@query(
+    "ts_periodogram",
+    "§2.21 periodogram: spectral power at the Fourier bins nearest calendar periods 2-365d",
+    _PERIODOGRAM_SQL,
+)
+def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram probe — the frequency-domain seasonality scan that
+    complements ts_autocorrelation (lag domain) and names the winning
+    cycle directly: spectral power I(f_k) = 2/n * (a_k^2 + b_k^2) at
+    the Fourier frequency k = round(n/p) nearest each calendar period
+    p in {2..7, 14, 28, 91, 182, 365} days, with each bin's share of
+    the probed total.  The property test pins every bin against
+    numpy.fft on the identical snapped-trig series.  (The fixture's
+    events span 30 days, so the p >= 28 rows all collapse to the k=1
+    fundamental — duplicate bins by design, the grid is a definition,
+    not fixture-tuned; on real multi-year data each period gets its
+    own bin.)  Trig terms snap to 1e-8-grain integers before the
+    exact DECIMAL product sums (the llm_ngram_entropy_rate
+    boundary-risk arithmetic note), so both engines sum identical
+    integers in any order; power and share close over integerized
+    1e-4-grain values.
+
+    Shape at any SF: one hash agg collapses events to the
+    calendar-bounded daily table; the 11-period cross join is 11 x
+    O(days) rows partial-agg'd map-side — a century of data is ~4e5
+    term rows.  100 TB costs exactly the one fact scan."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_PERIODOGRAM_SQL)
+
+
+# Hurst exponent via rescaled-range analysis (round 12): long-memory
+# probe on the daily series.  One shared SQL text.  Determinism: the
+# within-block cumulative deviation is kept as the INTEGER numerator
+# w*P_j - j*S_b (prefix sums and block sums are exact bigints), the
+# block variance numerator w*SSq - S_b^2 is an exact DECIMAL, and R/S
+# per block reduces to R_num / sqrt(var_num) (the two 1/w factors
+# cancel) — a closed double from exact integers, snapped to a
+# 1e-8-grain bigint so the per-window mean is an order-free integer
+# sum.  The log-log OLS runs on integerized log2 values for the same
+# reason.
+_HURST_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT row_number() OVER (ORDER BY day) - 1 AS t, y FROM daily
+),
+ws AS (
+  SELECT 4 AS w UNION ALL SELECT 8 UNION ALL SELECT 16 UNION ALL
+  SELECT 32 UNION ALL SELECT 64
+),
+blk AS (
+  SELECT ws.w, CAST(floor(i.t / ws.w) AS BIGINT) AS b, i.t, i.y,
+         count(*) OVER (PARTITION BY ws.w, CAST(floor(i.t / ws.w) AS BIGINT))
+           AS bn,
+         row_number() OVER (PARTITION BY ws.w,
+                                         CAST(floor(i.t / ws.w) AS BIGINT)
+                            ORDER BY i.t) AS j,
+         CAST(sum(i.y) OVER (PARTITION BY ws.w,
+                                          CAST(floor(i.t / ws.w) AS BIGINT)
+                             ORDER BY i.t ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS pj,
+         CAST(sum(i.y) OVER (PARTITION BY ws.w,
+                                          CAST(floor(i.t / ws.w) AS BIGINT))
+              AS BIGINT) AS sb
+  FROM ws JOIN idx i ON true
+),
+dev AS (
+  SELECT w, b, sb,
+         w * pj - j * sb AS cum_num,
+         CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)) AS y2
+  FROM blk WHERE bn = w
+),
+per_block AS (
+  SELECT w, b,
+         max(cum_num) - min(cum_num) AS r_num,
+         CAST(w * sum(y2) AS DOUBLE)
+           - CAST(min(sb) AS DOUBLE) * CAST(min(sb) AS DOUBLE) AS var_num
+  FROM dev GROUP BY w, b, sb
+),
+rs AS (
+  SELECT w,
+         CAST(round(CAST(r_num AS DOUBLE) / sqrt(var_num) * 100000000)
+              AS BIGINT) AS rs8
+  FROM per_block WHERE var_num > 0
+),
+per_w AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(rs8) AS BIGINT) AS srs8
+  FROM rs GROUP BY w
+),
+pts AS (
+  SELECT w, n_blocks,
+         CAST(srs8 AS DOUBLE) / n_blocks / 100000000 AS mean_rs,
+         CAST(round(log2(CAST(srs8 AS DOUBLE) / n_blocks / 100000000)
+                    * 100000000) AS BIGINT) AS ly8,
+         CAST(log2(w) AS BIGINT) AS lx
+  FROM per_w
+),
+fit AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(lx) AS DOUBLE) AS sx,
+         CAST(sum(ly8) AS DOUBLE) / 100000000 AS sy,
+         CAST(sum(lx * ly8) AS DOUBLE) / 100000000 AS sxy,
+         CAST(sum(lx * lx) AS DOUBLE) AS sxx
+  FROM pts
+)
+SELECT p.w AS window_size, p.n_blocks,
+       round(p.mean_rs, 6) AS mean_rs,
+       round(CAST(p.ly8 AS DOUBLE) / 100000000, 6) AS log2_rs,
+       round((f.m * f.sxy - f.sx * f.sy)
+             / (f.m * f.sxx - f.sx * f.sx), 6) AS hurst
+FROM pts p CROSS JOIN fit f ORDER BY window_size
+"""
+
+
+@query(
+    "ts_hurst_exponent",
+    "§2.21 Hurst exponent via rescaled-range (R/S) analysis at window sizes 8-64",
+    _HURST_SQL,
+)
+def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent — the long-memory / mean-reversion probe a
+    quant or capacity planner reads before trusting any extrapolation:
+    H ~ 0.5 means the daily series diffuses like a random walk's
+    increments, H > 0.5 trending persistence, H < 0.5 mean reversion.
+    Classical R/S: chunk the observed sequence into full blocks of
+    w in {4,8,16,32,64} days, per block compute (max-min of cumulative
+    deviations from the block mean) / block sigma, average per w, and
+    read H as the OLS slope of log2(R/S) on log2(w).  The 1/w factors
+    cancel, so each block's R/S is R_num/sqrt(var_num) over exact
+    integer/decimal numerators; per-block values snap to 1e-8-grain
+    bigints so the per-w mean and the log-log OLS are order-free
+    exact sums (the ts_ljung_box integerized-running-sum discipline).
+    The fixture's events table spans 30 calendar days, so only the
+    w in {4,8,16} rows have full blocks here (7+3+1 blocks; the 32/64
+    rows appear as soon as the calendar does — the grid is part of
+    the definition, not fixture-tuned); the property test pins every
+    block statistic against a numpy replay.
+
+    Shape at any SF: one hash agg to the calendar-bounded daily
+    table; the block windows partition O(days) rows into <=w-row
+    groups and the finish is 4 rows.  100 TB costs the one fact
+    scan."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_HURST_SQL)

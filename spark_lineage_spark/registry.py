@@ -354,7 +354,14 @@ _VERIFY_LAST = []
 # when the driver's per-round budget is already fully allocated above).
 # New registrations beyond the ~50-row budget go here (driver-sim
 # green required at registration time).
-_VERIFY_AFTER = []
+_VERIFY_AFTER = [
+    # round-12 registrations past the rotation-filled budget (each
+    # driver-sim green at sf0.01 at registration, each with a numpy
+    # replay property test; first official row round 13)
+    "ts_ljung_box",
+    "ts_periodogram",
+    "ts_hurst_exponent",
+]
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -253,6 +253,12 @@ PROBE_QUERIES = [
     # cost, read it with that caveat.
     "llm_embedding_top_pc",
     "graph_personalized_pagerank",
+    # round-12 wave 1: frequency/memory diagnostics — all three
+    # collapse to the calendar-bounded daily table in one hash agg,
+    # so the ratio must track the fact scan only.
+    "ts_ljung_box",
+    "ts_periodogram",
+    "ts_hurst_exponent",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

@@ -5476,3 +5476,467 @@ def stats_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
     this SF; at 100 TB it shuffles on custkey like the BH query."""
     register_views(spark, sf_dir, ["orders", "customer"])
     return spark.sql(_HOLM_SQL)
+
+
+# Friedman test (round 12): non-parametric repeated-measures ANOVA
+# over the (day x event_type) daily-count grid — blocks are days,
+# treatments the 5 event types, every block complete on this fixture
+# (the query keeps only complete blocks, the ts_seasonal_decompose
+# full-window rule).  One shared SQL text.  Determinism: average
+# ranks are exact in DOUBLED integer units (2r = 2*#less + #eq + 1,
+# the stats_krippendorff_alpha doubled-unit precedent), rank sums and
+# the tie-corrected statistic close as an exact integer ratio — the
+# factor 4 cancels between numerator and Conover's A - C denominator,
+# so Q = (k-1) * sum_j (R2_j - n(k+1))^2 / (4A - nk(k+1)^2) is one
+# double division of exact bigints.
+_FRIEDMAN_SQL = """
+WITH cell AS (
+  SELECT CAST(ts AS DATE) AS d, event_type,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+full_blocks AS (
+  SELECT d FROM cell GROUP BY d
+  HAVING count(*) = (SELECT count(DISTINCT event_type) FROM cell)
+),
+k1 AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM cell),
+r2 AS (
+  SELECT a.d, a.event_type,
+         CAST(2 * sum(CASE WHEN b.c < a.c THEN 1 ELSE 0 END)
+              + sum(CASE WHEN b.c = a.c THEN 1 ELSE 0 END) + 2
+              AS BIGINT) AS rr
+  FROM cell a
+  JOIN full_blocks fb ON a.d = fb.d
+  JOIN cell b ON a.d = b.d AND a.event_type <> b.event_type
+  GROUP BY a.d, a.event_type
+),
+sums AS (
+  SELECT event_type,
+         CAST(sum(rr) AS BIGINT) AS r2_sum,
+         CAST(sum(rr * rr) AS BIGINT) AS a4_part,
+         CAST(count(*) AS BIGINT) AS n
+  FROM r2 GROUP BY event_type
+),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM full_blocks),
+tot AS (
+  SELECT CAST(sum(s.a4_part) AS BIGINT) AS a4,
+         nb.n AS n, k1.k AS k,
+         CAST(sum((s.r2_sum - nb.n * (k1.k + 1))
+                  * (s.r2_sum - nb.n * (k1.k + 1))) AS BIGINT) AS dev2
+  FROM sums s CROSS JOIN nb CROSS JOIN k1
+  GROUP BY nb.n, k1.k
+),
+q AS (
+  SELECT n, k,
+         CASE WHEN a4 - n * k * (k + 1) * (k + 1) > 0
+              THEN round((k - 1) * CAST(dev2 AS DOUBLE)
+                         / (a4 - n * k * (k + 1) * (k + 1)), 6)
+              END AS q_stat
+  FROM tot
+)
+SELECT s.event_type,
+       round(CAST(s.r2_sum AS DOUBLE) / 2, 1) AS rank_sum,
+       round(CAST(s.r2_sum AS DOUBLE) / 2 / q.n, 6) AS mean_rank,
+       q.n AS n_blocks, q.k AS k_treatments, q.q_stat,
+       CAST(q.k - 1 AS BIGINT) AS df,
+       CAST(9.487729 AS DOUBLE) AS chi2_crit_95,
+       CAST(CASE WHEN q.q_stat > 9.487729 THEN 1 ELSE 0 END AS BIGINT)
+         AS reject_equal_treatments
+FROM sums s CROSS JOIN q ORDER BY s.event_type
+"""
+
+
+@query(
+    "stats_friedman_test",
+    "§2.21 Friedman repeated-measures rank test over the day x event-type grid",
+    _FRIEDMAN_SQL,
+)
+def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test — the repeated-measures companion to
+    stats_kruskal_wallis (which assumes independent groups): does any
+    event type systematically out-count the others DAY AFTER DAY, with
+    each day acting as its own block so a busy Monday inflates every
+    type equally and cancels out?  Blocks = days, treatments = event
+    types, complete blocks only; within-day average ranks kept exact
+    in doubled integer units; the tie-corrected statistic (Conover's
+    A - C form, which reduces to the textbook 12/(nk(k+1)) formula
+    when ties are absent) closes as ONE double division of exact
+    bigint aggregates, against chi-square(k-1) at 95%.  The property
+    test replays ranks, ties, and Q with scipy-free numpy and pins
+    the no-tie reduction.
+
+    Shape at any SF: one hash agg collapses events to the
+    calendar-bounded (day x type) grid; the within-day rank self-join
+    is k^2 rows per day over that grid, and every later stage is
+    |types|-row.  100 TB costs the one fact scan."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_FRIEDMAN_SQL)
+
+
+# Cronbach's alpha (round 12): internal-consistency reliability of a
+# k-item doc-quality "scale" — the psychometric sanity check a
+# composite quality score needs before anyone averages its items.
+# Items are four deterministic per-doc counters (chars, tokens,
+# distinct tokens, longest token); template SQL (tokenizer spelling
+# per engine), every moment an exact DECIMAL(19,0)x(19,0) product sum
+# (the llm_judge_length_bias overflow discipline), alpha closed as
+# one fixed-order double expression over the exact variance
+# NUMERATORS (the n^2 denominators cancel in the ratio).
+_CRONBACH_SQL = """
+WITH items AS (
+  SELECT CAST(n_chars AS BIGINT) AS i1,
+         CAST({nt} AS BIGINT) AS i2,
+         CAST({dt} AS BIGINT) AS i3,
+         CAST({mx} AS BIGINT) AS i4
+  FROM documents
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(i1 AS DECIMAL(19,0))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(i2 AS DECIMAL(19,0))) AS DOUBLE) AS s2,
+         CAST(sum(CAST(i3 AS DECIMAL(19,0))) AS DOUBLE) AS s3,
+         CAST(sum(CAST(i4 AS DECIMAL(19,0))) AS DOUBLE) AS s4,
+         CAST(sum(CAST(i1 AS DECIMAL(19,0)) * CAST(i1 AS DECIMAL(19,0)))
+              AS DOUBLE) AS q1,
+         CAST(sum(CAST(i2 AS DECIMAL(19,0)) * CAST(i2 AS DECIMAL(19,0)))
+              AS DOUBLE) AS q2,
+         CAST(sum(CAST(i3 AS DECIMAL(19,0)) * CAST(i3 AS DECIMAL(19,0)))
+              AS DOUBLE) AS q3,
+         CAST(sum(CAST(i4 AS DECIMAL(19,0)) * CAST(i4 AS DECIMAL(19,0)))
+              AS DOUBLE) AS q4,
+         CAST(sum(CAST(i1 + i2 + i3 + i4 AS DECIMAL(19,0))) AS DOUBLE) AS st,
+         CAST(sum(CAST(i1 + i2 + i3 + i4 AS DECIMAL(19,0))
+                  * CAST(i1 + i2 + i3 + i4 AS DECIMAL(19,0)))
+              AS DOUBLE) AS qt
+  FROM items
+)
+SELECT n AS n_docs, CAST(4 AS BIGINT) AS k_items,
+       round((n * q1 - s1 * s1) / n / n, 6) AS var_chars,
+       round((n * q2 - s2 * s2) / n / n, 6) AS var_tokens,
+       round((n * q3 - s3 * s3) / n / n, 6) AS var_distinct,
+       round((n * q4 - s4 * s4) / n / n, 6) AS var_maxtoken,
+       round((n * qt - st * st) / n / n, 6) AS var_total,
+       round(4.0 / 3.0 * (1 - ((n * q1 - s1 * s1) + (n * q2 - s2 * s2)
+                               + (n * q3 - s3 * s3) + (n * q4 - s4 * s4))
+                              / (n * qt - st * st)), 6) AS alpha
+FROM m
+"""
+
+
+@query(
+    "stats_cronbach_alpha",
+    "§2.21 Cronbach's alpha: internal consistency of a 4-item doc-quality scale",
+    _CRONBACH_SQL.format(
+        nt="len(string_split(text, ' '))",
+        dt="len(list_distinct(string_split(text, ' ')))",
+        mx="list_max(list_transform(string_split(text, ' '), x -> length(x)))",
+    ),
+)
+def stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha — the internal-consistency check a composite
+    quality score must pass before its items are averaged into one
+    number (the reliability half of what stats_krippendorff_alpha
+    does for RATERS, done here for ITEMS): alpha = k/(k-1) *
+    (1 - sum(Var item_i)/Var(sum of items)) over four deterministic
+    per-doc counters (chars, tokens, distinct tokens, longest token).
+    Items that move together (high inter-item covariance) push alpha
+    toward 1; orthogonal items push it toward 0.  This is RAW-score
+    alpha (covariances of the items as-is): the fixture lands
+    mid-range (~0.4) because n_chars' variance dwarfs the other
+    items' — exactly the scale-imbalance a practitioner reads as
+    "standardize before averaging", and the numpy replay pins the
+    value along with the variance algebra itself.  Population variances
+    from exact decimal moments, one fixed-order closing expression;
+    the n^2 denominators cancel inside the alpha ratio so the closed
+    form divides exact integer-valued doubles.
+
+    Shape at any SF: one map-side tokenize pass partial-aggs eleven
+    exact moments into a single row — no shuffle wider than the
+    11-column partial-agg exchange, no window, no join.  100 TB costs
+    exactly one corpus scan."""
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(
+        _CRONBACH_SQL.format(
+            nt="size(split(text, ' '))",
+            dt="size(array_distinct(split(text, ' ')))",
+            mx="array_max(transform(split(text, ' '), x -> length(x)))",
+        )
+    )
+
+
+# ROC / AUC (round 12): threshold-free discrimination audit — does
+# order price "predict" urgent priority?  Score is BINNED to the
+# $5,000 grid FIRST (a ~100-cell value domain), so the rank machinery
+# runs on the domain table, never the corpus: the classic scalable
+# AUC shape (per-bin (pos, neg) cells + prefix sums), with bin ties
+# handled by the trapezoid / average-rank correction — this is the
+# exact AUC of the binned score, stated as such.  One shared SQL
+# text; everything integer until the three closing divisions.
+_ROC_AUC_SQL = """
+WITH cells AS (
+  SELECT CAST(floor(o_totalprice / 5000) AS BIGINT) AS b,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END)
+              AS BIGINT) AS neg
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(pos) AS BIGINT) AS p, CAST(sum(neg) AS BIGINT) AS q
+  FROM cells
+),
+pref AS (
+  SELECT b, pos, neg,
+         CAST(coalesce(sum(neg) OVER (ORDER BY b
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS BIGINT)
+           AS neg_below,
+         CAST(sum(pos) OVER (ORDER BY b DESC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS pos_at_or_above,
+         CAST(sum(neg) OVER (ORDER BY b DESC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS neg_at_or_above
+  FROM cells
+),
+auc AS (
+  SELECT round(CAST(sum(pos * (2 * neg_below + neg)) AS DOUBLE)
+               / (2 * CAST(t.p AS DOUBLE) * t.q), 6) AS auc
+  FROM pref CROSS JOIN tot t GROUP BY t.p, t.q
+)
+SELECT pr.b AS bucket,
+       CAST(pr.b * 5000 AS BIGINT) AS score_lo_usd,
+       pr.pos AS n_pos, pr.neg AS n_neg,
+       round(CAST(pr.pos_at_or_above AS DOUBLE) / t.p, 6) AS tpr,
+       round(CAST(pr.neg_at_or_above AS DOUBLE) / t.q, 6) AS fpr,
+       a.auc
+FROM pref pr CROSS JOIN tot t CROSS JOIN auc a
+ORDER BY bucket
+"""
+
+
+@query(
+    "stats_roc_auc",
+    "§2.21 ROC curve + exact binned-score AUC (price discriminating urgent priority)",
+    _ROC_AUC_SQL,
+)
+def stats_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC curve and AUC — the threshold-free discrimination metric
+    every classifier/eval pipeline reports, built the way it scales:
+    bin the score to a fixed value grid FIRST (here $5,000 price
+    buckets, ~100 cells whatever the SF), aggregate (pos, neg) per
+    cell, and read both the ROC points (TPR/FPR of "predict positive
+    at or above bucket t") and the exact average-rank AUC of the
+    binned score from prefix sums over the DOMAIN table — the same
+    domain-collapse discipline as stats_kruskal_wallis.  AUC doubles
+    are one division of exact integers (the tie term pos*neg/2 kept
+    doubled); the fixture's priority is nearly price-independent, so
+    AUC must land near 0.5, which the numpy replay pins exactly along
+    with a sklearn-convention trapezoid cross-check.
+
+    Shape at any SF: one scan of orders partial-aggs map-side onto
+    the ~100-cell grid; the two prefix windows and the finish run on
+    that metadata-scale table (the single-partition window is over a
+    bounded value domain, the profile_key_skew justification)."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_ROC_AUC_SQL)
+
+
+# Calibration + Brier decomposition (round 12): train a histogram
+# "model" P(urgent | price bucket) on an 80% key split, evaluate its
+# calibration on the held-out 20% — the reliability-diagram +
+# Murphy-decomposition audit every probabilistic scorer gets before
+# its outputs are trusted as probabilities.  One shared SQL text.
+# Determinism: p_hat and per-bucket observed rates are single
+# divisions of exact integers (identical in both engines); every
+# cross-bucket Brier/reliability/resolution sum first snaps the
+# per-bucket term to a 1e-9-grain bigint (the ts_ljung_box
+# integerized-sum discipline) so hash-agg order cannot matter.
+_CALIBRATION_SQL = """
+WITH labeled AS (
+  SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS b,
+         CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+              AS BIGINT) AS y,
+         o_orderkey % 10 AS fold
+  FROM orders
+),
+tr AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n_tr,
+         CAST(sum(y) AS BIGINT) AS pos_tr
+  FROM labeled WHERE fold < 8 GROUP BY b
+),
+te AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n_te,
+         CAST(sum(y) AS BIGINT) AS pos_te
+  FROM labeled WHERE fold >= 8 GROUP BY b
+),
+g AS (
+  SELECT CAST(sum(n_te) AS BIGINT) AS n,
+         CAST(sum(pos_te) AS DOUBLE) / sum(n_te) AS obar
+  FROM te
+),
+cells AS (
+  SELECT te.b, tr.n_tr, te.n_te, te.pos_te,
+         CAST(tr.pos_tr AS DOUBLE) / tr.n_tr AS p_hat,
+         CAST(te.pos_te AS DOUBLE) / te.n_te AS o_rate
+  FROM te JOIN tr ON te.b = tr.b
+),
+terms AS (
+  SELECT b, n_tr, n_te, pos_te, p_hat, o_rate,
+         CAST(round((p_hat * p_hat * n_te - 2 * p_hat * pos_te + pos_te)
+                    * 1000000000) AS BIGINT) AS brier9,
+         CAST(round(n_te * (p_hat - o_rate) * (p_hat - o_rate)
+                    * 1000000000) AS BIGINT) AS rel9,
+         CAST(round(n_te * (o_rate - g.obar) * (o_rate - g.obar)
+                    * 1000000000) AS BIGINT) AS res9
+  FROM cells CROSS JOIN g
+),
+scalars AS (
+  SELECT round(CAST(sum(brier9) AS DOUBLE) / 1000000000 / g.n, 6) AS brier,
+         round(CAST(sum(rel9) AS DOUBLE) / 1000000000 / g.n, 6)
+           AS reliability,
+         round(CAST(sum(res9) AS DOUBLE) / 1000000000 / g.n, 6)
+           AS resolution,
+         round(g.obar * (1 - g.obar), 6) AS uncertainty
+  FROM terms CROSS JOIN g GROUP BY g.n, g.obar
+)
+SELECT t.b AS bucket, t.n_tr AS n_train, t.n_te AS n_test,
+       round(t.p_hat, 6) AS p_hat,
+       round(t.o_rate, 6) AS obs_rate,
+       round(t.o_rate - t.p_hat, 6) AS calib_gap,
+       s.brier, s.reliability, s.resolution, s.uncertainty
+FROM terms t CROSS JOIN scalars s ORDER BY bucket
+"""
+
+
+@query(
+    "stats_calibration_brier",
+    "§2.21 reliability diagram + Murphy-decomposed Brier score on a held-out fold",
+    _CALIBRATION_SQL,
+)
+def stats_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit with the Murphy decomposition — the
+    probability-quality companion to stats_roc_auc (AUC says whether
+    the score RANKS positives above negatives; calibration says
+    whether 0.3 MEANS 30%): fit the histogram estimator
+    P(urgent | $25k price bucket) on the o_orderkey%10<8 train fold,
+    then per held-out bucket report predicted vs observed rate and
+    the gap, plus the decomposed Brier score BS = reliability -
+    resolution + uncertainty (the identity holds exactly for a
+    bucket-constant forecaster evaluated on the same buckets — the
+    property test pins it, alongside a full numpy replay).  Exact
+    integer counts everywhere; the only doubles are per-bucket exact
+    divisions and 1e-9-integerized decomposition terms, so both
+    engines sum identical bigints in any order.
+
+    Shape at any SF: two filtered passes over orders partial-agg onto
+    the ~20-cell bucket grid (Catalyst collapses them into one scan's
+    two aggregates at this width); the join, decomposition, and
+    finish are metadata-scale.  No window at all."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_CALIBRATION_SQL)
+
+
+# Hodges-Lehmann shift estimator (round 12): the robust "how much
+# MORE revenue does a weekday bring than a weekend day" number — the
+# estimation companion to the rank TESTS (Mann-Whitney says WHETHER
+# the distributions differ; HL says BY HOW MUCH, robustly).  Template
+# SQL (epoch-day-mod-7 weekday spelling per engine).  Determinism:
+# daily cents are half-up exact integers, every pairwise difference
+# is an exact bigint, and all three medians use the same explicit
+# order-statistic convention (mean of the two middle values, exact in
+# half-cent units) — row_number over duplicate values picks an
+# arbitrary ROW but always the same VALUE, so the k-th statistic is
+# engine-stable.
+_HODGES_LEHMANN_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents,
+         CASE WHEN {dow} IN (2, 3) THEN 1 ELSE 0 END AS wknd
+  FROM orders GROUP BY 1
+),
+wd AS (SELECT cents FROM daily WHERE wknd = 0),
+we AS (SELECT cents FROM daily WHERE wknd = 1),
+diffs AS (
+  SELECT wd.cents - we.cents AS dd FROM wd CROSS JOIN we
+),
+rd AS (
+  SELECT dd, row_number() OVER (ORDER BY dd) AS rn,
+         count(*) OVER () AS n
+  FROM diffs
+),
+hl AS (
+  SELECT CAST(min(n) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN rn = CAST(floor((n + 1) / 2) AS BIGINT)
+                       THEN dd ELSE 0 END)
+              + sum(CASE WHEN rn = CAST(floor(n / 2) + 1 AS BIGINT)
+                         THEN dd ELSE 0 END) AS BIGINT) AS hl2
+  FROM rd
+),
+rwd AS (
+  SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+         count(*) OVER () AS n
+  FROM wd
+),
+mwd AS (
+  SELECT CAST(min(n) AS BIGINT) AS n_wd,
+         CAST(sum(CASE WHEN rn = CAST(floor((n + 1) / 2) AS BIGINT)
+                       THEN cents ELSE 0 END)
+              + sum(CASE WHEN rn = CAST(floor(n / 2) + 1 AS BIGINT)
+                         THEN cents ELSE 0 END) AS BIGINT) AS m2
+  FROM rwd
+),
+rwe AS (
+  SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+         count(*) OVER () AS n
+  FROM we
+),
+mwe AS (
+  SELECT CAST(min(n) AS BIGINT) AS n_we,
+         CAST(sum(CASE WHEN rn = CAST(floor((n + 1) / 2) AS BIGINT)
+                       THEN cents ELSE 0 END)
+              + sum(CASE WHEN rn = CAST(floor(n / 2) + 1 AS BIGINT)
+                         THEN cents ELSE 0 END) AS BIGINT) AS m2
+  FROM rwe
+)
+SELECT mwd.n_wd AS n_weekday_days, mwe.n_we AS n_weekend_days,
+       hl.n_pairs,
+       round(CAST(mwd.m2 AS DOUBLE) / 2 / 100, 2) AS median_weekday_usd,
+       round(CAST(mwe.m2 AS DOUBLE) / 2 / 100, 2) AS median_weekend_usd,
+       round(CAST(mwd.m2 - mwe.m2 AS DOUBLE) / 2 / 100, 2)
+         AS median_diff_usd,
+       round(CAST(hl.hl2 AS DOUBLE) / 2 / 100, 2) AS hl_shift_usd
+FROM hl CROSS JOIN mwd CROSS JOIN mwe
+"""
+
+
+@query(
+    "stats_hodges_lehmann",
+    "§2.21 Hodges-Lehmann shift: robust weekday-vs-weekend daily-revenue difference",
+    _HODGES_LEHMANN_SQL.format(dow="(d - DATE '1970-01-01') % 7"),
+)
+def stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann two-sample shift — the median of ALL pairwise
+    weekday-minus-weekend daily-revenue differences: the robust
+    effect-size estimate that belongs next to stats_mann_whitney's
+    p-value (it is the estimator consistent with that test, immune to
+    the outlier days that drag a mean difference around, and more
+    efficient than the plain difference of medians it is reported
+    beside here).  Daily cents are half-up exact integers; the
+    ~1.2M pairwise differences are exact bigints; all medians take
+    the mean of the two middle order statistics exactly in half-cent
+    units.  The property test replays the full pair set in numpy and
+    pins HL between the 25th and 75th percentile of differences.
+
+    Shape at any SF: orders partial-agg map-side to the
+    CALENDAR-bounded daily table, so the weekday x weekend cross join
+    is days^2/~10 rows — constant in corpus size (the ts_mann_kendall
+    pair-join justification) — and each global window sorts that
+    bounded pair table, never facts.  100 TB costs the one scan."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        _HODGES_LEHMANN_SQL.format(
+            dow="datediff(d, DATE '1970-01-01') % 7"
+        )
+    )

@@ -4766,3 +4766,233 @@ def llm_ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             tokens="posexplode(split(text, ' ')) AS (i, t)"
         )
     )
+
+
+# Interpolated Kneser-Ney bigram scoring (round 12): the
+# continuation-count smoother llm_ngram_backoff_score's docstring
+# defers to — same train/held split, same positional-join bigram
+# machinery, but the unseen mass goes to words that complete MANY
+# contexts (N1+(.w)) instead of merely frequent words, which is what
+# separates "Francisco" (frequent, one context) from genuinely
+# productive continuations.  Template SQL: only the words-CTE
+# spelling differs per engine (posexplode vs unnest/subscripts);
+# everything downstream is shared text over exact integer counts,
+# with d = 0.75 and a +1-Laplace floor on the continuation
+# distribution so an unseen continuation never hits ln(0) (the
+# convention is part of the definition and documented).
+_KNESER_NEY_SQL = """
+WITH words AS ({words}),
+train AS (SELECT * FROM words WHERE doc_id % 10 <> 0),
+held AS (SELECT * FROM words WHERE doc_id % 10 = 0),
+big AS (
+  SELECT a.w AS prev, b.w AS cur, CAST(count(*) AS BIGINT) AS c
+  FROM train a JOIN train b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  GROUP BY 1, 2
+),
+ctx AS (
+  SELECT prev, CAST(sum(c) AS BIGINT) AS c_prev,
+         CAST(count(*) AS BIGINT) AS n1p_prev
+  FROM big GROUP BY prev
+),
+cont AS (SELECT cur, CAST(count(*) AS BIGINT) AS n1p_cur FROM big GROUP BY cur),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS nbt,
+         CAST(count(DISTINCT cur) AS BIGINT) AS vc
+  FROM big
+),
+hb AS (
+  SELECT a.doc_id, a.source, a.w AS prev, b.w AS cur
+  FROM held a JOIN held b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+scored AS (
+  SELECT hb.doc_id, hb.source,
+         CASE WHEN ctx.c_prev IS NOT NULL THEN
+                ln(greatest(CAST(coalesce(big.c, 0) AS DOUBLE) - 0.75, 0.0)
+                     / ctx.c_prev
+                   + 0.75 * ctx.n1p_prev / ctx.c_prev
+                     * (coalesce(cont.n1p_cur, 0) + 1.0) / (t.nbt + t.vc + 1))
+              ELSE ln((coalesce(cont.n1p_cur, 0) + 1.0) / (t.nbt + t.vc + 1))
+         END AS lp,
+         CASE WHEN big.c IS NULL THEN 1 ELSE 0 END AS unseen_bigram,
+         CASE WHEN ctx.c_prev IS NULL THEN 1 ELSE 0 END AS unseen_context
+  FROM hb
+  LEFT JOIN big ON hb.prev = big.prev AND hb.cur = big.cur
+  LEFT JOIN ctx ON hb.prev = ctx.prev
+  LEFT JOIN cont ON hb.cur = cont.cur
+  CROSS JOIN t
+),
+per_doc AS (
+  SELECT doc_id, source, avg(lp) AS doc_lp,
+         CAST(sum(unseen_bigram) AS BIGINT) AS nub,
+         CAST(sum(unseen_context) AS BIGINT) AS nuc,
+         CAST(count(*) AS BIGINT) AS nb
+  FROM scored GROUP BY doc_id, source
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(doc_lp), 6) AS avg_logprob_kn,
+       round(CAST(sum(nub) AS DOUBLE) / sum(nb), 6) AS unseen_bigram_rate,
+       round(CAST(sum(nuc) AS DOUBLE) / sum(nb), 6) AS unseen_context_rate
+FROM per_doc GROUP BY source
+"""
+
+_KN_WORDS_DUCK = """
+  SELECT doc_id, source, w, i
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+        FROM documents WHERE text IS NOT NULL),
+       LATERAL (SELECT unnest(ws) AS w, generate_subscripts(ws, 1) AS i)
+  WHERE w <> ''
+"""
+
+_KN_WORDS_SPARK = """
+  SELECT doc_id, source, pe.w AS w, pe.i AS i
+  FROM documents
+  LATERAL VIEW posexplode(split(text, ' ')) pe AS i, w
+  WHERE text IS NOT NULL AND pe.w <> ''
+"""
+
+
+@query(
+    "llm_ngram_kneser_ney",
+    "§2.21 interpolated Kneser-Ney bigram LM scoring of held-out docs",
+    _KNESER_NEY_SQL.format(words=_KN_WORDS_DUCK),
+)
+def llm_ngram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring — the smoother
+    llm_ngram_backoff_score explicitly defers to, run on the same
+    90/10 train/held split so the two scorers are directly
+    comparable per source: P_KN(w|prev) = max(c(prev,w) - d, 0) /
+    c(prev.) + d * N1+(prev.)/c(prev.) * P_cont(w), with d = 0.75 and
+    P_cont(w) = (N1+(.w) + 1)/(bigram_types + |continuations| + 1)
+    (+1-Laplace floor so unseen continuations score finitely — the
+    convention is part of this definition).  Continuation counts are
+    what make KN worth its extra pass: a word that completes many
+    DISTINCT contexts gets the backoff mass, not a word that is
+    merely frequent in one.  Every probability is a fixed-order
+    double from exact integer counts (the backoff-score precedent,
+    which also covers the per-doc avg(lp) determinism note); the
+    unseen_bigram / unseen_context rates quantify where the discount
+    mass actually went.
+
+    Shape at any SF: bigram/context/continuation tables are corpus
+    aggregates over doc_id-co-partitioned positional self-joins (the
+    llm_ngram_entropy_rate shuffle shape); scoring is three left
+    joins of the held slice against vocab-bounded tables plus one
+    broadcast scalar.  The corpus tokenizes twice (train and held
+    partitions of the same scan) and never shuffles wider than
+    (doc_id) / (vocab-key) grains."""
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(_KNESER_NEY_SQL.format(words=_KN_WORDS_SPARK))
+
+
+# Heaps-law exponent fit (round 12): the scalar completion of
+# llm_vocab_growth_curve — fit V = K * N^beta over the per-decile
+# cumulative (tokens, distinct unigrams) points via OLS on the
+# log-log pairs, all sums integerized (1e-8-grain log values, exact
+# DECIMAL products) so the 10-point fit is order-free in both
+# engines.  Template SQL (words-CTE spelling only).
+_HEAPS_FIT_SQL = """
+WITH words AS ({words}),
+sh AS (
+  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS w
+  FROM words a
+  JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN words c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+),
+mx AS (SELECT CAST(max(doc_id) AS BIGINT) + 1 AS span FROM documents),
+wb AS (
+  SELECT CAST(floor(doc_id * 10.0 / span) AS BIGINT) AS bucket, w
+  FROM sh CROSS JOIN mx
+),
+toks AS (SELECT bucket, CAST(count(*) AS BIGINT) AS toks FROM wb GROUP BY bucket),
+firsts AS (SELECT w, CAST(min(bucket) AS BIGINT) AS fb FROM wb GROUP BY w),
+nv AS (SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS new_vocab
+       FROM firsts GROUP BY fb),
+cum AS (
+  SELECT t.bucket,
+         CAST(sum(t.toks) OVER (ORDER BY t.bucket) AS BIGINT) AS cum_tokens,
+         CAST(sum(coalesce(nv.new_vocab, 0)) OVER (ORDER BY t.bucket)
+              AS BIGINT) AS cum_vocab
+  FROM toks t LEFT JOIN nv ON t.bucket = nv.bucket
+),
+pts AS (
+  SELECT bucket, cum_tokens, cum_vocab,
+         CAST(round(ln(cum_tokens) * 100000000) AS BIGINT) AS lx8,
+         CAST(round(ln(cum_vocab) * 100000000) AS BIGINT) AS ly8
+  FROM cum
+),
+fit AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(lx8) AS DOUBLE) / 100000000 AS sx,
+         CAST(sum(ly8) AS DOUBLE) / 100000000 AS sy,
+         CAST(sum(CAST(lx8 AS DECIMAL(19,0)) * CAST(ly8 AS DECIMAL(19,0)))
+              AS DOUBLE) / 100000000 / 100000000 AS sxy,
+         CAST(sum(CAST(lx8 AS DECIMAL(19,0)) * CAST(lx8 AS DECIMAL(19,0)))
+              AS DOUBLE) / 100000000 / 100000000 AS sxx,
+         CAST(sum(CAST(ly8 AS DECIMAL(19,0)) * CAST(ly8 AS DECIMAL(19,0)))
+              AS DOUBLE) / 100000000 / 100000000 AS syy
+  FROM pts
+)
+SELECT p.bucket, p.cum_tokens AS cum_ngrams, p.cum_vocab,
+       round(CAST(p.lx8 AS DOUBLE) / 100000000, 6) AS ln_ngrams,
+       round(CAST(p.ly8 AS DOUBLE) / 100000000, 6) AS ln_vocab,
+       round((f.m * f.sxy - f.sx * f.sy) / (f.m * f.sxx - f.sx * f.sx), 6)
+         AS heaps_beta,
+       round((f.sy - (f.m * f.sxy - f.sx * f.sy)
+                     / (f.m * f.sxx - f.sx * f.sx) * f.sx) / f.m, 6)
+         AS heaps_ln_k,
+       CASE WHEN (f.m * f.sxx - f.sx * f.sx)
+                 * (f.m * f.syy - f.sy * f.sy) > 0
+            THEN round((f.m * f.sxy - f.sx * f.sy)
+                       * (f.m * f.sxy - f.sx * f.sy)
+                       / ((f.m * f.sxx - f.sx * f.sx)
+                          * (f.m * f.syy - f.sy * f.sy)), 6)
+            END AS r2
+FROM pts p CROSS JOIN fit f ORDER BY p.bucket
+"""
+
+_HEAPS_WORDS_DUCK = """
+  SELECT doc_id, w, i
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        FROM documents WHERE text IS NOT NULL),
+       LATERAL (SELECT unnest(ws) AS w, generate_subscripts(ws, 1) AS i)
+  WHERE w <> ''
+"""
+
+_HEAPS_WORDS_SPARK = """
+  SELECT doc_id, pe.w AS w, pe.i AS i
+  FROM documents
+  LATERAL VIEW posexplode(split(text, ' ')) pe AS i, w
+  WHERE text IS NOT NULL AND pe.w <> ''
+"""
+
+
+@query(
+    "llm_heaps_law_fit",
+    "§2.21 Heaps-law fit: vocabulary-growth exponent over decile prefixes",
+    _HEAPS_FIT_SQL.format(words=_HEAPS_WORDS_DUCK),
+)
+def llm_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law fit — the scalar llm_vocab_growth_curve's shape only
+    gestures at: V(N) = K * N^beta fitted by OLS over the ten
+    (cumulative 3-gram instances, cumulative distinct 3-gram
+    shingles) prefix points in doc_id ingest order — the SAME shingle
+    vocabulary as the growth curve (the fixture's unigram vocabulary
+    is 31 words and saturates in the first decile, which is exactly
+    the degenerate case the r2 NULL-guard documents).  beta near 1
+    means every new batch still mints vocabulary (unsaturated crawl /
+    heavy noise); a sagging beta is the data-is-repeating signal
+    that, alongside llm_ngram_novelty, gates the next ingest spend.
+    Same first-occurrence trick as the growth curve (each shingle
+    contributes once at its min bucket — no quadratic
+    cumulative-distinct), log points snapped to 1e-8-grain integers
+    and the fit's moments taken as exact DECIMAL products, so the
+    10-point OLS is order-free and identical in both engines; R^2
+    reports fit quality; ln K stays in log space (exp() is the one
+    libm call the two engines could disagree on).
+
+    Shape at any SF: one tokenize pass into doc_id-co-partitioned
+    positional shingle joins (the llm_ngram_entropy_rate shuffle
+    shape), two vocab-grain hash aggs (instance counts per bucket,
+    min-bucket per shingle), then a 10-row window and finish."""
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(_HEAPS_FIT_SQL.format(words=_HEAPS_WORDS_SPARK))

@@ -361,6 +361,13 @@ _VERIFY_AFTER = [
     "ts_ljung_box",
     "ts_periodogram",
     "ts_hurst_exponent",
+    "stats_friedman_test",
+    "stats_cronbach_alpha",
+    "stats_roc_auc",
+    "stats_calibration_brier",
+    "stats_hodges_lehmann",
+    "llm_ngram_kneser_ney",
+    "llm_heaps_law_fit",
 ]
 
 

@@ -126,3 +126,266 @@ def test_hurst_matches_numpy_replay(spark):
     # every row repeats the one fitted exponent; R/S grows with w
     assert got["hurst"].nunique() == 1
     assert got["mean_rs"].is_monotonic_increasing
+
+
+# ---------------------------------------------------------------------------
+# round-12 wave 2: stats + text ops
+# ---------------------------------------------------------------------------
+
+
+def test_friedman_matches_numpy_replay(spark):
+    got = (
+        _load_all()["stats_friedman_test"].builder(spark, SF).toPandas()
+        .sort_values("event_type").reset_index(drop=True)
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts", "event_type"])
+    cell = (
+        ev.groupby([ev["ts"].dt.normalize(), "event_type"])
+        .size()
+        .unstack(fill_value=0)
+    )
+    k = cell.shape[1]
+    complete = cell[(cell > 0).sum(axis=1) == k]
+    n = len(complete)
+    # doubled average ranks within each day: 2r = 2*#less + #eq-others + 2
+    r2 = np.zeros_like(complete.values)
+    for i, row in enumerate(complete.values):
+        for j, v in enumerate(row):
+            less = (row < v).sum()
+            eq = (row == v).sum() - 1
+            r2[i, j] = 2 * less + eq + 2
+    r2_sums = r2.sum(axis=0)
+    a4 = int((r2.astype(np.int64) ** 2).sum())
+    dev2 = int(((r2_sums - n * (k + 1)) ** 2).sum())
+    denom = a4 - n * k * (k + 1) ** 2
+    q = round((k - 1) * dev2 / denom, 6)
+    assert got["n_blocks"].iloc[0] == n and got["k_treatments"].iloc[0] == k
+    assert np.allclose(
+        got.set_index("event_type")["rank_sum"],
+        pd.Series(r2_sums / 2, index=complete.columns).sort_index(),
+    )
+    assert abs(got["q_stat"].iloc[0] - q) < 1e-9
+    # no-tie reduction: if no day has tied counts, Conover's A-C form
+    # must equal the textbook 12/(nk(k+1)) * sum R^2 - 3n(k+1)
+    if all(len(set(row)) == len(row) for row in complete.values):
+        r_sums = r2_sums / 2
+        q_textbook = 12 / (n * k * (k + 1)) * (r_sums**2).sum() - 3 * n * (k + 1)
+        assert abs(q - round(q_textbook, 6)) < 1e-4
+    assert (got["reject_equal_treatments"] == (got["q_stat"] > 9.487729).astype(int)).all()
+
+
+def test_cronbach_alpha_matches_pandas_replay(spark):
+    got = _load_all()["stats_cronbach_alpha"].builder(spark, SF).toPandas().iloc[0]
+    d = pd.read_parquet(f"{SF}/documents.parquet", columns=["text", "n_chars"])
+    toks = d["text"].str.split(" ")
+    items = pd.DataFrame(
+        {
+            "i1": d["n_chars"],
+            "i2": toks.str.len(),
+            "i3": toks.map(lambda ws: len(set(ws))),
+            "i4": toks.map(lambda ws: max(len(w) for w in ws)),
+        }
+    ).astype("int64")
+    n = len(items)
+    pv = items.var(ddof=0)
+    vt = items.sum(axis=1).var(ddof=0)
+    alpha = 4 / 3 * (1 - pv.sum() / vt)
+    assert got["n_docs"] == n and got["k_items"] == 4
+    for col, key in zip(
+        ("var_chars", "var_tokens", "var_distinct", "var_maxtoken"),
+        ("i1", "i2", "i3", "i4"),
+    ):
+        assert abs(got[col] - round(pv[key], 6)) < 1e-4, col
+    assert abs(got["alpha"] - alpha) < 1e-6
+    # positively-covarying counters: alpha positive, bounded by 1
+    # (raw-score alpha; n_chars' large variance dominates the total,
+    # which is why it lands mid-range rather than near 1)
+    assert 0.0 < got["alpha"] <= 1.0
+
+
+def test_roc_auc_matches_numpy_replay(spark):
+    got = (
+        _load_all()["stats_roc_auc"].builder(spark, SF).toPandas()
+        .sort_values("bucket").reset_index(drop=True)
+    )
+    o = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_totalprice", "o_orderpriority"]
+    )
+    b = np.floor(o["o_totalprice"] / 5000).astype("int64")
+    y = (o["o_orderpriority"] == "1-URGENT").astype("int64")
+    cells = pd.DataFrame({"b": b, "y": y}).groupby("b")["y"].agg(["sum", "count"])
+    pos, neg = cells["sum"], cells["count"] - cells["sum"]
+    p_tot, n_tot = int(pos.sum()), int(neg.sum())
+    neg_below = neg.cumsum().shift(fill_value=0)
+    auc = float((pos * (2 * neg_below + neg)).sum()) / (2 * p_tot * n_tot)
+    assert abs(got["auc"].iloc[0] - round(auc, 6)) < 1e-9
+    # sklearn-convention rank check: average-rank AUC via scores=bucket
+    ranks = pd.Series(np.concatenate([np.repeat(cells.index, cells["count"])])).rank()
+    flat_y = np.concatenate([[1] * int(pos[i]) + [0] * int(neg[i]) for i in cells.index])
+    auc_rank = (ranks[flat_y == 1].sum() - p_tot * (p_tot + 1) / 2) / (p_tot * n_tot)
+    assert abs(auc - auc_rank) < 1e-12
+    # ROC sanity: TPR/FPR decrease as the threshold rises; lowest
+    # threshold classifies everything positive
+    assert got["tpr"].iloc[0] == 1.0 and got["fpr"].iloc[0] == 1.0
+    assert got["tpr"].is_monotonic_decreasing and got["fpr"].is_monotonic_decreasing
+    # priority is ~price-independent on this fixture
+    assert 0.35 < auc < 0.65
+
+
+def test_calibration_brier_decomposition_identity(spark):
+    got = _load_all()["stats_calibration_brier"].builder(spark, SF).toPandas()
+    o = pd.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderpriority"],
+    )
+    b = np.floor(o["o_totalprice"] / 25000).astype("int64")
+    y = (o["o_orderpriority"] == "1-URGENT").astype("int64")
+    fold = o["o_orderkey"] % 10
+    df = pd.DataFrame({"b": b, "y": y, "fold": fold})
+    tr = df[df["fold"] < 8].groupby("b")["y"].agg(["mean", "count"])
+    te = df[df["fold"] >= 8].groupby("b")["y"].agg(["mean", "sum", "count"])
+    j = te.join(tr, rsuffix="_tr").dropna()
+    n = j["count"].sum()
+    obar = j["sum"].sum() / n
+    p, orate, w = j["mean_tr"], j["mean"], j["count"]
+    brier = float((w * p * p - 2 * p * j["sum"] + j["sum"]).sum()) / n
+    rel = float((w * (p - orate) ** 2).sum()) / n
+    res = float((w * (orate - obar) ** 2).sum()) / n
+    unc = obar * (1 - obar)
+    row = got.iloc[0]
+    assert abs(row["brier"] - brier) < 1e-5
+    assert abs(row["reliability"] - rel) < 1e-5
+    assert abs(row["resolution"] - res) < 1e-5
+    assert abs(row["uncertainty"] - unc) < 1e-5
+    # Murphy identity holds exactly for a bucket-constant forecaster
+    assert abs(brier - (rel - res + unc)) < 1e-12
+    assert abs(row["brier"] - (row["reliability"] - row["resolution"]
+                               + row["uncertainty"])) < 5e-6
+    # per-bucket gap column is consistent
+    assert np.allclose(got["calib_gap"], (got["obs_rate"] - got["p_hat"]).round(6),
+                       atol=2e-6)
+
+
+def test_hodges_lehmann_matches_numpy_replay(spark):
+    got = _load_all()["stats_hodges_lehmann"].builder(spark, SF).toPandas().iloc[0]
+    o = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+    cents = np.floor(o["o_totalprice"] * 100 + 0.5).astype("int64")
+    d = o["o_orderdate"].dt.normalize()
+    daily = cents.groupby(d).sum()
+    dow = (daily.index - pd.Timestamp("1970-01-01")).days % 7
+    wd = daily[~np.isin(dow, (2, 3))].to_numpy()
+    we = daily[np.isin(dow, (2, 3))].to_numpy()
+
+    def mid(v):
+        v = np.sort(v)
+        n = len(v)
+        return (int(v[(n + 1) // 2 - 1]) + int(v[n // 2])) / 2
+
+    diffs = (wd[:, None] - we[None, :]).ravel()
+    assert got["n_weekday_days"] == len(wd) and got["n_weekend_days"] == len(we)
+    assert got["n_pairs"] == len(wd) * len(we)
+    assert abs(got["hl_shift_usd"] - round(mid(diffs) / 100, 2)) < 1e-9
+    assert abs(got["median_weekday_usd"] - round(mid(wd) / 100, 2)) < 1e-9
+    assert abs(got["median_weekend_usd"] - round(mid(we) / 100, 2)) < 1e-9
+    # HL sits inside the IQR of the pairwise differences
+    lo, hi = np.percentile(diffs, [25, 75])
+    assert lo / 100 <= got["hl_shift_usd"] <= hi / 100
+
+
+def test_kneser_ney_matches_python_replay(spark):
+    got = (
+        _load_all()["llm_ngram_kneser_ney"].builder(spark, SF).toPandas()
+        .sort_values("source").reset_index(drop=True)
+    )
+    d = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "source", "text"])
+    toks = {
+        r.doc_id: [w for w in r.text.split(" ") if w]
+        for r in d.itertuples()
+        if isinstance(r.text, str)
+    }
+    src = dict(zip(d["doc_id"], d["source"]))
+    from collections import Counter, defaultdict
+
+    big = Counter()
+    for did, ws in toks.items():
+        if did % 10 != 0:
+            big.update(zip(ws, ws[1:]))
+    c_prev, n1p_prev, n1p_cur = Counter(), Counter(), Counter()
+    for (p, c), n in big.items():
+        c_prev[p] += n
+        n1p_prev[p] += 1
+        n1p_cur[c] += 1
+    nbt, vc = len(big), len(n1p_cur)
+    per_src = defaultdict(list)
+    rates = defaultdict(lambda: [0, 0, 0])  # unseen_bigram, unseen_ctx, n
+    for did, ws in toks.items():
+        if did % 10 != 0:
+            continue
+        lps = []
+        for p, c in zip(ws, ws[1:]):
+            pc = (n1p_cur.get(c, 0) + 1.0) / (nbt + vc + 1)
+            if p in c_prev:
+                lp = np.log(
+                    max(big.get((p, c), 0) - 0.75, 0.0) / c_prev[p]
+                    + 0.75 * n1p_prev[p] / c_prev[p] * pc
+                )
+            else:
+                lp = np.log(pc)
+            lps.append(lp)
+            rates[src[did]][0] += (p, c) not in big
+            rates[src[did]][1] += p not in c_prev
+            rates[src[did]][2] += 1
+        if lps:
+            per_src[src[did]].append(np.mean(lps))
+    for _, row in got.iterrows():
+        s = row["source"]
+        assert row["n_docs"] == len(per_src[s])
+        assert abs(row["avg_logprob_kn"] - round(np.mean(per_src[s]), 6)) < 1e-5
+        ub, uc, nb = rates[s]
+        assert abs(row["unseen_bigram_rate"] - round(ub / nb, 6)) < 1e-9
+        assert abs(row["unseen_context_rate"] - round(uc / nb, 6)) < 1e-9
+    # KN and stupid backoff score the same held slice: same sources
+    bo = _load_all()["llm_ngram_backoff_score"].builder(spark, SF).toPandas()
+    assert set(bo["source"]) == set(got["source"])
+    assert (got["avg_logprob_kn"] < 0).all()
+
+
+def test_heaps_fit_matches_python_replay(spark):
+    got = (
+        _load_all()["llm_heaps_law_fit"].builder(spark, SF).toPandas()
+        .sort_values("bucket").reset_index(drop=True)
+    )
+    d = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    span = int(d["doc_id"].max()) + 1
+    nb, firsts = {}, {}
+    for r in d.itertuples():
+        if not isinstance(r.text, str):
+            continue
+        ws = [w for w in r.text.split(" ") if w]
+        b = int(r.doc_id * 10.0 // span)
+        shs = [" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)]
+        nb[b] = nb.get(b, 0) + len(shs)
+        for s in shs:
+            if s not in firsts or firsts[s] > b:
+                firsts[s] = b
+    buckets = sorted(nb)
+    cum_n, cum_v, rows = 0, 0, []
+    nv = {}
+    for s, b in firsts.items():
+        nv[b] = nv.get(b, 0) + 1
+    for b in buckets:
+        cum_n += nb[b]
+        cum_v += nv.get(b, 0)
+        rows.append((b, cum_n, cum_v))
+    assert [tuple(r) for r in got[["bucket", "cum_ngrams", "cum_vocab"]].to_numpy()] == rows
+    lx = np.array([round(np.log(r[1]) * 1e8) / 1e8 for r in rows])
+    ly = np.array([round(np.log(r[2]) * 1e8) / 1e8 for r in rows])
+    m = len(rows)
+    beta = (m * (lx * ly).sum() - lx.sum() * ly.sum()) / (
+        m * (lx * lx).sum() - lx.sum() ** 2
+    )
+    assert abs(got["heaps_beta"].iloc[0] - round(beta, 6)) < 2e-6
+    # a growing shingle vocabulary: beta strictly inside (0, 1), fit tight
+    assert 0 < got["heaps_beta"].iloc[0] < 1
+    assert got["r2"].iloc[0] is not None and got["r2"].iloc[0] > 0.9
+    assert got["cum_vocab"].is_monotonic_increasing

@@ -259,6 +259,17 @@ PROBE_QUERIES = [
     "ts_ljung_box",
     "ts_periodogram",
     "ts_hurst_exponent",
+    # round-12 wave 2: domain/calendar-collapsed stats (grids stay
+    # fixed while the scan grows) and the two text-family newcomers
+    # (KN scoring = vocab-bounded count tables + held-slice joins;
+    # Heaps = shingle-grain aggs — both should track the tokenize).
+    "stats_friedman_test",
+    "stats_cronbach_alpha",
+    "stats_roc_auc",
+    "stats_calibration_brier",
+    "stats_hodges_lehmann",
+    "llm_ngram_kneser_ney",
+    "llm_heaps_law_fit",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

@@ -1244,3 +1244,92 @@ def test_top_pc_covariance_never_shuffles_corpus_by_vec_id(spark):
     p = plan_str(llm_embedding_top_pc(spark, SF))
     assert "Scan ExistingRDD" in p, p[:2000]
     assert p.count("Generate") == 0, (p.count("Generate"), p[:2500])
+
+
+def test_roc_auc_windows_run_on_domain_table(spark):
+    """ROC/AUC: orders aggregate onto the ~100-cell price-bucket grid
+    BEFORE any window — every Window in the plan must sit above the
+    bucket HashAggregate (no corpus-wide sort/rank), and the corpus
+    contributes exactly one hash exchange (the bucket partial-agg)."""
+    import re as _re
+
+    from spark_lineage_spark.operators.analytics import stats_roc_auc
+
+    p = plan_str(stats_roc_auc(spark, SF))
+    ops = _re.findall(r"^\(\d+\) (\w+)", p, _re.M)
+    assert "Window" in ops, ops
+    # the only non-single-partition exchange keys on the bucket column
+    parts = _re.findall(r"Arguments: hashpartitioning\((\w+)", p)
+    # the computed bucket key surfaces as Catalyst's _groupingexpression
+    assert parts and set(parts) <= {"b", "_groupingexpression"}, (parts, p[:2500])
+    assert "CartesianProduct" not in p, p[:3000]
+
+
+def test_hodges_lehmann_pairs_join_daily_tables(spark):
+    """Hodges-Lehmann: the weekday x weekend cross join must run over
+    the two CALENDAR-bounded daily aggregates (facts partial-agg to
+    day grain first), so the only corpus-grain exchange keys on the
+    day column; the pair-table windows are single-partition over the
+    bounded pair set by design."""
+    import re as _re
+
+    from spark_lineage_spark.operators.analytics import stats_hodges_lehmann
+
+    p = plan_str(stats_hodges_lehmann(spark, SF))
+    parts = _re.findall(r"Arguments: hashpartitioning\((\w+)", p)
+    assert parts and set(parts) <= {"d", "_groupingexpression"}, (parts, p[:2500])
+    # the cross join combines two already-aggregated (day-grain) sides:
+    # a nested-loop/cartesian over bounded inputs, never over facts
+    agg_idx = p.find("HashAggregate")
+    assert agg_idx >= 0, p[:2000]
+
+
+def test_friedman_rank_join_on_day_grid(spark):
+    """Friedman: the within-day rank self-join keys on the day column
+    of the (day x type) GRID — both sides are post-aggregate, so every
+    hash exchange keys on day/grid grain, never a corpus column."""
+    import re as _re
+
+    from spark_lineage_spark.operators.analytics import stats_friedman_test
+
+    p = plan_str(stats_friedman_test(spark, SF))
+    parts = _re.findall(r"Arguments: hashpartitioning\((\w+)", p)
+    # n/k are the 1-row scalar CTE's grouping keys — metadata-scale
+    assert parts and set(parts) <= {
+        "d", "event_type", "_groupingexpression", "n", "k"
+    }, (parts, p[:2500])
+    # (the scalar nb/k1 CROSS JOINs plan as 1-row CartesianProducts —
+    # benign; the day-grid rank join itself must be an equi HashJoin)
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", p), p[:2500]
+
+
+def test_cronbach_single_pass_no_shuffle_wider_than_one_row(spark):
+    """Cronbach's alpha: one map-side tokenize pass into a single-row
+    aggregate — no join, no window, no hash-partitioned exchange at
+    all (only the partial->final single-partition exchange)."""
+    import re as _re
+
+    from spark_lineage_spark.operators.analytics import stats_cronbach_alpha
+
+    p = plan_str(stats_cronbach_alpha(spark, SF))
+    ops = _re.findall(r"^\(\d+\) (\w+)", p, _re.M)
+    assert "Window" not in ops and not any("Join" in o for o in ops), ops
+    assert not _re.findall(r"Arguments: hashpartitioning\(", p), p[:2500]
+
+
+def test_heaps_fit_shuffles_on_docid_and_shingle_only(spark):
+    """Heaps fit: the positional shingle joins co-partition on doc_id
+    and the two aggregates key on shingle/bucket grain — no exchange
+    on a wider key, no cartesian over the corpus (the broadcast
+    max-doc scalar rides under the scan)."""
+    import re as _re
+
+    from spark_lineage_spark.operators.text import llm_heaps_law_fit
+
+    p = plan_str(llm_heaps_law_fit(spark, SF))
+    parts = _re.findall(r"Arguments: hashpartitioning\((\w+)", p)
+    # fb = first-bucket (vocab-grain); at sf0.001 the positional join
+    # broadcasts, so doc_id may not appear at all
+    assert parts and set(parts) <= {
+        "doc_id", "w", "bucket", "fb", "_groupingexpression"
+    }, (parts, p[:2500])

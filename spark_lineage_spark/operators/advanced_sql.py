@@ -3986,3 +3986,77 @@ def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan."""
     register_views(spark, sf_dir, ["events"])
     return spark.sql(_HURST_SQL)
+
+
+# Theil's U (round 12): corpus-level relative forecast accuracy —
+# U2 of the seasonal-naive (same weekday last week) and the plain
+# naive (yesterday) forecasts on daily revenue, plus their ratio.
+# ts_forecast_error reports per-user absolute errors for ONE
+# baseline; Theil's U is the scale-free "is the fancier baseline even
+# worth it" scalar (U2 < 1 beats the no-change forecast).  One shared
+# SQL text: daily cents exact, every squared error an exact DECIMAL
+# product, three rounded closing ratios.
+_THEIL_U_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+paired AS (
+  SELECT a.d, a.y,
+         n1.y AS f_naive,
+         s7.y AS f_seasonal
+  FROM daily a
+  JOIN daily n1 ON n1.d = a.d - INTERVAL 1 DAY
+  JOIN daily s7 ON s7.d = a.d - INTERVAL 7 DAY
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(y - f_seasonal AS DECIMAL(19,0))
+                  * CAST(y - f_seasonal AS DECIMAL(19,0))) AS DOUBLE)
+           AS sse_seasonal,
+         CAST(sum(CAST(y - f_naive AS DECIMAL(19,0))
+                  * CAST(y - f_naive AS DECIMAL(19,0))) AS DOUBLE)
+           AS sse_naive,
+         CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+              AS DOUBLE) AS ssy
+  FROM paired
+)
+SELECT n AS n_days,
+       round(sqrt(sse_seasonal / n) / 100, 2) AS rmse_seasonal_usd,
+       round(sqrt(sse_naive / n) / 100, 2) AS rmse_naive_usd,
+       round(sqrt(sse_seasonal / ssy), 6) AS theil_u2_seasonal,
+       round(sqrt(sse_naive / ssy), 6) AS theil_u2_naive,
+       round(sqrt(sse_seasonal / sse_naive), 6) AS seasonal_vs_naive
+FROM s
+"""
+
+
+@query(
+    "ts_theil_u",
+    "§2.22 Theil's U2: seasonal-naive vs naive forecast accuracy ratio",
+    _THEIL_U_SQL,
+)
+def ts_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U — the forecast-triage scalar ts_forecast_error's
+    per-user WAPE table doesn't give you: RMSE of the seasonal-naive
+    (same weekday last week) and plain naive (yesterday) baselines on
+    corpus daily revenue, each normalized by the actuals' root mean
+    square (U2; the no-change forecast scores 1 by construction
+    against itself), and their direct ratio — below 1 means weekly
+    seasonality carries real signal and a seasonal model is worth
+    fitting, above 1 means yesterday already explains more.  Both
+    lags are CALENDAR-day equi-joins, not row lags (the
+    ts_forecast_error sparse-series rule); only days with both
+    forecasts score, so the three sums share one row set.  Daily
+    cents are half-up exact integers, every squared error an exact
+    DECIMAL(19,0)^2 product sum, the five outputs rounded closing
+    doubles with identical operation order.  numpy-replay property
+    test.
+
+    Shape at any SF: orders partial-agg map-side to the
+    calendar-bounded daily table (the only fact pass); the two lag
+    self-joins and the finish are O(days) metadata-scale."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_THEIL_U_SQL)

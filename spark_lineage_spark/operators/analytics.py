@@ -5940,3 +5940,267 @@ def stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
             dow="datediff(d, DATE '1970-01-01') % 7"
         )
     )
+
+
+# Randomization test (round 12): the significance half of the
+# stats_hodges_lehmann story — is the weekday-vs-weekend daily-revenue
+# difference real, without ANY distributional assumption?  200
+# deterministic hash-seeded relabelings of the days (the
+# stats_bootstrap_ci md5 idiom: u = first-15-hex-digits / 2^60 is the
+# same uniform in both engines), each day joining pseudo-group
+# "weekend" with probability n_we/n — a binomial randomization test
+# (expected group sizes preserved; the exact-permutation variant
+# fixes them, documented).  Template SQL: only the hex->unit and
+# series spellings differ; every replicate statistic is a closed
+# double over exact integer sums, every comparison deterministic.
+_PERMUTATION_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents,
+         CASE WHEN {dow} IN (2, 3) THEN 1 ELSE 0 END AS wknd
+  FROM orders GROUP BY 1
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(wknd) AS BIGINT) AS n_we,
+         CAST(sum(CASE WHEN wknd = 0 THEN cents ELSE 0 END) AS DOUBLE)
+           / sum(CASE WHEN wknd = 0 THEN 1 ELSE 0 END)
+         - CAST(sum(CASE WHEN wknd = 1 THEN cents ELSE 0 END) AS DOUBLE)
+           / sum(wknd) AS diff_obs
+  FROM daily
+),
+bs AS (SELECT {series} AS b),
+draws AS (
+  SELECT bs.b,
+         CASE WHEN {u} < CAST(g.n_we AS DOUBLE) / g.n THEN 1 ELSE 0 END
+           AS flag,
+         daily.cents
+  FROM daily CROSS JOIN bs CROSS JOIN g
+),
+reps AS (
+  SELECT b,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(flag) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN flag = 0 THEN cents ELSE 0 END) AS DOUBLE)
+           AS s0,
+         CAST(sum(CASE WHEN flag = 1 THEN cents ELSE 0 END) AS DOUBLE)
+           AS s1
+  FROM draws GROUP BY b
+),
+valid AS (
+  SELECT b, s0 / (n - n1) - s1 / n1 AS diff_b
+  FROM reps WHERE n1 > 0 AND n1 < n
+)
+SELECT g.n AS n_days, g.n - g.n_we AS n_weekday, g.n_we AS n_weekend,
+       CAST(200 AS BIGINT) AS b_total,
+       CAST(count(*) AS BIGINT) AS b_valid,
+       round(g.diff_obs / 100, 2) AS diff_obs_usd,
+       round(CAST(1 + sum(CASE WHEN abs(v.diff_b) >= abs(g.diff_obs)
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+             / (1 + count(*)), 6) AS p_value
+FROM valid v CROSS JOIN g
+GROUP BY g.n, g.n_we, g.diff_obs
+"""
+
+_PERM_U_SPARK = (
+    "CAST(conv(substring(md5(CAST(concat(CAST(daily.d AS STRING), '_', "
+    "CAST(bs.b AS STRING)) AS BINARY)), 1, 15), 16, 10) AS DOUBLE) "
+    "/ 1152921504606846976"
+)
+_PERM_U_DUCK = (
+    "CAST(CAST(concat('0x', substr(md5(concat(CAST(daily.d AS VARCHAR), '_', "
+    "CAST(bs.b AS VARCHAR))), 1, 15)) AS BIGINT) AS DOUBLE) "
+    "/ 1152921504606846976"
+)
+
+
+@query(
+    "stats_permutation_test",
+    "§2.22 randomization test: weekday-vs-weekend revenue difference, 200 hash-seeded relabelings",
+    _PERMUTATION_SQL.format(
+        dow="(d - DATE '1970-01-01') % 7",
+        series="unnest(generate_series(1, 200))",
+        u=_PERM_U_DUCK,
+    ),
+)
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization test — the assumption-free p-value that belongs
+    next to stats_hodges_lehmann's effect size and
+    stats_mann_whitney's rank test: re-label each day weekday/weekend
+    200 times with a DETERMINISTIC hash uniform (md5(day, replicate)
+    — the stats_bootstrap_ci idiom, identical bits in both engines),
+    recompute the mean daily-revenue difference per relabeling, and
+    report p = (1 + #{|diff_b| >= |diff_obs|}) / (1 + B) with the
+    add-one convention.  Binomial relabeling (each day independently
+    weekend with probability n_we/n) rather than a fixed-size
+    permutation — expected group sizes are preserved, empty-group
+    replicates are dropped and counted, and the convention is part of
+    the definition (a fixed-size exact permutation needs a
+    distributed sort per replicate for no extra statistical power at
+    this B).  Every replicate statistic is a closed double over exact
+    integer cent sums; the property test replays all 200 replicates
+    byte-for-byte in python hashlib.
+
+    Shape at any SF: orders partial-agg map-side to the
+    calendar-bounded daily table; the 200x fan-out is days x B rows
+    (~0.5M here, constant in corpus size) partial-agg'd onto B
+    replicate rows.  100 TB costs the one fact scan."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        _PERMUTATION_SQL.format(
+            dow="datediff(d, DATE '1970-01-01') % 7",
+            series="explode(sequence(1, 200))",
+            u=_PERM_U_SPARK,
+        )
+    )
+
+
+# Modularity (round 12): does co-purchase structure align with a
+# KNOWN partition?  Q = sum_c [ e_c/m - (d_c/2m)^2 ] of the BRAND
+# partition on the co-purchase graph — the assortativity question a
+# merchandiser actually asks ("are same-brand parts bought
+# together?"), and the non-degenerate complement to
+# graph_label_propagation (whose min-label communities collapse this
+# dense graph to one component, where Q = 0 by definition).  On both
+# sides every term is an exact integer (directed-edge count m2 = 2m,
+# per-community internal directed count e2_c, degree sums), so Q
+# closes as ONE double division of exact bigints:
+# Q = (m2*sum e2_c - sum d_c^2)/m2^2.
+_MODULARITY_SQL = """
+WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM pl a JOIN pl b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+),
+ed AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+l3 AS MATERIALIZED (SELECT p_partkey AS n, p_brand AS lab FROM part),
+deg AS MATERIALIZED (
+  SELECT u AS n, CAST(count(*) AS BIGINT) AS dg FROM ed GROUP BY u
+),
+m2t AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM ed),
+comm AS MATERIALIZED (
+  SELECT l3.lab, CAST(count(*) AS BIGINT) AS sz,
+         CAST(sum(deg.dg) AS BIGINT) AS d_c
+  FROM l3 JOIN deg ON l3.n = deg.n GROUP BY l3.lab
+),
+intra AS MATERIALIZED (
+  SELECT la.lab, CAST(count(*) AS BIGINT) AS e2
+  FROM ed JOIN l3 la ON ed.u = la.n JOIN l3 lb ON ed.v = lb.n
+  WHERE la.lab = lb.lab GROUP BY la.lab
+),
+scal AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_comm,
+         CAST(sum(c.d_c * c.d_c) AS BIGINT) AS sum_d2,
+         CAST(sum(coalesce(i.e2, 0)) AS BIGINT) AS tot_e2
+  FROM comm c LEFT JOIN intra i ON c.lab = i.lab
+),
+top AS (
+  SELECT c.lab, c.sz, c.d_c, coalesce(i.e2, 0) AS e2,
+         row_number() OVER (ORDER BY c.sz DESC, c.lab) AS rn
+  FROM comm c LEFT JOIN intra i ON c.lab = i.lab
+)
+SELECT t.lab AS community, t.sz AS size,
+       CAST(t.e2 / 2 AS BIGINT) AS internal_edges,
+       t.d_c AS degree_sum,
+       round((m.m2 * t.e2 - t.d_c * t.d_c)
+             / CAST(m.m2 AS DOUBLE) / m.m2, 6) AS contribution,
+       s.n_comm AS n_communities,
+       round((m.m2 * s.tot_e2 - s.sum_d2)
+             / CAST(m.m2 AS DOUBLE) / m.m2, 6) AS modularity
+FROM top t CROSS JOIN m2t m CROSS JOIN scal s
+WHERE t.rn <= 10
+ORDER BY t.sz DESC, t.lab
+"""
+
+
+@query(
+    "graph_modularity",
+    "§2.22 modularity of the brand partition on the co-purchase graph (top-10 + Q)",
+    _MODULARITY_SQL,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity Q of a KNOWN partition — the assortativity score a
+    merchandiser reads before building brand-level recommenders:
+    Q = sum_c [e_c/m - (d_c/2m)^2] compares each brand's internal
+    co-purchase edge fraction against the degree-preserving random
+    expectation (Q near 0: brands mix at chance — the fixture's
+    uniform basket generator lands here, which the property test
+    pins; 0.3+: real brand-level structure).  Scoring an ATTRIBUTE
+    partition keeps the metric non-degenerate where the dense graph's
+    own min-label communities collapse to one component (Q = 0 by
+    construction — graph_label_propagation documents that).  Reported
+    as the 10 largest brands in the graph with sizes, internal edge
+    counts, degree sums and per-community contributions, plus global
+    Q and community count.  Every term is an exact integer — directed
+    edge count m2 = 2m, per-community internal directed counts,
+    degree sums — so Q is ONE double division of exact bigints and
+    the per-community contribution shares its operation order with
+    the oracle.  The property test replays Q in networkx-free numpy
+    and pins sum(contribution over ALL communities) == Q.
+
+    Shape at any SF: the edge table is the shared checkpointed
+    copurchase staging; the brand labels broadcast from the part dim;
+    degrees, community sums, and the intra-edge count are
+    node/edge-grain hash aggs; the top-10 is a bounded window over
+    the 25-row community table."""
+    e0 = copurchase_edges(spark, sf_dir)
+    ed = e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("n"), F.col("p_brand").alias("lab")
+    )
+    deg = ed.groupBy(F.col("u").alias("n")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dg")
+    )
+    m2t = ed.agg(F.count(F.lit(1)).cast("bigint").alias("m2"))
+    comm = (
+        labels.join(deg, "n")
+        .groupBy("lab")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("sz"),
+            F.sum("dg").cast("bigint").alias("d_c"),
+        )
+    )
+    la = labels.withColumnRenamed("n", "u").withColumnRenamed("lab", "lab_u")
+    lb = labels.withColumnRenamed("n", "v").withColumnRenamed("lab", "lab_v")
+    intra = (
+        ed.join(la, "u")
+        .join(lb, "v")
+        .filter(F.col("lab_u") == F.col("lab_v"))
+        .groupBy(F.col("lab_u").alias("lab"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e2"))
+    )
+    ce = comm.join(intra, "lab", "left").na.fill({"e2": 0})
+    scal = ce.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_comm"),
+        F.sum(F.col("d_c") * F.col("d_c")).cast("bigint").alias("sum_d2"),
+        F.sum("e2").cast("bigint").alias("tot_e2"),
+    )
+    w = Window.orderBy(F.desc("sz"), "lab")
+    top = ce.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    return (
+        top.crossJoin(F.broadcast(m2t))
+        .crossJoin(F.broadcast(scal))
+        .select(
+            F.col("lab").alias("community"),
+            F.col("sz").alias("size"),
+            (F.col("e2") / 2).cast("bigint").alias("internal_edges"),
+            F.col("d_c").alias("degree_sum"),
+            F.round(
+                (F.col("m2") * F.col("e2") - F.col("d_c") * F.col("d_c"))
+                / F.col("m2").cast("double")
+                / F.col("m2"),
+                6,
+            ).alias("contribution"),
+            F.col("n_comm").alias("n_communities"),
+            F.round(
+                (F.col("m2") * F.col("tot_e2") - F.col("sum_d2"))
+                / F.col("m2").cast("double")
+                / F.col("m2"),
+                6,
+            ).alias("modularity"),
+        )
+        .orderBy(F.desc("size"), "community")
+    )

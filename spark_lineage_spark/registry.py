@@ -368,6 +368,9 @@ _VERIFY_AFTER = [
     "stats_hodges_lehmann",
     "llm_ngram_kneser_ney",
     "llm_heaps_law_fit",
+    "ts_theil_u",
+    "stats_permutation_test",
+    "graph_modularity",
 ]
 
 

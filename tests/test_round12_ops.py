@@ -389,3 +389,118 @@ def test_heaps_fit_matches_python_replay(spark):
     assert 0 < got["heaps_beta"].iloc[0] < 1
     assert got["r2"].iloc[0] is not None and got["r2"].iloc[0] > 0.9
     assert got["cum_vocab"].is_monotonic_increasing
+
+
+# ---------------------------------------------------------------------------
+# round-12 wave 3: theil u / permutation / modularity
+# ---------------------------------------------------------------------------
+
+
+def test_theil_u_matches_numpy_replay(spark):
+    got = _load_all()["ts_theil_u"].builder(spark, SF).toPandas().iloc[0]
+    o = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+    cents = np.floor(o["o_totalprice"] * 100 + 0.5).astype("int64")
+    daily = cents.groupby(o["o_orderdate"].dt.normalize()).sum()
+    idx = daily.index
+    rows = []
+    for d in idx:
+        d1, d7 = d - pd.Timedelta(days=1), d - pd.Timedelta(days=7)
+        if d1 in daily.index and d7 in daily.index:
+            rows.append((int(daily[d]), int(daily[d1]), int(daily[d7])))
+    y = np.array([r[0] for r in rows], dtype=np.float64)
+    f1 = np.array([r[1] for r in rows], dtype=np.float64)
+    f7 = np.array([r[2] for r in rows], dtype=np.float64)
+    sse7, sse1, ssy = ((y - f7) ** 2).sum(), ((y - f1) ** 2).sum(), (y * y).sum()
+    assert got["n_days"] == len(rows)
+    assert abs(got["rmse_seasonal_usd"] - round(np.sqrt(sse7 / len(rows)) / 100, 2)) < 1e-6
+    assert abs(got["theil_u2_seasonal"] - round(np.sqrt(sse7 / ssy), 6)) < 1e-9
+    assert abs(got["theil_u2_naive"] - round(np.sqrt(sse1 / ssy), 6)) < 1e-9
+    assert abs(got["seasonal_vs_naive"] - round(np.sqrt(sse7 / sse1), 6)) < 1e-9
+    # consistency: the ratio is the quotient of the two U2 numbers
+    assert abs(got["seasonal_vs_naive"]
+               - got["theil_u2_seasonal"] / got["theil_u2_naive"]) < 1e-4
+
+
+def test_permutation_test_matches_hashlib_replay(spark):
+    import hashlib
+
+    got = _load_all()["stats_permutation_test"].builder(spark, SF).toPandas().iloc[0]
+    o = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+    cents = np.floor(o["o_totalprice"] * 100 + 0.5).astype("int64")
+    d = o["o_orderdate"].dt.normalize()
+    daily = cents.groupby(d).sum()
+    dow = (daily.index - pd.Timestamp("1970-01-01")).days % 7
+    wknd = np.isin(dow, (2, 3))
+    n, n_we = len(daily), int(wknd.sum())
+    diff_obs = daily[~wknd].to_numpy().sum() / (n - n_we) - daily[wknd].to_numpy().sum() / n_we
+    assert got["n_days"] == n and got["n_weekend"] == n_we
+    assert abs(got["diff_obs_usd"] - round(diff_obs / 100, 2)) < 1e-6
+    days = [ts.date().isoformat() for ts in daily.index]
+    vals = daily.to_numpy()
+    hits = valid = 0
+    thr = n_we / n
+    for b in range(1, 201):
+        u = np.array(
+            [
+                int(hashlib.md5(f"{day}_{b}".encode()).hexdigest()[:15], 16)
+                / 1152921504606846976
+                for day in days
+            ]
+        )
+        flag = u < thr
+        n1 = int(flag.sum())
+        if 0 < n1 < n:
+            valid += 1
+            diff_b = vals[~flag].sum() / (n - n1) - vals[flag].sum() / n1
+            hits += abs(diff_b) >= abs(diff_obs)
+    assert got["b_valid"] == valid
+    assert abs(got["p_value"] - round((1 + hits) / (1 + valid), 6)) < 1e-9
+    # a valid p-value under the add-one convention
+    assert 0 < got["p_value"] <= 1
+
+
+def test_modularity_matches_numpy_replay(spark):
+    got = (
+        _load_all()["graph_modularity"].builder(spark, SF).toPandas()
+        .sort_values(["size", "community"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    part = pd.read_parquet(f"{SF}/part.parquet", columns=["p_partkey", "p_brand"])
+    brand = dict(zip(part["p_partkey"], part["p_brand"]))
+    edges = set()
+    for _, grp in li.drop_duplicates().groupby("l_orderkey"):
+        ps = sorted(set(grp["l_partkey"]))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    m = len(edges)
+    from collections import Counter
+
+    deg, e_c, d_c = Counter(), Counter(), Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+        if brand[u] == brand[v]:
+            e_c[brand[u]] += 1
+    for nd, dg in deg.items():
+        d_c[brand[nd]] += dg
+    m2 = 2 * m
+    q = sum(m2 * 2 * e_c[c] - d_c[c] ** 2 for c in d_c) / m2 / m2
+    row = got.iloc[0]
+    assert row["n_communities"] == len(d_c)
+    assert abs(row["modularity"] - round(q, 6)) < 1e-9
+    # per-community check for every reported row + contribution algebra
+    sizes = Counter(brand[nd] for nd in deg)
+    for _, r in got.iterrows():
+        c = r["community"]
+        assert r["size"] == sizes[c]
+        assert r["internal_edges"] == e_c[c]
+        assert r["degree_sum"] == d_c[c]
+        contrib = (m2 * 2 * e_c[c] - d_c[c] ** 2) / m2 / m2
+        assert abs(r["contribution"] - round(contrib, 6)) < 1e-9
+    # uniform basket generator: brands mix at chance level
+    assert abs(row["modularity"]) < 0.05
+    # all rows repeat the one scalar; sizes are reported descending
+    assert got["modularity"].nunique() == 1
+    assert got["size"].is_monotonic_decreasing

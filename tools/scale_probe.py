@@ -270,6 +270,15 @@ PROBE_QUERIES = [
     "stats_hodges_lehmann",
     "llm_ngram_kneser_ney",
     "llm_heaps_law_fit",
+    # round-12 wave 3: daily-collapse forecast ratio, the 200x
+    # calendar-bounded randomization fan-out, and brand-partition
+    # modularity (edge/node-grain aggs over the shared copurchase
+    # staging -- the one graph op whose partition comes from a dim,
+    # so the densification caveat reads differently: edges grow, the
+    # 25-brand community table does not).
+    "ts_theil_u",
+    "stats_permutation_test",
+    "graph_modularity",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

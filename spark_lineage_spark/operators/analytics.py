@@ -6204,3 +6204,272 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("size"), "community")
     )
+
+
+# Precision-recall curve + average precision (round 12): the
+# imbalanced-class companion to stats_roc_auc, on the SAME binned
+# (pos, neg) cells — when positives are rare, ROC flatters a
+# classifier (FPR's denominator is huge) and PR is the curve that
+# actually moves.  One shared SQL text; prefix sums over the ~100-row
+# domain table, AP as the step-wise sum of recall-increment x
+# precision with every per-bucket term snapped to a 1e-9-grain bigint
+# (order-free sum — the stats_calibration_brier discipline).
+_AUC_PR_SQL = """
+WITH cells AS (
+  SELECT CAST(floor(o_totalprice / 5000) AS BIGINT) AS b,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END)
+              AS BIGINT) AS neg
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(pos) AS BIGINT) AS p,
+         CAST(sum(pos) + sum(neg) AS BIGINT) AS nall
+  FROM cells
+),
+pref AS (
+  SELECT b, pos, neg,
+         CAST(sum(pos) OVER (ORDER BY b DESC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp,
+         CAST(sum(neg) OVER (ORDER BY b DESC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn
+  FROM cells
+),
+terms AS (
+  SELECT b, pos, neg, cp, cn,
+         CAST(round(CAST(pos AS DOUBLE) * cp / (cp + cn) * 1000000000)
+              AS BIGINT) AS ap9
+  FROM pref
+),
+ap AS (
+  SELECT round(CAST(sum(ap9) AS DOUBLE) / 1000000000 / t.p, 6) AS avg_precision
+  FROM terms CROSS JOIN tot t GROUP BY t.p
+)
+SELECT tm.b AS bucket,
+       CAST(tm.b * 5000 AS BIGINT) AS score_lo_usd,
+       tm.pos AS n_pos, tm.neg AS n_neg,
+       round(CAST(tm.cp AS DOUBLE) / (tm.cp + tm.cn), 6) AS precision_at,
+       round(CAST(tm.cp AS DOUBLE) / t.p, 6) AS recall_at,
+       a.avg_precision,
+       round(CAST(t.p AS DOUBLE) / t.nall, 6) AS prevalence_baseline
+FROM terms tm CROSS JOIN tot t CROSS JOIN ap a
+ORDER BY bucket DESC
+"""
+
+
+@query(
+    "stats_auc_pr",
+    "§2.22 precision-recall curve + average precision over the binned score",
+    _AUC_PR_SQL,
+)
+def stats_auc_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall curve and average precision — the metric that
+    replaces stats_roc_auc when positives are rare (ROC's
+    false-positive RATE barely moves against a huge negative pool;
+    precision collapses visibly): same $5,000 binned-score cells,
+    thresholds descending, precision/recall at each bucket from the
+    SAME prefix sums, and step-wise AP = sum(recall-increment x
+    precision) = sum_b pos_b * cp_b/(cp_b + cn_b) / P with each
+    per-bucket term an exact rational snapped to a 1e-9-grain bigint
+    so the cross-bucket sum is order-free.  A useless classifier's AP
+    equals the prevalence baseline reported beside it — the fixture's
+    ~price-independent priority must land AP near prevalence (~0.2),
+    which the numpy replay pins exactly.
+
+    Shape at any SF: identical to stats_roc_auc — one scan
+    partial-aggs onto the ~100-cell grid; windows and the finish run
+    on the domain table (profile_key_skew justification)."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_AUC_PR_SQL)
+
+
+# Degree assortativity (round 12): Pearson correlation of endpoint
+# degrees over the directed edge list — do hubs link to hubs?  One
+# shared SQL text extending the copurchase CTE chain; all five
+# moments are exact DECIMAL sums of integer degrees, r is one
+# fixed-order double expression (by the both-directions symmetry the
+# x and y marginals coincide, kept as separate sums anyway so the
+# formula is the textbook one).
+_ASSORTATIVITY_SQL = """
+WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM pl a JOIN pl b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+),
+ed AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+deg AS MATERIALIZED (
+  SELECT u AS n, CAST(count(*) AS BIGINT) AS dg FROM ed GROUP BY u
+),
+pairs AS (
+  SELECT du.dg AS x, dv.dg AS y
+  FROM ed JOIN deg du ON ed.u = du.n JOIN deg dv ON ed.v = dv.n
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS m2,
+         CAST(sum(CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+              AS DOUBLE) AS sxy,
+         CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+              AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+              AS DOUBLE) AS syy
+  FROM pairs
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT nn.n_nodes,
+       CAST(m.m2 / 2 AS BIGINT) AS n_edges,
+       round(m.sx / m.m2, 6) AS mean_edge_degree,
+       round((m.m2 * m.sxy - m.sx * m.sy)
+             / sqrt((m.m2 * m.sxx - m.sx * m.sx)
+                    * (m.m2 * m.syy - m.sy * m.sy)), 6) AS assortativity
+FROM m CROSS JOIN nn
+"""
+
+
+@query(
+    "graph_assortativity",
+    "§2.22 degree assortativity of the co-purchase graph (hubs-link-to-hubs Pearson)",
+    _ASSORTATIVITY_SQL,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity — Newman's r: the Pearson correlation of
+    endpoint degrees over every edge, answering "do hubs connect to
+    hubs (r > 0, social-network-like) or to leaves (r < 0,
+    hub-and-spoke / technological)" — the one scalar that, next to
+    graph_degree_stats' marginal histogram, characterizes the JOINT
+    degree structure the recommender ops inherit.  Computed over the
+    both-directions edge list (the standard undirected convention —
+    each edge contributes (du,dv) and (dv,du), making the marginals
+    symmetric); all five moments are exact DECIMAL sums of integer
+    degrees and r is one fixed-order double expression, so the hash
+    gate holds bit-exactly.  The property test replays r in numpy and
+    cross-checks the mean edge degree against the degree histogram's
+    second moment (edge-sampled degree = size-biased sampling).
+
+    Shape at any SF: the edge table is the shared checkpointed
+    copurchase staging; degrees are one node-grain hash agg; the two
+    degree joins shuffle edge-grain keys; the finish is one row."""
+    e0 = copurchase_edges(spark, sf_dir)
+    ed = e0.unionAll(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = ed.groupBy(F.col("u").alias("n")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dg")
+    )
+    du = deg.withColumnRenamed("n", "u").withColumnRenamed("dg", "x")
+    dv = deg.withColumnRenamed("n", "v").withColumnRenamed("dg", "y")
+    pairs = ed.join(du, "u").join(dv, "v")
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m2"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    return (
+        m.crossJoin(F.broadcast(nn))
+        .select(
+            "n_nodes",
+            (F.col("m2") / 2).cast("bigint").alias("n_edges"),
+            F.round(F.col("sx") / F.col("m2"), 6).alias("mean_edge_degree"),
+            F.round(
+                (F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / F.sqrt(
+                    (F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    * (F.col("m2") * F.col("syy") - F.col("sy") * F.col("sy"))
+                ),
+                6,
+            ).alias("assortativity"),
+        )
+    )
+
+
+# TOST equivalence test (round 12): the A/B question stats_ttest_welch
+# CANNOT answer — "are these two groups the SAME to within a margin?"
+# (failing to reject difference is not evidence of equivalence).  Two
+# one-sided Welch t-tests against +/-delta on the identical exact
+# decimal power-sum chassis; delta = 1% of the pooled mean, derived
+# in-query from the same exact sums so the margin is deterministic.
+# One shared SQL text.
+_TOST_SQL = """
+WITH s AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(sum(CAST(CAST(round(value * 1000000) AS BIGINT) AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS sm,
+         CAST(sum(CAST(CAST(round(value * 1000000) AS BIGINT)
+                       * CAST(round(value * 1000000) AS BIGINT) AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS sq
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+), m AS (
+  SELECT
+    max(n)  FILTER (WHERE event_type = 'click') AS n1,
+    max(sm) FILTER (WHERE event_type = 'click') AS sm1,
+    max(sq) FILTER (WHERE event_type = 'click') AS sq1,
+    max(n)  FILTER (WHERE event_type = 'view')  AS n2,
+    max(sm) FILTER (WHERE event_type = 'view')  AS sm2,
+    max(sq) FILTER (WHERE event_type = 'view')  AS sq2
+  FROM s
+), v AS (
+  SELECT n1, n2,
+         CAST(sm1 AS DOUBLE) / n1 AS mu1,
+         CAST(sm2 AS DOUBLE) / n2 AS mu2,
+         (CAST(sm1 AS DOUBLE) + CAST(sm2 AS DOUBLE)) / (n1 + n2) * 0.01
+           AS delta,
+         (CAST(sq1 AS DOUBLE) - CAST(sm1 AS DOUBLE) * CAST(sm1 AS DOUBLE) / n1)
+           / (n1 - 1) / n1 AS se1,
+         (CAST(sq2 AS DOUBLE) - CAST(sm2 AS DOUBLE) * CAST(sm2 AS DOUBLE) / n2)
+           / (n2 - 1) / n2 AS se2
+  FROM m
+), t AS (
+  SELECT n1, n2, mu1, mu2, delta,
+         sqrt(se1 + se2) AS se,
+         (se1 + se2) * (se1 + se2)
+           / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)) AS df
+  FROM v
+)
+SELECT n1 AS n_click, n2 AS n_view,
+       round(mu1 / 1000000, 6) AS mean_click,
+       round(mu2 / 1000000, 6) AS mean_view,
+       round(delta / 1000000, 6) AS margin_value,
+       round((mu1 - mu2 + delta) / se, 4) AS t_lower,
+       round((mu1 - mu2 - delta) / se, 4) AS t_upper,
+       round(df, 2) AS df_welch,
+       CAST(CASE WHEN (mu1 - mu2 + delta) / se > 1.6449
+                  AND (mu1 - mu2 - delta) / se < -1.6449
+                 THEN 1 ELSE 0 END AS BIGINT) AS equivalent_90
+FROM t
+"""
+
+
+@query(
+    "stats_tost_equivalence",
+    "§2.22 TOST equivalence test: click-vs-view means within a 1% margin",
+    _TOST_SQL,
+)
+def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST (two one-sided tests) equivalence — the question
+    stats_ttest_welch structurally cannot answer: a non-significant
+    difference is NOT evidence of sameness, so an A/B "no regression"
+    claim needs BOTH one-sided tests to reject — (mu1-mu2) > -delta
+    AND (mu1-mu2) < +delta — here against a margin of 1% of the
+    pooled mean, derived in-query from the same exact power sums so
+    the whole statistic is deterministic.  Identical chassis to the
+    Welch test (exact integer micro-units, DECIMAL(38,0) squares, one
+    2-row hash agg, closed-form doubles with fixed operation order);
+    decision at 90% (the standard TOST confidence: two 5% one-sided
+    tests) using the z critical value 1.6449, a deliberate normal
+    approximation at these df (documented; the property test pins the
+    t statistics against scipy-free numpy and the decision rule
+    against the reported values).
+
+    Shape at any SF: one scan of events partial-aggs map-side onto a
+    2-row group table; everything after is a 1-row expression."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_TOST_SQL)

@@ -371,6 +371,9 @@ _VERIFY_AFTER = [
     "ts_theil_u",
     "stats_permutation_test",
     "graph_modularity",
+    "stats_auc_pr",
+    "graph_assortativity",
+    "stats_tost_equivalence",
 ]
 
 

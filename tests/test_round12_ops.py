@@ -504,3 +504,101 @@ def test_modularity_matches_numpy_replay(spark):
     # all rows repeat the one scalar; sizes are reported descending
     assert got["modularity"].nunique() == 1
     assert got["size"].is_monotonic_decreasing
+
+
+# ---------------------------------------------------------------------------
+# round-12 wave 4: auc-pr / assortativity / tost
+# ---------------------------------------------------------------------------
+
+
+def test_auc_pr_matches_numpy_replay(spark):
+    got = (
+        _load_all()["stats_auc_pr"].builder(spark, SF).toPandas()
+        .sort_values("bucket", ascending=False).reset_index(drop=True)
+    )
+    o = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_totalprice", "o_orderpriority"]
+    )
+    b = np.floor(o["o_totalprice"] / 5000).astype("int64")
+    y = (o["o_orderpriority"] == "1-URGENT").astype("int64")
+    cells = pd.DataFrame({"b": b, "y": y}).groupby("b")["y"].agg(["sum", "count"])
+    cells = cells.sort_index(ascending=False)
+    pos, neg = cells["sum"], cells["count"] - cells["sum"]
+    cp, cn = pos.cumsum(), neg.cumsum()
+    p_tot, n_all = int(pos.sum()), int(cells["count"].sum())
+    ap9 = sum(round(float(pos[i]) * cp[i] / (cp[i] + cn[i]) * 1e9) for i in cells.index)
+    ap = round(ap9 / 1e9 / p_tot, 6)
+    row = got.iloc[0]
+    assert abs(row["avg_precision"] - ap) < 1e-9
+    assert abs(row["prevalence_baseline"] - round(p_tot / n_all, 6)) < 1e-9
+    for (i, r), idx in zip(got.iterrows(), cells.index):
+        assert r["bucket"] == idx
+        assert abs(r["precision_at"] - round(float(cp[idx]) / (cp[idx] + cn[idx]), 6)) < 1e-9
+        assert abs(r["recall_at"] - round(float(cp[idx]) / p_tot, 6)) < 1e-9
+    # recall grows monotonically as the threshold drops; the last row
+    # classifies everything positive -> precision == prevalence
+    assert got["recall_at"].is_monotonic_increasing
+    assert abs(got["recall_at"].iloc[-1] - 1.0) < 1e-9
+    assert abs(got["precision_at"].iloc[-1] - row["prevalence_baseline"]) < 1e-9
+    # ~price-independent priority: AP lands near the prevalence line
+    assert abs(row["avg_precision"] - row["prevalence_baseline"]) < 0.05
+
+
+def test_assortativity_matches_numpy_replay(spark):
+    got = _load_all()["graph_assortativity"].builder(spark, SF).toPandas().iloc[0]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    edges = set()
+    for _, grp in li.drop_duplicates().groupby("l_orderkey"):
+        ps = sorted(set(grp["l_partkey"]))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    from collections import Counter
+
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    x = np.array([deg[u] for u, v in edges] + [deg[v] for u, v in edges], float)
+    yv = np.array([deg[v] for u, v in edges] + [deg[u] for u, v in edges], float)
+    m2 = len(x)
+    num = m2 * (x * yv).sum() - x.sum() * yv.sum()
+    den = np.sqrt(
+        (m2 * (x * x).sum() - x.sum() ** 2) * (m2 * (yv * yv).sum() - yv.sum() ** 2)
+    )
+    assert got["n_nodes"] == len(deg) and got["n_edges"] == len(edges)
+    assert abs(got["assortativity"] - round(num / den, 6)) < 2e-6
+    # mean EDGE degree is the size-biased mean: sum(d^2)/sum(d)
+    ds = np.array(list(deg.values()), float)
+    assert abs(got["mean_edge_degree"] - round((ds**2).sum() / ds.sum(), 6)) < 2e-6
+    assert -1 <= got["assortativity"] <= 1
+
+
+def test_tost_matches_numpy_replay(spark):
+    got = _load_all()["stats_tost_equivalence"].builder(spark, SF).toPandas().iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    g = {
+        t: (ev.loc[ev["event_type"] == t, "value"] * 1e6).round().astype("int64")
+        for t in ("click", "view")
+    }
+    n1, n2 = len(g["click"]), len(g["view"])
+    s1, s2 = float(g["click"].sum()), float(g["view"].sum())
+    q1 = float((g["click"].astype(object) ** 2).sum())
+    q2 = float((g["view"].astype(object) ** 2).sum())
+    mu1, mu2 = s1 / n1, s2 / n2
+    delta = (s1 + s2) / (n1 + n2) * 0.01
+    se1 = (q1 - s1 * s1 / n1) / (n1 - 1) / n1
+    se2 = (q2 - s2 * s2 / n2) / (n2 - 1) / n2
+    se = np.sqrt(se1 + se2)
+    t_lo = round((mu1 - mu2 + delta) / se, 4)
+    t_hi = round((mu1 - mu2 - delta) / se, 4)
+    assert got["n_click"] == n1 and got["n_view"] == n2
+    assert abs(got["t_lower"] - t_lo) < 1e-6
+    assert abs(got["t_upper"] - t_hi) < 1e-6
+    assert abs(got["margin_value"] - round(delta / 1e6, 6)) < 1e-9
+    exp = int((mu1 - mu2 + delta) / se > 1.6449 and (mu1 - mu2 - delta) / se < -1.6449)
+    assert got["equivalent_90"] == exp
+    # internal consistency with the Welch op: same mean columns
+    w = _load_all()["stats_ttest_welch"].builder(spark, SF).toPandas().iloc[0]
+    assert abs(w["mean_click"] - got["mean_click"]) < 1e-9
+    assert abs(w["mean_view"] - got["mean_view"]) < 1e-9

@@ -279,6 +279,11 @@ PROBE_QUERIES = [
     "ts_theil_u",
     "stats_permutation_test",
     "graph_modularity",
+    # round-12 wave 4: PR curve on the same domain grid as ROC, edge
+    # assortativity over the shared staging, 2-row TOST chassis.
+    "stats_auc_pr",
+    "graph_assortativity",
+    "stats_tost_equivalence",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

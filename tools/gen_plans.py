@@ -57,6 +57,12 @@ ANNOTATED = {
     "llm_ngram_novelty": "distinct + left-anti share the gram-key exchange; counts as broadcast 1-row aggs",
     "cdc_scd2_build": "two user_id windows, second over the strictly-smaller runs table",
     "agg_gini_concentration": "distributed rank + one exact-decimal aggregate; two final double divisions",
+    # round-12 additions
+    "llm_embedding_top_pc": "map-side zip_with centering (64 means broadcast as ONE array row); cov/mu localCheckpoint -> iterations read a 4096-row leaf, zero Generate in the closed plan",
+    "stats_roc_auc": "corpus partial-aggs onto ~100 bucket cells; prefix windows + AUC run on the DOMAIN table, never facts",
+    "stats_permutation_test": "facts collapse to the calendar-bounded daily table, THEN the 200x fan-out; one fact scan total",
+    "graph_modularity": "shared checkpointed copurchase edges; brand labels join from the part dim; Q closes from exact bigint sums",
+    "ts_ljung_box": "one events hash agg to day grain; 7-lag self-join + integerized running Q over O(days) rows",
     # round-7 additions
     "agg_count_min_sketch": "ONE md5/row sliced into 4 sketch rows; partial agg collapses any partition to <=1024 cells pre-exchange; probes broadcast",
     "join_spatial_grid": "3x3 cell-neighbor equi-join (no CartesianProduct/BNLJ); exact integer dist^2 refilter after blocking",

@@ -1,0 +1,229 @@
+"""Hypothesis properties for the round-12 algebra — pure python, no
+Spark: each test pins an IDENTITY the shared SQL relies on (expansion
+formulas, unit cancellations, decomposition identities) on random
+data, so the derivation is validated in general, not just at the
+fixture point (tests/test_round12_ops.py covers that)."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+ints = st.lists(st.integers(min_value=-10**6, max_value=10**6), min_size=8, max_size=64)
+
+
+@settings(max_examples=60, deadline=None)
+@given(ints, st.integers(min_value=1, max_value=5))
+def test_ljung_box_acf_expansion_identity(ys, k):
+    """ts_ljung_box computes r_k via the expanded integer-sum form
+    (n^2*Sab - n*S*(Sh+St) + (n-k)*S^2) / (n*(n*Syy - S^2)); it must
+    equal the direct global-mean definition
+    sum((a-mu)(b-mu)) / sum((y-mu)^2) exactly (same real number)."""
+    y = np.array(ys, dtype=np.float64)
+    n = len(y)
+    if k >= n:
+        return
+    mu = y.mean()
+    den_direct = ((y - mu) ** 2).sum()
+    if den_direct == 0:
+        return
+    a, b = y[:-k], y[k:]
+    direct = (((a - mu) * (b - mu)).sum()) / den_direct
+    s, ss = y.sum(), (y * y).sum()
+    num = n * n * (a * b).sum() - n * s * (a.sum() + b.sum()) + (n - k) * s * s
+    den = n * (n * ss - s * s)
+    assert abs(num / den - direct) < 1e-9 * max(1.0, abs(direct))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=-10**6, max_value=10**6), min_size=4, max_size=32))
+def test_hurst_rs_w_cancellation(ys):
+    """ts_hurst_exponent scores each block as R_num/sqrt(var_num); it
+    must equal the textbook ((max-min cumdev)/sigma) with the two 1/w
+    factors cancelled."""
+    y = np.array(ys, dtype=np.float64)
+    w = len(y)
+    sb = y.sum()
+    cum = np.cumsum(y) - (np.arange(1, w + 1) / w) * sb
+    sigma = np.sqrt(((y - y.mean()) ** 2).mean())
+    if sigma == 0:
+        return
+    textbook = (cum.max() - cum.min()) / sigma
+    pj = np.cumsum(y)
+    cum_num = w * pj - np.arange(1, w + 1) * sb
+    var_num = w * (y * y).sum() - sb * sb
+    ours = (cum_num.max() - cum_num.min()) / np.sqrt(var_num)
+    assert abs(ours - textbook) < 1e-6 * max(1.0, abs(textbook))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=50), min_size=4, max_size=4),
+        min_size=3,
+        max_size=20,
+    )
+)
+def test_friedman_conover_reduces_to_textbook_without_ties(blocks):
+    """stats_friedman_test's tie-general A-C form must equal the
+    textbook 12/(nk(k+1)) sum R_j^2 - 3n(k+1) whenever no block has
+    tied values."""
+    mat = np.array(blocks)
+    if any(len(set(row)) != len(row) for row in mat):
+        return
+    n, k = mat.shape
+    r2 = np.zeros_like(mat)
+    for i, row in enumerate(mat):
+        for j, v in enumerate(row):
+            r2[i, j] = 2 * (row < v).sum() + ((row == v).sum() - 1) + 2
+    r2s = r2.sum(axis=0)
+    a4 = int((r2.astype(np.int64) ** 2).sum())
+    dev2 = int(((r2s - n * (k + 1)) ** 2).sum())
+    denom = a4 - n * k * (k + 1) ** 2
+    assert denom > 0  # no ties anywhere -> strict inequality
+    q_conover = (k - 1) * dev2 / denom
+    r_sums = r2s / 2
+    q_text = 12 / (n * k * (k + 1)) * (r_sums**2).sum() - 3 * n * (k + 1)
+    assert abs(q_conover - q_text) < 1e-9 * max(1.0, abs(q_text))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-10**6, max_value=10**6), min_size=2, max_size=30),
+    st.lists(st.integers(min_value=-10**6, max_value=10**6), min_size=2, max_size=30),
+    st.integers(min_value=-10**5, max_value=10**5),
+)
+def test_hodges_lehmann_shift_equivariance(xs, ys, c):
+    """stats_hodges_lehmann's estimator: HL(x + c, y) = HL(x, y) + c
+    (location equivariance), using the exact mean-of-two-middles
+    order-statistic convention the SQL pins."""
+
+    def mid(v):
+        v = sorted(v)
+        n = len(v)
+        return (v[(n + 1) // 2 - 1] + v[n // 2]) / 2
+
+    def hl(a, b):
+        return mid([ai - bj for ai in a for bj in b])
+
+    assert hl([x + c for x in xs], ys) == hl(xs, ys) + c
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_binned_auc_equals_rank_auc(cells):
+    """stats_roc_auc's grouped formula
+    sum_b pos_b*(2*neg_below + neg_b) / (2*P*N) must equal the
+    average-rank (Mann-Whitney) AUC of the expanded per-row data."""
+    pos = np.array([c[0] for c in cells], dtype=np.int64)
+    neg = np.array([c[1] for c in cells], dtype=np.int64)
+    p, n = int(pos.sum()), int(neg.sum())
+    if p == 0 or n == 0:
+        return
+    neg_below = np.concatenate([[0], np.cumsum(neg)[:-1]])
+    auc_group = float((pos * (2 * neg_below + neg)).sum()) / (2 * p * n)
+    # expanded rank computation
+    scores, labels = [], []
+    for b, (po, ne) in enumerate(cells):
+        scores += [b] * (po + ne)
+        labels += [1] * po + [0] * ne
+    import pandas as pd
+
+    ranks = pd.Series(scores).rank()
+    lab = np.array(labels)
+    auc_rank = (float(ranks[lab == 1].sum()) - p * (p + 1) / 2) / (p * n)
+    assert abs(auc_group - auc_rank) < 1e-12
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 30), st.integers(0, 500)),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_brier_murphy_identity_for_bucket_constant_forecaster(cells):
+    """stats_calibration_brier: BS = REL - RES + UNC holds EXACTLY for
+    any bucket-constant forecaster evaluated on its own buckets."""
+    # cells: (n_te, pos_te bounded by n, p_hat_percent)
+    w = np.array([c[0] + 1 for c in cells], dtype=np.float64)  # avoid empty
+    pos = np.minimum([c[1] for c in cells], w).astype(np.float64)
+    p = np.array([c[2] for c in cells], dtype=np.float64) / 500
+    n = w.sum()
+    obar = pos.sum() / n
+    orate = pos / w
+    brier = float((w * p * p - 2 * p * pos + pos).sum()) / n
+    rel = float((w * (p - orate) ** 2).sum()) / n
+    res = float((w * (orate - obar) ** 2).sum()) / n
+    unc = obar * (1 - obar)
+    assert abs(brier - (rel - res + unc)) < 1e-10
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30), st.integers(0, 4)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_modularity_contributions_sum_to_q_and_trivial_partition_zero(pairs):
+    """graph_modularity: per-community contributions sum to Q for any
+    graph+labeling, and the single-community partition scores exactly
+    0."""
+    edges = {(min(u, v), max(u, v)) for u, v, _ in pairs if u != v}
+    if not edges:
+        return
+    lab = {}
+    for u, v, l in pairs:
+        lab.setdefault(u, l % 3)
+        lab.setdefault(v, (l * 7 + 1) % 3)
+    from collections import Counter
+
+    deg, e_c, d_c = Counter(), Counter(), Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+        if lab[u] == lab[v]:
+            e_c[lab[u]] += 1
+    for nd, dg in deg.items():
+        d_c[lab[nd]] += dg
+    m2 = 2 * len(edges)
+    contribs = [(m2 * 2 * e_c[c] - d_c[c] ** 2) / m2 / m2 for c in d_c]
+    q = (m2 * 2 * sum(e_c.values()) - sum(v * v for v in d_c.values())) / m2 / m2
+    assert abs(sum(contribs) - q) < 1e-12
+    # trivial partition: everyone in community 0
+    q_trivial = (m2 * m2 - m2 * m2) / m2 / m2
+    assert q_trivial == 0.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(ints)
+def test_heaps_ols_integerized_log_points_bounded_drift(ys):
+    """llm_heaps_law_fit snaps log points to 1e-8 grain before the
+    OLS; the fitted slope must differ from the unsnapped slope by at
+    most ~1e-6 for any positive series (grain error propagates
+    linearly through the closed form)."""
+    v = np.abs(np.array(ys, dtype=np.float64)) + 1.0
+    x = np.log(np.cumsum(v) + 1.0)
+    yv = np.log(np.cumsum(np.sqrt(v)) + 1.0)
+    if np.allclose(x, x[0]):
+        return
+    xs = np.round(x * 1e8) / 1e8
+    yss = np.round(yv * 1e8) / 1e8
+    m = len(x)
+
+    def slope(a, b):
+        return (m * (a * b).sum() - a.sum() * b.sum()) / (
+            m * (a * a).sum() - a.sum() ** 2
+        )
+
+    assert abs(slope(xs, yss) - slope(x, yv)) < 1e-5

@@ -3332,13 +3332,17 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Bollinger bands (round 11): 7-day trailing mean +/- 2 sigma on daily
-# revenue, full-window days only.  One shared SQL text: daily cents and
-# the window sum/sum-of-squares are exact integers; mean, population
-# variance, and the bands are closing double expressions with identical
-# operation order (s7^2 exceeds int64 at ~5e9 daily cents, so the
-# variance numerator multiplies AFTER one cast to double — both engines
-# lose the same ulps).
+# Bollinger bands (round 11; squares hardened round 12): 7-day
+# trailing mean +/- 2 sigma on daily revenue, full-window days only.
+# One shared SQL text: daily cents and the window sum/sum-of-squares
+# are exact integers; mean, population variance, and the bands are
+# closing double expressions with identical operation order.  BOTH
+# squares respect the int64 ceiling: y^2 casts each factor to
+# DECIMAL(19,0) before multiplying (a BIGINT y*y wraps at ~3e9 daily
+# cents — the sf0.1 fixture already exceeds it, caught by the round-12
+# 10x oracle sweep), and s7^2 multiplies AFTER one cast to double
+# (exceeds int64 at ~5e9 daily cents) — both engines lose the same
+# ulps.
 _BOLLINGER_SQL = """
 WITH daily AS (
   SELECT o_orderdate AS d,
@@ -3350,7 +3354,8 @@ w AS (
          CASE WHEN count(*) OVER w7 = 7
               THEN CAST(sum(y) OVER w7 AS BIGINT) END AS s7,
          CASE WHEN count(*) OVER w7 = 7
-              THEN CAST(sum(y * y) OVER w7 AS BIGINT) END AS ss7
+              THEN sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                   OVER w7 END AS ss7
   FROM daily
   WINDOW w7 AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 ),
@@ -3386,12 +3391,16 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     seasonal drift): trailing 7-day mean, population sigma from exact
     integer window sums, breach = close outside mean +/- 2 sigma (+1
     above / -1 below / 0 inside), full-window days only (the
-    ts_seasonal_decompose edge rule).  Daily cents, the window sum,
-    and the sum of squares are exact bigints; the variance numerator
-    casts to double BEFORE multiplying (s7^2 would overflow int64 at
-    ~5e9 daily cents — at a 100 TB revenue quantum you'd lift the cent
-    unit the way the OLS precedent documents) and every closing
-    expression has identical operation order in both engines.
+    ts_seasonal_decompose edge rule).  Daily cents and the window sum
+    are exact bigints; the sum of squares casts each factor to
+    DECIMAL(19,0) first (a BIGINT y*y wraps past ~3e9 daily cents —
+    sf0.1 already crosses it; found by the round-12 10x oracle sweep
+    and fixed to the llm_judge_length_bias discipline); the variance
+    numerator then casts to double BEFORE the s7^2 multiply (that
+    square passes int64 at ~5e9 daily cents — at a 100 TB revenue
+    quantum you'd lift the cent unit the way the OLS precedent
+    documents) and every closing expression has identical operation
+    order in both engines.
 
     Shape at any SF: orders partial-agg map-side to the CALENDAR-
     bounded daily table (the only pass over facts); the trailing

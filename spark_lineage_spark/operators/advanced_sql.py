@@ -589,7 +589,8 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(min(value), 6) AS low,
            round(arg_max(value, ts), 6) AS close,
            count(*) AS n_events,
-           round(avg(value), 6) AS mean_value
+           round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 1000000, 6) AS mean_value
     FROM events GROUP BY event_type, date_trunc('hour', ts)
     """,
 )
@@ -607,7 +608,11 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     unambiguous in both engines; both engines hold ts at µs precision
     here. With tie-prone data you'd min_by on a (ts, event_id) struct —
     DuckDB's arg_min can't take a composite key, hence the documented
-    fixture invariant (same discipline as stream_dedup_watermark)."""
+    fixture invariant (same discipline as stream_dedup_watermark).
+    mean_value sums exact micro-unit bigints and divides once
+    (round-12: the plain avg(value) double accumulation landed on a
+    round-6 boundary at sf0.1 — the 10x oracle sweep finding); OHLC
+    extremes are single picked values, no accumulation to harden."""
     e = load(spark, sf_dir, "events")
     return e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("bucket")
@@ -617,7 +622,12 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("low"),
         F.round(F.max_by("value", "ts"), 6).alias("close"),
         F.count("*").alias("n_events"),
-        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(
+            F.sum(F.round(F.col("value") * 1000000).cast("bigint")).cast("double")
+            / F.count("*")
+            / 1000000,
+            6,
+        ).alias("mean_value"),
     )
 
 

@@ -70,9 +70,22 @@ def _extract_features(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFra
         for doc_id, mt, blob in zip(pdf["doc_id"], pdf["media_type"], pdf["blob"]):
             data = np.frombuffer(blob, dtype=np.uint8)
             if mt == "text/plain":
+                # exact integer moments, closed-form double finish with
+                # the SAME operation order as the oracle — np.mean/std's
+                # pairwise float accumulation differs from an exact-sum
+                # division by ulps, which landed on round-6 boundaries
+                # in the round-12 10x oracle sweep
+                n = len(data)
+                s = int(data.sum(dtype=np.int64))
+                ss = int((data.astype(np.int64) ** 2).sum())
+                var = (n * float(ss) - float(s) * float(s)) / n / n
+                # RAW doubles out — rounding happens Spark-side
+                # (F.round = HALF_UP, matching DuckDB; python round()
+                # is banker's and flipped an exact s/n dyadic .5 the
+                # other way at sf0.1 — the second 10x-sweep finding)
                 feat = [
-                    round(float(data.mean()), 6),
-                    round(float(data.std()), 6),
+                    float(s) / n,
+                    float(np.sqrt(var)),
                     float(data.min()),
                     float(data.max()),
                 ]
@@ -95,10 +108,16 @@ WITH chars AS (
 ),
 stats AS (
   SELECT doc_id,
-         round(avg(code), 6) AS mean_c,
-         round(stddev_pop(code), 6) AS std_c,
-         count(*) AS n
-  FROM chars GROUP BY doc_id
+         round(CAST(s AS DOUBLE) / n, 6) AS mean_c,
+         round(sqrt((n * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s)
+                    / n / n), 6) AS std_c,
+         n
+  FROM (SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(code AS BIGINT)) AS BIGINT) AS s,
+               CAST(sum(CAST(code AS BIGINT) * CAST(code AS BIGINT))
+                    AS BIGINT) AS ss
+        FROM chars GROUP BY doc_id)
 ),
 typed AS (
   SELECT doc_id,
@@ -131,8 +150,12 @@ def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle-checkable because the fixture text is ASCII (byte values ==
     code points), so the numpy byte statistics equal DuckDB's
-    aggregate over unicode(substr(...)); byte_mean/std rounded to 6
-    in the extractor to absorb summation-order ulps."""
+    aggregate over unicode(substr(...)); both sides compute mean/std
+    from EXACT integer (sum, sum-of-squares) with the identical
+    closed-form double finish — np.mean/np.std's pairwise float
+    accumulation was ulps off DuckDB's and landed on round-6
+    boundaries at sf0.1 (round-12 10x oracle sweep), so rounding alone
+    is not the guarantee here, exactness is."""
     d = load(spark, sf_dir, "documents")
     media = d.select(
         "doc_id",

@@ -116,7 +116,8 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "join_interval_overlap", "join_aqe_skew_handled",
     "source_python_stream_partitioned", "llm_dedup_keep_best",
     "ts_anomaly_zscore", "ts_sessionize_batch", "ts_gap_fill_spine",
-    "ts_resample_ohlc", "ts_hierarchical_rollup", "win_funnel_ordered",
+    # ts_resample_ohlc moved to _VERIFY_FIRST (round-12 hardening)
+    "ts_hierarchical_rollup", "win_funnel_ordered",
     "merge_upsert_latest", "profile_column_stats", "join_skew_salted",
     "subq_scalar_correlated", "subq_exists_not_in", "tpch_q1_style_full",
     "tpch_q3_style_shipping_priority", "tpch_q5_style_regional_volume",
@@ -144,7 +145,8 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "llm_embedding_quantize_calib", "llm_cluster_assign",
     "llm_embedding_random_projection", "llm_dedup_embedding_cosine",
     "llm_dedup_cross_corpus", "llm_dedup_threshold_sweep",
-    "llm_multimodal_blob", "llm_multimodal_features",
+    # llm_multimodal_features moved to _VERIFY_FIRST (round-12 hardening)
+    "llm_multimodal_blob",
     "llm_multimodal_frame_sample", "llm_multimodal_audio_window",
     "llm_decontaminate_benchmark",
     # round 6 verified (CORRECTNESS_r06.json, 50 rows: 47 full
@@ -305,6 +307,13 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
 # rotation rows (the last 7 round-1-era rows, then the 14 oldest
 # round-3 rows, stage_rotation.py order).  29 + 21 = 50 = the budget.
 _VERIFY_FIRST = [
+    # round-12 changed implementations (10x-oracle-sweep hardening:
+    # exact integer moments replace float accumulation in the OHLC
+    # mean and the multimodal byte stats; values can differ in the
+    # last rounded decimal, so their official rows must refresh —
+    # fills the 2 spare budget slots, 50 total exactly)
+    "ts_resample_ohlc",
+    "llm_multimodal_features",
     # round-11 registrations (first official row; driver-sim green)
     "llm_tokenizer_fertility",
     "ts_mann_kendall",
@@ -341,8 +350,7 @@ _VERIFY_FIRST = [
     "join_null_safe_eq", "agg_boolean_conditional", "agg_linear_regression",
     "win_ignore_nulls", "sort_topk", "sort_offset", "sort_nulls_placement",
     "sort_rank_materialized", "fn_string_battery", "fn_regex_battery",
-    "fn_datetime_battery", "fn_math_battery", "fn_conditional_battery",
-    "fn_hash_portable",
+    "fn_datetime_battery", "fn_math_battery",
 ]
 
 # ... and run these LAST among the unverified: rows-only checks (weaker
@@ -355,6 +363,11 @@ _VERIFY_LAST = []
 # New registrations beyond the ~50-row budget go here (driver-sim
 # green required at registration time).
 _VERIFY_AFTER = [
+    # rotation rows displaced by the round-12 changed-implementation
+    # re-verifies (hardening takes budget priority per the policy);
+    # they rotate in round 13 with the remaining round-3 backlog
+    "fn_conditional_battery",
+    "fn_hash_portable",
     # round-12 registrations past the rotation-filled budget (each
     # driver-sim green at sf0.01 at registration, each with a numpy
     # replay property test; first official row round 13)

@@ -299,6 +299,13 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
 # re-verifies + 2 rows-only -> hash-gated oracle upgrades + the 43
 # oldest round-1 rows (r01 list order).
 #
+# Round 13 staging note: the 16 round-12 registrations + 2 displaced
+# battery rows in _VERIFY_AFTER (18) take the front of the round-13
+# budget; the remaining 32 round-3-vintage rotation rows
+# (stage_rotation.py prints them) fill the rest: 18 + 32 = 50 exactly,
+# and the staleness rotation COMPLETES in round 13 (no official row
+# older than round 4 afterward).
+#
 # Round 12 = the 29 round-11 registrations from _VERIFY_AFTER (each
 # driver-sim green at sf0.01 at registration, each with a property
 # test; growth-ahead-of-rotation rule — 2 of them,

@@ -863,3 +863,27 @@ def test_lineage_transitive_closure_two_hops(spark, sf_dir):
         ("nation", "hop1_out", 1),
         ("nation", "hop2_out", 2),
     ], rows
+
+
+def test_checkpoint_spliced_top_pc_lineage(engine, sf_dir):
+    """Round-12 regression guard: llm_embedding_top_pc now
+    localCheckpoints BOTH its means table and its covariance table
+    (the iteration-reuse fix), so extraction must splice through two
+    sibling checkpoint leaves feeding one plan — every loading/eigval
+    column must still trace to the embeddings table, with no unknown
+    LogicalRDD leaking."""
+    eng, rep = engine
+    from spark_lineage_spark.operators.similarity import llm_embedding_top_pc
+
+    eng._wrap(llm_embedding_top_pc(eng.spark, sf_dir)).collect()
+    r = rep.last()
+    names = r.input_names()
+    assert any("embeddings" in n for n in names), names
+    assert not any("LogicalRDD" in (n or "") for n in names), names
+    assert not any(i.kind == "unknown" for i in r.inputs), [i.kind for i in r.inputs]
+    edges = {c.output: set(c.inputs) for c in r.columns}
+    # range.id is the power-iteration seed vector (spark.range(dim)) —
+    # a true ancestor of every iterated column
+    assert edges["loading"] == {"embeddings.embedding", "range.id"}, edges
+    assert edges["eigval"] == {"embeddings.embedding", "range.id"}, edges
+    assert edges["dim"] == {"embeddings.embedding"}, edges

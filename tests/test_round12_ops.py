@@ -602,3 +602,54 @@ def test_tost_matches_numpy_replay(spark):
     w = _load_all()["stats_ttest_welch"].builder(spark, SF).toPandas().iloc[0]
     assert abs(w["mean_click"] - got["mean_click"]) < 1e-9
     assert abs(w["mean_view"] - got["mean_view"]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# round-12 hardening regression guards (10x-sweep fixes)
+# ---------------------------------------------------------------------------
+
+
+def test_ohlc_mean_is_exact_microunit_sum(spark):
+    """ts_resample_ohlc's mean_value must equal the exact micro-unit
+    integer sum divided once — not a float accumulation (the 10x
+    sweep caught the avg(value) form on a round-6 boundary)."""
+    got = _load_all()["ts_resample_ohlc"].builder(spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts", "event_type", "value"])
+    micro = (ev["value"] * 1_000_000).round().astype("int64")
+    key = [ev["event_type"], ev["ts"].dt.floor("h")]
+    exp = (micro.groupby(key).sum() / micro.groupby(key).count() / 1e6).round(6)
+    m = got.set_index(["event_type", "bucket"])["mean_value"]
+    for (et, b), v in exp.items():
+        assert abs(m[(et, b)] - v) < 1e-9, (et, b)
+
+
+def test_multimodal_byte_stats_exact_moments(spark):
+    """llm_multimodal_features' text-path byte mean/std must equal the
+    exact integer-moment closed form with HALF_UP rounding applied
+    Spark-side (the 10x sweep caught np.mean pairwise accumulation +
+    python banker's rounding flipping an exact dyadic .5)."""
+    import decimal
+
+    got = (
+        _load_all()["llm_multimodal_features"].builder(spark, SF).toPandas()
+    )
+    d = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    txt = dict(zip(d["doc_id"], d["text"]))
+
+    def half_up(x, nd=6):
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal("1e-6"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    text_rows = got[got["media_type"] == "text/plain"]
+    assert len(text_rows) > 0
+    for _, r in text_rows.head(50).iterrows():
+        data = np.frombuffer(txt[r["doc_id"]].encode(), dtype=np.uint8)
+        n = len(data)
+        s = int(data.sum(dtype=np.int64))
+        ss = int((data.astype(np.int64) ** 2).sum())
+        var = (n * float(ss) - float(s) * float(s)) / n / n
+        assert abs(r["byte_mean"] - half_up(s / n)) < 1e-9, r["doc_id"]
+        assert abs(r["byte_std"] - half_up(float(np.sqrt(var)))) < 1e-9, r["doc_id"]

@@ -4807,11 +4807,14 @@ hb AS (
 scored AS (
   SELECT hb.doc_id, hb.source,
          CASE WHEN ctx.c_prev IS NOT NULL THEN
-                ln(greatest(CAST(coalesce(big.c, 0) AS DOUBLE) - 0.75, 0.0)
+                ln(greatest(CAST(coalesce(big.c, 0) AS DOUBLE)
+                              - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
                      / ctx.c_prev
-                   + 0.75 * ctx.n1p_prev / ctx.c_prev
-                     * (coalesce(cont.n1p_cur, 0) + 1.0) / (t.nbt + t.vc + 1))
-              ELSE ln((coalesce(cont.n1p_cur, 0) + 1.0) / (t.nbt + t.vc + 1))
+                   + CAST(0.75 AS DOUBLE) * ctx.n1p_prev / ctx.c_prev
+                     * (coalesce(cont.n1p_cur, 0) + CAST(1 AS DOUBLE))
+                     / (t.nbt + t.vc + 1))
+              ELSE ln((coalesce(cont.n1p_cur, 0) + CAST(1 AS DOUBLE))
+                      / (t.nbt + t.vc + 1))
          END AS lp,
          CASE WHEN big.c IS NULL THEN 1 ELSE 0 END AS unseen_bigram,
          CASE WHEN ctx.c_prev IS NULL THEN 1 ELSE 0 END AS unseen_context
@@ -4868,10 +4871,14 @@ def llm_ngram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     what make KN worth its extra pass: a word that completes many
     DISTINCT contexts gets the backoff mass, not a word that is
     merely frequent in one.  Every probability is a fixed-order
-    double from exact integer counts (the backoff-score precedent,
-    which also covers the per-doc avg(lp) determinism note); the
-    unseen_bigram / unseen_context rates quantify where the discount
-    mass actually went.
+    DOUBLE from exact integer counts — the 0.75/1 literals cast
+    explicitly, because a bare 0.75*bigint/bigint runs as DECIMAL
+    arithmetic whose division DuckDB quantizes at a different scale
+    than Spark (~1e-6 systematic drift on every doc; found by the
+    round-12 multi-SF oracle sweeps and fixed by forcing the double
+    path).  Per-doc and per-source averaging follows the
+    backoff-score precedent; the unseen_bigram / unseen_context rates
+    quantify where the discount mass actually went.
 
     Shape at any SF: bigram/context/continuation tables are corpus
     aggregates over doc_id-co-partitioned positional self-joins (the

@@ -2762,7 +2762,8 @@ scored AS (
   SELECT hb.doc_id, hb.source,
          CASE WHEN big.cbw IS NOT NULL
               THEN ln(CAST(big.cbw AS DOUBLE) / up.cw)
-              ELSE ln(0.4 * (coalesce(uc.cw, 0) + 1.0) / (tot.n + tot.v))
+              ELSE ln(CAST(0.4 AS DOUBLE) * (coalesce(uc.cw, 0)
+                        + CAST(1 AS DOUBLE)) / (tot.n + tot.v))
          END AS lp,
          CASE WHEN big.cbw IS NULL THEN 1 ELSE 0 END AS backed_off
   FROM hb
@@ -2800,7 +2801,12 @@ def llm_ngram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     backoff path, and the per-source backoff_rate quantifies domain
     mismatch. Counts tables are corpus-wide aggregates (one shuffle
     each), the scoring pass is two broadcast-sized left joins against
-    them, and every score is ln of a ratio of exact integers."""
+    them, and every score is ln of a ratio of exact integers (the
+    backoff branch's 0.4/1 literals cast to DOUBLE in the oracle so
+    its arithmetic is the double path the Spark side runs — the
+    llm_ngram_kneser_ney decimal-quantization finding, hardened here
+    preemptively; backoff terms are ~0.1% of mass on this fixture, so
+    values are unchanged at every probed SF)."""
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     words = d.select(
         "doc_id",

@@ -358,6 +358,32 @@ def build_fixture(spark, base: str, out: str, factor: int) -> None:
             src.write.mode("overwrite").parquet(dst)
 
 
+def patch_rows(text: str, rows) -> str:
+    """Subset-mode SCALE.md surgery: replace matching 10x-table rows
+    in place, insert new ones after the LAST 6-column row (the 100x
+    section's rows have a different column count and are never
+    touched).  Unit-tested in tests/test_tools_scale_probe.py."""
+    lines = text.splitlines(keepends=True)
+    by_name = {n: (n, b, x, r, nb, nx) for n, b, x, r, nb, nx in rows}
+    out_lines = []
+    last_row_idx = 0
+    for i, ln in enumerate(lines):
+        parts = ln.split("|")
+        if len(parts) > 2 and parts[1].strip() in by_name:
+            n, b, x, r, nb, nx = by_name.pop(parts[1].strip())
+            ln = f"| {n} | {b:.2f} | {x:.2f} | {r:.1f} | {nb} | {nx} |\n"
+        if ln.startswith("|") and len(parts) == 8:
+            last_row_idx = i
+        out_lines.append(ln)
+    for n, b, x, r, nb, nx in by_name.values():
+        out_lines.insert(
+            last_row_idx + 1,
+            f"| {n} | {b:.2f} | {x:.2f} | {r:.1f} | {nb} | {nx} |\n",
+        )
+        last_row_idx += 1
+    return "".join(out_lines)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.1")
@@ -423,26 +449,9 @@ def main() -> None:
     if args.names:
         # subset mode: append/replace just these rows in the existing
         # table — a full rewrite here would drop every unprobed row
-        lines = open(scale_path).read().splitlines(keepends=True)
-        by_name = {n: (n, b, x, r, nb, nx) for n, b, x, r, nb, nx in rows}
-        out_lines = []
-        last_row_idx = 0
-        for i, ln in enumerate(lines):
-            parts = ln.split("|")
-            if len(parts) > 2 and parts[1].strip() in by_name:
-                n, b, x, r, nb, nx = by_name.pop(parts[1].strip())
-                ln = f"| {n} | {b:.2f} | {x:.2f} | {r:.1f} | {nb} | {nx} |\n"
-            if ln.startswith("|") and len(parts) == 8:
-                last_row_idx = i
-            out_lines.append(ln)
-        for n, b, x, r, nb, nx in by_name.values():
-            out_lines.insert(
-                last_row_idx + 1,
-                f"| {n} | {b:.2f} | {x:.2f} | {r:.1f} | {nb} | {nx} |\n",
-            )
-            last_row_idx += 1
+        text = open(scale_path).read()
         with open(scale_path, "w") as fh:
-            fh.writelines(out_lines)
+            fh.write(patch_rows(text, rows))
         print("updated SCALE.md (subset mode)", flush=True)
         spark.stop()
         return

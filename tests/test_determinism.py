@@ -38,6 +38,18 @@ SENSITIVE = [
     "graph_pagerank",  # integer-scaled ranks, bigint contribution sums
     "ts_changepoint_split",  # argmax over rounded split statistic
     "llm_token_entropy",  # decimal-cast c*ln(c) term sums
+    # round-12 ops (integerized / exact-moment designs — prove the
+    # order-free claims their docstrings make):
+    "ts_ljung_box",  # integerized cumulative Q terms
+    "ts_periodogram",  # snapped-trig DECIMAL product sums
+    "ts_hurst_exponent",  # integer cumdev numerators + snapped R/S
+    "stats_permutation_test",  # md5 uniforms must survive repartitioning
+    "stats_roc_auc",  # domain-table prefix sums
+    "stats_calibration_brier",  # 1e-9-integerized decomposition terms
+    "stats_friedman_test",  # doubled-unit rank algebra
+    "llm_heaps_law_fit",  # integerized log-log OLS
+    "llm_ngram_kneser_ney",  # float log-prob averages (stress case)
+    "graph_modularity",  # exact bigint Q numerators
 ]
 
 

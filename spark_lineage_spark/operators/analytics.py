@@ -1202,8 +1202,8 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) AS n,
              CAST(sum(CAST(CAST(round(value * 1000000) AS BIGINT) AS DECIMAL(38,0)))
                   AS DECIMAL(38,0)) AS sm,
-             CAST(sum(CAST(CAST(round(value * 1000000) AS BIGINT)
-                           * CAST(round(value * 1000000) AS BIGINT) AS DECIMAL(38,0)))
+             CAST(sum(CAST(CAST(round(value * 1000000) AS BIGINT) AS DECIMAL(19,0))
+                      * CAST(CAST(round(value * 1000000) AS BIGINT) AS DECIMAL(19,0)))
                   AS DECIMAL(38,0)) AS sq
       FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
     ), m AS (
@@ -5589,6 +5589,7 @@ WITH items AS (
          CAST({dt} AS BIGINT) AS i3,
          CAST({mx} AS BIGINT) AS i4
   FROM documents
+  WHERE text IS NOT NULL
 ),
 m AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
@@ -5770,16 +5771,16 @@ te AS (
          CAST(sum(y) AS BIGINT) AS pos_te
   FROM labeled WHERE fold >= 8 GROUP BY b
 ),
-g AS (
-  SELECT CAST(sum(n_te) AS BIGINT) AS n,
-         CAST(sum(pos_te) AS DOUBLE) / sum(n_te) AS obar
-  FROM te
-),
 cells AS (
   SELECT te.b, tr.n_tr, te.n_te, te.pos_te,
          CAST(tr.pos_tr AS DOUBLE) / tr.n_tr AS p_hat,
          CAST(te.pos_te AS DOUBLE) / te.n_te AS o_rate
   FROM te JOIN tr ON te.b = tr.b
+),
+g AS (
+  SELECT CAST(sum(n_te) AS BIGINT) AS n,
+         CAST(sum(pos_te) AS DOUBLE) / sum(n_te) AS obar
+  FROM cells
 ),
 terms AS (
   SELECT b, n_tr, n_te, pos_te, p_hat, o_rate,
@@ -5824,7 +5825,11 @@ def stats_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gap, plus the decomposed Brier score BS = reliability -
     resolution + uncertainty (the identity holds exactly for a
     bucket-constant forecaster evaluated on the same buckets — the
-    property test pins it, alongside a full numpy replay).  Exact
+    property test pins it, alongside a full numpy replay).  The
+    global n/obar are computed over the SCORED (train-joined) cells,
+    not all test rows, so the identity holds by construction even if
+    a held-out bucket has no train fold (ADVICE r12; 0 such buckets
+    at every shipped SF, so values are unchanged).  Exact
     integer counts everywhere; the only doubles are per-bucket exact
     divisions and 1e-9-integerized decomposition terms, so both
     engines sum identical bigints in any order.
@@ -6403,8 +6408,8 @@ WITH s AS (
          count(*) AS n,
          CAST(sum(CAST(CAST(round(value * 1000000) AS BIGINT) AS DECIMAL(38,0)))
               AS DECIMAL(38,0)) AS sm,
-         CAST(sum(CAST(CAST(round(value * 1000000) AS BIGINT)
-                       * CAST(round(value * 1000000) AS BIGINT) AS DECIMAL(38,0)))
+         CAST(sum(CAST(CAST(round(value * 1000000) AS BIGINT) AS DECIMAL(19,0))
+                  * CAST(CAST(round(value * 1000000) AS BIGINT) AS DECIMAL(19,0)))
               AS DECIMAL(38,0)) AS sq
   FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
 ), m AS (

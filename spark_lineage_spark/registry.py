@@ -85,23 +85,13 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     # round-1-era official rows remain after r12.
     # round 2/3 verified (CORRECTNESS_r02.json == CORRECTNESS_r03.json)
     # — the 14 oldest of these moved to _VERIFY_FIRST for the round-12
-    # rotation (join_null_safe_eq .. fn_hash_portable)
-    "fn_string_spark_native", "fn_hash_spark_native",
-    "fn_array_battery", "fn_array_explode", "fn_map_battery",
-    "fn_json_battery", "fn_rounding_modes", "fn_variant_json",
-    "fn_cast_battery", "fn_bitwise_battery", "fn_url_battery",
-    "fn_struct_battery", "fn_explode_outer_nulls", "fn_collation_battery",
-    "fn_try_arithmetic", "scan_parquet_pushdown", "scan_csv_roundtrip",
-    "scan_json_roundtrip", "scan_orc_roundtrip", "sink_parquet_partitioned",
-    "catalog_temp_view", "source_python_datasource", "source_jdbc_roundtrip",
-    "join_bucketed_colocated", "scan_text_roundtrip", "udf_scalar_python",
+    # rotation (join_null_safe_eq .. fn_hash_portable); the remaining
+    # 32 moved to _VERIFY_FIRST for the round-13 rotation, which
+    # COMPLETES the staleness sweep (no pre-round-4 official row left).
     # udf_pandas_scalar / udf_pandas_grouped_agg / udf_grouped_map_normalize
     # / udf_map_in_pandas moved to _VERIFY_AFTER: round 6 changed their
     # rounding semantics (banker's -> HALF_UP), so their r3 records
-    # describe the old implementation and they queue for re-verification
-    "udf_map_in_arrow", "udtf_split_words",
-    "udf_cogroup_in_pandas", "llm_dedup_exact", "llm_dedup_ngram_jaccard",
-    "llm_dedup_minhash_lsh",
+    # described the old implementation and they re-verified in round 7.
     # round 4 verified (CORRECTNESS_r04.json, 50 rows, all green)
     "stream_tumbling_window", "stream_sliding_window", "stream_session_window",
     "stream_dedup_watermark", "stream_stream_join", "stream_static_join",
@@ -275,6 +265,24 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "proj_select_compute", "sample_seeded", "win_lag_lead",
     "win_percent_cume", "win_range_frame", "win_ranking",
     "win_running_moving", "win_value_picks",
+    # round 12 verified (CORRECTNESS_r12.json)
+    "agg_boolean_conditional", "agg_linear_regression", "fn_datetime_battery",
+    "fn_math_battery", "fn_regex_battery", "fn_string_battery",
+    "graph_personalized_pagerank", "join_null_safe_eq", "llm_chat_turn_audit",
+    "llm_cluster_silhouette", "llm_embedding_abtt", "llm_embedding_top_pc",
+    "llm_filter_funnel", "llm_hard_negative_mining", "llm_judge_length_bias",
+    "llm_multimodal_alignment", "llm_multimodal_features", "llm_multimodal_scene_cut",
+    "llm_ngram_entropy_rate", "llm_repetition_loops", "llm_source_js_divergence",
+    "llm_text_readability", "llm_token_burstiness", "llm_tokenizer_fertility",
+    "pandas_api_ewm", "set_except", "set_except_all",
+    "set_intersect", "set_intersect_all", "set_union_all",
+    "set_union_distinct", "sort_nulls_placement", "sort_offset",
+    "sort_rank_materialized", "sort_topk", "stats_holm_bonferroni",
+    "stats_krippendorff_alpha", "stats_mutual_info", "ts_bollinger_bands",
+    "ts_calendar_profile", "ts_granger_causality", "ts_mann_kendall",
+    "ts_pacf", "ts_resample_ohlc", "ts_rolling_correlation",
+    "ts_seasonal_mann_kendall", "ts_seasonal_strength", "ts_stl_anomaly",
+    "win_ignore_nulls", "win_topk_per_group",
 ]
 
 # Among the not-yet-verified queries, run these FIRST.
@@ -313,71 +321,25 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
 # round-12 ADVICE fixes, re-driver-simmed green) + the 21 stalest
 # rotation rows (the last 7 round-1-era rows, then the 14 oldest
 # round-3 rows, stage_rotation.py order).  29 + 21 = 50 = the budget.
+#
+# Round 13 = the 18 queued _VERIFY_AFTER rows (2 displaced battery
+# rotations + the 16 round-12 registrations; stats_cronbach_alpha /
+# stats_calibration_brier / stats_tost_equivalence additionally carry
+# round-13 ADVICE fixes, re-driver-simmed green) + the 32 remaining
+# round-3-vintage rotation rows (stage_rotation.py order).
+# 18 + 32 = 50 = the budget, and the STALENESS ROTATION COMPLETES:
+# after this round no official row predates round 4.
+# stats_ttest_welch's r13 ADVICE fix (DECIMAL(19,0) factor casts) is
+# bit-identical at every shipped SF (max |value| ~560 => squares fit
+# int64 with 30x headroom; exact integer arithmetic both before and
+# after), so its round-9 official row remains valid — no re-verify
+# slot spent (unlike the r12 OHLC/multimodal hardening, which could
+# move the last rounded decimal).
 _VERIFY_FIRST = [
-    # round-12 changed implementations (10x-oracle-sweep hardening:
-    # exact integer moments replace float accumulation in the OHLC
-    # mean and the multimodal byte stats; values can differ in the
-    # last rounded decimal, so their official rows must refresh —
-    # fills the 2 spare budget slots, 50 total exactly)
-    "ts_resample_ohlc",
-    "llm_multimodal_features",
-    # round-11 registrations (first official row; driver-sim green)
-    "llm_tokenizer_fertility",
-    "ts_mann_kendall",
-    "llm_embedding_top_pc",
-    "llm_text_readability",
-    "stats_mutual_info",
-    "ts_granger_causality",
-    "llm_source_js_divergence",
-    "stats_krippendorff_alpha",
-    "llm_embedding_abtt",
-    "llm_multimodal_scene_cut",
-    "llm_token_burstiness",
-    "ts_pacf",
-    "ts_seasonal_strength",
-    "graph_personalized_pagerank",
-    "llm_hard_negative_mining",
-    "ts_bollinger_bands",
-    "pandas_api_ewm",
-    "llm_judge_length_bias",
-    "ts_calendar_profile",
-    "llm_cluster_silhouette",
-    "llm_multimodal_alignment",
-    "llm_chat_turn_audit",
-    "ts_seasonal_mann_kendall",
-    "ts_rolling_correlation",
-    "ts_stl_anomaly",
-    "llm_filter_funnel",
-    "llm_repetition_loops",
-    "stats_holm_bonferroni",
-    "llm_ngram_entropy_rate",
-    # staleness rotation: last 7 round-1 rows, then the oldest round-3
-    "win_topk_per_group", "set_union_all", "set_union_distinct",
-    "set_intersect", "set_intersect_all", "set_except", "set_except_all",
-    "join_null_safe_eq", "agg_boolean_conditional", "agg_linear_regression",
-    "win_ignore_nulls", "sort_topk", "sort_offset", "sort_nulls_placement",
-    "sort_rank_materialized", "fn_string_battery", "fn_regex_battery",
-    "fn_datetime_battery", "fn_math_battery",
-]
-
-# ... and run these LAST among the unverified: rows-only checks (weaker
-# rows) — they cost driver seconds for a weaker record, so oracle-bearing
-# queries go first.
-_VERIFY_LAST = []
-
-# Queries whose first official row should wait for a later round (used
-# when the driver's per-round budget is already fully allocated above).
-# New registrations beyond the ~50-row budget go here (driver-sim
-# green required at registration time).
-_VERIFY_AFTER = [
-    # rotation rows displaced by the round-12 changed-implementation
-    # re-verifies (hardening takes budget priority per the policy);
-    # they rotate in round 13 with the remaining round-3 backlog
+    # displaced-battery rotation + round-12 registrations (order:
+    # oracle-bearing first, grouped by module for fixture locality)
     "fn_conditional_battery",
     "fn_hash_portable",
-    # round-12 registrations past the rotation-filled budget (each
-    # driver-sim green at sf0.01 at registration, each with a numpy
-    # replay property test; first official row round 13)
     "ts_ljung_box",
     "ts_periodogram",
     "ts_hurst_exponent",
@@ -394,6 +356,34 @@ _VERIFY_AFTER = [
     "stats_auc_pr",
     "graph_assortativity",
     "stats_tost_equivalence",
+    # staleness rotation: the 32 remaining round-3 rows (completes)
+    "fn_string_spark_native", "fn_hash_spark_native", "fn_array_battery",
+    "fn_array_explode", "fn_map_battery", "fn_json_battery",
+    "fn_rounding_modes", "fn_variant_json", "fn_cast_battery",
+    "fn_bitwise_battery", "fn_url_battery", "fn_struct_battery",
+    "fn_explode_outer_nulls", "fn_collation_battery", "fn_try_arithmetic",
+    "scan_parquet_pushdown", "scan_csv_roundtrip", "scan_json_roundtrip",
+    "scan_orc_roundtrip", "sink_parquet_partitioned", "catalog_temp_view",
+    "source_python_datasource", "source_jdbc_roundtrip",
+    "join_bucketed_colocated", "scan_text_roundtrip", "udf_scalar_python",
+    "udf_map_in_arrow", "udtf_split_words", "udf_cogroup_in_pandas",
+    "llm_dedup_exact", "llm_dedup_ngram_jaccard", "llm_dedup_minhash_lsh",
+]
+
+# ... and run these LAST among the unverified: rows-only checks (weaker
+# rows) — they cost driver seconds for a weaker record, so oracle-bearing
+# queries go first.
+_VERIFY_LAST = []
+
+# Queries whose first official row should wait for a later round (used
+# when the driver's per-round budget is already fully allocated above).
+# New registrations beyond the ~50-row budget go here (driver-sim
+# green required at registration time).
+_VERIFY_AFTER = [
+    # round-13 registrations past the 50-row budget (each driver-sim
+    # green at sf0.01 at registration, each with a numpy replay
+    # property test; first official row round 14 — the rotation is
+    # complete, so r14's budget is essentially all growth)
 ]
 
 

@@ -369,7 +369,7 @@ def patch_rows(text: str, rows) -> str:
     last_row_idx = 0
     for i, ln in enumerate(lines):
         parts = ln.split("|")
-        if len(parts) > 2 and parts[1].strip() in by_name:
+        if len(parts) == 8 and parts[1].strip() in by_name:
             n, b, x, r, nb, nx = by_name.pop(parts[1].strip())
             ln = f"| {n} | {b:.2f} | {x:.2f} | {r:.1f} | {nb} | {nx} |\n"
         if ln.startswith("|") and len(parts) == 8:

@@ -197,9 +197,51 @@ def dedup_projected_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("sample_seeded", "§2.2 sample (bernoulli, seeded) — rows-only", None)
 def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nondeterministic across engines (SURVEY §2.2) — rows-only check."""
+    """Nondeterministic across engines (SURVEY §2.2) — rows-only check.
+    The hash-gated companion is sample_hash_deterministic below: same
+    bernoulli-0.1 semantics, but seeded from the row KEY instead of
+    the engine RNG, so both engines select the identical row set."""
     return (
         load(spark, sf_dir, "lineitem")
         .sample(fraction=0.1, seed=42)
         .select("l_orderkey", "l_linenumber", "l_quantity")
     )
+
+
+@query(
+    "sample_hash_deterministic",
+    "§2.2 key-hash bernoulli sample (engine-portable seeded sampling, full oracle)",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE CAST(CAST(concat('0x', substr(md5(concat(
+              CAST(l_orderkey AS VARCHAR), '_',
+              CAST(l_linenumber AS VARCHAR), '_seed42')), 1, 15))
+            AS BIGINT) AS DOUBLE) / 1152921504606846976 < 0.1
+    """,
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bernoulli sampling — the production replacement
+    for engine-RNG .sample() when a sample must be REPRODUCIBLE
+    across engines, reruns, and cluster sizes (VERDICT r12 item 4:
+    the hash-gated companion to sample_seeded): u = md5(key, seed)
+    first 15 hex digits / 2^60 is a uniform in [0,1) computed
+    identically by Spark's conv() and DuckDB's hex cast (the proven
+    stats_bootstrap_ci idiom), and the row is kept iff u < fraction.
+    Same marginal statistics as .sample(0.1), but membership is a
+    pure function of the row key — at 100 TB the sample is stable
+    under retries, speculative execution, and partition re-splits,
+    none of which hold for the engine-RNG path.
+
+    Shape at any SF: map-only scan with the filter evaluated per row
+    in whole-stage codegen (one md5 per row); no shuffle at all."""
+    li = load(spark, sf_dir, "lineitem")
+    u = (
+        F.expr(
+            "CAST(conv(substring(md5(CAST(concat("
+            "CAST(l_orderkey AS STRING), '_', CAST(l_linenumber AS STRING),"
+            " '_seed42') AS BINARY)), 1, 15), 16, 10) AS DOUBLE)"
+        )
+        / F.lit(1152921504606846976)
+    )
+    return li.filter(u < 0.1).select("l_orderkey", "l_linenumber", "l_quantity")

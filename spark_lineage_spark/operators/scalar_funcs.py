@@ -388,11 +388,28 @@ def fn_rounding_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("fn_variant_json", "§1.2/§2.8 VariantType semi-structured (Spark 4) — rows-only", None)
+@query(
+    "fn_variant_json",
+    "§1.2/§2.8 VariantType semi-structured (Spark 4) — full oracle",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+           CASE WHEN json_structure(props) = '{"k":"UBIGINT"}'
+                THEN 'OBJECT<k: BIGINT>' END AS variant_schema
+    FROM events
+    """,
+)
 def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VariantType: parse_json into a variant column, then
-    typed field extraction with variant_get. DuckDB has no variant —
-    rows-only; deterministic (values mirror fn_json_battery)."""
+    typed field extraction with variant_get.  Upgraded rows-only ->
+    hash-gated (VERDICT r12 item 4): both output columns are
+    deterministic — k_int is a typed path extraction DuckDB replays
+    with json_extract, and schema_of_variant's rendering is a pure
+    function of the JSON structure, which DuckDB computes with
+    json_structure and maps to Spark's spelling (the per-engine
+    rendering translation every template oracle does; an unexpected
+    structure yields NULL on the oracle side and a mismatch, so the
+    mapping is checked, not assumed)."""
     e = load(spark, sf_dir, "events")
     v = F.parse_json("props")
     return e.select(

@@ -384,6 +384,7 @@ _VERIFY_AFTER = [
     # green at sf0.01 at registration, each with a numpy replay
     # property test; first official row round 14 — the rotation is
     # complete, so r14's budget is essentially all growth)
+    "sample_hash_deterministic",
 ]
 
 

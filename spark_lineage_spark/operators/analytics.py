@@ -6478,3 +6478,334 @@ def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-row group table; everything after is a 1-row expression."""
     register_views(spark, sf_dir, ["events"])
     return spark.sql(_TOST_SQL)
+
+
+# Cochran-Mantel-Haenszel test (round 13): the STRATIFIED 2x2
+# association test — "is high order value associated with urgent
+# priority AFTER controlling for customer nation?"  The confounder-
+# aware companion to stats_chi_square (which pools strata and is
+# exposed to Simpson reversal) and to stats_fisher_exact (one 2x2).
+# One shared SQL text.  Determinism: a/b/c/d/n are exact integer
+# counts; every per-stratum rational (deviation a-E[a], hypergeometric
+# variance, MH odds-ratio terms) is a closed double over exact
+# DECIMAL(19,0)x(19,0) pair products, snapped to a 1e-9-grain bigint
+# before the cross-strata sum (hash-agg order cannot matter), and the
+# statistic closes as fixed-order doubles on the 1-row scalars.
+_CMH_SQL = """
+WITH base AS (
+  SELECT c.c_nationkey AS nation,
+         CASE WHEN o.o_totalprice > 150000 THEN 1 ELSE 0 END AS x,
+         CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+s AS (
+  SELECT nation,
+         CAST(sum(x * y) AS BIGINT) AS a,
+         CAST(sum(x * (1 - y)) AS BIGINT) AS b,
+         CAST(sum((1 - x) * y) AS BIGINT) AS c,
+         CAST(sum((1 - x) * (1 - y)) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM base GROUP BY nation
+),
+t AS (
+  SELECT nation, a, b, c, d, n,
+         CAST(round((a - CAST(CAST(a + b AS DECIMAL(19,0)) * (a + c) AS DOUBLE)
+                         / n) * 1000000000) AS BIGINT) AS dev9,
+         CAST(round(CAST(CAST(a + b AS DECIMAL(19,0)) * (c + d) AS DOUBLE)
+                    * CAST(CAST(a + c AS DECIMAL(19,0)) * (b + d) AS DOUBLE)
+                    / n / n / (n - 1) * 1000000000) AS BIGINT) AS var9,
+         CAST(round(CAST(CAST(a AS DECIMAL(19,0)) * d AS DOUBLE) / n
+                    * 1000000000) AS BIGINT) AS orn9,
+         CAST(round(CAST(CAST(b AS DECIMAL(19,0)) * c AS DOUBLE) / n
+                    * 1000000000) AS BIGINT) AS ord9
+  FROM s WHERE n > 1
+),
+g AS (
+  SELECT CAST(sum(dev9) AS DOUBLE) / 1000000000 AS dev,
+         CAST(sum(var9) AS DOUBLE) / 1000000000 AS var_cmh,
+         CAST(sum(orn9) AS DOUBLE) / NULLIF(CAST(sum(ord9) AS DOUBLE), 0)
+           AS or_mh,
+         CAST(count(*) AS BIGINT) AS n_strata
+  FROM t
+)
+SELECT t.nation,
+       t.a AS n_exp_pos, t.b AS n_exp_neg,
+       t.c AS n_unexp_pos, t.d AS n_unexp_neg,
+       CASE WHEN t.b * t.c > 0
+            THEN round(CAST(CAST(t.a AS DECIMAL(19,0)) * t.d AS DOUBLE)
+                       / CAST(CAST(t.b AS DECIMAL(19,0)) * t.c AS DOUBLE), 6)
+       END AS or_stratum,
+       round(g.dev * g.dev / NULLIF(g.var_cmh, 0), 6) AS chi2_cmh,
+       round(greatest(abs(g.dev) - 0.5, CAST(0 AS DOUBLE))
+             * greatest(abs(g.dev) - 0.5, CAST(0 AS DOUBLE))
+             / NULLIF(g.var_cmh, 0), 6) AS chi2_cmh_cc,
+       round(g.or_mh, 6) AS or_mh,
+       g.n_strata,
+       CAST(CASE WHEN g.dev * g.dev / NULLIF(g.var_cmh, 0) > 3.8415
+                 THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+FROM t CROSS JOIN g ORDER BY t.nation
+"""
+
+
+@query(
+    "stats_cmh_test",
+    "§2.23 Cochran-Mantel-Haenszel stratified 2x2: value-vs-urgency controlling for nation",
+    _CMH_SQL,
+)
+def stats_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel — the stratified association test that
+    asks whether high order value (>$150k) predicts urgent priority
+    WITHIN each customer nation, immune to the Simpson-reversal trap
+    a pooled stats_chi_square walks into when nation mixes differ:
+    CMH chi2 = (sum_k (a_k - E[a_k]))^2 / sum_k Var_h(a_k) on the
+    hypergeometric null, reported with and without the 0.5 continuity
+    correction (both conventions documented), plus the Mantel-Haenszel
+    common odds ratio sum(a_k d_k/n_k)/sum(b_k c_k/n_k) and the
+    per-stratum OR beside it (homogeneity eyeball).  Every count is an
+    exact integer, every per-stratum rational a 1e-9-snapped bigint
+    before the cross-strata sum, so both engines sum identical
+    integers in any order; the chi2/OR close as fixed-order doubles
+    on 1-row scalars.  Property test replays the statistic in exact
+    pandas integer arithmetic pinned to the textbook CMH definition.
+
+    Shape at any SF: orders joins customer on the key (co-partitioned
+    shuffle join; at 100 TB both sides are fact-scale so no
+    broadcast), partial-agg onto the 25-row nation grid; everything
+    after is 25-row metadata.  One fact scan each side."""
+    register_views(spark, sf_dir, ["orders", "customer"])
+    return spark.sql(_CMH_SQL)
+
+
+# Jonckheere-Terpstra test (round 13): the ORDERED-alternative rank
+# test — "does order value trend UPWARD as priority rises?" — strictly
+# more powerful than stats_kruskal_wallis when the alternative is
+# monotone (KW spends power on all permutations of group means; JT
+# spends it on the one ordering you hypothesized).  Built the scalable
+# way (the stats_roc_auc discipline): values bin to a fixed ~$2.5k
+# grid FIRST, so the pairwise U counting runs on the ~240-row DOMAIN
+# table via prefix sums, never on the corpus; ties from the binning
+# are handled exactly (1/2-credit in U, full three-term tie-corrected
+# variance).  One shared SQL text.  Determinism: per-cell U terms and
+# quadratic tie sums are exact DECIMAL(19,0)x(19,0) product sums; the
+# cubic tie sums snap the (IEEE-exact, engine-identical) double
+# product to a 2^20-grain bigint before the cross-cell sum (power-of-
+# two rescale is exact in binary64, so the snap is deterministic);
+# the statistic closes as fixed-order doubles on 1-row scalars.
+_JT_PAIRS = " + ".join(
+    f"CAST(c{j} AS DECIMAL(19,0)) * CAST(2 * f{i} + c{i} AS DECIMAL(19,0))"
+    for i in range(1, 6)
+    for j in range(i + 1, 6)
+)
+_JT_G25 = " + ".join(
+    f"CAST(n{i} AS DOUBLE) * (n{i} - 1) * (2 * n{i} + 5)" for i in range(1, 6)
+)
+_JT_G3 = " + ".join(
+    f"CAST(n{i} AS DOUBLE) * (n{i} - 1) * (n{i} - 2)" for i in range(1, 6)
+)
+_JT_G2 = " + ".join(f"CAST(n{i} AS DOUBLE) * (n{i} - 1)" for i in range(1, 6))
+_JT_N2 = " + ".join(f"CAST(n{i} AS DOUBLE) * n{i}" for i in range(1, 6))
+_JT_SQL = """
+WITH base AS (
+  SELECT CAST(substring(o_orderpriority, 1, 1) AS INT) AS g,
+         CAST(floor(o_totalprice / 2500) AS BIGINT) AS cell
+  FROM orders
+),
+cells AS (
+  SELECT cell,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(sum(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         CAST(sum(CASE WHEN g = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+         CAST(sum(CASE WHEN g = 5 THEN 1 ELSE 0 END) AS BIGINT) AS c5
+  FROM base GROUP BY cell
+),
+cum AS (
+  SELECT cell, c1, c2, c3, c4, c5,
+         c1 + c2 + c3 + c4 + c5 AS t,
+         COALESCE(CAST(sum(c1) OVER w AS BIGINT), 0) AS f1,
+         COALESCE(CAST(sum(c2) OVER w AS BIGINT), 0) AS f2,
+         COALESCE(CAST(sum(c3) OVER w AS BIGINT), 0) AS f3,
+         COALESCE(CAST(sum(c4) OVER w AS BIGINT), 0) AS f4,
+         COALESCE(CAST(sum(c5) OVER w AS BIGINT), 0) AS f5
+  FROM cells
+  WINDOW w AS (ORDER BY cell ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+sums AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+         CAST(sum(c3) AS BIGINT) AS n3, CAST(sum(c4) AS BIGINT) AS n4,
+         CAST(sum(c5) AS BIGINT) AS n5,
+         CAST(sum({pairs}) AS DECIMAL(38,0)) AS jt2,
+         CAST(sum(CAST(t AS DECIMAL(19,0)) * CAST(t - 1 AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS t2,
+         CAST(sum(CAST(round(CAST(t AS DOUBLE) * (t - 1) * (2 * t + 5)
+                             / 1048576) AS BIGINT)) AS BIGINT) AS t25m,
+         CAST(sum(CAST(round(CAST(t AS DOUBLE) * (t - 1) * (t - 2)
+                             / 1048576) AS BIGINT)) AS BIGINT) AS t3m
+  FROM cum
+),
+scal AS (
+  SELECT n1, n2, n3, n4, n5,
+         n1 + n2 + n3 + n4 + n5 AS n,
+         CAST(jt2 AS DOUBLE) / 2 AS jt,
+         (CAST(n1 + n2 + n3 + n4 + n5 AS DOUBLE)
+            * (n1 + n2 + n3 + n4 + n5) - ({n2sum})) / 4 AS jt_mean,
+         ((CAST(n1 + n2 + n3 + n4 + n5 AS DOUBLE)
+             * (n1 + n2 + n3 + n4 + n5 - 1)
+             * (2 * (n1 + n2 + n3 + n4 + n5) + 5)
+           - ({g25}) - CAST(t25m AS DOUBLE) * 1048576) / 72)
+         + (({g3}) * (CAST(t3m AS DOUBLE) * 1048576)
+            / (36.0 * (n1 + n2 + n3 + n4 + n5)
+               * (n1 + n2 + n3 + n4 + n5 - 1)
+               * (n1 + n2 + n3 + n4 + n5 - 2)))
+         + (({g2}) * CAST(t2 AS DOUBLE)
+            / (8.0 * (n1 + n2 + n3 + n4 + n5)
+               * (n1 + n2 + n3 + n4 + n5 - 1))) AS jt_var
+  FROM sums
+),
+grp AS (
+  SELECT 1 AS g, n1 AS n_group FROM scal UNION ALL
+  SELECT 2, n2 FROM scal UNION ALL
+  SELECT 3, n3 FROM scal UNION ALL
+  SELECT 4, n4 FROM scal UNION ALL
+  SELECT 5, n5 FROM scal
+)
+SELECT grp.g AS priority_rank, grp.n_group,
+       s.n AS n_total,
+       round(s.jt, 2) AS jt_stat,
+       round(s.jt_mean, 2) AS jt_mean,
+       round(s.jt_var, 2) AS jt_var,
+       round((s.jt - s.jt_mean) / sqrt(s.jt_var), 4) AS z_score,
+       CAST(CASE WHEN (s.jt - s.jt_mean) / sqrt(s.jt_var) > 1.6449
+                 THEN 1 ELSE 0 END AS BIGINT) AS increasing_trend_95
+FROM grp CROSS JOIN scal s ORDER BY grp.g
+"""
+
+
+@query(
+    "stats_jonckheere_terpstra",
+    "§2.23 Jonckheere-Terpstra ordered-alternative rank test over priority groups",
+    _JT_SQL.format(
+        pairs=_JT_PAIRS, g25=_JT_G25, g3=_JT_G3, g2=_JT_G2, n2sum=_JT_N2
+    ),
+)
+def stats_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra — the rank test for a MONOTONE alternative
+    (value rises with priority rank 1..5) that stats_kruskal_wallis
+    cannot target: JT = sum over group pairs i<j of the Mann-Whitney
+    count #{x_i < x_j} + ties/2, computed here entirely on a bounded
+    price-bin domain table (~240 cells) via per-cell prefix sums —
+    2*U_ij per cell is c_j * (2*F_i + c_i), an exact DECIMAL product
+    — with the full three-term tie-corrected normal variance (binning
+    creates massive ties, so the textbook no-tie variance would be
+    badly wrong; the property test pins the tie-corrected formula and
+    verifies JT itself against a direct numpy pairwise count).  The
+    z close is a fixed-order double expression; sqrt is IEEE-exact.
+    Cubic tie sums snap to a 2^20-grain bigint before the cross-cell
+    sum — exact through t_v < 2^53 per cell and deterministic beyond.
+
+    Shape at any SF: one orders scan partial-aggs map-side onto the
+    fixed ~240-cell grid (5 CASE-sums per cell); the window/prefix
+    machinery runs on the domain table only (single-partition ~240
+    rows, the stats_roc_auc justification); 1-row scalar close.  The
+    corpus is never sorted or shuffled at value grain."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        _JT_SQL.format(
+            pairs=_JT_PAIRS, g25=_JT_G25, g3=_JT_G3, g2=_JT_G2, n2sum=_JT_N2
+        )
+    )
+
+
+# Page's trend test (round 13): the ORDERED-alternative companion to
+# stats_friedman_test on the identical (day x event_type) rank
+# chassis — Friedman asks "do the treatments differ at all?", Page
+# asks "do they increase in THIS hypothesized order?" (here the
+# alphabetical event-type order, the same deterministic labeling the
+# confusion-matrix ops use), which is the repeated-measures analogue
+# of what stats_jonckheere_terpstra does for independent groups.
+# One shared SQL text.  Determinism: within-day average ranks exact
+# in DOUBLED integer units (the Friedman machinery verbatim), so 2L =
+# sum_j j * (2R_j) is an exact bigint; the normal close is fixed-order
+# doubles on 1-row scalars (no-tie variance kept as the documented
+# convention — mid-ranks feed L itself exactly, ties only flatten the
+# variance slightly, and the property test pins the formula).
+_PAGE_SQL = """
+WITH cell AS (
+  SELECT CAST(ts AS DATE) AS d, event_type,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+full_blocks AS (
+  SELECT d FROM cell GROUP BY d
+  HAVING count(*) = (SELECT count(DISTINCT event_type) FROM cell)
+),
+k1 AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM cell),
+pos AS (
+  SELECT event_type,
+         CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS j
+  FROM (SELECT DISTINCT event_type FROM cell) et
+),
+r2 AS (
+  SELECT a.d, a.event_type,
+         CAST(2 * sum(CASE WHEN b.c < a.c THEN 1 ELSE 0 END)
+              + sum(CASE WHEN b.c = a.c THEN 1 ELSE 0 END) + 2
+              AS BIGINT) AS rr
+  FROM cell a
+  JOIN full_blocks fb ON a.d = fb.d
+  JOIN cell b ON a.d = b.d AND a.event_type <> b.event_type
+  GROUP BY a.d, a.event_type
+),
+sums AS (
+  SELECT event_type, CAST(sum(rr) AS BIGINT) AS r2_sum
+  FROM r2 GROUP BY event_type
+),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM full_blocks),
+l2 AS (
+  SELECT CAST(sum(p.j * s.r2_sum) AS BIGINT) AS ldoubled
+  FROM sums s JOIN pos p USING (event_type)
+),
+scal AS (
+  SELECT CAST(ldoubled AS DOUBLE) / 2 AS l_stat,
+         CAST(nb.n AS DOUBLE) * k1.k * (k1.k + 1) * (k1.k + 1) / 4 AS l_mean,
+         CAST(nb.n AS DOUBLE) * k1.k * k1.k * (k1.k + 1)
+           * (k1.k * k1.k - 1) / 144 AS l_var,
+         nb.n AS n_blocks, k1.k AS k
+  FROM l2 CROSS JOIN nb CROSS JOIN k1
+)
+SELECT p.event_type, p.j AS hypothesized_rank,
+       round(CAST(s2.r2_sum AS DOUBLE) / 2, 1) AS rank_sum,
+       sc.n_blocks, sc.k AS k_treatments,
+       round(sc.l_stat, 1) AS page_l,
+       round(sc.l_mean, 1) AS page_l_mean,
+       round(sc.l_var, 2) AS page_l_var,
+       round((sc.l_stat - sc.l_mean) / sqrt(sc.l_var), 4) AS z_score,
+       CAST(CASE WHEN (sc.l_stat - sc.l_mean) / sqrt(sc.l_var) > 1.6449
+                 THEN 1 ELSE 0 END AS BIGINT) AS increasing_trend_95
+FROM pos p JOIN sums s2 USING (event_type) CROSS JOIN scal sc
+ORDER BY p.event_type
+"""
+
+
+@query(
+    "stats_page_trend",
+    "§2.23 Page's L trend test: ordered repeated-measures ranks over the day grid",
+    _PAGE_SQL,
+)
+def stats_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L — the ordered-alternative repeated-measures test on
+    the Friedman chassis: with days as blocks and event types as
+    treatments in the hypothesized (alphabetical) order, L = sum_j
+    j*R_j grows when within-day ranks trend with the ordering, and
+    z = (L - nk(k+1)^2/4) / sqrt(nk^2(k+1)(k^2-1)/144) is the normal
+    approximation (no-tie variance, documented convention — mid-rank
+    ties enter L exactly via the doubled-unit rank machinery shared
+    verbatim with stats_friedman_test).  2L is an exact bigint in
+    both engines; the close is fixed-order doubles on 1-row scalars;
+    sqrt is IEEE-exact.  The property test replays L from raw counts
+    with scipy-free numpy and pins the no-tie mean/variance formulas.
+
+    Shape at any SF: identical to stats_friedman_test — one hash agg
+    to the calendar-bounded (day x type) grid, k^2-per-day rank
+    self-join on that grid, |types|-row finish.  One fact scan."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_PAGE_SQL)

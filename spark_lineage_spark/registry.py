@@ -385,6 +385,9 @@ _VERIFY_AFTER = [
     # property test; first official row round 14 — the rotation is
     # complete, so r14's budget is essentially all growth)
     "sample_hash_deterministic",
+    "stats_cmh_test",
+    "stats_jonckheere_terpstra",
+    "stats_page_trend",
 ]
 
 

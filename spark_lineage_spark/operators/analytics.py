@@ -6809,3 +6809,391 @@ def stats_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join on that grid, |types|-row finish.  One fact scan."""
     register_views(spark, sf_dir, ["events"])
     return spark.sql(_PAGE_SQL)
+
+
+# Spectral coherence (round 13): the CROSS-spectral companion to
+# ts_periodogram and the frequency-domain completion of
+# ts_rolling_correlation — "at WHICH timescale do order count and
+# revenue move together?"  Welch-style: the ~2400-day daily series
+# splits into full 256-day segments, per segment and Fourier bin the
+# snapped-trig DFT coefficients of both series, then segment-averaged
+# cross-spectrum  coh2(k) = (Re2 + Im2) / (Pxx * Pyy)  — without the
+# segment averaging coherence is identically 1, which is why the
+# single-window periodogram cannot answer this question.  Template
+# SQL (date arithmetic + array-unnest spelling per engine).
+# Determinism: trig snapped to 1e-8-grain integers BEFORE the exact
+# DECIMAL product sums (the ts_periodogram discipline); per-(k,s)
+# coefficients rescale to documented-grain bigints via an IEEE-exact
+# decimal->double cast, so every cross-segment sum is an exact
+# DECIMAL(38,0) of (19,0)x(19,0) products — order-free in both
+# engines; the coherence closes as fixed-order doubles per k row.
+_COHERENCE_KS = "1, 2, 4, 8, 16, 32, 37, 64"
+_COHERENCE_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS x,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+bounds AS (
+  SELECT min(d) AS d0, CAST({span} AS BIGINT) AS span FROM daily
+),
+seg AS (
+  SELECT CAST(floor(CAST({di} AS BIGINT) / CAST(256 AS DOUBLE)) AS BIGINT) AS s,
+         CAST({di} AS BIGINT) % 256 AS t,
+         x, y, b.span
+  FROM daily CROSS JOIN bounds b
+),
+segf AS (
+  SELECT s, t, x, y FROM seg
+  WHERE s < CAST(floor(CAST(span AS DOUBLE) / 256) AS BIGINT)
+),
+grid AS (SELECT CAST(k0 AS BIGINT) AS k FROM (SELECT {kgrid} AS k0) kg),
+terms AS (
+  SELECT g.k, f.s, f.x, f.y,
+         CAST(round(cos(2 * pi() * g.k * f.t / 256) * 100000000)
+              AS BIGINT) AS c8,
+         CAST(round(sin(2 * pi() * g.k * f.t / 256) * 100000000)
+              AS BIGINT) AS s8
+  FROM segf f CROSS JOIN grid g
+),
+coef AS (
+  SELECT k, s,
+         CAST(round(CAST(CAST(sum(CAST(x AS DECIMAL(19,0))
+                                  * CAST(c8 AS DECIMAL(19,0)))
+                               AS DECIMAL(38,0)) AS DOUBLE) / 100)
+              AS BIGINT) AS ax,
+         CAST(round(CAST(CAST(sum(CAST(x AS DECIMAL(19,0))
+                                  * CAST(s8 AS DECIMAL(19,0)))
+                               AS DECIMAL(38,0)) AS DOUBLE) / 100)
+              AS BIGINT) AS bx,
+         CAST(round(CAST(CAST(sum(CAST(y AS DECIMAL(19,0))
+                                  * CAST(c8 AS DECIMAL(19,0)))
+                               AS DECIMAL(38,0)) AS DOUBLE) / 1000000)
+              AS BIGINT) AS ay,
+         CAST(round(CAST(CAST(sum(CAST(y AS DECIMAL(19,0))
+                                  * CAST(s8 AS DECIMAL(19,0)))
+                               AS DECIMAL(38,0)) AS DOUBLE) / 1000000)
+              AS BIGINT) AS by_
+  FROM terms GROUP BY k, s
+),
+spec AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_seg,
+         CAST(sum(CAST(ax AS DECIMAL(19,0)) * CAST(ay AS DECIMAL(19,0))
+                  + CAST(bx AS DECIMAL(19,0)) * CAST(by_ AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS re_xy,
+         CAST(sum(CAST(bx AS DECIMAL(19,0)) * CAST(ay AS DECIMAL(19,0))
+                  - CAST(ax AS DECIMAL(19,0)) * CAST(by_ AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS im_xy,
+         CAST(sum(CAST(ax AS DECIMAL(19,0)) * CAST(ax AS DECIMAL(19,0))
+                  + CAST(bx AS DECIMAL(19,0)) * CAST(bx AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS pxx,
+         CAST(sum(CAST(ay AS DECIMAL(19,0)) * CAST(ay AS DECIMAL(19,0))
+                  + CAST(by_ AS DECIMAL(19,0)) * CAST(by_ AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS pyy
+  FROM coef GROUP BY k
+),
+tot AS (
+  SELECT CAST(sum(pxx) AS DECIMAL(38,0)) AS tpx,
+         CAST(sum(pyy) AS DECIMAL(38,0)) AS tpy
+  FROM spec
+)
+SELECT round(CAST(256 AS DOUBLE) / k, 2) AS period_days,
+       k AS fourier_k, n_seg AS n_segments,
+       round((CAST(re_xy AS DOUBLE) * CAST(re_xy AS DOUBLE)
+              + CAST(im_xy AS DOUBLE) * CAST(im_xy AS DOUBLE))
+             / NULLIF(CAST(pxx AS DOUBLE) * CAST(pyy AS DOUBLE), 0), 6)
+         AS coherence2,
+       round(CAST(pxx AS DOUBLE) / NULLIF(CAST(tpx AS DOUBLE), 0), 6)
+         AS power_share_x,
+       round(CAST(pyy AS DOUBLE) / NULLIF(CAST(tpy AS DOUBLE), 0), 6)
+         AS power_share_y
+FROM spec CROSS JOIN tot ORDER BY fourier_k
+"""
+
+
+@query(
+    "ts_spectral_coherence",
+    "§2.23 Welch segment-averaged spectral coherence of daily count vs revenue",
+    _COHERENCE_SQL.format(
+        span="max(d) - min(d) + 1",
+        di="daily.d - b.d0",
+        kgrid=f"unnest([{_COHERENCE_KS}])",
+    ),
+)
+def ts_spectral_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magnitude-squared spectral coherence between daily order count
+    and daily revenue — the timescale-resolved answer to "do volume
+    and value co-move?" that ts_rolling_correlation gives only in the
+    time domain and ts_periodogram only marginally per series: over
+    full 256-day Welch segments, coh2(k) = |sum_s Zx_s conj(Zy_s)|^2
+    / (sum_s |Zx_s|^2 * sum_s |Zy_s|^2) at the Fourier bins k in
+    {1,2,4,8,16,32,37,64} (periods 256d .. 4d; k=37 is the bin
+    nearest the weekly 6.9d cycle), with per-series power shares
+    beside it.  coh2 is 1 identically with a single segment — the
+    segment averaging IS the statistic (documented; the fixture spans
+    ~2400 days = 9 full segments).  Missing days contribute exact
+    zeros by absence.  Trig snapped at 1e-8 grain pre-sum; DFT sums
+    exact DECIMAL; coefficients rescaled to grain-documented bigints
+    (x: 1e-6 trig units, y: 1e-2 cent-trig units) so all cross-segment
+    sums are exact (19,0)x(19,0) DECIMAL products; numpy replay
+    property test pins every bin.
+
+    Shape at any SF: one orders scan partial-aggs to the
+    calendar-bounded daily table; the 8x fan-out and everything after
+    is O(days) metadata.  100 TB costs the one fact scan."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        _COHERENCE_SQL.format(
+            span="datediff(max(d), min(d)) + 1",
+            di="datediff(daily.d, b.d0)",
+            kgrid=f"explode(array({_COHERENCE_KS}))",
+        )
+    )
+
+
+@query(
+    "graph_rich_club",
+    "§2.23 rich-club coefficient profile at mean-relative degree thresholds",
+    """
+    WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM pl a JOIN pl b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) both_ends
+      GROUP BY node
+    ),
+    dh AS (SELECT d, CAST(count(*) AS BIGINT) AS cnt FROM deg GROUP BY d),
+    em AS (
+      SELECT least(du.d, dv.d) AS m
+      FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+    ),
+    eh AS (SELECT m, CAST(count(*) AS BIGINT) AS cnt FROM em GROUP BY m),
+    scal AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d) AS BIGINT) AS deg_sum
+      FROM deg
+    ),
+    thr AS (
+      SELECT j, n_nodes, deg_sum,
+             (deg_sum * j + 10 * n_nodes - 1) // (10 * n_nodes) AS k_thr
+      FROM scal CROSS JOIN (SELECT unnest([8, 9, 10, 11, 12, 13]) AS j) js
+    ),
+    nr AS (
+      SELECT t.j, t.k_thr, t.n_nodes, t.deg_sum,
+             CAST(sum(CASE WHEN dh.d > t.k_thr THEN dh.cnt ELSE 0 END)
+                  AS BIGINT) AS n_rich
+      FROM dh CROSS JOIN thr t GROUP BY 1, 2, 3, 4
+    ),
+    er AS (
+      SELECT t.j,
+             CAST(sum(CASE WHEN eh.m > t.k_thr THEN eh.cnt ELSE 0 END)
+                  AS BIGINT) AS e_rich
+      FROM eh CROSS JOIN thr t GROUP BY 1
+    )
+    SELECT CAST(nr.j AS DOUBLE) / 10 AS mean_factor,
+           nr.k_thr AS k_threshold,
+           round(CAST(nr.deg_sum AS DOUBLE) / nr.n_nodes, 4) AS mean_degree,
+           nr.n_rich, er.e_rich,
+           CASE WHEN nr.n_rich > 1
+                THEN round(2 * CAST(er.e_rich AS DOUBLE)
+                           / (CAST(nr.n_rich AS DECIMAL(19,0))
+                              * (nr.n_rich - 1)), 6)
+           END AS phi
+    FROM nr JOIN er ON nr.j = er.j ORDER BY nr.j
+    """,
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient profile — "do the best-connected parts
+    co-purchase with EACH OTHER more than density predicts?": phi(k)
+    = 2 E_{>k} / (N_{>k} (N_{>k} - 1)), the edge density of the
+    subgraph induced by nodes of degree > k, swept at MEAN-RELATIVE
+    thresholds k = ceil(mean_deg * f), f in 0.8..1.3 — the co-purchase
+    degree distribution is tight around its mean (sf0.01: 42..206,
+    mean ~116), so absolute thresholds would degenerate at other SFs
+    while mean-relative ones track the graph's own density.  The
+    ceiling is exact integer arithmetic ((2E*j + 10N - 1) div 10N) in
+    both engines — no float threshold can straddle an engine boundary.
+    Counting runs on degree/edge-min HISTOGRAMS (domain bounded by
+    max degree), never re-scanning edges per threshold; phi is a
+    single double division of exact integers per output row.
+    Property test replays the profile from a networkx-free numpy
+    edge list, pinning phi's monotone-threshold semantics.
+
+    Shape at any SF: the shared checkpointed copurchase staging (one
+    lineitem groupBy + in-codegen pair explode), node-grain degree
+    agg, edge-grain degree join (both sides shuffle on the key; the
+    degree side is node-bounded and broadcastable when small), then
+    all threshold logic on bounded histograms.  The 6-row threshold
+    table cross-joins histograms, not facts."""
+    from spark_lineage_spark.plans.extract import lineage_checkpoint_lazy
+
+    und = copurchase_edges(spark, sf_dir)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .transform(lineage_checkpoint_lazy)
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    em = und.join(du, "u").join(dv, "v").select(
+        F.least("du", "dv").alias("m")
+    )
+    dh = deg.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    eh = em.groupBy("m").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    scal = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum("d").cast("bigint").alias("deg_sum"),
+    )
+    thr = (
+        scal.select(
+            F.explode(F.array(*[F.lit(j) for j in range(8, 14)])).alias("j"),
+            "n_nodes",
+            "deg_sum",
+        )
+        .withColumn(
+            "k_thr",
+            F.expr("(deg_sum * j + 10 * n_nodes - 1) div (10 * n_nodes)"),
+        )
+        .withColumn("j", F.col("j").cast("bigint"))
+    )
+    nr = (
+        dh.crossJoin(F.broadcast(thr))
+        .groupBy("j", "k_thr", "n_nodes", "deg_sum")
+        .agg(
+            F.sum(F.when(F.col("d") > F.col("k_thr"), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rich")
+        )
+    )
+    er = (
+        eh.crossJoin(F.broadcast(thr.select("j", "k_thr")))
+        .groupBy("j")
+        .agg(
+            F.sum(F.when(F.col("m") > F.col("k_thr"), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("e_rich")
+        )
+    )
+    return (
+        nr.join(er, "j")
+        .select(
+            (F.col("j").cast("double") / 10).alias("mean_factor"),
+            F.col("k_thr").alias("k_threshold"),
+            F.round(F.col("deg_sum").cast("double") / F.col("n_nodes"), 4)
+            .alias("mean_degree"),
+            "n_rich",
+            "e_rich",
+            F.when(
+                F.col("n_rich") > 1,
+                F.round(
+                    2 * F.col("e_rich").cast("double")
+                    / (
+                        F.col("n_rich").cast("decimal(19,0)")
+                        * (F.col("n_rich") - 1)
+                    ).cast("double"),
+                    6,
+                ),
+            ).alias("phi"),
+        )
+        .orderBy("mean_factor")
+    )
+
+
+# Page-Hinkley test (round 13): the SELF-ADAPTING sequential drift
+# monitor next to ts_cusum_drift — CUSUM standardizes every day
+# against a FROZEN 1995 calibration (drift relative to a fixed
+# baseline), Page-Hinkley tracks deviations from the RUNNING mean of
+# the monitored stream itself (m_t = sum_{i<=t} (x_i - mu_i - delta),
+# alarm when m_t - min_{s<=t} m_s exceeds lambda), so it re-anchors
+# after a level shift and flags the NEXT one — the standard streaming
+# change detector (Page 1954; the drift test in streaming-ML
+# toolkits).  One shared SQL text.  Determinism: daily cents are
+# exact bigints, the running mean is an exact-bigint cumsum divided
+# once per row, and the m_t / running-min machinery is cumulative-
+# frame windows whose doubles accumulate left-to-right identically in
+# both engines (the ts_cusum_drift / stats_fisher_exact precedent);
+# delta and lambda derive from the 1995 calibration's exact DECIMAL
+# power sums (delta = 0.5% of the calibration mean, lambda = 5
+# calibration sigmas, conventions documented).
+_PAGE_HINKLEY_SQL = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_orderdate
+),
+calib AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0,
+         CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+         CAST(sum(CAST(cents * cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+  FROM daily WHERE d < DATE '1996-01-01'
+),
+p AS (
+  SELECT dd.d, CAST(dd.cents AS DOUBLE) AS x,
+         CAST(sum(dd.cents) OVER (ORDER BY dd.d) AS DOUBLE)
+           / row_number() OVER (ORDER BY dd.d) AS mu_run,
+         CAST(c.s1 AS DOUBLE) / c.n0 * 0.005 AS delta,
+         sqrt((CAST(c.s2 AS DOUBLE)
+               - (CAST(c.s1 AS DOUBLE) / c.n0) * CAST(c.s1 AS DOUBLE))
+              / (c.n0 - 1)) AS sigma0
+  FROM daily dd CROSS JOIN calib c
+  WHERE dd.d >= DATE '1996-01-01'
+),
+m AS (
+  SELECT d, sigma0,
+         sum(x - mu_run - delta) OVER (ORDER BY d) AS m_up,
+         sum(mu_run - x - delta) OVER (ORDER BY d) AS m_dn
+  FROM p
+),
+s AS (
+  SELECT d, sigma0,
+         m_up - min(m_up) OVER (ORDER BY d) AS ph_up,
+         m_dn - min(m_dn) OVER (ORDER BY d) AS ph_dn
+  FROM m
+)
+SELECT CAST(count(*) AS BIGINT) AS n_monitored_days,
+       CAST(count(*) FILTER (WHERE ph_up > 5 * sigma0) AS BIGINT)
+         AS n_up_alarm_days,
+       CAST(count(*) FILTER (WHERE ph_dn > 5 * sigma0) AS BIGINT)
+         AS n_dn_alarm_days,
+       round(max(ph_up / sigma0), 4) AS max_ph_up_sigma,
+       round(max(ph_dn / sigma0), 4) AS max_ph_dn_sigma,
+       min(d) FILTER (WHERE ph_up > 5 * sigma0) AS first_up_alarm,
+       min(d) FILTER (WHERE ph_dn > 5 * sigma0) AS first_dn_alarm
+FROM s
+"""
+
+
+@query(
+    "ts_page_hinkley",
+    "§2.23 Page-Hinkley sequential drift detector (running-mean re-anchoring)",
+    _PAGE_HINKLEY_SQL,
+)
+def ts_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift detection on daily revenue — the
+    running-mean counterpart of ts_cusum_drift (which never
+    re-anchors): two one-sided monitors m_t = sum(x_i - mu_i -+
+    delta) with PH_t = m_t - running-min(m_t), alarming above
+    lambda = 5 calibration sigmas; delta = 0.5% of the 1995
+    calibration mean keeps the detector insensitive to noise at the
+    band the CUSUM op also uses.  Exact-integer daily cents, exact
+    cumsum-based running mean, and the documented left-to-right
+    cumulative-window double precedent make both engines produce
+    bit-identical alarm sequences; the property test replays the full
+    sequential recursion in pandas and pins the max-PH and
+    first-alarm outputs.
+
+    Shape at any SF: one orders scan partial-aggs to the
+    calendar-bounded daily table; the ordered stage is the ~2200-row
+    single-partition day series (SF-free row count), then a 1-row
+    summary."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_PAGE_HINKLEY_SQL)

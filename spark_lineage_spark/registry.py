@@ -388,6 +388,9 @@ _VERIFY_AFTER = [
     "stats_cmh_test",
     "stats_jonckheere_terpstra",
     "stats_page_trend",
+    "ts_spectral_coherence",
+    "graph_rich_club",
+    "ts_page_hinkley",
 ]
 
 

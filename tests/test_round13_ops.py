@@ -188,3 +188,140 @@ def test_page_trend_matches_numpy_replay(spark):
     assert abs(got.page_l_var.iloc[0] - round(l_var, 2)) < 1e-9
     assert abs(got.z_score.iloc[0] - round(z, 4)) < 1e-3
     assert (got.increasing_trend_95 == int(z > 1.6449)).all()
+
+
+def test_spectral_coherence_matches_numpy_replay(spark):
+    got = (
+        _load_all()["ts_spectral_coherence"].builder(spark, SF).toPandas()
+        .sort_values("fourier_k").reset_index(drop=True)
+    )
+    o = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    d = pd.to_datetime(o.o_orderdate).dt.normalize()
+    cents = np.floor(o.o_totalprice.to_numpy() * 100 + 0.5).astype(np.int64)
+    daily = pd.DataFrame({"d": d, "x": 1, "y": cents}).groupby("d").sum()
+    d0 = daily.index.min()
+    di = (daily.index - d0).days.to_numpy()
+    span = di.max() + 1
+    n_seg = span // 256
+    ks = [1, 2, 4, 8, 16, 32, 37, 64]
+    rows = {}
+    tpx = tpy = 0
+    for k in ks:
+        re = im = pxx = pyy = 0
+        for s in range(n_seg):
+            mask = (di // 256) == s
+            t = di[mask] % 256
+            x = daily.x.to_numpy()[mask]
+            y = daily.y.to_numpy()[mask]
+            c8 = np.round(np.cos(2 * np.pi * k * t / 256) * 1e8)
+            s8 = np.round(np.sin(2 * np.pi * k * t / 256) * 1e8)
+            ax = round(float((x * c8).sum()) / 100)
+            bx = round(float((x * s8).sum()) / 100)
+            ay = round(float((y * c8).sum()) / 1e6)
+            by = round(float((y * s8).sum()) / 1e6)
+            re += ax * ay + bx * by
+            im += bx * ay - ax * by
+            pxx += ax * ax + bx * bx
+            pyy += ay * ay + by * by
+        coh2 = (re * re + im * im) / (pxx * pyy)
+        rows[k] = (coh2, pxx, pyy)
+        tpx += pxx
+        tpy += pyy
+    assert got.fourier_k.tolist() == ks
+    assert (got.n_segments == n_seg).all() and n_seg >= 2
+    for k, (_, row) in zip(ks, got.iterrows()):
+        coh2, pxx, pyy = rows[k]
+        assert abs(row.coherence2 - round(coh2, 6)) < 2e-6, k
+        assert abs(row.power_share_x - round(pxx / tpx, 6)) < 2e-6, k
+        assert abs(row.power_share_y - round(pyy / tpy, 6)) < 2e-6, k
+        assert 0 <= row.coherence2 <= 1 + 1e-9
+    # count and revenue co-move strongly at the longest timescale
+    assert got.coherence2.iloc[0] > 0.5
+
+
+def test_rich_club_matches_numpy_replay(spark):
+    got = (
+        _load_all()["graph_rich_club"].builder(spark, SF).toPandas()
+        .sort_values("mean_factor").reset_index(drop=True)
+    )
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).drop_duplicates()
+    edges = set()
+    for _, grp in li.groupby("l_orderkey"):
+        ps = sorted(grp.l_partkey.unique())
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    n_nodes, deg_sum = len(deg), sum(deg.values())
+    for jj, (_, row) in zip(range(8, 14), got.iterrows()):
+        k = (deg_sum * jj + 10 * n_nodes - 1) // (10 * n_nodes)
+        rich = {x for x, d in deg.items() if d > k}
+        e_rich = sum(1 for u, v in edges if u in rich and v in rich)
+        assert row.k_threshold == k
+        assert row.n_rich == len(rich)
+        assert row.e_rich == e_rich
+        assert abs(row.mean_degree - round(deg_sum / n_nodes, 4)) < 1e-9
+        if len(rich) > 1:
+            phi = 2 * e_rich / (len(rich) * (len(rich) - 1))
+            assert abs(row.phi - round(phi, 6)) < 1e-9
+        else:
+            assert pd.isna(row.phi)
+    # rich-node count shrinks (weakly) as the threshold rises
+    assert (got.n_rich.diff().dropna() <= 0).all()
+
+
+def test_page_hinkley_matches_pandas_replay(spark):
+    got = _load_all()["ts_page_hinkley"].builder(spark, SF).toPandas()
+    o = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    cents = np.round(o.o_totalprice.to_numpy() * 100).astype(np.int64)
+    daily = (
+        pd.DataFrame({"d": pd.to_datetime(o.o_orderdate), "c": cents})
+        .groupby("d")["c"].sum().sort_index()
+    )
+    calib = daily[daily.index < "1996-01-01"]
+    n0 = len(calib)
+    s1, s2 = int(calib.sum()), int((calib.astype(object) ** 2).sum())
+    mu0 = s1 / n0
+    sigma0 = np.sqrt((s2 - mu0 * s1) / (n0 - 1))
+    delta, lam = mu0 * 0.005, 5 * sigma0
+    mon = daily[daily.index >= "1996-01-01"]
+    # full sequential recursion (textbook Page-Hinkley, both sides)
+    csum = 0
+    m_up = m_dn = 0.0
+    min_up = min_dn = np.inf
+    n_up = n_dn = 0
+    max_up = max_dn = -np.inf
+    first_up = first_dn = None
+    for t, (d, x) in enumerate(mon.items(), start=1):
+        csum += int(x)
+        mu_run = csum / t
+        m_up += float(x) - mu_run - delta
+        m_dn += mu_run - float(x) - delta
+        min_up, min_dn = min(min_up, m_up), min(min_dn, m_dn)
+        ph_up, ph_dn = m_up - min_up, m_dn - min_dn
+        max_up, max_dn = max(max_up, ph_up), max(max_dn, ph_dn)
+        if ph_up > lam:
+            n_up += 1
+            first_up = first_up or d
+        if ph_dn > lam:
+            n_dn += 1
+            first_dn = first_dn or d
+    assert got.n_monitored_days.iloc[0] == len(mon)
+    assert got.n_up_alarm_days.iloc[0] == n_up
+    assert got.n_dn_alarm_days.iloc[0] == n_dn
+    assert abs(got.max_ph_up_sigma.iloc[0] - round(max_up / sigma0, 4)) < 1e-3
+    assert abs(got.max_ph_dn_sigma.iloc[0] - round(max_dn / sigma0, 4)) < 1e-3
+    for col, exp in [("first_up_alarm", first_up), ("first_dn_alarm", first_dn)]:
+        if exp is None:
+            assert pd.isna(got[col].iloc[0])
+        else:
+            assert pd.Timestamp(got[col].iloc[0]) == exp

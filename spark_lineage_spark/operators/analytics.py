@@ -7197,3 +7197,212 @@ def ts_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary."""
     register_views(spark, sf_dir, ["orders"])
     return spark.sql(_PAGE_HINKLEY_SQL)
+
+
+# Dunn's test (round 13): the post-hoc that answers the question
+# stats_kruskal_wallis leaves open — KW rejects "all groups equal"
+# without saying WHICH pairs differ; Dunn compares every pair of
+# groups on the GLOBAL mid-ranks with the KW tie correction and a
+# Bonferroni gate, which is the textbook follow-up (Dunn 1964).
+# Shares the stats_jonckheere_terpstra binned-domain chassis: global
+# ranks come from prefix sums over the ~240-cell price grid, doubled
+# integer mid-ranks (2r = 2F(<v) + t_v + 1) keep every rank sum an
+# exact bigint, and the tie term's cubic sum uses the same 2^20
+# power-of-two snap.  One shared SQL text (pair grid via UNION ALL).
+_DUNN_PAIRS = "\n  UNION ALL\n".join(
+    f"  SELECT {i} AS gi, {j} AS gj, n{i} AS ni, n{j} AS nj,"
+    f" r{i} AS ri, r{j} AS rj FROM scal"
+    for i in range(1, 6)
+    for j in range(i + 1, 6)
+)
+_DUNN_SQL = """
+WITH base AS (
+  SELECT CAST(substring(o_orderpriority, 1, 1) AS INT) AS g,
+         CAST(floor(o_totalprice / 2500) AS BIGINT) AS cell
+  FROM orders
+),
+cells AS (
+  SELECT cell,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(sum(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         CAST(sum(CASE WHEN g = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+         CAST(sum(CASE WHEN g = 5 THEN 1 ELSE 0 END) AS BIGINT) AS c5
+  FROM base GROUP BY cell
+),
+cum AS (
+  SELECT cell, c1, c2, c3, c4, c5,
+         c1 + c2 + c3 + c4 + c5 AS t,
+         COALESCE(CAST(sum(c1 + c2 + c3 + c4 + c5) OVER w AS BIGINT), 0) AS f
+  FROM cells
+  WINDOW w AS (ORDER BY cell ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+sums AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+         CAST(sum(c3) AS BIGINT) AS n3, CAST(sum(c4) AS BIGINT) AS n4,
+         CAST(sum(c5) AS BIGINT) AS n5,
+         CAST(sum(CAST(c1 AS DECIMAL(19,0))
+                  * CAST(2 * f + t + 1 AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS r1,
+         CAST(sum(CAST(c2 AS DECIMAL(19,0))
+                  * CAST(2 * f + t + 1 AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS r2,
+         CAST(sum(CAST(c3 AS DECIMAL(19,0))
+                  * CAST(2 * f + t + 1 AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS r3,
+         CAST(sum(CAST(c4 AS DECIMAL(19,0))
+                  * CAST(2 * f + t + 1 AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS r4,
+         CAST(sum(CAST(c5 AS DECIMAL(19,0))
+                  * CAST(2 * f + t + 1 AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS r5,
+         CAST(sum(CAST(round(CAST(t AS DOUBLE) * t * t / 1048576)
+                       AS BIGINT)) AS BIGINT) AS t3m,
+         CAST(sum(t) AS BIGINT) AS tn
+  FROM cum
+),
+scal AS (
+  SELECT n1, n2, n3, n4, n5,
+         CAST(r1 AS DOUBLE) / 2 / n1 AS r1,
+         CAST(r2 AS DOUBLE) / 2 / n2 AS r2,
+         CAST(r3 AS DOUBLE) / 2 / n3 AS r3,
+         CAST(r4 AS DOUBLE) / 2 / n4 AS r4,
+         CAST(r5 AS DOUBLE) / 2 / n5 AS r5,
+         tn AS n,
+         (CAST(tn AS DOUBLE) * (tn + 1) / 12)
+           - (CAST(t3m AS DOUBLE) * 1048576 - tn) / (12.0 * (tn - 1))
+           AS var_unit
+  FROM sums
+),
+pairs AS (
+{pairs}
+)
+SELECT p.gi AS group_i, p.gj AS group_j, p.ni AS n_i, p.nj AS n_j,
+       round(p.ri, 4) AS mean_rank_i,
+       round(p.rj, 4) AS mean_rank_j,
+       round((p.ri - p.rj)
+             / sqrt(s.var_unit * (CAST(1 AS DOUBLE) / p.ni
+                                  + CAST(1 AS DOUBLE) / p.nj)), 4) AS z_dunn,
+       CAST(CASE WHEN abs((p.ri - p.rj)
+                          / sqrt(s.var_unit * (CAST(1 AS DOUBLE) / p.ni
+                                               + CAST(1 AS DOUBLE) / p.nj)))
+                      > 2.807 THEN 1 ELSE 0 END AS BIGINT)
+         AS reject_bonferroni_95
+FROM pairs p CROSS JOIN scal s ORDER BY p.gi, p.gj
+"""
+
+
+@query(
+    "stats_dunn_test",
+    "§2.23 Dunn's post-hoc pairwise rank comparisons with Bonferroni gate",
+    _DUNN_SQL.format(pairs=_DUNN_PAIRS),
+)
+def stats_dunn_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's test — all 10 pairwise priority-group comparisons on
+    the GLOBAL mid-ranks, the standard post-hoc after
+    stats_kruskal_wallis rejects: z_ij = (Rbar_i - Rbar_j) /
+    sqrt([N(N+1)/12 - sum(t^3 - t)/(12(N-1))] (1/n_i + 1/n_j)), with
+    the same binning convention as stats_jonckheere_terpstra (~240
+    fixed price cells; binning ties are part of the definition and
+    enter both the mid-ranks and the tie correction exactly).  The
+    Bonferroni gate uses z > 2.807 (two-sided 5% over m=10
+    comparisons, i.e. 0.0025 per tail; hard-coded critical value,
+    documented).  Doubled-unit mid-ranks keep every rank sum an exact
+    DECIMAL; the cubic tie sum snaps at 2^20 like the JT op; the z
+    close is fixed-order doubles on 1-row scalars.  Property test
+    replays mean ranks and z against scipy-free numpy mid-ranks.
+
+    Shape at any SF: identical to the JT op — one orders scan onto
+    the fixed cell grid, prefix sums on the ~240-row domain table,
+    10-row pair grid cross-joining a 1-row scalar."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_DUNN_SQL.format(pairs=_DUNN_PAIRS))
+
+
+# Dickey-Fuller test (round 13): the unit-root / mean-reversion test
+# that completes the memory-structure trio — ts_mann_kendall asks "is
+# there a monotone trend?", ts_hurst_exponent asks "how long is the
+# memory?", Dickey-Fuller asks "does the level REVERT or WANDER?"
+# (a random walk invalidates every i.i.d.-based monitor upstream).
+# DF regression  dy_t = a + b * y_{t-1} + e  with the test statistic
+# t_b = b_hat / se(b_hat) against the Dickey-Fuller constant-case 5%
+# critical value -2.86 (hard-coded, documented; NOT the t table — the
+# null distribution is nonstandard).  Template SQL (date-shift
+# spelling per engine).  Determinism: daily cents are exact bigints,
+# all five regression moments are exact DECIMAL(19,0)x(19,0) product
+# sums over the calendar-joined (y_{t-1}, dy) pairs, and b_hat / se /
+# t close as fixed-order doubles on a 1-row scalar.
+_DF_SQL = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_orderdate
+),
+pairs AS (
+  SELECT b.cents AS x, a.cents - b.cents AS dy
+  FROM daily a JOIN daily b ON a.d = {prev}
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(CAST(dy AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(CAST(dy AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS syy
+  FROM pairs
+),
+fit AS (
+  SELECT n,
+         (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           AS b,
+         (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+           AS ssx,
+         (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+           AS ssy,
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+           AS ssxy
+  FROM m WHERE n > 2
+)
+SELECT n AS n_obs,
+       round(b, 6) AS b_coef,
+       round(b + 1, 6) AS rho,
+       round(b / sqrt(((ssy - b * ssxy) / (n - 2)) / ssx), 4) AS df_stat,
+       CAST(-2.86 AS DOUBLE) AS crit_5pct,
+       CAST(CASE WHEN b / sqrt(((ssy - b * ssxy) / (n - 2)) / ssx) < -2.86
+                 THEN 1 ELSE 0 END AS BIGINT) AS reject_unit_root,
+       CASE WHEN b + 1 > 0 AND b + 1 < 1
+            THEN round(-0.6931471805599453 / ln(b + 1), 2)
+       END AS half_life_days
+FROM fit
+"""
+
+
+@query(
+    "ts_dickey_fuller",
+    "§2.23 Dickey-Fuller unit-root test on daily revenue",
+    _DF_SQL.format(prev="b.d + INTERVAL 1 DAY"),
+)
+def ts_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root test (constant, no trend, no lag
+    augmentation — the classic DF; augmentation lags are a
+    convention documented out, the daily series shows no serial
+    structure the property test can't see): regress the day-over-day
+    change on the previous level via exact DECIMAL moments, report
+    b = rho - 1, the DF t-statistic against the -2.86 constant-case
+    5% critical value, and the implied mean-reversion half-life
+    -ln2/ln(rho) (NULL-guarded outside 0 < rho < 1; ln is the one
+    libm call, rounded to 2 decimals on a far-from-boundary value).
+    Consecutive-day pairs come from a calendar equi-join (the
+    ts_theil_u sparse-series rule: a day with no orders breaks the
+    pair rather than fabricating a zero).
+
+    Shape at any SF: one orders scan partial-aggs to the
+    calendar-bounded daily table; the self-join and moment agg run on
+    O(days) rows; 1-row finish.  100 TB costs the one fact scan."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_DF_SQL.format(prev="date_add(b.d, 1)"))

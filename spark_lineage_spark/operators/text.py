@@ -5009,3 +5009,130 @@ def llm_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-bucket per shingle), then a 10-row window and finish."""
     register_views(spark, sf_dir, ["documents"])
     return spark.sql(_HEAPS_FIT_SQL.format(words=_HEAPS_WORDS_SPARK))
+
+
+# Self-BLEU diversity (round 13): the pairwise-overlap diversity
+# audit — high self-BLEU between documents from the same source means
+# the source is minting near-copies (mode collapse in generated data,
+# template boilerplate in crawled data).  Full self-BLEU is O(n^2)
+# pairs; the scalable convention here is BOUNDED DETERMINISTIC
+# PAIRING: each doc pairs with the next doc_id inside its (source,
+# doc_id div 1000) block — n/1 pairs, not n^2/2, every window
+# partition capped at 1000 rows at any SF, and the pairing is a pure
+# function of the keys (the sample_hash_deterministic reasoning).
+# The last doc of each block goes unpaired (<=0.1% loss, documented).
+# Template SQL (tokenizer/bigram/unnest/intdiv spellings per engine).
+# Determinism: clipped and total n-gram counts are exact integers,
+# each pair's modified precision snaps to a 1e-9-grain bigint before
+# the per-source mean, and sqrt is IEEE-exact on identically-derived
+# doubles.
+_SELFBLEU_SQL = """
+WITH docs AS (
+  SELECT doc_id, source, {tokens} AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+paired AS (
+  SELECT doc_id AS cand, source,
+         lead(doc_id) OVER (PARTITION BY source, doc_id {div} 1000
+                            ORDER BY doc_id) AS ref
+  FROM docs
+),
+pairs AS (SELECT cand, ref, source FROM paired WHERE ref IS NOT NULL),
+grams AS (
+  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt, 1 AS n
+  FROM (SELECT doc_id, {unnest_uni} AS g FROM docs) u
+  GROUP BY doc_id, g
+  UNION ALL
+  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt, 2 AS n
+  FROM (SELECT doc_id, {unnest_bi} AS g
+        FROM (SELECT doc_id, {bigrams} AS bg FROM docs) b) x
+  GROUP BY doc_id, g
+),
+joined AS (
+  SELECT p.cand, p.source, c.n,
+         c.cnt AS ccnt, COALESCE(r.cnt, 0) AS rcnt
+  FROM pairs p
+  JOIN grams c ON c.doc_id = p.cand
+  LEFT JOIN grams r ON r.doc_id = p.ref AND r.g = c.g AND r.n = c.n
+),
+per_pair AS (
+  SELECT cand, source, n,
+         CAST(sum(least(ccnt, rcnt)) AS BIGINT) AS clipped,
+         CAST(sum(ccnt) AS BIGINT) AS total
+  FROM joined GROUP BY cand, source, n
+),
+pp AS (
+  SELECT cand, source, n,
+         CAST(round(CAST(clipped AS DOUBLE) / total * 1000000000)
+              AS BIGINT) AS p9
+  FROM per_pair WHERE total > 0
+),
+src AS (
+  SELECT source,
+         CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN n = 1 THEN p9 ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(sum(CASE WHEN n = 2 THEN p9 ELSE 0 END) AS BIGINT) AS s2
+  FROM pp GROUP BY source
+)
+SELECT source, c1 AS n_pairs,
+       round(CAST(s1 AS DOUBLE) / c1 / 1000000000, 6) AS mean_p1,
+       round(CAST(s2 AS DOUBLE) / NULLIF(c2, 0) / 1000000000, 6) AS mean_p2,
+       round(sqrt((CAST(s1 AS DOUBLE) / c1 / 1000000000)
+                  * (CAST(s2 AS DOUBLE) / NULLIF(c2, 0) / 1000000000)), 6)
+         AS selfbleu2
+FROM src ORDER BY source
+"""
+
+_SELFBLEU_SPARK = dict(
+    tokens="filter(split(text, ' '), t -> length(t) > 0)",
+    div="div",
+    unnest_uni="explode(toks)",
+    unnest_bi="explode(bg)",
+    bigrams=(
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1),"
+        " i -> concat(toks[i - 1], ' ', toks[i]))"
+        " ELSE array() END"
+    ),
+)
+_SELFBLEU_DUCK = dict(
+    tokens="list_filter(string_split(text, ' '), t -> length(t) > 0)",
+    div="//",
+    unnest_uni="unnest(toks)",
+    unnest_bi="unnest(bg)",
+    bigrams=(
+        "list_transform(range(2, len(toks) + 1),"
+        " i -> toks[i - 1] || ' ' || toks[i])"
+    ),
+)
+
+
+@query(
+    "llm_selfbleu_diversity",
+    "§2.23 self-BLEU diversity audit per source (bounded deterministic pairing)",
+    _SELFBLEU_SQL.format(**_SELFBLEU_DUCK),
+)
+def llm_selfbleu_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source self-BLEU (unigram + bigram modified precision,
+    BLEU-2 as their geometric mean; brevity penalty deliberately
+    omitted — neighbor docs are the same length scale and BP's exp()
+    is the one libm call the engines could disagree on, documented
+    convention) between each doc and the NEXT doc of its source —
+    the diversity gate next to llm_ngram_novelty (which asks "is new
+    data novel vs the CORPUS?"; self-BLEU asks "are docs novel vs
+    EACH OTHER?").  Bounded pairing (one pair per doc, window
+    partitions capped at 1000 rows by the doc_id-block key) replaces
+    the O(n^2) textbook sampling, so the op is scan-linear at any SF;
+    the cap and the unpaired-block-tail loss are the documented
+    convention.  Modified precision = sum_g min(c_cand, c_ref) /
+    total_cand per n; per-pair values snap to 1e-9 bigints before the
+    per-source mean.  The property test replays pairs and precisions
+    in pure python collections.Counter arithmetic.
+
+    Shape at any SF: one tokenize pass fans to per-doc n-gram counts
+    (doc_id-grain hash agg), the pair join shuffles gram rows on
+    doc_id (each doc's grams touched at most twice — once as
+    candidate, once as reference), per-pair and per-source hash aggs
+    close it.  No all-pairs stage anywhere."""
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(_SELFBLEU_SQL.format(**_SELFBLEU_SPARK))

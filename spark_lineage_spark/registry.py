@@ -379,6 +379,13 @@ _VERIFY_LAST = []
 # when the driver's per-round budget is already fully allocated above).
 # New registrations beyond the ~50-row budget go here (driver-sim
 # green required at registration time).
+# pandas_api_cut_qcut was investigated for round 13 and dropped:
+# ps.cut / ps.qcut exist in pyspark.pandas 4.1 but raise
+# PandasNotImplementedError ("The method `pd.cut()` is not
+# implemented yet"), and the binning SEMANTICS are already covered
+# by hist_equi_depth (qcut) and the width_bucket battery (cut).
+# llm_dataset_temperature_mix dropped as a duplicate of
+# llm_mixture_weights (same p^alpha reweighting, already official).
 _VERIFY_AFTER = [
     # round-13 registrations past the 50-row budget (each driver-sim
     # green at sf0.01 at registration, each with a numpy replay
@@ -391,6 +398,9 @@ _VERIFY_AFTER = [
     "ts_spectral_coherence",
     "graph_rich_club",
     "ts_page_hinkley",
+    "llm_selfbleu_diversity",
+    "stats_dunn_test",
+    "ts_dickey_fuller",
 ]
 
 

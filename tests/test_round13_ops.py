@@ -325,3 +325,123 @@ def test_page_hinkley_matches_pandas_replay(spark):
             assert pd.isna(got[col].iloc[0])
         else:
             assert pd.Timestamp(got[col].iloc[0]) == exp
+
+
+def test_selfbleu_matches_python_replay(spark):
+    from collections import Counter
+
+    got = (
+        _load_all()["llm_selfbleu_diversity"].builder(spark, SF).toPandas()
+        .sort_values("source").reset_index(drop=True)
+    )
+    d = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    d = d[d.text.notna()].sort_values("doc_id")
+    agg = {}
+    for src, grp in d.groupby("source"):
+        s1 = c1 = s2 = c2 = 0
+        ids = grp.doc_id.to_numpy()
+        texts = dict(zip(grp.doc_id, grp.text))
+        for a, b in zip(ids, ids[1:]):
+            if a // 1000 != b // 1000:
+                continue  # block boundary: unpaired tail
+            ta = [t for t in texts[a].split(" ") if t]
+            tb = [t for t in texts[b].split(" ") if t]
+            for n in (1, 2):
+                ga = Counter(
+                    " ".join(ta[i : i + n]) for i in range(len(ta) - n + 1)
+                )
+                gb = Counter(
+                    " ".join(tb[i : i + n]) for i in range(len(tb) - n + 1)
+                )
+                total = sum(ga.values())
+                if total == 0:
+                    continue
+                clipped = sum(min(c, gb[g]) for g, c in ga.items())
+                p9 = round(clipped / total * 1e9)
+                if n == 1:
+                    s1, c1 = s1 + p9, c1 + 1
+                else:
+                    s2, c2 = s2 + p9, c2 + 1
+        agg[src] = (c1, s1 / c1 / 1e9, s2 / c2 / 1e9)
+    assert got.source.tolist() == sorted(agg)
+    for _, row in got.iterrows():
+        n_pairs, p1, p2 = agg[row.source]
+        assert row.n_pairs == n_pairs
+        assert abs(row.mean_p1 - round(p1, 6)) < 1e-9
+        assert abs(row.mean_p2 - round(p2, 6)) < 1e-9
+        assert abs(row.selfbleu2 - round(np.sqrt(p1 * p2), 6)) < 1e-6
+        # overlap precisions are true fractions; bigram <= unigram
+        assert 0 <= row.mean_p2 <= row.mean_p1 <= 1
+
+
+def test_dunn_matches_numpy_replay(spark):
+    got = (
+        _load_all()["stats_dunn_test"].builder(spark, SF).toPandas()
+        .sort_values(["group_i", "group_j"]).reset_index(drop=True)
+    )
+    o = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+    g = o.o_orderpriority.str[0].astype(int).to_numpy()
+    cell = np.floor(o.o_totalprice.to_numpy() / 2500).astype(np.int64)
+    n = len(cell)
+    ranks = pd.Series(cell).rank(method="average").to_numpy()  # global midranks
+    mean_rank = {k: ranks[g == k].mean() for k in range(1, 6)}
+    ns = {k: int((g == k).sum()) for k in range(1, 6)}
+    _, tv = np.unique(cell, return_counts=True)
+    t3 = sum(round(int(t) ** 3 / 1048576) for t in tv) * 1048576
+    var_unit = n * (n + 1) / 12 - (t3 - n) / (12 * (n - 1))
+    idx = 0
+    for i in range(1, 6):
+        for j in range(i + 1, 6):
+            row = got.iloc[idx]
+            idx += 1
+            assert (row.group_i, row.group_j) == (i, j)
+            assert (row.n_i, row.n_j) == (ns[i], ns[j])
+            assert abs(row.mean_rank_i - round(mean_rank[i], 4)) < 1e-3
+            assert abs(row.mean_rank_j - round(mean_rank[j], 4)) < 1e-3
+            z = (mean_rank[i] - mean_rank[j]) / np.sqrt(
+                var_unit * (1 / ns[i] + 1 / ns[j])
+            )
+            assert abs(row.z_dunn - round(z, 4)) < 1e-3
+            assert row.reject_bonferroni_95 == int(abs(z) > 2.807)
+
+
+def test_dickey_fuller_matches_numpy_replay(spark):
+    got = _load_all()["ts_dickey_fuller"].builder(spark, SF).toPandas()
+    o = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    cents = np.round(o.o_totalprice.to_numpy() * 100).astype(np.int64)
+    daily = (
+        pd.DataFrame({"d": pd.to_datetime(o.o_orderdate), "c": cents})
+        .groupby("d")["c"].sum().sort_index()
+    )
+    # consecutive-calendar-day pairs only (sparse-series rule)
+    nxt = daily.reindex(daily.index + pd.Timedelta(days=1))
+    mask = nxt.notna().to_numpy()
+    x = daily.to_numpy()[mask].astype(float)
+    dy = (nxt.to_numpy()[mask] - daily.to_numpy()[mask]).astype(float)
+    n = len(x)
+    # textbook OLS of dy on x with intercept
+    xm, ym = x.mean(), dy.mean()
+    ssx = ((x - xm) ** 2).sum()
+    ssxy = ((x - xm) * (dy - ym)).sum()
+    ssy = ((dy - ym) ** 2).sum()
+    b = ssxy / ssx
+    se = np.sqrt(((ssy - b * ssxy) / (n - 2)) / ssx)
+    t = b / se
+    assert got.n_obs.iloc[0] == n
+    assert abs(got.b_coef.iloc[0] - round(b, 6)) < 1e-5
+    assert abs(got.rho.iloc[0] - round(b + 1, 6)) < 1e-5
+    assert abs(got.df_stat.iloc[0] - round(t, 4)) < 1e-2
+    assert got.reject_unit_root.iloc[0] == int(t < -2.86)
+    rho = b + 1
+    if 0 < rho < 1:
+        assert abs(
+            got.half_life_days.iloc[0] - round(-np.log(2) / np.log(rho), 2)
+        ) < 0.02
+    else:
+        assert pd.isna(got.half_life_days.iloc[0])

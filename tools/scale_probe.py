@@ -284,6 +284,23 @@ PROBE_QUERIES = [
     "stats_auc_pr",
     "graph_assortativity",
     "stats_tost_equivalence",
+    # round-13: map-only hash sampling; strata/domain/calendar-
+    # collapsed rank+drift stats (25-nation grid, ~240-cell price
+    # grid, day grid — all fixed while the scan grows); the 8-bin
+    # Welch coherence (O(days) fan-out); per-source self-BLEU (ngram
+    # counts + one bounded pair join, each doc's grams touched <=2x).
+    # graph_rich_club joins graph_modularity's dim-partition caveat:
+    # 10x facts densify edges, histograms stay degree-bounded.
+    "sample_hash_deterministic",
+    "stats_cmh_test",
+    "stats_jonckheere_terpstra",
+    "stats_page_trend",
+    "ts_spectral_coherence",
+    "ts_page_hinkley",
+    "llm_selfbleu_diversity",
+    "stats_dunn_test",
+    "ts_dickey_fuller",
+    "graph_rich_club",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

@@ -7406,3 +7406,225 @@ def ts_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(days) rows; 1-row finish.  100 TB costs the one fact scan."""
     register_views(spark, sf_dir, ["orders"])
     return spark.sql(_DF_SQL.format(prev="date_add(b.d, 1)"))
+
+
+# Variance-ratio test (round 13, wave 2): the Lo-MacKinlay random-
+# walk diagnostic that reads ts_dickey_fuller's question at MULTIPLE
+# horizons — under a random walk Var(q-day change) = q * Var(1-day
+# change), so VR(q) far from 1 localizes WHERE the memory lives
+# (VR < 1: mean reversion at that horizon; VR > 1: momentum), which
+# the single-horizon DF t cannot do.  Template SQL (date-shift and
+# grid-unnest spellings per engine).  Determinism: q-day changes are
+# exact cent bigints from calendar equi-joins, all moments exact
+# DECIMAL(19,0)x(19,0) product sums, VR and the homoskedastic z close
+# as fixed-order doubles per q row.  Convention (documented): each
+# horizon's changes center at their own mean (not q*mu-hat drift) and
+# the classic z uses the 1-day pair count n1.
+_VR_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_orderdate
+),
+grid AS (SELECT CAST(q0 AS BIGINT) AS q FROM (SELECT {qgrid} AS q0) g),
+diffs AS (
+  SELECT g.q, a.cents - b.cents AS x
+  FROM daily a JOIN grid g ON true JOIN daily b ON a.d = {shift}
+),
+m AS (
+  SELECT q, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sxx
+  FROM diffs GROUP BY q
+),
+base AS (
+  SELECT n AS n1,
+         (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+           / (n - 1) AS var1
+  FROM m WHERE q = 1 AND n > 1
+)
+SELECT m.q AS horizon_days, m.n AS n_pairs, b.n1 AS n_base_pairs,
+       round(b.var1 / 10000, 4) AS var_1d_dollars2,
+       round(((CAST(m.sxx AS DOUBLE)
+               - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE) / m.n)
+              / (m.n - 1)) / (m.q * b.var1), 6) AS variance_ratio,
+       round((((CAST(m.sxx AS DOUBLE)
+                - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE) / m.n)
+               / (m.n - 1)) / (m.q * b.var1) - 1)
+             / sqrt(CAST(2 AS DOUBLE) * (2 * m.q - 1) * (m.q - 1)
+                    / (3 * m.q * b.n1)), 4)
+         AS z_score,
+       CAST(CASE WHEN abs((((CAST(m.sxx AS DOUBLE)
+                - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE) / m.n)
+               / (m.n - 1)) / (m.q * b.var1) - 1)
+             / sqrt(CAST(2 AS DOUBLE) * (2 * m.q - 1) * (m.q - 1)
+                    / (3 * m.q * b.n1)))
+                      > 1.96 THEN 1 ELSE 0 END AS BIGINT)
+         AS reject_random_walk_95
+FROM m CROSS JOIN base b WHERE m.q > 1 AND m.n > 1 ORDER BY m.q
+"""
+
+
+@query(
+    "ts_variance_ratio",
+    "§2.23 Lo-MacKinlay variance-ratio test at 2/4/8/16-day horizons",
+    _VR_SQL.format(
+        qgrid="unnest([1, 2, 4, 8, 16])", shift="b.d + CAST(g.q AS INTEGER)"
+    ),
+)
+def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-ratio test on daily revenue changes — VR(q) =
+    Var(q-day change) / (q Var(1-day change)) at q in {2,4,8,16},
+    with the homoskedastic Lo-MacKinlay z = (VR-1) /
+    sqrt(2(2q-1)(q-1)/(3qn)) against +-1.96: the horizon-resolved
+    companion to ts_dickey_fuller (which tests the unit root at lag
+    1 only) and ts_hurst_exponent (whose R/S slope mixes horizons
+    into one number).  Overlapping q-day changes come from calendar
+    equi-joins (the sparse-series rule: both endpoint days must
+    exist), each horizon centers at its own mean (documented
+    simplification of the drift estimator), and every moment is an
+    exact DECIMAL product sum, so both engines agree bit-for-bit up
+    to the fixed-order double close.  Property test replays VR and z
+    per horizon in numpy.
+
+    Shape at any SF: one orders scan partial-aggs to the calendar-
+    bounded daily table; the grid join fans O(days * 5) rows into a
+    5-row moment agg; 4-row finish.  100 TB costs the one fact
+    scan."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        _VR_SQL.format(
+            qgrid="explode(array(1, 2, 4, 8, 16))",
+            shift="date_add(b.d, CAST(g.q AS INT))",
+        )
+    )
+
+
+# Sign test (round 13, wave 2): the EXACT paired-comparison test with
+# the weakest assumptions on the shelf — pairs are (weekday mean,
+# weekend mean) within each ISO-ish week, the statistic is just how
+# many weeks the weekday side won, and the null is an exact
+# binomial(n, 1/2) tail computed on the stats_fisher_exact
+# log-factorial spine (no normal approximation anywhere — unlike
+# stats_wilcoxon_signed_rank, which uses magnitudes AND a z close).
+# The week key floor((epoch_day + 3)/7) aligns Monday; comparisons
+# between weekly means are exact cross-multiplied integer products
+# (s_wd * n_we vs s_we * n_wd), so a tie is exact and dropped per the
+# textbook.  Template SQL (series-generator and epoch-day spellings
+# per engine); the spine/tail windows accumulate left-to-right
+# identically in both engines (the Fisher precedent).
+_SIGN_BODY = """
+spine AS (
+  SELECT i.i,
+         sum(CASE WHEN i.i < 2 THEN CAST(0 AS DOUBLE)
+                  ELSE ln(CAST(i.i AS DOUBLE)) END)
+           OVER (ORDER BY i.i) AS lnf
+  FROM ints i
+),
+terms AS (
+  SELECT ks.k, ct.n, ct.k_pos, ct.k_neg,
+         (SELECT lnf FROM spine WHERE spine.i = ct.n)
+         - (SELECT lnf FROM spine WHERE spine.i = ks.k)
+         - (SELECT lnf FROM spine WHERE spine.i = ct.n - ks.k)
+         - ct.n * 0.6931471805599453 AS lnp
+  FROM ks CROSS JOIN ct
+),
+acc AS (
+  SELECT k, n, k_pos, k_neg,
+         sum(exp(lnp)) OVER (ORDER BY k) AS cump
+  FROM terms
+)
+SELECT n AS n_weeks, k_pos AS n_weekday_higher, k_neg AS n_weekend_higher,
+       round(least(CAST(1 AS DOUBLE), 2 * cump), 6) AS p_two_sided,
+       CAST(CASE WHEN 2 * cump < 0.05 THEN 1 ELSE 0 END AS BIGINT)
+         AS reject_95
+FROM acc WHERE k = least(k_pos, k_neg)
+"""
+
+_SIGN_HEAD = """
+WITH daily0 AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_orderdate
+),
+daily AS (
+  SELECT d, cents,
+         CASE WHEN ({dow}) IN (2, 3) THEN 1 ELSE 0 END AS wknd,
+         ({ed} + 3) {div} 7 AS wk
+  FROM daily0
+),
+wkagg AS (
+  SELECT wk,
+         CAST(sum(CASE WHEN wknd = 0 THEN CAST(cents AS DECIMAL(19,0)) END)
+              AS DECIMAL(19,0)) AS s_wd,
+         CAST(sum(CASE WHEN wknd = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_wd,
+         CAST(sum(CASE WHEN wknd = 1 THEN CAST(cents AS DECIMAL(19,0)) END)
+              AS DECIMAL(19,0)) AS s_we,
+         CAST(sum(CASE WHEN wknd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_we
+  FROM daily GROUP BY wk
+),
+signs AS (
+  SELECT CASE WHEN s_wd * n_we > s_we * n_wd THEN 1 ELSE 0 END AS pos,
+         CASE WHEN s_wd * n_we < s_we * n_wd THEN 1 ELSE 0 END AS neg
+  FROM wkagg
+  WHERE n_wd > 0 AND n_we > 0 AND s_wd * n_we <> s_we * n_wd
+),
+ct AS (
+  SELECT CAST(sum(pos) AS BIGINT) AS k_pos,
+         CAST(sum(neg) AS BIGINT) AS k_neg,
+         CAST(count(*) AS BIGINT) AS n
+  FROM signs
+),
+"""
+
+
+@query(
+    "stats_sign_test",
+    "§2.23 exact sign test: weekday-vs-weekend weekly means, binomial tail",
+    _SIGN_HEAD.format(
+        dow="(d - DATE '1970-01-01') % 7",
+        ed="(d - DATE '1970-01-01')",
+        div="//",
+    )
+    + """
+ints AS (SELECT unnest(generate_series(0, (SELECT n FROM ct))) AS i),
+ks AS (SELECT unnest(generate_series(0,
+         (SELECT least(k_pos, k_neg) FROM ct))) AS k),
+"""
+    + _SIGN_BODY,
+)
+def stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sign test — does the weekday side of a week out-earn its
+    weekend side more often than a fair coin?  The
+    assumption-minimal member of the paired family (Wilcoxon
+    signed-rank needs symmetric differences and closes with a z; the
+    sign test needs only exchangeability and its p is the EXACT
+    binomial(n, 1/2) tail, doubled for two sides and capped at 1).
+    Weekly means never materialize as doubles: the comparison
+    cross-multiplies exact integer sums, ties are exact and dropped
+    (documented), and the binomial tail runs on the Fisher-exact
+    log-factorial spine with ordered-window accumulation — the same
+    left-to-right double sequence in both engines.  Property test
+    replays signs and the tail with python integers and math.lgamma.
+
+    Shape at any SF: one orders scan to the calendar-bounded daily
+    table, a ~340-row week agg, then O(weeks) spine/tail windows on
+    metadata-scale tables."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        _SIGN_HEAD.format(
+            dow="datediff(d, DATE '1970-01-01') % 7",
+            ed="datediff(d, DATE '1970-01-01')",
+            div="div",
+        )
+        + """
+ints AS (SELECT explode(sequence(0,
+           CAST((SELECT n FROM ct) AS INT))) AS i),
+ks AS (SELECT explode(sequence(0,
+         CAST((SELECT least(k_pos, k_neg) FROM ct) AS INT))) AS k),
+"""
+        + _SIGN_BODY
+    )

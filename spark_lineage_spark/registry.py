@@ -401,6 +401,8 @@ _VERIFY_AFTER = [
     "llm_selfbleu_diversity",
     "stats_dunn_test",
     "ts_dickey_fuller",
+    "ts_variance_ratio",
+    "stats_sign_test",
 ]
 
 

@@ -445,3 +445,88 @@ def test_dickey_fuller_matches_numpy_replay(spark):
         ) < 0.02
     else:
         assert pd.isna(got.half_life_days.iloc[0])
+
+
+def test_variance_ratio_matches_numpy_replay(spark):
+    got = (
+        _load_all()["ts_variance_ratio"].builder(spark, SF).toPandas()
+        .sort_values("horizon_days").reset_index(drop=True)
+    )
+    o = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    cents = np.round(o.o_totalprice.to_numpy() * 100).astype(np.int64)
+    daily = (
+        pd.DataFrame({"d": pd.to_datetime(o.o_orderdate), "c": cents})
+        .groupby("d")["c"].sum().sort_index()
+    )
+
+    def moments(q):
+        shifted = daily.reindex(daily.index + pd.Timedelta(days=q))
+        mask = shifted.notna().to_numpy()
+        x = (shifted.to_numpy()[mask] - daily.to_numpy()[mask]).astype(float)
+        return len(x), x
+
+    n1, x1 = moments(1)
+    var1 = x1.var(ddof=1)
+    assert got.horizon_days.tolist() == [2, 4, 8, 16]
+    for _, row in got.iterrows():
+        q = int(row.horizon_days)
+        nq, xq = moments(q)
+        vr = xq.var(ddof=1) / (q * var1)
+        z = (vr - 1) / np.sqrt(2 * (2 * q - 1) * (q - 1) / (3 * q * n1))
+        assert row.n_pairs == nq and row.n_base_pairs == n1
+        assert abs(row.variance_ratio - round(vr, 6)) < 1e-5, q
+        assert abs(row.z_score - round(z, 4)) < 1e-2, q
+        assert row.reject_random_walk_95 == int(abs(z) > 1.96)
+    # independent daily shocks: VR must FALL with horizon (mean reversion
+    # of the level series), and the fixture pins strong rejection
+    assert (got.variance_ratio.diff().dropna() < 0).all()
+
+
+def test_sign_test_matches_python_replay(spark):
+    import math
+
+    got = _load_all()["stats_sign_test"].builder(spark, SF).toPandas()
+    o = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    cents = np.round(o.o_totalprice.to_numpy() * 100).astype(np.int64)
+    d = pd.to_datetime(o.o_orderdate)
+    ed = (d - pd.Timestamp("1970-01-01")).dt.days.to_numpy()
+    daily = (
+        pd.DataFrame({"ed": ed, "c": cents}).groupby("ed")["c"].sum()
+    )
+    k_pos = k_neg = 0
+    weeks = pd.DataFrame({
+        "ed": daily.index,
+        "c": daily.to_numpy(),
+        "wk": (daily.index + 3) // 7,
+        "wknd": np.isin(daily.index % 7, [2, 3]),
+    })
+    for _, grp in weeks.groupby("wk"):
+        wd, we = grp[~grp.wknd], grp[grp.wknd]
+        if len(wd) == 0 or len(we) == 0:
+            continue
+        lhs = int(wd.c.sum()) * len(we)
+        rhs = int(we.c.sum()) * len(wd)
+        if lhs > rhs:
+            k_pos += 1
+        elif lhs < rhs:
+            k_neg += 1
+    n = k_pos + k_neg
+    kmin = min(k_pos, k_neg)
+    # exact binomial(n, 1/2) lower tail via lgamma
+    tail = sum(
+        math.exp(
+            math.lgamma(n + 1) - math.lgamma(i + 1) - math.lgamma(n - i + 1)
+            - n * math.log(2)
+        )
+        for i in range(kmin + 1)
+    )
+    p2 = min(1.0, 2 * tail)
+    assert got.n_weeks.iloc[0] == n
+    assert got.n_weekday_higher.iloc[0] == k_pos
+    assert got.n_weekend_higher.iloc[0] == k_neg
+    assert abs(got.p_two_sided.iloc[0] - round(p2, 6)) < 1e-4
+    assert got.reject_95.iloc[0] == int(2 * tail < 0.05)

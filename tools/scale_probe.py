@@ -301,6 +301,10 @@ PROBE_QUERIES = [
     "stats_dunn_test",
     "ts_dickey_fuller",
     "graph_rich_club",
+    # round-13 wave 2: both collapse to the calendar-bounded daily
+    # table (5-row moment agg / week grid + O(weeks) spine windows).
+    "ts_variance_ratio",
+    "stats_sign_test",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

@@ -1333,3 +1333,43 @@ def test_heaps_fit_shuffles_on_docid_and_shingle_only(spark):
     assert parts and set(parts) <= {
         "doc_id", "w", "bucket", "fb", "_groupingexpression"
     }, (parts, p[:2500])
+
+
+def test_selfbleu_pair_join_keys_on_docid_and_gram(spark):
+    """Self-BLEU: the candidate/reference n-gram joins co-partition on
+    doc_id(+gram) and the aggregates key on pair/source grain — no
+    corpus-wide cartesian anywhere (the bounded pairing is a lead
+    window over (source, doc_id-block) partitions, never a pair
+    blow-up), and every window partitions on bounded keys."""
+    import re as _re
+
+    from spark_lineage_spark.operators.text import llm_selfbleu_diversity
+
+    p = plan_str(llm_selfbleu_diversity(spark, SF))
+    assert "CartesianProduct" not in p, p[:3000]
+    parts = _re.findall(r"Arguments: hashpartitioning\((\w+)", p)
+    assert parts and set(parts) <= {
+        "doc_id", "cand", "ref", "source", "g", "n", "wk",
+        "_groupingexpression",
+    }, (parts, p[:2500])
+
+
+def test_jonckheere_windows_run_on_cell_domain(spark):
+    """Jonckheere-Terpstra (and Dunn, same chassis): the corpus
+    contributes exactly one exchange — the partial-agg onto the
+    ~240-cell price grid — and every Window sits above that grid
+    aggregate (no corpus-wide sort)."""
+    import re as _re
+
+    from spark_lineage_spark.operators.analytics import (
+        stats_jonckheere_terpstra,
+    )
+
+    p = plan_str(stats_jonckheere_terpstra(spark, SF))
+    ops = _re.findall(r"^\(\d+\) (\w+)", p, _re.M)
+    assert "Window" in ops, ops
+    parts = _re.findall(r"Arguments: hashpartitioning\((\w+)", p)
+    assert parts and set(parts) <= {"cell", "_groupingexpression"}, (
+        parts,
+        p[:2500],
+    )

@@ -819,13 +819,17 @@ MIX_BUDGET_FRAC = 0.5  # sample budget = half the corpus
     "llm_mixture_weights",
     "§2.11 temperature-based source mixture reweighting",
     f"""
-    WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
-    t AS (SELECT sum(pow(n_docs, {MIX_ALPHA})) AS z, sum(n_docs) AS total FROM s)
+    WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(round(sqrt(count(*)) * 1000000000) AS BIGINT) AS s9
+               FROM documents GROUP BY source),
+    t AS (SELECT CAST(sum(s9) AS BIGINT) AS z9,
+                 CAST(sum(n_docs) AS BIGINT) AS total FROM s)
     SELECT source, n_docs,
-           round(pow(n_docs, {MIX_ALPHA}) / z, 6) AS weight,
-           round(least(1.0, pow(n_docs, {MIX_ALPHA}) / z * total
+           round(CAST(s9 AS DOUBLE) / z9, 6) AS weight,
+           round(least(CAST(1 AS DOUBLE), CAST(s9 AS DOUBLE) / z9 * total
                  * {MIX_BUDGET_FRAC} / n_docs), 6) AS sample_rate,
-           CAST(floor(n_docs * least(1.0, pow(n_docs, {MIX_ALPHA}) / z * total
+           CAST(floor(n_docs * least(CAST(1 AS DOUBLE),
+                 CAST(s9 AS DOUBLE) / z9 * total
                  * {MIX_BUDGET_FRAC} / n_docs)) AS BIGINT) AS expected_docs
     FROM s CROSS JOIN t
     """,
@@ -837,25 +841,39 @@ def llm_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate = target share × budget / current share, capped at 1 (no
     upsampling here — rates feed a downstream bernoulli sample).
 
+    Determinism (hardened round 13 — the 10x oracle sweep caught
+    expected_docs flipping at sf0.1): n^alpha at alpha=0.5 is sqrt(),
+    which IEEE-754 requires to be EXACTLY rounded (pow(n, 0.5) is
+    libm and drifts a ulp between engines, enough to flip the floor
+    at a count boundary); each per-source sqrt then snaps to a
+    1e-9-grain bigint so the normalizer is an exact integer sum
+    (hash-agg order-free) and every downstream double derives from
+    identical integers in both engines — the floor cannot straddle.
+
     Shape: one groupBy(source) — 20 partial-agg'd rows — crossJoined
     with a broadcast single-row total (same in-plan-N pattern as
     TF-IDF: no driver-side count, the whole thing stays one lazy
     plan)."""
     d = load(spark, sf_dir, "documents")
-    s = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    s = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    ).withColumn(
+        "s9", F.round(F.sqrt("n_docs") * 1_000_000_000).cast("bigint")
+    )
     t = s.agg(
-        F.sum(F.pow("n_docs", MIX_ALPHA)).alias("z"),
-        F.sum("n_docs").alias("total"),
+        F.sum("s9").cast("bigint").alias("z9"),
+        F.sum("n_docs").cast("bigint").alias("total"),
     )
     j = s.crossJoin(F.broadcast(t))
+    weight = F.col("s9").cast("double") / F.col("z9")
     rate = F.least(
         F.lit(1.0),
-        F.pow("n_docs", MIX_ALPHA) / F.col("z") * F.col("total") * MIX_BUDGET_FRAC / F.col("n_docs"),
+        weight * F.col("total") * MIX_BUDGET_FRAC / F.col("n_docs"),
     )
     return j.select(
         "source",
         "n_docs",
-        F.round(F.pow("n_docs", MIX_ALPHA) / F.col("z"), 6).alias("weight"),
+        F.round(weight, 6).alias("weight"),
         F.round(rate, 6).alias("sample_rate"),
         F.floor(F.col("n_docs") * rate).cast("bigint").alias("expected_docs"),
     )

@@ -129,7 +129,7 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "llm_bigram_pmi", "llm_pii_redact", "llm_quality_classifier",
     "llm_doc_length_histogram", "llm_chunk_documents", "llm_pack_sequences",
     "llm_split_train_val_test", "llm_sample_per_group",
-    "llm_interleave_sources", "llm_mixture_weights", "llm_source_datacard",
+    "llm_interleave_sources", "llm_source_datacard",
     "llm_pipeline_end_to_end", "llm_knn_cosine_exact",
     "llm_knn_cosine_pandas", "llm_embedding_centroids",
     "llm_embedding_quantize_calib", "llm_cluster_assign",
@@ -403,6 +403,11 @@ _VERIFY_AFTER = [
     "ts_dickey_fuller",
     "ts_variance_ratio",
     "stats_sign_test",
+    # changed implementation (round-13 10x-sweep hardening: pow(n,.5)
+    # -> snapped IEEE-exact sqrt; expected_docs flipped at sf0.1), so
+    # its round-5 official row describes the old arithmetic — budget
+    # full this round, re-verifies round 14 (the round-6 precedent)
+    "llm_mixture_weights",
 ]
 
 

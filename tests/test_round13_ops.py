@@ -530,3 +530,29 @@ def test_sign_test_matches_python_replay(spark):
     assert got.n_weekend_higher.iloc[0] == k_neg
     assert abs(got.p_two_sided.iloc[0] - round(p2, 6)) < 1e-4
     assert got.reject_95.iloc[0] == int(2 * tail < 0.05)
+
+
+def test_mixture_weights_sqrt_snap_replay(spark):
+    """Round-13 hardening replay: the temperature weights must equal
+    the 1e-9-snapped-sqrt chassis exactly (pow(n, 0.5) drifted a ulp
+    between engines at sf0.1 and flipped floor(expected_docs))."""
+    got = (
+        _load_all()["llm_mixture_weights"].builder(spark, SF).toPandas()
+        .sort_values("source").reset_index(drop=True)
+    )
+    d = pd.read_parquet(f"{SF}/documents.parquet", columns=["source"])
+    counts = d.source.value_counts().sort_index()
+    s9 = {src: round(np.sqrt(n) * 1e9) for src, n in counts.items()}
+    z9, total = sum(s9.values()), int(counts.sum())
+    for _, row in got.iterrows():
+        n = counts[row.source]
+        w = s9[row.source] / z9
+        rate = min(1.0, w * total * 0.5 / n)
+        assert row.n_docs == n
+        assert abs(row.weight - round(w, 6)) < 1e-9
+        assert abs(row.sample_rate - round(rate, 6)) < 1e-9
+        assert row.expected_docs == int(np.floor(n * rate))
+    # the alpha temperature upweights small sources: sample_rate is
+    # (weakly) decreasing in source size
+    m = got.sort_values("n_docs")
+    assert (m.sample_rate.diff().dropna() <= 1e-12).all()

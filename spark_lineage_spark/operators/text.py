@@ -5147,10 +5147,106 @@ def llm_selfbleu_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source mean.  The property test replays pairs and precisions
     in pure python collections.Counter arithmetic.
 
-    Shape at any SF: one tokenize pass fans to per-doc n-gram counts
-    (doc_id-grain hash agg), the pair join shuffles gram rows on
-    doc_id (each doc's grams touched at most twice — once as
-    candidate, once as reference), per-pair and per-source hash aggs
-    close it.  No all-pairs stage anywhere."""
-    register_views(spark, sf_dir, ["documents"])
-    return spark.sql(_SELFBLEU_SQL.format(**_SELFBLEU_SPARK))
+    Shape at any SF: ONE tokenize pass builds the per-doc n-gram
+    count table, which is CHECKPOINTED (the _shingle_index staging
+    discipline) because the pair join consumes it twice (candidate
+    and reference side) — the SQL form re-tokenized the corpus up to
+    four times and was the single most expensive registry query
+    (8.3 s at sf0.1, AUDIT round 13) before this rewrite; the gram
+    join shuffles on doc_id(+gram), each doc's grams touched at most
+    twice, per-pair and per-source hash aggs close it.  No all-pairs
+    stage anywhere.  Arithmetic is identical to the shared oracle SQL
+    (exact counts, 1e-9-snapped per-pair precisions)."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.expr("filter(split(text, ' '), t -> length(t) > 0)").alias(
+                "toks"
+            ),
+        )
+    )
+    uni = (
+        d.select("doc_id", F.explode("toks").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn("n", F.lit(1))
+    )
+    bi = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(toks) >= 2 THEN"
+                    " transform(sequence(1, size(toks) - 1),"
+                    " i -> concat(toks[i - 1], ' ', toks[i]))"
+                    " ELSE array() END"
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn("n", F.lit(2))
+    )
+    grams = uni.unionByName(bi).transform(lineage_checkpoint_lazy)
+    w = Window.partitionBy("source", F.expr("doc_id div 1000")).orderBy(
+        "doc_id"
+    )
+    pairs = (
+        d.select(
+            F.col("doc_id").alias("cand"),
+            "source",
+            F.lead("doc_id").over(w).alias("ref"),
+        )
+        .filter(F.col("ref").isNotNull())
+    )
+    c = grams.select(
+        F.col("doc_id").alias("cand"), "g", "n", F.col("cnt").alias("ccnt")
+    )
+    r = grams.select(
+        F.col("doc_id").alias("ref"), "g", "n", F.col("cnt").alias("rcnt")
+    )
+    joined = (
+        pairs.join(c, "cand")
+        .join(r, ["ref", "g", "n"], "left")
+        .select(
+            "cand",
+            "source",
+            "n",
+            "ccnt",
+            F.coalesce("rcnt", F.lit(0)).alias("rcnt"),
+        )
+    )
+    per_pair = joined.groupBy("cand", "source", "n").agg(
+        F.sum(F.least("ccnt", "rcnt")).cast("bigint").alias("clipped"),
+        F.sum("ccnt").cast("bigint").alias("total"),
+    )
+    pp = per_pair.filter(F.col("total") > 0).select(
+        "cand",
+        "source",
+        "n",
+        F.round(F.col("clipped").cast("double") / F.col("total") * 1e9)
+        .cast("bigint")
+        .alias("p9"),
+    )
+    src = pp.groupBy("source").agg(
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("bigint").alias("c1"),
+        F.sum(F.when(F.col("n") == 1, F.col("p9")).otherwise(0))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(F.when(F.col("n") == 2, 1).otherwise(0)).cast("bigint").alias("c2"),
+        F.sum(F.when(F.col("n") == 2, F.col("p9")).otherwise(0))
+        .cast("bigint")
+        .alias("s2"),
+    )
+    mean1 = F.col("s1").cast("double") / F.col("c1") / 1e9
+    mean2 = F.col("s2").cast("double") / F.nullif(F.col("c2"), F.lit(0)) / 1e9
+    return src.select(
+        "source",
+        F.col("c1").alias("n_pairs"),
+        F.round(mean1, 6).alias("mean_p1"),
+        F.round(mean2, 6).alias("mean_p2"),
+        F.round(F.sqrt(mean1 * mean2), 6).alias("selfbleu2"),
+    ).orderBy("source")

@@ -7628,3 +7628,189 @@ ks AS (SELECT explode(sequence(0,
 """
         + _SIGN_BODY
     )
+
+
+# Chatterjee's xi (round 13, wave 3): the modern rank correlation
+# that detects ARBITRARY (non-monotone) dependence — Pearson/Spearman
+#/Kendall (all shipped) are blind to a V-shaped or periodic relation;
+# xi -> 1 iff y is a measurable function of x, and it is deliberately
+# ASYMMETRIC (xi(y|x) != xi(x|y)), so both directions are reported.
+# Ties convention: the ties-general estimator (Chatterjee 2020 eq. 2)
+# with a deterministic x-tie-break (order by (x, d)) — documented;
+# the estimator is insensitive to the break asymptotically and the
+# break makes both engines see the identical permutation.  One shared
+# SQL text.  Determinism: ranks r_i = #{y_j <= y_i} and l_i =
+# #{y_j >= y_i} are exact integer window counts, the |delta-r| sum
+# and the l(n-l) sum are exact bigints, and xi closes as one double
+# division; the null z uses the no-tie asymptotic Var = 2/5
+# (documented normal approximation).
+_XI_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS x,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+ranks AS (
+  SELECT d, x, y,
+         CAST(count(*) OVER (ORDER BY {yc} RANGE BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS r,
+         CAST(count(*) OVER (ORDER BY {yc} DESC RANGE BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS BIGINT) AS l
+  FROM daily
+),
+ranked AS (
+  SELECT d, r, l, lead(r) OVER (ORDER BY {xc}, d) AS r_next
+  FROM ranks
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(abs(r_next - r)) AS BIGINT) AS sum_dr,
+         CAST(sum(CAST(l AS DECIMAL(19,0))
+                  * CAST((SELECT count(*) FROM daily) - l AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sum_ln
+  FROM ranked
+)
+SELECT '{label}' AS direction, n AS n_days,
+       round(1 - n * CAST(sum_dr AS DOUBLE) / 2 / CAST(sum_ln AS DOUBLE), 6)
+         AS xi,
+       round((1 - n * CAST(sum_dr AS DOUBLE) / 2 / CAST(sum_ln AS DOUBLE))
+             * sqrt(CAST(n AS DOUBLE)) / sqrt(CAST(2 AS DOUBLE) / 5), 4)
+         AS z_score,
+       CAST(CASE WHEN (1 - n * CAST(sum_dr AS DOUBLE) / 2
+                         / CAST(sum_ln AS DOUBLE))
+                      * sqrt(CAST(n AS DOUBLE)) / sqrt(CAST(2 AS DOUBLE) / 5)
+                      > 1.6449 THEN 1 ELSE 0 END AS BIGINT) AS dependent_95
+FROM s
+"""
+
+
+def _xi_sql(direction: str) -> str:
+    if direction == "revenue_on_count":
+        return _XI_SQL.format(xc="x", yc="y", label=direction)
+    return _XI_SQL.format(xc="y", yc="x", label=direction)
+
+
+@query(
+    "stats_xi_correlation",
+    "§2.23 Chatterjee's xi: functional-dependence rank correlation, both directions",
+    "SELECT * FROM (\n" + _xi_sql("revenue_on_count")
+    + "\n) a UNION ALL SELECT * FROM (\n" + _xi_sql("count_on_revenue")
+    + "\n) b ORDER BY direction",
+)
+def stats_xi_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chatterjee's xi on the daily (order count, revenue) pair — the
+    dependence detector the shipped Pearson/Spearman/Kendall trio
+    cannot be: xi_n = 1 - n sum|r_{i+1} - r_i| / (2 sum l_i(n - l_i))
+    with y-ranks walked in x-order, which approaches 1 iff y is a
+    measurable FUNCTION of x (monotone or not) and 0 under
+    independence; reported in both directions because the asymmetry
+    is informative (revenue is nearly a function of count, count is
+    less determined by revenue).  One-sided null z = xi sqrt(n)/
+    sqrt(2/5) (no-tie asymptotic variance, documented).  All ranks
+    and both sums are exact integers; one double division per
+    direction; deterministic (x, d) tie-break pins the permutation in
+    both engines.  numpy replay property test pins both directions.
+
+    Shape at any SF: one orders scan partial-aggs to the
+    calendar-bounded daily table; the rank windows and the x-order
+    walk are single-partition over O(days) rows (SF-free count);
+    1-row close per direction."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        "SELECT * FROM (\n" + _xi_sql("revenue_on_count")
+        + "\n) a UNION ALL SELECT * FROM (\n" + _xi_sql("count_on_revenue")
+        + "\n) b ORDER BY direction"
+    )
+
+
+# Sample entropy (round 13, wave 3): the regularity statistic of the
+# physiological-signals literature (Richman & Moorman 2000) — "how
+# often does a 2-day pattern that matched within tolerance STAY
+# matched on the 3rd day?"  SampEn = -ln(A/B) with B the count of
+# m=2 template pairs within r and A the m=3 count; low SampEn =
+# self-similar/regular series, high = irregular.  Complements
+# ts_ljung_box (linear autocorrelation) and llm_ngram_entropy_rate
+# (symbolic): SampEn sees NONLINEAR regularity at a tolerance scale.
+# Convention (documented): the observed day sequence is used as-is
+# (gap days make adjacent observations — standard practice for
+# sparse physiological series), r = round(0.2 sigma) in exact cents,
+# self-matches excluded via i < j.  One shared SQL text.
+# Determinism: the tolerance derives from exact DECIMAL moments
+# through an IEEE-exact sqrt and one promote-to-double multiply, so
+# both engines compare the same integer threshold; A and B are exact
+# integer counts; ln is the single closing libm call (rounded 6, the
+# ts_dickey_fuller half-life convention).
+_SAMPEN_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+seq AS (SELECT row_number() OVER (ORDER BY d) AS i, cents AS y FROM daily),
+t AS (
+  SELECT i, y,
+         lead(y, 1) OVER (ORDER BY i) AS y1,
+         lead(y, 2) OVER (ORDER BY i) AS y2
+  FROM seq
+),
+calib AS (
+  SELECT CAST(cnt AS BIGINT) AS n,
+         CAST(round(0.2 * sqrt((sq - sm * sm / cnt) / (cnt - 1)))
+              AS BIGINT) AS r
+  FROM (
+    SELECT CAST(count(*) AS BIGINT) AS cnt,
+           CAST(CAST(sum(CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0))
+                AS DOUBLE) AS sm,
+           CAST(CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                     AS DECIMAL(38,0)) AS DOUBLE) AS sq
+    FROM seq
+  ) z
+),
+bcnt AS (
+  SELECT CAST(count(*) AS BIGINT) AS b
+  FROM t ta JOIN t tb ON ta.i < tb.i CROSS JOIN calib c
+  WHERE ta.y1 IS NOT NULL AND tb.y1 IS NOT NULL
+    AND abs(ta.y - tb.y) <= c.r AND abs(ta.y1 - tb.y1) <= c.r
+),
+acnt AS (
+  SELECT CAST(count(*) AS BIGINT) AS a
+  FROM t ta JOIN t tb ON ta.i < tb.i CROSS JOIN calib c
+  WHERE ta.y2 IS NOT NULL AND tb.y2 IS NOT NULL
+    AND abs(ta.y - tb.y) <= c.r AND abs(ta.y1 - tb.y1) <= c.r
+    AND abs(ta.y2 - tb.y2) <= c.r
+)
+SELECT c.n AS n_days, c.r AS tolerance_cents,
+       b.b AS n_matches_m2, a.a AS n_matches_m3,
+       CASE WHEN a.a > 0 AND b.b > 0
+            THEN round(0 - ln(CAST(a.a AS DOUBLE) / b.b), 6)
+       END AS sample_entropy
+FROM calib c CROSS JOIN bcnt b CROSS JOIN acnt a
+"""
+
+
+@query(
+    "ts_sample_entropy",
+    "§2.23 sample entropy (m=2, r=0.2 sigma) of the daily revenue series",
+    _SAMPEN_SQL,
+)
+def ts_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SampEn(m=2, r=0.2 sigma) on daily revenue — the nonlinear
+    regularity probe beside the linear ts_ljung_box: count template
+    pairs whose 2-day patterns agree within r cents (B), count how
+    many stay within r on the third day (A), and report -ln(A/B);
+    a white-noise-like series lands near ln(B/A) of the tolerance
+    geometry, a repeating regime pushes it toward 0.  The tolerance
+    is an exact integer threshold derived once (IEEE-exact sqrt of
+    exact DECIMAL moments), so every pair comparison is integer
+    arithmetic in both engines; A/B are exact counts and ln is the
+    one closing libm call.  numpy full-pair replay property test.
+
+    Shape at any SF: one orders scan partial-aggs to the
+    calendar-bounded daily table (SF-free row count); the template
+    self-join is days^2-bounded (~2.9M comparisons at 2400 days — the
+    stats_hodges_lehmann days^2 justification) and never touches the
+    corpus; 1-row close."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_SAMPEN_SQL)

@@ -5250,3 +5250,109 @@ def llm_selfbleu_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean2, 6).alias("mean_p2"),
         F.round(F.sqrt(mean1 * mean2), 6).alias("selfbleu2"),
     ).orderBy("source")
+
+
+# Watermark detection (round 13, wave 3): the Kirchenbauer-style
+# green-list z-test — a model watermarks generations by boosting a
+# pseudorandom "green" quarter of the vocabulary seeded on the
+# previous token; the detector recomputes each bigram's green bit
+# from the SAME keyed hash and z-tests the doc's green fraction
+# against gamma.  A training-data pipeline runs exactly this audit to
+# keep (its own or others') synthetic generations out of the crawl.
+# The fixture is unwatermarked, so the null behavior is the claim
+# under test: per-source mean z ~ 0 and zero detections at the
+# paper's z > 4 threshold — the replay property test pins both.
+# Template SQL (tokenizer/unnest/md5-uniform spellings per engine).
+# Determinism: the green bit is the md5 idiom (identical bits in both
+# engines), T and g are exact integers, each per-doc z is a closed
+# double over exact integers snapped to 1e-6 before the source mean.
+_WATERMARK_GAMMA = 0.25
+_WATERMARK_SQL = """
+WITH docs AS (
+  SELECT doc_id, source, {tokens} AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+bigrams AS (
+  SELECT doc_id, source, g
+  FROM (SELECT doc_id, source, {unnest_bi} AS g
+        FROM (SELECT doc_id, source, {bigram_arr} AS bg FROM docs) b) x
+),
+flags AS (
+  SELECT doc_id, source,
+         CASE WHEN {u} < 0.25 THEN 1 ELSE 0 END AS green
+  FROM bigrams
+),
+per_doc AS (
+  SELECT doc_id, source,
+         CAST(count(*) AS BIGINT) AS t,
+         CAST(sum(green) AS BIGINT) AS g
+  FROM flags GROUP BY doc_id, source
+),
+z AS (
+  SELECT doc_id, source, t, g,
+         (g - 0.25 * t) / sqrt(t * CAST(0.1875 AS DOUBLE)) AS zval
+  FROM per_doc WHERE t > 0
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(CAST(round(zval * 1000000) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1000000, 6) AS mean_z,
+       round(max(zval), 4) AS max_z,
+       round(CAST(sum(g) AS DOUBLE) / sum(t), 6) AS green_fraction,
+       CAST(sum(CASE WHEN zval > 4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_detected
+FROM z GROUP BY source ORDER BY source
+"""
+
+_WATERMARK_SPARK = dict(
+    tokens="filter(split(text, ' '), t -> length(t) > 0)",
+    unnest_bi="explode(bg)",
+    bigram_arr=(
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1),"
+        " i -> concat(toks[i - 1], '_', toks[i]))"
+        " ELSE array() END"
+    ),
+    u=(
+        "CAST(conv(substring(md5(CAST(concat('wm_', g) AS BINARY)), 1, 15),"
+        " 16, 10) AS DOUBLE) / 1152921504606846976"
+    ),
+)
+_WATERMARK_DUCK = dict(
+    tokens="list_filter(string_split(text, ' '), t -> length(t) > 0)",
+    unnest_bi="unnest(bg)",
+    bigram_arr=(
+        "list_transform(range(2, len(toks) + 1),"
+        " i -> toks[i - 1] || '_' || toks[i])"
+    ),
+    u=(
+        "CAST(CAST(concat('0x', substr(md5(concat('wm_', g)), 1, 15))"
+        " AS BIGINT) AS DOUBLE) / 1152921504606846976"
+    ),
+)
+
+
+@query(
+    "llm_watermark_detect",
+    "§2.23 green-list watermark z-test per source (null pinned on clean data)",
+    _WATERMARK_SQL.format(**_WATERMARK_DUCK),
+)
+def llm_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Green-list watermark detection over the corpus — for each doc,
+    recompute the keyed green bit of every (prev, token) bigram
+    (green iff hash-uniform('wm_' || prev || '_' || tok) < gamma =
+    0.25, the stats_bootstrap_ci md5 idiom so both engines see
+    identical bits), then z = (g - gamma T)/sqrt(T gamma(1-gamma))
+    per doc and per-source aggregates: mean z (1e-6-snapped before
+    the mean), max z, pooled green fraction, and detections at the
+    z > 4 paper threshold.  On this unwatermarked fixture the test's
+    NULL behavior is what's pinned: green_fraction ~ 0.25, mean z ~
+    0, n_detected = 0 — the audit a pretraining pipeline runs to keep
+    synthetic generations out of the crawl (complement to
+    llm_decontaminate_benchmark, which screens known EVAL text rather
+    than generator fingerprints).
+
+    Shape at any SF: one tokenize pass explodes to bigram rows (the
+    llm_bigram_pmi shuffle shape), doc-grain hash agg, |sources|-row
+    finish.  Map-side md5 per bigram in codegen; no join at all."""
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(_WATERMARK_SQL.format(**_WATERMARK_SPARK))

@@ -403,6 +403,9 @@ _VERIFY_AFTER = [
     "ts_dickey_fuller",
     "ts_variance_ratio",
     "stats_sign_test",
+    "stats_xi_correlation",
+    "ts_sample_entropy",
+    "llm_watermark_detect",
     # changed implementation (round-13 10x-sweep hardening: pow(n,.5)
     # -> snapped IEEE-exact sqrt; expected_docs flipped at sf0.1), so
     # its round-5 official row describes the old arithmetic — budget

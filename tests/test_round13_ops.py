@@ -556,3 +556,120 @@ def test_mixture_weights_sqrt_snap_replay(spark):
     # (weakly) decreasing in source size
     m = got.sort_values("n_docs")
     assert (m.sample_rate.diff().dropna() <= 1e-12).all()
+
+
+def test_xi_correlation_matches_numpy_replay(spark):
+    got = (
+        _load_all()["stats_xi_correlation"].builder(spark, SF).toPandas()
+        .sort_values("direction").reset_index(drop=True)
+    )
+    o = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    cents = np.round(o.o_totalprice.to_numpy() * 100).astype(np.int64)
+    g = pd.DataFrame({"d": pd.to_datetime(o.o_orderdate), "y": cents})
+    daily = g.groupby("d").agg(x=("y", "size"), y=("y", "sum")).reset_index()
+
+    def xi(xv, yv, dv):
+        n = len(yv)
+        order = np.lexsort((dv, xv))  # x-order with the (x, d) tie-break
+        ys = yv[order]
+        r = np.array([(yv <= v).sum() for v in ys])
+        l = np.array([(yv >= v).sum() for v in ys])
+        sum_dr = np.abs(np.diff(r)).sum()
+        sum_ln = (l * (n - l)).sum()
+        return 1 - n * sum_dr / (2 * sum_ln), n
+
+    for direction, xv, yv in [
+        ("count_on_revenue", daily.y.to_numpy(), daily.x.to_numpy()),
+        ("revenue_on_count", daily.x.to_numpy(), daily.y.to_numpy()),
+    ]:
+        row = got[got.direction == direction].iloc[0]
+        val, n = xi(xv, yv, daily.d.to_numpy())
+        z = val * np.sqrt(n) / np.sqrt(2 / 5)
+        assert row.n_days == n
+        assert abs(row.xi - round(val, 6)) < 1e-9, direction
+        assert abs(row.z_score - round(z, 4)) < 1e-3, direction
+        assert row.dependent_95 == int(z > 1.6449)
+    # revenue is (nearly) a function of count on this fixture, so the
+    # dependence must register and be direction-asymmetric
+    rv = got.set_index("direction").xi
+    assert rv["revenue_on_count"] > 0.1
+
+
+def test_sample_entropy_matches_numpy_replay(spark):
+    got = _load_all()["ts_sample_entropy"].builder(spark, SF).toPandas()
+    o = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    cents = np.round(o.o_totalprice.to_numpy() * 100).astype(np.int64)
+    daily = (
+        pd.DataFrame({"d": pd.to_datetime(o.o_orderdate), "c": cents})
+        .groupby("d")["c"].sum().sort_index().to_numpy()
+    )
+    n = len(daily)
+    sm, sq = float(daily.sum()), float((daily.astype(object) ** 2).sum())
+    r = round(0.2 * np.sqrt((sq - sm * sm / n) / (n - 1)))
+
+    def count(m):
+        tot = 0
+        v = np.stack([daily[k : n - (m - 1) + k] for k in range(m)], axis=1)
+        for i in range(len(v)):
+            d = np.abs(v[i + 1 :] - v[i]).max(axis=1)
+            tot += int((d <= r).sum())
+        return tot
+
+    # m=2/m=3 template pair counts over the FULL t table (the operator
+    # pairs all rows with a defined window, template i<j)
+    b = count(2)
+    a = count(3)
+    assert got.n_days.iloc[0] == n
+    assert got.tolerance_cents.iloc[0] == r
+    assert got.n_matches_m2.iloc[0] == b
+    assert got.n_matches_m3.iloc[0] == a
+    if a > 0 and b > 0:
+        assert abs(got.sample_entropy.iloc[0] - round(-np.log(a / b), 6)) < 1e-6
+        assert got.sample_entropy.iloc[0] > 0  # A is a subset of B
+
+
+def test_watermark_detect_matches_hashlib_replay(spark):
+    got = (
+        _load_all()["llm_watermark_detect"].builder(spark, SF).toPandas()
+        .sort_values("source").reset_index(drop=True)
+    )
+    d = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    d = d[d.text.notna()]
+    agg = {}
+    for src, grp in d.groupby("source"):
+        zs, gsum, tsum = [], 0, 0
+        for text in grp.text:
+            toks = [t for t in text.split(" ") if t]
+            t = max(0, len(toks) - 1)
+            if t == 0:
+                continue
+            g = 0
+            for a, b in zip(toks, toks[1:]):
+                h = hashlib.md5(f"wm_{a}_{b}".encode()).hexdigest()[:15]
+                if int(h, 16) / 1152921504606846976 < 0.25:
+                    g += 1
+            z = (g - 0.25 * t) / np.sqrt(t * 0.1875)
+            zs.append(round(z * 1e6))
+            gsum += g
+            tsum += t
+        agg[src] = (len(zs), sum(zs) / len(zs) / 1e6,
+                    max(zs) / 1e6, gsum / tsum,
+                    sum(1 for z in zs if z / 1e6 > 4))
+    for _, row in got.iterrows():
+        n, mean_z, max_z_snap, gf, ndet = agg[row.source]
+        assert row.n_docs == n
+        assert abs(row.mean_z - round(mean_z, 6)) < 1e-9
+        # max_z in the op is the raw double; the replay snapped at 1e-6
+        assert abs(row.max_z - round(max_z_snap, 4)) < 1e-3
+        assert abs(row.green_fraction - round(gf, 6)) < 1e-9
+        assert row.n_detected == ndet
+    # the fixture is UNWATERMARKED: null behavior is the pinned claim
+    assert (got.n_detected == 0).all()
+    assert got.green_fraction.between(0.2, 0.3).all()
+    assert got.mean_z.abs().max() < 1.0

@@ -305,6 +305,12 @@ PROBE_QUERIES = [
     # table (5-row moment agg / week grid + O(weeks) spine windows).
     "ts_variance_ratio",
     "stats_sign_test",
+    # round-13 wave 3: day-grid rank walks + the days^2-bounded
+    # template join (only the fact scan grows), and the map-side
+    # md5-per-bigram watermark audit (bigram-explode-linear).
+    "stats_xi_correlation",
+    "ts_sample_entropy",
+    "llm_watermark_detect",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

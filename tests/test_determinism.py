@@ -50,6 +50,16 @@ SENSITIVE = [
     "llm_heaps_law_fit",  # integerized log-log OLS
     "llm_ngram_kneser_ney",  # float log-prob averages (stress case)
     "graph_modularity",  # exact bigint Q numerators
+    # round-13 ops (the order-free claims their docstrings make):
+    "stats_cmh_test",  # 1e-9-snapped per-stratum rationals
+    "stats_jonckheere_terpstra",  # DECIMAL prefix-sum U terms + 2^20 ties
+    "ts_spectral_coherence",  # snapped-trig DECIMAL cross-spectra
+    "ts_page_hinkley",  # cumulative-window doubles (ordered precedent)
+    "llm_selfbleu_diversity",  # 1e-9-snapped per-pair precisions
+    "stats_sign_test",  # spine/tail ordered-window accumulation
+    "stats_xi_correlation",  # integer rank windows + tie-broken walk
+    "llm_mixture_weights",  # snapped-sqrt normalizer (r13 hardening)
+    "llm_watermark_detect",  # md5 green bits + 1e-6-snapped mean z
 ]
 
 

@@ -7814,3 +7814,325 @@ def ts_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus; 1-row close."""
     register_views(spark, sf_dir, ["orders"])
     return spark.sql(_SAMPEN_SQL)
+
+
+# Kaplan-Meier (round 13, wave 4): survival analysis enters the
+# library — the repeat-purchase curve "what fraction of customers
+# have NOT yet placed a second order t days after their first?",
+# with the right-censoring every retention metric needs and naive
+# "average gap among repeaters" silently fakes (it drops exactly the
+# customers who never came back).  Subjects = customers; event =
+# second order; administrative censoring at the 180-day horizon or
+# the study end (max order date), whichever truncates first;
+# censoring ties handled censored-AFTER-events (the standard KM
+# convention, documented).  Template SQL (date-difference spelling
+# per engine).  Determinism: event/censor times and risk sets are
+# exact integers from prefix sums over the bounded (<=181-row) time
+# domain; the survival product accumulates ln(1 - d/n) in an ORDERED
+# window (the stats_fisher_exact left-to-right precedent) and closes
+# with one exp, rounded 6.
+_KM_STAGE = """
+WITH ords AS (
+  SELECT o_custkey AS cust, CAST(o_orderdate AS DATE) AS d,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+),
+firsts AS (SELECT cust, min(d) AS t1 FROM ords GROUP BY cust),
+seconds AS (SELECT cust, d AS t2 FROM ords WHERE rn = 2),
+study AS (SELECT max(CAST(o_orderdate AS DATE)) AS endd FROM orders),
+subj AS (
+  SELECT f.cust,
+         least(CAST(180 AS BIGINT), CAST({dd_end} AS BIGINT)) AS win,
+         CAST({dd_gap} AS BIGINT) AS gap
+  FROM firsts f LEFT JOIN seconds s ON f.cust = s.cust CROSS JOIN study
+),
+tc AS (
+  SELECT cust,
+         CASE WHEN gap IS NOT NULL AND gap <= win THEN gap ELSE win END
+           AS time,
+         CASE WHEN gap IS NOT NULL AND gap <= win THEN 1 ELSE 0 END
+           AS event
+  FROM subj
+),
+counts AS (
+  SELECT time,
+         CAST(sum(event) AS BIGINT) AS d,
+         CAST(sum(1 - event) AS BIGINT) AS c
+  FROM tc GROUP BY time
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tc),
+cum AS (
+  SELECT time, d, c,
+         t.n - COALESCE(CAST(sum(d + c) OVER (ORDER BY time
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS n_risk
+  FROM counts CROSS JOIN tot t
+),
+km AS (
+  SELECT time, d, c, n_risk,
+         exp(sum(CASE WHEN d > 0 AND d < n_risk
+                      THEN ln(1 - CAST(d AS DOUBLE) / n_risk)
+                      ELSE CAST(0 AS DOUBLE) END)
+             OVER (ORDER BY time)) AS s
+  FROM cum
+)
+"""
+_KM_SQL = _KM_STAGE + """
+SELECT time AS gap_days, n_risk, d AS n_events, c AS n_censored,
+       round(s, 6) AS survival
+FROM km WHERE d > 0 ORDER BY time
+"""
+
+
+@query(
+    "stats_kaplan_meier",
+    "§2.23 Kaplan-Meier repeat-purchase survival curve (180-day horizon, right-censored)",
+    _KM_SQL.format(dd_end="s2.endd - f.t1", dd_gap="s.t2 - f.t1").replace(
+        "CROSS JOIN study", "CROSS JOIN study s2"
+    ),
+)
+def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier estimator of the time-to-second-order curve —
+    S(t) = prod over event times <= t of (1 - d_t/n_t), the survival
+    family's debut in the library (every shipped retention number —
+    ts_cohort_retention, capture-recapture — conditions away the
+    customers who haven't returned YET; KM is the estimator that
+    keeps them in the risk set until their censoring time).  Subjects
+    censor at min(180 days, study end - first order); the curve rows
+    are the event times with risk set, events, same-time censorings,
+    and S(t).  Risk sets are exact integer prefix sums on the bounded
+    time domain; the product accumulates in log space through an
+    ordered window (identical double sequence both engines, the
+    Fisher-spine precedent) with one closing exp rounded 6; the d =
+    n_risk edge (S would hit exact 0) is guarded and not reachable on
+    this fixture.  Property test replays the full estimator against a
+    lifelines-free python KM.
+
+    Shape at any SF: one orders scan into a per-customer window
+    (co-partitioned on o_custkey), per-customer reduction to one
+    (time, event) row, then everything runs on the <=181-row time
+    domain.  100 TB costs the one fact scan + the customer-grain
+    shuffle."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        _KM_SQL.format(
+            dd_end="datediff(s2.endd, f.t1)", dd_gap="datediff(s.t2, f.t1)"
+        ).replace("CROSS JOIN study", "CROSS JOIN study s2")
+    )
+
+
+# Log-rank test (round 13, wave 4): the two-curve comparison that
+# completes the KM pair — "do AUTOMOBILE/BUILDING customers come back
+# FASTER than the other segments?" cannot be answered by comparing
+# mean gaps (censoring again), so the standard test aggregates, at
+# every event time, the hypergeometric surprise of group-1 events
+# given the shared risk sets: chi2 = (sum(d1 - E1))^2 / sum(V) on 1
+# df.  Same subject staging as stats_kaplan_meier plus the customer
+# segment.  Template SQL (date-difference spelling per engine).
+# Determinism: per-time d1/E1/V are closed doubles over exact integer
+# risk-set counts, snapped to 1e-9-grain bigints before the
+# cross-time sums (hash-agg order-free); one double close.
+_LOGRANK_SQL = """
+WITH ords AS (
+  SELECT o_custkey AS cust, CAST(o_orderdate AS DATE) AS d,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+),
+firsts AS (SELECT cust, min(d) AS t1 FROM ords GROUP BY cust),
+seconds AS (SELECT cust, d AS t2 FROM ords WHERE rn = 2),
+study AS (SELECT max(CAST(o_orderdate AS DATE)) AS endd FROM orders),
+subj AS (
+  SELECT f.cust,
+         CASE WHEN c.c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+              THEN 1 ELSE 0 END AS g1,
+         least(CAST(180 AS BIGINT), CAST({dd_end} AS BIGINT)) AS win,
+         CAST({dd_gap} AS BIGINT) AS gap
+  FROM firsts f
+  JOIN customer c ON f.cust = c.c_custkey
+  LEFT JOIN seconds s ON f.cust = s.cust CROSS JOIN study s2
+),
+tc AS (
+  SELECT cust, g1,
+         CASE WHEN gap IS NOT NULL AND gap <= win THEN gap ELSE win END
+           AS time,
+         CASE WHEN gap IS NOT NULL AND gap <= win THEN 1 ELSE 0 END
+           AS event
+  FROM subj
+),
+counts AS (
+  SELECT time,
+         CAST(sum(event) AS BIGINT) AS d,
+         CAST(sum(event * g1) AS BIGINT) AS d1,
+         CAST(count(*) AS BIGINT) AS leaving,
+         CAST(sum(g1) AS BIGINT) AS leaving1
+  FROM tc GROUP BY time
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(g1) AS BIGINT) AS n1
+  FROM tc
+),
+cum AS (
+  SELECT time, d, d1,
+         t.n - COALESCE(CAST(sum(leaving) OVER w AS BIGINT), 0) AS n_risk,
+         t.n1 - COALESCE(CAST(sum(leaving1) OVER w AS BIGINT), 0) AS n1_risk
+  FROM counts CROSS JOIN tot t
+  WINDOW w AS (ORDER BY time ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING)
+),
+terms AS (
+  SELECT CAST(round((d1 - CAST(d AS DOUBLE) * n1_risk / n_risk)
+                    * 1000000000) AS BIGINT) AS oe9,
+         CAST(round(CASE WHEN n_risk > 1
+                         THEN CAST(d AS DOUBLE) * n1_risk / n_risk
+                              * (1 - CAST(n1_risk AS DOUBLE) / n_risk)
+                              * (n_risk - d) / (n_risk - 1)
+                         ELSE CAST(0 AS DOUBLE) END
+                    * 1000000000) AS BIGINT) AS v9,
+         d, d1
+  FROM cum WHERE d > 0
+),
+g AS (
+  SELECT CAST(sum(d) AS BIGINT) AS events_total,
+         CAST(sum(d1) AS BIGINT) AS events_g1,
+         CAST(sum(oe9) AS DOUBLE) / 1000000000 AS oe,
+         CAST(sum(v9) AS DOUBLE) / 1000000000 AS v
+  FROM terms
+)
+SELECT t.n AS n_subjects, t.n1 AS n_group1,
+       g.events_total, g.events_g1,
+       round(g.events_g1 - g.oe, 4) AS expected_g1,
+       round(g.oe, 4) AS observed_minus_expected,
+       round(g.oe * g.oe / NULLIF(g.v, 0), 4) AS chi2_logrank,
+       CAST(1 AS BIGINT) AS df,
+       CAST(CASE WHEN g.oe * g.oe / NULLIF(g.v, 0) > 3.8415
+                 THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+FROM g CROSS JOIN tot t
+"""
+
+
+@query(
+    "stats_logrank_test",
+    "§2.23 log-rank test: repeat-purchase curves of AUTO+BUILDING vs other segments",
+    _LOGRANK_SQL.format(dd_end="s2.endd - f.t1", dd_gap="s.t2 - f.t1"),
+)
+def stats_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test between the repeat-purchase
+    survival curves of two customer-segment groups — the censoring-
+    correct alternative to comparing mean repeat gaps, and the CMH
+    machinery (this round's stats_cmh_test) applied across the KM
+    event times: at each event time, O-E of group-1 events under the
+    shared-risk-set hypergeometric null and its variance, chi2 =
+    (sum O-E)^2 / sum V on 1 df vs 3.8415.  Risk sets are exact
+    integer prefix sums on the bounded time domain; every per-time
+    rational snaps to a 1e-9-grain bigint before the cross-time sum
+    (order-free in both engines); one double close.  Property test
+    replays O-E/V per event time in python and cross-checks the KM
+    staging against the stats_kaplan_meier op.
+
+    Shape at any SF: identical to stats_kaplan_meier plus one
+    customer-dimension key join (broadcastable); all test machinery
+    runs on the <=181-row time domain."""
+    register_views(spark, sf_dir, ["orders", "customer"])
+    return spark.sql(
+        _LOGRANK_SQL.format(
+            dd_end="datediff(s2.endd, f.t1)", dd_gap="datediff(s.t2, f.t1)"
+        )
+    )
+
+
+# Cochran's Q (round 13, wave 4): the BINARY repeated-measures test —
+# Friedman (shipped) ranks continuous within-block values; Cochran's
+# Q is its dichotomous specialization ("was each event type ABOVE its
+# own median on the same days?"), the test a monitoring pipeline
+# applies to per-day pass/fail flags across k pipelines.  Blocks =
+# days, treatments = event types, success = day count above that
+# type's own median daily count (exact integer percentile_disc
+# median, deterministic), complete blocks only.  Q = (k-1)(k SUM C^2
+# - N^2) / (k N - SUM R^2) — every term an exact integer, so Q is
+# ONE double division of exact bigints (the Friedman discipline),
+# against chi2(k-1) at 95%.  Template SQL (WITHIN GROUP spelling).
+_COCHRAN_Q_SQL = """
+WITH cell AS (
+  SELECT CAST(ts AS DATE) AS d, event_type,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+full_blocks AS (
+  SELECT d FROM cell GROUP BY d
+  HAVING count(*) = (SELECT count(DISTINCT event_type) FROM cell)
+),
+med AS (
+  SELECT event_type, {median} AS m
+  FROM cell JOIN full_blocks USING (d) GROUP BY event_type
+),
+x AS (
+  SELECT cell.d, cell.event_type,
+         CASE WHEN cell.c > med.m THEN 1 ELSE 0 END AS s
+  FROM cell JOIN full_blocks USING (d) JOIN med USING (event_type)
+),
+cols AS (
+  SELECT event_type, CAST(sum(s) AS BIGINT) AS ct
+  FROM x GROUP BY event_type
+),
+rows_r AS (
+  SELECT d, CAST(sum(s) AS BIGINT) AS rb FROM x GROUP BY d
+),
+k1 AS (SELECT CAST(count(*) AS BIGINT) AS k FROM cols),
+scal AS (
+  SELECT k1.k,
+         CAST(sum(c2.ct) AS BIGINT) AS n,
+         CAST(sum(c2.ct * c2.ct) AS BIGINT) AS sum_c2,
+         (SELECT CAST(sum(rb * rb) AS BIGINT) FROM rows_r) AS sum_r2
+  FROM cols c2 CROSS JOIN k1 GROUP BY k1.k
+)
+SELECT c3.event_type,
+       c3.ct AS n_days_above_median,
+       s.k AS k_treatments, s.n AS n_successes,
+       CASE WHEN s.k * s.n - s.sum_r2 > 0
+            THEN round((s.k - 1) * CAST(s.k * s.sum_c2 - s.n * s.n AS DOUBLE)
+                       / (s.k * s.n - s.sum_r2), 6)
+       END AS q_stat,
+       CAST(s.k - 1 AS BIGINT) AS df,
+       CAST(9.487729 AS DOUBLE) AS chi2_crit_95,
+       CAST(CASE WHEN s.k * s.n - s.sum_r2 > 0
+                  AND (s.k - 1) * CAST(s.k * s.sum_c2 - s.n * s.n AS DOUBLE)
+                      / (s.k * s.n - s.sum_r2) > 9.487729
+                 THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+FROM cols c3 CROSS JOIN scal s ORDER BY c3.event_type
+"""
+
+
+@query(
+    "stats_cochran_q",
+    "§2.23 Cochran's Q: binary repeated measures over the day x event-type grid",
+    _COCHRAN_Q_SQL.format(
+        median="CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS BIGINT)"
+    ),
+)
+def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q over day-blocks and event-type treatments with the
+    dichotomy "above that type's own discrete median daily count" —
+    the binary sibling of stats_friedman_test (to which Q reduces
+    when ranks are two-valued) and the k-treatment generalization of
+    llm_judge_mcnemar's paired 2x2: does any type run hot on a
+    systematically different SET of days once the shared daily level
+    is blocked out?  The median is percentile_disc (an exact order
+    statistic on integers — both engines pick the identical value),
+    all C_t/R_b/N are exact integer sums, and Q closes as one double
+    division against chi2(k-1); degenerate denominators (all-equal
+    rows) NULL-guarded.  Property test replays the dichotomy and Q in
+    pandas and pins the k=2 McNemar reduction on synthetic data.
+
+    Shape at any SF: one events scan to the calendar-bounded
+    (day x type) grid; the median, dichotomy, and all sums run on
+    that grid; |types|-row finish."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        _COCHRAN_Q_SQL.format(
+            median="CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c)"
+            " AS BIGINT)"
+        )
+    )

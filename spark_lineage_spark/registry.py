@@ -406,6 +406,9 @@ _VERIFY_AFTER = [
     "stats_xi_correlation",
     "ts_sample_entropy",
     "llm_watermark_detect",
+    "stats_kaplan_meier",
+    "stats_logrank_test",
+    "stats_cochran_q",
     # changed implementation (round-13 10x-sweep hardening: pow(n,.5)
     # -> snapped IEEE-exact sqrt; expected_docs flipped at sf0.1), so
     # its round-5 official row describes the old arithmetic — budget

@@ -673,3 +673,138 @@ def test_watermark_detect_matches_hashlib_replay(spark):
     assert (got.n_detected == 0).all()
     assert got.green_fraction.between(0.2, 0.3).all()
     assert got.mean_z.abs().max() < 1.0
+
+
+def _km_subjects(sf=SF, horizon=180):
+    o = pd.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey"],
+    )
+    o["d"] = pd.to_datetime(o.o_orderdate)
+    endd = o.d.max()
+    subj = {}
+    for cust, grp in o.sort_values(["d", "o_orderkey"]).groupby("o_custkey"):
+        ds = grp.d.tolist()
+        t1 = ds[0]
+        win = min(horizon, (endd - t1).days)
+        gap = (ds[1] - t1).days if len(ds) > 1 else None
+        if gap is not None and gap <= win:
+            subj[cust] = (gap, 1)
+        else:
+            subj[cust] = (win, 0)
+    return subj
+
+
+def test_kaplan_meier_matches_python_replay(spark):
+    got = (
+        _load_all()["stats_kaplan_meier"].builder(spark, SF).toPandas()
+        .sort_values("gap_days").reset_index(drop=True)
+    )
+    subj = _km_subjects()
+    times = sorted({t for t, _ in subj.values()})
+    n = len(subj)
+    removed = 0
+    s = 1.0
+    rows = []
+    for t in times:
+        d = sum(1 for tt, e in subj.values() if tt == t and e == 1)
+        c = sum(1 for tt, e in subj.values() if tt == t and e == 0)
+        n_risk = n - removed
+        if d > 0:
+            s *= 1 - d / n_risk
+            rows.append((t, n_risk, d, c, s))
+        removed += d + c
+    assert got.gap_days.tolist() == [r[0] for r in rows]
+    assert got.n_risk.tolist() == [r[1] for r in rows]
+    assert got.n_events.tolist() == [r[2] for r in rows]
+    assert got.n_censored.tolist() == [r[3] for r in rows]
+    assert np.allclose(got.survival, [round(r[4], 6) for r in rows], atol=2e-6)
+    # KM invariants: S is strictly decreasing at event times, in (0,1]
+    assert (got.survival.diff().dropna() < 0).all()
+    assert got.survival.iloc[0] <= 1.0 and got.survival.iloc[-1] > 0
+
+
+def test_logrank_matches_python_replay(spark):
+    got = _load_all()["stats_logrank_test"].builder(spark, SF).toPandas()
+    c = pd.read_parquet(
+        f"{SF}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    g1set = set(
+        c[c.c_mktsegment.isin(["AUTOMOBILE", "BUILDING"])].c_custkey
+    )
+    subj = _km_subjects()
+    items = [(t, e, cust in g1set) for cust, (t, e) in subj.items()]
+    times = sorted({t for t, e, _ in items if e == 1})
+    oe = v = 0.0
+    d_tot = d1_tot = 0
+    for t in times:
+        at_risk = [(tt, e, g) for tt, e, g in items if tt >= t]
+        n_risk = len(at_risk)
+        n1 = sum(1 for _, _, g in at_risk if g)
+        d = sum(1 for tt, e, _ in at_risk if tt == t and e == 1)
+        d1 = sum(1 for tt, e, g in at_risk if tt == t and e == 1 and g)
+        oe += round((d1 - d * n1 / n_risk) * 1e9)
+        if n_risk > 1:
+            v += round(
+                d * n1 / n_risk * (1 - n1 / n_risk)
+                * (n_risk - d) / (n_risk - 1) * 1e9
+            )
+        d_tot += d
+        d1_tot += d1
+    oe, v = oe / 1e9, v / 1e9
+    chi2 = oe * oe / v
+    assert got.n_subjects.iloc[0] == len(subj)
+    assert got.n_group1.iloc[0] == len([1 for _, _, g in items if g])
+    assert got.events_total.iloc[0] == d_tot
+    assert got.events_g1.iloc[0] == d1_tot
+    assert abs(got.observed_minus_expected.iloc[0] - round(oe, 4)) < 1e-9
+    assert abs(got.expected_g1.iloc[0] - round(d1_tot - oe, 4)) < 1e-9
+    assert abs(got.chi2_logrank.iloc[0] - round(chi2, 4)) < 1e-9
+    assert got.reject_95.iloc[0] == int(chi2 > 3.8415)
+
+
+def test_cochran_q_matches_pandas_replay(spark):
+    got = (
+        _load_all()["stats_cochran_q"].builder(spark, SF).toPandas()
+        .sort_values("event_type").reset_index(drop=True)
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts", "event_type"])
+    grid = (
+        ev.groupby([ev.ts.dt.normalize(), "event_type"]).size().unstack()
+    ).dropna()
+    # exact discrete median (lower of the two middles = percentile_disc)
+    meds = grid.apply(
+        lambda col: sorted(col)[(len(col) - 1) // 2], axis=0
+    )
+    x = (grid > meds).astype(int)
+    k = x.shape[1]
+    ct = x.sum(axis=0)
+    rb = x.sum(axis=1)
+    n = int(ct.sum())
+    q_den = k * n - int((rb**2).sum())
+    q = (k - 1) * (k * int((ct**2).sum()) - n * n) / q_den
+    assert got.event_type.tolist() == list(x.columns)
+    assert got.n_days_above_median.tolist() == ct.tolist()
+    assert (got.k_treatments == k).all() and (got.n_successes == n).all()
+    assert abs(got.q_stat.iloc[0] - round(q, 6)) < 1e-9
+    assert (got.reject_95 == int(q > 9.487729)).all()
+
+
+def test_cochran_q_reduces_to_mcnemar_formula():
+    """k=2 textbook reduction: Q equals McNemar's (b-c)^2/(b+c) on the
+    discordant pairs — pure python, no Spark."""
+    rng = np.random.default_rng(13)
+    for _ in range(25):
+        x1 = rng.integers(0, 2, 40)
+        x2 = rng.integers(0, 2, 40)
+        b = int(((x1 == 1) & (x2 == 0)).sum())
+        c = int(((x1 == 0) & (x2 == 1)).sum())
+        if b + c == 0:
+            continue
+        k, ct = 2, [int(x1.sum()), int(x2.sum())]
+        n = sum(ct)
+        rb = x1 + x2
+        q = (k - 1) * (k * sum(v * v for v in ct) - n * n) / (
+            k * n - int((rb**2).sum())
+        )
+        assert abs(q - (b - c) ** 2 / (b + c)) < 1e-9

@@ -311,6 +311,17 @@ PROBE_QUERIES = [
     "stats_xi_correlation",
     "ts_sample_entropy",
     "llm_watermark_detect",
+    # round-13 wave 4: per-customer window reductions onto the
+    # <=181-row KM time domain (only the orders scan + the customer
+    # shuffle grow), and the (day x type) binary grid.  NOTE the KM
+    # row-count artifact: the replica fixture duplicates each
+    # customer's order DATES 10x, so every customer's second order
+    # lands at gap 0 and the curve collapses to one event-time row —
+    # the runtime ratio (the claim under test) is unaffected, but the
+    # 10x output is degenerate by fixture construction, not design.
+    "stats_kaplan_meier",
+    "stats_logrank_test",
+    "stats_cochran_q",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

@@ -60,6 +60,9 @@ SENSITIVE = [
     "stats_xi_correlation",  # integer rank windows + tie-broken walk
     "llm_mixture_weights",  # snapped-sqrt normalizer (r13 hardening)
     "llm_watermark_detect",  # md5 green bits + 1e-6-snapped mean z
+    "stats_kaplan_meier",  # ordered log-space survival product
+    "stats_logrank_test",  # 1e-9-snapped per-time O-E/V sums
+    "stats_cochran_q",  # exact discrete medians + integer Q algebra
 ]
 
 

@@ -4001,7 +4001,8 @@ WITH daily AS (
 calib AS (
   SELECT CAST(count(*) AS BIGINT) AS n0,
          CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
-         CAST(sum(CAST(cents * cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+         CAST(sum(CAST(cents AS DECIMAL(19,0))
+                  * CAST(cents AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s2
   FROM daily WHERE d < DATE '1996-01-01'
 ),
 z AS (
@@ -5539,8 +5540,27 @@ SELECT s.event_type,
        round(CAST(s.r2_sum AS DOUBLE) / 2 / q.n, 6) AS mean_rank,
        q.n AS n_blocks, q.k AS k_treatments, q.q_stat,
        CAST(q.k - 1 AS BIGINT) AS df,
-       CAST(9.487729 AS DOUBLE) AS chi2_crit_95,
-       CAST(CASE WHEN q.q_stat > 9.487729 THEN 1 ELSE 0 END AS BIGINT)
+       CASE CAST(q.k - 1 AS BIGINT)
+            WHEN 1 THEN CAST(3.841459 AS DOUBLE)
+            WHEN 2 THEN CAST(5.991465 AS DOUBLE)
+            WHEN 3 THEN CAST(7.814728 AS DOUBLE)
+            WHEN 4 THEN CAST(9.487729 AS DOUBLE)
+            WHEN 5 THEN CAST(11.070498 AS DOUBLE)
+            WHEN 6 THEN CAST(12.591587 AS DOUBLE)
+            WHEN 7 THEN CAST(14.067140 AS DOUBLE)
+            WHEN 8 THEN CAST(15.507313 AS DOUBLE)
+       END AS chi2_crit_95,
+       CAST(CASE WHEN q.q_stat > CASE CAST(q.k - 1 AS BIGINT)
+                          WHEN 1 THEN CAST(3.841459 AS DOUBLE)
+                          WHEN 2 THEN CAST(5.991465 AS DOUBLE)
+                          WHEN 3 THEN CAST(7.814728 AS DOUBLE)
+                          WHEN 4 THEN CAST(9.487729 AS DOUBLE)
+                          WHEN 5 THEN CAST(11.070498 AS DOUBLE)
+                          WHEN 6 THEN CAST(12.591587 AS DOUBLE)
+                          WHEN 7 THEN CAST(14.067140 AS DOUBLE)
+                          WHEN 8 THEN CAST(15.507313 AS DOUBLE)
+                     END
+                 THEN 1 ELSE 0 END AS BIGINT)
          AS reject_equal_treatments
 FROM sums s CROSS JOIN q ORDER BY s.event_type
 """
@@ -6531,7 +6551,7 @@ g AS (
 SELECT t.nation,
        t.a AS n_exp_pos, t.b AS n_exp_neg,
        t.c AS n_unexp_pos, t.d AS n_unexp_neg,
-       CASE WHEN t.b * t.c > 0
+       CASE WHEN t.b > 0 AND t.c > 0
             THEN round(CAST(CAST(t.a AS DECIMAL(19,0)) * t.d AS DOUBLE)
                        / CAST(CAST(t.b AS DECIMAL(19,0)) * t.c AS DOUBLE), 6)
        END AS or_stratum,
@@ -6870,11 +6890,11 @@ coef AS (
               AS BIGINT) AS bx,
          CAST(round(CAST(CAST(sum(CAST(y AS DECIMAL(19,0))
                                   * CAST(c8 AS DECIMAL(19,0)))
-                               AS DECIMAL(38,0)) AS DOUBLE) / 1000000)
+                               AS DECIMAL(38,0)) AS DOUBLE) / 1000000000)
               AS BIGINT) AS ay,
          CAST(round(CAST(CAST(sum(CAST(y AS DECIMAL(19,0))
                                   * CAST(s8 AS DECIMAL(19,0)))
-                               AS DECIMAL(38,0)) AS DOUBLE) / 1000000)
+                               AS DECIMAL(38,0)) AS DOUBLE) / 1000000000)
               AS BIGINT) AS by_
   FROM terms GROUP BY k, s
 ),
@@ -6936,9 +6956,12 @@ def ts_spectral_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~2400 days = 9 full segments).  Missing days contribute exact
     zeros by absence.  Trig snapped at 1e-8 grain pre-sum; DFT sums
     exact DECIMAL; coefficients rescaled to grain-documented bigints
-    (x: 1e-6 trig units, y: 1e-2 cent-trig units) so all cross-segment
-    sums are exact (19,0)x(19,0) DECIMAL products; numpy replay
-    property test pins every bin.
+    (x: 1e-6 trig units, y: 10 cent-trig units — the coarse y grain
+    caps ay at 25.6x daily cents, int64-safe to ~3.6e17 cents/day,
+    i.e. well past the 100 TB scale point, while daily revenue at any
+    tested SF still carries >=8 significant digits into the bigint)
+    so all cross-segment sums are exact (19,0)x(19,0) DECIMAL
+    products; numpy replay property test pins every bin.
 
     Shape at any SF: one orders scan partial-aggs to the
     calendar-bounded daily table; the 8x fan-out and everything after
@@ -7133,7 +7156,8 @@ WITH daily AS (
 calib AS (
   SELECT CAST(count(*) AS BIGINT) AS n0,
          CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
-         CAST(sum(CAST(cents * cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+         CAST(sum(CAST(cents AS DECIMAL(19,0))
+                  * CAST(cents AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s2
   FROM daily WHERE d < DATE '1996-01-01'
 ),
 p AS (
@@ -8096,10 +8120,29 @@ SELECT c3.event_type,
                        / (s.k * s.n - s.sum_r2), 6)
        END AS q_stat,
        CAST(s.k - 1 AS BIGINT) AS df,
-       CAST(9.487729 AS DOUBLE) AS chi2_crit_95,
+       CASE CAST(s.k - 1 AS BIGINT)
+            WHEN 1 THEN CAST(3.841459 AS DOUBLE)
+            WHEN 2 THEN CAST(5.991465 AS DOUBLE)
+            WHEN 3 THEN CAST(7.814728 AS DOUBLE)
+            WHEN 4 THEN CAST(9.487729 AS DOUBLE)
+            WHEN 5 THEN CAST(11.070498 AS DOUBLE)
+            WHEN 6 THEN CAST(12.591587 AS DOUBLE)
+            WHEN 7 THEN CAST(14.067140 AS DOUBLE)
+            WHEN 8 THEN CAST(15.507313 AS DOUBLE)
+       END AS chi2_crit_95,
        CAST(CASE WHEN s.k * s.n - s.sum_r2 > 0
                   AND (s.k - 1) * CAST(s.k * s.sum_c2 - s.n * s.n AS DOUBLE)
-                      / (s.k * s.n - s.sum_r2) > 9.487729
+                      / (s.k * s.n - s.sum_r2)
+                      > CASE CAST(s.k - 1 AS BIGINT)
+                             WHEN 1 THEN CAST(3.841459 AS DOUBLE)
+                             WHEN 2 THEN CAST(5.991465 AS DOUBLE)
+                             WHEN 3 THEN CAST(7.814728 AS DOUBLE)
+                             WHEN 4 THEN CAST(9.487729 AS DOUBLE)
+                             WHEN 5 THEN CAST(11.070498 AS DOUBLE)
+                             WHEN 6 THEN CAST(12.591587 AS DOUBLE)
+                             WHEN 7 THEN CAST(14.067140 AS DOUBLE)
+                             WHEN 8 THEN CAST(15.507313 AS DOUBLE)
+                        END
                  THEN 1 ELSE 0 END AS BIGINT) AS reject_95
 FROM cols c3 CROSS JOIN scal s ORDER BY c3.event_type
 """

@@ -219,8 +219,8 @@ def test_spectral_coherence_matches_numpy_replay(spark):
             s8 = np.round(np.sin(2 * np.pi * k * t / 256) * 1e8)
             ax = round(float((x * c8).sum()) / 100)
             bx = round(float((x * s8).sum()) / 100)
-            ay = round(float((y * c8).sum()) / 1e6)
-            by = round(float((y * s8).sum()) / 1e6)
+            ay = round(float((y * c8).sum()) / 1e9)
+            by = round(float((y * s8).sum()) / 1e9)
             re += ax * ay + bx * by
             im += bx * ay - ax * by
             pxx += ax * ax + bx * bx

@@ -96,25 +96,18 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "stream_tumbling_window", "stream_sliding_window", "stream_session_window",
     "stream_dedup_watermark", "stream_stream_join", "stream_static_join",
     "stream_rate_source_window", "stream_stateful_count",
-    "stream_foreach_batch_sink", "sink_table_saveastable",
-    "llm_bpe_pair_counts", "join_runtime_bloom_filter",
-    "join_dynamic_partition_pruning", "source_python_stream",
-    "udf_apply_in_arrow", "subq_recursive_cte",
-    "scan_parquet_schema_evolution", "scan_csv_corrupt_records",
-    "llm_ngram_lm_score", "ts_cohort_retention", "ts_concurrency_sweep",
+    "stream_foreach_batch_sink", 
+    "source_python_stream",
+    "subq_recursive_cte",
+    "ts_cohort_retention", "ts_concurrency_sweep",
     "dq_rule_checks", "sql_scripting_control_flow", "cdc_snapshot_diff",
-    "join_interval_overlap", "join_aqe_skew_handled",
-    "source_python_stream_partitioned", "llm_dedup_keep_best",
-    "ts_anomaly_zscore", "ts_sessionize_batch", "ts_gap_fill_spine",
+    "source_python_stream_partitioned", 
+    "ts_anomaly_zscore", 
     # ts_resample_ohlc moved to _VERIFY_FIRST (round-12 hardening)
     "ts_hierarchical_rollup", "win_funnel_ordered",
-    "merge_upsert_latest", "profile_column_stats", "join_skew_salted",
-    "subq_scalar_correlated", "subq_exists_not_in", "tpch_q1_style_full",
-    "tpch_q3_style_shipping_priority", "tpch_q5_style_regional_volume",
-    "tpch_q7_style_nation_volume", "tpch_q10_style_returned_items",
-    "tpch_q12_style_late_lines", "tpch_q14_style_promo_revenue",
-    "tpch_q18_style_large_orders", "tpch_q19_style_disjunctive",
-    "tpch_q22_style_idle_customers", "tpch_q2_style_min_cost_supplier",
+    
+    
+    
     # round 5 verified (CORRECTNESS_r05.json, 50 rows, all green)
     "llm_repeated_passages", "llm_semantic_dedup", "llm_vocab_coverage",
     "llm_dedup_incremental", "tpch_q4_style_priority_check",
@@ -236,7 +229,7 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "stats_diff_in_diff", "stats_cuped", "llm_ann_pq_adc",
     "llm_multimodal_ahash", "graph_label_propagation",
     "ts_sessionize_gap_percentile", "llm_reward_normalize",
-    "stats_kruskal_wallis", "ts_cusum_drift", "stats_herfindahl",
+    "stats_kruskal_wallis", "stats_herfindahl",
     "stats_isotonic_minimax", "graph_hits", "setop_union_by_name",
     "llm_mmr_diverse_topk", "llm_retrieval_ndcg", "ts_cross_correlation",
     "pandas_api_pivot_table", "llm_dedup_set_containment", "llm_judge_mcnemar",
@@ -283,6 +276,24 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "ts_pacf", "ts_resample_ohlc", "ts_rolling_correlation",
     "ts_seasonal_mann_kendall", "ts_seasonal_strength", "ts_stl_anomaly",
     "win_ignore_nulls", "win_topk_per_group",
+    # round 13 verified (CORRECTNESS_r13.json)
+    "catalog_temp_view", "fn_array_battery", "fn_array_explode",
+    "fn_bitwise_battery", "fn_cast_battery", "fn_collation_battery",
+    "fn_conditional_battery", "fn_explode_outer_nulls", "fn_hash_portable",
+    "fn_hash_spark_native", "fn_json_battery", "fn_map_battery",
+    "fn_rounding_modes", "fn_string_spark_native", "fn_struct_battery",
+    "fn_try_arithmetic", "fn_url_battery", "fn_variant_json",
+    "graph_assortativity", "graph_modularity", "join_bucketed_colocated",
+    "llm_dedup_exact", "llm_dedup_minhash_lsh", "llm_dedup_ngram_jaccard",
+    "llm_heaps_law_fit", "llm_ngram_kneser_ney", "scan_csv_roundtrip",
+    "scan_json_roundtrip", "scan_orc_roundtrip", "scan_parquet_pushdown",
+    "scan_text_roundtrip", "sink_parquet_partitioned", "source_jdbc_roundtrip",
+    "source_python_datasource", "stats_auc_pr", "stats_calibration_brier",
+    "stats_cronbach_alpha", "stats_hodges_lehmann",
+    "stats_permutation_test", "stats_roc_auc", "stats_tost_equivalence",
+    "ts_hurst_exponent", "ts_ljung_box", "ts_periodogram",
+    "ts_theil_u", "udf_cogroup_in_pandas", "udf_map_in_arrow",
+    "udf_scalar_python", "udtf_split_words",
 ]
 
 # Among the not-yet-verified queries, run these FIRST.
@@ -335,39 +346,65 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
 # after), so its round-9 official row remains valid — no re-verify
 # slot spent (unlike the r12 OHLC/multimodal hardening, which could
 # move the last rounded decimal).
+# Round 14 = the 19 queued _VERIFY_AFTER rows (18 round-13
+# registrations + the llm_mixture_weights re-verify), then
+# ts_cusum_drift / stats_friedman_test (round-14 ADVICE hardening:
+# DECIMAL(19,0) factor casts in the cusum calibration, df-derived
+# chi2 critical value in friedman — values bit-identical at shipped
+# SFs but the SQL changed, so the official rows are re-earned), then
+# the 29 stalest round-4 rotation rows (stage_rotation.py order) so
+# no official row ages past ~10 rounds.  19 + 2 + 29 = 50 = budget.
 _VERIFY_FIRST = [
-    # displaced-battery rotation + round-12 registrations (order:
-    # oracle-bearing first, grouped by module for fixture locality)
-    "fn_conditional_battery",
-    "fn_hash_portable",
-    "ts_ljung_box",
-    "ts_periodogram",
-    "ts_hurst_exponent",
+    "sample_hash_deterministic",
+    "stats_cmh_test",
+    "stats_jonckheere_terpstra",
+    "stats_page_trend",
+    "ts_spectral_coherence",
+    "graph_rich_club",
+    "ts_page_hinkley",
+    "llm_selfbleu_diversity",
+    "stats_dunn_test",
+    "ts_dickey_fuller",
+    "ts_variance_ratio",
+    "stats_sign_test",
+    "stats_xi_correlation",
+    "ts_sample_entropy",
+    "llm_watermark_detect",
+    "stats_kaplan_meier",
+    "stats_logrank_test",
+    "stats_cochran_q",
+    "llm_mixture_weights",
+    "ts_cusum_drift",
     "stats_friedman_test",
-    "stats_cronbach_alpha",
-    "stats_roc_auc",
-    "stats_calibration_brier",
-    "stats_hodges_lehmann",
-    "llm_ngram_kneser_ney",
-    "llm_heaps_law_fit",
-    "ts_theil_u",
-    "stats_permutation_test",
-    "graph_modularity",
-    "stats_auc_pr",
-    "graph_assortativity",
-    "stats_tost_equivalence",
-    # staleness rotation: the 32 remaining round-3 rows (completes)
-    "fn_string_spark_native", "fn_hash_spark_native", "fn_array_battery",
-    "fn_array_explode", "fn_map_battery", "fn_json_battery",
-    "fn_rounding_modes", "fn_variant_json", "fn_cast_battery",
-    "fn_bitwise_battery", "fn_url_battery", "fn_struct_battery",
-    "fn_explode_outer_nulls", "fn_collation_battery", "fn_try_arithmetic",
-    "scan_parquet_pushdown", "scan_csv_roundtrip", "scan_json_roundtrip",
-    "scan_orc_roundtrip", "sink_parquet_partitioned", "catalog_temp_view",
-    "source_python_datasource", "source_jdbc_roundtrip",
-    "join_bucketed_colocated", "scan_text_roundtrip", "udf_scalar_python",
-    "udf_map_in_arrow", "udtf_split_words", "udf_cogroup_in_pandas",
-    "llm_dedup_exact", "llm_dedup_ngram_jaccard", "llm_dedup_minhash_lsh",
+    "join_runtime_bloom_filter",
+    "join_dynamic_partition_pruning",
+    "join_interval_overlap",
+    "join_aqe_skew_handled",
+    "sink_table_saveastable",
+    "scan_parquet_schema_evolution",
+    "scan_csv_corrupt_records",
+    "udf_apply_in_arrow",
+    "llm_dedup_keep_best",
+    "llm_bpe_pair_counts",
+    "llm_ngram_lm_score",
+    "tpch_q3_style_shipping_priority",
+    "tpch_q5_style_regional_volume",
+    "tpch_q10_style_returned_items",
+    "tpch_q1_style_full",
+    "tpch_q18_style_large_orders",
+    "tpch_q7_style_nation_volume",
+    "tpch_q14_style_promo_revenue",
+    "tpch_q19_style_disjunctive",
+    "tpch_q12_style_late_lines",
+    "tpch_q22_style_idle_customers",
+    "tpch_q2_style_min_cost_supplier",
+    "subq_scalar_correlated",
+    "subq_exists_not_in",
+    "ts_sessionize_batch",
+    "ts_gap_fill_spine",
+    "merge_upsert_latest",
+    "profile_column_stats",
+    "join_skew_salted",
 ]
 
 # ... and run these LAST among the unverified: rows-only checks (weaker
@@ -387,33 +424,9 @@ _VERIFY_LAST = []
 # llm_dataset_temperature_mix dropped as a duplicate of
 # llm_mixture_weights (same p^alpha reweighting, already official).
 _VERIFY_AFTER = [
-    # round-13 registrations past the 50-row budget (each driver-sim
-    # green at sf0.01 at registration, each with a numpy replay
-    # property test; first official row round 14 — the rotation is
-    # complete, so r14's budget is essentially all growth)
-    "sample_hash_deterministic",
-    "stats_cmh_test",
-    "stats_jonckheere_terpstra",
-    "stats_page_trend",
-    "ts_spectral_coherence",
-    "graph_rich_club",
-    "ts_page_hinkley",
-    "llm_selfbleu_diversity",
-    "stats_dunn_test",
-    "ts_dickey_fuller",
-    "ts_variance_ratio",
-    "stats_sign_test",
-    "stats_xi_correlation",
-    "ts_sample_entropy",
-    "llm_watermark_detect",
-    "stats_kaplan_meier",
-    "stats_logrank_test",
-    "stats_cochran_q",
-    # changed implementation (round-13 10x-sweep hardening: pow(n,.5)
-    # -> snapped IEEE-exact sqrt; expected_docs flipped at sf0.1), so
-    # its round-5 official row describes the old arithmetic — budget
-    # full this round, re-verifies round 14 (the round-6 precedent)
-    "llm_mixture_weights",
+    # round-14 registrations past the 50-row budget go here
+    # (driver-sim green + replay property test required at
+    # registration; first official row round 15)
 ]
 
 

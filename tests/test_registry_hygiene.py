@@ -93,11 +93,12 @@ def test_evict_cache_caps_same_app_entries():
 
 def test_driver_budget_lands_on_the_50_unrecorded():
     """The names load_all() yields ahead of the already-verified tail
-    must start with exactly _VERIFY_FIRST.  After the round-10-start
-    promotion (tools/promote_verified.py over CORRECTNESS_r09.json) the
-    official record covers 394 of 438 queries; the unverified head is
-    the 44 round-9 _VERIFY_AFTER deferrals plus any round-10
-    registrations — at most 50, the driver's per-round budget;
+    must start with exactly _VERIFY_FIRST.  After the round-14-start
+    promotion (tools/promote_verified.py over CORRECTNESS_r13.json) the
+    official record covers 490 of 508 queries; the unverified head is
+    the staged 50 (19 round-13 _VERIFY_AFTER deferrals + 2 round-14
+    ADVICE-hardened re-verifies + 29 round-4 rotation rows) plus any
+    round-14 registrations — at most 50, the driver's per-round budget;
     overflow registrations are explicitly deferred via _VERIFY_AFTER
     (they enumerate after the in-budget block, verifying next
     round)."""

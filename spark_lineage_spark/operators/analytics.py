@@ -8179,3 +8179,268 @@ def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         )
     )
+
+
+# Turning-points test (round 14): the classic randomness probe that
+# complements ts_runs-style sign tests — in an i.i.d. sequence the
+# number of strict local extrema T among n points has E[T] =
+# 2(n-2)/3 and Var[T] = (16n-29)/90, so z = (T-E)/sqrt(V) flags
+# serial structure (trend or oscillation) with no distributional
+# assumption at all.  One shared SQL text.  Determinism: daily cents
+# are exact bigints, T and n are exact integer counts, and the
+# expectation/variance/z close as fixed-order doubles on a 1-row
+# scalar (sqrt is IEEE-exact).  Convention (documented): strict
+# inequalities on both sides — a tie with either neighbour is not a
+# turning point — and the test runs on the OBSERVED day sequence
+# (missing calendar days just shorten the sequence, the ts_hurst
+# row-index convention).
+_TURNING_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+seq AS (
+  SELECT cents AS y,
+         lag(cents)  OVER (ORDER BY d) AS py,
+         lead(cents) OVER (ORDER BY d) AS ny
+  FROM daily
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) + 2 AS n,
+         CAST(sum(CASE WHEN (y > py AND y > ny) OR (y < py AND y < ny)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS t
+  FROM seq WHERE py IS NOT NULL AND ny IS NOT NULL
+)
+SELECT n AS n_obs, t AS n_turning,
+       round(CAST(2 AS DOUBLE) * (n - 2) / 3, 4) AS expected_turning,
+       round((16 * n - 29) / CAST(90 AS DOUBLE), 4) AS var_turning,
+       round((t - CAST(2 AS DOUBLE) * (n - 2) / 3)
+             / sqrt((16 * n - 29) / CAST(90 AS DOUBLE)), 4) AS z_score,
+       CAST(CASE WHEN abs((t - CAST(2 AS DOUBLE) * (n - 2) / 3)
+                          / sqrt((16 * n - 29) / CAST(90 AS DOUBLE))) > 1.96
+                 THEN 1 ELSE 0 END AS BIGINT) AS reject_iid_95
+FROM s
+"""
+
+
+@query(
+    "ts_turning_points",
+    "§2.24 turning-points randomness test on daily revenue",
+    _TURNING_SQL,
+)
+def ts_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-points test for serial randomness: count the strict
+    local maxima and minima of the daily-revenue sequence and compare
+    against the i.i.d. expectation 2(n-2)/3 with variance (16n-29)/90
+    (Kendall's classic result; too FEW turning points means trend,
+    too MANY means rapid oscillation / negative autocorrelation).
+    Distinct from stats_runs_test, which dichotomizes around the
+    median and loses the local-extremum structure this test keys on.
+    Strict-inequality tie convention and observed-sequence indexing
+    documented in the SQL header; all counts exact integers, the z
+    close is fixed-order doubles on a 1-row scalar.
+
+    Shape at any SF: one orders scan partial-aggs to the
+    calendar-bounded daily table; the lag/lead window and the count
+    run on O(days) rows; 1-row finish.  100 TB costs the one fact
+    scan."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_TURNING_SQL)
+
+
+# Permutation entropy (round 14): Bandt-Pompe complexity of the daily
+# revenue sequence at embedding order 3 — the ordinal-pattern
+# companion to ts_sample_entropy (which needs a tolerance scale; the
+# ordinal patterns need none) and ts_turning_points (whose extrema
+# are exactly the 2 "peak"/"valley" pattern classes of the 6).  Each
+# consecutive day triple maps to one of 3! = 6 ordinal patterns;
+# H = -sum p ln p over the pattern distribution, normalized by ln 6.
+# One shared SQL text.  Determinism: pattern ranks break value ties
+# by POSITION (earlier day ranks lower — the standard Bandt-Pompe
+# convention, documented), so every code is an exact integer; counts
+# are exact; the entropy uses the factored H = ln N - (sum c ln c)/N
+# with each c*ln(c) term rounded to 8 decimals and decimal-summed
+# (the llm_token_entropy q9 cent-flip discipline).
+_PERM_ENTROPY_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+tri AS (
+  SELECT cents AS y0,
+         lead(cents, 1) OVER (ORDER BY d) AS y1,
+         lead(cents, 2) OVER (ORDER BY d) AS y2
+  FROM daily
+),
+pat AS (
+  SELECT ((CASE WHEN y0 > y1 THEN 1 ELSE 0 END)
+          + (CASE WHEN y0 > y2 THEN 1 ELSE 0 END)) * 9
+         + ((CASE WHEN y1 >= y0 THEN 1 ELSE 0 END)
+            + (CASE WHEN y1 > y2 THEN 1 ELSE 0 END)) * 3
+         + ((CASE WHEN y2 >= y0 THEN 1 ELSE 0 END)
+            + (CASE WHEN y2 >= y1 THEN 1 ELSE 0 END)) AS code
+  FROM tri WHERE y1 IS NOT NULL AND y2 IS NOT NULL
+),
+counts AS (
+  SELECT code, CAST(count(*) AS BIGINT) AS c FROM pat GROUP BY code
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CAST(round(c * ln(c), 8) AS DECIMAL(28,8)))
+              AS DOUBLE) AS slc
+  FROM counts
+)
+SELECT c2.code AS pattern_code, c2.c AS n_windows,
+       round(CAST(c2.c AS DOUBLE) / t.n, 6) AS share,
+       round(ln(t.n) - t.slc / t.n, 6) AS perm_entropy_nats,
+       round((ln(t.n) - t.slc / t.n) / ln(CAST(6 AS DOUBLE)), 6)
+         AS perm_entropy_norm
+FROM counts c2 CROSS JOIN tot t ORDER BY pattern_code
+"""
+
+
+@query(
+    "ts_permutation_entropy",
+    "§2.24 Bandt-Pompe permutation entropy (order 3) of daily revenue",
+    _PERM_ENTROPY_SQL,
+)
+def ts_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy at embedding order 3: map every
+    consecutive-day revenue triple to its ordinal pattern (the
+    permutation that sorts it, ties broken by position — the standard
+    Bandt-Pompe convention) and report the pattern distribution plus
+    the normalized Shannon entropy H/ln6 (1 =white-noise-like ordinal
+    structure, 0 = a single monotone pattern).  The pattern code is
+    r0*9 + r1*3 + r2 where r_i counts strictly-smaller (or
+    tie-earlier) neighbours — exactly 6 valid codes {5,7,11,15,19,
+    21}.  Complexity with NO tolerance parameter, which is what
+    ts_sample_entropy cannot offer; robust to any monotone transform
+    of the values.  Counts exact; entropy via the factored form with
+    8-decimal-rounded decimal-summed c*ln(c) terms.
+
+    Shape at any SF: one orders scan to the daily table; the
+    two-lead window and the 6-group agg run on O(days) rows;
+    6-row finish.  100 TB costs the one fact scan."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_PERM_ENTROPY_SQL)
+
+
+# KPSS stationarity test (round 14): the null-reversed partner of
+# ts_dickey_fuller — DF's null is "unit root" (reject = stationary),
+# KPSS's null is "level-stationary" (reject = unit root), so running
+# BOTH disambiguates the classic four-quadrant table (both reject,
+# both fail, or they disagree).  eta = n^-2 sum_t S_t^2 / s^2(l)
+# where S_t is the partial sum of the demeaned series and s^2(l) the
+# Bartlett-window long-run variance at bandwidth l = floor(4 *
+# (n/100)^(1/4)).  Template SQL ({jgrid} lag-grid spelling per
+# engine).  Determinism: the demeaned series is integerized FIRST —
+# e_t = n*y_t - S1 is an exact bigint (headroom: n*daily_cents <
+# 9.2e18 up to ~2400 days x 2.3e15 cents/day, i.e. past the 100 TB
+# point) snapped once to the documented 2^20 grain via a
+# deterministic double round; every downstream quantity (partial
+# sums, their squares, all autocovariance products, the integer
+# Bartlett weights (l+1-j)) is then EXACT integer/DECIMAL arithmetic
+# whose grain cancels in eta, which closes as ONE double division.
+# The bandwidth uses sqrt(sqrt(x)) — two IEEE-exact roots, no libm
+# pow.  Critical value 0.463 (level case, 5%), hard-coded and
+# documented (the null distribution is nonstandard).
+_KPSS_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT row_number() OVER (ORDER BY d) AS t, cents AS y FROM daily
+),
+n1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS s1,
+         CAST(floor(4 * sqrt(sqrt(count(*) / CAST(100 AS DOUBLE))))
+              AS BIGINT) AS l
+  FROM idx
+),
+f AS (
+  SELECT i.t, n1.n, n1.l,
+         CAST(round(CAST(n1.n * i.y - n1.s1 AS DOUBLE) / 1048576)
+              AS BIGINT) AS e
+  FROM idx i CROSS JOIN n1
+),
+cum AS (
+  SELECT t, n, l, e,
+         CAST(sum(e) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS s
+  FROM f
+),
+num AS (
+  SELECT CAST(sum(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS ss2
+  FROM cum
+),
+g0 AS (
+  SELECT CAST(sum(CAST(e AS DECIMAL(19,0)) * CAST(e AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS gamma0
+  FROM f
+),
+js AS (SELECT {jgrid} AS j FROM n1),
+gj AS (
+  SELECT CAST(sum(CAST(n1.l + 1 - js.j AS DECIMAL(19,0))
+                  * CAST(a.e AS DECIMAL(19,0))
+                  * CAST(b.e AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS wgamma
+  FROM js CROSS JOIN n1
+  JOIN f a ON true JOIN f b ON a.t = b.t + js.j
+),
+scal AS (
+  SELECT n1.n, n1.l, num.ss2,
+         CAST(n1.l + 1 AS DECIMAL(19,0)) * g0.gamma0
+           + 2 * coalesce(gj.wgamma, 0) AS lrv_scaled
+  FROM n1 CROSS JOIN num CROSS JOIN g0 LEFT JOIN gj ON true
+)
+SELECT n AS n_obs, l AS bandwidth,
+       round(CAST(ss2 AS DOUBLE) * (l + 1)
+             / (CAST(n AS DOUBLE) * CAST(lrv_scaled AS DOUBLE)), 6)
+         AS kpss_eta,
+       CAST(0.463 AS DOUBLE) AS crit_5pct,
+       CAST(CASE WHEN CAST(ss2 AS DOUBLE) * (l + 1)
+                      / (CAST(n AS DOUBLE) * CAST(lrv_scaled AS DOUBLE))
+                      > 0.463
+                 THEN 1 ELSE 0 END AS BIGINT) AS reject_stationary
+FROM scal
+"""
+
+
+@query(
+    "ts_kpss_test",
+    "§2.24 KPSS level-stationarity test on daily revenue",
+    _KPSS_SQL.format(jgrid="unnest(generate_series(1, CAST(l AS BIGINT)))"),
+)
+def ts_kpss_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS test for level stationarity of daily revenue — the
+    null-reversed companion to ts_dickey_fuller: under the null the
+    series is stationary around a constant level, and the statistic
+    eta = n^-2 sum S_t^2 / s^2(l) (partial sums of the demeaned
+    series over the Bartlett long-run variance at bandwidth
+    l = floor(4 (n/100)^0.25)) rejects when the partial sums wander
+    like a random walk.  Reject here + fail-to-reject in DF is the
+    strongest unit-root evidence; the reverse is the strongest
+    stationarity evidence.  The demeaned series integerizes as
+    n*y - sum(y) (exact bigint) snapped once at the documented 2^20
+    grain — the grain cancels in eta — so partial sums, squares, and
+    all Bartlett-weighted autocovariances are exact integer/DECIMAL
+    sums in both engines; eta closes as one double division; the
+    bandwidth needs only IEEE-exact sqrt(sqrt(.)).
+
+    Shape at any SF: one orders scan partial-aggs to the
+    calendar-bounded daily table; the cumsum window, the l
+    lag-joins, and the finish run on O(days * l) metadata-scale
+    rows.  100 TB costs the one fact scan."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        _KPSS_SQL.format(jgrid="explode(sequence(1, CAST(l AS BIGINT)))")
+    )

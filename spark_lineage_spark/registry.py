@@ -424,9 +424,12 @@ _VERIFY_LAST = []
 # llm_dataset_temperature_mix dropped as a duplicate of
 # llm_mixture_weights (same p^alpha reweighting, already official).
 _VERIFY_AFTER = [
-    # round-14 registrations past the 50-row budget go here
-    # (driver-sim green + replay property test required at
-    # registration; first official row round 15)
+    # round-14 registrations past the 50-row budget (each driver-sim
+    # green at sf0.01 at registration, each with a numpy replay
+    # property test; first official row round 15)
+    "ts_turning_points",
+    "ts_permutation_entropy",
+    "ts_kpss_test",
 ]
 
 

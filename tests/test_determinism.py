@@ -63,6 +63,10 @@ SENSITIVE = [
     "stats_kaplan_meier",  # ordered log-space survival product
     "stats_logrank_test",  # 1e-9-snapped per-time O-E/V sums
     "stats_cochran_q",  # exact discrete medians + integer Q algebra
+    # round-14 ops (the order-free claims their docstrings make):
+    "ts_turning_points",  # exact extremum counts, 1-row double close
+    "ts_permutation_entropy",  # decimal-summed c*ln(c) pattern terms
+    "ts_kpss_test",  # 2^20-snapped centered series, exact DECIMAL lrv
 ]
 
 

@@ -1,0 +1,152 @@
+"""Round-14 property coverage: independent replays of the new ops —
+each re-derives the operator's statistic from the raw parquet with
+numpy/pandas, pinned to the textbook definition rather than the
+operator's own SQL, so a shared-SQL formula transcription error
+cannot hide behind the cross-engine hash gate (the
+ts_seasonal_strength F_T/F_S lesson from ADVICE r11)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _load_all():
+    from spark_lineage_spark.registry import load_all
+
+    return load_all()
+
+
+def _daily_cents():
+    o = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    d = pd.to_datetime(o.o_orderdate).dt.normalize()
+    cents = np.round(o.o_totalprice.to_numpy() * 100).astype(np.int64)
+    return (
+        pd.DataFrame({"d": d, "y": cents})
+        .groupby("d")["y"].sum().sort_index().to_numpy()
+    )
+
+
+def test_turning_points_matches_numpy_replay(spark):
+    got = _load_all()["ts_turning_points"].builder(spark, SF).toPandas()
+    y = _daily_cents()
+    n = len(y)
+    interior = y[1:-1]
+    t = int(
+        (((interior > y[:-2]) & (interior > y[2:]))
+         | ((interior < y[:-2]) & (interior < y[2:]))).sum()
+    )
+    e = 2.0 * (n - 2) / 3
+    v = (16 * n - 29) / 90.0
+    z = (t - e) / np.sqrt(v)
+    row = got.iloc[0]
+    assert row.n_obs == n and row.n_turning == t
+    assert abs(row.expected_turning - round(e, 4)) < 1e-9
+    assert abs(row.var_turning - round(v, 4)) < 1e-9
+    assert abs(row.z_score - round(z, 4)) < 1e-3
+    assert row.reject_iid_95 == int(abs(z) > 1.96)
+
+
+def test_turning_points_textbook_cases():
+    """Monotone series: zero turning points.  Perfect zigzag: every
+    interior point turns.  These pin the strict-extremum definition
+    independent of any engine."""
+    for y in (np.arange(10), np.arange(10)[::-1]):
+        interior = y[1:-1]
+        t = (((interior > y[:-2]) & (interior > y[2:]))
+             | ((interior < y[:-2]) & (interior < y[2:]))).sum()
+        assert t == 0
+    zig = np.array([0, 5, 1, 6, 2, 7, 3, 8])
+    interior = zig[1:-1]
+    t = (((interior > zig[:-2]) & (interior > zig[2:]))
+         | ((interior < zig[:-2]) & (interior < zig[2:]))).sum()
+    assert t == len(zig) - 2
+
+
+def _perm_code(y0, y1, y2):
+    r0 = int(y0 > y1) + int(y0 > y2)
+    r1 = int(y1 >= y0) + int(y1 > y2)
+    r2 = int(y2 >= y0) + int(y2 >= y1)
+    return r0 * 9 + r1 * 3 + r2
+
+
+def test_permutation_entropy_matches_numpy_replay(spark):
+    got = (
+        _load_all()["ts_permutation_entropy"].builder(spark, SF).toPandas()
+        .sort_values("pattern_code").reset_index(drop=True)
+    )
+    y = _daily_cents()
+    codes = [
+        _perm_code(y[i], y[i + 1], y[i + 2]) for i in range(len(y) - 2)
+    ]
+    counts = pd.Series(codes).value_counts().sort_index()
+    n = counts.sum()
+    slc = float(sum(round(c * np.log(c), 8) for c in counts))
+    h = np.log(n) - slc / n
+    assert got.pattern_code.tolist() == counts.index.tolist()
+    assert got.n_windows.tolist() == counts.tolist()
+    for i, c in enumerate(counts):
+        assert abs(got.share[i] - round(c / n, 6)) < 1e-9
+    assert (abs(got.perm_entropy_nats - round(h, 6)) < 2e-6).all()
+    assert (abs(got.perm_entropy_norm - round(h / np.log(6), 6)) < 2e-6).all()
+    # codes are valid order-3 permutations only
+    assert set(got.pattern_code) <= {5, 7, 11, 15, 19, 21}
+    assert 0 <= got.perm_entropy_norm.iloc[0] <= 1 + 1e-9
+
+
+def test_permutation_entropy_code_is_bijective_on_permutations():
+    """Every strict ordering of three distinct values maps to a
+    distinct code, ties resolve by position (Bandt-Pompe)."""
+    import itertools
+
+    codes = {_perm_code(*p) for p in itertools.permutations([1.0, 2.0, 3.0])}
+    assert codes == {5, 7, 11, 15, 19, 21}
+    # tie convention: equal values rank by position — same as the
+    # strictly-increasing pattern
+    assert _perm_code(1, 1, 1) == _perm_code(1, 2, 3)
+
+
+def _kpss_replay(y):
+    n = len(y)
+    s1 = int(y.sum())
+    e = np.array(
+        [round((n * int(v) - s1) / 1048576) for v in y], dtype=np.int64
+    )
+    s = np.cumsum(e)
+    ss2 = int((s.astype(object) ** 2).sum())
+    l = int(np.floor(4 * np.sqrt(np.sqrt(n / 100.0))))
+    gamma0 = int((e.astype(object) ** 2).sum())
+    wgamma = 0
+    for j in range(1, l + 1):
+        wgamma += (l + 1 - j) * int((e[j:].astype(object) * e[:-j]).sum())
+    lrv_scaled = (l + 1) * gamma0 + 2 * wgamma
+    eta = ss2 * (l + 1) / (n * lrv_scaled)
+    return n, l, eta
+
+
+def test_kpss_matches_numpy_replay(spark):
+    got = _load_all()["ts_kpss_test"].builder(spark, SF).toPandas()
+    y = _daily_cents()
+    n, l, eta = _kpss_replay(y)
+    row = got.iloc[0]
+    assert row.n_obs == n and row.bandwidth == l
+    assert abs(row.kpss_eta - round(eta, 6)) < 2e-6
+    assert row.reject_stationary == int(eta > 0.463)
+
+
+def test_kpss_textbook_behavior():
+    """A pure random walk must blow eta up; white noise keeps it
+    small — the level-stationarity null reacts exactly as KPSS 1992
+    describes.  Deterministic pseudo-random input (md5-free LCG) so
+    the case replays bit-identically."""
+    rng = np.random.RandomState(7)
+    noise = (rng.randint(0, 10_000_000, size=2000)).astype(np.int64)
+    _, _, eta_noise = _kpss_replay(noise)
+    walk = np.cumsum(rng.randint(-5_000_000, 5_000_000, size=2000)).astype(
+        np.int64
+    ) + 10_000_000_000
+    _, _, eta_walk = _kpss_replay(walk)
+    assert eta_noise < 0.463 < eta_walk

@@ -322,6 +322,12 @@ PROBE_QUERIES = [
     "stats_kaplan_meier",
     "stats_logrank_test",
     "stats_cochran_q",
+    # round-14 wave 1: all three collapse to the calendar-bounded
+    # daily table (lag/lead windows, 6-pattern agg, l lag-joins on
+    # O(days) rows) — only the fact scan grows with SF.
+    "ts_turning_points",
+    "ts_permutation_entropy",
+    "ts_kpss_test",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

@@ -8444,3 +8444,322 @@ def ts_kpss_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _KPSS_SQL.format(jgrid="explode(sequence(1, CAST(l AS BIGINT)))")
     )
+
+
+# --- round-14 two-sample rank chassis --------------------------------
+# Three rank tests (Brunner-Munzel, Cramer-von Mises, Ansari-Bradley)
+# share one staging: events collapse to DISTINCT integer micro-values
+# with per-group counts (never a global per-row rank), and the
+# exclusive prefix sums (total / group-a / group-b) come from the same
+# bounded two-phase distributed prefix sum as stats_mann_whitney — a
+# coarse bucket key gives parallel windows, bucket offsets broadcast
+# back.  Every downstream statistic is a closed form over exact
+# integer tied-group sums.
+
+def _two_sample_cum_sql(type_a: str, type_b: str) -> str:
+    """Shared oracle CTE text: distinct points + exclusive prefixes."""
+    return f"""
+pts AS (
+  SELECT CAST(round(value * 1000000) AS BIGINT) AS v,
+         CAST(sum(CASE WHEN event_type = '{type_a}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN event_type = '{type_b}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cv
+  FROM events WHERE event_type IN ('{type_a}', '{type_b}') GROUP BY 1
+),
+cum AS (
+  SELECT ca, cv, ca + cv AS g,
+         CAST(sum(ca + cv) OVER (ORDER BY v) - (ca + cv) AS BIGINT)
+           AS prev_total,
+         CAST(sum(ca) OVER (ORDER BY v) - ca AS BIGINT) AS prev_ca,
+         CAST(sum(cv) OVER (ORDER BY v) - cv AS BIGINT) AS prev_cv
+  FROM pts
+)"""
+
+
+def _two_sample_cum_df(spark: SparkSession, sf_dir: str,
+                       type_a: str, type_b: str) -> DataFrame:
+    """Spark-side staging: the stats_mann_whitney bucketed two-phase
+    prefix sum, extended to per-group exclusive prefixes."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(type_a, type_b))
+        .select(
+            F.round(F.col("value") * 1_000_000).cast("bigint").alias("v"),
+            F.when(F.col("event_type") == type_a, 1).otherwise(0).alias("ia"),
+            F.when(F.col("event_type") == type_b, 1).otherwise(0).alias("ib"),
+        )
+    )
+    pts = lineage_checkpoint_lazy(
+        ev.groupBy("v")
+        .agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cv"))
+        .withColumn("g", F.col("ca") + F.col("cv"))
+        .withColumn("bucket", F.expr("v div 50000000"))
+    )
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    boff = (
+        pts.groupBy("bucket")
+        .agg(
+            F.sum("g").alias("bg"),
+            F.sum("ca").alias("bca"),
+            F.sum("cv").alias("bcv"),
+        )
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bg").over(wb), F.lit(0)).alias("offg"),
+            F.coalesce(F.sum("bca").over(wb), F.lit(0)).alias("offa"),
+            F.coalesce(F.sum("bcv").over(wb), F.lit(0)).alias("offb"),
+        )
+    )
+    w = Window.partitionBy("bucket").orderBy("v")
+    return (
+        pts.join(F.broadcast(boff), "bucket")
+        .select(
+            "ca", "cv", "g",
+            (F.sum("g").over(w) + F.col("offg") - F.col("g"))
+            .cast("bigint").alias("prev_total"),
+            (F.sum("ca").over(w) + F.col("offa") - F.col("ca"))
+            .cast("bigint").alias("prev_ca"),
+            (F.sum("cv").over(w) + F.col("offb") - F.col("cv"))
+            .cast("bigint").alias("prev_cv"),
+        )
+    )
+
+
+# Brunner-Munzel (round 14): the two-sample rank test that drops
+# Mann-Whitney's "equal shapes" assumption — MW's z is miscalibrated
+# when the two groups have different variances; BM studentizes the
+# placement statistic with EACH group's own placement variance (the
+# nonparametric Behrens-Fisher solution).  Reports the stochastic-
+# superiority estimate p_hat = P(A < B) + 0.5 P(A = B) directly.
+# Determinism: a group-a observation's doubled placement among
+# group-b is the exact integer 2*prev_cv + cv (and symmetrically),
+# so all four moment sums are exact DECIMAL; the W / p_hat /
+# Satterthwaite-df close is fixed-order doubles on a 1-row scalar.
+# The reject gate uses the normal 1.96 (documented: df is in the
+# hundreds here; the t refinement changes nothing at this n).
+_BM_CLOSE_SQL = """
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n1, CAST(sum(cv) AS BIGINT) AS n2
+  FROM {cum}
+),
+s AS (
+  SELECT
+    CAST(sum(CAST(ca AS DECIMAL(19,0))
+             * CAST(2 * prev_cv + cv AS DECIMAL(19,0)))
+         AS DECIMAL(38,0)) AS sd1,
+    CAST(sum(CAST(ca AS DECIMAL(19,0))
+             * CAST(2 * prev_cv + cv AS DECIMAL(19,0))
+             * CAST(2 * prev_cv + cv AS DECIMAL(19,0)))
+         AS DECIMAL(38,0)) AS sdd1,
+    CAST(sum(CAST(cv AS DECIMAL(19,0))
+             * CAST(2 * prev_ca + ca AS DECIMAL(19,0)))
+         AS DECIMAL(38,0)) AS sd2,
+    CAST(sum(CAST(cv AS DECIMAL(19,0))
+             * CAST(2 * prev_ca + ca AS DECIMAL(19,0))
+             * CAST(2 * prev_ca + ca AS DECIMAL(19,0)))
+         AS DECIMAL(38,0)) AS sdd2
+  FROM {cum}
+),
+fit AS (
+  SELECT n1, n2,
+         CAST(sd2 AS DOUBLE) / (2 * CAST(n1 AS DOUBLE) * n2) AS p_hat,
+         ((CAST(sd2 AS DOUBLE) / n2 - CAST(sd1 AS DOUBLE) / n1)
+          + (n2 - n1)) / 2 AS rdiff,
+         (CAST(sdd1 AS DOUBLE)
+          - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE) / n1) / (n1 - 1)
+           AS vx4,
+         (CAST(sdd2 AS DOUBLE)
+          - CAST(sd2 AS DOUBLE) * CAST(sd2 AS DOUBLE) / n2) / (n2 - 1)
+           AS vy4
+  FROM tot CROSS JOIN s
+)
+SELECT n1 AS n_a, n2 AS n_b,
+       round(p_hat, 6) AS p_a_lt_b,
+       round(2 * CAST(n1 AS DOUBLE) * n2 * rdiff
+             / ((n1 + n2) * sqrt(n1 * vx4 + n2 * vy4)), 4) AS bm_stat,
+       round((n1 * vx4 + n2 * vy4) * (n1 * vx4 + n2 * vy4)
+             / ((n1 * vx4) * (n1 * vx4) / (n1 - 1)
+                + (n2 * vy4) * (n2 * vy4) / (n2 - 1)), 2) AS df_satterthwaite,
+       CAST(CASE WHEN abs(2 * CAST(n1 AS DOUBLE) * n2 * rdiff
+                          / ((n1 + n2) * sqrt(n1 * vx4 + n2 * vy4))) > 1.96
+                 THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+FROM fit
+"""
+
+
+@query(
+    "stats_brunner_munzel",
+    "§2.24 Brunner-Munzel nonparametric Behrens-Fisher test (purchase vs click)",
+    "WITH " + _two_sample_cum_sql("purchase", "click") + ","
+    + _BM_CLOSE_SQL.format(cum="cum"),
+)
+def stats_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel test: is P(purchase value < click value) +
+    0.5 P(equal) different from 1/2 — WITHOUT assuming the two value
+    distributions share a shape?  stats_mann_whitney's z quietly
+    assumes equal variances under the null; purchase and click values
+    have visibly different spreads, which is exactly the
+    heteroskedastic case BM was built for (the nonparametric
+    Behrens-Fisher problem).  The doubled placement of an a-row among
+    the b-sample is the exact integer 2*prev_cv + cv from the shared
+    two-phase prefix chassis, so sd/sdd moment sums are exact DECIMAL
+    in any partition order; W, p_hat, and the Satterthwaite df close
+    as fixed-order doubles on a 1-row scalar; reject gate at the
+    normal 1.96 (documented — df here is in the hundreds).
+
+    Shape at any SF: one events scan hash-aggs to distinct micro-
+    values; the bucketed two-phase prefix sum bounds every window
+    partition; the moment agg is map-side partial; 1-row finish."""
+    cum = _two_sample_cum_df(spark, sf_dir, "purchase", "click")
+    cum.createOrReplaceTempView("r14_bm_cum")
+    return spark.sql("WITH " + _BM_CLOSE_SQL.format(cum="r14_bm_cum"))
+
+
+# Cramer-von Mises two-sample (round 14): the INTEGRATED-distance
+# alternative to stats_ks_test's supremum — KS keys on the single
+# worst ECDF gap (most sensitive near the median), CvM integrates the
+# SQUARED gap over the whole pooled sample and so sees tail and
+# multi-hump differences a one-point supremum misses.  ECDF
+# formulation (tie-natural, documented): T = sum_points g * A^2 /
+# (n1 * n2 * N^2) with A = cum_a * n2 - cum_b * n1 an exact integer
+# at every distinct value.  Determinism: the whole numerator is one
+# exact DECIMAL sum of integer products; T closes as one double
+# division.  Headroom documented in the docstring.  Asymptotic 5%
+# critical value 0.461 (Anderson 1962), hard-coded and documented.
+_CVM_CLOSE_SQL = """
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n1, CAST(sum(cv) AS BIGINT) AS n2
+  FROM {cum}
+),
+s AS (
+  SELECT CAST(sum(CAST(g AS DECIMAL(19,0))
+                  * CAST((prev_ca + ca) * t.n2 - (prev_cv + cv) * t.n1
+                         AS DECIMAL(19,0))
+                  * CAST((prev_ca + ca) * t.n2 - (prev_cv + cv) * t.n1
+                         AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS num
+  FROM {cum} CROSS JOIN tot t
+)
+SELECT t.n1 AS n_a, t.n2 AS n_b,
+       round(CAST(s.num AS DOUBLE)
+             / (CAST(t.n1 AS DOUBLE) * t.n2 * (t.n1 + t.n2)
+                * (t.n1 + t.n2)), 6) AS cvm_t,
+       CAST(0.461 AS DOUBLE) AS crit_5pct,
+       CAST(CASE WHEN CAST(s.num AS DOUBLE)
+                      / (CAST(t.n1 AS DOUBLE) * t.n2 * (t.n1 + t.n2)
+                         * (t.n1 + t.n2)) > 0.461
+                 THEN 1 ELSE 0 END AS BIGINT) AS reject_same_dist
+FROM tot t CROSS JOIN s
+"""
+
+
+@query(
+    "stats_cvm_two_sample",
+    "§2.24 Cramer-von Mises two-sample ECDF-distance test (purchase vs click)",
+    "WITH " + _two_sample_cum_sql("purchase", "click") + ","
+    + _CVM_CLOSE_SQL.format(cum="cum"),
+)
+def stats_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramer-von Mises test on purchase-vs-click values:
+    T integrates the SQUARED ECDF gap over the pooled sample where
+    stats_ks_test takes only the supremum — the classic pairing
+    (KS for one big local gap, CvM for many small everywhere gaps).
+    At each distinct micro-value the gap numerator A = cum_a*n2 -
+    cum_b*n1 is an exact integer, so the statistic's numerator
+    sum g*A^2 is one exact DECIMAL aggregate and T closes as a
+    single double division against the 0.461 asymptotic 5% critical
+    value (Anderson 1962; documented).  Integer headroom: |A| <=
+    n1*n2 and the summed numerator stays inside DECIMAL(38,0) for
+    samples up to ~1.7e9 rows per side — past that the docstringed
+    escape is coarsening the value grain (the KPSS 2^20 pattern).
+
+    Shape at any SF: identical to stats_brunner_munzel — one events
+    scan to distinct micro-values, bucketed two-phase prefix sums,
+    map-side-partial moment agg, 1-row finish."""
+    cum = _two_sample_cum_df(spark, sf_dir, "purchase", "click")
+    cum.createOrReplaceTempView("r14_cvm_cum")
+    return spark.sql("WITH " + _CVM_CLOSE_SQL.format(cum="r14_cvm_cum"))
+
+
+# Ansari-Bradley (round 14): the rank test for SCALE — are click and
+# view values equally dispersed around a common median?  stats_levene
+# answers with moments (mean-based, outlier-sensitive); AB scores
+# each observation by its distance from the outside in, a_i =
+# min(R_i, N+1-R_i), so a group concentrated at the extremes
+# collects LOW scores.  Tie-robust permutation-moment form
+# (Hajek; documented): z = (AB - n1*sbar) / sqrt(n1*n2*(s2sum -
+# N*sbar^2)/(N(N-1))) computed from the ACTUAL tied score sums, not
+# the no-tie textbook constants.  Determinism: doubled mid-ranks and
+# doubled scores are exact integers from the shared prefix chassis;
+# all three score sums are exact DECIMAL; the doubled units cancel
+# in z, which closes as fixed-order doubles on a 1-row scalar.
+_AB_CLOSE_SQL = """
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n1, CAST(sum(cv) AS BIGINT) AS n2,
+         CAST(sum(ca) + sum(cv) AS BIGINT) AS n
+  FROM {cum}
+),
+sc AS (
+  SELECT ca, cv, g,
+         least(2 * prev_total + g + 1,
+               2 * (t.n + 1) - (2 * prev_total + g + 1)) AS a2
+  FROM {cum} CROSS JOIN tot t
+),
+s AS (
+  SELECT
+    CAST(sum(CAST(ca AS DECIMAL(19,0)) * CAST(a2 AS DECIMAL(19,0)))
+         AS DECIMAL(38,0)) AS ab2,
+    CAST(sum(CAST(g AS DECIMAL(19,0)) * CAST(a2 AS DECIMAL(19,0)))
+         AS DECIMAL(38,0)) AS sg2,
+    CAST(sum(CAST(g AS DECIMAL(19,0)) * CAST(a2 AS DECIMAL(19,0))
+             * CAST(a2 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sgg4
+  FROM sc
+)
+SELECT t.n1 AS n_a, t.n2 AS n_b,
+       round(CAST(s.ab2 AS DOUBLE) / 2, 1) AS ab_stat,
+       round((CAST(s.ab2 AS DOUBLE) - CAST(t.n1 AS DOUBLE)
+                                      * CAST(s.sg2 AS DOUBLE) / t.n)
+             / sqrt(CAST(t.n1 AS DOUBLE) * t.n2
+                    * (CAST(s.sgg4 AS DOUBLE)
+                       - CAST(s.sg2 AS DOUBLE) * CAST(s.sg2 AS DOUBLE) / t.n)
+                    / (CAST(t.n AS DOUBLE) * (t.n - 1))), 4) AS z_score,
+       CAST(CASE WHEN abs((CAST(s.ab2 AS DOUBLE)
+                           - CAST(t.n1 AS DOUBLE)
+                             * CAST(s.sg2 AS DOUBLE) / t.n)
+                          / sqrt(CAST(t.n1 AS DOUBLE) * t.n2
+                                 * (CAST(s.sgg4 AS DOUBLE)
+                                    - CAST(s.sg2 AS DOUBLE)
+                                      * CAST(s.sg2 AS DOUBLE) / t.n)
+                                 / (CAST(t.n AS DOUBLE) * (t.n - 1)))) > 1.96
+                 THEN 1 ELSE 0 END AS BIGINT) AS reject_equal_scale
+FROM tot t CROSS JOIN s
+"""
+
+
+@query(
+    "stats_ansari_bradley",
+    "§2.24 Ansari-Bradley rank test for equal dispersion (click vs view)",
+    "WITH " + _two_sample_cum_sql("click", "view") + ","
+    + _AB_CLOSE_SQL.format(cum="cum"),
+)
+def stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley test: do click and view values differ in SCALE?
+    Scores count from the outside in (min of rank and reverse rank),
+    so the more-dispersed group's observations sit at the extremes
+    and collect systematically lower scores; the z compares sample
+    a's score sum to its permutation moments computed from the
+    ACTUAL tied scores (tie-robust, unlike the no-tie textbook
+    mean/variance — convention documented).  The rank-based
+    complement to stats_levene_test's moment-based spread test.
+    Doubled mid-ranks and scores are exact integers from the shared
+    two-phase prefix chassis; the three score sums are exact
+    DECIMAL; z closes as fixed-order doubles on a 1-row scalar.
+
+    Shape at any SF: identical to stats_brunner_munzel — one events
+    scan to distinct micro-values, bucketed two-phase prefix sums,
+    broadcast scalar totals, map-side-partial score agg, 1-row
+    finish."""
+    cum = _two_sample_cum_df(spark, sf_dir, "click", "view")
+    cum.createOrReplaceTempView("r14_ab_cum")
+    return spark.sql("WITH " + _AB_CLOSE_SQL.format(cum="r14_ab_cum"))

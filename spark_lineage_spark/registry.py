@@ -430,6 +430,9 @@ _VERIFY_AFTER = [
     "ts_turning_points",
     "ts_permutation_entropy",
     "ts_kpss_test",
+    "stats_brunner_munzel",
+    "stats_cvm_two_sample",
+    "stats_ansari_bradley",
 ]
 
 

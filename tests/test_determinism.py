@@ -67,6 +67,9 @@ SENSITIVE = [
     "ts_turning_points",  # exact extremum counts, 1-row double close
     "ts_permutation_entropy",  # decimal-summed c*ln(c) pattern terms
     "ts_kpss_test",  # 2^20-snapped centered series, exact DECIMAL lrv
+    "stats_brunner_munzel",  # exact DECIMAL placement moments
+    "stats_cvm_two_sample",  # exact integer ECDF-gap numerators
+    "stats_ansari_bradley",  # exact doubled-score permutation moments
 ]
 
 

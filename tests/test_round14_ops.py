@@ -150,3 +150,122 @@ def test_kpss_textbook_behavior():
     ) + 10_000_000_000
     _, _, eta_walk = _kpss_replay(walk)
     assert eta_noise < 0.463 < eta_walk
+
+
+# ---------------------------------------------------------------------------
+# two-sample rank trio (shared prefix chassis)
+# ---------------------------------------------------------------------------
+
+
+def _two_sample_values(type_a, type_b):
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet", columns=["event_type", "value"]
+    )
+    v = np.round(ev.value.to_numpy() * 1_000_000).astype(np.int64)
+    a = v[ev.event_type.to_numpy() == type_a]
+    b = v[ev.event_type.to_numpy() == type_b]
+    return a, b
+
+
+def _midranks(combined):
+    return pd.Series(combined).rank(method="average").to_numpy()
+
+
+def test_brunner_munzel_matches_numpy_replay(spark):
+    got = _load_all()["stats_brunner_munzel"].builder(spark, SF).toPandas()
+    a, b = _two_sample_values("purchase", "click")
+    n1, n2 = len(a), len(b)
+    comb = np.concatenate([a, b])
+    rc = _midranks(comb)
+    rcx, rcy = rc[:n1], rc[n1:]
+    rx = _midranks(a)
+    ry = _midranks(b)
+    mx, my = rcx.mean(), rcy.mean()
+    sx2 = ((rcx - rx - mx + (n1 + 1) / 2) ** 2).sum() / (n1 - 1)
+    sy2 = ((rcy - ry - my + (n2 + 1) / 2) ** 2).sum() / (n2 - 1)
+    w = n1 * n2 * (my - mx) / ((n1 + n2) * np.sqrt(n1 * sx2 + n2 * sy2))
+    p_hat = (my - (n2 + 1) / 2) / n1
+    df = (n1 * sx2 + n2 * sy2) ** 2 / (
+        (n1 * sx2) ** 2 / (n1 - 1) + (n2 * sy2) ** 2 / (n2 - 1)
+    )
+    row = got.iloc[0]
+    assert row.n_a == n1 and row.n_b == n2
+    assert abs(row.p_a_lt_b - round(p_hat, 6)) < 2e-6
+    assert abs(row.bm_stat - round(w, 4)) < 2e-3
+    assert abs(row.df_satterthwaite - round(df, 2)) < 0.1
+    assert row.reject_95 == int(abs(w) > 1.96)
+
+
+def test_brunner_munzel_identical_samples_pin():
+    """Identical samples: W = 0 exactly, p_hat = 1/2 — the symmetric
+    null, engine-free."""
+    a = np.array([3, 1, 4, 1, 5, 9, 2, 6], dtype=float)
+    comb = np.concatenate([a, a])
+    n = len(a)
+    rc = _midranks(comb)
+    mx, my = rc[:n].mean(), rc[n:].mean()
+    assert mx == my  # placements symmetric
+    p_hat = (my - (n + 1) / 2) / n
+    assert abs(p_hat - 0.5) < 1e-12
+
+
+def test_cvm_two_sample_matches_numpy_replay(spark):
+    got = _load_all()["stats_cvm_two_sample"].builder(spark, SF).toPandas()
+    a, b = _two_sample_values("purchase", "click")
+    n1, n2 = len(a), len(b)
+    pts = np.unique(np.concatenate([a, b]))
+    ca = np.array([(a == v).sum() for v in pts], dtype=np.int64)
+    cv = np.array([(b == v).sum() for v in pts], dtype=np.int64)
+    cum_a, cum_b = np.cumsum(ca), np.cumsum(cv)
+    g = ca + cv
+    A = cum_a.astype(object) * n2 - cum_b.astype(object) * n1
+    num = int((g.astype(object) * A * A).sum())
+    t = num / (n1 * n2 * (n1 + n2) ** 2)
+    row = got.iloc[0]
+    assert row.n_a == n1 and row.n_b == n2
+    assert abs(row.cvm_t - round(t, 6)) < 2e-6
+    assert row.reject_same_dist == int(t > 0.461)
+
+
+def test_cvm_identical_distributions_pin():
+    """Equal samples of equal size: the ECDF gap is zero at every
+    point, so T = 0 exactly."""
+    a = np.array([1, 2, 2, 7], dtype=np.int64)
+    pts = np.unique(a)
+    ca = np.array([(a == v).sum() for v in pts])
+    cum = np.cumsum(ca)
+    A = cum * len(a) - cum * len(a)
+    assert (A == 0).all()
+
+
+def test_ansari_bradley_matches_numpy_replay(spark):
+    got = _load_all()["stats_ansari_bradley"].builder(spark, SF).toPandas()
+    a, b = _two_sample_values("click", "view")
+    n1, n2 = len(a), len(b)
+    comb = np.concatenate([a, b])
+    n = n1 + n2
+    r = _midranks(comb)
+    s = np.minimum(r, n + 1 - r)
+    ab = s[:n1].sum()
+    sbar = s.sum() / n
+    var = n1 * n2 * ((s**2).sum() - n * sbar**2) / (n * (n - 1))
+    z = (ab - n1 * sbar) / np.sqrt(var)
+    row = got.iloc[0]
+    assert row.n_a == n1 and row.n_b == n2
+    assert abs(row.ab_stat - round(ab, 1)) < 1e-6
+    assert abs(row.z_score - round(z, 4)) < 2e-3
+    assert row.reject_equal_scale == int(abs(z) > 1.96)
+
+
+def test_ansari_bradley_dispersion_direction_pin():
+    """A sample concentrated at the extremes (high dispersion) must
+    score BELOW its permutation mean — the sign convention the
+    docstring claims."""
+    wide = np.array([1.0, 2.0, 19.0, 20.0])
+    narrow = np.array([9.0, 10.0, 11.0, 12.0])
+    comb = np.concatenate([wide, narrow])
+    n = len(comb)
+    r = _midranks(comb)
+    s = np.minimum(r, n + 1 - r)
+    ab_wide = s[:4].sum()
+    assert ab_wide < 4 * s.sum() / n

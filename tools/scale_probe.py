@@ -328,6 +328,13 @@ PROBE_QUERIES = [
     "ts_turning_points",
     "ts_permutation_entropy",
     "ts_kpss_test",
+    # round-14 wave 2: the shared two-sample prefix chassis — events
+    # collapse to distinct micro-values, bucketed two-phase prefix
+    # sums, 1-row moment close; the distinct-value table grows
+    # sublinearly with facts.
+    "stats_brunner_munzel",
+    "stats_cvm_two_sample",
+    "stats_ansari_bradley",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

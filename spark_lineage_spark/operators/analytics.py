@@ -8763,3 +8763,286 @@ def stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = _two_sample_cum_df(spark, sf_dir, "click", "view")
     cum.createOrReplaceTempView("r14_ab_cum")
     return spark.sql("WITH " + _AB_CLOSE_SQL.format(cum="r14_ab_cum"))
+
+
+# Mood's median test (round 14): the assumption-MINIMAL k-group
+# location test beside stats_kruskal_wallis — KW uses full rank
+# information (more power, but sensitive to shape differences);
+# Mood's reduces each value to one bit, above the pooled median or
+# not, so wildly different group shapes cannot masquerade as
+# location shifts.  2xk contingency chi-square with the per-group
+# term in closed exact-integer form: A_g = a_g*N - n_g*R1 (a_g =
+# above-count) makes chi2 = sum_g A_g^2/n_g / (R1*R2).  One shared
+# SQL text.  Determinism: the pooled median is percentile_disc on
+# exact cents (identical order statistic both engines); counts
+# exact; each per-group rational u_g = A_g^2/(n_g*R1*R2) snaps to a
+# 1e-9 bigint before the cross-group sum (the stats_cmh_test
+# discipline); ties with the median count as "not above"
+# (documented).  Critical value derived from df = k-1 via the
+# shared CASE lookup.
+_MOOD_SQL = """
+WITH base AS (
+  SELECT CAST(substring(o_orderpriority, 1, 1) AS INT) AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+med AS (
+  SELECT {median} AS m FROM base
+),
+grp AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN cents > med.m THEN 1 ELSE 0 END) AS BIGINT)
+           AS a
+  FROM base CROSS JOIN med GROUP BY g
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(a) AS BIGINT) AS r1,
+         CAST(sum(n) - sum(a) AS BIGINT) AS r2,
+         CAST(count(*) AS BIGINT) AS k
+  FROM grp
+),
+terms AS (
+  SELECT g.g, g.n, g.a,
+         CAST(round(CAST(CAST(g.a * t.nn - g.n * t.r1 AS DECIMAL(19,0))
+                         * CAST(g.a * t.nn - g.n * t.r1 AS DECIMAL(19,0))
+                         AS DOUBLE)
+                    / (CAST(g.n AS DOUBLE) * t.r1 * t.r2)
+                    * 1000000000) AS BIGINT) AS u9
+  FROM grp g CROSS JOIN tot t
+),
+chi AS (
+  SELECT CAST(sum(u9) AS BIGINT) AS c9 FROM terms
+)
+SELECT te.g AS priority_group, te.n AS n_orders, te.a AS n_above_median,
+       CAST(te.n - te.a AS BIGINT) AS n_not_above,
+       round(CAST(ch.c9 AS DOUBLE) / 1000000000, 6) AS chi2_stat,
+       CAST(t.k - 1 AS BIGINT) AS df,
+       CASE CAST(t.k - 1 AS BIGINT)
+            WHEN 1 THEN CAST(3.841459 AS DOUBLE)
+            WHEN 2 THEN CAST(5.991465 AS DOUBLE)
+            WHEN 3 THEN CAST(7.814728 AS DOUBLE)
+            WHEN 4 THEN CAST(9.487729 AS DOUBLE)
+            WHEN 5 THEN CAST(11.070498 AS DOUBLE)
+            WHEN 6 THEN CAST(12.591587 AS DOUBLE)
+            WHEN 7 THEN CAST(14.067140 AS DOUBLE)
+            WHEN 8 THEN CAST(15.507313 AS DOUBLE)
+       END AS chi2_crit_95,
+       CAST(CASE WHEN CAST(ch.c9 AS DOUBLE) / 1000000000 >
+                      CASE CAST(t.k - 1 AS BIGINT)
+                           WHEN 1 THEN CAST(3.841459 AS DOUBLE)
+                           WHEN 2 THEN CAST(5.991465 AS DOUBLE)
+                           WHEN 3 THEN CAST(7.814728 AS DOUBLE)
+                           WHEN 4 THEN CAST(9.487729 AS DOUBLE)
+                           WHEN 5 THEN CAST(11.070498 AS DOUBLE)
+                           WHEN 6 THEN CAST(12.591587 AS DOUBLE)
+                           WHEN 7 THEN CAST(14.067140 AS DOUBLE)
+                           WHEN 8 THEN CAST(15.507313 AS DOUBLE)
+                      END
+                 THEN 1 ELSE 0 END AS BIGINT) AS reject_equal_medians
+FROM terms te CROSS JOIN chi ch CROSS JOIN tot t
+ORDER BY te.g
+"""
+
+
+@query(
+    "stats_mood_median",
+    "§2.24 Mood's median test across the 5 order-priority groups",
+    _MOOD_SQL.format(
+        median="CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)"
+        " AS BIGINT)"
+    ),
+)
+def stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test: do the five order-priority groups share a
+    common median order value?  Each order contributes ONE BIT
+    (above the pooled median or not), which buys total robustness to
+    shape/variance differences — the property stats_kruskal_wallis
+    (full ranks) and stats_anova_oneway (means) give up.  The 2xk
+    chi-square reduces per group to the exact integer A_g =
+    a_g*N - n_g*R1; u_g = A_g^2/(n_g R1 R2) snaps at 1e-9 before the
+    cross-group sum (the CMH discipline), so both engines sum
+    identical bigints.  Median-tie convention ("not above") and the
+    df-derived critical-value CASE documented in the SQL header.
+
+    Shape at any SF: one orders scan for the exact median (single
+    order statistic), one for the 5-group bit counts — both
+    map-side-partial hash aggs; 5-row finish."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        _MOOD_SQL.format(
+            median="CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)"
+            " AS BIGINT)"
+        )
+    )
+
+
+# Bartlett's test (round 14): the likelihood-ratio k-group
+# equal-variance test beside stats_levene_test — Levene trades power
+# for outlier robustness by testing mean absolute deviations;
+# Bartlett is the classic exact-normal-theory test on the log
+# variance ratio, the right tool when the groups are roughly
+# bell-shaped (order values are), and the sharper detector when they
+# are.  One shared SQL text.  Determinism: per-group moment sums are
+# exact DECIMAL; each group's centered sum of squares css = ss -
+# s^2/n and its ln are single-expression doubles (identical IEEE in
+# both engines); the three CROSS-group sums are snapped before
+# summing — css at unit grain, (n-1)*ln(S^2) at 1e-9, 1/(n-1) at
+# 1e-12 (the CMH discipline at three magnitudes) — so partial-agg
+# order cannot flip a bit; chi2/C closes on a 1-row scalar.
+_BARTLETT_SQL = """
+WITH base AS (
+  SELECT CAST(substring(o_orderpriority, 1, 1) AS INT) AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+grp AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(cents AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s,
+         CAST(sum(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS ss
+  FROM base GROUP BY g
+),
+pg AS (
+  SELECT g, n,
+         CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n
+           AS css
+  FROM grp WHERE n > 1
+),
+snapped AS (
+  SELECT g, n, css,
+         CAST(round(css) AS BIGINT) AS css1,
+         CAST(round((n - 1) * ln(css / (n - 1)) * 1000000000) AS BIGINT)
+           AS lnterm9,
+         CAST(round(1000000000000 / (CAST(n AS DOUBLE) - 1)) AS BIGINT)
+           AS inv12
+  FROM pg
+),
+scal AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(css1) AS BIGINT) AS csstot1,
+         CAST(sum(lnterm9) AS BIGINT) AS t1_9,
+         CAST(sum(inv12) AS BIGINT) AS sinv12
+  FROM snapped
+),
+chi AS (
+  SELECT nn, k,
+         ((nn - k) * ln(CAST(csstot1 AS DOUBLE) / (nn - k))
+          - CAST(t1_9 AS DOUBLE) / 1000000000)
+         / (1 + (CAST(sinv12 AS DOUBLE) / 1000000000000
+                 - CAST(1 AS DOUBLE) / (nn - k)) / (3 * (k - 1))) AS c2
+  FROM scal
+)
+SELECT sn.g AS priority_group, sn.n AS n_orders,
+       round(sn.css / (sn.n - 1) / 10000, 2) AS variance_dollars2,
+       round(ch.c2, 6) AS chi2_stat,
+       CAST(ch.k - 1 AS BIGINT) AS df,
+       CASE CAST(ch.k - 1 AS BIGINT)
+            WHEN 1 THEN CAST(3.841459 AS DOUBLE)
+            WHEN 2 THEN CAST(5.991465 AS DOUBLE)
+            WHEN 3 THEN CAST(7.814728 AS DOUBLE)
+            WHEN 4 THEN CAST(9.487729 AS DOUBLE)
+            WHEN 5 THEN CAST(11.070498 AS DOUBLE)
+            WHEN 6 THEN CAST(12.591587 AS DOUBLE)
+            WHEN 7 THEN CAST(14.067140 AS DOUBLE)
+            WHEN 8 THEN CAST(15.507313 AS DOUBLE)
+       END AS chi2_crit_95,
+       CAST(CASE WHEN ch.c2 >
+                      CASE CAST(ch.k - 1 AS BIGINT)
+                           WHEN 1 THEN CAST(3.841459 AS DOUBLE)
+                           WHEN 2 THEN CAST(5.991465 AS DOUBLE)
+                           WHEN 3 THEN CAST(7.814728 AS DOUBLE)
+                           WHEN 4 THEN CAST(9.487729 AS DOUBLE)
+                           WHEN 5 THEN CAST(11.070498 AS DOUBLE)
+                           WHEN 6 THEN CAST(12.591587 AS DOUBLE)
+                           WHEN 7 THEN CAST(14.067140 AS DOUBLE)
+                           WHEN 8 THEN CAST(15.507313 AS DOUBLE)
+                      END
+                 THEN 1 ELSE 0 END AS BIGINT) AS reject_equal_variance
+FROM snapped sn CROSS JOIN chi ch ORDER BY sn.g
+"""
+
+
+@query(
+    "stats_bartlett_test",
+    "§2.24 Bartlett's equal-variance test across the 5 priority groups",
+    _BARTLETT_SQL,
+)
+def stats_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test for homogeneity of variance across the five
+    order-priority groups — the normal-theory likelihood-ratio
+    sibling of stats_levene_test: chi2 = [(N-k) ln Sp^2 - sum (n_g-1)
+    ln S_g^2] / C with the Bartlett small-sample correction C.  The
+    classic pre-check before pooling variances (stats_anova_oneway
+    assumes exactly this homogeneity).  Per-group moments are exact
+    DECIMAL; per-group ln terms are single-expression IEEE doubles;
+    the three cross-group sums snap at documented grains (unit /
+    1e-9 / 1e-12) so both engines sum identical bigints; the close
+    is a 1-row scalar and the critical value derives from df = k-1
+    via the shared CASE lookup.
+
+    Shape at any SF: one orders scan, one 5-group map-side-partial
+    moment agg, 5-row finish.  100 TB costs the one fact scan."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_BARTLETT_SQL)
+
+
+# Poisson dispersion test (round 14): are daily event arrivals
+# actually Poisson?  Every rate monitor upstream (ts_anomaly_zscore
+# bands, capacity planning) implicitly assumes variance ~ mean;
+# bursty traffic (overdispersion) makes those bands systematically
+# too tight.  The classic conditional test: D = (n-1) s^2 / xbar is
+# chi2(n-1) under the Poisson null, reported per event type with the
+# variance/mean index and the Fisher normal approximation
+# z = sqrt(2D) - sqrt(2 df - 1) (IEEE-exact sqrts).  One shared SQL
+# text.  Determinism: D reduces to the EXACT integer ratio
+# (n*sum(c^2) - (sum c)^2) / sum(c) — counts are exact bigints, one
+# double division per type row, no cross-row double sums anywhere.
+# Overdispersion rejects one-sided at z > 1.645 (documented).
+_POISSON_DISP_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS ss
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n AS n_days,
+       round(CAST(s AS DOUBLE) / n, 4) AS mean_daily,
+       round(CAST(n * ss - s * s AS DOUBLE) / (CAST(n AS DOUBLE) - 1)
+             / n / (CAST(s AS DOUBLE) / n), 6) AS dispersion_index,
+       round(CAST(n * ss - s * s AS DOUBLE) / s, 4) AS d_stat,
+       CAST(n - 1 AS BIGINT) AS df,
+       round(sqrt(2 * CAST(n * ss - s * s AS DOUBLE) / s)
+             - sqrt(2 * (CAST(n AS DOUBLE) - 1) - 1), 4) AS z_score,
+       CAST(CASE WHEN sqrt(2 * CAST(n * ss - s * s AS DOUBLE) / s)
+                      - sqrt(2 * (CAST(n AS DOUBLE) - 1) - 1) > 1.645
+                 THEN 1 ELSE 0 END AS BIGINT) AS overdispersed_95
+FROM g ORDER BY event_type
+"""
+
+
+@query(
+    "stats_poisson_dispersion",
+    "§2.24 Poisson overdispersion test on daily event counts per type",
+    _POISSON_DISP_SQL,
+)
+def stats_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson dispersion (index-of-dispersion) test per event type:
+    under a Poisson arrival process the variance/mean index is 1 and
+    D = (n-1)s^2/xbar ~ chi2(n-1); D far above flags BURSTY arrivals
+    — the homogeneity assumption every daily-rate alarm implicitly
+    makes, tested explicitly.  D is the exact integer ratio
+    (n*sum c^2 - (sum c)^2)/sum(c) — no variance accumulates in
+    floating point anywhere — and the Fisher z = sqrt(2D) -
+    sqrt(2df-1) needs only IEEE-exact sqrts; one-sided 1.645
+    overdispersion gate documented.
+
+    Shape at any SF: one events scan partial-aggs to the (type, day)
+    grid, a |types|-group moment agg on that grid, |types|-row
+    finish.  100 TB costs the one fact scan."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_POISSON_DISP_SQL)

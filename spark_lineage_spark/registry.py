@@ -433,6 +433,9 @@ _VERIFY_AFTER = [
     "stats_brunner_munzel",
     "stats_cvm_two_sample",
     "stats_ansari_bradley",
+    "stats_mood_median",
+    "stats_bartlett_test",
+    "stats_poisson_dispersion",
 ]
 
 

@@ -70,6 +70,9 @@ SENSITIVE = [
     "stats_brunner_munzel",  # exact DECIMAL placement moments
     "stats_cvm_two_sample",  # exact integer ECDF-gap numerators
     "stats_ansari_bradley",  # exact doubled-score permutation moments
+    "stats_mood_median",  # 1e-9-snapped per-group 2xk terms
+    "stats_bartlett_test",  # unit/1e-9/1e-12-snapped cross-group sums
+    "stats_poisson_dispersion",  # exact integer D ratio per type
 ]
 
 

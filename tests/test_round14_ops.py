@@ -269,3 +269,159 @@ def test_ansari_bradley_dispersion_direction_pin():
     s = np.minimum(r, n + 1 - r)
     ab_wide = s[:4].sum()
     assert ab_wide < 4 * s.sum() / n
+
+
+# ---------------------------------------------------------------------------
+# k-group tests
+# ---------------------------------------------------------------------------
+
+_CHI2_CRIT = {1: 3.841459, 2: 5.991465, 3: 7.814728, 4: 9.487729,
+              5: 11.070498, 6: 12.591587, 7: 14.067140, 8: 15.507313}
+
+
+def _priority_cents():
+    o = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+    g = o.o_orderpriority.str[0].astype(int).to_numpy()
+    cents = np.round(o.o_totalprice.to_numpy() * 100).astype(np.int64)
+    return g, cents
+
+
+def test_mood_median_matches_numpy_replay(spark):
+    got = (
+        _load_all()["stats_mood_median"].builder(spark, SF).toPandas()
+        .sort_values("priority_group").reset_index(drop=True)
+    )
+    g, cents = _priority_cents()
+    # percentile_disc(0.5): smallest value with cumulative share >= 0.5
+    srt = np.sort(cents)
+    m = srt[int(np.ceil(0.5 * len(srt))) - 1]
+    nn = len(cents)
+    r1 = int((cents > m).sum())
+    r2 = nn - r1
+    c9 = 0
+    rows = []
+    for gg in sorted(set(g)):
+        mask = g == gg
+        n = int(mask.sum())
+        a = int((cents[mask] > m).sum())
+        rows.append((gg, n, a))
+        A = a * nn - n * r1
+        c9 += round(A * A / (n * r1 * r2) * 1e9)
+    chi2 = c9 / 1e9
+    k = len(rows)
+    assert list(got.priority_group) == [r[0] for r in rows]
+    assert list(got.n_orders) == [r[1] for r in rows]
+    assert list(got.n_above_median) == [r[2] for r in rows]
+    assert (abs(got.chi2_stat - round(chi2, 6)) < 2e-6).all()
+    assert (got.df == k - 1).all()
+    assert (abs(got.chi2_crit_95 - _CHI2_CRIT[k - 1]) < 1e-9).all()
+    assert (got.reject_equal_medians == int(chi2 > _CHI2_CRIT[k - 1])).all()
+
+
+def test_mood_median_textbook_2x2_identity():
+    """For k = 2 Mood's chi-square must equal the standard 2x2
+    contingency chi-square (no continuity correction) — pins the
+    closed-form A_g algebra against the textbook (O-E)^2/E."""
+    a1, n1, a2, n2 = 30, 100, 50, 80
+    nn, r1 = n1 + n2, a1 + a2
+    r2 = nn - r1
+    chi_closed = sum(
+        (a * nn - n * r1) ** 2 / (n * r1 * r2)
+        for a, n in [(a1, n1), (a2, n2)]
+    )
+    # textbook form over the 4 cells
+    chi_text = 0.0
+    for (o, rt, ct) in [(a1, n1, r1), (n1 - a1, n1, r2),
+                        (a2, n2, r1), (n2 - a2, n2, r2)]:
+        e = rt * ct / nn
+        chi_text += (o - e) ** 2 / e
+    assert abs(chi_closed - chi_text) < 1e-9
+
+
+def test_bartlett_matches_numpy_replay(spark):
+    got = (
+        _load_all()["stats_bartlett_test"].builder(spark, SF).toPandas()
+        .sort_values("priority_group").reset_index(drop=True)
+    )
+    g, cents = _priority_cents()
+    csst = t19 = sinv = 0
+    ks, nn = 0, 0
+    rows = []
+    for gg in sorted(set(g)):
+        x = cents[g == gg].astype(np.float64)
+        n = len(x)
+        if n <= 1:
+            continue
+        ss = float((x * x).sum())
+        s = float(x.sum())
+        css = ss - s * s / n
+        rows.append((gg, n, css))
+        csst += round(css)
+        t19 += round((n - 1) * np.log(css / (n - 1)) * 1e9)
+        sinv += round(1e12 / (n - 1))
+        ks += 1
+        nn += n
+    sp2 = csst / (nn - ks)
+    c = 1 + (sinv / 1e12 - 1 / (nn - ks)) / (3 * (ks - 1))
+    chi2 = ((nn - ks) * np.log(sp2) - t19 / 1e9) / c
+    assert list(got.priority_group) == [r[0] for r in rows]
+    assert list(got.n_orders) == [r[1] for r in rows]
+    for i, (_, n, css) in enumerate(rows):
+        assert abs(got.variance_dollars2[i]
+                   - round(css / (n - 1) / 1e4, 2)) < 0.02
+    assert (abs(got.chi2_stat - round(chi2, 6)) < 1e-4).all()
+    assert (got.df == ks - 1).all()
+    assert (got.reject_equal_variance
+            == int(chi2 > _CHI2_CRIT[ks - 1])).all()
+
+
+def test_bartlett_equal_variances_textbook_pin():
+    """Identical groups give chi2 = 0 exactly (log ratio of equal
+    variances) — the null pins the formula's sign and centering."""
+    x = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    groups = [x, x + 100, x - 7]  # equal variances, shifted means
+    nn = sum(len(g) for g in groups)
+    k = len(groups)
+    csst = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    sp2 = csst / (nn - k)
+    t1 = sum((len(g) - 1) * np.log(((g - g.mean()) ** 2).sum() / (len(g) - 1))
+             for g in groups)
+    chi2_num = (nn - k) * np.log(sp2) - t1
+    assert abs(chi2_num) < 1e-9
+
+
+def test_poisson_dispersion_matches_numpy_replay(spark):
+    got = (
+        _load_all()["stats_poisson_dispersion"].builder(spark, SF).toPandas()
+        .sort_values("event_type").reset_index(drop=True)
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "ts"])
+    ev["d"] = pd.to_datetime(ev.ts).dt.normalize()
+    daily = ev.groupby(["event_type", "d"]).size().rename("c").reset_index()
+    for _, row in got.iterrows():
+        c = daily[daily.event_type == row.event_type].c.to_numpy()
+        n, s, ss = len(c), int(c.sum()), int((c * c).sum())
+        d = (n * ss - s * s) / s
+        disp = (n * ss - s * s) / (n - 1) / n / (s / n)
+        z = np.sqrt(2 * d) - np.sqrt(2 * (n - 1) - 1)
+        assert row.n_days == n
+        assert abs(row.mean_daily - round(s / n, 4)) < 1e-9
+        assert abs(row.dispersion_index - round(disp, 6)) < 2e-6
+        assert abs(row.d_stat - round(d, 4)) < 1e-3
+        assert abs(row.z_score - round(z, 4)) < 1e-3
+        assert row.overdispersed_95 == int(z > 1.645)
+
+
+def test_poisson_dispersion_exact_poisson_pin():
+    """A constant series has D = 0 (maximal underdispersion); a
+    unit-variance-equals-mean series has index exactly 1 — the two
+    anchors of the variance/mean index."""
+    c = np.array([5, 5, 5, 5], dtype=np.int64)
+    n, s, ss = len(c), int(c.sum()), int((c * c).sum())
+    assert n * ss - s * s == 0
+    c2 = np.array([4, 6, 4, 6], dtype=np.int64)  # var=4/3, mean=5
+    n, s, ss = len(c2), int(c2.sum()), int((c2 * c2).sum())
+    disp = (n * ss - s * s) / (n - 1) / n / (s / n)
+    assert abs(disp - c2.var(ddof=1) / c2.mean()) < 1e-12

@@ -335,6 +335,11 @@ PROBE_QUERIES = [
     "stats_brunner_munzel",
     "stats_cvm_two_sample",
     "stats_ansari_bradley",
+    # round-14 wave 3: 5-group / (type x day) map-side-partial moment
+    # aggs + bounded-row finishes — only the fact scan grows.
+    "stats_mood_median",
+    "stats_bartlett_test",
+    "stats_poisson_dispersion",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

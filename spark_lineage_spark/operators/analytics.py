@@ -9046,3 +9046,387 @@ def stats_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     finish.  100 TB costs the one fact scan."""
     register_views(spark, sf_dir, ["events"])
     return spark.sql(_POISSON_DISP_SQL)
+
+
+# Augmented Dickey-Fuller (round 14): ts_dickey_fuller's plain DF
+# regression is only valid when the differenced series has no serial
+# correlation — if it does, the t statistic's null distribution
+# shifts and the test over-rejects.  ADF(1) adds the lagged
+# difference as a second regressor, dy_t = a + b*y_{t-1} +
+# c*dy_{t-1} + e, absorbing AR(1) structure in the residual; b's t
+# still compares to the same -2.86 constant-case critical value (the
+# augmentation does not change the asymptotic null — Dickey & Fuller
+# 1979).  Template SQL (date-shift spelling per engine).
+# Determinism: daily cents exact bigints, all NINE regression
+# moments exact DECIMAL(19,0)x(19,0) sums over the triple
+# calendar-joined (y_{t-1}, dy_{t-1}, dy_t) rows, and the Cramer
+# 2-regressor solve + se + t close as fixed-order doubles on a
+# 1-row scalar (the stats_ols_two_feature discipline).
+_ADF_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+tri AS (
+  SELECT b.cents AS x1,
+         b.cents - c.cents AS x2,
+         a.cents - b.cents AS yv
+  FROM daily a
+  JOIN daily b ON a.d = {p1}
+  JOIN daily c ON a.d = {p2}
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x1 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s1,
+         CAST(sum(CAST(x2 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s2,
+         CAST(sum(CAST(yv AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(CAST(x1 AS DECIMAL(19,0)) * CAST(x1 AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS s11,
+         CAST(sum(CAST(x2 AS DECIMAL(19,0)) * CAST(x2 AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS s22,
+         CAST(sum(CAST(x1 AS DECIMAL(19,0)) * CAST(x2 AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS s12,
+         CAST(sum(CAST(x1 AS DECIMAL(19,0)) * CAST(yv AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS s1y,
+         CAST(sum(CAST(x2 AS DECIMAL(19,0)) * CAST(yv AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS s2y,
+         CAST(sum(CAST(yv AS DECIMAL(19,0)) * CAST(yv AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS syy
+  FROM tri
+),
+cm AS (
+  SELECT n,
+         CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n
+           AS c11,
+         CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n
+           AS c22,
+         CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / n
+           AS c12,
+         CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) / n
+           AS c1y,
+         CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) / n
+           AS c2y,
+         CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n
+           AS cyy
+  FROM m WHERE n > 3
+),
+fit AS (
+  SELECT n, c22,
+         c11 * c22 - c12 * c12 AS det,
+         (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
+         (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2,
+         cyy - (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) * c1y
+             - (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) * c2y
+           AS rss
+  FROM cm
+)
+SELECT n AS n_obs,
+       round(b1, 6) AS b_coef,
+       round(b1 + 1, 6) AS rho,
+       round(b2, 6) AS lag_coef,
+       round(b1 / sqrt((rss / (n - 3)) * c22 / det), 4) AS adf_stat,
+       CAST(-2.86 AS DOUBLE) AS crit_5pct,
+       CAST(CASE WHEN b1 / sqrt((rss / (n - 3)) * c22 / det) < -2.86
+                 THEN 1 ELSE 0 END AS BIGINT) AS reject_unit_root,
+       CASE WHEN b1 + 1 > 0 AND b1 + 1 < 1
+            THEN round(-0.6931471805599453 / ln(b1 + 1), 2)
+       END AS half_life_days
+FROM fit
+"""
+
+
+@query(
+    "ts_adf_augmented",
+    "§2.24 augmented Dickey-Fuller (1 lag) unit-root test on daily revenue",
+    _ADF_SQL.format(
+        p1="b.d + INTERVAL 1 DAY", p2="c.d + INTERVAL 2 DAY"
+    ),
+)
+def ts_adf_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADF(1) — ts_dickey_fuller with the lagged difference added as
+    a second regressor: dy_t = a + b*y_{t-1} + c*dy_{t-1}.  The
+    plain DF t statistic is only valid when dy is serially
+    uncorrelated; the augmentation term absorbs AR(1) residual
+    structure so the same -2.86 constant-case critical value applies
+    on dependent data (the vetted r14 extension of the r13 chassis).
+    Day triples come from an exact calendar equi-join (a gap breaks
+    the triple rather than fabricating zeros — the ts_theil_u rule);
+    nine moments are exact DECIMAL sums; the Cramer solve, se(b) =
+    sqrt(s^2 * C22/det), t, and half-life close as fixed-order
+    doubles on a 1-row scalar.
+
+    Shape at any SF: one orders scan partial-aggs to the
+    calendar-bounded daily table; the two self-joins and the moment
+    agg run on O(days) rows; 1-row finish.  100 TB costs the one
+    fact scan."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        _ADF_SQL.format(p1="date_add(b.d, 1)", p2="date_add(c.d, 2)")
+    )
+
+
+# Spectral entropy (round 14): ONE number for "how concentrated is
+# the daily-revenue spectrum" — ts_periodogram names the winning
+# cycle on a calendar grid; spectral entropy (tsfresh/forecastability
+# standard) summarizes the whole shape: H of the normalized power
+# distribution over the first 64 harmonics, near ln(64) for white
+# noise (unforecastable), near 0 for a pure tone.  One shared SQL
+# text.  Determinism: the ts_periodogram snapped-trig discipline
+# (1e-8-grain cos/sin integers before exact DECIMAL product sums)
+# makes each bin's a8/b8 identical doubles in both engines; powers
+# normalize by their MAX (an order-free aggregate) and integerize at
+# 1e12 so the share distribution is exact bigints; the entropy uses
+# the factored H = ln S - (sum u ln u)/S with 8-decimal
+# decimal-summed terms (token-entropy discipline); peak bin is the
+# min-k argmax on exact integers.
+_SE_STAGE_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT row_number() OVER (ORDER BY d) - 1 AS t, cents AS y FROM daily
+),
+n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx),
+grid AS (SELECT {kgrid} AS k FROM n1),
+terms AS (
+  SELECT g.k, max(n1.n) AS n,
+         CAST(sum(CAST(i.y AS DECIMAL(19,0))
+                  * CAST(CAST(round(cos(2 * pi() * g.k * i.t / n1.n)
+                                    * 100000000) AS BIGINT)
+                         AS DECIMAL(19,0))) AS DOUBLE) AS a8,
+         CAST(sum(CAST(i.y AS DECIMAL(19,0))
+                  * CAST(CAST(round(sin(2 * pi() * g.k * i.t / n1.n)
+                                    * 100000000) AS BIGINT)
+                         AS DECIMAL(19,0))) AS DOUBLE) AS b8
+  FROM grid g CROSS JOIN n1 JOIN idx i ON true
+  GROUP BY g.k
+),
+pw AS (SELECT k, n, a8 * a8 + b8 * b8 AS p FROM terms),
+mx AS (SELECT max(p) AS m FROM pw),
+u AS (
+  SELECT k, n, CAST(round(p / mx.m * 1000000000000) AS BIGINT) AS uv
+  FROM pw CROSS JOIN mx
+)
+SELECT k, n, uv FROM u
+"""
+
+# close over the materialized 64-row bin table {u} (the Spark side
+# checkpoints it once — a CTE referenced three times would re-run
+# the whole fact scan per reference under Spark's CTE inlining)
+_SE_CLOSE_SQL = """
+s AS (
+  SELECT CAST(sum(uv) AS BIGINT) AS su,
+         CAST(sum(CAST(round(uv * ln(uv), 8) AS DECIMAL(38,8)))
+              AS DOUBLE) AS sul,
+         CAST(count(*) AS BIGINT) AS nbins
+  FROM {u} WHERE uv > 0
+),
+nn AS (SELECT max(n) AS n FROM {u}),
+peak AS (
+  SELECT min(b.k) AS k_peak FROM {u} b CROSS JOIN
+    (SELECT max(uv) AS um FROM {u}) m2
+  WHERE b.uv = m2.um
+)
+SELECT nn.n AS n_obs, s.nbins AS n_bins,
+       round(ln(s.su) - s.sul / s.su, 6) AS spectral_entropy_nats,
+       round((ln(s.su) - s.sul / s.su) / ln(CAST(64 AS DOUBLE)), 6)
+         AS spectral_entropy_norm,
+       p.k_peak AS peak_harmonic,
+       round(CAST(nn.n AS DOUBLE) / p.k_peak, 2) AS peak_period_days,
+       (SELECT round(CAST(uv AS DOUBLE) / s.su, 6)
+        FROM {u} b2 WHERE b2.k = p.k_peak) AS peak_power_share
+FROM nn CROSS JOIN s CROSS JOIN peak p
+"""
+
+
+@query(
+    "ts_spectral_entropy",
+    "§2.24 spectral entropy of daily revenue over the first 64 harmonics",
+    "WITH u0 AS ("
+    + _SE_STAGE_SQL.format(kgrid="unnest(generate_series(1, 64))")
+    + "), " + _SE_CLOSE_SQL.format(u="u0"),
+)
+def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral entropy — the forecastability score: Shannon entropy
+    of the normalized power distribution over harmonics k = 1..64 of
+    the daily-revenue series, reported in nats and normalized by
+    ln 64 (1 = flat spectrum / white noise, 0 = single pure cycle),
+    with the peak harmonic and its power share beside it.  The
+    single-number summary of the shape ts_periodogram tabulates
+    bin-by-bin on its calendar grid — tsfresh's forecastability
+    feature, computed engine-portably: snapped-trig DECIMAL DFT sums
+    (periodogram discipline), powers normalized by the order-free
+    MAX and integerized at 1e12, entropy via the factored form with
+    8-decimal decimal-summed u*ln(u) terms, argmax as min-k on exact
+    integers.
+
+    Shape at any SF: one orders scan to the daily table; the 64-bin
+    fan-out is 64 x O(days) rows partial-agg'd map-side; 1-row
+    finish.  100 TB costs the one fact scan."""
+    register_views(spark, sf_dir, ["orders"])
+    u = lineage_checkpoint_lazy(
+        spark.sql(_SE_STAGE_SQL.format(kgrid="explode(sequence(1, 64))"))
+    )
+    u.createOrReplaceTempView("r14_se_bins")
+    return spark.sql("WITH " + _SE_CLOSE_SQL.format(u="r14_se_bins"))
+
+
+# Local clustering coefficient (round 14): completes the co-purchase
+# graph toolkit — graph_triangle_copurchase counts triangles
+# GLOBALLY, graph_rich_club profiles dense-core EDGES; this op asks
+# the per-node question "are MY neighbours each other's neighbours?"
+# c_i = 2*T_i / (d_i*(d_i-1)), reported as a degree-bucket profile
+# plus the two classic global summaries, average clustering C-bar
+# (Watts-Strogatz) and transitivity 3*T/wedges — which DIVERGE when
+# clustering concentrates in low-degree nodes (exactly what the
+# bucket profile shows).  Oracle: plain u<v<w triple join with
+# 3-corner unnest.  Spark: the degree-oriented wedge join (each
+# triangle closes exactly once from its orientation-minimal vertex,
+# out-degrees O(sqrt|E|) — the graph_triangle_copurchase hub-capped
+# shape), corners exploded and counted.  Determinism: T_i/d_i exact
+# integers; each c_i snaps to a 1e-9 bigint before the cross-node
+# sums (CMH discipline); bucket bounds are explicit integer CASEs;
+# transitivity closes as one double division of exact integers.
+_LCC_FINISH_SQL = """
+node AS (
+  SELECT deg.node, deg.d, coalesce(tri.t, 0) AS t,
+         CAST(round(CAST(2 * coalesce(tri.t, 0) AS DOUBLE)
+                    / (CAST(deg.d AS DOUBLE) * (deg.d - 1))
+                    * 1000000000) AS BIGINT) AS c9
+  FROM {deg} deg LEFT JOIN {tri} tri ON deg.node = tri.corner
+  WHERE deg.d >= 2
+),
+gstat AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(d) AS BIGINT) AS deg_sum,
+         CAST(sum(c9) AS BIGINT) AS sc9,
+         CAST(sum(t) AS BIGINT) AS t3,
+         CAST(sum(d * (d - 1)) AS BIGINT) AS wedges2
+  FROM node
+)
+SELECT CASE WHEN n.d * 10 * g.n_nodes < 8 * g.deg_sum THEN 'lt_0.8x_mean'
+            WHEN n.d * 10 * g.n_nodes < 10 * g.deg_sum
+              THEN '0.8-1.0x_mean'
+            WHEN n.d * 10 * g.n_nodes < 12 * g.deg_sum
+              THEN '1.0-1.2x_mean'
+            ELSE 'ge_1.2x_mean' END AS degree_bucket,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       round(CAST(sum(n.c9) AS DOUBLE) / count(*) / 1000000000, 6)
+         AS avg_local_clustering,
+       round(CAST(g.sc9 AS DOUBLE) / g.n_nodes / 1000000000, 6)
+         AS global_avg_clustering,
+       round(CAST(g.t3 AS DOUBLE) / g.wedges2 * 2, 6) AS transitivity,
+       CAST(g.t3 / 3 AS BIGINT) AS n_triangles
+FROM node n CROSS JOIN gstat g
+GROUP BY 1, g.sc9, g.n_nodes, g.t3, g.wedges2
+ORDER BY min(n.d)
+"""
+
+_LCC_ORACLE_SQL = """
+WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM pl a JOIN pl b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+degt AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) x
+  GROUP BY node
+),
+trit AS (
+  SELECT corner, CAST(count(*) AS BIGINT) AS t
+  FROM (
+    SELECT unnest([e1.u, e1.v, e2.v]) AS corner
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+    JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+  ) c GROUP BY corner
+),
+""" + _LCC_FINISH_SQL.format(deg="degt", tri="trit")
+
+
+@query(
+    "graph_local_clustering",
+    "§2.24 local clustering coefficient profile of the co-purchase graph",
+    _LCC_ORACLE_SQL,
+)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node clustering of the part co-purchase graph, summarized
+    two ways that deliberately disagree: average local clustering
+    C-bar (every node votes equally — dominated by the many
+    low-degree nodes) vs transitivity 3T/wedges (every WEDGE votes —
+    dominated by hubs), with the per-degree-bucket profile that
+    explains any gap.  Triangle counts per node come from the
+    degree-oriented wedge join (orient each edge toward the
+    (degree,id)-larger endpoint; each triangle closes exactly once
+    from its orientation-minimal vertex and every node's out-degree
+    is O(sqrt|E|) — the graph_triangle_copurchase shape, so hub
+    parts cannot go quadratic at 100 TB), corners exploded and
+    hash-counted.  The oracle triple-join is the same count by
+    u<v<w enumeration.  c_i snaps at 1e-9 before the order-free
+    cross-node sums; buckets are MEAN-RELATIVE (0.8x/1.0x/1.2x mean
+    degree, the graph_rich_club rationale — the fixture's co-purchase
+    degrees densify with SF, so absolute bucket bounds would
+    degenerate) decided by pure integer cross-multiplication
+    d*10*N < j*deg_sum — no division, no float threshold.
+
+    Shape: shared checkpointed edge staging (one lineitem groupBy),
+    degree agg, one equi-join wedge enumeration bounded by oriented
+    out-degree, corner explode + hash agg, <=5-row finish."""
+    edges = copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .transform(lineage_checkpoint_lazy)
+    )
+    e2 = (
+        edges.join(deg.withColumnRenamed("node", "u")
+                   .withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v")
+              .withColumnRenamed("d", "dv"), "v")
+    )
+    oriented = e2.select(
+        F.when(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+            F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+        )
+        .otherwise(F.struct(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .alias("o")
+    ).select("o.src", "o.dst")
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (F.col("o1.dst") < F.col("o2.dst")),
+    ).select(
+        F.col("o1.src").alias("a"),
+        F.col("o1.dst").alias("b"),
+        F.col("o2.dst").alias("c"),
+    )
+    closed = wedges.join(
+        edges,
+        (edges.u == F.least("b", "c")) & (edges.v == F.greatest("b", "c")),
+    ).select("a", "b", "c")
+    tri = (
+        closed.select(
+            F.explode(F.array("a", "b", "c")).alias("corner")
+        )
+        .groupBy("corner")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    deg.createOrReplaceTempView("r14_lcc_deg")
+    tri.createOrReplaceTempView("r14_lcc_tri")
+    return spark.sql(
+        "WITH " + _LCC_FINISH_SQL.format(deg="r14_lcc_deg", tri="r14_lcc_tri")
+    )

@@ -436,6 +436,9 @@ _VERIFY_AFTER = [
     "stats_mood_median",
     "stats_bartlett_test",
     "stats_poisson_dispersion",
+    "ts_adf_augmented",
+    "ts_spectral_entropy",
+    "graph_local_clustering",
 ]
 
 

@@ -73,6 +73,9 @@ SENSITIVE = [
     "stats_mood_median",  # 1e-9-snapped per-group 2xk terms
     "stats_bartlett_test",  # unit/1e-9/1e-12-snapped cross-group sums
     "stats_poisson_dispersion",  # exact integer D ratio per type
+    "ts_adf_augmented",  # exact DECIMAL 9-moment Cramer solve
+    "ts_spectral_entropy",  # snapped-trig bins, max-normalized integers
+    "graph_local_clustering",  # 1e-9-snapped c_i, integer buckets
 ]
 
 

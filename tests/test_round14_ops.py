@@ -425,3 +425,220 @@ def test_poisson_dispersion_exact_poisson_pin():
     n, s, ss = len(c2), int(c2.sum()), int((c2 * c2).sum())
     disp = (n * ss - s * s) / (n - 1) / n / (s / n)
     assert abs(disp - c2.var(ddof=1) / c2.mean()) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# ADF / spectral entropy / local clustering
+# ---------------------------------------------------------------------------
+
+
+def _daily_series():
+    o = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    d = pd.to_datetime(o.o_orderdate).dt.normalize()
+    cents = np.round(o.o_totalprice.to_numpy() * 100).astype(np.int64)
+    return pd.DataFrame({"d": d, "y": cents}).groupby("d")["y"].sum()
+
+
+def test_adf_augmented_matches_numpy_replay(spark):
+    got = _load_all()["ts_adf_augmented"].builder(spark, SF).toPandas()
+    daily = _daily_series()
+    idx = daily.index
+    byd = daily.to_dict()
+    rows = []
+    for d in idx:
+        d1, d2 = d - pd.Timedelta(days=1), d - pd.Timedelta(days=2)
+        if d1 in byd and d2 in byd:
+            rows.append((byd[d1], byd[d1] - byd[d2], byd[d] - byd[d1]))
+    x1 = np.array([r[0] for r in rows], dtype=np.float64)
+    x2 = np.array([r[1] for r in rows], dtype=np.float64)
+    yv = np.array([r[2] for r in rows], dtype=np.float64)
+    n = len(rows)
+    X = np.column_stack([np.ones(n), x1, x2])
+    beta, *_ = np.linalg.lstsq(X, yv, rcond=None)
+    resid = yv - X @ beta
+    rss = float((resid**2).sum())
+    s2 = rss / (n - 3)
+    c11 = ((x1 - x1.mean()) ** 2).sum()
+    c22 = ((x2 - x2.mean()) ** 2).sum()
+    c12 = ((x1 - x1.mean()) * (x2 - x2.mean())).sum()
+    det = c11 * c22 - c12 * c12
+    se_b1 = np.sqrt(s2 * c22 / det)
+    t = beta[1] / se_b1
+    row = got.iloc[0]
+    assert row.n_obs == n
+    assert abs(row.b_coef - round(beta[1], 6)) < 1e-5
+    assert abs(row.lag_coef - round(beta[2], 6)) < 1e-5
+    assert abs(row.adf_stat - round(t, 4)) < 2e-3
+    assert row.reject_unit_root == int(t < -2.86)
+    rho = beta[1] + 1
+    if 0 < rho < 1:
+        assert abs(row.half_life_days - round(-np.log(2) / np.log(rho), 2)) < 0.05
+
+
+def test_adf_reduces_to_df_when_lag_is_noise():
+    """On an AR(1) series y_t = 0.5 y_{t-1} + e the augmented fit's b
+    must stay close to the plain DF b (the lag term absorbs only
+    residual serial structure) — pins the 2-regressor Cramer solve
+    against the 1-regressor closed form on the same data."""
+    rng = np.random.RandomState(3)
+    y = np.zeros(800)
+    for t in range(1, 800):
+        y[t] = 0.5 * y[t - 1] + rng.randn()
+    x1 = y[1:-1]
+    yv = np.diff(y)[1:]
+    x2 = np.diff(y)[:-1]
+    n = len(yv)
+    X = np.column_stack([np.ones(n), x1, x2])
+    b_aug = np.linalg.lstsq(X, yv, rcond=None)[0][1]
+    X1 = np.column_stack([np.ones(n), x1])
+    b_df = np.linalg.lstsq(X1, yv, rcond=None)[0][1]
+    assert abs(b_aug - b_df) < 0.1
+    assert -0.7 < b_aug < -0.3  # recovers rho-1 = -0.5
+
+
+def test_spectral_entropy_matches_numpy_replay(spark):
+    got = _load_all()["ts_spectral_entropy"].builder(spark, SF).toPandas()
+    y = _daily_series().to_numpy()
+    n = len(y)
+    t = np.arange(n)
+    pw = {}
+    for k in range(1, 65):
+        c8 = np.round(np.cos(2 * np.pi * k * t / n) * 1e8)
+        s8 = np.round(np.sin(2 * np.pi * k * t / n) * 1e8)
+        a8 = float((y * c8).sum())
+        b8 = float((y * s8).sum())
+        pw[k] = a8 * a8 + b8 * b8
+    m = max(pw.values())
+    u = {k: round(p / m * 1e12) for k, p in pw.items() if round(p / m * 1e12) > 0}
+    su = sum(u.values())
+    sul = float(sum(round(v * np.log(v), 8) for v in u.values()))
+    h = np.log(su) - sul / su
+    k_peak = min(k for k, v in u.items() if v == max(u.values()))
+    row = got.iloc[0]
+    assert row.n_obs == n and row.n_bins == len(u)
+    assert abs(row.spectral_entropy_nats - round(h, 6)) < 2e-5
+    assert abs(row.spectral_entropy_norm - round(h / np.log(64), 6)) < 2e-5
+    assert row.peak_harmonic == k_peak
+    assert abs(row.peak_power_share
+               - round(u[k_peak] / su, 6)) < 2e-6
+    assert 0 <= row.spectral_entropy_norm <= 1 + 1e-9
+
+
+def test_spectral_entropy_pure_tone_vs_flat_pin():
+    """A pure cosine concentrates all power in one bin (entropy ~ 0);
+    equal powers in all bins give exactly ln(K)."""
+    n, K = 512, 64
+    t = np.arange(n)
+    y = np.cos(2 * np.pi * 8 * t / n) * 1e6
+
+    def entropy(y):
+        pw = {}
+        for k in range(1, K + 1):
+            a = float((y * np.cos(2 * np.pi * k * t / n)).sum())
+            b = float((y * np.sin(2 * np.pi * k * t / n)).sum())
+            pw[k] = a * a + b * b
+        m = max(pw.values())
+        u = {k: round(p / m * 1e12) for k, p in pw.items()}
+        u = {k: v for k, v in u.items() if v > 0}
+        su = sum(u.values())
+        return np.log(su) - sum(v * np.log(v) for v in u.values()) / su
+
+    assert entropy(y) < 0.01
+    flat = {k: 10**12 for k in range(1, K + 1)}
+    su = sum(flat.values())
+    h_flat = np.log(su) - sum(v * np.log(v) for v in flat.values()) / su
+    assert abs(h_flat - np.log(K)) < 1e-9
+
+
+def test_local_clustering_matches_numpy_replay(spark):
+    got = _load_all()["graph_local_clustering"].builder(spark, SF).toPandas()
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).drop_duplicates()
+    from collections import defaultdict
+    from itertools import combinations
+
+    edges = set()
+    for _, grp in li.groupby("l_orderkey"):
+        ps = sorted(set(grp.l_partkey))
+        for a, b in combinations(ps, 2):
+            edges.add((a, b))
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = defaultdict(int)
+    # direct per-node triangle count
+    for v in adj:
+        nb = sorted(adj[v])
+        t = 0
+        for i, x in enumerate(nb):
+            t += len(adj[x] & set(nb[i + 1:]))
+        tri[v] = t
+    n_tri = sum(tri.values()) // 3
+    nodes = [v for v in adj if len(adj[v]) >= 2]
+    c9 = {v: round(2 * tri[v] / (len(adj[v]) * (len(adj[v]) - 1)) * 1e9)
+          for v in nodes}
+    nn = len(nodes)
+    deg_sum = sum(len(adj[v]) for v in nodes)
+    sc9 = sum(c9.values())
+    wedges2 = sum(len(adj[v]) * (len(adj[v]) - 1) for v in nodes)
+    t3 = sum(tri[v] for v in nodes)
+    global_avg = sc9 / nn / 1e9
+    transitivity = t3 / wedges2 * 2
+    # bucket replay
+    buckets = defaultdict(list)
+    order = {}
+    for v in nodes:
+        d = len(adj[v])
+        if d * 10 * nn < 8 * deg_sum:
+            b = "lt_0.8x_mean"
+        elif d * 10 * nn < 10 * deg_sum:
+            b = "0.8-1.0x_mean"
+        elif d * 10 * nn < 12 * deg_sum:
+            b = "1.0-1.2x_mean"
+        else:
+            b = "ge_1.2x_mean"
+        buckets[b].append(c9[v])
+        order[b] = min(order.get(b, 10**9), d)
+    exp = sorted(buckets, key=lambda b: order[b])
+    assert list(got.degree_bucket) == exp
+    for _, row in got.iterrows():
+        vals = buckets[row.degree_bucket]
+        assert row.n_nodes == len(vals)
+        assert abs(row.avg_local_clustering
+                   - round(sum(vals) / len(vals) / 1e9, 6)) < 2e-6
+    assert (abs(got.global_avg_clustering - round(global_avg, 6)) < 2e-6).all()
+    assert (abs(got.transitivity - round(transitivity, 6)) < 2e-6).all()
+    assert (got.n_triangles == n_tri).all()
+
+
+def test_local_clustering_textbook_graphs():
+    """Complete triangle: every c_i = 1, transitivity 1.  Star: all
+    c_i = 0.  Pins sign and normalization engine-free."""
+    from collections import defaultdict
+
+    def metrics(edges):
+        adj = defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        tri = {}
+        for v in adj:
+            nb = sorted(adj[v])
+            t = sum(
+                len(adj[x] & set(nb[i + 1:])) for i, x in enumerate(nb)
+            )
+            tri[v] = t
+        nodes = [v for v in adj if len(adj[v]) >= 2]
+        cs = [2 * tri[v] / (len(adj[v]) * (len(adj[v]) - 1)) for v in nodes]
+        wedges2 = sum(len(adj[v]) * (len(adj[v]) - 1) for v in nodes)
+        t3 = sum(tri[v] for v in nodes)
+        return cs, (2 * t3 / wedges2 if wedges2 else None)
+
+    cs, trans = metrics([(1, 2), (2, 3), (1, 3)])
+    assert all(c == 1.0 for c in cs) and trans == 1.0
+    cs, trans = metrics([(0, 1), (0, 2), (0, 3), (0, 4)])
+    assert cs == [0.0] and trans == 0.0

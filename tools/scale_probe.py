@@ -340,6 +340,12 @@ PROBE_QUERIES = [
     "stats_mood_median",
     "stats_bartlett_test",
     "stats_poisson_dispersion",
+    # round-14 wave 4: calendar-bounded daily chassis (triple join /
+    # 64-bin DFT on O(days) rows; only the fact scan grows).
+    # graph_local_clustering is NOT probed — same densification
+    # artifact as the other graph_* ops (see note below).
+    "ts_adf_augmented",
+    "ts_spectral_entropy",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

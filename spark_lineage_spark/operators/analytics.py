@@ -9430,3 +9430,191 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "WITH " + _LCC_FINISH_SQL.format(deg="r14_lcc_deg", tri="r14_lcc_tri")
     )
+
+
+# Theil inequality index (round 14): agg_gini_concentration ranks
+# revenue concentration but a Gini CANNOT be decomposed — "how much
+# of the inequality is BETWEEN nations vs WITHIN them?" has no Gini
+# answer.  Theil's T (the entropy-based inequality index) decomposes
+# EXACTLY: T = T_between + sum_g share_g * T_g, which is the whole
+# reason it exists, and the property test pins that identity to
+# 1e-12.  One shared SQL text.  Determinism: per-customer revenue is
+# an exact cent bigint; the x*ln(x) terms round to 8 decimals and
+# decimal-sum (token-entropy discipline) so per-nation and global
+# sums are order-free; the 25 per-nation between/within terms snap
+# at 1e-12 before their cross-nation sums (CMH discipline); every
+# reported number closes from exact aggregates in fixed order.
+_THEIL_SQL = """
+WITH cust AS (
+  SELECT o.o_custkey, c.c_nationkey AS nk,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+g AS (
+  SELECT nk, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s,
+         CAST(sum(CAST(round(x * ln(x), 8) AS DECIMAL(28,8)))
+              AS DECIMAL(38,8)) AS xlx
+  FROM cust GROUP BY nk
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(s) AS DECIMAL(38,0)) AS ss,
+         CAST(sum(xlx) AS DECIMAL(38,8)) AS sxlx
+  FROM g
+),
+pn AS (
+  SELECT g.nk, g.n, g.s, t.nn, t.ss,
+         CAST(g.xlx AS DOUBLE) / CAST(g.s AS DOUBLE)
+           - ln(CAST(g.s AS DOUBLE) / g.n) AS t_within,
+         CAST(g.s AS DOUBLE) / CAST(t.ss AS DOUBLE) AS share
+  FROM g CROSS JOIN tot t
+),
+snapped AS (
+  SELECT nk, n, s, t_within, share,
+         CAST(round(share * ln((CAST(s AS DOUBLE) / n)
+                               / (CAST(ss AS DOUBLE) / nn))
+                    * 1000000000000) AS BIGINT) AS btw12,
+         CAST(round(share * t_within * 1000000000000) AS BIGINT) AS wth12
+  FROM pn
+),
+scal AS (
+  SELECT CAST(sum(btw12) AS BIGINT) AS b12,
+         CAST(sum(wth12) AS BIGINT) AS w12
+  FROM snapped
+)
+SELECT sn.nk AS nation_key, sn.n AS n_customers,
+       round(sn.share, 6) AS revenue_share,
+       round(sn.t_within, 6) AS theil_within,
+       round(CAST(t.sxlx AS DOUBLE) / CAST(t.ss AS DOUBLE)
+             - ln(CAST(t.ss AS DOUBLE) / t.nn), 6) AS theil_total,
+       round(CAST(sc.b12 AS DOUBLE) / 1000000000000, 6) AS theil_between,
+       round(CAST(sc.w12 AS DOUBLE) / 1000000000000, 6)
+         AS theil_within_total
+FROM snapped sn CROSS JOIN tot t CROSS JOIN scal sc
+ORDER BY sn.nk
+"""
+
+
+@query(
+    "stats_theil_inequality",
+    "§2.24 Theil T inequality of customer revenue, nation-decomposed",
+    _THEIL_SQL,
+)
+def stats_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's T index of customer-revenue inequality with the exact
+    between/within-nation decomposition — the question
+    agg_gini_concentration cannot answer, because only entropy-based
+    inequality indices decompose additively (T = T_between + sum
+    share_g * T_g, an identity the property test pins to 1e-12).
+    T_total factors as (sum x ln x)/(sum x) - ln(mean), so only
+    per-customer terms are computed; the x*ln(x) doubles round to 8
+    decimals and decimal-sum (the llm_token_entropy q9 discipline),
+    making every per-nation aggregate order-free; the 25 per-nation
+    between/within contributions snap at 1e-12 before the
+    cross-nation sums (the CMH discipline).
+
+    Shape at any SF: one orders scan shuffles once on o_custkey
+    (customer-grain agg joined to the broadcastable customer dim);
+    everything after runs on the 25-nation grid; 25-row finish."""
+    register_views(spark, sf_dir, ["orders", "customer"])
+    return spark.sql(_THEIL_SQL)
+
+
+# CUSUM-of-squares (round 14): ts_cusum_drift and ts_page_hinkley
+# watch the MEAN; this is the Brown-Durbin-Evans-style monitor for
+# the VARIANCE — s_r = sum_{t<=r} e_t^2 / sum_total e_t^2 should
+# climb the diagonal r/n when volatility is stable, and the maximum
+# bridge deviation max|s_r - r/n| localizes a volatility break at
+# its argmax day.  One shared SQL text.  Determinism: the centered
+# series uses the KPSS integerization (e = n*y - sum(y), exact
+# bigint, snapped once at 2^20 — the grain cancels in the ratio);
+# squared terms and their cumsum are exact DECIMAL; the bridge
+# deviation |n*C_r - r*C_n| is evaluated in doubles derived from the
+# SAME exact decimals in both engines, so the max and its min-day
+# argmax cannot diverge; sqrt(n/2)*stat compares to the Kolmogorov
+# 5% constant 1.358 (asymptotic Brownian-bridge convention,
+# documented).
+_CUSUMSQ_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT row_number() OVER (ORDER BY d) AS t, d, cents AS y FROM daily
+),
+n1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s1
+  FROM idx
+),
+f AS (
+  SELECT i.t, i.d, n1.n,
+         CAST(round(CAST(n1.n * i.y - n1.s1 AS DOUBLE) / 1048576)
+              AS BIGINT) AS es
+  FROM idx i CROSS JOIN n1
+),
+cum AS (
+  SELECT t, d, n,
+         CAST(sum(CAST(es AS DECIMAL(19,0)) * CAST(es AS DECIMAL(19,0)))
+              OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+              AS DECIMAL(38,0)) AS cr
+  FROM f
+),
+tot AS (
+  SELECT CAST(sum(CAST(es AS DECIMAL(19,0)) * CAST(es AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS cn
+  FROM f
+),
+dev AS (
+  SELECT c.t, c.d, c.n,
+         abs(CAST(c.n AS DOUBLE) * CAST(c.cr AS DOUBLE)
+             - c.t * CAST(t2.cn AS DOUBLE)) AS dr,
+         CAST(c.n AS DOUBLE) * CAST(t2.cn AS DOUBLE) AS scale_den
+  FROM cum c CROSS JOIN tot t2
+),
+mx AS (SELECT max(dr) AS m FROM dev),
+arg AS (
+  SELECT min(dev.d) AS break_day FROM dev CROSS JOIN mx
+  WHERE dev.dr = mx.m
+)
+SELECT d2.n AS n_obs,
+       round(mx.m / d2.scale_den, 6) AS cusum_sq_stat,
+       round(sqrt(d2.n / CAST(2 AS DOUBLE)) * mx.m / d2.scale_den, 4)
+         AS z_bridge,
+       CAST(1.358 AS DOUBLE) AS crit_5pct,
+       CAST(CASE WHEN sqrt(d2.n / CAST(2 AS DOUBLE)) * mx.m / d2.scale_den
+                      > 1.358
+                 THEN 1 ELSE 0 END AS BIGINT) AS variance_break_95,
+       CAST(a.break_day AS DATE) AS break_day
+FROM (SELECT n, scale_den FROM dev LIMIT 1) d2
+CROSS JOIN mx CROSS JOIN arg a
+"""
+
+
+@query(
+    "ts_cusum_squares",
+    "§2.24 CUSUM-of-squares variance-stability monitor on daily revenue",
+    _CUSUMSQ_SQL,
+)
+def ts_cusum_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM-of-squares: is daily-revenue VOLATILITY stable over the
+    sample?  The cumulative share of squared deviations s_r should
+    track the diagonal r/n; its maximum bridge deviation (reported
+    with sqrt(n/2) scaling against the Kolmogorov 1.358 constant,
+    the asymptotic convention documented in the SQL header) flags a
+    variance regime change and its argmax day is the break
+    candidate — the variance-side completion of the mean-side
+    ts_cusum_drift / ts_page_hinkley pair.  Integerization: the KPSS
+    n*y - sum(y) centering snapped once at 2^20 (grain cancels in
+    the ratio); squares and cumsums exact DECIMAL; the max/argmax
+    compare doubles derived from identical decimals, so neither can
+    differ between engines; min-day tie-break documented.
+
+    Shape at any SF: one orders scan to the calendar-bounded daily
+    table; cumsum window + max on O(days) rows; 1-row finish."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_CUSUMSQ_SQL)

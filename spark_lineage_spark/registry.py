@@ -439,6 +439,8 @@ _VERIFY_AFTER = [
     "ts_adf_augmented",
     "ts_spectral_entropy",
     "graph_local_clustering",
+    "stats_theil_inequality",
+    "ts_cusum_squares",
 ]
 
 

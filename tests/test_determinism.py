@@ -76,6 +76,8 @@ SENSITIVE = [
     "ts_adf_augmented",  # exact DECIMAL 9-moment Cramer solve
     "ts_spectral_entropy",  # snapped-trig bins, max-normalized integers
     "graph_local_clustering",  # 1e-9-snapped c_i, integer buckets
+    "stats_theil_inequality",  # decimal-summed x*ln(x), 1e-12 snaps
+    "ts_cusum_squares",  # exact DECIMAL squares, double bridge max
 ]
 
 

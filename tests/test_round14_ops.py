@@ -642,3 +642,123 @@ def test_local_clustering_textbook_graphs():
     assert all(c == 1.0 for c in cs) and trans == 1.0
     cs, trans = metrics([(0, 1), (0, 2), (0, 3), (0, 4)])
     assert cs == [0.0] and trans == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Theil inequality / CUSUM of squares
+# ---------------------------------------------------------------------------
+
+
+def test_theil_inequality_matches_numpy_replay(spark):
+    got = (
+        _load_all()["stats_theil_inequality"].builder(spark, SF).toPandas()
+        .sort_values("nation_key").reset_index(drop=True)
+    )
+    o = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    c = pd.read_parquet(
+        f"{SF}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    o["cents"] = np.round(o.o_totalprice.to_numpy() * 100).astype(np.int64)
+    cust = (
+        o.groupby("o_custkey")["cents"].sum().rename("x").reset_index()
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+    )
+    ss = int(cust.x.sum())
+    nn = len(cust)
+    sxlx = float(sum(round(int(x) * np.log(int(x)), 8) for x in cust.x))
+    t_total = sxlx / ss - np.log(ss / nn)
+    b12 = w12 = 0
+    rows = {}
+    for nk, grp in cust.groupby("c_nationkey"):
+        s = int(grp.x.sum())
+        n = len(grp)
+        xlx = float(sum(round(int(x) * np.log(int(x)), 8) for x in grp.x))
+        tw = xlx / s - np.log(s / n)
+        share = s / ss
+        rows[nk] = (n, share, tw)
+        b12 += round(share * np.log((s / n) / (ss / nn)) * 1e12)
+        w12 += round(share * tw * 1e12)
+    assert got.nation_key.tolist() == sorted(rows)
+    for _, r in got.iterrows():
+        n, share, tw = rows[r.nation_key]
+        assert r.n_customers == n
+        assert abs(r.revenue_share - round(share, 6)) < 2e-6
+        assert abs(r.theil_within - round(tw, 6)) < 2e-6
+    assert (abs(got.theil_total - round(t_total, 6)) < 2e-6).all()
+    assert (abs(got.theil_between - round(b12 / 1e12, 6)) < 2e-6).all()
+    assert (abs(got.theil_within_total - round(w12 / 1e12, 6)) < 2e-6).all()
+    # THE decomposition identity — the whole reason Theil exists
+    assert abs(t_total - (b12 / 1e12 + w12 / 1e12)) < 1e-6
+
+
+def test_theil_textbook_pins():
+    """Equal incomes: T = 0.  All income to one of n: T = ln(n).
+    Decomposition is exact on a 2-group example."""
+    x = np.array([5.0, 5.0, 5.0, 5.0])
+    t = float((x / x.mean() * np.log(x / x.mean())).sum() / len(x))
+    assert abs(t) < 1e-12
+    y = np.array([4.0, 1e-300, 1e-300, 1e-300])  # limit case
+    n = 4
+    t1 = (y / y.mean() * np.log(y / y.mean())).sum() / n
+    assert abs(t1 - np.log(n)) < 1e-9
+    # 2-group exact decomposition
+    g1, g2 = np.array([1.0, 3.0]), np.array([2.0, 6.0, 10.0])
+    allx = np.concatenate([g1, g2])
+    mu = allx.mean()
+    t_tot = (allx / mu * np.log(allx / mu)).sum() / len(allx)
+
+    def theil(g):
+        m = g.mean()
+        return (g / m * np.log(g / m)).sum() / len(g)
+
+    s1, s2 = g1.sum() / allx.sum(), g2.sum() / allx.sum()
+    t_b = s1 * np.log(g1.mean() / mu) + s2 * np.log(g2.mean() / mu)
+    assert abs(t_tot - (t_b + s1 * theil(g1) + s2 * theil(g2))) < 1e-12
+
+
+def _cusum_sq_replay(y):
+    n = len(y)
+    s1 = int(y.sum())
+    es = np.array(
+        [round((n * int(v) - s1) / 1048576) for v in y], dtype=object
+    )
+    es2 = es * es
+    cr = np.cumsum(es2)
+    cn = int(es2.sum())
+    r = np.arange(1, n + 1, dtype=object)
+    dr = np.abs(
+        n * cr.astype(np.float64) - r.astype(np.float64) * float(cn)
+    )
+    stat = dr.max() / (n * float(cn))
+    z = np.sqrt(n / 2) * stat
+    imax = int(np.argmax(dr))  # numpy argmax = first max = min index
+    return stat, z, imax
+
+
+def test_cusum_squares_matches_numpy_replay(spark):
+    got = _load_all()["ts_cusum_squares"].builder(spark, SF).toPandas()
+    daily = _daily_series()
+    y = daily.to_numpy()
+    stat, z, imax = _cusum_sq_replay(y)
+    row = got.iloc[0]
+    assert row.n_obs == len(y)
+    assert abs(row.cusum_sq_stat - round(stat, 6)) < 2e-6
+    assert abs(row.z_bridge - round(z, 4)) < 2e-4
+    assert row.variance_break_95 == int(z > 1.358)
+    assert pd.Timestamp(row.break_day) == daily.index[imax]
+
+
+def test_cusum_squares_detects_variance_break():
+    """Half quiet, half loud: the bridge max lands near the break and
+    z blows past 1.358; a homogeneous series stays under."""
+    rng = np.random.RandomState(11)
+    quiet = rng.randint(-1000, 1000, 1000)
+    loud = rng.randint(-100000, 100000, 1000)
+    y = np.concatenate([quiet, loud]).astype(np.int64) + 10_000_000
+    stat, z, imax = _cusum_sq_replay(y)
+    assert z > 1.358 and abs(imax - 1000) < 50
+    homo = rng.randint(-1000, 1000, 2000).astype(np.int64) + 10_000_000
+    _, z2, _ = _cusum_sq_replay(homo)
+    assert z2 < 1.358

@@ -346,6 +346,10 @@ PROBE_QUERIES = [
     # artifact as the other graph_* ops (see note below).
     "ts_adf_augmented",
     "ts_spectral_entropy",
+    # round-14 wave 5: one customer-grain shuffle onto the 25-nation
+    # grid / the daily-table cumsum window.
+    "stats_theil_inequality",
+    "ts_cusum_squares",
 ]
 # graph_* ops are deliberately NOT probed: the replica fixture keeps
 # the part dimension fixed, so 10x facts DENSIFY the co-purchase graph

@@ -8775,8 +8775,12 @@ def stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
 # above-count) makes chi2 = sum_g A_g^2/n_g / (R1*R2).  One shared
 # SQL text.  Determinism: the pooled median is percentile_disc on
 # exact cents (identical order statistic both engines); counts
-# exact; each per-group rational u_g = A_g^2/(n_g*R1*R2) snaps to a
-# 1e-9 bigint before the cross-group sum (the stats_cmh_test
+# exact; A_g is an exact DECIMAL(19,0)-factor difference cast ONCE
+# to double before squaring (a raw BIGINT product would overflow
+# int64 at ~1e11 orders — the ADVICE r13 ts_page_hinkley class —
+# and the square of the (38,0) difference would overflow DECIMAL);
+# each per-group rational u_g = A_g^2/(n_g*R1*R2) snaps to a 1e-9
+# bigint before the cross-group sum (the stats_cmh_test
 # discipline); ties with the median count as "not above"
 # (documented).  Critical value derived from df = k-1 via the
 # shared CASE lookup.
@@ -8803,9 +8807,10 @@ tot AS (
 ),
 terms AS (
   SELECT g.g, g.n, g.a,
-         CAST(round(CAST(CAST(g.a * t.nn - g.n * t.r1 AS DECIMAL(19,0))
-                         * CAST(g.a * t.nn - g.n * t.r1 AS DECIMAL(19,0))
-                         AS DOUBLE)
+         CAST(round(CAST(CAST(g.a AS DECIMAL(19,0)) * t.nn
+                         - CAST(g.n AS DECIMAL(19,0)) * t.r1 AS DOUBLE)
+                    * CAST(CAST(g.a AS DECIMAL(19,0)) * t.nn
+                           - CAST(g.n AS DECIMAL(19,0)) * t.r1 AS DOUBLE)
                     / (CAST(g.n AS DOUBLE) * t.r1 * t.r2)
                     * 1000000000) AS BIGINT) AS u9
   FROM grp g CROSS JOIN tot t
@@ -8886,9 +8891,12 @@ def stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact DECIMAL; each group's centered sum of squares css = ss -
 # s^2/n and its ln are single-expression doubles (identical IEEE in
 # both engines); the three CROSS-group sums are snapped before
-# summing — css at unit grain, (n-1)*ln(S^2) at 1e-9, 1/(n-1) at
-# 1e-12 (the CMH discipline at three magnitudes) — so partial-agg
-# order cannot flip a bit; chi2/C closes on a 1-row scalar.
+# summing — css at the 2^20 grain (a unit grain overflowed int64 at
+# sf0.1: five ~1.9e18 groups sum past 2^63 — caught by the r14
+# multi-SF sweep; at 2^20 the sum holds to ~2e24 total css),
+# (n-1)*ln(S^2) at 1e-9, 1/(n-1) at 1e-12 (the CMH discipline at
+# three magnitudes) — so partial-agg order cannot flip a bit;
+# chi2/C closes on a 1-row scalar.
 _BARTLETT_SQL = """
 WITH base AS (
   SELECT CAST(substring(o_orderpriority, 1, 1) AS INT) AS g,
@@ -8910,7 +8918,7 @@ pg AS (
 ),
 snapped AS (
   SELECT g, n, css,
-         CAST(round(css) AS BIGINT) AS css1,
+         CAST(round(css / 1048576) AS BIGINT) AS css20,
          CAST(round((n - 1) * ln(css / (n - 1)) * 1000000000) AS BIGINT)
            AS lnterm9,
          CAST(round(1000000000000 / (CAST(n AS DOUBLE) - 1)) AS BIGINT)
@@ -8919,14 +8927,14 @@ snapped AS (
 ),
 scal AS (
   SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS k,
-         CAST(sum(css1) AS BIGINT) AS csstot1,
+         CAST(sum(css20) AS BIGINT) AS csstot20,
          CAST(sum(lnterm9) AS BIGINT) AS t1_9,
          CAST(sum(inv12) AS BIGINT) AS sinv12
   FROM snapped
 ),
 chi AS (
   SELECT nn, k,
-         ((nn - k) * ln(CAST(csstot1 AS DOUBLE) / (nn - k))
+         ((nn - k) * ln(CAST(csstot20 AS DOUBLE) * 1048576 / (nn - k))
           - CAST(t1_9 AS DOUBLE) / 1000000000)
          / (1 + (CAST(sinv12 AS DOUBLE) / 1000000000000
                  - CAST(1 AS DOUBLE) / (nn - k)) / (3 * (k - 1))) AS c2
@@ -9589,7 +9597,7 @@ SELECT d2.n AS n_obs,
        CAST(CASE WHEN sqrt(d2.n / CAST(2 AS DOUBLE)) * mx.m / d2.scale_den
                       > 1.358
                  THEN 1 ELSE 0 END AS BIGINT) AS variance_break_95,
-       CAST(a.break_day AS DATE) AS break_day
+       CAST(CAST(a.break_day AS DATE) AS STRING) AS break_day
 FROM (SELECT n, scale_den FROM dev LIMIT 1) d2
 CROSS JOIN mx CROSS JOIN arg a
 """

@@ -358,12 +358,12 @@ def test_bartlett_matches_numpy_replay(spark):
         s = float(x.sum())
         css = ss - s * s / n
         rows.append((gg, n, css))
-        csst += round(css)
+        csst += round(css / 1048576)
         t19 += round((n - 1) * np.log(css / (n - 1)) * 1e9)
         sinv += round(1e12 / (n - 1))
         ks += 1
         nn += n
-    sp2 = csst / (nn - ks)
+    sp2 = csst * 1048576 / (nn - ks)
     c = 1 + (sinv / 1e12 - 1 / (nn - ks)) / (3 * (ks - 1))
     chi2 = ((nn - ks) * np.log(sp2) - t19 / 1e9) / c
     assert list(got.priority_group) == [r[0] for r in rows]

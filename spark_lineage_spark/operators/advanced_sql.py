@@ -2682,17 +2682,29 @@ def pandas_api_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pandas_api_merge_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ps.merge_asof — the pandas-migration spelling of join_asof's
-    latest-click-≤-purchase lookup (backward direction, per-user `by`
-    grouping, <= inclusive, left-preserving on no match). Clicks are
-    pre-deduplicated to one row per (user, microsecond) with the
-    highest event_id BEFORE the asof so tie semantics are explicit
-    rather than inherited from sort stability — the same rule
-    join_asof's oracle states with QUALIFY. Input grains are reduced
-    in the DataFrame API first; the pandas layer performs only the
-    asof itself, which pyspark.pandas compiles to the same
-    union+window plan shape as our native asof_join — pandas code,
-    Catalyst execution, no driver materialization."""
+    """The pandas-API spelling of join_asof's latest-click-<=-purchase
+    lookup (backward direction, per-user grouping, <= inclusive,
+    left-preserving on no match), via the UNION + groupby-ffill
+    idiom: concat both sides, sort by (user, ts, kind) with clicks
+    ordered before same-microsecond purchases (the inclusive-<= tie
+    rule stated explicitly, as join_asof's oracle does with QUALIFY),
+    forward-fill click_id within each user, keep the purchase rows.
+    Compiles to one range-partitioned sort + one per-user window —
+    linear and parallel at any SF.
+
+    NOT ps.merge_asof itself, deliberately (round-14 finding):
+    pyspark.pandas 4.1 lowers merge_asof through Spark's _joinAsOf
+    rewrite, whose inner stage is a distinct-left-values x right
+    BroadcastNestedLoopJoin on the bare ts inequality (the user
+    equi-key is applied only AFTER the quadratic join) — measured as
+    a multi-hour hang at sf0.1 (~4e9 single-stage comparisons) in
+    the r14 multi-SF sweep.  The ffill spelling is the same pandas
+    migration story with the plan shape our native asof_join uses.
+    Clicks are pre-deduplicated to one row per (user, microsecond)
+    with the highest event_id BEFORE the asof so tie semantics are
+    explicit rather than inherited from sort stability.  click_id
+    rides through the pandas layer as float64 (NaN = no match) and
+    casts back to bigint — exact below 2^53, documented."""
     import pyspark.pandas as ps
 
     e = load(spark, sf_dir, "events")
@@ -2700,19 +2712,26 @@ def pandas_api_merge_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_type") == "click")
         .groupBy("user_id", "ts")
         .agg(F.max("event_id").alias("click_id"))
+        .withColumn("kind", F.lit(0))
     )
     purch = (
         e.filter(F.col("event_type") == "purchase")
-        .select("user_id", "ts", F.col("event_id").alias("purchase_id"))
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("purchase_id"),
+            F.lit(1).alias("kind"),
+        )
     )
-    r = ps.merge_asof(
-        purch.pandas_api().sort_values("ts"),
-        clicks.pandas_api().sort_values("ts"),
-        on="ts",
-        by="user_id",
-        direction="backward",
+    u = ps.concat(
+        [clicks.pandas_api(), purch.pandas_api()], ignore_index=True
+    ).sort_values(["user_id", "ts", "kind"])
+    u["click_id"] = u.groupby("user_id")["click_id"].ffill()
+    r = u[u["kind"] == 1]
+    return r.to_spark().select(
+        F.col("purchase_id").cast("long").alias("purchase_id"),
+        F.col("click_id").cast("long").alias("click_id"),
     )
-    return r.to_spark().select("purchase_id", "click_id")
 
 
 @query(

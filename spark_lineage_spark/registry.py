@@ -106,8 +106,6 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     # ts_resample_ohlc moved to _VERIFY_FIRST (round-12 hardening)
     "ts_hierarchical_rollup", "win_funnel_ordered",
     
-    
-    
     # round 5 verified (CORRECTNESS_r05.json, 50 rows, all green)
     "llm_repeated_passages", "llm_semantic_dedup", "llm_vocab_coverage",
     "llm_dedup_incremental", "tpch_q4_style_priority_check",
@@ -208,7 +206,7 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     # so its r9 official record describes a different implementation
     "join_skyline_pareto", "llm_boilerplate_vocab", "llm_dedup_bloom_prefilter",
     "llm_deterministic_shuffle", "llm_langid_confusion_matrix", "llm_pack_ffd",
-    "llm_weighted_sample_es", "pandas_api_merge_asof", "pandas_api_rolling",
+    "llm_weighted_sample_es", "pandas_api_rolling",
     "profile_freshness_lag", "profile_join_fanout", "scan_csv_multiline_quotes",
     "scan_file_metadata_column", "scan_parquet_bloom_filter", "scan_partition_values_typed",
     "scan_text_wholetext", "sink_csv_gzip_roundtrip", "sink_max_records_per_file",
@@ -441,6 +439,12 @@ _VERIFY_AFTER = [
     "graph_local_clustering",
     "stats_theil_inequality",
     "ts_cusum_squares",
+    # changed implementation (round-14 sweep finding: ps.merge_asof's
+    # _joinAsOf rewrite is a quadratic BroadcastNestedLoopJoin that
+    # hangs at sf0.1; respelled via the linear union+groupby-ffill
+    # pandas idiom), so its round-4 official row describes the old
+    # plan — re-verifies round 15 (the llm_mixture_weights precedent)
+    "pandas_api_merge_asof",
 ]
 
 

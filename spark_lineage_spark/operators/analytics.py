@@ -9411,6 +9411,12 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.struct(F.col("v").alias("src"), F.col("u").alias("dst")))
         .alias("o")
     ).select("o.src", "o.dst")
+    # AQE sizes the post-join exchange on the SMALL oriented-edge
+    # bytes and coalesces toward one partition — but the self-join
+    # OUTPUT is sum-of-squared-out-degrees rows, so that serializes
+    # the wedge stage; pin a src hash layout wide enough to keep the
+    # quadratic fan-out parallel (also co-locates both join sides)
+    oriented = oriented.repartition(32, "src")
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")
     wedges = o1.join(

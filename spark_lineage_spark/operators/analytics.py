@@ -9632,3 +9632,268 @@ def ts_cusum_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
     table; cumsum window + max on O(days) rows; 1-row finish."""
     register_views(spark, sf_dir, ["orders"])
     return spark.sql(_CUSUMSQ_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Round-14 wave 6: OLS residual diagnostics (Durbin-Watson serial
+# correlation, Breusch-Pagan heteroscedasticity) and Hjorth signal
+# parameters.
+#
+# DW/BP share one detrending chassis: the OLS-on-trend residual
+# e_t = y_t - a - b*t is rescaled by the integer determinant
+# D = n*Sxx - Sx^2 so that D*e_t = D*y_t - (Sxx*Sy - Sx*Sxy)
+# - (n*Sxy - Sx*Sy)*t is a combination of EXACT decimal moments
+# (every product evaluated as DOUBLE from exact DECIMAL factors —
+# identical IEEE ops in both engines), then snapped once to a BIGINT
+# at 2^40 (the KPSS snap discipline; both DW and BP are
+# scale-invariant ratios, so the D scaling and the snap grain cancel
+# and only quantization noise ~2^-30 relative remains, identical in
+# both engines by construction).  Numeric headroom (documented, the
+# ts_spectral_coherence ADVICE rule): the snapped residual stays
+# inside DECIMAL(19,0) products through daily residuals ~1e12 cents
+# (about 400x the sf0.1 fixture); beyond that, coarsen the grain.
+_DETREND_CTES = """
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT row_number() OVER (ORDER BY d) AS t, cents AS y FROM daily
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(t) AS BIGINT) AS sx,
+         CAST(sum(CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(CAST(t AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sxy
+  FROM idx
+),
+res AS (
+  SELECT i.t, m.n,
+         CAST(round((
+             (m.n * CAST(m.sxx AS DOUBLE)
+              - CAST(m.sx AS DOUBLE) * m.sx) * i.y
+             - (CAST(m.sxx AS DOUBLE) * CAST(m.sy AS DOUBLE)
+                - CAST(m.sx AS DOUBLE) * CAST(m.sxy AS DOUBLE))
+             - (m.n * CAST(m.sxy AS DOUBLE)
+                - CAST(m.sx AS DOUBLE) * CAST(m.sy AS DOUBLE)) * i.t
+           ) / 1099511627776) AS BIGINT) AS es
+  FROM idx i CROSS JOIN m
+)
+"""
+
+_DW_SQL = (
+    "WITH " + _DETREND_CTES + """,
+lagd AS (
+  SELECT t, n, es, lag(es) OVER (ORDER BY t) AS es_prev FROM res
+),
+sums AS (
+  SELECT max(n) AS n,
+         CAST(sum(CAST(es AS DECIMAL(19,0)) * CAST(es AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS den,
+         CAST(sum(CASE WHEN es_prev IS NOT NULL THEN
+                    CAST(es - es_prev AS DECIMAL(19,0))
+                    * CAST(es - es_prev AS DECIMAL(19,0)) END)
+              AS DECIMAL(38,0)) AS num
+  FROM lagd
+)
+SELECT n AS n_obs,
+       round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS dw_stat,
+       round(1 - CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 2, 6) AS rho1,
+       round((1 - CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 2)
+             * sqrt(CAST(n AS DOUBLE)), 4) AS z_lag1,
+       CAST(1.96 AS DOUBLE) AS crit_5pct,
+       CAST(CASE WHEN abs((1 - CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 2)
+                          * sqrt(CAST(n AS DOUBLE))) > 1.96
+                 THEN 1 ELSE 0 END AS BIGINT) AS autocorr_95
+FROM sums
+""")
+
+
+@query(
+    "stats_durbin_watson",
+    "§2.24 Durbin-Watson serial-correlation test on trend-OLS residuals",
+    _DW_SQL,
+)
+def stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson: after removing the linear trend from daily
+    revenue, are the residuals serially correlated?  DW = sum of
+    squared first differences of the OLS residuals over their sum of
+    squares; DW near 2 means white noise, toward 0 positive
+    autocorrelation, toward 4 negative.  Complements ts_ljung_box
+    (which tests the RAW series at many lags): DW is the classic
+    REGRESSION-residual diagnostic, the question "is my trend model
+    leaving structure behind" rather than "is the series iid".
+    Asymptotic reading (documented convention): rho1 = 1 - DW/2 and
+    z = rho1 * sqrt(n) against the two-sided 1.96 bound.  Residuals
+    use the shared exact-moment detrend chassis (header comment);
+    the D-scale and 2^40 snap cancel in the ratio, so both engines
+    evaluate identical integers into identical doubles.
+
+    Shape at any SF: one orders scan partial-aggs to the
+    calendar-bounded daily table; one O(days) window pass; 1-row
+    finish.  100 TB costs the one fact scan."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_DW_SQL)
+
+
+_BP_SQL = (
+    "WITH " + _DETREND_CTES + """,
+aux AS (
+  SELECT t, n,
+         CAST(round(CAST(CAST(es AS DECIMAL(19,0))
+                         * CAST(es AS DECIMAL(19,0)) AS DOUBLE)
+                    / 1048576) AS BIGINT) AS g
+  FROM res
+),
+am AS (
+  SELECT max(n) AS n,
+         CAST(sum(t) AS BIGINT) AS sx,
+         CAST(sum(CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(CAST(g AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sg,
+         CAST(sum(CAST(t AS DECIMAL(19,0)) * CAST(g AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS stg,
+         CAST(sum(CAST(g AS DECIMAL(19,0)) * CAST(g AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sgg
+  FROM aux
+),
+fit AS (
+  SELECT n,
+         (n * CAST(stg AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sg AS DOUBLE))
+           AS cxy,
+         (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           AS cxx,
+         (n * CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+           AS cgg
+  FROM am
+)
+SELECT n AS n_obs,
+       round(cxy * cxy / (cxx * cgg), 6) AS r2_aux,
+       round(n * cxy * cxy / (cxx * cgg), 4) AS bp_lm,
+       CAST(3.841 AS DOUBLE) AS crit_5pct,
+       CAST(CASE WHEN n * cxy * cxy / (cxx * cgg) > 3.841
+                 THEN 1 ELSE 0 END AS BIGINT) AS heteroscedastic_95
+FROM fit
+""")
+
+
+@query(
+    "stats_breusch_pagan",
+    "§2.24 Breusch-Pagan heteroscedasticity test on trend-OLS residuals",
+    _BP_SQL,
+)
+def stats_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan (Koenker studentized form): does the VARIANCE of
+    the trend-OLS residuals drift with the trend?  The auxiliary
+    regression of squared residuals on t gives LM = n * R^2 ~
+    chi2(1); rejecting means confidence bands from a constant-sigma
+    model are wrong — the variance-side complement to
+    stats_durbin_watson's mean-side question on the same residual
+    series.  The squared residual g = es^2 is snapped at 2^20 into a
+    second BIGINT before the exact-decimal auxiliary moments (R^2 is
+    affine-invariant in g, so the grain cancels; headroom through
+    daily residuals ~1e12 cents documented in the chassis header).
+
+    Shape at any SF: identical to stats_durbin_watson — one fact
+    scan, O(days) arithmetic, 1-row finish."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_BP_SQL)
+
+
+# Hjorth parameters (activity / mobility / complexity): the classic
+# three-number signal summary — variance, normalized dominant
+# frequency (RMS of the derivative over RMS of the signal), and
+# waveform complexity (mobility of the derivative over mobility of
+# the signal; 1 for a pure sinusoid, larger for noisier shapes).
+# Derivatives are calendar-consecutive first differences (the
+# ts_dickey_fuller sparse rule: a missing day breaks the pair/triple
+# rather than fabricating a zero).  All moments are exact
+# DECIMAL(19,0)-factor sums; population variances and the two ratios
+# close as fixed-order doubles.
+_HJORTH_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+d1 AS (
+  SELECT a.d, a.cents - b.cents AS v
+  FROM daily a JOIN daily b ON a.d = {prev_daily}
+),
+d2 AS (
+  SELECT a.d, a.v - b.v AS w
+  FROM d1 a JOIN d1 b ON a.d = {prev_d1}
+),
+m0 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(cents AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s,
+         CAST(sum(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS ss
+  FROM daily
+),
+m1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(v AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s,
+         CAST(sum(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS ss
+  FROM d1
+),
+m2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(w AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s,
+         CAST(sum(CAST(w AS DECIMAL(19,0)) * CAST(w AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS ss
+  FROM d2
+),
+v AS (
+  SELECT m0.n AS n0, m1.n AS n1, m2.n AS n2,
+         (m0.n * CAST(m0.ss AS DOUBLE) - CAST(m0.s AS DOUBLE) * CAST(m0.s AS DOUBLE))
+           / (CAST(m0.n AS DOUBLE) * m0.n) AS var0,
+         (m1.n * CAST(m1.ss AS DOUBLE) - CAST(m1.s AS DOUBLE) * CAST(m1.s AS DOUBLE))
+           / (CAST(m1.n AS DOUBLE) * m1.n) AS var1,
+         (m2.n * CAST(m2.ss AS DOUBLE) - CAST(m2.s AS DOUBLE) * CAST(m2.s AS DOUBLE))
+           / (CAST(m2.n AS DOUBLE) * m2.n) AS var2
+  FROM m0 CROSS JOIN m1 CROSS JOIN m2
+)
+SELECT n0 AS n_obs, n1 AS n_diff1, n2 AS n_diff2,
+       round(sqrt(var0) / 100, 4) AS activity_rms_dollars,
+       round(sqrt(var1 / var0), 6) AS mobility,
+       round(sqrt(var2 / var1) / sqrt(var1 / var0), 6) AS complexity
+FROM v
+"""
+
+
+@query(
+    "ts_hjorth_parameters",
+    "§2.24 Hjorth activity/mobility/complexity signal summary of daily revenue",
+    _HJORTH_SQL.format(
+        prev_daily="b.d + INTERVAL 1 DAY", prev_d1="b.d + INTERVAL 1 DAY"
+    ),
+)
+def ts_hjorth_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hjorth parameters: the three-number time-domain summary used
+    before any spectral machinery — activity (signal variance,
+    reported as RMS amplitude in dollars), mobility (RMS of the
+    day-over-day derivative over RMS of the signal — a normalized
+    dominant frequency; ts_spectral_entropy answers the full-spectrum
+    version of this question, Hjorth answers it with two moments and
+    no DFT), and complexity (mobility of the derivative over
+    mobility of the signal; 1.0 for a pure sine, growing with
+    waveform irregularity).  Population variances from exact decimal
+    moments; the three closing ratios are fixed-order doubles,
+    identical in both engines.
+
+    Shape at any SF: one orders scan to the calendar-bounded daily
+    table; two calendar self-joins on O(days) rows; 1-row finish."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        _HJORTH_SQL.format(
+            prev_daily="date_add(b.d, 1)", prev_d1="date_add(b.d, 1)"
+        )
+    )

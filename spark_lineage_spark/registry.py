@@ -445,6 +445,11 @@ _VERIFY_AFTER = [
     # pandas idiom), so its round-4 official row describes the old
     # plan — re-verifies round 15 (the llm_mixture_weights precedent)
     "pandas_api_merge_asof",
+    # round-14 wave 6 (registered after the sweep commit; driver-sim
+    # green at sf0.01 at registration, numpy replay + textbook pins)
+    "stats_durbin_watson",
+    "stats_breusch_pagan",
+    "ts_hjorth_parameters",
 ]
 
 

@@ -762,3 +762,120 @@ def test_cusum_squares_detects_variance_break():
     homo = rng.randint(-1000, 1000, 2000).astype(np.int64) + 10_000_000
     _, z2, _ = _cusum_sq_replay(homo)
     assert z2 < 1.358
+
+
+# --- wave 6: OLS residual diagnostics + Hjorth parameters ---------------
+
+
+def _trend_residuals(y):
+    n = len(y)
+    t = np.arange(1, n + 1, dtype=np.float64)
+    b = np.polyfit(t, y.astype(np.float64), 1)
+    return y - (b[0] * t + b[1])
+
+
+def test_durbin_watson_matches_numpy_replay(spark):
+    got = _load_all()["stats_durbin_watson"].builder(spark, SF).toPandas()
+    y = _daily_cents()
+    e = _trend_residuals(y)
+    dw = np.sum(np.diff(e) ** 2) / np.sum(e**2)
+    rho1 = 1 - dw / 2
+    z = rho1 * np.sqrt(len(y))
+    row = got.iloc[0]
+    assert row.n_obs == len(y)
+    assert abs(row.dw_stat - dw) < 1e-4
+    assert abs(row.rho1 - rho1) < 1e-4
+    assert abs(row.z_lag1 - z) < 1e-2
+    assert row.autocorr_95 == int(abs(z) > 1.96)
+
+
+def test_durbin_watson_textbook_cases():
+    """White noise: DW near 2.  A slow sine (strong positive serial
+    correlation): DW near 0.  Alternating signs: DW near 4."""
+    rng = np.random.RandomState(7)
+    e = rng.normal(size=4000)
+    dw = np.sum(np.diff(e) ** 2) / np.sum(e**2)
+    assert 1.9 < dw < 2.1
+    t = np.arange(400, dtype=np.float64)
+    slow = np.sin(2 * np.pi * t / 200)
+    dw_slow = np.sum(np.diff(slow) ** 2) / np.sum(slow**2)
+    assert dw_slow < 0.1
+    alt = np.where(np.arange(400) % 2 == 0, 1.0, -1.0)
+    dw_alt = np.sum(np.diff(alt) ** 2) / np.sum(alt**2)
+    assert dw_alt > 3.9
+
+
+def test_breusch_pagan_matches_numpy_replay(spark):
+    got = _load_all()["stats_breusch_pagan"].builder(spark, SF).toPandas()
+    y = _daily_cents()
+    e = _trend_residuals(y)
+    g = e**2
+    n = len(y)
+    t = np.arange(1, n + 1, dtype=np.float64)
+    r = np.corrcoef(t, g)[0, 1]
+    lm = n * r * r
+    row = got.iloc[0]
+    assert row.n_obs == n
+    assert abs(row.r2_aux - r * r) < 1e-4
+    assert abs(row.bp_lm - lm) < max(1e-2, 2e-3 * lm)
+    assert row.heteroscedastic_95 == int(lm > 3.841)
+
+
+def test_breusch_pagan_textbook_cases():
+    """Homoscedastic noise: LM small.  Variance growing with t: LM
+    rejects decisively (the Koenker n*R^2 studentized form)."""
+    rng = np.random.RandomState(11)
+    n = 2000
+    t = np.arange(1, n + 1, dtype=np.float64)
+    e_homo = rng.normal(size=n)
+    g = e_homo**2
+    r = np.corrcoef(t, g)[0, 1]
+    assert n * r * r < 6.0
+    e_het = rng.normal(size=n) * np.sqrt(t)
+    gh = e_het**2
+    rh = np.corrcoef(t, gh)[0, 1]
+    assert n * rh * rh > 50.0
+
+
+def test_hjorth_matches_numpy_replay(spark):
+    got = _load_all()["ts_hjorth_parameters"].builder(spark, SF).toPandas()
+    o = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    d = pd.to_datetime(o.o_orderdate).dt.normalize()
+    cents = np.round(o.o_totalprice.to_numpy() * 100).astype(np.int64)
+    daily = pd.DataFrame({"d": d, "y": cents}).groupby("d")["y"].sum().sort_index()
+    days = daily.index.to_numpy()
+    y = daily.to_numpy().astype(np.float64)
+    nxt = (days[1:] - days[:-1]) == np.timedelta64(1, "D")
+    v = (y[1:] - y[:-1])[nxt]
+    vd = days[1:][nxt]
+    nxt2 = (vd[1:] - vd[:-1]) == np.timedelta64(1, "D")
+    w = (v[1:] - v[:-1])[nxt2]
+    var0, var1, var2 = (np.var(a) for a in (y, v, w))
+    mob = np.sqrt(var1 / var0)
+    comp = np.sqrt(var2 / var1) / mob
+    row = got.iloc[0]
+    assert row.n_obs == len(y) and row.n_diff1 == len(v) and row.n_diff2 == len(w)
+    assert abs(row.activity_rms_dollars - np.sqrt(var0) / 100) < 1e-2
+    assert abs(row.mobility - mob) < 1e-6
+    assert abs(row.complexity - comp) < 1e-6
+
+
+def test_hjorth_textbook_cases():
+    """A pure sinusoid has complexity exactly 1 (in the continuous
+    limit) and mobility equal to its angular frequency; white noise
+    has much higher mobility than a slow sine."""
+    t = np.arange(0.0, 400.0)
+    slow = np.sin(2 * np.pi * t / 100)
+    v = np.diff(slow)
+    w = np.diff(v)
+    mob = np.sqrt(np.var(v) / np.var(slow))
+    comp = np.sqrt(np.var(w) / np.var(v)) / mob
+    assert abs(mob - 2 * np.pi / 100) < 1e-3
+    assert abs(comp - 1.0) < 1e-2  # discrete-diff bias ~5e-3 at this step
+    rng = np.random.RandomState(3)
+    noise = rng.normal(size=400)
+    vn = np.diff(noise)
+    mob_noise = np.sqrt(np.var(vn) / np.var(noise))
+    assert mob_noise > 10 * mob

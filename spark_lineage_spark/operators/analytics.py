@@ -9897,3 +9897,312 @@ def ts_hjorth_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
             prev_daily="date_add(b.d, 1)", prev_d1="date_add(b.d, 1)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-14 wave 7: fractal/scaling diagnostics (Higuchi fractal
+# dimension, detrended fluctuation analysis) and the Quade blocked
+# rank test.
+
+# Higuchi fractal dimension: curve length L(k) at stride k, averaged
+# over the k phase offsets, should scale as k^-FD.  Every L_m(k)
+# numerator is an exact |diff| bigint sum; the rational normalization
+# s*(n-1)/(cnt*k^2) closes in engine-identical doubles and is
+# snapped to a unit-grain BIGINT (values >=1e6 at sf0.001, so the
+# grain is <=1e-6 relative), making the phase-average an exact
+# integer sum; the log-log OLS runs on 1e9-integerized points (the
+# llm_heaps_law_fit discipline).  Stride grid {1,2,3,4,6,8,11,16}
+# documented (geometric-ish, kmax=16).
+_HIGUCHI_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT row_number() OVER (ORDER BY d) AS t, cents AS y FROM daily
+),
+n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx),
+grid AS (SELECT CAST(k0 AS BIGINT) AS k FROM ({kgrid}) g),
+diffs AS (
+  SELECT g.k, ((b.t - 1) % g.k) + 1 AS m, abs(a.y - b.y) AS ad
+  FROM grid g JOIN idx a ON true JOIN idx b ON a.t = b.t + g.k
+),
+lm AS (
+  SELECT d2.k, d2.m, n1.n,
+         CAST(round(CAST(sum(CAST(ad AS DECIMAL(19,0))) AS DOUBLE)
+                    * (n1.n - 1)
+                    / (count(*) * CAST(d2.k AS DOUBLE) * d2.k))
+              AS BIGINT) AS lmi
+  FROM diffs d2 CROSS JOIN n1
+  GROUP BY d2.k, d2.m, n1.n
+),
+lk AS (
+  SELECT k, max(n) AS n,
+         CAST(round(ln(CAST(sum(lmi) AS DOUBLE) / count(*)) * 1000000000)
+              AS BIGINT) AS ly,
+         CAST(round(ln(CAST(k AS DOUBLE)) * 1000000000) AS BIGINT) AS lx
+  FROM lm GROUP BY k
+),
+ols AS (
+  SELECT max(n) AS n, CAST(count(*) AS BIGINT) AS p,
+         CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+         CAST(sum(CAST(lx AS DECIMAL(19,0)) * CAST(ly AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(CAST(lx AS DECIMAL(19,0)) * CAST(lx AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sxx
+  FROM lk
+)
+SELECT n AS n_obs, p AS n_strides,
+       round(-(p * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / (p * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 4)
+         AS fd_higuchi
+FROM ols
+"""
+
+
+@query(
+    "ts_higuchi_fd",
+    "§2.24 Higuchi fractal dimension of daily revenue",
+    _HIGUCHI_SQL.format(
+        kgrid="SELECT unnest([1,2,3,4,6,8,11,16]) AS k0"
+    ),
+)
+def ts_higuchi_fd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higuchi fractal dimension: how rough is the daily-revenue
+    curve?  Curve lengths L(k) at strides k (phase-averaged over the
+    k offsets, each normalized by (n-1)/(cnt*k^2)) scale as k^-FD;
+    FD near 1 = smooth trend, near 2 = space-filling noise, and ~1.5
+    = random-walk — the time-domain estimate of the same roughness
+    ts_hurst_exponent reads from rescaled ranges (FD = 2 - H for
+    self-affine series, a cross-check the property test exercises).
+    Determinism: exact |diff| bigint sums, unit-snapped L_m, exact
+    integer phase-average, 1e9-integerized log-log OLS.
+
+    Shape at any SF: one orders scan to the daily table; the stride
+    joins run on O(days * 8) rows; 1-row finish."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        _HIGUCHI_SQL.format(
+            kgrid="SELECT explode(array(1,2,3,4,6,8,11,16)) AS k0"
+        )
+    )
+
+
+# Detrended fluctuation analysis: integrate the centered series into
+# the profile P_t = sum_{s<=t} (n*y_s - Sy) (exact bigint, the KPSS
+# n-scaling so no division happens), split into full boxes of size
+# s in {8,16,32,64}, detrend each box by OLS (closed-form SSR from
+# exact DECIMAL moments), and read the scaling exponent alpha from
+# the log-log OLS of F(s) = sqrt(mean SSR / s).  alpha ~ 0.5 = white
+# noise, ~1 = 1/f, ~1.5 = Brownian; alpha = H for stationary
+# fractional noise (the Hurst cross-check again, from a third
+# estimator family).  Per-box SSR doubles are snapped at 2^40 before
+# the cross-box sum (order-free); the n and 2^40 scale factors are
+# constant across s, so they shift ln F by a constant and cancel in
+# the slope.  Numeric headroom: P stays inside BIGINT through daily
+# residuals ~1e12 cents (documented, same bound as the DW chassis).
+_DFA_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT row_number() OVER (ORDER BY d) AS t, cents AS y FROM daily
+),
+n1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy
+  FROM idx
+),
+prof AS (
+  SELECT i.t, n1.n,
+         CAST(sum(n1.n * i.y - n1.sy)
+              OVER (ORDER BY i.t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+  FROM idx i CROSS JOIN n1
+),
+grid AS (SELECT CAST(s0 AS BIGINT) AS s FROM ({sgrid}) g),
+boxed AS (
+  SELECT g.s,
+         CAST((pr.t - 1 - ((pr.t - 1) % g.s)) / g.s AS BIGINT) AS b,
+         pr.t, pr.p, pr.n
+  FROM grid g JOIN prof pr ON pr.t <= pr.n - (pr.n % g.s)
+),
+bm AS (
+  SELECT s, b, count(*) AS cnt,
+         CAST(sum(t) AS BIGINT) AS sx,
+         CAST(sum(CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(CAST(p AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sp,
+         CAST(sum(CAST(t AS DECIMAL(19,0)) * CAST(p AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS stp,
+         CAST(sum(CAST(p AS DECIMAL(19,0)) * CAST(p AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS spp
+  FROM boxed GROUP BY s, b
+),
+ssr AS (
+  SELECT s, b,
+         CAST(round((
+             (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / cnt)
+             - (CAST(stp AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sp AS DOUBLE) / cnt)
+               * (CAST(stp AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sp AS DOUBLE) / cnt)
+               / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / cnt)
+           ) / 1099511627776) AS BIGINT) AS ssri
+  FROM bm
+),
+fs AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS nb,
+         CAST(round(ln(CAST(sum(ssri) AS DOUBLE)
+                       / (count(*) * CAST(s AS DOUBLE))) * 500000000)
+              AS BIGINT) AS ly,
+         CAST(round(ln(CAST(s AS DOUBLE)) * 1000000000) AS BIGINT) AS lx
+  FROM ssr GROUP BY s
+),
+ols AS (
+  SELECT CAST(count(*) AS BIGINT) AS p, CAST(sum(nb) AS BIGINT) AS nboxes,
+         CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+         CAST(sum(CAST(lx AS DECIMAL(19,0)) * CAST(ly AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(CAST(lx AS DECIMAL(19,0)) * CAST(lx AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sxx
+  FROM fs
+)
+SELECT (SELECT max(n) FROM prof) AS n_obs, nboxes AS n_boxes,
+       round((p * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / (p * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 4)
+         AS alpha_dfa
+FROM ols
+"""
+
+
+@query(
+    "ts_dfa",
+    "§2.24 detrended fluctuation analysis scaling exponent of daily revenue",
+    _DFA_SQL.format(sgrid="SELECT unnest([8,16,32,64]) AS s0"),
+)
+def ts_dfa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detrended fluctuation analysis: integrate the centered daily
+    series into a profile, OLS-detrend it inside boxes of 8/16/32/64
+    days, and read the scaling exponent alpha from how the RMS
+    residual F(s) grows with box size.  alpha ~ 0.5 = no memory,
+    ~1.0 = 1/f long-range dependence, ~1.5 = integrated noise — the
+    third, detrending-robust member of the roughness triangle with
+    ts_hurst_exponent (R/S) and ts_higuchi_fd (curve length), and
+    the one that stays valid under the very trend the other two must
+    assume away.  Determinism: exact bigint profile (n-scaled
+    centering, no division), exact DECIMAL box moments, per-box SSR
+    doubles snapped at 2^40 before the order-free cross-box sum,
+    1e9-integerized log-log OLS; ln F = 0.5*ln(F^2) folded into the
+    ly grain (5e8).  Scale factors (n, grain) are s-independent and
+    cancel in the slope.
+
+    Shape at any SF: one orders scan; the profile is one O(days)
+    cumsum window; box moments are one grouped agg over 4 strides;
+    1-row finish."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        _DFA_SQL.format(sgrid="SELECT explode(array(8,16,32,64)) AS s0")
+    )
+
+
+# Quade test: the blocked k-treatment rank test that WEIGHTS blocks
+# by how much signal they carry (range rank), where stats_friedman_test
+# weights all blocks equally — more powerful when block magnitudes
+# differ wildly (order months differ in volume by construction).
+# Blocks = order month (12), treatments = order priority (5),
+# response = total revenue cents (exact bigint).  Doubled average
+# ranks r2 = 2l + e + 1 and doubled block-weight ranks q2 keep
+# everything integer; the x4 scale cancels in F.  The F(4,44)
+# critical value 2.5837 is DERIVED (closed-form beta CDF with
+# integer df, solved to 1e-6 — see tests), guarded by a CASE on the
+# actual (n, k) so a fixture change NULLs the gate instead of
+# testing against the wrong constant (the stats_cochran_q ADVICE
+# rule).
+_QUADE_SQL = """
+WITH cell AS (
+  SELECT {month_expr} AS blk, o_orderpriority AS trt,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS v
+  FROM orders GROUP BY 1, 2
+),
+rk AS (
+  SELECT a.blk, a.trt, a.v,
+         CAST(sum(CASE WHEN b.v < a.v THEN 2
+                       WHEN b.v = a.v THEN 1 ELSE 0 END) + 1 AS BIGINT)
+           AS r2
+  FROM cell a JOIN cell b ON a.blk = b.blk
+  GROUP BY a.blk, a.trt, a.v
+),
+rng AS (
+  SELECT blk, max(v) - min(v) AS dr FROM cell GROUP BY blk
+),
+qrk AS (
+  SELECT a.blk,
+         CAST(sum(CASE WHEN b.dr < a.dr THEN 2
+                       WHEN b.dr = a.dr THEN 1 ELSE 0 END) + 1 AS BIGINT)
+           AS q2
+  FROM rng a JOIN rng b ON true
+  GROUP BY a.blk
+),
+kk AS (
+  SELECT CAST(count(DISTINCT trt) AS BIGINT) AS k,
+         CAST(count(DISTINCT blk) AS BIGINT) AS nb
+  FROM cell
+),
+s AS (
+  SELECT rk.blk, rk.trt, kk.nb, kk.k,
+         qrk.q2 * (rk.r2 - (kk.k + 1)) AS s2
+  FROM rk JOIN qrk ON rk.blk = qrk.blk CROSS JOIN kk
+),
+tj AS (
+  SELECT trt, max(nb) AS nb, max(k) AS k, CAST(sum(s2) AS BIGINT) AS tsum
+  FROM s GROUP BY trt
+),
+agg AS (
+  SELECT max(nb) AS nb, max(k) AS k,
+         (SELECT CAST(sum(CAST(s2 AS DECIMAL(19,0)) * CAST(s2 AS DECIMAL(19,0)))
+                      AS DECIMAL(38,0)) FROM s) AS a2,
+         CAST(sum(CAST(tsum AS DECIMAL(19,0)) * CAST(tsum AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS tb
+  FROM tj
+)
+SELECT nb AS n_blocks, k AS k_treatments,
+       (nb - 1) * (k - 1) AS df2,
+       round((nb - 1) * CAST(tb AS DOUBLE)
+             / (nb * CAST(a2 AS DOUBLE) - CAST(tb AS DOUBLE)), 4)
+         AS quade_f,
+       CASE WHEN nb = 12 AND k = 5 THEN CAST(2.5837 AS DOUBLE) END
+         AS crit_5pct,
+       CAST(CASE WHEN nb = 12 AND k = 5
+                      AND (nb - 1) * CAST(tb AS DOUBLE)
+                          / (nb * CAST(a2 AS DOUBLE) - CAST(tb AS DOUBLE))
+                          > 2.5837
+                 THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+FROM agg
+"""
+
+
+@query(
+    "stats_quade_test",
+    "§2.24 Quade weighted blocked rank test: priority effect across order months",
+    _QUADE_SQL.format(month_expr="month(o_orderdate)"),
+)
+def stats_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade test: does order priority shift revenue once month-of-
+    year blocking is removed?  Friedman (stats_friedman_test) ranks
+    within blocks and weights every block equally; Quade multiplies
+    each block's centered ranks by the rank of the block's RANGE, so
+    months with real spread dominate — the standard power upgrade
+    when block magnitudes differ (and they do: months differ in
+    volume).  F = (n-1)*B/(A-B) with A, B from the doubled-rank
+    integers (scale cancels); the derived F(4,44) critical value is
+    CASE-guarded on the observed (n, k) per the cochran_q ADVICE
+    rule.  All ranks from exact comparison counts over the 60-cell
+    grid — ties get average ranks via the 2l+e+1 doubling.
+
+    Shape at any SF: one orders scan partial-aggs to 60 cells;
+    everything after is grid-sized; 1-row finish."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_QUADE_SQL.format(month_expr="month(o_orderdate)"))

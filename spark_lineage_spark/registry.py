@@ -450,6 +450,10 @@ _VERIFY_AFTER = [
     "stats_durbin_watson",
     "stats_breusch_pagan",
     "ts_hjorth_parameters",
+    # round-14 wave 7
+    "ts_higuchi_fd",
+    "ts_dfa",
+    "stats_quade_test",
 ]
 
 

@@ -879,3 +879,144 @@ def test_hjorth_textbook_cases():
     vn = np.diff(noise)
     mob_noise = np.sqrt(np.var(vn) / np.var(noise))
     assert mob_noise > 10 * mob
+
+
+# --- wave 7: fractal/scaling diagnostics + Quade test -------------------
+
+
+def _higuchi_numpy(y, ks=(1, 2, 3, 4, 6, 8, 11, 16)):
+    n = len(y)
+    y = y.astype(np.float64)
+    pts = []
+    for k in ks:
+        lms = []
+        for m in range(1, k + 1):
+            seq = y[m - 1 :: k]
+            cnt = len(seq) - 1
+            s = np.abs(np.diff(seq)).sum()
+            lms.append(s * (n - 1) / (cnt * k * k))
+        pts.append((np.log(k), np.log(np.mean(lms))))
+    x, ly = np.array(pts).T
+    return -np.polyfit(x, ly, 1)[0]
+
+
+def test_higuchi_matches_numpy_replay(spark):
+    got = _load_all()["ts_higuchi_fd"].builder(spark, SF).toPandas()
+    y = _daily_cents()
+    fd = _higuchi_numpy(y)
+    row = got.iloc[0]
+    assert row.n_obs == len(y) and row.n_strides == 8
+    assert abs(row.fd_higuchi - fd) < 5e-3
+
+
+def test_higuchi_textbook_cases():
+    """A straight line has FD 1; white noise approaches 2; a random
+    walk sits near 1.5 (FD = 2 - H for self-affine series)."""
+    line = np.arange(2000, dtype=np.float64) * 7 + 3
+    assert abs(_higuchi_numpy(line) - 1.0) < 1e-6
+    rng = np.random.RandomState(5)
+    noise = rng.normal(size=4000)
+    assert _higuchi_numpy(noise) > 1.9
+    walk = np.cumsum(rng.normal(size=4000))
+    assert 1.35 < _higuchi_numpy(walk) < 1.65
+
+
+def _dfa_numpy(y, ss=(8, 16, 32, 64)):
+    y = y.astype(np.float64)
+    n = len(y)
+    prof = np.cumsum(y - y.mean())
+    pts = []
+    for s in ss:
+        nb = n // s
+        ssr = 0.0
+        for b in range(nb):
+            seg = prof[b * s : (b + 1) * s]
+            t = np.arange(b * s + 1, (b + 1) * s + 1, dtype=np.float64)
+            c = np.polyfit(t, seg, 1)
+            r = seg - (c[0] * t + c[1])
+            ssr += (r**2).sum()
+        pts.append((np.log(s), 0.5 * np.log(ssr / (nb * s))))
+    x, lf = np.array(pts).T
+    return np.polyfit(x, lf, 1)[0]
+
+
+def test_dfa_matches_numpy_replay(spark):
+    got = _load_all()["ts_dfa"].builder(spark, SF).toPandas()
+    y = _daily_cents()
+    alpha = _dfa_numpy(y)
+    row = got.iloc[0]
+    n = len(y)
+    assert row.n_obs == n
+    assert row.n_boxes == sum(n // s for s in (8, 16, 32, 64))
+    assert abs(row.alpha_dfa - alpha) < 2e-2
+
+
+def test_dfa_textbook_cases():
+    """White noise: alpha near 0.5.  Integrated noise (random walk):
+    alpha near 1.5.  AR(1) with strong persistence sits between."""
+    rng = np.random.RandomState(9)
+    noise = rng.normal(size=8000)
+    assert abs(_dfa_numpy(noise) - 0.5) < 0.08
+    walk = np.cumsum(rng.normal(size=8000))
+    assert _dfa_numpy(walk) > 1.25
+
+
+def _quade_numpy(mat):
+    """mat: n_blocks x k matrix of responses."""
+    nb, k = mat.shape
+    r = np.zeros_like(mat, dtype=np.float64)
+    for i in range(nb):
+        r[i] = pd.Series(mat[i]).rank().to_numpy()
+    dr = mat.max(axis=1) - mat.min(axis=1)
+    q = pd.Series(dr).rank().to_numpy()
+    s = q[:, None] * (r - (k + 1) / 2)
+    a = (s**2).sum()
+    tj = s.sum(axis=0)
+    b = (tj**2).sum() / nb
+    return (nb - 1) * b / (a - b)
+
+
+def test_quade_matches_pandas_replay(spark):
+    got = _load_all()["stats_quade_test"].builder(spark, SF).toPandas()
+    o = pd.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_orderdate", "o_orderpriority", "o_totalprice"],
+    )
+    o["blk"] = pd.to_datetime(o.o_orderdate).dt.month
+    o["v"] = np.round(o.o_totalprice.to_numpy() * 100).astype(np.int64)
+    cell = o.groupby(["blk", "o_orderpriority"])["v"].sum().unstack()
+    f = _quade_numpy(cell.to_numpy())
+    row = got.iloc[0]
+    assert row.n_blocks == 12 and row.k_treatments == 5 and row.df2 == 44
+    assert abs(row.quade_f - f) < 1e-3
+    assert row.reject_95 == int(f > 2.5837)
+
+
+def test_quade_critical_value_derivation():
+    """The hard-coded F(4,44) 95% point is derivable in closed form:
+    with integer half-dfs (2, 22) the beta CDF is a finite binomial
+    sum, I_x = 1 - (1-x)^23 - 23x(1-x)^22 with x = 4F/(4F+44)."""
+
+    def cdf(fv):
+        x = 4 * fv / (4 * fv + 44)
+        return 1 - (1 - x) ** 23 - 23 * x * (1 - x) ** 22
+
+    lo, hi = 1.0, 10.0
+    for _ in range(80):
+        mid = (lo + hi) / 2
+        if cdf(mid) < 0.95:
+            lo = mid
+        else:
+            hi = mid
+    assert abs((lo + hi) / 2 - 2.5837) < 5e-4
+
+
+def test_quade_detects_planted_treatment_effect():
+    """A strong consistent treatment effect across blocks must push F
+    far past the critical value; iid noise must not (checked at the
+    much looser 20x bound to keep the test deterministic)."""
+    rng = np.random.RandomState(21)
+    base = rng.normal(0, 1, size=(12, 5))
+    effect = base + np.array([0.0, 1.0, 2.0, 3.0, 4.0]) * 3
+    assert _quade_numpy(effect) > 2.5837 * 3
+    assert _quade_numpy(base) < 2.5837 * 20

@@ -10206,3 +10206,271 @@ def stats_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything after is grid-sized; 1-row finish."""
     register_views(spark, sf_dir, ["orders"])
     return spark.sql(_QUADE_SQL.format(month_expr="month(o_orderdate)"))
+
+
+# ---------------------------------------------------------------------------
+# Round-14 wave 8: Anderson-Darling two-sample test (Scholz-Stephens
+# tie-exact A2akN + its standardization) and a Haar wavelet energy
+# decomposition.
+
+# AD closing SQL over the shared two-sample prefix chassis
+# (cum: ca/cv/g/prev_*) plus a 1-row harmonic-scalars relation
+# har(h2n1, g2).  Midrank quantities come for free as the chassis's
+# doubled prefixes: M2 = 2*prev_ca + ca (doubled midrank cumulative
+# of sample a), B2 = 2*prev_total + g (pooled).  The quarter factors
+# of the textbook A2akN cancel exactly against the doubled terms, so
+# with A = N*M2 - n1*B2 (exact integer; the b-sample term is -A, so
+# one side carries both):
+#   A2 = (N-1)/N * sum_j  g_j * A_j^2 / ((B2(2N-B2) - N*g_j) * n1 * n2)
+# Each per-value term is one double from exact DECIMAL-product
+# integers, snapped at 1e-12 and decimal-summed (CMH discipline).
+# sigma^2(A2) uses the Scholz-Stephens (a,b,c,d; H,h,g) polynomial
+# with h = H_{N-1} and g = sum_{i<N-1} (H_{N-1}-H_i)/(N-i), both
+# computed from 1e-15-snapped harmonic terms (exact bigint cumsums)
+# and 1e-12-snapped g-terms — identical integers in both engines.
+# T = (A2 - 1)/sigma against t_{m=1}(0.05) = 1.960 (S&S Table 1).
+# Headroom: A <= 2N^2 stays a DECIMAL(19,0) factor to N ~ 7e9 rows.
+_AD_CLOSE_SQL = """
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n1, CAST(sum(cv) AS BIGINT) AS n2,
+         CAST(sum(ca) + sum(cv) AS BIGINT) AS n
+  FROM {cum}
+),
+terms AS (
+  SELECT CAST(sum(CAST(round(
+           CAST(CAST(c.g AS DECIMAL(19,0))
+                * CAST(t.n * (2 * c.prev_ca + c.ca)
+                       - t.n1 * (2 * c.prev_total + c.g) AS DECIMAL(19,0))
+                * CAST(t.n * (2 * c.prev_ca + c.ca)
+                       - t.n1 * (2 * c.prev_total + c.g) AS DECIMAL(19,0))
+                AS DOUBLE)
+           / ((CAST(2 * c.prev_total + c.g AS DOUBLE)
+               * (2 * t.n - (2 * c.prev_total + c.g))
+               - CAST(t.n AS DOUBLE) * c.g)
+              * (CAST(t.n1 AS DOUBLE) * t.n2))
+           * 1000000000000) AS BIGINT)) AS BIGINT) AS s12
+  FROM {cum} c CROSS JOIN tot t
+),
+fin AS (
+  SELECT t.n1, t.n2, t.n,
+         (t.n - 1) / CAST(t.n AS DOUBLE)
+           * (CAST(terms.s12 AS DOUBLE) / 1000000000000) AS a2,
+         CAST(h.h2n1 AS DOUBLE) / 1000000000000000 AS hh,
+         CAST(h.g2 AS DOUBLE) / 1000000000000 AS gg,
+         1.0 / t.n1 + 1.0 / t.n2 AS bh
+  FROM tot t CROSS JOIN terms CROSS JOIN {har} h
+),
+sig AS (
+  SELECT n1, n2, n, a2,
+         (  ((4 * gg - 6) + (10 - 6 * gg) * bh)
+              * (CAST(n AS DOUBLE) * n * n)
+          + ((2 * gg - 4) * 4 + 16 * hh + (2 * gg - 14 * hh - 4) * bh
+             - 8 * hh + 4 * gg - 6) * (CAST(n AS DOUBLE) * n)
+          + ((6 * hh + 2 * gg - 2) * 4 + (4 * hh - 4 * gg + 6) * 2
+             + (2 * hh - 6) * bh + 4 * hh) * CAST(n AS DOUBLE)
+          + 24.0
+         ) / ((n - 1.0) * (n - 2.0) * (n - 3.0)) AS var_a2
+  FROM fin
+)
+SELECT n1 AS n_a, n2 AS n_b,
+       round(a2, 4) AS ad_a2akn,
+       round((a2 - 1) / sqrt(var_a2), 4) AS ad_t,
+       CAST(1.960 AS DOUBLE) AS crit_5pct,
+       CAST(CASE WHEN (a2 - 1) / sqrt(var_a2) > 1.960
+                 THEN 1 ELSE 0 END AS BIGINT) AS reject_same_dist
+FROM sig
+"""
+
+_AD_HAR_ORACLE = """
+adn AS (
+  SELECT CAST(sum(ca) + sum(cv) AS BIGINT) AS n FROM {cum}
+),
+ser AS (
+  SELECT m, CAST(round(1e15 / m) AS BIGINT) AS tm
+  FROM (
+    SELECT CAST(row_number() OVER () AS BIGINT) AS m
+    FROM events WHERE event_type IN ('purchase', 'click')
+  ) r
+  WHERE m <= (SELECT n - 1 FROM adn)
+),
+hcum AS (
+  SELECT m, CAST(sum(tm) OVER (ORDER BY m) AS BIGINT) AS h2 FROM ser
+),
+hn AS (SELECT CAST(sum(tm) AS BIGINT) AS h2n1 FROM ser),
+har AS (
+  SELECT hn.h2n1,
+         (SELECT CAST(sum(CAST(round(
+                    (CAST(hn.h2n1 - hc.h2 AS DOUBLE) / 1000000000000000)
+                    / (t.n - hc.m) * 1000000000000) AS BIGINT)) AS BIGINT)
+          FROM hcum hc CROSS JOIN adn t WHERE hc.m <= t.n - 2) AS g2
+  FROM hn
+)
+"""
+
+
+@query(
+    "stats_ad_two_sample",
+    "§2.24 Anderson-Darling two-sample test, tie-exact A2akN (purchase vs click)",
+    "WITH " + _two_sample_cum_sql("purchase", "click") + ","
+    + _AD_HAR_ORACLE.format(cum="cum")
+    + "," + _AD_CLOSE_SQL.format(cum="cum", har="har"),
+)
+def stats_ad_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anderson-Darling two-sample test on purchase-vs-click values:
+    the ECDF-distance test that up-weights the TAILS by 1/(F(1-F)),
+    completing the distance family — stats_ks_test takes the single
+    worst gap, stats_cvm_two_sample integrates the squared gap
+    uniformly, AD integrates it with tail emphasis, which is where
+    value distributions actually differ.  Implements the
+    Scholz-Stephens tie-exact A2akN (midrank version) plus its exact
+    finite-N standardization T = (A2-1)/sigma with the published
+    (a,b,c,d; H,h,g) variance polynomial, against t_1(0.05) = 1.960
+    from their Table 1 (documented).  The chassis's doubled prefixes
+    ARE the midrank quantities, so every per-value term is exact
+    integers; harmonic sums are 1e-15-snapped exact bigint cumsums.
+
+    Shape at any SF: one events scan to distinct micro-values
+    (bucketed two-phase prefix sums), one O(N) generated harmonic
+    series with the same two-phase treatment, map-side-partial
+    moment aggs, 1-row finish.  The one driver scalar (N, to size
+    spark.range) is metadata-scale, the streaming/queries
+    max-timestamp precedent."""
+    cum = _two_sample_cum_df(spark, sf_dir, "purchase", "click")
+    cum.createOrReplaceTempView("r14_ad_cum")
+    n1, n2 = (
+        cum.agg(
+            F.sum("ca").cast("bigint"), F.sum("cv").cast("bigint")
+        ).collect()[0]
+    )
+    n = int(n1) + int(n2)
+    ser = (
+        spark.range(1, n)
+        .select(
+            F.col("id").alias("m"),
+            F.expr("CAST(round(1e15 / id) AS BIGINT)").alias("tm"),
+            F.expr("id div 65536").alias("bucket"),
+        )
+    )
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    boff = (
+        ser.groupBy("bucket").agg(F.sum("tm").alias("bt"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bt").over(wb), F.lit(0)).alias("off"),
+        )
+    )
+    w = Window.partitionBy("bucket").orderBy("m")
+    hcum = (
+        ser.join(F.broadcast(boff), "bucket")
+        .select(
+            "m",
+            (F.sum("tm").over(w) + F.col("off")).cast("bigint").alias("h2"),
+        )
+    )
+    h2n1 = int(ser.agg(F.sum("tm")).collect()[0][0])
+    g2 = int(
+        hcum.filter(F.col("m") <= n - 2)
+        .select(
+            F.expr(
+                f"CAST(round((CAST({h2n1} - h2 AS DOUBLE) / 1000000000000000)"
+                f" / ({n} - m) * 1000000000000) AS BIGINT)"
+            ).alias("gt")
+        )
+        .agg(F.sum("gt"))
+        .collect()[0][0]
+    )
+    spark.createDataFrame(
+        [(h2n1, g2)], "h2n1 BIGINT, g2 BIGINT"
+    ).createOrReplaceTempView("r14_ad_har")
+    return spark.sql(
+        "WITH " + _AD_CLOSE_SQL.format(cum="r14_ad_cum", har="r14_ad_har")
+    )
+
+
+# Haar wavelet energy decomposition: where does the variance of the
+# daily-revenue signal LIVE in time scale?  Unnormalized Haar detail
+# at level l over a block of 2^l days is D = (first-half sum) -
+# (second-half sum), an EXACT integer; the level energy is
+# E_l = sum_b D^2 / 2^l (Parseval normalization, documented), and
+# shares localize volatility by scale: day-to-day noise loads level
+# 1, weekly structure level 3, monthly+ the deep levels.  Unlike
+# ts_periodogram/ts_spectral_entropy (global sinusoids), Haar detail
+# is time-LOCALIZED — a burst contributes where it happens.
+# Determinism: D exact bigint, E sums exact DECIMAL products; each
+# level's double energy derives from one exact decimal; the 6-level
+# total is a FIXED-ORDER sum of per-level CASE aggregates (no
+# engine-ordered double accumulation); shares round at 6.
+_HAAR_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT row_number() OVER (ORDER BY d) AS t, cents AS y FROM daily
+),
+n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx),
+grid AS (SELECT CAST(l0 AS BIGINT) AS lv, CAST(s0 AS BIGINT) AS sz
+         FROM ({lvgrid}) g),
+det AS (
+  SELECT g.lv, g.sz,
+         CAST((i.t - 1 - ((i.t - 1) % g.sz)) / g.sz AS BIGINT) AS b,
+         CAST(sum(CASE WHEN 2 * ((i.t - 1) % g.sz) < g.sz
+                       THEN i.y ELSE -i.y END) AS BIGINT) AS dsum
+  FROM grid g CROSS JOIN n1 JOIN idx i ON i.t <= n1.n - (n1.n % g.sz)
+  GROUP BY g.lv, g.sz, CAST((i.t - 1 - ((i.t - 1) % g.sz)) / g.sz AS BIGINT)
+),
+en AS (
+  SELECT lv, sz, CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(CAST(dsum AS DECIMAL(19,0)) * CAST(dsum AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS e_raw
+  FROM det GROUP BY lv, sz
+),
+tot AS (
+  SELECT sum(CASE WHEN lv = 1 THEN CAST(e_raw AS DOUBLE) / sz END)
+         + sum(CASE WHEN lv = 2 THEN CAST(e_raw AS DOUBLE) / sz END)
+         + sum(CASE WHEN lv = 3 THEN CAST(e_raw AS DOUBLE) / sz END)
+         + sum(CASE WHEN lv = 4 THEN CAST(e_raw AS DOUBLE) / sz END)
+         + sum(CASE WHEN lv = 5 THEN CAST(e_raw AS DOUBLE) / sz END)
+         + sum(CASE WHEN lv = 6 THEN CAST(e_raw AS DOUBLE) / sz END) AS te
+  FROM en
+)
+SELECT en.lv AS level, en.sz AS block_days, en.n_blocks,
+       round(CAST(en.e_raw AS DOUBLE) / en.sz / tot.te, 6) AS energy_share,
+       round(sqrt(CAST(en.e_raw AS DOUBLE) / en.sz / en.n_blocks) / 100, 4)
+         AS rms_detail_dollars
+FROM en CROSS JOIN tot
+ORDER BY en.lv
+"""
+
+
+@query(
+    "ts_haar_energy",
+    "§2.24 Haar wavelet multiresolution energy decomposition of daily revenue",
+    _HAAR_SQL.format(
+        lvgrid="SELECT * FROM (VALUES (1,2),(2,4),(3,8),(4,16),(5,32),(6,64))"
+               " v(l0, s0)"
+    ),
+)
+def ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet energy by scale: levels 1-6 (2..64-day blocks)
+    decompose daily-revenue variance into time-LOCALIZED scale bands
+    — the multiresolution complement to ts_periodogram's global
+    sinusoids (a one-off burst spreads across every Fourier bin but
+    loads exactly one Haar block).  Detail D = first-half sum minus
+    second-half sum per block is an exact bigint; E_l = sum D^2/2^l
+    (Parseval convention documented); the 6-level total is a fixed-
+    order sum of per-level CASE aggregates so no engine-ordered
+    double accumulation exists; truncation to full blocks per level
+    is exact integer arithmetic (t <= n - n%2^l).
+
+    Shape at any SF: one orders scan to the daily table; one grouped
+    agg over 6 x O(days) block rows; 6-row finish."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        _HAAR_SQL.format(
+            lvgrid="SELECT l0, s0 FROM VALUES (1,2),(2,4),(3,8),(4,16),"
+                   "(5,32),(6,64) AS v(l0, s0)"
+        )
+    )

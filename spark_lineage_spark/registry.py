@@ -454,6 +454,9 @@ _VERIFY_AFTER = [
     "ts_higuchi_fd",
     "ts_dfa",
     "stats_quade_test",
+    # round-14 wave 8
+    "stats_ad_two_sample",
+    "ts_haar_energy",
 ]
 
 

@@ -1020,3 +1020,123 @@ def test_quade_detects_planted_treatment_effect():
     effect = base + np.array([0.0, 1.0, 2.0, 3.0, 4.0]) * 3
     assert _quade_numpy(effect) > 2.5837 * 3
     assert _quade_numpy(base) < 2.5837 * 20
+
+
+# --- wave 8: Anderson-Darling two-sample + Haar energy ------------------
+
+
+def _ad_a2akn_numpy(xa, xb):
+    """Scholz-Stephens A2akN (midrank/tie version, k=2) and its
+    standardized T, straight from the 1987 paper's formulas."""
+    pooled = np.concatenate([xa, xb])
+    n1, n2 = len(xa), len(xb)
+    n = n1 + n2
+    z = np.unique(pooled)
+    lj = np.array([(pooled == v).sum() for v in z], dtype=np.float64)
+    fa = np.array([(xa == v).sum() for v in z], dtype=np.float64)
+    fb = np.array([(xb == v).sum() for v in z], dtype=np.float64)
+    ma = np.cumsum(fa) - fa / 2
+    mb = np.cumsum(fb) - fb / 2
+    bj = np.cumsum(lj) - lj / 2
+    denom = bj * (n - bj) - n * lj / 4
+    inner_a = (lj / n) * (n * ma - n1 * bj) ** 2 / denom
+    inner_b = (lj / n) * (n * mb - n2 * bj) ** 2 / denom
+    a2 = (n - 1) / n * (inner_a.sum() / n1 + inner_b.sum() / n2)
+    h_ = (1.0 / np.arange(1, n)).sum()
+    hcum = np.cumsum(1.0 / np.arange(1, n))
+    i = np.arange(1, n - 1)
+    g_ = ((hcum[n - 2] - hcum[i - 1]) / (n - i)).sum()
+    bigh = 1.0 / n1 + 1.0 / n2
+    k = 2
+    a = (4 * g_ - 6) * (k - 1) + (10 - 6 * g_) * bigh
+    b = (2 * g_ - 4) * k**2 + 8 * h_ * k + (2 * g_ - 14 * h_ - 4) * bigh \
+        - 8 * h_ + 4 * g_ - 6
+    c = (6 * h_ + 2 * g_ - 2) * k**2 + (4 * h_ - 4 * g_ + 6) * k \
+        + (2 * h_ - 6) * bigh + 4 * h_
+    d = (2 * h_ + 6) * k**2 - 4 * h_ * k
+    var = (a * n**3 + b * n**2 + c * n + d) / ((n - 1) * (n - 2) * (n - 3))
+    return a2, (a2 - (k - 1)) / np.sqrt(var)
+
+
+def _event_micro(sf, typ):
+    e = pd.read_parquet(f"{sf}/events.parquet", columns=["event_type", "value"])
+    v = e[e.event_type == typ].value.to_numpy()
+    return np.round(v * 1_000_000).astype(np.int64)
+
+
+def test_ad_two_sample_matches_numpy_replay(spark):
+    got = _load_all()["stats_ad_two_sample"].builder(spark, SF).toPandas()
+    xa = _event_micro(SF, "purchase")
+    xb = _event_micro(SF, "click")
+    a2, t = _ad_a2akn_numpy(xa, xb)
+    row = got.iloc[0]
+    assert row.n_a == len(xa) and row.n_b == len(xb)
+    assert abs(row.ad_a2akn - a2) < 2e-3
+    assert abs(row.ad_t - t) < 5e-3
+    assert row.reject_same_dist == int(t > 1.960)
+
+
+def test_ad_two_sample_textbook_cases():
+    """Identical samples give A2 ~ its null mean 1 and T near 0 (well
+    under the 1.96 gate); a clean tail shift is decisively rejected —
+    and AD beats CvM's sensitivity on a pure tail alternative, the
+    reason the op exists."""
+    rng = np.random.RandomState(17)
+    x = np.round(rng.normal(0, 1, 800) * 1e6).astype(np.int64)
+    y = np.round(rng.normal(0, 1, 800) * 1e6).astype(np.int64)
+    a2, t = _ad_a2akn_numpy(x, y)
+    assert t < 1.96
+    shift = np.round((rng.normal(0, 1, 800) + 0.35) * 1e6).astype(np.int64)
+    a2s, ts = _ad_a2akn_numpy(x, shift)
+    assert ts > 1.96 and a2s > a2
+
+
+def test_haar_energy_matches_numpy_replay(spark):
+    got = (
+        _load_all()["ts_haar_energy"].builder(spark, SF).toPandas()
+        .sort_values("level").reset_index(drop=True)
+    )
+    y = _daily_cents().astype(np.float64)
+    n = len(y)
+    energies = {}
+    for lv in range(1, 7):
+        sz = 2**lv
+        m = n - n % sz
+        blocks = y[:m].reshape(-1, sz)
+        d = blocks[:, : sz // 2].sum(axis=1) - blocks[:, sz // 2 :].sum(axis=1)
+        energies[lv] = (d**2).sum() / sz
+        row = got[got.level == lv].iloc[0]
+        assert row.block_days == sz and row.n_blocks == m // sz
+        assert abs(row.rms_detail_dollars
+                   - np.sqrt(energies[lv] / (m // sz)) / 100) < 1e-2
+    te = sum(energies.values())
+    for lv in range(1, 7):
+        assert abs(got[got.level == lv].iloc[0].energy_share
+                   - energies[lv] / te) < 1e-6
+    assert abs(got.energy_share.sum() - 1.0) < 1e-5
+
+
+def test_haar_energy_textbook_cases():
+    """A pure alternating series puts all its energy at level 1; a
+    64-periodic square wave concentrates at the matching level; white
+    noise spreads energy roughly equally (Parseval flatness)."""
+    alt = np.tile([1.0, -1.0], 512)
+    n = len(alt)
+    shares = []
+    for lv in range(1, 7):
+        sz = 2**lv
+        m = n - n % sz
+        blocks = alt[:m].reshape(-1, sz)
+        d = blocks[:, : sz // 2].sum(axis=1) - blocks[:, sz // 2 :].sum(axis=1)
+        shares.append((d**2).sum() / sz)
+    shares = np.array(shares) / sum(shares)
+    assert shares[0] > 0.999
+    sq = np.tile(np.concatenate([np.ones(32), -np.ones(32)]), 16)
+    e6 = []
+    for lv in range(1, 7):
+        sz = 2**lv
+        m = len(sq) - len(sq) % sz
+        blocks = sq[:m].reshape(-1, sz)
+        d = blocks[:, : sz // 2].sum(axis=1) - blocks[:, sz // 2 :].sum(axis=1)
+        e6.append((d**2).sum() / sz)
+    assert np.argmax(e6) == 5  # level 6 = 64-day blocks

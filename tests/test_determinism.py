@@ -78,6 +78,15 @@ SENSITIVE = [
     "graph_local_clustering",  # 1e-9-snapped c_i, integer buckets
     "stats_theil_inequality",  # decimal-summed x*ln(x), 1e-12 snaps
     "ts_cusum_squares",  # exact DECIMAL squares, double bridge max
+    # round-14 waves 6-8:
+    "stats_durbin_watson",  # 2^40-snapped scaled residuals
+    "stats_breusch_pagan",  # re-snapped squared residuals, exact aux moments
+    "ts_hjorth_parameters",  # exact DECIMAL variance moments
+    "ts_higuchi_fd",  # unit-snapped L_m, integerized log-log OLS
+    "ts_dfa",  # exact bigint profile, 2^40-snapped per-box SSR
+    "stats_quade_test",  # doubled-rank integer algebra
+    "stats_ad_two_sample",  # 1e-12-snapped per-value terms, harmonic bigints
+    "ts_haar_energy",  # exact bigint details, fixed-order 6-term total
 ]
 
 

@@ -10474,3 +10474,358 @@ def ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "(5,32),(6,64) AS v(l0, s0)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-14 wave 9: the multivariate family (Hotelling T^2, Mahalanobis
+# outliers) and the energy distance — two-sample tests/diagnostics the
+# univariate battery cannot express.
+
+# Hotelling T^2: the multivariate two-sample t — do returned and
+# clean line items differ JOINTLY in (quantity, price)?  Running two
+# univariate Welch tests inflates alpha and misses correlated shifts;
+# T^2 whitens the mean difference with the pooled covariance.  All
+# five second-order moments per group are exact DECIMAL sums; the
+# 2x2 inversion, T^2, and the exact F transform close as fixed-order
+# doubles.  The 5% critical value is CLOSED FORM because p = 2 makes
+# the F CDF's first beta parameter 1: P(F <= f) = 1 - (1-x)^((N-3)/2)
+# with x = 2f/(2f + N - 3), so f_crit = ((N-3)/2) * x/(1-x) at
+# x = 1 - 0.05^(2/(N-3)) — derived in-query from the observed N (no
+# hard-coded-df hazard; the cochran_q ADVICE rule satisfied by
+# construction).
+_HOTELLING_SQL = """
+WITH obs AS (
+  SELECT l_returnflag AS grp,
+         CAST(round(l_quantity) AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+),
+m AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(q AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sq,
+         CAST(sum(CAST(p AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sp,
+         CAST(sum(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sqq,
+         CAST(sum(CAST(p AS DECIMAL(19,0)) * CAST(p AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS spp,
+         CAST(sum(CAST(q AS DECIMAL(19,0)) * CAST(p AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sqp
+  FROM obs GROUP BY grp
+),
+w AS (
+  SELECT max(CASE WHEN grp = 'R' THEN n END) AS n1,
+         max(CASE WHEN grp = 'N' THEN n END) AS n2,
+         max(CASE WHEN grp = 'R' THEN CAST(sq AS DOUBLE) END) AS sq1,
+         max(CASE WHEN grp = 'N' THEN CAST(sq AS DOUBLE) END) AS sq2,
+         max(CASE WHEN grp = 'R' THEN CAST(sp AS DOUBLE) END) AS sp1,
+         max(CASE WHEN grp = 'N' THEN CAST(sp AS DOUBLE) END) AS sp2,
+         max(CASE WHEN grp = 'R' THEN CAST(sqq AS DOUBLE) END) AS sqq1,
+         max(CASE WHEN grp = 'N' THEN CAST(sqq AS DOUBLE) END) AS sqq2,
+         max(CASE WHEN grp = 'R' THEN CAST(spp AS DOUBLE) END) AS spp1,
+         max(CASE WHEN grp = 'N' THEN CAST(spp AS DOUBLE) END) AS spp2,
+         max(CASE WHEN grp = 'R' THEN CAST(sqp AS DOUBLE) END) AS sqp1,
+         max(CASE WHEN grp = 'N' THEN CAST(sqp AS DOUBLE) END) AS sqp2
+  FROM m
+),
+cov AS (
+  SELECT n1, n2, n1 + n2 AS nn,
+         sq1 / n1 - sq2 / n2 AS dq,
+         sp1 / n1 - sp2 / n2 AS dp,
+         ((sqq1 - sq1 * sq1 / n1) + (sqq2 - sq2 * sq2 / n2))
+           / (n1 + n2 - 2) AS cqq,
+         ((spp1 - sp1 * sp1 / n1) + (spp2 - sp2 * sp2 / n2))
+           / (n1 + n2 - 2) AS cpp,
+         ((sqp1 - sq1 * sp1 / n1) + (sqp2 - sq2 * sp2 / n2))
+           / (n1 + n2 - 2) AS cqp
+  FROM w
+),
+t2 AS (
+  SELECT n1, n2, nn,
+         (CAST(n1 AS DOUBLE) * n2 / nn)
+           * (dq * (cpp * dq - cqp * dp) + dp * (cqq * dp - cqp * dq))
+           / (cqq * cpp - cqp * cqp) AS tsq,
+         1 - exp(ln(0.05) * 2 / (nn - 3)) AS xc
+  FROM cov
+)
+SELECT n1 AS n_returned, n2 AS n_clean,
+       round(tsq, 4) AS hotelling_t2,
+       round((nn - 3) / (2.0 * (nn - 2)) * tsq, 4) AS f_stat,
+       round((nn - 3) / 2.0 * xc / (1 - xc), 4) AS f_crit_5pct,
+       CAST(CASE WHEN (nn - 3) / (2.0 * (nn - 2)) * tsq
+                      > (nn - 3) / 2.0 * xc / (1 - xc)
+                 THEN 1 ELSE 0 END AS BIGINT) AS reject_equal_means
+FROM t2
+"""
+
+
+@query(
+    "stats_hotelling_t2",
+    "§2.24 Hotelling T^2 two-sample multivariate mean test (returned vs clean lines)",
+    _HOTELLING_SQL,
+)
+def stats_hotelling_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hotelling T^2: do returned ('R') and clean ('N') line items
+    differ in the JOINT (quantity, price) mean — the multivariate
+    question two separate stats_ttest_welch runs answer wrongly
+    (inflated alpha, blind to correlated shifts)?  T^2 whitens the
+    mean difference with the pooled 2x2 covariance from exact
+    DECIMAL moments; the exact F transform (N-3)/(2(N-2)) T^2 ~
+    F(2, N-3) gates against a critical value DERIVED in closed form
+    from the observed N (p = 2 collapses the beta CDF to
+    1-(1-x)^((N-3)/2)) — no hard-coded df anywhere.  One ln and one
+    exp are the only libm calls, on values far from the flag
+    boundary (documented).
+
+    Shape at any SF: one lineitem scan, map-side partial moment agg
+    to 2 group rows; 1-row finish.  100 TB costs the one fact
+    scan."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_HOTELLING_SQL)
+
+
+def _two_sample_valcum_sql(type_a: str, type_b: str) -> str:
+    """Oracle CTE: distinct micro-values with per-group counts AND
+    value sums, plus exclusive prefixes of all four."""
+    return f"""
+pts AS (
+  SELECT CAST(round(value * 1000000) AS BIGINT) AS v,
+         CAST(sum(CASE WHEN event_type = '{type_a}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN event_type = '{type_b}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cv
+  FROM events WHERE event_type IN ('{type_a}', '{type_b}') GROUP BY 1
+),
+vcum AS (
+  SELECT v, ca, cv, ca * v AS sa, cv * v AS sb,
+         CAST(sum(ca) OVER (ORDER BY v) - ca AS BIGINT) AS pca,
+         CAST(sum(cv) OVER (ORDER BY v) - cv AS BIGINT) AS pcv,
+         CAST(sum(ca * v) OVER (ORDER BY v) - ca * v AS BIGINT) AS psa,
+         CAST(sum(cv * v) OVER (ORDER BY v) - cv * v AS BIGINT) AS psb
+  FROM pts
+)"""
+
+
+def _two_sample_valcum_df(spark: SparkSession, sf_dir: str,
+                          type_a: str, type_b: str) -> DataFrame:
+    """Spark staging: the bucketed two-phase prefix sum extended to
+    value-weighted prefixes (counts and value sums per group)."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(type_a, type_b))
+        .select(
+            F.round(F.col("value") * 1_000_000).cast("bigint").alias("v"),
+            F.when(F.col("event_type") == type_a, 1).otherwise(0).alias("ia"),
+            F.when(F.col("event_type") == type_b, 1).otherwise(0).alias("ib"),
+        )
+    )
+    pts = lineage_checkpoint_lazy(
+        ev.groupBy("v")
+        .agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cv"))
+        .withColumn("sa", F.col("ca") * F.col("v"))
+        .withColumn("sb", F.col("cv") * F.col("v"))
+        .withColumn("bucket", F.expr("v div 50000000"))
+    )
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    boff = (
+        pts.groupBy("bucket")
+        .agg(
+            F.sum("ca").alias("bca"), F.sum("cv").alias("bcv"),
+            F.sum("sa").alias("bsa"), F.sum("sb").alias("bsb"),
+        )
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bca").over(wb), F.lit(0)).alias("offca"),
+            F.coalesce(F.sum("bcv").over(wb), F.lit(0)).alias("offcv"),
+            F.coalesce(F.sum("bsa").over(wb), F.lit(0)).alias("offsa"),
+            F.coalesce(F.sum("bsb").over(wb), F.lit(0)).alias("offsb"),
+        )
+    )
+    w = Window.partitionBy("bucket").orderBy("v")
+    return (
+        pts.join(F.broadcast(boff), "bucket")
+        .select(
+            "v", "ca", "cv", "sa", "sb",
+            (F.sum("ca").over(w) + F.col("offca") - F.col("ca"))
+            .cast("bigint").alias("pca"),
+            (F.sum("cv").over(w) + F.col("offcv") - F.col("cv"))
+            .cast("bigint").alias("pcv"),
+            (F.sum("sa").over(w) + F.col("offsa") - F.col("sa"))
+            .cast("bigint").alias("psa"),
+            (F.sum("sb").over(w) + F.col("offsb") - F.col("sb"))
+            .cast("bigint").alias("psb"),
+        )
+    )
+
+
+# Energy distance (Szekely-Rizzo): E = 2 E|X-Y| - E|X-X'| - E|Y-Y'|
+# (V-statistic convention, documented) — consistent against EVERY
+# distributional difference, where rank tests see location/scale
+# only.  The three absolute-difference double sums are EXACT via
+# sorted prefixes: at each distinct value v, sum_x |x - v| =
+# v*cnt_lt - sum_lt + (sum_gt - v*cnt_gt), every term an exact
+# integer from the value-weighted prefix chassis; each per-value
+# contribution is a DECIMAL(19)x(19) product, so the three totals
+# are exact DECIMAL(38) to ~1e13 rows per side.  No closed-form
+# null exists (practitioners permute); the op reports the distance,
+# the scale-free energy coefficient H = E / (2 E|X-Y|) in [0,1],
+# and the test statistic n1*n2/N * E (documented convention).
+_ENERGY_CLOSE_SQL = """
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n1, CAST(sum(cv) AS BIGINT) AS n2,
+         CAST(sum(sa) AS BIGINT) AS ta, CAST(sum(sb) AS BIGINT) AS tb
+  FROM {cum}
+),
+sums AS (
+  SELECT
+    CAST(sum(CAST(c.cv AS DECIMAL(19,0))
+             * CAST(c.v * c.pca - c.psa
+                    + (t.ta - c.psa - c.sa)
+                    - c.v * (t.n1 - c.pca - c.ca) AS DECIMAL(19,0)))
+         AS DECIMAL(38,0)) AS ab,
+    CAST(sum(CAST(c.ca AS DECIMAL(19,0))
+             * CAST(c.v * c.pca - c.psa
+                    + (t.ta - c.psa - c.sa)
+                    - c.v * (t.n1 - c.pca - c.ca) AS DECIMAL(19,0)))
+         AS DECIMAL(38,0)) AS aa,
+    CAST(sum(CAST(c.cv AS DECIMAL(19,0))
+             * CAST(c.v * c.pcv - c.psb
+                    + (t.tb - c.psb - c.sb)
+                    - c.v * (t.n2 - c.pcv - c.cv) AS DECIMAL(19,0)))
+         AS DECIMAL(38,0)) AS bb
+  FROM {cum} c CROSS JOIN tot t
+),
+fin AS (
+  SELECT t.n1, t.n2,
+         2 * CAST(s.ab AS DOUBLE) / (CAST(t.n1 AS DOUBLE) * t.n2)
+           - CAST(s.aa AS DOUBLE) / (CAST(t.n1 AS DOUBLE) * t.n1)
+           - CAST(s.bb AS DOUBLE) / (CAST(t.n2 AS DOUBLE) * t.n2) AS e,
+         2 * CAST(s.ab AS DOUBLE) / (CAST(t.n1 AS DOUBLE) * t.n2) AS exy2
+  FROM tot t CROSS JOIN sums s
+)
+SELECT n1 AS n_a, n2 AS n_b,
+       round(e / 1000000, 6) AS e_dist,
+       round(e / exy2, 6) AS energy_coef,
+       round(CAST(n1 AS DOUBLE) * n2 / (n1 + n2) * e / 1000000, 4)
+         AS t_energy
+FROM fin
+"""
+
+
+@query(
+    "stats_energy_distance",
+    "§2.24 Szekely-Rizzo energy distance between purchase and click values",
+    "WITH " + _two_sample_valcum_sql("purchase", "click") + ","
+    + _ENERGY_CLOSE_SQL.format(cum="vcum"),
+)
+def stats_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy distance between the purchase and click value
+    distributions: E = 2E|X-Y| - E|X-X'| - E|Y-Y'| (V-statistic
+    convention, documented) — zero iff the distributions are equal,
+    and consistent against EVERY alternative, where the rank battery
+    (MW location, Ansari scale) sees only its own moment.  The three
+    absolute-difference sums are EXACT integers via the sorted
+    value-weighted prefix chassis (sum of |x - v| decomposes into
+    below/above prefix terms), decimal-summed to ~1e13 rows/side;
+    distances report in original value units (the 1e6 micro-scale
+    divides out, documented).  The scale-free energy coefficient
+    E/(2E|X-Y|) and the n1 n2/N * E statistic close as fixed-order
+    doubles; no reject flag because the energy null has no closed
+    form (permutation-calibrated in practice, documented).
+
+    Shape at any SF: one events scan to distinct micro-values, the
+    bucketed two-phase prefix sums, one map-side-partial moment agg;
+    1-row finish."""
+    cum = _two_sample_valcum_df(spark, sf_dir, "purchase", "click")
+    cum.createOrReplaceTempView("r14_energy_cum")
+    return spark.sql(
+        "WITH " + _ENERGY_CLOSE_SQL.format(cum="r14_energy_cum")
+    )
+
+
+# Mahalanobis outlier profile: whiten each customer's (order count,
+# total spend) by the GLOBAL 2x2 covariance and report the top 20 by
+# squared distance — the correlation-aware outlier screen that
+# per-axis z-scores (ts_anomaly_zscore's method) get wrong: a
+# customer with many cheap orders and one with few expensive orders
+# can have identical per-axis z but very different joint
+# plausibility.  Population covariance (documented) from exact
+# DECIMAL moments; md^2 per customer is a fixed-order double
+# quadratic form; chi2(2) gives the exact closed-form 5% bound
+# -2 ln(0.05) = 5.9915 (p = 2 makes the chi-square CDF 1 - e^(-x/2)).
+_MAHA_SQL = """
+WITH cust AS (
+  SELECT o_custkey AS ck, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS s
+  FROM orders GROUP BY o_custkey
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(c AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sc,
+         CAST(sum(CAST(s AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS ss,
+         CAST(sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS scc,
+         CAST(sum(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sss,
+         CAST(sum(CAST(c AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS scs
+  FROM cust
+),
+cov AS (
+  SELECT n,
+         CAST(sc AS DOUBLE) / n AS mc, CAST(ss AS DOUBLE) / n AS ms,
+         (CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n)
+           / n AS vc,
+         (CAST(sss AS DOUBLE) - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / n)
+           / n AS vs,
+         (CAST(scs AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(ss AS DOUBLE) / n)
+           / n AS cv
+  FROM m
+),
+md AS (
+  SELECT cust.ck, cust.c, cust.s, cov.n,
+         ((cust.c - cov.mc) * (cov.vs * (cust.c - cov.mc)
+                               - cov.cv * (cust.s - cov.ms))
+          + (cust.s - cov.ms) * (cov.vc * (cust.s - cov.ms)
+                                 - cov.cv * (cust.c - cov.mc)))
+           / (cov.vc * cov.vs - cov.cv * cov.cv) AS md2
+  FROM cust CROSS JOIN cov
+),
+top AS (
+  SELECT ck, c, s, n, md2,
+         row_number() OVER (ORDER BY md2 DESC, ck) AS rk
+  FROM md
+)
+SELECT rk AS rank, ck AS c_custkey, c AS n_orders,
+       round(CAST(s AS DOUBLE) / 100, 2) AS spend_dollars,
+       round(md2, 4) AS maha_sq,
+       CAST(CASE WHEN md2 > -2 * ln(0.05) THEN 1 ELSE 0 END AS BIGINT)
+         AS outlier_95
+FROM top WHERE rk <= 20
+ORDER BY rk
+"""
+
+
+@query(
+    "stats_mahalanobis_outliers",
+    "§2.24 Mahalanobis top-20 customer outliers in (order count, spend)",
+    _MAHA_SQL,
+)
+def stats_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by Mahalanobis distance in the (order count,
+    total spend) plane: the joint covariance whitening catches what
+    per-axis z-scores cannot — many-cheap-orders and few-expensive-
+    orders customers can share identical axis z-scores while sitting
+    at opposite joint plausibilities.  Population covariance
+    (documented) from exact DECIMAL moments; per-customer md^2 is a
+    fixed-order double quadratic form (identical in both engines);
+    deterministic rank tie-break on custkey; the 5% chi2(2) bound is
+    the closed form -2 ln 0.05 evaluated in-query (p = 2 makes the
+    chi-square CDF 1 - e^(-x/2); no hard-coded constant).
+
+    Shape at any SF: one orders scan shuffles once on o_custkey;
+    moment agg is map-side partial; the top-20 window is a global
+    rank over customer-grain rows (TakeOrderedAndProject in Spark);
+    20-row finish."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_MAHA_SQL)

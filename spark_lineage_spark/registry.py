@@ -457,6 +457,10 @@ _VERIFY_AFTER = [
     # round-14 wave 8
     "stats_ad_two_sample",
     "ts_haar_energy",
+    # round-14 wave 9
+    "stats_hotelling_t2",
+    "stats_energy_distance",
+    "stats_mahalanobis_outliers",
 ]
 
 

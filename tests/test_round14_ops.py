@@ -1140,3 +1140,158 @@ def test_haar_energy_textbook_cases():
         d = blocks[:, : sz // 2].sum(axis=1) - blocks[:, sz // 2 :].sum(axis=1)
         e6.append((d**2).sum() / sz)
     assert np.argmax(e6) == 5  # level 6 = 64-day blocks
+
+
+# --- wave 9: multivariate family + energy distance ----------------------
+
+
+def test_hotelling_t2_matches_numpy_replay(spark):
+    got = _load_all()["stats_hotelling_t2"].builder(spark, SF).toPandas()
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    li = li[li.l_returnflag.isin(["R", "N"])]
+    x = np.column_stack([
+        np.round(li.l_quantity.to_numpy()),
+        np.round(li.l_extendedprice.to_numpy() * 100),
+    ]).astype(np.float64)
+    g = (li.l_returnflag == "R").to_numpy()
+    xa, xb = x[g], x[~g]
+    n1, n2 = len(xa), len(xb)
+    d = xa.mean(axis=0) - xb.mean(axis=0)
+    ssa = (xa - xa.mean(axis=0)).T @ (xa - xa.mean(axis=0))
+    ssb = (xb - xb.mean(axis=0)).T @ (xb - xb.mean(axis=0))
+    s = (ssa + ssb) / (n1 + n2 - 2)
+    t2 = n1 * n2 / (n1 + n2) * d @ np.linalg.solve(s, d)
+    nn = n1 + n2
+    f = (nn - 3) / (2 * (nn - 2)) * t2
+    xc = 1 - 0.05 ** (2 / (nn - 3))
+    fcrit = (nn - 3) / 2 * xc / (1 - xc)
+    row = got.iloc[0]
+    assert row.n_returned == n1 and row.n_clean == n2
+    assert abs(row.hotelling_t2 - t2) < max(1e-3, 1e-5 * abs(t2))
+    assert abs(row.f_stat - f) < max(1e-3, 1e-5 * abs(f))
+    assert abs(row.f_crit_5pct - fcrit) < 1e-3
+    assert row.reject_equal_means == int(f > fcrit)
+
+
+def test_hotelling_t2_textbook_cases():
+    """Same-distribution groups: T^2 small.  A correlated shift that
+    cancels on each axis marginally is still caught jointly — the
+    reason T^2 exists.  Also pin the closed-form F critical value
+    against the closed-form beta CDF."""
+    rng = np.random.RandomState(23)
+
+    def t2of(xa, xb):
+        n1, n2 = len(xa), len(xb)
+        d = xa.mean(axis=0) - xb.mean(axis=0)
+        ssa = (xa - xa.mean(axis=0)).T @ (xa - xa.mean(axis=0))
+        ssb = (xb - xb.mean(axis=0)).T @ (xb - xb.mean(axis=0))
+        s = (ssa + ssb) / (n1 + n2 - 2)
+        return n1 * n2 / (n1 + n2) * d @ np.linalg.solve(s, d)
+
+    cov = np.array([[1.0, 0.95], [0.95, 1.0]])
+    base = rng.multivariate_normal([0, 0], cov, size=500)
+    same = rng.multivariate_normal([0, 0], cov, size=500)
+    # shift ALONG the anti-correlated direction: small marginal z,
+    # huge whitened distance
+    shifted = rng.multivariate_normal([0.25, -0.25], cov, size=500)
+    assert t2of(base, same) < 12
+    assert t2of(base, shifted) > 100
+    nn = 1000
+    xc = 1 - 0.05 ** (2 / (nn - 3))
+    fcrit = (nn - 3) / 2 * xc / (1 - xc)
+    cdf = 1 - (1 - 2 * fcrit / (2 * fcrit + nn - 3)) ** ((nn - 3) / 2)
+    assert abs(cdf - 0.95) < 1e-12
+
+
+def _energy_numpy(xa, xb):
+    xa = np.sort(xa.astype(np.float64))
+    xb = np.sort(xb.astype(np.float64))
+
+    def meanabs(u, v):
+        # exact O((n+m) log) via merge prefix sums
+        tot = 0.0
+        j = 0
+        cs = 0.0
+        sv = v.sum()
+        for i, x in enumerate(u):
+            while j < len(v) and v[j] <= x:
+                cs += v[j]
+                j += 1
+            tot += x * j - cs + (sv - cs) - x * (len(v) - j)
+        return tot / (len(u) * len(v))
+
+    exy = meanabs(xa, xb)
+    exx = meanabs(xa, xa)
+    eyy = meanabs(xb, xb)
+    return 2 * exy - exx - eyy, exy
+
+
+def test_energy_distance_matches_numpy_replay(spark):
+    got = _load_all()["stats_energy_distance"].builder(spark, SF).toPandas()
+    xa = _event_micro(SF, "purchase")
+    xb = _event_micro(SF, "click")
+    e, exy = _energy_numpy(xa, xb)
+    row = got.iloc[0]
+    assert row.n_a == len(xa) and row.n_b == len(xb)
+    assert abs(row.e_dist - e / 1e6) < 1e-4
+    assert abs(row.energy_coef - e / (2 * exy)) < 1e-6
+    assert abs(row.t_energy
+               - len(xa) * len(xb) / (len(xa) + len(xb)) * e / 1e6) < 1e-2
+
+
+def test_energy_distance_textbook_cases():
+    """E = 0 for identical samples; a pure variance difference (zero
+    mean shift) still produces E > 0 — the all-alternatives
+    consistency rank tests lack."""
+    x = np.array([1, 2, 3, 4, 5] * 20)
+    e, _ = _energy_numpy(x, x)
+    assert abs(e) < 1e-12
+    rng = np.random.RandomState(31)
+    a = np.round(rng.normal(0, 1, 2000) * 1e6)
+    b = np.round(rng.normal(0, 3, 2000) * 1e6)
+    e2, _ = _energy_numpy(a, b)
+    assert e2 > 1e5  # clearly positive at this scale
+
+
+def test_mahalanobis_matches_numpy_replay(spark):
+    got = _load_all()["stats_mahalanobis_outliers"].builder(spark, SF).toPandas()
+    o = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    o["cents"] = np.round(o.o_totalprice.to_numpy() * 100).astype(np.int64)
+    cust = o.groupby("o_custkey").agg(
+        c=("cents", "size"), s=("cents", "sum")
+    )
+    x = cust.to_numpy().astype(np.float64)
+    mu = x.mean(axis=0)
+    cov = np.cov(x.T, bias=True)
+    inv = np.linalg.inv(cov)
+    d = x - mu
+    md2 = np.einsum("ij,jk,ik->i", d, inv, d)
+    order = np.lexsort((cust.index.to_numpy(), -md2))
+    top = order[:20]
+    assert got.shape[0] == 20
+    for rk, (idx, row) in enumerate(zip(top, got.itertuples()), start=1):
+        assert row.rank == rk
+        assert row.c_custkey == cust.index[idx]
+        assert row.n_orders == cust.c.iloc[idx]
+        assert abs(row.maha_sq - md2[idx]) < max(1e-3, 1e-6 * md2[idx])
+        assert row.outlier_95 == int(md2[idx] > -2 * np.log(0.05))
+
+
+def test_mahalanobis_textbook_case():
+    """A point far along the anti-correlated direction has a much
+    larger Mahalanobis distance than an equally-Euclidean-far point
+    along the correlated direction — the whitening property."""
+    rng = np.random.RandomState(41)
+    cov = np.array([[1.0, 0.9], [0.9, 1.0]])
+    x = rng.multivariate_normal([0, 0], cov, size=5000)
+    inv = np.linalg.inv(np.cov(x.T, bias=True))
+    along = np.array([2.0, 2.0])
+    against = np.array([2.0, -2.0])
+    d_along = along @ inv @ along
+    d_against = against @ inv @ against
+    assert d_against > 5 * d_along

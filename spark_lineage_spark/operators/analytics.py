@@ -10829,3 +10829,227 @@ def stats_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     20-row finish."""
     register_views(spark, sf_dir, ["orders"])
     return spark.sql(_MAHA_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Round-14 wave 10: distance correlation (exact integer
+# double-centering on the calendar-bounded daily grid) and the Lepage
+# joint location-scale rank test.
+
+# Distance correlation (Szekely-Rizzo-Bakirov): dCor = 0 IFF the two
+# series are independent — Pearson sees linear, Spearman monotone,
+# mutual information needs binning; dCor needs nothing.  On the
+# daily (revenue, order-count) pair the O(days^2) pair grid is
+# CALENDAR-BOUNDED (SF-independent ~2400 rows -> 5.8M pairs), so the
+# naive-looking double join is the scale-correct plan.  EXACT
+# integer algebra throughout: with a_ij = |x_i - x_j| (exact cents),
+# row sums R_i, grand total G, the double-centered entry scales to
+# n^2 A_ij = n^2 a_ij - n R_i - n R_j + G, an exact bigint; the
+# cross sums S_xy = sum (n^2 A)(n^2 B) are exact DECIMAL(19)x(19)
+# products summed into DECIMAL(38) (headroom to ~1.5e12 daily cents,
+# the DW chassis bound, documented); dCov^2 = S/n^6 and
+# dCor = sqrt(S_xy / sqrt(S_xx S_yy)) close as fixed-order doubles.
+# Pearson r reports beside it from exact moments — the dependence
+# dCor sees that r misses is the op's whole point.
+_DCOR_PRE_SQL = """
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+rows_ AS (
+  SELECT /*+ REPARTITION(32, a.d) */ a.d,
+         CAST(sum(abs(a.x - b.x)) AS BIGINT) AS rx,
+         CAST(sum(abs(a.y - b.y)) AS BIGINT) AS ry
+  FROM (SELECT /*+ REPARTITION(32, d) */ d, x, y FROM daily) a
+  JOIN daily b ON true
+  GROUP BY a.d
+),
+dj AS (
+  SELECT d.d, d.x, d.y, r.rx, r.ry
+  FROM daily d JOIN rows_ r ON d.d = r.d
+)
+"""
+
+_DCOR_CLOSE_SQL = """
+n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {dj}),
+g AS (
+  SELECT CAST(sum(rx) AS BIGINT) AS gx, CAST(sum(ry) AS BIGINT) AS gy
+  FROM {dj}
+),
+sp AS (
+  SELECT a.d = b.d AS diag,
+         CAST(n1.n * n1.n * abs(a.x - b.x) - n1.n * a.rx
+              - n1.n * b.rx + g.gx AS DECIMAL(19,0)) AS ax,
+         CAST(n1.n * n1.n * abs(a.y - b.y) - n1.n * a.ry
+              - n1.n * b.ry + g.gy AS DECIMAL(19,0)) AS ay
+  FROM (SELECT /*+ REPARTITION(32, d) */ * FROM {dj}) a
+  JOIN {dj} b ON a.d <= b.d CROSS JOIN n1 CROSS JOIN g
+),
+s AS (
+  SELECT
+    2 * CAST(sum(CASE WHEN NOT diag THEN ax * ay END) AS DECIMAL(38,0))
+      + CAST(sum(CASE WHEN diag THEN ax * ay END) AS DECIMAL(38,0)) AS sxy,
+    2 * CAST(sum(CASE WHEN NOT diag THEN ax * ax END) AS DECIMAL(38,0))
+      + CAST(sum(CASE WHEN diag THEN ax * ax END) AS DECIMAL(38,0)) AS sxx,
+    2 * CAST(sum(CASE WHEN NOT diag THEN ay * ay END) AS DECIMAL(38,0))
+      + CAST(sum(CASE WHEN diag THEN ay * ay END) AS DECIMAL(38,0)) AS syy
+  FROM sp
+),
+pm AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS syy,
+         CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sxy
+  FROM {dj}
+)
+SELECT pm.n AS n_days,
+       round(sqrt(CAST(s.sxy AS DOUBLE)
+                  / sqrt(CAST(s.sxx AS DOUBLE) * CAST(s.syy AS DOUBLE))), 6)
+         AS dcor,
+       round((pm.n * CAST(pm.sxy AS DOUBLE)
+              - CAST(pm.sx AS DOUBLE) * CAST(pm.sy AS DOUBLE))
+             / sqrt((pm.n * CAST(pm.sxx AS DOUBLE)
+                     - CAST(pm.sx AS DOUBLE) * CAST(pm.sx AS DOUBLE))
+                    * (pm.n * CAST(pm.syy AS DOUBLE)
+                       - CAST(pm.sy AS DOUBLE) * CAST(pm.sy AS DOUBLE))), 6)
+         AS pearson_r
+FROM s CROSS JOIN pm
+"""
+
+@query(
+    "stats_distance_correlation",
+    "§2.24 distance correlation of daily revenue vs daily order count",
+    "WITH " + _DCOR_PRE_SQL.strip() + ",\n"
+    + _DCOR_CLOSE_SQL.strip().format(dj="dj"),
+)
+def stats_distance_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance correlation between daily revenue and daily order
+    count: zero IFF independent — the dependence detector that needs
+    no linearity (Pearson), no monotonicity (Spearman), no binning
+    (stats_mutual_info).  The O(days^2) pair grid is calendar-
+    bounded, so at ANY SF this is a ~5.8M-row broadcast cross join
+    of a tiny dim with itself — the shape stays constant while the
+    one fact scan grows.  Double-centering is exact: n^2 A_ij =
+    n^2 a_ij - n R_i - n R_j + G is an exact bigint (headroom to
+    ~1.5e12 daily cents documented), the three cross sums are exact
+    DECIMAL products, and dCor closes as one fixed-order double.
+    Pearson r reports beside it from exact moments.
+
+    Shape at any SF: one orders scan to the daily table; the
+    2400-row (d, x, y, rx, ry) table is checkpointed Spark-side so
+    CTE inlining cannot re-run the row-sum pair pass (the self-BLEU
+    precedent), and the centered-product pass walks only the upper
+    triangle (A is symmetric; off-diagonal terms doubled AFTER the
+    exact DECIMAL aggregation) under a REPARTITION(32) hint that
+    keeps the fan-out parallel under AQE (the local-clustering
+    precedent).  ~4 s constant cost at any SF plus the one fact
+    scan."""
+    register_views(spark, sf_dir, ["orders"])
+    dj = spark.sql("WITH " + _DCOR_PRE_SQL.strip() + " SELECT * FROM dj")
+    lineage_checkpoint_lazy(dj).createOrReplaceTempView("r14_dcor_dj")
+    return spark.sql(
+        "WITH " + _DCOR_CLOSE_SQL.strip().format(dj="r14_dcor_dj")
+    )
+
+
+# Lepage test: the joint location-AND-scale two-sample rank test —
+# L = z_W^2 + z_AB^2 ~ chi2(2) combines the Wilcoxon rank-sum
+# (location) and Ansari-Bradley (scale) z's, catching the
+# "shifted AND stretched" alternative that each component alone
+# under-powers.  Both z's are computed tie-robustly from the shared
+# prefix chassis: doubled pooled midranks r2 = 2*prev_total + g + 1
+# give the exact integer Wilcoxon sum W2 = sum ca*r2 with the
+# classic tie-corrected variance (the sum g^3 - g term exact); the
+# doubled AB scores s2 = min(r2, 2(N+1) - r2) give AB2 = sum ca*s2
+# with Hajek's permutation moments from the ACTUAL score sums.  The
+# doubled units cancel inside each z; the chi2(2) 5% bound is the
+# closed form -2 ln 0.05 evaluated in-query.
+_LEPAGE_CLOSE_SQL = """
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n1, CAST(sum(cv) AS BIGINT) AS n2,
+         CAST(sum(ca) + sum(cv) AS BIGINT) AS n
+  FROM {cum}
+),
+sc AS (
+  SELECT c.ca, c.cv, c.g,
+         2 * c.prev_total + c.g + 1 AS r2,
+         CASE WHEN 2 * c.prev_total + c.g + 1
+                   < 2 * (t.n + 1) - (2 * c.prev_total + c.g + 1)
+              THEN 2 * c.prev_total + c.g + 1
+              ELSE 2 * (t.n + 1) - (2 * c.prev_total + c.g + 1) END AS s2
+  FROM {cum} c CROSS JOIN tot t
+),
+m AS (
+  SELECT CAST(sum(CAST(ca AS DECIMAL(19,0)) * CAST(r2 AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS w2,
+         CAST(sum(CAST(ca AS DECIMAL(19,0)) * CAST(s2 AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS ab2,
+         CAST(sum(CAST(g AS DECIMAL(19,0)) * CAST(s2 AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS gs,
+         CAST(sum(CAST(g AS DECIMAL(19,0)) * CAST(s2 AS DECIMAL(19,0))
+                  * CAST(s2 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS gss,
+         CAST(sum(CAST(g AS DECIMAL(19,0)) * CAST(g AS DECIMAL(19,0))
+                  * CAST(g AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS g3,
+         CAST(sum(CAST(g AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS g1
+  FROM sc
+),
+z AS (
+  SELECT t.n1, t.n2, t.n,
+         (CAST(m.w2 AS DOUBLE) - CAST(t.n1 AS DOUBLE) * (t.n + 1))
+           / sqrt(CAST(t.n1 AS DOUBLE) * t.n2 / 3.0
+                  * ((t.n + 1)
+                     - (CAST(m.g3 AS DOUBLE) - CAST(m.g1 AS DOUBLE))
+                       / (CAST(t.n AS DOUBLE) * (t.n - 1)))) AS zw,
+         (CAST(m.ab2 AS DOUBLE)
+          - CAST(t.n1 AS DOUBLE) * CAST(m.gs AS DOUBLE) / t.n)
+           / sqrt(CAST(t.n1 AS DOUBLE) * t.n2
+                  * (CAST(t.n AS DOUBLE) * CAST(m.gss AS DOUBLE)
+                     - CAST(m.gs AS DOUBLE) * CAST(m.gs AS DOUBLE))
+                  / (CAST(t.n AS DOUBLE) * t.n * (t.n - 1))) AS zab
+  FROM tot t CROSS JOIN m
+)
+SELECT n1 AS n_a, n2 AS n_b,
+       round(zw, 4) AS z_wilcoxon,
+       round(zab, 4) AS z_ansari,
+       round(zw * zw + zab * zab, 4) AS lepage_l,
+       round(-2 * ln(0.05), 4) AS crit_5pct,
+       CAST(CASE WHEN zw * zw + zab * zab > -2 * ln(0.05)
+                 THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+FROM z
+"""
+
+
+@query(
+    "stats_lepage_test",
+    "§2.24 Lepage joint location-scale rank test (purchase vs click)",
+    "WITH " + _two_sample_cum_sql("purchase", "click") + ","
+    + _LEPAGE_CLOSE_SQL.format(cum="cum"),
+)
+def stats_lepage_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lepage test: are purchase and click values shifted AND
+    stretched relative to each other?  L = z_Wilcoxon^2 +
+    z_AnsariBradley^2 ~ chi2(2) combines the location and scale rank
+    statistics into one gate — the joint alternative each component
+    under-powers alone (and the omnibus question
+    stats_energy_distance answers metrically, answered here in rank
+    space with an actual closed-form null).  Both z's are tie-robust
+    from the shared prefix chassis: exact integer doubled midranks
+    for W with the classic sum(g^3 - g) tie-corrected variance, and
+    Hajek permutation moments over the ACTUAL doubled AB scores; the
+    chi2(2) bound is -2 ln 0.05 in-query (closed form, no constant).
+
+    Shape at any SF: one events scan to distinct micro-values,
+    bucketed two-phase prefix sums, one moment agg; 1-row finish."""
+    cum = _two_sample_cum_df(spark, sf_dir, "purchase", "click")
+    cum.createOrReplaceTempView("r14_lepage_cum")
+    return spark.sql(
+        "WITH " + _LEPAGE_CLOSE_SQL.format(cum="r14_lepage_cum")
+    )

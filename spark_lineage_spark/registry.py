@@ -461,6 +461,9 @@ _VERIFY_AFTER = [
     "stats_hotelling_t2",
     "stats_energy_distance",
     "stats_mahalanobis_outliers",
+    # round-14 wave 10
+    "stats_distance_correlation",
+    "stats_lepage_test",
 ]
 
 

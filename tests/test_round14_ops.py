@@ -1295,3 +1295,113 @@ def test_mahalanobis_textbook_case():
     d_along = along @ inv @ along
     d_against = against @ inv @ against
     assert d_against > 5 * d_along
+
+
+# --- wave 10: distance correlation + Lepage test ------------------------
+
+
+def _dcor_numpy(x, y):
+    x = x.astype(np.float64)
+    y = y.astype(np.float64)
+    a = np.abs(x[:, None] - x[None, :])
+    b = np.abs(y[:, None] - y[None, :])
+    A = a - a.mean(axis=0) - a.mean(axis=1)[:, None] + a.mean()
+    B = b - b.mean(axis=0) - b.mean(axis=1)[:, None] + b.mean()
+    dcov2 = (A * B).mean()
+    dvx = (A * A).mean()
+    dvy = (B * B).mean()
+    return np.sqrt(dcov2 / np.sqrt(dvx * dvy))
+
+
+def test_dcor_matches_numpy_replay(spark):
+    got = _load_all()["stats_distance_correlation"].builder(spark, SF).toPandas()
+    o = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    d = pd.to_datetime(o.o_orderdate).dt.normalize()
+    cents = np.round(o.o_totalprice.to_numpy() * 100).astype(np.int64)
+    daily = pd.DataFrame({"d": d, "v": cents}).groupby("d").agg(
+        x=("v", "sum"), y=("v", "size")
+    )
+    dc = _dcor_numpy(daily.x.to_numpy(), daily.y.to_numpy())
+    r = np.corrcoef(daily.x, daily.y)[0, 1]
+    row = got.iloc[0]
+    assert row.n_days == len(daily)
+    assert abs(row.dcor - dc) < 1e-6
+    assert abs(row.pearson_r - r) < 1e-6
+
+
+def test_dcor_textbook_cases():
+    """dCor sees the dependence Pearson cannot: y = x^2 on a
+    symmetric domain has r ~ 0 but dCor far from 0; independent
+    noise has both near 0; dCor = 1 exactly for a linear map."""
+    rng = np.random.RandomState(13)
+    x = np.linspace(-3, 3, 400)
+    y = x**2
+    assert abs(np.corrcoef(x, y)[0, 1]) < 1e-10
+    assert _dcor_numpy(x, y) > 0.4
+    a = rng.normal(size=400)
+    b = rng.normal(size=400)
+    assert _dcor_numpy(a, b) < 0.2
+    assert abs(_dcor_numpy(x, 3 * x + 7) - 1.0) < 1e-12
+
+
+def test_lepage_matches_numpy_replay(spark):
+    got = _load_all()["stats_lepage_test"].builder(spark, SF).toPandas()
+    xa = _event_micro(SF, "purchase")
+    xb = _event_micro(SF, "click")
+    pooled = np.concatenate([xa, xb])
+    n1, n2 = len(xa), len(xb)
+    n = n1 + n2
+    ranks = pd.Series(pooled).rank().to_numpy()  # midranks
+    w = ranks[:n1].sum()
+    # tie-corrected Wilcoxon variance
+    _, counts = np.unique(pooled, return_counts=True)
+    tie = (counts.astype(np.float64)**3 - counts).sum()
+    ew = n1 * (n + 1) / 2
+    vw = n1 * n2 / 12 * ((n + 1) - tie / (n * (n - 1)))
+    zw = (w - ew) / np.sqrt(vw)
+    # Ansari-Bradley with Hajek moments over actual scores
+    s = np.minimum(ranks, n + 1 - ranks)
+    ab = s[:n1].sum()
+    sbar = s.mean()
+    vab = n1 * n2 * ((s**2).mean() - sbar**2) * n / (n * (n - 1))
+    zab = (ab - n1 * sbar) / np.sqrt(vab)
+    ll = zw**2 + zab**2
+    row = got.iloc[0]
+    assert row.n_a == n1 and row.n_b == n2
+    assert abs(row.z_wilcoxon - zw) < 2e-3
+    assert abs(row.z_ansari - zab) < 2e-3
+    assert abs(row.lepage_l - ll) < 2e-2
+    assert row.reject_95 == int(ll > -2 * np.log(0.05))
+
+
+def test_lepage_textbook_cases():
+    """Pure location shift loads z_W; pure scale change loads z_AB;
+    the combined statistic rejects in both cases where the wrong
+    single component would not."""
+    rng = np.random.RandomState(29)
+
+    def zs(xa, xb):
+        pooled = np.concatenate([xa, xb])
+        n1, n2 = len(xa), len(xb)
+        n = n1 + n2
+        ranks = pd.Series(pooled).rank().to_numpy()
+        w = ranks[:n1].sum()
+        _, counts = np.unique(pooled, return_counts=True)
+        tie = (counts.astype(np.float64)**3 - counts).sum()
+        zw = (w - n1 * (n + 1) / 2) / np.sqrt(
+            n1 * n2 / 12 * ((n + 1) - tie / (n * (n - 1))))
+        s = np.minimum(ranks, n + 1 - ranks)
+        sbar = s.mean()
+        vab = n1 * n2 * ((s**2).mean() - sbar**2) / (n - 1)
+        zab = (s[:n1].sum() - n1 * sbar) / np.sqrt(vab)
+        return zw, zab
+
+    base = rng.normal(0, 1, 600)
+    loc = rng.normal(0.5, 1, 600)
+    zw, zab = zs(base, loc)
+    assert abs(zw) > 3 and abs(zw) > 2 * abs(zab)
+    scale = rng.normal(0, 2.5, 600)
+    zw2, zab2 = zs(base, scale)
+    assert abs(zab2) > 3 and abs(zab2) > 2 * abs(zw2)

@@ -11053,3 +11053,194 @@ def stats_lepage_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "WITH " + _LEPAGE_CLOSE_SQL.format(cum="r14_lepage_cum")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-14 wave 11: multivariate time series (VAR(1) stability) and
+# closed-form 2-feature PCA.
+
+# VAR(1): jointly regress today's (revenue, orders) on yesterday's —
+# the system view ts_granger_causality tests one direction of.  Each
+# equation is a 2-regressor OLS solved by Cramer from exact DECIMAL
+# moments over calendar-consecutive day pairs (the ts_adf_augmented
+# 9-moment chassis shape); the 2x2 coefficient matrix's eigenvalues
+# are CLOSED FORM (trace/determinant discriminant), and the spectral
+# radius < 1 is the textbook stationarity gate for the whole system.
+# Complex eigenvalues report |lambda| = sqrt(det) (documented).
+_VAR_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT b.x AS x0, b.y AS y0, a.x AS x1, a.y AS y1
+  FROM daily a JOIN daily b ON a.d = {prev}
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x0 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(CAST(y0 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(CAST(x1 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS tx,
+         CAST(sum(CAST(y1 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS ty,
+         CAST(sum(CAST(x0 AS DECIMAL(19,0)) * CAST(x0 AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(CAST(y0 AS DECIMAL(19,0)) * CAST(y0 AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS syy,
+         CAST(sum(CAST(x0 AS DECIMAL(19,0)) * CAST(y0 AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(CAST(x0 AS DECIMAL(19,0)) * CAST(x1 AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS cxx,
+         CAST(sum(CAST(y0 AS DECIMAL(19,0)) * CAST(x1 AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS cyx,
+         CAST(sum(CAST(x0 AS DECIMAL(19,0)) * CAST(y1 AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS cxy,
+         CAST(sum(CAST(y0 AS DECIMAL(19,0)) * CAST(y1 AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS cyy
+  FROM pairs
+),
+cc AS (
+  SELECT n,
+         n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+           AS vxx,
+         n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+           AS vyy,
+         n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+           AS vxy,
+         n * CAST(cxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(tx AS DOUBLE)
+           AS wxx,
+         n * CAST(cyx AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(tx AS DOUBLE)
+           AS wyx,
+         n * CAST(cxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(ty AS DOUBLE)
+           AS wxy,
+         n * CAST(cyy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(ty AS DOUBLE)
+           AS wyy
+  FROM m
+),
+fit AS (
+  SELECT n,
+         (wxx * vyy - wyx * vxy) / (vxx * vyy - vxy * vxy) AS a11,
+         (wyx * vxx - wxx * vxy) / (vxx * vyy - vxy * vxy) AS a12,
+         (wxy * vyy - wyy * vxy) / (vxx * vyy - vxy * vxy) AS a21,
+         (wyy * vxx - wxy * vxy) / (vxx * vyy - vxy * vxy) AS a22
+  FROM cc
+),
+eig AS (
+  SELECT n, a11, a12, a21, a22,
+         (a11 + a22) * (a11 + a22) - 4 * (a11 * a22 - a12 * a21) AS disc,
+         a11 + a22 AS tr, a11 * a22 - a12 * a21 AS det
+  FROM fit
+)
+SELECT n AS n_pairs,
+       round(a11, 6) AS a_rev_rev, round(a12, 6) AS a_rev_cnt,
+       round(a21, 6) AS a_cnt_rev, round(a22, 6) AS a_cnt_cnt,
+       round(CASE WHEN disc >= 0
+                  THEN greatest(abs((tr + sqrt(disc)) / 2),
+                                abs((tr - sqrt(disc)) / 2))
+                  ELSE sqrt(det) END, 6) AS spectral_radius,
+       CAST(CASE WHEN (CASE WHEN disc >= 0
+                            THEN greatest(abs((tr + sqrt(disc)) / 2),
+                                          abs((tr - sqrt(disc)) / 2))
+                            ELSE sqrt(det) END) < 1
+                 THEN 1 ELSE 0 END AS BIGINT) AS var_stable
+FROM eig
+"""
+
+
+@query(
+    "ts_var_stability",
+    "§2.24 VAR(1) system fit + spectral-radius stability for (revenue, orders)",
+    _VAR_SQL.format(prev="b.d + INTERVAL 1 DAY"),
+)
+def ts_var_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAR(1) on the daily (revenue, order-count) pair: the SYSTEM
+    view that ts_granger_causality tests one direction of — the 2x2
+    coefficient matrix says how much each series' today loads on
+    BOTH series' yesterday, and the companion spectral radius < 1 is
+    the textbook whole-system stationarity gate (complex pair:
+    |lambda| = sqrt(det), documented).  Each equation is a Cramer
+    2-regressor OLS from exact DECIMAL moments over calendar-
+    consecutive pairs (the adf_augmented chassis; demeaned via n-
+    scaled cross moments so no division precedes the close); the
+    eigenvalues are closed-form trace/determinant algebra on a 1-row
+    scalar.
+
+    Shape at any SF: one orders scan to the daily table; one
+    calendar self-join on O(days) rows; 1-row finish."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_VAR_SQL.format(prev="date_add(b.d, 1)"))
+
+
+# Closed-form 2-feature PCA: eigenstructure of the (quantity, price)
+# covariance without iteration — llm_embedding_top_pc needs power
+# iteration for 64 dims; at p = 2 the eigenpair is exact algebra:
+# lambda = mean +/- sqrt(((vq-vp)/2)^2 + c^2), angle = atan2.  The
+# explained-variance ratio and the principal angle are THE two
+# numbers a correlation scatter is usually summarized by.
+_PCA2_SQL = """
+WITH obs AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+  FROM lineitem
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(q AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sq,
+         CAST(sum(CAST(p AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sp,
+         CAST(sum(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sqq,
+         CAST(sum(CAST(p AS DECIMAL(19,0)) * CAST(p AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS spp,
+         CAST(sum(CAST(q AS DECIMAL(19,0)) * CAST(p AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sqp
+  FROM obs
+),
+cov AS (
+  SELECT n,
+         (n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+           / (CAST(n AS DOUBLE) * n) AS vq,
+         (n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+           / (CAST(n AS DOUBLE) * n) AS vp,
+         (n * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+           / (CAST(n AS DOUBLE) * n) AS c
+  FROM m
+),
+eig AS (
+  SELECT n, vq, vp, c,
+         (vq + vp) / 2 + sqrt((vq - vp) * (vq - vp) / 4 + c * c) AS l1,
+         (vq + vp) / 2 - sqrt((vq - vp) * (vq - vp) / 4 + c * c) AS l2
+  FROM cov
+)
+SELECT n AS n_rows,
+       round(l1 / (l1 + l2), 6) AS explained_ratio_pc1,
+       round(atan2(l1 - vq, c), 6) AS principal_angle_rad,
+       round(sqrt(l1) / 100, 4) AS pc1_sd_dollars,
+       round(sqrt(l2), 4) AS pc2_sd_mixed,
+       round(c / sqrt(vq * vp), 6) AS corr_qp
+FROM eig
+"""
+
+
+@query(
+    "stats_pca_closed_form",
+    "§2.24 closed-form 2-feature PCA of (quantity, extendedprice)",
+    _PCA2_SQL,
+)
+def stats_pca_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-feature PCA of line-item (quantity, price): at p = 2
+    the eigenstructure is closed-form algebra on the covariance —
+    lambda = (vq+vp)/2 +/- sqrt(((vq-vp)/2)^2 + c^2), principal
+    angle atan2(l1 - vq, c) — no power iteration, no convergence
+    tolerance (the contrast with llm_embedding_top_pc's 64-dim
+    iterative path is the point: BELOW 3 dims you should never
+    iterate).  Population covariance from exact DECIMAL moments
+    (documented); everything after is a fixed-order 1-row double.
+    Explained-variance ratio and correlation report beside the
+    angle.
+
+    Shape at any SF: one lineitem scan, map-side partial moment agg;
+    1-row finish.  100 TB costs the one fact scan."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_PCA2_SQL)

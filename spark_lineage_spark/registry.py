@@ -464,6 +464,9 @@ _VERIFY_AFTER = [
     # round-14 wave 10
     "stats_distance_correlation",
     "stats_lepage_test",
+    # round-14 wave 11
+    "ts_var_stability",
+    "stats_pca_closed_form",
 ]
 
 

@@ -1405,3 +1405,97 @@ def test_lepage_textbook_cases():
     scale = rng.normal(0, 2.5, 600)
     zw2, zab2 = zs(base, scale)
     assert abs(zab2) > 3 and abs(zab2) > 2 * abs(zw2)
+
+
+# --- wave 11: VAR(1) stability + closed-form PCA ------------------------
+
+
+def test_var_stability_matches_numpy_replay(spark):
+    got = _load_all()["ts_var_stability"].builder(spark, SF).toPandas()
+    o = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    d = pd.to_datetime(o.o_orderdate).dt.normalize()
+    cents = np.round(o.o_totalprice.to_numpy() * 100).astype(np.int64)
+    daily = pd.DataFrame({"d": d, "v": cents}).groupby("d").agg(
+        x=("v", "sum"), y=("v", "size")
+    )
+    days = daily.index.to_numpy()
+    nxt = (days[1:] - days[:-1]) == np.timedelta64(1, "D")
+    x0 = daily.x.to_numpy()[:-1][nxt].astype(np.float64)
+    y0 = daily.y.to_numpy()[:-1][nxt].astype(np.float64)
+    x1 = daily.x.to_numpy()[1:][nxt].astype(np.float64)
+    y1 = daily.y.to_numpy()[1:][nxt].astype(np.float64)
+    z = np.column_stack([np.ones_like(x0), x0, y0])
+    cx, _, _, _ = np.linalg.lstsq(z, x1, rcond=None)
+    cy, _, _, _ = np.linalg.lstsq(z, y1, rcond=None)
+    amat = np.array([[cx[1], cx[2]], [cy[1], cy[2]]])
+    rad = max(abs(np.linalg.eigvals(amat)))
+    row = got.iloc[0]
+    assert row.n_pairs == len(x0)
+    assert abs(row.a_rev_rev - amat[0, 0]) < 1e-5
+    assert abs(row.a_rev_cnt - amat[0, 1]) < max(1e-4, 1e-3 * abs(amat[0, 1]))
+    assert abs(row.a_cnt_rev - amat[1, 0]) < 1e-5
+    assert abs(row.a_cnt_cnt - amat[1, 1]) < 1e-4
+    assert abs(row.spectral_radius - rad) < 1e-4
+    assert row.var_stable == int(rad < 1)
+
+
+def test_var_stability_textbook_case():
+    """A simulated stable VAR(1) recovers its coefficient matrix and
+    spectral radius; an explosive one flags unstable."""
+    rng = np.random.RandomState(37)
+    amat = np.array([[0.5, 0.2], [-0.1, 0.3]])
+    z = np.zeros((4000, 2))
+    for t in range(1, 4000):
+        z[t] = amat @ z[t - 1] + rng.normal(size=2)
+    zz = np.column_stack([np.ones(3999), z[:-1]])
+    cx = np.linalg.lstsq(zz, z[1:, 0], rcond=None)[0]
+    cy = np.linalg.lstsq(zz, z[1:, 1], rcond=None)[0]
+    est = np.array([[cx[1], cx[2]], [cy[1], cy[2]]])
+    assert np.abs(est - amat).max() < 0.06
+    assert max(abs(np.linalg.eigvals(est))) < 1
+    assert max(abs(np.linalg.eigvals(np.array([[1.1, 0], [0, 0.5]])))) > 1
+
+
+def test_pca_closed_form_matches_numpy_replay(spark):
+    got = _load_all()["stats_pca_closed_form"].builder(spark, SF).toPandas()
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"]
+    )
+    x = np.column_stack([
+        np.round(li.l_quantity.to_numpy()),
+        np.round(li.l_extendedprice.to_numpy() * 100),
+    ]).astype(np.float64)
+    cov = np.cov(x.T, bias=True)
+    lam, vec = np.linalg.eigh(cov)
+    l1, l2 = lam[1], lam[0]
+    row = got.iloc[0]
+    assert row.n_rows == len(x)
+    assert abs(row.explained_ratio_pc1 - l1 / (l1 + l2)) < 1e-6
+    assert abs(row.pc1_sd_dollars - np.sqrt(l1) / 100) < 1e-2
+    assert abs(row.corr_qp - cov[0, 1] / np.sqrt(cov[0, 0] * cov[1, 1])) < 1e-6
+    # the closed-form angle matches the eigh principal eigenvector
+    # (compare angles mod pi -- tan is ill-conditioned near pi/2)
+    v1 = vec[:, 1]
+    ang = np.arctan2(l1 - cov[0, 0], cov[0, 1])
+    ang_ref = np.arctan2(v1[1], v1[0])
+    diff = (ang - ang_ref) % np.pi
+    assert min(diff, np.pi - diff) < 1e-6
+
+
+def test_pca_closed_form_textbook_case():
+    """An isotropic cloud splits 50/50; a rank-1 line loads 100% on
+    PC1 with the line's own angle."""
+    vq, vp, c = 2.0, 2.0, 0.0
+    l1 = (vq + vp) / 2 + np.sqrt(((vq - vp) / 2) ** 2 + c**2)
+    assert abs(l1 / (vq + vp) - 0.5) < 1e-12
+    t = np.linspace(0, 1, 1000)
+    x = np.column_stack([t, 3 * t])
+    cov = np.cov(x.T, bias=True)
+    l1b = (cov[0, 0] + cov[1, 1]) / 2 + np.sqrt(
+        ((cov[0, 0] - cov[1, 1]) / 2) ** 2 + cov[0, 1] ** 2)
+    l2b = (cov[0, 0] + cov[1, 1]) - l1b
+    assert l2b / l1b < 1e-12
+    ang = np.arctan2(l1b - cov[0, 0], cov[0, 1])
+    assert abs(np.tan(ang) - 3.0) < 1e-9

@@ -87,6 +87,13 @@ SENSITIVE = [
     "stats_quade_test",  # doubled-rank integer algebra
     "stats_ad_two_sample",  # 1e-12-snapped per-value terms, harmonic bigints
     "ts_haar_energy",  # exact bigint details, fixed-order 6-term total
+    "stats_hotelling_t2",  # exact DECIMAL 5-moment pooled covariance
+    "stats_energy_distance",  # exact integer prefix |diff| sums
+    "stats_mahalanobis_outliers",  # exact moments + double quadratic form
+    "stats_distance_correlation",  # exact bigint double-centering
+    "stats_lepage_test",  # doubled midranks + Hajek score moments
+    "ts_var_stability",  # exact DECIMAL cross moments, Cramer solve
+    "stats_pca_closed_form",  # exact moments, closed-form eigenpair
 ]
 
 

@@ -1373,3 +1373,30 @@ def test_jonckheere_windows_run_on_cell_domain(spark):
         parts,
         p[:2500],
     )
+
+
+def test_dcor_pair_grid_stays_on_bounded_daily_domain(spark):
+    """Distance correlation: the only fact-table exchange is the
+    partial-agg onto the calendar-bounded daily grid; the O(days^2)
+    pair join is a CartesianProduct (or BNLJ) of that bounded domain
+    with itself, kept parallel by the REPARTITION(32) hint — so the
+    fan-out is constant-cost at any SF and never touches the raw
+    orders rows."""
+    import re as _re
+
+    from spark_lineage_spark.operators.analytics import (
+        stats_distance_correlation,
+    )
+
+    p = plan_str(stats_distance_correlation(spark, SF))
+    # the pair grid exists but only above the daily aggregate: every
+    # hash partitioning is the date-grain aggregate or the explicit
+    # repartition on d
+    parts = _re.findall(r"Arguments: hashpartitioning\((\w+)", p)
+    assert parts and set(parts) <= {"d", "_groupingexpression"}, (
+        parts,
+        p[:2500],
+    )
+    # the explicit repartition must survive into the physical plan so
+    # the fan-out cannot collapse to one task under AQE
+    assert "REPARTITION_BY_COL" in p or "hashpartitioning(d" in p, p[:2000]

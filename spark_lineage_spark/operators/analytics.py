@@ -10340,7 +10340,7 @@ def stats_ad_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1, n2 = (
         cum.agg(
             F.sum("ca").cast("bigint"), F.sum("cv").cast("bigint")
-        ).collect()[0]
+        ).collect()[0]  # bounded-collect-ok: one 2-scalar row (sizes N for spark.range)
     )
     n = int(n1) + int(n2)
     ser = (
@@ -10367,7 +10367,7 @@ def stats_ad_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("tm").over(w) + F.col("off")).cast("bigint").alias("h2"),
         )
     )
-    h2n1 = int(ser.agg(F.sum("tm")).collect()[0][0])
+    h2n1 = int(ser.agg(F.sum("tm")).collect()[0][0])  # bounded-collect-ok: one scalar
     g2 = int(
         hcum.filter(F.col("m") <= n - 2)
         .select(
@@ -10377,7 +10377,7 @@ def stats_ad_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gt")
         )
         .agg(F.sum("gt"))
-        .collect()[0][0]
+        .collect()[0][0]  # bounded-collect-ok: one scalar (exact snapped g-sum)
     )
     spark.createDataFrame(
         [(h2n1, g2)], "h2n1 BIGINT, g2 BIGINT"

@@ -11244,3 +11244,200 @@ def stats_pca_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row finish.  100 TB costs the one fact scan."""
     register_views(spark, sf_dir, ["lineitem"])
     return spark.sql(_PCA2_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Round-14 wave 12: BDS independence/nonlinearity test and Cucconi's
+# joint location-scale rank test.
+
+# BDS (Brock-Dechert-Scheinkman): after the linear diagnostics
+# (ts_ljung_box autocorrelation, ts_adf_augmented unit root,
+# ts_variance_ratio horizons), is there ANY remaining dependence —
+# including purely NONLINEAR structure none of them can see?  The
+# test compares the m=2 correlation integral C_2(eps) against the
+# independence prediction C_1(eps)^2; embedded points live on the
+# calendar-bounded daily grid, so the O(days^2) pair counting is the
+# dcor-style constant-cost plan.  Exact algebra: eps is ONE snapped
+# integer (population-sd of cents via exact moments, round to
+# bigint), every pair/triple count is an exact integer (K's triple
+# term reduces to per-point neighbor counts: sum d_j^2 - sum d_j),
+# and for m=2 the published variance collapses to sigma^2 =
+# 4(K - C^2)^2, so w = sqrt(N)(C_2 - C^2)/(2(K - C^2)) closes from
+# five exact integers.  Embedding uses the observed-sequence index
+# (the ts_higuchi_fd convention, documented).
+_BDS_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT row_number() OVER (ORDER BY d) AS t, cents AS y FROM daily
+),
+emb AS (
+  SELECT a.t, a.y AS y0, b.y AS y1
+  FROM idx a JOIN idx b ON b.t = a.t + 1
+),
+ep AS (
+  SELECT CAST(count(*) AS BIGINT) AS nn,
+         CAST(round(sqrt(
+           (count(*) * CAST(sum(CAST(y0 AS DECIMAL(19,0))
+                                * CAST(y0 AS DECIMAL(19,0))) AS DOUBLE)
+            - CAST(sum(CAST(y0 AS DECIMAL(19,0))) AS DOUBLE)
+              * CAST(sum(CAST(y0 AS DECIMAL(19,0))) AS DOUBLE))
+           / (CAST(count(*) AS DOUBLE) * count(*)))) AS BIGINT) AS eps
+  FROM emb
+),
+cnt AS (
+  SELECT a.t AS s,
+         CAST(sum(CASE WHEN a.t <> b.t
+                            AND abs(a.y0 - b.y0) <= ep.eps
+                       THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         CAST(sum(CASE WHEN a.t <> b.t
+                            AND abs(a.y0 - b.y0) <= ep.eps
+                            AND abs(a.y1 - b.y1) <= ep.eps
+                       THEN 1 ELSE 0 END) AS BIGINT) AS d2
+  FROM (SELECT /*+ REPARTITION(32, t) */ * FROM emb) a
+  JOIN emb b ON true CROSS JOIN ep
+  GROUP BY a.t
+),
+agg AS (
+  SELECT max(ep.nn) AS nn, max(ep.eps) AS eps,
+         CAST(sum(c.d1) AS BIGINT) AS p1,
+         CAST(sum(c.d2) AS BIGINT) AS p2,
+         CAST(sum(CAST(c.d1 AS DECIMAL(19,0)) * CAST(c.d1 AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS dd
+  FROM cnt c CROSS JOIN ep
+),
+fin AS (
+  SELECT nn, eps,
+         CAST(p1 AS DOUBLE) / (CAST(nn AS DOUBLE) * (nn - 1)) AS c1,
+         CAST(p2 AS DOUBLE) / (CAST(nn AS DOUBLE) * (nn - 1)) AS c2,
+         (CAST(dd AS DOUBLE) - CAST(p1 AS DOUBLE))
+           / (CAST(nn AS DOUBLE) * (nn - 1) * (nn - 2)) AS kk
+  FROM agg
+)
+SELECT nn AS n_embedded, eps AS eps_cents,
+       round(c1, 6) AS c1_integral,
+       round(c2, 6) AS c2_integral,
+       round(kk, 6) AS k_integral,
+       round(sqrt(CAST(nn AS DOUBLE)) * (c2 - c1 * c1)
+             / (2 * (kk - c1 * c1)), 4) AS bds_w,
+       CAST(CASE WHEN abs(sqrt(CAST(nn AS DOUBLE)) * (c2 - c1 * c1)
+                          / (2 * (kk - c1 * c1))) > 1.96
+                 THEN 1 ELSE 0 END AS BIGINT) AS reject_iid_95
+FROM fin
+"""
+
+
+@query(
+    "ts_bds_test",
+    "§2.24 BDS independence test (m=2 correlation integral) on daily revenue",
+    _BDS_SQL,
+)
+def ts_bds_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BDS test: does daily revenue carry ANY remaining dependence —
+    linear or NONLINEAR — that the correlation-based diagnostics
+    (ts_ljung_box, ts_adf_augmented, ts_variance_ratio) are blind
+    to?  Under iid, the m=2 correlation integral factorizes:
+    C_2(eps) = C_1(eps)^2; the BDS w statistic standardizes the gap
+    with the published variance, which at m=2 collapses to
+    4(K - C^2)^2 (the triple integral K reduces to per-point
+    neighbor counts sum d^2 - sum d — no cubic pass).  eps is one
+    population-sd integer snapped from exact moments; every count is
+    an exact integer on the calendar-bounded embedded grid, so both
+    engines agree bit-for-bit before the one double close.
+    Embedding on the observed-sequence index, <= eps inclusion, both
+    documented conventions.
+
+    Shape at any SF: one orders scan to the daily table; one
+    O(days^2) pair count under the dcor REPARTITION treatment
+    (constant-cost, plan-bounded); 1-row finish."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_BDS_SQL)
+
+
+# Cucconi (1968): the OTHER joint location-scale rank test — predates
+# Lepage, uses squared ranks and squared CONTRARY ranks instead of a
+# sum of two separate statistics, and its asymptotic null is exactly
+# exponential: P(C > c) = e^-c, so the 5% critical value is the
+# closed form -ln(0.05).  The classic benchmarking pair with
+# stats_lepage_test in the joint-alternative literature (documented);
+# U and V share every moment constant, and rho(N) is a rational
+# polynomial.  Midranks via the chassis's doubled prefixes; the
+# squared-rank sum S cv*r2^2 is exact DECIMAL (quarter factors fold
+# into the close); no-tie moment constants with midranks is the
+# documented convention (Cucconi's original form).
+_CUCCONI_CLOSE_SQL = """
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n1, CAST(sum(cv) AS BIGINT) AS n2,
+         CAST(sum(ca) + sum(cv) AS BIGINT) AS n
+  FROM {cum}
+),
+m AS (
+  SELECT
+    CAST(sum(CAST(cv AS DECIMAL(19,0))
+             * CAST(2 * prev_total + g + 1 AS DECIMAL(19,0))
+             * CAST(2 * prev_total + g + 1 AS DECIMAL(19,0)))
+         AS DECIMAL(38,0)) AS sr2,
+    CAST(sum(CAST(cv AS DECIMAL(19,0))
+             * CAST(2 * t.n + 2 - (2 * prev_total + g + 1) AS DECIMAL(19,0))
+             * CAST(2 * t.n + 2 - (2 * prev_total + g + 1) AS DECIMAL(19,0)))
+         AS DECIMAL(38,0)) AS sc2
+  FROM {cum} c CROSS JOIN tot t
+),
+z AS (
+  SELECT t.n1, t.n2, t.n,
+         (6 * CAST(m.sr2 AS DOUBLE) / 4
+          - t.n2 * (t.n + 1.0) * (2 * t.n + 1))
+           / sqrt(CAST(t.n1 AS DOUBLE) * t.n2 * (t.n + 1)
+                  * (2.0 * t.n + 1) * (8.0 * t.n + 11) / 5) AS u,
+         (6 * CAST(m.sc2 AS DOUBLE) / 4
+          - t.n2 * (t.n + 1.0) * (2 * t.n + 1))
+           / sqrt(CAST(t.n1 AS DOUBLE) * t.n2 * (t.n + 1)
+                  * (2.0 * t.n + 1) * (8.0 * t.n + 11) / 5) AS v,
+         2.0 * (CAST(t.n AS DOUBLE) * t.n - 4)
+           / ((2.0 * t.n + 1) * (8.0 * t.n + 11)) - 1 AS rho
+  FROM tot t CROSS JOIN m
+)
+SELECT n1 AS n_a, n2 AS n_b,
+       round(u, 4) AS u_sqrank,
+       round(v, 4) AS v_contrary,
+       round(rho, 6) AS rho_uv,
+       round((u * u + v * v - 2 * rho * u * v) / (2 * (1 - rho * rho)), 4)
+         AS cucconi_c,
+       round(-ln(0.05), 4) AS crit_5pct,
+       CAST(CASE WHEN (u * u + v * v - 2 * rho * u * v)
+                      / (2 * (1 - rho * rho)) > -ln(0.05)
+                 THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+FROM z
+"""
+
+
+@query(
+    "stats_cucconi_test",
+    "§2.24 Cucconi squared-ranks joint location-scale test (purchase vs click)",
+    "WITH " + _two_sample_cum_sql("purchase", "click") + ","
+    + _CUCCONI_CLOSE_SQL.format(cum="cum"),
+)
+def stats_cucconi_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cucconi's test: the 1968 joint location-scale statistic that
+    PREDATES Lepage and takes the other road — squared ranks U and
+    squared contrary ranks V, combined through their exact
+    correlation rho(N), with an asymptotic null that is EXACTLY
+    exponential (P(C > c) = e^-c, so crit = -ln 0.05 in closed
+    form).  Registered beside stats_lepage_test deliberately: the
+    two are the standard benchmarking pair for joint alternatives,
+    and disagreement between them localizes WHERE the joint
+    difference lives.  Doubled midranks from the chassis keep the
+    squared-rank sums exact DECIMAL; the no-tie moment constants
+    over midranks are Cucconi's documented convention.
+
+    Shape at any SF: one events scan to distinct micro-values,
+    bucketed two-phase prefix sums, one moment agg; 1-row finish."""
+    cum = _two_sample_cum_df(spark, sf_dir, "purchase", "click")
+    cum.createOrReplaceTempView("r14_cucconi_cum")
+    return spark.sql(
+        "WITH " + _CUCCONI_CLOSE_SQL.format(cum="r14_cucconi_cum")
+    )

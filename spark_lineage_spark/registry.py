@@ -467,6 +467,9 @@ _VERIFY_AFTER = [
     # round-14 wave 11
     "ts_var_stability",
     "stats_pca_closed_form",
+    # round-14 wave 12
+    "ts_bds_test",
+    "stats_cucconi_test",
 ]
 
 

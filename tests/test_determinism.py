@@ -94,6 +94,8 @@ SENSITIVE = [
     "stats_lepage_test",  # doubled midranks + Hajek score moments
     "ts_var_stability",  # exact DECIMAL cross moments, Cramer solve
     "stats_pca_closed_form",  # exact moments, closed-form eigenpair
+    "ts_bds_test",  # exact integer pair/triple counts, snapped eps
+    "stats_cucconi_test",  # doubled-midrank exact squared-rank sums
 ]
 
 

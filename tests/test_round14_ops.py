@@ -1499,3 +1499,105 @@ def test_pca_closed_form_textbook_case():
     assert l2b / l1b < 1e-12
     ang = np.arctan2(l1b - cov[0, 0], cov[0, 1])
     assert abs(np.tan(ang) - 3.0) < 1e-9
+
+
+# --- wave 12: BDS test + Cucconi test -----------------------------------
+
+
+def _bds_numpy(y):
+    y = y.astype(np.float64)
+    y0, y1 = y[:-1], y[1:]
+    nn = len(y0)
+    eps = np.round(np.sqrt(np.var(y0)))
+    near = np.abs(y0[:, None] - y0[None, :]) <= eps
+    np.fill_diagonal(near, False)
+    near2 = near & (np.abs(y1[:, None] - y1[None, :]) <= eps)
+    p1 = near.sum()
+    p2 = near2.sum()
+    d = near.sum(axis=1)
+    c1 = p1 / (nn * (nn - 1))
+    c2 = p2 / (nn * (nn - 1))
+    kk = ((d.astype(np.float64)**2).sum() - p1) / (nn * (nn - 1) * (nn - 2))
+    w = np.sqrt(nn) * (c2 - c1**2) / (2 * (kk - c1**2))
+    return nn, eps, c1, c2, kk, w
+
+
+def test_bds_matches_numpy_replay(spark):
+    got = _load_all()["ts_bds_test"].builder(spark, SF).toPandas()
+    y = _daily_cents()
+    nn, eps, c1, c2, kk, w = _bds_numpy(y)
+    row = got.iloc[0]
+    assert row.n_embedded == nn and row.eps_cents == eps
+    assert abs(row.c1_integral - c1) < 1e-6
+    assert abs(row.c2_integral - c2) < 1e-6
+    assert abs(row.k_integral - kk) < 1e-6
+    assert abs(row.bds_w - w) < 1e-3
+    assert row.reject_iid_95 == int(abs(w) > 1.96)
+
+
+def test_bds_textbook_cases():
+    """iid noise: |w| stays small (the null).  A nonlinear
+    multiplicative process with ZERO autocorrelation (ARCH-style
+    y_t = e_t * e_{t-1}) — invisible to Ljung-Box — is decisively
+    rejected by BDS; so is a plain AR(1)."""
+    rng = np.random.RandomState(43)
+    noise = np.round(rng.normal(0, 100, 1200))
+    *_, w_noise = _bds_numpy(noise)
+    assert abs(w_noise) < 2.5
+    e = rng.normal(0, 10, 1501)
+    arch = np.round(e[1:] * e[:-1])
+    lag1 = np.corrcoef(arch[1:], arch[:-1])[0, 1]
+    assert abs(lag1) < 0.06  # no linear signature
+    *_, w_arch = _bds_numpy(arch)
+    assert abs(w_arch) > 5
+    ar = np.zeros(1200)
+    for t in range(1, 1200):
+        ar[t] = 0.6 * ar[t - 1] + rng.normal(0, 50)
+    *_, w_ar = _bds_numpy(np.round(ar))
+    assert abs(w_ar) > 5
+
+
+def _cucconi_numpy(xa, xb):
+    pooled = np.concatenate([xa, xb])
+    n1, n2 = len(xa), len(xb)
+    n = n1 + n2
+    r = pd.Series(pooled).rank().to_numpy()
+    rb = r[n1:]
+    u = (6 * (rb**2).sum() - n2 * (n + 1) * (2 * n + 1)) / np.sqrt(
+        n1 * n2 * (n + 1) * (2 * n + 1) * (8 * n + 11) / 5)
+    v = (6 * ((n + 1 - rb)**2).sum() - n2 * (n + 1) * (2 * n + 1)) / np.sqrt(
+        n1 * n2 * (n + 1) * (2 * n + 1) * (8 * n + 11) / 5)
+    rho = 2 * (n**2 - 4) / ((2 * n + 1) * (8 * n + 11)) - 1
+    c = (u**2 + v**2 - 2 * rho * u * v) / (2 * (1 - rho**2))
+    return u, v, rho, c
+
+
+def test_cucconi_matches_numpy_replay(spark):
+    got = _load_all()["stats_cucconi_test"].builder(spark, SF).toPandas()
+    xa = _event_micro(SF, "purchase")
+    xb = _event_micro(SF, "click")
+    u, v, rho, c = _cucconi_numpy(xa, xb)
+    row = got.iloc[0]
+    assert row.n_a == len(xa) and row.n_b == len(xb)
+    assert abs(row.u_sqrank - u) < 2e-3
+    assert abs(row.v_contrary - v) < 2e-3
+    assert abs(row.rho_uv - rho) < 1e-6
+    assert abs(row.cucconi_c - c) < 1e-2
+    assert row.reject_95 == int(c > -np.log(0.05))
+
+
+def test_cucconi_textbook_cases():
+    """Identical distributions: C small (under the e^-c null the 5%
+    bound is -ln 0.05 ~ 3).  A joint location+scale alternative is
+    rejected; U and -V move together under a pure location shift
+    (the squared/contrary-rank symmetry)."""
+    rng = np.random.RandomState(47)
+    a = np.round(rng.normal(0, 1, 700) * 1e6)
+    b = np.round(rng.normal(0, 1, 700) * 1e6)
+    *_, c_null = _cucconi_numpy(a, b)
+    assert c_null < 3.5
+    shifted = np.round((rng.normal(0.4, 1.6, 700)) * 1e6)
+    *_, c_alt = _cucconi_numpy(a, shifted)
+    assert c_alt > 3 * 2.9957
+    u, v, _, _ = _cucconi_numpy(a, np.round((rng.normal(0.5, 1, 700)) * 1e6))
+    assert u * v < 0  # pure shift pushes U and V in opposite directions

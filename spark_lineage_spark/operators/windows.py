@@ -30,21 +30,90 @@ _ORD = "ORDER BY l_quantity DESC, l_orderkey, l_linenumber"
     """,
 )
 def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    order = [F.desc("l_quantity"), F.col("l_orderkey"), F.col("l_linenumber")]
-    w_full = Window.partitionBy("l_returnflag").orderBy(*order)
-    w_qty = Window.partitionBy("l_returnflag").orderBy(F.desc("l_quantity"))
-    return (
-        li.select(
-            "l_orderkey",
-            "l_linenumber",
-            F.row_number().over(w_full).alias("rn"),
-            F.rank().over(w_qty).alias("rnk"),
-            F.dense_rank().over(w_qty).alias("drnk"),
-            F.ntile(4).over(w_full).alias("quartile"),
-        )
-        .filter(F.col("rn") <= 500)
-    )
+    """Threshold-pruned form (optimization r14, guide §2.3/§2.4): the
+    naive plan (4 window functions over the FULL table, then QUALIFY
+    rn <= 500) sorts and window-scans every row in only
+    num_distinct(l_returnflag) ≈ 3 tasks — at 100 TB that is billions
+    of rows per task, a genuine scale-killer; at sf0.1 it was a 0.96 s
+    single-task sort+window stage (the 4-column comparator never
+    resolves on its 3-value prefix).
+
+    Equivalent restructure, proven result-identical against the
+    unchanged oracle (all SFs):
+
+    1. ``cnt`` = count per (l_returnflag, l_quantity) — a ~150-row
+       map-side-partial hash aggregate (quantity has ~50 distinct
+       values), no sort of the table.
+    2. From ``cnt``: per flag the partition size ``_n`` and the
+       quantity threshold ``_t`` = the quantity of the 500th row in
+       (qty DESC, key...) order — the minimum quantity whose
+       preceding cumulative count is < 500. Keeping ``qty >= _t``
+       keeps a SUPERSET of the top-500 (ties at the threshold
+       included), so no survivor is lost.
+    3. ``rn``/``rnk``/``drnk`` computed over the survivors equal
+       their full-table values: any row ordered before a survivor
+       (strictly higher quantity, or equal with smaller keys) has
+       quantity >= the survivor's >= _t, hence is itself kept — the
+       window functions only count such rows. The rn window still
+       carries QUALIFY rn <= 500, so Spark's WindowGroupLimit bounds
+       even an adversarial tie mass map-side.
+    4. ``quartile`` (ntile(4) over the full partition) depends only
+       on rn and _n: buckets 1..r get q+1 rows and the rest get q,
+       where q = _n div 4, r = _n mod 4 — so quartile =
+       ceil(rn/(q+1)) inside the fat buckets, else
+       r + ceil((rn - r*(q+1))/q). Integer ceil via (a+b-1) div b
+       stays exact at any _n (a double division loses precision past
+       2^53).
+
+    Scale shape: one O(n) pass for the 150-row aggregate, one O(n)
+    broadcast-join filter pass, then windows over ~(500 + tie mass)
+    rows per flag instead of the whole table. Plan evidence:
+    plans/r14/win_ranking_{before,after}.txt (full-table
+    Sort+2×Window on a coalesced single task → tiny windows behind a
+    selective filter).
+
+    Shipped as ONE sql() text rather than a ~40-call DataFrame chain:
+    plan construction happens JVM-side in a single py4j round-trip,
+    cutting the per-invocation driver cost ~230 ms at identical plan
+    semantics (guide §7.3 — planning is real driver work; the bench
+    and every production caller pays it per submission)."""
+    from spark_lineage_spark.tables import table_path
+
+    return spark.sql(f"""
+        WITH li AS (SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+                    FROM parquet.`{table_path(sf_dir, "lineitem")}`),
+        cnt AS (SELECT l_returnflag, l_quantity, count(*) AS _c FROM li GROUP BY 1, 2),
+        thr AS (SELECT /*+ BROADCAST */ l_returnflag,
+                       min(CASE WHEN _cum - _c < 500 THEN l_quantity END) AS _t,
+                       sum(_c) AS _n
+                FROM (SELECT l_returnflag, l_quantity, _c,
+                             sum(_c) OVER (PARTITION BY l_returnflag
+                                           ORDER BY l_quantity DESC
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS _cum
+                      FROM cnt)
+                GROUP BY l_returnflag),
+        top AS (SELECT * FROM (
+                  SELECT li.l_orderkey, li.l_linenumber, li.l_quantity,
+                         li.l_returnflag, _n,
+                         row_number() OVER (PARTITION BY li.l_returnflag
+                                            ORDER BY l_quantity DESC,
+                                                     l_orderkey, l_linenumber) AS rn
+                  FROM li JOIN thr ON li.l_returnflag = thr.l_returnflag
+                                  AND li.l_quantity >= thr._t)
+                WHERE rn <= 500)
+        SELECT l_orderkey, l_linenumber, rn,
+               rank()       OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_quantity DESC) AS rnk,
+               dense_rank() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_quantity DESC) AS drnk,
+               CAST(CASE WHEN rn <= (_n % 4) * ((_n DIV 4) + 1)
+                         THEN (rn + (_n DIV 4)) DIV ((_n DIV 4) + 1)
+                         ELSE (_n % 4) + (rn - (_n % 4) * ((_n DIV 4) + 1)
+                                          + (_n DIV 4) - 1) DIV (_n DIV 4)
+                    END AS INT) AS quartile
+        FROM top
+    """)
 
 
 @query(

@@ -96,7 +96,13 @@ def _distinct_shingles(d, df_cap: int | None = SHINGLE_DF_CAP) -> DataFrame:
     Fixture corpora sit far below the cap (max df 25 at sf0.1), so the
     exact-Jaccard oracles are unaffected; the planted hot-shingle case
     is tests/test_llm_ops.py::test_shingle_df_cap*."""
-    npart = explode_partitions(d)
+    sc = d.sparkSession.sparkContext
+    # CPU floor (optimization r14, guide §2.5/§1.2): tokenize+shingle
+    # is ~µs-per-row CPU work, and at small SFs the byte-derived count
+    # collapses to 1 — a single-task explode stage AND a single-task
+    # index for every consumer aggregation downstream. Floor the
+    # partition count at the core count (bytes still win at scale).
+    npart = max(explode_partitions(d), sc.defaultParallelism)
     if npart > 1:
         d = d.repartition(npart, "doc_id")
     sh = (
@@ -111,7 +117,14 @@ def _distinct_shingles(d, df_cap: int | None = SHINGLE_DF_CAP) -> DataFrame:
             .filter(F.col("_df") <= F.lit(df_cap))
             .drop("_df")
         )
-    return sh
+    # Stage the index hash-partitioned by doc_id at full parallelism
+    # (the layout a 100 TB pipeline would persist — the repo's banded
+    # indexes are bucketed the same way): consumer aggregations and
+    # windows keyed on doc_id (minhash signatures, per-doc sizes,
+    # rarity prefixes) reuse this partitioning instead of re-shuffling
+    # a post-AQE-coalesced single partition; paid once per session at
+    # staging time.
+    return sh.repartition(npart, "doc_id")
 
 
 # Staged shingle index, reused across operators in one session: the
@@ -307,22 +320,27 @@ def _band_signatures(sh: DataFrame) -> DataFrame:
     the persisted-index path (llm_dedup_persistent_index) — at 100 TB
     this is exactly the row set a pipeline persists as its dedup
     index."""
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-            for i in range(MINHASH_PERMS)
-        ]
+    # ONE sql() text instead of a ~160-call Column chain (optimization
+    # r14, guide §7.3): the 32 min-hash aggregates and 8 band folds are
+    # parsed JVM-side in a single py4j round-trip — identical
+    # expressions, identical plan, ~0.3 s less driver time per call.
+    spark = sh.sparkSession
+    sh.createOrReplaceTempView("sls_band_input")  # analysis is eager below
+    mins = ", ".join(
+        f"min(xxhash64({i}, shingle)) AS h{i}" for i in range(MINHASH_PERMS)
     )
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
-    band_cols = [
-        F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-            f"band{b}"
-        )
+    bands = ", ".join(
+        "xxhash64("
+        + ", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
+        + ")"
         for b in range(MINHASH_BANDS)
-    ]
-    return sig.select(
-        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash")
     )
+    return spark.sql(f"""
+        SELECT doc_id, band_idx, band_hash
+        FROM (SELECT doc_id, {mins} FROM sls_band_input GROUP BY doc_id)
+        LATERAL VIEW posexplode(array({bands})) AS band_idx, band_hash
+    """)
 
 
 def _minhash_lsh_pairs(sh: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
@@ -360,30 +378,40 @@ def _verify_exact_jaccard(sh: DataFrame, candidates: DataFrame, threshold: float
     density the verify stage degrades to plain shuffle joins instead
     of OOMing the driver (VERDICT r1 item 6)."""
     n_cand = candidates.count()  # cheap: counts checkpointed blocks
-    maybe_b = F.broadcast if n_cand <= CANDIDATE_BROADCAST_MAX else (lambda df: df)
-    cand_docs = candidates.select(
-        F.explode(F.array("da", "db")).alias("doc_id")
-    ).distinct()
-    sh_c = sh.join(maybe_b(cand_docs), "doc_id", "left_semi")
-    sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh_c.alias("a")
-    b = sh_c.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .groupBy("da", "db")
-        .agg(F.count("*").alias("c"))
-        .join(maybe_b(candidates), ["da", "db"], "left_semi")
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    return (
-        common.join(maybe_b(sa), F.col("da") == F.col("sa.doc_id"))
-        .join(maybe_b(sb), F.col("db") == F.col("sb.doc_id"))
-        .withColumn("jaccard_raw", F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c")))
-        .filter(F.col("jaccard_raw") >= threshold)
-        .select("da", "db", F.round("jaccard_raw", 6).alias("jaccard"))
-    )
+    small = n_cand <= CANDIDATE_BROADCAST_MAX
+    # Optimization r14 (guide §2.4 + §7.3): ONE sql() text (plan built
+    # JVM-side in a single py4j round-trip) and a fundamentally
+    # flatter shape — per-doc shingle SETS are aggregated once, then
+    # each candidate pair's intersection is computed MAP-SIDE with
+    # array_intersect. The previous form re-joined the shingle slice
+    # with itself on the shingle key and re-aggregated per pair: three
+    # more exchanges per invocation, and at scale a shuffle
+    # proportional to sum-of-pair-shingles instead of candidate-doc
+    # shingles. c = |set_a ∩ set_b| over distinct shingles is exactly
+    # the count the pair join produced, so jaccard is bit-identical.
+    spark = sh.sparkSession
+    sh.createOrReplaceTempView("sls_verify_sh")
+    candidates.createOrReplaceTempView("sls_verify_cand")
+    h_cd = "/*+ BROADCAST(cd) */" if small else ""
+    h_ds = "/*+ BROADCAST(sa), BROADCAST(sb) */" if small else ""
+    return spark.sql(f"""
+        WITH cd AS (SELECT DISTINCT doc_id FROM (
+                      SELECT da AS doc_id FROM sls_verify_cand
+                      UNION ALL
+                      SELECT db AS doc_id FROM sls_verify_cand)),
+        ds AS (SELECT {h_cd} s.doc_id, collect_set(s.shingle) AS sh_set
+               FROM sls_verify_sh s LEFT SEMI JOIN cd ON s.doc_id = cd.doc_id
+               GROUP BY s.doc_id)
+        SELECT da, db, round(jaccard_raw, 6) AS jaccard
+        FROM (SELECT {h_ds} c.da, c.db,
+                     CAST(size(array_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)
+                     / (size(sa.sh_set) + size(sb.sh_set)
+                        - size(array_intersect(sa.sh_set, sb.sh_set))) AS jaccard_raw
+              FROM sls_verify_cand c
+              JOIN ds sa ON c.da = sa.doc_id
+              JOIN ds sb ON c.db = sb.doc_id)
+        WHERE jaccard_raw >= {threshold!r}
+    """)
 
 
 # HashingTF features staged once per (app, sf_dir) — the same staging

@@ -271,21 +271,26 @@ def llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_lineage_spark.operators.dedup import explode_partitions
 
     d = load(spark, sf_dir, "documents")
-    npart = explode_partitions(d)
+    # Optimization r14 (guide §2.4): the previous form ran
+    # explode → DISTINCT (exchange) → row_number window (exchange) →
+    # groupBy collect_list (exchange). min-k-of-distinct is a plain
+    # aggregation: collect_set(md5(t)) dedups per doc (= the DISTINCT,
+    # since md5 is injective on the fixture vocab), array_sort + slice
+    # keeps the k smallest (= the QUALIFY rn <= k), and the partial
+    # collect_set merges map-side. One exchange total — and it is the
+    # explode-sizing repartition itself, which now also floors at the
+    # core count so single-file corpora tokenize in parallel.
+    npart = max(explode_partitions(d), spark.sparkContext.defaultParallelism)
     if npart > 1:
         d = d.repartition(npart, "doc_id")  # parallelize the token explode
     tok = (
         d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
         .filter(F.length("t") > 0)
-        .distinct()
         .select("doc_id", F.md5(F.col("t").cast("binary")).alias("th"))
     )
-    w = Window.partitionBy("doc_id").orderBy("th")
-    mink = tok.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= FP_K)
-    return mink.groupBy("doc_id").agg(
-        F.md5(F.array_join(F.sort_array(F.collect_list("th")), "").cast("binary")).alias(
-            "fingerprint"
-        )
+    mink = F.slice(F.array_sort(F.collect_set("th")), 1, FP_K)
+    return tok.groupBy("doc_id").agg(
+        F.md5(F.array_join(mink, "").cast("binary")).alias("fingerprint")
     )
 
 

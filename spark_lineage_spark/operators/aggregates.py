@@ -52,13 +52,28 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multiple exact distincts per group — Spark plans this with an
-    Expand (one row per distinct-column) + two-phase agg."""
+    """Multiple exact distincts per group. Optimization r14 (guide
+    §2.3 'aggregate before you shuffle'): the single-agg form planned
+    an Expand — every input row tripled (one replica per distinct
+    column) before the partial aggregate, so the first stage chewed 3×
+    the rows. Split instead into two ordinary two-phase aggregations
+    that each see the table once at its natural width — (flag,
+    orderkey) pre-aggregation re-aggregated to n_orders + n_rows, and
+    the single-distinct n_supp branch (planned without Expand) — then
+    a 3-row broadcast join reassembles the groups. Same result, no
+    row multiplication, both branch shuffles carry only partial-agg
+    output. sf0.1 warm: 0.98 s → 0.70 s; Expand gone from the plan
+    (plans/r14/agg_count_distinct_{before,after}.txt)."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("n_orders"),
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.count("*").alias("n_rows"),
+    a = (
+        li.groupBy("l_returnflag", "l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_orders"), F.sum("_c").alias("n_rows"))
+    )
+    b = li.groupBy("l_returnflag").agg(F.countDistinct("l_suppkey").alias("n_supp"))
+    return a.join(b, "l_returnflag").select(
+        "l_returnflag", "n_orders", "n_supp", "n_rows"
     )
 
 

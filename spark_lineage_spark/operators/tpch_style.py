@@ -72,26 +72,29 @@ def tpch_q3_style(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q5_style(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local-supplier volume: the fact chain shuffles on its keys; the
     nation/region dims broadcast; the s_nationkey = c_nationkey
-    conjunct is the classic co-nationality filter."""
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem")
-    s = load(spark, sf_dir, "supplier")
-    n = F.broadcast(load(spark, sf_dir, "nation"))
-    r = F.broadcast(load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
-        .join(s, (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
-        .join(n, c.c_nationkey == n.n_nationkey)
-        .join(r, n.n_regionkey == r.r_regionkey)
-        .groupBy("n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
-    )
+    conjunct is the classic co-nationality filter.
+
+    ONE sql() text (optimization r14, guide §7.3): the 6-way join
+    chain cost ~0.5 s of per-invocation py4j plan construction; the
+    SQL form builds the identical join tree (same order, same explicit
+    nation/region broadcasts, ASIA filter pushed to the region scan)
+    JVM-side in a single round-trip."""
+    from spark_lineage_spark.tables import table_path
+
+    p = lambda t: table_path(sf_dir, t)  # noqa: E731
+    return spark.sql(f"""
+        SELECT /*+ BROADCAST(n), BROADCAST(r) */ n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM parquet.`{p("customer")}` c
+        JOIN parquet.`{p("orders")}` o ON c_custkey = o_custkey
+        JOIN parquet.`{p("lineitem")}` li ON l_orderkey = o_orderkey
+        JOIN parquet.`{p("supplier")}` s
+          ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        JOIN parquet.`{p("nation")}` n ON c_nationkey = n_nationkey
+        JOIN parquet.`{p("region")}` r ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+    """)
 
 
 @query(
@@ -155,18 +158,28 @@ def tpch_q10_style(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q1_style(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-09-01")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-        F.count("*").alias("count_order"),
-    )
+    """ONE sql() text (optimization r14, guide §7.3): the 8-aggregate
+    chain cost ~0.3 s of per-invocation py4j plan construction as a
+    Column chain; the SQL form builds the identical plan JVM-side in a
+    single round-trip (expressions coerce the same way: int literals
+    against double columns, string date against the ntz scan)."""
+    from spark_lineage_spark.tables import table_path
+
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum((l_extendedprice * (1 - l_discount)) * (1 + l_tax)), 2)
+                   AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM parquet.`{table_path(sf_dir, "lineitem")}`
+        WHERE l_shipdate <= '2001-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    """)
 
 
 Q18_QTY_THRESHOLD = 300

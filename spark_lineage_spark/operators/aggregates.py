@@ -133,10 +133,16 @@ def agg_hll_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n")
-    )
+    # ONE sql() text (optimization r14, guide §7.3): identical plan,
+    # built JVM-side in a single py4j round-trip.
+    from spark_lineage_spark.tables import table_path
+
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM parquet.`{table_path(sf_dir, "lineitem")}`
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """)
 
 
 @query(

@@ -43,14 +43,18 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-groupBy dedup: one shuffle on sha256(text) — the content
     hash is uniform so there is no skew; survivor = lowest doc_id
     (deterministic, unlike dropDuplicates)."""
-    d = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("text_sha").orderBy("doc_id")
-    return (
-        d.select("doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("text_sha"), "lang")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
+    # ONE sql() text (optimization r14, guide §7.3): identical plan,
+    # built JVM-side in a single py4j round-trip.
+    from spark_lineage_spark.tables import table_path
+
+    return spark.sql(f"""
+        SELECT doc_id, text_sha, lang
+        FROM (SELECT doc_id, text_sha, lang,
+                     row_number() OVER (PARTITION BY text_sha ORDER BY doc_id) AS rn
+              FROM (SELECT doc_id, sha2(CAST(text AS BINARY), 256) AS text_sha, lang
+                    FROM parquet.`{table_path(sf_dir, "documents")}`))
+        WHERE rn = 1
+    """)
 
 
 EXPLODE_FACTOR = 24  # text -> shingle rows blow-up (~8 bytes/token × 3-gram)

@@ -32,17 +32,19 @@ from spark_lineage_spark.tables import load, register_views
     """,
 )
 def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li, o = load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
-            F.count("*").alias("n_items"),
-        )
-    )
+    # ONE sql() text (optimization r14, guide §7.3): identical plan,
+    # built JVM-side in a single py4j round-trip.
+    from spark_lineage_spark.tables import table_path
+
+    return spark.sql(f"""
+        SELECT o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM parquet.`{table_path(sf_dir, "lineitem")}` li
+        JOIN parquet.`{table_path(sf_dir, "orders")}` o
+          ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """)
 
 
 @query(

@@ -40,23 +40,27 @@ from spark_lineage_spark.tables import load, register_views
     """,
 )
 def fn_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = load(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.concat_ws(":", "p_brand", F.upper("p_name")).alias("brand_name"),
-        F.lower("p_type").alias("type_lc"),
-        F.substring("p_name", 1, 5).alias("name5"),
-        F.length("p_name").alias("name_len"),
-        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
-        F.rpad("p_brand", 10, ".").alias("brand_pad"),
-        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_us"),
-        F.size(F.split("p_name", " ")).alias("n_words"),
-        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("second_word"),
-        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
-        F.levenshtein(F.col("p_name"), F.lit("small ring")).alias("lev"),
-        F.translate("p_brand", "#", "-").alias("brand_dash"),
-        F.repeat(F.substring("p_name", 1, 2), 2).alias("rep2"),
-    )
+    # ONE sql() text (optimization r14, guide §7.3): identical
+    # expressions, built JVM-side in a single py4j round-trip.
+    from spark_lineage_spark.tables import table_path
+
+    return spark.sql(f"""
+        SELECT p_partkey,
+               concat_ws(':', p_brand, upper(p_name)) AS brand_name,
+               lower(p_type) AS type_lc,
+               substring(p_name, 1, 5) AS name5,
+               length(p_name) AS name_len,
+               lpad(CAST(p_size AS STRING), 4, '0') AS size_pad,
+               rpad(p_brand, 10, '.') AS brand_pad,
+               replace(p_name, ' ', '_') AS name_us,
+               size(split(p_name, ' ')) AS n_words,
+               split_part(p_name, ' ', 2) AS second_word,
+               trim(concat('  ', p_name, '  ')) AS trimmed,
+               levenshtein(p_name, 'small ring') AS lev,
+               translate(p_brand, '#', '-') AS brand_dash,
+               repeat(substring(p_name, 1, 2), 2) AS rep2
+        FROM parquet.`{table_path(sf_dir, "part")}`
+    """)
 
 
 @query(

@@ -32,13 +32,21 @@ def _parallel_corpus(spark: SparkSession, e: DataFrame) -> DataFrame:
     try:
         import os
 
+        files = e.inputFiles()
         size = sum(
-            os.path.getsize(f.replace("file:", "").replace("//", "/")) for f in e.inputFiles()
+            os.path.getsize(f.replace("file:", "").replace("//", "/")) for f in files
         )
     except Exception:
         return e
     par = spark.sparkContext.defaultParallelism
-    if size < (256 << 20) and e.rdd.getNumPartitions() < par:
+    # Estimate scan parallelism from file metadata instead of
+    # e.rdd.getNumPartitions(): the RDD conversion built and planned
+    # the whole query once per invocation (~0.1 s py4j/driver work,
+    # optimization r14 guide §7.3). A scan yields at most one task per
+    # max(128 MB, file) chunk, so small inputs always estimate below
+    # the core count — same decision, no RDD materialization.
+    est_parts = max(len(files), size // (128 << 20)) if files else par
+    if size < (256 << 20) and est_parts < par:
         return e.repartition(par)
     return e
 

@@ -109,29 +109,32 @@ def llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    m = d.select(
-        "doc_id",
-        "n_chars",
-        F.size(toks).alias("n_words"),
-        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("n_nonspace"),
-        F.size(F.split(F.col("text"), "[^a-z0-9 ]")).alias("n_punct_plus1"),
-        marker_count(toks, ["the", "a", "of", "and", "to", "in", "is"]).alias("n_stop"),
-    ).withColumn("n_punct", F.col("n_punct_plus1") - 1)
-    return m.select(
-        "doc_id",
-        "n_words",
-        F.round(F.col("n_nonspace") / F.col("n_words"), 6).alias("avg_word_len"),
-        F.round(F.col("n_punct") / F.col("n_chars"), 6).alias("punct_ratio"),
-        F.round(F.col("n_stop") / F.col("n_words"), 6).alias("stopword_ratio"),
-        F.when(
-            (F.col("n_words") >= 50) & (F.col("n_punct") / F.col("n_chars") < 0.05), "good"
+    # ONE sql() text (optimization r14, guide §7.3): identical
+    # expressions (integer / yields DOUBLE in both APIs; the marker
+    # OR-chain becomes the same lambda filter), built JVM-side in a
+    # single py4j round-trip.
+    from spark_lineage_spark.tables import table_path
+
+    return spark.sql(f"""
+        WITH m AS (
+          SELECT doc_id, n_chars,
+                 size(split(text, ' ')) AS n_words,
+                 length(replace(text, ' ', '')) AS n_nonspace,
+                 size(split(text, '[^a-z0-9 ]')) - 1 AS n_punct,
+                 size(filter(split(text, ' '),
+                      t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and'
+                           OR t = 'to' OR t = 'in' OR t = 'is')) AS n_stop
+          FROM parquet.`{table_path(sf_dir, "documents")}`
         )
-        .when(F.col("n_words") >= 20, "fair")
-        .otherwise("poor")
-        .alias("quality_bucket"),
-    )
+        SELECT doc_id, n_words,
+               round(n_nonspace / n_words, 6) AS avg_word_len,
+               round(n_punct / n_chars, 6) AS punct_ratio,
+               round(n_stop / n_words, 6) AS stopword_ratio,
+               CASE WHEN n_words >= 50 AND n_punct / n_chars < 0.05 THEN 'good'
+                    WHEN n_words >= 20 THEN 'fair'
+                    ELSE 'poor' END AS quality_bucket
+        FROM m
+    """)
 
 
 @query(

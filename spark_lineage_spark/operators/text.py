@@ -5054,7 +5054,7 @@ def llm_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # doubles.
 _SELFBLEU_SQL = """
 WITH docs AS (
-  SELECT doc_id, source, {tokens} AS toks
+  SELECT {hint} doc_id, source, {tokens} AS toks
   FROM documents WHERE text IS NOT NULL
 ),
 paired AS (
@@ -5111,6 +5111,7 @@ FROM src ORDER BY source
 """
 
 _SELFBLEU_SPARK = dict(
+    hint="",
     tokens="filter(split(text, ' '), t -> length(t) > 0)",
     div="div",
     unnest_uni="explode(toks)",
@@ -5122,6 +5123,7 @@ _SELFBLEU_SPARK = dict(
     ),
 )
 _SELFBLEU_DUCK = dict(
+    hint="",
     tokens="list_filter(string_split(text, ' '), t -> length(t) > 0)",
     div="//",
     unnest_uni="unnest(toks)",
@@ -5277,7 +5279,7 @@ def llm_selfbleu_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WATERMARK_GAMMA = 0.25
 _WATERMARK_SQL = """
 WITH docs AS (
-  SELECT doc_id, source, {tokens} AS toks
+  SELECT {hint} doc_id, source, {tokens} AS toks
   FROM documents WHERE text IS NOT NULL
 ),
 bigrams AS (
@@ -5326,6 +5328,7 @@ _WATERMARK_SPARK = dict(
     ),
 )
 _WATERMARK_DUCK = dict(
+    hint="",
     tokens="list_filter(string_split(text, ' '), t -> length(t) > 0)",
     unnest_bi="unnest(bg)",
     bigram_arr=(
@@ -5362,5 +5365,22 @@ def llm_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at any SF: one tokenize pass explodes to bigram rows (the
     llm_bigram_pmi shuffle shape), doc-grain hash agg, |sources|-row
     finish.  Map-side md5 per bigram in codegen; no join at all."""
+    from spark_lineage_spark.operators.dedup import explode_partitions
+
     register_views(spark, sf_dir, ["documents"])
-    return spark.sql(_WATERMARK_SQL.format(**_WATERMARK_SPARK))
+    # Optimization r14 (guide §2.5 input skew): the corpus ships as ONE
+    # parquet file/row group, so the md5-per-bigram map work (the whole
+    # cost of this op) ran in a single scan task — 10.2 s at sf0.1 on
+    # 32 cores. Repartition by doc_id before the explode (the dedup
+    # explode-sizing rule, floored at core count); the per-doc agg then
+    # reuses that partitioning. At real scale the scan is already
+    # parallel and the hint just re-spreads one stage.
+    npart = max(
+        explode_partitions(load(spark, sf_dir, "documents")),
+        spark.sparkContext.defaultParallelism,
+    )
+    return spark.sql(
+        _WATERMARK_SQL.format(
+            hint=f"/*+ REPARTITION({npart}, doc_id) */", **_WATERMARK_SPARK
+        )
+    )

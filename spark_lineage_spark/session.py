@@ -57,6 +57,22 @@ RUNTIME_CONFS: dict[str, str] = {
     # events.parquet stores TIMESTAMP(NANOS) which Spark 4 rejects by
     # default; read the raw int64 and convert to µs in tables.load().
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Optimization r14 (guide §7.2 duplicated subtrees): every explode
+    # in this engine generates from a COMPUTED array (tokenize →
+    # shingles/bigrams). InferFiltersFromGenerate adds
+    # size(arr) > 0 AND isnotnull(arr) above the generator, and filter
+    # pushdown then substitutes the full array expression into a
+    # filter BELOW the parallelizing exchange — the tokenize+transform
+    # work ran 3-4× per row inside the single scan task (measured:
+    # llm_watermark_detect 8.2 s → 1.2 s at sf0.1 from this exclusion
+    # alone; every shingle/bigram op shares the pattern). The inferred
+    # filter only pre-drops rows whose exploded array is empty — rows
+    # Generate drops anyway — so correctness is unaffected at any
+    # scale, and for computed arrays the "optimization" is a strict
+    # per-row CPU multiplier.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 

@@ -9416,7 +9416,12 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     # OUTPUT is sum-of-squared-out-degrees rows, so that serializes
     # the wedge stage; pin a src hash layout wide enough to keep the
     # quadratic fan-out parallel (also co-locates both join sides)
-    oriented = oriented.repartition(32, "src")
+    # core-count-derived, not a constant (optimization r14): 32 was
+    # tuned to local[32]; defaultParallelism keeps the wedge fan-out
+    # parallel at any cluster width and identical locally
+    oriented = oriented.repartition(
+        spark.sparkContext.defaultParallelism, "src"
+    )
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")
     wedges = o1.join(

@@ -79,6 +79,27 @@ def explode_partitions(df, factor: int = EXPLODE_FACTOR) -> int:
     return int(min(want, 4 * sc.defaultParallelism))
 
 
+def est_scan_partitions(df) -> int:
+    """Upper-bound estimate of a DataFrame's scan parallelism from
+    file metadata (one task per max(128 MB, file) chunk). Replaces
+    per-invocation ``df.rdd.getNumPartitions()`` probes, which planned
+    the whole query and materialized an RDD conversion (~0.1 s of
+    driver work each — optimization r14, guide §7.3). Returns a large
+    number when the input is not file-backed, so callers skip their
+    small-input repartition in that case (same decision the RDD probe
+    made for already-wide inputs)."""
+    try:
+        files = df.inputFiles()
+        if not files:
+            return 1 << 30
+        size = sum(
+            os.path.getsize(f.replace("file:", "").replace("//", "/")) for f in files
+        )
+        return max(len(files), size // (128 << 20))
+    except Exception:
+        return 1 << 30
+
+
 SHINGLE_DF_CAP = 1000  # drop shingles appearing in more docs than this
 
 
@@ -578,7 +599,7 @@ def _simhash_signatures(d: DataFrame) -> DataFrame:
     # 32-task scheduling (measured: repartition(32) is a net LOSS at
     # sf0.1 — 0.69s vs 0.55s single-partition).
     npart = explode_partitions(d, factor=8)
-    if npart > d.rdd.getNumPartitions():
+    if npart > est_scan_partitions(d):
         d = d.repartition(npart, "doc_id")
     # NULL text would propagate through split/filter/transform to a
     # NULL hashes array and crash len() inside the fold — drop such

@@ -940,10 +940,13 @@ def llm_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan-sized partition doesn't explode past memory (same guard as
     # _distinct_shingles — the zip extraction changed the per-row cost,
     # not the row-count expansion)
-    npart = __import__(
-        "spark_lineage_spark.operators.dedup", fromlist=["explode_partitions"]
-    ).explode_partitions(d)
-    if npart > d.rdd.getNumPartitions():
+    from spark_lineage_spark.operators.dedup import (
+        est_scan_partitions,
+        explode_partitions,
+    )
+
+    npart = explode_partitions(d)
+    if npart > est_scan_partitions(d):
         d = d.repartition(npart, "doc_id")
     uni = (
         d.select(F.explode(tokens(F.col("text"))).alias("w"))

@@ -927,9 +927,21 @@ def llm_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     _distinct_shingles caps hot shingles. The oracle is the unblocked
     predicate form — blocking must only prune, never change results.
     """
-    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text", "n_chars")
+    d = load(spark, sf_dir, "documents")
+    # Optimization r14 (guide §8 — decide with small rows, move big
+    # rows once): candidate generation previously carried BOTH texts
+    # through the block join, the pair dedup and the DP-spread
+    # repartition — the document payload crossed three exchanges,
+    # duplicated per candidate pair (~hundreds of MB at sf0.1 for a
+    # ~140k-pair candidate set). Candidates are now formed on
+    # (doc_id, lang, block, n_chars) METADATA only; the texts attach
+    # afterwards via two joins against the slim (doc_id, text)
+    # projection — each document's bytes move once, and only for docs
+    # that appear in candidates (AQE broadcasts the text side when
+    # small; at scale it is one doc_id-keyed shuffle of the corpus).
+    meta = d.select("doc_id", "lang", "n_chars")
     width = 16
-    blocked = d.withColumn(
+    blocked = meta.withColumn(
         "block",
         F.explode(
             F.array(
@@ -950,26 +962,47 @@ def llm_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
-            F.col("a.text").alias("text_a"),
-            F.col("b.text").alias("text_b"),
         )
         .dropDuplicates(["doc_id_a", "doc_id_b"])  # {b,b+1} double-match
     )
     # The DP stage is CPU-bound, not byte-bound: AQE sizes post-join
-    # partitions by bytes and would happily coalesce ~100k small rows
-    # onto a couple of cores, serializing the expensive part. Spread
-    # candidates explicitly, and use the bounded form of levenshtein
-    # (banded DP, O(len*threshold) not O(len^2)) — it returns -1 when
-    # the distance exceeds the threshold, so `0 <= lev <= 20` selects
+    # partitions by bytes and would happily coalesce ~100k small ID
+    # rows onto one core, serializing the expensive part — and a
+    # repartition on the SAME keys as the dedup exchange is optimized
+    # away as redundant, so spread on doc_id_a alone (a different
+    # partitioning, kept as REPARTITION_BY_NUM which AQE never
+    # coalesces; the broadcast text-attach joins preserve it). The
+    # bounded levenshtein (banded DP, O(len*threshold) not O(len^2))
+    # returns -1 past the threshold, so `0 <= lev <= 20` selects
     # exactly the pairs the unbounded oracle keeps.
-    cand = cand.repartition(
-        spark.sparkContext.defaultParallelism, "doc_id_a", "doc_id_b"
+    cand = cand.repartition(spark.sparkContext.defaultParallelism, "doc_id_a")
+    texts = d.select("doc_id", "text")
+    paired = (
+        cand.join(
+            texts.select(
+                F.col("doc_id").alias("doc_id_a"), F.col("text").alias("text_a")
+            ),
+            "doc_id_a",
+        )
+        .join(
+            texts.select(
+                F.col("doc_id").alias("doc_id_b"), F.col("text").alias("text_b")
+            ),
+            "doc_id_b",
+        )
     )
-    return (
-        cand.withColumn("lev", F.levenshtein("text_a", "text_b", 20))
-        .filter((F.col("lev") >= 0) & (F.col("lev") <= 20))
-        .select("doc_id_a", "doc_id_b", "lev")
+    # Materialization barrier before the filter: otherwise the lev
+    # predicate is pushed into the attach join's condition and the DP
+    # runs 3× per candidate (twice in the condition, once in the
+    # projection — seen in the physical plan). The checkpoint stores
+    # one (ids, lev) row per candidate, so each pair pays the DP once.
+    scored = lineage_checkpoint(
+        paired.select(
+            "doc_id_a", "doc_id_b", F.levenshtein("text_a", "text_b", 20).alias("lev")
+        ),
+        eager=False,
     )
+    return scored.filter((F.col("lev") >= 0) & (F.col("lev") <= 20))
 
 
 @query(

@@ -685,7 +685,10 @@ def agg_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
     # 3-row result, consumed by both the deviation join and the final
     # select: checkpoint so the second selection pass cannot re-run
-    # the first one under it
+    # the first one under it. eager=False (optimization r14): under
+    # AQE the upstream stages execute at build either way; lazy defers
+    # the final materialization stage into the first consuming action
+    # — measured neutral-to-slightly-faster, one fewer barrier.
     med = lineage_checkpoint(
         grouped_kth(
             li,
@@ -695,7 +698,8 @@ def agg_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             [("med", 1, 2)],
         ).select(
             "l_returnflag", F.col("_v").alias("median"), "n"
-        )
+        ),
+        eager=False,
     )
     dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
         "ad",

@@ -392,9 +392,17 @@ def grouped_kth(
         "_rng", coarse
     )
     # tiny and read twice (cumsum + totals): checkpoint so neither
-    # consumer re-scans the base table
+    # consumer re-scans the base table (verified r14: WITHOUT the
+    # barrier the two consumers' subtrees do not canonicalize to a
+    # reused exchange — the plan re-scans the base per consumer).
+    # eager=False (optimization r14): under AQE, localCheckpoint's
+    # toRdd still executes the upstream query stages at build time
+    # either way; lazy defers the final checkpoint-materialization
+    # stage into the first consuming action — measured neutral to
+    # slightly faster, kept for the one fewer driver barrier.
     bcnt = lineage_checkpoint(
-        cdf.groupBy(*group_cols, "_rng").agg(F.count(F.lit(1)).alias("_cnt"))
+        cdf.groupBy(*group_cols, "_rng").agg(F.count(F.lit(1)).alias("_cnt")),
+        eager=False,
     )
     w = Window.partitionBy(*group_cols).orderBy("_rng")
     cum = (
@@ -462,8 +470,13 @@ def grouped_rank(df: DataFrame, group_cols: list, order_cols: list, coarse, weig
     from spark_lineage_spark.plans.extract import lineage_checkpoint
 
     # tiny (one row per (group, range)) and read twice (offsets cumsum
-    # + totals): checkpoint so neither consumer re-aggregates the base
-    rng_aggs = lineage_checkpoint(cdf.groupBy(*group_cols, "_rng").agg(*aggs))
+    # + totals): checkpoint so neither consumer re-aggregates the base.
+    # eager=False for the same reason as grouped_kth's bcnt
+    # (optimization r14): defers the checkpoint's final stage into the
+    # first consuming action; computed once either way.
+    rng_aggs = lineage_checkpoint(
+        cdf.groupBy(*group_cols, "_rng").agg(*aggs), eager=False
+    )
     # tiny cumsum: one row per (group, coarse range), bounded forever
     w_rng = (
         Window.partitionBy(*group_cols)

@@ -139,3 +139,21 @@ def test_verify_exact_jaccard_matches_pair_join(spark):
         .select("da", "db", F.round("jr", 6).alias("jaccard"))
     )
     assert _sorted_rows(opt) == _sorted_rows(exact)
+
+
+def test_mad_lazy_checkpoint_matches_eager(spark, specs):
+    """Lazy vs eager checkpoint forms of agg_median_abs_deviation
+    produce identical rows (the checkpoint is a barrier, never a
+    semantic change)."""
+    import spark_lineage_spark.plans.extract as ex
+
+    opt = _sorted_rows(specs["agg_median_abs_deviation"].builder(spark, SF))
+    orig = ex.lineage_checkpoint
+    ex.lineage_checkpoint = lambda df, eager=True: orig(df, True)
+    try:
+        eager_rows = _sorted_rows(
+            specs["agg_median_abs_deviation"].builder(spark, SF)
+        )
+    finally:
+        ex.lineage_checkpoint = orig
+    assert opt == eager_rows

@@ -1723,21 +1723,23 @@ def llm_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     direction removal (common-mean + top-PC subtraction measurably
     improves similarity search on real embedding corpora).  ITERATIVE
     linear algebra expressed as one lazy plan: 3 unrolled power-
-    iteration rounds over the dim x dim covariance, each a matvec
-    (broadcast 64-row iterate joined to the 4096-row covariance table)
-    + normalization, with every stage ROUNDED (mean 6, cov 8, iterate
-    8, outputs 6) so DuckDB replays bit-identical arithmetic and the
-    full pipeline sits under the value-hash gate despite float sums
-    (the llm_embedding_centroids round-before-use precedent).  Sign is
-    canonicalized at the largest-|loading| dimension (smallest dim on
-    ties) since eigenvectors are sign-ambiguous.
+    iteration rounds over the dim x dim covariance — collapsed to a
+    row-major array on ONE row, each round a matvec + normalization as
+    array expressions (see _power_core) — with every stage ROUNDED
+    (mean 6, cov 8, iterate 8, outputs 6) so DuckDB replays the same
+    rounded arithmetic and the full pipeline sits under the value-hash
+    gate despite float sums (the llm_embedding_centroids
+    round-before-use precedent).  Sign is canonicalized at the
+    largest-|loading| dimension (smallest dim on ties) since
+    eigenvectors are sign-ambiguous.
 
     Scale shape: the ONLY corpus-wide work is the covariance build —
     per-row outer products flattened JVM-side (nested transform, no
     UDF) and hash-aggregated onto dim^2 partial sums, so the shuffle
     carries 4096 doubles per partition regardless of corpus size and
     the corpus itself never joins or shuffles; the iteration then runs
-    on metadata-scale tables (4096 + 64 rows) whatever the SF.  With
+    as single-row array arithmetic whatever the SF (dim-bounded — it
+    was ~12 metadata-scale AQE stage jobs as relational rounds).  With
     near-random fixture embeddings the spectrum is flat (explained
     share ~1/dim, eigval near the Marchenko-Pastur bulk edge), which
     the property test pins against numpy's replay of the identical
@@ -1745,21 +1747,18 @@ def llm_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _parallel_corpus(
         spark, load(spark, sf_dir, "embeddings")
     ).select("vec_id", to_double_array("embedding").alias("emb"))
-    mu, cov, v, sgn = _power_iteration_parts(spark, e)
-    lam = (
-        cov.join(F.broadcast(v), "j")
-        .groupBy("i")
-        .agg(F.round(F.sum(F.col("c") * F.col("vj")), 8).alias("w"))
-        .agg(F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), 6).alias("eigval"))
-    )
-    tr = cov.filter(F.col("i") == F.col("j")).agg(F.sum("c").alias("trace"))
+    mu, core = _power_core(spark, e)
+    # per-dim output rows come from the checkpointed 64-row means table
+    # (no explode — the plan stays Generate-free past the leaves), with
+    # the one-row core broadcast over them
     return (
-        v.crossJoin(F.broadcast(sgn))
-        .crossJoin(F.broadcast(lam))
-        .crossJoin(F.broadcast(tr))
+        mu.select(F.col("i").alias("dim"))
+        .crossJoin(F.broadcast(core))
         .select(
-            F.col("j").alias("dim"),
-            F.round(F.col("vj") * F.col("s"), 6).alias("loading"),
+            "dim",
+            F.element_at(F.col("va6"), F.col("dim").cast("int") + 1).alias(
+                "loading"
+            ),
             "eigval",
             F.round(F.col("eigval") / F.col("trace"), 6).alias("explained_share"),
         )
@@ -1803,7 +1802,31 @@ def _cov_table(e, mu):
     )
 
 
-def _power_iteration_parts(spark, e):
+def _matvec_arr(ca, v):
+    """w_i = round(sum_j cov[i,j] * v[j], 8) over a row-major dim^2
+    covariance ARRAY and a dim-element iterate array — the per-round
+    matvec of the unrolled power iteration, as a single projection
+    expression instead of a join+groupBy pair.  The inner sum is an
+    in-j-order fold; cov entries are pre-rounded to 8 and ~1e-2 in
+    magnitude, so ordering effects (~1e-14) vanish at the 1e-8 round —
+    the same argument that already lets Spark's hash-agg sum hash-match
+    DuckDB's (verified against the oracle at all three SFs)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(PC_DIM - 1)),
+        lambda i: F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.slice(ca, i * PC_DIM + 1, PC_DIM), v, lambda x, y: x * y
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            8,
+        ),
+    )
+
+
+def _power_core(spark, e):
     """Shared top-PC pipeline (SURVEY §2.21): per-dim rounded mean,
     dim x dim rounded covariance built from per-row JVM-side outer
     products over MAP-SIDE-centered vectors (the 64 means broadcast as
@@ -1813,41 +1836,124 @@ def _power_iteration_parts(spark, e):
     canonicalizer — the common core of llm_embedding_top_pc (which
     reports the component) and llm_embedding_abtt (which projects it
     out per vector).  mu (64 rows) and cov (dim^2 rows) are
-    localCheckpoint'd: cov feeds every iteration round plus lam / tr /
-    sgn, so without materialization each consumer re-runs the corpus
-    outer-product pass (~11 corpus scans in the closed plan); with it
-    the corpus is read exactly twice (means, covariance) and the
-    iterations run on a 4096-row LogicalRDD leaf.  Returns (mu, cov,
-    v, sgn) DataFrames with every stage rounded exactly as the DuckDB
-    replays expect."""
+    localCheckpoint'd: the corpus is read exactly twice (means,
+    covariance) and everything downstream runs on checkpointed leaves.
+
+    Optimization r14 (guide §5/§7 driver overhead): the iteration used
+    to run RELATIONALLY — each round a broadcast join + groupBy agg on
+    the 4096-row cov leaf, plus separate eigval / trace / sign
+    aggregations (~12 metadata-scale AQE stage jobs, ~1.5-2 s of pure
+    scheduling at any SF since these tables are dim-bounded).  Now cov
+    collapses once into a row-major 4096-element ARRAY on one row and
+    all PC_ITERS matvec/normalize rounds, the eigval matvec, the trace
+    and the sign canonicalization are array expressions in a handful of
+    projections over that single row — 2 tiny aggregations total, no
+    per-round shuffles.  Per-stage arithmetic (values, rounding points,
+    evaluation order per stage) is IDENTICAL to the relational form the
+    DuckDB oracles replay; only the sum fold order inside each rounded
+    stage differs, which the 1e-8/1e-6 rounds absorb (oracle-verified
+    at sf0.001/0.01/0.1).
+
+    Returns (mu, core): mu the checkpointed 64-row means table (i, m);
+    core a ONE-ROW DataFrame with ma (means array, i-order), va6 / va8
+    (sign-canonicalized iterate, rounded 6 / 8), eigval, trace."""
     ex = e.select("vec_id", F.posexplode("emb").alias("i", "x"))
     # 64-row means table, materialized once (localCheckpoint): it feeds
-    # the broadcast centering array AND the abtt oracle's mu output —
+    # the broadcast centering array AND the final per-dim output axis —
     # without the checkpoint every consumer re-runs the corpus explode
     mu = ex.groupBy("i").agg(F.round(F.avg("x"), 6).alias("m")).transform(
         lineage_checkpoint
     )
     cov = _cov_table(e, mu).transform(lineage_checkpoint)
-    v = spark.range(PC_DIM).select(
-        F.col("id").alias("j"),
-        F.when(F.col("id") == 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("vj"),
+    # collapse the checkpointed leaves to one row of arrays: ca is the
+    # row-major cov (sorted by (i, j) — array_sort on structs), ma the
+    # i-ordered means; the iteration seed keeps its spark.range(dim)
+    # ancestry (lineage: loading/eigval trace to range.id)
+    ca_row = cov.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "j", "c"))), lambda s: s["c"]
+        ).alias("ca")
     )
+    ma_row = mu.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+        ).alias("ma")
+    )
+    v0_row = spark.range(PC_DIM).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("id").alias("j"),
+                        F.when(F.col("id") == 0, F.lit(1.0))
+                        .otherwise(F.lit(0.0))
+                        .alias("vj"),
+                    )
+                )
+            ),
+            lambda s: s["vj"],
+        ).alias("v")
+    )
+    core = ca_row.crossJoin(F.broadcast(ma_row)).crossJoin(F.broadcast(v0_row))
     for _ in range(PC_ITERS):
-        w = (
-            cov.join(F.broadcast(v), "j")
-            .groupBy("i")
-            .agg(F.round(F.sum(F.col("c") * F.col("vj")), 8).alias("w"))
+        # matvec then normalize, each rounded exactly as before
+        # (w to 8 inside _matvec_arr, v to 8 after the norm divide)
+        core = core.select(
+            "ca", "ma", _matvec_arr(F.col("ca"), F.col("v")).alias("w")
+        ).select(
+            "ca",
+            "ma",
+            "w",
+            F.sqrt(
+                F.aggregate(F.col("w"), F.lit(0.0), lambda a, y: a + y * y)
+            ).alias("nrm"),
+        ).select(
+            "ca",
+            "ma",
+            F.transform(
+                "w", lambda x: F.round(x / F.col("nrm"), 8)
+            ).alias("v"),
         )
-        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-        v = w.crossJoin(F.broadcast(nrm)).select(
-            F.col("i").alias("j"), F.round(F.col("w") / F.col("nrm"), 8).alias("vj")
+    # sign canonicalization at the largest-|loading| dimension
+    # (array_position returns the FIRST occurrence = smallest dim on
+    # ties — same tiebreak as the old ORDER BY abs(vj) DESC, j LIMIT 1)
+    absv = F.transform("v", lambda x: F.abs(x))
+    core = core.select(
+        "ca",
+        "ma",
+        "v",
+        F.when(
+            F.element_at(
+                F.col("v"), F.array_position(absv, F.array_max(absv)).cast("int")
+            )
+            >= 0,
+            F.lit(1.0),
         )
-    sgn = (
-        v.orderBy(F.abs(F.col("vj")).desc(), "j")
-        .limit(1)
-        .select(F.when(F.col("vj") >= 0, F.lit(1)).otherwise(F.lit(-1)).alias("s"))
+        .otherwise(F.lit(-1.0))
+        .alias("s"),
     )
-    return mu, cov, v, sgn
+    # final matvec for the eigenvalue + the diagonal trace, still in
+    # the one-row array domain (was: two more relational aggregations)
+    core = core.select(
+        "ma",
+        F.transform("v", lambda x: F.round(x * F.col("s"), 6)).alias("va6"),
+        F.transform("v", lambda x: F.round(x * F.col("s"), 8)).alias("va8"),
+        _matvec_arr(F.col("ca"), F.col("v")).alias("w4"),
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(PC_DIM - 1)),
+            F.lit(0.0),
+            lambda a, i: a + F.element_at(F.col("ca"), (i * (PC_DIM + 1) + 1).cast("int")),
+        ).alias("trace"),
+    ).select(
+        "ma",
+        "va6",
+        "va8",
+        "trace",
+        F.round(
+            F.sqrt(F.aggregate("w4", F.lit(0.0), lambda a, x: a + x * x)), 6
+        ).alias("eigval"),
+    )
+    return mu, core
 
 
 def _abtt_oracle() -> str:
@@ -1888,7 +1994,7 @@ def llm_embedding_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
     energy the top PC explains; reported for the 10 vectors MOST
     aligned with the dominant direction (|t| desc, vec_id tiebreak) —
     the rows an embedding-QC pass would flag as "common-direction
-    outliers".  Reuses _power_iteration_parts verbatim (same rounded
+    outliers".  Reuses _power_core verbatim (same rounded
     mean / covariance / 3 power rounds / sign canonicalization as
     llm_embedding_top_pc), so the DuckDB oracle replays the identical
     unrolled algorithm and every per-vector number closes bit-identical
@@ -1905,25 +2011,12 @@ def llm_embedding_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _parallel_corpus(
         spark, load(spark, sf_dir, "embeddings")
     ).select("vec_id", to_double_array("embedding").alias("emb"))
-    mu, cov, v, sgn = _power_iteration_parts(spark, e)
-    mu_arr = mu.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
-        ).alias("ma")
-    )
-    v_arr = (
-        v.crossJoin(F.broadcast(sgn))
-        .select("j", F.round(F.col("vj") * F.col("s"), 8).alias("vs"))
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("j", "vs"))), lambda s: s["vs"]
-            ).alias("va")
-        )
-    )
+    _, core = _power_core(spark, e)
+    # one broadcast one-row side carrying BOTH arrays (means + signed
+    # component, rounded 8) — was two separately-aggregated broadcasts
     cemb = F.zip_with(F.col("emb"), F.col("ma"), lambda x, m: x - m)
     per = (
-        e.crossJoin(F.broadcast(mu_arr))
-        .crossJoin(F.broadcast(v_arr))
+        e.crossJoin(F.broadcast(core.select("ma", F.col("va8").alias("va"))))
         .select(
             "vec_id",
             F.round(dot(cemb, F.col("va")), 8).alias("t8"),

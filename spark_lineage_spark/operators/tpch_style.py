@@ -667,44 +667,52 @@ def tpch_q2_style(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 adapted (no partsupp table): unit supply cost is derived as
     min(l_extendedprice / l_quantity) per (part, supplier). The
     correlated 'cheapest EUROPE supplier for this part' subquery is
-    decorrelated to a per-part min + equality join on the ROUNDED cost
-    (both engines compare identical rounded doubles). Dim chain
-    (supplier→nation→region) broadcasts; the cost agg shuffles once on
-    (partkey, suppkey) — the same layout the min-per-part reuses."""
-    li = load(spark, sf_dir, "lineitem")
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("unit_cost")
-    )
-    s = load(spark, sf_dir, "supplier")
-    n = F.broadcast(load(spark, sf_dir, "nation"))
-    r = F.broadcast(load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))
-    eur = (
-        cost.join(F.broadcast(s), cost.l_suppkey == s.s_suppkey)
-        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
-        .select("l_partkey", "l_suppkey", "unit_cost", "s_acctbal", "s_name", "n_name")
-        .transform(lineage_checkpoint)  # feeds both the rows and the per-part min
-    )
-    min_cost = eur.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
-        F.min("unit_cost").alias("min_cost")
-    )
-    p = load(spark, sf_dir, "part").filter(F.col("p_size") == 20).select(
-        "p_partkey", "p_type"
-    )
-    return (
-        p.join(eur, p.p_partkey == eur.l_partkey)
-        .join(
-            F.broadcast(min_cost),
-            (F.col("p_partkey") == F.col("mc_partkey"))
-            & (F.col("unit_cost") == F.col("min_cost")),
+    decorrelated to a per-part MIN WINDOW + equality filter on the
+    ROUNDED cost (both engines compare identical rounded doubles).
+
+    Optimization r14 (guide §2.1/§7.3): the previous shape
+    localCheckpoint'd the EUROPE cost table (an eager ~1.2 s
+    driver-blocking job at plan build) so a separate groupBy-min could
+    re-read it and re-attach via a broadcast equality join. The window
+    form computes the same per-part min IN PLACE — one pass over the
+    small cost table, no checkpoint, no second join — and the whole
+    query is ONE sql() text (single py4j round-trip). Same result: a
+    min() window over exactly the rows the old aggregate grouped, and
+    the same rounded-equality selection. Dim chain (supplier→nation→
+    region) broadcasts; lineitem shuffles once on (partkey, suppkey);
+    the window re-keys only the already-aggregated cost table."""
+    from spark_lineage_spark.tables import table_path
+
+    return spark.sql(f"""
+        WITH cost AS (
+          SELECT l_partkey, l_suppkey,
+                 round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+          FROM parquet.`{table_path(sf_dir, "lineitem")}`
+          GROUP BY l_partkey, l_suppkey
+        ),
+        eur AS (
+          SELECT l_partkey, unit_cost, s_acctbal, s_name, n_name
+          FROM cost
+          JOIN parquet.`{table_path(sf_dir, "supplier")}` ON s_suppkey = l_suppkey
+          JOIN parquet.`{table_path(sf_dir, "nation")}` ON s_nationkey = n_nationkey
+          JOIN parquet.`{table_path(sf_dir, "region")}` ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+        ),
+        best AS (
+          SELECT * FROM (
+            SELECT l_partkey, unit_cost, s_acctbal, s_name, n_name,
+                   min(unit_cost) OVER (PARTITION BY l_partkey) AS min_cost
+            FROM eur
+          ) WHERE unit_cost = min_cost
         )
-        .select(
-            F.round("s_acctbal", 2).alias("acctbal"),
-            "s_name", "n_name", "p_partkey", "p_type", "unit_cost",
-        )
-        .orderBy(F.desc("acctbal"), "n_name", "s_name", "p_partkey")
-        .limit(10)
-    )
+        SELECT round(s_acctbal, 2) AS acctbal, s_name, n_name,
+               p_partkey, p_type, unit_cost
+        FROM parquet.`{table_path(sf_dir, "part")}`
+        JOIN best ON p_partkey = l_partkey
+        WHERE p_size = 20
+        ORDER BY acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 10
+    """)
 
 
 @query(

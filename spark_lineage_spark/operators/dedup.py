@@ -217,7 +217,7 @@ def _rarity_prefixes(sh: DataFrame, threshold: float, probe: DataFrame | None = 
             F.col("pos")
             <= F.floor((1 - threshold) * F.col("n") + F.col("n") * 1e-12 + 1e-9) + 1
         )
-        .select("doc_id", "shingle")
+        .select("doc_id", "shingle", "n")
     )
 
 
@@ -228,19 +228,34 @@ def _jaccard_pairs_from_shingles(sh: DataFrame, threshold: float = JACCARD_THRES
     B would disagree on more than a (1-t) fraction of either set), so
     recall is exactly 1 — this is a pure candidate reduction, ~5×
     fewer probe rows at t=0.8 and far fewer candidate pairs (rare
-    shingles collide rarely). Exact verification on candidates only
-    (shared with the MinHash path)."""
+    shingles collide rarely). PPJoin's SIZE filter prunes the collided
+    pairs further (optimization r14, guide §3.2): J(A,B) ≥ t forces
+    t·max(|A|,|B|) ≤ min(|A|,|B|), checked in EXACT integer arithmetic
+    (10·n against t10·n — a float t·n can land an ulp above an exact
+    boundary and drop a qualifying pair), so it is a pure candidate
+    reduction with recall exactly 1 (measured 118 826 → 43 543
+    candidates at sf0.1, and the verify/checkpoint stages shrink with
+    it). Exact verification on candidates only (shared with the
+    MinHash path)."""
     pref = _rarity_prefixes(sh, threshold)
     a, b = pref.alias("a"), pref.alias("b")
+    t10 = int(round(threshold * 10))
+    size_ok = (
+        ((F.lit(10) * F.col("a.n")) >= (F.lit(t10) * F.col("b.n")))
+        & ((F.lit(10) * F.col("b.n")) >= (F.lit(t10) * F.col("a.n")))
+        if abs(threshold * 10 - t10) < 1e-9
+        else F.lit(True)  # non-decimal threshold: skip, never approximate
+    )
     candidates = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & size_ok,
         )
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
-        .transform(lineage_checkpoint)  # read 3× by the verify stage
+        .transform(_stage_candidates)  # read 3× by the verify stage
     )
     return _verify_exact_jaccard(sh, candidates, threshold)
 
@@ -384,9 +399,25 @@ def _minhash_lsh_pairs(sh: DataFrame, threshold: float = JACCARD_THRESHOLD) -> D
         )
         .select(F.col("bl.doc_id").alias("da"), F.col("br.doc_id").alias("db"))
         .distinct()
-        .transform(lineage_checkpoint)  # read 3× by the verify stage
+        .transform(_stage_candidates)  # read 3× by the verify stage
     )
     return _verify_exact_jaccard(sh, candidates, threshold)
+
+
+def _stage_candidates(cand: DataFrame) -> DataFrame:
+    """Materialize a candidate pair list for the multi-read verify
+    stage: repartition by da at cluster width, then lineage
+    localCheckpoint. The explicit REPARTITION_BY_NUM matters
+    (optimization r14, guide §2.5): after the distinct, AQE coalesces
+    the small pair list to ONE partition, and since the checkpointed
+    layout is what every verify join streams, the per-pair
+    set-intersection work all landed on a single task (measured: the
+    118 k-candidate prefix-filter verify ran its array_intersects
+    serially, ~3.5 s of one-core work at sf0.1 — and at 100 TB the
+    same plan would funnel the whole candidate volume through however
+    few partitions the advisory size target produced)."""
+    sc = cand.sparkSession.sparkContext
+    return lineage_checkpoint(cand.repartition(sc.defaultParallelism, "da"))
 
 
 def _verify_exact_jaccard(sh: DataFrame, candidates: DataFrame, threshold: float) -> DataFrame:
@@ -395,48 +426,55 @@ def _verify_exact_jaccard(sh: DataFrame, candidates: DataFrame, threshold: float
     generators. Candidate sets are tiny relative to the corpus, but
     Catalyst can't estimate that — left alone it sort-merge-shuffles
     the full shingle table. So: (1) semi-join the shingle index down
-    to candidate docs, (2) run the inverted-index pair join on that
-    small slice, (3) keep exactly the candidate pairs with an inner
-    semi-join. The small sides are broadcast ONLY while the
-    materialized candidate count stays under CANDIDATE_BROADCAST_MAX
-    (known for free after the checkpoint) — at adversarial duplicate
-    density the verify stage degrades to plain shuffle joins instead
-    of OOMing the driver (VERDICT r1 item 6)."""
+    to candidate docs, (2) aggregate each candidate doc's shingle SET
+    once and checkpoint the per-doc sets (one ~doc-sized table,
+    previously recomputed per broadcast side — ReuseExchange did not
+    canonicalize the two view expansions, measured 2× the semi-join +
+    collect_set per invocation), (3) attach both sides' sets to the
+    candidate pairs and compute each pair's intersection MAP-SIDE
+    with array_intersect, evaluated ONCE per pair. The set table is
+    broadcast ONLY while the materialized candidate count stays under
+    CANDIDATE_BROADCAST_MAX (known for free after the checkpoint) —
+    at adversarial duplicate density the verify stage degrades to
+    plain shuffle joins instead of OOMing the driver (VERDICT r1
+    item 6). c = |set_a ∩ set_b| over distinct shingles is exactly
+    the count the old pair join produced, so jaccard is
+    bit-identical."""
     n_cand = candidates.count()  # cheap: counts checkpointed blocks
     small = n_cand <= CANDIDATE_BROADCAST_MAX
-    # Optimization r14 (guide §2.4 + §7.3): ONE sql() text (plan built
-    # JVM-side in a single py4j round-trip) and a fundamentally
-    # flatter shape — per-doc shingle SETS are aggregated once, then
-    # each candidate pair's intersection is computed MAP-SIDE with
-    # array_intersect. The previous form re-joined the shingle slice
-    # with itself on the shingle key and re-aggregated per pair: three
-    # more exchanges per invocation, and at scale a shuffle
-    # proportional to sum-of-pair-shingles instead of candidate-doc
-    # shingles. c = |set_a ∩ set_b| over distinct shingles is exactly
-    # the count the pair join produced, so jaccard is bit-identical.
-    spark = sh.sparkSession
-    sh.createOrReplaceTempView("sls_verify_sh")
-    candidates.createOrReplaceTempView("sls_verify_cand")
-    h_cd = "/*+ BROADCAST(cd) */" if small else ""
-    h_ds = "/*+ BROADCAST(sa), BROADCAST(sb) */" if small else ""
-    return spark.sql(f"""
-        WITH cd AS (SELECT DISTINCT doc_id FROM (
-                      SELECT da AS doc_id FROM sls_verify_cand
-                      UNION ALL
-                      SELECT db AS doc_id FROM sls_verify_cand)),
-        ds AS (SELECT {h_cd} s.doc_id, collect_set(s.shingle) AS sh_set
-               FROM sls_verify_sh s LEFT SEMI JOIN cd ON s.doc_id = cd.doc_id
-               GROUP BY s.doc_id)
-        SELECT da, db, round(jaccard_raw, 6) AS jaccard
-        FROM (SELECT {h_ds} c.da, c.db,
-                     CAST(size(array_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)
-                     / (size(sa.sh_set) + size(sb.sh_set)
-                        - size(array_intersect(sa.sh_set, sb.sh_set))) AS jaccard_raw
-              FROM sls_verify_cand c
-              JOIN ds sa ON c.da = sa.doc_id
-              JOIN ds sb ON c.db = sb.doc_id)
-        WHERE jaccard_raw >= {threshold!r}
-    """)
+    cd = (
+        candidates.select(F.col("da").alias("doc_id"))
+        .unionAll(candidates.select(F.col("db").alias("doc_id")))
+        .distinct()
+    )
+    ds = lineage_checkpoint(
+        sh.join(F.broadcast(cd) if small else cd, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh_set"))
+    )
+    bc = F.broadcast if small else (lambda df: df)
+    sa = bc(ds.select(F.col("doc_id").alias("da"), F.col("sh_set").alias("set_a")))
+    sb = bc(ds.select(F.col("doc_id").alias("db"), F.col("sh_set").alias("set_b")))
+    return (
+        candidates.join(sa, "da")
+        .join(sb, "db")
+        .select(
+            "da",
+            "db",
+            F.size(F.array_intersect("set_a", "set_b")).alias("c"),
+            F.size("set_a").alias("na"),
+            F.size("set_b").alias("nb"),
+        )
+        .select(
+            "da",
+            "db",
+            (F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))).alias(
+                "jaccard_raw"
+            ),
+        )
+        .filter(F.col("jaccard_raw") >= threshold)
+        .select("da", "db", F.round("jaccard_raw", 6).alias("jaccard"))
+    )
 
 
 # HashingTF features staged once per (app, sf_dir) — the same staging
@@ -1262,7 +1300,7 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("new_id", "doc_id").alias("db"),
         )
         .distinct()
-        .transform(lineage_checkpoint)  # read 3× by the verify stage
+        .transform(_stage_candidates)  # read 3× by the verify stage
     )
     return _verify_exact_jaccard(sh, candidates, JACCARD_THRESHOLD)
 
@@ -1345,7 +1383,7 @@ def llm_dedup_persistent_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = (
         vs_corpus.unionByName(vs_self)
         .distinct()
-        .transform(lineage_checkpoint)  # read 3x by the verify stage
+        .transform(_stage_candidates)  # read 3x by the verify stage
     )
     return _verify_exact_jaccard(sh, candidates, JACCARD_THRESHOLD)
 
@@ -1506,7 +1544,7 @@ def llm_dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
-        .transform(lineage_checkpoint)
+        .transform(_stage_candidates)
     )
     return _verify_exact_jaccard(sh, candidates, JACCARD_THRESHOLD)
 

@@ -956,17 +956,34 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB and fully value-hash-checked (the 4 rows are disjoint 8-hex
     slices of ONE md5 digest — one hash evaluation per input row). The sketch is the canonical
     bounded-state frequency summary at 100 TB: each input row
-    contributes to exactly d cells, the per-partition partial agg
-    collapses a partition of any size to <= d*w=1024 cells BEFORE the
-    exchange, and two sketches merge by cell-wise addition (the
-    groupBy's merge step IS the sketch union). The estimate for a key
-    is min over its d counters; CMS never undercounts, so
-    ``overcount >= 0`` always — the output reports est vs exact for
-    the top-10 keys (deterministic count-desc/key tie-break). Query
-    side: the probe table is 10 keys x 4 rows, broadcast to the 1024
-    counters; nothing rescans the fact."""
-    li = load(spark, sf_dir, "lineitem")
-    # ONE md5 per row; the d=4 sketch rows are 4 disjoint 8-hex-char
+    contributes to exactly d cells and two sketches merge by cell-wise
+    addition (the groupBy's merge step IS the sketch union). The
+    estimate for a key is min over its d counters; CMS never
+    undercounts, so ``overcount >= 0`` always — the output reports est
+    vs exact for the top-10 keys (deterministic count-desc/key
+    tie-break). Query side: the probe table is 10 keys x 4 rows,
+    broadcast to the 1024 counters; nothing rescans the fact.
+
+    Optimization r14 (guide §2.3 shuffle less + §1.2): the sketch and
+    the exact top-k used to run as two INDEPENDENT fact scans — and
+    since cell is a pure function of the KEY, the sketch pass was
+    hashing every fact row (600 k md5s in the fixture's single scan
+    task, ~2.7 s serial). The per-key exact counts the top-k already
+    needs are now built once (checkpointed) and the cells derive from
+    them by a weighted sum: cnt(d, cell) = Σ exact_cnt over keys
+    hashing to the cell — identical integers, ONE fact scan, and md5
+    runs once per DISTINCT key (~30× fewer calls here). At 100 TB the
+    mandatory per-key aggregation dominates either way; deriving the
+    sketch from it adds only a |keys|-row pass."""
+    from spark_lineage_spark.plans.extract import lineage_checkpoint
+
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    per_key = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .transform(lineage_checkpoint)  # feeds the cells AND the top-k
+    )
+    # ONE md5 per key; the d=4 sketch rows are 4 disjoint 8-hex-char
     # slices of the 32-char digest (the split-one-strong-hash CMS
     # trick) — measured 5.1s -> ~2s at sf0.1 vs 4 salted md5 calls
     depth = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("d")
@@ -977,20 +994,16 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 256
     ).alias("cell")
     cells = (
-        li.select(
-            F.expr("md5(cast(cast(l_partkey AS STRING) AS BINARY))").alias("dig")
+        per_key.select(
+            "exact_cnt",
+            F.expr("md5(cast(cast(l_partkey AS STRING) AS BINARY))").alias("dig"),
         )
-        .select("dig", depth)
-        .select("d", cell)
+        .select("exact_cnt", "dig", depth)
+        .select("exact_cnt", F.col("d"), cell)
         .groupBy("d", "cell")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("exact_cnt").alias("cnt"))
     )
-    topk = (
-        li.groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("exact_cnt"))
-        .orderBy(F.desc("exact_cnt"), "l_partkey")
-        .limit(10)
-    )
+    topk = per_key.orderBy(F.desc("exact_cnt"), "l_partkey").limit(10)
     probes = (
         topk.withColumn(
             "dig", F.expr("md5(cast(cast(l_partkey AS STRING) AS BINARY))")

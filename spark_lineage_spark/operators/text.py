@@ -1751,6 +1751,20 @@ def llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     window minima are portable.
     """
     d = load(spark, sf_dir, "documents")
+    # Optimization r14 (guide §2.5 input skew): the corpus ships as ONE
+    # parquet file/row group, so the shingle explode + md5 (the bulk of
+    # the op) ran in a single scan task. Repartition by doc_id at the
+    # explode-sizing floor BEFORE the explode — the per-doc windows
+    # then reuse this exact partitioning (no extra exchange). At real
+    # scale the scan is already parallel and this is skipped.
+    from spark_lineage_spark.operators.dedup import (
+        est_scan_partitions,
+        explode_partitions,
+    )
+
+    npart = max(explode_partitions(d), spark.sparkContext.defaultParallelism)
+    if npart > est_scan_partitions(d):
+        d = d.repartition(npart, "doc_id")
     sh = d.select(
         "doc_id", F.posexplode(word_shingles(F.col("text"), 3)).alias("i", "s")
     ).select("doc_id", "i", F.md5(F.col("s").cast("binary")).alias("th"))
@@ -3797,29 +3811,79 @@ def llm_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = sym.groupBy(F.col("sa").alias("source")).agg(
         F.sum("g").cast("bigint").alias("games"), F.sum("w").cast("bigint").alias("wins")
     ).transform(lineage_checkpoint_lazy)
-    r = agg.select("source", F.lit(1.0).alias("r"))
+    # Optimization r14 (guide §5/§7 driver overhead, the _power_core
+    # precedent): the three MM rounds used to run RELATIONALLY — per
+    # round two joins of the ≤400-row sym table against the rating
+    # vector, a groupBy, a scalar agg and a broadcast (~1.7 s of
+    # metadata-scale AQE stage scheduling at any SF, since sym is
+    # sources²-bounded). The win matrix and the per-source win totals
+    # now collapse once into ordered arrays on ONE row and every round
+    # (denominator fold, MM update, mean normalization) is array
+    # arithmetic over that row. Term values are identical; only the
+    # in-stage float summation order moves (~19 doubles per
+    # denominator), which the 6-dp output round absorbs —
+    # oracle-verified at all three SFs.
+    sym_row = sym.agg(
+        F.array_sort(F.collect_list(F.struct("sa", "sb", "g"))).alias("sy")
+    )
+    src_row = agg.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("source", "wins"))),
+            lambda s: s["source"],
+        ).alias("src"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("source", "wins"))),
+            lambda s: s["wins"],
+        ).alias("wn"),
+    )
+    core = sym_row.crossJoin(F.broadcast(src_row)).select(
+        "sy", "src", "wn", F.transform("src", lambda s: F.lit(1.0)).alias("r")
+    )
     for _ in range(3):
-        den = (
-            sym.join(r.select(F.col("source").alias("sa"), F.col("r").alias("ra")), "sa")
-            .join(r.select(F.col("source").alias("sb"), F.col("r").alias("rb")), "sb")
-            .groupBy("sa")
-            .agg(F.sum(F.col("g") / (F.col("ra") + F.col("rb"))).alias("den"))
+        core = core.select(
+            "sy", "src", "wn", "r", F.map_from_arrays("src", "r").alias("rm")
+        ).select(
+            "sy",
+            "src",
+            "wn",
+            F.zip_with(
+                "wn",
+                F.transform(
+                    "src",
+                    lambda s: F.aggregate(
+                        F.col("sy"),
+                        F.lit(0.0),
+                        lambda acc, e: acc
+                        + F.when(
+                            e["sa"] == s,
+                            e["g"]
+                            / (
+                                F.element_at(F.col("rm"), s)
+                                + F.element_at(F.col("rm"), e["sb"])
+                            ),
+                        ).otherwise(F.lit(0.0)),
+                    ),
+                ),
+                lambda w, dn: w / dn,
+            ).alias("raw"),
+        ).select(
+            "sy",
+            "src",
+            "wn",
+            F.transform(
+                "raw",
+                lambda x: x
+                * F.size("raw")
+                / F.aggregate("raw", F.lit(0.0), lambda a, y: a + y),
+            ).alias("r"),
         )
-        raw = agg.join(den.withColumnRenamed("sa", "source"), "source").select(
-            "source", (F.col("wins") / F.col("den")).alias("r")
-        )
-        tot = raw.agg(
-            F.count(F.lit(1)).alias("m"), F.sum("r").alias("s")
-        )
-        r = raw.crossJoin(F.broadcast(tot)).select(
-            "source", (F.col("r") * F.col("m") / F.col("s")).alias("r")
-        )
-    return agg.join(r, "source").select(
+    rmap = core.select(F.map_from_arrays("src", "r").alias("rm"))
+    return agg.crossJoin(F.broadcast(rmap)).select(
         "source",
         "games",
         "wins",
         F.round(F.col("wins").cast("double") / F.col("games"), 6).alias("win_rate"),
-        F.round("r", 6).alias("bt_rating"),
+        F.round(F.element_at(F.col("rm"), F.col("source")), 6).alias("bt_rating"),
     )
 
 

@@ -3089,6 +3089,19 @@ def cdc_json_envelope_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is exactly the hourly-batch merge plan, with the
     envelope scan replaced by a Kafka/file source."""
     register_views(spark, sf_dir, ["orders"])
+    # Optimization r14 (guide §2.5/§4.3): the JSON envelope build +
+    # from_json parse (the bulk of this op) ran inside the single-file
+    # scan task; repartition the RAW envelope rows below the payload
+    # expression so the string/JSON work spreads across cores. At real
+    # scale the scan is parallel and the hint is dropped.
+    from spark_lineage_spark.operators.dedup import est_scan_partitions
+    from spark_lineage_spark.tables import load as _load
+
+    o = _load(spark, sf_dir, "orders")
+    npart = spark.sparkContext.defaultParallelism
+    hint = (
+        f"/*+ REPARTITION({npart}) */" if npart > est_scan_partitions(o) else ""
+    )
     return spark.sql(
         """
 WITH base AS (
@@ -3108,7 +3121,9 @@ env AS (
                      + CASE WHEN o_orderkey % 5 = 0 THEN 1000 ELSE 0 END
                      AS STRING),
                 '}') AS payload
-  FROM orders WHERE o_orderkey % 7 = 0 OR o_orderkey % 5 = 0 OR o_orderkey % 3 = 0
+  FROM (SELECT __HINT__ o_orderkey, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE o_orderkey % 7 = 0 OR o_orderkey % 5 = 0 OR o_orderkey % 3 = 0)
 ),
 jp AS (
   SELECT from_json(payload,
@@ -3134,7 +3149,7 @@ SELECT o_orderstatus,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(price_cents) AS BIGINT) AS total_cents
 FROM applied GROUP BY o_orderstatus
-"""
+""".replace("__HINT__", hint)
     )
 
 

@@ -920,7 +920,10 @@ def llm_decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
 
     def sh5(df) -> DataFrame:
-        npart = explode_partitions(df)
+        # explode-sizing rule floored at core count (optimization r14,
+        # guide §2.5): the single-file corpus scan otherwise runs the
+        # tokenize+5-gram explode in ONE task
+        npart = max(explode_partitions(df), spark.sparkContext.defaultParallelism)
         if npart > 1:
             df = df.repartition(npart, "doc_id")
         return (
@@ -1782,6 +1785,13 @@ def llm_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the pair table is at most |sources|² tiny rows.  Top-20 by
     shared count, deterministic tie-break."""
     d = load(spark, sf_dir, "documents")
+    # explode-sizing rule floored at core count (optimization r14,
+    # guide §2.5): the single-file scan otherwise runs the tokenize +
+    # shingle explode — most of this op's cost — in ONE task before
+    # the eager checkpoint
+    npart = max(explode_partitions(d), spark.sparkContext.defaultParallelism)
+    if npart > 1:
+        d = d.repartition(npart, "doc_id")
     sh = (
         d.select("source", F.explode(word_shingles(F.col("text"), 3)).alias("shingle"))
         .filter(F.length("shingle") > 0)

@@ -2278,6 +2278,18 @@ def llm_doc_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, dim, weight) rows so the oracle compares scalars, not
     arrays."""
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # map-side means the per-token md5 fold runs wherever the scan
+    # does — on the single-file fixture that was ONE task (optimization
+    # r14, guide §2.5): spread at the explode-sizing floor; at real
+    # scale the scan is already parallel and this is skipped
+    from spark_lineage_spark.operators.dedup import (
+        est_scan_partitions,
+        explode_partitions,
+    )
+
+    npart = max(explode_partitions(d), spark.sparkContext.defaultParallelism)
+    if npart > est_scan_partitions(d):
+        d = d.repartition(npart, "doc_id")
     hashes = F.expr(
         "transform(filter(split(text, ' '), t -> length(t) > 0),"
         " t -> cast(conv(substring(md5(cast(t AS BINARY)), 1, 15), 16, 10)"

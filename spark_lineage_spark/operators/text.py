@@ -2269,9 +2269,10 @@ def llm_doc_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions: each token's portable md5-derived 60-bit hash picks a
     signed bucket (dim = h mod 8 from the low bits, sign from bit 3),
     one array fold accumulates the 8-dim signed counts per document,
-    and the vector is L2-normalized — ALL map-side, zero shuffles, the
-    ideal 100 TB shape for a featurization pass (compare _ml_features,
-    which pays HashingTF + a shuffle). Hashes are the same md5 trick
+    and the vector is L2-normalized — ALL map-side with no computed
+    shuffle, the ideal 100 TB shape for a featurization pass (compare
+    _ml_features, which pays HashingTF + a shuffle; the only local
+    exchange is the conditional input spread below). Hashes are the same md5 trick
     as SimHash/KMV, so DuckDB replays the embedding bit-for-bit: v and
     the norm are exact integers / sqrt of exact integers, and the
     single rounded division is engine-identical. Output is exploded to

@@ -436,13 +436,19 @@ def test_grouped_kth_plan_shape(spark):
 
 def test_hash_embedding_is_map_only(spark):
     """llm_doc_hash_embedding folds tokens into the signed-bucket
-    vector with higher-order functions — the whole featurization pass
-    must plan with ZERO Exchange operators (the 100 TB shape its
-    docstring claims)."""
+    vector with higher-order functions — the featurization itself must
+    plan with no COMPUTED shuffle. The only Exchange allowed is the
+    round-14 explicit input spread (REPARTITION_BY_NUM over the raw
+    scan, applied only when the scan is narrower than the core count —
+    at real scale it disappears and the pass is exchange-free, the
+    100 TB shape the docstring claims)."""
     from spark_lineage_spark.operators.text import llm_doc_hash_embedding
 
     p = plan_str(llm_doc_hash_embedding(spark, SF))
-    assert not re.search(r"\(\d+\) Exchange", p), p
+    exchanges = re.findall(r"\(\d+\) Exchange[^\n]*\n[^\n]*Arguments: [^\n]*", p)
+    assert len(exchanges) <= 1, p
+    for e in exchanges:
+        assert "REPARTITION_BY_NUM" in e, p
 
 
 def test_blocklist_filter_single_exchange(spark):
@@ -553,11 +559,13 @@ def test_spatial_grid_join_is_blocked_not_cartesian(spark):
 
 def test_count_min_sketch_never_undercounts(spark):
     """CMS guarantee: est >= exact for every key, and the counter
-    table aggregates partially map-side (partial_count in the plan)."""
+    table aggregates partially map-side (partial_sum in the plan — the
+    cells now merge the checkpointed per-key exact counts, so the
+    sketch-union partial agg is a sum of counts, not a row count)."""
     from spark_lineage_spark.operators.aggregates import agg_count_min_sketch
 
     df = agg_count_min_sketch(spark, SF)
-    assert "partial_count" in plan_str(df)
+    assert "partial_sum" in plan_str(df)
     assert all(r.overcount >= 0 for r in df.collect())
 
 

@@ -66,6 +66,32 @@ STEAL_STORM_TICKS = 1500
 MED_SPREAD_STORM = 2.5
 MAX_SPREAD_STORM = 3.0
 
+# Round 15 (VERDICT r14 item 1, ADDITIONS ONLY — every pre-existing
+# output field keeps its name and methodology): the r14 official run
+# sat at steal_ticks 39 066 vs r13's 80, making 13 "regressions"
+# unattributable to plans. The whole-run steal counter cannot say WHICH
+# passes were stormy, so the harness now also records the steal delta
+# around EACH pass and reports, alongside the unchanged medians, a
+# median taken only over calm passes ("value_calm"/"queries_calm"):
+# per-pass steal <= CALM_PASS_TICKS counts as calm; if fewer than
+# MIN_CALM_PASSES qualify, the calmest MIN_CALM_PASSES passes are used
+# so the field is always defined (its credibility is readable from
+# "pass_steal" / "calm_pass_steal_max").
+CALM_PASS_TICKS = 150
+MIN_CALM_PASSES = 3
+
+
+def _calm_pass_indices(pass_steal: list[int]) -> list[int]:
+    """Indices of passes usable for the calm median: all passes at or
+    under CALM_PASS_TICKS of steal if at least MIN_CALM_PASSES qualify,
+    else the MIN_CALM_PASSES passes with the least steal (ties broken
+    by pass order for determinism)."""
+    calm = [i for i, s in enumerate(pass_steal) if 0 <= s <= CALM_PASS_TICKS]
+    if len(calm) >= MIN_CALM_PASSES:
+        return calm
+    order = sorted(range(len(pass_steal)), key=lambda i: (pass_steal[i], i))
+    return sorted(order[:MIN_CALM_PASSES])
+
 
 def _storm_extra_passes(samples: dict[str, list[float]], steal_delta: int) -> int:
     """Decide whether the pass window was stormy (VERDICT r10 item 1).
@@ -144,12 +170,15 @@ def main() -> None:
     materialize(specs["flagship_pricing_join"].builder(spark, "/root/testdata/sf0.001"))
 
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    pass_steal: list[int] = []
 
     def run_pass() -> None:
+        p0 = _steal_ticks()
         for name in HEADLINE:
             t0 = time.time()
             materialize(specs[name].builder(spark, sf_dir))
             samples[name].append(time.time() - t0)
+        pass_steal.append(_steal_ticks() - p0)
 
     for _ in range(N_PASSES):
         run_pass()
@@ -171,6 +200,12 @@ def main() -> None:
     best = {name: round(min(ts), 3) for name, ts in samples.items()}
     spread = {name: round(max(ts) / min(ts), 2) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
+    calm_idx = _calm_pass_indices(pass_steal)
+    queries_calm = {
+        name: round(statistics.median([ts[i] for i in calm_idx]), 3)
+        for name, ts in samples.items()
+    }
+    value_calm = round(sum(queries_calm.values()), 3)
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
         sf = float(base[2:]) if base.startswith("sf") else base
@@ -190,6 +225,13 @@ def main() -> None:
                 "cal_before": cal_before,
                 "cal_after": calibrate(),
                 "steal_ticks": _steal_ticks() - steal0,
+                # round-15 additions (storm-robust reporting; the
+                # pre-existing fields above are untouched)
+                "pass_steal": pass_steal,
+                "calm_pass_count": len(calm_idx),
+                "calm_pass_steal_max": max(pass_steal[i] for i in calm_idx),
+                "queries_calm": queries_calm,
+                "value_calm": value_calm,
                 "sf": sf,
             }
         )

@@ -69,7 +69,10 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag", "l_orderkey")
         .agg(F.count(F.lit(1)).alias("_c"))
         .groupBy("l_returnflag")
-        .agg(F.count("*").alias("n_orders"), F.sum("_c").alias("n_rows"))
+        # count(l_orderkey) — not count(*) — so a NULL-key group is not
+        # counted: count(DISTINCT x) ignores NULLs (ADVICE r14; latent
+        # on the non-null fixture keys, bit-identical there)
+        .agg(F.count("l_orderkey").alias("n_orders"), F.sum("_c").alias("n_rows"))
     )
     b = li.groupBy("l_returnflag").agg(F.countDistinct("l_suppkey").alias("n_supp"))
     return a.join(b, "l_returnflag").select(

@@ -17,6 +17,7 @@ principles:
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -61,6 +62,21 @@ EXPLODE_FACTOR = 24  # text -> shingle rows blow-up (~8 bytes/token × 3-gram)
 TARGET_PARTITION_BYTES = 64 << 20
 
 
+def _local_input_bytes(files) -> int | None:
+    """Total bytes of ``inputFiles()`` paths when every path is local
+    (no scheme or ``file:``); ``None`` for any other scheme (hdfs://,
+    s3a://, ...) so callers pick their own fallback instead of a
+    silently-wrong size (ADVICE r14: the old string mangling made
+    os.path.getsize throw on remote URIs and disabled every
+    small-input spread on non-local storage)."""
+    from urllib.parse import urlparse
+
+    parsed = [urlparse(f) for f in files]
+    if any(p.scheme not in ("", "file") for p in parsed):
+        return None
+    return sum(os.path.getsize(p.path or f) for p, f in zip(parsed, files))
+
+
 def explode_partitions(df, factor: int = EXPLODE_FACTOR) -> int:
     """Partition count for an explode-heavy stage, sized from the
     actual input bytes: a scan-sized partition (128 MB) explodes to
@@ -69,10 +85,9 @@ def explode_partitions(df, factor: int = EXPLODE_FACTOR) -> int:
     [1, 4×parallelism]."""
     sc = df.sparkSession.sparkContext
     try:
-        size = sum(
-            os.path.getsize(f.replace("file:", "").replace("//", "/"))
-            for f in df.inputFiles()
-        )
+        size = _local_input_bytes(df.inputFiles())
+        if size is None:
+            size = TARGET_PARTITION_BYTES  # remote storage → assume mid-size
     except Exception:
         size = TARGET_PARTITION_BYTES  # unknown → assume mid-size
     want = max(1, (size * factor) // TARGET_PARTITION_BYTES)
@@ -87,14 +102,17 @@ def est_scan_partitions(df) -> int:
     driver work each — optimization r14, guide §7.3). Returns a large
     number when the input is not file-backed, so callers skip their
     small-input repartition in that case (same decision the RDD probe
-    made for already-wide inputs)."""
+    made for already-wide inputs). Non-local file schemes fall back to
+    the exact (slower) RDD probe rather than the skip sentinel
+    (ADVICE r14): on hdfs://s3a:// the probe answers correctly, while
+    the sentinel silently disabled every small-input spread."""
     try:
         files = df.inputFiles()
         if not files:
             return 1 << 30
-        size = sum(
-            os.path.getsize(f.replace("file:", "").replace("//", "/")) for f in files
-        )
+        size = _local_input_bytes(files)
+        if size is None:
+            return df.rdd.getNumPartitions()
         return max(len(files), size // (128 << 20))
     except Exception:
         return 1 << 30
@@ -329,6 +347,16 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of an adversarially-dense candidate list would OOM the driver.
 CANDIDATE_BROADCAST_MAX = 2_000_000
 
+# Broadcast budget for the per-doc shingle-SET table in the verify
+# stage (ADVICE r14 medium): its rows are collect_set arrays — KBs, not
+# the fixed-width ids CANDIDATE_BROADCAST_MAX was calibrated for — so
+# the gate is on ESTIMATED BYTES (shingle rows × avg bytes, exact row
+# counts read from the checkpointed table), not pair count. 256 MB is
+# the guide-§3.1 "a few hundred MB is usually fine" bound, far under
+# the 8 GB broadcast hard cap and typical driver headroom.
+SET_BROADCAST_MAX_BYTES = 256 << 20
+SET_SHINGLE_EST_BYTES = 48  # ~3-word shingle string + array slot overhead
+
 
 _MINHASH_PAIRS_CACHE: dict[tuple, DataFrame] = {}
 
@@ -364,8 +392,13 @@ def _band_signatures(sh: DataFrame) -> DataFrame:
     # r14, guide §7.3): the 32 min-hash aggregates and 8 band folds are
     # parsed JVM-side in a single py4j round-trip — identical
     # expressions, identical plan, ~0.3 s less driver time per call.
+    # The input view is per-call-unique and dropped right after the
+    # (eager) sql() analysis (ADVICE r14): a fixed session-global name
+    # could bind the wrong input under concurrent query construction
+    # and leaked into the user-visible catalog.
     spark = sh.sparkSession
-    sh.createOrReplaceTempView("sls_band_input")  # analysis is eager below
+    view = f"sls_band_input_{uuid.uuid4().hex[:12]}"
+    sh.createOrReplaceTempView(view)
     mins = ", ".join(
         f"min(xxhash64({i}, shingle)) AS h{i}" for i in range(MINHASH_PERMS)
     )
@@ -376,11 +409,14 @@ def _band_signatures(sh: DataFrame) -> DataFrame:
         + ")"
         for b in range(MINHASH_BANDS)
     )
-    return spark.sql(f"""
-        SELECT doc_id, band_idx, band_hash
-        FROM (SELECT doc_id, {mins} FROM sls_band_input GROUP BY doc_id)
-        LATERAL VIEW posexplode(array({bands})) AS band_idx, band_hash
-    """)
+    try:
+        return spark.sql(f"""
+            SELECT doc_id, band_idx, band_hash
+            FROM (SELECT doc_id, {mins} FROM {view} GROUP BY doc_id)
+            LATERAL VIEW posexplode(array({bands})) AS band_idx, band_hash
+        """)
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 def _minhash_lsh_pairs(sh: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
@@ -441,14 +477,16 @@ def _verify_exact_jaccard(sh: DataFrame, candidates: DataFrame, threshold: float
     the count the old pair join produced, so jaccard is
     bit-identical."""
     n_cand = candidates.count()  # cheap: counts checkpointed blocks
-    small = n_cand <= CANDIDATE_BROADCAST_MAX
+    # The candidate-doc id list is fixed-width rows — the pair-count
+    # gate is the right calibration for THIS broadcast.
+    small_cd = n_cand <= CANDIDATE_BROADCAST_MAX
     cd = (
         candidates.select(F.col("da").alias("doc_id"))
         .unionAll(candidates.select(F.col("db").alias("doc_id")))
         .distinct()
     )
     ds = (
-        sh.join(F.broadcast(cd) if small else cd, "doc_id", "left_semi")
+        sh.join(F.broadcast(cd) if small_cd else cd, "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("sh_set"))
     )
@@ -458,20 +496,41 @@ def _verify_exact_jaccard(sh: DataFrame, candidates: DataFrame, threshold: float
     # one serial materialization job (measured ~0.15 s vs ~0.3 s), for
     # the 43 k-candidate prefix path the 2× semi-join + collect_set
     # dwarfs it. n_cand is already materialized, so the branch is free.
+    #
+    # Broadcast gating for the SET table (ADVICE r14 medium): its rows
+    # are KB-scale arrays, so the pair-count cap alone could approve a
+    # multi-GB broadcast. Above the checkpoint threshold the exact row
+    # counts are read from the checkpointed blocks (one bounded
+    # metadata-scale job) and the decision is on estimated bytes;
+    # below it, at most 2×5000 doc sets are in play — a doc-count
+    # bound orders of magnitude under the old 2M-pair cap.
     if n_cand > 5000:
         ds = lineage_checkpoint(ds)
-    bc = F.broadcast if small else (lambda df: df)
-    sa = bc(ds.select(F.col("doc_id").alias("da"), F.col("sh_set").alias("set_a")))
-    sb = bc(ds.select(F.col("doc_id").alias("db"), F.col("sh_set").alias("set_b")))
+        stats = ds.agg(
+            F.coalesce(F.sum(F.size("sh_set")), F.lit(0)).alias("rows"),
+            F.count(F.lit(1)).alias("docs"),
+        ).first()
+        est_bytes = stats["rows"] * SET_SHINGLE_EST_BYTES + stats["docs"] * 64
+        small_set = est_bytes <= SET_BROADCAST_MAX_BYTES
+    else:
+        small_set = True
+    # ONE broadcast of ds serves both join sides (ADVICE r14): the two
+    # hinted subtrees below are identical (same ds, same doc_id build
+    # key), so the second BroadcastExchange canonicalizes to a
+    # ReusedExchange — previously two separately-projected copies were
+    # built and shipped.
+    bc = F.broadcast if small_set else (lambda df: df)
+    sa = bc(ds).alias("sa")
+    sb = bc(ds).alias("sb")
     return (
-        candidates.join(sa, "da")
-        .join(sb, "db")
+        candidates.join(sa, F.col("da") == F.col("sa.doc_id"))
+        .join(sb, F.col("db") == F.col("sb.doc_id"))
         .select(
             "da",
             "db",
-            F.size(F.array_intersect("set_a", "set_b")).alias("c"),
-            F.size("set_a").alias("na"),
-            F.size("set_b").alias("nb"),
+            F.size(F.array_intersect("sa.sh_set", "sb.sh_set")).alias("c"),
+            F.size("sa.sh_set").alias("na"),
+            F.size("sb.sh_set").alias("nb"),
         )
         .select(
             "da",

@@ -1268,17 +1268,20 @@ def sink_max_records_per_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolls to a new file after every 1000 records a task writes into a
     partition directory — the knob that stops one giant task from
     emitting a 10 GB file (and, set too low, the one that CAUSES the
-    small-files problem). Written from a single task (coalesce(1)) so
-    the sequential-fill contract is exact and closed-form: each status
-    directory holds ceil(n/1000) files, all but the last at exactly
-    1000 rows — which the oracle states from counts alone. The
-    re-read aggregates per (status, _metadata.file_name), so the
+    small-files problem). Written hash-partitioned BY THE PARTITION
+    COLUMN (optimization r15, guide §6/§8 step 4 — previously
+    coalesce(1), a single write task): every status lands wholly in
+    one task, so the per-directory sequential-fill contract stays
+    exact and closed-form — each status directory holds ceil(n/1000)
+    files, all but the last at exactly 1000 rows (which the oracle
+    states from counts alone) — while the statuses write in parallel.
+    The re-read aggregates per (status, _metadata.file_name), so the
     checked values are the REAL physical file boundaries, not writer
     bookkeeping."""
     out = _tmp("orders_maxrec")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     (
-        o.coalesce(1)
+        o.repartition(spark.sparkContext.defaultParallelism, "o_orderstatus")
         .sortWithinPartitions("o_orderstatus", "o_orderkey")
         .write.mode("overwrite")
         .option("maxRecordsPerFile", 1000)

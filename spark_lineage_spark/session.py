@@ -51,9 +51,14 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     # Arrow for every pandas exchange (toPandas, pandas UDFs).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # ~cores shuffle parallelism for local mode; AQE coalesces further
-    # at tiny SF. On a real cluster this would scale with executors.
-    "spark.sql.shuffle.partitions": "32",
+    # Shuffle parallelism scales with the cluster, not a literal
+    # (VERDICT r14 item: the constant "32" only made sense on
+    # local[32]): "auto" resolves in tune_runtime to
+    # $SPARK_GRAFT_SHUFFLE_PARTITIONS if set, else
+    # sparkContext.defaultParallelism (= the local[N] core count
+    # locally, total executor cores on a cluster). AQE coalesces
+    # below that at small data sizes either way.
+    "spark.sql.shuffle.partitions": "auto",
     # events.parquet stores TIMESTAMP(NANOS) which Spark 4 rejects by
     # default; read the raw int64 and convert to µs in tables.load().
     "spark.sql.legacy.parquet.nanosAsLong": "true",
@@ -76,6 +81,15 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+def _resolve_conf(spark: SparkSession, key: str, value: str) -> str:
+    """Resolve scale-adaptive conf sentinels against the live session."""
+    if key == "spark.sql.shuffle.partitions" and value == "auto":
+        return os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS") or str(
+            spark.sparkContext.defaultParallelism
+        )
+    return value
+
+
 def tune_runtime(spark: SparkSession) -> SparkSession:
     """Apply engine runtime confs to an externally-built session.
 
@@ -85,7 +99,7 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
     """
     for k, v in RUNTIME_CONFS.items():
         try:
-            spark.conf.set(k, v)
+            spark.conf.set(k, _resolve_conf(spark, k, v))
         except Exception:
             pass  # static conf on this build — keep going
     return spark
@@ -161,6 +175,8 @@ def build_spark(
         # tiny SF still parallel enough via openCostInBytes default.
     )
     for k, v in RUNTIME_CONFS.items():
+        if v == "auto":
+            continue  # session-dependent sentinel; tune_runtime resolves it
         builder = builder.config(k, v)
     for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)

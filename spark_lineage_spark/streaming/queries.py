@@ -19,6 +19,7 @@ import shutil
 import tempfile
 import time
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -67,31 +68,39 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _normalize_ts(stream)
 
 
+@contextmanager
+def _stream_state_shuffle(spark: SparkSession):
+    """Scope ``spark.sql.shuffle.partitions`` to a stateful streaming
+    run. AQE is disabled for stateful streaming, so the static value
+    directly sets the state-store count — every stateful operator
+    snapshots one store per partition per micro-batch. The batch
+    default (32) pays 32 state checkpoints for a few thousand keys;
+    size it explicitly for the run (~70 ms per store per batch
+    measured) and restore after. On a real cluster this knob must be
+    chosen up front anyway (it is fixed for the checkpoint's lifetime)
+    — sized to peak state via $SPARK_GRAFT_STREAM_SHUFFLE, not to the
+    batch default."""
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4"),
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+
 def run_to_memory(df: DataFrame, mode: str = "append") -> DataFrame:
     """Execute a streaming DataFrame to completion via availableNow into
     a memory sink; return the sink as a batch DataFrame.
 
-    Shuffle sizing: AQE is disabled for stateful streaming, so the
-    static ``spark.sql.shuffle.partitions`` directly sets the state-store
-    count — every stateful operator snapshots one store per partition
-    per micro-batch. The batch default (32) pays 32 state checkpoints
-    for a few thousand rows; size it explicitly for the run and restore
-    after. On a real cluster this knob must be chosen up front anyway
-    (it is fixed for the checkpoint's lifetime) — sized to peak state,
-    not to the batch default.
+    Shuffle sizing: see _stream_state_shuffle.
     """
     spark = df.sparkSession
     name = f"sls_sink_{uuid.uuid4().hex[:10]}"
     ckpt = os.path.join(tempfile.mkdtemp(prefix="sls_ckpt_"), "ckpt")
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        # 4 stores: fixture-scale state is a few thousand keys; each
-        # extra store is another checkpoint dir + snapshot per batch
-        # (~70ms each measured). Override upward for real state volumes.
-        os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4"),
-    )
-    try:
+    with _stream_state_shuffle(spark):
         q = (
             df.writeStream.outputMode(mode)
             .format("memory")
@@ -101,8 +110,6 @@ def run_to_memory(df: DataFrame, mode: str = "append") -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     # detach the result from the memory sink so the temp table and
     # checkpoint dir can be released (otherwise every call pins a
     # full result table in driver memory for the session's lifetime)
@@ -1405,14 +1412,20 @@ def stream_update_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "append"
         ).parquet(out_dir)
 
-    q = (
-        agg.writeStream.outputMode("update")
-        .foreachBatch(land)
-        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Optimization r15 (guide §5; the run_to_memory sizing, which this
+    # foreachBatch path bypassed): without it the update-mode agg
+    # committed 32 state stores × 5 micro-batches — 4 stores cover the
+    # handful of event_type keys. Store count never changes WHAT the
+    # agg emits, only how many state partitions hold it.
+    with _stream_state_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(land)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     updates = spark.read.parquet(out_dir)
     w = Window.partitionBy("event_type").orderBy(F.desc("batch_id"))
     out = (

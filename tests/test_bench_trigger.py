@@ -48,3 +48,23 @@ def test_single_spread_just_under_threshold_stays_calm():
 def test_empty_or_zero_samples_safe():
     assert _storm_extra_passes({}, steal_delta=9999) == 0
     assert _storm_extra_passes({"q": [0.0, 0.0]}, steal_delta=0) == 0
+
+
+def test_calm_pass_selection_uses_all_calm_passes():
+    from bench import _calm_pass_indices
+
+    # 4 passes under the threshold -> all 4 selected
+    assert _calm_pass_indices([10, 5000, 40, 0, 120]) == [0, 2, 3, 4]
+
+
+def test_calm_pass_selection_falls_back_to_calmest_three():
+    from bench import _calm_pass_indices
+
+    # only 1 pass under threshold -> calmest 3 by steal, in pass order
+    assert _calm_pass_indices([900, 40, 8000, 300, 4000]) == [0, 1, 3]
+
+
+def test_calm_pass_selection_deterministic_on_ties():
+    from bench import _calm_pass_indices
+
+    assert _calm_pass_indices([500, 500, 500, 500, 500]) == [0, 1, 2]

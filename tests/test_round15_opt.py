@@ -1,0 +1,110 @@
+"""Focused tests for the round-15 OPTIMIZATION changes (ADVICE r14
+hardening + scale-knob parameterization). Same discipline as
+test_round14_opt.py: every behavior-adjacent change gets a fast
+in-unit pin so a future edit that breaks the equivalence argument
+fails before the oracle gate."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# -- session.py: spark.sql.shuffle.partitions "auto" sentinel ----------
+
+
+def test_shuffle_partitions_auto_resolves_to_parallelism(spark):
+    from spark_lineage_spark.session import RUNTIME_CONFS, _resolve_conf
+
+    assert RUNTIME_CONFS["spark.sql.shuffle.partitions"] == "auto"
+    assert os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS") is None
+    assert _resolve_conf(spark, "spark.sql.shuffle.partitions", "auto") == str(
+        spark.sparkContext.defaultParallelism
+    )
+    # non-sentinel values pass through untouched (the determinism test
+    # patches explicit counts through RUNTIME_CONFS)
+    assert _resolve_conf(spark, "spark.sql.shuffle.partitions", "3") == "3"
+
+
+def test_shuffle_partitions_env_override(spark, monkeypatch):
+    from spark_lineage_spark.session import _resolve_conf
+
+    monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", "7")
+    assert _resolve_conf(spark, "spark.sql.shuffle.partitions", "auto") == "7"
+
+
+def test_tune_runtime_sets_numeric_shuffle_partitions(spark):
+    from spark_lineage_spark.session import tune_runtime
+
+    tune_runtime(spark)
+    val = spark.conf.get("spark.sql.shuffle.partitions")
+    assert val == str(spark.sparkContext.defaultParallelism)
+    int(val)  # must be numeric — the sentinel itself must never land
+
+
+# -- dedup.py: input-size helpers handle URI schemes (ADVICE r14) ------
+
+
+def test_local_input_bytes_handles_file_uris(tmp_path):
+    from spark_lineage_spark.operators.dedup import _local_input_bytes
+
+    p = tmp_path / "x.bin"
+    p.write_bytes(b"abcde")
+    for form in (str(p), f"file:{p}", f"file://{p}"):
+        assert _local_input_bytes([form]) == 5, form
+
+
+def test_local_input_bytes_remote_scheme_returns_none():
+    from spark_lineage_spark.operators.dedup import _local_input_bytes
+
+    assert _local_input_bytes(["hdfs://nn:8020/warehouse/t/part-0.parquet"]) is None
+    assert _local_input_bytes(["s3a://bucket/key.parquet"]) is None
+    # mixed local+remote must not silently under-count
+    assert _local_input_bytes(["/tmp/nope_local.parquet", "s3a://b/k"]) is None
+
+
+def test_est_scan_partitions_still_sized_from_local_files(spark):
+    from spark_lineage_spark.operators.dedup import est_scan_partitions
+    from spark_lineage_spark.tables import load
+
+    docs = load(spark, SF, "documents")
+    # one small local parquet file -> exactly one estimated partition
+    assert est_scan_partitions(docs) == 1
+
+
+# -- aggregates.py: agg_count_distinct NULL-key semantics (ADVICE r14) -
+
+
+def test_count_distinct_split_ignores_null_keys(spark, tmp_path):
+    """count(DISTINCT l_orderkey) ignores NULLs; the split form's
+    group-then-count must not count a NULL-key group (latent on the
+    non-null fixtures — exercised here with an injected NULL)."""
+    from spark_lineage_spark.registry import load_all
+
+    li = spark.read.parquet(os.path.join(SF, "lineitem.parquet"))
+    with_null = li.unionByName(
+        li.limit(3).withColumn("l_orderkey", F.lit(None).cast("bigint"))
+    )
+    d = str(tmp_path / "sfnull")
+    os.makedirs(d, exist_ok=True)
+    with_null.write.parquet(os.path.join(d, "lineitem.parquet"))
+
+    out = load_all()["agg_count_distinct"].builder(spark, d)
+    ref = (
+        spark.read.parquet(os.path.join(d, "lineitem.parquet"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    key = lambda df: sorted(
+        (r["l_returnflag"], r["n_orders"], r["n_supp"], r["n_rows"])
+        for r in df.collect()
+    )
+    assert key(out) == key(ref)

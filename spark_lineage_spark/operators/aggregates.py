@@ -1103,20 +1103,42 @@ def stat_df_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest-rank ceil(p*n) 1-based, pinned on duplicate-free data
     across odd/even n by test_exact_quantile_convention_matches_duckdb
     (ADVICE r8)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     li = load(spark, sf_dir, "lineitem")
-    cov = li.stat.cov("l_quantity", "l_extendedprice")
-    corr = li.stat.corr("l_quantity", "l_extendedprice")
-    q25, q50, q75 = li.stat.approxQuantile("l_quantity", [0.25, 0.5, 0.75], 0.0)
-    (q50_price,) = li.stat.approxQuantile("l_extendedprice", [0.5], 0.0)
-    freq = set(li.stat.freqItems(["l_returnflag"], 0.2).collect()[0][0])  # bounded-collect-ok: 1 row of ≤16 items
-    n_rows = li.count()
-    exact_heavy = {
-        r.l_returnflag
-        for r in li.groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 0.2 * n_rows)
-        .collect()  # bounded-collect-ok: ≤ n-distinct-flags rows
-    }
+    # Optimization r15 (guide §7.3/§2.6): every df.stat call is an
+    # independent driver-blocking job, and the ε=0 approxQuantile pass
+    # dominates (measured 1.7-4.2 s of the battery — its exactness is
+    # the op's oracle-checked contract, so that cost stays). So:
+    # (a) the documented MULTI-COLUMN approxQuantile form answers both
+    # columns in one corpus pass (same per-column values as two calls);
+    # (b) it runs on a worker thread while the small jobs (cov, corr,
+    # freqItems, group counts) execute concurrently and hide under it;
+    # (c) n_rows comes from the same group-count collect as the exact
+    # heavy hitters (count(*) == sum of group counts, exactly, null
+    # group included). Every df.stat API the battery exists to cover is
+    # still exercised; each scalar is computed by the same call as
+    # before, so values are unchanged.
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(
+            li.stat.approxQuantile,
+            ["l_quantity", "l_extendedprice"],
+            [0.25, 0.5, 0.75],
+            0.0,
+        )
+        cov = li.stat.cov("l_quantity", "l_extendedprice")
+        corr = li.stat.corr("l_quantity", "l_extendedprice")
+        freq = set(li.stat.freqItems(["l_returnflag"], 0.2).collect()[0][0])  # bounded-collect-ok: 1 row of ≤16 items
+        flag_counts = (
+            li.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded-collect-ok: ≤ n-distinct-flags rows
+        )
+        qq, qp = fut.result()
+    q25, q50, q75 = qq
+    q50_price = qp[1]
+    n_rows = sum(r.n for r in flag_counts)
+    exact_heavy = {r.l_returnflag for r in flag_counts if r.n > 0.2 * n_rows}
     n_freq = float(len(freq & exact_heavy))
     rows = [
         ("corr_qty_price", corr),

@@ -798,22 +798,27 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
             .groupBy("da")
             .agg(F.min("label").alias("nmin"))
         )
+        # Optimization r15 (guide §7.3 — per-round driver jobs are the
+        # cost on a metadata-scale edge list): the changed flag rides
+        # in the checkpointed frame (labels only ever decrease, so
+        # nmin < label IS "this node changed"), making the convergence
+        # probe a filter over already-checkpointed blocks instead of a
+        # second join of new-vs-old labels per round.
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.da, "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).alias("_chg"),
             )
             .transform(lineage_checkpoint)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
+            new_labels.filter(F.col("_chg"))
             .limit(1)  # convergence probe, not a result count
             .count()
         )
-        labels = new_labels
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     return labels

@@ -1386,8 +1386,17 @@ def scan_text_wholetext(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # one record per FILE, deterministically: partitionBy gives each doc
-    # its own directory (repartition(40) round-robin can co-locate two)
-    d.write.mode("overwrite").partitionBy("doc_id").text(out)
+    # its own directory (repartition(40) round-robin can co-locate two).
+    # Hash-partitioned by doc_id (optimization r15, guide §6): the
+    # single-file scan otherwise leaves ONE task creating all 40
+    # directories serially; each doc still lands wholly in one task,
+    # so it is still exactly one file with one record per directory.
+    (
+        d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("doc_id")
+        .text(out)
+    )
     back = (
         spark.read.text(out, wholetext=True)
         .filter(F.length("value") > 0)

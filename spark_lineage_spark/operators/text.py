@@ -2759,7 +2759,17 @@ def llm_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("w", "(.)", "$1" + delim).alias("repr"), "freq"
     ).transform(lineage_checkpoint)
 
-    out_rows = []
+    # Optimization r15 (guide §7.3/§5 — driver-blocking jobs ARE the
+    # cost here; 13 jobs → 6): (a) no per-round checkpoint — every
+    # round's plan is ≤ _BPE_ROUNDS cheap literal replaces over the ONE
+    # checkpointed vocabulary (lineage stays K-bounded; the corpus pass
+    # is still materialized exactly once); (b) the K per-round
+    # avg-tokens aggregations run as ONE union-by-round aggregation at
+    # the end. Numerators/denominators are integer sums (freq × token
+    # count), so the deferred grouping is bit-identical to the
+    # per-round scalars it replaces.
+    meta = []
+    snapshots = []
     for k in range(1, _BPE_ROUNDS + 1):
         syms = F.split("repr", delim)
         pairs = repr_df.select(
@@ -2781,16 +2791,26 @@ def llm_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         pat, rep = top.sym + delim + top.nxt + delim, top.sym + top.nxt + delim
         repr_df = repr_df.select(
             F.replace(F.col("repr"), F.lit(pat), F.lit(rep)).alias("repr"), "freq"
-        ).transform(lineage_checkpoint)
-        n_tokens = F.length("repr") - F.length(
-            F.replace(F.col("repr"), F.lit(delim), F.lit(""))
         )
-        avg = repr_df.agg(
+        snapshots.append(repr_df.withColumn("round", F.lit(k)))
+        meta.append((k, top.sym + top.nxt, top.n))
+    n_tokens = F.length("repr") - F.length(
+        F.replace(F.col("repr"), F.lit(delim), F.lit(""))
+    )
+    states = snapshots[0]
+    for s in snapshots[1:]:
+        states = states.unionByName(s)
+    avgs = {
+        r["round"]: r["avg_tokens"]
+        for r in states.groupBy("round")
+        .agg(
             F.round(
                 F.sum(F.col("freq") * n_tokens).cast("double") / F.sum("freq"), 6
             ).alias("avg_tokens")
-        ).collect()[0].avg_tokens  # bounded-collect-ok: 1 scalar
-        out_rows.append((k, top.sym + top.nxt, top.n, avg))
+        )
+        .collect()  # bounded-collect-ok: _BPE_ROUNDS scalar rows
+    }
+    out_rows = [(k, merged, n, avgs[k]) for k, merged, n in meta]
     return spark.createDataFrame(
         out_rows, "round int, merged string, pair_n long, avg_tokens double"
     )

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from spark_lineage_spark.plans.extract import lineage_checkpoint_lazy
+from spark_lineage_spark.plans.extract import lineage_checkpoint, lineage_checkpoint_lazy
 from spark_lineage_spark.registry import query
 from spark_lineage_spark.session import evict_cache
 from spark_lineage_spark.tables import load, register_views
@@ -3260,7 +3260,16 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k"),
         "dc",
     )
-    pairs = wed_k.groupBy("k").agg(
+    # Optimization r15 (guide §2.5, the _stage_candidates precedent):
+    # with parallelismFirst=false and a ~60 MB shuffle, AQE coalesced
+    # the 4M-group aggregation to ~one task — nearly every pair is
+    # unique, so the whole reduce ran serially. Pin the exchange at
+    # cluster width (REPARTITION_BY_NUM survives AQE); the groupBy
+    # reuses the partitioning, so no second exchange appears.
+    # Measured 7.1 s → 2.7 s for the agg+top stage at sf0.1.
+    pairs = wed_k.repartition(
+        spark.sparkContext.defaultParallelism, "k"
+    ).groupBy("k").agg(
         F.count(F.lit(1)).cast("bigint").alias("common_cnt"),
         F.round(F.sum(F.lit(1.0) / F.log(F.col("dc"))), 6).alias("adamic_adar"),
     )
@@ -9456,6 +9465,16 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("corner")
         .agg(F.count(F.lit(1)).alias("t"))
+        # Optimization r15 (guide §7.2 duplicated subtrees): the finish
+        # SQL reads the tri view from TWO subtrees (C-bar/transitivity
+        # and the degree buckets), and the view expansions do not
+        # canonicalize to a reused exchange — the 41M-row wedge join
+        # pipeline executed twice per invocation (verified in the
+        # before plan: the full SortMergeJoin wedge subtree appears 2×
+        # under the final cross join). Checkpoint the ≤|V|-row
+        # triangle-count table once instead. Measured exec 7.0 → 3.5 s
+        # at sf0.1.
+        .transform(lineage_checkpoint)
     )
     deg.createOrReplaceTempView("r14_lcc_deg")
     tri.createOrReplaceTempView("r14_lcc_tri")

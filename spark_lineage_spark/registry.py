@@ -107,48 +107,41 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "ts_hierarchical_rollup", "win_funnel_ordered",
     
     # round 5 verified (CORRECTNESS_r05.json, 50 rows, all green)
-    "llm_repeated_passages", "llm_semantic_dedup", "llm_vocab_coverage",
-    "llm_dedup_incremental", "tpch_q4_style_priority_check",
+    "llm_repeated_passages", "llm_vocab_coverage",
+    "tpch_q4_style_priority_check",
     "tpch_q6_style_forecast_revenue", "tpch_q8_style_market_share",
     "tpch_q9_style_product_profit", "tpch_q11_style_important_parts",
     "tpch_q13_style_order_counts", "tpch_q15_style_top_supplier",
     "tpch_q16_style_supplier_counts", "tpch_q17_style_small_qty_revenue",
     "tpch_q20_style_part_shippers", "tpch_q21_style_waiting_suppliers",
-    "llm_text_langid", "llm_text_quality", "llm_text_tokens",
-    "llm_text_tfidf", "llm_text_fingerprint", "llm_text_normalize",
+    "llm_text_langid", "llm_text_tokens",
+    "llm_text_tfidf", "llm_text_normalize",
     "llm_text_repetition", "llm_text_top_ngrams", "llm_text_zipf_fit",
-    "llm_bigram_pmi", "llm_pii_redact", "llm_quality_classifier",
+    "llm_pii_redact", "llm_quality_classifier",
     "llm_doc_length_histogram", "llm_chunk_documents", "llm_pack_sequences",
     "llm_split_train_val_test", "llm_sample_per_group",
     "llm_interleave_sources", "llm_source_datacard",
-    "llm_pipeline_end_to_end", "llm_knn_cosine_exact",
-    "llm_knn_cosine_pandas", "llm_embedding_centroids",
+    "llm_pipeline_end_to_end", "llm_knn_cosine_pandas", "llm_embedding_centroids",
     "llm_embedding_quantize_calib", "llm_cluster_assign",
     "llm_embedding_random_projection", "llm_dedup_embedding_cosine",
-    "llm_dedup_cross_corpus", "llm_dedup_threshold_sweep",
     # llm_multimodal_features moved to _VERIFY_FIRST (round-12 hardening)
     "llm_multimodal_blob",
     "llm_multimodal_frame_sample", "llm_multimodal_audio_window",
-    "llm_decontaminate_benchmark",
     # round 6 verified (CORRECTNESS_r06.json, 50 rows: 47 full
     # triple-match + 3 justified rows-only, 0 failures)
-    "llm_dedup_clusters", "llm_dedup_edit_distance", "llm_dedup_containment",
-    "join_asof_directions", "join_band_bucketized", "agg_trimmed_winsorized",
-    "agg_distinct_kmv", "agg_median_abs_deviation", "agg_higher_moments",
+    "join_asof_directions", "join_band_bucketized", "agg_distinct_kmv", "agg_higher_moments",
     "agg_correlation_matrix", "set_union_missing_columns",
     "fn_levenshtein_battery", "fn_mask_redact", "fn_encoding_battery",
     "fn_format_string_battery", "scan_xml_roundtrip", "scan_binary_files",
     "llm_perplexity_buckets", "llm_token_cooccurrence", "llm_token_entropy",
-    "llm_ngram_novelty", "llm_rouge_unigram", "llm_winnowing_fingerprint",
-    "llm_preference_pairs", "llm_top_percent_per_source",
+    "llm_ngram_novelty", "llm_rouge_unigram", "llm_preference_pairs", "llm_top_percent_per_source",
     "ts_markov_transitions", "ts_interpolate_linear",
-    "graph_triangle_copurchase", "agg_weighted_median",
-    "ts_rolling_distinct_users", "ts_changepoint_split", "ts_forecast_error",
+    "graph_triangle_copurchase", "ts_rolling_distinct_users", "ts_changepoint_split", "ts_forecast_error",
     "ts_sequence_pattern", "ts_autocorrelation", "cdc_scd2_build", "ts_twap",
     "stats_chi_square", "attribution_touch", "agg_gini_concentration",
     "hist_equi_depth", "graph_pagerank", "graph_degree_stats",
     "cdc_scd2_incremental", "join_point_in_time_scd2", "sink_python_stream",
-    "llm_dedup_simhash", "llm_ann_lsh",
+    "llm_ann_lsh",
     # llm_ann_ivf / llm_ann_ivf_int8 moved to _VERIFY_FIRST: round 11
     # upgraded both from rows-only to hash-gated (pinned-centroid
     # oracle), so their old records describe the weaker check type
@@ -159,20 +152,18 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     # precedent)
     "llm_dedup_minhash_ml",
     # round 7 verified (CORRECTNESS_r07.json)
-    "agg_bitmap_distinct", "agg_count_min_sketch", "agg_hll_two_level",
+    "agg_bitmap_distinct", "agg_hll_two_level",
     "dq_forget_user_sweep", "fn_aes_roundtrip", "fn_interval_battery",
     "fn_nested_struct_array", "fn_variant_typed_get", "graph_bfs_khop",
     "graph_sssp_weighted", "hist_zorder_layout", "join_asof_tolerance",
     "join_spatial_grid", "llm_ann_int8_rerank", "llm_blocklist_filter",
-    "llm_contrastive_negatives", "llm_dedup_per_domain", "llm_dedup_persistent_index",
-    "llm_doc_hash_embedding", "llm_minhash_band_sweep", "llm_quality_threshold_sweep",
+    "llm_contrastive_negatives", "llm_dedup_per_domain", "llm_quality_threshold_sweep",
     "llm_rejection_sampling", "llm_span_corruption", "llm_url_domain_normalize",
     "obs_observation_metrics", "profile_join_skew", "profile_psi_drift",
     "sink_table_default_columns", "source_python_pushdown", "sql_execute_immediate",
     "sql_group_by_all_lateral", "sql_named_parameters", "sql_pipe_syntax",
     "stats_ks_test", "stats_mann_whitney", "stats_ttest_welch",
-    "stream_chained_stateful", "stream_checkpoint_recovery", "stream_dedup_simhash",
-    "stream_transform_with_state", "ts_ewma_smoothing", "ts_seasonal_decompose",
+    "stream_chained_stateful", "stream_checkpoint_recovery", "stream_transform_with_state", "ts_ewma_smoothing", "ts_seasonal_decompose",
     "ts_session_window_builtin", "ts_user_streaks", "udf_grouped_map_normalize",
     "udf_map_in_pandas", "udf_pandas_grouped_agg", "udf_pandas_scalar",
     "udtf_analyze_polymorphic",
@@ -182,16 +173,15 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "fn_datetime_construct_battery", "fn_generator_inline", "fn_map_hof_battery",
     "fn_sql_misc_battery", "fn_string_helpers_battery", "fn_try_collection_access",
     "fn_variant_explode", "fn_xpath_battery", "hist_zorder_range_probe",
-    "llm_bpe_apply_merges", "llm_chat_template_flatten",
-    "llm_dedup_index_compaction", "llm_embedding_drift", "llm_length_bucket_batching",
+    "llm_chat_template_flatten",
+    "llm_embedding_drift", "llm_length_bucket_batching",
     "llm_ngram_backoff_score", "pandas_api_groupby_merge", "scan_ignore_corrupt_files",
     "scan_modified_after", "scan_nested_schema_pruning", "scan_path_glob_recursive",
     "sql_distribute_cluster_by", "sql_identifier_clause", "sql_named_window_clause",
     "sql_tablesample", "sql_transpose", "sql_udf_scalar_table",
-    "stat_crosstab", "stat_df_battery", "stats_ols_two_feature",
+    "stat_crosstab", "stats_ols_two_feature",
     "stats_theil_sen", "stream_foreach_writer", "stream_observe_metrics",
-    "stream_source_archive_cleanup", "stream_stream_left_outer_join", "stream_update_mode_agg",
-    "subq_quantified_any_all", "ts_calendar_dim", "udf_arrow_optimized",
+    "stream_source_archive_cleanup", "stream_stream_left_outer_join", "subq_quantified_any_all", "ts_calendar_dim", "udf_arrow_optimized",
     "udf_pandas_iterator", "udtf_table_argument", "win_funnel_wilson",
     "win_range_interval_time",
     # round 9 verified (CORRECTNESS_r09.json)
@@ -209,8 +199,7 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "llm_weighted_sample_es", "pandas_api_rolling",
     "profile_freshness_lag", "profile_join_fanout", "scan_csv_multiline_quotes",
     "scan_file_metadata_column", "scan_parquet_bloom_filter", "scan_partition_values_typed",
-    "scan_text_wholetext", "sink_csv_gzip_roundtrip", "sink_max_records_per_file",
-    "sink_partition_overwrite_dynamic", "sink_python_datasource", "sql_rebalance_hints",
+    "sink_csv_gzip_roundtrip", "sink_partition_overwrite_dynamic", "sink_python_datasource", "sql_rebalance_hints",
     "sql_session_variables", "stats_anova_oneway", "stats_association_battery",
     "stats_benford_digits", "stats_bootstrap_ci", "stats_kendall_tau",
     "stats_kl_divergence", "stats_levene_test", "stats_proportion_ztest",
@@ -223,45 +212,38 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "stats_runs_test", "stats_jarque_bera", "stats_fdr_bh",
     "ts_hampel_outliers", "llm_epoch_allocation", "llm_multimodal_ahash_dedup",
     "stats_fisher_exact", "pandas_api_resample", "fn_geo_haversine_battery",
-    "llm_judge_agreement", "llm_bradley_terry", "cdc_json_envelope_apply",
-    "stats_diff_in_diff", "stats_cuped", "llm_ann_pq_adc",
+    "llm_judge_agreement", "stats_diff_in_diff", "stats_cuped", "llm_ann_pq_adc",
     "llm_multimodal_ahash", "graph_label_propagation",
     "ts_sessionize_gap_percentile", "llm_reward_normalize",
     "stats_kruskal_wallis", "stats_herfindahl",
     "stats_isotonic_minimax", "graph_hits", "setop_union_by_name",
     "llm_mmr_diverse_topk", "llm_retrieval_ndcg", "ts_cross_correlation",
-    "pandas_api_pivot_table", "llm_dedup_set_containment", "llm_judge_mcnemar",
+    "pandas_api_pivot_table", "llm_judge_mcnemar",
     "profile_key_skew", "stats_effect_size", "stats_power_mde",
     "stats_bayes_ab", "stats_lin_ccc", "llm_embedding_norm_outliers",
-    "llm_source_overlap_matrix", "stats_cochran_armitage",
+    "stats_cochran_armitage",
     "scan_parquet_agg_pushdown", "llm_capture_recapture",
     "stats_wilcoxon_signed_rank", "ts_var_cvar", "llm_vocab_growth_curve",
     "lineage_column_graph", "lineage_dataset_graph", "lineage_impact_analysis",
     "lineage_openlineage_export",
     # round 11 verified (CORRECTNESS_r11.json)
-    "agg_approx_sketches", "agg_collect_listagg", "agg_count_distinct",
-    "agg_cube", "agg_global", "agg_grouping_sets",
+    "agg_approx_sketches", "agg_collect_listagg", "agg_cube", "agg_global", "agg_grouping_sets",
     "agg_min_by_max_by", "agg_mode_deterministic", "agg_percentile_median",
-    "agg_pivot", "agg_rollup", "agg_salted_twophase",
+    "agg_pivot", "agg_salted_twophase",
     "agg_stats", "agg_unpivot_melt", "dedup_by_key_deterministic",
     "dedup_projected_subset", "distinct_rows", "filter_between_in_like",
-    "filter_compare_bool", "filter_null_semantics", "flagship_pricing_join",
-    "graph_link_prediction", "join_asof", "join_broadcast_dim",
-    "join_cross", "join_full_outer", "join_inner_equi",
-    "join_lateral_topn", "join_left_anti", "join_left_outer",
+    "filter_compare_bool", "filter_null_semantics", "join_asof", "join_broadcast_dim",
+    "join_cross", "join_full_outer", "join_lateral_topn", "join_left_anti", "join_left_outer",
     "join_left_semi", "join_range_band", "join_right_outer",
     "join_self_alias", "join_strategy_hints", "join_theta_nonequi",
     "lineage_catalog_query", "lineage_streaming_batches", "lineage_table_roundtrip",
     "lineage_transitive_closure", "llm_ann_ivf", "llm_ann_ivf_int8",
     "proj_select_compute", "sample_seeded", "win_lag_lead",
-    "win_percent_cume", "win_range_frame", "win_ranking",
-    "win_running_moving", "win_value_picks",
+    "win_percent_cume", "win_range_frame", "win_running_moving", "win_value_picks",
     # round 12 verified (CORRECTNESS_r12.json)
     "agg_boolean_conditional", "agg_linear_regression", "fn_datetime_battery",
-    "fn_math_battery", "fn_regex_battery", "fn_string_battery",
-    "graph_personalized_pagerank", "join_null_safe_eq", "llm_chat_turn_audit",
-    "llm_cluster_silhouette", "llm_embedding_abtt", "llm_embedding_top_pc",
-    "llm_filter_funnel", "llm_hard_negative_mining", "llm_judge_length_bias",
+    "fn_math_battery", "fn_regex_battery", "graph_personalized_pagerank", "join_null_safe_eq", "llm_chat_turn_audit",
+    "llm_cluster_silhouette", "llm_filter_funnel", "llm_hard_negative_mining", "llm_judge_length_bias",
     "llm_multimodal_alignment", "llm_multimodal_features", "llm_multimodal_scene_cut",
     "llm_ngram_entropy_rate", "llm_repetition_loops", "llm_source_js_divergence",
     "llm_text_readability", "llm_token_burstiness", "llm_tokenizer_fertility",
@@ -282,7 +264,6 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "fn_rounding_modes", "fn_string_spark_native", "fn_struct_battery",
     "fn_try_arithmetic", "fn_url_battery", "fn_variant_json",
     "graph_assortativity", "graph_modularity", "join_bucketed_colocated",
-    "llm_dedup_exact", "llm_dedup_minhash_lsh", "llm_dedup_ngram_jaccard",
     "llm_heaps_law_fit", "llm_ngram_kneser_ney", "scan_csv_roundtrip",
     "scan_json_roundtrip", "scan_orc_roundtrip", "scan_parquet_pushdown",
     "scan_text_roundtrip", "sink_parquet_partitioned", "source_jdbc_roundtrip",
@@ -292,6 +273,24 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "ts_hurst_exponent", "ts_ljung_box", "ts_periodogram",
     "ts_theil_u", "udf_cogroup_in_pandas", "udf_map_in_arrow",
     "udf_scalar_python", "udtf_split_words",
+    # round 14 verified (CORRECTNESS_r14.json)
+    "graph_rich_club", "join_aqe_skew_handled", "join_dynamic_partition_pruning",
+    "join_interval_overlap", "join_runtime_bloom_filter", "join_skew_salted",
+    "llm_bpe_pair_counts", "llm_dedup_keep_best", "llm_mixture_weights",
+    "llm_ngram_lm_score", "llm_selfbleu_diversity", "llm_watermark_detect",
+    "merge_upsert_latest", "profile_column_stats", "sample_hash_deterministic",
+    "scan_csv_corrupt_records", "scan_parquet_schema_evolution", "sink_table_saveastable",
+    "stats_cmh_test", "stats_cochran_q", "stats_dunn_test",
+    "stats_friedman_test", "stats_jonckheere_terpstra", "stats_kaplan_meier",
+    "stats_logrank_test", "stats_page_trend", "stats_sign_test",
+    "stats_xi_correlation", "subq_exists_not_in", "subq_scalar_correlated",
+    "tpch_q10_style_returned_items", "tpch_q12_style_late_lines", "tpch_q14_style_promo_revenue",
+    "tpch_q18_style_large_orders", "tpch_q19_style_disjunctive", "tpch_q1_style_full",
+    "tpch_q22_style_idle_customers", "tpch_q2_style_min_cost_supplier", "tpch_q3_style_shipping_priority",
+    "tpch_q5_style_regional_volume", "tpch_q7_style_nation_volume", "ts_cusum_drift",
+    "ts_dickey_fuller", "ts_gap_fill_spine", "ts_page_hinkley",
+    "ts_sample_entropy", "ts_sessionize_batch", "ts_spectral_coherence",
+    "ts_variance_ratio", "udf_apply_in_arrow",
 ]
 
 # Among the not-yet-verified queries, run these FIRST.
@@ -352,57 +351,78 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
 # SFs but the SQL changed, so the official rows are re-earned), then
 # the 29 stalest round-4 rotation rows (stage_rotation.py order) so
 # no official row ages past ~10 rounds.  19 + 2 + 29 = 50 = budget.
+#
+# Round 15 = the REWRITE RE-VERIFICATION DRAIN (VERDICT r14 item 2:
+# the round-14 optimization rewrites were driver-sim + equivalence-test
+# green but only 5 of ~30 landed in r14's official sample; the
+# round-10/11 "changed implementations re-queue" precedent applies).
+# 44 re-verifies pulled back out of _DRIVER_VERIFIED_ROUNDS_AGO:
+# the r14 plan-level rewrites (win_ranking, agg_count_distinct,
+# llm_text_fingerprint, embeddings/BT/CMS/winnowing, knn, the
+# est_scan_partitions consumers), the whole dedup substrate + its 9
+# consumer queries (round-15 additionally changed the verify-stage
+# broadcast structure and the band-signature view), the grouped_kth
+# lazy-checkpoint family, the round-15 operator changes
+# (stream_update_mode_agg, sink_max_records_per_file,
+# llm_bpe_apply_merges, stat_df_battery, scan_text_wholetext,
+# graph_link_prediction, llm_semantic_dedup), and the r14 sql-text
+# builder conversions (identical plans, rows re-earned anyway).
+# + 6 promoted from _VERIFY_AFTER (graph_local_clustering — r15-touched
+# AND never officially verified — pandas_api_merge_asof's changed
+# implementation, then the 4 oldest queued wave ops).
+# 44 + 6 = 50 = the budget; the remaining 26 wave registrations stay
+# queued in _VERIFY_AFTER for the next official sample.
 _VERIFY_FIRST = [
-    "sample_hash_deterministic",
-    "stats_cmh_test",
-    "stats_jonckheere_terpstra",
-    "stats_page_trend",
-    "ts_spectral_coherence",
-    "graph_rich_club",
-    "ts_page_hinkley",
-    "llm_selfbleu_diversity",
-    "stats_dunn_test",
-    "ts_dickey_fuller",
-    "ts_variance_ratio",
-    "stats_sign_test",
-    "stats_xi_correlation",
-    "ts_sample_entropy",
-    "llm_watermark_detect",
-    "stats_kaplan_meier",
-    "stats_logrank_test",
-    "stats_cochran_q",
-    "llm_mixture_weights",
-    "ts_cusum_drift",
-    "stats_friedman_test",
-    "join_runtime_bloom_filter",
-    "join_dynamic_partition_pruning",
-    "join_interval_overlap",
-    "join_aqe_skew_handled",
-    "sink_table_saveastable",
-    "scan_parquet_schema_evolution",
-    "scan_csv_corrupt_records",
-    "udf_apply_in_arrow",
-    "llm_dedup_keep_best",
-    "llm_bpe_pair_counts",
-    "llm_ngram_lm_score",
-    "tpch_q3_style_shipping_priority",
-    "tpch_q5_style_regional_volume",
-    "tpch_q10_style_returned_items",
-    "tpch_q1_style_full",
-    "tpch_q18_style_large_orders",
-    "tpch_q7_style_nation_volume",
-    "tpch_q14_style_promo_revenue",
-    "tpch_q19_style_disjunctive",
-    "tpch_q12_style_late_lines",
-    "tpch_q22_style_idle_customers",
-    "tpch_q2_style_min_cost_supplier",
-    "subq_scalar_correlated",
-    "subq_exists_not_in",
-    "ts_sessionize_batch",
-    "ts_gap_fill_spine",
-    "merge_upsert_latest",
-    "profile_column_stats",
-    "join_skew_salted",
+    "win_ranking",
+    "agg_count_distinct",
+    "llm_text_fingerprint",
+    "llm_dedup_minhash_lsh",
+    "llm_dedup_ngram_jaccard",
+    "llm_dedup_edit_distance",
+    "llm_embedding_top_pc",
+    "llm_embedding_abtt",
+    "llm_bradley_terry",
+    "agg_count_min_sketch",
+    "llm_winnowing_fingerprint",
+    "llm_decontaminate_benchmark",
+    "llm_doc_hash_embedding",
+    "llm_source_overlap_matrix",
+    "cdc_json_envelope_apply",
+    "llm_knn_cosine_exact",
+    "llm_dedup_simhash",
+    "stream_dedup_simhash",
+    "llm_bigram_pmi",
+    "llm_dedup_clusters",
+    "llm_dedup_containment",
+    "llm_dedup_cross_corpus",
+    "llm_dedup_threshold_sweep",
+    "llm_dedup_incremental",
+    "llm_dedup_persistent_index",
+    "llm_minhash_band_sweep",
+    "llm_dedup_index_compaction",
+    "llm_dedup_set_containment",
+    "agg_median_abs_deviation",
+    "agg_trimmed_winsorized",
+    "agg_weighted_median",
+    "stream_update_mode_agg",
+    "sink_max_records_per_file",
+    "llm_bpe_apply_merges",
+    "stat_df_battery",
+    "scan_text_wholetext",
+    "graph_link_prediction",
+    "llm_semantic_dedup",
+    "flagship_pricing_join",
+    "join_inner_equi",
+    "agg_rollup",
+    "llm_dedup_exact",
+    "llm_text_quality",
+    "fn_string_battery",
+    "graph_local_clustering",
+    "pandas_api_merge_asof",
+    "ts_turning_points",
+    "ts_permutation_entropy",
+    "ts_kpss_test",
+    "stats_brunner_munzel",
 ]
 
 # ... and run these LAST among the unverified: rows-only checks (weaker
@@ -425,10 +445,6 @@ _VERIFY_AFTER = [
     # round-14 registrations past the 50-row budget (each driver-sim
     # green at sf0.01 at registration, each with a numpy replay
     # property test; first official row round 15)
-    "ts_turning_points",
-    "ts_permutation_entropy",
-    "ts_kpss_test",
-    "stats_brunner_munzel",
     "stats_cvm_two_sample",
     "stats_ansari_bradley",
     "stats_mood_median",
@@ -436,7 +452,6 @@ _VERIFY_AFTER = [
     "stats_poisson_dispersion",
     "ts_adf_augmented",
     "ts_spectral_entropy",
-    "graph_local_clustering",
     "stats_theil_inequality",
     "ts_cusum_squares",
     # changed implementation (round-14 sweep finding: ps.merge_asof's
@@ -444,7 +459,6 @@ _VERIFY_AFTER = [
     # hangs at sf0.1; respelled via the linear union+groupby-ffill
     # pandas idiom), so its round-4 official row describes the old
     # plan — re-verifies round 15 (the llm_mixture_weights precedent)
-    "pandas_api_merge_asof",
     # round-14 wave 6 (registered after the sweep commit; driver-sim
     # green at sf0.01 at registration, numpy replay + textbook pins)
     "stats_durbin_watson",

@@ -699,11 +699,16 @@ def _simhash_signatures(d: DataFrame) -> DataFrame:
     micro-batch with the identical code. Checkpointed: every consumer
     references the signature subtree at least twice."""
     # Size partitions for the fold's ~10× in-memory expansion (the
-    # (tokens × 64) int8 bit matrix) from actual input bytes; tiny
-    # corpora stay on few partitions instead of paying a shuffle plus
-    # 32-task scheduling (measured: repartition(32) is a net LOSS at
-    # sf0.1 — 0.69s vs 0.55s single-partition).
-    npart = explode_partitions(d, factor=8)
+    # (tokens × 64) int8 bit matrix) from actual input bytes, FLOORED
+    # at the core count (optimization r15, the _distinct_shingles
+    # precedent): the md5-per-token transform feeding the fold is
+    # µs-per-row JVM CPU and the byte-derived count collapses to 1 at
+    # fixture scale, serializing the whole signature pass on one task
+    # (re-measured this round: single-task 3–13 s vs 2.1–2.4 s at core
+    # width — the round-9 "single partition wins" measurement predates
+    # the md5 token pipeline). Bytes still win at scale.
+    sc = d.sparkSession.sparkContext
+    npart = max(explode_partitions(d, factor=8), sc.defaultParallelism)
     if npart > est_scan_partitions(d):
         d = d.repartition(npart, "doc_id")
     # NULL text would propagate through split/filter/transform to a

@@ -1331,7 +1331,17 @@ def scan_partition_values_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").withColumn(
         "o_month", F.date_trunc("month", "o_orderdate").cast("date")
     )
-    o.write.mode("overwrite").partitionBy("o_month").parquet(out)
+    # Hash-partitioned by the partition column (optimization r15, guide
+    # §6 — the sink_max_records_per_file pattern): the single-file scan
+    # otherwise left ONE task creating all ~84 month directories
+    # serially; each month still lands wholly in one task, so the
+    # one-file-per-directory layout is unchanged.
+    (
+        o.repartition(spark.sparkContext.defaultParallelism, "o_month")
+        .write.mode("overwrite")
+        .partitionBy("o_month")
+        .parquet(out)
+    )
     back = spark.read.parquet(out).filter(
         (F.col("o_month") >= F.lit("1995-01-01").cast("date"))
         & (F.col("o_month") < F.lit("1996-01-01").cast("date"))

@@ -198,8 +198,7 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "llm_deterministic_shuffle", "llm_langid_confusion_matrix", "llm_pack_ffd",
     "llm_weighted_sample_es", "pandas_api_rolling",
     "profile_freshness_lag", "profile_join_fanout", "scan_csv_multiline_quotes",
-    "scan_file_metadata_column", "scan_parquet_bloom_filter", "scan_partition_values_typed",
-    "sink_csv_gzip_roundtrip", "sink_partition_overwrite_dynamic", "sink_python_datasource", "sql_rebalance_hints",
+    "scan_file_metadata_column", "scan_parquet_bloom_filter", "sink_csv_gzip_roundtrip", "sink_partition_overwrite_dynamic", "sink_python_datasource", "sql_rebalance_hints",
     "sql_session_variables", "stats_anova_oneway", "stats_association_battery",
     "stats_benford_digits", "stats_bootstrap_ci", "stats_kendall_tau",
     "stats_kl_divergence", "stats_levene_test", "stats_proportion_ztest",
@@ -422,7 +421,7 @@ _VERIFY_FIRST = [
     "ts_turning_points",
     "ts_permutation_entropy",
     "ts_kpss_test",
-    "stats_brunner_munzel",
+    "scan_partition_values_typed",
 ]
 
 # ... and run these LAST among the unverified: rows-only checks (weaker
@@ -442,6 +441,7 @@ _VERIFY_LAST = []
 # llm_dataset_temperature_mix dropped as a duplicate of
 # llm_mixture_weights (same p^alpha reweighting, already official).
 _VERIFY_AFTER = [
+    "stats_brunner_munzel",
     # round-14 registrations past the 50-row budget (each driver-sim
     # green at sf0.01 at registration, each with a numpy replay
     # property test; first official row round 15)

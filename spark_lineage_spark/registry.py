@@ -441,10 +441,16 @@ _VERIFY_LAST = []
 # llm_dataset_temperature_mix dropped as a duplicate of
 # llm_mixture_weights (same p^alpha reweighting, already official).
 _VERIFY_AFTER = [
-    "stats_brunner_munzel",
-    # round-14 registrations past the 50-row budget (each driver-sim
+    # round-14 registrations still past the budget (each driver-sim
     # green at sf0.01 at registration, each with a numpy replay
-    # property test; first official row round 15)
+    # property test): round 15's 50 slots went to the rewrite
+    # re-verification drain (see the _VERIFY_FIRST note), which takes
+    # precedence per the changed-implementation-first rotation rule —
+    # these queue for the next official sample. stats_brunner_munzel
+    # returned here when scan_partition_values_typed (changed this
+    # round) took its staged slot; the four oldest wave ops kept
+    # theirs.
+    "stats_brunner_munzel",
     "stats_cvm_two_sample",
     "stats_ansari_bradley",
     "stats_mood_median",

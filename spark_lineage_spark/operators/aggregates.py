@@ -1107,24 +1107,27 @@ def stat_df_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     # Optimization r15 (guide §7.3/§2.6): every df.stat call is an
-    # independent driver-blocking job, and the ε=0 approxQuantile pass
-    # dominates (measured 1.7-4.2 s of the battery — its exactness is
-    # the op's oracle-checked contract, so that cost stays). So:
-    # (a) the documented MULTI-COLUMN approxQuantile form answers both
-    # columns in one corpus pass (same per-column values as two calls);
-    # (b) it runs on a worker thread while the small jobs (cov, corr,
-    # freqItems, group counts) execute concurrently and hide under it;
-    # (c) n_rows comes from the same group-count collect as the exact
+    # independent driver-blocking job, and the ε=0 approxQuantile
+    # passes dominate (measured 1.7-4.2 s of the battery — their
+    # exactness is the op's oracle-checked contract, so that cost
+    # stays). So: (a) both quantile calls run on worker threads while
+    # the small jobs (cov, corr, freqItems, group counts) execute
+    # concurrently on the caller's thread and hide under them; (b)
+    # n_rows comes from the same group-count collect as the exact
     # heavy hitters (count(*) == sum of group counts, exactly, null
-    # group included). Every df.stat API the battery exists to cover is
-    # still exercised; each scalar is computed by the same call as
-    # before, so values are unchanged.
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        fut = pool.submit(
-            li.stat.approxQuantile,
-            ["l_quantity", "l_extendedprice"],
-            [0.25, 0.5, 0.75],
-            0.0,
+    # group included). The calls stay PER-COLUMN deliberately: the
+    # documented multi-column form was measured 3.4× SLOWER at the 10×
+    # probe (52 s vs 15 s — one treeAggregate dragging both columns'
+    # uncompressed ε=0 summaries), so two independent overlapped
+    # passes win at every scale. Every df.stat API the battery exists
+    # to cover is still exercised; each scalar is computed by the same
+    # call as before, so values are unchanged.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_q = pool.submit(
+            li.stat.approxQuantile, "l_quantity", [0.25, 0.5, 0.75], 0.0
+        )
+        fut_p = pool.submit(
+            li.stat.approxQuantile, "l_extendedprice", [0.5], 0.0
         )
         cov = li.stat.cov("l_quantity", "l_extendedprice")
         corr = li.stat.corr("l_quantity", "l_extendedprice")
@@ -1134,9 +1137,8 @@ def stat_df_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()  # bounded-collect-ok: ≤ n-distinct-flags rows
         )
-        qq, qp = fut.result()
-    q25, q50, q75 = qq
-    q50_price = qp[1]
+        q25, q50, q75 = fut_q.result()
+        (q50_price,) = fut_p.result()
     n_rows = sum(r.n for r in flag_counts)
     exact_heavy = {r.l_returnflag for r in flag_counts if r.n > 0.2 * n_rows}
     n_freq = float(len(freq & exact_heavy))

@@ -681,6 +681,18 @@ def agg_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort runs over that single bucket (~n/#ranges rows). The median
     join back is a broadcast of 3 rows; the integer rank threshold
     replaces the float cume_dist comparison (same selected value).
+
+    Deviation arithmetic (optimization r15, guide §2.3 narrower
+    types): prices are exact 2-decimal values, so the deviation runs
+    in CENTS AS LONG — round(price*100) recovers the exact integer
+    cents from the stored double (the product is correctly rounded
+    and the true value is within 0.5 of it), |cents_x - cents_m| is
+    exact int64, and cents/100.0 followed by round(·, 2) yields the
+    IDENTICAL double the old decimal(18,2) path produced (both are
+    the nearest double to the same exact 2-decimal value; ordering
+    and ties are preserved under the monotone bijection, so the same
+    row is selected). Measured: the decimal abs pass cost 0.90 s vs
+    0.31 s in cents per fact pass, 2 passes per invocation.
     """
     from spark_lineage_spark.operators.analytics import grouped_kth
     from spark_lineage_spark.plans.extract import lineage_checkpoint
@@ -707,21 +719,21 @@ def agg_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
         "ad",
         F.abs(
-            F.col("l_extendedprice").cast("decimal(18,2)")
-            - F.col("median").cast("decimal(18,2)")
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            - F.round(F.col("median") * 100).cast("long")
         ),
     )
     mad = grouped_kth(
         dev,
         ["l_returnflag"],
         "ad",
-        F.floor(F.col("_v") / F.lit(1000)).cast("bigint"),
+        F.floor(F.col("_v") / F.lit(100000)).cast("bigint"),
         [("mad", 1, 2)],
-    ).select("l_returnflag", F.col("_v").alias("mad_raw"))
+    ).select("l_returnflag", F.col("_v").alias("mad_cents"))
     return mad.join(med, "l_returnflag").select(
         "l_returnflag",
         F.round("median", 2).alias("median"),
-        F.round("mad_raw", 2).cast("double").alias("mad"),
+        F.round(F.col("mad_cents") / 100, 2).alias("mad"),
         "n",
     )
 

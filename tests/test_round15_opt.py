@@ -108,3 +108,43 @@ def test_count_distinct_split_ignores_null_keys(spark, tmp_path):
         for r in df.collect()
     )
     assert key(out) == key(ref)
+
+
+# -- aggregates.py: MAD deviation pass in exact cents-as-long ----------
+
+
+def test_mad_cents_path_matches_decimal_reference(spark):
+    """The r15 rewrite replaced the decimal(18,2) deviation arithmetic
+    with exact cents-as-long (guide §2.3 narrower types; the decimal
+    abs measured 0.90 s vs 0.31 s per fact pass). Pin the equivalence
+    on the full sf0.001 fixture: the shipped op must equal a direct
+    decimal-path reference computed the pre-rewrite way, including the
+    rounding/tie discipline (same selected row under the monotone
+    cents bijection)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from spark_lineage_spark.registry import load_all
+
+    got = {
+        r.l_returnflag: r
+        for r in load_all()["agg_median_abs_deviation"].builder(spark, SF).collect()
+    }
+    li = pd.read_parquet(os.path.join(SF, "lineitem.parquet"))
+    for flag, grp in li.groupby("l_returnflag"):
+        x = np.sort(grp.l_extendedprice.to_numpy())
+        n = len(x)
+        med = x[math.ceil(0.5 * n) - 1]
+        # decimal-path reference: exact 2dp arithmetic in integer cents
+        cents = np.rint(x * 100).astype(np.int64)
+        med_c = int(round(med * 100))
+        ad = np.sort(np.abs(cents - med_c))
+        mad_c = int(ad[math.ceil(0.5 * n) - 1])
+        r = got[flag]
+        assert r.n == n
+        assert r.median == round(float(med), 2)
+        # bit-identical, not approx: cents/100.0 and decimal->double
+        # both produce the nearest double to the same exact 2dp value
+        assert r.mad == round(mad_c / 100.0, 2)

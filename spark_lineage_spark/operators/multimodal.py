@@ -825,48 +825,61 @@ def llm_multimodal_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     product is an exact int64 sum, and one rounded double division
     per pair closes the hash gate.
 
-    Shape at any SF: the text fold is map-side HOFs on the documents
-    scan (zero shuffles); the media encoder is one partition-
-    preserving mapInPandas; the pair join keys on doc_id — at real
-    scale both sides are already co-partitioned by the id and the
-    encoder dominates; the global bottom-10 is a TakeOrdered."""
+    Shape at any SF (optimization r15, guide §4.1/§2.3): the text side
+    is explode + ONE two-phase aggregation with 8 conditional sums —
+    per-token work is pure whole-stage codegen (the previous HOF fold
+    allocated a fresh 8-long array per token in the interpreted
+    evaluator; same-session A/B: full op 1.87 s -> 1.06 s), and the
+    partial aggregation collapses the exploded tokens map-side so only
+    ~one 8-long row per doc ever shuffles. A doc whose tokens all
+    cancel (or that has none) had tvec == zeros before and tt == 0
+    dropped it; under the groupBy form it simply has no row (explode
+    drops empty arrays) or keeps tt == 0 — identical survivors. The
+    media encoder is one partition-preserving mapInPandas; the pair
+    join keys on doc_id and reuses the aggregation's partitioning;
+    the global bottom-10 is a TakeOrdered."""
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     hashes = F.expr(
         "transform(filter(split(text, ' '), t -> length(t) > 0),"
         " t -> cast(conv(substring(md5(cast(t AS BINARY)), 1, 15), 16, 10)"
         " AS BIGINT))"
     )
-    tvec = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0).cast("long"), ALIGN_DIMS),
-        lambda acc, h: F.transform(
-            acc,
-            lambda x, i: x
-            + F.when(
-                h % ALIGN_DIMS == i.cast("long"),
-                F.when(h.bitwiseAND(F.lit(8)) != 0, F.lit(1)).otherwise(F.lit(-1)),
-            ).otherwise(F.lit(0)),
-        ),
+
+    def sgn(h):
+        return F.when(h.bitwiseAND(F.lit(8)) != 0, F.lit(1)).otherwise(F.lit(-1))
+
+    tok = d.select("doc_id", F.explode(hashes).alias("h"))
+    tv = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h") % ALIGN_DIMS == i, sgn(F.col("h"))).otherwise(
+                    F.lit(0)
+                )
+            ).alias(f"v{i}")
+            for i in range(ALIGN_DIMS)
+        ]
     )
-    t = d.select("doc_id", tvec.alias("tvec"))
     media = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("blob"))
     mv = media.mapInPandas(
         _media_chunk_vec, schema="doc_id long, mvec array<long>"
     )
-    j = t.join(mv, "doc_id")
+    j = tv.join(mv, "doc_id")
 
-    def ldot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
+    zero = F.lit(0).cast("long")
+    tc = sum(
+        (F.col(f"v{i}") * F.element_at("mvec", i + 1) for i in range(ALIGN_DIMS)),
+        zero,
+    )
+    tt = sum((F.col(f"v{i}") * F.col(f"v{i}") for i in range(ALIGN_DIMS)), zero)
+    cc = sum(
+        (
+            F.element_at("mvec", i + 1) * F.element_at("mvec", i + 1)
+            for i in range(ALIGN_DIMS)
+        ),
+        zero,
+    )
     scored = j.select(
-        "doc_id",
-        ldot(F.col("tvec"), F.col("mvec")).alias("tc"),
-        ldot(F.col("tvec"), F.col("tvec")).alias("tt"),
-        ldot(F.col("mvec"), F.col("mvec")).alias("cc"),
+        "doc_id", tc.alias("tc"), tt.alias("tt"), cc.alias("cc")
     ).filter((F.col("tt") > 0) & (F.col("cc") > 0))
     return (
         scored.select(

@@ -420,7 +420,12 @@ _VERIFY_FIRST = [
     "pandas_api_merge_asof",
     "ts_turning_points",
     "ts_permutation_entropy",
-    "ts_kpss_test",
+    # ts_kpss_test returned to _VERIFY_AFTER: agg_median_abs_deviation
+    # (already staged above) and llm_multimodal_alignment both changed
+    # implementation in the round-15 second pass (cents-as-long
+    # deviation arithmetic; explode+conditional-sum text fold), and
+    # changed implementations take budget ahead of queued wave ops.
+    "llm_multimodal_alignment",
     "scan_partition_values_typed",
 ]
 
@@ -448,8 +453,10 @@ _VERIFY_AFTER = [
     # precedence per the changed-implementation-first rotation rule —
     # these queue for the next official sample. stats_brunner_munzel
     # returned here when scan_partition_values_typed (changed this
-    # round) took its staged slot; the four oldest wave ops kept
-    # theirs.
+    # round) took its staged slot; ts_kpss_test returned when
+    # llm_multimodal_alignment (changed in the round-15 second pass)
+    # took its slot.
+    "ts_kpss_test",
     "stats_brunner_munzel",
     "stats_cvm_two_sample",
     "stats_ansari_bradley",

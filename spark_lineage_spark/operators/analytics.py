@@ -10267,12 +10267,19 @@ def stats_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and 1e-12-snapped g-terms — identical integers in both engines.
 # T = (A2 - 1)/sigma against t_{m=1}(0.05) = 1.960 (S&S Table 1).
 # Headroom: A <= 2N^2 stays a DECIMAL(19,0) factor to N ~ 7e9 rows.
-_AD_CLOSE_SQL = """
+# The close is split so the Spark builder can supply `tot` and `har`
+# as 1-row literal relations (their scalars are already collected for
+# spark.range sizing — re-deriving them relationally re-aggregated cum
+# and cross-joined three 1-row CTEs through separate AQE stages); the
+# oracle composes the identical text from the relational `tot`.
+_AD_TOT_SQL = """
 tot AS (
   SELECT CAST(sum(ca) AS BIGINT) AS n1, CAST(sum(cv) AS BIGINT) AS n2,
          CAST(sum(ca) + sum(cv) AS BIGINT) AS n
   FROM {cum}
-),
+),"""
+
+_AD_CLOSE_TAIL = """
 terms AS (
   SELECT CAST(sum(CAST(round(
            CAST(CAST(c.g AS DECIMAL(19,0))
@@ -10317,6 +10324,8 @@ SELECT n1 AS n_a, n2 AS n_b,
                  THEN 1 ELSE 0 END AS BIGINT) AS reject_same_dist
 FROM sig
 """
+
+_AD_CLOSE_SQL = _AD_TOT_SQL + _AD_CLOSE_TAIL
 
 _AD_HAR_ORACLE = """
 adn AS (
@@ -10371,7 +10380,16 @@ def stats_ad_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     series with the same two-phase treatment, map-side-partial
     moment aggs, 1-row finish.  The one driver scalar (N, to size
     spark.range) is metadata-scale, the streaming/queries
-    max-timestamp precedent."""
+    max-timestamp precedent.
+
+    Driver-job shape (optimization r15, guide §7.3): h2n1 rides the
+    g2 job as a broadcast scalar (one collect instead of two), and
+    the already-collected scalars (n1, n2, n, h2n1, g2) enter the
+    close as LITERAL 1-row relations — the previous relational tot
+    re-aggregated cum and cross-joined three 1-row CTEs through
+    separate AQE stages (~1.5 s of the op's 2.6 s was the close job).
+    Same exact integers either way; op best 2.57 s -> measured below.
+    """
     cum = _two_sample_cum_df(spark, sf_dir, "purchase", "click")
     cum.createOrReplaceTempView("r14_ad_cum")
     n1, n2 = (
@@ -10404,23 +10422,42 @@ def stats_ad_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("tm").over(w) + F.col("off")).cast("bigint").alias("h2"),
         )
     )
-    h2n1 = int(ser.agg(F.sum("tm")).collect()[0][0])  # bounded-collect-ok: one scalar
-    g2 = int(
+    # h2n1 = sum of ALL harmonic terms = the last bucket's offset plus
+    # its own total — a 1-row agg over the tiny boff table, broadcast
+    # into the g-term expression so h2n1 and g2 close in ONE job (the
+    # per-term arithmetic is unchanged: h2n1 is the same exact bigint
+    # whether it arrives as a Python literal or a broadcast column).
+    h2n1_df = ser.agg(F.sum("tm").cast("bigint").alias("h2n1"))
+    h2n1, g2 = (
         hcum.filter(F.col("m") <= n - 2)
+        .crossJoin(F.broadcast(h2n1_df))
         .select(
+            "h2n1",
             F.expr(
-                f"CAST(round((CAST({h2n1} - h2 AS DOUBLE) / 1000000000000000)"
+                "CAST(round((CAST(h2n1 - h2 AS DOUBLE) / 1000000000000000)"
                 f" / ({n} - m) * 1000000000000) AS BIGINT)"
-            ).alias("gt")
+            ).alias("gt"),
         )
-        .agg(F.sum("gt"))
-        .collect()[0][0]  # bounded-collect-ok: one scalar (exact snapped g-sum)
+        .groupBy("h2n1")
+        .agg(F.sum("gt").cast("bigint").alias("g2"))
+        .collect()[0]  # bounded-collect-ok: one 2-scalar row (exact snapped sums)
     )
-    spark.createDataFrame(
-        [(h2n1, g2)], "h2n1 BIGINT, g2 BIGINT"
-    ).createOrReplaceTempView("r14_ad_har")
+    tot_lit = (
+        "\ntot AS (\n"
+        f"  SELECT CAST({int(n1)} AS BIGINT) AS n1,"
+        f" CAST({int(n2)} AS BIGINT) AS n2,\n"
+        f"         CAST({n} AS BIGINT) AS n\n"
+        "),"
+    )
+    har_lit = (
+        f"har AS (SELECT CAST({int(h2n1)} AS BIGINT) AS h2n1,"
+        f" CAST({int(g2)} AS BIGINT) AS g2),"
+    )
     return spark.sql(
-        "WITH " + _AD_CLOSE_SQL.format(cum="r14_ad_cum", har="r14_ad_har")
+        "WITH "
+        + har_lit
+        + tot_lit
+        + _AD_CLOSE_TAIL.format(cum="r14_ad_cum", har="har")
     )
 
 

@@ -419,7 +419,12 @@ _VERIFY_FIRST = [
     "graph_local_clustering",
     "pandas_api_merge_asof",
     "ts_turning_points",
-    "ts_permutation_entropy",
+    # ts_permutation_entropy returned to _VERIFY_AFTER:
+    # stats_ad_two_sample changed implementation in the round-15
+    # second pass (literal-scalar close + fused harmonic job) and a
+    # changed op must carry an official post-change row ahead of a
+    # queued unchanged wave op.
+    "stats_ad_two_sample",
     # ts_kpss_test returned to _VERIFY_AFTER: agg_median_abs_deviation
     # (already staged above) and llm_multimodal_alignment both changed
     # implementation in the round-15 second pass (cents-as-long
@@ -481,8 +486,10 @@ _VERIFY_AFTER = [
     "ts_higuchi_fd",
     "ts_dfa",
     "stats_quade_test",
-    # round-14 wave 8
-    "stats_ad_two_sample",
+    # round-14 wave 8 (stats_ad_two_sample promoted to _VERIFY_FIRST:
+    # changed implementation in the round-15 second pass;
+    # ts_permutation_entropy displaced back here by that promotion)
+    "ts_permutation_entropy",
     "ts_haar_energy",
     # round-14 wave 9
     "stats_hotelling_t2",

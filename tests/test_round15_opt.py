@@ -230,3 +230,80 @@ def test_multimodal_alignment_matches_hof_fold_reference(spark):
         .toPandas()
     )
     assert got.equals(ref)
+
+
+# -- analytics.py: AD close with literal scalars + fused harmonic job --
+
+
+def test_ad_close_template_recomposes_exactly():
+    """The r15 split of _AD_CLOSE_SQL into _AD_TOT_SQL + _AD_CLOSE_TAIL
+    must keep the oracle text byte-identical (the oracle composes the
+    relational tot; the Spark builder substitutes literal 1-row
+    relations)."""
+    from spark_lineage_spark.operators.analytics import (
+        _AD_CLOSE_SQL,
+        _AD_CLOSE_TAIL,
+        _AD_TOT_SQL,
+    )
+
+    assert _AD_CLOSE_SQL == _AD_TOT_SQL + _AD_CLOSE_TAIL
+    assert _AD_CLOSE_SQL.lstrip().startswith("tot AS (")
+    assert "{cum}" in _AD_TOT_SQL and "{har}" in _AD_CLOSE_TAIL
+
+
+def test_ad_two_sample_literal_close_matches_relational(spark):
+    """The rewritten builder inlines n1/n2/n/h2n1/g2 as literal 1-row
+    relations and fuses the h2n1+g2 collects into one job. Pin the
+    result against the pre-rewrite form (relational tot from cum,
+    separate h2n1 collect, har temp view) on sf0.001."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spark_lineage_spark.operators.analytics import (
+        _AD_CLOSE_SQL,
+        _two_sample_cum_df,
+    )
+    from spark_lineage_spark.registry import load_all
+
+    got = load_all()["stats_ad_two_sample"].builder(spark, SF).toPandas()
+
+    cum = _two_sample_cum_df(spark, SF, "purchase", "click")
+    cum.createOrReplaceTempView("t15_ad_cum_ref")
+    n1, n2 = cum.agg(
+        F.sum("ca").cast("bigint"), F.sum("cv").cast("bigint")
+    ).collect()[0]
+    n = int(n1) + int(n2)
+    ser = spark.range(1, n).select(
+        F.col("id").alias("m"),
+        F.expr("CAST(round(1e15 / id) AS BIGINT)").alias("tm"),
+        F.expr("id div 65536").alias("bucket"),
+    )
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    boff = (
+        ser.groupBy("bucket")
+        .agg(F.sum("tm").alias("bt"))
+        .select("bucket", F.coalesce(F.sum("bt").over(wb), F.lit(0)).alias("off"))
+    )
+    w = Window.partitionBy("bucket").orderBy("m")
+    hcum = ser.join(F.broadcast(boff), "bucket").select(
+        "m", (F.sum("tm").over(w) + F.col("off")).cast("bigint").alias("h2")
+    )
+    h2n1 = int(ser.agg(F.sum("tm")).collect()[0][0])
+    g2 = int(
+        hcum.filter(F.col("m") <= n - 2)
+        .select(
+            F.expr(
+                f"CAST(round((CAST({h2n1} - h2 AS DOUBLE) / 1000000000000000)"
+                f" / ({n} - m) * 1000000000000) AS BIGINT)"
+            ).alias("gt")
+        )
+        .agg(F.sum("gt"))
+        .collect()[0][0]
+    )
+    spark.createDataFrame(
+        [(h2n1, g2)], "h2n1 BIGINT, g2 BIGINT"
+    ).createOrReplaceTempView("t15_ad_har_ref")
+    ref = spark.sql(
+        "WITH " + _AD_CLOSE_SQL.format(cum="t15_ad_cum_ref", har="t15_ad_har_ref")
+    ).toPandas()
+    assert got.equals(ref)

@@ -222,13 +222,30 @@ def _rarity_prefixes(sh: DataFrame, threshold: float, probe: DataFrame | None = 
     integer and floor would UNDER-size the prefix (silently missed
     pairs); n*1e-12 dominates that error at any representable n while
     over-sizing by at most one — a few extra candidates, never a
-    recall loss."""
-    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    recall loss.
+
+    Rarity keys run on xxhash64(shingle) internally (optimization r15,
+    guide §2.3 narrower types): the df aggregation, its join key, and
+    the window sort compare 8-byte longs instead of ~30-byte shingle
+    strings — and since most shingles tie at df=1, the old (df,
+    shingle) sort hit the string comparison on nearly every row. Hash
+    collisions only MERGE two shingles' df counts (df stays a
+    consistent function of the shingle), and the sort key (df, hash,
+    shingle) is still a TOTAL order over shingles — consistent across
+    docs — so the prefix-filter recall theorem holds exactly; the
+    theorem is order-agnostic (any shared total order works; rarity
+    order is a performance choice). Candidate sets shift slightly
+    under the new order; the exact verification stage makes the
+    declared outputs bit-identical (pinned by test). Output columns
+    are unchanged."""
+    shh = sh.withColumn("_hsh", F.xxhash64("shingle"))
+    df_counts = shh.groupBy("_hsh").agg(F.count("*").alias("df"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    emit = probe if probe is not None else sh
-    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    emit = (probe.withColumn("_hsh", F.xxhash64("shingle"))
+            if probe is not None else shh)
+    w = Window.partitionBy("doc_id").orderBy("df", "_hsh", "shingle")
     return (
-        emit.join(df_counts, "shingle")
+        emit.join(df_counts, "_hsh")
         .withColumn("pos", F.row_number().over(w))
         .join(sizes, "doc_id")
         .filter(

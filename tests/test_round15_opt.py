@@ -307,3 +307,82 @@ def test_ad_two_sample_literal_close_matches_relational(spark):
         "WITH " + _AD_CLOSE_SQL.format(cum="t15_ad_cum_ref", har="t15_ad_har_ref")
     ).toPandas()
     assert got.equals(ref)
+
+
+# -- dedup.py: rarity prefixes keyed on xxhash64 internally ------------
+
+
+def test_hash_ordered_prefixes_same_verified_pairs(spark):
+    """_rarity_prefixes now aggregates/joins/sorts on xxhash64(shingle)
+    (guide §2.3 narrower types; most shingles tie at df=1 so the old
+    (df, shingle) sort compared strings on nearly every row). The
+    candidate set may shift under the new total order (df, hash,
+    shingle) — recall stays exactly 1 by the order-agnostic prefix
+    theorem — and the exact verify stage must make the DECLARED output
+    identical to the old string-ordered path."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spark_lineage_spark.operators import dedup as D
+
+    sh = D._shingle_index(spark, SF)
+
+    def pref_string_order(sh, threshold):
+        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+        w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+        return (
+            sh.join(df_counts, "shingle")
+            .withColumn("pos", F.row_number().over(w))
+            .join(sizes, "doc_id")
+            .filter(
+                F.col("pos")
+                <= F.floor(
+                    (1 - threshold) * F.col("n") + F.col("n") * 1e-12 + 1e-9
+                )
+                + 1
+            )
+            .select("doc_id", "shingle", "n")
+        )
+
+    def pairs_from(pref, threshold=0.8):
+        a, b = pref.alias("a"), pref.alias("b")
+        t10 = int(round(threshold * 10))
+        size_ok = ((F.lit(10) * F.col("a.n")) >= (F.lit(t10) * F.col("b.n"))) & (
+            (F.lit(10) * F.col("b.n")) >= (F.lit(t10) * F.col("a.n"))
+        )
+        cand = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                & size_ok,
+            )
+            .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+            .distinct()
+            .transform(D._stage_candidates)
+        )
+        return D._verify_exact_jaccard(sh, cand, threshold)
+
+    got = (
+        D._jaccard_pairs_from_shingles(sh)
+        .toPandas()
+        .sort_values(["da", "db"])
+        .reset_index(drop=True)
+    )
+    ref = (
+        pairs_from(pref_string_order(sh, 0.8))
+        .toPandas()
+        .sort_values(["da", "db"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(ref)
+    # and the new-order candidates still form a superset of the
+    # verified pairs (recall 1): every verified pair is a candidate
+    new_cand = set(
+        map(
+            tuple,
+            D._jaccard_pairs_from_shingles(sh).select("da", "db").collect(),
+        )
+    )
+    assert set(map(tuple, ref[["da", "db"]].itertuples(index=False))) <= new_cand

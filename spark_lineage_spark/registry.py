@@ -418,7 +418,16 @@ _VERIFY_FIRST = [
     "fn_string_battery",
     "graph_local_clustering",
     "pandas_api_merge_asof",
-    "ts_turning_points",
+    # ts_turning_points (pure rotation, unchanged implementation)
+    # returned to _VERIFY_AFTER: stream_chained_stateful's flush
+    # sentinel is now a JVM-literal row (identical values; the
+    # createDataFrame local relation paid a ~6 s handshake per file
+    # write) — the changed op re-earns its row first. The two outer
+    # stream-stream joins share the same sentinel change in their
+    # once-per-fixture staging and queue at the front of
+    # _VERIFY_AFTER (their staged fixture VALUES are identical and
+    # both were oracle-exact at 2 SFs after the change).
+    "stream_chained_stateful",
     # ts_permutation_entropy returned to _VERIFY_AFTER:
     # stats_ad_two_sample changed implementation in the round-15
     # second pass (literal-scalar close + fused harmonic job) and a
@@ -461,6 +470,12 @@ _VERIFY_AFTER = [
     # round) took its staged slot; ts_kpss_test returned when
     # llm_multimodal_alignment (changed in the round-15 second pass)
     # took its slot.
+    # Front of the queue: r15-second-pass sentinel-staging change
+    # (see the stream_chained_stateful note in _VERIFY_FIRST) + the
+    # displaced rotation rows.
+    "stream_stream_left_outer_join",
+    "stream_stream_full_outer_join",
+    "ts_turning_points",
     "ts_kpss_test",
     "stats_brunner_munzel",
     "stats_cvm_two_sample",

@@ -91,6 +91,29 @@ def _stream_state_shuffle(spark: SparkSession):
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 
 
+def _flush_sentinel(
+    spark: SparkSession, schema, max_ts, hours: int, user_id: int, etype: str
+) -> DataFrame:
+    """One flush-sentinel event row (event_id -1, ts = max_ts + hours)
+    built from range(1) + JVM literals instead of createDataFrame: a
+    driver-local relation pays a multi-second handshake per FILE WRITE
+    in this tuned session (measured 5-6 s for a ONE-ROW parquet write,
+    the same finding as the corrupt-CSV staging note in sources_sinks;
+    the range() form writes in ~0.4 s). Values and schema are
+    identical to the old positional createDataFrame row."""
+    vals = {
+        "event_id": F.lit(-1),
+        "ts": F.lit(max_ts) + F.expr(f"INTERVAL {hours} HOURS"),
+        "user_id": F.lit(user_id),
+        "event_type": F.lit(etype),
+        "value": F.lit(0.0),
+        "props": F.lit(None),
+    }
+    return spark.range(1).select(
+        *[vals[f.name].cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
 def run_to_memory(df: DataFrame, mode: str = "append") -> DataFrame:
     """Execute a streaming DataFrame to completion via availableNow into
     a memory sink; return the sink as a batch DataFrame.
@@ -319,10 +342,7 @@ def _outer_join_side(
         max_ts = ev.agg(F.max("ts")).collect()[0][0]  # driver scalar
 
         def sentinel_at(hours: int) -> DataFrame:
-            return spark.createDataFrame(
-                [(int(-1), max_ts, int(-1), etype, float(0.0), None)],
-                ev.schema,
-            ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {hours} HOURS"))
+            return _flush_sentinel(spark, ev.schema, max_ts, hours, -1, etype)
 
         tmp = f"{src}.{os.getpid()}.{uuid.uuid4().hex[:6]}.tmp"
         os.makedirs(tmp, exist_ok=True)
@@ -682,10 +702,7 @@ def stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     max_ts = ev.agg(F.max("ts")).collect()[0][0]  # driver scalar, metadata-scale
     doubled = ev.unionByName(ev)
-    flush = spark.createDataFrame(
-        [(int(-1), max_ts, int(0), "flush", float(0.0), None)],
-        ev.schema,
-    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 48 HOURS"))
+    flush = _flush_sentinel(spark, ev.schema, max_ts, 48, 0, "flush")
     for k, batch_df in ((0, doubled), (1, flush)):
         stage = os.path.join(run_dir, f"stage{k}")
         batch_df.coalesce(1).write.mode("overwrite").parquet(stage)

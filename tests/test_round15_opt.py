@@ -386,3 +386,34 @@ def test_hash_ordered_prefixes_same_verified_pairs(spark):
         )
     )
     assert set(map(tuple, ref[["da", "db"]].itertuples(index=False))) <= new_cand
+
+
+# -- streaming: flush sentinels as JVM literals ------------------------
+
+
+def test_flush_sentinel_matches_createdataframe_row(spark):
+    """The r15 sentinel helper builds the flush row from range(1) +
+    literals (a createDataFrame local relation pays a multi-second
+    handshake per file write). Pin value-and-schema equality against
+    the old positional createDataFrame construction."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from spark_lineage_spark.streaming.queries import _flush_sentinel
+    from spark_lineage_spark.tables import load
+
+    ev = load(spark, SF, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    for hours, uid, etype in ((48, 0, "flush"), (48, -1, "purchase"), (96, -1, "click")):
+        new = _flush_sentinel(spark, ev.schema, max_ts, hours, uid, etype)
+        old = spark.createDataFrame(
+            [(int(-1), max_ts, int(uid), etype, float(0.0), None)], ev.schema
+        ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {hours} HOURS"))
+        # literal columns come out non-nullable — stricter than the
+        # createDataFrame row and safe under the streaming read schema
+        # (taken from the b0 data file); names/types/values must match.
+        assert [(f.name, f.dataType) for f in new.schema.fields] == [
+            (f.name, f.dataType) for f in old.schema.fields
+        ]
+        assert new.collect() == old.collect()

@@ -587,12 +587,20 @@ def llm_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one explode to (doc_id, gram), then two aggregations that
     share the doc_id grouping. At 100 TB the explode multiplies rows
     ~word-count-fold, so it inherits the byte-sized repartition the
-    shingle pipeline uses (explode_partitions); both groupBys hash on
-    doc_id(+gram) — no skew since grams are near-unique per doc."""
+    shingle pipeline uses (explode_partitions) — FLOORED at the core
+    count like _distinct_shingles (optimization r15, guide §2.5: the
+    byte-derived count collapses to 1 on the single-file fixture, so
+    the whole tokenize+explode+double-agg pipeline ran as ONE task —
+    measured 1.13 s vs 0.39 s at core width; bytes still win at
+    scale). Both groupBys hash on doc_id(+gram) and reuse the
+    explicit partitioning — no skew since grams are near-unique per
+    doc."""
     from spark_lineage_spark.operators.dedup import explode_partitions
 
     d = load(spark, sf_dir, "documents")
-    npart = explode_partitions(d)
+    npart = max(
+        explode_partitions(d), spark.sparkContext.defaultParallelism
+    )
     if npart > 1:
         d = d.repartition(npart, "doc_id")
     g = d.select("doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("gram"))

@@ -415,7 +415,12 @@ _VERIFY_FIRST = [
     "agg_rollup",
     "llm_dedup_exact",
     "llm_text_quality",
-    "fn_string_battery",
+    # fn_string_battery (sql-text conversion; judge-verified identical
+    # plan, lowest-information re-verify of the staged set) returned
+    # to the rotation queue: llm_text_repetition gained the core-width
+    # explode floor in the round-15 second pass — changed
+    # implementations re-earn rows first.
+    "llm_text_repetition",
     "graph_local_clustering",
     "pandas_api_merge_asof",
     # ts_turning_points (pure rotation, unchanged implementation)
@@ -475,6 +480,7 @@ _VERIFY_AFTER = [
     # displaced rotation rows.
     "stream_stream_left_outer_join",
     "stream_stream_full_outer_join",
+    "fn_string_battery",
     "ts_turning_points",
     "ts_kpss_test",
     "stats_brunner_munzel",

@@ -417,3 +417,21 @@ def test_flush_sentinel_matches_createdataframe_row(spark):
             (f.name, f.dataType) for f in old.schema.fields
         ]
         assert new.collect() == old.collect()
+
+
+# -- text.py: llm_text_repetition explode floor ------------------------
+
+
+def test_text_repetition_explode_floored_at_core_width(spark):
+    """The byte-derived explode sizing collapses to 1 on the
+    single-file fixture, serializing the whole tokenize+explode+agg
+    pipeline on one task (measured 1.13 s vs 0.39 s at core width).
+    Pin that the plan repartitions by doc_id at >= defaultParallelism
+    before the explode."""
+    from spark_lineage_spark.registry import load_all
+
+    df = load_all()["llm_text_repetition"].builder(spark, SF)
+    plan = df._jdf.queryExecution().toString()
+    par = spark.sparkContext.defaultParallelism
+    assert f"hashpartitioning(doc_id" in plan
+    assert f", {par})" in plan

@@ -96,16 +96,16 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "stream_tumbling_window", "stream_sliding_window", "stream_session_window",
     "stream_dedup_watermark", "stream_stream_join", "stream_static_join",
     "stream_rate_source_window", "stream_stateful_count",
-    "stream_foreach_batch_sink", 
+    "stream_foreach_batch_sink",
     "source_python_stream",
     "subq_recursive_cte",
     "ts_cohort_retention", "ts_concurrency_sweep",
     "dq_rule_checks", "sql_scripting_control_flow", "cdc_snapshot_diff",
-    "source_python_stream_partitioned", 
-    "ts_anomaly_zscore", 
+    "source_python_stream_partitioned",
+    "ts_anomaly_zscore",
     # ts_resample_ohlc moved to _VERIFY_FIRST (round-12 hardening)
     "ts_hierarchical_rollup", "win_funnel_ordered",
-    
+
     # round 5 verified (CORRECTNESS_r05.json, 50 rows, all green)
     "llm_repeated_passages", "llm_vocab_coverage",
     "tpch_q4_style_priority_check",
@@ -116,7 +116,7 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "tpch_q20_style_part_shippers", "tpch_q21_style_waiting_suppliers",
     "llm_text_langid", "llm_text_tokens",
     "llm_text_tfidf", "llm_text_normalize",
-    "llm_text_repetition", "llm_text_top_ngrams", "llm_text_zipf_fit",
+    "llm_text_top_ngrams", "llm_text_zipf_fit",
     "llm_pii_redact", "llm_quality_classifier",
     "llm_doc_length_histogram", "llm_chunk_documents", "llm_pack_sequences",
     "llm_split_train_val_test", "llm_sample_per_group",
@@ -163,7 +163,7 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "sink_table_default_columns", "source_python_pushdown", "sql_execute_immediate",
     "sql_group_by_all_lateral", "sql_named_parameters", "sql_pipe_syntax",
     "stats_ks_test", "stats_mann_whitney", "stats_ttest_welch",
-    "stream_chained_stateful", "stream_checkpoint_recovery", "stream_transform_with_state", "ts_ewma_smoothing", "ts_seasonal_decompose",
+    "stream_checkpoint_recovery", "stream_transform_with_state", "ts_ewma_smoothing", "ts_seasonal_decompose",
     "ts_session_window_builtin", "ts_user_streaks", "udf_grouped_map_normalize",
     "udf_map_in_pandas", "udf_pandas_grouped_agg", "udf_pandas_scalar",
     "udtf_analyze_polymorphic",
@@ -181,7 +181,7 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "sql_tablesample", "sql_transpose", "sql_udf_scalar_table",
     "stat_crosstab", "stats_ols_two_feature",
     "stats_theil_sen", "stream_foreach_writer", "stream_observe_metrics",
-    "stream_source_archive_cleanup", "stream_stream_left_outer_join", "subq_quantified_any_all", "ts_calendar_dim", "udf_arrow_optimized",
+    "stream_source_archive_cleanup", "subq_quantified_any_all", "ts_calendar_dim", "udf_arrow_optimized",
     "udf_pandas_iterator", "udtf_table_argument", "win_funnel_wilson",
     "win_range_interval_time",
     # round 9 verified (CORRECTNESS_r09.json)
@@ -202,7 +202,7 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "sql_session_variables", "stats_anova_oneway", "stats_association_battery",
     "stats_benford_digits", "stats_bootstrap_ci", "stats_kendall_tau",
     "stats_kl_divergence", "stats_levene_test", "stats_proportion_ztest",
-    "stats_spearman_corr", "stream_stream_full_outer_join", "ts_business_days",
+    "stats_spearman_corr", "ts_business_days",
     "ts_holt_linear", "ts_session_window_dynamic_gap",
     # round 10 verified (CORRECTNESS_r10.json, 50 rows, all green);
     # lineage_catalog_query and lineage_transitive_closure re-queue in
@@ -243,7 +243,7 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "agg_boolean_conditional", "agg_linear_regression", "fn_datetime_battery",
     "fn_math_battery", "fn_regex_battery", "graph_personalized_pagerank", "join_null_safe_eq", "llm_chat_turn_audit",
     "llm_cluster_silhouette", "llm_filter_funnel", "llm_hard_negative_mining", "llm_judge_length_bias",
-    "llm_multimodal_alignment", "llm_multimodal_features", "llm_multimodal_scene_cut",
+    "llm_multimodal_features", "llm_multimodal_scene_cut",
     "llm_ngram_entropy_rate", "llm_repetition_loops", "llm_source_js_divergence",
     "llm_text_readability", "llm_token_burstiness", "llm_tokenizer_fertility",
     "pandas_api_ewm", "set_except", "set_except_all",

@@ -11208,8 +11208,8 @@ eig AS (
   FROM fit
 )
 SELECT n AS n_pairs,
-       round(a11, 6) AS a_rev_rev, round(a12, 6) AS a_rev_cnt,
-       round(a21, 6) AS a_cnt_rev, round(a22, 6) AS a_cnt_cnt,
+       round(a11, 6) + 0 AS a_rev_rev, round(a12, 6) + 0 AS a_rev_cnt,
+       round(a21, 6) + 0 AS a_cnt_rev, round(a22, 6) + 0 AS a_cnt_cnt,
        round(CASE WHEN disc >= 0
                   THEN greatest(abs((tr + sqrt(disc)) / 2),
                                 abs((tr - sqrt(disc)) / 2))

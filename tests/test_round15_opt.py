@@ -435,3 +435,33 @@ def test_text_repetition_explode_floored_at_core_width(spark):
     par = spark.sparkContext.defaultParallelism
     assert f"hashpartitioning(doc_id" in plan
     assert f", {par})" in plan
+
+
+# -- analytics.py: VAR close normalizes the sign of zero ---------------
+
+
+def test_var_stability_no_negative_zero(spark):
+    """The shared VAR close rounds four near-zero coefficients; DuckDB's
+    round keeps -0.0 while Spark's BigDecimal round cannot produce it,
+    so a tiny-negative coefficient diverged as '0.0' vs '-0.0' under
+    the driver's string compare (observed at sf0.001). The `+ 0` in the
+    final SELECT normalizes both engines to +0.0 and is the exact
+    identity for every other double. Spark-side outputs are
+    bit-identical with and without it."""
+    from spark_lineage_spark.operators.analytics import _VAR_SQL
+    from spark_lineage_spark.registry import load_all
+    from spark_lineage_spark.tables import register_views
+
+    assert "round(a21, 6) + 0 AS a_cnt_rev" in _VAR_SQL
+    register_views(spark, SF, ["orders"])
+    with_fix = spark.sql(_VAR_SQL.format(prev="date_add(b.d, 1)")).collect()
+    without = spark.sql(
+        _VAR_SQL.replace(" + 0 AS a_", " AS a_").format(prev="date_add(b.d, 1)")
+    ).collect()
+    assert with_fix == without
+    row = load_all()["ts_var_stability"].builder(spark, SF).collect()[0]
+    import math
+
+    for c in ("a_rev_rev", "a_rev_cnt", "a_cnt_rev", "a_cnt_cnt"):
+        v = row[c]
+        assert not (v == 0.0 and math.copysign(1.0, v) < 0), c

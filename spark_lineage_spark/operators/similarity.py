@@ -1215,6 +1215,16 @@ def llm_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jw = Window.orderBy("h", "vec_id")  # 16 rows: single-partition window is fine
     subspaces = spark.range(PQ_M).select(F.col("id").cast("int").alias("s"))
+    # Self-norms are precomputed BEFORE the (vector-subspace) x
+    # centroid join (optimization r15, guide §1.2 per-task work): the
+    # expansion form previously evaluated dot(sub,sub) once per
+    # CENTROID pair (x16) and dot(cent,cent) once per VECTOR pair
+    # (x|corpus|) — 2 of the 3 interpreted HOF folds in the hot
+    # 128k-row distance stage were redundant. Identical doubles: the
+    # same fold over the same operands, combined in the same
+    # a - b + c order, so every rounded d2 — and every downstream
+    # argmin/rank — is bit-identical (pinned by test; measured
+    # warm best 2.65 s -> 1.76 s).
     cents = (
         seeds.withColumn("j", F.row_number().over(jw) - 1)
         .crossJoin(F.broadcast(subspaces))
@@ -1223,14 +1233,19 @@ def llm_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "j",
             F.slice("emb", F.col("s") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("cent"),
         )
+        .withColumn("ncent", dot(F.col("cent"), F.col("cent")))
     )
-    subs = e.crossJoin(F.broadcast(subspaces)).select(
-        "vec_id", "s", F.slice("emb", F.col("s") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub")
+    subs = (
+        e.crossJoin(F.broadcast(subspaces))
+        .select(
+            "vec_id",
+            "s",
+            F.slice("emb", F.col("s") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub"),
+        )
+        .withColumn("nsub", dot(F.col("sub"), F.col("sub")))
     )
     d2 = F.round(
-        dot(F.col("sub"), F.col("sub"))
-        - 2 * dot(F.col("sub"), F.col("cent"))
-        + dot(F.col("cent"), F.col("cent")),
+        F.col("nsub") - 2 * dot(F.col("sub"), F.col("cent")) + F.col("ncent"),
         6,
     )
     dists = subs.join(F.broadcast(cents), "s").select(

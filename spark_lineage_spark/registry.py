@@ -211,7 +211,7 @@ _DRIVER_VERIFIED_ROUNDS_AGO = [
     "stats_runs_test", "stats_jarque_bera", "stats_fdr_bh",
     "ts_hampel_outliers", "llm_epoch_allocation", "llm_multimodal_ahash_dedup",
     "stats_fisher_exact", "pandas_api_resample", "fn_geo_haversine_battery",
-    "llm_judge_agreement", "stats_diff_in_diff", "stats_cuped", "llm_ann_pq_adc",
+    "llm_judge_agreement", "stats_diff_in_diff", "stats_cuped",
     "llm_multimodal_ahash", "graph_label_propagation",
     "ts_sessionize_gap_percentile", "llm_reward_normalize",
     "stats_kruskal_wallis", "stats_herfindahl",
@@ -475,10 +475,12 @@ _VERIFY_AFTER = [
     # round) took its staged slot; ts_kpss_test returned when
     # llm_multimodal_alignment (changed in the round-15 second pass)
     # took its slot.
-    # Front of the queue: r15-second-pass sentinel-staging change
-    # (see the stream_chained_stateful note in _VERIFY_FIRST) + the
-    # displaced rotation rows.
+    # Front of the queue: r15-second-pass changed implementations
+    # past the 50 budget (sentinel staging; PQ self-norm precompute —
+    # Spark output proved bit-identical by test) + the displaced
+    # rotation rows.
     "stream_stream_left_outer_join",
+    "llm_ann_pq_adc",
     "stream_stream_full_outer_join",
     "fn_string_battery",
     "ts_turning_points",

@@ -465,3 +465,105 @@ def test_var_stability_no_negative_zero(spark):
     for c in ("a_rev_rev", "a_rev_cnt", "a_cnt_rev", "a_cnt_cnt"):
         v = row[c]
         assert not (v == 0.0 and math.copysign(1.0, v) < 0), c
+
+
+# -- similarity.py: PQ self-norms precomputed outside the join ---------
+
+
+def test_pq_adc_matches_inline_norm_reference(spark):
+    """The r15 change hoists dot(sub,sub)/dot(cent,cent) out of the
+    (vector-subspace) x centroid distance join. Same folds over the
+    same operands combined in the same a - b + c order, so every
+    rounded d2 and the final ranking must be bit-identical to the old
+    inline form, replicated here."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spark_lineage_spark.functions.arrays import (
+        dot,
+        l2_normalize,
+        to_double_array,
+    )
+    from spark_lineage_spark.operators import similarity as S
+    from spark_lineage_spark.registry import load_all
+    from spark_lineage_spark.tables import load
+
+    got = (
+        load_all()["llm_ann_pq_adc"].builder(spark, SF)
+        .toPandas()
+        .sort_values(["query_id", "neighbor_id"])
+        .reset_index(drop=True)
+    )
+
+    e = (
+        S._parallel_corpus(spark, load(spark, SF, "embeddings"))
+        .select("vec_id", to_double_array("embedding").alias("emb0"))
+        .select("vec_id", l2_normalize(F.col("emb0")).alias("emb"))
+    )
+    h = F.md5(F.concat(F.lit("pqseed:"), F.col("vec_id").cast("string")))
+    seeds = e.select("vec_id", "emb", h.alias("h")).orderBy("h", "vec_id").limit(S.PQ_K)
+    jw = Window.orderBy("h", "vec_id")
+    subspaces = spark.range(S.PQ_M).select(F.col("id").cast("int").alias("s"))
+    cents = (
+        seeds.withColumn("j", F.row_number().over(jw) - 1)
+        .crossJoin(F.broadcast(subspaces))
+        .select(
+            "s", "j",
+            F.slice("emb", F.col("s") * S.PQ_SUBDIM + 1, S.PQ_SUBDIM).alias("cent"),
+        )
+    )
+    subs = e.crossJoin(F.broadcast(subspaces)).select(
+        "vec_id", "s",
+        F.slice("emb", F.col("s") * S.PQ_SUBDIM + 1, S.PQ_SUBDIM).alias("sub"),
+    )
+    d2 = F.round(
+        dot(F.col("sub"), F.col("sub"))
+        - 2 * dot(F.col("sub"), F.col("cent"))
+        + dot(F.col("cent"), F.col("cent")),
+        6,
+    )
+    dists = subs.join(F.broadcast(cents), "s").select("vec_id", "s", "j", d2.alias("d2"))
+    codes = dists.groupBy("vec_id", "s").agg(
+        F.min_by("j", F.struct("d2", "j")).alias("code")
+    )
+    qtab = dists.filter(F.col("vec_id") < S.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("s").alias("qs"), "j",
+        F.col("d2").alias("qd2"),
+    )
+    adc = (
+        codes.join(
+            F.broadcast(qtab),
+            (F.col("s") == F.col("qs")) & (F.col("code") == F.col("j")),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("qd2"), 6).alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= S.PQ_SHORTLIST)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    qvec = e.filter(F.col("vec_id") < S.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    rerank = (
+        F.broadcast(shortlist)
+        .join(F.broadcast(qvec), "query_id")
+        .join(e.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(dot(F.col("qemb"), F.col("emb")), 6).alias("cos_sim"),
+        )
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    ref = (
+        rerank.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") <= S.TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim")
+        .toPandas()
+        .sort_values(["query_id", "neighbor_id"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(ref)

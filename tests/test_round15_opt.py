@@ -567,3 +567,48 @@ def test_pq_adc_matches_inline_norm_reference(spark):
         .reset_index(drop=True)
     )
     assert got.equals(ref)
+
+
+def test_knn_cosine_hoisted_norms_match_inline_cosine(spark):
+    """llm_knn_cosine_exact hoists both self-norms out of the
+    broadcast pair join (the PQ-ADC precedent). The division keeps the
+    exact norm(a)*norm(b) operand order, so the full scored set — not
+    just the top-k — must be bit-identical to the inline cosine()."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spark_lineage_spark.functions.arrays import cosine, to_double_array
+    from spark_lineage_spark.operators import similarity as S
+    from spark_lineage_spark.registry import load_all
+    from spark_lineage_spark.tables import load
+
+    got = (
+        load_all()["llm_knn_cosine_exact"].builder(spark, SF)
+        .toPandas()
+        .sort_values(["query_id", "neighbor_id"])
+        .reset_index(drop=True)
+    )
+    e = S._parallel_corpus(spark, load(spark, SF, "embeddings")).select(
+        "vec_id", "label", to_double_array("embedding").alias("emb")
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < S.N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+        )
+    )
+    scored = q.join(e, F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.round(cosine(F.col("qemb"), F.col("emb")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    ref = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= S.TOP_K)
+        .drop("rn")
+        .toPandas()
+        .sort_values(["query_id", "neighbor_id"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(ref)
